@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (SURVEY.md §3.3): tokenization, quality scoring, language-ID heuristic,
+  * document fingerprinting, shingling.
+  *
+  * Everything is a pure Catalyst expression (no UDFs) so it stays inside
+  * native evaluation, and — deliberately — every function here has a
+  * direct DuckDB equivalent so the oracle can replay it
+  * (`regexp_split_to_array`/`list_filter`/`md5` on the DuckDB side).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    F.filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: runs of letters, runs of digits, or single
+    * other non-space chars — the classic pre-tokenizer regex. Same regex
+    * dialect subset works in Java (Spark) and RE2 (DuckDB).
+    */
+  val BpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeRegex))
+
+  /** Ratio of punctuation/symbol chars to total chars, 4 decimals. */
+  def punctRatio(text: Column): Column =
+    round(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(length(text), lit(1)), 4)
+
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(F.filter(tokens(text), t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+
+  def stopwordRatio(text: Column): Column =
+    round(stopwordCount(text, StopwordsEn).cast("double") /
+      greatest(tokenCount(text), lit(1)), 4)
+
+  /** Composite quality score in [0,1]: length credit + stopword credit −
+    * punctuation penalty. Deterministic, SQL-expressible; 4 decimals.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctRatio(text)) * 0.2, 4)
+  }
+
+  /** Stopword-hit language ID heuristic. Counts (non-distinct) tokens from
+    * each language's tiny stopword list; CASE-chain argmax with fixed
+    * priority en>es>de>fr on ties; no hits → 'und'.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "un"))
+
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    def cnt(ws: Seq[String]) =
+      size(F.filter(t, x => x.isin(ws.map(_.asInstanceOf[Any]): _*)))
+    val Seq(en, es, de, fr) = LangStopwords.map { case (_, ws) => cnt(ws) }
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Canonical document fingerprint (OpenRefine-style): sorted distinct
+    * tokens joined and md5-hashed. Identical in DuckDB:
+    * `md5(array_to_string(list_sort(list_distinct(tokens)), ' '))`.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Word n-gram shingles (distinct), for MinHash/Jaccard dedup. For texts
+    * shorter than n tokens, the single full-text shingle is used.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(F.transform(
+      sequence(lit(0), greatest(size(t) - n, lit(0))),
+      i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+}

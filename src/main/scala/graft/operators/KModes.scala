@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.functions.Distances
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** K-modes clustering for categorical data, Spark-native.
+  *
+  * Re-expresses the reference engine [UP pyspark_kmodes/pyspark_kmodes.py
+  * EnsembleKModes ~L150-360 | conf=H on flow] in `spark.ml` idiom
+  * (mirrors `ml.clustering.KMeans` shape, SURVEY.md §8.1). Two fit
+  * algorithms behind `initMode`:
+  *
+  *  - `global` (default): plain distributed Lloyd. Per iteration: one
+  *    narrow, codegen-friendly assignment stage (centers are a literal —
+  *    k ≤ 64 tiny arrays folded into the expression, the degenerate
+  *    broadcast join) + ONE shuffle (`groupBy(prediction)` with the
+  *    one-pass [[ArrayModeAggregator]], map-side partial aggregation ⇒
+  *    shuffle volume bounded by k × n_features × |vocab| counters, not by
+  *    row count). Deterministic and partition-invariant — this is the
+  *    variant that scales to 100 TB: per-iteration cost is one scan + one
+  *    bounded shuffle; driver only ever sees k rows.
+  *
+  *  - `ensemble` (reference fidelity): stage 1 runs [[LocalKModes]]
+  *    independently inside each partition via `mapPartitions`
+  *    [UP iter_k_modes / k_modes_partitioned ~L150-280 | conf=M], stage 2
+  *    collects the P×k local modes (tiny) and meta-clusters them on the
+  *    driver with our own local K-modes — the part upstream delegated to
+  *    the `kmodes` PyPI package [UP ~L295-330 | conf=H]. Embarrassingly
+  *    parallel (zero shuffles in stage 1), result depends on partitioning
+  *    exactly like the reference.
+  *
+  * Determinism contract (required for the DuckDB oracle, SURVEY §2):
+  * seeded hash-order init, assignment ties → lowest cluster id, mode ties
+  * → (count DESC, value ASC), empty clusters reseeded from the farthest
+  * record (distance DESC, hash ASC).
+  */
+trait KModesParams extends Params {
+  final val k = new IntParam(this, "k", "number of clusters", ParamValidators.gt(0))
+  final val maxIter = new IntParam(this, "maxIter", "max Lloyd iterations", ParamValidators.gtEq(0))
+  final val seed = new LongParam(this, "seed", "random seed")
+  final val featuresCol = new Param[String](this, "featuresCol", "array<string> features column")
+  final val predictionCol = new Param[String](this, "predictionCol", "prediction output column")
+  final val initMode = new Param[String](this, "initMode", "global|ensemble",
+    ParamValidators.inArray(Array("global", "ensemble")))
+
+  setDefault(k -> 8, maxIter -> 20, seed -> 42L,
+    featuresCol -> "features", predictionCol -> "prediction", initMode -> "global")
+
+  def getK: Int = $(k)
+  def getMaxIter: Int = $(maxIter)
+  def getSeed: Long = $(seed)
+  def getFeaturesCol: String = $(featuresCol)
+  def getPredictionCol: String = $(predictionCol)
+  def getInitMode: String = $(initMode)
+
+  protected def validateSchema(schema: StructType): StructType = {
+    val f = schema($(featuresCol))
+    require(f.dataType == ArrayType(StringType, true) ||
+      f.dataType == ArrayType(StringType, false),
+      s"featuresCol must be array<string>, got ${f.dataType}")
+    if (schema.fieldNames.contains($(predictionCol))) schema
+    else StructType(schema.fields :+ StructField($(predictionCol), IntegerType, false))
+  }
+}
+
+class KModes(override val uid: String) extends Estimator[KModesModel] with KModesParams {
+  def this() = this(Identifiable.randomUID("kmodes"))
+
+  def setK(value: Int): this.type = set(k, value)
+  def setMaxIter(value: Int): this.type = set(maxIter, value)
+  def setSeed(value: Long): this.type = set(seed, value)
+  def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setPredictionCol(value: String): this.type = set(predictionCol, value)
+  def setInitMode(value: String): this.type = set(initMode, value)
+
+  override def transformSchema(schema: StructType): StructType = validateSchema(schema)
+  override def copy(extra: ParamMap): KModes = defaultCopy(extra)
+
+  override def fit(dataset: Dataset[_]): KModesModel = {
+    transformSchema(dataset.schema)
+    val df = dataset.toDF()
+    val model = $(initMode) match {
+      case "ensemble" => fitEnsemble(df)
+      case _          => fitGlobal(df)
+    }
+    copyValues(model.setParent(this))
+  }
+
+  /** Null-normalized features column (null is its own category, SURVEY §2). */
+  private def feats =
+    F.transform(col($(featuresCol)), x => coalesce(x, lit(ArrayModeAggregator.NullSentinel)))
+
+  // ---------------------------------------------------------------- global
+  private def fitGlobal(df: DataFrame): KModesModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // Deterministic seeded init (R9 global form): k distinct feature rows in
+    // xxhash64 order. One job; the distinct is a bounded shuffle of the
+    // (tiny) feature-vocabulary cross-product, not of raw rows.
+    var centers: Array[Seq[String]] = df
+      .select(feats.as("f"))
+      .distinct()
+      .orderBy(xxhash64(col("f"), lit($(seed))), col("f"))
+      .limit($(k))
+      .as[Seq[String]]
+      .collect()
+    require(centers.nonEmpty, "KModes.fit: no rows")
+
+    var iter = 0
+    var converged = false
+    var cost = 0.0
+    val input = df.select(feats.as("f"))
+    while (iter < $(maxIter) && !converged) {
+      val cLit = typedlit(centers.map(_.toSeq).toSeq)
+      val a = Distances.assign(col("f"), cLit)
+      // one shuffle: groupBy(prediction) + one-pass multi-column mode
+      val stats = input
+        .select(col("f"), a.getField("prediction").as("p"), a.getField("min_dist").as("d"))
+        .groupBy(col("p"))
+        .agg(
+          ArrayModeAggregator.modeArray(col("f")).as("center"),
+          count(lit(1)).as("n"),
+          sum(col("d")).as("sumd"))
+        .collect()
+
+      val byId = stats.map(r => r.getInt(0) -> r).toMap
+      val n = stats.map(_.getLong(2)).sum.toDouble
+      cost = if (n == 0) 0.0 else stats.map(_.getLong(3)).sum / n
+
+      val newCenters = centers.indices.map { i =>
+        byId.get(i).map(_.getSeq[String](1)).getOrElse(centers(i))
+      }.toArray
+
+      val emptyIds = centers.indices.filterNot(byId.contains)
+      val reseeded =
+        if (emptyIds.isEmpty) newCenters
+        else {
+          // deterministic reseed: records farthest from their center,
+          // (min_dist DESC, hash ASC), distinct, one bounded job (SURVEY §8.3)
+          val far = input
+            .select(col("f"), a.getField("min_dist").as("d"))
+            .distinct()
+            .orderBy(col("d").desc, xxhash64(col("f"), lit($(seed))))
+            .limit(emptyIds.size)
+            .as[(Seq[String], Int)]
+            .collect()
+          val upd = newCenters.clone()
+          emptyIds.zip(far).foreach { case (id, (row, _)) => upd(id) = row }
+          upd
+        }
+
+      converged = reseeded.map(_.toSeq).toSeq == centers.map(_.toSeq).toSeq
+      centers = reseeded
+      iter += 1
+    }
+
+    new KModesModel(uid, centers.map(_.toArray), cost, iter)
+  }
+
+  // -------------------------------------------------------------- ensemble
+  private def fitEnsemble(df: DataFrame): KModesModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kk = $(k)
+    val mi = $(maxIter)
+    val sd = $(seed)
+
+    // R14: every partition must hold at least k records, like the
+    // reference's fit() precondition [UP ~L155-175 | conf=M].
+    val input = df.select(feats.as("f")).as[Seq[String]]
+    val perPart = input.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    require(perPart.forall(_ >= kk),
+      s"ensemble fit: every partition needs >= k=$kk records, got ${perPart.mkString(",")}")
+
+    // Stage 1: local Lloyd per partition (zero shuffles), seeded per
+    // partition id — deterministic for a fixed partitioning, exactly the
+    // reference's semantics (result depends on layout, SURVEY §5).
+    val localModes: Array[Array[String]] = input
+      .mapPartitions { it =>
+        val data = it.map(_.toArray).toArray
+        if (data.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          LocalKModes.fit(data, kk, mi, sd + pid).centers.iterator.map(_.toSeq)
+        }
+      }
+      .collect()
+      .map(_.toArray)
+
+    // Stage 2: driver-local meta-clustering of P×k modes (R11) — our own
+    // LocalKModes replaces the `kmodes` package upstream imported.
+    val meta = LocalKModes.metaCluster(localModes, kk, mi, sd)
+
+    // Final cost = mean Hamming distance to assigned metamode (R13).
+    val cLit = typedlit(meta.centers.map(_.toSeq).toSeq)
+    val d = Distances.assign(col("f"), cLit).getField("min_dist")
+    val cost = input.toDF("f").select(avg(d)).head.getDouble(0)
+
+    new KModesModel(uid, meta.centers, cost, meta.iterations)
+  }
+}
+
+/** Fitted model: cluster centers + `transform` adding the prediction column
+  * (single narrow stage, centers folded into the expression — R12).
+  */
+class KModesModel(
+    override val uid: String,
+    val clusterCenters: Array[Array[String]],
+    val cost: Double,
+    val iterations: Int)
+  extends Model[KModesModel] with KModesParams {
+
+  def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setPredictionCol(value: String): this.type = set(predictionCol, value)
+
+  override def transformSchema(schema: StructType): StructType = validateSchema(schema)
+  override def copy(extra: ParamMap): KModesModel = {
+    val m = new KModesModel(uid, clusterCenters, cost, iterations)
+    copyValues(m, extra).setParent(parent)
+  }
+
+  private def centersLit = typedlit(clusterCenters.map(_.toSeq).toSeq)
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    val f = F.transform(col($(featuresCol)),
+      x => coalesce(x, lit(ArrayModeAggregator.NullSentinel)))
+    dataset.withColumn($(predictionCol),
+      Distances.assign(f, centersLit).getField("prediction"))
+  }
+
+  /** Mean Hamming distance of `dataset` to its assigned centers (R13). */
+  def computeCost(dataset: Dataset[_]): Double = {
+    val f = F.transform(col($(featuresCol)),
+      x => coalesce(x, lit(ArrayModeAggregator.NullSentinel)))
+    dataset.select(avg(Distances.assign(f, centersLit).getField("min_dist")))
+      .head.getDouble(0)
+  }
+}
+
+object KModes {
+  /** Assemble categorical columns into the `array<string>` features column:
+    * casts to string and maps null → the sentinel (null is its own
+    * category, SURVEY §2).
+    */
+  def assemble(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    array(cols.map(c => coalesce(c.cast("string"),
+      lit(ArrayModeAggregator.NullSentinel))): _*)
+}
