@@ -1,0 +1,507 @@
+package graft
+
+import graft.functions.{Distances, TextFunctions}
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/** The registered query surface (SURVEY.md §3) + DuckDB oracle SQL.
+  *
+  * Oracle-determinism rules applied throughout (SURVEY §6 tier 3):
+  *  - money/double SUMs go through DECIMAL(18,2|4) (exact, shuffle-order
+  *    independent) and are cast back to double at the end — both engines
+  *    produce the identical double;
+  *  - averages are written as exact-sum / count in double, then rounded;
+  *  - bucketing uses FLOOR (DuckDB CAST(double AS INT) *rounds* while
+  *    Spark's cast truncates — FLOOR agrees on non-negative input);
+  *  - every output is fully ORDER BY-ed on both sides, NULLS FIRST
+  *    (Spark's asc default) spelled out for DuckDB (whose default is
+  *    NULLS LAST);
+  *  - approximate ops (LSH/ANN) are deterministic given their seeded
+  *    hashes; where the data guarantees 100% recall they carry an exact
+  *    all-pairs oracle, otherwise they are registered rows-only.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ------------------------------------------------------------------ kmodes
+  /** Flagship feature assembly: orders → 4 categorical features. */
+  def orderFeatures: Column = KModes.assemble(
+    col("o_orderstatus"),
+    col("o_orderpriority"),
+    year(col("o_orderdate")),
+    floor(col("o_totalprice") / 50000).cast("int"))
+
+  private val orderFeaturesSqlCols = Seq(
+    "o_orderstatus",
+    "o_orderpriority",
+    "CAST(year(o_orderdate) AS VARCHAR)",
+    "CAST(CAST(FLOOR(o_totalprice / 50000) AS INT) AS VARCHAR)")
+
+  /** Fixed centers for the SQL-expressible assignment/cost oracles. */
+  val FixedCenters: Array[Array[String]] = Array(
+    Array("O", "1-URGENT", "1996", "2"),
+    Array("F", "3-MEDIUM", "1998", "5"),
+    Array("P", "5-LOW", "2000", "8"))
+
+  private def fixedCenterDistSql: String = {
+    val ds = FixedCenters.zipWithIndex.map { case (c, i) =>
+      val terms = orderFeaturesSqlCols.zip(c).map { case (e, v) =>
+        s"(CASE WHEN $e <> '$v' THEN 1 ELSE 0 END)"
+      }
+      s"(${terms.mkString(" + ")}) AS d$i"
+    }
+    s"SELECT o_orderkey, ${ds.mkString(", ")} FROM orders"
+  }
+
+  def kmodesAssign(s: SparkSession, dir: String): DataFrame = {
+    val cLit = typedlit(FixedCenters.map(_.toSeq).toSeq)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), Distances.assign(orderFeatures, cLit).as("a"))
+      .select(col("o_orderkey"), col("a.prediction").as("prediction"),
+        col("a.min_dist").as("min_dist"))
+      .orderBy("o_orderkey")
+  }
+
+  val kmodesAssignSql: String =
+    s"""WITH d AS ($fixedCenterDistSql)
+       |SELECT o_orderkey,
+       |  CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0 WHEN d1 <= d2 THEN 1 ELSE 2 END AS prediction,
+       |  LEAST(d0, d1, d2) AS min_dist
+       |FROM d ORDER BY o_orderkey""".stripMargin
+
+  def kmodesCost(s: SparkSession, dir: String): DataFrame = {
+    val cLit = typedlit(FixedCenters.map(_.toSeq).toSeq)
+    t(s, dir, "orders")
+      .select(Distances.assign(orderFeatures, cLit).getField("min_dist").as("d"))
+      .agg(round(sum(col("d")).cast("double") / count(lit(1)), 6).as("mean_cost"))
+  }
+
+  val kmodesCostSql: String =
+    s"""WITH d AS ($fixedCenterDistSql)
+       |SELECT round(CAST(SUM(LEAST(d0, d1, d2)) AS DOUBLE) / COUNT(*), 6) AS mean_cost
+       |FROM d""".stripMargin
+
+  def modePerGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(ArrayModeAggregator.modeArray(array(col("o_orderstatus"))).as("m"))
+      .select(col("o_orderpriority"), element_at(col("m"), 1).as("mode_status"))
+      .orderBy("o_orderpriority")
+
+  val modePerGroupSql: String =
+    """SELECT o_orderpriority, o_orderstatus AS mode_status FROM (
+      |  SELECT o_orderpriority, o_orderstatus,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY count(*) DESC, o_orderstatus ASC) AS rn
+      |  FROM orders GROUP BY o_orderpriority, o_orderstatus
+      |) WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
+
+  def kmodesFitGlobal(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "orders").select(orderFeatures.as("features"))
+    val model = new KModes().setK(8).setMaxIter(10).setSeed(42L).fit(df)
+    model.transform(df).groupBy("prediction").count().orderBy("prediction")
+  }
+
+  def kmodesFitEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "orders")
+      .repartition(4, col("o_orderkey"))
+      .select(orderFeatures.as("features"))
+    val model = new KModes().setK(8).setMaxIter(10).setSeed(42L)
+      .setInitMode("ensemble").fit(df)
+    model.transform(df).groupBy("prediction").count().orderBy("prediction")
+  }
+
+  // -------------------------------------------------------------- relational
+  def aggPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        round(sum(col("l_discount").cast("decimal(18,4)")).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def joinRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+
+  val joinRevenueSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  def windowTop3(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  val windowTop3Sql: String =
+    """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders
+      |) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
+
+  def sortTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+
+  val sortTopKSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin
+
+  def setOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      .except(t(s, dir, "customer").where(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  val setOpsSql: String =
+    """SELECT DISTINCT o_custkey AS custkey FROM orders
+      |EXCEPT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+      |ORDER BY custkey""".stripMargin
+
+  def scalarFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(col("o_orderkey") < 1000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mth"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("pri1"),
+        concat_ws("/", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        round(abs(col("o_totalprice") - 100000.0), 2).as("delta"),
+        length(col("o_orderpriority")).as("prilen"))
+      .orderBy("o_orderkey")
+
+  val scalarFnsSql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS yr, month(o_orderdate) AS mth, day(o_orderdate) AS dom,
+      |  upper(substring(o_orderpriority, 1, 1)) AS pri1,
+      |  concat_ws('/', o_orderstatus, o_orderpriority) AS tag,
+      |  round(abs(o_totalprice - 100000.0), 2) AS delta,
+      |  length(o_orderpriority) AS prilen
+      |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
+
+  def jsonEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("user_id"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg_value"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val jsonEventsSql: String =
+    """SELECT event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS n_users,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def rollupCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val rollupCountsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    t(s, dir, "supplier")
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  val semiJoinSql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_nationkey IN (
+      |  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA')
+      |ORDER BY s_suppkey""".stripMargin
+
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(year(col("o_orderdate")) === 1995),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy("c_custkey")
+
+  val antiJoinSql: String =
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------- dedup
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        Seq(col("o_custkey")), col("o_orderkey"))
+      .orderBy("o_orderkey")
+
+  val dedupExactSql: String =
+    """SELECT o_orderkey, o_custkey FROM (
+      |  SELECT o_orderkey, o_custkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) AS rn
+      |  FROM orders
+      |) WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+
+  /** DuckDB token + 3-shingle expressions shared by the text oracles. */
+  private val duckToks =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)"""
+  private val duckShingles =
+    """list_distinct([array_to_string(toks[i:i+2], ' ')
+      |    for i in range(1, greatest(len(toks) - 2, 1) + 1)])""".stripMargin
+
+  def dedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
+        Seq(col("fp")), col("doc_id"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+
+  val dedupFingerprintSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')) AS fp
+       |  FROM documents)
+       |SELECT doc_id, fp FROM (
+       |  SELECT doc_id, fp, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+       |  FROM f
+       |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  private def allPairsJaccardSql(threshold: Double): String =
+    s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH near-dup pairs. Oracle: exact all-pairs Jaccard — valid
+    * because on this corpus every >=0.7 pair is >=0.9 and the seeded LSH
+    * deterministically recalls them all (verified offline; miss prob
+    * ~3e-8 per pair at 16 bands × 4 rows).
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLSH(t(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
+  val dedupMinhashSql: String = allPairsJaccardSql(0.7)
+
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val dedupNgramSql: String = allPairsJaccardSql(0.5)
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  // -------------------------------------------------------------------- text
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val textStatsSql: String = {
+    val stop = TextFunctions.StopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH tok AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, len(toks) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+       |          greatest(length(text), 1), 4) AS punct_ratio,
+       |    round(CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) /
+       |          greatest(len(toks), 1), 4) AS stopword_ratio
+       |  FROM tok)
+       |SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio,
+       |  floor((least(length(text) / 500.0, 1.0) * 0.5 +
+       |         least(stopword_ratio * 5.0, 1.0) * 0.3 +
+       |         (1.0 - punct_ratio) * 0.2) * 10000) / 10000 AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextFunctions.langId(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "lang_guess")
+
+  val textLangIdSql: String = {
+    def cnt(ws: Seq[String]) = {
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($lst, x)))"
+    }
+    val Seq(en, es, de, fr) = TextFunctions.LangStopwords.map { case (_, ws) => cnt(ws) }
+    s"""WITH tok AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+       |g AS (
+       |  SELECT lang,
+       |    CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+       |         WHEN $es >= $de AND $es >= $fr AND $es > 0 THEN 'es'
+       |         WHEN $de >= $fr AND $de > 0 THEN 'de'
+       |         WHEN $fr > 0 THEN 'fr'
+       |         ELSE 'und' END AS lang_guess
+       |  FROM tok)
+       |SELECT lang, lang_guess, COUNT(*) AS cnt FROM g
+       |GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin
+  }
+
+  // -------------------------------------------------------------- similarity
+  def simTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val simTopKSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    list_dot_product(q.v, e.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+      |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5, numBlocks = 8, planesPerBlock = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.5, numBlocks = 16, planesPerBlock = 4)
+      .orderBy("id_a", "id_b")
+
+  // -------------------------------------------------------------- multimodal
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.documentFeatures(s, t(s, dir, "documents"))
+      .toDF()
+      .select(col("asset_id"), col("byte_len"), col("content_hash"), col("n_frames"))
+      .orderBy("asset_id")
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id AS asset_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  md5(text) AS content_hash,
+      |  CAST(greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT)) AS INT) AS n_frames
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  // --------------------------------------------------------------- registry
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing" -> aggPricing _,
+    "q02_join_revenue" -> joinRevenue _,
+    "q03_window_top3" -> windowTop3 _,
+    "q04_sort_topk" -> sortTopK _,
+    "q05_setops" -> setOps _,
+    "q06_scalar_fns" -> scalarFns _,
+    "q07_json_events" -> jsonEvents _,
+    "q08_rollup" -> rollupCounts _,
+    "q09_semi_join" -> semiJoin _,
+    "q10_anti_join" -> antiJoin _,
+    "q11_mode_per_group" -> modePerGroup _,
+    "q12_kmodes_assign" -> kmodesAssign _,
+    "q13_kmodes_cost" -> kmodesCost _,
+    "q14_kmodes_fit" -> kmodesFitGlobal _,
+    "q15_kmodes_ensemble" -> kmodesFitEnsemble _,
+    "q16_dedup_exact" -> dedupExact _,
+    "q17_dedup_fingerprint" -> dedupFingerprint _,
+    "q18_dedup_minhash" -> dedupMinhash _,
+    "q19_dedup_simhash" -> dedupSimhash _,
+    "q20_dedup_ngram" -> dedupNgram _,
+    "q21_text_stats" -> textStats _,
+    "q22_text_langid" -> textLangId _,
+    "q23_sim_topk" -> simTopK _,
+    "q24_sim_ann" -> simAnnLsh _,
+    "q25_embed_neardup" -> embedNearDup _,
+    "q26_multimodal" -> multimodalFeatures _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing" -> aggPricingSql,
+    "q02_join_revenue" -> joinRevenueSql,
+    "q03_window_top3" -> windowTop3Sql,
+    "q04_sort_topk" -> sortTopKSql,
+    "q05_setops" -> setOpsSql,
+    "q06_scalar_fns" -> scalarFnsSql,
+    "q07_json_events" -> jsonEventsSql,
+    "q08_rollup" -> rollupCountsSql,
+    "q09_semi_join" -> semiJoinSql,
+    "q10_anti_join" -> antiJoinSql,
+    "q11_mode_per_group" -> modePerGroupSql,
+    "q12_kmodes_assign" -> kmodesAssignSql,
+    "q13_kmodes_cost" -> kmodesCostSql,
+    "q16_dedup_exact" -> dedupExactSql,
+    "q17_dedup_fingerprint" -> dedupFingerprintSql,
+    "q18_dedup_minhash" -> dedupMinhashSql,
+    "q20_dedup_ngram" -> dedupNgramSql,
+    "q21_text_stats" -> textStatsSql,
+    "q22_text_langid" -> textLangIdSql,
+    "q23_sim_topk" -> simTopKSql,
+    "q26_multimodal" -> multimodalFeaturesSql)
+}

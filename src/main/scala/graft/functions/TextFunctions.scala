@@ -45,11 +45,17 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: length credit + stopword credit −
     * punctuation penalty. Deterministic, SQL-expressible; 4 decimals.
+    * The final truncation is floor-based floating arithmetic (not
+    * `round`): Spark's round goes through BigDecimal HALF_UP while
+    * DuckDB's rounds the scaled double, and composite scores land on
+    * .xxxx5 boundaries often enough that the two disagree; floor(x*1e4)
+    * on the identical double is engine-independent.
     */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round(lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctRatio(text)) * 0.2, 4)
+    val q = lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - punctRatio(text)) * 0.2
+    floor(q * 10000).cast("double") / 10000
   }
 
   /** Stopword-hit language ID heuristic. Counts (non-distinct) tokens from

@@ -161,6 +161,15 @@ class KModes(override val uid: String) extends Estimator[KModesModel] with KMode
       iter += 1
     }
 
+    // Cost above is measured against the PREVIOUS iteration's centers; when
+    // the loop exits at maxIter (or maxIter=0) it would not correspond to
+    // the returned centers. One extra narrow pass fixes that.
+    if (!converged) {
+      val cLit = typedlit(centers.map(_.toSeq).toSeq)
+      val d = Distances.assign(col("f"), cLit).getField("min_dist")
+      cost = input.select(avg(d)).head.getDouble(0)
+    }
+
     new KModesModel(uid, centers.map(_.toArray), cost, iter)
   }
 

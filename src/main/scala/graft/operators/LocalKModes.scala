@@ -65,7 +65,8 @@ object LocalKModes {
   /** Deterministic seeded init: k distinct rows in murmur-hash order. */
   def initCenters(data: Array[Array[String]], k: Int, seed: Long): Array[Array[String]] =
     data.distinctBy(_.toSeq)
-      .sortBy(r => (rowHash(r, seed), r.toSeq.mkString("")))
+      .sortBy(r => (rowHash(r, seed), r.toSeq))(
+        Ordering.Tuple2(Ordering.Int, Ordering.Implicits.seqOrdering[Seq, String]))
       .take(k)
 
   def fit(

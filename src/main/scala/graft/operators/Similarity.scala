@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/** Similarity search over an embedding column (SURVEY.md §3.3):
+  * brute-force cosine top-k as the exact baseline, a random-hyperplane
+  * LSH-bucketed variant as the 100 TB scale path, and cosine near-dup
+  * pairs for embedding-level dedup.
+  *
+  * 100 TB design notes:
+  *  - Brute force is the correctness baseline and the right choice when
+  *    the QUERY side is small: it broadcasts the k·dim query matrix and
+  *    scans the corpus once, one narrow stage + one shuffle for top-k —
+  *    linear in corpus size, no pairwise blow-up.
+  *  - The LSH variant buckets both sides on sign-pattern blocks so the
+  *    join touches only colliding buckets — corpus-vs-corpus similarity
+  *    (quadratic for brute force) becomes a bucket equi-join. Recall is
+  *    tunable via blocks × planes-per-block; buckets carry an explicit
+  *    size cap so a degenerate bucket cannot go quadratic (same guard as
+  *    [[Dedup.minhashLSH]]).
+  *  - All arithmetic is pure Catalyst (`zip_with`/`aggregate` fold in
+  *    doubles, left-to-right) — deterministic, codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns — native codegen'd
+    * expression ([[graft.functions.DotProduct]]); the higher-order
+    * `aggregate(zip_with(...))` form is CodegenFallback and ~10× slower
+    * on the pair-verification inner loop.
+    */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dotProduct(a, b)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in one fused codegen'd loop; 0.0 when either
+    * vector has zero norm ([[graft.functions.CosineSimilarity]]).
+    */
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosineSim(a, b)
+
+  /** Exact top-k nearest neighbors by cosine for each query vector.
+    *
+    * `queries` must be small (it is broadcast); `corpus` can be
+    * arbitrarily large — the plan is a broadcast nested-loop score pass
+    * (narrow, codegen'd) followed by one top-k shuffle on query_id.
+    * Self-matches (same id) are excluded. Deterministic ranking:
+    * (cosine DESC, neighbor id ASC).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes: `n` planes ×
+    * `dim` coordinates in [-1, 1), derived from a 64-bit mix of
+    * (seed, plane, coord) — no RNG state, reproducible across runs.
+    */
+  def hyperplanes(n: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(n, dim) { (p, i) =>
+      var h = seed + p * 1048573L + i * 31L
+      // splitmix64 finalizer
+      h += 0x9e3779b97f4a7c15L
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      h = h ^ (h >>> 31)
+      (h.toDouble / Long.MaxValue.toDouble)
+    }
+
+  /** Sign-pattern block keys for random-hyperplane LSH: `numBlocks`
+    * independent blocks of `planesPerBlock` hyperplanes each; a block key
+    * is the bit pattern of dot-product signs. Two vectors at angle θ agree
+    * on one plane with probability 1-θ/π; they share a block with
+    * p^planesPerBlock and at least one of B blocks with
+    * 1-(1-p^r)^B.
+    */
+  def blockKeys(
+      vec: Column,
+      dim: Int,
+      numBlocks: Int,
+      planesPerBlock: Int,
+      seed: Long): Column = {
+    val planes = hyperplanes(numBlocks * planesPerBlock, dim, seed)
+    val keys = (0 until numBlocks).map { b =>
+      (0 until planesPerBlock).map { r =>
+        val plane = planes(b * planesPerBlock + r)
+        val d = dot(vec, typedlit(plane.toSeq))
+        when(d >= 0.0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(keys: _*)
+  }
+
+  /** Approximate top-k: candidates are corpus vectors sharing at least one
+    * LSH block with the query; exact cosine ranking on candidates only.
+    * Scale path for corpus-sized query sets where broadcast is impossible:
+    * both sides shuffle on (block_idx, block_key) — an equi-join, never a
+    * cross join.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      numBlocks: Int = 8,
+      planesPerBlock: Int = 8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    def explodeBlocks(df: DataFrame, idAs: String, vecAs: String) = df
+      .select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vecAs))
+      .select(col(idAs), col(vecAs),
+        posexplode(blockKeys(col(vecAs), dim, numBlocks, planesPerBlock, seed))
+          .as(Seq("block_idx", "block_key")))
+    val c = explodeBlocks(corpus, "neighbor_id", "cvec")
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("block_idx"), col("block_key"))))
+      .where(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    val q = explodeBlocks(queries, "query_id", "qvec")
+    val cand = c.join(q, Seq("block_idx", "block_key"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-blocked candidate
+    * generation + exact cosine verification, (id_a < id_b, cos >=
+    * threshold). The embedding-space member of the dedup family
+    * (SURVEY §3.3).
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      numBlocks: Int = 8,
+      planesPerBlock: Int = 8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val blocked = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .select(col("id"), col("vec"),
+        posexplode(blockKeys(col("vec"), dim, numBlocks, planesPerBlock, seed))
+          .as(Seq("block_idx", "block_key")))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("block_idx"), col("block_key"))))
+      .where(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    val a = blocked.select(col("block_idx"), col("block_key"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = blocked.select(col("block_idx"), col("block_key"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("block_idx", "block_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,34 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Spark internals, the standard
+  * technique for Spark-native libraries that ship custom Catalyst
+  * expressions: Column ⇄ Expression conversion and session-local function
+  * registration. Nothing else from the internal API is touched.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a session-local SQL function (idempotent overwrite). */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val cls = spark.getClass
+    // classic.SparkSession.sessionState is private[sql]; we are inside
+    // the sql package tree, so direct access compiles for the classic
+    // implementation.
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder)
+    require(cls != null) // keep scalac from flagging unused val patterns
+  }
+}
