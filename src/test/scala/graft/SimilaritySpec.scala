@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Similarity search: brute-force top-k vs scala oracle; LSH variant
+  * recall; embedding near-dup pairs (SURVEY §3.3).
+  */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dim = 16
+  private val rnd = new Random(59)
+
+  /** 3 well-separated direction clusters × 30 vectors + noise. */
+  private lazy val vecs: Seq[(Long, Seq[Double])] = {
+    val dirs = Seq.fill(3)(Seq.fill(dim)(rnd.nextGaussian()))
+    (0 until 90).map { i =>
+      val d = dirs(i % 3)
+      val v = d.map(_ + 0.1 * rnd.nextGaussian())
+      (i.toLong, v)
+    }
+  }
+  private lazy val df = vecs.toDF("vec_id", "embedding")
+
+  private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  private def bruteTopK(qid: Long, k: Int): Seq[Long] = {
+    val q = vecs.find(_._1 == qid).get._2
+    vecs.filter(_._1 != qid)
+      .map { case (id, v) => (id, cosine(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k).map(_._1)
+  }
+
+  test("bruteForceTopK matches the scala oracle") {
+    val got = Similarity.bruteForceTopK(df, df.where(col("vec_id") < 5),
+        "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    (0L until 5L).foreach { q =>
+      assert(got(q) == bruteTopK(q, 5), s"query $q")
+    }
+  }
+
+  test("lshTopK: neighbors it returns are true cosine neighbors (subset + ranked)") {
+    val got = Similarity.lshTopK(df, df.where(col("vec_id") < 5),
+        "vec_id", "embedding", dim = dim, k = 5,
+        numBlocks = 8, planesPerBlock = 4)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val qv = vecs.find(_._1 == q).get._2
+      rows.foreach { case (_, _, n, c) =>
+        val want = cosine(qv, vecs.find(_._1 == n).get._2)
+        assert(math.abs(c - math.rint(want * 1e6) / 1e6) < 1.5e-6)
+      }
+      // ranks ordered by cosine desc
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.sliding(2).forall { case Array(a, b) => a >= b - 1e-12; case _ => true })
+    }
+  }
+
+  test("lshTopK recall vs brute force on clustered data") {
+    val brute = (0L until 5L).map(q => q -> bruteTopK(q, 5).toSet).toMap
+    val got = Similarity.lshTopK(df, df.where(col("vec_id") < 5),
+        "vec_id", "embedding", dim = dim, k = 5,
+        numBlocks = 8, planesPerBlock = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = (0L until 5L).map { q =>
+      got.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 5
+    }.sum / 5
+    assert(recall >= 0.8, s"recall $recall") // same-cluster neighbors collide in blocks
+  }
+
+  test("cosineNearDupPairs finds same-cluster pairs, none below threshold") {
+    val got = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+        dim = dim, threshold = 0.95, numBlocks = 8, planesPerBlock = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, c) =>
+      assert(a < b && c >= 0.95)
+      val want = cosine(vecs.find(_._1 == a).get._2, vecs.find(_._1 == b).get._2)
+      assert(math.abs(c - math.rint(want * 1e6) / 1e6) < 1.5e-6)
+    }
+  }
+
+  test("deterministic hyperplanes: same seed same planes, different seed different") {
+    val a = Similarity.hyperplanes(4, 8, 42L)
+    val b = Similarity.hyperplanes(4, 8, 42L)
+    val c = Similarity.hyperplanes(4, 8, 43L)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.map(_.toSeq).toSeq != c.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(v => v >= -1.0 && v <= 1.0))
+  }
+}
