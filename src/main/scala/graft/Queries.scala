@@ -439,6 +439,30 @@ object Queries {
         dim = 64, threshold = 0.5, numBlocks = 16, planesPerBlock = 4)
       .orderBy("id_a", "id_b")
 
+  // --------------------------------------------------------------- streaming
+  /** The Structured Streaming windowed aggregation run in BATCH mode over
+    * the events table — same transform object
+    * ([[graft.streaming.StreamOps.windowedCounts]]), proving the
+    * streaming path and the batch oracle compute identical results.
+    * events.ts arrives as raw nanos (nanosAsLong) and is converted to a
+    * timestamp first.
+    */
+  def streamWindows(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+      col("event_type"), col("value"))
+    graft.streaming.StreamOps.windowedCounts(ev, "10 minutes", "5 minutes")
+      .select(col("window_start").cast("long").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val streamWindowsSql: String =
+    """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+      |  event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   // -------------------------------------------------------------- multimodal
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(s, t(s, dir, "documents"))
@@ -480,7 +504,8 @@ object Queries {
     "q23_sim_topk" -> simTopK _,
     "q24_sim_ann" -> simAnnLsh _,
     "q25_embed_neardup" -> embedNearDup _,
-    "q26_multimodal" -> multimodalFeatures _)
+    "q26_multimodal" -> multimodalFeatures _,
+    "q27_stream_windows" -> streamWindows _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -503,5 +528,6 @@ object Queries {
     "q21_text_stats" -> textStatsSql,
     "q22_text_langid" -> textLangIdSql,
     "q23_sim_topk" -> simTopKSql,
-    "q26_multimodal" -> multimodalFeaturesSql)
+    "q26_multimodal" -> multimodalFeaturesSql,
+    "q27_stream_windows" -> streamWindowsSql)
 }

@@ -48,9 +48,18 @@ trait KModesParams extends Params {
   final val predictionCol = new Param[String](this, "predictionCol", "prediction output column")
   final val initMode = new Param[String](this, "initMode", "global|ensemble",
     ParamValidators.inArray(Array("global", "ensemble")))
+  /** Dissimilarity for ensemble stage-2 meta-clustering (R5/R11):
+    * `hamming` = simple matching; `frequency` = the ensemble paper's
+    * frequency-weighted variant (matches against weak mode values still
+    * cost 1 - freq/size). Stage 1 and the global algorithm always use
+    * Hamming, like the reference.
+    */
+  final val distance = new Param[String](this, "distance", "hamming|frequency",
+    ParamValidators.inArray(Array("hamming", "frequency")))
 
   setDefault(k -> 8, maxIter -> 20, seed -> 42L,
-    featuresCol -> "features", predictionCol -> "prediction", initMode -> "global")
+    featuresCol -> "features", predictionCol -> "prediction",
+    initMode -> "global", distance -> "hamming")
 
   def getK: Int = $(k)
   def getMaxIter: Int = $(maxIter)
@@ -58,6 +67,7 @@ trait KModesParams extends Params {
   def getFeaturesCol: String = $(featuresCol)
   def getPredictionCol: String = $(predictionCol)
   def getInitMode: String = $(initMode)
+  def getDistance: String = $(distance)
 
   protected def validateSchema(schema: StructType): StructType = {
     val f = schema($(featuresCol))
@@ -78,6 +88,7 @@ class KModes(override val uid: String) extends Estimator[KModesModel] with KMode
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setInitMode(value: String): this.type = set(initMode, value)
+  def setDistance(value: String): this.type = set(distance, value)
 
   override def transformSchema(schema: StructType): StructType = validateSchema(schema)
   override def copy(extra: ParamMap): KModes = defaultCopy(extra)
@@ -205,7 +216,8 @@ class KModes(override val uid: String) extends Estimator[KModesModel] with KMode
 
     // Stage 2: driver-local meta-clustering of P×k modes (R11) — our own
     // LocalKModes replaces the `kmodes` package upstream imported.
-    val meta = LocalKModes.metaCluster(localModes, kk, mi, sd)
+    val meta = LocalKModes.metaCluster(localModes, kk, mi, sd,
+      useFrequency = $(distance) == "frequency")
 
     // Final cost = mean Hamming distance to assigned metamode (R13).
     val cLit = typedlit(meta.centers.map(_.toSeq).toSeq)
@@ -219,12 +231,21 @@ class KModes(override val uid: String) extends Estimator[KModesModel] with KMode
 /** Fitted model: cluster centers + `transform` adding the prediction column
   * (single narrow stage, centers folded into the expression — R12).
   */
+/** Training summary, mirroring the reference's fitted attributes
+  * (`model.clusters` → centers, `.mean_cost` → cost
+  * [UP EnsembleKModes attrs ~L280-360 | conf=M-H]).
+  */
+case class KModesSummary(k: Int, cost: Double, iterations: Int)
+
 class KModesModel(
     override val uid: String,
     val clusterCenters: Array[Array[String]],
     val cost: Double,
     val iterations: Int)
   extends Model[KModesModel] with KModesParams {
+
+  /** Mean-cost + iteration summary (reference parity: `mean_cost`). */
+  def summary: KModesSummary = KModesSummary(clusterCenters.length, cost, iterations)
 
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)

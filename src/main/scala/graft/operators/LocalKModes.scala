@@ -73,7 +73,8 @@ object LocalKModes {
       data: Array[Array[String]],
       k: Int,
       maxIter: Int,
-      seed: Long): Result = {
+      seed: Long,
+      useFrequency: Boolean = false): Result = {
     require(data.nonEmpty, "LocalKModes.fit on empty data")
     val nf = data(0).length
     var centers = initCenters(data, k, seed)
@@ -84,6 +85,11 @@ object LocalKModes {
     var iter = 0
     var moved = true
     var cost = 0.0
+    // frequency tables of the PREVIOUS iteration, for R5's
+    // frequency-weighted dissimilarity (ensemble paper, stage 2);
+    // first pass has no history -> plain Hamming
+    var prevFreqs: Array[Array[collection.Map[String, Long]]] = null
+    var prevSizes: Array[Long] = null
     // cluster stats, rebuilt each pass (batch Lloyd, matches R7 semantics)
     while (iter < maxIter && moved) {
       moved = false
@@ -98,7 +104,10 @@ object LocalKModes {
         var bestD = Double.MaxValue
         var c = 0
         while (c < kEff) {
-          val d = hamming(row, centers(c)).toDouble
+          val d =
+            if (useFrequency && prevFreqs != null && prevSizes(c) > 0)
+              frequencyDissim(row, centers(c), prevFreqs(c), prevSizes(c))
+            else hamming(row, centers(c)).toDouble
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
@@ -136,6 +145,8 @@ object LocalKModes {
         }
         c += 1
       }
+      prevFreqs = freqs.map(_.map(m => m: collection.Map[String, Long]))
+      prevSizes = sizes
       iter += 1
     }
     // final assignment against final centers (so cost matches centers)
@@ -157,19 +168,18 @@ object LocalKModes {
     Result(centers, assign, if (data.isEmpty) 0.0 else cost / data.length, iter)
   }
 
-  /** Meta-cluster collected stage-1 modes with the frequency-weighted
-    * dissimilarity of the ensemble paper (R11). Builds freq tables over the
-    * mode records themselves, then runs Lloyd with `frequencyDissim`.
+  /** Meta-cluster collected stage-1 modes (R11). `useFrequency` switches
+    * assignment to the frequency-weighted dissimilarity of the ensemble
+    * paper (R5): matching positions cost 1 - freq(value)/cluster_size
+    * using the PREVIOUS iteration's tables (first pass is plain Hamming).
+    * The reference's exact stage-2 ranking is conf=M (SURVEY §3.1), so
+    * both variants are exposed; `KModes.distance` selects one.
     */
   def metaCluster(
       modes: Array[Array[String]],
       k: Int,
       maxIter: Int,
-      seed: Long): Result = {
-    // Hamming-based Lloyd is the deterministic core; the frequency weights
-    // only refine ranking among equal-Hamming candidates on this tiny
-    // (P×k rows) input. We run plain deterministic Lloyd here — the
-    // reference's exact stage-2 ranking is conf=M (SURVEY §3.1 R5/R11).
-    fit(modes, k, maxIter, seed)
-  }
+      seed: Long,
+      useFrequency: Boolean = false): Result =
+    fit(modes, k, maxIter, seed, useFrequency)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming ops driven through MemoryStream: watermark
+  * behavior, in-stream dedup, gap sessionization with state timeout.
+  */
+class StreamOpsSpec extends SparkSuite {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // offset from epoch: rows AT the initial watermark (0) are dropped as
+  // late by stateful operators, so test event-times start at minute 100
+  private val Base = 100
+  private def ts(min: Int): Timestamp = new Timestamp((Base + min) * 60000L)
+
+  private def runBatches[T](
+      stream: MemoryStream[Event],
+      out: org.apache.spark.sql.DataFrame,
+      mode: OutputMode,
+      batches: Seq[Seq[Event]]): Seq[org.apache.spark.sql.Row] = {
+    val name = s"mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("windowedCounts: tumbling windows close as the watermark advances") {
+    val input = MemoryStream[Event]
+    val rows = runBatches(input,
+      StreamOps.windowedCounts(input.toDF(), "2 minutes", "5 minutes"),
+      OutputMode.Append(),
+      Seq(
+        Seq(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "click", 2.0),
+          Event(3, ts(6), 1, "view", 3.0)),
+        // advance event time far enough to close both earlier windows
+        Seq(Event(4, ts(30), 3, "click", 4.0))))
+    val byKey = rows.map(r => (r.getTimestamp(0).getTime / 60000 - Base, r.getString(2)) ->
+      (r.getLong(3), r.getDouble(4))).toMap
+    assert(byKey((0L, "click")) == (2L, 3.0))
+    assert(byKey((5L, "view")) == (1L, 3.0))
+  }
+
+  test("dedupEvents drops in-watermark duplicate event_ids") {
+    val input = MemoryStream[Event]
+    val rows = runBatches(input,
+      StreamOps.dedupEvents(input.toDF(), "10 minutes"),
+      OutputMode.Append(),
+      Seq(
+        Seq(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(0), 1, "click", 1.0),
+          Event(2, ts(1), 1, "view", 2.0)),
+        Seq(Event(1, ts(2), 1, "click", 1.0), Event(3, ts(3), 1, "view", 3.0))))
+    assert(rows.map(_.getLong(0)).sorted == Seq(1L, 2L, 3L))
+  }
+
+  test("sessionize: gap closes a session, timeout flushes the last one") {
+    val input = MemoryStream[Event]
+    val sessions = StreamOps.sessionize(input.toDS(), gapMs = 5 * 60000L, "1 minutes")
+    val rows = runBatches(input, sessions.toDF(), OutputMode.Append(),
+      Seq(
+        // user 1: events at 0,2 then a gap, new session at 20
+        Seq(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(2), 1, "click", 2.0)),
+        Seq(Event(3, ts(20), 1, "view", 3.0)),
+        // push watermark way past 20+gap so the open session times out
+        Seq(Event(9, ts(60), 2, "click", 0.5))))
+    val u1 = rows.filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).getTime / 60000 - Base, r.getTimestamp(2).getTime / 60000 - Base,
+        r.getInt(3), r.getDouble(4))).sortBy(_._1)
+    assert(u1.head == (0L, 2L, 2, 3.0))        // first session: 2 events, closed by gap
+    assert(u1.last == (20L, 20L, 1, 3.0))      // second: flushed by timeout
+  }
+}
