@@ -434,6 +434,14 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = IvfIndex.build(e, "vec_id", "embedding", nLists = 16)
+    IvfIndex.search(index, e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.5, numBlocks = 16, planesPerBlock = 4)
@@ -505,7 +513,8 @@ object Queries {
     "q24_sim_ann" -> simAnnLsh _,
     "q25_embed_neardup" -> embedNearDup _,
     "q26_multimodal" -> multimodalFeatures _,
-    "q27_stream_windows" -> streamWindows _)
+    "q27_stream_windows" -> streamWindows _,
+    "q28_sim_ivf" -> simIvf _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,

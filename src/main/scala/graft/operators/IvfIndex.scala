@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path for similarity search next to [[Similarity.lshTopK]]
+  * (SURVEY §3.3): a coarse k-means quantizer partitions the corpus into
+  * `nLists` inverted lists; a query exactly scores only the `nProbe`
+  * lists whose centroids are nearest.
+  *
+  * 100 TB design notes:
+  *  - The quantizer trains on a SAMPLE (k-means cost is per-row × k); the
+  *    full corpus is then assigned in one narrow pass with the centroid
+  *    matrix folded in as a literal (nLists ≤ a few thousand).
+  *  - `search` is a bucket equi-join on list_id: each query touches
+  *    nProbe/nLists of the corpus. Probe selection is distributed (rank
+  *    over the exploded centroid list), never a driver loop.
+  *  - Recall/cost dial: nProbe. nProbe = nLists degrades gracefully to
+  *    exact brute force.
+  */
+object IvfIndex {
+
+  /** Trained index: centroid matrix + corpus assignment (id, list_id). */
+  final case class Model(
+      centroids: Array[Array[Double]],
+      assignments: DataFrame)
+
+  /** Train the coarse quantizer and assign every corpus vector to its
+    * list. `trainFraction` bounds quantizer cost at scale (deterministic
+    * seeded sample).
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0): Model = {
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val train = if (trainFraction >= 1.0) vecs else vecs.sample(trainFraction, seed)
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features")
+    val model = km.fit(train.select(array_to_vector(col("vec")).as("features")))
+    val centroids = model.clusterCenters.map(_.toArray)
+    val assignments = vecs
+      .select(col("id"), nearestList(col("vec"), centroids).as("list_id"))
+    Model(centroids, assignments)
+  }
+
+  /** Index of the nearest centroid (squared L2), ties to the lowest list
+    * id — computed as a Catalyst expression over the centroid literal.
+    */
+  private def nearestList(vec: org.apache.spark.sql.Column,
+      centroids: Array[Array[Double]]) = {
+    val dists = transform(typedlit(centroids.map(_.toSeq).toSeq),
+      c => VectorFunctions.dotProduct(vec, vec) -
+        lit(2.0) * VectorFunctions.dotProduct(vec, c) +
+        VectorFunctions.dotProduct(c, c))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Top-k by cosine among the vectors of the `nProbe` nearest lists.
+    * Output: (query_id, rank, neighbor_id, cos) like the other top-k ops.
+    */
+  def search(
+      index: Model,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    // distributed probe selection: explode centroid list, rank by L2
+    val cLit = typedlit(index.centroids.map(_.toSeq).toSeq)
+    val probes = qv
+      .select(col("query_id"), col("qvec"),
+        posexplode(cLit).as(Seq("list_id", "centroid")))
+      .select(col("query_id"), col("qvec"), col("list_id"),
+        (VectorFunctions.dotProduct(col("qvec"), col("qvec")) -
+          lit(2.0) * VectorFunctions.dotProduct(col("qvec"), col("centroid")) +
+          VectorFunctions.dotProduct(col("centroid"), col("centroid"))).as("d2"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("list_id").asc)))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("list_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val listed = index.assignments.select(col("id").as("neighbor_id"), col("list_id"))
+      .join(cv, Seq("neighbor_id"))
+    val scored = probes.join(listed, Seq("list_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -192,27 +192,31 @@ class KModes(override val uid: String) extends Estimator[KModesModel] with KMode
     val mi = $(maxIter)
     val sd = $(seed)
 
-    // R14: every partition must hold at least k records, like the
-    // reference's fit() precondition [UP ~L155-175 | conf=M].
-    val input = df.select(feats.as("f")).as[Seq[String]]
-    val perPart = input.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
-    require(perPart.forall(_ >= kk),
-      s"ensemble fit: every partition needs >= k=$kk records, got ${perPart.mkString(",")}")
-
     // Stage 1: local Lloyd per partition (zero shuffles), seeded per
     // partition id — deterministic for a fixed partitioning, exactly the
     // reference's semantics (result depends on layout, SURVEY §5).
-    val localModes: Array[Array[String]] = input
+    // R14 (every partition holds >= k records, the reference's fit()
+    // precondition [UP ~L155-175 | conf=M]) rides along in the same pass
+    // as a per-partition size marker instead of costing its own scan.
+    val input = df.select(feats.as("f")).as[Seq[String]]
+    val stage1: Array[(Int, Long, Seq[String])] = input
       .mapPartitions { it =>
         val data = it.map(_.toArray).toArray
-        if (data.isEmpty) Iterator.empty
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        if (data.isEmpty) Iterator.single((pid, 0L, null: Seq[String]))
         else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          LocalKModes.fit(data, kk, mi, sd + pid).centers.iterator.map(_.toSeq)
+          val r = LocalKModes.fit(data, kk, mi, sd + pid)
+          Iterator.single((pid, data.length.toLong, null: Seq[String])) ++
+            r.centers.iterator.map(c => (pid, -1L, c.toSeq))
         }
       }
       .collect()
-      .map(_.toArray)
+    val undersized = stage1.filter(t => t._2 >= 0 && t._2 < kk)
+    require(undersized.isEmpty,
+      s"ensemble fit: every partition needs >= k=$kk records, got " +
+        undersized.map(t => s"partition ${t._1}=${t._2}").mkString(", "))
+    val localModes: Array[Array[String]] =
+      stage1.collect { case (_, -1L, c) => c.toArray }
 
     // Stage 2: driver-local meta-clustering of P×k modes (R11) — our own
     // LocalKModes replaces the `kmodes` package upstream imported.

@@ -100,4 +100,29 @@ class SimilaritySpec extends SparkSuite {
     assert(a.map(_.toSeq).toSeq != c.map(_.toSeq).toSeq)
     assert(a.flatten.forall(v => v >= -1.0 && v <= 1.0))
   }
+
+  test("IvfIndex: probed search recalls brute-force neighbors on clustered data") {
+    import graft.operators.IvfIndex
+    val index = IvfIndex.build(df, "vec_id", "embedding", nLists = 6, seed = 42L)
+    assert(index.centroids.length == 6)
+    val got = IvfIndex.search(index, df, df.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = (0L until 5L).map { q =>
+      got.getOrElse(q, Set.empty).intersect(bruteTopK(q, 5).toSet).size.toDouble / 5
+    }.sum / 5
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("IvfIndex: nProbe = nLists degrades to exact brute force") {
+    import graft.operators.IvfIndex
+    val index = IvfIndex.build(df, "vec_id", "embedding", nLists = 4, seed = 42L)
+    val got = IvfIndex.search(index, df, df.where(col("vec_id") < 3),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    (0L until 3L).foreach { q => assert(got(q) == bruteTopK(q, 5), s"query $q") }
+  }
 }
