@@ -43,8 +43,19 @@ object Distances {
   def argminIndex(dists: Column): Column =
     (array_position(dists, array_min(dists)) - 1).cast("int")
 
-  /** Assignment + min-distance in one pass, as a struct column. */
-  def assign(features: Column, centers: Column): Column = {
+  /** Assignment + min-distance in one pass, as a struct column.
+    * Delegates to the codegen'd [[HammingAssign]] expression — the
+    * composed form (kept above for reference/SQL parity) evaluates the
+    * interpreted distance array twice per row and is ~5× slower on the
+    * Lloyd inner loop.
+    */
+  def assign(features: Column, centers: Column): Column =
+    HammingFunctions.assign(features, centers)
+
+  /** The pre-native composed form (pure built-ins); semantically
+    * identical to [[assign]] — used by tests as a cross-check.
+    */
+  def assignComposed(features: Column, centers: Column): Column = {
     val d = hammingToCenters(features, centers)
     struct(argminIndex(d).as("prediction"), array_min(d).as("min_dist"))
   }

@@ -109,4 +109,20 @@ class FunctionsSpec extends SparkSuite {
     val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
     assert(df.select(VectorFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0) == 0.0)
   }
+
+  test("native HammingAssign agrees with the composed built-in form") {
+    val rows = Seq(
+      Seq("a", "b", "c"), Seq("a", "x", "c"), Seq("x", "y", "z"),
+      Seq("a", "b"), Seq[String](null, "b", "c"))
+    val centers = Seq(Seq("a", "b", "c"), Seq("x", "y", "z"), Seq("a", "x", "c"))
+    val df = rows.toDF("f")
+    val cLit = typedlit(centers)
+    val both = df.select(
+      Distances.assign(col("f"), cLit).as("n"),
+      Distances.assignComposed(col("f"), cLit).as("c")).collect()
+    both.foreach { r =>
+      assert(r.getStruct(0).getInt(0) == r.getStruct(1).getInt(0), r.toString)
+      assert(r.getStruct(0).getInt(1) == r.getStruct(1).getInt(1), r.toString)
+    }
+  }
 }
