@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     // sorted order: stable attribution across rounds (first query always
     // absorbs JVM/codegen warmup — keep that constant)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -14,21 +14,18 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Register a session-local SQL function (idempotent overwrite). */
+  /** Register a session-local SQL function (idempotent overwrite).
+    * classic.SparkSession.sessionState is private[sql]; this compiles
+    * because the bridge lives inside the sql package tree.
+    */
   def registerFunction(
       spark: SparkSession,
       name: String,
       usage: String,
-      builder: Seq[Expression] => Expression): Unit = {
-    val cls = spark.getClass
-    // classic.SparkSession.sessionState is private[sql]; we are inside
-    // the sql package tree, so direct access compiles for the classic
-    // implementation.
+      builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
-        new ExpressionInfo("graft", name),
+        new ExpressionInfo("graft", null, name, usage, ""),
         builder)
-    require(cls != null) // keep scalac from flagging unused val patterns
-  }
 }

@@ -125,4 +125,19 @@ class FunctionsSpec extends SparkSuite {
       assert(r.getStruct(0).getInt(1) == r.getStruct(1).getInt(1), r.toString)
     }
   }
+
+  test("SQL surface: graft_* functions usable from spark.sql after register") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  round(graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c,
+        |  graft_shingles('a b c d', 3) AS sh,
+        |  graft_hamming_assign(array('a', 'b'),
+        |    array(array('a', 'b'), array('x', 'y'))).prediction AS p
+        |""".stripMargin).head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getSeq[String](2).toSet == Set("a b c", "b c d"))
+    assert(r.getInt(3) == 0)
+  }
 }
