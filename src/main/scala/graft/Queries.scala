@@ -277,6 +277,58 @@ object Queries {
       |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
       |ORDER BY c_custkey""".stripMargin
 
+  def cubeCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("yr").asc_nulls_first)
+
+  val cubeCountsSql: String =
+    """SELECT o_orderstatus, year(o_orderdate) AS yr, COUNT(*) AS cnt
+      |FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+      |ORDER BY o_orderstatus ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin
+
+  def intersectUnion(s: SparkSession, dir: String): DataFrame = {
+    val buyers95 = t(s, dir, "orders").where(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val richCustomers = t(s, dir, "customer").where(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    val suppliers = t(s, dir, "supplier")
+      .select((col("s_suppkey") + 1000000).as("custkey"))
+    buyers95.intersect(richCustomers).union(suppliers).distinct().orderBy("custkey")
+  }
+
+  val intersectUnionSql: String =
+    """SELECT custkey FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+      |  INTERSECT
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |  UNION
+      |  SELECT s_suppkey + 1000000 AS custkey FROM supplier
+      |) ORDER BY custkey""".stripMargin
+
+  /** Exact order statistics: min/max/exact interpolated median. Both
+    * engines use linear interpolation for the continuous percentile
+    * (Spark `percentile`, DuckDB `quantile_cont`).
+    */
+  def orderStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  val orderStatsSql: String =
+    """SELECT l_returnflag,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------- dedup
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(
@@ -514,7 +566,10 @@ object Queries {
     "q25_embed_neardup" -> embedNearDup _,
     "q26_multimodal" -> multimodalFeatures _,
     "q27_stream_windows" -> streamWindows _,
-    "q28_sim_ivf" -> simIvf _)
+    "q28_sim_ivf" -> simIvf _,
+    "q29_cube" -> cubeCounts _,
+    "q30_intersect_union" -> intersectUnion _,
+    "q31_order_stats" -> orderStats _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -538,5 +593,8 @@ object Queries {
     "q22_text_langid" -> textLangIdSql,
     "q23_sim_topk" -> simTopKSql,
     "q26_multimodal" -> multimodalFeaturesSql,
-    "q27_stream_windows" -> streamWindowsSql)
+    "q27_stream_windows" -> streamWindowsSql,
+    "q29_cube" -> cubeCountsSql,
+    "q30_intersect_union" -> intersectUnionSql,
+    "q31_order_stats" -> orderStatsSql)
 }
