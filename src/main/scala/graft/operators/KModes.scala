@@ -246,7 +246,11 @@ class KModesModel(
     val clusterCenters: Array[Array[String]],
     val cost: Double,
     val iterations: Int)
-  extends Model[KModesModel] with KModesParams {
+  extends Model[KModesModel] with KModesParams
+  with org.apache.spark.ml.util.MLWritable {
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new KModesModel.Writer(this)
 
   /** Mean-cost + iteration summary (reference parity: `mean_cost`). */
   def summary: KModesSummary = KModesSummary(clusterCenters.length, cost, iterations)
@@ -287,4 +291,46 @@ object KModes {
   def assemble(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     array(cols.map(c => coalesce(c.cast("string"),
       lit(ArrayModeAggregator.NullSentinel))): _*)
+}
+
+object KModesModel extends org.apache.spark.ml.util.MLReadable[KModesModel] {
+  /** Persistence format: one parquet at `<path>/data` with a single
+    * metadata-ish row layout — (center_id, center) rows plus the scalars
+    * replicated — kept dependency-free of the private[ml]
+    * DefaultParamsWriter machinery.
+    */
+  private[operators] class Writer(instance: KModesModel)
+      extends org.apache.spark.ml.util.MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      instance.clusterCenters.zipWithIndex
+        .map { case (c, i) =>
+          (i, c.toSeq, instance.cost, instance.iterations, instance.uid,
+            instance.getFeaturesCol, instance.getPredictionCol)
+        }.toSeq
+        .toDF("center_id", "center", "cost", "iterations", "uid",
+          "features_col", "prediction_col")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/data")
+    }
+  }
+
+  private class Reader extends org.apache.spark.ml.util.MLReader[KModesModel] {
+    override def load(path: String): KModesModel = {
+      val df = sparkSession.read.parquet(s"$path/data")
+      val rows = df.collect().sortBy(_.getAs[Int]("center_id"))
+      require(rows.nonEmpty, s"no centers at $path/data")
+      val head = rows.head
+      val model = new KModesModel(
+        head.getAs[String]("uid"),
+        rows.map(_.getAs[Seq[String]]("center").toArray),
+        head.getAs[Double]("cost"),
+        head.getAs[Int]("iterations"))
+      model.setFeaturesCol(head.getAs[String]("features_col"))
+      model.setPredictionCol(head.getAs[String]("prediction_col"))
+    }
+  }
+
+  override def read: org.apache.spark.ml.util.MLReader[KModesModel] = new Reader
 }

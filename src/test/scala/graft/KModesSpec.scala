@@ -87,4 +87,19 @@ class KModesSpec extends SparkSuite {
     assert(r.centers.length == 2)
     assert(r.centers.map(_.toSeq).distinct.length == 2)
   }
+
+  test("model save/load roundtrip preserves centers, cost, and transform") {
+    val df = plantedDf(200, 4, 2, 61)
+    val model = new KModes().setK(2).setMaxIter(10).setSeed(7L).fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("kmodes_model").toString
+    model.write.overwrite().save(dir)
+    val loaded = graft.operators.KModesModel.load(dir)
+    assert(loaded.clusterCenters.map(_.toSeq).toSeq ==
+      model.clusterCenters.map(_.toSeq).toSeq)
+    assert(loaded.cost == model.cost)
+    assert(loaded.iterations == model.iterations)
+    val a = model.transform(df).select("prediction").as[Int].collect().toSeq
+    val b = loaded.transform(df).select("prediction").as[Int].collect().toSeq
+    assert(a == b)
+  }
 }
