@@ -499,6 +499,29 @@ object Queries {
         dim = 64, threshold = 0.5, numBlocks = 16, planesPerBlock = 4)
       .orderBy("id_a", "id_b")
 
+  /** As-of join on the events stream: for every click, the most recent
+    * view by the same user at or before the click time. ts stays raw
+    * int64 nanos on the Spark side (nanosAsLong); the oracle compares
+    * the same nanos via epoch_ns.
+    */
+  def asofClickView(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    AsOfJoin.latestAsOf(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"),
+        "user_id", "ts", "event_id")
+      .select(col("left_id").as("click_id"), col("as_of_id").as("last_view_id"))
+      .orderBy("click_id")
+  }
+
+  val asofClickViewSql: String =
+    """SELECT c.event_id AS click_id,
+      |  (SELECT v.event_id FROM events v
+      |   WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      |     AND epoch_ns(v.ts) <= epoch_ns(c.ts)
+      |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_id
+      |FROM events c WHERE c.event_type = 'click' ORDER BY click_id""".stripMargin
+
   // --------------------------------------------------------------- streaming
   /** The Structured Streaming windowed aggregation run in BATCH mode over
     * the events table — same transform object
@@ -569,7 +592,8 @@ object Queries {
     "q28_sim_ivf" -> simIvf _,
     "q29_cube" -> cubeCounts _,
     "q30_intersect_union" -> intersectUnion _,
-    "q31_order_stats" -> orderStats _)
+    "q31_order_stats" -> orderStats _,
+    "q32_asof_join" -> asofClickView _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -596,5 +620,6 @@ object Queries {
     "q27_stream_windows" -> streamWindowsSql,
     "q29_cube" -> cubeCountsSql,
     "q30_intersect_union" -> intersectUnionSql,
-    "q31_order_stats" -> orderStatsSql)
+    "q31_order_stats" -> orderStatsSql,
+    "q32_asof_join" -> asofClickViewSql)
 }
