@@ -58,8 +58,19 @@ class ArrayModeAggregator
 
 object ArrayModeAggregator {
   val NullSentinel = "∅" // "∅" — null is its own category (SURVEY §2)
+  val NullSentinelUtf8: org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(NullSentinel)
 
-  /** Column form: `modeArray(featuresCol)` usable in `groupBy(...).agg`. */
-  def modeArray(features: Column): Column =
+  /** Column form: `modeArray(featuresCol)` usable in `groupBy(...).agg`.
+    * Delegates to the native [[ModeArrayAgg]]; the typed-Aggregator
+    * implementation above is kept as the readable specification and as
+    * the cross-check in FunctionsSpec.
+    */
+  def modeArray(features: Column): Column = ModeArrayAgg.modeArray(features)
+
+  /** The original typed-Aggregator form (encoder-based, ~2 µs/row
+    * slower) — used by tests to cross-check the native aggregate.
+    */
+  def modeArrayUdaf(features: Column): Column =
     F.udaf(new ArrayModeAggregator()).apply(features)
 }

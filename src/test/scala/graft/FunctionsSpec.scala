@@ -140,4 +140,16 @@ class FunctionsSpec extends SparkSuite {
     assert(r.getSeq[String](2).toSet == Set("a b c", "b c d"))
     assert(r.getInt(3) == 0)
   }
+
+  test("native ModeArrayAgg agrees with the typed-Aggregator form, grouped") {
+    val rows = (0 until 500).map { i =>
+      (i % 7, Seq(s"v${i % 3}", s"w${i % 5}", if (i % 11 == 0) null else "x"))
+    }
+    val df = rows.toDF("g", "features")
+    val native = df.groupBy("g").agg(ArrayModeAggregator.modeArray(col("features")).as("m"))
+      .orderBy("g").collect().map(_.getSeq[String](1)).toSeq
+    val udaf = df.groupBy("g").agg(ArrayModeAggregator.modeArrayUdaf(col("features")).as("m"))
+      .orderBy("g").collect().map(_.getSeq[String](1)).toSeq
+    assert(native == udaf)
+  }
 }
