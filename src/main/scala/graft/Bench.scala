@@ -13,8 +13,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
-    // sorted order: stable attribution across rounds (first query always
-    // absorbs JVM/codegen warmup — keep that constant)
+    // untimed warmup: spin up executor threads + codegen/JIT baseline so
+    // the first timed query doesn't absorb JVM startup
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    // sorted order: stable attribution across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

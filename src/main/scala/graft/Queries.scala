@@ -111,8 +111,8 @@ object Queries {
     val df = t(s, dir, "orders")
       .repartition(4, col("o_orderkey"))
       .select(orderFeatures.as("features"))
-    val model = new KModes().setK(8).setMaxIter(10).setSeed(42L)
-      .setInitMode("ensemble").fit(df)
+    // through the reference-style entry point (EnsembleKModes alias)
+    val model = EnsembleKModes(8, 10).setSeed(42L).fit(df)
     model.transform(df).groupBy("prediction").count().orderBy("prediction")
   }
 

@@ -293,6 +293,15 @@ object KModes {
       lit(ArrayModeAggregator.NullSentinel))): _*)
 }
 
+/** Discoverability alias mirroring the reference's entry point
+  * (`EnsembleKModes(n_clusters, max_dist_iter)` [UP README.md usage |
+  * conf=H]) — returns a [[KModes]] preconfigured for ensemble mode.
+  */
+object EnsembleKModes {
+  def apply(nClusters: Int, maxDistIter: Int): KModes =
+    new KModes().setK(nClusters).setMaxIter(maxDistIter).setInitMode("ensemble")
+}
+
 object KModesModel extends org.apache.spark.ml.util.MLReadable[KModesModel] {
   /** Persistence format: one parquet at `<path>/data` with a single
     * metadata-ish row layout — (center_id, center) rows plus the scalars
