@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression guards for the scale-critical properties
+  * documented in SCALING.md: column pruning, filter pushdown, broadcast
+  * joins, no Cartesian products on the LSH paths. These assert on
+  * `explain` output at sf0.001 — plan SHAPE, not timing.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    Queries.all(q)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  test("q01: partial+final aggregation, pruned lineitem scan") {
+    val p = plan("q01_agg_pricing")
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_returnflag:string,l_linestatus:string>"),
+      s"lineitem scan not pruned to the 5 used columns:\n$p")
+  }
+
+  test("q02: dimension joins are broadcast, filters pushed to scans") {
+    val p = plan("q02_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey)]"))
+  }
+
+  test("q09: semi join broadcast; region predicate pushed into the scan") {
+    val p = plan("q09_semi_join")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("EqualTo(r_name,ASIA)"), "r_name filter not pushed down")
+  }
+
+  test("LSH dedup paths build no Cartesian product") {
+    Seq("q18_dedup_minhash", "q20_dedup_ngram", "q19_dedup_simhash",
+        "q25_embed_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a Cartesian product")
+    }
+  }
+
+  test("q12 assignment is a single narrow scan (no shuffle before sort)") {
+    val p = plan("q12_kmodes_assign")
+    // exactly one exchange: the final global orderBy; none before it
+    val exchanges = "Exchange".r.findAllIn(p.replace("ReusedExchange", "")).size
+    assert(exchanges <= 2, s"unexpected shuffles in assignment plan:\n$p")
+    assert(p.contains("graft_hamming_assign") || p.contains("hamming"),
+      "native assignment expression not in plan")
+  }
+}
