@@ -546,6 +546,18 @@ object Queries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** K-modes over the documents table — the ML operator applied to the
+    * LLM-pipeline data: cluster documents by (lang, source, length
+    * decile). Iterative ⇒ rows-only.
+    */
+  def kmodesDocuments(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "documents").select(KModes.assemble(
+      col("lang"), col("source"),
+      floor(col("n_chars") / 100).cast("int")).as("features"))
+    val model = new KModes().setK(6).setMaxIter(10).setSeed(42L).fit(df)
+    model.transform(df).groupBy("prediction").count().orderBy("prediction")
+  }
+
   // -------------------------------------------------------------- multimodal
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(s, t(s, dir, "documents"))
@@ -559,6 +571,34 @@ object Queries {
       |  md5(text) AS content_hash,
       |  CAST(greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT)) AS INT) AS n_frames
       |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** Frame-sampling plumbing over the stub binary column: every 2nd
+    * 256-byte frame, capped at 10 frames per asset; output is the frame
+    * geometry (index + byte length), which DuckDB replays over the same
+    * encoded text.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents")
+      .select(col("doc_id").as("asset_id"), lit("text").as("kind"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[Multimodal.MediaAsset]
+    Multimodal.sampleFrames(assets, stride = 2, maxFrames = 10)
+      .select(col("asset_id"), col("frame_idx"),
+        octet_length(col("frame_bytes")).as("frame_len"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  val frameSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+      |f AS (
+      |  SELECT doc_id, len,
+      |    unnest(range(0, greatest(1, CAST(ceil(len / 256.0) AS INT)), 2)) AS frame_idx
+      |  FROM d)
+      |SELECT doc_id AS asset_id, CAST(frame_idx AS INT) AS frame_idx,
+      |  CAST(least(256, len - frame_idx * 256) AS INT) AS frame_len
+      |FROM f WHERE frame_idx < 20 ORDER BY asset_id, frame_idx""".stripMargin
 
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -593,7 +633,9 @@ object Queries {
     "q29_cube" -> cubeCounts _,
     "q30_intersect_union" -> intersectUnion _,
     "q31_order_stats" -> orderStats _,
-    "q32_asof_join" -> asofClickView _)
+    "q32_asof_join" -> asofClickView _,
+    "q33_kmodes_documents" -> kmodesDocuments _,
+    "q34_frame_sample" -> frameSample _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -621,5 +663,6 @@ object Queries {
     "q29_cube" -> cubeCountsSql,
     "q30_intersect_union" -> intersectUnionSql,
     "q31_order_stats" -> orderStatsSql,
-    "q32_asof_join" -> asofClickViewSql)
+    "q32_asof_join" -> asofClickViewSql,
+    "q34_frame_sample" -> frameSampleSql)
 }
