@@ -396,6 +396,29 @@ object Queries {
 
   val dedupNgramSql: String = allPairsJaccardSql(0.5)
 
+  /** Near-dup GROUPS: connected components (smallest-id labels) over the
+    * MinHash-LSH pair list. Oracle: DuckDB recursive CTE computing the
+    * same min-reachable-id over the exact all-pairs >= 0.7 edge set.
+    */
+  def dedupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minhashLSH(t(s, dir, "documents"), "doc_id", "text", threshold = 0.7))
+      .orderBy("id")
+
+  val dedupGroupsSql: String = {
+    val pairs = allPairsJaccardSql(0.7)
+      .replace("ORDER BY id_a, id_b", "")
+    s"""WITH RECURSIVE pairs AS ($pairs),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.u)
+       |SELECT v AS id, min(u) AS group_id FROM reach GROUP BY v ORDER BY id""".stripMargin
+  }
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
       .orderBy("id_a", "id_b")
@@ -635,7 +658,8 @@ object Queries {
     "q31_order_stats" -> orderStats _,
     "q32_asof_join" -> asofClickView _,
     "q33_kmodes_documents" -> kmodesDocuments _,
-    "q34_frame_sample" -> frameSample _)
+    "q34_frame_sample" -> frameSample _,
+    "q35_dedup_groups" -> dedupGroups _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -664,5 +688,6 @@ object Queries {
     "q30_intersect_union" -> intersectUnionSql,
     "q31_order_stats" -> orderStatsSql,
     "q32_asof_join" -> asofClickViewSql,
-    "q34_frame_sample" -> frameSampleSql)
+    "q34_frame_sample" -> frameSampleSql,
+    "q35_dedup_groups" -> dedupGroupsSql)
 }

@@ -221,6 +221,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-group formation: connected components over a near-dup
+    * pair list (id_a, id_b), labels = smallest reachable id — the
+    * SURVEY §3.3 "dup groups via iterative smallest-id propagation".
+    *
+    * Driver loop of {bidirectional neighbor-min join + groupBy min}
+    * until a fixpoint; converges in O(log diameter) passes and dup
+    * groups are short-diameter in practice (near-dup similarity is
+    * near-transitive). Each pass is one shuffle of the (vertex, label)
+    * table; the pair list is usually orders of magnitude smaller than
+    * the corpus, so this runs on the pair-touched vertex set only.
+    * Deterministic: labels only ever decrease, fixpoint is unique.
+    *
+    * @return (id, group_id) for every id appearing in `pairs`, where
+    *         group_id = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // bidirectional edge list
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("group_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("group_id", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
+      val changed = updated.join(labels.withColumnRenamed("group_id", "old"), Seq("id"))
+        .where(col("group_id") =!= col("old")).limit(1).count()
+      labels = updated.localCheckpoint(eager = true) // truncate the iterative lineage
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity over blocked candidates: `numBlocks`
     * INDEPENDENT seeded min-hash blocking keys (each key = min over
     * shingles of xxhash64(shingle, seed_b)), candidates = pairs sharing

@@ -85,4 +85,16 @@ class DedupSpec extends SparkSuite {
       assert(math.abs(j - math.rint(want * 10000) / 10000) < 1.5e-4)
     }
   }
+
+  test("connectedComponents: chains, stars, and disjoint pairs get min-id labels") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain -> all label 1
+      (10L, 11L), (10L, 12L),          // star -> label 10
+      (20L, 21L)                       // pair -> label 20
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
 }
