@@ -237,10 +237,15 @@ object Dedup {
     *         group_id = min id of the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // bidirectional edge list
+    // bidirectional edge list — materialized ONCE: it is consumed by
+    // every loop iteration (join + convergence count), and leaving it
+    // lazy would re-execute the upstream candidate-generation pipeline
+    // per pass. The pair list is small by construction (candidates, not
+    // corpus), so a localCheckpoint is safe.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("group_id"))
     var iter = 0
