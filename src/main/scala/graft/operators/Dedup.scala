@@ -92,6 +92,57 @@ object Dedup {
     F.transform(sequence(lit(0), lit(numBands - 1)),
       b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
 
+  /** One row per DISTINCT text value: (id = min member id, __text,
+    * members sorted). Collapsing exact duplicates BEFORE LSH is the
+    * skew fix for duplication-heavy corpora (the norm in web data):
+    * identical texts share every band key, so in-bucket expansion would
+    * otherwise scale with the square of the duplication factor — and
+    * families larger than `maxBucketSize` would be dropped by the cap,
+    * losing exactly the most-duplicated content dedup exists to catch.
+    * Checkpointed: consumed by the signature, hydration, and expansion
+    * branches.
+    */
+  private def textGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .groupBy(col("__text"))
+      .agg(array_sort(collect_list(col("id"))).as("members"))
+      .select(element_at(col("members"), 1).as("id"), col("__text"), col("members"))
+      .localCheckpoint(true)
+
+  /** Ordered (id_a < id_b) pair expansion over a sorted `members` array. */
+  private def memberPairsExpr: Column = {
+    val n = size(col("members"))
+    flatten(F.transform(sequence(lit(1), n - 1), i =>
+      F.transform(slice(col("members"), i + 1, n - i),
+        x => struct(element_at(col("members"), i).as("id_a"), x.as("id_b")))))
+  }
+
+  /** Expand rep-level scored pairs (id_a, id_b, score) to member level:
+    * cross-group pairs inherit the representatives' score; within-group
+    * pairs (identical texts) get `identityScore`. `withinFilter` can
+    * exclude groups from within-pair emission (e.g. token-less texts
+    * for simhash).
+    */
+  private def expandGroups(
+      repPairs: DataFrame,
+      groups: DataFrame,
+      scoreName: String,
+      identityScore: Column,
+      withinFilter: Column): DataFrame = {
+    val ga = groups.select(col("id").as("id_a"), col("members").as("members_a"))
+    val gb = groups.select(col("id").as("id_b"), col("members").as("members_b"))
+    val cross = repPairs.join(ga, Seq("id_a")).join(gb, Seq("id_b"))
+      .select(explode(col("members_a")).as("ma"), col("members_b"), col(scoreName))
+      .select(col("ma"), explode(col("members_b")).as("mb"), col(scoreName))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col(scoreName))
+    val within = groups
+      .where(size(col("members")) > 1 && withinFilter)
+      .select(explode(memberPairsExpr).as("p"), identityScore.as(scoreName))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col(scoreName))
+    cross.union(within)
+  }
+
   /** Candidate (id_a < id_b) pairs from a (id, band_idx, band_hash)
     * table: ONE groupBy per bucket collecting the member ids, size-capped
     * (skew guard — see object doc), then in-bucket pair expansion with a
@@ -155,12 +206,14 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val sigs = shingleSignatures(df, idCol, textCol, shingleSize, numHashes)
+    val groups = textGroups(df, idCol, textCol)
+    val sigs = shingleSignatures(groups, "id", "__text", shingleSize, numHashes)
     val withBands = sigs.select(col("id"),
       posexplode(bandKeys(col("sig"), numBands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
-    verifiedJaccardPairs(bucketPairs(withBands, maxBucketSize),
-      shingleSets(df, idCol, textCol, shingleSize), threshold)
+    val repPairs = verifiedJaccardPairs(bucketPairs(withBands, maxBucketSize),
+      shingleSets(groups, "id", "__text", shingleSize), threshold)
+    expandGroups(repPairs, groups, "jaccard", lit(1.0), lit(true))
   }
 
   /** 64-bit SimHash per document (frequency-weighted bit vote), in the
@@ -199,10 +252,14 @@ object Dedup {
       maxDist: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     require(maxDist <= 3, "4-block pigeonhole guarantees recall only for maxDist <= 3")
-    // The 8-byte simhash rides through the bucket aggregation as a
-    // struct payload, so the simhash subtree is evaluated exactly once
-    // and verification needs no hydration join.
-    val sim = simhashes(df, idCol, textCol)
+    // Exact duplicates collapse first (see textGroups); within-group
+    // pairs re-expand at hamming 0, EXCEPT token-less texts (excluded
+    // from simhash comparison entirely). The 8-byte simhash rides
+    // through the bucket aggregation as a struct payload, so the
+    // simhash subtree is evaluated exactly once and verification needs
+    // no hydration join.
+    val groups = textGroups(df, idCol, textCol)
+    val sim = simhashes(groups, "id", "__text")
     val blocks = sim.select(struct(col("id"), col("sim")).as("m"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -214,11 +271,13 @@ object Dedup {
     val pairs = flatten(F.transform(sequence(lit(1), n - 1), i =>
       F.transform(slice(col("ids"), i + 1, n - i),
         x => struct(element_at(col("ids"), i).as("a"), x.as("b")))))
-    buckets.select(explode(pairs).as("p"))
+    val repPairs = buckets.select(explode(pairs).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         bit_count(col("p.a.sim").bitwiseXOR(col("p.b.sim"))).as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
+    expandGroups(repPairs, groups, "hamming", lit(0),
+      size(TextFunctions.tokens(col("__text"))) > 0)
   }
 
   /** Duplicate-group formation: connected components over a near-dup
@@ -284,10 +343,12 @@ object Dedup {
       threshold: Double = 0.5,
       numBlocks: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = shingleSignatures(df, idCol, textCol, n, numBlocks)
+    val groups = textGroups(df, idCol, textCol)
+    val sigs = shingleSignatures(groups, "id", "__text", n, numBlocks)
     val blocked = sigs.select(col("id"),
       posexplode(col("sig")).as(Seq("band_idx", "band_hash")))
-    verifiedJaccardPairs(bucketPairs(blocked, maxBucketSize),
-      shingleSets(df, idCol, textCol, n), threshold)
+    val repPairs = verifiedJaccardPairs(bucketPairs(blocked, maxBucketSize),
+      shingleSets(groups, "id", "__text", n), threshold)
+    expandGroups(repPairs, groups, "jaccard", lit(1.0), lit(true))
   }
 }
