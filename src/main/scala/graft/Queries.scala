@@ -555,7 +555,10 @@ object Queries {
     */
   def streamWindows(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select(
-      timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+      // integer division: `/` on longs is DOUBLE division in Spark SQL,
+      // and a double ulp at ~1.5e18 nanos is 256 ns — enough to round a
+      // just-below-boundary event into the next window vs the oracle
+      timestamp_micros(expr("ts div 1000")).as("ts"),
       col("event_type"), col("value"))
     graft.streaming.StreamOps.windowedCounts(ev, "10 minutes", "5 minutes")
       .select(col("window_start").cast("long").as("window_start"),

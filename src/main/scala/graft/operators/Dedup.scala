@@ -102,19 +102,24 @@ object Dedup {
     * Checkpointed: consumed by the signature, hydration, and expansion
     * branches.
     */
-  private def textGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[operators] def textGroups(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .where(col("__text").isNotNull) // null docs never pair (pre-collapse semantics)
       .groupBy(col("__text"))
       .agg(array_sort(collect_list(col("id"))).as("members"))
       .select(element_at(col("members"), 1).as("id"), col("__text"), col("members"))
       .localCheckpoint(true)
 
-  /** Ordered (id_a < id_b) pair expansion over a sorted `members` array. */
-  private def memberPairsExpr: Column = {
-    val n = size(col("members"))
+  /** Ordered (a < b) triangular pair expansion over a SORTED array:
+    * array<struct<id_a, id_b>> of all element pairs. The single source
+    * of truth for in-group/in-bucket expansion.
+    */
+  private[operators] def triangularPairs(arr: Column): Column = {
+    val n = size(arr)
     flatten(F.transform(sequence(lit(1), n - 1), i =>
-      F.transform(slice(col("members"), i + 1, n - i),
-        x => struct(element_at(col("members"), i).as("id_a"), x.as("id_b")))))
+      F.transform(slice(arr, i + 1, n - i),
+        x => struct(element_at(arr, i).as("id_a"), x.as("id_b")))))
   }
 
   /** Expand rep-level scored pairs (id_a, id_b, score) to member level:
@@ -123,7 +128,7 @@ object Dedup {
     * exclude groups from within-pair emission (e.g. token-less texts
     * for simhash).
     */
-  private def expandGroups(
+  private[operators] def expandGroups(
       repPairs: DataFrame,
       groups: DataFrame,
       scoreName: String,
@@ -138,7 +143,8 @@ object Dedup {
         greatest(col("ma"), col("mb")).as("id_b"), col(scoreName))
     val within = groups
       .where(size(col("members")) > 1 && withinFilter)
-      .select(explode(memberPairsExpr).as("p"), identityScore.as(scoreName))
+      .select(explode(triangularPairs(col("members"))).as("p"),
+        identityScore.as(scoreName))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col(scoreName))
     cross.union(within)
   }
@@ -151,17 +157,28 @@ object Dedup {
     * window pass for the cap — this shape computes signatures once and
     * shuffles only (bucket, ids).
     */
+  /** Semi-join `rows` down to buckets whose size is in (1, cap]: the
+    * size check runs as a cheap partial-count aggregation FIRST, so an
+    * oversized hot bucket is discarded before any per-bucket array is
+    * materialized — collecting it and then filtering would rebuild the
+    * very OOM the cap exists to prevent.
+    */
+  private def keepCappedBuckets(rows: DataFrame, maxBucketSize: Int): DataFrame = {
+    val sized = rows.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .select(col("band_idx"), col("band_hash"))
+    rows.join(sized, Seq("band_idx", "band_hash"), "left_semi")
+  }
+
   private[operators] def bucketPairs(
       bands: DataFrame,
       maxBucketSize: Int): DataFrame = {
-    val buckets = bands.groupBy(col("band_idx"), col("band_hash"))
+    val buckets = keepCappedBuckets(bands, maxBucketSize)
+      .groupBy(col("band_idx"), col("band_hash"))
       .agg(array_sort(collect_set(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
-    val n = size(col("ids"))
-    val pairs = flatten(F.transform(sequence(lit(1), n - 1), i =>
-      F.transform(slice(col("ids"), i + 1, n - i),
-        x => struct(element_at(col("ids"), i).as("id_a"), x.as("id_b")))))
-    buckets.select(explode(pairs).as("p"))
+      .where(size(col("ids")) > 1)
+    buckets.select(explode(triangularPairs(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
@@ -264,16 +281,13 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band_idx", "band_hash")))
-    val buckets = blocks.groupBy(col("band_idx"), col("band_hash"))
+    val buckets = keepCappedBuckets(blocks, maxBucketSize)
+      .groupBy(col("band_idx"), col("band_hash"))
       .agg(array_sort(collect_set(col("m"))).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
-    val n = size(col("ids"))
-    val pairs = flatten(F.transform(sequence(lit(1), n - 1), i =>
-      F.transform(slice(col("ids"), i + 1, n - i),
-        x => struct(element_at(col("ids"), i).as("a"), x.as("b")))))
-    val repPairs = buckets.select(explode(pairs).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        bit_count(col("p.a.sim").bitwiseXOR(col("p.b.sim"))).as("hamming"))
+      .where(size(col("ids")) > 1)
+    val repPairs = buckets.select(explode(triangularPairs(col("ids"))).as("p"))
+      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
+        bit_count(col("p.id_a.sim").bitwiseXOR(col("p.id_b.sim"))).as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
     expandGroups(repPairs, groups, "hamming", lit(0),
@@ -285,9 +299,12 @@ object Dedup {
     * SURVEY §3.3 "dup groups via iterative smallest-id propagation".
     *
     * Driver loop of {bidirectional neighbor-min join + groupBy min}
-    * until a fixpoint; converges in O(log diameter) passes and dup
-    * groups are short-diameter in practice (near-dup similarity is
-    * near-transitive). Each pass is one shuffle of the (vertex, label)
+    * until a fixpoint; plain neighbor-min propagation needs O(diameter)
+    * passes, and dup groups are short-diameter in practice (near-dup
+    * similarity is near-transitive) — pathological long chains should
+    * raise `maxIter` (or switch to a large-star/small-star scheme).
+    * Non-convergence at maxIter THROWS rather than returning silently
+    * wrong labels. Each pass is one shuffle of the (vertex, label)
     * table; the pair list is usually orders of magnitude smaller than
     * the corpus, so this runs on the pair-touched vertex set only.
     * Deterministic: labels only ever decrease, fixpoint is unique.
@@ -295,7 +312,7 @@ object Dedup {
     * @return (id, group_id) for every id appearing in `pairs`, where
     *         group_id = min id of the component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // bidirectional edge list — materialized ONCE: it is consumed by
     // every loop iteration (join + convergence count), and leaving it
     // lazy would re-execute the upstream candidate-generation pipeline
@@ -307,6 +324,7 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("group_id"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -315,15 +333,22 @@ object Dedup {
           .withColumnRenamed("group_id", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
+      // checkpoint FIRST (truncates the iterative lineage and runs the
+      // pass exactly once), then count changes against the materialized
+      // result — counting off the lazy plan would execute the pass twice
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
+        .localCheckpoint(true)
       val changed = updated.join(labels.withColumnRenamed("group_id", "old"), Seq("id"))
         .where(col("group_id") =!= col("old")).limit(1).count()
-      labels = updated.localCheckpoint(eager = true) // truncate the iterative lineage
+      labels = updated
       converged = changed == 0
       iter += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter passes — a component " +
+        "has diameter > maxIter; raise maxIter")
     labels
   }
 

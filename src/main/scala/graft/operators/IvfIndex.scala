@@ -53,15 +53,17 @@ object IvfIndex {
     Model(centroids, assignments)
   }
 
-  /** Index of the nearest centroid (squared L2), ties to the lowest list
-    * id — computed as a Catalyst expression over the centroid literal.
+  /** Index of the nearest centroid by squared L2, ties to the lowest
+    * list id. argmin(||v-c||²) = argmin(||c||² - 2·v·c): the ||v||² term
+    * is constant across centroids and dropped; ||c||² is precomputed
+    * into the literal — the per-row work is exactly nLists dot products.
     */
   private def nearestList(vec: org.apache.spark.sql.Column,
       centroids: Array[Array[Double]]) = {
-    val dists = transform(typedlit(centroids.map(_.toSeq).toSeq),
-      c => VectorFunctions.dotProduct(vec, vec) -
-        lit(2.0) * VectorFunctions.dotProduct(vec, c) +
-        VectorFunctions.dotProduct(c, c))
+    val norms = centroids.map(c => c.map(x => x * x).sum)
+    val dists = zip_with(
+      typedlit(centroids.map(_.toSeq).toSeq), typedlit(norms.toSeq),
+      (c, n2) => n2 - lit(2.0) * VectorFunctions.dotProduct(vec, c))
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
@@ -78,15 +80,17 @@ object IvfIndex {
       nProbe: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qvec"))
-    // distributed probe selection: explode centroid list, rank by L2
+    // distributed probe selection: explode centroid list, rank by the
+    // same reduced ||c||² - 2·q·c score as nearestList
     val cLit = typedlit(index.centroids.map(_.toSeq).toSeq)
+    val nLit = typedlit(index.centroids.map(c => c.map(x => x * x).sum).toSeq)
     val probes = qv
       .select(col("query_id"), col("qvec"),
-        posexplode(cLit).as(Seq("list_id", "centroid")))
+        posexplode(zip_with(cLit, nLit, (c, n2) => struct(c.as("c"), n2.as("n2"))))
+          .as(Seq("list_id", "cn")))
       .select(col("query_id"), col("qvec"), col("list_id"),
-        (VectorFunctions.dotProduct(col("qvec"), col("qvec")) -
-          lit(2.0) * VectorFunctions.dotProduct(col("qvec"), col("centroid")) +
-          VectorFunctions.dotProduct(col("centroid"), col("centroid"))).as("d2"))
+        (col("cn.n2") -
+          lit(2.0) * VectorFunctions.dotProduct(col("qvec"), col("cn.c"))).as("d2"))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("list_id").asc)))
       .where(col("pr") <= nProbe)

@@ -187,41 +187,28 @@ object Similarity {
       planesPerBlock: Int = 8,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
-    val ids = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-    // collapse exact duplicates; representative = min id
-    val groups = ids.groupBy(col("vec"))
-      .agg(array_sort(collect_list(col("id"))).as("members"))
-      .select(element_at(col("members"), 1).as("id"), col("vec"), col("members"))
-      .localCheckpoint(true) // consumed by 3 branches below; small: one row per DISTINCT vector
-    // LSH near-dup among distinct representatives
+    // collapse exact duplicates (Dedup's shared group machinery; the
+    // grouping value here is the vector itself), LSH on representatives,
+    // expand members back. Identity pairs score 1.0 except zero vectors
+    // (cosine 0 by convention) — the final threshold filter covers both
+    // the identity and the inherited-cross scores.
+    val ids = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val groups = Dedup.textGroups(ids, "id", "v")
+      .select(col("id"), col("__text").cast("array<double>").as("vec"), col("members"))
     val blocked = groups.select(col("id"),
       posexplode(blockKeys(col("vec"), dim, numBlocks, planesPerBlock, seed))
         .as(Seq("band_idx", "band_hash")))
     val cand = Dedup.bucketPairs(blocked, maxBucketSize)
-    val va = groups.select(col("id").as("id_a"), col("vec").as("vec_a"),
-      col("members").as("members_a"))
-    val vb = groups.select(col("id").as("id_b"), col("vec").as("vec_b"),
-      col("members").as("members_b"))
+    val va = groups.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = groups.select(col("id").as("id_b"), col("vec").as("vec_b"))
     val repPairs = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .select(col("members_a"), col("members_b"),
+      .select(col("id_a"), col("id_b"),
         round(cosine(col("vec_a"), col("vec_b")), 6).as("cos"))
       .where(col("cos") >= threshold)
-    // cross-group expansion: every member pair inherits the reps' cosine
-    val cross = repPairs
-      .select(explode(col("members_a")).as("ma"), col("members_b"), col("cos"))
-      .select(col("ma"), explode(col("members_b")).as("mb"), col("cos"))
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("cos"))
-    // within-group pairs: identical vectors, cos = 1.0 (zero vectors -> 0)
-    val n = size(col("members"))
-    val withinPairs = flatten(F.transform(sequence(lit(1), n - 1), i =>
-      F.transform(slice(col("members"), i + 1, n - i),
-        x => struct(element_at(col("members"), i).as("id_a"), x.as("id_b")))))
     val identCos = when(dot(col("vec"), col("vec")) > 0.0, 1.0).otherwise(0.0)
-    val within = groups.where(n > 1)
-      .select(explode(withinPairs).as("p"), identCos.as("cos"))
+    Dedup.expandGroups(repPairs,
+        groups.select(col("id"), col("vec"), col("members")),
+        "cos", identCos, lit(true))
       .where(col("cos") >= threshold)
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("cos"))
-    cross.union(within)
   }
 }

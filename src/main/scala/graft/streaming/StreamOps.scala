@@ -95,12 +95,20 @@ object StreamOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
-                    s.n + 1, s.total + e.value))
-                case Some(s) =>
+                // within [start - gap, end + gap]: extend (the lower
+                // bound covers in-watermark out-of-order arrivals, which
+                // may legitimately precede the open session's start)
+                case Some(s) if t >= s.startMs - gapMs && t - s.endMs <= gapMs =>
+                  cur = Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.n + 1, s.total + e.value))
+                case Some(s) if t > s.endMs + gapMs =>
                   closed += emit(uid, s)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(_) =>
+                  // late arrival more than gap BEFORE the open session:
+                  // its own already-closed session (nothing later can
+                  // join it — the open session bounds it on the right)
+                  closed += emit(uid, SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

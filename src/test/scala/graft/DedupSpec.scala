@@ -97,4 +97,41 @@ class DedupSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("connectedComponents raises on non-convergence instead of wrong labels") {
+    val chain = (0L until 10L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(err.getMessage.contains("converge"))
+    val ok = Dedup.connectedComponents(chain, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(0L))
+  }
+
+  test("null-text documents never pair") {
+    val withNulls = docs.union(Seq((300L, null.asInstanceOf[String]),
+      (301L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = Dedup.minhashLSH(withNulls, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!got.exists { case (a, b) => a >= 300L || b >= 300L })
+    val sim = Dedup.simhashPairs(withNulls, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!sim.exists { case (a, b) => a >= 300L || b >= 300L })
+  }
+
+  test("exact-duplicate texts expand to jaccard-1.0 member pairs") {
+    val tripled = docs.union(docs.limit(0)) // base
+      .union(Seq((400L, null.asInstanceOf[String])).toDF("doc_id", "text").limit(0))
+    val withCopies = docs
+      .union(docs.where($"doc_id" === 5L).select(($"doc_id" + 500).as("doc_id"), $"text"))
+      .union(docs.where($"doc_id" === 5L).select(($"doc_id" + 600).as("doc_id"), $"text"))
+    require(tripled.columns.sameElements(withCopies.columns))
+    val got = Dedup.minhashLSH(withCopies, "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    val fam = got.filter(p => Set(5L, 505L, 605L).contains(p._1) &&
+      Set(505L, 605L).contains(p._2))
+    assert(fam.map(p => (p._1, p._2)).toSet == Set((5L, 505L), (5L, 605L), (505L, 605L)))
+    assert(fam.forall(_._3 == 1.0))
+  }
 }

@@ -75,4 +75,23 @@ class StreamOpsSpec extends SparkSuite {
     assert(u1.head == (0L, 2L, 2, 3.0))        // first session: 2 events, closed by gap
     assert(u1.last == (20L, 20L, 1, 3.0))      // second: flushed by timeout
   }
+
+  test("sessionize: in-watermark out-of-order event extends the session backward") {
+    val input = MemoryStream[Event]
+    val sessions = StreamOps.sessionize(input.toDS(), gapMs = 5 * 60000L, "30 minutes")
+    val rows = runBatches(input, sessions.toDF(), OutputMode.Append(),
+      Seq(
+        Seq(Event(1, ts(20), 1, "click", 1.0), Event(2, ts(22), 1, "click", 2.0)),
+        // late but within watermark AND within gap of session start -> merge backward
+        Seq(Event(3, ts(16), 1, "view", 4.0)),
+        // far-late event (more than gap before the open session) -> own closed session
+        Seq(Event(4, ts(5), 1, "view", 8.0)),
+        // flush
+        Seq(Event(9, ts(120), 2, "click", 0.5))))
+    val u1 = rows.filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).getTime / 60000 - Base, r.getTimestamp(2).getTime / 60000 - Base,
+        r.getInt(3), r.getDouble(4))).sortBy(_._1)
+    assert(u1.contains((5L, 5L, 1, 8.0)), s"far-late singleton missing: $u1")
+    assert(u1.contains((16L, 22L, 3, 7.0)), s"backward-extended session missing: $u1")
+  }
 }
