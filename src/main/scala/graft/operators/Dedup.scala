@@ -164,11 +164,16 @@ object Dedup {
     * very OOM the cap exists to prevent.
     */
   private def keepCappedBuckets(rows: DataFrame, maxBucketSize: Int): DataFrame = {
-    val sized = rows.groupBy(col("band_idx"), col("band_hash"))
+    // materialize once: both the size aggregation and the semi-join
+    // probe consume `rows`, and its upstream (signature/simhash
+    // pipeline) is the expensive part of every dedup op — lazy, it
+    // would execute twice. The frame is narrow (id + two band longs).
+    val matRows = rows.localCheckpoint(true)
+    val sized = matRows.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1 && col("__n") <= maxBucketSize)
       .select(col("band_idx"), col("band_hash"))
-    rows.join(sized, Seq("band_idx", "band_hash"), "left_semi")
+    matRows.join(sized, Seq("band_idx", "band_hash"), "left_semi")
   }
 
   private[operators] def bucketPairs(

@@ -91,27 +91,52 @@ object StreamOps {
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var cur = state.getOption
+            // accumulator for in-watermark far-late events (more than gap
+            // BEFORE the open session): they may merge with EACH OTHER,
+            // and the final one may bridge to the open session once that
+            // session has been extended backward — reconciled after the
+            // loop, never emitted one-by-one
+            var late: Option[SessionState] = None
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                // within [start - gap, end + gap]: extend (the lower
-                // bound covers in-watermark out-of-order arrivals, which
-                // may legitimately precede the open session's start)
+                // within [start - gap, end + gap]: extend in both
+                // directions (lower bound covers out-of-order arrivals)
                 case Some(s) if t >= s.startMs - gapMs && t - s.endMs <= gapMs =>
                   cur = Some(SessionState(math.min(s.startMs, t),
                     math.max(s.endMs, t), s.n + 1, s.total + e.value))
                 case Some(s) if t > s.endMs + gapMs =>
+                  // a new later session starts: everything left of it is
+                  // final (late clusters cannot reach past the session
+                  // that bounded them)
+                  late.foreach(l => closed += emit(uid, l)); late = None
                   closed += emit(uid, s)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(_) =>
-                  // late arrival more than gap BEFORE the open session:
-                  // its own already-closed session (nothing later can
-                  // join it — the open session bounds it on the right)
-                  closed += emit(uid, SessionState(t, t, 1, e.value))
+                  late match {
+                    case Some(l) if t - l.endMs <= gapMs =>
+                      late = Some(SessionState(l.startMs, math.max(l.endMs, t),
+                        l.n + 1, l.total + e.value))
+                    case Some(l) =>
+                      closed += emit(uid, l)
+                      late = Some(SessionState(t, t, 1, e.value))
+                    case None =>
+                      late = Some(SessionState(t, t, 1, e.value))
+                  }
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
+            }
+            // reconcile: the open session may have extended backward far
+            // enough to touch the last late cluster
+            (late, cur) match {
+              case (Some(l), Some(s)) if s.startMs - l.endMs <= gapMs =>
+                cur = Some(SessionState(math.min(l.startMs, s.startMs),
+                  math.max(l.endMs, s.endMs), l.n + s.n, l.total + s.total))
+              case (Some(l), _) =>
+                closed += emit(uid, l)
+              case _ =>
             }
             cur.foreach { s =>
               state.update(s)

@@ -94,4 +94,24 @@ class StreamOpsSpec extends SparkSuite {
     assert(u1.contains((5L, 5L, 1, 8.0)), s"far-late singleton missing: $u1")
     assert(u1.contains((16L, 22L, 3, 7.0)), s"backward-extended session missing: $u1")
   }
+
+  test("sessionize: consecutive far-late events merge; bridge joins the open session") {
+    val input = MemoryStream[Event]
+    val sessions = StreamOps.sessionize(input.toDS(), gapMs = 5 * 60000L, "60 minutes")
+    val rows = runBatches(input, sessions.toDF(), OutputMode.Append(),
+      Seq(
+        Seq(Event(1, ts(40), 1, "click", 1.0)),
+        // two far-late events within gap of each other -> ONE late session
+        Seq(Event(2, ts(10), 1, "view", 2.0), Event(3, ts(12), 1, "view", 4.0)),
+        // late cluster [25,28] whose tail bridges to the open session at 40?
+        // no: 40-28 > gap, so it stays separate; event 36 bridges
+        Seq(Event(4, ts(25), 1, "view", 8.0), Event(5, ts(36), 1, "view", 16.0)),
+        Seq(Event(9, ts(180), 2, "click", 0.5))))
+    val u1 = rows.filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).getTime / 60000 - Base, r.getTimestamp(2).getTime / 60000 - Base,
+        r.getInt(3), r.getDouble(4))).sortBy(_._1)
+    assert(u1.contains((10L, 12L, 2, 6.0)), s"merged late cluster missing: $u1")
+    assert(u1.contains((25L, 25L, 1, 8.0)), s"separate late cluster missing: $u1")
+    assert(u1.contains((36L, 40L, 2, 17.0)), s"bridged session missing: $u1")
+  }
 }
