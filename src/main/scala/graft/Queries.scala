@@ -5,7 +5,6 @@ import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{functions => F}
 
 /** The registered query surface (SURVEY.md §3) + DuckDB oracle SQL.
   *
@@ -36,11 +35,14 @@ object Queries {
     year(col("o_orderdate")),
     floor(col("o_totalprice") / 50000).cast("int"))
 
+  // each feature wrapped in COALESCE(.., sentinel) like KModes.assemble,
+  // so a NULL source column counts as its own category on both sides
   private val orderFeaturesSqlCols = Seq(
     "o_orderstatus",
     "o_orderpriority",
     "CAST(year(o_orderdate) AS VARCHAR)",
     "CAST(CAST(FLOOR(o_totalprice / 50000) AS INT) AS VARCHAR)")
+    .map(e => s"COALESCE($e, '\u2205')")
 
   /** Fixed centers for the SQL-expressible assignment/cost oracles. */
   val FixedCenters: Array[Array[String]] = Array(
@@ -183,7 +185,9 @@ object Queries {
       |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin
 
   def setOps(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+    t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      // EXCEPT has set semantics: output arrives deduplicated, no
+      // explicit distinct needed on the left side
       .except(t(s, dir, "customer").where(col("c_acctbal") < 0)
         .select(col("c_custkey").as("custkey")))
       .orderBy("custkey")
@@ -232,7 +236,7 @@ object Queries {
   val jsonEventsSql: String =
     """SELECT event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS n_users,
       |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
-      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |  MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def rollupCounts(s: SparkSession, dir: String): DataFrame =
@@ -353,6 +357,7 @@ object Queries {
   def dedupFingerprint(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(
         t(s, dir, "documents")
+          .where(col("text").isNotNull) // null docs never dedup (LSH-family semantics)
           .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
         Seq(col("fp")), col("doc_id"))
       .select(col("doc_id"), col("fp"))
@@ -362,7 +367,7 @@ object Queries {
     s"""WITH f AS (
        |  SELECT doc_id,
        |    md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')) AS fp
-       |  FROM documents)
+       |  FROM documents WHERE text IS NOT NULL)
        |SELECT doc_id, fp FROM (
        |  SELECT doc_id, fp, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
        |  FROM f
@@ -528,7 +533,10 @@ object Queries {
     * the same nanos via epoch_ns.
     */
   def asofClickView(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
+    // truncate int64 nanos to micros: DuckDB reads the nanosecond-typed
+    // parquet column as microsecond TIMESTAMP, so comparing raw nanos
+    // would use a finer timeline than the oracle's epoch_ns
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
     AsOfJoin.latestAsOf(
         ev.where(col("event_type") === "click"),
         ev.where(col("event_type") === "view"),
@@ -586,7 +594,8 @@ object Queries {
 
   // -------------------------------------------------------------- multimodal
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.documentFeatures(s, t(s, dir, "documents"))
+    Multimodal.documentFeatures(s,
+        t(s, dir, "documents").where(col("text").isNotNull))
       .toDF()
       .select(col("asset_id"), col("byte_len"), col("content_hash"), col("n_frames"))
       .orderBy("asset_id")
@@ -596,35 +605,41 @@ object Queries {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
       |  md5(text) AS content_hash,
       |  CAST(greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT)) AS INT) AS n_frames
-      |FROM documents ORDER BY asset_id""".stripMargin
+      |FROM documents WHERE text IS NOT NULL ORDER BY asset_id""".stripMargin
 
   /** Frame-sampling plumbing over the stub binary column: every 2nd
     * 256-byte frame, capped at 10 frames per asset; output is the frame
     * geometry (index + byte length), which DuckDB replays over the same
     * encoded text.
     */
+  private val FrameStride = 2
+  private val MaxFrames = 10
+
   def frameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val assets = t(s, dir, "documents")
+      .where(col("text").isNotNull)
       .select(col("doc_id").as("asset_id"), lit("text").as("kind"),
         encode(col("text"), "UTF-8").as("media"))
       .as[Multimodal.MediaAsset]
-    Multimodal.sampleFrames(assets, stride = 2, maxFrames = 10)
+    Multimodal.sampleFrames(assets, stride = FrameStride, maxFrames = MaxFrames)
       .select(col("asset_id"), col("frame_idx"),
         octet_length(col("frame_bytes")).as("frame_len"))
       .orderBy("asset_id", "frame_idx")
   }
 
   val frameSampleSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
-      |f AS (
-      |  SELECT doc_id, len,
-      |    unnest(range(0, greatest(1, CAST(ceil(len / 256.0) AS INT)), 2)) AS frame_idx
-      |  FROM d)
-      |SELECT doc_id AS asset_id, CAST(frame_idx AS INT) AS frame_idx,
-      |  CAST(least(256, len - frame_idx * 256) AS INT) AS frame_len
-      |FROM f WHERE frame_idx < 20 ORDER BY asset_id, frame_idx""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+       |  WHERE text IS NOT NULL),
+       |f AS (
+       |  SELECT doc_id, len,
+       |    unnest(range(0, greatest(1, CAST(ceil(len / ${Multimodal.FrameBytes}.0) AS INT)),
+       |           $FrameStride)) AS frame_idx
+       |  FROM d)
+       |SELECT doc_id AS asset_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  CAST(least(${Multimodal.FrameBytes}, len - frame_idx * ${Multimodal.FrameBytes}) AS INT) AS frame_len
+       |FROM f WHERE frame_idx < ${FrameStride * MaxFrames} ORDER BY asset_id, frame_idx""".stripMargin
 
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

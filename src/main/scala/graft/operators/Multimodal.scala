@@ -66,10 +66,11 @@ object Multimodal {
       // initialized once here, not per record
       val md5 = java.security.MessageDigest.getInstance("MD5")
       it.map { a =>
-        val (nFrames, feats) = decodeStub(a.media)
+        val media = if (a.media == null) Array.emptyByteArray else a.media
+        val (nFrames, feats) = decodeStub(media)
         md5.reset()
-        val hash = md5.digest(a.media).map("%02x".format(_)).mkString
-        MediaFeatures(a.asset_id, a.kind, a.media.length.toLong, hash, nFrames, feats)
+        val hash = md5.digest(media).map("%02x".format(_)).mkString
+        MediaFeatures(a.asset_id, a.kind, media.length.toLong, hash, nFrames, feats)
       }
     }
   }
@@ -85,11 +86,12 @@ object Multimodal {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.flatMap { a =>
-      val nFrames = math.max(1, (a.media.length + FrameBytes - 1) / FrameBytes)
+      val media = if (a.media == null) Array.emptyByteArray else a.media
+      val nFrames = math.max(1, (media.length + FrameBytes - 1) / FrameBytes)
       (0 until nFrames by stride).take(maxFrames).map { f =>
         val from = f * FrameBytes
-        val until = math.min(from + FrameBytes, a.media.length)
-        (a.asset_id, f, a.media.slice(from, until))
+        val until = math.min(from + FrameBytes, media.length)
+        (a.asset_id, f, media.slice(from, until))
       }
     }.toDF("asset_id", "frame_idx", "frame_bytes")
   }
