@@ -484,6 +484,56 @@ object Queries {
        |GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin
   }
 
+  /** Top-5 TF-IDF terms per document (corpus-level text analysis). The
+    * idf's natural log is computed in double on both engines; ties break
+    * (tfidf DESC, term ASC).
+    */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", 5)
+      .orderBy("doc_id", "rnk")
+
+  val tfidfTopSql: String = {
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($duckToks) AS term
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n FROM documents WHERE text IS NOT NULL),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |    round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY tfidf DESC, term ASC) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, rnk, term, tf, tfidf FROM ranked
+       |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
+  }
+
+  /** Range join over the event stream: views in the 5 minutes before
+    * each click, per user — on the microsecond-truncated timeline (see
+    * [[asofClickView]]).
+    */
+  def rangeJoinViews(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    RangeJoin.countInWindow(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"),
+        "user_id", "ts", "event_id", windowSize = 5L * 60 * 1000 * 1000)
+      .select(col("left_id").as("click_id"), col("cnt").as("views_5min"))
+      .orderBy("click_id")
+  }
+
+  val rangeJoinViewsSql: String =
+    """SELECT c.event_id AS click_id,
+      |  (SELECT COUNT(*) FROM events v
+      |   WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      |     AND (epoch_ns(v.ts) // 1000) > (epoch_ns(c.ts) // 1000) - 300000000
+      |     AND (epoch_ns(v.ts) // 1000) <= (epoch_ns(c.ts) // 1000)) AS views_5min
+      |FROM events c WHERE c.event_type = 'click' ORDER BY click_id""".stripMargin
+
   // -------------------------------------------------------------- similarity
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -677,7 +727,9 @@ object Queries {
     "q32_asof_join" -> asofClickView _,
     "q33_kmodes_documents" -> kmodesDocuments _,
     "q34_frame_sample" -> frameSample _,
-    "q35_dedup_groups" -> dedupGroups _)
+    "q35_dedup_groups" -> dedupGroups _,
+    "q36_tfidf_top" -> tfidfTop _,
+    "q37_range_join" -> rangeJoinViews _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -707,5 +759,7 @@ object Queries {
     "q31_order_stats" -> orderStatsSql,
     "q32_asof_join" -> asofClickViewSql,
     "q34_frame_sample" -> frameSampleSql,
-    "q35_dedup_groups" -> dedupGroupsSql)
+    "q35_dedup_groups" -> dedupGroupsSql,
+    "q36_tfidf_top" -> tfidfTopSql,
+    "q37_range_join" -> rangeJoinViewsSql)
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.{RangeJoin, TextAnalysis}
+
+/** Range-join window semantics and TF-IDF vs hand-computed values. */
+class RangeJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("countInWindow: half-open (lt-w, lt], cross-bucket, zero-count rows kept") {
+    val left = Seq((1L, 100L, 10L), (1L, 250L, 11L), (2L, 100L, 12L))
+      .toDF("k", "t", "id")
+    val right = Seq(
+      (1L, 100L), // == lt of left 10 -> inclusive
+      (1L, 1L),   // lt - w < 1? 100-100=0 < 1 -> in range for left 10
+      (1L, 0L),   // exactly lt - w -> EXCLUDED (half-open)
+      (1L, 200L), // in (150, 250] for left 11
+      (3L, 100L)  // other key
+    ).toDF("k", "t")
+    val got = RangeJoin.countInWindow(left, right, "k", "t", "id", windowSize = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 2L, 11L -> 1L, 12L -> 0L))
+  }
+
+  test("tfidf: counts and smoothed idf match hand computation") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidf(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // N=2; df(apple)=1, df(banana)=2, df(cherry)=1
+    def idf(df: Long) = math.log(3.0 / (df + 1.0)) + 1.0
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, "apple")) == (2L, 1L, r6(2 * idf(1))))
+    assert(got((1L, "banana")) == (1L, 2L, r6(1 * idf(2))))
+    assert(got((2L, "cherry")) == (1L, 1L, r6(1 * idf(1))))
+  }
+
+  test("topTerms: deterministic rank by (tfidf desc, term asc)") {
+    val docs = Seq((1L, "x y z x y x")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(docs, "doc_id", "text", 2)
+      .orderBy("rnk").as[(Long, Int, String, Long, Double)].collect()
+    assert(got.map(_._3).toSeq == Seq("x", "y")) // tf 3 > 2 > 1
+  }
+}
