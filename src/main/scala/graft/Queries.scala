@@ -250,6 +250,26 @@ object Queries {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS through the spark.sql entry point (rollup
+    * and cube cover the shorthand forms in q08/q29; this is the general
+    * form plus the SQL front door).
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
     val asiaNations = t(s, dir, "nation")
       .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
@@ -729,7 +749,8 @@ object Queries {
     "q34_frame_sample" -> frameSample _,
     "q35_dedup_groups" -> dedupGroups _,
     "q36_tfidf_top" -> tfidfTop _,
-    "q37_range_join" -> rangeJoinViews _)
+    "q37_range_join" -> rangeJoinViews _,
+    "q38_grouping_sets" -> groupingSets _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -761,5 +782,6 @@ object Queries {
     "q34_frame_sample" -> frameSampleSql,
     "q35_dedup_groups" -> dedupGroupsSql,
     "q36_tfidf_top" -> tfidfTopSql,
-    "q37_range_join" -> rangeJoinViewsSql)
+    "q37_range_join" -> rangeJoinViewsSql,
+    "q38_grouping_sets" -> groupingSetsSql)
 }
