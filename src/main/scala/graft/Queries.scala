@@ -662,6 +662,29 @@ object Queries {
     model.transform(df).groupBy("prediction").count().orderBy("prediction")
   }
 
+  /** Vector normalization through the SQL surface: the injected
+    * graft_* functions ([[GraftExtensions]]) running in a plain
+    * spark.sql query, oracled against DuckDB list arithmetic (the
+    * oracle mirrors the kernel's multiply-by-reciprocal exactly).
+    */
+  def vectorNorms(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.register(s) // idempotent; driver-owned sessions too
+    t(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    s.sql(
+      """SELECT vec_id,
+        |  round(element_at(graft_l2_normalize(CAST(embedding AS ARRAY<DOUBLE>)), 1), 6) AS u1,
+        |  round(sqrt(graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                       CAST(embedding AS ARRAY<DOUBLE>))), 6) AS norm
+        |FROM embeddings_v ORDER BY vec_id""".stripMargin)
+  }
+
+  val vectorNormsSql: String =
+    """SELECT vec_id,
+      |  round(v[1] * (1.0 / sqrt(list_dot_product(v, v))), 6) AS u1,
+      |  round(sqrt(list_dot_product(v, v)), 6) AS norm
+      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------------------- multimodal
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(s,
@@ -750,7 +773,8 @@ object Queries {
     "q35_dedup_groups" -> dedupGroups _,
     "q36_tfidf_top" -> tfidfTop _,
     "q37_range_join" -> rangeJoinViews _,
-    "q38_grouping_sets" -> groupingSets _)
+    "q38_grouping_sets" -> groupingSets _,
+    "q39_vector_norms" -> vectorNorms _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -783,5 +807,6 @@ object Queries {
     "q35_dedup_groups" -> dedupGroupsSql,
     "q36_tfidf_top" -> tfidfTopSql,
     "q37_range_join" -> rangeJoinViewsSql,
-    "q38_grouping_sets" -> groupingSetsSql)
+    "q38_grouping_sets" -> groupingSetsSql,
+    "q39_vector_norms" -> vectorNormsSql)
 }
