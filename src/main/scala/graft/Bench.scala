@@ -16,10 +16,14 @@ object Bench {
     // untimed warmup: spin up executor threads + codegen/JIT baseline so
     // the first timed query doesn't absorb JVM startup
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
-    // sorted order: stable attribution across rounds
+    // sorted order: stable attribution across rounds. Timed against the
+    // noop sink: every row is fully materialized through the whole plan
+    // (sorts, projections, top-level exprs included) — `count()` would
+    // let Catalyst prune all of that under the aggregate.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -45,9 +45,14 @@ object GraftExtensions {
       "graft_hamming_assign(features, centers) - struct(prediction, min_dist) of nearest center",
       (es: Seq[Expression]) => HammingAssign(es(0), es(1))))
 
-  /** Imperative registration on an existing session (idempotent). */
+  /** Imperative registration on an existing session. Idempotent AND
+    * quiet: already-registered names are skipped, so re-registration
+    * (e.g. a query calling this on a driver-owned session that Bench
+    * already initialized) emits no "function replaced" warnings.
+    */
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, usage, builder) =>
-      org.apache.spark.sql.graft.Bridge.registerFunction(spark, name, usage, builder)
+      if (!org.apache.spark.sql.graft.Bridge.functionExists(spark, name))
+        org.apache.spark.sql.graft.Bridge.registerFunction(spark, name, usage, builder)
     }
 }

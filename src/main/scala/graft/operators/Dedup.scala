@@ -157,13 +157,17 @@ object Dedup {
     * window pass for the cap — this shape computes signatures once and
     * shuffles only (bucket, ids).
     */
-  /** Semi-join `rows` down to buckets whose size is in (1, cap]: the
-    * size check runs as a cheap partial-count aggregation FIRST, so an
-    * oversized hot bucket is discarded before any per-bucket array is
+  /** Semi-join `rows` down to buckets whose size is in [minSize, cap]:
+    * the size check runs as a cheap partial-count aggregation FIRST, so
+    * an oversized hot bucket is discarded before any per-bucket array is
     * materialized — collecting it and then filtering would rebuild the
-    * very OOM the cap exists to prevent.
+    * very OOM the cap exists to prevent. Pair generation wants
+    * minSize = 2 (a singleton bucket yields no pairs); corpus-vs-query
+    * probing ([[Similarity.lshTopK]]) wants minSize = 1 (a singleton
+    * corpus bucket can still answer a query).
     */
-  private def keepCappedBuckets(rows: DataFrame, maxBucketSize: Int): DataFrame = {
+  private[operators] def keepCappedBuckets(
+      rows: DataFrame, maxBucketSize: Int, minSize: Int = 2): DataFrame = {
     // materialize once: both the size aggregation and the semi-join
     // probe consume `rows`, and its upstream (signature/simhash
     // pipeline) is the expensive part of every dedup op — lazy, it
@@ -171,7 +175,7 @@ object Dedup {
     val matRows = rows.localCheckpoint(true)
     val sized = matRows.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
-      .where(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .where(col("__n") >= minSize && col("__n") <= maxBucketSize)
       .select(col("band_idx"), col("band_hash"))
     matRows.join(sized, Seq("band_idx", "band_hash"), "left_semi")
   }

@@ -31,8 +31,16 @@ object IvfIndex {
       assignments: DataFrame)
 
   /** Train the coarse quantizer and assign every corpus vector to its
-    * list. `trainFraction` bounds quantizer cost at scale (deterministic
-    * seeded sample).
+    * list.
+    *
+    * Quantizer cost is bounded BY DEFAULT: k-means is per-row × nLists ×
+    * iterations, so training on a 100 TB corpus is a non-starter. With
+    * `trainFraction` unset (NaN), the builder counts the corpus (one
+    * cheap aggregate over the pruned scan — build is already an action)
+    * and trains on a deterministic seeded sample of ≈ `maxTrainRows`
+    * rows; corpora at or under the cap train on everything, so
+    * small-scale results are identical to full training. Passing an
+    * explicit `trainFraction` overrides the cap.
     */
   def build(
       corpus: DataFrame,
@@ -40,10 +48,20 @@ object IvfIndex {
       vecCol: String,
       nLists: Int,
       seed: Long = 42L,
-      trainFraction: Double = 1.0): Model = {
+      trainFraction: Double = Double.NaN,
+      maxTrainRows: Long = 200000L): Model = {
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val train = if (trainFraction >= 1.0) vecs else vecs.sample(trainFraction, seed)
+    val frac =
+      if (!trainFraction.isNaN) trainFraction
+      else {
+        val total = vecs.count()
+        // 1.1 headroom: Bernoulli sampling undershoots; a few extra
+        // thousand training rows are cheaper than an undersized sample
+        if (total <= maxTrainRows) 1.0
+        else math.min(1.0, maxTrainRows * 1.1 / total)
+      }
+    val train = if (frac >= 1.0) vecs else vecs.sample(frac, seed)
     val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features")
     val model = km.fit(train.select(array_to_vector(col("vec")).as("features")))

@@ -130,19 +130,21 @@ object Similarity {
     // Candidate generation carries ONLY (id, block) — vectors are
     // hydrated per candidate pair afterwards, so the heavy embedding
     // payload never rides the numBlocks-duplicated explode/join shuffle
-    // (same design as Dedup.verifiedJaccardPairs).
-    def explodeBlocks(df: DataFrame, idAs: String) = df
-      .select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as("v"))
-      .select(col(idAs),
+    // (same design as Dedup.verifiedJaccardPairs). The corpus-side
+    // bucket cap is Dedup.keepCappedBuckets (partial-count agg +
+    // semi-join), NOT a window count — a sort-based window over the
+    // numBlocks-exploded corpus would shuffle-sort the whole exploded
+    // table just to measure bucket sizes. minSize = 1: a singleton
+    // corpus bucket still answers queries.
+    def explodeBlocks(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"),
         posexplode(blockKeys(col("v"), dim, numBlocks, planesPerBlock, seed))
-          .as(Seq("block_idx", "block_key")))
-    val c = explodeBlocks(corpus, "neighbor_id")
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("block_idx"), col("block_key"))))
-      .where(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-    val q = explodeBlocks(queries, "query_id")
-    val cand = c.join(q, Seq("block_idx", "block_key"))
+          .as(Seq("band_idx", "band_hash")))
+    val c = Dedup.keepCappedBuckets(explodeBlocks(corpus), maxBucketSize, minSize = 1)
+      .withColumnRenamed("id", "neighbor_id")
+    val q = explodeBlocks(queries).withColumnRenamed("id", "query_id")
+    val cand = c.join(q, Seq("band_idx", "band_hash"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()

@@ -10,9 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * Shape: one token explode → per-(doc, term) counts (tf) → per-term
   * document frequency (df) computed from the SAME counted table (no
-  * second scan) → broadcast-scale doc count N folded in. Everything is
-  * map-side-combinable counting; shuffle volume is bounded by the
-  * (doc × distinct-term) and term vocabularies, never raw token count.
+  * second scan) → doc count N cross-joined in as a one-row aggregate.
+  * Everything is map-side-combinable counting; shuffle volume is bounded
+  * by the (doc × distinct-term) and term vocabularies, never raw token
+  * count.
+  *
+  * 100 TB notes: the tf⋈df join carries NO broadcast hint — a web-scale
+  * vocabulary (typos, numbers, code fragments) is hundreds of millions
+  * of terms and would OOM a forced broadcast build; AQE broadcasts it
+  * when it measures small and shuffle-joins otherwise. N is a lazy
+  * one-row aggregate folded in via crossJoin (a broadcast nested loop of
+  * one row), not an eager driver `count()` at plan-construction time.
   *
   * Formula (smoothed, sklearn-style): idf = ln((N + 1)/(df + 1)) + 1,
   * tfidf = tf · idf — mirrored exactly by the DuckDB oracle.
@@ -21,17 +29,18 @@ object TextAnalysis {
 
   /** Per-(doc, term) tf, df, and tfidf for every token. */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs
-      .where(col(textCol).isNotNull)
+    val present = docs.where(col(textCol).isNotNull)
+    val tokens = present
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
     val tf = tokens.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.where(col(textCol).isNotNull).count()
-    tf.join(broadcast(df), Seq("term"))
+    val n = present.agg(count(lit(1)).as("__n"))
+    tf.join(df, Seq("term"))
+      .crossJoin(n)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        round(col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
+        round(col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
   }
 
   /** Top-k highest-tfidf terms per document, deterministic

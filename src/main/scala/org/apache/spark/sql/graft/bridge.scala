@@ -28,4 +28,12 @@ object Bridge {
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),
         builder)
+
+  /** True iff `name` is already registered in this session — lets callers
+    * make registration idempotent WITHOUT the registry's "function
+    * replaced" warning on every re-register.
+    */
+  def functionExists(spark: SparkSession, name: String): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.functionExists(FunctionIdentifier(name))
 }

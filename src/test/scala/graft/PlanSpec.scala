@@ -42,6 +42,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q36: tfidf carries no forced broadcast of the vocabulary table") {
+    // the df (per-term document frequency) side is vocabulary-sized —
+    // unbounded on a web corpus. AQE may still CHOOSE to broadcast it at
+    // small SF; what must not exist is a mandatory hint in the plan.
+    val analyzed = Queries.all("q36_tfidf_top")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"tfidf plan carries a forced join hint:\n$analyzed")
+  }
+
   test("q12 assignment is a single narrow scan (no shuffle before sort)") {
     val p = plan("q12_kmodes_assign")
     // exactly one exchange: the final global orderBy; none before it
