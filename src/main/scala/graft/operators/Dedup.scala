@@ -247,12 +247,20 @@ object Dedup {
     * bit assembly. Documents with zero tokens are excluded (nothing to
     * compare; also prevents the all-zero simhash from forming one giant
     * candidate bucket).
+    *
+    * `tokenHash` is the 64-bit token hash (default: codegen'd xxhash64,
+    * the fast path). A caller needing cross-engine replayability can
+    * substitute any deterministic long-valued expression (e.g. an
+    * md5-derived integer both Spark and an oracle engine compute
+    * identically) — the rest of the pipeline is exact integer math, so
+    * the simhashes then agree bit-for-bit across engines.
     */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashes(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = df
       .select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"), tokenHash(col("t")).as("h"))
     val votes = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"__v$j")
@@ -276,7 +284,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxDist <= 3, "4-block pigeonhole guarantees recall only for maxDist <= 3")
     // Exact duplicates collapse first (see textGroups); within-group
     // pairs re-expand at hamming 0, EXCEPT token-less texts (excluded
@@ -285,7 +294,7 @@ object Dedup {
     // simhash subtree is evaluated exactly once and verification needs
     // no hydration join.
     val groups = textGroups(df, idCol, textCol)
-    val sim = simhashes(groups, "id", "__text")
+    val sim = simhashes(groups, "id", "__text", tokenHash)
     val blocks = sim.select(struct(col("id"), col("sim")).as("m"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
