@@ -78,6 +78,31 @@ class KModesSpec extends SparkSuite {
     assert(err.getMessage.contains("partition"))
   }
 
+  test("ensemble golden snapshot: fixed seed + partitioning pin stage-1/2 output") {
+    // SURVEY §8.2 M2: an end-to-end golden value for the ensemble path.
+    // Any drift in stage-1 local Lloyd, stage-2 meta-clustering, seeding,
+    // or tie-breaking changes these exact centers and fails here.
+    // repartition(4, col) hash-partitions deterministically, so the
+    // layout-dependence the reference shares is pinned too.
+    val rnd = new Random(53)
+    val rows = Seq.tabulate(240) { i =>
+      val g = i % 3
+      Seq.tabulate(4) { j =>
+        if (rnd.nextDouble() < 0.85) s"g${g}v$j" else s"n${rnd.nextInt(4)}"
+      }
+    }
+    val df = rows.toDF("features").repartition(4, col("features"))
+    val model = new KModes().setK(3).setMaxIter(10).setSeed(7L)
+      .setInitMode("ensemble").fit(df)
+    val golden = Seq(
+      Seq("g2v0", "g2v1", "g2v2", "g2v3"),
+      Seq("g0v0", "g0v1", "g0v2", "g0v3"),
+      Seq("g1v0", "g1v1", "g1v2", "g1v3"))
+    assert(model.clusterCenters.map(_.toSeq).toSeq == golden)
+    assert(math.abs(model.cost - 0.5875) < 1e-12, s"cost drifted: ${model.cost}")
+    assert(model.iterations == 2)
+  }
+
   test("ensemble stage-2 equals LocalKModes.metaCluster on collected modes") {
     // consistency of the driver-side path with its unit-tested core
     val modes = Array(
