@@ -851,6 +851,171 @@ object Queries {
        |  CAST(least(${Multimodal.FrameBytes}, len - frame_idx * ${Multimodal.FrameBytes}) AS INT) AS frame_len
        |FROM f WHERE frame_idx < ${FrameStride * MaxFrames} ORDER BY asset_id, frame_idx""".stripMargin
 
+  /** Batch gap sessionization (30 min) over the event stream, on the
+    * microsecond-truncated timeline (see [[asofClickView]]). The
+    * declarative twin of the streaming sessionizer — StreamOpsSpec
+    * asserts the two produce identical sessions.
+    */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    Sessionize.sessions(ev, "user_id", "ts", "event_id", "value",
+        gap = 30L * 60 * 1000 * 1000)
+      .orderBy("user_id", "session_start")
+  }
+
+  val sessionizeBatchSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts, value FROM events),
+      |l AS (
+      |  SELECT user_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+      |  FROM e),
+      |f AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN prev IS NULL OR ts - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM l),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM f)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(COUNT(*) AS INT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Salted skew join: orders (probe) ⋈ customer (build) fanned out 16
+    * ways, aggregated per market segment. Result is by construction
+    * identical to the plain join — which is exactly what the oracle
+    * runs.
+    */
+  def skewJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val probe = t(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val build = t(s, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    SkewJoin.saltedInnerJoin(probe, build, Seq("custkey"), numSalts = 16)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val skewJoinRevenueSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** PII scrubbing over synthesized-but-realistic text: each customer row
+    * is rendered into a contact blurb (name, derived email, IP, phone),
+    * then counted and redacted with [[TextFunctions.scrubPii]]. Both
+    * engines build the identical raw text from the same columns and run
+    * the identical RE2-safe regexes, so the scrubbed output is
+    * hash-verified end to end.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+      lit("@example.com> from 10.0."),
+      (col("c_nationkey") % 256).cast("string"), lit("."),
+      (col("c_custkey") % 256).cast("string"),
+      lit(" call +1 (555) 123-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+    t(s, dir, "customer")
+      .where(col("c_custkey") <= 500)
+      .select(col("c_custkey"), raw.as("raw"))
+      .select(
+        col("c_custkey"),
+        TextFunctions.piiCount(col("raw"), TextFunctions.PiiPatterns(0)._2).as("n_emails"),
+        TextFunctions.piiCount(col("raw"), TextFunctions.PiiPatterns(1)._2).as("n_ips"),
+        TextFunctions.scrubPii(col("raw")).as("scrubbed"))
+      .orderBy("c_custkey")
+  }
+
+  val piiScrubSql: String = {
+    val email = TextFunctions.PiiPatterns(0)._2
+    val ipv4 = TextFunctions.PiiPatterns(1)._2
+    val phone = TextFunctions.PiiPatterns(2)._2
+    s"""WITH raw AS (
+       |  SELECT c_custkey,
+       |    concat(c_name, ' <user', CAST(c_custkey AS VARCHAR),
+       |      '@example.com> from 10.0.', CAST(c_nationkey % 256 AS VARCHAR), '.',
+       |      CAST(c_custkey % 256 AS VARCHAR), ' call +1 (555) 123-',
+       |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')) AS raw
+       |  FROM customer WHERE c_custkey <= 500)
+       |SELECT c_custkey,
+       |  CAST(len(regexp_extract_all(raw, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$ipv4')) AS INT) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$email', '[EMAIL]', 'g'), '$ipv4', '[IPV4]', 'g'), '$phone', '[PHONE]', 'g')
+       |    AS scrubbed
+       |FROM raw ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Pivot: per-year order totals spread across status columns (the
+    * relational transpose; DuckDB oracle is the equivalent conditional
+    * aggregation).
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .orderBy("yr")
+
+  val pivotStatusSql: String =
+    """SELECT year(o_orderdate) AS yr,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+      |FROM orders GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin
+
+  /** Unpivot/melt: lineitem measures to long form (id, metric, value). */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_orderkey") <= 200)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  val unpivotMeasuresSql: String =
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+      |  FROM lineitem WHERE l_orderkey <= 200
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey <= 200
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey <= 200)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  /** Histogram via width_bucket. DuckDB lacks width_bucket; the oracle
+    * replays Spark's exact formula — floor((v - lo) / ((hi - lo) /
+    * n)) + 1 with the out-of-range buckets 0 and n+1 — in the same IEEE
+    * double arithmetic (the bounds divide exactly, so no rounding
+    * divergence at bucket edges).
+    */
+  def histogramPrices(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(width_bucket(col("o_totalprice"), lit(0d), lit(600000d), lit(12)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  val histogramPricesSql: String =
+    """SELECT CASE WHEN o_totalprice < 0 THEN 0
+      |            WHEN o_totalprice >= 600000 THEN 13
+      |            ELSE CAST(FLOOR((o_totalprice - 0) / ((600000 - 0) / 12.0)) AS BIGINT) + 1
+      |       END AS bucket, COUNT(*) AS cnt
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -891,7 +1056,13 @@ object Queries {
     "q36_tfidf_top" -> tfidfTop _,
     "q37_range_join" -> rangeJoinViews _,
     "q38_grouping_sets" -> groupingSets _,
-    "q39_vector_norms" -> vectorNorms _)
+    "q39_vector_norms" -> vectorNorms _,
+    "q40_sessionize" -> sessionizeBatch _,
+    "q41_skew_join" -> skewJoinRevenue _,
+    "q42_pii_scrub" -> piiScrub _,
+    "q43_pivot" -> pivotStatus _,
+    "q44_unpivot" -> unpivotMeasures _,
+    "q45_histogram" -> histogramPrices _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -929,5 +1100,11 @@ object Queries {
     "q36_tfidf_top" -> tfidfTopSql,
     "q37_range_join" -> rangeJoinViewsSql,
     "q38_grouping_sets" -> groupingSetsSql,
-    "q39_vector_norms" -> vectorNormsSql)
+    "q39_vector_norms" -> vectorNormsSql,
+    "q40_sessionize" -> sessionizeBatchSql,
+    "q41_skew_join" -> skewJoinRevenueSql,
+    "q42_pii_scrub" -> piiScrubSql,
+    "q43_pivot" -> pivotStatusSql,
+    "q44_unpivot" -> unpivotMeasuresSql,
+    "q45_histogram" -> histogramPricesSql)
 }

@@ -87,6 +87,31 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** PII patterns for training-data scrubbing. The regex subset is
+    * deliberately backreference-free and class-based so the IDENTICAL
+    * pattern string runs in both Java regex (Spark) and RE2 (DuckDB) —
+    * the oracle replays the scrub exactly. Order matters: emails are
+    * redacted before phone numbers so a phone-like digit run inside an
+    * address is not double-matched.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\+?[0-9][0-9()\\-\\. ]{7,}[0-9]")
+
+  /** Count of PII matches of one pattern kind. */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Text with every PII match replaced by `[<KIND>]`, applied in
+    * [[PiiPatterns]] order. Pure Catalyst `regexp_replace` chain —
+    * narrow, codegen'd, no UDF; at 100 TB this is a map-only stage.
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (kind, pattern)) =>
+      regexp_replace(acc, pattern, s"[${kind.toUpperCase}]")
+    }
+
   /** Word n-gram shingles (distinct), for MinHash/Jaccard dedup. For texts
     * shorter than n tokens, the single full-text shingle is used.
     * Delegates to the codegen'd [[Shingles]] expression — semantically

@@ -52,6 +52,18 @@ class PlanSpec extends SparkSuite {
       s"tfidf plan carries a forced join hint:\n$analyzed")
   }
 
+  test("q40: sessionize groupBy reuses the window's user partitioning") {
+    // expected exchanges: ONE hash exchange feeding the window (the
+    // (user, sid) aggregation is satisfied by user-hash partitioning,
+    // so no second data shuffle) + the final range exchange for orderBy
+    val p = plan("q40_sessionize")
+    // formatted explain lists each node twice (tree + detail header);
+    // count detail headers "(n) Exchange" so each node counts once
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"sessionize shuffles more than once before the sort:\n$p")
+    assert(p.contains("Window"), "expected a window operator in the sessionize plan")
+  }
+
   test("q12 assignment is a single narrow scan (no shuffle before sort)") {
     val p = plan("q12_kmodes_assign")
     // exactly one exchange: the final global orderBy; none before it
