@@ -1016,6 +1016,69 @@ object Queries {
       |       END AS bucket, COUNT(*) AS cnt
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Full outer join: per-customer order counts with both dangling sides
+    * preserved (customers without orders AND order custkeys outside the
+    * restricted customer slice).
+    */
+  def fullOuterOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").where(col("c_custkey") <= 700)
+      .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+    val o = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(col("o_custkey").as("custkey"), col("n_orders"))
+    c.join(o, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("c_acctbal"))
+      .orderBy("custkey")
+  }
+
+  val fullOuterOrdersSql: String =
+    """WITH c AS (SELECT c_custkey AS custkey, c_acctbal FROM customer WHERE c_custkey <= 700),
+      |o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+      |SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+      |  COALESCE(o.n_orders, 0) AS n_orders, c.c_acctbal
+      |FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** Single-scan column profiler over orders (see [[Profile]]). */
+  def profileOrders(s: SparkSession, dir: String): DataFrame =
+    Profile.summarize(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+      .orderBy("col_name")
+
+  val profileOrdersSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT CAST($c AS VARCHAR)) AS n_distinct,
+         |  MIN(CAST($c AS VARCHAR)) AS min_s, MAX(CAST($c AS VARCHAR)) AS max_s
+         |FROM orders""".stripMargin
+    Seq("o_orderstatus", "o_orderpriority", "o_custkey").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** Grouped array aggregation: distinct order years per priority,
+    * numerically sorted then joined — deterministic, string-comparable
+    * across engines.
+    */
+  def groupArrays(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_set(year(col("o_orderdate")))),
+            x => x.cast("string")), ",").as("years"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"))
+      .orderBy("o_orderpriority")
+
+  val groupArraysSql: String =
+    """SELECT o_orderpriority,
+      |  array_to_string(list_sort(list(DISTINCT year(o_orderdate))), ',') AS years,
+      |  COUNT(DISTINCT year(o_orderdate)) AS n_years
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -1062,7 +1125,10 @@ object Queries {
     "q42_pii_scrub" -> piiScrub _,
     "q43_pivot" -> pivotStatus _,
     "q44_unpivot" -> unpivotMeasures _,
-    "q45_histogram" -> histogramPrices _)
+    "q45_histogram" -> histogramPrices _,
+    "q46_full_outer" -> fullOuterOrders _,
+    "q47_profile" -> profileOrders _,
+    "q48_group_arrays" -> groupArrays _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -1106,5 +1172,8 @@ object Queries {
     "q42_pii_scrub" -> piiScrubSql,
     "q43_pivot" -> pivotStatusSql,
     "q44_unpivot" -> unpivotMeasuresSql,
-    "q45_histogram" -> histogramPricesSql)
+    "q45_histogram" -> histogramPricesSql,
+    "q46_full_outer" -> fullOuterOrdersSql,
+    "q47_profile" -> profileOrdersSql,
+    "q48_group_arrays" -> groupArraysSql)
 }

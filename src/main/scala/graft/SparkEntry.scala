@@ -10,8 +10,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2-§3. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (iterative fits, approximate LSH/ANN without recall guarantees) —
-    * driver records a weaker rows-only check for those. */
+    * the same parquet tables. Omitted only for the iterative k-modes
+    * fits (q14/q15/q33 — driver records a weaker rows-only check);
+    * every other query, including the approximate LSH/ANN/simhash
+    * paths, carries an exact oracle (replayed algorithm or certified
+    * 100%-recall parameters — see the per-query scaladoc). */
   def oracleSql: Map[String, String] = Queries.oracles
 }
