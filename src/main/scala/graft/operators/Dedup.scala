@@ -74,8 +74,11 @@ object Dedup {
         array((0 until numHashes).map(s => col(s"__h$s")): _*).as("sig"))
   }
 
-  /** (id, distinct shingle array) as a NARROW projection straight off the
-    * scan — the exact-verify payload, joined per candidate pair only.
+  /** (id, SORTED distinct shingle array) as a NARROW projection straight
+    * off the scan — the exact-verify payload, joined per candidate pair
+    * only. Sorted once per document here so pair verification can run
+    * the merge-walk [[graft.functions.SortedIntersectCount]] instead of
+    * building hash sets per pair.
     */
   private[operators] def shingleSets(
       df: DataFrame,
@@ -83,7 +86,7 @@ object Dedup {
       textCol: String,
       shingleSize: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+      array_sort(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
 
   /** LSH band keys over a materialized signature: split into `numBands`
     * bands of `rowsPerBand`, each band hashed to one bigint bucket key.
@@ -207,10 +210,17 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sa = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val sb = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // |A∪B| = |A| + |B| − |A∩B| on distinct arrays: ONE codegen'd
+    // merge-walk per pair replaces the array_intersect + array_union
+    // hash-set builds (the sets arrive sorted from shingleSets).
+    // Integer count and double division are identical to the
+    // intersect/union form, so the oracle arithmetic is unchanged.
+    val c = graft.functions.SetExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
     cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+        round(c.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - c), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -105,6 +105,29 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(cos.nullSafeEval(ad, bd).asInstanceOf[Double] - wantCos) < 1e-12)
   }
 
+  test("sortedIntersectCount agrees with array_intersect on random sets") {
+    val rnd = new scala.util.Random(11)
+    val cases = Seq.tabulate(40) { _ =>
+      def randSet = Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}").distinct.sorted
+      (randSet, randSet)
+    } :+ ((Seq.empty[String], Seq("a"))) :+ ((Seq.empty[String], Seq.empty[String]))
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      graft.functions.SetExpressions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+
+    // interpreted path must agree with codegen
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    cases.foreach { case (a, b) =>
+      val ad = new GenericArrayData(a.map(UTF8String.fromString).toArray[Any])
+      val bd = new GenericArrayData(b.map(UTF8String.fromString).toArray[Any])
+      val want = a.toSet.intersect(b.toSet).size
+      assert(graft.functions.SetKernels.intersectCountSorted(ad, bd) == want)
+    }
+  }
+
   test("cosine of zero vector is 0.0, not NaN") {
     val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
     assert(df.select(VectorFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0) == 0.0)
