@@ -1079,6 +1079,33 @@ object Queries {
       |  COUNT(DISTINCT year(o_orderdate)) AS n_years
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** 3-gram repetition scoring over documents — the templated/spam-text
+    * quality signal. Oracle replays distinct-shingles / windows with the
+    * shared DuckDB shingle expression.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(TextFunctions.shingles(col("text"), 3)).as("n_distinct_3grams"),
+        greatest(TextFunctions.tokenCount(col("text")) - 2, lit(1)).cast("int")
+          .as("n_windows"),
+        TextFunctions.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  val textRepetitionSql: String =
+    s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |sh AS (
+       |  SELECT doc_id, len($duckShingles) AS n_distinct_3grams,
+       |    greatest(len(toks) - 2, 1) AS n_windows
+       |  FROM tok)
+       |SELECT doc_id, CAST(n_distinct_3grams AS INT) AS n_distinct_3grams,
+       |  CAST(n_windows AS INT) AS n_windows,
+       |  floor((1.0 - CAST(n_distinct_3grams AS DOUBLE) / n_windows) * 10000) / 10000
+       |    AS rep_ratio
+       |FROM sh ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -1128,7 +1155,8 @@ object Queries {
     "q45_histogram" -> histogramPrices _,
     "q46_full_outer" -> fullOuterOrders _,
     "q47_profile" -> profileOrders _,
-    "q48_group_arrays" -> groupArrays _)
+    "q48_group_arrays" -> groupArrays _,
+    "q49_text_repetition" -> textRepetition _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -1175,5 +1203,6 @@ object Queries {
     "q45_histogram" -> histogramPricesSql,
     "q46_full_outer" -> fullOuterOrdersSql,
     "q47_profile" -> profileOrdersSql,
-    "q48_group_arrays" -> groupArraysSql)
+    "q48_group_arrays" -> groupArraysSql,
+    "q49_text_repetition" -> textRepetitionSql)
 }

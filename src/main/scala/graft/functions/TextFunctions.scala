@@ -87,6 +87,18 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** 3-gram repetition ratio in [0,1]: 1 − distinct-shingles /
+    * shingle-windows. The classic "templated/spam text" quality signal —
+    * highly repetitive documents (boilerplate, keyword stuffing,
+    * degenerate generations) score high. 4 decimals, floor-truncated
+    * like [[qualityScore]] for cross-engine determinism.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val windows = greatest(tokenCount(text) - (n - 1), lit(1)).cast("double")
+    val distinctShingles = size(shingles(text, n)).cast("double")
+    floor((lit(1.0) - distinctShingles / windows) * 10000).cast("double") / 10000
+  }
+
   /** PII patterns for training-data scrubbing. The regex subset is
     * deliberately backreference-free and class-based so the IDENTICAL
     * pattern string runs in both Java regex (Spark) and RE2 (DuckDB) —

@@ -62,6 +62,33 @@ object StreamOps {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click pairs with the same user's
+    * views from the `windowSeconds` before it (inclusive). Both sides
+    * carry watermarks, and the join condition bounds event-time range on
+    * both sides, so state for either stream is evicted once the
+    * watermark passes its possible match window — bounded state, the
+    * streaming analogue of [[graft.operators.RangeJoin]] (whose batch
+    * query q37 is the oracle-checked twin of this shape).
+    */
+  def clickViewJoin(
+      clicks: DataFrame,
+      views: DataFrame,
+      windowSeconds: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .alias("c")
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .alias("v")
+    c.join(v, expr(
+      s"""c.user_id = v.user_id AND
+         |view_ts > click_ts - interval $windowSeconds seconds AND
+         |view_ts <= click_ts""".stripMargin))
+      .select(col("click_id"), col("c.user_id").as("user_id"),
+        col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
   /** Gap-based sessionization per user via `flatMapGroupsWithState`
     * (SURVEY §3.2 "stateful" row): a session closes when no event
     * arrives within `gapMs` of its last event; closed sessions are

@@ -59,6 +59,34 @@ class StreamOpsSpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).sorted == Seq(1L, 2L, 3L))
   }
 
+  test("clickViewJoin: stream-stream interval join pairs in-window views only") {
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = StreamOps.clickViewJoin(
+      clicks.toDF(), views.toDF(), windowSeconds = 5 * 60, "2 minutes")
+    val name = s"ssj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val rows = try {
+      views.addData(Seq(
+        Event(10, ts(0), 1, "view", 0), Event(11, ts(4), 1, "view", 0),
+        Event(12, ts(4), 2, "view", 0), Event(13, ts(20), 1, "view", 0)))
+      clicks.addData(Seq(Event(1, ts(5), 1, "click", 0)))
+      q.processAllAvailable()
+      // advance both watermarks so all pairs flush
+      views.addData(Seq(Event(19, ts(60), 9, "view", 0)))
+      clicks.addData(Seq(Event(9, ts(60), 9, "click", 0)))
+      q.processAllAvailable()
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+    val pairs = rows.filter(_.getLong(1) == 1L)
+      .map(r => (r.getLong(0), r.getLong(2))).sorted
+    // click 1 (user 1 @5): view 11 (@4, in window); NOT 10 (@0 — exactly
+    // window-size before, excluded by the half-open (t-w, t] interval,
+    // same as RangeJoin), NOT 12 (other user), NOT 13 (@20, after)
+    assert(pairs == Seq((1L, 11L)), s"got $pairs")
+  }
+
   test("sessionize: gap closes a session, timeout flushes the last one") {
     val input = MemoryStream[Event]
     val sessions = StreamOps.sessionize(input.toDS(), gapMs = 5 * 60000L, "1 minutes")
