@@ -1106,6 +1106,74 @@ object Queries {
        |    AS rep_ratio
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** Window-function breadth: rank / dense_rank / lag / lead / ntile /
+    * cumulative sum over one deterministic ordering (q03 covers
+    * row_number; this covers the rest of the window family).
+    */
+  def windowZoo(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .where(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        ntile(4).over(w).as("quartile"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(wCum)
+          .cast("double").as("running_total"))
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
+  val windowZooSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  lag(o_orderkey, 1) OVER w AS prev_key,
+      |  lead(o_orderkey, 1) OVER w AS next_key,
+      |  ntile(4) OVER w AS quartile,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice DESC, o_orderkey ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total
+      |FROM orders WHERE o_orderkey <= 2000
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
+
+  /** Left + right outer joins in one query (full outer is q46): per
+    * customer slice, order counts with dangling customers kept (left);
+    * then a right join re-expressed against the supplier table.
+    */
+  def outerJoins(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").where(col("c_custkey") <= 400)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = t(s, dir, "orders").where(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders_95"))
+    val left = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("n_orders_95"), lit(0L)).as("n_orders_95"),
+        col("c_nationkey"))
+    val sup = t(s, dir, "supplier").select(col("s_nationkey"), col("s_suppkey"))
+    sup.join(left, col("c_nationkey") === col("s_nationkey"), "right")
+      .groupBy(col("c_custkey"), col("n_orders_95"))
+      .agg(count(col("s_suppkey")).as("n_same_nation_suppliers"))
+      .orderBy("c_custkey")
+  }
+
+  val outerJoinsSql: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey <= 400),
+      |o AS (SELECT o_custkey, COUNT(*) AS n_orders_95 FROM orders
+      |      WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+      |l AS (SELECT c_custkey, COALESCE(o.n_orders_95, 0) AS n_orders_95, c_nationkey
+      |      FROM c LEFT JOIN o ON c_custkey = o_custkey)
+      |SELECT c_custkey, n_orders_95, COUNT(s_suppkey) AS n_same_nation_suppliers
+      |FROM supplier RIGHT JOIN l ON c_nationkey = s_nationkey
+      |GROUP BY c_custkey, n_orders_95 ORDER BY c_custkey""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -1156,7 +1224,9 @@ object Queries {
     "q46_full_outer" -> fullOuterOrders _,
     "q47_profile" -> profileOrders _,
     "q48_group_arrays" -> groupArrays _,
-    "q49_text_repetition" -> textRepetition _)
+    "q49_text_repetition" -> textRepetition _,
+    "q50_window_zoo" -> windowZoo _,
+    "q51_outer_joins" -> outerJoins _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -1204,5 +1274,7 @@ object Queries {
     "q46_full_outer" -> fullOuterOrdersSql,
     "q47_profile" -> profileOrdersSql,
     "q48_group_arrays" -> groupArraysSql,
-    "q49_text_repetition" -> textRepetitionSql)
+    "q49_text_repetition" -> textRepetitionSql,
+    "q50_window_zoo" -> windowZooSql,
+    "q51_outer_joins" -> outerJoinsSql)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input robustness: every pipeline operator must return an
+  * EMPTY (not crashed, not null-poisoned) result on an empty input —
+  * at 100 TB a partition-pruned read routinely produces zero rows and
+  * an operator that throws on it kills the whole job.
+  */
+class EmptyInputSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  private def emptyVecs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)))))
+
+  test("dedup family returns empty on empty input") {
+    assert(Dedup.minhashLSH(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.exact(emptyDocs, Seq(col("text")), col("doc_id")).count() == 0)
+  }
+
+  test("connectedComponents of an empty pair list is empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
+
+  test("similarity family returns empty on empty corpus or queries") {
+    assert(Similarity.bruteForceTopK(emptyVecs, emptyVecs, "vec_id", "embedding", 5)
+      .count() == 0)
+    assert(Similarity.lshTopK(emptyVecs, emptyVecs, "vec_id", "embedding",
+      dim = 4, k = 5).count() == 0)
+    assert(Similarity.cosineNearDupPairs(emptyVecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.5).count() == 0)
+  }
+
+  test("sessionize and tfidf return empty on empty input") {
+    val ev = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("value", DoubleType))))
+    assert(Sessionize.sessions(ev, "user_id", "ts", "event_id", "value", 100L)
+      .count() == 0)
+    assert(TextAnalysis.topTerms(emptyDocs, "doc_id", "text", 5).count() == 0)
+  }
+
+  test("null-text documents never pair, with or without non-null peers") {
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashLSH(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").count() == 0)
+  }
+}
