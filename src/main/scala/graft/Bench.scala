@@ -13,9 +13,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
-    // untimed warmup: spin up executor threads + codegen/JIT baseline so
-    // the first timed query doesn't absorb JVM startup
-    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    // untimed warmup: spin up executor threads and JIT the shared
+    // machinery the timed queries run on — parquet scan, hash
+    // aggregation, shuffle, sort-merge/broadcast join, window exec,
+    // text kernels — so the first timed queries measure their plan,
+    // not JVM startup. Tiny slices keep this a few seconds.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1000000).selectExpr("sum(id * 2)").collect()
+      val o = Tables.table(spark, sfDir, "orders").limit(2000)
+      val c = Tables.table(spark, sfDir, "customer").limit(2000)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")), count(lit(1)))
+        .collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      o.select(row_number().over(w), rank().over(w)).collect()
+      Tables.table(spark, sfDir, "documents").limit(200)
+        .select(graft.functions.TextFunctions.shingles(col("text"), 3),
+          graft.functions.TextFunctions.tokens(col("text")),
+          xxhash64(col("text")))
+        .collect()
+    }
     // sorted order: stable attribution across rounds. Timed against the
     // noop sink: every row is fully materialized through the whole plan
     // (sorts, projections, top-level exprs included) — `count()` would
