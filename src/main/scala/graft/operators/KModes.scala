@@ -274,6 +274,40 @@ class KModesModel(
       Distances.assign(f, centersLit).getField("prediction"))
   }
 
+  /** Reference-fidelity alias for the fitted centers
+    * (`model.clusters` upstream [UP EnsembleKModes attrs ~L280-360 |
+    * conf=M-H]).
+    */
+  def clusters: Array[Array[String]] = clusterCenters
+
+  /** Single-record assignment (upstream `model.predict` took one record
+    * or an RDD [UP ~L330-350 | conf=H]; the RDD form is [[transform]]).
+    * Driver-side, no Spark job: argmin of Hamming distance with the
+    * same tie-breaking as the distributed path (lowest cluster id).
+    */
+  def predict(features: Seq[String]): Int = {
+    val f = features.map(v =>
+      if (v == null) ArrayModeAggregator.NullSentinel else v)
+    var best = 0
+    var bestD = Int.MaxValue
+    var i = 0
+    while (i < clusterCenters.length) {
+      val c = clusterCenters(i)
+      // same semantics as HammingKernels.hamming: |len diff| + mismatch
+      // per shared position; ties keep the lowest cluster id
+      var d = math.abs(f.length - c.length)
+      var j = 0
+      val n = math.min(f.length, c.length)
+      while (j < n) {
+        if (f(j) != c(j)) d += 1
+        j += 1
+      }
+      if (d < bestD) { best = i; bestD = d }
+      i += 1
+    }
+    best
+  }
+
   /** Mean Hamming distance of `dataset` to its assigned centers (R13). */
   def computeCost(dataset: Dataset[_]): Double = {
     val f = F.transform(col($(featuresCol)),

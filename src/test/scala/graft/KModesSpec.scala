@@ -113,6 +113,18 @@ class KModesSpec extends SparkSuite {
     assert(r.centers.map(_.toSeq).distinct.length == 2)
   }
 
+  test("scalar predict agrees with distributed transform row by row") {
+    val df = plantedDf(300, 4, 3, 67)
+    val model = new KModes().setK(3).setMaxIter(10).setSeed(7L).fit(df)
+    val rows = model.transform(df)
+      .select("features", "prediction").as[(Seq[String], Int)].collect()
+    rows.foreach { case (f, p) =>
+      assert(model.predict(f) == p, s"scalar/distributed disagree on $f")
+    }
+    assert(model.clusters.map(_.toSeq).toSeq ==
+      model.clusterCenters.map(_.toSeq).toSeq)
+  }
+
   test("model save/load roundtrip preserves centers, cost, and transform") {
     val df = plantedDf(200, 4, 2, 61)
     val model = new KModes().setK(2).setMaxIter(10).setSeed(7L).fit(df)
