@@ -478,9 +478,11 @@ object Queries {
        |    CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT AS h
        |  FROM tok),
        |bits AS (
+       |  -- range(60), not 64: the hash is 60-bit by construction, so
+       |  -- bits 60-63 never set (and 1::BIGINT << 63 would overflow)
        |  SELECT doc_id, b.bit,
        |    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-       |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+       |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit) b
        |  GROUP BY doc_id, b.bit),
        |sim AS (
        |  SELECT doc_id,
@@ -609,9 +611,11 @@ object Queries {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
       |scored AS (
+      |  -- COALESCE: 0/0 on a zero-norm vector is NULL in DuckDB but 0.0
+      |  -- by convention in the engine's cosine kernel
       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-      |    list_dot_product(q.v, e.v) /
-      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+      |    COALESCE(list_dot_product(q.v, e.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 0.0) AS cos
       |  FROM q JOIN e ON e.vec_id <> q.vec_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, cos,
@@ -643,8 +647,17 @@ object Queries {
     val numBlocks = 8
     val planesPerBlock = 8
     val planes = Similarity.hyperplanes(numBlocks * planesPerBlock, 64, 42L)
+    // E-notation forces DuckDB to parse each literal directly as DOUBLE;
+    // a bare decimal goes through DECIMAL first, whose >2^53 numerators
+    // round BEFORE the divide (verified: -0.9999999999999999 parses to
+    // -1.0 that way) — a 1-ulp plane error could flip a near-zero dot's
+    // sign and change a band key
+    def lit(d: Double): String = {
+      val s = d.toString
+      if (s.contains("E") || s.contains("e")) s else s + "E0"
+    }
     val planeRows = planes.zipWithIndex.map { case (p, i) =>
-      s"(${i / planesPerBlock}, ${i % planesPerBlock}, [${p.mkString(", ")}])"
+      s"(${i / planesPerBlock}, ${i % planesPerBlock}, [${p.map(lit).mkString(", ")}])"
     }.mkString(",\n  ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |planes(block_idx, bit, coords) AS (VALUES
@@ -661,8 +674,8 @@ object Queries {
        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
        |scored AS (
        |  SELECT cand.query_id, cand.neighbor_id,
-       |    list_dot_product(qe.v, ce.v) /
-       |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+       |    COALESCE(list_dot_product(qe.v, ce.v) /
+       |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 0.0) AS cos
        |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
        |            JOIN e ce ON ce.vec_id = cand.neighbor_id),
        |ranked AS (
@@ -709,8 +722,8 @@ object Queries {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |p AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |    round(list_dot_product(a.v, b.v) /
-      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |    round(COALESCE(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 0.0), 6) AS cos
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
@@ -867,16 +880,16 @@ object Queries {
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts, value FROM events),
       |l AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, event_id, ts, value,
       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
       |  FROM e),
       |f AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN prev IS NULL OR ts - prev > 1800000000 THEN 1 ELSE 0 END AS brk
       |  FROM l),
       |sess AS (
       |  SELECT user_id, ts, value,
-      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM f)
       |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,

@@ -282,30 +282,18 @@ class KModesModel(
 
   /** Single-record assignment (upstream `model.predict` took one record
     * or an RDD [UP ~L330-350 | conf=H]; the RDD form is [[transform]]).
-    * Driver-side, no Spark job: argmin of Hamming distance with the
-    * same tie-breaking as the distributed path (lowest cluster id).
+    * Driver-side, no Spark job — delegates to the SAME
+    * [[graft.functions.HammingKernels]] the distributed transform
+    * executes, so distance and tie-break semantics cannot diverge.
     */
   def predict(features: Seq[String]): Int = {
-    val f = features.map(v =>
-      if (v == null) ArrayModeAggregator.NullSentinel else v)
-    var best = 0
-    var bestD = Int.MaxValue
-    var i = 0
-    while (i < clusterCenters.length) {
-      val c = clusterCenters(i)
-      // same semantics as HammingKernels.hamming: |len diff| + mismatch
-      // per shared position; ties keep the lowest cluster id
-      var d = math.abs(f.length - c.length)
-      var j = 0
-      val n = math.min(f.length, c.length)
-      while (j < n) {
-        if (f(j) != c(j)) d += 1
-        j += 1
-      }
-      if (d < bestD) { best = i; bestD = d }
-      i += 1
-    }
-    best
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val f = new GenericArrayData(features.map(v => UTF8String.fromString(
+      if (v == null) ArrayModeAggregator.NullSentinel else v)).toArray[Any])
+    val cs = new GenericArrayData(clusterCenters.map(c =>
+      new GenericArrayData(c.map(UTF8String.fromString).toArray[Any])).toArray[Any])
+    graft.functions.HammingKernels.assign(f, cs).getInt(0)
   }
 
   /** Mean Hamming distance of `dataset` to its assigned centers (R13). */
