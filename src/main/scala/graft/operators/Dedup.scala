@@ -361,13 +361,27 @@ object Dedup {
           .withColumnRenamed("group_id", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
+      // pointer jumping (shortcut): also adopt the label OF my label —
+      // label values are themselves vertex ids, so one extra self-join
+      // halves every label chain. Plain neighbor-min alone needs
+      // O(diameter) passes (a boundary-similarity chain A~B~C~… can
+      // have diameter in the thousands on a web corpus); with the jump
+      // the distance-to-root shrinks geometrically ⇒ O(log diameter)
+      // passes. Monotone (labels only decrease within the component),
+      // so the fixpoint — the component minimum — is unchanged, which
+      // the q35 recursive-CTE oracle verifies end to end.
+      val jumped = propagated.as("a")
+        .join(propagated.select(col("id").as("gid"), col("group_id").as("gg")),
+          col("a.group_id") === col("gid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.group_id"), coalesce(col("gg"), col("a.group_id"))).as("group_id"))
       // checkpoint FIRST (truncates the iterative lineage and runs the
       // pass exactly once), then count changes against the materialized
       // result — counting off the lazy plan would execute the pass twice
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
-        .localCheckpoint(true)
+      val updated = jumped.localCheckpoint(true)
       val changed = updated.join(labels.withColumnRenamed("group_id", "old"), Seq("id"))
         .where(col("group_id") =!= col("old")).limit(1).count()
       labels = updated
@@ -375,8 +389,9 @@ object Dedup {
       iter += 1
     }
     require(converged,
-      s"connectedComponents did not converge in $maxIter passes — a component " +
-        "has diameter > maxIter; raise maxIter")
+      s"connectedComponents did not converge in $maxIter passes — " +
+        "raise maxIter (with pointer jumping this bounds components of " +
+        s"diameter ~2^$maxIter)")
     labels
   }
 

@@ -32,4 +32,27 @@ object Profile {
         countDistinct(col("value")).as("n_distinct"),
         min(col("value")).as("min_s"),
         max(col("value")).as("max_s"))
+
+  /** The 100 TB variant: identical shape but HyperLogLog++ distinct
+    * counts (`approx_count_distinct`). Exact `countDistinct` rewrites
+    * into an Expand + second aggregation keyed by every distinct value —
+    * shuffle volume proportional to the column's cardinality, which for
+    * an id-like column is the table itself. The HLL sketch is a
+    * fixed-size, map-side-mergeable buffer regardless of cardinality.
+    * Engine-specific sketch ⇒ not DuckDB-oracle-registrable; its error
+    * is bounded by spec instead (ProfileSpec, rsd-based).
+    */
+  def summarizeApprox(
+      df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    df.unpivot(
+        Array.empty,
+        cols.map(c => col(c).cast("string").as(c)).toArray,
+        "col_name", "value")
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        approx_count_distinct(col("value"), rsd).as("n_distinct_approx"),
+        min(col("value")).as("min_s"),
+        max(col("value")).as("max_s"))
 }

@@ -99,14 +99,20 @@ class DedupSpec extends SparkSuite {
   }
 
   test("connectedComponents raises on non-convergence instead of wrong labels") {
-    val chain = (0L until 10L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
+    val chain = (0L until 200L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
     val err = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, maxIter = 3).collect()
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
     }
     assert(err.getMessage.contains("converge"))
-    val ok = Dedup.connectedComponents(chain, maxIter = 15)
+  }
+
+  test("connectedComponents: pointer jumping converges a 200-chain in O(log d)") {
+    // plain neighbor-min propagation would need 199 passes here; with
+    // the per-pass label-of-label jump the default maxIter=25 is ample
+    val chain = (0L until 200L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
+    val ok = Dedup.connectedComponents(chain)
       .as[(Long, Long)].collect().toMap
-    assert(ok.values.toSet == Set(0L))
+    assert(ok.size == 200 && ok.values.toSet == Set(0L))
   }
 
   test("null-text documents never pair") {
