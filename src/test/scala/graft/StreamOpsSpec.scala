@@ -59,6 +59,41 @@ class StreamOpsSpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).sorted == Seq(1L, 2L, 3L))
   }
 
+  test("sessionize state survives a query restart from checkpoint") {
+    // kill the query mid-stream, restart from the same checkpoint, and
+    // the open session must resume (not reset) — the recovery guarantee
+    // a long-running ingest pipeline leans on
+    // memory sink has no recovery; the file sink does — write parquet
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val input = MemoryStream[Event]
+    val sessions = StreamOps.sessionize(input.toDS(), gapMs = 5 * 60000L, "1 minutes")
+
+    def start() = sessions.toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    input.addData(Seq(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(2), 1, "click", 2.0)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    try {
+      // event 3 extends the SAME session (within gap of event 2's ts);
+      // then a far-future event times everything out
+      input.addData(Seq(Event(3, ts(4), 1, "view", 4.0)))
+      q2.processAllAvailable()
+      input.addData(Seq(Event(9, ts(120), 2, "click", 0.5)))
+      q2.processAllAvailable()
+      val u1 = spark.read.parquet(out).collect().filter(_.getLong(0) == 1L)
+        .map(r => (r.getTimestamp(1).getTime / 60000 - Base,
+          r.getTimestamp(2).getTime / 60000 - Base, r.getInt(3), r.getDouble(4)))
+      assert(u1.toSeq == Seq((0L, 4L, 3, 7.0)),
+        s"session did not survive restart intact: ${u1.toSeq}")
+    } finally q2.stop()
+  }
+
   test("clickViewJoin: stream-stream interval join pairs in-window views only") {
     val clicks = MemoryStream[Event]
     val views = MemoryStream[Event]
