@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Dedup, Sessionize, SkewJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Randomized property checks against independent driver-side
+  * reference implementations — many small random instances instead of
+  * a few hand-picked ones.
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    val rnd = new Random(101)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(20 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        // reference: plain union-find with min-label components
+        val parent = Array.tabulate(n.toInt)(identity)
+        def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = vertices.map(v => v -> find(v.toInt).toLong).toMap
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"trial $trial: $edges")
+      }
+    }
+  }
+
+  test("sessions partition the events and respect the gap on random inputs") {
+    val rnd = new Random(202)
+    val gap = 100L
+    (1 to 3).foreach { trial =>
+      val events = Seq.tabulate(120) { i =>
+        (i.toLong, rnd.nextInt(2000).toLong, (1 + rnd.nextInt(3)).toLong,
+          rnd.nextInt(10).toDouble)
+      }
+      val df = events.toDF("event_id", "ts", "user_id", "value")
+      val sessions = Sessionize.sessions(df, "user_id", "ts", "event_id", "value", gap)
+        .as[(Long, Long, Long, Int, Double)].collect()
+      // every event in exactly one session
+      assert(sessions.map(_._4).sum == events.size, s"trial $trial: lost events")
+      // per-user value totals preserved (decimal-exact for these inputs)
+      val wantTotals = events.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+      val gotTotals = sessions.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+      wantTotals.foreach { case (u, w) =>
+        assert(math.abs(gotTotals(u) - w) < 1e-9, s"trial $trial user $u totals")
+      }
+      sessions.groupBy(_._1).foreach { case (u, ss) =>
+        val sorted = ss.sortBy(_._2)
+        // sessions are ordered, non-overlapping, separated by > gap
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b._2 - a._3 > gap, s"trial $trial user $u: gap violated")
+          case _ =>
+        }
+        // every session internally has no hole > gap is implied by the
+        // event-level construction; bounds must be consistent
+        sorted.foreach(s => assert(s._2 <= s._3))
+      }
+    }
+  }
+
+  test("salted join equals plain join on random keyed data") {
+    val rnd = new Random(303)
+    (1 to 3).foreach { trial =>
+      val probe = Seq.fill(200)((rnd.nextInt(20).toLong, rnd.nextInt(100).toLong))
+        .toDF("k", "pv")
+      val build = Seq.fill(40)((rnd.nextInt(25).toLong, rnd.nextInt(100).toLong))
+        .toDF("k", "bv")
+      val salted = SkewJoin.saltedInnerJoin(probe, build, Seq("k"),
+          numSalts = 1 + rnd.nextInt(8))
+        .select("k", "pv", "bv").as[(Long, Long, Long)].collect().sorted.toSeq
+      val plain = probe.join(build, Seq("k"))
+        .select("k", "pv", "bv").as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(salted == plain, s"trial $trial diverged")
+    }
+  }
+}
