@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata; decode / feature
   * extraction / frame sampling run as batched per-partition transforms.
   *
-  * The actual media decode is STUBBED (`decodeStub` — the image/audio
-  * libraries are not in this container): it derives deterministic fake
-  * features from the raw bytes. Everything around it is real and tested:
-  * the schema contract, the `mapPartitions` batch shape (one buffer reused
-  * per partition, no per-row allocation of the decode context), the
+  * Decode is REAL for uncompressed PCM WAV audio ([[decodeWav]] — RIFF
+  * is a trivial byte-level format needing no codec library) and STUBBED
+  * for compressed formats (`decodeStub` — the image/video codec
+  * libraries are not in this container; it derives deterministic fake
+  * features from the raw bytes). [[decode]] dispatches on the RIFF
+  * magic. Everything around the stub is real and tested: the schema
+  * contract, the `mapPartitions` batch shape (one buffer reused per
+  * partition, no per-row allocation of the decode context), the
   * partition sizing notes, and the downstream columnar handoff.
   *
   * 100 TB design notes:
@@ -59,6 +62,73 @@ object Multimodal {
     (nFrames, feats)
   }
 
+  /** Parsed PCM WAV header. `nFrames` = sample frames (per channel). */
+  final case class WavInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, nFrames: Int)
+
+  /** REAL decoder for uncompressed PCM WAV (RIFF): pure byte-level
+    * parsing — no codec dependency. Walks the chunk list for `fmt ` and
+    * `data`, then computes actual audio features over the samples:
+    * [duration s, RMS, peak, zero-crossing rate, channels,
+    * sampleRate/1000, bits, 0] (fixed [[FeatureDim]] width so the
+    * downstream contract is decoder-independent). Returns None for
+    * anything that is not a well-formed PCM WAV (compressed audio,
+    * truncated files) — the caller falls back to the stub.
+    */
+  def decodeWav(media: Array[Byte]): Option[(WavInfo, Array[Float])] = {
+    def le32(o: Int) = (media(o) & 0xff) | ((media(o + 1) & 0xff) << 8) |
+      ((media(o + 2) & 0xff) << 16) | ((media(o + 3) & 0xff) << 24)
+    def le16(o: Int) = (media(o) & 0xff) | ((media(o + 1) & 0xff) << 8)
+    def tag(o: Int) = new String(media, o, 4, "US-ASCII")
+    if (media.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var info: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+    var data: Option[(Int, Int)] = None      // (offset, len)
+    while (off + 8 <= media.length && (info.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val len = le32(off + 4)
+      if (len < 0 || off + 8 + len > media.length) return None
+      if (id == "fmt " && len >= 16) {
+        if (le16(off + 8) != 1) return None // 1 = uncompressed PCM
+        info = Some((le32(off + 12), le16(off + 10), le16(off + 22)))
+      } else if (id == "data") {
+        data = Some((off + 8, len))
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    for ((rate, channels, bits) <- info; (dOff, dLen) <- data;
+         if rate > 0 && channels > 0 && bits == 16) yield {
+      val nSamples = dLen / 2
+      val nFrames = nSamples / channels
+      var sumSq = 0.0; var peak = 0.0; var crossings = 0L; var prevNeg = false
+      var i = 0
+      while (i < nSamples) {
+        val s = (le16(dOff + i * 2).toShort).toDouble / 32768.0
+        sumSq += s * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+        i += 1
+      }
+      val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+      val zcr = if (nSamples <= 1) 0.0 else crossings.toDouble / (nSamples - 1)
+      val duration = nFrames.toDouble / rate
+      val feats = Array[Float](duration.toFloat, rms.toFloat, peak.toFloat,
+        zcr.toFloat, channels.toFloat, rate / 1000.0f, bits.toFloat, 0.0f)
+      (WavInfo(rate, channels, bits, nFrames), feats)
+    }
+  }
+
+  /** Format dispatch: real WAV parse when the RIFF magic matches,
+    * deterministic stub otherwise.
+    */
+  def decode(media: Array[Byte]): (Int, Array[Float]) =
+    (if (media.length >= 12 && media(0) == 'R' && media(1) == 'I' &&
+         media(2) == 'F' && media(3) == 'F')
+       decodeWav(media).map { case (info, feats) => (info.nFrames, feats) }
+     else None).getOrElse(decodeStub(media))
+
   /** Decode + feature-extract, one batched pass per partition. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     assets.mapPartitions { it =>
@@ -67,7 +137,7 @@ object Multimodal {
       val md5 = java.security.MessageDigest.getInstance("MD5")
       it.map { a =>
         val media = if (a.media == null) Array.emptyByteArray else a.media
-        val (nFrames, feats) = decodeStub(media)
+        val (nFrames, feats) = decode(media)
         md5.reset()
         val hash = md5.digest(media).map("%02x".format(_)).mkString
         MediaFeatures(a.asset_id, a.kind, media.length.toLong, hash, nFrames, feats)

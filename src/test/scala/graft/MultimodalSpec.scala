@@ -35,6 +35,54 @@ class MultimodalSpec extends SparkSuite {
     assert(frames(1)._3.head == asset(7L, 1000).media(2 * Multimodal.FrameBytes))
   }
 
+  /** Minimal 16-bit PCM mono WAV built byte-by-byte in the test. */
+  private def sineWav(rateHz: Int, freqHz: Double, seconds: Double,
+      amplitude: Double): Array[Byte] = {
+    val nFrames = (rateHz * seconds).toInt
+    val dataLen = nFrames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rateHz).putInt(rateHz * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until nFrames).foreach { i =>
+      val s = amplitude * math.sin(2 * math.Pi * freqHz * i / rateHz)
+      bb.putShort((s * 32767).toShort)
+    }
+    bb.array()
+  }
+
+  test("decodeWav: real PCM parse recovers duration, RMS, peak, ZCR") {
+    val wav = sineWav(rateHz = 8000, freqHz = 440, seconds = 0.5, amplitude = 0.5)
+    val Some((info, feats)) = Multimodal.decodeWav(wav)
+    assert(info == Multimodal.WavInfo(8000, 1, 16, 4000))
+    assert(math.abs(feats(0) - 0.5f) < 1e-6, s"duration ${feats(0)}")
+    assert(math.abs(feats(1) - 0.5 / math.sqrt(2)) < 0.01, s"rms ${feats(1)}")
+    assert(math.abs(feats(2) - 0.5) < 0.01, s"peak ${feats(2)}")
+    // sine crosses zero 2f times per second: zcr ~ 2*440/8000
+    assert(math.abs(feats(3) - 0.11) < 0.01, s"zcr ${feats(3)}")
+
+    // and through the distributed pipeline: RIFF magic dispatches to the
+    // real decoder, frame count = sample frames, not byte-stride frames
+    val out = Multimodal.extractFeatures(
+      Seq(MediaAsset(1L, "audio", wav)).toDS()).collect().head
+    assert(out.n_frames == 4000)
+    assert(out.features.toSeq == feats.toSeq)
+  }
+
+  test("decodeWav rejects malformed/compressed input; stub takes over") {
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty) // truncated
+    val nonPcm = sineWav(8000, 440, 0.1, 0.5)
+    nonPcm(20) = 2 // audioFormat = 2 (ADPCM) -> not PCM
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+    val out = Multimodal.extractFeatures(
+      Seq(MediaAsset(2L, "audio", nonPcm)).toDS()).collect().head
+    assert(out.n_frames == (nonPcm.length + 255) / 256) // stub fallback
+  }
+
   test("documentFeatures wires the documents table shape end-to-end") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val out = Multimodal.documentFeatures(spark, docs).collect().sortBy(_.asset_id)
