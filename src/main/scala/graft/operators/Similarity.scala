@@ -115,6 +115,16 @@ object Similarity {
     * Scale path for corpus-sized query sets where broadcast is impossible:
     * both sides shuffle on (block_idx, block_key) — an equi-join, never a
     * cross join.
+    *
+    * `multiProbe` > 0 additionally probes, per block, the `multiProbe`
+    * buckets whose key differs from the query's in ONE plane sign (the
+    * nearest-miss buckets — a vector near a hyperplane falls on either
+    * side with ~equal probability). Query-side only: the corpus index is
+    * unchanged; each query row fans out ×(1 + multiProbe) in the
+    * candidate join. Recall at fixed blocks rises roughly like adding
+    * multiProbe extra blocks, for a fraction of the corpus-side cost —
+    * the standard memory/recall trade (Lv et al., multi-probe LSH,
+    * VLDB'07; public technique).
     */
   def lshTopK(
       corpus: DataFrame,
@@ -126,7 +136,10 @@ object Similarity {
       numBlocks: Int = 8,
       planesPerBlock: Int = 8,
       seed: Long = 42L,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      multiProbe: Int = 0): DataFrame = {
+    require(multiProbe <= planesPerBlock,
+      "multiProbe flips one plane each — at most planesPerBlock probes")
     // Candidate generation carries ONLY (id, block) — vectors are
     // hydrated per candidate pair afterwards, so the heavy embedding
     // payload never rides the numBlocks-duplicated explode/join shuffle
@@ -143,7 +156,13 @@ object Similarity {
           .as(Seq("band_idx", "band_hash")))
     val c = Dedup.keepCappedBuckets(explodeBlocks(corpus), maxBucketSize, minSize = 1)
       .withColumnRenamed("id", "neighbor_id")
+    // query side: the exact bucket plus (optionally) the multiProbe
+    // single-plane-flip neighbor buckets
+    val probeKeys = (0 until multiProbe).map(r => col("band_hash")
+      .bitwiseXOR(lit(1L << r)))
     val q = explodeBlocks(queries).withColumnRenamed("id", "query_id")
+      .select(col("query_id"), col("band_idx"),
+        explode(array(col("band_hash") +: probeKeys: _*)).as("band_hash"))
     val cand = c.join(q, Seq("band_idx", "band_hash"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))

@@ -80,6 +80,27 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall") // same-cluster neighbors collide in blocks
   }
 
+  test("multi-probe raises recall at a fixed (small) block budget") {
+    def recallAt(blocks: Int, probes: Int): Double = {
+      val brute = (0L until 5L).map(q => q -> bruteTopK(q, 5).toSet).toMap
+      val got = Similarity.lshTopK(df, df.where(col("vec_id") < 5),
+          "vec_id", "embedding", dim = dim, k = 5,
+          numBlocks = blocks, planesPerBlock = 6, multiProbe = probes)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (0L until 5L).map { q =>
+        got.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 5
+      }.sum / 5
+    }
+    // ONE block of 6 planes: exact-bucket recall is poor; probing the 6
+    // single-plane-flip buckets recovers most of it without touching
+    // the corpus index
+    val exact = recallAt(blocks = 1, probes = 0)
+    val probed = recallAt(blocks = 1, probes = 6)
+    assert(probed > exact, s"multi-probe did not help: $exact -> $probed")
+    assert(probed >= 0.7, s"probed recall $probed")
+  }
+
   test("cosineNearDupPairs finds same-cluster pairs, none below threshold") {
     val got = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
         dim = dim, threshold = 0.95, numBlocks = 8, planesPerBlock = 4)
