@@ -465,6 +465,31 @@ object Queries {
     * bit_count). Bucket-cap divergence is impossible at the verify SF
     * (a 16-bit block bucket would need >1000 colliding docs out of 500).
     */
+  /** The capstone dedup operation: the corpus with near-duplicates
+    * REMOVED (canonical member per group survives). Oracle: the q35
+    * recursive-CTE component labels, anti-joined the same way.
+    */
+  def dedupCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.deduplicate(t(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val dedupCorpusSql: String = {
+    val pairs = allPairsJaccardSql(0.7).replace("ORDER BY id_a, id_b", "")
+    s"""WITH RECURSIVE pairs AS ($pairs),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.u),
+       |labels AS (SELECT v AS id, min(u) AS group_id FROM reach GROUP BY v)
+       |SELECT doc_id, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> group_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3,
         tokenHash = md5Hash60)
@@ -1239,7 +1264,8 @@ object Queries {
     "q48_group_arrays" -> groupArrays _,
     "q49_text_repetition" -> textRepetition _,
     "q50_window_zoo" -> windowZoo _,
-    "q51_outer_joins" -> outerJoins _)
+    "q51_outer_joins" -> outerJoins _,
+    "q52_dedup_corpus" -> dedupCorpus _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -1289,5 +1315,6 @@ object Queries {
     "q48_group_arrays" -> groupArraysSql,
     "q49_text_repetition" -> textRepetitionSql,
     "q50_window_zoo" -> windowZooSql,
-    "q51_outer_joins" -> outerJoinsSql)
+    "q51_outer_joins" -> outerJoinsSql,
+    "q52_dedup_corpus" -> dedupCorpusSql)
 }

@@ -395,6 +395,24 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-duplicate REMOVAL — the operation a training-data
+    * pipeline actually runs: MinHash-LSH pairs → connected components →
+    * keep each group's canonical member (minimum id). Documents that
+    * pair with nothing (including null-text docs) survive untouched.
+    * One anti-join over the (tiny) non-canonical label set; the corpus
+    * is never shuffled beyond the LSH pipeline itself.
+    */
+  def deduplicate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val labels = connectedComponents(minhashLSH(df, idCol, textCol, threshold = threshold))
+    val losers = labels.where(col("id") =!= col("group_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity over blocked candidates: `numBlocks`
     * INDEPENDENT seeded min-hash blocking keys (each key = min over
     * shingles of xxhash64(shingle, seed_b)), candidates = pairs sharing

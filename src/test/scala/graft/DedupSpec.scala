@@ -115,6 +115,18 @@ class DedupSpec extends SparkSuite {
     assert(ok.size == 200 && ok.values.toSet == Set(0L))
   }
 
+  test("deduplicate keeps one canonical doc per near-dup group, nulls survive") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (3L, "a completely different document about spark execution plans"),
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.deduplicate(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(1L, 3L, 4L))
+  }
+
   test("null-text documents never pair") {
     val withNulls = docs.union(Seq((300L, null.asInstanceOf[String]),
       (301L, null.asInstanceOf[String])).toDF("doc_id", "text"))
