@@ -430,7 +430,11 @@ object Queries {
         Dedup.minhashLSH(t(s, dir, "documents"), "doc_id", "text", threshold = 0.7))
       .orderBy("id")
 
-  val dedupGroupsSql: String = {
+  /** Shared recursive-CTE prefix computing (id, group_id) component
+    * labels over the exact all-pairs >= 0.7 edge set — the single
+    * source of truth for the q35 and q52 oracles.
+    */
+  private def componentLabelsSqlPrefix: String = {
     val pairs = allPairsJaccardSql(0.7)
       .replace("ORDER BY id_a, id_b", "")
     s"""WITH RECURSIVE pairs AS ($pairs),
@@ -440,9 +444,28 @@ object Queries {
        |reach(v, u) AS (
        |  SELECT src, src FROM edges
        |  UNION
-       |  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.u)
-       |SELECT v AS id, min(u) AS group_id FROM reach GROUP BY v ORDER BY id""".stripMargin
+       |  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.u),
+       |labels AS (SELECT v AS id, min(u) AS group_id FROM reach GROUP BY v)""".stripMargin
   }
+
+  val dedupGroupsSql: String =
+    s"""$componentLabelsSqlPrefix
+       |SELECT id, group_id FROM labels ORDER BY id""".stripMargin
+
+  /** The capstone dedup operation: the corpus with near-duplicates
+    * REMOVED (canonical member per group survives). Oracle: the q35
+    * recursive-CTE component labels, anti-joined the same way.
+    */
+  def dedupCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.deduplicate(t(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val dedupCorpusSql: String =
+    s"""$componentLabelsSqlPrefix
+       |SELECT doc_id, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> group_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Replayable 60-bit token hash: int(md5(token)[0:15], 16). Both
     * engines compute the identical value (Spark conv / DuckDB hex cast),
@@ -465,31 +488,6 @@ object Queries {
     * bit_count). Bucket-cap divergence is impossible at the verify SF
     * (a 16-bit block bucket would need >1000 colliding docs out of 500).
     */
-  /** The capstone dedup operation: the corpus with near-duplicates
-    * REMOVED (canonical member per group survives). Oracle: the q35
-    * recursive-CTE component labels, anti-joined the same way.
-    */
-  def dedupCorpus(s: SparkSession, dir: String): DataFrame =
-    Dedup.deduplicate(t(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
-      .select(col("doc_id"), col("n_chars"))
-      .orderBy("doc_id")
-
-  val dedupCorpusSql: String = {
-    val pairs = allPairsJaccardSql(0.7).replace("ORDER BY id_a, id_b", "")
-    s"""WITH RECURSIVE pairs AS ($pairs),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
-       |reach(v, u) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.u),
-       |labels AS (SELECT v AS id, min(u) AS group_id FROM reach GROUP BY v)
-       |SELECT doc_id, n_chars FROM documents
-       |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> group_id)
-       |ORDER BY doc_id""".stripMargin
-  }
-
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3,
         tokenHash = md5Hash60)

@@ -361,9 +361,14 @@ object Dedup {
           .withColumnRenamed("group_id", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
+      // checkpoint BEFORE the self-join: `propagated` feeds both sides
+      // of the pointer jump below, and lazy it would execute the
+      // neighbor-min join twice per pass. The label table is narrow
+      // (two longs per vertex), so the materialization is cheap.
       val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
+        .localCheckpoint(true)
       // pointer jumping (shortcut): also adopt the label OF my label —
       // label values are themselves vertex ids, so one extra self-join
       // halves every label chain. Plain neighbor-min alone needs
@@ -378,9 +383,8 @@ object Dedup {
           col("a.group_id") === col("gid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.group_id"), coalesce(col("gg"), col("a.group_id"))).as("group_id"))
-      // checkpoint FIRST (truncates the iterative lineage and runs the
-      // pass exactly once), then count changes against the materialized
-      // result — counting off the lazy plan would execute the pass twice
+      // checkpoint again (the jumped table is consumed by both the
+      // convergence check and the next pass), truncating the lineage
       val updated = jumped.localCheckpoint(true)
       val changed = updated.join(labels.withColumnRenamed("group_id", "old"), Seq("id"))
         .where(col("group_id") =!= col("old")).limit(1).count()

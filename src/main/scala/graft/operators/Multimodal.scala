@@ -87,32 +87,40 @@ object Multimodal {
     while (off + 8 <= media.length && (info.isEmpty || data.isEmpty)) {
       val id = tag(off)
       val len = le32(off + 4)
-      if (len < 0 || off + 8 + len > media.length) return None
+      // bounds math in Long: a corrupt len near Int.MaxValue would wrap
+      // `off + 8 + len` negative and slip past an Int comparison,
+      // turning the documented None-fallback into an array crash
+      if (len < 0 || off.toLong + 8L + len > media.length) return None
       if (id == "fmt " && len >= 16) {
         if (le16(off + 8) != 1) return None // 1 = uncompressed PCM
         info = Some((le32(off + 12), le16(off + 10), le16(off + 22)))
       } else if (id == "data") {
         data = Some((off + 8, len))
       }
-      off += 8 + len + (len & 1) // chunks are word-aligned
+      off += 8 + len + (len & 1) // chunks are word-aligned; len bounded above
     }
     for ((rate, channels, bits) <- info; (dOff, dLen) <- data;
          if rate > 0 && channels > 0 && bits == 16) yield {
       val nSamples = dLen / 2
       val nFrames = nSamples / channels
-      var sumSq = 0.0; var peak = 0.0; var crossings = 0L; var prevNeg = false
+      var sumSq = 0.0; var peak = 0.0; var crossings = 0L
       var i = 0
       while (i < nSamples) {
         val s = (le16(dOff + i * 2).toShort).toDouble / 32768.0
         sumSq += s * s
         if (math.abs(s) > peak) peak = math.abs(s)
-        val neg = s < 0
-        if (i > 0 && neg != prevNeg) crossings += 1
-        prevNeg = neg
+        // zero crossings PER CHANNEL: samples are interleaved, so the
+        // previous sample of this channel is `channels` back — comparing
+        // i-1 would cross-compare L against R on stereo input
+        if (i >= channels &&
+            (s < 0) != (le16(dOff + (i - channels) * 2).toShort < 0)) {
+          crossings += 1
+        }
         i += 1
       }
       val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
-      val zcr = if (nSamples <= 1) 0.0 else crossings.toDouble / (nSamples - 1)
+      val zcr = if (nSamples <= channels) 0.0
+        else crossings.toDouble / (nSamples - channels)
       val duration = nFrames.toDouble / rate
       val feats = Array[Float](duration.toFloat, rms.toFloat, peak.toFloat,
         zcr.toFloat, channels.toFloat, rate / 1000.0f, bits.toFloat, 0.0f)

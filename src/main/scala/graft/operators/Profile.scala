@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  def summarize(df: DataFrame, cols: Seq[String]): DataFrame =
+  private def melt(df: DataFrame, cols: Seq[String],
+      distinctAgg: org.apache.spark.sql.Column): DataFrame =
     df.unpivot(
         Array.empty,
         cols.map(c => col(c).cast("string").as(c)).toArray,
@@ -29,9 +30,12 @@ object Profile {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col("value")).as("n_distinct"),
+        distinctAgg,
         min(col("value")).as("min_s"),
         max(col("value")).as("max_s"))
+
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame =
+    melt(df, cols, countDistinct(col("value")).as("n_distinct"))
 
   /** The 100 TB variant: identical shape but HyperLogLog++ distinct
     * counts (`approx_count_distinct`). Exact `countDistinct` rewrites
@@ -44,15 +48,5 @@ object Profile {
     */
   def summarizeApprox(
       df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
-    df.unpivot(
-        Array.empty,
-        cols.map(c => col(c).cast("string").as(c)).toArray,
-        "col_name", "value")
-      .groupBy(col("col_name"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        approx_count_distinct(col("value"), rsd).as("n_distinct_approx"),
-        min(col("value")).as("min_s"),
-        max(col("value")).as("max_s"))
+    melt(df, cols, approx_count_distinct(col("value"), rsd).as("n_distinct_approx"))
 }

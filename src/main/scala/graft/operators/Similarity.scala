@@ -116,15 +116,15 @@ object Similarity {
     * both sides shuffle on (block_idx, block_key) — an equi-join, never a
     * cross join.
     *
-    * `multiProbe` > 0 additionally probes, per block, the `multiProbe`
-    * buckets whose key differs from the query's in ONE plane sign (the
-    * nearest-miss buckets — a vector near a hyperplane falls on either
-    * side with ~equal probability). Query-side only: the corpus index is
-    * unchanged; each query row fans out ×(1 + multiProbe) in the
-    * candidate join. Recall at fixed blocks rises roughly like adding
-    * multiProbe extra blocks, for a fraction of the corpus-side cost —
-    * the standard memory/recall trade (Lv et al., multi-probe LSH,
-    * VLDB'07; public technique).
+    * `multiProbe` > 0 additionally probes, per block, the buckets whose
+    * key differs from the query's in one sign among the FIRST
+    * `multiProbe` planes (a fixed flip set — simpler than classic
+    * multi-probe LSH, which ranks perturbations by the query's distance
+    * to each hyperplane; at multiProbe = planesPerBlock the two
+    * coincide, covering every single-flip neighbor bucket). Query-side
+    * only: the corpus index is unchanged; each query row fans out
+    * ×(1 + multiProbe) in the candidate join — recall rises for a
+    * fraction of the cost of adding corpus-side blocks.
     */
   def lshTopK(
       corpus: DataFrame,
