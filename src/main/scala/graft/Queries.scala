@@ -1210,6 +1210,29 @@ object Queries {
       |FROM supplier RIGHT JOIN l ON c_nationkey = s_nationkey
       |GROUP BY c_custkey, n_orders_95 ORDER BY c_custkey""".stripMargin
 
+  /** Map-typed columns: build a map from event fields, explode its
+    * entries, aggregate per key — the map-column shape (creation +
+    * entry explode) that JSON extraction (q07) does not cover.
+    */
+  def mapExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(explode(map(
+        lit("type"), col("event_type"),
+        lit("uid_bucket"), (col("user_id") % 100).cast("string")))
+        .as(Seq("key", "value")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("value")).as("n_values"))
+      .orderBy("key")
+
+  val mapExplodeSql: String =
+    """SELECT key, cnt, n_values FROM (
+      |  SELECT 'type' AS key, COUNT(*) AS cnt,
+      |    COUNT(DISTINCT event_type) AS n_values FROM events
+      |  UNION ALL
+      |  SELECT 'uid_bucket', COUNT(*),
+      |    COUNT(DISTINCT CAST(user_id % 100 AS VARCHAR)) FROM events)
+      |ORDER BY key""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -1263,7 +1286,8 @@ object Queries {
     "q49_text_repetition" -> textRepetition _,
     "q50_window_zoo" -> windowZoo _,
     "q51_outer_joins" -> outerJoins _,
-    "q52_dedup_corpus" -> dedupCorpus _)
+    "q52_dedup_corpus" -> dedupCorpus _,
+    "q53_map_explode" -> mapExplode _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -1314,5 +1338,6 @@ object Queries {
     "q49_text_repetition" -> textRepetitionSql,
     "q50_window_zoo" -> windowZooSql,
     "q51_outer_joins" -> outerJoinsSql,
-    "q52_dedup_corpus" -> dedupCorpusSql)
+    "q52_dedup_corpus" -> dedupCorpusSql,
+    "q53_map_explode" -> mapExplodeSql)
 }
