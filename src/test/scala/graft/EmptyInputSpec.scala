@@ -26,6 +26,7 @@ class EmptyInputSpec extends SparkSuite {
     assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.exact(emptyDocs, Seq(col("text")), col("doc_id")).count() == 0)
+    assert(Dedup.deduplicate(emptyDocs, "doc_id", "text").count() == 0)
   }
 
   test("connectedComponents of an empty pair list is empty") {
