@@ -1210,6 +1210,30 @@ object Queries {
       |FROM supplier RIGHT JOIN l ON c_nationkey = s_nationkey
       |GROUP BY c_custkey, n_orders_95 ORDER BY c_custkey""".stripMargin
 
+  /** Incremental dedup: the newest 20% of documents checked against the
+    * older 80% (a daily-ingest admission gate). Same certified-recall
+    * oracle argument as q18 — exact all-pairs Jaccard restricted to
+    * cross (new × corpus) pairs.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.minhashLSHJoin(
+        docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+        "doc_id", "text", threshold = 0.7)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+       |p AS (
+       |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id >= 400 AND b.doc_id < 400)
+       |SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.7
+       |ORDER BY new_id, corpus_id""".stripMargin
+
   /** Map-typed columns: build a map from event fields, explode its
     * entries, aggregate per key — the map-column shape (creation +
     * entry explode) that JSON extraction (q07) does not cover.
@@ -1287,7 +1311,8 @@ object Queries {
     "q50_window_zoo" -> windowZoo _,
     "q51_outer_joins" -> outerJoins _,
     "q52_dedup_corpus" -> dedupCorpus _,
-    "q53_map_explode" -> mapExplode _)
+    "q53_map_explode" -> mapExplode _,
+    "q54_dedup_incremental" -> dedupIncremental _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -1339,5 +1364,6 @@ object Queries {
     "q50_window_zoo" -> windowZooSql,
     "q51_outer_joins" -> outerJoinsSql,
     "q52_dedup_corpus" -> dedupCorpusSql,
-    "q53_map_explode" -> mapExplodeSql)
+    "q53_map_explode" -> mapExplodeSql,
+    "q54_dedup_incremental" -> dedupIncrementalSql)
 }

@@ -399,6 +399,52 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL near-dup detection: new batch vs existing corpus — the
+    * shape a daily ingest actually runs (N_new × corpus, never
+    * corpus × corpus). Candidates come from a bucket equi-join of the
+    * two sides' band tables; corpus-side buckets are size-capped
+    * (minSize = 1 — a singleton corpus bucket can still answer a new
+    * doc); shingle sets hydrate per candidate from each side. Returns
+    * (new_id, corpus_id, jaccard) with jaccard >= threshold — a new doc
+    * with no row here is novel and safe to admit.
+    */
+  def minhashLSHJoin(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    def bands(df: DataFrame) = {
+      val nn = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .where(col("__text").isNotNull)
+      shingleSignatures(nn, "id", "__text", shingleSize, numHashes)
+        .select(col("id"),
+          posexplode(bandKeys(col("sig"), numBands, rowsPerBand))
+            .as(Seq("band_idx", "band_hash")))
+    }
+    val cb = keepCappedBuckets(bands(corpus), maxBucketSize, minSize = 1)
+      .withColumnRenamed("id", "corpus_id")
+    val nb = bands(newDocs).withColumnRenamed("id", "new_id")
+    val cand = nb.join(cb, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    val sn = shingleSets(newDocs.where(col(textCol).isNotNull), idCol, textCol, shingleSize)
+      .select(col("id").as("new_id"), col("sh").as("sh_n"))
+    val sc = shingleSets(corpus.where(col(textCol).isNotNull), idCol, textCol, shingleSize)
+      .select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+    val c = graft.functions.SetExpressions.sortedIntersectCount(col("sh_n"), col("sh_c"))
+    cand.join(sn, Seq("new_id")).join(sc, Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        round(c.cast("double") /
+          (size(col("sh_n")) + size(col("sh_c")) - c), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** End-to-end near-duplicate REMOVAL — the operation a training-data
     * pipeline actually runs: MinHash-LSH pairs → connected components →
     * keep each group's canonical member (minimum id). Documents that

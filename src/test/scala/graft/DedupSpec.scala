@@ -127,6 +127,23 @@ class DedupSpec extends SparkSuite {
     assert(survivors == Seq(1L, 3L, 4L))
   }
 
+  test("minhashLSHJoin finds cross-side near-dups only, no within-side pairs") {
+    val shared = "the quick brown fox jumps over the lazy dog every single day"
+    val newBatch = Seq(
+      (100L, shared),                                         // dup of corpus 1
+      (101L, "an entirely novel document about catalyst rules"),
+      (102L, null: String))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, shared),
+      (2L, shared),                                            // within-corpus dup: NOT emitted
+      (3L, "some other unrelated corpus text entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLSHJoin(newBatch, corpus, "doc_id", "text")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((100L, 1L), (100L, 2L)), s"got $got")
+  }
+
   test("null-text documents never pair") {
     val withNulls = docs.union(Seq((300L, null.asInstanceOf[String]),
       (301L, null.asInstanceOf[String])).toDF("doc_id", "text"))
