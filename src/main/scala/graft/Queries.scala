@@ -1210,15 +1210,17 @@ object Queries {
       |FROM supplier RIGHT JOIN l ON c_nationkey = s_nationkey
       |GROUP BY c_custkey, n_orders_95 ORDER BY c_custkey""".stripMargin
 
-  /** Incremental dedup: the newest 20% of documents checked against the
-    * older 80% (a daily-ingest admission gate). Same certified-recall
-    * oracle argument as q18 — exact all-pairs Jaccard restricted to
-    * cross (new × corpus) pairs.
+  /** Incremental dedup: a fixed 100-doc incoming batch (doc_id < 100 —
+    * constant-size at EVERY scale factor, so the bench always times the
+    * small-batch-vs-large-corpus shape the operator is for) checked
+    * against the rest of the corpus. Same certified-recall oracle
+    * argument as q18 — exact all-pairs Jaccard restricted to cross
+    * (new × corpus) pairs.
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Dedup.minhashLSHJoin(
-        docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+        docs.where(col("doc_id") < 100), docs.where(col("doc_id") >= 100),
         "doc_id", "text", threshold = 0.7)
       .orderBy("new_id", "corpus_id")
   }
@@ -1230,7 +1232,7 @@ object Queries {
        |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-       |  FROM sh a JOIN sh b ON a.doc_id >= 400 AND b.doc_id < 400)
+       |  FROM sh a JOIN sh b ON a.doc_id < 100 AND b.doc_id >= 100)
        |SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.7
        |ORDER BY new_id, corpus_id""".stripMargin
 
@@ -1248,14 +1250,15 @@ object Queries {
       .agg(count(lit(1)).as("cnt"), countDistinct(col("value")).as("n_values"))
       .orderBy("key")
 
+  // melted form, then GROUP BY: on an EMPTY events table this yields
+  // zero rows like Spark's groupBy-after-explode (two ungrouped
+  // aggregate branches would emit two zero-count rows instead)
   val mapExplodeSql: String =
-    """SELECT key, cnt, n_values FROM (
-      |  SELECT 'type' AS key, COUNT(*) AS cnt,
-      |    COUNT(DISTINCT event_type) AS n_values FROM events
+    """SELECT key, COUNT(*) AS cnt, COUNT(DISTINCT value) AS n_values FROM (
+      |  SELECT 'type' AS key, event_type AS value FROM events
       |  UNION ALL
-      |  SELECT 'uid_bucket', COUNT(*),
-      |    COUNT(DISTINCT CAST(user_id % 100 AS VARCHAR)) FROM events)
-      |ORDER BY key""".stripMargin
+      |  SELECT 'uid_bucket', CAST(user_id % 100 AS VARCHAR) FROM events)
+      |GROUP BY key ORDER BY key""".stripMargin
 
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -419,30 +419,41 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    def bands(df: DataFrame) = {
-      val nn = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-        .where(col("__text").isNotNull)
-      shingleSignatures(nn, "id", "__text", shingleSize, numHashes)
+    // exact-duplicate collapse per side BEFORE the bucket cap — same
+    // skew fix as minhashLSH: without it, a corpus family larger than
+    // maxBucketSize (the most-duplicated content, exactly what the gate
+    // exists to catch) floods every band bucket past the cap and new
+    // copies of it would be admitted as "novel". Collapsed, the family
+    // is ONE bucket row; members expand back into the answer at the end.
+    val gn = textGroups(newDocs, idCol, textCol)
+    val gc = textGroups(corpus, idCol, textCol)
+    def bands(groups: DataFrame) =
+      shingleSignatures(groups, "id", "__text", shingleSize, numHashes)
         .select(col("id"),
           posexplode(bandKeys(col("sig"), numBands, rowsPerBand))
             .as(Seq("band_idx", "band_hash")))
-    }
-    val cb = keepCappedBuckets(bands(corpus), maxBucketSize, minSize = 1)
+    val cb = keepCappedBuckets(bands(gc), maxBucketSize, minSize = 1)
       .withColumnRenamed("id", "corpus_id")
-    val nb = bands(newDocs).withColumnRenamed("id", "new_id")
+    val nb = bands(gn).withColumnRenamed("id", "new_id")
     val cand = nb.join(cb, Seq("band_idx", "band_hash"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()
-    val sn = shingleSets(newDocs.where(col(textCol).isNotNull), idCol, textCol, shingleSize)
+    val sn = shingleSets(gn, "id", "__text", shingleSize)
       .select(col("id").as("new_id"), col("sh").as("sh_n"))
-    val sc = shingleSets(corpus.where(col(textCol).isNotNull), idCol, textCol, shingleSize)
+    val sc = shingleSets(gc, "id", "__text", shingleSize)
       .select(col("id").as("corpus_id"), col("sh").as("sh_c"))
     val c = graft.functions.SetExpressions.sortedIntersectCount(col("sh_n"), col("sh_c"))
-    cand.join(sn, Seq("new_id")).join(sc, Seq("corpus_id"))
+    val repPairs = cand.join(sn, Seq("new_id")).join(sc, Seq("corpus_id"))
       .select(col("new_id"), col("corpus_id"),
         round(c.cast("double") /
           (size(col("sh_n")) + size(col("sh_c")) - c), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // expand representatives back to members on BOTH sides; no
+    // within-side pairs exist in this operator by construction
+    val mn = gn.select(col("id").as("new_id"), explode(col("members")).as("nm"))
+    val mc = gc.select(col("id").as("corpus_id"), explode(col("members")).as("cm"))
+    repPairs.join(mn, Seq("new_id")).join(mc, Seq("corpus_id"))
+      .select(col("nm").as("new_id"), col("cm").as("corpus_id"), col("jaccard"))
   }
 
   /** End-to-end near-duplicate REMOVAL — the operation a training-data

@@ -29,6 +29,13 @@ class EmptyInputSpec extends SparkSuite {
     assert(Dedup.deduplicate(emptyDocs, "doc_id", "text").count() == 0)
   }
 
+  test("minhashLSHJoin returns empty when either side is empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "some corpus text here")).toDF("doc_id", "text")
+    assert(Dedup.minhashLSHJoin(emptyDocs, docs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLSHJoin(docs, emptyDocs, "doc_id", "text").count() == 0)
+  }
+
   test("connectedComponents of an empty pair list is empty") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(pairs).count() == 0)
