@@ -434,7 +434,11 @@ object Dedup {
             .as(Seq("band_idx", "band_hash")))
     val cb = keepCappedBuckets(bands(gc), maxBucketSize, minSize = 1)
       .withColumnRenamed("id", "corpus_id")
-    val nb = bands(gn).withColumnRenamed("id", "new_id")
+    // the NEW side is capped too: exact collapse merges byte-identical
+    // new docs, but a skewed batch of near-identical-but-distinct texts
+    // (template spam) would otherwise fan out |new bucket| × cap pairs
+    val nb = keepCappedBuckets(bands(gn), maxBucketSize, minSize = 1)
+      .withColumnRenamed("id", "new_id")
     val cand = nb.join(cb, Seq("band_idx", "band_hash"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()

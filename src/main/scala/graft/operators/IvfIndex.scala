@@ -49,7 +49,8 @@ object IvfIndex {
       nLists: Int,
       seed: Long = 42L,
       trainFraction: Double = Double.NaN,
-      maxTrainRows: Long = 200000L): Model = {
+      maxTrainRows: Long = 200000L,
+      kmeansMaxIter: Int = 20): Model = {
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     val frac =
@@ -62,7 +63,7 @@ object IvfIndex {
         else math.min(1.0, maxTrainRows * 1.1 / total)
       }
     val train = if (frac >= 1.0) vecs else vecs.sample(frac, seed)
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(kmeansMaxIter)
       .setFeaturesCol("features")
     val model = km.fit(train.select(array_to_vector(col("vec")).as("features")))
     val centroids = model.clusterCenters.map(_.toArray)

@@ -25,19 +25,30 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `probe` and `build` on `keys`, salted
-    * `numSalts` ways. The salt is xxhash64 of the probe row (all
-    * columns), so it is deterministic for a given row — re-runs and
-    * retries see the same salt — and spreads hot keys uniformly
-    * without any RNG state.
+    * `numSalts` ways. By default the salt is xxhash64 of the probe row
+    * (all columns): deterministic for a given row — re-runs and task
+    * retries see the same salt — and uniform over DISTINCT hot-key rows.
+    * Caveat: byte-identical duplicate probe rows all hash to the same
+    * salt, so a hot key whose rows are exact copies (an empty-string or
+    * default-id key with no distinguishing payload) is NOT spread. For
+    * that shape pass `rowUniqueSalt = true`: the salt then mixes in
+    * `monotonically_increasing_id()`, which spreads even identical rows
+    * but is only stable for a fixed partitioning of the probe input
+    * (a lost-partition recompute may re-salt its rows — harmless here,
+    * since any salt value meets the same replicated build rows, but not
+    * byte-reproducible across retries).
     */
   def saltedInnerJoin(
       probe: DataFrame,
       build: DataFrame,
       keys: Seq[String],
-      numSalts: Int = 16): DataFrame = {
+      numSalts: Int = 16,
+      rowUniqueSalt: Boolean = false): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
-    val saltedProbe = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(numSalts)))
+    val saltSrc =
+      if (rowUniqueSalt) xxhash64(monotonically_increasing_id())
+      else xxhash64(probe.columns.map(col).toIndexedSeq: _*)
+    val saltedProbe = probe.withColumn("__salt", pmod(saltSrc, lit(numSalts)))
     val saltedBuild = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(numSalts - 1L))))
     saltedProbe.join(saltedBuild, keys :+ "__salt").drop("__salt")

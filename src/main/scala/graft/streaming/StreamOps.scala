@@ -63,7 +63,9 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join: each click pairs with the same user's
-    * views from the `windowSeconds` before it (inclusive). Both sides
+    * views in the half-open window `(click_ts - windowSeconds, click_ts]`
+    * — open at the lower bound, closed at the click itself, matching
+    * [[graft.operators.RangeJoin]]'s convention. Both sides
     * carry watermarks, and the join condition bounds event-time range on
     * both sides, so state for either stream is evicted once the
     * watermark passes its possible match window — bounded state, the
