@@ -103,11 +103,81 @@ object Queries {
       |  FROM orders GROUP BY o_orderpriority, o_orderstatus
       |) WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** Full seeded Lloyd fit, HASH-ORACLED (round-3 verdict #2): the
+    * estimator runs in portable-init mode (`initHash = "md5"` — the
+    * q19 pluggable-hash technique applied to init order) and the oracle
+    * REPLAYS the entire algorithm in DuckDB SQL: the same md5-ranked
+    * seeded init, then `maxIter` unrolled Lloyd iterations (assign by
+    * Hamming with ties to the lowest cluster id, per-position weighted
+    * mode with count-DESC/value-ASC ties) over DISTINCT feature tuples
+    * weighted by multiplicity — O(|vocab| × k) per iteration, not
+    * O(rows). Convergence needs no replay: once centers fix, further
+    * unrolled iterations are the identity. The one branch not replayed
+    * is the empty-cluster farthest-reseed (the oracle keeps the stale
+    * center): no iteration empties a cluster on this data — and if one
+    * ever did, the hashes would MISMATCH loudly, never silently pass.
+    */
   def kmodesFitGlobal(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "orders").select(orderFeatures.as("features"))
-    val model = new KModes().setK(8).setMaxIter(10).setSeed(42L).fit(df)
+    val model = new KModes().setK(8).setMaxIter(10).setSeed(42L)
+      .setInitHash("md5").fit(df)
     model.transform(df).groupBy("prediction").count().orderBy("prediction")
   }
+
+  /** Generated DuckDB replay of [[KModes]].fitGlobal — see
+    * [[kmodesFitGlobal]]. `featExprs` are the already-COALESCEd feature
+    * SQL expressions in order; emits ~maxIter × (n + 2) tiny CTEs.
+    */
+  private def lloydReplaySql(
+      fromTable: String, featExprs: Seq[String],
+      k: Int, maxIter: Int, seed: Long): String = {
+    val n = featExprs.size
+    val fs = (1 to n).map(i => s"f$i")
+    val fList = fs.mkString(", ")
+    val rList = fs.map("r." + _).mkString(", ")
+    val featSel = featExprs.zipWithIndex
+      .map { case (e, i) => s"$e AS f${i + 1}" }.mkString(", ")
+    val keyStr = s"concat_ws(chr(1), $fList)"
+    val hashStr = s"md5(concat_ws(chr(1), '$seed', $fList))"
+    def dist(centerAlias: String) = fs.zipWithIndex.map { case (f, i) =>
+      s"(CASE WHEN r.$f <> $centerAlias.g${i + 1} THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    // every CTE is MATERIALIZED: each iteration references its
+    // predecessor twice, so default inlining would expand the chain
+    // 2^maxIter-fold (observed as "too many open files" on the scan)
+    val sb = new StringBuilder
+    sb ++= s"WITH feats AS MATERIALIZED (SELECT $featSel FROM $fromTable),\n"
+    sb ++= s"tuples AS MATERIALIZED (SELECT $fList, COUNT(*) AS w FROM feats GROUP BY $fList),\n"
+    sb ++= s"c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS cid, " +
+      (1 to n).map(i => s"f$i AS g$i").mkString(", ") + " FROM (\n" +
+      s"  SELECT $fList, row_number() OVER (ORDER BY $hashStr ASC, $keyStr ASC) AS rn\n" +
+      s"  FROM tuples) WHERE rn <= $k),\n"
+    for (it <- 1 to maxIter) {
+      sb ++= s"a$it AS MATERIALIZED (SELECT $rList, r.w, c.cid,\n" +
+        s"  row_number() OVER (PARTITION BY $rList ORDER BY (${dist("c")}) ASC, c.cid ASC) AS rn\n" +
+        s"  FROM tuples r CROSS JOIN c${it - 1} c),\n"
+      sb ++= s"p$it AS MATERIALIZED (SELECT $fList, w, cid FROM a$it WHERE rn = 1),\n"
+      for (p <- 1 to n)
+        sb ++= s"m${it}_$p AS MATERIALIZED (SELECT cid, val FROM (\n" +
+          s"  SELECT cid, f$p AS val,\n" +
+          s"    row_number() OVER (PARTITION BY cid ORDER BY SUM(w) DESC, f$p ASC) AS rn\n" +
+          s"  FROM p$it GROUP BY cid, f$p) WHERE rn = 1),\n"
+      sb ++= s"c$it AS MATERIALIZED (SELECT c.cid, " +
+        (1 to n).map(p => s"COALESCE(m$p.val, c.g$p) AS g$p").mkString(", ") +
+        s" FROM c${it - 1} c " +
+        (1 to n).map(p => s"LEFT JOIN m${it}_$p m$p ON m$p.cid = c.cid").mkString(" ") +
+        "),\n"
+    }
+    sb ++= s"afin AS (SELECT r.w, c.cid,\n" +
+      s"  row_number() OVER (PARTITION BY $rList ORDER BY (${dist("c")}) ASC, c.cid ASC) AS rn\n" +
+      s"  FROM tuples r CROSS JOIN c$maxIter c)\n"
+    sb ++= s"SELECT cid AS prediction, CAST(SUM(w) AS BIGINT) AS count\n" +
+      s"FROM afin WHERE rn = 1 GROUP BY cid ORDER BY prediction"
+    sb.toString
+  }
+
+  val kmodesFitGlobalSql: String =
+    lloydReplaySql("orders", orderFeaturesSqlCols, k = 8, maxIter = 10, seed = 42L)
 
   def kmodesFitEnsemble(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "orders")
@@ -882,9 +952,20 @@ object Queries {
     val df = t(s, dir, "documents").select(KModes.assemble(
       col("lang"), col("source"),
       floor(col("n_chars") / 100).cast("int")).as("features"))
-    val model = new KModes().setK(6).setMaxIter(10).setSeed(42L).fit(df)
+    // portable-init mode + full Lloyd replay oracle, like q14
+    val model = new KModes().setK(6).setMaxIter(10).setSeed(42L)
+      .setInitHash("md5").fit(df)
     model.transform(df).groupBy("prediction").count().orderBy("prediction")
   }
+
+  private val documentFeatureSqlCols = Seq(
+    "lang", "source",
+    "CAST(CAST(FLOOR(n_chars / 100) AS INT) AS VARCHAR)")
+    .map(e => s"COALESCE($e, '∅')")
+
+  val kmodesDocumentsSql: String =
+    lloydReplaySql("documents", documentFeatureSqlCols,
+      k = 6, maxIter = 10, seed = 42L)
 
   /** Vector normalization through the SQL surface: the injected
     * graft_* functions ([[GraftExtensions]]) running in a plain
@@ -1403,6 +1484,7 @@ object Queries {
     "q11_mode_per_group" -> modePerGroupSql,
     "q12_kmodes_assign" -> kmodesAssignSql,
     "q13_kmodes_cost" -> kmodesCostSql,
+    "q14_kmodes_fit" -> kmodesFitGlobalSql,
     "q16_dedup_exact" -> dedupExactSql,
     "q17_dedup_fingerprint" -> dedupFingerprintSql,
     "q18_dedup_minhash" -> dedupMinhashSql,
@@ -1420,6 +1502,7 @@ object Queries {
     "q30_intersect_union" -> intersectUnionSql,
     "q31_order_stats" -> orderStatsSql,
     "q32_asof_join" -> asofClickViewSql,
+    "q33_kmodes_documents" -> kmodesDocumentsSql,
     "q34_frame_sample" -> frameSampleSql,
     "q35_dedup_groups" -> dedupGroupsSql,
     "q36_tfidf_top" -> tfidfTopSql,

@@ -56,10 +56,21 @@ trait KModesParams extends Params {
     */
   final val distance = new Param[String](this, "distance", "hamming|frequency",
     ParamValidators.inArray(Array("hamming", "frequency")))
+  /** Hash ordering the seeded init (and empty-cluster reseed) ranks
+    * candidate rows by. `xxhash64` (default) is the cheapest; `md5` is
+    * the PORTABLE variant — md5 over `seed  f₁  … fₙ` is a
+    * standard digest any SQL engine computes identically, which lets an
+    * external oracle replay the whole fit (the q19 pluggable-tokenHash
+    * technique applied to init order). Both are seeded, deterministic,
+    * partition-invariant; the clustering quality is identical — only
+    * which k rows seed it changes.
+    */
+  final val initHash = new Param[String](this, "initHash", "xxhash64|md5",
+    ParamValidators.inArray(Array("xxhash64", "md5")))
 
   setDefault(k -> 8, maxIter -> 20, seed -> 42L,
     featuresCol -> "features", predictionCol -> "prediction",
-    initMode -> "global", distance -> "hamming")
+    initMode -> "global", distance -> "hamming", initHash -> "xxhash64")
 
   def getK: Int = $(k)
   def getMaxIter: Int = $(maxIter)
@@ -68,6 +79,7 @@ trait KModesParams extends Params {
   def getPredictionCol: String = $(predictionCol)
   def getInitMode: String = $(initMode)
   def getDistance: String = $(distance)
+  def getInitHash: String = $(initHash)
 
   protected def validateSchema(schema: StructType): StructType = {
     val f = schema($(featuresCol))
@@ -89,6 +101,7 @@ class KModes(override val uid: String) extends Estimator[KModesModel] with KMode
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setInitMode(value: String): this.type = set(initMode, value)
   def setDistance(value: String): this.type = set(distance, value)
+  def setInitHash(value: String): this.type = set(initHash, value)
 
   override def transformSchema(schema: StructType): StructType = validateSchema(schema)
   override def copy(extra: ParamMap): KModes = defaultCopy(extra)
@@ -107,18 +120,32 @@ class KModes(override val uid: String) extends Estimator[KModesModel] with KMode
   private def feats =
     F.transform(col($(featuresCol)), x => coalesce(x, lit(ArrayModeAggregator.NullSentinel)))
 
+  /** Init/reseed ranking hash over the features column `f` (see
+    * [[KModesParams.initHash]]): md5 of chr(1)-joined `seed, f₁, …, fₙ`
+    * in portable mode, else xxhash64(f, seed). The md5 tie-break key is
+    * the same joined string (not the array), so an external replay
+    * compares plain strings — equivalent for fixed-arity features.
+    */
+  private def initOrderKeys: Seq[org.apache.spark.sql.Column] =
+    $(initHash) match {
+      case "md5" =>
+        val joined = concat_ws("\u0001", lit($(seed).toString), col("f"))
+        Seq(md5(joined), concat_ws("\u0001", col("f")))
+      case _ => Seq(xxhash64(col("f"), lit($(seed))), col("f"))
+    }
+
   // ---------------------------------------------------------------- global
   private def fitGlobal(df: DataFrame): KModesModel = {
     val spark = df.sparkSession
     import spark.implicits._
 
     // Deterministic seeded init (R9 global form): k distinct feature rows in
-    // xxhash64 order. One job; the distinct is a bounded shuffle of the
+    // seeded-hash order. One job; the distinct is a bounded shuffle of the
     // (tiny) feature-vocabulary cross-product, not of raw rows.
     var centers: Array[Seq[String]] = df
       .select(feats.as("f"))
       .distinct()
-      .orderBy(xxhash64(col("f"), lit($(seed))), col("f"))
+      .orderBy(initOrderKeys: _*)
       .limit($(k))
       .as[Seq[String]]
       .collect()
@@ -158,7 +185,7 @@ class KModes(override val uid: String) extends Estimator[KModesModel] with KMode
           val far = input
             .select(col("f"), a.getField("min_dist").as("d"))
             .distinct()
-            .orderBy(col("d").desc, xxhash64(col("f"), lit($(seed))))
+            .orderBy(col("d").desc +: initOrderKeys: _*)
             .limit(emptyIds.size)
             .as[(Seq[String], Int)]
             .collect()
