@@ -88,6 +88,63 @@ object Queries {
        |SELECT round(CAST(SUM(LEAST(d0, d1, d2)) AS DOUBLE) / COUNT(*), 6) AS mean_cost
        |FROM d""".stripMargin
 
+  /** R5 through the front door: one frequency-weighted assignment step
+    * against the fixed centers ([[FrequencyAssign]]). The oracle replays
+    * the reduction exactly: Hamming populations → k×n match-count
+    * weights → re-assignment where a matching position costs
+    * 1 − freq(center value)/|cluster| — all in plain SQL since the
+    * weights are scalars, not per-row state.
+    */
+  def kmodesFrequencyStep(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "orders")
+      .select(col("o_orderkey"), orderFeatures.as("features"))
+    FrequencyAssign.assign(df, "features", FixedCenters)
+      .select(col("o_orderkey"), col("prediction"),
+        round(col("min_dist"), 6).as("freq_dist"))
+      .orderBy("o_orderkey")
+  }
+
+  val kmodesFrequencyStepSql: String = {
+    val k = FixedCenters.length
+    val n = FixedCenters(0).length
+    val fcols = orderFeaturesSqlCols.zipWithIndex
+      .map { case (e, i) => s"$e AS f${i + 1}" }.mkString(", ")
+    val hd = FixedCenters.zipWithIndex.map { case (c, i) =>
+      val terms = (1 to n).map(p =>
+        s"(CASE WHEN f$p <> '${c(p - 1)}' THEN 1 ELSE 0 END)")
+      s"(${terms.mkString(" + ")}) AS d$i"
+    }.mkString(", ")
+    // freq of cluster p's OWN center value at each position
+    val ms = (1 to n).map { p =>
+      val cv = s"CASE p${FixedCenters.zipWithIndex.map { case (c, i) =>
+        s" WHEN $i THEN '${c(p - 1)}'" }.mkString}" + " END"
+      s"SUM(CASE WHEN f$p = ($cv) THEN 1 ELSE 0 END) AS m$p"
+    }.mkString(", ")
+    val es = FixedCenters.zipWithIndex.map { case (c, ci) =>
+      val terms = (1 to n).map(p =>
+        s"(CASE WHEN f$p <> '${c(p - 1)}' THEN 1.0E0 ELSE " +
+          s"1.0E0 - CAST(w$ci.m$p AS DOUBLE) / CAST(w$ci.sz AS DOUBLE) END)")
+      s"(${terms.mkString(" + ")}) AS e$ci"
+    }.mkString(",\n    ")
+    val wJoins = (0 until k)
+      .map(ci => s"CROSS JOIN (SELECT * FROM w WHERE p = $ci) w$ci").mkString(" ")
+    val predCase = "CASE " + (0 until k - 1).map { ci =>
+      val conds = (ci + 1 until k).map(j => s"e$ci <= e$j").mkString(" AND ")
+      s"WHEN $conds THEN $ci"
+    }.mkString(" ") + s" ELSE ${k - 1} END"
+    val eList = (0 until k).map("e" + _).mkString(", ")
+    s"""WITH f AS (SELECT o_orderkey, $fcols FROM orders),
+       |h AS (SELECT *, CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0 WHEN d1 <= d2 THEN 1 ELSE 2 END AS p
+       |      FROM (SELECT *, $hd FROM f)),
+       |w AS (SELECT p, COUNT(*) AS sz, $ms FROM h GROUP BY p),
+       |e AS (SELECT h.o_orderkey,
+       |    $es
+       |  FROM h $wJoins)
+       |SELECT o_orderkey, $predCase AS prediction,
+       |  round(LEAST($eList), 6) AS freq_dist
+       |FROM e ORDER BY o_orderkey""".stripMargin
+  }
+
   def modePerGroup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
@@ -1468,7 +1525,8 @@ object Queries {
     "q52_dedup_corpus" -> dedupCorpus _,
     "q53_map_explode" -> mapExplode _,
     "q54_dedup_incremental" -> dedupIncremental _,
-    "q55_sim_ivf_probe" -> simIvfProbe _)
+    "q55_sim_ivf_probe" -> simIvfProbe _,
+    "q56_kmodes_frequency" -> kmodesFrequencyStep _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -1524,5 +1582,6 @@ object Queries {
     "q52_dedup_corpus" -> dedupCorpusSql,
     "q53_map_explode" -> mapExplodeSql,
     "q54_dedup_incremental" -> dedupIncrementalSql,
-    "q55_sim_ivf_probe" -> simIvfProbeSql)
+    "q55_sim_ivf_probe" -> simIvfProbeSql,
+    "q56_kmodes_frequency" -> kmodesFrequencyStepSql)
 }

@@ -125,6 +125,51 @@ class KModesSpec extends SparkSuite {
       model.clusterCenters.map(_.toSeq).toSeq)
   }
 
+  test("frequency assignment step matches LocalKModes.frequencyDissim") {
+    val df = plantedDf(400, 4, 3, 43)
+    val centers = Array(
+      Array("g0v0", "g0v1", "g0v2", "g0v3"),
+      Array("g1v0", "g1v1", "g1v2", "g1v3"),
+      Array("g2v0", "g2v1", "g2v2", "g2v3"))
+    val out = graft.operators.FrequencyAssign.assign(df, "features", centers)
+      .select(col("features"), col("prediction"), col("min_dist"))
+      .collect()
+
+    // driver-side reference: Hamming populations, then frequencyDissim
+    // per candidate cluster with that cluster's tables (empty → Hamming)
+    val rows = df.collect().map(_.getSeq[String](0).toArray)
+    val hAssign = rows.map { r =>
+      centers.indices.minBy(c => (LocalKModes.hamming(r, centers(c)), c))
+    }
+    val sizes = Array.tabulate(centers.length)(c => hAssign.count(_ == c).toLong)
+    val freqs = Array.tabulate(centers.length) { c =>
+      Array.tabulate(4) { i =>
+        rows.zip(hAssign).filter(_._2 == c).groupBy(_._1(i))
+          .map { case (v, g) => v -> g.length.toLong }: collection.Map[String, Long]
+      }
+    }
+    def refDist(r: Array[String], c: Int): Double =
+      if (sizes(c) == 0) LocalKModes.hamming(r, centers(c)).toDouble
+      else LocalKModes.frequencyDissim(r, centers(c), freqs(c), sizes(c))
+    out.foreach { row =>
+      val f = row.getSeq[String](0).toArray
+      val ds = centers.indices.map(refDist(f, _))
+      val expP = centers.indices.minBy(c => (ds(c), c))
+      assert(row.getInt(1) == expP, s"row ${f.toSeq}")
+      assert(math.abs(row.getDouble(2) - ds.min) < 1e-9)
+    }
+  }
+
+  test("portable md5 init: deterministic fit, k centers, valid fixed point") {
+    val df = plantedDf(300, 4, 3, 53)
+    val m1 = new KModes().setK(3).setMaxIter(15).setSeed(7L).setInitHash("md5").fit(df)
+    val m2 = new KModes().setK(3).setMaxIter(15).setSeed(7L).setInitHash("md5").fit(df)
+    assert(m1.clusterCenters.map(_.toSeq).toSeq == m2.clusterCenters.map(_.toSeq).toSeq)
+    assert(m1.clusterCenters.length == 3)
+    // same quality contract as the default hash: low cost on planted data
+    assert(m1.cost < 2.0, s"cost ${m1.cost}")
+  }
+
   test("model save/load roundtrip preserves centers, cost, and transform") {
     val df = plantedDf(200, 4, 2, 61)
     val model = new KModes().setK(2).setMaxIter(10).setSeed(7L).fit(df)
