@@ -1048,6 +1048,72 @@ object Queries {
       |ORDER BY vec_id""".stripMargin
 
   // -------------------------------------------------------------- multimodal
+  /** REAL image decode end to end (round-3 verdict #3): per document a
+    * small BMP (even ids) or PPM (odd ids) is synthesized from a pure
+    * integer pixel formula, pushed through the byte-level decoders
+    * ([[Multimodal.decodeBmp]]/[[decodePpm]] — header parse, padded
+    * bottom-up BGR rows vs top-down RGB), and reduced to image stats.
+    * The decoders accumulate INTEGER sums (scaled luma, edge counts), so
+    * the oracle replays the pixel formula in SQL and reproduces them
+    * exactly — the `format` column comes from the parsed magic, so a
+    * decoder silently falling back would flip it and fail the hash.
+    */
+  def imageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 8).toInt
+      val h = (8 + id % 5).toInt
+      def px(x: Int, y: Int) = (
+        ((id * 7 + x * 3 + y * 5) % 256).toInt,
+        ((id * 11 + x * 13 + y) % 256).toInt,
+        ((id + x + y * 17) % 256).toInt)
+      val bytes =
+        if (id % 2 == 0) Multimodal.encodeBmp(w, h, px)
+        else Multimodal.encodePpm(w, h, px)
+      Multimodal.MediaAsset(id, "image", bytes)
+    }
+    Multimodal.imageStats(assets)
+      .select(col("asset_id"), col("format"), col("width"), col("height"),
+        round(col("luma_sum").cast("double") /
+          (lit(255000.0) * col("n_pixels")), 6).as("mean_luma"),
+        round(col("edge_count").cast("double") /
+          col("h_pairs").cast("double"), 6).as("edge_density"))
+      .orderBy("asset_id")
+  }
+
+  /** Scaled-luma pixel formula at (x, y) for doc `d` — must stay in
+    * lockstep with [[imageDecode]]'s `px`. */
+  private def lumaSqlAt(d: String, x: String, y: String): String =
+    s"(299 * (($d*7 + ($x)*3 + ($y)*5) % 256) + " +
+      s"587 * (($d*11 + ($x)*13 + ($y)) % 256) + " +
+      s"114 * (($d + ($x) + ($y)*17) % 256))"
+
+  val imageDecodeSql: String = {
+    val li = lumaSqlAt("i.doc_id", "xs.x", "ys.y")
+    val liNext = lumaSqlAt("i.doc_id", "xs.x + 1", "ys.y")
+    s"""WITH img AS (SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w,
+       |                    CAST(8 + doc_id % 5 AS INT) AS h FROM documents),
+       |xs AS (SELECT unnest(range(0, 15)) AS x),
+       |ys AS (SELECT unnest(range(0, 12)) AS y),
+       |lum AS (
+       |  SELECT i.doc_id, SUM($li) AS luma_sum
+       |  FROM img i CROSS JOIN xs CROSS JOIN ys
+       |  WHERE xs.x < i.w AND ys.y < i.h GROUP BY i.doc_id),
+       |ed AS (
+       |  SELECT i.doc_id,
+       |    SUM(CASE WHEN abs(($liNext) - ($li)) > 25500 THEN 1 ELSE 0 END) AS edges
+       |  FROM img i CROSS JOIN xs CROSS JOIN ys
+       |  WHERE xs.x < i.w - 1 AND ys.y < i.h GROUP BY i.doc_id)
+       |SELECT i.doc_id AS asset_id,
+       |  CASE WHEN i.doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       |  i.w AS width, i.h AS height,
+       |  round(CAST(l.luma_sum AS DOUBLE) / (255000.0E0 * (i.w * i.h)), 6) AS mean_luma,
+       |  round(CAST(e.edges AS DOUBLE) / CAST((i.w - 1) * i.h AS DOUBLE), 6) AS edge_density
+       |FROM img i JOIN lum l ON l.doc_id = i.doc_id
+       |           JOIN ed e ON e.doc_id = i.doc_id
+       |ORDER BY asset_id""".stripMargin
+  }
+
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(s,
         t(s, dir, "documents").where(col("text").isNotNull))
@@ -1526,7 +1592,8 @@ object Queries {
     "q53_map_explode" -> mapExplode _,
     "q54_dedup_incremental" -> dedupIncremental _,
     "q55_sim_ivf_probe" -> simIvfProbe _,
-    "q56_kmodes_frequency" -> kmodesFrequencyStep _)
+    "q56_kmodes_frequency" -> kmodesFrequencyStep _,
+    "q57_image_decode" -> imageDecode _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -1583,5 +1650,6 @@ object Queries {
     "q53_map_explode" -> mapExplodeSql,
     "q54_dedup_incremental" -> dedupIncrementalSql,
     "q55_sim_ivf_probe" -> simIvfProbeSql,
-    "q56_kmodes_frequency" -> kmodesFrequencyStepSql)
+    "q56_kmodes_frequency" -> kmodesFrequencyStepSql,
+    "q57_image_decode" -> imageDecodeSql)
 }

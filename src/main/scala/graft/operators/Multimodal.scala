@@ -128,14 +128,191 @@ object Multimodal {
     }
   }
 
-  /** Format dispatch: real WAV parse when the RIFF magic matches,
-    * deterministic stub otherwise.
+  /** Decoded image statistics. Sums are INTEGER-exact on purpose:
+    * `lumaSum` = Σ (299·R + 587·G + 114·B) over pixels (i.e. luma
+    * scaled by 1000·255), `edgeCount` = horizontal neighbor pairs with
+    * |Δ scaled-luma| > 25500 (= 0.1 in [0,1] luma). Integer sums are
+    * independent of pixel-visit order, so an external engine replaying
+    * the pixel formula reproduces them EXACTLY — derived ratios
+    * (mean luma, edge density) are then a single correctly-rounded
+    * division on either side.
+    */
+  final case class ImageStats(
+      format: String, width: Int, height: Int,
+      lumaSum: Long, nPixels: Long, edgeCount: Long, hPairs: Long)
+
+  private def lumaInt(r: Int, g: Int, b: Int): Long =
+    299L * r + 587L * g + 114L * b
+
+  /** Per-row luma walk shared by both image decoders: accumulates the
+    * scaled-luma sum and >25500-delta horizontal edge count.
+    */
+  private def scanRows(
+      format: String, w: Int, h: Int)(
+      rgbAt: (Int, Int) => (Int, Int, Int)): ImageStats = {
+    var lumaSum = 0L; var edges = 0L
+    var y = 0
+    while (y < h) {
+      var prev = -1L
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgbAt(x, y)
+        val li = lumaInt(r, g, b)
+        lumaSum += li
+        if (x > 0 && math.abs(li - prev) > 25500L) edges += 1
+        prev = li
+        x += 1
+      }
+      y += 1
+    }
+    ImageStats(format, w, h, lumaSum, w.toLong * h,
+      edges, math.max(0, w - 1).toLong * h)
+  }
+
+  /** REAL decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    * bottom-up, BGR, 4-byte-padded rows) — like WAV, a trivial
+    * byte-level format needing no codec library. Returns None for
+    * anything else (compressed, paletted, top-down, truncated);
+    * callers fall back to the stub.
+    */
+  def decodeBmp(media: Array[Byte]): Option[ImageStats] = {
+    def le32(o: Int) = (media(o) & 0xff) | ((media(o + 1) & 0xff) << 8) |
+      ((media(o + 2) & 0xff) << 16) | ((media(o + 3) & 0xff) << 24)
+    def le16(o: Int) = (media(o) & 0xff) | ((media(o + 1) & 0xff) << 8)
+    if (media.length < 54 || media(0) != 'B' || media(1) != 'M') return None
+    val pixOff = le32(10)
+    val hdrSize = le32(14)
+    val w = le32(18)
+    val h = le32(22)
+    if (hdrSize < 40 || w <= 0 || h <= 0 || le16(26) != 1) return None
+    if (le16(28) != 24 || le32(30) != 0) return None // 24bpp, BI_RGB only
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + stride.toLong * h > media.length) return None
+    Some(scanRows("bmp", w, h) { (x, y) =>
+      // rows are stored bottom-up; the scan is top-down like PPM so the
+      // two decoders present identical (x, y) coordinates
+      val o = pixOff + (h - 1 - y) * stride + x * 3
+      ((media(o + 2) & 0xff), (media(o + 1) & 0xff), (media(o) & 0xff))
+    })
+  }
+
+  /** REAL decoder for binary PPM (P6, maxval 255): ASCII header
+    * `P6 <w> <h> 255`, then top-down RGB triples. No comment support —
+    * a `#` in the header returns None (stub fallback).
+    */
+  def decodePpm(media: Array[Byte]): Option[ImageStats] = {
+    if (media.length < 9 || media(0) != 'P' || media(1) != '6') return None
+    var off = 2
+    def nextInt(): Option[Int] = {
+      while (off < media.length && Character.isWhitespace(media(off))) off += 1
+      val start = off
+      while (off < media.length && media(off) >= '0' && media(off) <= '9') off += 1
+      if (off == start || off - start > 9) None
+      else Some(new String(media, start, off - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); maxv <- nextInt()
+      if w > 0 && h > 0 && maxv == 255
+      if off < media.length && Character.isWhitespace(media(off))
+      pixOff = off + 1 // exactly ONE whitespace byte after maxval (spec)
+      if pixOff.toLong + 3L * w * h <= media.length
+    } yield scanRows("ppm", w, h) { (x, y) =>
+      val o = pixOff + (y * w + x) * 3
+      ((media(o) & 0xff), (media(o + 1) & 0xff), (media(o + 2) & 0xff))
+    }
+  }
+
+  /** Image dispatch on magic bytes: BMP, then PPM, else None. */
+  def decodeImage(media: Array[Byte]): Option[ImageStats] =
+    if (media.length >= 2 && media(0) == 'B' && media(1) == 'M') decodeBmp(media)
+    else if (media.length >= 2 && media(0) == 'P' && media(1) == '6') decodePpm(media)
+    else None
+
+  /** Fixture/test encoder: uncompressed 24-bit bottom-up BMP from a
+    * pixel function (x, y) → (r, g, b), inverse of [[decodeBmp]].
+    */
+  def encodeBmp(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val out = new Array[Byte](size)
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, size); le32(10, 54); le32(14, 40)
+    le32(18, w); le32(22, h)
+    out(26) = 1; out(28) = 24 // planes=1, bpp=24, compression=0 (zeroed)
+    le32(34, stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        val o = 54 + (h - 1 - y) * stride + x * 3
+        out(o) = b.toByte; out(o + 1) = g.toByte; out(o + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Fixture/test encoder: binary P6 PPM, inverse of [[decodePpm]]. */
+  def encodePpm(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        val o = header.length + (y * w + x) * 3
+        out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode + image-stat extraction, one batched narrow pass per
+    * partition — the image twin of [[extractFeatures]]. Assets that are
+    * not a decodable BMP/PPM yield no row (callers needing a fallback
+    * use [[extractFeatures]], whose stub path covers any bytes).
+    */
+  def imageStats(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val media = if (a.media == null) Array.emptyByteArray else a.media
+        decodeImage(media).map(s =>
+          (a.asset_id, s.format, s.width, s.height,
+            s.lumaSum, s.nPixels, s.edgeCount, s.hPairs))
+      }
+    }.toDF("asset_id", "format", "width", "height",
+      "luma_sum", "n_pixels", "edge_count", "h_pairs")
+  }
+
+  /** Format dispatch: real WAV/BMP/PPM parse when magic bytes match
+    * (each parser returns None on anything malformed, so a text blob
+    * that merely begins with a magic pair still stubs), deterministic
+    * stub otherwise. Image features: [w, h, mean luma, edge density,
+    * 3 channels, 0, 0, 0]; nFrames = 1.
     */
   def decode(media: Array[Byte]): (Int, Array[Float]) =
     (if (media.length >= 12 && media(0) == 'R' && media(1) == 'I' &&
          media(2) == 'F' && media(3) == 'F')
        decodeWav(media).map { case (info, feats) => (info.nFrames, feats) }
-     else None).getOrElse(decodeStub(media))
+     else decodeImage(media).map { s =>
+       val meanLuma = s.lumaSum.toDouble / (255000.0 * s.nPixels)
+       val edgeDensity =
+         if (s.hPairs == 0) 0.0 else s.edgeCount.toDouble / s.hPairs
+       (1, Array[Float](s.width.toFloat, s.height.toFloat, meanLuma.toFloat,
+         edgeDensity.toFloat, 3f, 0f, 0f, 0f))
+     }).getOrElse(decodeStub(media))
 
   /** Decode + feature-extract, one batched pass per partition. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {

@@ -83,6 +83,64 @@ class MultimodalSpec extends SparkSuite {
     assert(out.n_frames == (nonPcm.length + 255) / 256) // stub fallback
   }
 
+  test("decodeBmp/decodePpm: encode-decode round trip with exact stats") {
+    // vertical stripes: luma alternates 0 / 255000-scaled white per column
+    def stripes(x: Int, y: Int) = if (x % 2 == 0) (0, 0, 0) else (255, 255, 255)
+    for ((enc, fmt) <- Seq(
+        (Multimodal.encodeBmp _, "bmp"), (Multimodal.encodePpm _, "ppm"))) {
+      val bytes = enc(5, 4, stripes)
+      val Some(s) = Multimodal.decodeImage(bytes)
+      assert(s.format == fmt)
+      assert((s.width, s.height) == (5, 4))
+      assert(s.nPixels == 20 && s.hPairs == 16)
+      // 2 white columns of 4 = 8 white pixels at scaled luma 255000
+      assert(s.lumaSum == 8L * 255000)
+      assert(s.edgeCount == 16) // every horizontal neighbor pair is an edge
+    }
+    // flat image: zero edges, exact mean
+    val flat = Multimodal.encodeBmp(3, 3, (_, _) => (10, 20, 30))
+    val Some(f) = Multimodal.decodeImage(flat)
+    assert(f.edgeCount == 0)
+    assert(f.lumaSum == 9L * (299 * 10 + 587 * 20 + 114 * 30))
+  }
+
+  test("bmp and ppm decoders agree pixel-for-pixel on the same image") {
+    def px(x: Int, y: Int) = ((x * 37 + y * 11) % 256, (x + y * 71) % 256, (x * 5) % 256)
+    val Some(a) = Multimodal.decodeImage(Multimodal.encodeBmp(7, 6, px))
+    val Some(b) = Multimodal.decodeImage(Multimodal.encodePpm(7, 6, px))
+    // BMP stores bottom-up BGR with padded rows, PPM top-down RGB — the
+    // decoders must normalize both to identical (x, y) stats
+    assert(a.copy(format = "x") == b.copy(format = "x"))
+  }
+
+  test("malformed image bytes fall back to the stub, never crash") {
+    val cases = Seq[Array[Byte]](
+      "BM".getBytes, // truncated header
+      "P6\n5 4\n254\n".getBytes ++ Array.fill(60)(1.toByte), // maxval != 255
+      "P6\n5 4\n255\n".getBytes ++ Array.fill(10)(1.toByte), // short pixel data
+      { val b = Multimodal.encodeBmp(4, 4, (_, _) => (1, 2, 3))
+        b(28) = 8; b }, // 8bpp paletted
+      "BMlooks like text but is not a bitmap at all...".getBytes)
+    cases.foreach { c =>
+      assert(Multimodal.decodeImage(c).isEmpty)
+      val out = Multimodal.extractFeatures(
+        Seq(MediaAsset(9L, "image", c)).toDS()).collect().head
+      assert(out.n_frames == math.max(1, (c.length + 255) / 256)) // stub
+    }
+  }
+
+  test("imageStats: distributed narrow pass over mixed-format assets") {
+    def px(x: Int, y: Int) = ((x * 31) % 256, (y * 17) % 256, ((x + y) * 3) % 256)
+    val ds = Seq(
+      MediaAsset(1L, "image", Multimodal.encodeBmp(6, 5, px)),
+      MediaAsset(2L, "image", Multimodal.encodePpm(6, 5, px)),
+      MediaAsset(3L, "image", "not an image".getBytes)).toDS()
+    val rows = Multimodal.imageStats(ds).collect().sortBy(_.getLong(0))
+    assert(rows.length == 2) // undecodable asset yields no row
+    assert(rows(0).getString(1) == "bmp" && rows(1).getString(1) == "ppm")
+    assert(rows(0).getLong(4) == rows(1).getLong(4)) // same luma_sum
+  }
+
   test("documentFeatures wires the documents table shape end-to-end") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val out = Multimodal.documentFeatures(spark, docs).collect().sortBy(_.asset_id)
