@@ -327,20 +327,24 @@ object Dedup {
     * SURVEY §3.3 "dup groups via iterative smallest-id propagation".
     *
     * Driver loop of {bidirectional neighbor-min join + groupBy min}
-    * until a fixpoint; plain neighbor-min propagation needs O(diameter)
-    * passes, and dup groups are short-diameter in practice (near-dup
-    * similarity is near-transitive) — pathological long chains should
-    * raise `maxIter` (or switch to a large-star/small-star scheme).
-    * Non-convergence at maxIter THROWS rather than returning silently
-    * wrong labels. Each pass is one shuffle of the (vertex, label)
-    * table; the pair list is usually orders of magnitude smaller than
-    * the corpus, so this runs on the pair-touched vertex set only.
+    * until a fixpoint; with the pointer-jumping shortcut below each pass
+    * at least halves every vertex's distance to its component minimum,
+    * so convergence needs ≤ ⌈log₂ n⌉ + O(1) passes for ANY graph shape —
+    * even an adversarial n-vertex path. By default (`maxIter` ≤ 0) the
+    * pass budget is derived from the vertex count of the pair-touched
+    * set (one cheap count of the checkpointed label table), so no graph
+    * requires manual tuning; an explicit positive `maxIter` is an exact
+    * cap for callers that want bounded latency, and non-convergence at
+    * an explicit cap THROWS rather than returning silently wrong
+    * labels. Each pass is one shuffle of the (vertex, label) table; the
+    * pair list is usually orders of magnitude smaller than the corpus,
+    * so this runs on the pair-touched vertex set only.
     * Deterministic: labels only ever decrease, fixpoint is unique.
     *
     * @return (id, group_id) for every id appearing in `pairs`, where
     *         group_id = min id of the component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 0): DataFrame = {
     // bidirectional edge list — materialized ONCE: it is consumed by
     // every loop iteration (join + convergence count), and leaving it
     // lazy would re-execute the upstream candidate-generation pipeline
@@ -353,9 +357,17 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("group_id"))
       .localCheckpoint(true)
+    // auto pass budget: pointer jumping halves distance-to-root every
+    // pass, so ⌈log₂ n⌉ + slack provably converges on any n-vertex graph
+    val effectiveMax =
+      if (maxIter > 0) maxIter
+      else {
+        val n = math.max(labels.count(), 2L)
+        (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 4
+      }
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    while (iter < effectiveMax && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("group_id", "nlabel"), Seq("dst"))
@@ -393,9 +405,11 @@ object Dedup {
       iter += 1
     }
     require(converged,
-      s"connectedComponents did not converge in $maxIter passes — " +
-        "raise maxIter (with pointer jumping this bounds components of " +
-        s"diameter ~2^$maxIter)")
+      s"connectedComponents did not converge in $effectiveMax passes — " +
+        (if (maxIter > 0)
+           "the explicit maxIter cap is below this graph's need; drop it " +
+             "to let the log2(n) auto budget apply"
+         else "this exceeds the provable log2(n) bound and indicates a bug"))
     labels
   }
 
