@@ -681,24 +681,29 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "lang_guess")
 
-  val textLangIdSql: String = {
+  /** The langId decision CASE over a `toks` list column — shared by the
+    * q22 oracle and the corpus-prep pipeline replay (q58). */
+  private def langGuessCaseSql: String = {
     def cnt(ws: Seq[String]) = {
       val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
       s"len(list_filter(toks, x -> list_contains($lst, x)))"
     }
     val Seq(en, es, de, fr) = TextFunctions.LangStopwords.map { case (_, ws) => cnt(ws) }
-    s"""WITH tok AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
-       |g AS (
-       |  SELECT lang,
-       |    CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+    s"""CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
        |         WHEN $es >= $de AND $es >= $fr AND $es > 0 THEN 'es'
        |         WHEN $de >= $fr AND $de > 0 THEN 'de'
        |         WHEN $fr > 0 THEN 'fr'
-       |         ELSE 'und' END AS lang_guess
+       |         ELSE 'und' END""".stripMargin
+  }
+
+  val textLangIdSql: String =
+    s"""WITH tok AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+       |g AS (
+       |  SELECT lang,
+       |    $langGuessCaseSql AS lang_guess
        |  FROM tok)
        |SELECT lang, lang_guess, COUNT(*) AS cnt FROM g
        |GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin
-  }
 
   /** Top-5 TF-IDF terms per document (corpus-level text analysis). The
     * idf's natural log is computed in double on both engines; ties break
@@ -1511,6 +1516,61 @@ object Queries {
        |SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.7
        |ORDER BY new_id, corpus_id""".stripMargin
 
+  /** Training-corpus preparation capstone ([[CorpusPrep.clean]]): gate
+    * on tokens/quality/language, exact-dedup by content fingerprint,
+    * then account the surviving token budget per language — the one-job
+    * composition an LLM pipeline runs before near-dup LSH. The oracle
+    * replays every stage (the q21 quality formula, the q22 language
+    * CASE, the q17 fingerprint dedup) and aggregates with the DECIMAL
+    * exact-sum rule, so the hash certifies the whole pipeline, not just
+    * its pieces.
+    */
+  def corpusPrep(s: SparkSession, dir: String): DataFrame =
+    // grouped by the declared lang column: on this fixture the text
+    // generator writes English-stopword prose under every lang label, so
+    // lang_guess is only a gate ('und' drops), not a useful group key
+    CorpusPrep.clean(t(s, dir, "documents"), "doc_id", "text")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("quality").cast("decimal(10,4)")).cast("double") /
+          count(lit(1)), 6).as("avg_quality"))
+      .orderBy("lang")
+
+  val corpusPrepSql: String = {
+    val stop = TextFunctions.StopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    // punct/stopword/quality expressions mirror textStatsSql (q21), the
+    // fingerprint mirrors dedupFingerprintSql (q17)
+    s"""WITH tok AS (SELECT doc_id, lang, text, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |m AS (
+       |  SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
+       |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+       |          greatest(length(text), 1), 4) AS punct_ratio,
+       |    round(CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) /
+       |          greatest(len(toks), 1), 4) AS stopword_ratio
+       |  FROM tok),
+       |q AS (
+       |  SELECT doc_id, lang, toks, n_tokens,
+       |    floor((least(length(text) / 500.0, 1.0) * 0.5 +
+       |           least(stopword_ratio * 5.0, 1.0) * 0.3 +
+       |           (1.0 - punct_ratio) * 0.2) * 10000) / 10000 AS quality,
+       |    $langGuessCaseSql AS lang_guess
+       |  FROM m),
+       |f AS (
+       |  SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+       |  FROM q WHERE n_tokens >= 10 AND quality >= 0.3E0 AND lang_guess <> 'und'),
+       |s AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+       |    FROM f) WHERE rn = 1)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  round(CAST(SUM(CAST(quality AS DECIMAL(10,4))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Map-typed columns: build a map from event fields, explode its
     * entries, aggregate per key — the map-column shape (creation +
     * entry explode) that JSON extraction (q07) does not cover.
@@ -1593,7 +1653,8 @@ object Queries {
     "q54_dedup_incremental" -> dedupIncremental _,
     "q55_sim_ivf_probe" -> simIvfProbe _,
     "q56_kmodes_frequency" -> kmodesFrequencyStep _,
-    "q57_image_decode" -> imageDecode _)
+    "q57_image_decode" -> imageDecode _,
+    "q58_corpus_prep" -> corpusPrep _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -1651,5 +1712,6 @@ object Queries {
     "q54_dedup_incremental" -> dedupIncrementalSql,
     "q55_sim_ivf_probe" -> simIvfProbeSql,
     "q56_kmodes_frequency" -> kmodesFrequencyStepSql,
-    "q57_image_decode" -> imageDecodeSql)
+    "q57_image_decode" -> imageDecodeSql,
+    "q58_corpus_prep" -> corpusPrepSql)
 }
