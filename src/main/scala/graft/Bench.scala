@@ -67,7 +67,14 @@ object Bench {
       }
       val median =
         if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
+        else {
+          val s = times.sorted
+          // true midpoint for even counts: a 1-of-3 failure leaves two
+          // samples, and reporting the worse one would re-introduce the
+          // wobble misattribution the median exists to fix
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
       (name, median, times.size)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -79,14 +86,19 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$ns,"failed":$failed,"sf":"$sfDir"}"""
-    // the JSON goes to stdout (driver contract: ONE line) and to a side
-    // file, so a parser tripped by surrounding build-tool noise has a
-    // clean copy; emit BEFORE spark.stop() so shutdown logs can't trail.
-    java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
-      (json + "\n").getBytes("UTF-8"))
+    // the JSON goes to stdout FIRST (driver contract: ONE line — a
+    // failed side-file write must not eat the primary channel), then to
+    // a side file so a parser tripped by surrounding build-tool noise
+    // has a clean copy; both BEFORE spark.stop() so shutdown logs can't
+    // trail the line.
     System.out.println(json)
     System.out.flush()
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"bench side-file write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

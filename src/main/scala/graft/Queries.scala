@@ -93,7 +93,12 @@ object Queries {
     * the reduction exactly: Hamming populations → k×n match-count
     * weights → re-assignment where a matching position costs
     * 1 − freq(center value)/|cluster| — all in plain SQL since the
-    * weights are scalars, not per-row state.
+    * weights are scalars, not per-row state. One branch is NOT
+    * replayed: an empty Hamming cluster (operator falls back to plain
+    * Hamming for that center; the oracle's CROSS JOIN would yield zero
+    * rows instead) — every FixedCenters cluster is populated on this
+    * data, and a violation empties the oracle result, failing the
+    * row-count check loudly rather than passing silently.
     */
   def kmodesFrequencyStep(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "orders")
@@ -128,13 +133,17 @@ object Queries {
     }.mkString(",\n    ")
     val wJoins = (0 until k)
       .map(ci => s"CROSS JOIN (SELECT * FROM w WHERE p = $ci) w$ci").mkString(" ")
-    val predCase = "CASE " + (0 until k - 1).map { ci =>
-      val conds = (ci + 1 until k).map(j => s"e$ci <= e$j").mkString(" AND ")
+    // argmin with ties to the lowest index, generated from k for BOTH
+    // assignment passes (a hardcoded 3-way CASE would silently ignore
+    // extra centers if FixedCenters ever grew)
+    def argminCase(prefix: String) = "CASE " + (0 until k - 1).map { ci =>
+      val conds = (ci + 1 until k).map(j => s"$prefix$ci <= $prefix$j").mkString(" AND ")
       s"WHEN $conds THEN $ci"
     }.mkString(" ") + s" ELSE ${k - 1} END"
+    val predCase = argminCase("e")
     val eList = (0 until k).map("e" + _).mkString(", ")
     s"""WITH f AS (SELECT o_orderkey, $fcols FROM orders),
-       |h AS (SELECT *, CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0 WHEN d1 <= d2 THEN 1 ELSE 2 END AS p
+       |h AS (SELECT *, ${argminCase("d")} AS p
        |      FROM (SELECT *, $hd FROM f)),
        |w AS (SELECT p, COUNT(*) AS sz, $ms FROM h GROUP BY p),
        |e AS (SELECT h.o_orderkey,
@@ -656,23 +665,33 @@ object Queries {
         TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
-  val textStatsSql: String = {
+  /** punct/stopword ratio expressions over (text, toks) and the quality
+    * formula over them — shared by the q21 oracle and the corpus-prep
+    * pipeline replay (q58) so the two can never desynchronize from
+    * [[TextFunctions.qualityScore]]. */
+  private def punctStopSqlExprs: String = {
     val stop = TextFunctions.StopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+       |          greatest(length(text), 1), 4) AS punct_ratio,
+       |    round(CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) /
+       |          greatest(len(toks), 1), 4) AS stopword_ratio""".stripMargin
+  }
+
+  private val qualitySqlExpr: String =
+    """floor((least(length(text) / 500.0, 1.0) * 0.5 +
+      |         least(stopword_ratio * 5.0, 1.0) * 0.3 +
+      |         (1.0 - punct_ratio) * 0.2) * 10000) / 10000""".stripMargin
+
+  val textStatsSql: String =
     s"""WITH tok AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
        |m AS (
        |  SELECT doc_id, text, len(toks) AS n_tokens,
        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
-       |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
-       |          greatest(length(text), 1), 4) AS punct_ratio,
-       |    round(CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) /
-       |          greatest(len(toks), 1), 4) AS stopword_ratio
+       |    $punctStopSqlExprs
        |  FROM tok)
        |SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio,
-       |  floor((least(length(text) / 500.0, 1.0) * 0.5 +
-       |         least(stopword_ratio * 5.0, 1.0) * 0.3 +
-       |         (1.0 - punct_ratio) * 0.2) * 10000) / 10000 AS quality
+       |  $qualitySqlExpr AS quality
        |FROM m ORDER BY doc_id""".stripMargin
-  }
 
   def textLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -873,7 +892,7 @@ object Queries {
     * d ≥ 1 bits have cos ≈ (32−16d)/32 ≤ 0.5 — a query's true top-k are
     * ALWAYS same-cluster, the separation an honest IVF probe recovers.
     */
-  private def clusteredVec: Column = {
+  private[graft] def clusteredVec: Column = {
     val c = pmod(col("vec_id"), lit(16))
     transform(sequence(lit(0), lit(31)), j => {
       val bit = pmod(floor(c.cast("double") / pow(lit(2.0), pmod(j, lit(4)).cast("double"))), lit(2))
@@ -1063,20 +1082,25 @@ object Queries {
     * exactly — the `format` column comes from the parsed magic, so a
     * decoder silently falling back would flip it and fail the hash.
     */
+  /** Synthesized image asset for doc `id` — the single source of the
+    * pixel formula the q57 oracle replays; the 10× scale probe reuses
+    * it so the probed geometry is exactly the certified one. */
+  private[graft] def imageAssetFor(id: Long): Multimodal.MediaAsset = {
+    val w = (8 + id % 8).toInt
+    val h = (8 + id % 5).toInt
+    def px(x: Int, y: Int) = (
+      ((id * 7 + x * 3 + y * 5) % 256).toInt,
+      ((id * 11 + x * 13 + y) % 256).toInt,
+      ((id + x + y * 17) % 256).toInt)
+    Multimodal.MediaAsset(id, "image",
+      if (id % 2 == 0) Multimodal.encodeBmp(w, h, px)
+      else Multimodal.encodePpm(w, h, px))
+  }
+
   def imageDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
-      val w = (8 + id % 8).toInt
-      val h = (8 + id % 5).toInt
-      def px(x: Int, y: Int) = (
-        ((id * 7 + x * 3 + y * 5) % 256).toInt,
-        ((id * 11 + x * 13 + y) % 256).toInt,
-        ((id + x + y * 17) % 256).toInt)
-      val bytes =
-        if (id % 2 == 0) Multimodal.encodeBmp(w, h, px)
-        else Multimodal.encodePpm(w, h, px)
-      Multimodal.MediaAsset(id, "image", bytes)
-    }
+    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(imageAssetFor _)
     Multimodal.imageStats(assets)
       .select(col("asset_id"), col("format"), col("width"), col("height"),
         round(col("luma_sum").cast("double") /
@@ -1538,24 +1562,18 @@ object Queries {
           count(lit(1)), 6).as("avg_quality"))
       .orderBy("lang")
 
-  val corpusPrepSql: String = {
-    val stop = TextFunctions.StopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
-    // punct/stopword/quality expressions mirror textStatsSql (q21), the
-    // fingerprint mirrors dedupFingerprintSql (q17)
+  // shared fragments guarantee lockstep with the q21 (quality), q22
+  // (language CASE) and q17 (fingerprint) oracles
+  val corpusPrepSql: String =
     s"""WITH tok AS (SELECT doc_id, lang, text, $duckToks AS toks
        |            FROM documents WHERE text IS NOT NULL),
        |m AS (
        |  SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
-       |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
-       |          greatest(length(text), 1), 4) AS punct_ratio,
-       |    round(CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) /
-       |          greatest(len(toks), 1), 4) AS stopword_ratio
+       |    $punctStopSqlExprs
        |  FROM tok),
        |q AS (
        |  SELECT doc_id, lang, toks, n_tokens,
-       |    floor((least(length(text) / 500.0, 1.0) * 0.5 +
-       |           least(stopword_ratio * 5.0, 1.0) * 0.3 +
-       |           (1.0 - punct_ratio) * 0.2) * 10000) / 10000 AS quality,
+       |    $qualitySqlExpr AS quality,
        |    $langGuessCaseSql AS lang_guess
        |  FROM m),
        |f AS (
@@ -1569,7 +1587,6 @@ object Queries {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  round(CAST(SUM(CAST(quality AS DECIMAL(10,4))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
   /** Map-typed columns: build a map from event fields, explode its
     * entries, aggregate per key — the map-column shape (creation +

@@ -186,8 +186,12 @@ object Multimodal {
     val h = le32(22)
     if (hdrSize < 40 || w <= 0 || h <= 0 || le16(26) != 1) return None
     if (le16(28) != 24 || le32(30) != 0) return None // 24bpp, BI_RGB only
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (pixOff < 54 || pixOff.toLong + stride.toLong * h > media.length) return None
+    // stride math in Long: a malicious header width near Int.MaxValue
+    // would wrap `w * 3 + 3` negative and slip past the bounds check,
+    // turning the documented None-fallback into an array crash
+    val strideL = ((w.toLong * 3 + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + strideL * h > media.length) return None
+    val stride = strideL.toInt // bounded by media.length after the check
     Some(scanRows("bmp", w, h) { (x, y) =>
       // rows are stored bottom-up; the scan is top-down like PPM so the
       // two decoders present identical (x, y) coordinates

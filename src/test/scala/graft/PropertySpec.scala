@@ -87,4 +87,17 @@ class PropertySpec extends SparkSuite {
       assert(salted == plain, s"trial $trial diverged")
     }
   }
+
+  test("rowUniqueSalt join stays exact on byte-identical duplicate probe rows") {
+    // the shape the deterministic row-hash salt cannot spread (every
+    // probe row identical => one salt value): rowUniqueSalt must still
+    // return exactly the plain join's multiset — every duplicate row
+    // meets the build side under whatever salt it received
+    val probe = spark.range(5000).select(lit(7L).as("k"), lit(0L).as("pv"))
+    val build = Seq((7L, 1L), (7L, 2L), (8L, 3L)).toDF("k", "bv")
+    val salted = SkewJoin.saltedInnerJoin(probe, build, Seq("k"),
+        numSalts = 16, rowUniqueSalt = true)
+      .groupBy("k", "bv").count().as[(Long, Long, Long)].collect().toSet
+    assert(salted == Set((7L, 1L, 5000L), (7L, 2L, 5000L)))
+  }
 }
