@@ -72,4 +72,32 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("graft_hamming_assign") || p.contains("hamming"),
       "native assignment expression not in plan")
   }
+
+  test("q56 frequency re-assignment is narrow: weights fold in as literals") {
+    // FrequencyAssign runs its k×n weight aggregation eagerly at build
+    // time; the REGISTERED plan must then be gate-narrow — one exchange
+    // for the final orderBy, nothing data-sized shuffled for weights
+    val p = plan("q56_kmodes_frequency")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"frequency assignment shuffles before the sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q58 corpus prep: gate prunes before the dedup exchange") {
+    val p = plan("q58_corpus_prep")
+    // expected: fingerprint-window exchange + lang aggregation exchange
+    // + final sort exchange; the quality/language gate must NOT add one
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"corpus prep shuffles more than gate→dedup→agg:\n$p")
+    assert(p.contains("text IS NOT NULL") || p.contains("isnotnull(text"),
+      "null-text gate missing from the plan")
+  }
+
+  test("q57 image decode stays a single narrow pass before the sort") {
+    val p = plan("q57_image_decode")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"image decode shuffles before the sort:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"documents scan not pruned to doc_id:\n$p")
+  }
 }
