@@ -10,10 +10,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2-§3. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for the iterative k-modes
-    * fits (q14/q15/q33 — driver records a weaker rows-only check);
-    * every other query, including the approximate LSH/ANN/simhash
-    * paths, carries an exact oracle (replayed algorithm or certified
-    * 100%-recall parameters — see the per-query scaladoc). */
+    * the same parquet tables. Omitted only for the ensemble fit (q15 —
+    * partition-dependent by reference semantics; driver records a
+    * rows-only check, a golden-snapshot spec pins the values); every
+    * other query — including the iterative Lloyd fits (full-algorithm
+    * replay), the approximate LSH/ANN/simhash paths (replayed algorithm
+    * or certified 100%-recall parameters) and the image decoders
+    * (integer-exact stats) — carries an exact oracle; see the
+    * per-query scaladoc. */
   def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -422,6 +422,59 @@ object Dedup {
     * (new_id, corpus_id, jaccard) with jaccard >= threshold — a new doc
     * with no row here is novel and safe to admit.
     */
+  /** Static-side LSH index of a corpus, shared by the batch admission
+    * gate ([[minhashLSHJoin]]) and its streaming twin
+    * ([[graft.streaming.StreamOps.dedupGate]]): capped band buckets,
+    * sorted shingle sets for exact verify, and the exact-duplicate
+    * member expansion — all keyed by the collapsed representative id.
+    * For a continuous stream, materialize/cache these three (they are
+    * re-planned per micro-batch otherwise).
+    */
+  final case class CorpusIndex(
+      bands: DataFrame, sets: DataFrame, members: DataFrame)
+
+  def corpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      maxBucketSize: Int = 1000): CorpusIndex = {
+    val rowsPerBand = numHashes / numBands
+    // exact-duplicate collapse BEFORE the bucket cap — without it, a
+    // family larger than maxBucketSize (the most-duplicated content,
+    // exactly what an admission gate exists to catch) floods every band
+    // bucket past the cap and new copies would be admitted as "novel"
+    val gc = textGroups(corpus, idCol, textCol)
+    val bands = keepCappedBuckets(
+      shingleSignatures(gc, "id", "__text", shingleSize, numHashes)
+        .select(col("id"),
+          posexplode(bandKeys(col("sig"), numBands, rowsPerBand))
+            .as(Seq("band_idx", "band_hash"))),
+      maxBucketSize, minSize = 1)
+      .withColumnRenamed("id", "corpus_id")
+    val sets = shingleSets(gc, "id", "__text", shingleSize)
+      .select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+    val members = gc.select(col("id").as("corpus_id"),
+      explode(col("members")).as("member_id"))
+    CorpusIndex(bands, sets, members)
+  }
+
+  /** Per-ROW scalar MinHash signature — value-identical to
+    * [[shingleSignatures]]'s aggregated form (min over shingles of
+    * xxhash64(xxhash64(shingle), s)) but computed inside one projection,
+    * so it runs STATELESS on a stream. Null/shingle-less text yields a
+    * null signature (the aggregated form emits no row — callers explode
+    * band keys, where null drops the row the same way).
+    */
+  def rowSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    val hashes = F.transform(
+      graft.functions.TextFunctions.shingles(text, shingleSize), x => xxhash64(x))
+    F.transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(F.transform(hashes, h => xxhash64(h, s))))
+  }
+
   def minhashLSHJoin(
       newDocs: DataFrame,
       corpus: DataFrame,
@@ -433,35 +486,29 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    // exact-duplicate collapse per side BEFORE the bucket cap — same
-    // skew fix as minhashLSH: without it, a corpus family larger than
-    // maxBucketSize (the most-duplicated content, exactly what the gate
-    // exists to catch) floods every band bucket past the cap and new
-    // copies of it would be admitted as "novel". Collapsed, the family
-    // is ONE bucket row; members expand back into the answer at the end.
+    // exact-duplicate collapse per side BEFORE the bucket cap (see
+    // corpusIndex); collapsed, a mega-dup family is ONE bucket row and
+    // members expand back into the answer at the end
     val gn = textGroups(newDocs, idCol, textCol)
-    val gc = textGroups(corpus, idCol, textCol)
-    def bands(groups: DataFrame) =
-      shingleSignatures(groups, "id", "__text", shingleSize, numHashes)
-        .select(col("id"),
-          posexplode(bandKeys(col("sig"), numBands, rowsPerBand))
-            .as(Seq("band_idx", "band_hash")))
-    val cb = keepCappedBuckets(bands(gc), maxBucketSize, minSize = 1)
-      .withColumnRenamed("id", "corpus_id")
+    val idx = corpusIndex(corpus, idCol, textCol,
+      shingleSize, numHashes, numBands, maxBucketSize)
     // the NEW side is capped too: exact collapse merges byte-identical
     // new docs, but a skewed batch of near-identical-but-distinct texts
     // (template spam) would otherwise fan out |new bucket| × cap pairs
-    val nb = keepCappedBuckets(bands(gn), maxBucketSize, minSize = 1)
+    val nb = keepCappedBuckets(
+      shingleSignatures(gn, "id", "__text", shingleSize, numHashes)
+        .select(col("id"),
+          posexplode(bandKeys(col("sig"), numBands, rowsPerBand))
+            .as(Seq("band_idx", "band_hash"))),
+      maxBucketSize, minSize = 1)
       .withColumnRenamed("id", "new_id")
-    val cand = nb.join(cb, Seq("band_idx", "band_hash"))
+    val cand = nb.join(idx.bands, Seq("band_idx", "band_hash"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()
     val sn = shingleSets(gn, "id", "__text", shingleSize)
       .select(col("id").as("new_id"), col("sh").as("sh_n"))
-    val sc = shingleSets(gc, "id", "__text", shingleSize)
-      .select(col("id").as("corpus_id"), col("sh").as("sh_c"))
     val c = graft.functions.SetExpressions.sortedIntersectCount(col("sh_n"), col("sh_c"))
-    val repPairs = cand.join(sn, Seq("new_id")).join(sc, Seq("corpus_id"))
+    val repPairs = cand.join(sn, Seq("new_id")).join(idx.sets, Seq("corpus_id"))
       .select(col("new_id"), col("corpus_id"),
         round(c.cast("double") /
           (size(col("sh_n")) + size(col("sh_c")) - c), 4).as("jaccard"))
@@ -469,9 +516,8 @@ object Dedup {
     // expand representatives back to members on BOTH sides; no
     // within-side pairs exist in this operator by construction
     val mn = gn.select(col("id").as("new_id"), explode(col("members")).as("nm"))
-    val mc = gc.select(col("id").as("corpus_id"), explode(col("members")).as("cm"))
-    repPairs.join(mn, Seq("new_id")).join(mc, Seq("corpus_id"))
-      .select(col("nm").as("new_id"), col("cm").as("corpus_id"), col("jaccard"))
+    repPairs.join(mn, Seq("new_id")).join(idx.members, Seq("corpus_id"))
+      .select(col("nm").as("new_id"), col("member_id").as("corpus_id"), col("jaccard"))
   }
 
   /** End-to-end near-duplicate REMOVAL — the operation a training-data

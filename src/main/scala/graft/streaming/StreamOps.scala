@@ -91,6 +91,59 @@ object StreamOps {
         col("view_id"), col("click_ts"), col("view_ts"))
   }
 
+  /** Document record for the streaming admission gate. */
+  final case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  /** STREAMING near-dup admission gate — the continuous form of
+    * [[graft.operators.Dedup.minhashLSHJoin]] (its batch twin and
+    * parity oracle): a stream of incoming documents is checked against
+    * a STATIC corpus LSH index via a stream-static equi-join on band
+    * keys. Per arriving doc everything is stateless (the MinHash
+    * signature is computed by [[graft.operators.Dedup.rowSignature]]
+    * inside one projection — no streaming aggregation), except one
+    * bounded dedup of multi-band repeats of the same (new, corpus)
+    * pair, evicted by the watermark. Emits (new_id, corpus_id, jaccard)
+    * for every match ≥ threshold — a doc with no row is novel.
+    *
+    * At scale: the corpus index is computed here per micro-batch; a
+    * production deployment materializes [[Dedup.corpusIndex]] (parquet
+    * or cache) and refreshes it on corpus compaction.
+    */
+  def dedupGate(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.7,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.operators.Dedup
+    val rowsPerBand = numHashes / numBands
+    val idx = Dedup.corpusIndex(corpus, idCol, textCol,
+      shingleSize, numHashes, numBands)
+    val sig = Dedup.rowSignature(col(textCol), shingleSize, numHashes)
+    val n = newDocs.withWatermark("ts", watermarkDelay)
+      .select(col(idCol).as("new_id"), col("ts"),
+        array_sort(graft.functions.TextFunctions.shingles(col(textCol), shingleSize))
+          .as("sh_n"),
+        posexplode(Dedup.bandKeys(sig, numBands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    val c = graft.functions.SetExpressions
+      .sortedIntersectCount(col("sh_n"), col("sh_c"))
+    n.join(idx.bands, Seq("band_idx", "band_hash")) // stream-static, stateless
+      .join(idx.sets, Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"), col("ts"),
+        round(c.cast("double") /
+          (size(col("sh_n")) + size(col("sh_c")) - c), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      // the same pair surfaces once per colliding band — bounded state
+      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
+      .join(idx.members, Seq("corpus_id")) // expand collapsed corpus dups
+      .select(col("new_id"), col("member_id").as("corpus_id"), col("jaccard"))
+  }
+
   /** Gap-based sessionization per user via `flatMapGroupsWithState`
     * (SURVEY §3.2 "stateful" row): a session closes when no event
     * arrives within `gapMs` of its last event; closed sessions are

@@ -177,4 +177,48 @@ class StreamOpsSpec extends SparkSuite {
     assert(u1.contains((25L, 25L, 1, 8.0)), s"separate late cluster missing: $u1")
     assert(u1.contains((36L, 40L, 2, 17.0)), s"bridged session missing: $u1")
   }
+
+  test("dedupGate: streaming admission matches the batch minhashLSHJoin") {
+    import graft.streaming.StreamOps.Doc
+    val corpusRows = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "a completely different corpus document about catalyst optimizer rules"),
+      (102L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 100
+      (103L, "spark structured streaming state stores and watermarks explained"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val newRows = Seq(
+      Doc(1L, "the quick brown fox jumps over the lazy dog again and again now", ts(0)),
+      Doc(2L, "an entirely novel document matching nothing in the existing corpus", ts(1)),
+      Doc(3L, "spark structured streaming state stores and watermarks explained", ts(2)))
+
+    val input = MemoryStream[Doc]
+    val gated = StreamOps.dedupGate(input.toDF(), corpus, threshold = 0.5)
+    val got = runBatches2(input, gated, OutputMode.Append(),
+        Seq(newRows.take(1), newRows.drop(1)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+
+    val want = graft.operators.Dedup.minhashLSHJoin(
+        newRows.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), corpus,
+        "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(want.nonEmpty, "fixture must produce matches for the parity check")
+    assert(got == want, s"stream $got vs batch $want")
+    // the exact-dup corpus pair (100, 102) must BOTH surface via expansion
+    assert(got.map(_._2).toSet.intersect(Set(100L, 102L)).size == 2)
+    // the novel doc is admitted (no row)
+    assert(!got.exists(_._1 == 2L))
+  }
+
+  private def runBatches2(
+      stream: MemoryStream[StreamOps.Doc],
+      out: org.apache.spark.sql.DataFrame,
+      mode: OutputMode,
+      batches: Seq[Seq[StreamOps.Doc]]): Seq[org.apache.spark.sql.Row] = {
+    val name = s"mem_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
 }
