@@ -17,6 +17,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // static broadcast planning OFF, AQE runtime broadcast ON: size
+      // ESTIMATES lie after explode/distinct (a candidate-pair table
+      // once estimated under 10 MB at 27M rows and was statically
+      // broadcast — AQE never demotes a static broadcast); exact
+      // runtime sizes decide instead. See SCALING.md "Join strategy".
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
       // events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
