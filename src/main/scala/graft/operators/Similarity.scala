@@ -149,34 +149,52 @@ object Similarity {
     // numBlocks-exploded corpus would shuffle-sort the whole exploded
     // table just to measure bucket sizes. minSize = 1: a singleton
     // corpus bucket still answers queries.
+    //
+    // Exactly-identical corpus vectors are collapsed FIRST (the
+    // cosineNearDupPairs skew guard; the 100× probe measured why: a
+    // 100×-duplicated corpus puts every copy of a sign pattern in every
+    // bucket and top-k scoring pays for each copy). Identical vectors
+    // share signature and cosine, so scoring one representative and
+    // expanding members back afterwards returns the IDENTICAL ranking
+    // (ties already break on neighbor_id); the bucket cap counts
+    // DISTINCT vectors. Self-exclusion happens after expansion, so
+    // duplicate copies of the query's own vector are still returned.
+    val groups = Dedup.textGroups(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
+      "id", "v")
+      .select(col("id"), col("__text").cast("array<double>").as("v"), col("members"))
     def explodeBlocks(df: DataFrame) = df
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .select(col("id"),
         posexplode(blockKeys(col("v"), dim, numBlocks, planesPerBlock, seed))
           .as(Seq("band_idx", "band_hash")))
-    val c = Dedup.keepCappedBuckets(explodeBlocks(corpus), maxBucketSize, minSize = 1)
-      .withColumnRenamed("id", "neighbor_id")
+    val c = Dedup.keepCappedBuckets(
+        explodeBlocks(groups.select(col("id"), col("v"))),
+        maxBucketSize, minSize = 1)
+      .withColumnRenamed("id", "rep_id")
     // query side: the exact bucket plus (optionally) the multiProbe
     // single-plane-flip neighbor buckets
+    val qn = queries.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
     val probeKeys = (0 until multiProbe).map(r => col("band_hash")
       .bitwiseXOR(lit(1L << r)))
-    val q = explodeBlocks(queries).withColumnRenamed("id", "query_id")
+    val q = explodeBlocks(qn).withColumnRenamed("id", "query_id")
       .select(col("query_id"), col("band_idx"),
         explode(array(col("band_hash") +: probeKeys: _*)).as("band_hash"))
     val cand = c.join(q, Seq("band_idx", "band_hash"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("rep_id"))
       .distinct()
-    val cv = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cvec"))
-    val qv = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec"))
-    val scored = cand.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
+    val cv = groups.select(col("id").as("rep_id"), col("v").as("cvec"))
+    val qv = qn.select(col("id").as("query_id"), col("v").as("qvec"))
+    val scored = cand.join(qv, Seq("query_id")).join(cv, Seq("rep_id"))
+      .select(col("query_id"), col("rep_id"),
         cosine(col("qvec"), col("cvec")).as("cos"))
+    val expanded = scored
+      .join(groups.select(col("id").as("rep_id"),
+        explode(col("members")).as("neighbor_id")), Seq("rep_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    expanded.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))

@@ -67,6 +67,22 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("lshTopK on a duplicated corpus: copies surface as distinct neighbors") {
+    // 10 exact copies of every vector (ids offset by 1000): the collapse
+    // guard must score each distinct vector once but still RETURN the
+    // copies, self-excluding only the query's own id — so the top-k of
+    // query 0 leads with the 9 other copies of its own vector at cos 1
+    val dup = (0 until 10).map(r => vecs.map { case (id, v) => (id + r * 1000L, v) })
+      .reduce(_ ++ _).toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(dup, dup.where(col("vec_id") === 0),
+        "vec_id", "embedding", dim = dim, k = 9,
+        numBlocks = 8, planesPerBlock = 4)
+      .orderBy("rank")
+      .select("neighbor_id", "cos").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == (1 to 9).map(_ * 1000L), s"got ${got.toSeq}")
+    assert(got.forall(_._2 == 1.0))
+  }
+
   test("lshTopK recall vs brute force on clustered data") {
     val brute = (0L until 5L).map(q => q -> bruteTopK(q, 5).toSet).toMap
     val got = Similarity.lshTopK(df, df.where(col("vec_id") < 5),
