@@ -1602,8 +1602,10 @@ object Queries {
       .orderBy("doc_id")
 
   val stratifiedSampleSql: String = {
+    // md5 input = salt ␁ id (chr(1)-joined, salt = '' here) — must stay
+    // in lockstep with Sampling.hashBucket
     val bucket =
-      "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 AS INT)"
+      "CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1), '', CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) % 100 AS INT)"
     s"""SELECT doc_id, lang, $bucket AS bucket
        |FROM documents
        |WHERE $bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)

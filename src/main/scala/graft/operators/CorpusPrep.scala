@@ -47,11 +47,13 @@ object CorpusPrep {
 
   /** Token-budget packing — fill a per-stratum training mix: within each
     * stratum take documents in (priority DESC, id ASC) order while the
-    * RUNNING token total stays ≤ `budget` (the first doc of a stratum is
-    * admitted even if it alone exceeds the budget iff `admitFirst`).
-    * One window pass per call: cumulative sum over the stratum ordering,
-    * filter on the inclusive prefix total — no iteration, no driver
-    * state, deterministic for a deterministic ordering.
+    * RUNNING token total stays ≤ `budget`. With `admitFirst` the
+    * stratum's first doc is admitted even when it alone exceeds the
+    * budget — otherwise a stratum whose best doc is oversized packs to
+    * EMPTY (the strict reading, and the default). One window pass:
+    * cumulative sum over the stratum ordering, filter on the inclusive
+    * prefix total — no iteration, no driver state, deterministic for a
+    * deterministic ordering.
     */
   def packByBudget(
       df: DataFrame,
@@ -59,13 +61,18 @@ object CorpusPrep {
       priorityCol: String,
       idCol: String,
       tokenCol: String,
-      budget: Long): DataFrame = {
+      budget: Long,
+      admitFirst: Boolean = false): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(col(priorityCol).desc, col(idCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("__cum", sum(col(tokenCol)).over(w))
-      .where(col("__cum") <= budget)
-      .drop("__cum")
+    val cum = sum(col(tokenCol)).over(w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+    val keep =
+      if (admitFirst) cum <= budget || row_number().over(w) === 1
+      else cum <= budget
+    df.withColumn("__keep", keep)
+      .where(col("__keep"))
+      .drop("__keep")
   }
 }

@@ -413,15 +413,6 @@ object Dedup {
     labels
   }
 
-  /** INCREMENTAL near-dup detection: new batch vs existing corpus — the
-    * shape a daily ingest actually runs (N_new × corpus, never
-    * corpus × corpus). Candidates come from a bucket equi-join of the
-    * two sides' band tables; corpus-side buckets are size-capped
-    * (minSize = 1 — a singleton corpus bucket can still answer a new
-    * doc); shingle sets hydrate per candidate from each side. Returns
-    * (new_id, corpus_id, jaccard) with jaccard >= threshold — a new doc
-    * with no row here is novel and safe to admit.
-    */
   /** Static-side LSH index of a corpus, shared by the batch admission
     * gate ([[minhashLSHJoin]]) and its streaming twin
     * ([[graft.streaming.StreamOps.dedupGate]]): capped band buckets,
@@ -465,16 +456,30 @@ object Dedup {
     * [[shingleSignatures]]'s aggregated form (min over shingles of
     * xxhash64(xxhash64(shingle), s)) but computed inside one projection,
     * so it runs STATELESS on a stream. Null/shingle-less text yields a
-    * null signature (the aggregated form emits no row — callers explode
-    * band keys, where null drops the row the same way).
+    * NULL signature (not an array of nulls — `array_min([])` per slot
+    * would give that, and band keys hashed over all-null slices are
+    * non-null and IDENTICAL across degenerate docs: one hot join key
+    * per band). Callers must gate on `sig IS NOT NULL` before deriving
+    * band keys; the aggregated form emits no row for such docs.
     */
   def rowSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val hashes = F.transform(
-      graft.functions.TextFunctions.shingles(text, shingleSize), x => xxhash64(x))
-    F.transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(F.transform(hashes, h => xxhash64(h, s))))
+    val sh = graft.functions.TextFunctions.shingles(text, shingleSize)
+    val hashes = F.transform(sh, x => xxhash64(x))
+    when(size(sh) > 0,
+      F.transform(sequence(lit(0), lit(numHashes - 1)),
+        s => array_min(F.transform(hashes, h => xxhash64(h, s)))))
+      .otherwise(lit(null).cast("array<bigint>"))
   }
 
+  /** INCREMENTAL near-dup detection: new batch vs existing corpus — the
+    * shape a daily ingest actually runs (N_new × corpus, never
+    * corpus × corpus). Candidates come from a bucket equi-join of the
+    * two sides' band tables; corpus-side buckets are size-capped
+    * (minSize = 1 — a singleton corpus bucket can still answer a new
+    * doc); shingle sets hydrate per candidate from each side. Returns
+    * (new_id, corpus_id, jaccard) with jaccard >= threshold — a new doc
+    * with no row here is novel and safe to admit.
+    */
   def minhashLSHJoin(
       newDocs: DataFrame,
       corpus: DataFrame,

@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform bucket in [0, 100) from md5 of (salt, id). */
+  /** Uniform bucket in [0, 100) from the first 60 bits of
+    * md5(salt ␁ id) — chr(1)-separated so distinct (salt, id) pairs
+    * can never alias (`concat("1", "23") == concat("12", "3")` would
+    * silently correlate samples documented as independent; salts must
+    * not contain chr(1)). Same digest recipe as the q19 token hash and
+    * the q14 portable init.
+    */
   def hashBucket(id: Column, salt: String = ""): Column =
-    (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+    (conv(substring(md5(concat_ws("\u0001", lit(salt), id.cast("string"))), 1, 15), 16, 10)
       .cast("long") % 100).cast("int")
 
   /** Keep rows whose hash bucket < `pct` (≈ pct% deterministic sample). */

@@ -105,6 +105,14 @@ object StreamOps {
     * pair, evicted by the watermark. Emits (new_id, corpus_id, jaccard)
     * for every match ≥ threshold — a doc with no row is novel.
     *
+    * Parity contract vs the batch twin: identical output WHEN the batch
+    * new-side bucket cap does not bind. The batch form can cap a skewed
+    * NEW batch (template spam fanning out |new bucket| × cap pairs)
+    * because it sees the whole batch at once; a stream row is judged
+    * independently, so only the corpus-side cap (`maxBucketSize`)
+    * applies here — bound the blast radius of a spammy stream upstream
+    * (rate limits / micro-batch sizing), not in the gate.
+    *
     * At scale: the corpus index is computed here per micro-batch; a
     * production deployment materializes [[Dedup.corpusIndex]] (parquet
     * or cache) and refreshes it on corpus compaction.
@@ -118,17 +126,21 @@ object StreamOps {
       numHashes: Int = 64,
       numBands: Int = 16,
       threshold: Double = 0.7,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      maxBucketSize: Int = 1000): DataFrame = {
     import graft.operators.Dedup
     val rowsPerBand = numHashes / numBands
     val idx = Dedup.corpusIndex(corpus, idCol, textCol,
-      shingleSize, numHashes, numBands)
+      shingleSize, numHashes, numBands, maxBucketSize)
     val sig = Dedup.rowSignature(col(textCol), shingleSize, numHashes)
     val n = newDocs.withWatermark("ts", watermarkDelay)
       .select(col(idCol).as("new_id"), col("ts"),
         array_sort(graft.functions.TextFunctions.shingles(col(textCol), shingleSize))
           .as("sh_n"),
-        posexplode(Dedup.bandKeys(sig, numBands, rowsPerBand))
+        // null signature (shingle-less doc) → no band rows, matching
+        // the aggregated corpus side, which emits no row for such docs
+        posexplode(when(sig.isNotNull,
+          Dedup.bandKeys(sig, numBands, rowsPerBand)))
           .as(Seq("band_idx", "band_hash")))
     val c = graft.functions.SetExpressions
       .sortedIntersectCount(col("sh_n"), col("sh_c"))

@@ -19,10 +19,10 @@ class StreamOpsSpec extends SparkSuite {
   private def ts(min: Int): Timestamp = new Timestamp((Base + min) * 60000L)
 
   private def runBatches[T](
-      stream: MemoryStream[Event],
+      stream: MemoryStream[T],
       out: org.apache.spark.sql.DataFrame,
       mode: OutputMode,
-      batches: Seq[Seq[Event]]): Seq[org.apache.spark.sql.Row] = {
+      batches: Seq[Seq[T]]): Seq[org.apache.spark.sql.Row] = {
     val name = s"mem_${System.nanoTime()}"
     val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try {
@@ -193,7 +193,7 @@ class StreamOpsSpec extends SparkSuite {
 
     val input = MemoryStream[Doc]
     val gated = StreamOps.dedupGate(input.toDF(), corpus, threshold = 0.5)
-    val got = runBatches2(input, gated, OutputMode.Append(),
+    val got = runBatches(input, gated, OutputMode.Append(),
         Seq(newRows.take(1), newRows.drop(1)))
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
 
@@ -207,18 +207,5 @@ class StreamOpsSpec extends SparkSuite {
     assert(got.map(_._2).toSet.intersect(Set(100L, 102L)).size == 2)
     // the novel doc is admitted (no row)
     assert(!got.exists(_._1 == 2L))
-  }
-
-  private def runBatches2(
-      stream: MemoryStream[StreamOps.Doc],
-      out: org.apache.spark.sql.DataFrame,
-      mode: OutputMode,
-      batches: Seq[Seq[StreamOps.Doc]]): Seq[org.apache.spark.sql.Row] = {
-    val name = s"mem_${System.nanoTime()}"
-    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try {
-      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
-      spark.table(name).collect().toSeq
-    } finally q.stop()
   }
 }
