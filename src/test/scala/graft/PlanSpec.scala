@@ -93,6 +93,21 @@ class PlanSpec extends SparkSuite {
       "null-text gate missing from the plan")
   }
 
+  test("q59 stratified sample is one narrow filter before the sort") {
+    val p = plan("q59_stratified_sample")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"hash sampling must not shuffle:\n$p")
+  }
+
+  test("q60 token budget: aggregation reuses the window's lang partitioning") {
+    // one hash exchange feeding the per-lang window; the groupBy(lang)
+    // is satisfied by the same partitioning; + the final sort exchange
+    val p = plan("q60_token_budget")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"budget pack shuffles beyond window+sort:\n$p")
+    assert(p.contains("Window"))
+  }
+
   test("q57 image decode stays a single narrow pass before the sort") {
     val p = plan("q57_image_decode")
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
