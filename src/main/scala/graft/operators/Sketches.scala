@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable probabilistic sketches for corpus-scale profiling (SURVEY
+  * §3.3 family): HyperLogLog distinct-count state, count-min frequency
+  * state, and Bloom membership bits. At 100 TB these replace the exact
+  * shuffles a pipeline cannot afford to repeat per question: each sketch
+  * is built in ONE pass with map-side partial aggregation, its state is
+  * tiny (m buckets / d×w cells / ≤ n·k bits), order- and
+  * partitioning-independent, and MERGEABLE — states from two corpus
+  * halves combine by `max`/`sum`/`union` into the state of the union,
+  * so incremental ingest never rescans history.
+  *
+  * All three use the repo's portable 60-bit md5 hash (the q19/q59
+  * technique) instead of Spark-private xxhash64, so an external engine
+  * (the DuckDB oracle — q61-q63) reproduces every bucket, cell and bit
+  * EXACTLY: the sketches are auditable, not just plausible.
+  *
+  * HLL determinism note: register values are capped at [[HllRhoCap]] so
+  * that every 2^-rho term is a multiple of 2^-40 and the register sum
+  * stays exactly representable in an IEEE double REGARDLESS of Spark's
+  * aggregation order — the raw estimate is bit-for-bit reproducible
+  * across engines (the cap only touches counts near 2^40 distinct,
+  * where the 60-bit hash itself is the binding constraint).
+  */
+object Sketches {
+
+  /** Salted portable hash: first 60 bits of md5(salt ␁ key). chr(1)
+    * joining prevents (salt, key) aliasing; 15 hex digits keep the
+    * value positive in a signed BIGINT on both engines (q59's recipe).
+    */
+  def hash60(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat_ws("\u0001", lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  // ------------------------------------------------------------------- HLL
+
+  /** Bucket count m = 2^6. Fixed (not a parameter) because the rho/cap
+    * arithmetic below is proven for this geometry; 64 registers give
+    * ~13% standard error — the corpus-profiling sweet spot where the
+    * state (64 ints) broadcasts for free.
+    */
+  val HllBuckets = 64
+  private val HllBucketBits = 6
+
+  /** Register cap keeping Σ 2^-rho exactly summable in any order: with
+    * rho ≤ 40 every term is a multiple of 2^-40 and the full sum < 96,
+    * so all partial sums are integers K·2^-40 with K < 2^47 ≪ 2^53.
+    */
+  val HllRhoCap = 40
+
+  /** rho = 1 + leading zeros of the 54 post-bucket hash bits: computed
+    * via the bit LENGTH of the remaining value (55 - bitlen), which both
+    * Spark (`conv(_, 10, 2)`) and DuckDB (`bin`) express as the length
+    * of the unpadded binary string — no float log2 anywhere.
+    */
+  private def rhoCol(h: Column): Column = {
+    val w = shiftright(h, HllBucketBits)
+    val bitLen = length(conv(w.cast("string"), 10, 2))
+    least(when(w === 0, 55).otherwise(lit(55) - bitLen), lit(HllRhoCap))
+  }
+
+  /** Per-group HLL state: one row per (group, bucket) with the max rho.
+    * ONE shuffle, map-side combined, ≤ |groups|·64 rows out. States
+    * merge across batches with the same groupBy-max.
+    */
+  def hllState(df: DataFrame, keyCol: String, groupCols: Seq[String] = Nil): DataFrame = {
+    val h = hash60(col(keyCol))
+    val withParts = df.select(
+      groupCols.map(col) ++ Seq(
+        (h % HllBuckets).cast("int").as("bucket"),
+        rhoCol(h).cast("int").as("rho")): _*)
+    withParts
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Raw (uncorrected) HLL estimate per group from [[hllState]] output:
+    * alpha_64 · m² / Σ 2^-M[j], empty registers contributing 2^0. The
+    * constant 0.709 is Flajolet et al.'s alpha_64; ·4096 is an exact
+    * power-of-two scale, so the folded constant is bit-identical in any
+    * IEEE engine (the oracle replays this formula verbatim).
+    */
+  def hllRawEstimate(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("int").as("buckets_hit"),
+        (lit(0.709 * 4096.0) /
+          (sum(pow(lit(2.0), -col("max_rho"))) + (lit(HllBuckets) - count(lit(1)))))
+          .as("raw_est"))
+
+  /** Production estimate = raw with the standard small-range linear
+    * counting correction (m·ln(m/V) when registers are empty and the
+    * raw estimate is under 2.5m). `ln` is not bit-portable across
+    * engines, so this variant is spec-tested for accuracy (SketchesSpec)
+    * while the registered query oracles [[hllRawEstimate]].
+    */
+  def hllEstimate(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    hllRawEstimate(state, groupCols)
+      .withColumn("est",
+        when(col("buckets_hit") < HllBuckets && col("raw_est") <= 2.5 * HllBuckets,
+          lit(HllBuckets.toDouble) * log(lit(HllBuckets.toDouble) / (lit(HllBuckets) - col("buckets_hit"))))
+          .otherwise(col("raw_est")))
+
+  // ------------------------------------------------------------- count-min
+
+  /** Count-min sketch state: one row per non-empty (depth, cell) with
+    * its count. depth independent hashes via depth distinct salts; ONE
+    * shuffle (map-side combined) onto ≤ depth·width cells — at any
+    * corpus size the state is a broadcastable few KB, and two batches'
+    * states merge by summing cells.
+    */
+  def cmSketch(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1)
+    val cells = array((0 until depth).map { i =>
+      struct(lit(i).as("d"), (hash60(col(keyCol), i.toString) % width).cast("int").as("w"))
+    }: _*)
+    df.select(explode(cells).as("cell"))
+      .groupBy(col("cell.d").as("d"), col("cell.w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates: min over the probe key's depth cells
+    * (never an underestimate; empty cell ⇒ 0 ⇒ key unseen). The sketch
+    * side is tiny by construction, so the join broadcasts — probing is
+    * a narrow pass over the probe relation at any scale.
+    */
+  def cmLookup(sketch: DataFrame, probes: DataFrame, keyCol: String,
+               depth: Int = 4, width: Int = 256): DataFrame = {
+    val cells = array((0 until depth).map { i =>
+      struct(lit(i).as("d"), (hash60(col(keyCol), i.toString) % width).cast("int").as("w"))
+    }: _*)
+    val probeCols = probes.columns.toSeq
+    probes.withColumn("cell", explode(cells))
+      .select(probeCols.map(col) :+ col("cell.d").as("d") :+ col("cell.w").as("w"): _*)
+      .join(broadcast(sketch), Seq("d", "w"), "left")
+      .groupBy(probeCols.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
+
+  // ----------------------------------------------------------------- Bloom
+
+  /** Bloom filter as a relation: the DISTINCT set bit positions from k
+    * salted hashes per key. ≤ n·k rows (deduplicated, integer) — for a
+    * dimension-sized key set this broadcasts, making the membership
+    * probe a shuffle-free pre-filter (the classic use: drop the
+    * overwhelmingly-absent keys BEFORE an expensive join or dedup pass;
+    * no false negatives, so nothing real is ever dropped).
+    */
+  def bloomBits(df: DataFrame, keyCol: String, mBits: Int = 16384, k: Int = 3): DataFrame = {
+    require(mBits >= 1 && k >= 1)
+    val bits = array((0 until k).map(i => (hash60(col(keyCol), i.toString) % mBits).cast("int")): _*)
+    df.select(explode(bits).as("bit")).distinct()
+  }
+
+  /** Probe: a key "may be present" iff ALL k of its bits are set.
+    * Left-join against the broadcast bit relation + count == k; carries
+    * every probe column through.
+    */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, keyCol: String,
+                 mBits: Int = 16384, k: Int = 3): DataFrame = {
+    val pb = array((0 until k).map(i => (hash60(col(keyCol), i.toString) % mBits).cast("int")): _*)
+    val probeCols = probes.columns.toSeq
+    probes.withColumn("bit", explode(pb))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("bit"), "left")
+      .groupBy(probeCols.map(col): _*)
+      .agg((sum(coalesce(col("hit"), lit(0))) === k).as("maybe_member"))
+  }
+}

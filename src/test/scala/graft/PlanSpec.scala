@@ -115,4 +115,28 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
       s"documents scan not pruned to doc_id:\n$p")
   }
+
+  test("q61 HLL: pruned 2-column scan; state aggregation map-side combined") {
+    val p = plan("q61_hll_distinct")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"),
+      s"lineitem scan not pruned to the 2 used columns:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      "HLL register aggregation is not map-side combined")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q62/q63: sketch-side joins broadcast, never sort-merge") {
+    Seq("q62_cm_heavy", "q63_bloom_prefilter").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q sketch join must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q shuffles a data-sized relation against a KB-sized sketch:\n$p")
+    }
+  }
+
+  test("q64 gap fill: price predicate pushed to the orders scan") {
+    val p = plan("q64_gap_fill")
+    assert(p.contains("GreaterThan(o_totalprice,450000"),
+      s"sparse-series filter not pushed to the parquet scan:\n$p")
+  }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** Probabilistic-sketch invariants (q61-q63's operators): accuracy of
+  * the estimators, the one-sided error contracts, mergeability (the
+  * property that makes each sketch a 100 TB primitive — states combine
+  * without rescanning), and partitioning-independence of the portable
+  * hash.
+  */
+class SketchesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val keys = (1 to 5000).map(i => s"key_$i").toDF("k")
+
+  test("HLL corrected estimate within 15% of truth at 5k distinct") {
+    val st = Sketches.hllState(keys, "k")
+    val est = Sketches.hllEstimate(st, Nil).select("est").as[Double].head()
+    assert(math.abs(est - 5000) / 5000.0 < 0.15, s"estimate $est")
+  }
+
+  test("HLL small-range correction engages and is accurate at 20 distinct") {
+    val small = (1 to 20).map(i => s"s_$i").toDF("k")
+    val est = Sketches.hllEstimate(Sketches.hllState(small, "k"), Nil)
+      .select("est").as[Double].head()
+    assert(math.abs(est - 20) / 20.0 < 0.35, s"estimate $est")
+  }
+
+  test("HLL state is mergeable: state(A ++ B) == merge(state(A), state(B))") {
+    val a = (1 to 3000).map(i => s"key_$i").toDF("k")
+    val b = (2000 to 5000).map(i => s"key_$i").toDF("k") // overlapping halves
+    val merged = Sketches.hllState(a, "k").unionAll(Sketches.hllState(b, "k"))
+      .groupBy("bucket").agg(max("max_rho").as("max_rho"))
+    val direct = Sketches.hllState(a.unionAll(b), "k")
+    assert(merged.orderBy("bucket").collect().toSeq ==
+      direct.orderBy("bucket").collect().toSeq)
+  }
+
+  test("HLL state is partitioning-independent") {
+    val st1 = Sketches.hllState(keys.repartition(1), "k").orderBy("bucket").collect().toSeq
+    val st7 = Sketches.hllState(keys.repartition(7), "k").orderBy("bucket").collect().toSeq
+    assert(st1 == st7)
+  }
+
+  test("count-min never underestimates and is exact for unseen keys") {
+    val data = (1 to 200).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i")).toDF("k")
+    val exact = data.groupBy("k").count()
+    val sk = Sketches.cmSketch(data, "k", depth = 4, width = 64)
+    val probed = Sketches.cmLookup(sk, exact, "k", depth = 4, width = 64)
+    val bad = probed.where(col("cm_est") < col("count")).count()
+    assert(bad == 0, "cm_est must be >= exact count for every present key")
+    val unseen = Seq("never_seen_a", "never_seen_b").toDF("k")
+    // an absent key can only overestimate via collision, never go negative
+    val u = Sketches.cmLookup(sk, unseen, "k", depth = 4, width = 64)
+      .select("cm_est").as[Long].collect()
+    assert(u.forall(_ >= 0))
+  }
+
+  test("count-min states merge by summing cells") {
+    val a = (1 to 100).map(i => s"k${i % 10}").toDF("k")
+    val b = (1 to 50).map(i => s"k${i % 5}").toDF("k")
+    val merged = Sketches.cmSketch(a, "k", 4, 64).unionAll(Sketches.cmSketch(b, "k", 4, 64))
+      .groupBy("d", "w").agg(sum("cnt").as("cnt"))
+    val direct = Sketches.cmSketch(a.unionAll(b), "k", 4, 64)
+    assert(merged.orderBy("d", "w").collect().toSeq ==
+      direct.orderBy("d", "w").collect().toSeq)
+  }
+
+  test("bloom has no false negatives; FP rate sane at design load") {
+    val members = (1 to 2000).map(i => s"m_$i").toDF("k")
+    val bits = Sketches.bloomBits(members, "k")
+    val posOnMembers = Sketches.bloomProbe(bits, members, "k")
+      .where(!col("maybe_member")).count()
+    assert(posOnMembers == 0, "a Bloom filter must never reject a member")
+    val outsiders = (1 to 2000).map(i => s"o_$i").toDF("k")
+    val fp = Sketches.bloomProbe(bits, outsiders, "k")
+      .where(col("maybe_member")).count()
+    // 6000 set bits of 16384 (~31% fill), k=3 => expected FP ~3%; allow slack
+    assert(fp < 200, s"false-positive count $fp out of 2000 probes")
+  }
+
+  test("bloom bits are a set union across batches") {
+    val a = (1 to 500).map(i => s"m_$i").toDF("k")
+    val b = (400 to 900).map(i => s"m_$i").toDF("k")
+    val merged = Sketches.bloomBits(a, "k").unionAll(Sketches.bloomBits(b, "k")).distinct()
+    val direct = Sketches.bloomBits(a.unionAll(b), "k")
+    assert(merged.orderBy("bit").collect().toSeq ==
+      direct.orderBy("bit").collect().toSeq)
+  }
+}
