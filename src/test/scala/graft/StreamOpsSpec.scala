@@ -208,4 +208,20 @@ class StreamOpsSpec extends SparkSuite {
     // the novel doc is admitted (no row)
     assert(!got.exists(_._1 == 2L))
   }
+
+  test("hllState maintains identical registers under Structured Streaming") {
+    // the mergeable-sketch claim, live: the same groupBy-max state
+    // machine runs incrementally over a stream (ingest-time cardinality
+    // monitoring) and lands on exactly the batch registers
+    import graft.operators.Sketches
+    val input = MemoryStream[String]
+    val rows = runBatches(input,
+      Sketches.hllState(input.toDF().toDF("k"), "k"),
+      OutputMode.Complete(),
+      Seq((1 to 400).map(i => s"key_$i"), (300 to 800).map(i => s"key_$i")))
+    val streamed = rows.map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    val batch = Sketches.hllState((1 to 800).map(i => s"key_$i").toDF("k"), "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sortBy(_._1)
+    assert(streamed == batch, s"stream registers $streamed vs batch $batch")
+  }
 }
