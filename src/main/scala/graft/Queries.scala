@@ -1082,25 +1082,38 @@ object Queries {
     * exactly — the `format` column comes from the parsed magic, so a
     * decoder silently falling back would flip it and fail the hash.
     */
-  /** Synthesized image asset for doc `id` — the single source of the
-    * pixel formula the q57 oracle replays; the 10× scale probe reuses
-    * it so the probed geometry is exactly the certified one. */
-  private[graft] def imageAssetFor(id: Long): Multimodal.MediaAsset = {
+  /** Shared synthesized-image geometry + pixel formula for doc `id` —
+    * the single source the q57/q66 oracles replay; the 10× scale probe
+    * reuses it so the probed geometry is exactly the certified one. */
+  private def imageGeom(id: Long): (Int, Int, (Int, Int) => (Int, Int, Int)) = {
     val w = (8 + id % 8).toInt
     val h = (8 + id % 5).toInt
     def px(x: Int, y: Int) = (
       ((id * 7 + x * 3 + y * 5) % 256).toInt,
       ((id * 11 + x * 13 + y) % 256).toInt,
       ((id + x + y * 17) % 256).toInt)
+    (w, h, px)
+  }
+
+  private[graft] def imageAssetFor(id: Long): Multimodal.MediaAsset = {
+    val (w, h, px) = imageGeom(id)
     Multimodal.MediaAsset(id, "image",
       if (id % 2 == 0) Multimodal.encodeBmp(w, h, px)
       else Multimodal.encodePpm(w, h, px))
   }
 
-  def imageDecode(s: SparkSession, dir: String): DataFrame = {
+  /** Same geometry/pixels, compressed through the PNG encoder — PNG is
+    * lossless, so the decoded stats equal the raw-format ones and the
+    * identical formula oracle applies (q66). */
+  private[graft] def pngAssetFor(id: Long): Multimodal.MediaAsset = {
+    val (w, h, px) = imageGeom(id)
+    Multimodal.MediaAsset(id, "image", Multimodal.encodePng(w, h, px))
+  }
+
+  private def imageStatsFrom(s: SparkSession, dir: String,
+      mk: Long => Multimodal.MediaAsset): DataFrame = {
     import s.implicits._
-    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long]
-      .map(imageAssetFor _)
+    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long].map(mk)
     Multimodal.imageStats(assets)
       .select(col("asset_id"), col("format"), col("width"), col("height"),
         round(col("luma_sum").cast("double") /
@@ -1110,6 +1123,17 @@ object Queries {
       .orderBy("asset_id")
   }
 
+  def imageDecode(s: SparkSession, dir: String): DataFrame =
+    imageStatsFrom(s, dir, imageAssetFor _)
+
+  /** q66: the q57 pipeline through a COMPRESSED (lossless) format — the
+    * PNG bytes round-trip through a real zlib inflate inside
+    * [[Multimodal.decodePng]], and the stats still hash-match the pure
+    * pixel-formula oracle. The `format` column ('png', from the parsed
+    * magic) proves the compressed path ran, not a stub fallback. */
+  def pngDecode(s: SparkSession, dir: String): DataFrame =
+    imageStatsFrom(s, dir, pngAssetFor _)
+
   /** Scaled-luma pixel formula at (x, y) for doc `d` — must stay in
     * lockstep with [[imageDecode]]'s `px`. */
   private def lumaSqlAt(d: String, x: String, y: String): String =
@@ -1117,7 +1141,7 @@ object Queries {
       s"587 * (($d*11 + ($x)*13 + ($y)) % 256) + " +
       s"114 * (($d + ($x) + ($y)*17) % 256))"
 
-  val imageDecodeSql: String = {
+  private def imageStatsOracleSql(formatExpr: String): String = {
     val li = lumaSqlAt("i.doc_id", "xs.x", "ys.y")
     val liNext = lumaSqlAt("i.doc_id", "xs.x + 1", "ys.y")
     s"""WITH img AS (SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w,
@@ -1134,7 +1158,7 @@ object Queries {
        |  FROM img i CROSS JOIN xs CROSS JOIN ys
        |  WHERE xs.x < i.w - 1 AND ys.y < i.h GROUP BY i.doc_id)
        |SELECT i.doc_id AS asset_id,
-       |  CASE WHEN i.doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       |  $formatExpr AS format,
        |  i.w AS width, i.h AS height,
        |  round(CAST(l.luma_sum AS DOUBLE) / (255000.0E0 * (i.w * i.h)), 6) AS mean_luma,
        |  round(CAST(e.edges AS DOUBLE) / CAST((i.w - 1) * i.h AS DOUBLE), 6) AS edge_density
@@ -1142,6 +1166,13 @@ object Queries {
        |           JOIN ed e ON e.doc_id = i.doc_id
        |ORDER BY asset_id""".stripMargin
   }
+
+  val imageDecodeSql: String =
+    imageStatsOracleSql("CASE WHEN i.doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END")
+
+  // identical pixel-formula replay; the only difference is that the
+  // Spark side went through a real zlib-compressed codec to get there
+  val pngDecodeSql: String = imageStatsOracleSql("'png'")
 
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(s,
@@ -1937,7 +1968,8 @@ object Queries {
     "q62_cm_heavy" -> cmHeavyHitters _,
     "q63_bloom_prefilter" -> bloomPrefilter _,
     "q64_gap_fill" -> gapFillDaily _,
-    "q65_rolling_revenue" -> rollingRevenue _)
+    "q65_rolling_revenue" -> rollingRevenue _,
+    "q66_png_decode" -> pngDecode _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2003,5 +2035,6 @@ object Queries {
     "q62_cm_heavy" -> cmHeavyHittersSql,
     "q63_bloom_prefilter" -> bloomPrefilterSql,
     "q64_gap_fill" -> gapFillDailySql,
-    "q65_rolling_revenue" -> rollingRevenueSql)
+    "q65_rolling_revenue" -> rollingRevenueSql,
+    "q66_png_decode" -> pngDecodeSql)
 }

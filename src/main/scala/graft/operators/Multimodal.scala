@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * extraction / frame sampling run as batched per-partition transforms.
   *
   * Decode is REAL for uncompressed PCM WAV audio ([[decodeWav]] — RIFF
-  * is a trivial byte-level format needing no codec library) and STUBBED
-  * for compressed formats (`decodeStub` — the image/video codec
-  * libraries are not in this container; it derives deterministic fake
-  * features from the raw bytes). [[decode]] dispatches on the RIFF
-  * magic. Everything around the stub is real and tested: the schema
+  * is a trivial byte-level format needing no codec library), for
+  * uncompressed 24-bit BMP and binary PPM images ([[decodeBmp]]/
+  * [[decodePpm]], byte-level parsers), and for compressed-lossless PNG
+  * ([[decodePng]], via the JDK's built-in javax.imageio — still no
+  * external codec). Remaining LOSSY formats (JPEG/video codecs) fall to
+  * `decodeStub`, which derives deterministic fake features from the raw
+  * bytes. [[decode]] dispatches on magic bytes. Everything around the
+  * stub is real and tested: the schema
   * contract, the `mapPartitions` batch shape (one buffer reused per
   * partition, no per-row allocation of the decode context), the
   * partition sizing notes, and the downstream columnar handoff.
@@ -226,10 +229,33 @@ object Multimodal {
     }
   }
 
-  /** Image dispatch on magic bytes: BMP, then PPM, else None. */
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+  /** REAL decoder for PNG via the JDK's built-in `javax.imageio` (part
+    * of java.desktop — no external codec library). PNG is LOSSLESS, so
+    * the decoded pixels equal the encoder's input bit-for-bit and the
+    * integer-stat oracle technique (q57/q66) applies to a compressed
+    * format exactly as to raw BMP/PPM. Returns None on parse failure
+    * (truncated/corrupt stream ⇒ ImageIO yields null or throws).
+    */
+  def decodePng(media: Array[Byte]): Option[ImageStats] = {
+    if (media.length < 4 || !PngMagic.indices.forall(i => media(i) == PngMagic(i)))
+      return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else Some(scanRows("png", img.getWidth, img.getHeight) { (x, y) =>
+        val argb = img.getRGB(x, y)
+        ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      })
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Image dispatch on magic bytes: BMP, PPM, PNG, else None. */
   def decodeImage(media: Array[Byte]): Option[ImageStats] =
     if (media.length >= 2 && media(0) == 'B' && media(1) == 'M') decodeBmp(media)
     else if (media.length >= 2 && media(0) == 'P' && media(1) == '6') decodePpm(media)
+    else if (media.length >= 4 && media(0) == PngMagic(0) && media(1) == 'P') decodePng(media)
     else None
 
   /** Fixture/test encoder: uncompressed 24-bit bottom-up BMP from a
@@ -281,10 +307,34 @@ object Multimodal {
     out
   }
 
+  /** Fixture/test encoder: PNG from a pixel function via the JDK
+    * ImageIO writer. The byte STREAM may differ across JDK encoder
+    * versions, but PNG is lossless so the decoded pixels — all any
+    * consumer sees — are exactly `rgb`'s values.
+    */
+  def encodePng(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Decode + image-stat extraction, one batched narrow pass per
     * partition — the image twin of [[extractFeatures]]. Assets that are
-    * not a decodable BMP/PPM yield no row (callers needing a fallback
-    * use [[extractFeatures]], whose stub path covers any bytes).
+    * not a decodable BMP/PPM/PNG yield no row (callers needing a
+    * fallback use [[extractFeatures]], whose stub path covers any
+    * bytes).
     */
   def imageStats(assets: Dataset[MediaAsset]): DataFrame = {
     val spark = assets.sparkSession

@@ -141,6 +141,33 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(0).getLong(4) == rows(1).getLong(4)) // same luma_sum
   }
 
+  test("png decode is lossless: stats equal the raw-format decoders'") {
+    def px(x: Int, y: Int) = ((x * 37 + y * 11) % 256, (x + y * 71) % 256, (x * 5) % 256)
+    val Some(p) = Multimodal.decodeImage(Multimodal.encodePng(7, 6, px))
+    val Some(b) = Multimodal.decodeImage(Multimodal.encodeBmp(7, 6, px))
+    assert(p.format == "png")
+    // the zlib round trip must not move a single pixel
+    assert(p.copy(format = "x") == b.copy(format = "x"))
+  }
+
+  test("corrupt png falls back to the stub, never crashes") {
+    val good = Multimodal.encodePng(5, 5, (_, _) => (1, 2, 3))
+    val cases = Seq[Array[Byte]](
+      good.take(8), // magic only
+      good.take(good.length / 2), // truncated mid-IDAT
+      { val c = good.clone(); c(good.length / 2) = 0x55; c(good.length / 2 + 1) = 0xAA.toByte; c })
+    cases.foreach { c =>
+      // truncated/corrupted streams must never escape as an exception;
+      // a damaged-but-parseable stream may still decode (CRCs are
+      // advisory to ImageIO) — what matters is the no-crash contract
+      val r = try Multimodal.decodeImage(c) catch {
+        case e: Throwable => fail(s"decodePng threw ${e.getClass.getName}")
+      }
+      r.foreach(s => assert(s.format == "png"))
+    }
+    assert(Multimodal.decodeImage(good.take(8)).isEmpty)
+  }
+
   test("documentFeatures wires the documents table shape end-to-end") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val out = Multimodal.documentFeatures(spark, docs).collect().sortBy(_.asset_id)
