@@ -1902,6 +1902,62 @@ object Queries {
       |    AS DOUBLE) AS rev_7d
       |FROM daily ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------- corpus shaping 2
+  /** Sliding-window chunking ([[CorpusPrep.chunk]]): 50-token windows
+    * every 40 tokens (10-token overlap) — the pre-tokenization step
+    * that turns documents into training sequences. Narrow (tokenize +
+    * arithmetic explode, no shuffle before the sort); the oracle
+    * replays window arithmetic, slicing, and the md5 chunk fingerprint.
+    */
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 50, overlap = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_idx")
+
+  val docChunksSql: String =
+    s"""WITH tok AS (SELECT doc_id, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+       |k AS (SELECT doc_id, toks, n,
+       |        (greatest(n - 10, 1) + 39) // 40 AS n_chunks FROM t2),
+       |c AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM k),
+       |sl AS (SELECT doc_id, chunk_idx,
+       |         toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50] AS chunk FROM c)
+       |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS chunk_len,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+       |FROM sl ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Benchmark decontamination ([[Dedup.ngramContamination]]): corpus
+    * docs (id >= 100) sharing any complete 8-token n-gram with the
+    * "benchmark" slice (id < 100) — exact distinct-gram equi-join, the
+    * eval side broadcast-sized by construction. 13 contaminated docs on
+    * this fixture (the corpus's planted near-dups of eval docs carry
+    * whole shared passages).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.ngramContamination(
+        docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+        "doc_id", "text", shingleSize = 8, minHits = 1)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = {
+    val sh = "list_distinct([array_to_string(toks[i:i+7], ' ') " +
+      "for i in range(1, len(toks) - 7 + 1)])"
+    s"""WITH tok AS (SELECT doc_id, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |t2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 8),
+       |sh AS (SELECT doc_id, unnest($sh) AS g FROM t2),
+       |evg AS (SELECT DISTINCT g FROM sh WHERE doc_id < 100)
+       |SELECT s.doc_id, COUNT(*) AS hits
+       |FROM sh s JOIN evg USING (g) WHERE s.doc_id >= 100
+       |GROUP BY s.doc_id HAVING COUNT(*) >= 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -1969,7 +2025,9 @@ object Queries {
     "q63_bloom_prefilter" -> bloomPrefilter _,
     "q64_gap_fill" -> gapFillDaily _,
     "q65_rolling_revenue" -> rollingRevenue _,
-    "q66_png_decode" -> pngDecode _)
+    "q66_png_decode" -> pngDecode _,
+    "q67_doc_chunks" -> docChunks _,
+    "q68_decontaminate" -> decontaminate _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2036,5 +2094,7 @@ object Queries {
     "q63_bloom_prefilter" -> bloomPrefilterSql,
     "q64_gap_fill" -> gapFillDailySql,
     "q65_rolling_revenue" -> rollingRevenueSql,
-    "q66_png_decode" -> pngDecodeSql)
+    "q66_png_decode" -> pngDecodeSql,
+    "q67_doc_chunks" -> docChunksSql,
+    "q68_decontaminate" -> decontaminateSql)
 }

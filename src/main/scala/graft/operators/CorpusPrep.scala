@@ -75,4 +75,47 @@ object CorpusPrep {
       .where(col("__keep"))
       .drop("__keep")
   }
+
+  /** Sliding-window document chunking — the pre-tokenization step that
+    * turns long documents into training sequences: `chunkTokens`-token
+    * windows starting every `chunkTokens - overlap` tokens, so adjacent
+    * chunks share `overlap` tokens of context and the final (possibly
+    * shorter) window always reaches the document's end. A document with
+    * fewer than `chunkTokens` tokens yields exactly one chunk; empty
+    * docs yield none.
+    *
+    * Output: (id, chunk_idx, chunk_len, chunk_fp) where chunk_fp =
+    * md5 of the space-joined window — the payload a downstream stage
+    * re-derives from (id, offsets), so this op never shuffles text.
+    *
+    * 100 TB posture: tokenize + per-row `sequence` explode — fully
+    * narrow (fan-out ≈ n_tokens/step per doc, bounded by doc length);
+    * chunk counts derive from arithmetic, not iteration. The integer
+    * `div` keeps chunk counts exact and replayable by an external
+    * engine.
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 50,
+      overlap: Int = 10): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .where(col("n_tokens") > 0)
+      // n_chunks = ceil(max(n - overlap, 1) / step), in exact integer math
+      .withColumn("n_chunks",
+        expr(s"(greatest(n_tokens - $overlap, 1) + ${step - 1}) div $step"))
+      .select(col("id"), col("toks"), col("n_tokens"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+      .withColumn("chunk", slice(col("toks"),
+        (col("chunk_idx") * step + 1).cast("int"), lit(chunkTokens)))
+      .select(col("id"), col("chunk_idx"),
+        size(col("chunk")).as("chunk_len"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+  }
 }

@@ -567,4 +567,39 @@ object Dedup {
       shingleSets(groups, "id", "__text", n), threshold)
     expandGroups(repPairs, groups, "jaccard", lit(1.0), lit(true))
   }
+
+  /** Benchmark DECONTAMINATION: flag corpus documents that share at
+    * least `minHits` distinct `shingleSize`-token n-gram(s) with the
+    * evaluation set — the "did the training set memorize the test set"
+    * gate every corpus release runs. EXACT, not approximate: unlike the
+    * LSH paths this is a plain distinct-gram equi-join, affordable
+    * because the eval side is benchmark-sized (thousands of docs), so
+    * its distinct-gram relation broadcasts and the corpus side is one
+    * explode → join → per-doc count — a single aggregation shuffle at
+    * any corpus size. Docs with fewer than `shingleSize` tokens carry
+    * no complete n-gram and are never flagged.
+    *
+    * Returns (id, hits) for contaminated corpus docs; anti-join the
+    * corpus against it to release the cleaned set.
+    */
+  def ngramContamination(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, "minHits >= 1")
+    def grams(df: DataFrame) = df
+      .where(col(textCol).isNotNull &&
+        graft.functions.TextFunctions.tokenCount(col(textCol)) >= shingleSize)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.shingles(col(textCol), shingleSize)).as("g"))
+    // AQE broadcasts the benchmark-sized distinct-gram side at runtime
+    grams(corpus)
+      .join(grams(eval).select(col("g")).distinct(), Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("hits")) // shingles are distinct per doc
+      .where(col("hits") >= minHits)
+  }
 }

@@ -60,4 +60,42 @@ class CorpusPrepSpec extends SparkSuite {
         "n_tokens", 45L).select("doc_id").as[Long].collect().toSet
     assert(got == Set(0L, 1L, 2L, 3L), s"got $got") // ids 0-3 = 40 tokens
   }
+
+  test("chunk: windows cover every token exactly once modulo overlap") {
+    // 95 tokens, 50-token chunks, 10 overlap (step 40) -> starts 0,40,80
+    val text = (1 to 95).map(i => s"t$i").mkString(" ")
+    val rows = CorpusPrep.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 50, overlap = 10)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_len").as[(Long, Int)].collect().toSeq
+    assert(rows == Seq((0L, 50), (1L, 50), (2L, 15)), s"got $rows")
+    // chunk lengths sum = n + overlap * (n_chunks - 1): full coverage,
+    // each interior boundary counted twice
+    assert(rows.map(_._2).sum == 95 + 10 * (rows.size - 1))
+  }
+
+  test("chunk edge cases: short doc = one chunk; empty/null docs = none") {
+    val df = Seq(
+      (1L, "only five little tokens here"),
+      (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, (1 to 50).map(_.toString).mkString(" ")) // exactly one full window
+    ).toDF("doc_id", "text")
+    val got = CorpusPrep.chunk(df, "doc_id", "text", 50, 10)
+      .select("id", "chunk_len").as[(Long, Int)].collect().toSeq.sorted
+    assert(got == Seq((1L, 5), (4L, 50)), s"got $got")
+  }
+
+  test("chunk fingerprints re-derive the original document") {
+    // distinct tokens => distinct shingle fingerprints per chunk; the
+    // overlap region must appear at the tail of chunk i and the head of
+    // chunk i+1 (context continuity, the property training relies on)
+    val toks = (1 to 90).map(i => s"w$i")
+    val rows = CorpusPrep.chunk(Seq((7L, toks.mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", 50, 10).orderBy("chunk_idx").collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows(0).getAs[String]("chunk_fp") == fp(toks.take(50).mkString(" ")))
+    assert(rows(1).getAs[String]("chunk_fp") == fp(toks.slice(40, 90).mkString(" ")))
+  }
 }

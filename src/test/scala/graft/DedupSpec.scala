@@ -177,4 +177,25 @@ class DedupSpec extends SparkSuite {
     assert(fam.map(p => (p._1, p._2)).toSet == Set((5L, 505L), (5L, 605L), (505L, 605L)))
     assert(fam.forall(_._3 == 1.0))
   }
+
+  test("ngramContamination flags exactly the docs sharing a complete n-gram") {
+    val eval = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // one 8-gram
+      (2L, "short eval doc under eight tokens")) // carries no 8-gram
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // embeds the eval 8-gram twice at different offsets — shingles are
+      // DISTINCT per doc, so it still counts as ONE hit
+      (100L, "x alpha beta gamma delta epsilon zeta eta theta y " +
+        "alpha beta gamma delta epsilon zeta eta theta"),
+      // shares only a 7-token prefix: no complete 8-gram in common
+      (101L, "alpha beta gamma delta epsilon zeta eta DIFFERENT tail words"),
+      (102L, "totally unrelated corpus text with more than eight tokens here"),
+      // contains the SHORT eval doc verbatim — still no 8-gram to share
+      (103L, "short eval doc under eight tokens plus harmless padding words"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(corpus, eval, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L)), s"got $got")
+  }
 }

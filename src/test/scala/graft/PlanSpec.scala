@@ -139,4 +139,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("GreaterThan(o_totalprice,450000"),
       s"sparse-series filter not pushed to the parquet scan:\n$p")
   }
+
+  test("q67 chunking is narrow: tokenize + explode, no shuffle before the sort") {
+    val p = plan("q67_doc_chunks")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"chunking shuffles before the sort:\n$p")
+    assert(p.contains("Generate"), "expected the sequence-explode Generate node")
+  }
+
+  test("q68 decontamination: equi-join on grams, never a Cartesian product") {
+    val p = plan("q68_decontaminate")
+    assert(!p.contains("CartesianProduct"), s"decontamination joins all-pairs:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "per-doc hit count is not map-side combined")
+  }
 }
