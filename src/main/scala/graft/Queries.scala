@@ -1767,7 +1767,7 @@ object Queries {
     val sketch = Sketches.cmSketch(ev, "user_id", depth = 4, width = 128)
     val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("user_id").asc).limit(5)
-    Sketches.cmLookup(sketch, top, "user_id", depth = 4, width = 128)
+    Sketches.cmLookup(sketch, top, "user_id")
       .select(col("user_id"), col("exact_cnt"), col("cm_est"))
       .orderBy("user_id")
   }

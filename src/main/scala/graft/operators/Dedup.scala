@@ -590,14 +590,22 @@ object Dedup {
       shingleSize: Int = 8,
       minHits: Int = 1): DataFrame = {
     require(minHits >= 1, "minHits >= 1")
-    def grams(df: DataFrame) = df
-      .where(col(textCol).isNotNull &&
-        graft.functions.TextFunctions.tokenCount(col(textCol)) >= shingleSize)
+    def grams(df: DataFrame, fullOnly: Boolean) = df
+      // the tokenCount gate re-tokenizes the text, so it runs ONLY on
+      // the benchmark-sized eval side: a corpus doc with < shingleSize
+      // tokens emits one PARTIAL shingle (< shingleSize-1 joined
+      // spaces), which can never string-equal a full eval n-gram — the
+      // "short docs are never flagged" contract holds without paying a
+      // second tokenization of the 100 TB side
+      .where(if (fullOnly)
+          col(textCol).isNotNull &&
+            graft.functions.TextFunctions.tokenCount(col(textCol)) >= shingleSize
+        else col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(graft.functions.TextFunctions.shingles(col(textCol), shingleSize)).as("g"))
     // AQE broadcasts the benchmark-sized distinct-gram side at runtime
-    grams(corpus)
-      .join(grams(eval).select(col("g")).distinct(), Seq("g"))
+    grams(corpus, fullOnly = false)
+      .join(grams(eval, fullOnly = true).select(col("g")).distinct(), Seq("g"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("hits")) // shingles are distinct per doc
       .where(col("hits") >= minHits)

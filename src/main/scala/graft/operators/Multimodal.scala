@@ -238,9 +238,26 @@ object Multimodal {
     * format exactly as to raw BMP/PPM. Returns None on parse failure
     * (truncated/corrupt stream ⇒ ImageIO yields null or throws).
     */
+  // ImageIO's default cache is DISK-backed: every read/write would
+  // create a temp file on the executor hot path. In-memory streams only.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Pixel cap enforced BEFORE ImageIO allocates the raster: a
+    * 100-byte stream whose IHDR claims 20000×20000 would otherwise
+    * reserve a ~1.6 GB BufferedImage (decompression bomb). 16 Mpx ≈
+    * 64 MB — far above any sane asset, far below task memory.
+    */
+  val MaxPngPixels: Long = 16L * 1024 * 1024
+
   def decodePng(media: Array[Byte]): Option[ImageStats] = {
-    if (media.length < 4 || !PngMagic.indices.forall(i => media(i) == PngMagic(i)))
+    if (media.length < 24 || !PngMagic.indices.forall(i => media(i) == PngMagic(i)))
       return None
+    // IHDR is mandatory-first: width/height are big-endian at 16/20 —
+    // sanity-check them from the raw bytes before ImageIO touches them
+    def be32(o: Int) = ((media(o) & 0xff) << 24) | ((media(o + 1) & 0xff) << 16) |
+      ((media(o + 2) & 0xff) << 8) | (media(o + 3) & 0xff)
+    val (hw, hh) = (be32(16), be32(20))
+    if (hw <= 0 || hh <= 0 || hw.toLong * hh > MaxPngPixels) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
@@ -248,7 +265,12 @@ object Multimodal {
         val argb = img.getRGB(x, y)
         ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
       })
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO throws IllegalArgument/IndexOutOfBounds/NegativeArraySize
+      // (not just IOException) on malformed streams; the documented
+      // contract is None-fallback, never a failed Spark task
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Image dispatch on magic bytes: BMP, PPM, PNG, else None. */

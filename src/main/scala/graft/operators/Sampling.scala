@@ -22,16 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform bucket in [0, 100) from the first 60 bits of
-    * md5(salt ␁ id) — chr(1)-separated so distinct (salt, id) pairs
-    * can never alias (`concat("1", "23") == concat("12", "3")` would
-    * silently correlate samples documented as independent; salts must
-    * not contain chr(1)). Same digest recipe as the q19 token hash and
-    * the q14 portable init.
+  /** Uniform bucket in [0, 100) from the shared portable hash
+    * ([[graft.functions.PortableHash.hash60]] — one definition so the
+    * DuckDB replays can never drift between operators; salts must not
+    * contain chr(1)).
     */
   def hashBucket(id: Column, salt: String = ""): Column =
-    (conv(substring(md5(concat_ws("\u0001", lit(salt), id.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 100).cast("int")
+    (graft.functions.PortableHash.hash60(id, salt) % 100).cast("int")
 
   /** Keep rows whose hash bucket < `pct` (≈ pct% deterministic sample). */
   def hashSample(df: DataFrame, idCol: String, pct: Int, salt: String = ""): DataFrame = {

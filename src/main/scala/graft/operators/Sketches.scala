@@ -27,13 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Salted portable hash: first 60 bits of md5(salt ␁ key). chr(1)
-    * joining prevents (salt, key) aliasing; 15 hex digits keep the
-    * value positive in a signed BIGINT on both engines (q59's recipe).
+  /** Salted portable hash — delegates to the single shared recipe
+    * ([[graft.functions.PortableHash.hash60]], q59's recipe).
     */
   def hash60(key: Column, salt: String = ""): Column =
-    conv(substring(md5(concat_ws("\u0001", lit(salt), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.PortableHash.hash60(key, salt)
 
   // ------------------------------------------------------------------- HLL
 
@@ -106,20 +104,36 @@ object Sketches {
 
   // ------------------------------------------------------------- count-min
 
-  /** Count-min sketch state: one row per non-empty (depth, cell) with
-    * its count. depth independent hashes via depth distinct salts; ONE
-    * shuffle (map-side combined) onto ≤ depth·width cells — at any
-    * corpus size the state is a broadcastable few KB, and two batches'
-    * states merge by summing cells.
+  /** Count-min state CARRIES its geometry: build and probe sharing
+    * (depth, width) is what the one-sided-error contract rests on, so a
+    * mismatched probe is unrepresentable rather than a silent wrong
+    * answer. `cells` merge across batches by summing per (d, w).
     */
-  def cmSketch(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 256): DataFrame = {
+  final case class CmState(cells: DataFrame, depth: Int, width: Int) {
+    /** Merge two batches' sketches into the union's sketch. */
+    def merge(other: CmState): CmState = {
+      require(depth == other.depth && width == other.width,
+        "count-min states merge only at identical geometry")
+      CmState(cells.unionAll(other.cells)
+        .groupBy("d", "w").agg(sum("cnt").as("cnt")), depth, width)
+    }
+  }
+
+  /** Count-min sketch: one row per non-empty (depth, cell) with its
+    * count. depth independent hashes via depth distinct salts; ONE
+    * shuffle (map-side combined) onto ≤ depth·width cells — at any
+    * corpus size the state is a broadcastable few KB.
+    */
+  def cmSketch(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 256): CmState = {
     require(depth >= 1 && width >= 1)
     val cells = array((0 until depth).map { i =>
       struct(lit(i).as("d"), (hash60(col(keyCol), i.toString) % width).cast("int").as("w"))
     }: _*)
-    df.select(explode(cells).as("cell"))
-      .groupBy(col("cell.d").as("d"), col("cell.w").as("w"))
-      .agg(count(lit(1)).as("cnt"))
+    CmState(
+      df.select(explode(cells).as("cell"))
+        .groupBy(col("cell.d").as("d"), col("cell.w").as("w"))
+        .agg(count(lit(1)).as("cnt")),
+      depth, width)
   }
 
   /** Point-frequency estimates: min over the probe key's depth cells
@@ -127,20 +141,33 @@ object Sketches {
     * side is tiny by construction, so the join broadcasts — probing is
     * a narrow pass over the probe relation at any scale.
     */
-  def cmLookup(sketch: DataFrame, probes: DataFrame, keyCol: String,
-               depth: Int = 4, width: Int = 256): DataFrame = {
-    val cells = array((0 until depth).map { i =>
-      struct(lit(i).as("d"), (hash60(col(keyCol), i.toString) % width).cast("int").as("w"))
+  def cmLookup(sketch: CmState, probes: DataFrame, keyCol: String): DataFrame = {
+    val cells = array((0 until sketch.depth).map { i =>
+      struct(lit(i).as("d"),
+        (hash60(col(keyCol), i.toString) % sketch.width).cast("int").as("w"))
     }: _*)
     val probeCols = probes.columns.toSeq
     probes.withColumn("cell", explode(cells))
       .select(probeCols.map(col) :+ col("cell.d").as("d") :+ col("cell.w").as("w"): _*)
-      .join(broadcast(sketch), Seq("d", "w"), "left")
+      .join(broadcast(sketch.cells), Seq("d", "w"), "left")
       .groupBy(probeCols.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
 
   // ----------------------------------------------------------------- Bloom
+
+  /** Bloom state carries (mBits, k) for the same reason as [[CmState]]:
+    * probing with different geometry than the build silently REJECTS
+    * true members — the one failure a Bloom pre-filter must never have.
+    * `bits` merge across batches by distinct union.
+    */
+  final case class BloomState(bits: DataFrame, mBits: Int, k: Int) {
+    def merge(other: BloomState): BloomState = {
+      require(mBits == other.mBits && k == other.k,
+        "bloom states merge only at identical geometry")
+      BloomState(bits.unionAll(other.bits).distinct(), mBits, k)
+    }
+  }
 
   /** Bloom filter as a relation: the DISTINCT set bit positions from k
     * salted hashes per key. ≤ n·k rows (deduplicated, integer) — for a
@@ -149,23 +176,23 @@ object Sketches {
     * overwhelmingly-absent keys BEFORE an expensive join or dedup pass;
     * no false negatives, so nothing real is ever dropped).
     */
-  def bloomBits(df: DataFrame, keyCol: String, mBits: Int = 16384, k: Int = 3): DataFrame = {
+  def bloomBits(df: DataFrame, keyCol: String, mBits: Int = 16384, k: Int = 3): BloomState = {
     require(mBits >= 1 && k >= 1)
     val bits = array((0 until k).map(i => (hash60(col(keyCol), i.toString) % mBits).cast("int")): _*)
-    df.select(explode(bits).as("bit")).distinct()
+    BloomState(df.select(explode(bits).as("bit")).distinct(), mBits, k)
   }
 
   /** Probe: a key "may be present" iff ALL k of its bits are set.
     * Left-join against the broadcast bit relation + count == k; carries
     * every probe column through.
     */
-  def bloomProbe(bits: DataFrame, probes: DataFrame, keyCol: String,
-                 mBits: Int = 16384, k: Int = 3): DataFrame = {
-    val pb = array((0 until k).map(i => (hash60(col(keyCol), i.toString) % mBits).cast("int")): _*)
+  def bloomProbe(bloom: BloomState, probes: DataFrame, keyCol: String): DataFrame = {
+    val pb = array((0 until bloom.k).map(i =>
+      (hash60(col(keyCol), i.toString) % bloom.mBits).cast("int")): _*)
     val probeCols = probes.columns.toSeq
     probes.withColumn("bit", explode(pb))
-      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("bit"), "left")
+      .join(broadcast(bloom.bits.withColumn("hit", lit(1))), Seq("bit"), "left")
       .groupBy(probeCols.map(col): _*)
-      .agg((sum(coalesce(col("hit"), lit(0))) === k).as("maybe_member"))
+      .agg((sum(coalesce(col("hit"), lit(0))) === bloom.k).as("maybe_member"))
   }
 }

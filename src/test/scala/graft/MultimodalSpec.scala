@@ -166,6 +166,15 @@ class MultimodalSpec extends SparkSuite {
       r.foreach(s => assert(s.format == "png"))
     }
     assert(Multimodal.decodeImage(good.take(8)).isEmpty)
+    // decompression bomb: a tiny stream whose IHDR claims 20000x20000
+    // must be rejected from the HEADER, before ImageIO allocates rasters
+    val bomb = good.clone()
+    def be32(o: Int, v: Int): Unit = {
+      bomb(o) = (v >>> 24).toByte; bomb(o + 1) = (v >>> 16).toByte
+      bomb(o + 2) = (v >>> 8).toByte; bomb(o + 3) = v.toByte
+    }
+    be32(16, 20000); be32(20, 20000)
+    assert(Multimodal.decodeImage(bomb).isEmpty, "bomb header must be rejected")
   }
 
   test("documentFeatures wires the documents table shape end-to-end") {

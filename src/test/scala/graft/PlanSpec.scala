@@ -120,7 +120,7 @@ class PlanSpec extends SparkSuite {
     val p = plan("q61_hll_distinct")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"),
       s"lineitem scan not pruned to the 2 used columns:\n$p")
-    assert(p.contains("partial_max") || p.contains("partial_"),
+    assert(p.contains("partial_max"),
       "HLL register aggregation is not map-side combined")
     assert(!p.contains("CartesianProduct"))
   }
@@ -150,7 +150,7 @@ class PlanSpec extends SparkSuite {
   test("q68 decontamination: equi-join on grams, never a Cartesian product") {
     val p = plan("q68_decontaminate")
     assert(!p.contains("CartesianProduct"), s"decontamination joins all-pairs:\n$p")
-    assert(p.contains("partial_count") || p.contains("partial_"),
+    assert(p.contains("partial_count"),
       "per-doc hit count is not map-side combined")
   }
 }

@@ -47,24 +47,26 @@ class SketchesSpec extends SparkSuite {
     val data = (1 to 200).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i")).toDF("k")
     val exact = data.groupBy("k").count()
     val sk = Sketches.cmSketch(data, "k", depth = 4, width = 64)
-    val probed = Sketches.cmLookup(sk, exact, "k", depth = 4, width = 64)
+    val probed = Sketches.cmLookup(sk, exact, "k")
     val bad = probed.where(col("cm_est") < col("count")).count()
     assert(bad == 0, "cm_est must be >= exact count for every present key")
     val unseen = Seq("never_seen_a", "never_seen_b").toDF("k")
     // an absent key can only overestimate via collision, never go negative
-    val u = Sketches.cmLookup(sk, unseen, "k", depth = 4, width = 64)
+    val u = Sketches.cmLookup(sk, unseen, "k")
       .select("cm_est").as[Long].collect()
     assert(u.forall(_ >= 0))
   }
 
-  test("count-min states merge by summing cells") {
+  test("count-min states merge by summing cells; geometry mismatch rejected") {
     val a = (1 to 100).map(i => s"k${i % 10}").toDF("k")
     val b = (1 to 50).map(i => s"k${i % 5}").toDF("k")
-    val merged = Sketches.cmSketch(a, "k", 4, 64).unionAll(Sketches.cmSketch(b, "k", 4, 64))
-      .groupBy("d", "w").agg(sum("cnt").as("cnt"))
+    val merged = Sketches.cmSketch(a, "k", 4, 64).merge(Sketches.cmSketch(b, "k", 4, 64))
     val direct = Sketches.cmSketch(a.unionAll(b), "k", 4, 64)
-    assert(merged.orderBy("d", "w").collect().toSeq ==
-      direct.orderBy("d", "w").collect().toSeq)
+    assert(merged.cells.orderBy("d", "w").collect().toSeq ==
+      direct.cells.orderBy("d", "w").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Sketches.cmSketch(a, "k", 4, 64).merge(Sketches.cmSketch(b, "k", 4, 128))
+    }
   }
 
   test("bloom has no false negatives; FP rate sane at design load") {
@@ -80,12 +82,15 @@ class SketchesSpec extends SparkSuite {
     assert(fp < 200, s"false-positive count $fp out of 2000 probes")
   }
 
-  test("bloom bits are a set union across batches") {
+  test("bloom bits are a set union across batches; geometry mismatch rejected") {
     val a = (1 to 500).map(i => s"m_$i").toDF("k")
     val b = (400 to 900).map(i => s"m_$i").toDF("k")
-    val merged = Sketches.bloomBits(a, "k").unionAll(Sketches.bloomBits(b, "k")).distinct()
+    val merged = Sketches.bloomBits(a, "k").merge(Sketches.bloomBits(b, "k"))
     val direct = Sketches.bloomBits(a.unionAll(b), "k")
-    assert(merged.orderBy("bit").collect().toSeq ==
-      direct.orderBy("bit").collect().toSeq)
+    assert(merged.bits.orderBy("bit").collect().toSeq ==
+      direct.bits.orderBy("bit").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Sketches.bloomBits(a, "k").merge(Sketches.bloomBits(b, "k", mBits = 8192))
+    }
   }
 }
