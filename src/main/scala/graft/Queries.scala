@@ -1958,6 +1958,43 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality-WEIGHTED deterministic sampling + train/val/test split
+    * ([[Sampling.weightedHashSample]]/[[Sampling.splitColumn]]): keep a
+    * doc with probability equal to its quality score (the mixture-
+    * weighting move beyond q59's flat per-stratum rates), then assign
+    * kept docs to stable 80/10/10 splits by a second salted hash — a
+    * doc never migrates between splits as the corpus grows. The draw is
+    * hash60/2^60 (exact power-of-two division), so the oracle replays
+    * both decisions bit-for-bit from the shared quality fragments.
+    */
+  def weightedSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+    Sampling.weightedHashSample(d, "doc_id", col("quality"), salt = "wq")
+      .select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+      .orderBy("doc_id")
+  }
+
+  val weightedSplitSql: String = {
+    val draw = s"CAST(${duckHash60("wq", "doc_id")} AS DOUBLE) / 1152921504606846976"
+    val bucket = s"${duckHash60("split", "doc_id")} % 100"
+    s"""WITH tok AS (SELECT doc_id, text, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |m AS (
+       |  SELECT doc_id, text,
+       |    $punctStopSqlExprs
+       |  FROM tok),
+       |q AS (
+       |  SELECT doc_id, $qualitySqlExpr AS quality FROM m),
+       |kept AS (
+       |  SELECT doc_id, $bucket AS b FROM q WHERE $draw < quality)
+       |SELECT doc_id,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM kept ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2027,7 +2064,8 @@ object Queries {
     "q65_rolling_revenue" -> rollingRevenue _,
     "q66_png_decode" -> pngDecode _,
     "q67_doc_chunks" -> docChunks _,
-    "q68_decontaminate" -> decontaminate _)
+    "q68_decontaminate" -> decontaminate _,
+    "q69_weighted_split" -> weightedSplit _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2096,5 +2134,6 @@ object Queries {
     "q65_rolling_revenue" -> rollingRevenueSql,
     "q66_png_decode" -> pngDecodeSql,
     "q67_doc_chunks" -> docChunksSql,
-    "q68_decontaminate" -> decontaminateSql)
+    "q68_decontaminate" -> decontaminateSql,
+    "q69_weighted_split" -> weightedSplitSql)
 }

@@ -53,4 +53,41 @@ object Sampling {
     }
     df.where(hashBucket(col(idCol), salt) < rate)
   }
+
+  /** 2^60 as a double — exact (a power of two); the denominator turning
+    * the 60-bit hash into a uniform draw in [0, 1).
+    */
+  private val TwoPow60 = 1152921504606846976.0
+
+  /** WEIGHTED deterministic sampling: keep a row with probability equal
+    * to the per-row `prob` column (clamped semantics: prob ≤ 0 never
+    * keeps, ≥ 1 always keeps) — quality-weighted corpus downsampling.
+    * The row's uniform draw is hash60/2^60: long→double conversion and
+    * the power-of-two division are both IEEE-exact-or-correctly-rounded
+    * identically in any engine, so the keep decision — like everything
+    * else in this file — is reproducible and externally auditable.
+    * One narrow filter; same salt-composition rules as [[hashSample]].
+    */
+  def weightedHashSample(
+      df: DataFrame,
+      idCol: String,
+      prob: Column,
+      salt: String = ""): DataFrame =
+    df.where(graft.functions.PortableHash.hash60(col(idCol), salt)
+      .cast("double") / TwoPow60 < prob)
+
+  /** Deterministic named split assignment (train/val/test): the id's
+    * hash bucket against cumulative percent ranges. Stable across runs,
+    * engines, and corpus growth — a doc never migrates between splits
+    * as ingest continues (the property that keeps eval sets honest).
+    */
+  def splitColumn(id: Column, splits: Seq[(String, Int)], salt: String = "split"): Column = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      "split percents must total 100")
+    val b = hashBucket(id, salt)
+    splits.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, cum), (name, pct)) =>
+        (when(b >= cum && b < cum + pct, name).otherwise(acc), cum + pct)
+    }._1
+  }
 }

@@ -61,6 +61,37 @@ class CorpusPrepSpec extends SparkSuite {
     assert(got == Set(0L, 1L, 2L, 3L), s"got $got") // ids 0-3 = 40 tokens
   }
 
+  test("weightedHashSample: keep rate tracks the weight; edges clamp") {
+    val df = spark.range(8000).toDF("id")
+      .withColumn("p", when(col("id") % 4 === 0, 0.0)
+        .when(col("id") % 4 === 1, 0.25)
+        .when(col("id") % 4 === 2, 0.75).otherwise(1.0))
+    val kept = Sampling.weightedHashSample(df, "id", col("p"))
+    val byP = kept.groupBy("p").count().as[(Double, Long)].collect().toMap
+    assert(!byP.contains(0.0), "p=0 rows must never be kept")
+    assert(byP(1.0) == 2000L, "p=1 rows must all be kept")
+    assert(math.abs(byP(0.25) - 500) < 120, s"p=.25 kept ${byP(0.25)} of ~500")
+    assert(math.abs(byP(0.75) - 1500) < 120, s"p=.75 kept ${byP(0.75)} of ~1500")
+    // deterministic: same rows on a different partitioning
+    val again = Sampling.weightedHashSample(df.repartition(7), "id", col("p"))
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
+  test("splitColumn: exhaustive, disjoint, stable proportions") {
+    val df = spark.range(10000).toDF("id")
+    val got = df.select(col("id"),
+        Sampling.splitColumn(col("id"), Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("s"))
+    val counts = got.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"), s"got ${counts.keySet}")
+    assert(counts.values.sum == 10000, "every row gets exactly one split")
+    assert(math.abs(counts("train") - 8000) < 300)
+    assert(math.abs(counts("val") - 1000) < 150)
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("id"), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
   test("chunk: windows cover every token exactly once modulo overlap") {
     // 95 tokens, 50-token chunks, 10 overlap (step 40) -> starts 0,40,80
     val text = (1 to 95).map(i => s"t$i").mkString(" ")
