@@ -66,4 +66,31 @@ class EmptyInputSpec extends SparkSuite {
     assert(Dedup.minhashLSH(docs, "doc_id", "text").count() == 0)
     assert(Dedup.simhashPairs(docs, "doc_id", "text").count() == 0)
   }
+
+  test("sketch family returns empty state on empty input; probes still answer") {
+    val emptyKeys = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", StringType))))
+    assert(Sketches.hllState(emptyKeys, "k").count() == 0)
+    val sk = Sketches.cmSketch(emptyKeys, "k")
+    assert(sk.cells.count() == 0)
+    // probing an EMPTY sketch must answer 0 (unseen), not crash
+    val probed = Sketches.cmLookup(sk, Seq("x").toDF("k"), "k")
+      .select("cm_est").as[Long].collect()
+    assert(probed.toSeq == Seq(0L))
+    val bloom = Sketches.bloomBits(emptyKeys, "k")
+    assert(bloom.bits.count() == 0)
+    val maybe = Sketches.bloomProbe(bloom, Seq("x").toDF("k"), "k")
+      .select("maybe_member").as[Boolean].collect()
+    assert(maybe.toSeq == Seq(false), "empty bloom must reject every probe")
+  }
+
+  test("corpus-shaping ops return empty on empty/degenerate input") {
+    assert(CorpusPrep.chunk(emptyDocs, "doc_id", "text").count() == 0)
+    assert(CorpusPrep.clean(emptyDocs, "doc_id", "text").count() == 0)
+    val docs = Seq((1L, "real corpus text with several tokens present")).toDF("doc_id", "text")
+    assert(Dedup.ngramContamination(emptyDocs, docs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramContamination(docs, emptyDocs, "doc_id", "text").count() == 0)
+    assert(Sampling.weightedHashSample(emptyDocs, "doc_id", lit(0.5)).count() == 0)
+  }
 }
