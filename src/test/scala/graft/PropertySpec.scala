@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Sessionize, SkewJoin}
+import graft.operators.{CorpusPrep, Dedup, Sampling, Sessionize, SkewJoin}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
@@ -86,6 +86,56 @@ class PropertySpec extends SparkSuite {
         .select("k", "pv", "bv").as[(Long, Long, Long)].collect().sorted.toSeq
       assert(salted == plain, s"trial $trial diverged")
     }
+  }
+
+  test("chunk reconstructs the document exactly on random geometries") {
+    val rnd = new Random(404)
+    (1 to 8).foreach { trial =>
+      val n = 1 + rnd.nextInt(300)
+      val chunkTokens = 2 + rnd.nextInt(80)
+      val overlap = rnd.nextInt(chunkTokens) // 0 <= overlap < chunkTokens
+      val step = chunkTokens - overlap
+      val toks = (0 until n).map(i => s"t${trial}_$i")
+      val rows = CorpusPrep.chunk(
+          Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+          "doc_id", "text", chunkTokens, overlap)
+        .orderBy("chunk_idx")
+        .select("chunk_idx", "chunk_len").as[(Long, Int)].collect().toSeq
+      // driver-side reference: keep adding windows until the last one
+      // reaches the document's end — independent of the operator's
+      // closed-form chunk-count arithmetic
+      val starts = scala.collection.mutable.ArrayBuffer(0)
+      while (starts.last + chunkTokens < n) starts += starts.last + step
+      assert(rows.size == starts.size,
+        s"trial $trial (n=$n c=$chunkTokens o=$overlap): ${rows.size} vs ${starts.size}")
+      // stitching chunks (dropping each later chunk's overlap prefix)
+      // must reproduce the document token count exactly
+      val covered = rows.map(_._2).sum - overlap * (rows.size - 1)
+      assert(covered == n, s"trial $trial: covered $covered of $n tokens")
+      // every full-position chunk has exactly chunkTokens; only the
+      // last may be shorter
+      rows.dropRight(1).foreach { case (i, len) =>
+        assert(len == chunkTokens, s"trial $trial chunk $i len $len")
+      }
+    }
+  }
+
+  test("weightedHashSample is monotone in the weight, pointwise") {
+    // for a fixed id the uniform draw is fixed, so raising the keep
+    // probability can only ADD rows — the property that makes staged
+    // quality thresholds consistent (a doc admitted at p stays admitted
+    // at p' > p)
+    val rnd = new Random(505)
+    val rows = Seq.tabulate(3000)(i => (i.toLong, rnd.nextDouble()))
+    val df = rows.toDF("id", "p")
+    val low = Sampling.weightedHashSample(df, "id", col("p"))
+      .select("id").as[Long].collect().toSet
+    val high = Sampling.weightedHashSample(df, "id",
+        least(col("p") + 0.3, lit(1.0)))
+      .select("id").as[Long].collect().toSet
+    assert(low.subsetOf(high),
+      s"raising weights dropped ${(low -- high).size} rows")
+    assert(high.size > low.size, "sanity: higher weights admit more rows")
   }
 
   test("rowUniqueSalt join stays exact on byte-identical duplicate probe rows") {
