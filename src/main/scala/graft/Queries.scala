@@ -1995,6 +1995,85 @@ object Queries {
        |FROM kept ORDER BY doc_id""".stripMargin
   }
 
+  /** THE capstone: the full training-data release pipeline in one
+    * query — gate + fingerprint-dedup ([[CorpusPrep.clean]]) →
+    * benchmark decontamination ([[Dedup.ngramContamination]],
+    * anti-join release) → sliding-window chunking
+    * ([[CorpusPrep.chunk]]) → per-language sequence accounting. Every
+    * stage is an already-oracled operator (q58/q68/q67) and the oracle
+    * replays the WHOLE composition from the shared SQL fragments, so
+    * the end-to-end path — not just the stages — is hash-verified.
+    * Scale shape: one corpus scan feeds the gate, one fp shuffle, one
+    * gram aggregation against the broadcast-sized eval set, one narrow
+    * chunk explode, one final aggregation.
+    */
+  def pipelineRelease(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.where(col("doc_id") >= 100)
+    val eval = docs.where(col("doc_id") < 100)
+    // materialize the survivor set ONCE: both downstream consumers
+    // (gram build and release anti-join) would otherwise recompute the
+    // whole gate+dedup subtree — at corpus scale that is a second full
+    // scan, and the survivor relation is the small post-gate remnant
+    val cleaned = CorpusPrep.clean(corpus, "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+    val dirty = Dedup.ngramContamination(cleaned, eval, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+    val released = cleaned.join(dirty, Seq("doc_id"), "left_anti")
+    CorpusPrep.chunk(released, "doc_id", "text", carryCols = Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len").cast("long")).as("chunk_tokens"))
+      .orderBy("lang")
+  }
+
+  val pipelineReleaseSql: String = {
+    val evalGram = "list_distinct([array_to_string(toks[i:i+7], ' ') " +
+      "for i in range(1, len(toks) - 7 + 1)])"
+    s"""WITH tok AS (SELECT doc_id, lang, text, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |m AS (
+       |  SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
+       |    $punctStopSqlExprs
+       |  FROM tok WHERE doc_id >= 100),
+       |q AS (
+       |  SELECT doc_id, lang, toks, n_tokens,
+       |    $qualitySqlExpr AS quality,
+       |    $langGuessCaseSql AS lang_guess
+       |  FROM m),
+       |f AS (
+       |  SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+       |  FROM q WHERE n_tokens >= 10 AND quality >= 0.3E0 AND lang_guess <> 'und'),
+       |s AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+       |    FROM f) WHERE rn = 1),
+       |evg AS (
+       |  SELECT DISTINCT unnest($evalGram) AS g
+       |  FROM tok WHERE doc_id < 100 AND len(toks) >= 8),
+       |sg AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+       |    for i in range(1, greatest(len(toks) - 7, 1) + 1)])) AS g
+       |  FROM s),
+       |dirty AS (
+       |  SELECT DISTINCT sg.doc_id FROM sg JOIN evg USING (g)),
+       |rel AS (
+       |  SELECT * FROM s WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |k AS (
+       |  SELECT doc_id, lang, toks,
+       |    (greatest(n_tokens - 10, 1) + 39) // 40 AS n_chunks
+       |  FROM rel),
+       |c AS (
+       |  SELECT doc_id, lang,
+       |    len(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50]) AS chunk_len
+       |  FROM (SELECT doc_id, lang, toks, unnest(range(n_chunks)) AS chunk_idx FROM k))
+       |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+       |  CAST(SUM(chunk_len) AS BIGINT) AS chunk_tokens
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2065,7 +2144,8 @@ object Queries {
     "q66_png_decode" -> pngDecode _,
     "q67_doc_chunks" -> docChunks _,
     "q68_decontaminate" -> decontaminate _,
-    "q69_weighted_split" -> weightedSplit _)
+    "q69_weighted_split" -> weightedSplit _,
+    "q70_pipeline_release" -> pipelineRelease _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2135,5 +2215,6 @@ object Queries {
     "q66_png_decode" -> pngDecodeSql,
     "q67_doc_chunks" -> docChunksSql,
     "q68_decontaminate" -> decontaminateSql,
-    "q69_weighted_split" -> weightedSplitSql)
+    "q69_weighted_split" -> weightedSplitSql,
+    "q70_pipeline_release" -> pipelineReleaseSql)
 }

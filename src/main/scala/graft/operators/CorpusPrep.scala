@@ -99,23 +99,26 @@ object CorpusPrep {
       idCol: String,
       textCol: String,
       chunkTokens: Int = 50,
-      overlap: Int = 10): DataFrame = {
+      overlap: Int = 10,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "need 0 <= overlap < chunkTokens")
     val step = chunkTokens - overlap
+    val carried = carryCols.map(col)
     df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id") +: TextFunctions.tokens(col(textCol)).as("toks") +:
+        carried: _*)
       .withColumn("n_tokens", size(col("toks")))
       .where(col("n_tokens") > 0)
       // n_chunks = ceil(max(n - overlap, 1) / step), in exact integer math
       .withColumn("n_chunks",
         expr(s"(greatest(n_tokens - $overlap, 1) + ${step - 1}) div $step"))
-      .select(col("id"), col("toks"), col("n_tokens"),
-        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+      .select(col("id") +: col("toks") +: col("n_tokens") +:
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx") +: carried: _*)
       .withColumn("chunk", slice(col("toks"),
         (col("chunk_idx") * step + 1).cast("int"), lit(chunkTokens)))
-      .select(col("id"), col("chunk_idx"),
-        size(col("chunk")).as("chunk_len"),
-        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+      .select(col("id") +: col("chunk_idx") +:
+        size(col("chunk")).as("chunk_len") +:
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp") +: carried: _*)
   }
 }

@@ -153,4 +153,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count"),
       "per-doc hit count is not map-side combined")
   }
+
+  test("q70 release capstone: bounded exchanges, no Cartesian product") {
+    val p = plan("q70_pipeline_release")
+    assert(!p.contains("CartesianProduct"), s"capstone joins all-pairs:\n$p")
+    // gate is narrow; expected exchanges: fp window, gram agg + join,
+    // anti join, chunk join, lang agg, final sort — composition must
+    // not silently double any of them
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 9, s"capstone shuffles more than its stages need ($exchanges):\n$p")
+  }
 }
