@@ -1595,9 +1595,14 @@ object Queries {
 
   // shared fragments guarantee lockstep with the q21 (quality), q22
   // (language CASE) and q17 (fingerprint) oracles
-  val corpusPrepSql: String =
-    s"""WITH tok AS (SELECT doc_id, lang, text, $duckToks AS toks
-       |            FROM documents WHERE text IS NOT NULL),
+  /** The q58 clean-pipeline replay (gate + fingerprint dedup) as a
+    * shared CTE chain ending in survivor relation `s` — used verbatim
+    * by the q58 oracle and the q70 whole-composition oracle so the two
+    * can never drift from [[CorpusPrep.clean]].
+    */
+  private def cleanReplayCtes(extraWhere: String): String =
+    s"""tok AS (SELECT doc_id, lang, text, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL$extraWhere),
        |m AS (
        |  SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
        |    $punctStopSqlExprs
@@ -1613,7 +1618,10 @@ object Queries {
        |s AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
-       |    FROM f) WHERE rn = 1)
+       |    FROM f) WHERE rn = 1)""".stripMargin
+
+  val corpusPrepSql: String =
+    s"""WITH ${cleanReplayCtes("")}
        |SELECT lang, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  round(CAST(SUM(CAST(quality AS DECIMAL(10,4))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
@@ -1944,19 +1952,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  val decontaminateSql: String = {
-    val sh = "list_distinct([array_to_string(toks[i:i+7], ' ') " +
-      "for i in range(1, len(toks) - 7 + 1)])"
+  /** DuckDB twin of `TextFunctions.shingles(text, n)` over a `toks`
+    * column: distinct space-joined n-grams, one PARTIAL gram for docs
+    * shorter than n (the kernel's short-doc behavior — harmless in the
+    * decontamination joins because a partial gram can never equal a
+    * full one). Single definition for every gram-replaying oracle.
+    */
+  private def duckGrams(n: Int): String =
+    s"list_distinct([array_to_string(toks[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, greatest(len(toks) - ${n - 1}, 1) + 1)])"
+
+  val decontaminateSql: String =
     s"""WITH tok AS (SELECT doc_id, $duckToks AS toks
        |            FROM documents WHERE text IS NOT NULL),
        |t2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 8),
-       |sh AS (SELECT doc_id, unnest($sh) AS g FROM t2),
+       |sh AS (SELECT doc_id, unnest(${duckGrams(8)}) AS g FROM t2),
        |evg AS (SELECT DISTINCT g FROM sh WHERE doc_id < 100)
        |SELECT s.doc_id, COUNT(*) AS hits
        |FROM sh s JOIN evg USING (g) WHERE s.doc_id >= 100
        |GROUP BY s.doc_id HAVING COUNT(*) >= 1
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Quality-WEIGHTED deterministic sampling + train/val/test split
     * ([[Sampling.weightedHashSample]]/[[Sampling.splitColumn]]): keep a
@@ -1989,7 +2004,9 @@ object Queries {
        |q AS (
        |  SELECT doc_id, $qualitySqlExpr AS quality FROM m),
        |kept AS (
-       |  SELECT doc_id, $bucket AS b FROM q WHERE $draw < quality)
+       |  -- the OR mirrors weightedHashSample's prob >= 1 certainty arm
+       |  SELECT doc_id, $bucket AS b FROM q
+       |  WHERE $draw < quality OR quality >= 1.0)
        |SELECT doc_id,
        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
        |FROM kept ORDER BY doc_id""".stripMargin
@@ -2029,34 +2046,15 @@ object Queries {
       .orderBy("lang")
   }
 
-  val pipelineReleaseSql: String = {
-    val evalGram = "list_distinct([array_to_string(toks[i:i+7], ' ') " +
-      "for i in range(1, len(toks) - 7 + 1)])"
-    s"""WITH tok AS (SELECT doc_id, lang, text, $duckToks AS toks
-       |            FROM documents WHERE text IS NOT NULL),
-       |m AS (
-       |  SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
-       |    $punctStopSqlExprs
-       |  FROM tok WHERE doc_id >= 100),
-       |q AS (
-       |  SELECT doc_id, lang, toks, n_tokens,
-       |    $qualitySqlExpr AS quality,
-       |    $langGuessCaseSql AS lang_guess
-       |  FROM m),
-       |f AS (
-       |  SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
-       |  FROM q WHERE n_tokens >= 10 AND quality >= 0.3E0 AND lang_guess <> 'und'),
-       |s AS (
-       |  SELECT * FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
-       |    FROM f) WHERE rn = 1),
+  val pipelineReleaseSql: String =
+    s"""WITH ${cleanReplayCtes(" AND doc_id >= 100")},
        |evg AS (
-       |  SELECT DISTINCT unnest($evalGram) AS g
-       |  FROM tok WHERE doc_id < 100 AND len(toks) >= 8),
+       |  SELECT DISTINCT unnest(${duckGrams(8)}) AS g
+       |  FROM (SELECT $duckToks AS toks FROM documents
+       |        WHERE text IS NOT NULL AND doc_id < 100)
+       |  WHERE len(toks) >= 8),
        |sg AS (
-       |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
-       |    for i in range(1, greatest(len(toks) - 7, 1) + 1)])) AS g
-       |  FROM s),
+       |  SELECT doc_id, unnest(${duckGrams(8)}) AS g FROM s),
        |dirty AS (
        |  SELECT DISTINCT sg.doc_id FROM sg JOIN evg USING (g)),
        |rel AS (
@@ -2072,7 +2070,6 @@ object Queries {
        |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
        |  CAST(SUM(chunk_len) AS BIGINT) AS chunk_tokens
        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -103,6 +103,11 @@ object CorpusPrep {
       carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "need 0 <= overlap < chunkTokens")
+    val internal = Set("id", "toks", "n_tokens", "n_chunks", "chunk_idx",
+      "chunk", "chunk_len", "chunk_fp")
+    require(carryCols.forall(!internal.contains(_)),
+      s"carryCols collide with chunk's internal columns: " +
+        carryCols.filter(internal.contains).mkString(", "))
     val step = chunkTokens - overlap
     val carried = carryCols.map(col)
     df.where(col(textCol).isNotNull)

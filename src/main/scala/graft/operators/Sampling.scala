@@ -73,8 +73,11 @@ object Sampling {
       idCol: String,
       prob: Column,
       salt: String = ""): DataFrame =
-    df.where(graft.functions.PortableHash.hash60(col(idCol), salt)
-      .cast("double") / TwoPow60 < prob)
+    // the explicit prob >= 1 arm makes "always keep" exact: hash values
+    // within ~128 of 2^60 ROUND to draw == 1.0 under long→double, and
+    // 1.0 < 1.0 would drop a certainty-kept row (oracle mirrors the OR)
+    df.where((graft.functions.PortableHash.hash60(col(idCol), salt)
+      .cast("double") / TwoPow60 < prob) || prob >= 1.0)
 
   /** Deterministic named split assignment (train/val/test): the id's
     * hash bucket against cumulative percent ranges. Stable across runs,
@@ -82,8 +85,9 @@ object Sampling {
     * as ingest continues (the property that keeps eval sets honest).
     */
   def splitColumn(id: Column, splits: Seq[(String, Int)], salt: String = "split"): Column = {
-    require(splits.nonEmpty && splits.map(_._2).sum == 100,
-      "split percents must total 100")
+    require(splits.nonEmpty && splits.map(_._2).sum == 100 &&
+      splits.forall { case (_, p) => p >= 0 && p <= 100 },
+      "split percents must each be in [0,100] and total 100")
     val b = hashBucket(id, salt)
     splits.foldLeft((lit(null).cast("string"), 0)) {
       case ((acc, cum), (name, pct)) =>

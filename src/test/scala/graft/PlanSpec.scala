@@ -154,13 +154,16 @@ class PlanSpec extends SparkSuite {
       "per-doc hit count is not map-side combined")
   }
 
-  test("q70 release capstone: bounded exchanges, no Cartesian product") {
+  test("q70 release capstone: bounded post-checkpoint exchanges, no Cartesian") {
+    // NOTE: pipelineRelease materializes the survivor set eagerly
+    // (localCheckpoint), so building this plan RUNS the clean stage and
+    // the counted plan starts from the checkpointed relation — the
+    // guard covers the post-checkpoint stages only (gram agg + join,
+    // anti join, lang agg, final sort; the clean stage's own shape is
+    // guarded by q58's test). Measured shape: 7 exchanges.
     val p = plan("q70_pipeline_release")
     assert(!p.contains("CartesianProduct"), s"capstone joins all-pairs:\n$p")
-    // gate is narrow; expected exchanges: fp window, gram agg + join,
-    // anti join, chunk join, lang agg, final sort — composition must
-    // not silently double any of them
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
-    assert(exchanges <= 9, s"capstone shuffles more than its stages need ($exchanges):\n$p")
+    assert(exchanges <= 7, s"capstone shuffles more than its stages need ($exchanges):\n$p")
   }
 }
