@@ -2071,6 +2071,43 @@ object Queries {
        |  CAST(SUM(chunk_len) AS BIGINT) AS chunk_tokens
        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Histogram-quantile sketch ([[Sketches.histState]]/
+    * [[Sketches.histQuantiles]]): p50/p90/p99 of lineitem extended
+    * price per return flag from a mergeable equi-width histogram
+    * (width 1000) — the quantile member of the sketch family. Exact
+    * quantiles need a full sort per group (q31's shape); the sketch is
+    * one map-side-combined aggregation with range-bounded state, and
+    * its integer-rank lower-boundary estimates are replayed exactly by
+    * the oracle (error bound = one bucket width, spec-checked against
+    * the true percentile).
+    */
+  def histQuantilePrices(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+    val st = Sketches.histState(li, "l_extendedprice", width = 1000.0,
+      groupCols = Seq("l_returnflag"))
+    Sketches.histQuantiles(st, width = 1000.0, qs = Seq(0.5, 0.9, 0.99),
+        groupCols = Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+  }
+
+  val histQuantilePricesSql: String =
+    """WITH st AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, bucket, cnt,
+      |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+      |                   ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM st)
+      |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+      |  MIN(CASE WHEN cum >= ceil(n * 0.5) THEN bucket END) * 1000.0 AS p50,
+      |  MIN(CASE WHEN cum >= ceil(n * 0.9) THEN bucket END) * 1000.0 AS p90,
+      |  MIN(CASE WHEN cum >= ceil(n * 0.99) THEN bucket END) * 1000.0 AS p99
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2142,7 +2179,8 @@ object Queries {
     "q67_doc_chunks" -> docChunks _,
     "q68_decontaminate" -> decontaminate _,
     "q69_weighted_split" -> weightedSplit _,
-    "q70_pipeline_release" -> pipelineRelease _)
+    "q70_pipeline_release" -> pipelineRelease _,
+    "q71_hist_quantiles" -> histQuantilePrices _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2213,5 +2251,6 @@ object Queries {
     "q67_doc_chunks" -> docChunksSql,
     "q68_decontaminate" -> decontaminateSql,
     "q69_weighted_split" -> weightedSplitSql,
-    "q70_pipeline_release" -> pipelineReleaseSql)
+    "q70_pipeline_release" -> pipelineReleaseSql,
+    "q71_hist_quantiles" -> histQuantilePricesSql)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable probabilistic sketches for corpus-scale profiling (SURVEY
@@ -101,6 +102,55 @@ object Sketches {
         when(col("buckets_hit") < HllBuckets && col("raw_est") <= 2.5 * HllBuckets,
           lit(HllBuckets.toDouble) * log(lit(HllBuckets.toDouble) / (lit(HllBuckets) - col("buckets_hit"))))
           .otherwise(col("raw_est")))
+
+  // ------------------------------------------------- histogram quantiles
+
+  /** Equi-width histogram state over a numeric column: one row per
+    * (group, bucket = floor(value / width)) with its count — the
+    * quantile member of the sketch family (exact quantiles need a full
+    * sort; this is ONE map-side-combined aggregation whose state is
+    * bounded by the value range, not the row count). FIXED boundaries
+    * (width is a constant, not data-derived), so states from any two
+    * batches merge by summing bucket counts.
+    */
+  def histState(df: DataFrame, valueCol: String, width: Double,
+                groupCols: Seq[String] = Nil): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val bucket = floor(col(valueCol) / width).cast("long").as("bucket")
+    df.select(groupCols.map(col) :+ bucket: _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from [[histState]]: for each requested q, the
+    * LOWER BOUNDARY of the first bucket whose cumulative count reaches
+    * ceil(q·n) — a deterministic integer-rank rule (no interpolation,
+    * no floats beyond the final boundary multiply), so an external
+    * engine replays the estimate exactly; the error bound is one bucket
+    * width. One window pass over the (tiny) state + one aggregation.
+    */
+  def histQuantiles(state: DataFrame, width: Double, qs: Seq[Double],
+                    groupCols: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val wOrder =
+      if (groupCols.isEmpty) Window.orderBy(col("bucket"))
+      else Window.partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
+    val wAll =
+      if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    val cum = state
+      .withColumn("cum", sum(col("cnt")).over(wOrder))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val aggs = qs.map { q =>
+      val label = s"p${math.round(q * 100)}"
+      // cum is monotone in bucket, so min() picks the first qualifying
+      // bucket; its lower boundary is the estimate
+      (min(when(col("cum") >= ceil(col("n") * q), col("bucket"))) * width).as(label)
+    }
+    val nAgg = max(col("n")).as("n")
+    if (groupCols.isEmpty) cum.agg(nAgg, aggs: _*)
+    else cum.groupBy(groupCols.map(col): _*).agg(nAgg, aggs: _*)
+  }
 
   // ------------------------------------------------------------- count-min
 

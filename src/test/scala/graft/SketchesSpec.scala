@@ -69,6 +69,30 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("histogram quantiles within one bucket width of the true percentile") {
+    val rnd = new scala.util.Random(42)
+    val vals = Seq.fill(5000)(rnd.nextDouble() * 10000).sorted
+    val df = vals.toDF("v")
+    val st = Sketches.histState(df, "v", width = 100.0)
+    val row = Sketches.histQuantiles(st, width = 100.0, qs = Seq(0.5, 0.9)).head()
+    assert(row.getAs[Long]("n") == 5000L)
+    // estimate is the containing bucket's LOWER boundary
+    val trueP50 = vals(math.ceil(0.5 * 5000).toInt - 1)
+    val trueP90 = vals(math.ceil(0.9 * 5000).toInt - 1)
+    assert(math.abs(row.getAs[Double]("p50") - trueP50) <= 100.0, s"p50 ${row}")
+    assert(math.abs(row.getAs[Double]("p90") - trueP90) <= 100.0, s"p90 ${row}")
+  }
+
+  test("histogram state merges by summing bucket counts") {
+    val a = (1 to 1000).map(_.toDouble).toDF("v")
+    val b = (500 to 1500).map(_.toDouble).toDF("v")
+    val merged = Sketches.histState(a, "v", 50.0).unionAll(Sketches.histState(b, "v", 50.0))
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    val direct = Sketches.histState(a.unionAll(b), "v", 50.0)
+    assert(merged.orderBy("bucket").collect().toSeq ==
+      direct.orderBy("bucket").collect().toSeq)
+  }
+
   test("bloom has no false negatives; FP rate sane at design load") {
     val members = (1 to 2000).map(i => s"m_$i").toDF("k")
     val bits = Sketches.bloomBits(members, "k")
