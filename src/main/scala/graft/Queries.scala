@@ -2108,6 +2108,45 @@ object Queries {
       |  MIN(CASE WHEN cum >= ceil(n * 0.99) THEN bucket END) * 1000.0 AS p99
       |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact distributed regression ([[Stats.regression]]): slope /
+    * intercept / Pearson r of extended price on quantity per return
+    * flag, from DECIMAL-exact power sums — deterministic under any
+    * partitioning (Spark's built-in corr/covar are running-double
+    * aggregates whose last ulp depends on aggregation order, which is
+    * why they cannot be hash-oracled and this can).
+    */
+  def regressionPriceQty(s: SparkSession, dir: String): DataFrame =
+    Stats.regression(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  // DuckDB needs precision >= 19 to store these products in HUGEINT
+  // (int64-backed DECIMAL(<=18) overflows on price*price); Spark keeps
+  // (14,4) — both sides are exact rationals, so the doubles they cast
+  // to are identical, which is all the hash compares
+  val regressionPriceQtySql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+      |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+      |    CAST(sxx AS DOUBLE) AS dsxx, CAST(sxy AS DOUBLE) AS dsxy, CAST(syy AS DOUBLE) AS dsyy
+      |  FROM s)
+      |SELECT l_returnflag, n,
+      |  floor((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) * 1e6) / 1e6 AS slope,
+      |  floor((dsy - ((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)) * dsx) / dn * 1e6) / 1e6 AS intercept,
+      |  floor((dn * dsxy - dsx * dsy) /
+      |        sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)) * 1e6) / 1e6 AS r
+      |FROM d ORDER BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2180,7 +2219,8 @@ object Queries {
     "q68_decontaminate" -> decontaminate _,
     "q69_weighted_split" -> weightedSplit _,
     "q70_pipeline_release" -> pipelineRelease _,
-    "q71_hist_quantiles" -> histQuantilePrices _)
+    "q71_hist_quantiles" -> histQuantilePrices _,
+    "q72_regression" -> regressionPriceQty _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2252,5 +2292,6 @@ object Queries {
     "q68_decontaminate" -> decontaminateSql,
     "q69_weighted_split" -> weightedSplitSql,
     "q70_pipeline_release" -> pipelineReleaseSql,
-    "q71_hist_quantiles" -> histQuantilePricesSql)
+    "q71_hist_quantiles" -> histQuantilePricesSql,
+    "q72_regression" -> regressionPriceQtySql)
 }

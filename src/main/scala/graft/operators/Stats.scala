@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Numerically-EXACT distributed second-moment statistics: per-group
+  * simple linear regression (y ~ x) and Pearson correlation from
+  * DECIMAL power sums.
+  *
+  * Why not Spark's built-in `corr`/`covar_pop`: they accumulate running
+  * doubles whose value depends on partial-aggregation ORDER — the same
+  * data on a different partitioning gives a last-ulp-different answer,
+  * which breaks reproducibility contracts (and any external replay).
+  * Fixed-point inputs (here: 4 decimal places) make every power sum an
+  * exact decimal — shuffle-order independent — and the final slope/
+  * intercept/r arithmetic is a fixed sequence of IEEE double ops on
+  * identical inputs, so any engine reproduces the result bit-for-bit
+  * (the q01 DECIMAL-sum rule applied to second moments).
+  *
+  * 100 TB posture: ONE map-side-combined aggregation (6 sums per
+  * group), no second pass, no sort — the textbook one-pass regression,
+  * made deterministic.
+  */
+object Stats {
+
+  /** Per-group n, slope, intercept, Pearson r of `yCol` on `xCol`.
+    * Inputs are truncated to 4 decimal places (exact-decimal domain;
+    * DECIMAL(14,4) keeps products within both engines' exact range);
+    * outputs floor-truncated to 6 (the repo float rule). Groups with
+    * zero x-variance yield null slope/intercept/r (vertical line).
+    */
+  def regression(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(14,4)")
+    val y = col(yCol).cast("decimal(14,4)")
+    val sums = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+    val n = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, sxy, syy) =
+      (col("sxx").cast("double"), col("sxy").cast("double"), col("syy").cast("double"))
+    val covN = n * sxy - sx * sy   // n² · covariance
+    val varXN = n * sxx - sx * sx  // n² · variance(x)
+    val varYN = n * syy - sy * sy
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
+    val slope = covN / varXN
+    sums.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        when(varXN =!= 0.0, trunc6(slope)).as("slope"),
+        when(varXN =!= 0.0, trunc6((sy - slope * sx) / n)).as("intercept"),
+        when(varXN =!= 0.0 && varYN =!= 0.0,
+          trunc6(covN / sqrt(varXN * varYN))).as("r")): _*)
+  }
+}
