@@ -2085,7 +2085,7 @@ object Queries {
     val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
     val st = Sketches.histState(li, "l_extendedprice", width = 1000.0,
       groupCols = Seq("l_returnflag"))
-    Sketches.histQuantiles(st, width = 1000.0, qs = Seq(0.5, 0.9, 0.99),
+    Sketches.histQuantiles(st, qs = Seq(0.5, 0.9, 0.99),
         groupCols = Seq("l_returnflag"))
       .orderBy("l_returnflag")
   }
@@ -2103,9 +2103,9 @@ object Queries {
       |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
       |  FROM st)
       |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
-      |  MIN(CASE WHEN cum >= ceil(n * 0.5) THEN bucket END) * 1000.0 AS p50,
-      |  MIN(CASE WHEN cum >= ceil(n * 0.9) THEN bucket END) * 1000.0 AS p90,
-      |  MIN(CASE WHEN cum >= ceil(n * 0.99) THEN bucket END) * 1000.0 AS p99
+      |  CAST(MIN(CASE WHEN cum >= ceil(n * 0.5) THEN bucket END) * 1000.0 AS DOUBLE) AS p50,
+      |  CAST(MIN(CASE WHEN cum >= ceil(n * 0.9) THEN bucket END) * 1000.0 AS DOUBLE) AS p90,
+      |  CAST(MIN(CASE WHEN cum >= ceil(n * 0.99) THEN bucket END) * 1000.0 AS DOUBLE) AS p99
       |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Exact distributed regression ([[Stats.regression]]): slope /
@@ -2133,18 +2133,23 @@ object Queries {
       |    SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
       |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
       |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
-      |    SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+      |    SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+      |    (MIN(CAST(l_quantity AS DECIMAL(19,4))) <> MAX(CAST(l_quantity AS DECIMAL(19,4)))) AS x_varies,
+      |    (MIN(CAST(l_extendedprice AS DECIMAL(19,4))) <> MAX(CAST(l_extendedprice AS DECIMAL(19,4)))) AS y_varies
       |  FROM lineitem GROUP BY 1),
       |d AS (
-      |  SELECT l_returnflag, n,
+      |  SELECT l_returnflag, n, x_varies, y_varies,
       |    CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
       |    CAST(sxx AS DOUBLE) AS dsxx, CAST(sxy AS DOUBLE) AS dsxy, CAST(syy AS DOUBLE) AS dsyy
       |  FROM s)
       |SELECT l_returnflag, n,
-      |  floor((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) * 1e6) / 1e6 AS slope,
-      |  floor((dsy - ((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)) * dsx) / dn * 1e6) / 1e6 AS intercept,
-      |  floor((dn * dsxy - dsx * dsy) /
-      |        sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)) * 1e6) / 1e6 AS r
+      |  CASE WHEN x_varies THEN
+      |    floor((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) * 1e6) / 1e6 END AS slope,
+      |  CASE WHEN x_varies THEN
+      |    floor((dsy - ((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)) * dsx) / dn * 1e6) / 1e6 END AS intercept,
+      |  CASE WHEN x_varies AND y_varies THEN
+      |    floor((dn * dsxy - dsx * dsy) /
+      |          sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)) * 1e6) / 1e6 END AS r
       |FROM d ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------- registry

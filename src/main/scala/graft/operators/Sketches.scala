@@ -105,21 +105,42 @@ object Sketches {
 
   // ------------------------------------------------- histogram quantiles
 
+  /** Histogram state carries its width like [[CmState]]/[[BloomState]]
+    * carry their geometry: quantiles read with a different width than
+    * the build silently land on wrong boundaries, so the mismatch is
+    * made unrepresentable. `buckets` merge across batches by summing.
+    */
+  final case class HistState(buckets: DataFrame, width: Double) {
+    def merge(other: HistState): HistState = {
+      require(width == other.width,
+        "histogram states merge only at identical width")
+      HistState(buckets.unionAll(other.buckets)
+        .groupBy(buckets.columns.filter(_ != "cnt").map(col): _*)
+        .agg(sum("cnt").as("cnt")), width)
+    }
+  }
+
   /** Equi-width histogram state over a numeric column: one row per
     * (group, bucket = floor(value / width)) with its count — the
     * quantile member of the sketch family (exact quantiles need a full
     * sort; this is ONE map-side-combined aggregation whose state is
     * bounded by the value range, not the row count). FIXED boundaries
     * (width is a constant, not data-derived), so states from any two
-    * batches merge by summing bucket counts.
+    * batches merge by summing bucket counts. Null values are DROPPED
+    * (they have no bucket, and counting them into n would shift every
+    * quantile — and engines disagree on null ordering in the rank
+    * walk).
     */
   def histState(df: DataFrame, valueCol: String, width: Double,
-                groupCols: Seq[String] = Nil): DataFrame = {
+                groupCols: Seq[String] = Nil): HistState = {
     require(width > 0, "bucket width must be positive")
     val bucket = floor(col(valueCol) / width).cast("long").as("bucket")
-    df.select(groupCols.map(col) :+ bucket: _*)
-      .groupBy((groupCols :+ "bucket").map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+    HistState(
+      df.where(col(valueCol).isNotNull)
+        .select(groupCols.map(col) :+ bucket: _*)
+        .groupBy((groupCols :+ "bucket").map(col): _*)
+        .agg(count(lit(1)).as("cnt")),
+      width)
   }
 
   /** Quantile estimates from [[histState]]: for each requested q, the
@@ -129,23 +150,25 @@ object Sketches {
     * engine replays the estimate exactly; the error bound is one bucket
     * width. One window pass over the (tiny) state + one aggregation.
     */
-  def histQuantiles(state: DataFrame, width: Double, qs: Seq[Double],
+  def histQuantiles(state: HistState, qs: Seq[Double],
                     groupCols: Seq[String] = Nil): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val labels = qs.map(q => s"p${math.round(q * 100)}")
+    require(labels.distinct.size == labels.size,
+      s"quantile labels collide after rounding to whole percents: $labels")
     val wOrder =
       if (groupCols.isEmpty) Window.orderBy(col("bucket"))
       else Window.partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
     val wAll =
       if (groupCols.isEmpty) Window.partitionBy()
       else Window.partitionBy(groupCols.map(col): _*)
-    val cum = state
+    val cum = state.buckets
       .withColumn("cum", sum(col("cnt")).over(wOrder))
       .withColumn("n", sum(col("cnt")).over(wAll))
-    val aggs = qs.map { q =>
-      val label = s"p${math.round(q * 100)}"
+    val aggs = qs.zip(labels).map { case (q, label) =>
       // cum is monotone in bucket, so min() picks the first qualifying
       // bucket; its lower boundary is the estimate
-      (min(when(col("cum") >= ceil(col("n") * q), col("bucket"))) * width).as(label)
+      (min(when(col("cum") >= ceil(col("n") * q), col("bucket"))) * state.width).as(label)
     }
     val nAgg = max(col("n")).as("n")
     if (groupCols.isEmpty) cum.agg(nAgg, aggs: _*)

@@ -27,7 +27,17 @@ object Stats {
     * Inputs are truncated to 4 decimal places (exact-decimal domain;
     * DECIMAL(14,4) keeps products within both engines' exact range);
     * outputs floor-truncated to 6 (the repo float rule). Groups with
-    * zero x-variance yield null slope/intercept/r (vertical line).
+    * zero x-variance yield null slope/intercept/r (vertical line) —
+    * detected EXACTLY via min(x) = max(x), never from the
+    * double-rounded variance (n·Σx² − (Σx)² computed in doubles lands
+    * at ±ulp, not 0, for non-binary-representable constant x).
+    *
+    * Conditioning caveat (honest limits of the one-pass form): the
+    * centered moments suffer catastrophic cancellation when the
+    * variance is many orders below the raw second moment — the result
+    * is still deterministic and engine-reproducible (identical IEEE
+    * op sequence), but its RELATIVE accuracy degrades; pre-shift x/y
+    * toward their approximate means if that regime matters.
     */
   def regression(
       df: DataFrame,
@@ -41,7 +51,9 @@ object Stats {
       .agg(
         count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"),
+        min(x).as("minx"), max(x).as("maxx"),
+        min(y).as("miny"), max(y).as("maxy"))
     val n = col("n").cast("double")
     val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
     val (sxx, sxy, syy) =
@@ -49,14 +61,16 @@ object Stats {
     val covN = n * sxy - sx * sy   // n² · covariance
     val varXN = n * sxx - sx * sx  // n² · variance(x)
     val varYN = n * syy - sy * sy
+    val xVaries = col("minx") =!= col("maxx") // exact decimal compare
+    val yVaries = col("miny") =!= col("maxy")
     def trunc6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
     val slope = covN / varXN
     sums.select(
       groupCols.map(col) ++ Seq(
         col("n"),
-        when(varXN =!= 0.0, trunc6(slope)).as("slope"),
-        when(varXN =!= 0.0, trunc6((sy - slope * sx) / n)).as("intercept"),
-        when(varXN =!= 0.0 && varYN =!= 0.0,
+        when(xVaries, trunc6(slope)).as("slope"),
+        when(xVaries, trunc6((sy - slope * sx) / n)).as("intercept"),
+        when(xVaries && yVaries,
           trunc6(covN / sqrt(varXN * varYN))).as("r")): _*)
   }
 }

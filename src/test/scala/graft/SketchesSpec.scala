@@ -74,7 +74,7 @@ class SketchesSpec extends SparkSuite {
     val vals = Seq.fill(5000)(rnd.nextDouble() * 10000).sorted
     val df = vals.toDF("v")
     val st = Sketches.histState(df, "v", width = 100.0)
-    val row = Sketches.histQuantiles(st, width = 100.0, qs = Seq(0.5, 0.9)).head()
+    val row = Sketches.histQuantiles(st, qs = Seq(0.5, 0.9)).head()
     assert(row.getAs[Long]("n") == 5000L)
     // estimate is the containing bucket's LOWER boundary
     val trueP50 = vals(math.ceil(0.5 * 5000).toInt - 1)
@@ -83,14 +83,24 @@ class SketchesSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("p90") - trueP90) <= 100.0, s"p90 ${row}")
   }
 
-  test("histogram state merges by summing bucket counts") {
+  test("histogram state merges by summing bucket counts; width mismatch rejected") {
     val a = (1 to 1000).map(_.toDouble).toDF("v")
     val b = (500 to 1500).map(_.toDouble).toDF("v")
-    val merged = Sketches.histState(a, "v", 50.0).unionAll(Sketches.histState(b, "v", 50.0))
-      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    val merged = Sketches.histState(a, "v", 50.0).merge(Sketches.histState(b, "v", 50.0))
     val direct = Sketches.histState(a.unionAll(b), "v", 50.0)
-    assert(merged.orderBy("bucket").collect().toSeq ==
-      direct.orderBy("bucket").collect().toSeq)
+    assert(merged.buckets.orderBy("bucket").collect().toSeq ==
+      direct.buckets.orderBy("bucket").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Sketches.histState(a, "v", 50.0).merge(Sketches.histState(b, "v", 25.0))
+    }
+  }
+
+  test("histogram drops nulls: they have no bucket and must not shift n") {
+    val df = (Seq.fill(5)(null.asInstanceOf[java.lang.Double]) ++
+      (1 to 10).map(i => java.lang.Double.valueOf(i * 10.0))).toDF("v")
+    val st = Sketches.histState(df, "v", width = 100.0)
+    val row = Sketches.histQuantiles(st, qs = Seq(0.5)).head()
+    assert(row.getAs[Long]("n") == 10L, "n must count only non-null values")
   }
 
   test("bloom has no false negatives; FP rate sane at design load") {

@@ -41,4 +41,20 @@ class StatsSpec extends SparkSuite {
     assert(row.isNullAt(row.fieldIndex("slope")))
     assert(row.isNullAt(row.fieldIndex("r")))
   }
+
+  test("zero variance detected exactly for non-binary-representable constants") {
+    // 5.1094 is not a binary double; the double-computed n*sxx - sx²
+    // lands at ±1e-13 (and can round NEGATIVE, making sqrt NaN) — the
+    // min=max guard must null these out regardless
+    val df = (1 to 11).map(i => ("g", 5.1094, i.toDouble)).toDF("g", "x", "y")
+    val row = Stats.regression(df, Seq("g"), "x", "y").head()
+    assert(row.isNullAt(row.fieldIndex("slope")),
+      "rounded-variance noise must not fabricate a slope")
+    assert(row.isNullAt(row.fieldIndex("r")), "r must be null, not NaN")
+    // and the symmetric case: constant y only nulls r, not the slope
+    val dfy = (1 to 11).map(i => ("g", i.toDouble, 5.1094)).toDF("g", "x", "y")
+    val rowy = Stats.regression(dfy, Seq("g"), "x", "y").head()
+    assert(!rowy.isNullAt(rowy.fieldIndex("slope")))
+    assert(rowy.isNullAt(rowy.fieldIndex("r")))
+  }
 }
