@@ -2152,6 +2152,101 @@ object Queries {
       |          sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)) * 1e6) / 1e6 END AS r
       |FROM d ORDER BY l_returnflag""".stripMargin
 
+  /** Interval-OVERLAP self-join ([[IntervalJoin.selfOverlapPairs]]):
+    * pairs of bulk lineitems (quantity >= 40) of the same supplier
+    * whose transit windows [ship_day, ship_day + quantity days] share
+    * at least one day — aggregated per supplier so any pair the
+    * bucketed join misses or double-counts shifts the hash. Oracle:
+    * the literal all-pairs overlap join (the bucket decomposition is
+    * an exact rewrite, so all-pairs is the ground truth, not an
+    * approximation).
+    */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+    val iv = t(s, dir, "lineitem")
+      .where(col("l_quantity") >= 40)
+      .select(col("l_suppkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("item_id"),
+        day.as("ship_day"),
+        (day + col("l_quantity").cast("int")).as("arrive_day"))
+    IntervalJoin.selfOverlapPairs(
+        iv, "l_suppkey", "item_id", "ship_day", "arrive_day", bucketSize = 64)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("overlap")).as("overlap_days"))
+      .orderBy("l_suppkey")
+  }
+
+  val intervalOverlapSql: String =
+    """WITH iv AS (
+      |  SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS item_id,
+      |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+      |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |      + CAST(l_quantity AS INT) AS e
+      |  FROM lineitem WHERE l_quantity >= 40)
+      |SELECT a.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT) AS overlap_days
+      |FROM iv a JOIN iv b ON a.l_suppkey = b.l_suppkey AND a.item_id < b.item_id
+      |  AND a.s <= b.e AND b.s <= a.e
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Leakage-proof train/val/test assignment
+    * ([[Sampling.leakProofSplit]]): split by duplicate-GROUP
+    * representative so near-copies never straddle train and test.
+    * Oracle: the q35 recursive-CTE component labels + the q69 md5
+    * bucket replay, composed.
+    */
+  def leakproofSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Sampling.leakProofSplit(d, "doc_id",
+        Dedup.minhashLSH(d, "doc_id", "text", threshold = 0.7),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("rep_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val leakproofSplitSql: String = {
+    val b = s"${duckHash60("split", "rep_id")} % 100"
+    s"""$componentLabelsSqlPrefix,
+       |r AS (
+       |  SELECT d.doc_id, coalesce(l.group_id, d.doc_id) AS rep_id
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+       |SELECT doc_id, rep_id,
+       |  CASE WHEN $b < 80 THEN 'train'
+       |       WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-group z-score outliers ([[Stats.outliers]]) over event values:
+    * |value − mean| > 3σ within the event type, z computed scale-free
+    * from the q72 DECIMAL power sums so both engines run the identical
+    * IEEE sequence. Oracle replays sums, filter, and truncation.
+    */
+  def groupOutliers(s: SparkSession, dir: String): DataFrame =
+    Stats.outliers(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", k = 3.0)
+      .orderBy("event_id")
+
+  val groupOutliersSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    COUNT(CAST(value AS DECIMAL(19,4))) AS n,
+      |    SUM(CAST(value AS DECIMAL(19,4))) AS sx,
+      |    SUM(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))) AS sxx,
+      |    (MIN(CAST(value AS DECIMAL(19,4))) <> MAX(CAST(value AS DECIMAL(19,4)))) AS varies
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT event_type, varies, CAST(n AS DOUBLE) AS dn,
+      |    CAST(sx AS DOUBLE) AS dsx, CAST(sxx AS DOUBLE) AS dsxx
+      |  FROM s)
+      |SELECT event_type, event_id, value,
+      |  floor((dn * CAST(CAST(value AS DECIMAL(19,4)) AS DOUBLE) - dsx)
+      |        / sqrt(dn * dsxx - dsx * dsx) * 1e6) / 1e6 AS z
+      |FROM events JOIN d USING (event_type)
+      |WHERE varies AND abs((dn * CAST(CAST(value AS DECIMAL(19,4)) AS DOUBLE) - dsx)
+      |                     / sqrt(dn * dsxx - dsx * dsx)) > 3.0
+      |ORDER BY event_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2225,7 +2320,10 @@ object Queries {
     "q69_weighted_split" -> weightedSplit _,
     "q70_pipeline_release" -> pipelineRelease _,
     "q71_hist_quantiles" -> histQuantilePrices _,
-    "q72_regression" -> regressionPriceQty _)
+    "q72_regression" -> regressionPriceQty _,
+    "q73_interval_join" -> intervalOverlap _,
+    "q74_leakproof_split" -> leakproofSplit _,
+    "q75_group_outliers" -> groupOutliers _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2298,5 +2396,8 @@ object Queries {
     "q69_weighted_split" -> weightedSplitSql,
     "q70_pipeline_release" -> pipelineReleaseSql,
     "q71_hist_quantiles" -> histQuantilePricesSql,
-    "q72_regression" -> regressionPriceQtySql)
+    "q72_regression" -> regressionPriceQtySql,
+    "q73_interval_join" -> intervalOverlapSql,
+    "q74_leakproof_split" -> leakproofSplitSql,
+    "q75_group_outliers" -> groupOutliersSql)
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-OVERLAP self-join: all pairs of rows with the same key
+  * whose closed integer intervals [start, end] intersect — transit
+  * windows sharing days in flight, sessions overlapping in time,
+  * genomic ranges sharing positions. The missing sibling of
+  * [[RangeJoin]] (point-in-window): here BOTH sides are intervals.
+  *
+  * Spark-first implementation (composed from built-ins, no custom
+  * strategy): bucketed equi-join with CREDIT-BUCKET dedup. Each
+  * interval explodes to the `bucketSize`-grain buckets it touches, so
+  * two overlapping intervals share at least one bucket and the
+  * candidate join is a plain equi-join on (key, bucket). A long pair
+  * of intervals shares MANY buckets; instead of a `distinct` shuffle
+  * over the pair list, each candidate is counted only in its "credit
+  * bucket" — the bucket containing max(start_a, start_b), which every
+  * overlapping pair has exactly one of. Dedup costs a codegen'd filter,
+  * not an exchange.
+  *
+  * 100 TB posture: one explode (fan-out ≤ len/bucketSize + 1 — size
+  * `bucketSize` at or above the typical interval length to keep it
+  * ~2), one shuffle per side on (key, bucket), then narrow filter.
+  * A (key, bucket) cell with m intervals yields m² candidates — the
+  * classic temporal-join hot cell; `bucketSize` is the dial (smaller
+  * buckets spread dense periods across more cells) and AQE's skew-join
+  * splits what remains. No range-scan, no per-row probes, no
+  * Cartesian.
+  */
+object IntervalJoin {
+
+  /** Overlapping pairs (id_a < id_b) of same-key closed intervals.
+    *
+    * @param df        input; one interval per row
+    * @param keyCol    partition key (pairs never cross keys)
+    * @param idCol     unique row id (any orderable type)
+    * @param startCol  interval start, integer grain (e.g. epoch days)
+    * @param endCol    interval end, inclusive; rows with end < start
+    *                  are dropped (empty interval)
+    * @param bucketSize  candidate-bucket width in the interval's unit
+    * @return (keyCol, id_a, id_b, overlap) where overlap =
+    *         min(end) - max(start) + 1 ≥ 1 shared grain units
+    */
+  def selfOverlapPairs(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      startCol: String,
+      endCol: String,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val iv = df.select(col(keyCol).as("k"), col(idCol).as("id"),
+        col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+      .where(col("s") <= col("e"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"s div $bucketSize"), expr(s"e div $bucketSize"))))
+    val a = iv.select(col("k"), col("bucket"), col("id").as("id_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = iv.select(col("k"), col("bucket"), col("id").as("id_b"),
+      col("s").as("s_b"), col("e").as("e_b"))
+    a.join(b, Seq("k", "bucket"))
+      .where(col("id_a") < col("id_b") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
+        // credit-bucket dedup: count the pair only where its overlap
+        // starts — each overlapping pair passes for exactly one bucket
+        col("bucket") === expr(s"greatest(s_a, s_b) div $bucketSize"))
+      .select(col("k").as(keyCol), col("id_a"), col("id_b"),
+        (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")) + 1)
+          .as("overlap"))
+  }
+}

@@ -94,4 +94,37 @@ object Sampling {
         (when(b >= cum && b < cum + pct, name).otherwise(acc), cum + pct)
     }._1
   }
+
+  /** LEAKAGE-PROOF split assignment: like [[splitColumn]], but near-
+    * duplicate documents always land in the SAME split. Hashing each
+    * doc independently leaks — a train doc's near-copy in test inflates
+    * eval scores — so the split key is the document's duplicate-GROUP
+    * representative (smallest id reachable through the pair graph,
+    * [[Dedup.connectedComponents]]), not the document itself.
+    * Documents in no pair keep their own id as representative, so for
+    * a dup-free corpus this degrades to exactly [[splitColumn]].
+    *
+    * @param pairs  near-duplicate edges (id_a, id_b), e.g. from
+    *               [[Dedup.minhashLSH]]; extra columns ignored
+    * @return input plus `rep_id` (group representative) and `split`
+    *
+    * 100 TB posture: the pair graph is the tiny near-dup remnant, so
+    * the components fixpoint runs on candidate-sized data; the corpus
+    * itself takes ONE left join against the components-sized label
+    * table (AQE broadcasts it) and a narrow hash projection — the
+    * corpus is never shuffled.
+    */
+  def leakProofSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Int)],
+      salt: String = "split"): DataFrame = {
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("group_id"))
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("rep_id", coalesce(col("group_id"), col(idCol)))
+      .drop("group_id")
+      .withColumn("split", splitColumn(col("rep_id"), splits, salt))
+  }
 }

@@ -73,4 +73,42 @@ object Stats {
         when(xVaries && yVaries,
           trunc6(covN / sqrt(varXN * varYN))).as("r")): _*)
   }
+
+  /** Per-group z-score outlier flags from the same DECIMAL power sums:
+    * rows where |value − mean| > k·σ (population σ) within their
+    * group. The z-score is computed scale-free as
+    * z = (n·x − Σx) / √(n·Σx² − (Σx)²) — algebraically
+    * (x − mean)/σ with both sides multiplied by n, so no division by n
+    * ever happens and the only float ops are a fixed sequence on
+    * exact-decimal inputs (bit-identical in any engine, the
+    * [[regression]] rule). Constant groups (min = max, exact decimal
+    * compare) yield no outliers rather than a 0/0.
+    *
+    * 100 TB posture: one map-side-combined aggregation to a
+    * groups-sized sums table, then ONE more scan where the sums join
+    * back — AQE broadcasts the (tiny, exact-sized) sums side, so the
+    * data never shuffles. The standard two-pass outlier scan; pass two
+    * is narrow.
+    */
+  def outliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val x = col(valueCol).cast("decimal(14,4)")
+    val sums = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(x).as("__n"), // count(x): null values join no moment
+        sum(x).as("__sx"), sum(x * x).as("__sxx"),
+        min(x).as("__minx"), max(x).as("__maxx"))
+    val n = col("__n").cast("double")
+    val (sx, sxx) = (col("__sx").cast("double"), col("__sxx").cast("double"))
+    val z = (n * x.cast("double") - sx) / sqrt(n * sxx - sx * sx)
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
+    df.join(sums, groupCols)
+      .where(col("__minx") =!= col("__maxx") && abs(z) > lit(k))
+      .withColumn("z", trunc6(z))
+      .drop("__n", "__sx", "__sxx", "__minx", "__maxx")
+  }
 }

@@ -92,6 +92,32 @@ class CorpusPrepSpec extends SparkSuite {
     }
   }
 
+  test("leakProofSplit: near-dup pairs co-split; singletons match splitColumn") {
+    // pair graph: {1,2,3} chained, {10,11} — 4,5 isolated
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val got = Sampling.leakProofSplit(docs, "doc_id", pairs, splits)
+      .select("doc_id", "rep_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // every member of a dup group shares the representative AND the split
+    assert(Seq(1L, 2L, 3L).map(got(_)).distinct.size == 1)
+    assert(Seq(10L, 11L).map(got(_)).distinct.size == 1)
+    assert(got(1L)._1 == 1L && got(10L)._1 == 10L, "rep = smallest member id")
+    // isolated docs keep their own id and exactly splitColumn's verdict
+    val plain = docs.select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"), splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    Seq(4L, 5L).foreach { id =>
+      assert(got(id) == ((id, plain(id))))
+    }
+    // empty pair list degrades to splitColumn for EVERY doc
+    val noPairs = Sampling.leakProofSplit(docs, "doc_id",
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(noPairs == plain)
+  }
+
   test("chunk: windows cover every token exactly once modulo overlap") {
     // 95 tokens, 50-token chunks, 10 overlap (step 40) -> starts 0,40,80
     val text = (1 to 95).map(i => s"t$i").mkString(" ")

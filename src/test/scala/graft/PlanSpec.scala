@@ -166,4 +166,24 @@ class PlanSpec extends SparkSuite {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
     assert(exchanges <= 7, s"capstone shuffles more than its stages need ($exchanges):\n$p")
   }
+
+  test("q73 interval join: bucketed equi-join, no Cartesian, pruned scan") {
+    val p = plan("q73_interval_join")
+    assert(!p.contains("CartesianProduct"), s"interval join went all-pairs:\n$p")
+    // the candidate join must be a (key, bucket) equi-join — its exact
+    // range predicate belongs in the join CONDITION, not a post-filter
+    // over a cross product
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join found:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_shipdate:"),
+      s"lineitem scan not pruned to the 5 used columns:\n$p")
+  }
+
+  test("q75 outliers: two-pass scan, moments map-side combined") {
+    val p = plan("q75_group_outliers")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "group moments are not map-side combined")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -57,4 +57,40 @@ class StatsSpec extends SparkSuite {
     assert(!rowy.isNullAt(rowy.fieldIndex("slope")))
     assert(rowy.isNullAt(rowy.fieldIndex("r")))
   }
+
+  test("outliers: flags exactly the rows a local z-score computation flags") {
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.tabulate(500)(i =>
+      (i.toLong, s"g${i % 2}", math.floor(rnd.nextGaussian() * 1e4) / 1e4)) ++
+      Seq((9001L, "g0", 50.0), (9002L, "g1", -40.0)) // planted spikes
+    val got = Stats.outliers(vals.toDF("id", "g", "v"), Seq("g"), "v", k = 3.0)
+      .select("id").as[Long].collect().toSet
+    val expected = vals.groupBy(_._2).flatMap { case (_, rows) =>
+      val n = rows.size.toDouble
+      val sx = rows.map(_._3).sum
+      val sxx = rows.map(r => r._3 * r._3).sum
+      rows.filter { r =>
+        math.abs((n * r._3 - sx) / math.sqrt(n * sxx - sx * sx)) > 3.0
+      }.map(_._1)
+    }.toSet
+    // 4-decimal inputs: the decimal truncation is the identity, so the
+    // local double computation is only ulp-apart from the operator's —
+    // the planted spikes (|z| >> 3) must be found and agreement must be
+    // exact away from the threshold
+    assert(got.contains(9001L) && got.contains(9002L))
+    assert((got -- expected).isEmpty && (expected -- got).isEmpty,
+      s"disagree: spark-only=${got -- expected} local-only=${expected -- got}")
+  }
+
+  test("outliers: constant groups and null values produce no flags") {
+    val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(5.0)),
+      ("g", Some(1.0)), ("g", Some(2.0)), ("g", None), ("g", Some(100.0)))
+      .toDF("g", "v")
+    val got = Stats.outliers(df, Seq("g"), "v", k = 1.0)
+    assert(!got.collect().exists(_.getAs[String]("g") == "c"),
+      "constant group must yield no outliers (0/0 guard)")
+    assert(!got.collect().exists(r => r.isNullAt(r.fieldIndex("v"))),
+      "null values are never outliers")
+    assert(Stats.outliers(df.limit(0), Seq("g"), "v").count() == 0)
+  }
 }
