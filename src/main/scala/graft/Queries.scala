@@ -2239,12 +2239,14 @@ object Queries {
       |  SELECT event_type, varies, CAST(n AS DOUBLE) AS dn,
       |    CAST(sx AS DOUBLE) AS dsx, CAST(sxx AS DOUBLE) AS dsxx
       |  FROM s)
-      |SELECT event_type, event_id, value,
+      |SELECT events.event_type, event_id, value,
       |  floor((dn * CAST(CAST(value AS DECIMAL(19,4)) AS DOUBLE) - dsx)
       |        / sqrt(dn * dsxx - dsx * dsx) * 1e6) / 1e6 AS z
-      |FROM events JOIN d USING (event_type)
-      |WHERE varies AND abs((dn * CAST(CAST(value AS DECIMAL(19,4)) AS DOUBLE) - dsx)
-      |                     / sqrt(dn * dsxx - dsx * dsx)) > 3.0
+      |FROM events JOIN d
+      |  ON events.event_type IS NOT DISTINCT FROM d.event_type
+      |WHERE varies AND dn * dsxx - dsx * dsx > 0
+      |  AND abs((dn * CAST(CAST(value AS DECIMAL(19,4)) AS DOUBLE) - dsx)
+      |          / sqrt(dn * dsxx - dsx * dsx)) > 3.0
       |ORDER BY event_id""".stripMargin
 
   // --------------------------------------------------------------- registry

@@ -40,6 +40,11 @@ object IntervalJoin {
     * @param endCol    interval end, inclusive; rows with end < start
     *                  are dropped (empty interval)
     * @param bucketSize  candidate-bucket width in the interval's unit
+    * @param maxBucketsPerInterval  fan-out ceiling: an interval
+    *        touching ≥ this many buckets RAISES a pointed error
+    *        instead of letting one open-ended sentinel row (end =
+    *        Long.MaxValue) or a bucketSize orders below the interval
+    *        grain materialize a billion-element sequence and OOM
     * @return (keyCol, id_a, id_b, overlap) where overlap =
     *         min(end) - max(start) + 1 ≥ 1 shared grain units
     */
@@ -49,13 +54,23 @@ object IntervalJoin {
       idCol: String,
       startCol: String,
       endCol: String,
-      bucketSize: Long): DataFrame = {
+      bucketSize: Long,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    val bLo = expr(s"s div $bucketSize")
+    val bHi = expr(s"e div $bucketSize")
     val iv = df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
       .where(col("s") <= col("e"))
-      .withColumn("bucket",
-        explode(sequence(expr(s"s div $bucketSize"), expr(s"e div $bucketSize"))))
+      .withColumn("bucket", explode(sequence(bLo,
+        when(bHi - bLo < maxBucketsPerInterval, bHi).otherwise(raise_error(
+          concat(lit("IntervalJoin: interval ["), col("s").cast("string"),
+            lit(", "), col("e").cast("string"),
+            lit(s"] spans >= $maxBucketsPerInterval buckets at " +
+              s"bucketSize=$bucketSize; raise bucketSize (or " +
+              "maxBucketsPerInterval) to match the interval grain"))
+          ).cast("long")))))
     val a = iv.select(col("k"), col("bucket"), col("id").as("id_a"),
       col("s").as("s_a"), col("e").as("e_a"))
     val b = iv.select(col("k"), col("bucket"), col("id").as("id_b"),

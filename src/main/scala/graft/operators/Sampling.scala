@@ -120,11 +120,16 @@ object Sampling {
       pairs: DataFrame,
       splits: Seq[(String, Int)],
       salt: String = "split"): DataFrame = {
+    // loud, not clobbered: the output columns are part of the contract
+    require(!df.columns.contains("rep_id") && !df.columns.contains("split"),
+      "leakProofSplit adds rep_id/split — rename the existing columns first")
+    // __-prefix the label column so a corpus carrying its own group_id
+    // (a perfectly plausible schema) neither collides nor is consumed
     val labels = Dedup.connectedComponents(pairs)
-      .select(col("id").as(idCol), col("group_id"))
+      .select(col("id").as(idCol), col("group_id").as("__lps_group"))
     df.join(labels, Seq(idCol), "left")
-      .withColumn("rep_id", coalesce(col("group_id"), col(idCol)))
-      .drop("group_id")
+      .withColumn("rep_id", coalesce(col("__lps_group"), col(idCol)))
+      .drop("__lps_group")
       .withColumn("split", splitColumn(col("rep_id"), splits, salt))
   }
 }

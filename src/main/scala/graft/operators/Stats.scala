@@ -89,6 +89,16 @@ object Stats {
     * back — AQE broadcasts the (tiny, exact-sized) sums side, so the
     * data never shuffles. The standard two-pass outlier scan; pass two
     * is narrow.
+    *
+    * Edge contract (each has a spec):
+    *  - values outside the decimal(14,4) domain (|x| ≥ 1e10) RAISE
+    *    instead of silently vanishing from the moments — the overflow
+    *    row is exactly the extreme an outlier detector must not drop;
+    *  - NULL group keys are a group (null-safe join), so their
+    *    extremes are still flagged;
+    *  - near-constant groups whose double-rounded n·Σx² − (Σx)²
+    *    cancels to ≤ 0 yield NO flags (a NaN/Inf z under Spark's
+    *    NaN-is-largest ordering would otherwise flag EVERY row).
     */
   def outliers(
       df: DataFrame,
@@ -96,19 +106,36 @@ object Stats {
       valueCol: String,
       k: Double = 3.0): DataFrame = {
     require(k > 0, "k must be positive")
-    val x = col(valueCol).cast("decimal(14,4)")
+    val raw = col(valueCol)
+    // try_cast: identical loud-overflow behavior whether or not the
+    // session runs ANSI mode (a plain cast is silent-NULL without it)
+    val x = coalesce(raw.try_cast("decimal(14,4)"),
+      when(raw.isNotNull, raise_error(concat(
+        lit(s"Stats.outliers: $valueCol value "), raw.cast("string"),
+        lit(" overflows the decimal(14,4) moment domain (|x| < 1e10); " +
+          "rescale the column first")))
+        .cast("decimal(14,4)")))
     val sums = df
       .groupBy(groupCols.map(col): _*)
       .agg(count(x).as("__n"), // count(x): null values join no moment
         sum(x).as("__sx"), sum(x * x).as("__sxx"),
         min(x).as("__minx"), max(x).as("__maxx"))
+    // null-safe equi-join on renamed keys: NULL group keys must match
+    // their own sums row (a plain equi-join silently drops the whole
+    // null group), and renaming sidesteps self-join ambiguity
+    val sumsR = groupCols.foldLeft(sums)((d, c) =>
+      d.withColumnRenamed(c, s"__g_$c"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
     val n = col("__n").cast("double")
     val (sx, sxx) = (col("__sx").cast("double"), col("__sxx").cast("double"))
-    val z = (n * x.cast("double") - sx) / sqrt(n * sxx - sx * sx)
+    val varN = n * sxx - sx * sx
+    val z = (n * x.cast("double") - sx) / sqrt(varN)
     def trunc6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
-    df.join(sums, groupCols)
-      .where(col("__minx") =!= col("__maxx") && abs(z) > lit(k))
+    df.join(sumsR, cond)
+      .where(col("__minx") =!= col("__maxx") && varN > lit(0.0) &&
+        abs(z) > lit(k))
       .withColumn("z", trunc6(z))
-      .drop("__n", "__sx", "__sxx", "__minx", "__maxx")
+      .drop(groupCols.map(c => s"__g_$c") ++
+        Seq("__n", "__sx", "__sxx", "__minx", "__maxx"): _*)
   }
 }

@@ -116,6 +116,16 @@ class CorpusPrepSpec extends SparkSuite {
         Seq.empty[(Long, Long)].toDF("id_a", "id_b"), splits)
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(noPairs == plain)
+    // a corpus carrying its own group_id column must pass through intact
+    val withGid = Seq((1L, 7L), (2L, 8L)).toDF("doc_id", "group_id")
+    val kept = Sampling.leakProofSplit(withGid, "doc_id", pairs, splits)
+      .select("doc_id", "group_id").as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 7L, 2L -> 8L))
+    // pre-existing output columns fail loudly instead of being clobbered
+    intercept[IllegalArgumentException] {
+      Sampling.leakProofSplit(Seq((1L, "x")).toDF("doc_id", "split"),
+        "doc_id", pairs, splits)
+    }
   }
 
   test("chunk: windows cover every token exactly once modulo overlap") {

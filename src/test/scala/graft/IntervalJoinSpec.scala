@@ -57,6 +57,17 @@ class IntervalJoinSpec extends SparkSuite {
     assert(empty.count() == 0)
   }
 
+  test("open-ended sentinel interval raises a pointed error, not an OOM") {
+    val rows = Seq((1, 1L, 0L, Long.MaxValue), (1, 2L, 5L, 9L))
+    val e = intercept[Exception] {
+      IntervalJoin.selfOverlapPairs(
+        rows.toDF("k", "id", "s", "e"), "k", "id", "s", "e", bucketSize = 64)
+        .collect()
+    }
+    assert(e.getMessage.contains("raise bucketSize"),
+      s"expected the fan-out guard, got: ${e.getMessage}")
+  }
+
   test("credit-bucket dedup: one row per pair even at bucketSize 1") {
     val rows = Seq((1, 1L, 0L, 99L), (1, 2L, 0L, 99L)) // 100 shared buckets
     val got = IntervalJoin.selfOverlapPairs(

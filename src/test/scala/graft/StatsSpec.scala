@@ -82,6 +82,40 @@ class StatsSpec extends SparkSuite {
       s"disagree: spark-only=${got -- expected} local-only=${expected -- got}")
   }
 
+  test("outliers: near-constant groups (variance rounds to <= 0) yield no flags") {
+    // exact decimal sums, but the DOUBLE n·Σx² − (Σx)² cancels
+    // catastrophically at 1e9 magnitude: the first group rounds to
+    // -2048 (sqrt → NaN — under Spark's NaN-is-largest ordering every
+    // row would flag without the varN > 0 guard), the second to
+    // exactly 0 (z → ±Inf, same failure)
+    val nanGroup = Seq(999999999.9001, 999999999.9003, 999999999.9, 999999999.9001)
+    val infGroup = Seq(9999999999.0002, 9999999999.0003, 9999999999.0001, 9999999999.0002)
+    val df = (nanGroup.map(("nan", _)) ++ infGroup.map(("inf", _)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    assert(Stats.outliers(df, Seq("g"), "v", k = 0.0001).count() == 0,
+      "degenerate variance must suppress flags, not flag everything")
+  }
+
+  test("outliers: values outside the decimal(14,4) domain raise loudly") {
+    val df = Seq((1L, "g", 1.0), (2L, "g", 5e10), (3L, "g", 2.0))
+      .toDF("id", "g", "v")
+    val e = intercept[Exception] {
+      Stats.outliers(df, Seq("g"), "v").collect()
+    }
+    assert(e.getMessage.contains("decimal(14,4)"),
+      s"expected the overflow guard, got: ${e.getMessage}")
+  }
+
+  test("outliers: NULL group keys form a group whose extremes still flag") {
+    val df = (Seq.tabulate(50)(i => (i.toLong, None: Option[String], 1.0 + i * 0.001)) :+
+      ((999L, None: Option[String], 500.0))) ++ Seq((1000L, Some("g"), 1.0), (1001L, Some("g"), 2.0))
+    val got = Stats.outliers(df.toDF("id", "g", "v"), Seq("g"), "v", k = 3.0)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(999L),
+      "the null-keyed group's spike must be flagged (null-safe join)")
+  }
+
   test("outliers: constant groups and null values produce no flags") {
     val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(5.0)),
       ("g", Some(1.0)), ("g", Some(2.0)), ("g", None), ("g", Some(100.0)))
