@@ -2249,6 +2249,31 @@ object Queries {
       |          / sqrt(dn * dsxx - dsx * dsx)) > 3.0
       |ORDER BY event_id""".stripMargin
 
+  /** Top-k per group WITHOUT a window sort ([[TopKAgg]]): the native
+    * bounded-buffer aggregate ships k pairs per group through the
+    * shuffle where `row_number() OVER (...)` ships every row into a
+    * per-group sort. Oracle: exactly that window, replayed in DuckDB —
+    * same (value DESC, id ASC) order, so agreement proves the
+    * aggregation tree discards precisely the rows the sort would.
+    */
+  def topkPrices(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(TopKAgg.topK(col("o_totalprice"), col("o_orderkey"), 5).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+        col("p.val").as("price"), col("p.id").as("o_orderkey"))
+      .orderBy("o_orderpriority", "rnk")
+
+  val topkPricesSql: String =
+    """SELECT o_orderpriority, rnk, price, o_orderkey FROM (
+      |  SELECT o_orderpriority,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+      |    o_totalprice AS price, o_orderkey
+      |  FROM orders)
+      |WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2325,7 +2350,8 @@ object Queries {
     "q72_regression" -> regressionPriceQty _,
     "q73_interval_join" -> intervalOverlap _,
     "q74_leakproof_split" -> leakproofSplit _,
-    "q75_group_outliers" -> groupOutliers _)
+    "q75_group_outliers" -> groupOutliers _,
+    "q76_topk_agg" -> topkPrices _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2401,5 +2427,6 @@ object Queries {
     "q72_regression" -> regressionPriceQtySql,
     "q73_interval_join" -> intervalOverlapSql,
     "q74_leakproof_split" -> leakproofSplitSql,
-    "q75_group_outliers" -> groupOutliersSql)
+    "q75_group_outliers" -> groupOutliersSql,
+    "q76_topk_agg" -> topkPricesSql)
 }

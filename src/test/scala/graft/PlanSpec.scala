@@ -180,6 +180,13 @@ class PlanSpec extends SparkSuite {
       s"lineitem scan not pruned to the 5 used columns:\n$p")
   }
 
+  test("q76 top-k aggregate: no WindowExec, partial buffers map-side combined") {
+    val p = plan("q76_topk_agg")
+    assert(!p.contains("Window"), s"top-k agg must not fall back to a window sort:\n$p")
+    assert(p.contains("partial_graft_top_k"),
+      s"top-k buffers are not combined before the exchange:\n$p")
+  }
+
   test("q75 outliers: two-pass scan, moments map-side combined") {
     val p = plan("q75_group_outliers")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
