@@ -2274,6 +2274,70 @@ object Queries {
       |  FROM orders)
       |WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""".stripMargin
 
+  /** Two-level HLL rollup ([[Sketches.hllMerge]]): per-(type, day)
+    * states merged down to per-type, estimated, and compared against
+    * the direct single-pass state — `merge_exact` is TRUE because
+    * register max is associative, which is the whole point of keeping
+    * daily sketches at 100 TB (arbitrary-range distincts with no
+    * rescan). The oracle replays the LONG route (daily → merge →
+    * estimate), so both engines prove the rollup path end-to-end.
+    */
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("user_id"),
+      expr("ts div 86400000000000").as("day"))
+    val daily = Sketches.hllState(ev, "user_id", Seq("event_type", "day"))
+    val merged = Sketches.hllRawEstimate(
+      Sketches.hllMerge(daily, Seq("event_type")), Seq("event_type"))
+    val direct = Sketches.hllRawEstimate(
+        Sketches.hllState(ev, "user_id", Seq("event_type")), Seq("event_type"))
+      .select(col("event_type"), col("raw_est").as("direct_est"))
+    val exact = ev.groupBy("event_type").agg(
+      countDistinct(col("day")).as("n_days"),
+      countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, Seq("event_type")).join(direct, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        col("buckets_hit"),
+        (floor(col("raw_est") * 1e4) / 1e4).as("hll_raw_est"),
+        (col("raw_est") === col("direct_est")).as("merge_exact"))
+      .orderBy("event_type")
+  }
+
+  val hllRollupSql: String = {
+    val h = duckHash60("", "user_id")
+    s"""WITH b AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+       |    $h % 64 AS bucket,
+       |    LEAST(CASE WHEN $h // 64 = 0 THEN 55
+       |               ELSE 55 - length(bin($h // 64)) END, 40) AS rho
+       |  FROM events),
+       |daily AS (
+       |  SELECT event_type, day, bucket, MAX(rho) AS max_rho
+       |  FROM b GROUP BY 1, 2, 3),
+       |merged AS (
+       |  SELECT event_type, bucket, MAX(max_rho) AS max_rho
+       |  FROM daily GROUP BY 1, 2),
+       |e AS (
+       |  SELECT event_type, CAST(COUNT(*) AS INT) AS buckets_hit,
+       |    (0.709 * 4096.0) /
+       |      (SUM(power(2.0, -max_rho)) + (64 - COUNT(*))) AS raw_est
+       |  FROM merged GROUP BY 1),
+       |direct AS (
+       |  SELECT event_type,
+       |    (0.709 * 4096.0) /
+       |      (SUM(power(2.0, -max_rho)) + (64 - COUNT(*))) AS direct_est
+       |  FROM (SELECT event_type, bucket, MAX(rho) AS max_rho
+       |        FROM b GROUP BY 1, 2) GROUP BY 1),
+       |x AS (
+       |  SELECT event_type, COUNT(DISTINCT epoch_ns(ts) // 86400000000000) AS n_days,
+       |    COUNT(DISTINCT user_id) AS exact_users
+       |  FROM events GROUP BY 1)
+       |SELECT x.event_type, x.n_days, x.exact_users, e.buckets_hit,
+       |  floor(e.raw_est * 1e4) / 1e4 AS hll_raw_est,
+       |  e.raw_est = direct.direct_est AS merge_exact
+       |FROM x JOIN e USING (event_type) JOIN direct USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2351,7 +2415,8 @@ object Queries {
     "q73_interval_join" -> intervalOverlap _,
     "q74_leakproof_split" -> leakproofSplit _,
     "q75_group_outliers" -> groupOutliers _,
-    "q76_topk_agg" -> topkPrices _)
+    "q76_topk_agg" -> topkPrices _,
+    "q77_hll_rollup" -> hllRollup _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2428,5 +2493,6 @@ object Queries {
     "q73_interval_join" -> intervalOverlapSql,
     "q74_leakproof_split" -> leakproofSplitSql,
     "q75_group_outliers" -> groupOutliersSql,
-    "q76_topk_agg" -> topkPricesSql)
+    "q76_topk_agg" -> topkPricesSql,
+    "q77_hll_rollup" -> hllRollupSql)
 }

@@ -76,6 +76,18 @@ object Sketches {
       .agg(max(col("rho")).as("max_rho"))
   }
 
+  /** Merge [[hllState]] relations DOWN a grouping level (e.g. per-day
+    * states → per-type): register max is associative/commutative/
+    * idempotent, so rolling up pre-aggregated states gives EXACTLY the
+    * state a direct pass over the raw data would — the property that
+    * lets a 100 TB pipeline keep tiny daily sketches and answer
+    * arbitrary-range distinct questions without ever rescanning.
+    * `groupCols` are the columns to KEEP; dropped ones are merged over.
+    */
+  def hllMerge(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("max_rho")).as("max_rho"))
+
   /** Raw (uncorrected) HLL estimate per group from [[hllState]] output:
     * alpha_64 · m² / Σ 2^-M[j], empty registers contributing 2^0. The
     * constant 0.709 is Flajolet et al.'s alpha_64; ·4096 is an exact

@@ -37,6 +37,19 @@ class SketchesSpec extends SparkSuite {
       direct.orderBy("bucket").collect().toSeq)
   }
 
+  test("hllMerge rolls a grouping level up to exactly the direct state") {
+    import org.apache.spark.sql.functions.col
+    // per-(g, day) states merged over day == the one-pass per-g state
+    val rows = (1 to 4000).map(i => (s"g${i % 3}", i % 17, s"key_${i % 900}"))
+      .toDF("g", "day", "k")
+    val rolled = Sketches.hllMerge(
+        Sketches.hllState(rows, "k", Seq("g", "day")), Seq("g"))
+      .orderBy("g", "bucket").collect().toSeq
+    val direct = Sketches.hllState(rows.select(col("g"), col("k")), "k", Seq("g"))
+      .orderBy("g", "bucket").collect().toSeq
+    assert(rolled == direct)
+  }
+
   test("HLL state is partitioning-independent") {
     val st1 = Sketches.hllState(keys.repartition(1), "k").orderBy("bucket").collect().toSeq
     val st7 = Sketches.hllState(keys.repartition(7), "k").orderBy("bucket").collect().toSeq
