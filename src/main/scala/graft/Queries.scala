@@ -2338,6 +2338,42 @@ object Queries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** ROBUST (median/MAD) per-group outliers ([[Stats.robustOutliers]]):
+    * the heavy-tail-safe twin of q75 — the 3σ mean/stddev detector's
+    * own statistics are dragged by the extremes it hunts; the median
+    * and MAD are not. Both median stages run on exact integers (2
+    * fixed decimals × 100, deviations doubled), so the interpolated
+    * percentile is exact rational arithmetic in both engines and the
+    * flag set hash-matches.
+    */
+  def robustOutliersEvents(s: SparkSession, dir: String): DataFrame =
+    Stats.robustOutliers(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", k = 3.0, decimals = 2)
+      .orderBy("event_id")
+
+  val robustOutliersEventsSql: String =
+    """WITH sv AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(CAST(value AS DECIMAL(19,4)) * 100 AS BIGINT) AS sv
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, quantile_cont(sv, 0.5) * 2 AS med2
+      |  FROM sv GROUP BY 1),
+      |dev AS (
+      |  SELECT sv.event_id, sv.event_type, sv.value,
+      |    abs(sv.sv * 2 - med.med2) AS d2
+      |  FROM sv JOIN med ON sv.event_type IS NOT DISTINCT FROM med.event_type),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(d2, 0.5) * 2 AS mad4
+      |  FROM dev GROUP BY 1)
+      |SELECT dev.event_type, event_id, value,
+      |  floor((d2 / 2.0 / 100) / (1.4826 * (mad4 / 4.0) / 100) * 1e6) / 1e6 AS robust_z
+      |FROM dev JOIN mad ON dev.event_type IS NOT DISTINCT FROM mad.event_type
+      |WHERE mad4 > 0
+      |  AND (d2 / 2.0 / 100) / (1.4826 * (mad4 / 4.0) / 100) > 3.0
+      |ORDER BY event_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2416,7 +2452,8 @@ object Queries {
     "q74_leakproof_split" -> leakproofSplit _,
     "q75_group_outliers" -> groupOutliers _,
     "q76_topk_agg" -> topkPrices _,
-    "q77_hll_rollup" -> hllRollup _)
+    "q77_hll_rollup" -> hllRollup _,
+    "q78_robust_outliers" -> robustOutliersEvents _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2494,5 +2531,6 @@ object Queries {
     "q74_leakproof_split" -> leakproofSplitSql,
     "q75_group_outliers" -> groupOutliersSql,
     "q76_topk_agg" -> topkPricesSql,
-    "q77_hll_rollup" -> hllRollupSql)
+    "q77_hll_rollup" -> hllRollupSql,
+    "q78_robust_outliers" -> robustOutliersEventsSql)
 }

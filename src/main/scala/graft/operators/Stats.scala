@@ -138,4 +138,67 @@ object Stats {
       .drop(groupCols.map(c => s"__g_$c") ++
         Seq("__n", "__sx", "__sxx", "__minx", "__maxx"): _*)
   }
+
+  /** ROBUST per-group outliers: |value − median| > k · 1.4826 · MAD
+    * (median absolute deviation), the detector that survives the
+    * heavy-tailed distributions where [[outliers]]'s mean/σ are
+    * themselves dragged by the extremes. Two exact medians per group
+    * (Spark's exact `percentile`), each one aggregation.
+    *
+    * Exactness across engines: inputs are fixed-point with `decimals`
+    * places, so scaling by 10^decimals makes every value an integer;
+    * a median of integers is k or k + 0.5, and |2·x − 2·median| is an
+    * integer again — so BOTH median stages run on integers, every
+    * intermediate is an exact small double, and the final flag
+    * comparison is the same IEEE sequence in Spark and the DuckDB
+    * replay (the continuous-percentile interpolation lo + (hi−lo)·0.5
+    * is exact rational arithmetic on integers in any engine).
+    * Values that overflow the scaled decimal domain raise (try_cast
+    * guard as in [[outliers]]); groups with MAD = 0 (a majority at the
+    * median) yield no flags rather than dividing by zero.
+    *
+    * 100 TB posture: two aggregation passes (exact percentile sorts
+    * WITHIN the aggregation buffer per group, no global sort) + two
+    * narrow joins of groups-sized tables that AQE broadcasts. Use
+    * [[Sketches.histQuantiles]] when approximate quantiles are
+    * acceptable and one pass matters more.
+    */
+  def robustOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 3.0,
+      decimals: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(decimals >= 0 && decimals <= 4, "decimals in [0, 4]")
+    val scale = math.pow(10, decimals).toLong
+    val raw = col(valueCol)
+    val sv = coalesce((raw.try_cast("decimal(14,4)") * scale).try_cast("long"),
+      when(raw.isNotNull, raise_error(concat(
+        lit(s"Stats.robustOutliers: $valueCol value "), raw.cast("string"),
+        lit(s" overflows the decimal(14,4) domain; rescale first")))
+        .cast("long"))).as("__sv")
+    val base = df.withColumn("__sv", sv)
+    def gjoin(left: DataFrame, right: DataFrame): DataFrame = {
+      val r = groupCols.foldLeft(right)((d, c) =>
+        d.withColumnRenamed(c, s"__g_$c"))
+      val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+      groupCols.foldLeft(left.join(r, cond))((d, c) => d.drop(s"__g_$c"))
+    }
+    // stage 1: 2·median as an exact integer-valued double
+    val med = base.groupBy(groupCols.map(col): _*)
+      .agg((expr("percentile(__sv, 0.5)") * 2).as("__med2"))
+    // stage 2: 4·MAD from the integer deviations |2·x − 2·median|
+    val dev = gjoin(base, med)
+      .withColumn("__d2", abs(col("__sv") * 2 - col("__med2")))
+    val mad = dev.groupBy(groupCols.map(col): _*)
+      .agg((expr("percentile(__d2, 0.5)") * 2).as("__mad4"))
+    val sigma = lit(1.4826) * (col("__mad4") / 4.0) / scale
+    val rz = (col("__d2") / 2.0 / scale) / sigma
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
+    gjoin(dev, mad)
+      .where(col("__mad4") > 0 && rz > lit(k))
+      .withColumn("robust_z", trunc6(rz))
+      .drop("__sv", "__d2", "__med2", "__mad4")
+  }
 }

@@ -116,6 +116,29 @@ class StatsSpec extends SparkSuite {
       "the null-keyed group's spike must be flagged (null-safe join)")
   }
 
+  test("robustOutliers: flags the spike a dragged mean/sigma would soften") {
+    // 3 extreme values drag sigma so hard that the z-score detector's
+    // threshold inflates; the median/MAD detector still flags exactly
+    // the extremes and nothing else
+    val body = Seq.tabulate(200)(i => (i.toLong, "g", 10.0 + (i % 9) * 0.25))
+    val spikes = Seq((900L, "g", 500.0), (901L, "g", 520.0), (902L, "g", -480.0))
+    val df = (body ++ spikes).toDF("id", "g", "v")
+    val robust = Stats.robustOutliers(df, Seq("g"), "v", k = 3.0)
+      .select("id").as[Long].collect().toSet
+    assert(robust == Set(900L, 901L, 902L), s"got $robust")
+    // determinism: identical flags on a different partitioning
+    val again = Stats.robustOutliers(df.repartition(7), Seq("g"), "v", k = 3.0)
+      .select("id").as[Long].collect().toSet
+    assert(again == robust)
+  }
+
+  test("robustOutliers: MAD = 0 (majority at the median) yields no flags") {
+    val df = (Seq.fill(20)(5.0) ++ Seq(9.0, 1.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "g", "v")
+    assert(Stats.robustOutliers(df, Seq("g"), "v", k = 0.5).count() == 0,
+      "zero MAD must suppress flags, not divide by zero")
+  }
+
   test("outliers: constant groups and null values produce no flags") {
     val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(5.0)),
       ("g", Some(1.0)), ("g", Some(2.0)), ("g", None), ("g", Some(100.0)))
