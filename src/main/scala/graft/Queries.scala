@@ -1718,6 +1718,21 @@ object Queries {
   private def duckHash60(salt: String, e: String): String =
     s"CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1), '$salt', CAST($e AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)"
 
+  /** DuckDB twin of [[Sketches]]' rho: 1 + leading zeros of the 54
+    * post-bucket bits, capped at 40 — ONE source of truth for every
+    * HLL oracle (q61, q77); a drift between copies would silently
+    * stale one oracle. `h` must be a [[duckHash60]] expression.
+    */
+  private def duckHllRho(h: String): String =
+    s"""LEAST(CASE WHEN $h // 64 = 0 THEN 55
+       |           ELSE 55 - length(bin($h // 64)) END, 40)""".stripMargin
+
+  /** DuckDB twin of [[Sketches.hllRawEstimate]]'s formula over a
+    * (bucket, max_rho) relation: alpha_64 · m² / Σ 2^-rho with empty
+    * registers contributing 2^0. */
+  private def duckHllEstimate: String =
+    "(0.709 * 4096.0) / (SUM(power(2.0, -max_rho)) + (64 - COUNT(*)))"
+
   /** HyperLogLog distinct order keys per return flag
     * ([[Sketches.hllState]] over lineitem, ~11k distinct keys per
     * group): the mergeable one-pass sketch a 100 TB profiler uses
@@ -1745,14 +1760,13 @@ object Queries {
     val h = duckHash60("", "l_orderkey")
     s"""WITH b AS (
        |  SELECT l_returnflag, $h % 64 AS bucket,
-       |    LEAST(CASE WHEN $h // 64 = 0 THEN 55
-       |               ELSE 55 - length(bin($h // 64)) END, 40) AS rho
+       |    ${duckHllRho(h)} AS rho
        |  FROM lineitem),
        |st AS (
        |  SELECT l_returnflag, bucket, MAX(rho) AS max_rho FROM b GROUP BY 1, 2),
        |e AS (
        |  SELECT l_returnflag, CAST(COUNT(*) AS INT) AS buckets_hit,
-       |    (0.709 * 4096.0) / (SUM(power(2.0, -max_rho)) + (64 - COUNT(*))) AS raw_est
+       |    $duckHllEstimate AS raw_est
        |  FROM st GROUP BY 1),
        |x AS (
        |  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_keys
@@ -2307,8 +2321,7 @@ object Queries {
     s"""WITH b AS (
        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
        |    $h % 64 AS bucket,
-       |    LEAST(CASE WHEN $h // 64 = 0 THEN 55
-       |               ELSE 55 - length(bin($h // 64)) END, 40) AS rho
+       |    ${duckHllRho(h)} AS rho
        |  FROM events),
        |daily AS (
        |  SELECT event_type, day, bucket, MAX(rho) AS max_rho
@@ -2318,13 +2331,11 @@ object Queries {
        |  FROM daily GROUP BY 1, 2),
        |e AS (
        |  SELECT event_type, CAST(COUNT(*) AS INT) AS buckets_hit,
-       |    (0.709 * 4096.0) /
-       |      (SUM(power(2.0, -max_rho)) + (64 - COUNT(*))) AS raw_est
+       |    $duckHllEstimate AS raw_est
        |  FROM merged GROUP BY 1),
        |direct AS (
        |  SELECT event_type,
-       |    (0.709 * 4096.0) /
-       |      (SUM(power(2.0, -max_rho)) + (64 - COUNT(*))) AS direct_est
+       |    $duckHllEstimate AS direct_est
        |  FROM (SELECT event_type, bucket, MAX(rho) AS max_rho
        |        FROM b GROUP BY 1, 2) GROUP BY 1),
        |x AS (

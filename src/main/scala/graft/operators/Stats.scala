@@ -120,23 +120,30 @@ object Stats {
       .agg(count(x).as("__n"), // count(x): null values join no moment
         sum(x).as("__sx"), sum(x * x).as("__sxx"),
         min(x).as("__minx"), max(x).as("__maxx"))
-    // null-safe equi-join on renamed keys: NULL group keys must match
-    // their own sums row (a plain equi-join silently drops the whole
-    // null group), and renaming sidesteps self-join ambiguity
-    val sumsR = groupCols.foldLeft(sums)((d, c) =>
-      d.withColumnRenamed(c, s"__g_$c"))
-    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
     val n = col("__n").cast("double")
     val (sx, sxx) = (col("__sx").cast("double"), col("__sxx").cast("double"))
     val varN = n * sxx - sx * sx
     val z = (n * x.cast("double") - sx) / sqrt(varN)
     def trunc6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
-    df.join(sumsR, cond)
+    nullSafeGroupJoin(df, sums, groupCols)
       .where(col("__minx") =!= col("__maxx") && varN > lit(0.0) &&
         abs(z) > lit(k))
       .withColumn("z", trunc6(z))
-      .drop(groupCols.map(c => s"__g_$c") ++
-        Seq("__n", "__sx", "__sxx", "__minx", "__maxx"): _*)
+      .drop("__n", "__sx", "__sxx", "__minx", "__maxx")
+  }
+
+  /** Null-safe equi-join of a groups-sized `right` back onto `left`:
+    * NULL group keys must match their own aggregate row (a plain
+    * equi-join silently drops the whole null group), and renaming the
+    * right side's keys to `__g_*` sidesteps self-join ambiguity. The
+    * `__g_*` columns are dropped from the result.
+    */
+  private def nullSafeGroupJoin(
+      left: DataFrame, right: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val r = groupCols.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"__g_$c"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    groupCols.foldLeft(left.join(r, cond))((d, c) => d.drop(s"__g_$c"))
   }
 
   /** ROBUST per-group outliers: |value − median| > k · 1.4826 · MAD
@@ -153,9 +160,14 @@ object Stats {
     * comparison is the same IEEE sequence in Spark and the DuckDB
     * replay (the continuous-percentile interpolation lo + (hi−lo)·0.5
     * is exact rational arithmetic on integers in any engine).
-    * Values that overflow the scaled decimal domain raise (try_cast
-    * guard as in [[outliers]]); groups with MAD = 0 (a majority at the
-    * median) yield no flags rather than dividing by zero.
+    * The fixed-point contract is ENFORCED, not assumed: a value with
+    * more than `decimals` fractional places raises (engines disagree
+    * on sub-precision — Spark's decimal→long cast truncates where
+    * DuckDB's rounds, so silently accepting such input would produce
+    * engine-dependent flag sets). Values that overflow the scaled
+    * decimal domain raise too (try_cast guard as in [[outliers]]);
+    * groups with MAD = 0 (a majority at the median) yield no flags
+    * rather than dividing by zero.
     *
     * 100 TB posture: two aggregation passes (exact percentile sorts
     * WITHIN the aggregation buffer per group, no global sort) + two
@@ -173,30 +185,30 @@ object Stats {
     require(decimals >= 0 && decimals <= 4, "decimals in [0, 4]")
     val scale = math.pow(10, decimals).toLong
     val raw = col(valueCol)
-    val sv = coalesce((raw.try_cast("decimal(14,4)") * scale).try_cast("long"),
+    val scaled = raw.try_cast("decimal(14,4)") * scale
+    val sv = coalesce(
+      // sub-precision check: the scaled value must already BE an
+      // integer — truncate-vs-round divergence between engines makes
+      // silently accepting finer input an oracle-splitting bug
+      when(scaled === floor(scaled), scaled.try_cast("long")),
       when(raw.isNotNull, raise_error(concat(
         lit(s"Stats.robustOutliers: $valueCol value "), raw.cast("string"),
-        lit(s" overflows the decimal(14,4) domain; rescale first")))
+        lit(s" is not fixed-point with $decimals decimal places, or " +
+          "overflows the decimal(14,4) domain; rescale first")))
         .cast("long"))).as("__sv")
     val base = df.withColumn("__sv", sv)
-    def gjoin(left: DataFrame, right: DataFrame): DataFrame = {
-      val r = groupCols.foldLeft(right)((d, c) =>
-        d.withColumnRenamed(c, s"__g_$c"))
-      val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
-      groupCols.foldLeft(left.join(r, cond))((d, c) => d.drop(s"__g_$c"))
-    }
     // stage 1: 2·median as an exact integer-valued double
     val med = base.groupBy(groupCols.map(col): _*)
       .agg((expr("percentile(__sv, 0.5)") * 2).as("__med2"))
     // stage 2: 4·MAD from the integer deviations |2·x − 2·median|
-    val dev = gjoin(base, med)
+    val dev = nullSafeGroupJoin(base, med, groupCols)
       .withColumn("__d2", abs(col("__sv") * 2 - col("__med2")))
     val mad = dev.groupBy(groupCols.map(col): _*)
       .agg((expr("percentile(__d2, 0.5)") * 2).as("__mad4"))
     val sigma = lit(1.4826) * (col("__mad4") / 4.0) / scale
     val rz = (col("__d2") / 2.0 / scale) / sigma
     def trunc6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
-    gjoin(dev, mad)
+    nullSafeGroupJoin(dev, mad, groupCols)
       .where(col("__mad4") > 0 && rz > lit(k))
       .withColumn("robust_z", trunc6(rz))
       .drop("__sv", "__d2", "__med2", "__mad4")

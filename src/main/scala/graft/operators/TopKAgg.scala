@@ -38,6 +38,19 @@ case class TopKAgg(
   require(k > 0 && k <= 1024, s"k must be in [1, 1024], got $k")
 
   override def children: Seq[Expression] = Seq(valueExpr, idExpr)
+  // typed construction ([[TopKAgg.topK]]) casts to (double, bigint) at
+  // plan time; checkInputDataTypes rejects a raw-Expression caller's
+  // mismatch at analysis instead of a mid-job executor ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (valueExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"value must be double (cast first), got ${valueExpr.dataType.sql}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"id must be bigint (cast first), got ${idExpr.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("val", DoubleType), StructField("id", LongType))),
@@ -114,10 +127,20 @@ object TopKAgg {
     val ids = new Array[Long](k)
     var n = 0
 
-    private def better(v1: Double, id1: Long, v2: Double, id2: Long): Boolean =
-      v1 > v2 || (v1 == v2 && id1 < id2)
+    // TOTAL order via Double.compare — NaN sorts largest (matching
+    // both Spark's and DuckDB's DESC ordering, so the window-replay
+    // oracle agrees) instead of poisoning the buffer (IEEE > is false
+    // in both directions for NaN, which would wedge a NaN in the last
+    // slot and reject every later value, order-dependently)
+    private def better(v1: Double, id1: Long, v2: Double, id2: Long): Boolean = {
+      val c = java.lang.Double.compare(v1, v2)
+      c > 0 || (c == 0 && id1 < id2)
+    }
 
-    def insert(v: Double, id: Long): Unit = {
+    def insert(v0: Double, id: Long): Unit = {
+      // normalize -0.0 → +0.0: Double.compare splits the two, but SQL
+      // ordering (both engines) treats them equal and falls to the id
+      val v = if (v0 == 0.0) 0.0 else v0
       if (n == k) {
         if (!better(v, id, vs(n - 1), ids(n - 1))) return
         vs(n - 1) = v; ids(n - 1) = id
@@ -133,8 +156,12 @@ object TopKAgg {
     }
   }
 
-  /** Column form usable in `groupBy(...).agg`. */
+  /** Column form usable in `groupBy(...).agg`. Int/decimal value and
+    * int id columns are cast at plan time (Catalyst folds away the
+    * no-op double→double / long→long casts).
+    */
   def topK(value: Column, id: Column, k: Int): Column =
-    Bridge.column(TopKAgg(Bridge.expression(value), Bridge.expression(id), k)
-      .toAggregateExpression())
+    Bridge.column(TopKAgg(
+      Bridge.expression(value.cast("double")),
+      Bridge.expression(id.cast("long")), k).toAggregateExpression())
 }

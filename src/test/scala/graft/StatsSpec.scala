@@ -132,6 +132,21 @@ class StatsSpec extends SparkSuite {
     assert(again == robust)
   }
 
+  test("robustOutliers: sub-precision input raises (engines round differently)") {
+    // 1.235 at decimals=2: Spark's decimal->long cast would truncate
+    // to 123 where DuckDB rounds to 124 — the contract guard must
+    // refuse rather than let the two engines diverge silently
+    val df = Seq((1L, "g", 1.23), (2L, "g", 1.235), (3L, "g", 9.0))
+      .toDF("id", "g", "v")
+    val e = intercept[Exception] {
+      Stats.robustOutliers(df, Seq("g"), "v", decimals = 2).collect()
+    }
+    assert(e.getMessage.contains("fixed-point"),
+      s"expected the precision guard, got: ${e.getMessage}")
+    // the same data IS fixed-point at decimals=3 — no raise
+    assert(Stats.robustOutliers(df, Seq("g"), "v", decimals = 3).count() >= 0)
+  }
+
   test("robustOutliers: MAD = 0 (majority at the median) yields no flags") {
     val df = (Seq.fill(20)(5.0) ++ Seq(9.0, 1.0)).zipWithIndex
       .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "g", "v")

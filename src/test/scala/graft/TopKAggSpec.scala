@@ -50,6 +50,27 @@ class TopKAggSpec extends SparkSuite {
       "null value or null id rows must not participate")
   }
 
+  test("NaN sorts largest (window-oracle parity), never wedges the buffer") {
+    val rows = Seq(("g", 5.0, 1L), ("g", Double.NaN, 2L), ("g", 7.0, 3L),
+      ("g", 9.0, 4L), ("g", 100.0, 5L))
+    val got = rows.toDF("g", "v", "id").repartition(2)
+      .groupBy("g").agg(TopKAgg.topK(col("v"), col("id"), 3).as("top"))
+      .as[(String, Seq[(Double, Long)])].head()._2
+    // Spark/DuckDB ORDER BY v DESC put NaN first; 100 and 9 follow —
+    // the IEEE `>` buffer would have kept 5.0 and dropped 100.0
+    assert(got.map(_._2) == Seq(2L, 5L, 4L))
+    assert(got.head._1.isNaN)
+  }
+
+  test("integer value/id columns implicitly cast at plan time") {
+    val rows = Seq((1, 10, 7), (1, 30, 8), (1, 20, 9))
+    val got = rows.toDF("g", "v", "id")
+      .groupBy("g").agg(TopKAgg.topK(col("v"), col("id"), 2).as("top"))
+      .as[(Int, Seq[(Double, Long)])].head()._2
+    assert(got == Seq((30.0, 8L), (20.0, 9L)),
+      "int columns must cast, not ClassCastException mid-job")
+  }
+
   test("k is a bounded plan-time literal") {
     intercept[IllegalArgumentException] {
       TopKAgg.topK(col("v"), col("id"), 0)
