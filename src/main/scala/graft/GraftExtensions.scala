@@ -43,7 +43,16 @@ object GraftExtensions {
       (es: Seq[Expression]) => Shingles(es(0), intLit(es(1), "shingle size"))),
     ("graft_hamming_assign",
       "graft_hamming_assign(features, centers) - struct(prediction, min_dist) of nearest center",
-      (es: Seq[Expression]) => HammingAssign(es(0), es(1))))
+      (es: Seq[Expression]) => HammingAssign(es(0), es(1))),
+    // native AGGREGATES resolve through the same registry: the analyzer
+    // wraps a bare AggregateFunction into AggregateExpression(Complete)
+    ("graft_mode_array",
+      "graft_mode_array(features) - per-slot mode of array<string> rows (count DESC, value ASC ties)",
+      (es: Seq[Expression]) => graft.operators.ModeArrayAgg(es(0))),
+    ("graft_top_k",
+      "graft_top_k(value, id, k) - k largest (value, id) pairs, value DESC / id ASC; cast args to (double, bigint)",
+      (es: Seq[Expression]) =>
+        graft.operators.TopKAgg(es(0), es(1), intLit(es(2), "k"))))
 
   /** Imperative registration on an existing session. Idempotent AND
     * quiet: already-registered names are skipped, so re-registration

@@ -164,6 +164,20 @@ class FunctionsSpec extends SparkSuite {
     assert(r.getInt(3) == 0)
   }
 
+  test("SQL surface: native aggregates graft_top_k / graft_mode_array") {
+    GraftExtensions.register(spark)
+    Seq((1, 5.0, 10L, Seq("a", "x")), (1, 9.0, 11L, Seq("a", "y")),
+      (1, 7.0, 12L, Seq("b", "y")), (2, 1.0, 13L, Seq("c", "z")))
+      .toDF("g", "v", "id", "f").createOrReplaceTempView("agg_probe")
+    val rows = spark.sql(
+      """SELECT g, graft_top_k(CAST(v AS DOUBLE), CAST(id AS BIGINT), 2) AS top,
+        |  graft_mode_array(f) AS m
+        |FROM agg_probe GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(11L, 12L))
+    assert(rows(0).getSeq[String](2) == Seq("a", "y"))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(13L))
+  }
+
   test("native ModeArrayAgg agrees with the typed-Aggregator form, grouped") {
     val rows = (0 until 500).map { i =>
       (i % 7, Seq(s"v${i % 3}", s"w${i % 5}", if (i % 11 == 0) null else "x"))
