@@ -2385,6 +2385,41 @@ object Queries {
       |  AND (d2 / 2.0 / 100) / (1.4826 * (mad4 / 4.0) / 100) > 3.0
       |ORDER BY event_id""".stripMargin
 
+  /** Tolerance-bounded + forward as-of joins ([[AsOfJoin]] with
+    * `tolerance` / [[AsOfJoin.nextAsOf]]): each click's last view
+    * within the preceding 5 minutes AND its next view within the
+    * following 5 minutes — pandas merge_asof's tolerance/direction
+    * surface. All comparisons run on the micros-truncated timeline on
+    * BOTH engines (ordering by raw nanos would tie-break differently).
+    */
+  def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val tolMicros = 300000000L // 5 min
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    val clicks = ev.where(col("event_type") === "click")
+    val views = ev.where(col("event_type") === "view")
+    val back = AsOfJoin.latestAsOf(clicks, views, "user_id", "ts", "event_id",
+        tolerance = tolMicros)
+      .select(col("left_id").as("click_id"), col("as_of_id").as("view_before"))
+    val fwd = AsOfJoin.nextAsOf(clicks, views, "user_id", "ts", "event_id",
+        tolerance = tolMicros)
+      .select(col("left_id").as("click_id"), col("as_of_id").as("view_after"))
+    back.join(fwd, Seq("click_id")).orderBy("click_id")
+  }
+
+  val asofToleranceSql: String =
+    """SELECT c.event_id AS click_id,
+      |  (SELECT v.event_id FROM events v
+      |   WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      |     AND epoch_ns(v.ts) // 1000 <= epoch_ns(c.ts) // 1000
+      |     AND epoch_ns(c.ts) // 1000 - epoch_ns(v.ts) // 1000 <= 300000000
+      |   ORDER BY epoch_ns(v.ts) // 1000 DESC, v.event_id DESC LIMIT 1) AS view_before,
+      |  (SELECT v.event_id FROM events v
+      |   WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      |     AND epoch_ns(v.ts) // 1000 >= epoch_ns(c.ts) // 1000
+      |     AND epoch_ns(v.ts) // 1000 - epoch_ns(c.ts) // 1000 <= 300000000
+      |   ORDER BY epoch_ns(v.ts) // 1000 ASC, v.event_id ASC LIMIT 1) AS view_after
+      |FROM events c WHERE c.event_type = 'click' ORDER BY click_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2464,7 +2499,8 @@ object Queries {
     "q75_group_outliers" -> groupOutliers _,
     "q76_topk_agg" -> topkPrices _,
     "q77_hll_rollup" -> hllRollup _,
-    "q78_robust_outliers" -> robustOutliersEvents _)
+    "q78_robust_outliers" -> robustOutliersEvents _,
+    "q79_asof_tolerance" -> asofTolerance _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2543,5 +2579,6 @@ object Queries {
     "q75_group_outliers" -> groupOutliersSql,
     "q76_topk_agg" -> topkPricesSql,
     "q77_hll_rollup" -> hllRollupSql,
-    "q78_robust_outliers" -> robustOutliersEventsSql)
+    "q78_robust_outliers" -> robustOutliersEventsSql,
+    "q79_asof_tolerance" -> asofToleranceSql)
 }

@@ -26,26 +26,67 @@ object AsOfJoin {
 
   /** @param left      rows to enrich; columns (keyCol, tsCol, idCol)
     * @param right     lookup side; columns (keyCol, tsCol, idCol)
+    * @param tolerance  max allowed left.ts − right.ts in the ts unit;
+    *                   negative (the default) = unbounded lookback —
+    *                   pandas merge_asof's `tolerance`
     * @return left ids with the matched right id (null if no right row
-    *         at or before the left ts): (left_id, as_of_id)
+    *         at or before the left ts, or none within tolerance):
+    *         (left_id, as_of_id)
     */
   def latestAsOf(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       tsCol: String,
-      idCol: String): DataFrame = {
+      idCol: String,
+      tolerance: Long = -1L): DataFrame =
+    asOf(left, right, keyCol, tsCol, idCol, tolerance, forward = false)
+
+  /** FORWARD as-of: the single EARLIEST right row with `right.ts >=
+    * left.ts` per key ("next signal at or after event time" — pandas
+    * merge_asof direction='forward'). Same one-pass union+window plan,
+    * traversed in reverse time order. Determinism mirror: among
+    * equal-ts right rows the LOWEST id wins (oracle: `ORDER BY ts ASC,
+    * id ASC LIMIT 1`).
+    */
+  def nextAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      tolerance: Long = -1L): DataFrame =
+    asOf(left, right, keyCol, tsCol, idCol, tolerance, forward = true)
+
+  private def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      tolerance: Long,
+      forward: Boolean): DataFrame = {
     val l = left.select(col(keyCol).as("k"), col(tsCol).as("t"),
       col(idCol).as("id"), lit(1).as("side"))
     val r = right.select(col(keyCol).as("k"), col(tsCol).as("t"),
       col(idCol).as("id"), lit(0).as("side"))
-    val w = Window.partitionBy(col("k"))
-      .orderBy(col("t").asc, col("side").asc, col("id").asc)
+    // backward: ascending time, right-before-left at equal ts, highest
+    // equal-ts right id carried last. forward: the exact mirror.
+    val ord =
+      if (forward) Seq(col("t").desc, col("side").asc, col("id").desc)
+      else Seq(col("t").asc, col("side").asc, col("id").asc)
+    val w = Window.partitionBy(col("k")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.union(r)
-      .withColumn("as_of_id",
+    val carried = l.union(r)
+      .withColumn("__mid",
         last(when(col("side") === 0, col("id")), ignoreNulls = true).over(w))
+      .withColumn("__mts",
+        last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
       .where(col("side") === 1)
-      .select(col("id").as("left_id"), col("as_of_id"))
+    val dist = if (forward) col("__mts") - col("t") else col("t") - col("__mts")
+    val matched =
+      if (tolerance < 0) col("__mid")
+      else when(dist <= tolerance, col("__mid"))
+    carried.select(col("id").as("left_id"), matched.as("as_of_id"))
   }
 }

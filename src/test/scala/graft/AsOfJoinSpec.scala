@@ -30,4 +30,35 @@ class AsOfJoinSpec extends SparkSuite {
     val got = AsOfJoin.latestAsOf(left, right, "k", "t", "id").head
     assert(got.getLong(1) == 7L)
   }
+
+  test("tolerance: stale matches null out, in-window matches survive") {
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L)).toDF("k", "t", "id")
+    val right = Seq((1L, 90L, 1L), (1L, 120L, 2L)).toDF("k", "t", "id")
+    val got = AsOfJoin.latestAsOf(left, right, "k", "t", "id", tolerance = 20L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // 10: last right is 90, distance 10 <= 20 -> match; 11: last right
+    // is 120, distance 80 > 20 -> null even though one EXISTS before
+    assert(got == Map(10L -> Some(1L), 11L -> None))
+  }
+
+  test("nextAsOf: earliest at-or-after, lowest id at equal ts, tolerance") {
+    val left = Seq(
+      (1L, 100L, 10L), // next right at 100 (inclusive): ids 1,7,3 -> 1
+      (1L, 150L, 11L), // next right at 300, distance 150 > 100 -> null
+      (2L, 10L, 12L)   // no right row at all -> null
+    ).toDF("k", "t", "id")
+    val right = Seq(
+      (1L, 100L, 1L), (1L, 100L, 7L), (1L, 100L, 3L), (1L, 300L, 5L)
+    ).toDF("k", "t", "id")
+    val got = AsOfJoin.nextAsOf(left, right, "k", "t", "id", tolerance = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(10L -> Some(1L), 11L -> None, 12L -> None))
+    // unbounded: the distant row matches
+    val unb = AsOfJoin.nextAsOf(left, right, "k", "t", "id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(unb(11L) == Some(5L))
+  }
 }
