@@ -2420,6 +2420,53 @@ object Queries {
       |   ORDER BY epoch_ns(v.ts) // 1000 ASC, v.event_id ASC LIMIT 1) AS view_after
       |FROM events c WHERE c.event_type = 'click' ORDER BY click_id""".stripMargin
 
+  /** Two-table interval join ([[IntervalJoin.overlapJoin]]): lineitem
+    * transit windows × the parent order's opening week, keyed by order
+    * — "which shipments were in flight while the order was fresh",
+    * aggregated per order priority. Oracle: the literal two-table
+    * all-pairs overlap join.
+    */
+  def intervalJoinOrders(s: SparkSession, dir: String): DataFrame = {
+    val shipDay = datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+    val transit = t(s, dir, "lineitem")
+      .where(col("l_quantity") >= 30)
+      .select(col("l_orderkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("item_id"),
+        shipDay.as("s_day"),
+        (shipDay + col("l_quantity").cast("int")).as("e_day"))
+    val orderDay = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+    val orders = t(s, dir, "orders")
+    val opening = orders.select(col("o_orderkey").as("l_orderkey"),
+      col("o_orderkey").as("item_id"),
+      orderDay.as("s_day"), (orderDay + 6).as("e_day"))
+    val prio = orders.select(col("o_orderkey").as("l_orderkey"),
+      col("o_orderpriority"))
+    IntervalJoin.overlapJoin(transit, opening,
+        "l_orderkey", "item_id", "s_day", "e_day", bucketSize = 64)
+      .join(prio, Seq("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("overlap")).as("overlap_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  val intervalJoinOrdersSql: String =
+    """WITH tr AS (
+      |  SELECT l_orderkey,
+      |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+      |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |      + CAST(l_quantity AS INT) AS e
+      |  FROM lineitem WHERE l_quantity >= 30),
+      |op AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 6 AS e
+      |  FROM orders)
+      |SELECT op.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(least(tr.e, op.e) - greatest(tr.s, op.s) + 1) AS BIGINT) AS overlap_days
+      |FROM tr JOIN op ON tr.l_orderkey = op.o_orderkey
+      |  AND tr.s <= op.e AND op.s <= tr.e
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2500,7 +2547,8 @@ object Queries {
     "q76_topk_agg" -> topkPrices _,
     "q77_hll_rollup" -> hllRollup _,
     "q78_robust_outliers" -> robustOutliersEvents _,
-    "q79_asof_tolerance" -> asofTolerance _)
+    "q79_asof_tolerance" -> asofTolerance _,
+    "q80_interval_join2" -> intervalJoinOrders _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2580,5 +2628,6 @@ object Queries {
     "q76_topk_agg" -> topkPricesSql,
     "q77_hll_rollup" -> hllRollupSql,
     "q78_robust_outliers" -> robustOutliersEventsSql,
-    "q79_asof_tolerance" -> asofToleranceSql)
+    "q79_asof_tolerance" -> asofToleranceSql,
+    "q80_interval_join2" -> intervalJoinOrdersSql)
 }

@@ -56,11 +56,61 @@ object IntervalJoin {
       endCol: String,
       bucketSize: Long,
       maxBucketsPerInterval: Int = 4096): DataFrame = {
+    val iv = bucketize(df, keyCol, idCol, startCol, endCol,
+      bucketSize, maxBucketsPerInterval)
+    val a = iv.select(col("k"), col("bucket"), col("id").as("id_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = iv.select(col("k"), col("bucket"), col("id").as("id_b"),
+      col("s").as("s_b"), col("e").as("e_b"))
+    joinBuckets(a, b, bucketSize, selfPairs = true)
+      .select(col("k").as(keyCol), col("id_a"), col("id_b"), col("overlap"))
+  }
+
+  /** TWO-TABLE interval-overlap join: every (left, right) pair of
+    * same-key intervals that intersect — "shipments in flight during
+    * the order's opening window", "sessions overlapping an incident".
+    * Identical bucket/credit machinery to [[selfOverlapPairs]]; both
+    * inputs use the same column names.
+    *
+    * @return (keyCol, left_id, right_id, overlap)
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      idCol: String,
+      startCol: String,
+      endCol: String,
+      bucketSize: Long,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    val a = bucketize(left, keyCol, idCol, startCol, endCol,
+        bucketSize, maxBucketsPerInterval)
+      .select(col("k"), col("bucket"), col("id").as("id_a"),
+        col("s").as("s_a"), col("e").as("e_a"))
+    val b = bucketize(right, keyCol, idCol, startCol, endCol,
+        bucketSize, maxBucketsPerInterval)
+      .select(col("k"), col("bucket"), col("id").as("id_b"),
+        col("s").as("s_b"), col("e").as("e_b"))
+    joinBuckets(a, b, bucketSize, selfPairs = false)
+      .select(col("k").as(keyCol), col("id_a").as("left_id"),
+        col("id_b").as("right_id"), col("overlap"))
+  }
+
+  /** One interval per (bucket it touches): (k, bucket, id, s, e), with
+    * the fan-out guard raising on open-ended sentinel rows. */
+  private def bucketize(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      startCol: String,
+      endCol: String,
+      bucketSize: Long,
+      maxBucketsPerInterval: Int): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
     require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val bLo = expr(s"s div $bucketSize")
     val bHi = expr(s"e div $bucketSize")
-    val iv = df.select(col(keyCol).as("k"), col(idCol).as("id"),
+    df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
       .where(col("s") <= col("e"))
       .withColumn("bucket", explode(sequence(bLo,
@@ -71,18 +121,19 @@ object IntervalJoin {
               s"bucketSize=$bucketSize; raise bucketSize (or " +
               "maxBucketsPerInterval) to match the interval grain"))
           ).cast("long")))))
-    val a = iv.select(col("k"), col("bucket"), col("id").as("id_a"),
-      col("s").as("s_a"), col("e").as("e_a"))
-    val b = iv.select(col("k"), col("bucket"), col("id").as("id_b"),
-      col("s").as("s_b"), col("e").as("e_b"))
-    a.join(b, Seq("k", "bucket"))
-      .where(col("id_a") < col("id_b") &&
-        col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
-        // credit-bucket dedup: count the pair only where its overlap
-        // starts — each overlapping pair passes for exactly one bucket
+  }
+
+  /** Candidate equi-join + exact predicate + credit-bucket dedup (the
+    * pair is counted only in the bucket where its overlap starts, so no
+    * distinct exchange is ever needed). `selfPairs` adds the id_a <
+    * id_b canonicalization a self-join needs. */
+  private def joinBuckets(
+      a: DataFrame, b: DataFrame, bucketSize: Long, selfPairs: Boolean): DataFrame = {
+    val base = a.join(b, Seq("k", "bucket"))
+      .where(col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
         col("bucket") === expr(s"greatest(s_a, s_b) div $bucketSize"))
-      .select(col("k").as(keyCol), col("id_a"), col("id_b"),
-        (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")) + 1)
-          .as("overlap"))
+    (if (selfPairs) base.where(col("id_a") < col("id_b")) else base)
+      .withColumn("overlap",
+        least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")) + 1)
   }
 }

@@ -57,6 +57,26 @@ class IntervalJoinSpec extends SparkSuite {
     assert(empty.count() == 0)
   }
 
+  test("overlapJoin (two tables): matches brute force, no id canonicalization") {
+    val rnd = new scala.util.Random(9)
+    def mk(n: Int, idBase: Long) = Seq.tabulate(n) { i =>
+      val s = rnd.nextInt(120).toLong
+      (rnd.nextInt(4), idBase + i, s, s + rnd.nextInt(25))
+    }
+    val lh = mk(120, 0L); val rh = mk(80, 1000L)
+    val got = IntervalJoin.overlapJoin(
+        lh.toDF("k", "id", "s", "e"), rh.toDF("k", "id", "s", "e"),
+        "k", "id", "s", "e", bucketSize = 16)
+      .select(col("k"), col("left_id"), col("right_id"), col("overlap"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val expected = (for {
+      a <- lh; b <- rh
+      if a._1 == b._1 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, a._2, b._2,
+      math.min(a._4, b._4) - math.max(a._3, b._3) + 1)).toSet
+    assert(got == expected)
+  }
+
   test("open-ended sentinel interval raises a pointed error, not an OOM") {
     val rows = Seq((1, 1L, 0L, Long.MaxValue), (1, 2L, 5L, 9L))
     val e = intercept[Exception] {
