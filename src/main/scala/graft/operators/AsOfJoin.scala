@@ -26,9 +26,12 @@ object AsOfJoin {
 
   /** @param left      rows to enrich; columns (keyCol, tsCol, idCol)
     * @param right     lookup side; columns (keyCol, tsCol, idCol)
-    * @param tolerance  max allowed left.ts − right.ts in the ts unit;
-    *                   negative (the default) = unbounded lookback —
-    *                   pandas merge_asof's `tolerance`
+    * @param tolerance  max allowed match DISTANCE (always non-negative:
+    *                   left.ts − right.ts here, right.ts − left.ts for
+    *                   [[nextAsOf]]) in the ts unit; −1 (the default) =
+    *                   unbounded — pandas merge_asof's `tolerance`.
+    *                   Other negative values are rejected, not silently
+    *                   unbounded.
     * @return left ids with the matched right id (null if no right row
     *         at or before the left ts, or none within tolerance):
     *         (left_id, as_of_id)
@@ -66,6 +69,8 @@ object AsOfJoin {
       idCol: String,
       tolerance: Long,
       forward: Boolean): DataFrame = {
+    require(tolerance >= -1L,
+      s"tolerance is a non-negative distance (-1 = unbounded), got $tolerance")
     val l = left.select(col(keyCol).as("k"), col(tsCol).as("t"),
       col(idCol).as("id"), lit(1).as("side"))
     val r = right.select(col(keyCol).as("k"), col(tsCol).as("t"),

@@ -58,11 +58,7 @@ object IntervalJoin {
       maxBucketsPerInterval: Int = 4096): DataFrame = {
     val iv = bucketize(df, keyCol, idCol, startCol, endCol,
       bucketSize, maxBucketsPerInterval)
-    val a = iv.select(col("k"), col("bucket"), col("id").as("id_a"),
-      col("s").as("s_a"), col("e").as("e_a"))
-    val b = iv.select(col("k"), col("bucket"), col("id").as("id_b"),
-      col("s").as("s_b"), col("e").as("e_b"))
-    joinBuckets(a, b, bucketSize, selfPairs = true)
+    joinBuckets(sided(iv, "a"), sided(iv, "b"), bucketSize, selfPairs = true)
       .select(col("k").as(keyCol), col("id_a"), col("id_b"), col("overlap"))
   }
 
@@ -83,18 +79,19 @@ object IntervalJoin {
       endCol: String,
       bucketSize: Long,
       maxBucketsPerInterval: Int = 4096): DataFrame = {
-    val a = bucketize(left, keyCol, idCol, startCol, endCol,
-        bucketSize, maxBucketsPerInterval)
-      .select(col("k"), col("bucket"), col("id").as("id_a"),
-        col("s").as("s_a"), col("e").as("e_a"))
-    val b = bucketize(right, keyCol, idCol, startCol, endCol,
-        bucketSize, maxBucketsPerInterval)
-      .select(col("k"), col("bucket"), col("id").as("id_b"),
-        col("s").as("s_b"), col("e").as("e_b"))
+    val a = sided(bucketize(left, keyCol, idCol, startCol, endCol,
+      bucketSize, maxBucketsPerInterval), "a")
+    val b = sided(bucketize(right, keyCol, idCol, startCol, endCol,
+      bucketSize, maxBucketsPerInterval), "b")
     joinBuckets(a, b, bucketSize, selfPairs = false)
       .select(col("k").as(keyCol), col("id_a").as("left_id"),
         col("id_b").as("right_id"), col("overlap"))
   }
+
+  /** Suffix a bucketized relation's id/s/e for one join side. */
+  private def sided(iv: DataFrame, side: String): DataFrame =
+    iv.select(col("k"), col("bucket"), col("id").as(s"id_$side"),
+      col("s").as(s"s_$side"), col("e").as(s"e_$side"))
 
   /** One interval per (bucket it touches): (k, bucket, id, s, e), with
     * the fan-out guard raising on open-ended sentinel rows. */

@@ -77,6 +77,16 @@ class IntervalJoinSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("overlapJoin credit-bucket dedup: one row per cross pair at bucketSize 1") {
+    // both intervals span 60 shared buckets — a broken credit filter
+    // would emit the pair 60 times (a set compare could not see it)
+    val lh = Seq((1, 1L, 0L, 59L)).toDF("k", "id", "s", "e")
+    val rh = Seq((1, 2L, 10L, 70L)).toDF("k", "id", "s", "e")
+    val rows = IntervalJoin.overlapJoin(lh, rh, "k", "id", "s", "e", bucketSize = 1)
+      .collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("overlap") == 50L)
+  }
+
   test("open-ended sentinel interval raises a pointed error, not an OOM") {
     val rows = Seq((1, 1L, 0L, Long.MaxValue), (1, 2L, 5L, 9L))
     val e = intercept[Exception] {
