@@ -104,32 +104,60 @@ object Stats {
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      k: Double = 3.0): DataFrame = {
-    require(k > 0, "k must be positive")
-    val raw = col(valueCol)
-    // try_cast: identical loud-overflow behavior whether or not the
-    // session runs ANSI mode (a plain cast is silent-NULL without it)
-    val x = coalesce(raw.try_cast("decimal(14,4)"),
-      when(raw.isNotNull, raise_error(concat(
-        lit(s"Stats.outliers: $valueCol value "), raw.cast("string"),
-        lit(" overflows the decimal(14,4) moment domain (|x| < 1e10); " +
-          "rescale the column first")))
-        .cast("decimal(14,4)")))
-    val sums = df
-      .groupBy(groupCols.map(col): _*)
+      k: Double = 3.0): DataFrame =
+    flagAgainstMoments(df, moments(df, groupCols, valueCol),
+      groupCols, valueCol, k)
+
+  /** The exact-decimal per-group moment table [[outliers]] flags
+    * against: (groupCols, __n, __sx, __sxx, __minx, __maxx). Public so
+    * a PRECOMPUTED batch moment table can gate a live stream
+    * ([[graft.streaming.StreamOps.outlierGate]]) or tomorrow's batch —
+    * the flag stage then never rescans history.
+    */
+  def moments(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val x = scaledX(valueCol)
+    df.groupBy(groupCols.map(col): _*)
       .agg(count(x).as("__n"), // count(x): null values join no moment
         sum(x).as("__sx"), sum(x * x).as("__sxx"),
         min(x).as("__minx"), max(x).as("__maxx"))
+  }
+
+  /** Flag stage of [[outliers]], reusable against an EXTERNAL moments
+    * relation (stream-static or cross-batch): stateless join + narrow
+    * filter, so it runs unchanged on a streaming `df`.
+    */
+  private[graft] def flagAgainstMoments(
+      df: DataFrame,
+      moments: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    val x = scaledX(valueCol)
     val n = col("__n").cast("double")
     val (sx, sxx) = (col("__sx").cast("double"), col("__sxx").cast("double"))
     val varN = n * sxx - sx * sx
     val z = (n * x.cast("double") - sx) / sqrt(varN)
     def trunc6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
-    nullSafeGroupJoin(df, sums, groupCols)
+    nullSafeGroupJoin(df, moments, groupCols)
       .where(col("__minx") =!= col("__maxx") && varN > lit(0.0) &&
         abs(z) > lit(k))
       .withColumn("z", trunc6(z))
       .drop("__n", "__sx", "__sxx", "__minx", "__maxx")
+  }
+
+  /** Shared decimal-domain value expression: try_cast gives identical
+    * loud-overflow behavior with or without ANSI mode (a plain cast is
+    * silent-NULL without it). */
+  private def scaledX(valueCol: String) = {
+    val raw = col(valueCol)
+    coalesce(raw.try_cast("decimal(14,4)"),
+      when(raw.isNotNull, raise_error(concat(
+        lit(s"Stats.outliers: $valueCol value "), raw.cast("string"),
+        lit(" overflows the decimal(14,4) moment domain (|x| < 1e10); " +
+          "rescale the column first")))
+        .cast("decimal(14,4)")))
   }
 
   /** Null-safe equi-join of a groups-sized `right` back onto `left`:

@@ -156,6 +156,25 @@ object StreamOps {
       .select(col("new_id"), col("member_id").as("corpus_id"), col("jaccard"))
   }
 
+  /** Streaming z-score OUTLIER gate: flag live rows whose value sits
+    * more than k·σ from their group's mean, where mean/σ come from a
+    * PRECOMPUTED batch moment table ([[graft.operators.Stats.moments]]
+    * — yesterday's corpus, refreshed on whatever cadence the caller
+    * owns). Stream-static join + narrow filter: stateless, no
+    * watermark, no shuffle of the stream. The flag expression is the
+    * BATCH operator's own ([[graft.operators.Stats]] flag stage shared,
+    * not copied), so stream and batch verdicts cannot drift — the same
+    * contract as [[dedupGate]].
+    */
+  def outlierGate(
+      stream: DataFrame,
+      moments: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 3.0): DataFrame =
+    graft.operators.Stats.flagAgainstMoments(
+      stream, moments, groupCols, valueCol, k)
+
   /** Gap-based sessionization per user via `flatMapGroupsWithState`
     * (SURVEY §3.2 "stateful" row): a session closes when no event
     * arrives within `gapMs` of its last event; closed sessions are

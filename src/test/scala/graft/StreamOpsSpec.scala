@@ -209,6 +209,26 @@ class StreamOpsSpec extends SparkSuite {
     assert(!got.exists(_._1 == 2L))
   }
 
+  test("outlierGate: streaming flags equal the batch flag stage exactly") {
+    // moments from a reference corpus (two groups, one with a clear σ)
+    val corpus = (Seq.tabulate(60)(i => ("a", 10.0 + (i % 5))) ++
+      Seq.tabulate(60)(i => ("b", 100.0 + (i % 3)))).toDF("g", "v")
+    val m = graft.operators.Stats.moments(corpus, Seq("g"), "v")
+    val probes = Seq(("a", 12.0), ("a", 99.0), // calm vs spike
+      ("b", 101.0), ("b", 1.0), ("c", 5.0)) // unknown group
+    val input = MemoryStream[(String, Double)]
+    val gated = StreamOps.outlierGate(input.toDF().toDF("g", "v"),
+      m, Seq("g"), "v", k = 3.0).select("g", "v")
+    val got = runBatches(input, gated, OutputMode.Append(),
+        Seq(probes.take(2), probes.drop(2)))
+      .map(r => (r.getString(0), r.getDouble(1))).sorted
+    val want = graft.operators.Stats
+      .flagAgainstMoments(probes.toDF("g", "v"), m, Seq("g"), "v", 3.0)
+      .select("g", "v").as[(String, Double)].collect().toSeq.sorted
+    assert(want == Seq(("a", 99.0), ("b", 1.0)), s"batch fixture: $want")
+    assert(got == want, s"stream $got vs batch $want")
+  }
+
   test("hllState maintains identical registers under Structured Streaming") {
     // the mergeable-sketch claim, live: the same groupBy-max state
     // machine runs incrementally over a stream (ingest-time cardinality
