@@ -2467,6 +2467,47 @@ object Queries {
       |  AND tr.s <= op.e AND op.s <= tr.e
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cluster-quality metric on the reference's own domain: simplified
+    * (centroid) SILHOUETTE per cluster for the q12 fixed-centers
+    * assignment — s = (b − a)/b with a = distance to the assigned
+    * center, b = distance to the runner-up (b ≥ a, so max(a,b) = b).
+    * Hamming distances over 4 attributes are ints in [0,4] and every
+    * pairwise-distinct center forces b ≥ 1, so 12·s = 12 − 12a/b is an
+    * EXACT integer (b | 12); the per-cluster mean is one exact integer
+    * sum divided once — bit-identical in both engines.
+    */
+  def silhouetteFixed(s: SparkSession, dir: String): DataFrame = {
+    val cLit = typedlit(FixedCenters.map(_.toSeq).toSeq)
+    def trunc6(c: Column) = floor(c * 1e6) / 1e6
+    t(s, dir, "orders")
+      .select(Distances.hammingToCenters(orderFeatures, cLit).as("ds"))
+      .select(Distances.argminIndex(col("ds")).as("prediction"),
+        array_min(col("ds")).as("a"),
+        (aggregate(col("ds"), lit(0), (acc, x) => acc + x)
+          - array_min(col("ds")) - array_max(col("ds"))).as("b"))
+      .select(col("prediction"), expr("12 - (12 * a) div b").as("sil12"))
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("n"), sum(col("sil12")).as("__s12"))
+      .select(col("prediction"), col("n"),
+        trunc6(col("__s12").cast("double") / (lit(12.0) * col("n").cast("double")))
+          .as("avg_sil"))
+      .orderBy("prediction")
+  }
+
+  val silhouetteFixedSql: String =
+    s"""WITH d AS ($fixedCenterDistSql),
+       |s AS (
+       |  SELECT
+       |    CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+       |         WHEN d1 <= d2 THEN 1 ELSE 2 END AS prediction,
+       |    least(d0, d1, d2) AS a,
+       |    d0 + d1 + d2 - least(d0, d1, d2) - greatest(d0, d1, d2) AS b
+       |  FROM d)
+       |SELECT prediction, COUNT(*) AS n,
+       |  floor(CAST(SUM(12 - (12 * a) // b) AS DOUBLE)
+       |        / (12.0 * CAST(COUNT(*) AS DOUBLE)) * 1e6) / 1e6 AS avg_sil
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2548,7 +2589,8 @@ object Queries {
     "q77_hll_rollup" -> hllRollup _,
     "q78_robust_outliers" -> robustOutliersEvents _,
     "q79_asof_tolerance" -> asofTolerance _,
-    "q80_interval_join2" -> intervalJoinOrders _)
+    "q80_interval_join2" -> intervalJoinOrders _,
+    "q81_silhouette" -> silhouetteFixed _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2629,5 +2671,6 @@ object Queries {
     "q77_hll_rollup" -> hllRollupSql,
     "q78_robust_outliers" -> robustOutliersEventsSql,
     "q79_asof_tolerance" -> asofToleranceSql,
-    "q80_interval_join2" -> intervalJoinOrdersSql)
+    "q80_interval_join2" -> intervalJoinOrdersSql,
+    "q81_silhouette" -> silhouetteFixedSql)
 }
