@@ -93,4 +93,35 @@ class EmptyInputSpec extends SparkSuite {
     assert(Dedup.ngramContamination(docs, emptyDocs, "doc_id", "text").count() == 0)
     assert(Sampling.weightedHashSample(emptyDocs, "doc_id", lit(0.5)).count() == 0)
   }
+
+  test("round-4 operator family returns empty on empty input") {
+    val emptyIv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType), StructField("id", LongType),
+        StructField("s", LongType), StructField("e", LongType))))
+    val iv = Seq((1L, 1L, 0L, 10L)).toDF("k", "id", "s", "e")
+    assert(IntervalJoin.selfOverlapPairs(emptyIv, "k", "id", "s", "e", 64).count() == 0)
+    assert(IntervalJoin.overlapJoin(emptyIv, iv, "k", "id", "s", "e", 64).count() == 0)
+    assert(IntervalJoin.overlapJoin(iv, emptyIv, "k", "id", "s", "e", 64).count() == 0)
+    val emptyVals = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("g", StringType), StructField("v", DoubleType))))
+    assert(Stats.outliers(emptyVals, Seq("g"), "v").count() == 0)
+    assert(Stats.robustOutliers(emptyVals, Seq("g"), "v").count() == 0)
+    val emptyTs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType), StructField("t", LongType),
+        StructField("id", LongType))))
+    val ts = Seq((1L, 5L, 9L)).toDF("k", "t", "id")
+    assert(AsOfJoin.latestAsOf(emptyTs, ts, "k", "t", "id").count() == 0)
+    // empty RIGHT side: left rows survive with a null match, not dropped
+    val lone = AsOfJoin.nextAsOf(ts, emptyTs, "k", "t", "id").collect()
+    assert(lone.length == 1 && lone.head.isNullAt(1))
+    assert(Sampling.leakProofSplit(emptyDocs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10)).count() == 0)
+    val topk = iv.limit(0).groupBy("k")
+      .agg(TopKAgg.topK(col("s"), col("id"), 3).as("top"))
+    assert(topk.count() == 0)
+  }
 }
