@@ -817,7 +817,23 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  val simAnnLshSql: String = {
+  /** q24 with MULTI-PROBE on: per block the query also probes the
+    * single-plane-flip neighbor buckets (the recall dial that avoids
+    * rebuilding the index with more blocks). The oracle replays the
+    * flip set exactly, so the probe path — not just the exact-bucket
+    * path — is hash-verified.
+    */
+  def simAnnMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5, numBlocks = 8, planesPerBlock = 8, multiProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val simAnnLshSql: String = annLshSql(multiProbe = 0)
+  val simAnnMultiProbeSql: String = annLshSql(multiProbe = 2)
+
+  private def annLshSql(multiProbe: Int): String = {
     val numBlocks = 8
     val planesPerBlock = 8
     val planes = Similarity.hyperplanes(numBlocks * planesPerBlock, 64, 42L)
@@ -841,11 +857,16 @@ object Queries {
        |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.coords) >= 0
        |             THEN 1::BIGINT << p.bit ELSE 0 END) AS BIGINT) AS band_hash
        |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.block_idx),
+       |qprobe AS (
+       |  SELECT vec_id, block_idx, band_hash FROM sig WHERE vec_id < 10
+       |${(0 until multiProbe).map(r =>
+            s"  UNION ALL SELECT vec_id, block_idx, xor(band_hash, ${1L << r}) " +
+              "FROM sig WHERE vec_id < 10").mkString("\n")}),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM sig q JOIN sig c
+       |  FROM qprobe q JOIN sig c
        |    ON q.block_idx = c.block_idx AND q.band_hash = c.band_hash
-       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |  WHERE c.vec_id <> q.vec_id),
        |scored AS (
        |  SELECT cand.query_id, cand.neighbor_id,
        |    COALESCE(list_dot_product(qe.v, ce.v) /
@@ -2590,7 +2611,8 @@ object Queries {
     "q78_robust_outliers" -> robustOutliersEvents _,
     "q79_asof_tolerance" -> asofTolerance _,
     "q80_interval_join2" -> intervalJoinOrders _,
-    "q81_silhouette" -> silhouetteFixed _)
+    "q81_silhouette" -> silhouetteFixed _,
+    "q82_sim_ann_probe" -> simAnnMultiProbe _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2672,5 +2694,6 @@ object Queries {
     "q78_robust_outliers" -> robustOutliersEventsSql,
     "q79_asof_tolerance" -> asofToleranceSql,
     "q80_interval_join2" -> intervalJoinOrdersSql,
-    "q81_silhouette" -> silhouetteFixedSql)
+    "q81_silhouette" -> silhouetteFixedSql,
+    "q82_sim_ann_probe" -> simAnnMultiProbeSql)
 }
