@@ -2499,7 +2499,7 @@ object Queries {
     */
   def silhouetteFixed(s: SparkSession, dir: String): DataFrame = {
     val cLit = typedlit(FixedCenters.map(_.toSeq).toSeq)
-    def trunc6(c: Column) = floor(c * 1e6) / 1e6
+    def trunc6(c: Column) = Stats.trunc6(c)
     t(s, dir, "orders")
       .select(Distances.hammingToCenters(orderFeatures, cLit).as("ds"))
       .select(Distances.argminIndex(col("ds")).as("prediction"),

@@ -110,8 +110,15 @@ object IntervalJoin {
     df.select(col(keyCol).as("k"), col(idCol).as("id"),
         col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
       .where(col("s") <= col("e"))
+      // try_subtract: a (Long.MinValue, Long.MaxValue) double-sentinel
+      // row overflows the span subtraction — NULL here (ANSI would
+      // throw its own opaque ARITHMETIC_OVERFLOW, non-ANSI would wrap
+      // negative and slip past the guard), and NULL falls to the
+      // pointed raise below in BOTH modes
       .withColumn("bucket", explode(sequence(bLo,
-        when(bHi - bLo < maxBucketsPerInterval, bHi).otherwise(raise_error(
+        when(expr(s"try_subtract(e div $bucketSize, s div $bucketSize)")
+            < maxBucketsPerInterval, bHi)
+          .otherwise(raise_error(
           concat(lit("IntervalJoin: interval ["), col("s").cast("string"),
             lit(", "), col("e").cast("string"),
             lit(s"] spans >= $maxBucketsPerInterval buckets at " +

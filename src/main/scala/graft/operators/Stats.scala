@@ -63,7 +63,6 @@ object Stats {
     val varYN = n * syy - sy * sy
     val xVaries = col("minx") =!= col("maxx") // exact decimal compare
     val yVaries = col("miny") =!= col("maxy")
-    def trunc6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
     val slope = covN / varXN
     sums.select(
       groupCols.map(col) ++ Seq(
@@ -139,7 +138,6 @@ object Stats {
     val (sx, sxx) = (col("__sx").cast("double"), col("__sxx").cast("double"))
     val varN = n * sxx - sx * sx
     val z = (n * x.cast("double") - sx) / sqrt(varN)
-    def trunc6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
     nullSafeGroupJoin(df, moments, groupCols)
       .where(col("__minx") =!= col("__maxx") && varN > lit(0.0) &&
         abs(z) > lit(k))
@@ -160,7 +158,19 @@ object Stats {
         .cast("decimal(14,4)")))
   }
 
-  /** Null-safe equi-join of a groups-sized `right` back onto `left`:
+  /** The repo float rule's 6-decimal floor truncation — ONE definition:
+    * this is the cross-engine hash-match contract, so every operator
+    * and every oracle replay must share it.
+    */
+  private[graft] def trunc6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1e6) / 1e6
+
+  /** Null-safe equi-join of a groups-sized `right` back onto `left`.
+    * Empty `groupCols` = GLOBAL statistics: `right` is one row and the
+    * join degrades to a broadcast of that row onto every left row
+    * (whole-table outlier detection).
+    *
+    * Otherwise:
     * NULL group keys must match their own aggregate row (a plain
     * equi-join silently drops the whole null group), and renaming the
     * right side's keys to `__g_*` sidesteps self-join ambiguity. The
@@ -170,7 +180,8 @@ object Stats {
       left: DataFrame, right: DataFrame, groupCols: Seq[String]): DataFrame = {
     val r = groupCols.foldLeft(right)((d, c) =>
       d.withColumnRenamed(c, s"__g_$c"))
-    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
     groupCols.foldLeft(left.join(r, cond))((d, c) => d.drop(s"__g_$c"))
   }
 
@@ -235,7 +246,6 @@ object Stats {
       .agg((expr("percentile(__d2, 0.5)") * 2).as("__mad4"))
     val sigma = lit(1.4826) * (col("__mad4") / 4.0) / scale
     val rz = (col("__d2") / 2.0 / scale) / sigma
-    def trunc6(c: org.apache.spark.sql.Column) = floor(c * 1e6) / 1e6
     nullSafeGroupJoin(dev, mad, groupCols)
       .where(col("__mad4") > 0 && rz > lit(k))
       .withColumn("robust_z", trunc6(rz))

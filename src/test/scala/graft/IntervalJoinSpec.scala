@@ -96,6 +96,16 @@ class IntervalJoinSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("raise bucketSize"),
       s"expected the fan-out guard, got: ${e.getMessage}")
+    // double-sentinel: the span subtraction overflows Long — the guard
+    // must still fire (the wrap lands negative), not pass a garbage hi
+    val wrap = Seq((1, 1L, Long.MinValue, Long.MaxValue), (1, 2L, 5L, 9L))
+    val e2 = intercept[Exception] {
+      IntervalJoin.selfOverlapPairs(
+        wrap.toDF("k", "id", "s", "e"), "k", "id", "s", "e", bucketSize = 1)
+        .collect()
+    }
+    assert(e2.getMessage.contains("raise bucketSize"),
+      s"overflow must hit the guard, got: ${e2.getMessage}")
   }
 
   test("credit-bucket dedup: one row per pair even at bucketSize 1") {

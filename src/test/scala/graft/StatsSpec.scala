@@ -154,6 +154,16 @@ class StatsSpec extends SparkSuite {
       "zero MAD must suppress flags, not divide by zero")
   }
 
+  test("outliers: empty groupCols = global (whole-table) detection") {
+    val df = (Seq.tabulate(100)(i => (i.toLong, 1.0 + (i % 7) * 0.1)) :+
+      ((999L, 50.0))).toDF("id", "v")
+    val got = Stats.outliers(df, Seq.empty, "v", k = 3.0)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(999L), s"got $got")
+    assert(Stats.robustOutliers(df, Seq.empty, "v", decimals = 1)
+      .select("id").as[Long].collect().toSet == Set(999L))
+  }
+
   test("outliers: constant groups and null values produce no flags") {
     val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(5.0)),
       ("g", Some(1.0)), ("g", Some(2.0)), ("g", None), ("g", Some(100.0)))
