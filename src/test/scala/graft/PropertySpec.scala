@@ -150,4 +150,36 @@ class PropertySpec extends SparkSuite {
       .groupBy("k", "bv").count().as[(Long, Long, Long)].collect().toSet
     assert(salted == Set((7L, 1L, 5000L), (7L, 2L, 5000L)))
   }
+
+  test("as-of joins equal driver-side brute force with random ties and tolerances") {
+    import graft.operators.AsOfJoin
+    val rnd = new Random(17)
+    (1 to 4).foreach { trial =>
+      // small ts range forces equal-ts collisions on BOTH sides
+      val left = Seq.tabulate(80)(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong, i.toLong))
+      val right = Seq.tabulate(60)(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong, 1000L + i))
+      val tol = if (trial % 2 == 0) -1L else rnd.nextInt(8).toLong
+      def bruteBack(l: (Long, Long, Long)): Option[Long] =
+        right.filter(r => r._1 == l._1 && r._2 <= l._2 &&
+            (tol < 0 || l._2 - r._2 <= tol))
+          .sortBy(r => (-r._2, -r._3)).headOption.map(_._3)
+      def bruteFwd(l: (Long, Long, Long)): Option[Long] =
+        right.filter(r => r._1 == l._1 && r._2 >= l._2 &&
+            (tol < 0 || r._2 - l._2 <= tol))
+          .sortBy(r => (r._2, r._3)).headOption.map(_._3)
+      val ldf = left.toDF("k", "t", "id"); val rdf = right.toDF("k", "t", "id")
+      val back = AsOfJoin.latestAsOf(ldf, rdf, "k", "t", "id", tol)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val fwd = AsOfJoin.nextAsOf(ldf, rdf, "k", "t", "id", tol)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      left.foreach { l =>
+        assert(back(l._3) == bruteBack(l), s"trial $trial back tol=$tol left=$l")
+        assert(fwd(l._3) == bruteFwd(l), s"trial $trial fwd tol=$tol left=$l")
+      }
+    }
+  }
 }
