@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Interval-OVERLAP self-join: all pairs of rows with the same key
+/** Interval-OVERLAP self-join (SURVEY §3.3 north-star family — no
+  * reference counterpart; the reference is an ML-lib, §3.2): all pairs
+  * of rows with the same key
   * whose closed integer intervals [start, end] intersect — transit
   * windows sharing days in flight, sessions overlapping in time,
   * genomic ranges sharing positions. The missing sibling of

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Numerically-EXACT distributed second-moment statistics: per-group
+/** Numerically-EXACT distributed second-moment statistics (SURVEY
+  * §3.3 profiling family — no reference counterpart): per-group
   * simple linear regression (y ~ x) and Pearson correlation from
   * DECIMAL power sums.
   *

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
-/** Native bounded TOP-K aggregate: per group, the k largest
+/** Native bounded TOP-K aggregate (SURVEY §3.2 "sorts/limits/top-k"
+  * row, taken beyond the built-ins): per group, the k largest
   * (value, id) pairs, value DESC with id ASC tie-break — the
   * "top-N per group" every analytics surface needs, WITHOUT the
   * `row_number() OVER (PARTITION BY ...)` plan. WindowExec sorts every
