@@ -151,6 +151,36 @@ class PropertySpec extends SparkSuite {
     assert(salted == Set((7L, 1L, 5000L), (7L, 2L, 5000L)))
   }
 
+  test("robustOutliers equals a driver-side median/MAD reference on random data") {
+    import graft.operators.Stats
+    val rnd = new Random(23)
+    (1 to 3).foreach { trial =>
+      // 2-decimal fixed-point values with planted spikes
+      val rows = Seq.tabulate(300)(i => (i.toLong, s"g${i % 2}",
+        math.floor((5 + rnd.nextGaussian()) * 100) / 100)) ++
+        Seq((900L, "g0", 200.0), (901L, "g1", -150.0))
+      def medianOfLongs(xs: Seq[Long]): Double = {
+        val s = xs.sorted; val n = s.length
+        if (n % 2 == 1) s(n / 2).toDouble else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      }
+      val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sv = rs.map(r => (r._1, math.round(r._3 * 100)))
+        val med2 = medianOfLongs(sv.map(_._2)) * 2
+        val d2 = sv.map { case (id, v) => (id, math.abs(v * 2 - med2)) }
+        val mad4 = medianOfLongs(d2.map(_._2.toLong)) * 2
+        if (mad4 <= 0) Nil
+        else d2.filter { case (_, d) =>
+          (d / 2.0 / 100) / (1.4826 * (mad4 / 4.0) / 100) > 3.0
+        }.map(_._1)
+      }.toSet
+      val got = Stats.robustOutliers(rows.toDF("id", "g", "v"), Seq("g"), "v")
+        .select("id").as[Long].collect().toSet
+      assert(got == expected, s"trial $trial: spark-only=${got -- expected} " +
+        s"local-only=${expected -- got}")
+      assert(got.contains(900L) && got.contains(901L), "planted spikes missed")
+    }
+  }
+
   test("as-of joins equal driver-side brute force with random ties and tolerances") {
     import graft.operators.AsOfJoin
     val rnd = new Random(17)
