@@ -2529,6 +2529,44 @@ object Queries {
        |        / (12.0 * CAST(COUNT(*) AS DOUBLE)) * 1e6) / 1e6 AS avg_sil
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-group normalization ([[Stats.normalize]]): every event gains
+    * a z-score and a min-max scaling within its type — the feature-prep
+    * op every training pipeline runs before numeric columns feed a
+    * model. Same q75 exact-moment machinery, no flag filter, so the
+    * whole-row output (not just the extremes) is hash-verified.
+    */
+  def normalizeEvents(s: SparkSession, dir: String): DataFrame =
+    Stats.normalize(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value")
+      .orderBy("event_id")
+
+  val normalizeEventsSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    COUNT(CAST(value AS DECIMAL(19,4))) AS n,
+      |    SUM(CAST(value AS DECIMAL(19,4))) AS sx,
+      |    SUM(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))) AS sxx,
+      |    MIN(CAST(value AS DECIMAL(19,4))) AS mn,
+      |    MAX(CAST(value AS DECIMAL(19,4))) AS mx
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT event_type, (mn <> mx) AS varies,
+      |    CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+      |    CAST(sxx AS DOUBLE) AS dsxx,
+      |    CAST(mn AS DOUBLE) AS dmn, CAST(mx AS DOUBLE) AS dmx
+      |  FROM s)
+      |SELECT events.event_type, event_id, value,
+      |  CASE WHEN varies AND dn * dsxx - dsx * dsx > 0 THEN
+      |    floor((dn * CAST(CAST(value AS DECIMAL(19,4)) AS DOUBLE) - dsx)
+      |          / sqrt(dn * dsxx - dsx * dsx) * 1e6) / 1e6 END AS z,
+      |  CASE WHEN varies THEN
+      |    floor((CAST(CAST(value AS DECIMAL(19,4)) AS DOUBLE) - dmn)
+      |          / (dmx - dmn) * 1e6) / 1e6 END AS minmax
+      |FROM events JOIN d
+      |  ON events.event_type IS NOT DISTINCT FROM d.event_type
+      |ORDER BY event_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2612,7 +2650,8 @@ object Queries {
     "q79_asof_tolerance" -> asofTolerance _,
     "q80_interval_join2" -> intervalJoinOrders _,
     "q81_silhouette" -> silhouetteFixed _,
-    "q82_sim_ann_probe" -> simAnnMultiProbe _)
+    "q82_sim_ann_probe" -> simAnnMultiProbe _,
+    "q83_normalize" -> normalizeEvents _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2695,5 +2734,6 @@ object Queries {
     "q79_asof_tolerance" -> asofToleranceSql,
     "q80_interval_join2" -> intervalJoinOrdersSql,
     "q81_silhouette" -> silhouetteFixedSql,
-    "q82_sim_ann_probe" -> simAnnMultiProbeSql)
+    "q82_sim_ann_probe" -> simAnnMultiProbeSql,
+    "q83_normalize" -> normalizeEventsSql)
 }

@@ -146,6 +146,32 @@ object Stats {
       .drop("__n", "__sx", "__sxx", "__minx", "__maxx")
   }
 
+  /** Per-group feature NORMALIZATION from the same exact moments —
+    * the data-prep twin of [[outliers]]: every row gains `z`
+    * ((x − mean)/σ, scale-free form) and `minmax` ((x − min)/(max −
+    * min) ∈ [0, 1]), both floor-truncated to 6. Degenerate groups
+    * (constant, or variance cancelled to ≤ 0 in doubles) yield NULL
+    * rather than NaN/Inf; null values stay null. Same two-pass shape:
+    * one map-side-combined moments aggregation, one narrow join pass.
+    */
+  def normalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val x = scaledX(valueCol)
+    val n = col("__n").cast("double")
+    val (sx, sxx) = (col("__sx").cast("double"), col("__sxx").cast("double"))
+    val varN = n * sxx - sx * sx
+    val varies = col("__minx") =!= col("__maxx")
+    val z = (n * x.cast("double") - sx) / sqrt(varN)
+    val mm = (x.cast("double") - col("__minx").cast("double")) /
+      (col("__maxx").cast("double") - col("__minx").cast("double"))
+    nullSafeGroupJoin(df, moments(df, groupCols, valueCol), groupCols)
+      .withColumn("z", when(varies && varN > lit(0.0), trunc6(z)))
+      .withColumn("minmax", when(varies, trunc6(mm)))
+      .drop("__n", "__sx", "__sxx", "__minx", "__maxx")
+  }
+
   /** Shared decimal-domain value expression: try_cast gives identical
     * loud-overflow behavior with or without ANSI mode (a plain cast is
     * silent-NULL without it). */

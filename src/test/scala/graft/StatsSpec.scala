@@ -164,6 +164,24 @@ class StatsSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet == Set(999L))
   }
 
+  test("normalize: z agrees with the outlier flags; minmax bounded; constants null") {
+    val df = (Seq.tabulate(50)(i => (i.toLong, "g", 1.0 + (i % 10) * 0.5)) :+
+      ((99L, "g", 42.0))) ++ Seq((200L, "c", 7.0), (201L, "c", 7.0))
+    val norm = Stats.normalize(df.toDF("id", "g", "v"), Seq("g"), "v")
+    val byId = norm.collect().map(r => r.getLong(0) -> r).toMap
+    // the spike's z must exceed 3 and match the outlier detector's z
+    val flagged = Stats.outliers(df.toDF("id", "g", "v"), Seq("g"), "v", 3.0)
+      .select("id", "z").as[(Long, Double)].collect().toMap
+    assert(flagged.keySet == Set(99L))
+    assert(byId(99L).getAs[Double]("z") == flagged(99L))
+    // minmax: extremes hit exactly 0 and 1, everything in between
+    val mms = norm.where(col("g") === "g").select("minmax").as[Double].collect()
+    assert(mms.min == 0.0 && mms.max == 1.0 && mms.forall(m => m >= 0 && m <= 1))
+    // constant group: both columns null, rows preserved
+    assert(byId(200L).isNullAt(byId(200L).fieldIndex("z")))
+    assert(byId(201L).isNullAt(byId(201L).fieldIndex("minmax")))
+  }
+
   test("outliers: constant groups and null values produce no flags") {
     val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(5.0)),
       ("g", Some(1.0)), ("g", Some(2.0)), ("g", None), ("g", Some(100.0)))
