@@ -43,7 +43,7 @@ object IntervalJoin {
     *                  are dropped (empty interval)
     * @param bucketSize  candidate-bucket width in the interval's unit
     * @param maxBucketsPerInterval  fan-out ceiling: an interval
-    *        touching ≥ this many buckets RAISES a pointed error
+    *        touching MORE than this many buckets RAISES a pointed error
     *        instead of letting one open-ended sentinel row (end =
     *        Long.MaxValue) or a bucketSize orders below the interval
     *        grain materialize a billion-element sequence and OOM
@@ -123,7 +123,7 @@ object IntervalJoin {
           .otherwise(raise_error(
           concat(lit("IntervalJoin: interval ["), col("s").cast("string"),
             lit(", "), col("e").cast("string"),
-            lit(s"] spans >= $maxBucketsPerInterval buckets at " +
+            lit(s"] spans > $maxBucketsPerInterval buckets at " +
               s"bucketSize=$bucketSize; raise bucketSize (or " +
               "maxBucketsPerInterval) to match the interval grain"))
           ).cast("long")))))

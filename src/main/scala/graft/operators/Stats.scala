@@ -47,14 +47,23 @@ object Stats {
       yCol: String): DataFrame = {
     val x = col(xCol).cast("decimal(14,4)")
     val y = col(yCol).cast("decimal(14,4)")
-    val sums = df
+    val agged = df
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
+        // per-column non-null counts, only for the overflow guard below
+        // (a null sum is legitimate when every value was null)
+        count(x).as("nx"), count(y).as("ny"), count(x * y).as("nxy"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"),
         min(x).as("minx"), max(x).as("maxx"),
         min(y).as("miny"), max(y).as("maxy"))
+    // same aggregate-overflow guard as [[moments]]: a power sum that
+    // overflows decimal(38,8) must raise, not silently null the slope
+    val sums = Seq("sx" -> "nx", "sy" -> "ny", "sxx" -> "nx",
+      "sxy" -> "nxy", "syy" -> "ny").foldLeft(agged) {
+      case (d, (c, nc)) => d.withColumn(c, loudSum(agged, c, nCol = nc))
+    }
     val n = col("n").cast("double")
     val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
     val (sxx, sxy, syy) =
@@ -117,11 +126,33 @@ object Stats {
   def moments(
       df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val x = scaledX(valueCol)
-    df.groupBy(groupCols.map(col): _*)
+    val agged = df.groupBy(groupCols.map(col): _*)
       .agg(count(x).as("__n"), // count(x): null values join no moment
         sum(x).as("__sx"), sum(x * x).as("__sxx"),
         min(x).as("__minx"), max(x).as("__maxx"))
+    // AGGREGATE overflow guard: each x² fits decimal(29,8), but the SUM
+    // aggregates into decimal(38,8) — at ~1e10+ rows near the 1e10 value
+    // bound Σx² can overflow THAT, and non-ANSI Spark nulls the sum
+    // silently, which would make varN null and the flag/normalize pass
+    // emit zero flags/NULLs (the exact silent-vanish this operator's
+    // per-value guard exists to prevent). Convert the silent null into
+    // the same pointed raise in both ANSI modes.
+    agged
+      .withColumn("__sx", loudSum(agged, "__sx"))
+      .withColumn("__sxx", loudSum(agged, "__sxx"))
   }
+
+  /** A sum column that RAISES (both ANSI modes) if aggregate decimal
+    * overflow nulled it: null sum + nonzero count has no other cause —
+    * `sum` skips nulls, so an all-null group has count 0.
+    */
+  private def loudSum(
+      d: DataFrame, c: String, nCol: String = "__n"): org.apache.spark.sql.Column =
+    when(col(nCol) === 0 || col(c).isNotNull, col(c))
+      .otherwise(raise_error(lit(s"Stats: aggregate $c overflowed " +
+        "decimal(38,8) — the group's power sum exceeds the exact range; " +
+        "rescale the column or split the group"))
+        .cast(d.schema(c).dataType.sql))
 
   /** Flag stage of [[outliers]], reusable against an EXTERNAL moments
     * relation (stream-static or cross-batch): stateless join + narrow
@@ -251,16 +282,21 @@ object Stats {
     require(decimals >= 0 && decimals <= 4, "decimals in [0, 4]")
     val scale = math.pow(10, decimals).toLong
     val raw = col(valueCol)
-    val scaled = raw.try_cast("decimal(14,4)") * scale
+    // sub-precision check: the scaled value must already BE an integer —
+    // truncate-vs-round divergence between engines makes silently
+    // accepting finer input an oracle-splitting bug. The check runs on a
+    // decimal(18,8) image of the RAW double (same |x| < 1e10 domain,
+    // four extra fractional digits), so a 5th-plus decimal place can't
+    // be rounded away by a decimal(14,4) cast BEFORE the check — a
+    // value like 1.00005 at decimals=4 must raise, not round-and-pass
+    // (and a HALF_UP-vs-cast tie at the 5th place can't split engines)
+    val scaled = raw.try_cast("decimal(18,8)") * scale
     val sv = coalesce(
-      // sub-precision check: the scaled value must already BE an
-      // integer — truncate-vs-round divergence between engines makes
-      // silently accepting finer input an oracle-splitting bug
       when(scaled === floor(scaled), scaled.try_cast("long")),
       when(raw.isNotNull, raise_error(concat(
         lit(s"Stats.robustOutliers: $valueCol value "), raw.cast("string"),
         lit(s" is not fixed-point with $decimals decimal places, or " +
-          "overflows the decimal(14,4) domain; rescale first")))
+          "overflows the decimal(18,8) domain (|x| < 1e10); rescale first")))
         .cast("long"))).as("__sv")
     val base = df.withColumn("__sv", sv)
     // stage 1: 2·median as an exact integer-valued double

@@ -147,6 +147,21 @@ class StatsSpec extends SparkSuite {
     assert(Stats.robustOutliers(df, Seq("g"), "v", decimals = 3).count() >= 0)
   }
 
+  test("robustOutliers: a 5th decimal place raises even at decimals=4") {
+    // regression guard for the ADVICE r4 hole: the old check cast to
+    // decimal(14,4) FIRST, so at decimals=4 the 5th place was rounded
+    // away before the integrality test and sub-precision input passed
+    // silently (with engine-dependent rounding). The check now runs on
+    // a decimal(18,8) image of the raw double.
+    val df = Seq((1L, "g", 1.0), (2L, "g", 1.00005), (3L, "g", 9.0))
+      .toDF("id", "g", "v")
+    val e = intercept[Exception] {
+      Stats.robustOutliers(df, Seq("g"), "v", decimals = 4).collect()
+    }
+    assert(e.getMessage.contains("fixed-point"),
+      s"expected the precision guard, got: ${e.getMessage}")
+  }
+
   test("robustOutliers: MAD = 0 (majority at the median) yields no flags") {
     val df = (Seq.fill(20)(5.0) ++ Seq(9.0, 1.0)).zipWithIndex
       .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "g", "v")
