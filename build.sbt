@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked run's stdout VERBATIM (no "[info] " logger prefix):
+// graft.Bench's contract is ONE clean JSON line on stdout, and sbt's
+// default logger prefix is exactly what defeated the driver's JSON
+// parser in rounds 1-4 (BENCH parsed: null).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

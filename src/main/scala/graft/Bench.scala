@@ -58,20 +58,29 @@ object Bench {
     // `runs` passes per query (interleaved GC/JIT wobble on sub-second
     // queries masqueraded as 6× regressions in round 3); a query that
     // throws records -1.0 and is named in `failed` — never a plausible
-    // elapsed time.
+    // elapsed time. Passes run ROUND-ROBIN (q01..qNN, q01..qNN, ...)
+    // rather than back-to-back per query: a sustained co-located load
+    // burst then taxes one pass of MANY queries — which the median
+    // absorbs — instead of all passes of ONE query, which it cannot
+    // (round 4's driver medians showed 15× phantom regressions from
+    // exactly that). `queries_min` (per-query best-of) is emitted
+    // alongside the medians as the load-immune floor.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-            None
-        }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (_ <- 1 to runs; (name, fn) <- named) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(name) =
+          samples.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
       }
+    }
+    val results = named.map { case (name, _) =>
+      val times = samples.getOrElse(name, Vector.empty)
       val median =
         if (times.isEmpty) -1.0
         else {
@@ -82,17 +91,19 @@ object Bench {
           if (s.size % 2 == 1) s(s.size / 2)
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
-      (name, median, times.size)
+      (name, median, if (times.isEmpty) -1.0 else times.min, times.size)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val ns = results.map { case (k, _, n) => s"\"" + k + "\":" + n }
+    val mins = results.map { case (k, _, m, _) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, 0) => "\"" + k + "\"" }
+    val ns = results.map { case (k, _, _, n) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, 0) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$ns,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_per_query":$ns,"failed":$failed,"sf":"$sfDir"}"""
     // the JSON goes to stdout FIRST (driver contract: ONE line — a
     // failed side-file write must not eat the primary channel), then to
     // a side file so a parser tripped by surrounding build-tool noise
