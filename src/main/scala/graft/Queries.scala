@@ -2567,6 +2567,74 @@ object Queries {
       |  ON events.event_type IS NOT DISTINCT FROM d.event_type
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------- persisted-index twins
+
+  /** Scratch dir for the persisted-index queries: unique per call so
+    * concurrent bench passes never collide on index files.
+    */
+  private def scratchDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  /** q54's operator through the FULL persisted-index lifecycle
+    * ([[IndexStore]]): build+save the corpus LSH index from part of the
+    * corpus, APPEND the rest (exercising the exact-dup merge and the
+    * cap-at-load design on real data), load it back, and probe the
+    * incoming batch via [[Dedup.minhashLSHJoinIndexed]]. The oracle is
+    * q54's — the persisted path must hash-match the inline rebuild,
+    * which is exactly the append ≡ rebuild invariant at data scale.
+    */
+  def dedupIndexLoad(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = scratchDir("corpus_idx")
+    IndexStore.saveCorpusIndex(
+      docs.where(col("doc_id") >= 100 && col("doc_id") < 300),
+      "doc_id", "text", path)
+    IndexStore.appendCorpusIndex(
+      docs.where(col("doc_id") >= 300), "doc_id", "text", path)
+    Dedup.minhashLSHJoinIndexed(docs.where(col("doc_id") < 100),
+        IndexStore.loadCorpusIndex(s, path), "doc_id", "text",
+        threshold = 0.7)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** q24's ANN top-k through the persisted vector index: save the
+    * sign-pattern index for part of the embedding corpus, append the
+    * rest, load, and run [[Similarity.lshTopKIndexed]] with the same
+    * hyperplane geometry (carried by the index meta). Oracle = q24's
+    * full-algorithm DuckDB replay.
+    */
+  def annIndexLoad(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val path = scratchDir("vec_idx")
+    IndexStore.saveVectorIndex(e.where(col("vec_id") < 400), "vec_id",
+      "embedding", path, dim = 64, numBlocks = 8, planesPerBlock = 8)
+    IndexStore.appendVectorIndex(e.where(col("vec_id") >= 400), "vec_id",
+      "embedding", path)
+    Similarity.lshTopKIndexed(IndexStore.loadVectorIndex(s, path),
+        e.where(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5, numBlocks = 8, planesPerBlock = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q55's honest nProbe=2/16 IVF through the persisted model: train the
+    * coarse quantizer on the first 400 planted-cluster vectors (ample —
+    * every cluster is ~25 rows even at the smallest SF, and the oracle
+    * argument only needs the quantizer to keep planted clusters
+    * compact), save, APPEND the remaining vectors against the frozen
+    * centroids, load, search. Oracle = q55's brute-force SQL, exact by
+    * the same planted-separation argument.
+    */
+  def ivfIndexLoad(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), clusteredVec.as("cv"))
+    val path = scratchDir("ivf_idx")
+    IndexStore.saveIvf(IvfIndex.build(e.where(col("vec_id") < 400),
+      "vec_id", "cv", nLists = 16, trainFraction = 1.0, kmeansMaxIter = 10), path)
+    IndexStore.appendIvf(e.where(col("vec_id") >= 400), "vec_id", "cv", path)
+    IvfIndex.search(IndexStore.loadIvf(s, path), e,
+        e.where(col("vec_id") < 10), "vec_id", "cv", k = 5, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -2651,7 +2719,10 @@ object Queries {
     "q80_interval_join2" -> intervalJoinOrders _,
     "q81_silhouette" -> silhouetteFixed _,
     "q82_sim_ann_probe" -> simAnnMultiProbe _,
-    "q83_normalize" -> normalizeEvents _)
+    "q83_normalize" -> normalizeEvents _,
+    "q84_dedup_index_load" -> dedupIndexLoad _,
+    "q85_ann_index_load" -> annIndexLoad _,
+    "q86_ivf_index_load" -> ivfIndexLoad _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2735,5 +2806,8 @@ object Queries {
     "q80_interval_join2" -> intervalJoinOrdersSql,
     "q81_silhouette" -> silhouetteFixedSql,
     "q82_sim_ann_probe" -> simAnnMultiProbeSql,
-    "q83_normalize" -> normalizeEventsSql)
+    "q83_normalize" -> normalizeEventsSql,
+    "q84_dedup_index_load" -> dedupIncrementalSql,
+    "q85_ann_index_load" -> simAnnLshSql,
+    "q86_ivf_index_load" -> simIvfProbeSql)
 }

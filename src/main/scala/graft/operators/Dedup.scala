@@ -419,10 +419,55 @@ object Dedup {
     * sorted shingle sets for exact verify, and the exact-duplicate
     * member expansion — all keyed by the collapsed representative id.
     * For a continuous stream, materialize/cache these three (they are
-    * re-planned per micro-batch otherwise).
+    * re-planned per micro-batch otherwise) — or persist/load/append
+    * them as parquet via [[IndexStore]], the build-once-probe-forever
+    * shape a 100 TB corpus actually runs.
     */
   final case class CorpusIndex(
       bands: DataFrame, sets: DataFrame, members: DataFrame)
+
+  /** The three UNCAPPED rep-level index tables for a collapsed group
+    * table `gc` (id, __text, members) — single source of truth for
+    * [[corpusIndex]] (which applies the bucket cap) and [[IndexStore]]
+    * (which persists them raw: the cap is applied at LOAD time, so an
+    * appended index equals a rebuilt one by construction — capping
+    * before persisting would freeze cap decisions made against the OLD
+    * bucket sizes into the stored index).
+    *
+    * Returns (bands (corpus_id, band_idx, band_hash),
+    *          sets (corpus_id, text, sh),
+    *          members (corpus_id, member_id)).
+    */
+  private[operators] def corpusTablesFromGroups(
+      gc: DataFrame,
+      shingleSize: Int,
+      numHashes: Int,
+      numBands: Int): (DataFrame, DataFrame, DataFrame) = {
+    val rowsPerBand = numHashes / numBands
+    val bands = shingleSignatures(gc, "id", "__text", shingleSize, numHashes)
+      .select(col("id").as("corpus_id"),
+        posexplode(bandKeys(col("sig"), numBands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    // text rides in the sets table: the persistence append path merges
+    // new docs into existing rep groups by exact text equality
+    val sets = gc.select(col("id").as("corpus_id"), col("__text").as("text"),
+      array_sort(TextFunctions.shingles(col("__text"), shingleSize)).as("sh"))
+    val members = gc.select(col("id").as("corpus_id"),
+      explode(col("members")).as("member_id"))
+    (bands, sets, members)
+  }
+
+  /** Assemble the probe-ready [[CorpusIndex]] from the raw tables:
+    * apply the bucket cap (minSize = 1 — a singleton corpus bucket can
+    * still answer a query) and project the probe columns.
+    */
+  private[operators] def capCorpusTables(
+      bands: DataFrame, sets: DataFrame, members: DataFrame,
+      maxBucketSize: Int): CorpusIndex =
+    CorpusIndex(
+      keepCappedBuckets(bands, maxBucketSize, minSize = 1),
+      sets.select(col("corpus_id"), col("sh").as("sh_c")),
+      members)
 
   def corpusIndex(
       corpus: DataFrame,
@@ -432,24 +477,14 @@ object Dedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       maxBucketSize: Int = 1000): CorpusIndex = {
-    val rowsPerBand = numHashes / numBands
     // exact-duplicate collapse BEFORE the bucket cap — without it, a
     // family larger than maxBucketSize (the most-duplicated content,
     // exactly what an admission gate exists to catch) floods every band
     // bucket past the cap and new copies would be admitted as "novel"
     val gc = textGroups(corpus, idCol, textCol)
-    val bands = keepCappedBuckets(
-      shingleSignatures(gc, "id", "__text", shingleSize, numHashes)
-        .select(col("id"),
-          posexplode(bandKeys(col("sig"), numBands, rowsPerBand))
-            .as(Seq("band_idx", "band_hash"))),
-      maxBucketSize, minSize = 1)
-      .withColumnRenamed("id", "corpus_id")
-    val sets = shingleSets(gc, "id", "__text", shingleSize)
-      .select(col("id").as("corpus_id"), col("sh").as("sh_c"))
-    val members = gc.select(col("id").as("corpus_id"),
-      explode(col("members")).as("member_id"))
-    CorpusIndex(bands, sets, members)
+    val (bands, sets, members) =
+      corpusTablesFromGroups(gc, shingleSize, numHashes, numBands)
+    capCorpusTables(bands, sets, members, maxBucketSize)
   }
 
   /** Per-ROW scalar MinHash signature — value-identical to
@@ -489,14 +524,35 @@ object Dedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame =
+    minhashLSHJoinIndexed(newDocs,
+      corpusIndex(corpus, idCol, textCol,
+        shingleSize, numHashes, numBands, maxBucketSize),
+      idCol, textCol, shingleSize, numHashes, numBands, threshold,
+      maxBucketSize)
+
+  /** [[minhashLSHJoin]] against a PREBUILT corpus index — the shape a
+    * production ingest actually runs: build (or [[IndexStore.loadCorpusIndex
+    * load]]) the index once, probe every batch against it. `shingleSize`/
+    * `numHashes`/`numBands` MUST match the index's build parameters
+    * (persisted indexes carry them in their meta table); results are
+    * then identical to [[minhashLSHJoin]] over the same corpus.
+    */
+  def minhashLSHJoinIndexed(
+      newDocs: DataFrame,
+      idx: CorpusIndex,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
     // exact-duplicate collapse per side BEFORE the bucket cap (see
     // corpusIndex); collapsed, a mega-dup family is ONE bucket row and
     // members expand back into the answer at the end
     val gn = textGroups(newDocs, idCol, textCol)
-    val idx = corpusIndex(corpus, idCol, textCol,
-      shingleSize, numHashes, numBands, maxBucketSize)
     // the NEW side is capped too: exact collapse merges byte-identical
     // new docs, but a skewed batch of near-identical-but-distinct texts
     // (template spam) would otherwise fan out |new bucket| × cap pairs

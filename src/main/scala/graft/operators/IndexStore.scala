@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet persistence + incremental maintenance for the three ANN /
+  * near-dup indexes (SURVEY §3.3 "100 TB posture"): the MinHash-LSH
+  * corpus index ([[Dedup.CorpusIndex]]), the sign-pattern vector index
+  * ([[Similarity.VectorIndex]]), and the IVF model ([[IvfIndex.Model]]).
+  *
+  * At 100 TB you do not rebuild an index per job: you build it ONCE,
+  * persist it, and probe it from every batch and stream forever,
+  * appending each day's admitted documents/vectors. This module is that
+  * lifecycle. No reference counterpart (the reference is a clustering
+  * lib; only its fitted model persists) — this is north-star surface.
+  *
+  * Design invariants:
+  *  - **Append ≡ rebuild.** The stored band/block tables are UNCAPPED;
+  *    the `maxBucketSize` cap is applied at LOAD ([[Dedup.capCorpusTables]])
+  *    over the full merged table. Capping before persisting would freeze
+  *    cap decisions made against the OLD bucket sizes — a bucket that
+  *    grows past the cap after appends must be dropped everywhere, and
+  *    one that was capped only because of since-merged duplicates must
+  *    come back. The cap pass is one partial-count aggregation over a
+  *    narrow (id + two longs) table — cheap relative to any probe.
+  *  - **Monotone ids.** Append assumes (and ENFORCES, raising loudly)
+  *    that new ids sort strictly after every existing member id — the
+  *    natural shape of an ingest pipeline with increasing doc ids. This
+  *    is what keeps group representatives stable: a rebuilt index picks
+  *    rep = min member id per duplicate group, and with monotone ids an
+  *    existing rep can never lose that minimum to an appended member.
+  *  - **Exact-duplicate merge.** A new doc whose text (or vector)
+  *    exactly equals an existing representative's joins that rep's
+  *    member list instead of forming a new group — the sets/reps table
+  *    carries the group key (text / vector) precisely so this merge is
+  *    an equi-join, not a rebuild.
+  *  - **Layout.** Each table is written repartitioned by its probe join
+  *    key (band_hash / corpus_id / list_id), so files are clustered for
+  *    row-group pruning. On a real cluster with a metastore, the same
+  *    tables belong in `bucketBy(key).sortBy(key)` tables so the probe
+  *    equi-join is shuffle-free on the corpus side; path-parquet keeps
+  *    this module metastore-free while preserving the storage layout.
+  *  - Build parameters (shingle/hash/band counts, hyperplane geometry)
+  *    ride in a `meta` table so load/append can never drift from the
+  *    parameters the index was built with.
+  *
+  * IVF append is deliberately different: the coarse quantizer is NOT
+  * retrained (that would re-partition every existing list); new vectors
+  * are assigned to the EXISTING centroids and appended to the inverted
+  * lists — the standard IVF maintenance contract (retrain on compaction
+  * cadence, not per batch). Its invariant is therefore "append ≡
+  * assign-all with the same centroids", proven in IndexStoreSpec.
+  */
+object IndexStore {
+
+  // ---------------------------------------------------------------
+  // meta
+  // ---------------------------------------------------------------
+
+  private def writeMeta(
+      spark: SparkSession, path: String, kv: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    kv.toDF("key", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The persisted build parameters of the index at `path` (public:
+    * callers of the *Indexed probe operators need them to derive
+    * matching query-side keys).
+    */
+  def readMeta(spark: SparkSession, path: String): Map[String, String] =
+    spark.read.parquet(s"$path/meta").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def metaOf(
+      spark: SparkSession, path: String, kind: String): Map[String, String] = {
+    val m = readMeta(spark, path)
+    require(m.get("kind").contains(kind),
+      s"IndexStore: $path holds a '${m.getOrElse("kind", "?")}' index, " +
+        s"expected '$kind'")
+    m
+  }
+
+  /** Enforce the monotone-id append contract: every id in `incoming`
+    * must sort strictly after every id in `existing` (both single-column
+    * frames). Distributed and type-generic: two 1-row aggregates and a
+    * cross of them — no driver-side comparison of unknown types. An
+    * empty `existing` (first append into a fresh index) passes.
+    */
+  private def requireIdsAfter(
+      existing: DataFrame, incoming: DataFrame, op: String): Unit = {
+    val mx = existing.agg(max(col(existing.columns.head)).as("__mx"))
+    val mn = incoming.agg(min(col(incoming.columns.head)).as("__mn"))
+    val violated = mx.crossJoin(mn)
+      .where(col("__mn") <= col("__mx")).limit(1).count() > 0
+    require(!violated,
+      s"IndexStore.$op: appended ids must sort strictly after every id " +
+        "already in the index (monotone-ingest contract — it is what " +
+        "keeps duplicate-group representatives stable so append equals " +
+        "rebuild); re-id the batch or rebuild the index")
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash-LSH corpus index (Dedup.CorpusIndex)
+  // ---------------------------------------------------------------
+
+  /** Build and persist the corpus index raw tables under `path`
+    * (`meta/`, `bands/`, `sets/`, `members/`). Overwrites.
+    */
+  def saveCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    writeMeta(spark, path, Seq(
+      "kind" -> "corpus", "shingle_size" -> shingleSize.toString,
+      "num_hashes" -> numHashes.toString, "num_bands" -> numBands.toString))
+    val gc = Dedup.textGroups(corpus, idCol, textCol)
+    val (bands, sets, members) =
+      Dedup.corpusTablesFromGroups(gc, shingleSize, numHashes, numBands)
+    bands.repartition(col("band_hash"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sets.repartition(col("corpus_id"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+    members.repartition(col("corpus_id"))
+      .write.mode("overwrite").parquet(s"$path/members")
+  }
+
+  /** Load a persisted corpus index, applying the bucket cap over the
+    * CURRENT (post-append) band table — see the class doc for why the
+    * cap lives here and not in the files.
+    */
+  def loadCorpusIndex(
+      spark: SparkSession,
+      path: String,
+      maxBucketSize: Int = 1000): Dedup.CorpusIndex = {
+    metaOf(spark, path, "corpus")
+    Dedup.capCorpusTables(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/sets"),
+      spark.read.parquet(s"$path/members"),
+      maxBucketSize)
+  }
+
+  /** Append a batch of new documents to a persisted corpus index (pure
+    * parquet appends — nothing existing is rewritten). New docs whose
+    * text equals an existing representative's merge into that group
+    * (member rows only); novel texts form new groups with their own
+    * band/set/member rows. Build parameters come from the index's meta.
+    * After this, `loadCorpusIndex` ≡ `saveCorpusIndex` over the full
+    * corpus (IndexStoreSpec proves it on a fixture).
+    */
+  def appendCorpusIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val m = metaOf(spark, path, "corpus")
+    val (shingleSize, numHashes, numBands) =
+      (m("shingle_size").toInt, m("num_hashes").toInt, m("num_bands").toInt)
+    val oldSets = spark.read.parquet(s"$path/sets")
+    val oldMembers = spark.read.parquet(s"$path/members")
+    val gn = Dedup.textGroups(newDocs, idCol, textCol)
+    requireIdsAfter(oldMembers.select(col("member_id")),
+      gn.select(explode(col("members")).as("member_id")), "appendCorpusIndex")
+    // exact-text merge: members of matched groups file under the
+    // EXISTING rep (no new band/set rows — identical text means the
+    // stored ones already cover it)
+    val matched = gn
+      .join(oldSets.select(col("text").as("__text"), col("corpus_id")),
+        Seq("__text"))
+      .select(col("corpus_id"), explode(col("members")).as("member_id"))
+    val novel = gn
+      .join(oldSets.select(col("text").as("__text")), Seq("__text"), "left_anti")
+      // consumed by all three table derivations below — materialize the
+      // anti-join once
+      .localCheckpoint(true)
+    val (bands, sets, members) =
+      Dedup.corpusTablesFromGroups(novel, shingleSize, numHashes, numBands)
+    bands.repartition(col("band_hash"))
+      .write.mode("append").parquet(s"$path/bands")
+    sets.repartition(col("corpus_id"))
+      .write.mode("append").parquet(s"$path/sets")
+    members.unionByName(matched).repartition(col("corpus_id"))
+      .write.mode("append").parquet(s"$path/members")
+  }
+
+  // ---------------------------------------------------------------
+  // Sign-pattern LSH vector index (Similarity.VectorIndex)
+  // ---------------------------------------------------------------
+
+  /** Build and persist the vector index raw tables under `path`
+    * (`meta/`, `blocks/`, `reps/`, `members/`). Overwrites.
+    */
+  def saveVectorIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dim: Int,
+      numBlocks: Int = 8,
+      planesPerBlock: Int = 8,
+      seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    writeMeta(spark, path, Seq(
+      "kind" -> "vector", "dim" -> dim.toString,
+      "num_blocks" -> numBlocks.toString,
+      "planes_per_block" -> planesPerBlock.toString, "seed" -> seed.toString))
+    val groups = vecGroups(corpus, idCol, vecCol)
+    val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
+      groups, dim, numBlocks, planesPerBlock, seed)
+    blocks.repartition(col("band_hash"))
+      .write.mode("overwrite").parquet(s"$path/blocks")
+    reps.repartition(col("rep_id"))
+      .write.mode("overwrite").parquet(s"$path/reps")
+    members.repartition(col("rep_id"))
+      .write.mode("overwrite").parquet(s"$path/members")
+  }
+
+  def loadVectorIndex(
+      spark: SparkSession,
+      path: String,
+      maxBucketSize: Int = 10000): Similarity.VectorIndex = {
+    metaOf(spark, path, "vector")
+    Similarity.capVectorTables(
+      spark.read.parquet(s"$path/blocks"),
+      spark.read.parquet(s"$path/reps"),
+      spark.read.parquet(s"$path/members"),
+      maxBucketSize)
+  }
+
+  /** Append new vectors to a persisted vector index; exact-duplicate
+    * vectors merge into their existing rep group (equi-join on the
+    * vector value — the same key [[Dedup.textGroups]] collapsed on).
+    * Hyperplane geometry comes from the index's meta, so the appended
+    * block keys are derived from the SAME planes as the stored ones.
+    */
+  def appendVectorIndex(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val m = metaOf(spark, path, "vector")
+    val oldReps = spark.read.parquet(s"$path/reps")
+    val oldMembers = spark.read.parquet(s"$path/members")
+    val gn = vecGroups(newVecs, idCol, vecCol)
+    requireIdsAfter(oldMembers.select(col("member_id")),
+      gn.select(explode(col("members")).as("member_id")), "appendVectorIndex")
+    val matched = gn.join(oldReps.withColumnRenamed("rep_id", "__rep"), Seq("v"))
+      .select(col("__rep").as("rep_id"), explode(col("members")).as("member_id"))
+    val novel = gn.join(oldReps.select(col("v")), Seq("v"), "left_anti")
+      .localCheckpoint(true)
+    val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
+      novel, m("dim").toInt, m("num_blocks").toInt,
+      m("planes_per_block").toInt, m("seed").toLong)
+    blocks.repartition(col("band_hash"))
+      .write.mode("append").parquet(s"$path/blocks")
+    reps.repartition(col("rep_id"))
+      .write.mode("append").parquet(s"$path/reps")
+    members.unionByName(matched).repartition(col("rep_id"))
+      .write.mode("append").parquet(s"$path/members")
+  }
+
+  /** Collapsed (id, v, members) vector groups — the vector twin of
+    * [[Dedup.textGroups]] (shared with [[Similarity.vectorIndex]]).
+    */
+  private def vecGroups(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Dedup.textGroups(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
+      "id", "v")
+      .select(col("id"), col("__text").cast("array<double>").as("v"),
+        col("members"))
+
+  // ---------------------------------------------------------------
+  // IVF model (IvfIndex.Model)
+  // ---------------------------------------------------------------
+
+  /** Persist an IVF model: the centroid matrix (`centroids/`, nLists
+    * rows) and the inverted-list assignment (`assign/`, repartitioned by
+    * list_id — the probe join key). Overwrites.
+    */
+  def saveIvf(model: IvfIndex.Model, path: String): Unit = {
+    val spark = model.assignments.sparkSession
+    import spark.implicits._
+    writeMeta(spark, path, Seq(
+      "kind" -> "ivf", "n_lists" -> model.centroids.length.toString))
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    model.assignments.repartition(col("list_id"))
+      .write.mode("overwrite").parquet(s"$path/assign")
+  }
+
+  /** Load a persisted IVF model. The centroid collect is O(nLists) —
+    * the model-sized driver collect this library allows everywhere.
+    */
+  def loadIvf(spark: SparkSession, path: String): IvfIndex.Model = {
+    metaOf(spark, path, "ivf")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+    IvfIndex.Model(centroids, spark.read.parquet(s"$path/assign"))
+  }
+
+  /** Append new vectors to a persisted IVF model: assign them to the
+    * EXISTING centroids (no retrain — see class doc) and append to the
+    * inverted lists. Raises if any new id already exists in the index
+    * (a duplicate id would double-count its vector in every probe).
+    */
+  def appendIvf(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val model = loadIvf(spark, path)
+    val assign = IvfIndex.assign(newVecs, idCol, vecCol, model.centroids)
+    require(assign.join(model.assignments.select(col("id")), Seq("id"),
+        "left_semi").limit(1).count() == 0,
+      "IndexStore.appendIvf: a new id already exists in the index; " +
+        "appending it would double-count its vector in every probe")
+    assign.repartition(col("list_id"))
+      .write.mode("append").parquet(s"$path/assign")
+  }
+}

@@ -67,17 +67,29 @@ object IvfIndex {
       .setFeaturesCol("features")
     val model = km.fit(train.select(array_to_vector(col("vec")).as("features")))
     val centroids = model.clusterCenters.map(_.toArray)
-    val assignments = vecs
-      .select(col("id"), nearestList(col("vec"), centroids).as("list_id"))
-    Model(centroids, assignments)
+    Model(centroids, assign(corpus, idCol, vecCol, centroids))
   }
+
+  /** Assign each vector to its nearest centroid: (id, list_id) in ONE
+    * narrow pass (the centroid matrix folds in as a literal). Shared by
+    * [[build]] and [[IndexStore.appendIvf]] — the append path assigns
+    * new vectors against the FROZEN quantizer, the standard IVF
+    * maintenance contract.
+    */
+  def assign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol).as("id"),
+      nearestList(col(vecCol).cast("array<double>"), centroids).as("list_id"))
 
   /** Index of the nearest centroid by squared L2, ties to the lowest
     * list id. argmin(||v-c||²) = argmin(||c||² - 2·v·c): the ||v||² term
     * is constant across centroids and dropped; ||c||² is precomputed
     * into the literal — the per-row work is exactly nLists dot products.
     */
-  private def nearestList(vec: org.apache.spark.sql.Column,
+  private[operators] def nearestList(vec: org.apache.spark.sql.Column,
       centroids: Array[Array[Double]]) = {
     val norms = centroids.map(c => c.map(x => x * x).sum)
     val dists = zip_with(

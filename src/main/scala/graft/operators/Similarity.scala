@@ -137,19 +137,61 @@ object Similarity {
       planesPerBlock: Int = 8,
       seed: Long = 42L,
       maxBucketSize: Int = 10000,
-      multiProbe: Int = 0): DataFrame = {
-    require(multiProbe <= planesPerBlock,
-      "multiProbe flips one plane each — at most planesPerBlock probes")
-    // Candidate generation carries ONLY (id, block) — vectors are
-    // hydrated per candidate pair afterwards, so the heavy embedding
-    // payload never rides the numBlocks-duplicated explode/join shuffle
-    // (same design as Dedup.verifiedJaccardPairs). The corpus-side
-    // bucket cap is Dedup.keepCappedBuckets (partial-count agg +
-    // semi-join), NOT a window count — a sort-based window over the
-    // numBlocks-exploded corpus would shuffle-sort the whole exploded
-    // table just to measure bucket sizes. minSize = 1: a singleton
-    // corpus bucket still answers queries.
-    //
+      multiProbe: Int = 0): DataFrame =
+    lshTopKIndexed(
+      vectorIndex(corpus, idCol, vecCol, dim, numBlocks, planesPerBlock,
+        seed, maxBucketSize),
+      queries, idCol, vecCol, dim, k, numBlocks, planesPerBlock, seed,
+      multiProbe)
+
+  /** Corpus-side sign-pattern LSH index, reusable across query batches
+    * (and persistable via [[IndexStore]]): capped block buckets,
+    * representative vectors for exact scoring, and the exact-duplicate
+    * member expansion. Same three-table shape as [[Dedup.CorpusIndex]],
+    * with the vector value playing the text's role.
+    */
+  final case class VectorIndex(
+      blocks: DataFrame, reps: DataFrame, members: DataFrame)
+
+  /** The UNCAPPED rep-level index tables for a collapsed vector group
+    * table (id, v, members) — shared by [[vectorIndex]] (caps them) and
+    * [[IndexStore]] (persists them raw; cap applied at load so append ≡
+    * rebuild, see [[Dedup.corpusTablesFromGroups]]).
+    *
+    * Returns (blocks (rep_id, band_idx, band_hash),
+    *          reps (rep_id, v), members (rep_id, member_id)).
+    */
+  private[operators] def vectorTablesFromGroups(
+      groups: DataFrame,
+      dim: Int,
+      numBlocks: Int,
+      planesPerBlock: Int,
+      seed: Long): (DataFrame, DataFrame, DataFrame) = {
+    val blocks = groups.select(col("id").as("rep_id"),
+      posexplode(blockKeys(col("v"), dim, numBlocks, planesPerBlock, seed))
+        .as(Seq("band_idx", "band_hash")))
+    val reps = groups.select(col("id").as("rep_id"), col("v"))
+    val members = groups.select(col("id").as("rep_id"),
+      explode(col("members")).as("member_id"))
+    (blocks, reps, members)
+  }
+
+  private[operators] def capVectorTables(
+      blocks: DataFrame, reps: DataFrame, members: DataFrame,
+      maxBucketSize: Int): VectorIndex =
+    VectorIndex(
+      Dedup.keepCappedBuckets(blocks, maxBucketSize, minSize = 1),
+      reps, members)
+
+  def vectorIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numBlocks: Int = 8,
+      planesPerBlock: Int = 8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): VectorIndex = {
     // Exactly-identical corpus vectors are collapsed FIRST (the
     // cosineNearDupPairs skew guard; the 100× probe measured why: a
     // 100×-duplicated corpus puts every copy of a sign pattern in every
@@ -157,40 +199,71 @@ object Similarity {
     // share signature and cosine, so scoring one representative and
     // expanding members back afterwards returns the IDENTICAL ranking
     // (ties already break on neighbor_id); the bucket cap counts
-    // DISTINCT vectors. Self-exclusion happens after expansion, so
-    // duplicate copies of the query's own vector are still returned.
+    // DISTINCT vectors.
     val groups = Dedup.textGroups(
       corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
       "id", "v")
       .select(col("id"), col("__text").cast("array<double>").as("v"), col("members"))
-    def explodeBlocks(df: DataFrame) = df
-      .select(col("id"),
-        posexplode(blockKeys(col("v"), dim, numBlocks, planesPerBlock, seed))
-          .as(Seq("band_idx", "band_hash")))
-    val c = Dedup.keepCappedBuckets(
-        explodeBlocks(groups.select(col("id"), col("v"))),
-        maxBucketSize, minSize = 1)
-      .withColumnRenamed("id", "rep_id")
+    val (blocks, reps, members) =
+      vectorTablesFromGroups(groups, dim, numBlocks, planesPerBlock, seed)
+    capVectorTables(blocks, reps, members, maxBucketSize)
+  }
+
+  /** [[lshTopK]] against a PREBUILT (or [[IndexStore.loadVectorIndex
+    * loaded]]) corpus index. `dim`/`numBlocks`/`planesPerBlock`/`seed`
+    * MUST match the index's build parameters (persisted indexes carry
+    * them in their meta table) — the query side derives its probe keys
+    * from the same hyperplanes.
+    *
+    * Candidate generation carries ONLY (id, block) — vectors are
+    * hydrated per candidate pair afterwards, so the heavy embedding
+    * payload never rides the numBlocks-duplicated explode/join shuffle
+    * (same design as Dedup.verifiedJaccardPairs). The corpus-side
+    * bucket cap is Dedup.keepCappedBuckets (partial-count agg +
+    * semi-join), NOT a window count — a sort-based window over the
+    * numBlocks-exploded corpus would shuffle-sort the whole exploded
+    * table just to measure bucket sizes. minSize = 1: a singleton
+    * corpus bucket still answers queries. Self-exclusion happens after
+    * member expansion, so duplicate copies of the query's own vector
+    * are still returned.
+    */
+  def lshTopKIndexed(
+      idx: VectorIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      numBlocks: Int = 8,
+      planesPerBlock: Int = 8,
+      seed: Long = 42L,
+      multiProbe: Int = 0): DataFrame = {
+    require(multiProbe <= planesPerBlock,
+      "multiProbe flips one plane each — at most planesPerBlock probes")
     // query side: the exact bucket plus (optionally) the multiProbe
     // single-plane-flip neighbor buckets
     val qn = queries.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val probeKeys = (0 until multiProbe).map(r => col("band_hash")
       .bitwiseXOR(lit(1L << r)))
-    val q = explodeBlocks(qn).withColumnRenamed("id", "query_id")
+    val q = qn
+      .select(col("id"),
+        posexplode(blockKeys(col("v"), dim, numBlocks, planesPerBlock, seed))
+          .as(Seq("band_idx", "band_hash")))
+      .withColumnRenamed("id", "query_id")
       .select(col("query_id"), col("band_idx"),
         explode(array(col("band_hash") +: probeKeys: _*)).as("band_hash"))
-    val cand = c.join(q, Seq("band_idx", "band_hash"))
+    val cand = idx.blocks.join(q, Seq("band_idx", "band_hash"))
       .select(col("query_id"), col("rep_id"))
       .distinct()
-    val cv = groups.select(col("id").as("rep_id"), col("v").as("cvec"))
+    val cv = idx.reps.select(col("rep_id"), col("v").as("cvec"))
     val qv = qn.select(col("id").as("query_id"), col("v").as("qvec"))
     val scored = cand.join(qv, Seq("query_id")).join(cv, Seq("rep_id"))
       .select(col("query_id"), col("rep_id"),
         cosine(col("qvec"), col("cvec")).as("cos"))
     val expanded = scored
-      .join(groups.select(col("id").as("rep_id"),
-        explode(col("members")).as("neighbor_id")), Seq("rep_id"))
+      .join(idx.members.select(col("rep_id"),
+        col("member_id").as("neighbor_id")), Seq("rep_id"))
       .where(col("neighbor_id") =!= col("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -114,8 +114,11 @@ object StreamOps {
     * (rate limits / micro-batch sizing), not in the gate.
     *
     * At scale: the corpus index is computed here per micro-batch; a
-    * production deployment materializes [[Dedup.corpusIndex]] (parquet
-    * or cache) and refreshes it on corpus compaction.
+    * production deployment persists [[graft.operators.IndexStore]]'s
+    * parquet index, loads it once, and runs [[dedupGateIndexed]] — the
+    * "admission gate over a living corpus" capstone (the loaded tables
+    * are re-read per micro-batch by the stream-static join, so daily
+    * appends surface without restarting the query).
     */
   def dedupGate(
       newDocs: DataFrame,
@@ -127,11 +130,30 @@ object StreamOps {
       numBands: Int = 16,
       threshold: Double = 0.7,
       watermarkDelay: String = "10 minutes",
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    dedupGateIndexed(newDocs,
+      graft.operators.Dedup.corpusIndex(corpus, idCol, textCol,
+        shingleSize, numHashes, numBands, maxBucketSize),
+      idCol, textCol, shingleSize, numHashes, numBands, threshold,
+      watermarkDelay)
+
+  /** [[dedupGate]] against a PREBUILT (typically
+    * [[graft.operators.IndexStore.loadCorpusIndex loaded-from-parquet]])
+    * corpus index. Signature parameters must match the index's build
+    * parameters (persisted indexes carry them in meta).
+    */
+  def dedupGateIndexed(
+      newDocs: DataFrame,
+      idx: graft.operators.Dedup.CorpusIndex,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.7,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.operators.Dedup
     val rowsPerBand = numHashes / numBands
-    val idx = Dedup.corpusIndex(corpus, idCol, textCol,
-      shingleSize, numHashes, numBands, maxBucketSize)
     val sig = Dedup.rowSignature(col(textCol), shingleSize, numHashes)
     val n = newDocs.withWatermark("ts", watermarkDelay)
       .select(col(idCol).as("new_id"), col("ts"),

@@ -1,0 +1,170 @@
+package graft
+
+import graft.operators.{Dedup, IndexStore, IvfIndex, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Index persistence lifecycle (IndexStore): load(save(x)) probes
+  * identically to an inline-built index, and APPEND ≡ REBUILD — the
+  * invariant that makes build-once-probe-forever safe at 100 TB.
+  */
+class IndexStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_idxspec").toString
+
+  private val rnd = new Random(91)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+  private def sentence(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  /** Old corpus (ids 0-19, with an internal exact-dup pair) and a new
+    * batch (ids 100-104) containing: an exact dup of an old text, an
+    * exact dup WITHIN the batch, a near-dup of an old text, and novel
+    * text — every append merge case.
+    */
+  private lazy val (oldDocs, newDocs) = {
+    val base = (0 until 18).map(i => (i.toLong, sentence(30)))
+    val old = base ++ Seq((18L, base(3)._2), (19L, base(3)._2))
+    val nearOld = {
+      val w = base(5)._2.split(" "); w(10) = "CHANGED"; w.mkString(" ")
+    }
+    val neu = Seq(
+      (100L, base(7)._2),   // exact dup of old rep 7
+      (101L, sentence(30)), // novel
+      (102L, nearOld),      // near-dup of old 5 (novel TEXT → new group)
+      (103L, sentence(30)), // novel
+      (104L, base(7)._2))   // exact dup of old rep 7, same batch as 100
+    (old.toDF("doc_id", "text"), neu.toDF("doc_id", "text"))
+  }
+
+  /** Canonical table image: sorted row renderings (row order in parquet
+    * is layout, not semantics).
+    */
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def canonIndex(path: String, tables: Seq[String]): Map[String, Seq[String]] =
+    tables.map(t => t -> canon(spark.read.parquet(s"$path/$t"))).toMap
+
+  test("corpus index: append equals rebuild, table for table and probe for probe") {
+    val appended = tmp(); val rebuilt = tmp()
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", appended)
+    IndexStore.appendCorpusIndex(newDocs, "doc_id", "text", appended)
+    IndexStore.saveCorpusIndex(oldDocs.unionByName(newDocs), "doc_id", "text", rebuilt)
+    val ts = Seq("bands", "sets", "members")
+    assert(canonIndex(appended, ts) == canonIndex(rebuilt, ts),
+      "appended index tables must equal a from-scratch rebuild")
+    // and the probe surface agrees with the never-persisted operator
+    val probe = Seq((900L, oldDocs.as[(Long, String)].collect()(2)._2),
+      (901L, sentence(30))).toDF("doc_id", "text")
+    val viaLoaded = Dedup.minhashLSHJoinIndexed(probe,
+        IndexStore.loadCorpusIndex(spark, appended), "doc_id", "text")
+      .orderBy("new_id", "corpus_id")
+    val inline = Dedup.minhashLSHJoin(probe, oldDocs.unionByName(newDocs),
+        "doc_id", "text")
+      .orderBy("new_id", "corpus_id")
+    assert(viaLoaded.collect().toSeq == inline.collect().toSeq)
+    assert(viaLoaded.count() > 0, "probe fixture must actually match something")
+  }
+
+  test("corpus index: append merges exact-dup members under the existing rep") {
+    val path = tmp()
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", path)
+    IndexStore.appendCorpusIndex(newDocs, "doc_id", "text", path)
+    val members = spark.read.parquet(s"$path/members")
+      .as[(Long, Long)].collect().toSet
+    // 100 and 104 duplicate old doc 7's text → file under rep 7
+    assert(members.contains((7L, 100L)) && members.contains((7L, 104L)))
+    // near-dup text is a NEW group (exact merge only)
+    assert(members.contains((102L, 102L)))
+  }
+
+  test("corpus index: non-monotone append raises") {
+    val path = tmp()
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", path)
+    val clash = Seq((5L, sentence(20))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.appendCorpusIndex(clash, "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("monotone"))
+  }
+
+  test("corpus index: kind mismatch raises") {
+    val path = tmp()
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", path)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadVectorIndex(spark, path)
+    }
+    assert(e.getMessage.contains("expected 'vector'"))
+  }
+
+  // deterministic little embedding fixture: 3 clusters of near-parallel
+  // vectors + exact duplicates across the old/new split
+  private def vec(c: Int, j: Int): Seq[Double] =
+    (0 until 8).map(d => (if (d % 3 == c) 4.0 else 0.5) + j * 0.01)
+  private lazy val oldVecs = (0 until 12)
+    .map(i => (i.toLong, vec(i % 3, i / 3))).toDF("vec_id", "embedding")
+  private lazy val newVecs = Seq(
+    (100L, vec(0, 0)),  // exact dup of old vec 0
+    (101L, vec(1, 9)),  // novel, cluster 1
+    (102L, vec(2, 9)))  // novel, cluster 2
+    .toDF("vec_id", "embedding")
+
+  test("vector index: append equals rebuild; loaded lshTopK matches inline") {
+    val appended = tmp(); val rebuilt = tmp()
+    IndexStore.saveVectorIndex(oldVecs, "vec_id", "embedding", appended, dim = 8)
+    IndexStore.appendVectorIndex(newVecs, "vec_id", "embedding", appended)
+    IndexStore.saveVectorIndex(oldVecs.unionByName(newVecs), "vec_id",
+      "embedding", rebuilt, dim = 8)
+    val ts = Seq("blocks", "reps", "members")
+    assert(canonIndex(appended, ts) == canonIndex(rebuilt, ts))
+    val queries = oldVecs.where(col("vec_id") < 3)
+    val viaLoaded = Similarity.lshTopKIndexed(
+        IndexStore.loadVectorIndex(spark, appended), queries,
+        "vec_id", "embedding", dim = 8, k = 3)
+      .orderBy("query_id", "rank")
+    val inline = Similarity.lshTopK(oldVecs.unionByName(newVecs), queries,
+        "vec_id", "embedding", dim = 8, k = 3)
+      .orderBy("query_id", "rank")
+    assert(viaLoaded.collect().toSeq == inline.collect().toSeq)
+    assert(viaLoaded.count() > 0)
+  }
+
+  test("ivf: load(save) round-trips; append assigns with frozen centroids") {
+    val path = tmp()
+    val model = IvfIndex.build(oldVecs, "vec_id", "embedding", nLists = 3,
+      trainFraction = 1.0)
+    IndexStore.saveIvf(model, path)
+    val loaded = IndexStore.loadIvf(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+    assert(canon(loaded.assignments) == canon(model.assignments))
+    IndexStore.appendIvf(newVecs, "vec_id", "embedding", path)
+    val after = IndexStore.loadIvf(spark, path)
+    // append ≡ assigning the full corpus against the SAME centroids
+    val full = oldVecs.unionByName(newVecs)
+    val expected = IvfIndex.assign(full, "vec_id", "embedding", model.centroids)
+    assert(canon(after.assignments) == canon(expected))
+    // and search over the appended index equals search with that model
+    val got = IvfIndex.search(after, full, full.where(col("vec_id") < 2),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = IvfIndex.search(IvfIndex.Model(model.centroids, expected), full,
+        full.where(col("vec_id") < 2), "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("ivf: appending an existing id raises") {
+    val path = tmp()
+    IndexStore.saveIvf(
+      IvfIndex.build(oldVecs, "vec_id", "embedding", nLists = 2,
+        trainFraction = 1.0), path)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.appendIvf(oldVecs.limit(1), "vec_id", "embedding", path)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+}

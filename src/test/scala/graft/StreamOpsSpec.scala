@@ -209,6 +209,48 @@ class StreamOpsSpec extends SparkSuite {
     assert(!got.exists(_._1 == 2L))
   }
 
+  test("dedupGate over a LOADED persisted index: admission over a living corpus") {
+    // the end-to-end capstone a training pipeline actually runs: persist
+    // the corpus LSH index once (IndexStore), APPEND a corpus delta
+    // (including an exact dup that must merge under its existing rep),
+    // load, and gate a live stream against the loaded tables — output
+    // must equal the batch minhashLSHJoin over the merged corpus
+    import graft.streaming.StreamOps.Doc
+    import graft.operators.{Dedup, IndexStore}
+    val corpusV1 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "a completely different corpus document about catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (102L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 100
+      (103L, "spark structured streaming state stores and watermarks explained"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_gate_idx").toString
+    IndexStore.saveCorpusIndex(corpusV1, "doc_id", "text", path)
+    IndexStore.appendCorpusIndex(delta, "doc_id", "text", path)
+
+    val newRows = Seq(
+      Doc(1L, "the quick brown fox jumps over the lazy dog again and again now", ts(0)),
+      Doc(2L, "an entirely novel document matching nothing in the existing corpus", ts(1)),
+      Doc(3L, "spark structured streaming state stores and watermarks explained", ts(2)))
+    val input = MemoryStream[Doc]
+    val gated = StreamOps.dedupGateIndexed(input.toDF(),
+      IndexStore.loadCorpusIndex(spark, path), threshold = 0.5)
+    val got = runBatches(input, gated, OutputMode.Append(),
+        Seq(newRows.take(1), newRows.drop(1)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+
+    val want = Dedup.minhashLSHJoin(
+        newRows.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        corpusV1.unionByName(delta), "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(want.nonEmpty, "fixture must produce matches for the parity check")
+    assert(got == want, s"stream-over-loaded-index $got vs batch $want")
+    // the appended exact dup surfaces through the merged member table
+    assert(got.map(_._2).toSet.intersect(Set(100L, 102L)).size == 2)
+    assert(!got.exists(_._1 == 2L), "the novel doc is admitted (no row)")
+  }
+
   test("outlierGate: streaming flags equal the batch flag stage exactly") {
     // moments from a reference corpus (two groups, one with a clear σ)
     val corpus = (Seq.tabulate(60)(i => ("a", 10.0 + (i % 5))) ++
