@@ -15,7 +15,6 @@ run / fork := true
 // graft.Bench's contract is ONE clean JSON line on stdout, and sbt's
 // default logger prefix is exactly what defeated the driver's JSON
 // parser in rounds 1-4 (BENCH parsed: null).
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -1106,7 +1106,7 @@ object Queries {
   /** Shared synthesized-image geometry + pixel formula for doc `id` —
     * the single source the q57/q66 oracles replay; the 10× scale probe
     * reuses it so the probed geometry is exactly the certified one. */
-  private def imageGeom(id: Long): (Int, Int, (Int, Int) => (Int, Int, Int)) = {
+  private[graft] def imageGeom(id: Long): (Int, Int, (Int, Int) => (Int, Int, Int)) = {
     val w = (8 + id % 8).toInt
     val h = (8 + id % 5).toInt
     def px(x: Int, y: Int) = (
@@ -1129,6 +1129,21 @@ object Queries {
   private[graft] def pngAssetFor(id: Long): Multimodal.MediaAsset = {
     val (w, h, px) = imageGeom(id)
     Multimodal.MediaAsset(id, "image", Multimodal.encodePng(w, h, px))
+  }
+
+  /** Same geometry/pixels through the LOSSY JPEG encoder at a fixed
+    * quality. Everything about the pixel VALUES is decoder-dependent
+    * after this, so q87's oracle pins them via the committed golden
+    * table instead of the formula ([[graft.tools.JpegGolden]]); the
+    * geometry period is lcm(256, 40) = 1280 (pixel formula reduces mod
+    * 256, w/h mod 8/5), so golden row `doc_id % 1280` covers every doc
+    * id at every scale factor.
+    */
+  private[graft] val JpegQuality = 0.9f
+  private[graft] val JpegGeomPeriod = 1280L
+  private[graft] def jpegAssetFor(id: Long): Multimodal.MediaAsset = {
+    val (w, h, px) = imageGeom(id)
+    Multimodal.MediaAsset(id, "image", Multimodal.encodeJpeg(w, h, px, JpegQuality))
   }
 
   private def imageStatsFrom(s: SparkSession, dir: String,
@@ -1194,6 +1209,45 @@ object Queries {
   // identical pixel-formula replay; the only difference is that the
   // Spark side went through a real zlib-compressed codec to get there
   val pngDecodeSql: String = imageStatsOracleSql("'png'")
+
+  /** q87: the q66 pipeline through the LOSSY JPEG codec (the dominant
+    * web-corpus format; JDK-builtin reader, still no external codec).
+    * The oracle splits by what is knowable: dimensions and format come
+    * from the exact formula (verifying the Spark side's pre-ImageIO SOF
+    * marker parse), while decoded luma/edge stats and encoder byte
+    * length — decoder/encoder properties, unreproducible by formula —
+    * join from the COMMITTED golden table ([[graft.tools.JpegGolden]]).
+    * A JDK codec change breaks the hash match loudly, which is the pin
+    * working as designed.
+    */
+  def jpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(jpegAssetFor _)
+    val lens = assets.map(a => (a.asset_id, a.media.length.toLong))
+      .toDF("asset_id", "byte_len")
+    Multimodal.imageStats(assets)
+      .join(lens, Seq("asset_id"))
+      .select(col("asset_id"), col("format"), col("width"), col("height"),
+        col("byte_len"),
+        round(col("luma_sum").cast("double") /
+          (lit(255000.0) * col("n_pixels")), 6).as("mean_luma"),
+        round(col("edge_count").cast("double") /
+          col("h_pairs").cast("double"), 6).as("edge_density"))
+      .orderBy("asset_id")
+  }
+
+  val jpegDecodeSql: String =
+    s"""WITH img AS (SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w,
+       |                    CAST(8 + doc_id % 5 AS INT) AS h FROM documents),
+       |g AS (SELECT * FROM read_parquet(
+       |        '/root/repo/fixtures/jpeg_golden.parquet/*.parquet'))
+       |SELECT i.doc_id AS asset_id, 'jpeg' AS format,
+       |  i.w AS width, i.h AS height, g.byte_len,
+       |  round(CAST(g.luma_sum AS DOUBLE) / (255000.0E0 * (i.w * i.h)), 6) AS mean_luma,
+       |  round(CAST(g.edge_count AS DOUBLE) / CAST((i.w - 1) * i.h AS DOUBLE), 6) AS edge_density
+       |FROM img i JOIN g ON g.gid = i.doc_id % $JpegGeomPeriod
+       |ORDER BY asset_id""".stripMargin
 
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(s,
@@ -2722,7 +2776,8 @@ object Queries {
     "q83_normalize" -> normalizeEvents _,
     "q84_dedup_index_load" -> dedupIndexLoad _,
     "q85_ann_index_load" -> annIndexLoad _,
-    "q86_ivf_index_load" -> ivfIndexLoad _)
+    "q86_ivf_index_load" -> ivfIndexLoad _,
+    "q87_jpeg_decode" -> jpegDecode _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2809,5 +2864,6 @@ object Queries {
     "q83_normalize" -> normalizeEventsSql,
     "q84_dedup_index_load" -> dedupIncrementalSql,
     "q85_ann_index_load" -> simAnnLshSql,
-    "q86_ivf_index_load" -> simIvfProbeSql)
+    "q86_ivf_index_load" -> simIvfProbeSql,
+    "q87_jpeg_decode" -> jpegDecodeSql)
 }

@@ -273,11 +273,64 @@ object Multimodal {
     }
   }
 
-  /** Image dispatch on magic bytes: BMP, PPM, PNG, else None. */
+  /** REAL decoder for JPEG via the same JDK `javax.imageio` route as
+    * [[decodePng]] — the JDK ships a JPEG reader, so the dominant
+    * web-corpus image format needs no external codec either. JPEG is
+    * LOSSY: unlike BMP/PPM/PNG the decoded pixels are a property of the
+    * DECODER (IDCT rounding), not only of the encoder's input — so its
+    * stats are pinned by a committed golden table (fixtures/
+    * jpeg_golden.parquet, regenerable via `runMain graft.tools.JpegGolden`)
+    * rather than replayed from a pixel formula; DIMENSIONS are exact
+    * and parsed from the SOF marker below before ImageIO allocates
+    * (same decompression-bomb cap as PNG). Returns None on anything
+    * malformed — stub fallback, never a failed task.
+    */
+  def decodeJpeg(media: Array[Byte]): Option[ImageStats] = {
+    if (media.length < 4 ||
+        (media(0) & 0xff) != 0xFF || (media(1) & 0xff) != 0xD8) return None
+    def be16(o: Int) = ((media(o) & 0xff) << 8) | (media(o + 1) & 0xff)
+    // walk the marker list to SOFn for dimensions BEFORE ImageIO touches
+    // the stream (bomb cap); SOF always precedes SOS, and a corrupt
+    // stream that reaches entropy-coded bytes fails the 0xFF check below
+    var off = 2
+    var dims: Option[(Int, Int)] = None
+    while (dims.isEmpty && off + 4 <= media.length) {
+      if ((media(off) & 0xff) != 0xFF) return None
+      val m = media(off + 1) & 0xff
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) off += 2 // standalone markers
+      else {
+        val len = be16(off + 2)
+        if (len < 2 || off.toLong + 2 + len > media.length) return None
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          if (len < 9) return None
+          dims = Some((be16(off + 7), be16(off + 5))) // SOF: height first
+        }
+        off += 2 + len
+      }
+    }
+    dims match {
+      case Some((w, h)) if w > 0 && h > 0 && w.toLong * h <= MaxPngPixels =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+          if (img == null || img.getWidth != w || img.getHeight != h) None
+          else Some(scanRows("jpeg", w, h) { (x, y) =>
+            val argb = img.getRGB(x, y)
+            ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+          })
+        } catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Image dispatch on magic bytes: BMP, PPM, PNG, JPEG, else None. */
   def decodeImage(media: Array[Byte]): Option[ImageStats] =
     if (media.length >= 2 && media(0) == 'B' && media(1) == 'M') decodeBmp(media)
     else if (media.length >= 2 && media(0) == 'P' && media(1) == '6') decodePpm(media)
     else if (media.length >= 4 && media(0) == PngMagic(0) && media(1) == 'P') decodePng(media)
+    else if (media.length >= 3 && (media(0) & 0xff) == 0xFF &&
+      (media(1) & 0xff) == 0xD8) decodeJpeg(media)
     else None
 
   /** Fixture/test encoder: uncompressed 24-bit bottom-up BMP from a
@@ -349,6 +402,43 @@ object Multimodal {
     }
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Fixture/test encoder: JPEG from a pixel function via the JDK
+    * ImageIO writer at an explicit quality. Lossy BOTH ways: the bytes
+    * depend on the encoder version AND the decoded pixels depend on the
+    * decoder — which is exactly why the q87 oracle pins decoded stats
+    * with a committed golden table instead of a formula replay.
+    */
+  def encodeJpeg(
+      w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      quality: Float = 0.9f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     baos.toByteArray
   }
 

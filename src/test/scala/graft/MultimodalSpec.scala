@@ -177,6 +177,53 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeImage(bomb).isEmpty, "bomb header must be rejected")
   }
 
+  test("jpeg decode: exact dimensions from SOF, plausible lossy pixel stats") {
+    def px(x: Int, y: Int) = ((x * 37 + y * 11) % 256, (x + y * 71) % 256, (x * 5) % 256)
+    val bytes = Multimodal.encodeJpeg(9, 7, px, quality = 0.9f)
+    val Some(j) = Multimodal.decodeImage(bytes)
+    assert(j.format == "jpeg" && j.width == 9 && j.height == 7)
+    assert(j.nPixels == 63 && j.hPairs == 56)
+    // lossy but REAL: mean luma must land near the lossless truth (the
+    // stub, by contrast, produces no ImageStats at all — reaching here
+    // proves the codec path ran; the tolerance bounds IDCT error)
+    val Some(truth) = Multimodal.decodeImage(Multimodal.encodeBmp(9, 7, px))
+    val meanJ = j.lumaSum.toDouble / (255000.0 * j.nPixels)
+    val meanT = truth.lumaSum.toDouble / (255000.0 * truth.nPixels)
+    assert(math.abs(meanJ - meanT) < 0.05,
+      s"decoded mean luma $meanJ too far from lossless $meanT")
+    // determinism within one JVM: same bytes, same stats (the q87
+    // golden-pin contract)
+    assert(Multimodal.decodeImage(bytes) == Some(j))
+  }
+
+  test("corrupt jpeg falls back to None/stub, never crashes; bomb header rejected") {
+    val good = Multimodal.encodeJpeg(6, 5, (_, _) => (9, 9, 9))
+    Seq[Array[Byte]](
+      good.take(2), // bare SOI
+      good.take(good.length / 2), // truncated mid-entropy
+      { val c = good.clone(); c(c.length / 3) = 0x55; c }).foreach { c =>
+      val r = try Multimodal.decodeImage(c) catch {
+        case e: Throwable => fail(s"decodeJpeg threw ${e.getClass.getName}")
+      }
+      r.foreach(s => assert(s.format == "jpeg"))
+    }
+    // decompression bomb: rewrite the SOF dims to 20000x20000 — must be
+    // rejected from the marker walk, before ImageIO allocates a raster
+    val bomb = good.clone()
+    var off = 2
+    var sof = -1
+    while (sof < 0 && off + 4 <= bomb.length) {
+      val m = bomb(off + 1) & 0xff
+      val len = ((bomb(off + 2) & 0xff) << 8) | (bomb(off + 3) & 0xff)
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) sof = off
+      else off += 2 + len
+    }
+    assert(sof > 0, "fixture jpeg must contain a SOF marker")
+    bomb(sof + 5) = 0x4E; bomb(sof + 6) = 0x20 // height 20000
+    bomb(sof + 7) = 0x4E; bomb(sof + 8) = 0x20 // width 20000
+    assert(Multimodal.decodeJpeg(bomb).isEmpty)
+  }
+
   test("documentFeatures wires the documents table shape end-to-end") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val out = Multimodal.documentFeatures(spark, docs).collect().sortBy(_.asset_id)
