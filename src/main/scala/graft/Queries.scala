@@ -2495,6 +2495,84 @@ object Queries {
       |   ORDER BY epoch_ns(v.ts) // 1000 ASC, v.event_id ASC LIMIT 1) AS view_after
       |FROM events c WHERE c.event_type = 'click' ORDER BY click_id""".stripMargin
 
+  /** q88: the STRICT-inequality as-of pair (pandas merge_asof
+    * `allow_exact_matches=False`) — the contract trade joins hit
+    * immediately (a quote AT the trade's own timestamp must not match
+    * itself). Same union+window plan as q79; strictness is purely the
+    * equal-ts sort order. Oracle: q79's correlated-subquery replay with
+    * `<`/`>` in place of `<=`/`>=`.
+    */
+  def asofStrict(s: SparkSession, dir: String): DataFrame = {
+    val tolMicros = 300000000L // 5 min
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    val clicks = ev.where(col("event_type") === "click")
+    val views = ev.where(col("event_type") === "view")
+    val back = AsOfJoin.latestAsOf(clicks, views, "user_id", "ts", "event_id",
+        tolerance = tolMicros, allowExactMatches = false)
+      .select(col("left_id").as("click_id"), col("as_of_id").as("view_before"))
+    val fwd = AsOfJoin.nextAsOf(clicks, views, "user_id", "ts", "event_id",
+        tolerance = tolMicros, allowExactMatches = false)
+      .select(col("left_id").as("click_id"), col("as_of_id").as("view_after"))
+    back.join(fwd, Seq("click_id")).orderBy("click_id")
+  }
+
+  val asofStrictSql: String =
+    """SELECT c.event_id AS click_id,
+      |  (SELECT v.event_id FROM events v
+      |   WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      |     AND epoch_ns(v.ts) // 1000 < epoch_ns(c.ts) // 1000
+      |     AND epoch_ns(c.ts) // 1000 - epoch_ns(v.ts) // 1000 <= 300000000
+      |   ORDER BY epoch_ns(v.ts) // 1000 DESC, v.event_id DESC LIMIT 1) AS view_before,
+      |  (SELECT v.event_id FROM events v
+      |   WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      |     AND epoch_ns(v.ts) // 1000 > epoch_ns(c.ts) // 1000
+      |     AND epoch_ns(v.ts) // 1000 - epoch_ns(c.ts) // 1000 <= 300000000
+      |   ORDER BY epoch_ns(v.ts) // 1000 ASC, v.event_id ASC LIMIT 1) AS view_after
+      |FROM events c WHERE c.event_type = 'click' ORDER BY click_id""".stripMargin
+
+  /** q89: direction='nearest' (pandas tie rule: backward wins an exact
+    * distance tie) — unbounded inclusive in one column, strict with a
+    * 5-minute tolerance in the other, so the tie rule, both tolerance
+    * filters, and the strict sort all sit under the hash. Oracle: one
+    * correlated subquery per column ordered by (|Δt|, side, id-within-
+    * side) — the literal nearest definition.
+    */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val tolMicros = 300000000L // 5 min
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    val clicks = ev.where(col("event_type") === "click")
+    val views = ev.where(col("event_type") === "view")
+    val near = AsOfJoin.nearestAsOf(clicks, views, "user_id", "ts", "event_id")
+      .select(col("left_id").as("click_id"), col("as_of_id").as("nearest_view"))
+    val nearStrict = AsOfJoin.nearestAsOf(clicks, views, "user_id", "ts",
+        "event_id", tolerance = tolMicros, allowExactMatches = false)
+      .select(col("left_id").as("click_id"),
+        col("as_of_id").as("nearest_view_strict"))
+    near.join(nearStrict, Seq("click_id")).orderBy("click_id")
+  }
+
+  val asofNearestSql: String =
+    """SELECT c.event_id AS click_id,
+      |  (SELECT v.event_id FROM events v
+      |   WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      |   ORDER BY abs(epoch_ns(v.ts) // 1000 - epoch_ns(c.ts) // 1000) ASC,
+      |     (CASE WHEN epoch_ns(v.ts) // 1000 <= epoch_ns(c.ts) // 1000
+      |           THEN 0 ELSE 1 END) ASC,
+      |     (CASE WHEN epoch_ns(v.ts) // 1000 <= epoch_ns(c.ts) // 1000
+      |           THEN -v.event_id ELSE v.event_id END) ASC
+      |   LIMIT 1) AS nearest_view,
+      |  (SELECT v.event_id FROM events v
+      |   WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      |     AND epoch_ns(v.ts) // 1000 <> epoch_ns(c.ts) // 1000
+      |     AND abs(epoch_ns(v.ts) // 1000 - epoch_ns(c.ts) // 1000) <= 300000000
+      |   ORDER BY abs(epoch_ns(v.ts) // 1000 - epoch_ns(c.ts) // 1000) ASC,
+      |     (CASE WHEN epoch_ns(v.ts) // 1000 < epoch_ns(c.ts) // 1000
+      |           THEN 0 ELSE 1 END) ASC,
+      |     (CASE WHEN epoch_ns(v.ts) // 1000 < epoch_ns(c.ts) // 1000
+      |           THEN -v.event_id ELSE v.event_id END) ASC
+      |   LIMIT 1) AS nearest_view_strict
+      |FROM events c WHERE c.event_type = 'click' ORDER BY click_id""".stripMargin
+
   /** Two-table interval join ([[IntervalJoin.overlapJoin]]): lineitem
     * transit windows × the parent order's opening week, keyed by order
     * — "which shipments were in flight while the order was fresh",
@@ -2777,7 +2855,9 @@ object Queries {
     "q84_dedup_index_load" -> dedupIndexLoad _,
     "q85_ann_index_load" -> annIndexLoad _,
     "q86_ivf_index_load" -> ivfIndexLoad _,
-    "q87_jpeg_decode" -> jpegDecode _)
+    "q87_jpeg_decode" -> jpegDecode _,
+    "q88_asof_strict" -> asofStrict _,
+    "q89_asof_nearest" -> asofNearest _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2865,5 +2945,7 @@ object Queries {
     "q84_dedup_index_load" -> dedupIncrementalSql,
     "q85_ann_index_load" -> simAnnLshSql,
     "q86_ivf_index_load" -> simIvfProbeSql,
-    "q87_jpeg_decode" -> jpegDecodeSql)
+    "q87_jpeg_decode" -> jpegDecodeSql,
+    "q88_asof_strict" -> asofStrictSql,
+    "q89_asof_nearest" -> asofNearestSql)
 }

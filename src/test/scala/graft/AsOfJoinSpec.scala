@@ -42,6 +42,43 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got == Map(10L -> Some(1L), 11L -> None))
   }
 
+  test("allowExactMatches=false: an equal-ts right row is invisible") {
+    val left = Seq((1L, 100L, 10L), (1L, 101L, 11L)).toDF("k", "t", "id")
+    val right = Seq((1L, 100L, 1L), (1L, 90L, 2L)).toDF("k", "t", "id")
+    val strict = AsOfJoin.latestAsOf(left, right, "k", "t", "id",
+        allowExactMatches = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // at ts 100 the equal-ts quote must NOT match itself-in-time; the
+    // 90 row does. At 101 the 100 row is strictly before and matches.
+    assert(strict == Map(10L -> 2L, 11L -> 1L))
+    val strictF = AsOfJoin.nextAsOf(left, right, "k", "t", "id",
+        allowExactMatches = false)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(strictF == Map(10L -> None, 11L -> None))
+  }
+
+  test("nearestAsOf: closer side wins; backward wins exact-distance ties") {
+    val left = Seq(
+      (1L, 100L, 10L), // back at 97 (d=3), fwd at 105 (d=5) -> back
+      (1L, 200L, 11L), // back at 190 (d=10), fwd at 205 (d=5) -> fwd
+      (1L, 300L, 12L), // back at 295 (d=5), fwd at 305 (d=5) -> TIE -> back
+      (2L, 50L, 13L)   // only a forward row
+    ).toDF("k", "t", "id")
+    val right = Seq(
+      (1L, 97L, 1L), (1L, 105L, 2L), (1L, 190L, 3L), (1L, 205L, 4L),
+      (1L, 295L, 5L), (1L, 305L, 6L), (2L, 60L, 7L)
+    ).toDF("k", "t", "id")
+    val got = AsOfJoin.nearestAsOf(left, right, "k", "t", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 4L, 12L -> 5L, 13L -> 7L))
+    // tolerance prunes both sides independently
+    val tol = AsOfJoin.nearestAsOf(left, right, "k", "t", "id", tolerance = 4L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(tol == Map(10L -> Some(1L), 11L -> None, 12L -> None, 13L -> None))
+  }
+
   test("nextAsOf: earliest at-or-after, lowest id at equal ts, tolerance") {
     val left = Seq(
       (1L, 100L, 10L), // next right at 100 (inclusive): ids 1,7,3 -> 1

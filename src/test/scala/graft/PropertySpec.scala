@@ -210,6 +210,51 @@ class PropertySpec extends SparkSuite {
         assert(back(l._3) == bruteBack(l), s"trial $trial back tol=$tol left=$l")
         assert(fwd(l._3) == bruteFwd(l), s"trial $trial fwd tol=$tol left=$l")
       }
+
+      // strict (allowExactMatches = false) and nearest, same brute force
+      def bruteBackS(l: (Long, Long, Long)): Option[(Long, Long)] =
+        right.filter(r => r._1 == l._1 && r._2 < l._2 &&
+            (tol < 0 || l._2 - r._2 <= tol))
+          .sortBy(r => (-r._2, -r._3)).headOption.map(r => (l._2 - r._2, r._3))
+      def bruteFwdS(l: (Long, Long, Long)): Option[(Long, Long)] =
+        right.filter(r => r._1 == l._1 && r._2 > l._2 &&
+            (tol < 0 || r._2 - l._2 <= tol))
+          .sortBy(r => (r._2, r._3)).headOption.map(r => (r._2 - l._2, r._3))
+      def bruteNearest(
+          b: Option[(Long, Long)], f: Option[(Long, Long)]): Option[Long] =
+        (b, f) match {
+          case (Some((db, ib)), Some((df, _))) if db <= df => Some(ib) // backward wins ties
+          case (_, Some((_, if_))) => Some(if_)
+          case (Some((_, ib)), None) => Some(ib)
+          case _ => None
+        }
+      def collectMap(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+        df.collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val backS = collectMap(AsOfJoin.latestAsOf(ldf, rdf, "k", "t", "id",
+        tol, allowExactMatches = false))
+      val fwdS = collectMap(AsOfJoin.nextAsOf(ldf, rdf, "k", "t", "id",
+        tol, allowExactMatches = false))
+      val near = collectMap(AsOfJoin.nearestAsOf(ldf, rdf, "k", "t", "id", tol))
+      val nearS = collectMap(AsOfJoin.nearestAsOf(ldf, rdf, "k", "t", "id",
+        tol, allowExactMatches = false))
+      left.foreach { l =>
+        assert(backS(l._3) == bruteBackS(l).map(_._2),
+          s"trial $trial backStrict tol=$tol left=$l")
+        assert(fwdS(l._3) == bruteFwdS(l).map(_._2),
+          s"trial $trial fwdStrict tol=$tol left=$l")
+        // inclusive nearest composes the INCLUSIVE candidates
+        val bI = right.filter(r => r._1 == l._1 && r._2 <= l._2 &&
+            (tol < 0 || l._2 - r._2 <= tol))
+          .sortBy(r => (-r._2, -r._3)).headOption.map(r => (l._2 - r._2, r._3))
+        val fI = right.filter(r => r._1 == l._1 && r._2 >= l._2 &&
+            (tol < 0 || r._2 - l._2 <= tol))
+          .sortBy(r => (r._2, r._3)).headOption.map(r => (r._2 - l._2, r._3))
+        assert(near(l._3) == bruteNearest(bI, fI),
+          s"trial $trial nearest tol=$tol left=$l")
+        assert(nearS(l._3) == bruteNearest(bruteBackS(l), bruteFwdS(l)),
+          s"trial $trial nearestStrict tol=$tol left=$l")
+      }
     }
   }
 }
