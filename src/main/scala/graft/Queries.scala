@@ -1764,6 +1764,59 @@ object Queries {
        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed
        |FROM p WHERE cum <= 2000 GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q90: q60's token-budget packing with the REAL trained BPE subword
+    * tokenizer ([[graft.functions.Bpe]]) supplying the budget math —
+    * token totals now match what a subword-tokenized LLM would see, not
+    * the whitespace-word estimate. The Spark side encodes every doc for
+    * real (greedy merges over the committed fixtures/bpe_merges table);
+    * DuckDB cannot replay an iterative merge loop, so the oracle joins
+    * exploded words against the committed word→n_bpe vocabulary table
+    * ([[graft.tools.BpeTrain]] — closed over the testdata by
+    * construction; an OOV word would surface as a hash mismatch, the
+    * pin failing loudly). Budget 4000: subword counts run ~2× word
+    * counts on this corpus, keeping the packing selective.
+    */
+  def bpeBudget(s: SparkSession, dir: String): DataFrame = {
+    val bpe = graft.functions.Bpe.load(s, "/root/repo/fixtures/bpe_merges.parquet")
+    val cnt = graft.functions.Bpe.countUdf(bpe)
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        cnt(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    CorpusPrep.packByBudget(d, "lang", "quality", "doc_id", "n_tokens", 4000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_packed"))
+      .orderBy("lang")
+  }
+
+  val bpeBudgetSql: String =
+    s"""WITH tok AS (SELECT doc_id, lang, text, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |bp AS (SELECT word, n_bpe FROM read_parquet(
+       |        '/root/repo/fixtures/bpe_words.parquet/*.parquet')),
+       |w AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+       |cnt AS (SELECT w.doc_id, SUM(bp.n_bpe) AS n_bpe
+       |        FROM w JOIN bp ON bp.word = w.word GROUP BY w.doc_id),
+       |m AS (
+       |  SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
+       |    $punctStopSqlExprs
+       |  FROM tok),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |    $qualitySqlExpr AS quality
+       |  FROM m),
+       |p AS (
+       |  SELECT q.doc_id, q.lang, q.quality,
+       |    COALESCE(cnt.n_bpe, 0) AS n_bpe,
+       |    SUM(COALESCE(cnt.n_bpe, 0)) OVER (
+       |      PARTITION BY q.lang ORDER BY q.quality DESC, q.doc_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM q LEFT JOIN cnt ON cnt.doc_id = q.doc_id)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_bpe) AS BIGINT) AS tokens_packed
+       |FROM p WHERE cum <= 4000 GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Map-typed columns: build a map from event fields, explode its
     * entries, aggregate per key — the map-column shape (creation +
     * entry explode) that JSON extraction (q07) does not cover.
@@ -2857,7 +2910,8 @@ object Queries {
     "q86_ivf_index_load" -> ivfIndexLoad _,
     "q87_jpeg_decode" -> jpegDecode _,
     "q88_asof_strict" -> asofStrict _,
-    "q89_asof_nearest" -> asofNearest _)
+    "q89_asof_nearest" -> asofNearest _,
+    "q90_bpe_budget" -> bpeBudget _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -2947,5 +3001,6 @@ object Queries {
     "q86_ivf_index_load" -> simIvfProbeSql,
     "q87_jpeg_decode" -> jpegDecodeSql,
     "q88_asof_strict" -> asofStrictSql,
-    "q89_asof_nearest" -> asofNearestSql)
+    "q89_asof_nearest" -> asofNearestSql,
+    "q90_bpe_budget" -> bpeBudgetSql)
 }

@@ -93,6 +93,14 @@ object CorpusPrep {
     * chunk counts derive from arithmetic, not iteration. The integer
     * `div` keeps chunk counts exact and replayable by an external
     * engine.
+    *
+    * @param tokensOf  the tokenizer, as a column transform (default:
+    *        whitespace words). Pass
+    *        `graft.functions.Bpe.bpeTokens(bpe)` to chunk by trained
+    *        SUBWORD tokens instead — windows then hold `chunkTokens`
+    *        model tokens, the unit a training sequence is actually
+    *        measured in. Everything downstream (window arithmetic,
+    *        chunk_fp) is tokenizer-agnostic.
     */
   def chunk(
       df: DataFrame,
@@ -100,7 +108,9 @@ object CorpusPrep {
       textCol: String,
       chunkTokens: Int = 50,
       overlap: Int = 10,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil,
+      tokensOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextFunctions.tokens(_)): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "need 0 <= overlap < chunkTokens")
     val internal = Set("id", "toks", "n_tokens", "n_chunks", "chunk_idx",
@@ -111,7 +121,7 @@ object CorpusPrep {
     val step = chunkTokens - overlap
     val carried = carryCols.map(col)
     df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id") +: TextFunctions.tokens(col(textCol)).as("toks") +:
+      .select(col(idCol).as("id") +: tokensOf(col(textCol)).as("toks") +:
         carried: _*)
       .withColumn("n_tokens", size(col("toks")))
       .where(col("n_tokens") > 0)
