@@ -2213,6 +2213,75 @@ object Queries {
        |  CAST(SUM(chunk_len) AS BIGINT) AS chunk_tokens
        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q91: q70's release pipeline written ENTIRELY in `spark.sql` — the
+    * proof that a SQL-first user can run the flagship composition (gate
+    * → fingerprint dedup → decontamination → chunking → accounting)
+    * without touching the Scala API. Text kernels are spelled in SQL
+    * (the quality/lang formulas are deliberately SQL-expressible, the
+    * repo's own oracle-replayability rule) and the 8-gram build uses
+    * the INJECTED native function `graft_shingles` (GraftExtensions) —
+    * the custom-expression SQL surface carrying the flagship path.
+    * Same oracle as q70: the two must hash-identically.
+    */
+  def pipelineSqlTwin(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.register(s) // idempotent; covers bare sessions
+    t(s, dir, "documents").createOrReplaceTempView("graft_docs_v")
+    val stop10 = TextFunctions.StopwordsEn.map(w => s"'$w'").mkString(", ")
+    val langCnt = TextFunctions.LangStopwords.map { case (code, ws) =>
+      s"size(filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS c_$code"
+    }.mkString(",\n    ")
+    s.sql(
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, text,
+         |    filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0) AS toks
+         |  FROM graft_docs_v WHERE text IS NOT NULL AND doc_id >= 100),
+         |m AS (
+         |  SELECT *, size(toks) AS n_tokens,
+         |    round(CAST(regexp_count(text, '[^A-Za-z0-9\\\\s]') AS DOUBLE) /
+         |          greatest(length(text), 1), 4) AS punct,
+         |    size(filter(toks, x -> x IN ($stop10))) AS stop_n,
+         |    $langCnt
+         |  FROM tok),
+         |q AS (
+         |  SELECT doc_id, lang, text, toks, n_tokens,
+         |    CAST(floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 +
+         |      least(round(CAST(stop_n AS DOUBLE) / greatest(n_tokens, 1), 4) * 5.0, 1.0) * 0.3 +
+         |      (1.0 - punct) * 0.2) * 10000) AS DOUBLE) / 10000 AS quality,
+         |    CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+         |         WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+         |         WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+         |         WHEN c_fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess
+         |  FROM m),
+         |f AS (
+         |  SELECT *, md5(concat_ws(' ', array_sort(array_distinct(toks)))) AS fp
+         |  FROM q WHERE n_tokens >= 10 AND quality >= 0.3 AND lang_guess <> 'und'),
+         |s AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+         |    FROM f) WHERE rn = 1),
+         |evg AS (
+         |  SELECT DISTINCT explode(graft_shingles(text, 8)) AS g
+         |  FROM graft_docs_v
+         |  WHERE text IS NOT NULL AND doc_id < 100
+         |    AND size(filter(split(lower(trim(text)), '\\\\s+'),
+         |             x -> length(x) > 0)) >= 8),
+         |sg AS (SELECT doc_id, explode(graft_shingles(text, 8)) AS g FROM s),
+         |dirty AS (SELECT DISTINCT sg.doc_id FROM sg JOIN evg ON sg.g = evg.g),
+         |rel AS (SELECT * FROM s WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |k AS (
+         |  SELECT doc_id, lang, toks,
+         |    (greatest(n_tokens - 10, 1) + 39) div 40 AS n_chunks
+         |  FROM rel),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    size(slice(toks, CAST(chunk_idx * 40 + 1 AS INT), 50)) AS chunk_len
+         |  FROM (SELECT doc_id, lang, toks,
+         |          explode(sequence(0, n_chunks - 1)) AS chunk_idx FROM k))
+         |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+         |  SUM(CAST(chunk_len AS BIGINT)) AS chunk_tokens
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   /** Histogram-quantile sketch ([[Sketches.histState]]/
     * [[Sketches.histQuantiles]]): p50/p90/p99 of lineitem extended
     * price per return flag from a mergeable equi-width histogram
@@ -2911,7 +2980,8 @@ object Queries {
     "q87_jpeg_decode" -> jpegDecode _,
     "q88_asof_strict" -> asofStrict _,
     "q89_asof_nearest" -> asofNearest _,
-    "q90_bpe_budget" -> bpeBudget _)
+    "q90_bpe_budget" -> bpeBudget _,
+    "q91_pipeline_sql" -> pipelineSqlTwin _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3002,5 +3072,6 @@ object Queries {
     "q87_jpeg_decode" -> jpegDecodeSql,
     "q88_asof_strict" -> asofStrictSql,
     "q89_asof_nearest" -> asofNearestSql,
-    "q90_bpe_budget" -> bpeBudgetSql)
+    "q90_bpe_budget" -> bpeBudgetSql,
+    "q91_pipeline_sql" -> pipelineReleaseSql)
 }
