@@ -54,6 +54,12 @@ object CorpusPrep {
     * cumulative sum over the stratum ordering, filter on the inclusive
     * prefix total — no iteration, no driver state, deterministic for a
     * deterministic ordering.
+    *
+    * Boundedness contract (PlanSpec-asserted): the window is PARTITIONED
+    * by the stratum key — never global — so the sort is per-stratum and
+    * parallelism equals the stratum count. A single giant stratum is the
+    * caller's dial: split it (e.g. lang × source shard) before packing,
+    * exactly as one would for any per-group sort.
     */
   def packByBudget(
       df: DataFrame,

@@ -108,6 +108,41 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"))
   }
 
+  test("global-frame windows are provably bounded: q65 aggregate-grain, q60 stratified") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // q65's 7-day RANGE window has NO partition key — legal only
+    // because its input is the day-grain AGGREGATE (row count bounded
+    // by the calendar, not the data). Assert that bound in the plan
+    // tree itself: every window without a partitionSpec must have an
+    // Aggregate somewhere below it.
+    val q65 = Queries.all("q65_rolling_revenue")(spark, sf)
+      .queryExecution.optimizedPlan
+    val q65Windows = q65.collect { case w: logical.Window => w }
+    assert(q65Windows.nonEmpty, "q65 must plan a window")
+    q65Windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collect { case a: logical.Aggregate => a }.nonEmpty,
+        s"unpartitioned window must consume aggregate-grain input:\n$q65")
+    }
+    // q64's gap-fill windows carry the same calendar bound
+    val q64 = Queries.all("q64_gap_fill")(spark, sf).queryExecution.optimizedPlan
+    q64.collect { case w: logical.Window if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(w.child.collect { case a: logical.Aggregate => a }.nonEmpty,
+          s"q64 unpartitioned window must consume aggregate-grain input:\n$q64")
+      }
+    // q60's cumulative-sum window is per-row, so it MUST be partitioned
+    // (by the stratum key) — a global per-row window would funnel the
+    // corpus through one task. row_number-based ops inherit this guard.
+    val q60 = Queries.all("q60_token_budget")(spark, sf)
+      .queryExecution.optimizedPlan
+    val q60Windows = q60.collect { case w: logical.Window => w }
+    assert(q60Windows.nonEmpty, "q60 must plan a window")
+    q60Windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"budget-pack window must be stratum-partitioned, never global:\n$q60")
+    }
+  }
+
   test("q57 image decode stays a single narrow pass before the sort") {
     val p = plan("q57_image_decode")
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
