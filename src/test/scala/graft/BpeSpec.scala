@@ -89,6 +89,27 @@ class BpeSpec extends SparkSuite {
       "the bounded vocab must actually split some words into subwords")
   }
 
+  test("committed word table COVERS every testdata scale factor (q90 oracle closure)") {
+    // q90's oracle joins exploded words against the committed vocab; a
+    // word present in any SF's documents but absent from the table
+    // would silently undercount on the oracle side. Closure is a data
+    // property, so pin it here against the actual testdata.
+    val vocab = spark.read.parquet("/root/repo/fixtures/bpe_words.parquet")
+      .select("word")
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val missing = spark.read
+        .parquet(s"/root/testdata/$sf/documents.parquet")
+        .where(col("text").isNotNull)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .distinct()
+        .join(vocab, Seq("word"), "left_anti")
+        .collect()
+      assert(missing.isEmpty,
+        s"$sf has words outside the committed vocab: ${missing.mkString(", ")} " +
+          "— rerun graft.tools.BpeTrain")
+    }
+  }
+
   test("chunk with the BPE tokenizer: windows hold subword tokens") {
     import graft.operators.CorpusPrep
     val bpe = Bpe.load(spark, "/root/repo/fixtures/bpe_merges.parquet")

@@ -124,4 +124,31 @@ class EmptyInputSpec extends SparkSuite {
       .agg(TopKAgg.topK(col("s"), col("id"), 3).as("top"))
     assert(topk.count() == 0)
   }
+
+  test("round-5 operator family: empty inputs stay empty, not crashed") {
+    // nearest as-of: empty left = empty; empty right = null matches
+    val emptyTs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType), StructField("t", LongType),
+        StructField("id", LongType))))
+    val ts = Seq((1L, 5L, 9L)).toDF("k", "t", "id")
+    assert(AsOfJoin.nearestAsOf(emptyTs, ts, "k", "t", "id").count() == 0)
+    val lone = AsOfJoin.nearestAsOf(ts, emptyTs, "k", "t", "id").collect()
+    assert(lone.length == 1 && lone.head.isNullAt(1))
+    // persisted index over an EMPTY corpus: loads, probes to zero rows,
+    // and accepts a first append (the bootstrap-from-nothing path)
+    val path = java.nio.file.Files.createTempDirectory("graft_empty_idx").toString
+    IndexStore.saveCorpusIndex(emptyDocs, "doc_id", "text", path)
+    val probe = Seq((1L, "some probe text here")).toDF("doc_id", "text")
+    assert(Dedup.minhashLSHJoinIndexed(probe,
+      IndexStore.loadCorpusIndex(spark, path), "doc_id", "text").count() == 0)
+    IndexStore.appendCorpusIndex(probe, "doc_id", "text", path)
+    assert(spark.read.parquet(s"$path/members").count() == 1)
+    // BPE over an empty frame / null text
+    val bpe = new graft.functions.Bpe(IndexedSeq(("a", "b")))
+    assert(emptyDocs.select(
+      graft.functions.Bpe.countUdf(bpe)(col("text"))).count() == 0)
+    assert(CorpusPrep.chunk(emptyDocs, "doc_id", "text",
+      tokensOf = graft.functions.Bpe.bpeTokens(bpe)).count() == 0)
+  }
 }
