@@ -79,6 +79,21 @@ class AsOfJoinSpec extends SparkSuite {
     assert(tol == Map(10L -> Some(1L), 11L -> None, 12L -> None, 13L -> None))
   }
 
+  test("nearestAsOf plans ONE key shuffle feeding both directional sorts") {
+    // the design claim: both carries run over one tagged union — a
+    // single hash exchange on k, two in-partition sorts, never a
+    // self-join of two as-of outputs (which would shuffle twice and
+    // join-shuffle a third time)
+    val left = Seq((1L, 100L, 10L)).toDF("k", "t", "id")
+    val right = Seq((1L, 97L, 1L)).toDF("k", "t", "id")
+    val p = AsOfJoin.nearestAsOf(left, right, "k", "t", "id")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"nearest as-of must shuffle once on k:\n$p")
+    assert(!p.contains("Join"), s"nearest as-of must not self-join:\n$p")
+  }
+
   test("nextAsOf: earliest at-or-after, lowest id at equal ts, tolerance") {
     val left = Seq(
       (1L, 100L, 10L), // next right at 100 (inclusive): ids 1,7,3 -> 1
