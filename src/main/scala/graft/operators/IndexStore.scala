@@ -153,6 +153,15 @@ object IndexStore {
     * band/set/member rows. Build parameters come from the index's meta.
     * After this, `loadCorpusIndex` ≡ `saveCorpusIndex` over the full
     * corpus (IndexStoreSpec proves it on a fixture).
+    *
+    * Crash posture: each table append is one atomic Spark write job,
+    * but the SEQUENCE of three is not a transaction. The members table
+    * is therefore written FIRST — it is what the monotone-id guard
+    * reads, so a re-run after any mid-sequence failure RAISES on the
+    * already-appended ids instead of silently duplicating set/band rows
+    * (duplicated sets would multiply probe output rows). Recovery from
+    * a partial append = rebuild the index (or prune the partial batch's
+    * rows by id range); never blind-retry into corruption.
     */
   def appendCorpusIndex(
       newDocs: DataFrame,
@@ -182,12 +191,13 @@ object IndexStore {
       .localCheckpoint(true)
     val (bands, sets, members) =
       Dedup.corpusTablesFromGroups(novel, shingleSize, numHashes, numBands)
-    bands.repartition(col("band_hash"))
-      .write.mode("append").parquet(s"$path/bands")
-    sets.repartition(col("corpus_id"))
-      .write.mode("append").parquet(s"$path/sets")
+    // members FIRST — see crash posture in the scaladoc
     members.unionByName(matched).repartition(col("corpus_id"))
       .write.mode("append").parquet(s"$path/members")
+    sets.repartition(col("corpus_id"))
+      .write.mode("append").parquet(s"$path/sets")
+    bands.repartition(col("band_hash"))
+      .write.mode("append").parquet(s"$path/bands")
   }
 
   // ---------------------------------------------------------------
@@ -259,12 +269,13 @@ object IndexStore {
     val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
       novel, m("dim").toInt, m("num_blocks").toInt,
       m("planes_per_block").toInt, m("seed").toLong)
-    blocks.repartition(col("band_hash"))
-      .write.mode("append").parquet(s"$path/blocks")
-    reps.repartition(col("rep_id"))
-      .write.mode("append").parquet(s"$path/reps")
+    // members FIRST — same crash posture as [[appendCorpusIndex]]
     members.unionByName(matched).repartition(col("rep_id"))
       .write.mode("append").parquet(s"$path/members")
+    reps.repartition(col("rep_id"))
+      .write.mode("append").parquet(s"$path/reps")
+    blocks.repartition(col("band_hash"))
+      .write.mode("append").parquet(s"$path/blocks")
   }
 
   /** Collapsed (id, v, members) vector groups — the vector twin of
