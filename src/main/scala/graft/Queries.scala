@@ -1817,6 +1817,44 @@ object Queries {
        |  CAST(SUM(n_bpe) AS BIGINT) AS tokens_packed
        |FROM p WHERE cum <= 4000 GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q92: equi-depth quantile binning ([[Stats.equiDepthBins]]) — every
+    * event's value assigned its within-type quartile bucket. The
+    * boundaries are `percentile_disc` data values (no interpolation
+    * arithmetic to diverge on), and the oracle replays the SQL-standard
+    * definition literally: boundary = min value with cume_dist ≥
+    * b/nBins, bucket = count of boundaries strictly below the value.
+    */
+  def quantileBins(s: SparkSession, dir: String): DataFrame =
+    Stats.equiDepthBins(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", nBins = 4)
+      .orderBy("event_id")
+
+  val quantileBinsSql: String =
+    """WITH t AS (SELECT event_id, event_type, value FROM events),
+      |cd AS (
+      |  SELECT event_type, value,
+      |    CUME_DIST() OVER (PARTITION BY event_type ORDER BY value) AS c
+      |  FROM t WHERE value IS NOT NULL),
+      |bnd AS (
+      |  SELECT event_type, b, MIN(value) AS vb
+      |  FROM cd CROSS JOIN (VALUES (1), (2), (3)) bs(b)
+      |  WHERE c >= CAST(b AS DOUBLE) / 4
+      |  GROUP BY event_type, b),
+      |piv AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN b = 1 THEN vb END) AS q1,
+      |    MAX(CASE WHEN b = 2 THEN vb END) AS q2,
+      |    MAX(CASE WHEN b = 3 THEN vb END) AS q3
+      |  FROM bnd GROUP BY event_type)
+      |SELECT t.event_id, t.event_type, t.value,
+      |  CASE WHEN t.value IS NULL OR q1 IS NULL THEN NULL ELSE
+      |    (CASE WHEN t.value > q1 THEN 1 ELSE 0 END +
+      |     CASE WHEN t.value > q2 THEN 1 ELSE 0 END +
+      |     CASE WHEN t.value > q3 THEN 1 ELSE 0 END) END AS bin
+      |FROM t LEFT JOIN piv ON t.event_type IS NOT DISTINCT FROM piv.event_type
+      |ORDER BY event_id""".stripMargin
+
   /** Map-typed columns: build a map from event fields, explode its
     * entries, aggregate per key — the map-column shape (creation +
     * entry explode) that JSON extraction (q07) does not cover.
@@ -2981,7 +3019,8 @@ object Queries {
     "q88_asof_strict" -> asofStrict _,
     "q89_asof_nearest" -> asofNearest _,
     "q90_bpe_budget" -> bpeBudget _,
-    "q91_pipeline_sql" -> pipelineSqlTwin _)
+    "q91_pipeline_sql" -> pipelineSqlTwin _,
+    "q92_quantile_bins" -> quantileBins _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3073,5 +3112,6 @@ object Queries {
     "q88_asof_strict" -> asofStrictSql,
     "q89_asof_nearest" -> asofNearestSql,
     "q90_bpe_budget" -> bpeBudgetSql,
-    "q91_pipeline_sql" -> pipelineReleaseSql)
+    "q91_pipeline_sql" -> pipelineReleaseSql,
+    "q92_quantile_bins" -> quantileBinsSql)
 }

@@ -243,6 +243,47 @@ object Stats {
     groupCols.foldLeft(left.join(r, cond))((d, c) => d.drop(s"__g_$c"))
   }
 
+  /** EQUI-DEPTH quantile binning: each row gains the quantile bucket
+    * (0..nBins−1) of its value within its group — the monotone feature
+    * binning step of ML data prep ([[normalize]]'s ordinal sibling).
+    *
+    * Boundaries are `percentile_disc` aggregates (SQL-standard: the
+    * smallest value whose cumulative distribution ≥ b/nBins) — ACTUAL
+    * data values, so unlike interpolated percentiles there is no float
+    * arithmetic an external engine could round differently: the oracle
+    * replays the definition literally (min value with cume_dist ≥ p)
+    * and both sides compare against identical stored doubles. Bucket =
+    * count of boundaries STRICTLY below the value (values equal to a
+    * boundary fall in the lower bucket); null values get a null bin;
+    * all-null groups yield null boundaries → null bins, rows preserved.
+    *
+    * 100 TB posture vs `ntile`: ntile is a per-group WINDOW SORT of
+    * every row; this is one map-side-combined boundary aggregation to a
+    * groups-sized table + one narrow join pass (AQE broadcasts the
+    * boundary side) — the two-pass shape of [[outliers]]/[[normalize]],
+    * no row ever sorts. (percentile_disc sorts WITHIN the aggregation
+    * buffer per group, like [[robustOutliers]]'s exact medians.)
+    */
+  def equiDepthBins(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val x = col(valueCol)
+    val bcols = (1 until nBins).map(b =>
+      expr(s"percentile_disc(${b.toDouble / nBins}d) " +
+        s"WITHIN GROUP (ORDER BY `$valueCol`)").as(s"__q$b"))
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(bcols.head, bcols.tail: _*)
+    val bin = (1 until nBins)
+      .map(b => when(x > col(s"__q$b"), 1).otherwise(0))
+      .reduce(_ + _)
+    nullSafeGroupJoin(df, bounds, groupCols)
+      .withColumn("bin", when(x.isNotNull && col("__q1").isNotNull, bin))
+      .drop((1 until nBins).map(b => s"__q$b"): _*)
+  }
+
   /** ROBUST per-group outliers: |value − median| > k · 1.4826 · MAD
     * (median absolute deviation), the detector that survives the
     * heavy-tailed distributions where [[outliers]]'s mean/σ are

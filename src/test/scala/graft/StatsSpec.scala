@@ -179,6 +179,40 @@ class StatsSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet == Set(999L))
   }
 
+  test("equiDepthBins matches a driver-side cume_dist reference; edges behave") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(400)(i =>
+      (i.toLong, s"g${i % 3}", math.floor(rnd.nextGaussian() * 100) / 100))
+    val data = rows.map { case (id, g, v) => (id, g, Option(v)) } ++
+      Seq((900L, "g0", Option.empty[Double]), // null value
+        (901L, "gc", Option(7.0)), (902L, "gc", Option(7.0))) // constant group
+    val df = data.toDF("id", "g", "v")
+    val got = Stats.equiDepthBins(df, Seq("g"), "v", nBins = 4)
+      .select("id", "bin").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    // driver-side reference: boundary b = min v with cume_dist >= b/4,
+    // bin = count of boundaries strictly below v
+    val byG = data.filter(_._3.isDefined).groupBy(_._2)
+    val want = byG.flatMap { case (_, rs) =>
+      val vs = rs.map(_._3.get).sorted
+      val n = vs.size.toDouble
+      def bound(p: Double) = vs.find(v => vs.count(_ <= v) / n >= p).get
+      val qs = (1 until 4).map(b => bound(b / 4.0))
+      rs.map(r => r._1 -> Some(qs.count(_ < r._3.get)))
+    }
+    want.foreach { case (id, w) => assert(got(id) == w, s"id $id: ${got(id)} vs $w") }
+    assert(got(900L).isEmpty, "null value -> null bin")
+    // constant group: all boundaries equal the value -> everything bin 0
+    assert(got(901L) == Some(0) && got(902L) == Some(0))
+    // row count preserved (no group silently dropped)
+    assert(Stats.equiDepthBins(df, Seq("g"), "v", 4).count() == df.count())
+    // partitioning-independence (boundaries are data values, not floats)
+    val again = Stats.equiDepthBins(df.repartition(7), Seq("g"), "v", 4)
+      .select("id", "bin").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(again == got)
+  }
+
   test("normalize: z agrees with the outlier flags; minmax bounded; constants null") {
     val df = (Seq.tabulate(50)(i => (i.toLong, "g", 1.0 + (i % 10) * 0.5)) :+
       ((99L, "g", 42.0))) ++ Seq((200L, "c", 7.0), (201L, "c", 7.0))
