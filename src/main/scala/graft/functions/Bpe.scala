@@ -73,8 +73,12 @@ final class Bpe(val merges: IndexedSeq[(String, String)]) extends Serializable {
 
 object Bpe {
 
+  /** Null text = no words (every text operator in this repo is
+    * null-safe; Spark hands null through to String-typed UDFs).
+    */
   private[functions] def words(text: String): Array[String] =
-    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (text == null) Array.empty
+    else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
   /** One left-to-right non-overlapping application of merge `m`. */
   private[functions] def applyMerge(

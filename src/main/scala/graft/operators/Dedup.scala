@@ -80,13 +80,21 @@ object Dedup {
     * the merge-walk [[graft.functions.SortedIntersectCount]] instead of
     * building hash sets per pair.
     */
+  /** The ONE definition of the sorted-shingle canonicalization: the
+    * merge-walk verifier ([[graft.functions.SortedIntersectCount]])
+    * requires sorted arrays, and the persisted-index sets table must
+    * never diverge from the probe side's.
+    */
+  private[graft] def sortedShingles(text: Column, n: Int): Column =
+    array_sort(TextFunctions.shingles(text, n))
+
   private[operators] def shingleSets(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      array_sort(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+      sortedShingles(col(textCol), shingleSize).as("sh"))
 
   /** LSH band keys over a materialized signature: split into `numBands`
     * bands of `rowsPerBand`, each band hashed to one bigint bucket key.
@@ -451,7 +459,7 @@ object Dedup {
     // text rides in the sets table: the persistence append path merges
     // new docs into existing rep groups by exact text equality
     val sets = gc.select(col("id").as("corpus_id"), col("__text").as("text"),
-      array_sort(TextFunctions.shingles(col("__text"), shingleSize)).as("sh"))
+      sortedShingles(col("__text"), shingleSize).as("sh"))
     val members = gc.select(col("id").as("corpus_id"),
       explode(col("members")).as("member_id"))
     (bands, sets, members)

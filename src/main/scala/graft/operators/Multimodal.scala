@@ -444,7 +444,7 @@ object Multimodal {
 
   /** Decode + image-stat extraction, one batched narrow pass per
     * partition — the image twin of [[extractFeatures]]. Assets that are
-    * not a decodable BMP/PPM/PNG yield no row (callers needing a
+    * not a decodable BMP/PPM/PNG/JPEG yield no row (callers needing a
     * fallback use [[extractFeatures]], whose stub path covers any
     * bytes).
     */

@@ -137,12 +137,18 @@ object Similarity {
       planesPerBlock: Int = 8,
       seed: Long = 42L,
       maxBucketSize: Int = 10000,
-      multiProbe: Int = 0): DataFrame =
+      multiProbe: Int = 0): DataFrame = {
+    // fail fast: vectorIndex ends in an eager localCheckpoint, so
+    // validating only inside lshTopKIndexed would burn a full corpus
+    // collapse before surfacing an argument error
+    require(multiProbe <= planesPerBlock,
+      "multiProbe flips one plane each — at most planesPerBlock probes")
     lshTopKIndexed(
       vectorIndex(corpus, idCol, vecCol, dim, numBlocks, planesPerBlock,
         seed, maxBucketSize),
       queries, idCol, vecCol, dim, k, numBlocks, planesPerBlock, seed,
       multiProbe)
+  }
 
   /** Corpus-side sign-pattern LSH index, reusable across query batches
     * (and persistable via [[IndexStore]]): capped block buckets,

@@ -157,8 +157,7 @@ object StreamOps {
     val sig = Dedup.rowSignature(col(textCol), shingleSize, numHashes)
     val n = newDocs.withWatermark("ts", watermarkDelay)
       .select(col(idCol).as("new_id"), col("ts"),
-        array_sort(graft.functions.TextFunctions.shingles(col(textCol), shingleSize))
-          .as("sh_n"),
+        Dedup.sortedShingles(col(textCol), shingleSize).as("sh_n"),
         // null signature (shingle-less doc) → no band rows, matching
         // the aggregated corpus side, which emits no row for such docs
         posexplode(when(sig.isNotNull,

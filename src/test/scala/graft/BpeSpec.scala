@@ -71,6 +71,14 @@ class BpeSpec extends SparkSuite {
     assert(bpe.count(text) == wordCounts.sum)
     assert(bpe.encode(text).length == bpe.count(text))
     assert(bpe.count("") == 0 && bpe.count("   ") == 0)
+    // null text through the UDF path (Spark passes null to String UDFs)
+    assert(bpe.count(null) == 0 && bpe.encode(null).isEmpty)
+    val withNull = Seq((1L, "hash join"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val counts = withNull.select(col("doc_id"),
+        graft.functions.Bpe.countUdf(bpe)(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts(2L) == 0, "null text must count 0, not NPE the task")
   }
 
   test("committed artifacts are mutually consistent (merges reproduce word table)") {
