@@ -993,6 +993,53 @@ object Queries {
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  /** q94: SEMANTIC decontamination
+    * ([[Similarity.embeddingDecontaminate]]) — flag corpus vectors too
+    * close in cosine to an eval suite. The eval set here is a PLANTED
+    * leak: every 40th corpus vector with one coordinate zeroed
+    * (coordinate = vec_id mod 64) — byte-level and n-gram
+    * decontamination (q68) both miss such an edit, but the cosine to
+    * the source stays ≈ sqrt(1 - v_k²/|v|²) ≈ 0.99, which is exactly
+    * the paraphrase/light-edit case this stage exists to catch. The
+    * perturbation is exact arithmetic (zeroing), so the oracle replays
+    * eval-set construction and the shared q23 cosine kernel verbatim.
+    */
+  def embedDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val evalSet = e.where(col("vec_id") % 40 === 7)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i === (col("vec_id") % 64).cast("int"), lit(0.0))
+            .otherwise(x)).as("embedding"))
+    Similarity.embeddingDecontaminate(e, evalSet, "vec_id", "embedding",
+        threshold = 0.9)
+      .orderBy("corpus_id")
+  }
+
+  val embedDecontaminateSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ev AS (
+      |  -- DuckDB lambda index i is 1-based; Spark's transform index is
+      |  -- 0-based — hence i - 1
+      |  SELECT vec_id AS eval_id,
+      |    list_transform(v, (x, i) -> CASE WHEN i - 1 = CAST(vec_id % 64 AS INT)
+      |                                     THEN 0.0 ELSE x END) AS w
+      |  FROM e WHERE vec_id % 40 = 7),
+      |hits AS (
+      |  SELECT * FROM (
+      |    SELECT e.vec_id AS corpus_id, ev.eval_id,
+      |      COALESCE(list_dot_product(e.v, ev.w) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ev.w, ev.w))), 0.0) AS cos
+      |    FROM e, ev) WHERE cos >= 0.9),
+      |ranked AS (
+      |  SELECT corpus_id, eval_id, cos,
+      |    row_number() OVER (PARTITION BY corpus_id
+      |                       ORDER BY cos DESC, eval_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY corpus_id) AS n_hits
+      |  FROM hits)
+      |SELECT corpus_id, n_hits, eval_id AS top_eval_id, round(cos, 6) AS top_cos
+      |FROM ranked WHERE rk = 1 ORDER BY corpus_id""".stripMargin
+
   /** As-of join on the events stream: for every click, the most recent
     * view by the same user at or before the click time. ts stays raw
     * int64 nanos on the Spark side (nanosAsLong); the oracle compares
@@ -1733,6 +1780,50 @@ object Queries {
        |FROM documents
        |WHERE $bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q93: temperature mixture rebalancing
+    * ([[Sampling.temperatureSample]], alpha = 1/2) — the dominant
+    * language keeps 55% and each rarer one is boosted by
+    * sqrt(n_max/n), capped at 1 (fr crosses the cap at sf0.01:
+    * 0.55·sqrt(218/64) ≈ 1.016). Output is the per-language mix the
+    * sampler produced, all-integer: `kept_id_sum` is an exact checksum
+    * of the kept MEMBERSHIP per language, so the oracle pins every
+    * individual keep decision, not just the counts.
+    */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val kept = Sampling.temperatureSample(d, "lang", "doc_id",
+      baseRate = 0.55, salt = "mix")
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+      // totals are strata-sized; without the hint the static planner
+      // sort-merges two post-aggregate relations of unknown size
+      .join(broadcast(d.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))),
+        Seq("lang"))
+      .select(col("lang"), col("n_total"), col("n_kept"), col("kept_id_sum"))
+      .orderBy("lang")
+  }
+
+  val mixtureSampleSql: String = {
+    // draw = hash60("mix" ␁ doc_id) / 2^60 — lockstep with
+    // Sampling.weightedHashSample; rate operand order mirrors
+    // temperatureSample token-for-token (all correctly-rounded IEEE ops)
+    val draw = s"CAST(${duckHash60("mix", "doc_id")} AS DOUBLE) / 1152921504606846976"
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |r AS (
+       |  SELECT lang, n,
+       |    least(1.0, 0.55 * sqrt(CAST((SELECT max(n) FROM c) AS DOUBLE)
+       |                           / CAST(n AS DOUBLE))) AS rate
+       |  FROM c),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang
+       |  FROM documents d JOIN r USING (lang)
+       |  WHERE $draw < r.rate OR r.rate >= 1.0)
+       |SELECT k.lang, r.n AS n_total, count(*) AS n_kept,
+       |  CAST(sum(k.doc_id) AS BIGINT) AS kept_id_sum
+       |FROM kept k JOIN r USING (lang)
+       |GROUP BY k.lang, r.n ORDER BY k.lang""".stripMargin
   }
 
   /** Token-budget packing ([[CorpusPrep.packByBudget]]): per language,
@@ -3048,7 +3139,9 @@ object Queries {
     "q89_asof_nearest" -> asofNearest _,
     "q90_bpe_budget" -> bpeBudget _,
     "q91_pipeline_sql" -> pipelineSqlTwin _,
-    "q92_quantile_bins" -> quantileBins _)
+    "q92_quantile_bins" -> quantileBins _,
+    "q93_mixture_sample" -> mixtureSample _,
+    "q94_embed_decontaminate" -> embedDecontaminate _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3141,5 +3234,7 @@ object Queries {
     "q89_asof_nearest" -> asofNearestSql,
     "q90_bpe_budget" -> bpeBudgetSql,
     "q91_pipeline_sql" -> pipelineReleaseSql,
-    "q92_quantile_bins" -> quantileBinsSql)
+    "q92_quantile_bins" -> quantileBinsSql,
+    "q93_mixture_sample" -> mixtureSampleSql,
+    "q94_embed_decontaminate" -> embedDecontaminateSql)
 }

@@ -79,6 +79,47 @@ object Sampling {
     df.where((graft.functions.PortableHash.hash60(col(idCol), salt)
       .cast("double") / TwoPow60 < prob) || prob >= 1.0)
 
+  /** TEMPERATURE mixture rebalancing — the `n^alpha` stratum resampling
+    * every multilingual / multi-source training mix runs (alpha = 1/2
+    * here): the DOMINANT stratum keeps `baseRate` of its rows and every
+    * rarer stratum is boosted by `sqrt(n_max / n_s)`, capped at
+    * certainty, so expected stratum sizes follow `sqrt(n)` proportions
+    * until the cap bites — the head is flattened without exhausting the
+    * tail. Alpha is FIXED at 1/2 because the whole pipeline is
+    * externally auditable: `sqrt`, divide and multiply are all
+    * correctly-rounded IEEE ops any engine computes bit-identically,
+    * while `pow` (arbitrary alpha) is not — a last-ulp disagreement
+    * would flip keep decisions at the draw boundary. The anchor is the
+    * largest stratum's EXACT integer count, so no float summation ever
+    * enters the rate.
+    *
+    * 100 TB posture: one map-side-combined count aggregation (strata-
+    * sized result), a broadcast rate join, and [[weightedHashSample]]'s
+    * narrow filter — the corpus is never shuffled.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      baseRate: Double,
+      salt: String = ""): DataFrame = {
+    require(baseRate > 0.0 && baseRate <= 1.0, "baseRate in (0, 1]")
+    require(!df.columns.contains("__ts_rate"),
+      "temperatureSample uses __ts_rate internally — rename that column")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__ts_n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max(col("__ts_n")).as("__ts_max"))))
+      // operand order is part of the contract: baseRate * sqrt(max / n),
+      // mirrored token-for-token by the DuckDB oracle (q93)
+      .select(col(strataCol),
+        least(lit(1.0), lit(baseRate) *
+          sqrt(col("__ts_max").cast("double") / col("__ts_n").cast("double")))
+          .as("__ts_rate"))
+    weightedHashSample(
+      df.join(broadcast(rates), Seq(strataCol)), idCol, col("__ts_rate"), salt)
+      .drop("__ts_rate")
+  }
+
   /** Deterministic named split assignment (train/val/test): the id's
     * hash bucket against cumulative percent ranges. Stable across runs,
     * engines, and corpus growth — a doc never migrates between splits

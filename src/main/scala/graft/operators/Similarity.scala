@@ -329,4 +329,46 @@ object Similarity {
         "cos", identCos, lit(true))
       .where(col("cos") >= threshold)
   }
+
+  /** SEMANTIC eval-set decontamination — the embedding-space sibling of
+    * [[Dedup.decontaminate]]'s n-gram overlap check: flag every corpus
+    * row whose vector scores cosine >= `threshold` against ANY eval/
+    * benchmark vector. N-gram decontamination misses paraphrases and
+    * light edits (a benchmark item with one token changed shares almost
+    * no 8-gram), but its embedding barely moves — this is the stage
+    * that catches it. Output is one row per contaminated corpus id:
+    * `(corpus_id, n_hits, top_eval_id, top_cos)` with the top hit
+    * deterministically ranked (cos DESC, eval_id ASC).
+    *
+    * 100 TB posture: eval suites are small by nature, so the plan is
+    * the [[bruteForceTopK]] shape — broadcast the eval side, one
+    * narrow codegen'd score-and-filter pass over the corpus (no shuffle
+    * of corpus rows), then window-rank only the surviving hits, a set
+    * sized by actual contamination, not by the corpus.
+    */
+  def embeddingDecontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("__cvec"))
+    val e = evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).cast("array<double>").as("__evec"))
+    val hits = c.crossJoin(broadcast(e))
+      .select(col("corpus_id"), col("eval_id"),
+        cosine(col("__cvec"), col("__evec")).as("cos"))
+      .where(col("cos") >= threshold)
+    // rank on the RAW cosine (bit-identical across engines — the shared
+    // q23 kernel contract); round only in the reported column
+    val byCorpus = Window.partitionBy(col("corpus_id"))
+    val rk = row_number().over(byCorpus
+      .orderBy(col("cos").desc, col("eval_id").asc))
+    hits.withColumn("__rk", rk)
+      .withColumn("n_hits", count(lit(1)).over(byCorpus))
+      .where(col("__rk") === 1)
+      .select(col("corpus_id"), col("n_hits"),
+        col("eval_id").as("top_eval_id"), round(col("cos"), 6).as("top_cos"))
+  }
 }

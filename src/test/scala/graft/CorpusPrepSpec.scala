@@ -35,6 +35,32 @@ class CorpusPrepSpec extends SparkSuite {
     assert(math.abs(byLang("de") - 1600) < 120, s"de ${byLang("de")} of ~1600")
   }
 
+  test("temperatureSample: dominant keeps baseRate, tail boosted by sqrt, cap at 1") {
+    // en 6400, de 1600, fr 100 → rates 0.5, 0.5*sqrt(4)=1 (capped from
+    // exactly 1.0), 0.5*sqrt(64)=4 → capped 1
+    val df = ((0 until 6400).map(i => (i.toLong, "en")) ++
+      (10000 until 11600).map(i => (i.toLong, "de")) ++
+      (20000 until 20100).map(i => (i.toLong, "fr")))
+      .toDF("id", "lang")
+    val got = Sampling.temperatureSample(df, "lang", "id", baseRate = 0.5)
+    val byLang = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("de") == 1600L, "rate exactly 1 must keep every row")
+    assert(byLang("fr") == 100L, "capped rate 1 must keep every row")
+    assert(math.abs(byLang("en") - 3200) < 200, s"en ${byLang("en")} of ~3200")
+    // deterministic: membership survives a repartition
+    val again = Sampling.temperatureSample(df.repartition(7), "lang", "id",
+      baseRate = 0.5).select("id").as[Long].collect().toSet
+    assert(again == got.select("id").as[Long].collect().toSet)
+    // guards
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df, "lang", "id", baseRate = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df.withColumn("__ts_rate", lit(1.0)),
+        "lang", "id", baseRate = 0.5)
+    }
+  }
+
   test("packByBudget: inclusive prefix cut, priority order, admitFirst branch") {
     val docs = Seq(
       // lang en: priorities 9,8,7 with tokens 50,40,30 — budget 100

@@ -160,6 +160,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q93/q94: corpus side never shuffles into the rate/eval join") {
+    // q93: the strata-rate table broadcasts onto the corpus (rates are
+    // strata-sized); q94: the eval suite broadcasts into the score pass
+    // (eval suites are small by nature) — a SortMergeJoin in either
+    // means the full corpus moved for KB-sized metadata
+    Seq("q93_mixture_sample", "q94_embed_decontaminate").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$q must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q shuffles the corpus against broadcast-sized metadata:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q builds a Cartesian:\n$p")
+    }
+  }
+
   test("q62/q63: sketch-side joins broadcast, never sort-merge") {
     Seq("q62_cm_heavy", "q63_bloom_prefilter").foreach { q =>
       val p = plan(q)

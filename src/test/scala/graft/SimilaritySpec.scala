@@ -129,6 +129,30 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("embeddingDecontaminate: flags only true hits; n_hits and tie rule exact") {
+    // corpus: two orthogonal base directions + a third vector equal to
+    // base0 (a second contamination source for eval 100)
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))) // zero vector: cosine 0 by convention
+      .toDF("vec_id", "embedding")
+    // eval: 100/101 both equal base0 (tie on corpus 0 and 2 at cos 1 —
+    // top_eval_id must be the SMALLER eval id); 102 matches nothing
+    val evalSet = Seq(
+      (100L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (101L, Seq(2.0, 0.0, 0.0, 0.0)),
+      (102L, Seq(0.0, 0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDecontaminate(corpus, evalSet,
+        "vec_id", "embedding", threshold = 0.9)
+      .orderBy("corpus_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 2L, 100L, 1.0), (2L, 2L, 100L, 1.0)),
+      s"got $got")
+  }
+
   test("deterministic hyperplanes: same seed same planes, different seed different") {
     val a = Similarity.hyperplanes(4, 8, 42L)
     val b = Similarity.hyperplanes(4, 8, 42L)
