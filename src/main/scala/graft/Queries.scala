@@ -1826,6 +1826,28 @@ object Queries {
        |GROUP BY k.lang, r.n ORDER BY k.lang""".stripMargin
   }
 
+  /** q95: exact-size deterministic sample ([[Sampling.exactKSample]])
+    * — the 20 smallest-hash docs per language, ranked, via the bounded
+    * [[graft.operators.TopKAgg]] (O(strata×k) shuffle bytes, no window
+    * sort). The oracle replays the rank with a row_number window over
+    * the SAME rounded-double hash order the aggregate uses.
+    */
+  def exactKSampleDocs(s: SparkSession, dir: String): DataFrame =
+    Sampling.exactKSample(t(s, dir, "documents"), "lang", "doc_id",
+        k = 20, salt = "evalk")
+      .orderBy("lang", "sample_rank")
+
+  val exactKSampleSql: String = {
+    val hv = s"CAST(${duckHash60("evalk", "doc_id")} AS DOUBLE)"
+    s"""WITH r AS (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY $hv ASC, doc_id ASC) AS sample_rank
+       |  FROM documents)
+       |SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id
+       |FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin
+  }
+
   /** Token-budget packing ([[CorpusPrep.packByBudget]]): per language,
     * admit documents in (quality DESC, doc_id ASC) order while the
     * running token total stays ≤ 2000 — the "fill the training mix to N
@@ -1916,6 +1938,48 @@ object Queries {
        |SELECT lang, COUNT(*) AS n_docs,
        |  CAST(SUM(n_bpe) AS BIGINT) AS tokens_packed
        |FROM p WHERE cum <= 4000 GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q96: sequence packing ([[CorpusPrep.packSequences]]) — documents
+    * laid end-to-end per language in doc_id order, measured in REAL
+    * trained-BPE tokens (q90's committed vocab), cut into ctx=2048
+    * examples. All-integer output: the per-example doc counts, token
+    * counts and first/last doc pin the entire packed layout, which the
+    * oracle replays from the same prefix-sum arithmetic over the
+    * committed word-table token counts.
+    */
+  def packExamples(s: SparkSession, dir: String): DataFrame = {
+    val bpe = graft.functions.Bpe.load(s, "/root/repo/fixtures/bpe_merges.parquet")
+    val cnt = graft.functions.Bpe.countUdf(bpe)
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), cnt(col("text")).as("n_bpe"))
+    CorpusPrep.packSequences(d, "lang", "doc_id", "n_bpe", ctxLen = 2048L)
+      .orderBy("lang", "example_id")
+  }
+
+  val packExamplesSql: String =
+    s"""WITH tok AS (SELECT doc_id, lang, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |bp AS (SELECT word, n_bpe FROM read_parquet(
+       |        '/root/repo/fixtures/bpe_words.parquet/*.parquet')),
+       |w AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+       |cnt AS (SELECT w.doc_id, SUM(bp.n_bpe) AS n_bpe
+       |        FROM w JOIN bp ON bp.word = w.word GROUP BY w.doc_id),
+       |d AS (SELECT t.doc_id, t.lang, CAST(COALESCE(cnt.n_bpe, 0) AS BIGINT) AS n
+       |      FROM tok t LEFT JOIN cnt ON cnt.doc_id = t.doc_id),
+       |o AS (
+       |  SELECT doc_id, lang, n,
+       |    CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+       |  FROM d WHERE n > 0),
+       |sp AS (
+       |  SELECT lang, doc_id, n, s, s + n AS e,
+       |    unnest(range(s // 2048, (s + n - 1) // 2048 + 1)) AS example_id
+       |  FROM o)
+       |SELECT lang, example_id, count(*) AS n_docs,
+       |  CAST(SUM(least(e, (example_id + 1) * 2048) -
+       |           greatest(s, example_id * 2048)) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM sp GROUP BY lang, example_id ORDER BY lang, example_id""".stripMargin
 
   /** q92: equi-depth quantile binning ([[Stats.equiDepthBins]]) — every
     * event's value assigned its within-type quartile bucket. The
@@ -3141,7 +3205,9 @@ object Queries {
     "q91_pipeline_sql" -> pipelineSqlTwin _,
     "q92_quantile_bins" -> quantileBins _,
     "q93_mixture_sample" -> mixtureSample _,
-    "q94_embed_decontaminate" -> embedDecontaminate _)
+    "q94_embed_decontaminate" -> embedDecontaminate _,
+    "q95_exactk_sample" -> exactKSampleDocs _,
+    "q96_pack_examples" -> packExamples _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3236,5 +3302,7 @@ object Queries {
     "q91_pipeline_sql" -> pipelineReleaseSql,
     "q92_quantile_bins" -> quantileBinsSql,
     "q93_mixture_sample" -> mixtureSampleSql,
-    "q94_embed_decontaminate" -> embedDecontaminateSql)
+    "q94_embed_decontaminate" -> embedDecontaminateSql,
+    "q95_exactk_sample" -> exactKSampleSql,
+    "q96_pack_examples" -> packExamplesSql)
 }

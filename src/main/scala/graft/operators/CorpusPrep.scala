@@ -142,4 +142,53 @@ object CorpusPrep {
         size(col("chunk")).as("chunk_len") +:
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp") +: carried: _*)
   }
+
+  /** SEQUENCE PACKING — the concat-and-cut step that turns a document
+    * stream into fixed-length training examples: per stratum, documents
+    * are laid end-to-end in `orderCol` order and the token stream is
+    * cut every `ctxLen` tokens; a document crossing a cut belongs to
+    * both examples (that is what "packed pretraining" means — no
+    * padding, documents split at context boundaries). Returns the
+    * per-example accounting: how many documents each example touches,
+    * its token count (ctxLen everywhere but the stratum's last
+    * example), and its first/last document — the manifest a packed-run
+    * dataloader is built from.
+    *
+    * The layout is pure integer arithmetic over an exclusive prefix sum
+    * (doc offset), so the whole packing is engine-replayable: a doc at
+    * [start, end) spans examples `start div ctx` .. `(end-1) div ctx`.
+    *
+    * 100 TB posture: the window is a per-stratum running sum — ONE
+    * shuffle by stratum, no global sort. Strata are packed
+    * independently, so at real scale the stratum key should include a
+    * shard bucket (pass a precomputed composite column): packing is
+    * embarrassingly parallel across strata and cuts differ only at
+    * shard seams. The example explode fans each doc out by
+    * tokens/ctxLen + 1 — bounded by the doc's own length, never by the
+    * corpus.
+    */
+  def packSequences(
+      df: DataFrame,
+      strataCol: String,
+      orderCol: String,
+      tokensCol: String,
+      ctxLen: Long): DataFrame = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("__doc"))
+      .rowsBetween(Long.MinValue, -1)
+    val spans = df
+      .where(col(tokensCol) > 0) // empty docs occupy no stream space
+      .select(col(strataCol), col(orderCol).as("__doc"),
+        col(tokensCol).cast("long").as("__n"))
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__end", col("__start") + col("__n"))
+      .withColumn("example_id",
+        explode(expr(s"sequence(__start div ${ctxLen}L, (__end - 1) div ${ctxLen}L)")))
+    spans.groupBy(col(strataCol), col("example_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("__end"), (col("example_id") + 1L) * ctxLen) -
+          greatest(col("__start"), col("example_id") * ctxLen)).as("n_tokens"),
+        min(col("__doc")).as("first_doc"), max(col("__doc")).as("last_doc"))
+  }
 }

@@ -120,6 +120,42 @@ object Sampling {
       .drop("__ts_rate")
   }
 
+  /** EXACT-size deterministic sample: the k smallest-hash rows per
+    * stratum — the "give me a fixed 10k-doc eval set per language"
+    * primitive, where rate-based sampling ([[hashSample]]) can only hit
+    * a size in expectation. Runs on [[TopKAgg]]'s bounded k-slot
+    * aggregate, so the plan ships O(strata × k) pairs through the
+    * exchange instead of window-sorting every stratum's full row set.
+    * Unlike the rate-based samplers, membership is NOT stable under
+    * corpus growth (a new row with a smaller hash displaces the
+    * current k-th) — that is inherent to exact-k; pin the corpus
+    * version when the sample must be reproducible later.
+    *
+    * The hash is cast to double for the aggregate (2^60 > 2^53, so the
+    * cast rounds — identically in any IEEE engine; the id ASC tie-break
+    * covers hashes that collide post-rounding).
+    *
+    * @return one row per sampled id: (stratum, sample_rank from 1 by
+    *         ascending hash, id)
+    */
+  def exactKSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    // negate: TopKAgg keeps the k LARGEST values; negation of the
+    // already-rounded double is exact, so "largest -hash" = "smallest
+    // hash" with no further rounding
+    val keep = TopKAgg.topK(
+      -graft.functions.PortableHash.hash60(col(idCol), salt).cast("double"),
+      col(idCol), k)
+    df.groupBy(col(strataCol)).agg(keep.as("__ks"))
+      .select(col(strataCol), posexplode(col("__ks")).as(Seq("__i", "__s")))
+      .select(col(strataCol), (col("__i") + 1).as("sample_rank"),
+        col("__s").getField("id").as(idCol))
+  }
+
   /** Deterministic named split assignment (train/val/test): the id's
     * hash bucket against cumulative percent ranges. Stable across runs,
     * engines, and corpus growth — a doc never migrates between splits

@@ -61,6 +61,53 @@ class CorpusPrepSpec extends SparkSuite {
     }
   }
 
+  test("exactKSample: exact size, rank order, short strata, partition-invariant") {
+    val df = ((0 until 1000).map(i => (i.toLong, "en")) ++
+      (5000 until 5003).map(i => (i.toLong, "de"))) // de has only 3 rows
+      .toDF("id", "lang")
+    val got = Sampling.exactKSample(df, "lang", "id", k = 10)
+      .as[(String, Int, Long)].collect().toSeq
+    val byLang = got.groupBy(_._1)
+    assert(byLang("en").size == 10 && byLang("de").size == 3,
+      "k rows per stratum; short strata return all rows")
+    // ranks are 1..n and follow ascending hash order
+    val hmap = df.select(col("id"),
+        graft.functions.PortableHash.hash60(col("id")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    Seq("en", "de").foreach { l =>
+      val rows = byLang(l).sortBy(_._2)
+      assert(rows.map(_._2) == (1 to rows.size))
+      val hashes = rows.map { case (_, _, id) => hmap(id).toDouble }
+      assert(hashes == hashes.sorted, s"$l ranks must follow hash order")
+    }
+    val again = Sampling.exactKSample(df.repartition(7), "lang", "id", k = 10)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(again.toSet == got.toSet, "membership independent of partitioning")
+  }
+
+  test("packSequences: boundary split, conservation, per-stratum layout") {
+    // en stream: 60 + 50 + 100 tokens, ctx 64 →
+    //   doc 1 [0,60) ex0; doc 2 [60,110) ex0+ex1; doc 3 [110,210) ex1-3
+    val docs = Seq(
+      (1L, "en", 60L), (2L, "en", 50L), (3L, "en", 100L),
+      (10L, "de", 64L),          // exactly one full example
+      (11L, "de", 0L))           // empty doc: occupies no stream space
+      .toDF("doc_id", "lang", "n")
+    val got = CorpusPrep.packSequences(docs, "lang", "doc_id", "n", ctxLen = 64L)
+      .orderBy("lang", "example_id")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("de", 0L, 1L, 64L, 10L, 10L),
+      ("en", 0L, 2L, 64L, 1L, 2L),   // doc 2 split across ex0/ex1
+      ("en", 1L, 2L, 64L, 2L, 3L),   // tail of doc 2 + head of doc 3
+      ("en", 2L, 1L, 64L, 3L, 3L),
+      ("en", 3L, 1L, 18L, 3L, 3L)),  // last example holds the remainder
+      s"got $got")
+    // conservation: packed token totals equal the input stream totals
+    assert(got.filter(_._1 == "en").map(_._4).sum == 210L)
+    assert(got.filter(_._1 == "de").map(_._4).sum == 64L)
+  }
+
   test("packByBudget: inclusive prefix cut, priority order, admitFirst branch") {
     val docs = Seq(
       // lang en: priorities 9,8,7 with tokens 50,40,30 — budget 100
