@@ -151,4 +151,23 @@ class EmptyInputSpec extends SparkSuite {
     assert(CorpusPrep.chunk(emptyDocs, "doc_id", "text",
       tokensOf = graft.functions.Bpe.bpeTokens(bpe)).count() == 0)
   }
+
+  test("mixture/exact-k/packing/embedding-decon: empty inputs stay empty") {
+    val emptyLang = emptyDocs.withColumn("lang", col("text"))
+    assert(Sampling.temperatureSample(emptyLang, "lang", "doc_id", 0.5)
+      .count() == 0)
+    assert(Sampling.exactKSample(emptyLang, "lang", "doc_id", 5).count() == 0)
+    val emptyTok = emptyLang.withColumn("n", lit(null).cast("long"))
+    assert(CorpusPrep.packSequences(emptyTok, "lang", "doc_id", "n", 64L)
+      .count() == 0)
+    // degenerate: every doc empty → no stream, no examples
+    val zeros = Seq((1L, "en", 0L), (2L, "en", 0L)).toDF("doc_id", "lang", "n")
+    assert(CorpusPrep.packSequences(zeros, "lang", "doc_id", "n", 64L)
+      .count() == 0)
+    val vec = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(Similarity.embeddingDecontaminate(emptyVecs, vec,
+      "vec_id", "embedding", 0.9).count() == 0)
+    assert(Similarity.embeddingDecontaminate(vec, emptyVecs,
+      "vec_id", "embedding", 0.9).count() == 0)
+  }
 }
