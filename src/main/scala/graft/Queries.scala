@@ -1981,6 +1981,55 @@ object Queries {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM sp GROUP BY lang, example_id ORDER BY lang, example_id""".stripMargin
 
+  /** q97: integer-scaled PageRank ([[graft.operators.Graph.pageRank]],
+    * 10 iterations, damping 85%) over the undirected customer↔part
+    * graph from orders×lineitem (part ids offset by 10M into the shared
+    * id space) — entity-importance centrality, the graph-analytics
+    * sibling of q35's connected components. All-integer ranks, so the
+    * oracle replays every iteration exactly as ten unrolled CTEs of the
+    * same floor-division arithmetic. Top 25 by (rank DESC, id ASC).
+    */
+  def pageRankParts(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // orders is the thin side (2 columns) — broadcast keeps lineitem,
+    // the fact table, un-shuffled in the edge derivation
+    val fwd = l.join(broadcast(o), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_partkey") + 10000000L).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.pageRank(edges, iterations = 10)
+      .orderBy(col("rank").desc, col("id").asc).limit(25)
+  }
+
+  val pageRankSql: String = {
+    // ten unrolled iterations of the SAME scaled-integer arithmetic —
+    // r0 = 1e12 per node; r_{i+1} = 15e10 + (85 · Σ inflow(rank div
+    // outdeg)) // 100. Unrolled because recursive CTEs cannot aggregate
+    // over the recursive table; the fixed iteration count makes the
+    // expansion exact, not approximate.
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id,
+         |    150000000000 + (85 * COALESCE(inf.s, 0)) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(r.rank // deg.d) AS BIGINT) AS s
+         |    FROM r${i - 1} r JOIN e ON e.src = r.id
+         |    JOIN deg ON deg.src = r.id
+         |    GROUP BY e.dst) inf USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+       |    CAST(l.l_partkey + 10000000 AS BIGINT) AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+       |$iters
+       |SELECT id, rank FROM r10 ORDER BY rank DESC, id ASC LIMIT 25""".stripMargin
+  }
+
   /** q92: equi-depth quantile binning ([[Stats.equiDepthBins]]) — every
     * event's value assigned its within-type quartile bucket. The
     * boundaries are `percentile_disc` data values (no interpolation
@@ -3207,7 +3256,8 @@ object Queries {
     "q93_mixture_sample" -> mixtureSample _,
     "q94_embed_decontaminate" -> embedDecontaminate _,
     "q95_exactk_sample" -> exactKSampleDocs _,
-    "q96_pack_examples" -> packExamples _)
+    "q96_pack_examples" -> packExamples _,
+    "q97_pagerank" -> pageRankParts _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3304,5 +3354,6 @@ object Queries {
     "q93_mixture_sample" -> mixtureSampleSql,
     "q94_embed_decontaminate" -> embedDecontaminateSql,
     "q95_exactk_sample" -> exactKSampleSql,
-    "q96_pack_examples" -> packExamplesSql)
+    "q96_pack_examples" -> packExamplesSql,
+    "q97_pagerank" -> pageRankSql)
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics beyond [[Dedup.connectedComponents]]: link-analysis
+  * centrality, the web-corpus quality signal (a page's crawl priority /
+  * quality prior is classically its PageRank — the importance weighting
+  * large-scale corpus pipelines attach to pages before filtering).
+  *
+  * Everything here is INTEGER-SCALED, fixed-iteration arithmetic:
+  * float PageRank is not engine-replayable (per-node inflow is a sum
+  * of doubles whose order a distributed groupBy does not fix), so rank
+  * carries as a scaled long with floor division — every engine computes
+  * bit-identical ranks, and the DuckDB oracle replays whole iterations
+  * (q97). The floor makes each division lose < 1 scale unit of mass —
+  * a deliberate, documented bias of ~iterations/scale relative rank,
+  * invisible at scale = 1e12.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over a DIRECTED unweighted edge list
+    * (duplicate edges collapse; pass both directions for an undirected
+    * graph). rank_0 = scale for every node;
+    *
+    *   rank_{i+1}(v) = (scale·(100−dampingPct)) div 100
+    *                 + (dampingPct · Σ_{u→v} (rank_i(u) div outdeg(u))) div 100
+    *
+    * Dangling nodes (no out-edges) leak their damped mass each pass —
+    * the standard simplification; add self-loops or reverse edges if
+    * conservation matters.
+    *
+    * Overflow is LOUD, never silent: total mass is ≤ n·scale, so the
+    * worst intermediate (dampingPct · inflow) needs
+    * n · scale · dampingPct < 2^63 — the default scale=1e12 is safe to
+    * ~10^5 nodes, scale=1e9 to ~10^8; beyond that pass a smaller scale.
+    * Both Spark (ANSI) and the oracle raise on a 64-bit overflow rather
+    * than wrapping.
+    *
+    * 100 TB posture: per iteration, ONE join shuffle (edges × ranks on
+    * src — at real scale pre-partition both by src so the exchange is
+    * reused across all iterations) and one map-side-combined groupBy on
+    * dst; the rank table is two longs per node. Each rank_i feeds
+    * rank_{i+1} exactly once, so the chain is safe to leave LAZY (no
+    * recompute fan-out) — localCheckpoint fires only every
+    * `checkpointInterval` passes, bounding both the lineage depth the
+    * optimizer must chew and the number of materialization jobs (at
+    * toy scale the per-job overhead, not the data, dominates an
+    * every-pass checkpoint).
+    */
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int = 10,
+      dampingPct: Int = 85,
+      scale: Long = 1000000000000L,
+      checkpointInterval: Int = 4,
+      broadcastRanks: Boolean = true): DataFrame = {
+    require(checkpointInterval >= 1, "checkpointInterval must be positive")
+    require(iterations >= 1 && iterations <= 64, "iterations in [1, 64]")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
+    require(scale >= 100L, "scale under 100 floors the damped base to 0")
+    // materialized ONCE: every iteration re-scans the edge table, so
+    // it must not stay a lazy view of the caller's (possibly join-
+    // heavy) edge derivation
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val base = scale / 100 * (100 - dampingPct) +
+      scale % 100 * (100 - dampingPct) / 100 // = (scale·(100−d)) div 100, overflow-free
+    var rank = nodes.select(col("id"), lit(scale).as("rank"))
+      .localCheckpoint(true)
+    // the rank/deg tables are two longs per NODE — broadcast keeps the
+    // edge table un-shuffled through both joins, leaving the (map-side
+    // combined, node-sized) inflow aggregation as the only real
+    // exchange per iteration. Right for node tables that fit in
+    // executor memory — the normal entity-graph case; at web-graph node
+    // counts pass broadcastRanks = false for the co-partitioned
+    // shuffle-join path.
+    def side(df: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(df) else df
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(side(rank.withColumnRenamed("id", "src")), Seq("src"))
+        .join(side(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "d")),
+          Seq("src"))
+        .select(col("dst").as("id"), expr("rank div d").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      rank = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"($dampingPct * coalesce(inflow, 0L)) div 100")).as("rank"))
+      i += 1
+      if (i % checkpointInterval == 0 && i < iterations)
+        rank = rank.localCheckpoint(true)
+    }
+    rank
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Integer-scaled PageRank: hand-computed fixtures, symmetry, guards.
+  * The q97 oracle replays full iterations; these cover the semantics
+  * the fixture graph does not isolate.
+  */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pageRank on a 2-node cycle is exact and symmetric") {
+    // A↔B: outdeg 1 each, every iteration maps rank -> base + 85%·rank;
+    // by symmetry both nodes stay equal, and the fixpoint is scale
+    // (mass-conserving cycle): 15e10 + 85e10 = 1e12 at every iteration
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1000000000000L, 2L -> 1000000000000L), s"$got")
+  }
+
+  test("pageRank star graph: hub outranks leaves; dangling mass leaks") {
+    // undirected star 0↔{1,2,3}: hub collects 3 leaf contributions
+    val fwd = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val edges = fwd.union(fwd.select(col("dst"), col("src")))
+    val undirected = Graph.pageRank(edges, iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(undirected(0L) > undirected(1L), s"hub must outrank: $undirected")
+    assert(undirected(1L) == undirected(2L) && undirected(2L) == undirected(3L),
+      "symmetric leaves must tie exactly")
+    // directed-only version: leaves are dangling (no out-edges), so
+    // their damped mass leaves the system instead of returning
+    val directed = Graph.pageRank(fwd, iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(directed.values.sum < undirected.values.sum,
+      "dangling leaves must leak total mass")
+  }
+
+  test("pageRank replayed one iteration matches the closed formula") {
+    // path 1→2→3: after ONE iteration (scale 100, damping 50):
+    //   base = 50; node 1: 50; node 2: 50 + 50·(100 div 1) div 100 = 100
+    //   node 3: same as 2 (rank_0 uniform)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 1, dampingPct = 50,
+        scale = 100L).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 50L, 2L -> 100L, 3L -> 100L), s"$got")
+  }
+
+  test("pageRank guards reject bad arguments; duplicate edges collapse") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(edges, iterations = 0))
+    intercept[IllegalArgumentException](Graph.pageRank(edges, dampingPct = 101))
+    intercept[IllegalArgumentException](Graph.pageRank(edges, scale = 10L))
+    // the duplicate 1→2 edge must not double node 1's contribution:
+    // identical to the 2-cycle fixture
+    val got = Graph.pageRank(edges, iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1000000000000L, 2L -> 1000000000000L), s"$got")
+  }
+}
