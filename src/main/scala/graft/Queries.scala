@@ -3159,6 +3159,79 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // ----------------------------------------------------------- change capture
+  /** q98: snapshot diff ([[ChangeCapture.snapshotDiff]]) — CDC between
+    * two releases of the documents corpus, both derived
+    * deterministically from the table: `old` misses the `% 11 == 3`
+    * rows (→ inserts), `new` misses the `% 13 == 5` rows (→ deletes)
+    * and rewrites text on `% 7 == 0` rows (→ updates). The operator
+    * compares pre-hashed signatures; the oracle replays the SEMANTIC
+    * contract (column-wise IS DISTINCT FROM) — agreement also pins
+    * the signature recipe faithful.
+    */
+  def snapshotDiffDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val oldS = docs.where(col("doc_id") % 11 =!= 3)
+    val newS = docs.where(col("doc_id") % 13 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit("!")))
+          .otherwise(col("text")))
+    ChangeCapture.snapshotDiff(oldS, newS,
+        Seq("doc_id"), Seq("text", "lang", "source", "n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val snapshotDiffDocsSql: String =
+    """WITH olds AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  WHERE doc_id % 11 <> 3),
+      |news AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END AS text,
+      |    lang, source, n_chars
+      |  FROM documents WHERE doc_id % 13 <> 5),
+      |j AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE WHEN o.doc_id IS NULL THEN 'insert'
+      |         WHEN n.doc_id IS NULL THEN 'delete'
+      |         WHEN (o.text IS DISTINCT FROM n.text)
+      |           OR (o.lang IS DISTINCT FROM n.lang)
+      |           OR (o.source IS DISTINCT FROM n.source)
+      |           OR (o.n_chars IS DISTINCT FROM n.n_chars)
+      |         THEN 'update' END AS op
+      |  FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, op FROM j WHERE op IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
+  /** q99: SCD2 history ([[ChangeCapture.scd2]]) — validity intervals
+    * of each user's event_type from the events log (micros timeline,
+    * event_id tiebreak), no-op transitions collapsed. valid_to is
+    * null on the current state.
+    */
+  def scd2Users(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      .where(col("user_id") < 100)
+    ChangeCapture.scd2(ev, Seq("user_id"), "ts", "event_id", Seq("event_type"))
+      .orderBy("user_id", "valid_from", "event_type")
+  }
+
+  val scd2UsersSql: String =
+    """WITH src AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id, event_type
+      |  FROM events WHERE user_id < 100),
+      |d AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM src),
+      |k AS (
+      |  SELECT user_id, ts, event_id, event_type FROM d
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |FROM k ORDER BY user_id, valid_from, event_type""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -3257,7 +3330,9 @@ object Queries {
     "q94_embed_decontaminate" -> embedDecontaminate _,
     "q95_exactk_sample" -> exactKSampleDocs _,
     "q96_pack_examples" -> packExamples _,
-    "q97_pagerank" -> pageRankParts _)
+    "q97_pagerank" -> pageRankParts _,
+    "q98_snapshot_diff" -> snapshotDiffDocs _,
+    "q99_scd2_history" -> scd2Users _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3355,5 +3430,7 @@ object Queries {
     "q94_embed_decontaminate" -> embedDecontaminateSql,
     "q95_exactk_sample" -> exactKSampleSql,
     "q96_pack_examples" -> packExamplesSql,
-    "q97_pagerank" -> pageRankSql)
+    "q97_pagerank" -> pageRankSql,
+    "q98_snapshot_diff" -> snapshotDiffDocsSql,
+    "q99_scd2_history" -> scd2UsersSql)
 }

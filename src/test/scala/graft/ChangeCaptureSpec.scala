@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.ChangeCapture
+import org.apache.spark.sql.functions._
+
+/** Snapshot CDC + SCD2 history: classification semantics, null-safety
+  * of the payload signature, no-op collapse, and the one-shuffle plan
+  * shape.
+  */
+class ChangeCaptureSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------- snapshotDiff
+  private def oldSnap = Seq(
+    (1L, Some("a"), 10),  // unchanged
+    (2L, Some("b"), 20),  // update: payload changes
+    (3L, Some("c"), 30),  // delete: absent from new
+    (5L, None, 50),       // unchanged with a NULL payload column
+    (6L, Some("f"), 60)   // update: value column changes
+  ).toDF("id", "payload", "v")
+
+  private def newSnap = Seq(
+    (1L, Some("a"), 10),
+    (2L, Some("B"), 20),
+    (4L, Some("d"), 40),  // insert: absent from old
+    (5L, None, 50),
+    (6L, Some("f"), 61)
+  ).toDF("id", "payload", "v")
+
+  private def diff: Map[Long, String] =
+    ChangeCapture.snapshotDiff(oldSnap, newSnap, Seq("id"), Seq("payload", "v"))
+      .as[(Long, String)].collect().toMap
+
+  test("snapshotDiff classifies insert/update/delete and drops unchanged") {
+    assert(diff == Map(2L -> "update", 3L -> "delete", 4L -> "insert",
+      6L -> "update"))
+  }
+
+  test("snapshotDiff: null vs value is an update, null vs null is not") {
+    val o = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "p")
+    val n = Seq((1L, Some("y")), (2L, Option.empty[String])).toDF("id", "p")
+    val d = ChangeCapture.snapshotDiff(o, n, Seq("id"), Seq("p"))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "update", 2L -> "update"))
+  }
+
+  test("snapshotDiff: signature does not alias across column boundaries") {
+    // ("ab","c") vs ("a","bc") — same concatenation without the ␁ joiner
+    val o = Seq((1L, "ab", "c")).toDF("id", "x", "y")
+    val n = Seq((1L, "a", "bc")).toDF("id", "x", "y")
+    val d = ChangeCapture.snapshotDiff(o, n, Seq("id"), Seq("x", "y"))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "update"))
+    // (null, "x") vs ("", "x") — the ␂ null sentinel must not collide
+    // with an empty string
+    val o2 = Seq((1L, Option.empty[String], "x")).toDF("id", "a", "b")
+    val n2 = Seq((1L, Some(""), "x")).toDF("id", "a", "b")
+    val d2 = ChangeCapture.snapshotDiff(o2, n2, Seq("id"), Seq("a", "b"))
+      .as[(Long, String)].collect().toMap
+    assert(d2 == Map(1L -> "update"))
+  }
+
+  test("snapshotDiff joins signatures, not payloads") {
+    // both join inputs must be pre-projected to keys + the md5
+    // signature — the wide compare columns never reach the join
+    val joinInputs = ChangeCapture.snapshotDiff(oldSnap, newSnap, Seq("id"),
+        Seq("payload", "v"))
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.children.flatMap(_.output.map(_.name))
+      }
+    assert(joinInputs.nonEmpty)
+    joinInputs.foreach { names =>
+      assert(!names.contains("payload") && !names.contains("v"),
+        s"compare columns crossed into the join: $names")
+    }
+  }
+
+  // --------------------------------------------------------------- scd2
+  private def log = Seq(
+    (1L, 10L, 100L, Some("bronze")),
+    (1L, 20L, 101L, Some("bronze")), // no-op: collapsed
+    (1L, 30L, 102L, Some("silver")),
+    (1L, 30L, 103L, Some("gold")),   // same ts: tie broken by id
+    (2L, 15L, 200L, Option.empty[String]), // null initial state kept
+    (2L, 25L, 201L, Option.empty[String]), // null → null: no-op
+    (2L, 35L, 202L, Some("bronze"))
+  ).toDF("key", "ts", "id", "tier")
+
+  private def hist: Set[(Long, Option[String], Long, Option[Long])] =
+    ChangeCapture.scd2(log, Seq("key"), "ts", "id", Seq("tier"))
+      .as[(Long, Option[String], Long, Option[Long])].collect().toSet
+
+  test("scd2 collapses no-ops and chains validity intervals") {
+    assert(hist == Set(
+      (1L, Some("bronze"), 10L, Some(30L)),
+      (1L, Some("silver"), 30L, Some(30L)),
+      (1L, Some("gold"), 30L, None),
+      (2L, None, 15L, Some(35L)),
+      (2L, Some("bronze"), 35L, None)))
+  }
+
+  test("scd2 plans exactly one exchange for both window passes") {
+    val plan = ChangeCapture.scd2(log, Seq("key"), "ts", "id", Seq("tier"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 key exchange, got $exchanges:\n$plan")
+  }
+
+  test("empty inputs yield empty diffs and histories") {
+    val e = Seq.empty[(Long, String)].toDF("id", "p")
+    assert(ChangeCapture.snapshotDiff(e, e, Seq("id"), Seq("p")).isEmpty)
+    val el = Seq.empty[(Long, Long, Long, String)].toDF("key", "ts", "id", "tier")
+    assert(ChangeCapture.scd2(el, Seq("key"), "ts", "id", Seq("tier")).isEmpty)
+  }
+}
