@@ -3232,6 +3232,80 @@ object Queries {
       |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
       |FROM k ORDER BY user_id, valid_from, event_type""".stripMargin
 
+  /** q100: key-skew profile ([[Profile.keySkew]]) — the pre-join skew
+    * report over the events stream's user_id: 10 heaviest users with
+    * exact ppm shares plus the count-per-key distribution (discrete
+    * p50/p90/p99). Every output is integer arithmetic; the oracle
+    * replays the frequency-of-frequencies percentile rule and the
+    * (cnt desc, key asc) heavy-key order literally.
+    */
+  def keySkewEvents(s: SparkSession, dir: String): DataFrame =
+    Profile.keySkew(t(s, dir, "events").select("user_id"), "user_id", topK = 10)
+      .orderBy("rank")
+
+  val keySkewEventsSql: String =
+    """WITH counts AS (
+      |  SELECT CAST(user_id AS BIGINT) AS key, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |tot AS (
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows,
+      |    MAX(cnt) AS max_cnt FROM counts),
+      |freq AS (SELECT cnt, COUNT(*) AS n_at FROM counts GROUP BY cnt),
+      |cum AS (
+      |  SELECT cnt, SUM(n_at) OVER (ORDER BY cnt ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_keys
+      |  FROM freq),
+      |bounds AS (
+      |  SELECT
+      |    MIN(CASE WHEN cum_keys * 100 >= n_keys * 50 THEN cnt END) AS p50_cnt,
+      |    MIN(CASE WHEN cum_keys * 100 >= n_keys * 90 THEN cnt END) AS p90_cnt,
+      |    MIN(CASE WHEN cum_keys * 100 >= n_keys * 99 THEN cnt END) AS p99_cnt
+      |  FROM cum, tot),
+      |heavy AS (
+      |  SELECT * FROM (
+      |    SELECT key, cnt,
+      |      ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rank
+      |    FROM counts) WHERE rank <= 10)
+      |SELECT CAST(t.rank AS BIGINT) AS rank, t.key, t.cnt,
+      |  CAST((t.cnt * 1000000) // g.total_rows AS BIGINT) AS share_ppm,
+      |  g.n_keys, g.total_rows, g.max_cnt,
+      |  b.p50_cnt, b.p90_cnt, b.p99_cnt
+      |FROM heavy t, tot g, bounds b ORDER BY t.rank""".stripMargin
+
+  /** q101: decayed engagement score ([[Stats.decayedSum]]) — per-user
+    * recency-weighted activity over events with a 7-day half-life,
+    * anchored on the data's max day. All-integer output; the oracle
+    * replays the per-day sums, the shift quantization and the exact
+    * power-of-two floor division.
+    */
+  def decayedEngagement(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"), col("value"))
+    Stats.decayedSum(ev, "user_id", "day", "value", halfLifeDays = 7)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id")
+  }
+
+  val decayedEngagementSql: String =
+    """WITH src AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(FLOOR(value * 10000) AS BIGINT) AS vs
+      |  FROM events WHERE value IS NOT NULL),
+      |anc AS (SELECT MAX(day) AS anchor FROM src),
+      |pd AS (
+      |  SELECT user_id, day, CAST(SUM(vs) AS BIGINT) AS daysum,
+      |    COUNT(*) AS n
+      |  FROM src GROUP BY user_id, day),
+      |terms AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(CAST(daysum AS DOUBLE) /
+      |      POWER(2.0, LEAST((anchor - day) // 7, 62))) AS BIGINT) AS term,
+      |    n
+      |  FROM pd, anc)
+      |SELECT user_id, CAST(SUM(term) AS BIGINT) AS score_scaled,
+      |  CAST(SUM(n) AS BIGINT) AS n_events
+      |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -3332,7 +3406,9 @@ object Queries {
     "q96_pack_examples" -> packExamples _,
     "q97_pagerank" -> pageRankParts _,
     "q98_snapshot_diff" -> snapshotDiffDocs _,
-    "q99_scd2_history" -> scd2Users _)
+    "q99_scd2_history" -> scd2Users _,
+    "q100_key_skew" -> keySkewEvents _,
+    "q101_decayed_score" -> decayedEngagement _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3432,5 +3508,7 @@ object Queries {
     "q96_pack_examples" -> packExamplesSql,
     "q97_pagerank" -> pageRankSql,
     "q98_snapshot_diff" -> snapshotDiffDocsSql,
-    "q99_scd2_history" -> scd2UsersSql)
+    "q99_scd2_history" -> scd2UsersSql,
+    "q100_key_skew" -> keySkewEventsSql,
+    "q101_decayed_score" -> decayedEngagementSql)
 }

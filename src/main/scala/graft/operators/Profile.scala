@@ -49,4 +49,59 @@ object Profile {
   def summarizeApprox(
       df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     melt(df, cols, approx_count_distinct(col("value"), rsd).as("n_distinct_approx"))
+
+  /** Key-skew diagnostic — the report a pipeline runs on a join/groupBy
+    * key BEFORE committing to a plan (feeds [[SkewJoin]]'s salting
+    * decision): the `topK` heaviest keys (count desc, key asc) each
+    * with its row share in exact ppm, plus the per-key-count
+    * distribution (n_keys, total_rows, max_cnt and the p50/p90/p99
+    * discrete percentiles of the count-per-key).
+    *
+    * 100 TB design notes:
+    *  - Per-key counts are ONE map-side-combined shuffle; every later
+    *    stage runs on aggregate grain.
+    *  - Heavy keys use the bounded [[TopKAgg]] aggregate (O(k) state,
+    *    no WindowExec over the key table).
+    *  - Percentiles come from the frequency-of-frequencies table
+    *    (distinct count values): its global cumulative window is
+    *    provably bounded — m distinct count values need
+    *    m·(m+1)/2 ≤ total_rows rows, so m ≤ √(2·total_rows)
+    *    (~1.4M rows at 10^12 input rows — a single partition holds it).
+    *  - Boundary rule is integer-exact percentile_disc: the smallest
+    *    count c with 100·|{keys: cnt ≤ c}| ≥ p·n_keys.
+    *
+    * The key must cast losslessly to bigint ([[TopKAgg]]'s id slot);
+    * hash non-numeric keys to 64 bits first.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val glob = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"),
+      TopKAgg.topK(col("cnt").cast("double"), col("key"), topK).as("top"))
+    val freq = counts.groupBy(col("cnt")).agg(count(lit(1)).as("n_at"))
+    val cum = freq.withColumn("cum_keys",
+      sum(col("n_at")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    def bound(p: Int) =
+      min(when(col("cum_keys") * 100 >= col("n_keys") * p, col("cnt")))
+        .as(s"p${p}_cnt")
+    val bounds = cum.crossJoin(broadcast(glob.select(col("n_keys"))))
+      .agg(bound(50), bound(90), bound(99))
+    glob.crossJoin(broadcast(bounds))
+      .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        posexplode(col("top")).as(Seq("pos", "p")))
+      .select(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("key"),
+        col("p.val").cast("long").as("cnt"),
+        expr("(CAST(p.val AS BIGINT) * 1000000) div total_rows").as("share_ppm"),
+        col("n_keys"), col("total_rows"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"))
+  }
 }

@@ -313,6 +313,54 @@ object Stats {
     * [[Sketches.histQuantiles]] when approximate quantiles are
     * acceptable and one pass matters more.
     */
+  /** Exponential time-decay aggregate with an engine-replayable
+    * integer core — the "recency-weighted engagement" score behind
+    * freshness-biased sampling mixes (newer documents weigh more) and
+    * user activity ranking. Per key:
+    * `score = Σ_days floor(daysum_scaled / 2^(age div halfLife))`,
+    * where `daysum_scaled` is the exact integer sum of
+    * `floor(value·10⁴)` on that (key, day) and age is measured from
+    * the GLOBAL max day (the data's own "now" — no wall clock, so the
+    * result is a pure function of the input).
+    *
+    * Why this shape instead of `sum(value · exp(-λ·age))`:
+    * float-weighted sums depend on distributed reduction order, so two
+    * runs of the same job can disagree in the last ulp. Here every
+    * per-day partial is an exact integer, each decayed term is an
+    * exact IEEE op pair (division by a power of two is exact; floor is
+    * exact), and the final sum is integer — bit-identical on ANY
+    * partitioning and ANY engine. Decay is quantized to half-life
+    * steps (2^-k), the resolution that matters for mixing weights.
+    *
+    * 100 TB posture: one map-side-combined (key, day) aggregation
+    * (the calendar bounds distinct days, so the grain is ~keys×days),
+    * then a key-grain re-aggregation; the anchor is a broadcast
+    * one-row join. Shifts cap at 62 (beyond that the term is 0 for
+    * any representable daysum); per-day sums overflow LOUDLY (ANSI
+    * long sum) rather than drift.
+    */
+  def decayedSum(
+      df: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be >= 1")
+    val src = df.select(col(keyCol).as("key"), col(dayCol).as("day"),
+        floor(col(valueCol) * lit(10000)).cast("long").as("vs"))
+      .where(col("vs").isNotNull)
+    val anchor = src.agg(max(col("day")).as("anchor"))
+    val perDay = src.groupBy(col("key"), col("day"))
+      .agg(sum(col("vs")).as("daysum"), count(lit(1)).as("n"))
+    perDay.crossJoin(broadcast(anchor))
+      .withColumn("d",
+        least(expr(s"(anchor - day) div $halfLifeDays"), lit(62L)))
+      .withColumn("term",
+        floor(col("daysum").cast("double") / pow(lit(2.0), col("d"))).cast("long"))
+      .groupBy(col("key"))
+      .agg(sum(col("term")).as("score_scaled"), sum(col("n")).as("n_events"))
+  }
+
   def robustOutliers(
       df: DataFrame,
       groupCols: Seq[String],

@@ -28,4 +28,37 @@ class ProfileSpec extends SparkSuite {
         s"$name distinct: exact=$ed approx=$ad")
     }
   }
+
+  test("keySkew: heavy keys, ppm shares and discrete percentiles are exact") {
+    import spark.implicits._
+    // counts: key 1 → 10 rows, key 2 → 5, keys 3..7 → 1 each
+    val rows = Seq.fill(10)(1L) ++ Seq.fill(5)(2L) ++ (3L to 7L)
+    val out = Profile.keySkew(rows.toDF("k"), "k", topK = 3)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    val top = out.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("key"),
+      r.getAs[Long]("cnt"), r.getAs[Long]("share_ppm")))
+    assert(top.toSeq == Seq((1L, 1L, 10L, 500000L), (2L, 2L, 5L, 250000L),
+      (3L, 3L, 1L, 50000L))) // cnt tie at 1 → smallest key wins rank 3
+    val g = out.head
+    assert(g.getAs[Long]("n_keys") == 7 && g.getAs[Long]("total_rows") == 20 &&
+      g.getAs[Long]("max_cnt") == 10)
+    // cum shares: cnt 1 covers 5/7 keys (≥50%) → p50=1; p90/p99 need
+    // 6.3/6.93 keys → only the full 7 at cnt=10 reaches them
+    assert(g.getAs[Long]("p50_cnt") == 1 && g.getAs[Long]("p90_cnt") == 10 &&
+      g.getAs[Long]("p99_cnt") == 10)
+  }
+
+  test("keySkew plans the bounded TopKAgg, not a window over the key table") {
+    import spark.implicits._
+    val plan = Profile.keySkew(Seq(1L, 1L, 2L).toDF("k"), "k", topK = 2)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("graft_top_k"), "heavy keys must use the bounded aggregate")
+    assert(!plan.contains("row_number"), s"unexpected window rank:\n$plan")
+  }
+
+  test("keySkew on empty input returns no rows") {
+    import spark.implicits._
+    assert(Profile.keySkew(Seq.empty[Long].toDF("k"), "k", topK = 5).isEmpty)
+  }
 }

@@ -18,10 +18,10 @@ class RegistrySpec extends AnyFunSuite {
       s"rows-only set drifted (ensemble fit is the only blessed one): $rowsOnly")
   }
 
-  test("query names follow the qNN_ scheme with no duplicates or gaps") {
-    val nums = Queries.all.keySet.map(_.take(3))
-    assert(Queries.all.keySet.forall(_.matches("q\\d\\d_[a-z0-9_]+")))
-    assert(nums.size == Queries.all.size, "duplicate qNN prefix")
+  test("query names follow the qN+_ scheme with no duplicates or gaps") {
+    assert(Queries.all.keySet.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
+    val nums = Queries.all.keySet.map(_.takeWhile(_ != '_'))
+    assert(nums.size == Queries.all.size, "duplicate qN prefix")
     val ints = nums.map(_.drop(1).toInt).toSeq.sorted
     assert(ints == (1 to Queries.all.size), s"gap in query numbering: $ints")
   }

@@ -231,6 +231,38 @@ class StatsSpec extends SparkSuite {
     assert(byId(201L).isNullAt(byId(201L).fieldIndex("minmax")))
   }
 
+  test("decayedSum: half-life shifts, floor semantics, null drops") {
+    // anchor = day 100; half-life 7
+    val rows = Seq(
+      (1L, 100L, Some(1.5)),     // same-day: no decay
+      (1L, 100L, Some(2.25)),
+      (1L, 93L, Some(1.0)),      // age 7  → 1 shift
+      (1L, 92L, Some(1.0)),      // age 8  → still 1 shift (quantized)
+      (2L, 79L, Some(0.5)),      // age 21 → 3 shifts: 5000/8 = 625
+      (2L, 100L, Some(-0.5)),    // negative value, no decay
+      (3L, 0L, Some(1.0)),       // age 100 → 14 shifts: 10000/16384 → 0
+      (3L, 100L, None),          // null value: dropped entirely
+      (4L, 93L, Some(-2.4375))   // -24375/2 floors to -12188, not -12187
+    ).toDF("k", "day", "v")
+    val got = Stats.decayedSum(rows, "k", "day", "v", halfLifeDays = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 37500L + 5000L + 5000L, 4L),
+      (2L, 625L - 5000L, 2L),
+      (3L, 0L, 1L),
+      (4L, -12188L, 1L)))
+  }
+
+  test("decayedSum: shift cap at 62 and empty input") {
+    val far = Seq((1L, 0L, Some(1e9)), (1L, 1000000L, Some(0.0)))
+      .toDF("k", "day", "v")
+    // age 1e6 days → d would be ~142857, capped at 62: 1e13 >> 62 = 0
+    val got = Stats.decayedSum(far, "k", "day", "v", halfLifeDays = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 2L)))
+    assert(Stats.decayedSum(far.limit(0), "k", "day", "v", 7).isEmpty)
+  }
+
   test("outliers: constant groups and null values produce no flags") {
     val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(5.0)),
       ("g", Some(1.0)), ("g", Some(2.0)), ("g", None), ("g", Some(100.0)))
