@@ -3306,6 +3306,119 @@ object Queries {
       |  CAST(SUM(n) AS BIGINT) AS n_events
       |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q102: z-order zone-map pruning arithmetic ([[Layout]]) — lineitem
+    * clustered on Morton(l_partkey, l_suppkey) vs a single-column
+    * layout, both profiled into 64x64-cell zones, then the planner-side
+    * scan estimate for the box l_partkey∈[100,300] ∧ l_suppkey∈[10,40].
+    * Pure integer bit arithmetic end-to-end; the oracle replays the
+    * 16-bit interleave literally via a lateral bit sum. The z-order row
+    * reads ~2 orders of magnitude fewer rows — the measurable claim
+    * behind clustering a 100 TB table before writing it.
+    */
+  def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val z = pts.withColumn("z", Layout.zValue(col("x"), col("y"), bits = 16))
+    val zZones = Layout.zoneProfile(z, shiftright(col("z"), 12), "x", "y")
+    val xZones = Layout.zoneProfile(pts, shiftright(col("x"), 6), "x", "y")
+    Layout.boxScan(zZones, 100, 300, 10, 40)
+      .withColumn("layout", lit("zorder"))
+      .unionByName(Layout.boxScan(xZones, 100, 300, 10, 40)
+        .withColumn("layout", lit("by_x")))
+      .select(col("layout"), col("n_zones"), col("n_rows"),
+        col("zones_touched"), col("rows_touched"))
+      .orderBy("layout")
+  }
+
+  val zorderScanSql: String =
+    """WITH pts AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+      |z AS (
+      |  SELECT x, y,
+      |    (SELECT CAST(SUM((((x >> i) & 1) << (2*i)) +
+      |                     (((y >> i) & 1) << (2*i+1))) AS BIGINT)
+      |     FROM range(16) t(i)) AS z
+      |  FROM pts),
+      |zz AS (
+      |  SELECT z >> 12 AS zone, MIN(x) AS min_x, MAX(x) AS max_x,
+      |    MIN(y) AS min_y, MAX(y) AS max_y, COUNT(*) AS n_rows
+      |  FROM z GROUP BY 1),
+      |xz AS (
+      |  SELECT x >> 6 AS zone, MIN(x) AS min_x, MAX(x) AS max_x,
+      |    MIN(y) AS min_y, MAX(y) AS max_y, COUNT(*) AS n_rows
+      |  FROM pts GROUP BY 1),
+      |scan AS (
+      |  SELECT 'zorder' AS layout, COUNT(*) AS n_zones,
+      |    CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_rows,
+      |    CAST(COALESCE(SUM(CASE WHEN NOT (max_x < 100 OR min_x > 300 OR
+      |      max_y < 10 OR min_y > 40) THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |      AS zones_touched,
+      |    CAST(COALESCE(SUM(CASE WHEN NOT (max_x < 100 OR min_x > 300 OR
+      |      max_y < 10 OR min_y > 40) THEN n_rows ELSE 0 END), 0) AS BIGINT)
+      |      AS rows_touched
+      |  FROM zz
+      |  UNION ALL
+      |  SELECT 'by_x', COUNT(*),
+      |    CAST(COALESCE(SUM(n_rows), 0) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN NOT (max_x < 100 OR min_x > 300 OR
+      |      max_y < 10 OR min_y > 40) THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN NOT (max_x < 100 OR min_x > 300 OR
+      |      max_y < 10 OR min_y > 40) THEN n_rows ELSE 0 END), 0) AS BIGINT)
+      |  FROM xz)
+      |SELECT * FROM scan ORDER BY layout""".stripMargin
+
+  /** q103: declarative quality gate ([[Quality]]) — the pre-ingest
+    * contract report over lineitem: three row-local checks folded into
+    * ONE scan, a uniqueness check (one key shuffle) and referential
+    * integrity against part (one join on the collapsed dim). All-integer
+    * metrics; the oracle replays each violation count and the ppm
+    * cross-multiplication pass rule.
+    */
+  def qualityReport(s: SparkSession, dir: String): DataFrame =
+    Quality.run(t(s, dir, "lineitem"), Seq(
+      Quality.NotNull("l_shipdate"),
+      Quality.InRange("l_discount", 0.0, 0.05, maxPpm = 600000L),
+      Quality.InSet("l_returnflag", Seq("A", "N")),
+      Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+      Quality.RefIntegrity("l_partkey", t(s, dir, "part"), "p_partkey")))
+
+  val qualityReportSql: String =
+    """WITH sc AS (
+      |  SELECT COUNT(*) AS total,
+      |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v0,
+      |    CAST(SUM(CASE WHEN l_discount IS NOT NULL AND
+      |      (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v1,
+      |    CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND
+      |      l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v2
+      |  FROM lineitem),
+      |u AS (
+      |  SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS viol,
+      |    CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS total
+      |  FROM (SELECT COUNT(*) AS cnt FROM lineitem
+      |        GROUP BY l_orderkey, l_linenumber)),
+      |r AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN d.p_partkey IS NULL THEN 1
+      |    ELSE 0 END), 0) AS BIGINT) AS viol, COUNT(*) AS total
+      |  FROM lineitem l
+      |  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) d
+      |    ON l.l_partkey = d.p_partkey
+      |  WHERE l.l_partkey IS NOT NULL),
+      |rep AS (
+      |  SELECT 1 AS ord, 'not_null(l_shipdate)' AS check_name,
+      |    v0 AS violations, total, CAST(0 AS BIGINT) AS max_ppm FROM sc
+      |  UNION ALL SELECT 2, 'in_range(l_discount)', v1, total, 600000 FROM sc
+      |  UNION ALL SELECT 3, 'in_set(l_returnflag)', v2, total, 0 FROM sc
+      |  UNION ALL SELECT 4, 'unique(l_orderkey,l_linenumber)', viol, total,
+      |    0 FROM u
+      |  UNION ALL SELECT 5, 'ref(l_partkey)', viol, total, 0 FROM r)
+      |SELECT check_name, violations, total,
+      |  CASE WHEN total = 0 THEN 0
+      |       ELSE (violations * 1000000) // total END AS viol_ppm,
+      |  violations * 1000000 <= max_ppm * total AS passed
+      |FROM rep ORDER BY ord""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -3408,7 +3521,9 @@ object Queries {
     "q98_snapshot_diff" -> snapshotDiffDocs _,
     "q99_scd2_history" -> scd2Users _,
     "q100_key_skew" -> keySkewEvents _,
-    "q101_decayed_score" -> decayedEngagement _)
+    "q101_decayed_score" -> decayedEngagement _,
+    "q102_zorder_scan" -> zorderScan _,
+    "q103_quality_gate" -> qualityReport _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3510,5 +3625,7 @@ object Queries {
     "q98_snapshot_diff" -> snapshotDiffDocsSql,
     "q99_scd2_history" -> scd2UsersSql,
     "q100_key_skew" -> keySkewEventsSql,
-    "q101_decayed_score" -> decayedEngagementSql)
+    "q101_decayed_score" -> decayedEngagementSql,
+    "q102_zorder_scan" -> zorderScanSql,
+    "q103_quality_gate" -> qualityReportSql)
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality gate (the pre-ingest contract check a
+  * training pipeline runs before admitting a batch): a list of typed
+  * constraints evaluated into one uniform report —
+  * `(check_name, violations, total, viol_ppm, passed)` — that a
+  * release job can assert on or publish.
+  *
+  * 100 TB design notes — scans, not checks, are the unit of cost:
+  *  - ALL row-local checks ([[Quality.NotNull]], [[Quality.InRange]],
+  *    [[Quality.InSet]]) fold into ONE aggregate over ONE scan: each
+  *    contributes a conditional-sum column, the single result row is
+  *    exploded back into report rows. k row-local checks cost exactly
+  *    one pass regardless of k (the naive one-query-per-check form
+  *    scans k times; Expand-based forms ship k× the rows through the
+  *    aggregation).
+  *  - [[Quality.Unique]] needs key grouping (one map-side-combined
+  *    shuffle of the key columns only); [[Quality.RefIntegrity]] needs
+  *    one join against the DISTINCT dimension keys (a left join with a
+  *    null-probe conditional sum — AQE broadcasts the collapsed dim
+  *    side when it fits). Each adds exactly one extra pass, and the
+  *    report says so by construction.
+  *  - Every metric is integer (counts and floor-ppm); `passed` is the
+  *    integer cross-multiplication `violations·10⁶ ≤ maxPpm·total`,
+  *    so thresholds behave identically on any engine. An empty table
+  *    passes every check (0 ≤ 0).
+  */
+object Quality {
+
+  sealed trait Check { def name: String }
+
+  /** `column` must be non-null in all but `maxPpm` parts-per-million
+    * of rows. */
+  final case class NotNull(column: String, maxPpm: Long = 0L) extends Check {
+    def name = s"not_null($column)"
+  }
+
+  /** Non-null values of `column` must lie in `[lo, hi]`. Nulls are
+    * [[NotNull]]'s business, not a range violation. */
+  final case class InRange(column: String, lo: Double, hi: Double,
+      maxPpm: Long = 0L) extends Check {
+    def name = s"in_range($column)"
+  }
+
+  /** Non-null values of `column` (as strings) must be in `allowed`. */
+  final case class InSet(column: String, allowed: Seq[String],
+      maxPpm: Long = 0L) extends Check {
+    def name = s"in_set($column)"
+  }
+
+  /** The column tuple must be unique; violations = rows beyond the
+    * first of each duplicated tuple (null-safe grouping). */
+  final case class Unique(columns: Seq[String], maxPpm: Long = 0L)
+      extends Check {
+    def name = s"unique(${columns.mkString(",")})"
+  }
+
+  /** Non-null values of `column` must exist in `dim.dimColumn`;
+    * violations = orphan rows. */
+  final case class RefIntegrity(column: String, dim: DataFrame,
+      dimColumn: String, maxPpm: Long = 0L) extends Check {
+    def name = s"ref($column)"
+  }
+
+  /** Evaluate `checks` against `df`; one report row per check, in the
+    * caller's check order (the report carries the check index and is
+    * sorted on it — report grain is k rows, so the sort is free).
+    */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val indexed = checks.zipWithIndex
+
+    val rowLocal = indexed.collect {
+      case (c: NotNull, ord) => (c: Check, ord, c.maxPpm,
+        sum(when(col(c.column).isNull, 1L).otherwise(0L)))
+      case (c: InRange, ord) => (c: Check, ord, c.maxPpm,
+        sum(when(col(c.column).isNotNull &&
+          (col(c.column) < c.lo || col(c.column) > c.hi), 1L).otherwise(0L)))
+      case (c: InSet, ord) => (c: Check, ord, c.maxPpm,
+        sum(when(col(c.column).isNotNull &&
+          !col(c.column).cast("string").isin(c.allowed: _*), 1L).otherwise(0L)))
+    }
+
+    // one scan, one aggregate row, exploded into one row per check
+    val scanReport: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val aggs = rowLocal.zipWithIndex.map { case ((_, _, _, agg), i) =>
+          coalesce(agg, lit(0L)).as(s"__v$i")
+        }
+        val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
+        val packed = rowLocal.zipWithIndex.map { case ((c, ord, maxPpm, _), i) =>
+          struct(lit(ord).as("ord"), lit(c.name).as("check_name"),
+            col(s"__v$i").as("violations"), lit(maxPpm).as("max_ppm"))
+        }
+        Some(one.select(col("__total"), explode(array(packed: _*)).as("c"))
+          .select(col("c.ord"), col("c.check_name"), col("c.violations"),
+            col("__total").as("total"), col("c.max_ppm")))
+      }
+
+    val uniqueReports = indexed.collect { case (c: Unique, ord) =>
+      df.groupBy(c.columns.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+        .agg(coalesce(sum(col("__cnt") - 1L), lit(0L)).as("violations"),
+          coalesce(sum(col("__cnt")), lit(0L)).as("total"))
+        .select(lit(ord).as("ord"), lit(c.name).as("check_name"),
+          col("violations"), col("total"), lit(c.maxPpm).as("max_ppm"))
+    }
+
+    val refReports = indexed.collect { case (c: RefIntegrity, ord) =>
+      val dimKeys = c.dim.select(col(c.dimColumn).as("__dim_key")).distinct()
+      df.select(col(c.column).as("__fk")).where(col("__fk").isNotNull)
+        .join(dimKeys, col("__fk") === col("__dim_key"), "left")
+        .agg(coalesce(sum(when(col("__dim_key").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("violations"),
+          count(lit(1)).as("total"))
+        .select(lit(ord).as("ord"), lit(c.name).as("check_name"),
+          col("violations"), col("total"), lit(c.maxPpm).as("max_ppm"))
+    }
+
+    val parts = scanReport.toSeq ++ uniqueReports ++ refReports
+    parts.reduce(_ unionByName _)
+      .orderBy(col("ord"))
+      .select(col("check_name"), col("violations"), col("total"),
+        when(col("total") === 0L, 0L)
+          .otherwise(expr("(violations * 1000000) div total")).as("viol_ppm"),
+        (col("violations") * 1000000L <= col("max_ppm") * col("total"))
+          .as("passed"))
+  }
+}

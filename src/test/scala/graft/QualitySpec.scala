@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def report(df: org.apache.spark.sql.DataFrame,
+      checks: Seq[Quality.Check]): Seq[(String, Long, Long, Long, Boolean)] =
+    Quality.run(df, checks).collect().toSeq.map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+
+  test("row-local checks: counts, ppm and caller order") {
+    val df = Seq(
+      (Option(1L), Option(0.5), "A"), (Option(2L), Option(1.5), "B"),
+      (Option(3L), Option(-0.1), "C"), (Option.empty[Long], Option(0.9), "A"))
+      .toDF("id", "v", "tag")
+    val got = report(df, Seq(
+      Quality.InSet("tag", Seq("A", "B"), maxPpm = 250000L),
+      Quality.NotNull("id"),
+      Quality.InRange("v", 0.0, 1.0, maxPpm = 500000L)))
+    assert(got == Seq(
+      ("in_set(tag)", 1L, 4L, 250000L, true),     // exactly at threshold
+      ("not_null(id)", 1L, 4L, 250000L, false),
+      ("in_range(v)", 2L, 4L, 500000L, true)))
+  }
+
+  test("row-local checks fold into one scan of the source") {
+    val df = spark.range(100).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS v")
+    val plan = Quality.run(df, Seq(
+      Quality.NotNull("id"), Quality.InRange("v", 0.0, 5.0),
+      Quality.InSet("v", Seq("1.0", "2.0"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Range \\(").length - 1 == 1,
+      s"expected exactly one scan of the source:\n$plan")
+  }
+
+  test("unique: violations are rows beyond the first per duplicated tuple") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "s")
+    val got = report(df, Seq(Quality.Unique(Seq("k", "s"))))
+    assert(got == Seq(("unique(k,s)", 2L, 5L, 400000L, false)))
+  }
+
+  test("ref integrity: orphans counted, nulls exempt") {
+    val dim = Seq(10L, 20L).toDF("pk")
+    val df = Seq(Option(10L), Option(10L), Option(20L), Option(99L),
+      Option.empty[Long]).toDF("fk")
+    val got = report(df, Seq(Quality.RefIntegrity("fk", dim, "pk")))
+    // null fk is NotNull's business: total = 4 non-null, 1 orphan
+    assert(got == Seq(("ref(fk)", 1L, 4L, 250000L, false)))
+  }
+
+  test("mixed check kinds keep caller order in the report") {
+    val dim = Seq(1L).toDF("pk")
+    val df = Seq((1L, 1L), (1L, 2L)).toDF("a", "b")
+    val names = Quality.run(df, Seq(
+      Quality.Unique(Seq("a")),
+      Quality.NotNull("b"),
+      Quality.RefIntegrity("b", dim, "pk"),
+      Quality.InRange("a", 0, 10)))
+      .select("check_name").as[String].collect().toSeq
+    assert(names == Seq("unique(a)", "not_null(b)", "ref(b)", "in_range(a)"))
+  }
+
+  test("empty table passes every check") {
+    val df = Seq.empty[(Option[Long], String)].toDF("id", "tag")
+    val got = report(df, Seq(
+      Quality.NotNull("id"), Quality.InSet("tag", Seq("A")),
+      Quality.Unique(Seq("id"))))
+    assert(got.forall { case (_, v, t, ppm, passed) =>
+      v == 0L && t == 0L && ppm == 0L && passed })
+  }
+
+  test("run refuses an empty check list") {
+    intercept[IllegalArgumentException](
+      Quality.run(spark.range(1).toDF(), Seq.empty))
+  }
+}
