@@ -3419,6 +3419,101 @@ object Queries {
       |  violations * 1000000 <= max_ppm * total AS passed
       |FROM rep ORDER BY ord""".stripMargin
 
+  /** q104: strict-sequence funnel ([[Behavior.funnel]]) — of the users
+    * who ever viewed, how many later clicked, and of those how many
+    * later purchased (earliest-event chaining, strictly-after). Exact
+    * integer counts + floor-ppm conversion shares; the oracle replays
+    * the per-step min-timestamp chaining literally.
+    */
+  def funnelEvents(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(t(s, dir, "events"), "user_id", "ts", Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click"),
+      "purchase" -> (col("event_type") === "purchase")))
+      .orderBy("step")
+
+  val funnelEventsSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+      |s1 AS (SELECT user_id, MIN(ts) AS t FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+      |c AS (
+      |  SELECT 1 AS step, 'view' AS step_name,
+      |    (SELECT COUNT(*) FROM s1) AS users
+      |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)),
+      |d AS (SELECT step, step_name, users,
+      |        LAG(users) OVER (ORDER BY step) AS prev,
+      |        FIRST_VALUE(users) OVER (ORDER BY step) AS u1
+      |      FROM c)
+      |SELECT CAST(step AS BIGINT) AS step, step_name,
+      |  CAST(users AS BIGINT) AS users,
+      |  CAST(CASE WHEN u1 = 0 THEN 0
+      |       ELSE (users * 1000000) // u1 END AS BIGINT) AS conv_ppm,
+      |  CAST(CASE WHEN prev IS NULL THEN
+      |         (CASE WHEN users = 0 THEN 0 ELSE 1000000 END)
+      |       WHEN prev = 0 THEN 0
+      |       ELSE (users * 1000000) // prev END AS BIGINT) AS step_ppm
+      |FROM d ORDER BY step""".stripMargin
+
+  /** q105: weekly cohort retention ([[Behavior.retention]]) — users
+    * cohorted by first-seen week (day div 7 off the data's own epoch),
+    * one cell per (cohort, offset) with exact active counts and
+    * floor-ppm retention.
+    */
+  def retentionEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    Behavior.retention(ev, "user_id", "day", bucket = 7)
+      .orderBy("cohort", "offset")
+  }
+
+  val retentionEventsSql: String =
+    """WITH e AS (SELECT user_id,
+      |    (epoch_ns(ts) // 86400000000000) // 7 AS p FROM events),
+      |f AS (SELECT user_id, MIN(p) AS cohort FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, p FROM e),
+      |cells AS (SELECT cohort, p - cohort AS "offset",
+      |    COUNT(*) AS active_users
+      |  FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+      |sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY 1)
+      |SELECT c.cohort, c."offset",
+      |  CAST(c.active_users AS BIGINT) AS active_users,
+      |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+      |  CAST((c.active_users * 1000000) // s.cohort_size AS BIGINT)
+      |    AS retained_ppm
+      |FROM cells c JOIN sz s USING (cohort)
+      |ORDER BY cohort, c."offset"""".stripMargin
+
+  /** q106: empirical Markov transition matrix
+    * ([[Behavior.transitions]]) — consecutive event-type pairs per
+    * user (ordered by ts with event_id tie-break), counted into the
+    * |types|² matrix with exact floor-ppm row probabilities.
+    */
+  def transitionsEvents(s: SparkSession, dir: String): DataFrame =
+    Behavior.transitions(t(s, dir, "events"), "user_id", "ts",
+      "event_id", "event_type")
+      .orderBy("src", "dst")
+
+  val transitionsEventsSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id,
+      |    event_type FROM events),
+      |p AS (SELECT event_type AS dst,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS src
+      |  FROM e),
+      |c AS (SELECT src, dst, COUNT(*) AS transitions FROM p
+      |  WHERE src IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, CAST(transitions AS BIGINT) AS transitions,
+      |  CAST((transitions * 1000000) //
+      |    SUM(transitions) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
+      |FROM c ORDER BY src, dst""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -3523,7 +3618,10 @@ object Queries {
     "q100_key_skew" -> keySkewEvents _,
     "q101_decayed_score" -> decayedEngagement _,
     "q102_zorder_scan" -> zorderScan _,
-    "q103_quality_gate" -> qualityReport _)
+    "q103_quality_gate" -> qualityReport _,
+    "q104_funnel" -> funnelEvents _,
+    "q105_retention" -> retentionEvents _,
+    "q106_transitions" -> transitionsEvents _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3627,5 +3725,8 @@ object Queries {
     "q100_key_skew" -> keySkewEventsSql,
     "q101_decayed_score" -> decayedEngagementSql,
     "q102_zorder_scan" -> zorderScanSql,
-    "q103_quality_gate" -> qualityReportSql)
+    "q103_quality_gate" -> qualityReportSql,
+    "q104_funnel" -> funnelEventsSql,
+    "q105_retention" -> retentionEventsSql,
+    "q106_transitions" -> transitionsEventsSql)
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over an event stream: ordered-step funnels,
+  * cohort retention and first-order transition matrices — the product-
+  * analytics queries every events warehouse runs daily, built so every
+  * metric is an exact integer (counts and floor-ppm), replayable on any
+  * engine and any partitioning.
+  *
+  * 100 TB design notes:
+  *  - Everything keys on the user column: each stage is ONE map-side-
+  *    combined shuffle on that key, and chained stages reuse the same
+  *    hash partitioning (no re-shuffle between "reached step i" and
+  *    "reached step i+1" — AQE sees co-partitioned sides).
+  *  - Per-user state never materializes an event list: funnels carry
+  *    one timestamp per (user, step), retention one bucket per
+  *    (user, period), transitions a LAG over the per-user sort that
+  *    Spark evaluates inside the partition.
+  *  - Final reports are aggregate-grain (steps, cohort x offset,
+  *    |event types|^2 rows): the tiny windows/joins that decorate them
+  *    with shares are provably bounded.
+  */
+object Behavior {
+
+  /** Strict-sequence funnel: a user reaches step i+1 with the earliest
+    * event matching `steps(i+1)`'s predicate STRICTLY AFTER their
+    * step-i timestamp (the classic "first view, then first click after
+    * that view, ..." semantics — re-orderings don't count, same-
+    * timestamp events don't count). Returns one row per step:
+    * `(step, step_name, users, conv_ppm, step_ppm)` with conv_ppm the
+    * floor-ppm share of step-1 users and step_ppm of the previous
+    * step's users (step 1 → 1e6 by definition; empty funnel → 0).
+    *
+    * Each step is one filtered scan + one min-aggregation on the user
+    * key, joined user-to-user with the previous step's survivors —
+    * k steps = k co-partitioned passes, no per-user event buffering.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val stage1 = events.where(steps.head._2)
+      .groupBy(col(userCol).as("__bh_u")).agg(min(col(tsCol)).as("__bh_t"))
+    val reached = steps.tail.scanLeft(stage1) { case (prev, (_, pred)) =>
+      events.where(pred)
+        .join(prev.select(col("__bh_u"), col("__bh_t").as("__bh_tprev")),
+          col(userCol) === col("__bh_u"))
+        .where(col(tsCol) > col("__bh_tprev"))
+        .groupBy(col("__bh_u")).agg(min(col(tsCol)).as("__bh_t"))
+    }
+    val counts = reached.zip(steps).zipWithIndex.map {
+      case ((df, (name, _)), i) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(i + 1L).as("step"), lit(name).as("step_name"),
+            col("users"))
+    }.reduce(_ unionByName _)
+    // report grain = k steps: the global window and cross join are
+    // bounded by construction
+    val w = Window.orderBy("step")
+    counts
+      .crossJoin(broadcast(
+        counts.where(col("step") === 1L).select(col("users").as("__bh_u1"))))
+      .withColumn("__bh_prev", lag(col("users"), 1, null).over(w))
+      .select(col("step"), col("step_name"), col("users"),
+        when(col("__bh_u1") === 0L, 0L)
+          .otherwise(expr("(users * 1000000) div __bh_u1")).as("conv_ppm"),
+        when(col("__bh_prev").isNull,
+            when(col("users") === 0L, 0L).otherwise(lit(1000000L)))
+          .when(col("__bh_prev") === 0L, 0L)
+          .otherwise(expr("(users * 1000000) div __bh_prev")).as("step_ppm"))
+  }
+
+  /** Cohort retention: users are cohorted by the period of their first
+    * event (`periodCol div bucket`), then counted once per (cohort,
+    * offset) where offset = active period − cohort period. Returns
+    * `(cohort, offset, active_users, cohort_size, retained_ppm)`;
+    * offset 0 always has retained_ppm = 1e6. `periodCol` must be an
+    * integral column (e.g. a day number); bucket groups it into
+    * retention periods (7 = weekly cohorts from day grain).
+    *
+    * Two map-side-combined shuffles on the user key (first-seen +
+    * distinct active periods) that AQE co-partitions for the join; the
+    * cohort-size decoration joins at cohort grain (bounded by the
+    * calendar).
+    */
+  def retention(events: DataFrame, userCol: String, periodCol: String,
+      bucket: Int): DataFrame = {
+    require(bucket >= 1, "bucket must be >= 1")
+    val ev = events.select(col(userCol).as("__bh_u"),
+      expr(s"CAST($periodCol AS BIGINT) div $bucket").as("__bh_p"))
+    val firstSeen = ev.groupBy(col("__bh_u")).agg(min(col("__bh_p")).as("cohort"))
+    val active = ev.distinct()
+    val cells = active.join(firstSeen, "__bh_u")
+      .groupBy(col("cohort"), (col("__bh_p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = firstSeen.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("offset"), col("active_users"), col("cohort_size"),
+        expr("(active_users * 1000000) div cohort_size").as("retained_ppm"))
+  }
+
+  /** First-order transition matrix: per user, events sorted by
+    * (`tsCol`, `tieCol`); each consecutive pair contributes one
+    * (src, dst) transition. Returns `(src, dst, transitions, p_ppm)`
+    * with p_ppm the floor-ppm share of all transitions leaving src —
+    * the empirical Markov row, exact and engine-replayable.
+    *
+    * The LAG runs inside the per-user sort (one shuffle on the user
+    * key, per-partition window — no global sort); the matrix itself is
+    * |distinct states|^2 grain, so the per-src share window is bounded.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(stateCol).as("dst"))
+      .withColumn("src", lag(col("dst"), 1, null).over(w))
+      .where(col("src").isNotNull)
+    val counts = pairs.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("transitions"))
+    val srcW = Window.partitionBy(col("src"))
+    counts
+      .withColumn("__bh_tot", sum(col("transitions")).over(srcW))
+      .select(col("src"), col("dst"), col("transitions"),
+        expr("(transitions * 1000000) div __bh_tot").as("p_ppm"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Behavior
+import org.apache.spark.sql.functions._
+
+class BehaviorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val steps = Seq(
+    "a" -> (col("et") === "a"),
+    "b" -> (col("et") === "b"),
+    "c" -> (col("et") === "c"))
+
+  test("funnel: strictly-after chaining, re-orderings don't count") {
+    val ev = Seq(
+      // u1 completes a→b→c
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      // u2: b BEFORE a — never reaches step 2; a later c would need a b after a
+      (2L, 5L, "b"), (2L, 10L, "a"), (2L, 30L, "c"),
+      // u3: a then b at the SAME ts — strict > excludes it
+      (3L, 10L, "a"), (3L, 10L, "b"),
+      // u4: a,b but no c; second a earlier than b is the one that counts
+      (4L, 50L, "a"), (4L, 40L, "a"), (4L, 45L, "b"))
+      .toDF("u", "ts", "et")
+    val got = Behavior.funnel(ev, "u", "ts", steps).orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // step1: u1,u2,u3,u4 = 4; step2: u1 (20>10), u4 (45>40) = 2; step3: u1
+    assert(got == Seq(
+      (1L, "a", 4L, 1000000L, 1000000L),
+      (2L, "b", 2L, 500000L, 500000L),
+      (3L, "c", 1L, 250000L, 500000L)))
+  }
+
+  test("funnel on empty input reports zero users and zero shares") {
+    val ev = Seq.empty[(Long, Long, String)].toDF("u", "ts", "et")
+    val got = Behavior.funnel(ev, "u", "ts", steps).orderBy("step")
+      .select("users", "conv_ppm", "step_ppm").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((0L, 0L, 0L), (0L, 0L, 0L), (0L, 0L, 0L)))
+  }
+
+  test("retention: cohorting, offsets and ppm are exact") {
+    val ev = Seq(
+      // u1 first week 0, active weeks 0,1,2 (days 1, 8, 15)
+      (1L, 1L), (1L, 8L), (1L, 15L),
+      // u2 first week 0, active week 0 only (two events same week)
+      (2L, 2L), (2L, 3L),
+      // u3 first week 1, active weeks 1 and 3
+      (3L, 7L), (3L, 25L))
+      .toDF("u", "day")
+    val got = Behavior.retention(ev, "u", "day", bucket = 7)
+      .orderBy("cohort", "offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 2L, 1000000L),
+      (0L, 1L, 1L, 2L, 500000L),
+      (0L, 2L, 1L, 2L, 500000L),
+      (1L, 0L, 1L, 1L, 1000000L),
+      (1L, 2L, 1L, 1L, 1000000L)))
+  }
+
+  test("transitions: per-user lag with tie-break, row shares sum sanely") {
+    val ev = Seq(
+      (1L, 10L, 1L, "x"), (1L, 20L, 2L, "y"), (1L, 30L, 3L, "x"),
+      // tie on ts broken by id: z(4) before x(5)
+      (2L, 10L, 4L, "z"), (2L, 10L, 5L, "x"),
+      (3L, 10L, 6L, "y")) // single event: no transition
+      .toDF("u", "ts", "id", "et")
+    val got = Behavior.transitions(ev, "u", "ts", "id", "et")
+      .orderBy("src", "dst")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("x", "y", 1L, 1000000L),
+      ("y", "x", 1L, 1000000L),
+      ("z", "x", 1L, 1000000L)))
+    // shares within one src split exactly
+    val multi = Seq((1L, 1L, 1L, "s"), (1L, 2L, 2L, "p"), (1L, 3L, 3L, "s"),
+      (1L, 4L, 4L, "q"), (1L, 5L, 5L, "s"), (1L, 6L, 6L, "q"))
+      .toDF("u", "ts", "id", "et")
+    val fromS = Behavior.transitions(multi, "u", "ts", "id", "et")
+      .where(col("src") === "s").orderBy("dst")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // s→p, s→q, s→q: wait — pairs are s→p, p→s, s→q, q→s, s→q
+    assert(fromS == Seq(("s", "p", 1L, 333333L), ("s", "q", 2L, 666666L)))
+  }
+
+  test("transitions: no shuffle between the user sort and the matrix") {
+    val ev = Seq((1L, 10L, 1L, "x"), (1L, 20L, 2L, "y")).toDF("u", "ts", "id", "et")
+    val plan = Behavior.transitions(ev, "u", "ts", "id", "et")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // one exchange for the per-user window, one for the (src,dst) matrix,
+    // one for the per-src share — the last two are aggregate-grain
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$plan")
+  }
+}
