@@ -3514,6 +3514,81 @@ object Queries {
       |    SUM(transitions) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
       |FROM c ORDER BY src, dst""".stripMargin
 
+  /** q107: exact triangle census ([[Graph.triangles]]) over the part
+    * co-purchase graph (parts sharing an order, baskets capped at 6
+    * items — the standard market-basket guard against quadratic pair
+    * blowup from giant carts). Degree orientation bounds the wedge
+    * work by O(m·√m) on any skew; the single output row reports the
+    * enumerated wedges alongside the triangle count, so the pruning is
+    * measurable. Oracle replays orientation, wedges and closing join.
+    */
+  def trianglesParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val small = li.groupBy(col("ok")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= 6).select(col("ok"))
+    val li2 = li.join(small, Seq("ok"), "leftsemi")
+    val pairs = li2.as("x").join(li2.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    Graph.triangles(pairs)
+  }
+
+  val trianglesPartsSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ok6 AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) <= 6),
+      |li2 AS (SELECT li.* FROM li JOIN ok6 USING (ok)),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM li2 x
+      |  JOIN li2 y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (SELECT id, COUNT(*) AS deg FROM
+      |  (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |o AS (SELECT
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |      THEN e.a ELSE e.b END AS u,
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |      THEN e.b ELSE e.a END AS v
+      |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+      |w AS (SELECT e1.v AS a, e2.v AS b FROM o e1
+      |  JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+      |cl AS (SELECT COUNT(*) AS n_wedges,
+      |    CAST(COALESCE(SUM(m.hit), 0) AS BIGINT) AS n_triangles
+      |  FROM w LEFT JOIN (SELECT a, b, 1 AS hit FROM e) m
+      |    ON w.a = m.a AND w.b = m.b)
+      |SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+      |  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+      |  CAST(n_wedges AS BIGINT) AS n_wedges, n_triangles
+      |FROM cl""".stripMargin
+
+  /** q108: compaction planning ([[Layout.compactionPlan]]) — lineitem's
+    * daily "files" per returnflag partition (bytes = 100·rows proxy)
+    * packed into 100 KB bins in ship-date order. Bin ids, counts and
+    * floor-ppm fill are pure prefix arithmetic, replayed exactly by
+    * the oracle's window cumsum.
+    */
+  def compactionLineitem(s: SparkSession, dir: String): DataFrame = {
+    val files = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_shipdate").cast("date").as("d"))
+      .agg((count(lit(1)) * 100L).as("bytes"))
+    Layout.compactionPlan(files, Seq("flag"), "d", "bytes",
+        targetBytes = 100000L)
+      .select(col("flag"), col("bin"), col("n_files"), col("bytes"),
+        col("fill_ppm"))
+      .orderBy("flag", "bin")
+  }
+
+  val compactionLineitemSql: String =
+    """WITH f AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+      |    COUNT(*) * 100 AS bytes FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT flag, d, bytes,
+      |    SUM(bytes) OVER (PARTITION BY flag ORDER BY d) AS cum FROM f),
+      |b AS (SELECT flag, (cum - bytes) // 100000 AS bin, bytes FROM c)
+      |SELECT flag, CAST(bin AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+      |  CAST((SUM(bytes) * 1000000) // 100000 AS BIGINT) AS fill_ppm
+      |FROM b GROUP BY 1, 2 ORDER BY flag, bin""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -3621,7 +3696,9 @@ object Queries {
     "q103_quality_gate" -> qualityReport _,
     "q104_funnel" -> funnelEvents _,
     "q105_retention" -> retentionEvents _,
-    "q106_transitions" -> transitionsEvents _)
+    "q106_transitions" -> transitionsEvents _,
+    "q107_triangles" -> trianglesParts _,
+    "q108_compaction" -> compactionLineitem _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3728,5 +3805,7 @@ object Queries {
     "q103_quality_gate" -> qualityReportSql,
     "q104_funnel" -> funnelEventsSql,
     "q105_retention" -> retentionEventsSql,
-    "q106_transitions" -> transitionsEventsSql)
+    "q106_transitions" -> transitionsEventsSql,
+    "q107_triangles" -> trianglesPartsSql,
+    "q108_compaction" -> compactionLineitemSql)
 }

@@ -101,4 +101,62 @@ object Graph {
     }
     rank
   }
+
+  /** Exact triangle count over an UNDIRECTED simple graph given as any
+    * edge list (`src`/`dst`, either or both directions; self-loops
+    * dropped, duplicates collapsed). Returns ONE row:
+    * `(n_nodes, n_edges, n_wedges, n_triangles)` — wedges are the
+    * candidate two-paths actually enumerated, so the row doubles as a
+    * cost report for the pruning the orientation buys.
+    *
+    * Algorithm: degree orientation. Each canonical edge is directed
+    * from its lower-(degree, id) endpoint to the higher one, and wedges
+    * are enumerated only at their lowest-rank apex: work per node is
+    * O(oriented-outdeg²), and the oriented out-degree is bounded by
+    * O(√m) on ANY graph (a node of oriented out-degree d has d
+    * neighbors of degree ≥ its own ≥ d, which needs d²/2 ≤ m edges) —
+    * the hub that would contribute deg²/2 wedges apex-side contributes
+    * nothing because all its edges point INTO it. That bound is what
+    * makes exact counting feasible on a skewed 100 TB graph; the
+    * closing check is one equi-join against the canonical edge table.
+    *
+    * Shuffle budget: degree aggregation + two node-grain broadcast-able
+    * decorations, then the wedge self-join and the closing join, both
+    * plain equi-joins on ids (AQE handles residual skew).
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val src = col("src").cast("long")
+    val dst = col("dst").cast("long")
+    // canonical: a < b, deduped across directions — reused three times
+    val und = edges
+      .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val ranked = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val lowFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = ranked.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+    // each unordered neighbor pair once (id order among the two spokes)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("a"), col("e2.v").as("b"))
+    // one pass over wedges: closing edge marked via left join
+    val closed = wedges
+      .join(und.withColumn("__g_hit", lit(1L)), Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        coalesce(sum(col("__g_hit")), lit(0L)).as("n_triangles"))
+    val sizes = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    sizes.crossJoin(closed)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"))
+  }
 }

@@ -78,4 +78,42 @@ object Layout {
       coalesce(sum(when(overlaps, col("n_rows")).otherwise(0L)), lit(0L))
         .as("rows_touched"))
   }
+
+  /** Sort-ordered compaction planning (the OPTIMIZE/bin-pack step of a
+    * lakehouse table): within each partition, files are walked in
+    * `orderCol` order and packed greedily — a bin closes as soon as it
+    * reaches `targetBytes`, so every bin except a partition's last
+    * holds ≥ target (and < target + the largest file) bytes. Returns
+    * one row per planned output file: partition cols + `(bin, n_files,
+    * bytes, fill_ppm)`.
+    *
+    * Bin assignment is pure prefix arithmetic — `bin = (cumulative
+    * bytes before this file) div target` — so the plan is a
+    * deterministic function of the listing, replayable on any engine
+    * (bin ids are byte offsets div target: a file larger than the
+    * target owns bins alone and id gaps after it are intentional).
+    *
+    * 100 TB posture: the input is the FILE LISTING, metadata grain
+    * (~1e6 rows for 100 TB of 128 MB files), not data; the per-
+    * partition window sorts only each partition's listing slice, and
+    * the report is bin grain. The data movement this plan prescribes
+    * is the expensive part — planning it is one window pass.
+    *
+    * `orderCol` ties collapse into one prefix step (RANGE frame): tied
+    * files land in the same bin deterministically on every engine —
+    * keep the order key unique per partition for strict greedy packing.
+    */
+  def compactionPlan(files: DataFrame, partitionCols: Seq[String],
+      orderCol: String, sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1L, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol).asc)
+    files
+      .withColumn("__ly_cum", sum(col(sizeCol).cast("long")).over(w))
+      .withColumn("bin", expr(s"(__ly_cum - `$sizeCol`) div $targetBytes"))
+      .groupBy(partitionCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol).cast("long")).as("bytes"))
+      .withColumn("fill_ppm", expr(s"(bytes * 1000000) div $targetBytes"))
+  }
 }

@@ -81,6 +81,34 @@ class LayoutSpec extends SparkSuite {
       r.getAs[Long]("zones_touched") == 0 && r.getAs[Long]("rows_touched") == 0)
   }
 
+  test("compactionPlan: greedy prefix packing, oversized files, gaps") {
+    val files = Seq(
+      ("A", 1L, 3L), ("A", 2L, 3L), ("A", 3L, 3L), ("A", 4L, 10L), ("A", 5L, 2L),
+      ("B", 1L, 1L))
+      .toDF("p", "d", "sz")
+    val got = Layout.compactionPlan(files, Seq("p"), "d", "sz", targetBytes = 4L)
+      .orderBy("p", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // A cums: 3,6,9,19,21 → bins (cum-sz) div 4 = 0,0,1,2,4
+    assert(got == Seq(
+      ("A", 0L, 2L, 6L, 1500000L),   // closed past target
+      ("A", 1L, 1L, 3L, 750000L),
+      ("A", 2L, 1L, 10L, 2500000L),  // oversized file alone
+      ("A", 4L, 1L, 2L, 500000L),    // id gap after the oversized file
+      ("B", 0L, 1L, 1L, 250000L)))
+  }
+
+  test("compactionPlan: order-key ties land in one bin deterministically") {
+    val files = Seq(("A", 1L, 3L), ("A", 1L, 3L), ("A", 2L, 1L))
+      .toDF("p", "d", "sz")
+    val got = Layout.compactionPlan(files, Seq("p"), "d", "sz", targetBytes = 4L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // RANGE frame: both tied files see cum=6 → bin (6-3) div 4 = 0
+    assert(got == Seq((0L, 2L, 6L), (1L, 1L, 1L)))
+  }
+
   test("zValue rejects bad bit widths") {
     intercept[IllegalArgumentException](Layout.zValue(col("x"), col("y"), 0))
     intercept[IllegalArgumentException](Layout.zValue(col("x"), col("y"), 32))
