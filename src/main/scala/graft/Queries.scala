@@ -3589,6 +3589,65 @@ object Queries {
       |  CAST((SUM(bytes) * 1000000) // 100000 AS BIGINT) AS fill_ppm
       |FROM b GROUP BY 1, 2 ORDER BY flag, bin""".stripMargin
 
+  /** q109: interval coalescing ([[IntervalJoin.coalesceIntervals]]) —
+    * each event opens a 30-minute activity window `[sec, sec+1800]`;
+    * overlapping windows per user merge into disjoint activity spans
+    * (one shuffle + one in-partition sweep). The oracle replays the
+    * exclusive-prefix running-max break rule and the cumulative span
+    * ids literally.
+    */
+  def intervalMergeEvents(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      expr("ts div 1000000000").as("s"),
+      (expr("ts div 1000000000") + 1800L).as("e"))
+    IntervalJoin.coalesceIntervals(iv, "user_id", "event_id", "s", "e")
+      .orderBy("user_id", "start")
+  }
+
+  val intervalMergeEventsSql: String =
+    """WITH iv AS (SELECT user_id, event_id,
+      |    epoch_ns(ts) // 1000000000 AS s,
+      |    epoch_ns(ts) // 1000000000 + 1800 AS e FROM events),
+      |m AS (SELECT user_id, event_id, s, e,
+      |    MAX(e) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC,
+      |      event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS pmax
+      |  FROM iv),
+      |b AS (SELECT user_id, event_id, s, e,
+      |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+      |  FROM m),
+      |g AS (SELECT user_id, s, e,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC,
+      |      event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS grp
+      |  FROM b)
+      |SELECT user_id, MIN(s) AS "start", MAX(e) AS "end",
+      |  CAST(COUNT(*) AS BIGINT) AS n_merged
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id, "start"""".stripMargin
+
+  /** q110: top journey trigrams ([[Behavior.pathNgrams]]) — the 20 most
+    * frequent 3-step event-type runs across all users, ranked
+    * (count desc, path asc). TakeOrderedAndProject top-k, no global
+    * sort; exact counts replayed by the oracle's LEAD chain.
+    */
+  def pathTrigrams(s: SparkSession, dir: String): DataFrame =
+    Behavior.pathNgrams(t(s, dir, "events"), "user_id", "ts",
+      "event_id", "event_type", n = 3, topK = 20)
+
+  val pathTrigramsSql: String =
+    """WITH p AS (SELECT event_type AS s0,
+      |    LEAD(event_type, 1) OVER w AS s1,
+      |    LEAD(event_type, 2) OVER w AS s2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY epoch_ns(ts) ASC, event_id ASC)),
+      |g AS (SELECT s0 || '>' || s1 || '>' || s2 AS path,
+      |    COUNT(*) AS n
+      |  FROM p WHERE s2 IS NOT NULL GROUP BY 1)
+      |SELECT path, CAST(n AS BIGINT) AS n FROM g
+      |ORDER BY n DESC, path ASC LIMIT 20""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -3698,7 +3757,9 @@ object Queries {
     "q105_retention" -> retentionEvents _,
     "q106_transitions" -> transitionsEvents _,
     "q107_triangles" -> trianglesParts _,
-    "q108_compaction" -> compactionLineitem _)
+    "q108_compaction" -> compactionLineitem _,
+    "q109_interval_merge" -> intervalMergeEvents _,
+    "q110_journey_paths" -> pathTrigrams _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3807,5 +3868,7 @@ object Queries {
     "q105_retention" -> retentionEventsSql,
     "q106_transitions" -> transitionsEventsSql,
     "q107_triangles" -> trianglesPartsSql,
-    "q108_compaction" -> compactionLineitemSql)
+    "q108_compaction" -> compactionLineitemSql,
+    "q109_interval_merge" -> intervalMergeEventsSql,
+    "q110_journey_paths" -> pathTrigramsSql)
 }

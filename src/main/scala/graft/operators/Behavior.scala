@@ -127,4 +127,37 @@ object Behavior {
       .select(col("src"), col("dst"), col("transitions"),
         expr("(transitions * 1000000) div __bh_tot").as("p_ppm"))
   }
+
+  /** Top journey paths: every length-`n` run of consecutive states per
+    * user (sliding, LEAD-chained — the n-gram generalization of
+    * [[transitions]]), counted and ranked `(count desc, path asc)`
+    * down to `topK` rows. Paths render as `s1>s2>...>sn`.
+    *
+    * The LEAD chain is one per-user window pass (no event-list
+    * buffering); path counting is one map-side-combined shuffle on the
+    * path string. The final orderBy+limit runs on the AGGREGATE-GRAIN
+    * path table — at most |distinct states|^n rows, orders of
+    * magnitude below the event count — and Spark bounds it further
+    * (TakeOrderedAndProject below the top-k fallback threshold, else
+    * sort + limit on that already-collapsed table).
+    *
+    * `stateCol` must be non-null (a null mid-run would silently drop
+    * out of the rendered path) — filter or coalesce upstream.
+    */
+  def pathNgrams(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, stateCol: String, n: Int, topK: Int): DataFrame = {
+    require(n >= 2, s"paths need n >= 2 states, got $n")
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val legs = (0 until n).map(i =>
+      lead(col(stateCol), i).over(w).as(s"__bh_s$i"))
+    events.select(legs: _*)
+      .where(col(s"__bh_s${n - 1}").isNotNull)
+      .select(concat_ws(">", (0 until n).map(i => col(s"__bh_s$i")): _*)
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topK)
+  }
 }

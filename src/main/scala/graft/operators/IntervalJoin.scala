@@ -142,4 +142,48 @@ object IntervalJoin {
       .withColumn("overlap",
         least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")) + 1)
   }
+
+  /** Merge same-key closed intervals whose gap is ≤ `maxGap` into their
+    * union spans (interval coalescing — flattening validity windows,
+    * activity periods, reservations into disjoint coverage). Returns
+    * one row per merged span: `(keyCol, start, end, n_merged)`.
+    * `maxGap = 0` merges only overlapping/touching intervals
+    * ([1,3]+[3,5] share the point 3); `maxGap = 1` also merges
+    * integer-adjacent ones ([1,3]+[4,5]). Empty intervals (end <
+    * start) are dropped before merging.
+    *
+    * Classic sweep, declaratively: per key sorted by (start, end, id),
+    * a span breaks where start exceeds the running max end of all
+    * EARLIER intervals (the exclusive-prefix max — an interval nested
+    * inside a long predecessor must not split it) by more than
+    * `maxGap`; the cumulative break count is the span id. Both windows
+    * share one partition+sort, so the whole merge is ONE shuffle on
+    * the key and two in-partition passes, then a map-side-combined
+    * aggregation at span grain. The per-key interval count bounds the
+    * window partition — same posture as [[Sessionize]].
+    */
+  def coalesceIntervals(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      startCol: String,
+      endCol: String,
+      maxGap: Long = 0L): DataFrame = {
+    require(maxGap >= 0L, s"maxGap must be >= 0, got $maxGap")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(keyCol))
+      .orderBy(col(startCol).asc, col(endCol).asc, col(idCol).asc)
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(W.unboundedPreceding, -1))
+    df.where(col(endCol) >= col(startCol))
+      .withColumn("__iv_brk",
+        when(prevMax.isNull || col(startCol) > prevMax + maxGap, 1L)
+          .otherwise(0L))
+      .withColumn("__iv_grp",
+        sum(col("__iv_brk")).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col(keyCol), col("__iv_grp"))
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__iv_grp")
+  }
 }

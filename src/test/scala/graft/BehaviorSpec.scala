@@ -85,6 +85,32 @@ class BehaviorSpec extends SparkSuite {
     assert(fromS == Seq(("s", "p", 1L, 333333L), ("s", "q", 2L, 666666L)))
   }
 
+  test("pathNgrams: sliding runs stay within one user, tie-broken ranks") {
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"), (1L, 4L, 4L, "b"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "b"), (2L, 3L, 7L, "c"),
+      (3L, 1L, 8L, "z")) // too short for any trigram
+      .toDF("u", "ts", "id", "et")
+    val got = Behavior.pathNgrams(ev, "u", "ts", "id", "et", n = 3, topK = 2)
+      .as[(String, Long)].collect().toSeq
+    // u1 contributes a>b>c and b>c>b; u2 contributes a>b>c
+    assert(got == Seq(("a>b>c", 2L), ("b>c>b", 1L)))
+  }
+
+  test("pathNgrams: ranking input is the collapsed path table, window is keyed") {
+    val ev = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"))
+      .toDF("u", "ts", "id", "et")
+    // topK=1: a limit above the inferable row bound would be optimized away
+    val plan = Behavior.pathNgrams(ev, "u", "ts", "id", "et", 2, 1)
+      .queryExecution.optimizedPlan.toString
+    // the sort's child must be the aggregate (path grain), never raw events
+    assert(plan.matches("(?s)GlobalLimit.*Sort.*Aggregate.*Window.*"),
+      s"expected limit over sort over the path aggregate:\n$plan")
+    // the LEAD window must be user-partitioned, not global
+    assert(plan.contains("windowspecdefinition(u#"),
+      s"expected a user-partitioned window:\n$plan")
+  }
+
   test("transitions: no shuffle between the user sort and the matrix") {
     val ev = Seq((1L, 10L, 1L, "x"), (1L, 20L, 2L, "y")).toDF("u", "ts", "id", "et")
     val plan = Behavior.transitions(ev, "u", "ts", "id", "et")
