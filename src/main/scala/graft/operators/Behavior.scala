@@ -34,35 +34,53 @@ object Behavior {
     * floor-ppm share of step-1 users and step_ppm of the previous
     * step's users (step 1 → 1e6 by definition; empty funnel → 0).
     *
-    * Each step is one filtered scan + one min-aggregation on the user
-    * key, joined user-to-user with the previous step's survivors —
-    * k steps = k co-partitioned passes, no per-user event buffering.
+    * ONE shuffle for any number of steps: inside the per-user sort, a
+    * step-i event QUALIFIES iff some qualifying step-(i−1) event has a
+    * strictly smaller timestamp — an exclusive-prefix running min over
+    * a RANGE frame (`[unbounded, ts−1]`, so equal timestamps never
+    * chain). "First qualifying" and "first after the chain's min" pick
+    * the same events, so this per-row formulation is exactly the
+    * min-timestamp chaining, without the per-step join+agg passes the
+    * naive plan pays (k windows share one partition+sort; the per-user
+    * flags then collapse in an aggregation that REUSES the window's
+    * hash partitioning). `tsCol` must be numeric — the RANGE frame
+    * needs value arithmetic (convert timestamps to epoch units first).
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       steps: Seq[(String, Column)]): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
-    val stage1 = events.where(steps.head._2)
-      .groupBy(col(userCol).as("__bh_u")).agg(min(col(tsCol)).as("__bh_t"))
-    val reached = steps.tail.scanLeft(stage1) { case (prev, (_, pred)) =>
-      events.where(pred)
-        .join(prev.select(col("__bh_u"), col("__bh_t").as("__bh_tprev")),
-          col(userCol) === col("__bh_u"))
-        .where(col(tsCol) > col("__bh_tprev"))
-        .groupBy(col("__bh_u")).agg(min(col(tsCol)).as("__bh_t"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    // qual(i) = ts of this event if it extends the chain at step i
+    val seeded = events
+      .withColumn("__bh_q0", when(steps.head._2, col(tsCol)))
+    val qualified = steps.tail.zipWithIndex.foldLeft(seeded) {
+      case (df, ((_, pred), i)) =>
+        df.withColumn(s"__bh_q${i + 1}",
+          when(pred && min(col(s"__bh_q$i")).over(w).isNotNull, col(tsCol)))
     }
-    val counts = reached.zip(steps).zipWithIndex.map {
-      case ((df, (name, _)), i) =>
-        df.agg(count(lit(1)).as("users"))
-          .select(lit(i + 1L).as("step"), lit(name).as("step_name"),
-            col("users"))
-    }.reduce(_ unionByName _)
+    val flagExprs = steps.indices.map(i =>
+      max(col(s"__bh_q$i").isNotNull).as(s"__bh_r$i"))
+    val flags = qualified.groupBy(col(userCol))
+      .agg(flagExprs.head, flagExprs.tail: _*)
+    val totExprs = steps.indices.map(i =>
+      coalesce(sum(when(col(s"__bh_r$i"), 1L).otherwise(0L)), lit(0L))
+        .as(s"__bh_n$i"))
+    val totals = flags.agg(totExprs.head, totExprs.tail: _*)
+    val packed = steps.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1L).as("step"), lit(name).as("step_name"),
+        col(s"__bh_n$i").as("users"))
+    }
+    val counts = totals
+      .select(explode(array(packed: _*)).as("c"))
+      .select(col("c.step"), col("c.step_name"), col("c.users"))
     // report grain = k steps: the global window and cross join are
     // bounded by construction
-    val w = Window.orderBy("step")
+    val stepW = Window.orderBy("step")
     counts
       .crossJoin(broadcast(
         counts.where(col("step") === 1L).select(col("users").as("__bh_u1"))))
-      .withColumn("__bh_prev", lag(col("users"), 1, null).over(w))
+      .withColumn("__bh_prev", lag(col("users"), 1, null).over(stepW))
       .select(col("step"), col("step_name"), col("users"),
         when(col("__bh_u1") === 0L, 0L)
           .otherwise(expr("(users * 1000000) div __bh_u1")).as("conv_ppm"),

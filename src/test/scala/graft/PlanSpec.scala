@@ -243,4 +243,67 @@ class PlanSpec extends SparkSuite {
       "group moments are not map-side combined")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q100 key skew: heavy keys via bounded agg; global window only on freq-of-freq") {
+    val p = plan("q100_key_skew")
+    assert(p.contains("graft_top_k"), "heavy keys must use the bounded aggregate")
+    // the one unpartitioned window runs on the frequency-of-frequencies
+    // table: m distinct counts need m(m+1)/2 <= N rows, so m <= sqrt(2N)
+    // — its input is the AGGREGATE of an aggregate, never raw rows
+    assert(!p.contains("row_number"), s"unexpected per-key window rank:\n$p")
+  }
+
+  test("q102 z-order scan: zone profiling is map-side combined, no joins on data") {
+    val p = plan("q102_zorder_scan")
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "zone profile must combine map-side")
+    assert(!p.contains("SortMergeJoin"), s"zone arithmetic must not shuffle a join:\n$p")
+  }
+
+  test("q103 quality gate: the three row-local checks share ONE lineitem scan") {
+    val p = plan("q103_quality_gate")
+    // scans: 1 row-local + 1 unique + 1 ref fact side + 1 part dim = 4
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans <= 4, s"row-local checks are re-scanning the source ($scans):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q104/q106/q110 behavior windows are all partitioned, never global") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    Seq("q104_funnel", "q106_transitions", "q110_journey_paths").foreach { q =>
+      val lp = Queries.all(q)(spark, sf).queryExecution.optimizedPlan
+      val eventWindows = lp.collect { case w: logical.Window => w }
+        // report-grain decorations (lag/first over the k-row step table)
+        // sit above an Aggregate — those may be global by construction
+        .filterNot(_.child.collect { case a: logical.Aggregate => a }.nonEmpty)
+      assert(eventWindows.nonEmpty, s"$q expected an event-level window")
+      eventWindows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$q has a global window over raw events:\n$lp")
+        assert(w.partitionSpec.exists(_.toString.contains("user_id")),
+          s"$q event window not partitioned by user_id:\n$lp")
+      }
+    }
+  }
+
+  test("q107 triangles: wedge/closing joins stay equi-joins") {
+    val p = plan("q107_triangles")
+    // the only Cartesians allowed are the two single-row report
+    // decorations (sizes x wedge census); the data-sized joins must
+    // all be hash/sort-merge equi-joins
+    val cartesians = """\(\d+\) CartesianProduct""".r.findAllIn(p).size
+    assert(cartesians <= 2, s"data-sized join went all-pairs ($cartesians):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closing joins must stay equi-joins:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join found:\n$p")
+  }
+
+  test("q109 interval merge: both windows and the span agg share one key shuffle") {
+    val p = plan("q109_interval_merge")
+    // one hash exchange on user_id feeds sort+windows+agg; the only
+    // other exchange is the final presentation orderBy
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"interval merge re-shuffles its key ($exchanges):\n$p")
+  }
 }
