@@ -3648,6 +3648,84 @@ object Queries {
       |SELECT path, CAST(n AS BIGINT) AS n FROM g
       |ORDER BY n DESC, path ASC LIMIT 20""".stripMargin
 
+  /** q111: one-scan correlation matrix ([[Profile.correlationMatrix]])
+    * over lineitem's four numeric measures. Moments aggregate as exact
+    * DECIMAL(38,0) integers (reduction-order independent); the Pearson
+    * formula then runs on engine-identical doubles, so the floor-ppm
+    * correlations hash-match. Pairwise deletion per pair.
+    */
+  def correlationLineitem(s: SparkSession, dir: String): DataFrame =
+    Profile.correlationMatrix(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_a", "col_b")
+
+  val correlationLineitemSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val pairSelects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  CAST(COALESCE(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL
+         |    THEN CAST(FLOOR($a * 10000) AS DECIMAL(38,0)) END) AS DOUBLE) AS sx,
+         |  CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL
+         |    THEN CAST(FLOOR($b * 10000) AS DECIMAL(38,0)) END) AS DOUBLE) AS sy,
+         |  CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL
+         |    THEN CAST(FLOOR($a * 10000) AS DECIMAL(38,0)) *
+         |         CAST(FLOOR($a * 10000) AS DECIMAL(38,0)) END) AS DOUBLE) AS sxx,
+         |  CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL
+         |    THEN CAST(FLOOR($b * 10000) AS DECIMAL(38,0)) *
+         |         CAST(FLOOR($b * 10000) AS DECIMAL(38,0)) END) AS DOUBLE) AS syy,
+         |  CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL
+         |    THEN CAST(FLOOR($a * 10000) AS DECIMAL(38,0)) *
+         |         CAST(FLOOR($b * 10000) AS DECIMAL(38,0)) END) AS DOUBLE) AS sxy
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |$pairSelects
+       |)
+       |SELECT col_a, col_b, n,
+       |  CASE WHEN n < 2 OR n * sxx - sx * sx <= 0.0
+       |         OR n * syy - sy * sy <= 0.0 THEN NULL
+       |       ELSE CAST(FLOOR((n * sxy - sx * sy) /
+       |         SQRT(n * sxx - sx * sx) / SQRT(n * syy - sy * sy)
+       |         * 1000000.0) AS BIGINT) END AS corr_ppm
+       |FROM m ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** q112: Benford first-digit screen ([[Quality.benfordScreen]]) over
+    * lineitem's extended price. Counts and floor-ppm shares are exact;
+    * the expected shares are baked-in integer constants, so the whole
+    * report is engine-replayable (no runtime log10).
+    */
+  def benfordLineitem(s: SparkSession, dir: String): DataFrame =
+    Quality.benfordScreen(t(s, dir, "lineitem"), "l_extendedprice")
+      .orderBy("digit")
+
+  val benfordLineitemSql: String =
+    """WITH b(digit, benford_ppm) AS (VALUES
+      |  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+      |  (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+      |v AS (SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS v
+      |  FROM lineitem WHERE FLOOR(l_extendedprice) >= 1),
+      |c AS (SELECT CAST(SUBSTRING(CAST(v AS VARCHAR), 1, 1) AS INT)
+      |    AS digit, COUNT(*) AS n
+      |  FROM v GROUP BY 1),
+      |tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total FROM c),
+      |r AS (SELECT b.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+      |    CAST(b.benford_ppm AS BIGINT) AS benford_ppm, t.total
+      |  FROM b LEFT JOIN c ON b.digit = c.digit, tot t)
+      |SELECT digit, n,
+      |  CAST(CASE WHEN total = 0 THEN 0
+      |       ELSE (n * 1000000) // total END AS BIGINT) AS observed_ppm,
+      |  benford_ppm,
+      |  CAST(CASE WHEN total = 0 THEN 0
+      |       ELSE (n * 1000000) // total END - benford_ppm AS BIGINT)
+      |    AS delta_ppm
+      |FROM r ORDER BY digit""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -3759,7 +3837,9 @@ object Queries {
     "q107_triangles" -> trianglesParts _,
     "q108_compaction" -> compactionLineitem _,
     "q109_interval_merge" -> intervalMergeEvents _,
-    "q110_journey_paths" -> pathTrigrams _)
+    "q110_journey_paths" -> pathTrigrams _,
+    "q111_correlation" -> correlationLineitem _,
+    "q112_benford" -> benfordLineitem _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3870,5 +3950,7 @@ object Queries {
     "q107_triangles" -> trianglesPartsSql,
     "q108_compaction" -> compactionLineitemSql,
     "q109_interval_merge" -> intervalMergeEventsSql,
-    "q110_journey_paths" -> pathTrigramsSql)
+    "q110_journey_paths" -> pathTrigramsSql,
+    "q111_correlation" -> correlationLineitemSql,
+    "q112_benford" -> benfordLineitemSql)
 }

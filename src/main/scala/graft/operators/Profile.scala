@@ -104,4 +104,69 @@ object Profile {
         col("n_keys"), col("total_rows"), col("max_cnt"),
         col("p50_cnt"), col("p90_cnt"), col("p99_cnt"))
   }
+
+  /** Pairwise Pearson correlation matrix over `cols` in ONE scan —
+    * the multi-column dependence screen (feature redundancy, leakage
+    * hints) run before modeling. One row per unordered pair:
+    * `(col_a, col_b, n, corr_ppm)` with corr in floor-ppm of [−1, 1].
+    *
+    * Engine-replayable by construction: values quantize to
+    * `floor(v·10^decimals)` exact integers; per-pair moment sums
+    * (pairwise deletion — each pair sums only rows where BOTH sides
+    * are non-null) aggregate in DECIMAL(38,0), which is exact and
+    * reduction-order independent; only then does the Pearson formula
+    * run in double — every engine derives the identical doubles from
+    * identical integers through the identical expression, so the
+    * floor-ppm result matches bit-for-bit. A raw `corr()` over doubles
+    * would depend on distributed summation order.
+    *
+    * One map-side-combined aggregation produces all d(d−1)/2 · 6
+    * conditional sums in a single pass (no per-pair jobs, no Expand);
+    * the single result row explodes into pair grain. Per-value bound:
+    * |scaled v| < 10^14 keeps every product within DECIMAL(38,0)'s
+    * headroom at petabyte row counts (ANSI: overflow raises, never
+    * wraps).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      decimals: Int = 4): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    require(decimals >= 0 && decimals <= 6, s"decimals in [0, 6], got $decimals")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def scaled(c: String) =
+      floor(col(c) * pow(lit(10.0), lit(decimals))).cast("decimal(38,0)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val (x, y) = (scaled(a), scaled(b))
+      Seq(
+        coalesce(sum(when(both, 1L).otherwise(0L)), lit(0L)).as(s"__n$i"),
+        sum(when(both, x)).as(s"__sx$i"),
+        sum(when(both, y)).as(s"__sy$i"),
+        sum(when(both, x * x)).as(s"__sxx$i"),
+        sum(when(both, y * y)).as(s"__syy$i"),
+        sum(when(both, x * y)).as(s"__sxy$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val packed = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__n$i").as("n"), col(s"__sx$i").cast("double").as("sx"),
+        col(s"__sy$i").cast("double").as("sy"),
+        col(s"__sxx$i").cast("double").as("sxx"),
+        col(s"__syy$i").cast("double").as("syy"),
+        col(s"__sxy$i").cast("double").as("sxy"))
+    }
+    val vx = col("p.n") * col("p.sxx") - col("p.sx") * col("p.sx")
+    val vy = col("p.n") * col("p.syy") - col("p.sy") * col("p.sy")
+    one.select(explode(array(packed: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.n"),
+        // degenerate pairs (n < 2 or a constant side) have no defined
+        // correlation — NULL, never a NaN that ANSI would throw on
+        when(col("p.n") < 2L || vx <= 0.0 || vy <= 0.0,
+            lit(null).cast("bigint"))
+          .otherwise(floor(
+            (col("p.n") * col("p.sxy") - col("p.sx") * col("p.sy")) /
+              sqrt(vx) / sqrt(vy) * lit(1000000.0)).cast("bigint"))
+        .as("corr_ppm"))
+  }
 }

@@ -130,4 +130,43 @@ object Quality {
         (col("violations") * 1000000L <= col("max_ppm") * col("total"))
           .as("passed"))
   }
+
+  /** Benford's-law first-digit screen — the classic fabricated-numbers
+    * / broken-ETL smell test over an amount column. One row per digit
+    * 1–9: `(digit, n, observed_ppm, benford_ppm, delta_ppm)`, all nine
+    * digits always present. Values enter as `floor(value)` and rows
+    * below 1 are ignored (Benford applies to positive magnitudes); the
+    * first digit comes from the BIGINT's decimal rendering, which is
+    * engine-identical (no float log10, whose rounding at exact powers
+    * of ten would split engines). The expected shares are the
+    * floor-ppm constants of log10(1 + 1/d), baked in as literals.
+    *
+    * One map-side-combined aggregation to digit grain (9 groups);
+    * everything after runs on the 9-row table.
+    */
+  def benfordScreen(df: DataFrame, valueCol: String): DataFrame = {
+    val benfordPpm =
+      Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L,
+        51152L, 45757L)
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .withColumn("benford_ppm",
+        element_at(array(benfordPpm.map(lit): _*), col("digit")))
+    val counts = df
+      .select(floor(col(valueCol)).cast("long").as("__q_v"))
+      .where(col("__q_v") >= 1L)
+      .select(substring(col("__q_v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(coalesce(sum(col("n")), lit(0L)).as("__q_total"))
+    digits.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("observed_ppm",
+        when(col("__q_total") === 0L, 0L)
+          .otherwise(expr("(n * 1000000) div __q_total")))
+      .select(col("digit"), col("n"), col("observed_ppm"),
+        col("benford_ppm"),
+        (col("observed_ppm") - col("benford_ppm")).as("delta_ppm"))
+  }
 }

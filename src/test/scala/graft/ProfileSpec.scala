@@ -61,4 +61,50 @@ class ProfileSpec extends SparkSuite {
     import spark.implicits._
     assert(Profile.keySkew(Seq.empty[Long].toDF("k"), "k", topK = 5).isEmpty)
   }
+
+  test("correlationMatrix: perfect, zero and inverse correlations") {
+    import spark.implicits._
+    // y = 2x (corr 1), z inverse of x (corr −1), w orthogonal (corr 0)
+    val df = Seq(
+      (1.0, 2.0, 3.0, 1.0), (2.0, 4.0, 2.0, 2.0),
+      (1.0, 2.0, 3.0, 2.0), (2.0, 4.0, 2.0, 1.0))
+      .toDF("x", "y", "z", "w")
+    val got = Profile.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    def ppm(p: (String, String)) = got(p)._2.get
+    assert(got.size == 6 && got.values.forall(_._1 == 4L))
+    assert(math.abs(ppm(("x", "y")) - 1000000L) <= 1, "y = 2x")
+    assert(math.abs(ppm(("x", "z")) + 1000000L) <= 1, "z inverse")
+    assert(ppm(("x", "w")) == 0L, "w orthogonal")
+  }
+
+  test("correlationMatrix: pairwise deletion, constant column, empty input") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1.0), Option(2.0), Option(5.0)),
+      (Option(2.0), Option.empty[Double], Option(5.0)),
+      (Option(3.0), Option(6.0), Option(5.0)))
+      .toDF("x", "y", "c")
+    val got = Profile.correlationMatrix(df, Seq("x", "y", "c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // (x,y): row 2 dropped pairwise → n=2, still perfectly linear
+    assert(got(("x", "y"))._1 == 2L &&
+      math.abs(got(("x", "y"))._2.get - 1000000L) <= 1)
+    // constant column: no defined correlation
+    assert(got(("x", "c")) == (3L, None) && got(("y", "c")) == (2L, None))
+    val empty = Profile.correlationMatrix(
+      Seq.empty[(Double, Double)].toDF("x", "y"), Seq("x", "y")).head()
+    assert(empty.getLong(2) == 0L && empty.isNullAt(3))
+  }
+
+  test("correlationMatrix computes all pairs in one scan") {
+    val df = spark.range(100).selectExpr("CAST(id AS DOUBLE) x",
+      "CAST(id * 2 AS DOUBLE) y", "CAST(id % 7 AS DOUBLE) z")
+    val plan = Profile.correlationMatrix(df, Seq("x", "y", "z"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Range \\(").length - 1 == 1,
+      s"expected exactly one scan of the source:\n$plan")
+  }
 }

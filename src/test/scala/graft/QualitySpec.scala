@@ -77,4 +77,27 @@ class QualitySpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Quality.run(spark.range(1).toDF(), Seq.empty))
   }
+
+  test("benfordScreen: digit counts, ppm shares, sub-1 values dropped") {
+    val df = Seq(1.9, 1.0, 1.2, 1.5, 23.0, 23.7, 5.5, 999.0, 0.5, -3.0)
+      .toDF("v")
+    val got = Quality.benfordScreen(df, "v").orderBy("digit")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got.map(_._1) == (1 to 9), "all nine digits present")
+    val byDigit = got.map(r => r._1 -> r).toMap
+    assert(byDigit(1) == (1, 4L, 500000L, 301029L, 198971L))
+    assert(byDigit(2) == (2, 2L, 250000L, 176091L, 73909L))
+    assert(byDigit(5) == (5, 1L, 125000L, 79181L, 45819L))
+    assert(byDigit(9) == (9, 1L, 125000L, 45757L, 79243L))
+    assert(byDigit(3) == (3, 0L, 0L, 124938L, -124938L))
+  }
+
+  test("benfordScreen on empty input keeps nine zero rows") {
+    val df = Seq.empty[Double].toDF("v")
+    val got = Quality.benfordScreen(df, "v").orderBy("digit").collect()
+    assert(got.length == 9)
+    assert(got.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.getLong(4) == -r.getLong(3)))
+  }
 }
