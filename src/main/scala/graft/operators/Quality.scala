@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  sealed trait Check { def name: String }
+  sealed trait Check { def name: String; def maxPpm: Long }
 
   /** `column` must be non-null in all but `maxPpm` parts-per-million
     * of rows. */
@@ -65,6 +65,22 @@ object Quality {
     def name = s"ref($column)"
   }
 
+  /** Per-row violation indicator (0/1) for a ROW-LOCAL check — ONE
+    * definition shared by the batch report ([[run]]) and the streaming
+    * window report ([[graft.streaming.StreamOps.qualityWindows]]), so
+    * batch and stream verdicts cannot drift. Grouping checks
+    * ([[Unique]], [[RefIntegrity]]) have no per-row form and throw.
+    */
+  private[graft] def rowViolation(c: Check): Column = c match {
+    case c: NotNull => when(col(c.column).isNull, 1L).otherwise(0L)
+    case c: InRange => when(col(c.column).isNotNull &&
+      (col(c.column) < c.lo || col(c.column) > c.hi), 1L).otherwise(0L)
+    case c: InSet => when(col(c.column).isNotNull &&
+      !col(c.column).cast("string").isin(c.allowed: _*), 1L).otherwise(0L)
+    case other => throw new IllegalArgumentException(
+      s"${other.name} is not row-local")
+  }
+
   /** Evaluate `checks` against `df`; one report row per check, in the
     * caller's check order (the report carries the check index and is
     * sorted on it — report grain is k rows, so the sort is free).
@@ -74,14 +90,9 @@ object Quality {
     val indexed = checks.zipWithIndex
 
     val rowLocal = indexed.collect {
-      case (c: NotNull, ord) => (c: Check, ord, c.maxPpm,
-        sum(when(col(c.column).isNull, 1L).otherwise(0L)))
-      case (c: InRange, ord) => (c: Check, ord, c.maxPpm,
-        sum(when(col(c.column).isNotNull &&
-          (col(c.column) < c.lo || col(c.column) > c.hi), 1L).otherwise(0L)))
-      case (c: InSet, ord) => (c: Check, ord, c.maxPpm,
-        sum(when(col(c.column).isNotNull &&
-          !col(c.column).cast("string").isin(c.allowed: _*), 1L).otherwise(0L)))
+      case (c, ord) if c.isInstanceOf[NotNull] || c.isInstanceOf[InRange] ||
+          c.isInstanceOf[InSet] =>
+        (c, ord, c.maxPpm, sum(rowViolation(c)))
     }
 
     // one scan, one aggregate row, exploded into one row per check

@@ -196,6 +196,50 @@ object StreamOps {
     graft.operators.Stats.flagAgainstMoments(
       stream, moments, groupCols, valueCol, k)
 
+  /** Continuous data-quality monitoring: the ROW-LOCAL subset of
+    * [[graft.operators.Quality]] checks evaluated per tumbling
+    * event-time window — one report row per (window, check) with the
+    * batch report's exact columns (`violations`, `total`, integer
+    * floor-ppm, cross-multiplied `passed`). The per-row violation
+    * expressions are the batch operator's own
+    * (`Quality.rowViolation` — shared, not copied), so a window's
+    * verdict equals [[graft.operators.Quality.run]] over that window's
+    * batch slice by construction.
+    *
+    * All checks fold into the ONE windowed aggregation (state = one
+    * counter row per open window, evicted by the watermark); the
+    * explode to report rows happens on the finalized aggregate, so the
+    * query stays append-mode.
+    */
+  def qualityWindows(
+      events: DataFrame,
+      checks: Seq[graft.operators.Quality.Check],
+      watermarkDelay: String = "10 minutes",
+      windowDuration: String = "5 minutes"): DataFrame = {
+    import graft.operators.Quality
+    require(checks.nonEmpty, "need at least one check")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      sum(Quality.rowViolation(c)).as(s"__v$i")
+    }
+    val packed = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"), col(s"__v$i").as("violations"),
+        lit(c.maxPpm).as("max_ppm"))
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(count(lit(1)).as("__total"), aggs: _*)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("__total"),
+        explode(array(packed: _*)).as("c"))
+      .select(col("window_start"), col("window_end"),
+        col("c.check_name"), col("c.violations"),
+        col("__total").as("total"),
+        expr("(c.violations * 1000000) div __total").as("viol_ppm"),
+        (col("c.violations") * 1000000L <= col("c.max_ppm") * col("__total"))
+          .as("passed"))
+  }
+
   /** Gap-based sessionization per user via `flatMapGroupsWithState`
     * (SURVEY §3.2 "stateful" row): a session closes when no event
     * arrives within `gapMs` of its last event; closed sessions are

@@ -271,6 +271,34 @@ class StreamOpsSpec extends SparkSuite {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("qualityWindows: per-window report equals the batch Quality.run slice") {
+    import graft.operators.Quality
+    val checks: Seq[Quality.Check] = Seq(
+      Quality.InRange("value", 0.0, 2.0, maxPpm = 500000L),
+      Quality.InSet("event_type", Seq("click", "view")))
+    val batch1 = Seq(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "buy", 5.0), Event(3, ts(2), 3, "view", 1.5))
+    val input = MemoryStream[Event]
+    val rows = runBatches(input,
+      StreamOps.qualityWindows(input.toDF(), checks, "2 minutes", "5 minutes"),
+      OutputMode.Append(),
+      Seq(batch1, Seq(Event(4, ts(30), 3, "click", 1.0)))) // closes window 0
+    val w0 = rows.filter(_.getTimestamp(0).getTime == ts(0).getTime)
+      .map(r => r.getString(2) -> (r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getBoolean(6))).toMap
+    assert(w0 == Map(
+      "in_range(value)" -> (1L, 3L, 333333L, true),   // 5.0 out, under 50%
+      "in_set(event_type)" -> (1L, 3L, 333333L, false))) // "buy", zero budget
+    // parity with the batch operator over the same window slice — the
+    // violation expressions are shared, so this can only break if the
+    // window plumbing drops or double-counts rows
+    val batchReport = Quality.run(batch1.toDF(), checks)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    w0.foreach { case (name, (v, t, _, _)) =>
+      assert(batchReport(name) == (v, t), s"$name drifted from batch")
+    }
+  }
+
   test("hllState maintains identical registers under Structured Streaming") {
     // the mergeable-sketch claim, live: the same groupBy-max state
     // machine runs incrementally over a stream (ingest-time cardinality
