@@ -3726,6 +3726,55 @@ object Queries {
       |    AS delta_ppm
       |FROM r ORDER BY digit""".stripMargin
 
+  /** q113: BM25 ranked retrieval ([[TextAnalysis.bm25TopK]]) — top-10
+    * documents for two literal search queries. Per-term scores truncate
+    * to e6 integers before the cross-term sum, so ranking is pure
+    * integer comparison; the oracle replays the identical double chain
+    * and the (score DESC, doc ASC) window the bounded [[TopKAgg]]
+    * aggregate discards against.
+    */
+  val bm25Queries: Seq[(Long, String)] =
+    Seq(1L -> "spark hash join", 2L -> "stream window agg")
+
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        bm25Queries, 10)
+      .orderBy("query_id", "rnk")
+
+  val bm25SearchSql: String = {
+    val qtRows = bm25Queries.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(term => s"($qid, '$term')")
+    }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($duckToks) AS term
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+       |qt(query_id, term) AS (VALUES $qtRows),
+       |tfq AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM qt)),
+       |df AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+       |scored AS (
+       |  SELECT qt.query_id, tfq.doc_id,
+       |    CAST(FLOOR(
+       |      ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+       |      ((tfq.tf * (1.2 + 1.0)) /
+       |       (tfq.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(s.sumdl AS DOUBLE) / s.n))))) *
+       |      1000000.0) AS BIGINT) AS e6
+       |  FROM tfq JOIN qt USING (term) JOIN df USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN stats s),
+       |agg AS (SELECT query_id, doc_id, CAST(SUM(e6) AS BIGINT) AS score_e6
+       |  FROM scored GROUP BY query_id, doc_id),
+       |ranked AS (SELECT query_id, doc_id, score_e6,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+       |  FROM agg)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+       |  doc_id, score_e6
+       |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -3839,7 +3888,8 @@ object Queries {
     "q109_interval_merge" -> intervalMergeEvents _,
     "q110_journey_paths" -> pathTrigrams _,
     "q111_correlation" -> correlationLineitem _,
-    "q112_benford" -> benfordLineitem _)
+    "q112_benford" -> benfordLineitem _,
+    "q113_bm25_search" -> bm25Search _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -3952,5 +4002,6 @@ object Queries {
     "q109_interval_merge" -> intervalMergeEventsSql,
     "q110_journey_paths" -> pathTrigramsSql,
     "q111_correlation" -> correlationLineitemSql,
-    "q112_benford" -> benfordLineitemSql)
+    "q112_benford" -> benfordLineitemSql,
+    "q113_bm25_search" -> bm25SearchSql)
 }

@@ -54,4 +54,79 @@ object TextAnalysis {
       .where(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("tfidf"))
   }
+
+  /** BM25 ranked retrieval: top-k documents per query string, the
+    * lexical-search sibling of the embedding top-k (Similarity.scala) —
+    * a training pipeline uses it for corpus QA ("which docs dominate
+    * this query?") and for building lexical-retrieval eval sets.
+    *
+    * Scoring (Robertson/Sparck-Jones BM25):
+    *   idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *   s(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Engine-replayability: every INPUT to the formula is an exact
+    * integer (tf, df, N, dl, Σdl), the double chain is written with one
+    * fixed parenthesization mirrored by the oracle, and each per-term
+    * score is truncated to an e6 integer BEFORE the cross-term sum —
+    * so the sum is a 64-bit integer add (reduction-order independent)
+    * and ranking compares integers, never floats. The only libm call is
+    * `ln` (same q36 precedent; both engines evaluate it on identical
+    * doubles).
+    *
+    * Plan / 100 TB shape: one token explode → tf; df and doclen are
+    * map-side-combined counts over tf (no second tokenize pass); the
+    * query-term table is a literal broadcast; candidate rows are tf
+    * FILTERED to query terms BEFORE any join (the scan-side kill — only
+    * docs containing a query term survive); the final top-k uses the
+    * bounded [[TopKAgg]] aggregate, shipping O(queries × k) pairs
+    * through the shuffle instead of sorting every scored doc under a
+    * window. No collects; `queries` is caller-literal (bounded, like a
+    * search request batch).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "bm25TopK: need at least one query")
+    val qt = queries
+      .flatMap { case (qid, text) =>
+        text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+          .map(term => (qid, term))
+      }.toDF("query_id", "term")
+    val qTerms = qt.select("term").distinct()
+
+    val present = docs.where(col(textCol).isNotNull)
+    val tf = present
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // one-row corpus stats; lazy agg, not a driver count()
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+    val tfQ = tf.join(broadcast(qTerms), Seq("term"))
+    val df = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val idf = log(lit(1.0) +
+      (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val quot = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("dl") / (col("__sumdl").cast("double") / col("__n")))))
+    val scored = tfQ
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * quot * lit(1000000.0)).cast("long").as("e6"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("e6")).as("score_e6"))
+
+    scored.groupBy(col("query_id"))
+      .agg(TopKAgg.topK(col("score_e6").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("p.id").as("doc_id"), col("p.val").cast("long").as("score_e6"))
+  }
 }

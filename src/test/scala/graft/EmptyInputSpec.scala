@@ -58,6 +58,8 @@ class EmptyInputSpec extends SparkSuite {
     assert(Sessionize.sessions(ev, "user_id", "ts", "event_id", "value", 100L)
       .count() == 0)
     assert(TextAnalysis.topTerms(emptyDocs, "doc_id", "text", 5).count() == 0)
+    assert(TextAnalysis.bm25TopK(emptyDocs, "doc_id", "text",
+      Seq(1L -> "apple"), 5).count() == 0)
   }
 
   test("null-text documents never pair, with or without non-null peers") {

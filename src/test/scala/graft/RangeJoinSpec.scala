@@ -40,4 +40,24 @@ class RangeJoinSpec extends SparkSuite {
       .orderBy("rnk").as[(Long, Int, String, Long, Double)].collect()
     assert(got.map(_._3).toSeq == Seq("x", "y")) // tf 3 > 2 > 1
   }
+
+  test("bm25TopK: e6 scores replay the formula; rank by (score desc, doc asc)") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "durian durian banana")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq(1L -> "apple banana", 2L -> "cherry"), 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // N=3, dl = (3, 2, 3), avgdl = 8/3; df: apple 1, banana 3, cherry 1
+    val avgdl = 8.0 / 3
+    def idf(df: Long) = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+    def e6(df: Long, tf: Long, dl: Long): Long =
+      math.floor(idf(df) * ((tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) * 1000000.0).toLong
+    assert(got((1L, 1L)) == (1L, e6(1, 2, 3) + e6(3, 1, 3))) // both terms hit
+    assert(got((1L, 2L)) == (2L, e6(3, 1, 2))) // shorter doc outranks d3...
+    assert(got((1L, 3L)) == (3L, e6(3, 1, 3))) // ...on the same shared term
+    assert(got((2L, 1L)) == (2L, e6(1, 1, 2)))
+    assert(!got.contains((2L, 2L))) // cherry appears in one doc only
+  }
 }
