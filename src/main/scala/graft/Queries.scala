@@ -3775,6 +3775,43 @@ object Queries {
        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** q114: market-basket association rules ([[Basket.pairRules]]) —
+    * supplier pairs that co-occur in ≥5 orders, with floor-ppm support,
+    * both-direction confidence, and two-stage-floor lift. All-integer
+    * output; the oracle replays the pair generation as a plain
+    * self-join (the engine's array fan-out and the join are the same
+    * set by construction).
+    */
+  def basketRules(s: SparkSession, dir: String): DataFrame =
+    Basket.pairRules(t(s, dir, "lineitem"), "l_orderkey", "l_suppkey",
+        minSupport = 5)
+      .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
+
+  val basketRulesSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS basket, l_suppkey AS item
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_count
+      |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |ic AS (SELECT item, COUNT(*) AS cnt FROM items GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT basket) AS n FROM items)
+      |SELECT p.item_a, p.item_b,
+      |  CAST(p.pair_count AS BIGINT) AS pair_count,
+      |  CAST(a.cnt AS BIGINT) AS count_a,
+      |  CAST(b.cnt AS BIGINT) AS count_b,
+      |  CAST(p.pair_count * 1000000 // n.n AS BIGINT) AS support_ppm,
+      |  CAST(p.pair_count * 1000000 // a.cnt AS BIGINT) AS conf_ab_ppm,
+      |  CAST(p.pair_count * 1000000 // b.cnt AS BIGINT) AS conf_ba_ppm,
+      |  CAST((p.pair_count * 1000000 // a.cnt) * n.n // b.cnt AS BIGINT)
+      |    AS lift_ppm
+      |FROM pairs p
+      |  JOIN ic a ON p.item_a = a.item
+      |  JOIN ic b ON p.item_b = b.item
+      |  CROSS JOIN n
+      |ORDER BY lift_ppm DESC, item_a, item_b""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -3889,7 +3926,8 @@ object Queries {
     "q110_journey_paths" -> pathTrigrams _,
     "q111_correlation" -> correlationLineitem _,
     "q112_benford" -> benfordLineitem _,
-    "q113_bm25_search" -> bm25Search _)
+    "q113_bm25_search" -> bm25Search _,
+    "q114_basket_rules" -> basketRules _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4003,5 +4041,6 @@ object Queries {
     "q110_journey_paths" -> pathTrigramsSql,
     "q111_correlation" -> correlationLineitemSql,
     "q112_benford" -> benfordLineitemSql,
-    "q113_bm25_search" -> bm25SearchSql)
+    "q113_bm25_search" -> bm25SearchSql,
+    "q114_basket_rules" -> basketRulesSql)
 }
