@@ -3812,6 +3812,46 @@ object Queries {
       |  CROSS JOIN n
       |ORDER BY lift_ppm DESC, item_a, item_b""".stripMargin
 
+  /** q115: CUSUM mean-shift screen ([[Stats.cusumShift]]) over daily
+    * order counts per priority — the sequential recursion replayed as
+    * a closed-form prefix-sum/running-min window pair, all-integer.
+    * slack=1 absorbs the floor-mean drift bias; h=10 flags sustained
+    * shifts. The oracle replays the identical windows.
+    */
+  def cusumOrders(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("k"),
+        to_date(col("o_orderdate")).as("t"))
+      .agg(count(lit(1)).as("x"))
+    Stats.cusumShift(daily, "k", "t", "x", slack = 1, threshold = 10)
+      .orderBy("k", "t")
+  }
+
+  val cusumOrdersSql: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |tgt AS (SELECT *,
+      |    CAST(SUM(x) OVER (PARTITION BY k) //
+      |         COUNT(x) OVER (PARTITION BY k) AS BIGINT) AS target
+      |  FROM d),
+      |p AS (SELECT *,
+      |    SUM(x - target - 1) OVER w AS pup,
+      |    SUM(target - x - 1) OVER w AS pdn
+      |  FROM tgt WINDOW w AS (PARTITION BY k ORDER BY t
+      |    ROWS UNBOUNDED PRECEDING)),
+      |c AS (SELECT *,
+      |    pup - LEAST(0, MIN(pup) OVER w) AS cusum_up,
+      |    pdn - LEAST(0, MIN(pdn) OVER w) AS cusum_dn
+      |  FROM p WINDOW w AS (PARTITION BY k ORDER BY t
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT k, t, x, target,
+      |  CAST(cusum_up AS BIGINT) AS cusum_up,
+      |  CAST(cusum_dn AS BIGINT) AS cusum_dn,
+      |  cusum_up > 10 AS shift_up, cusum_dn > 10 AS shift_dn
+      |FROM c ORDER BY k, t""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -3927,7 +3967,8 @@ object Queries {
     "q111_correlation" -> correlationLineitem _,
     "q112_benford" -> benfordLineitem _,
     "q113_bm25_search" -> bm25Search _,
-    "q114_basket_rules" -> basketRules _)
+    "q114_basket_rules" -> basketRules _,
+    "q115_cusum_shift" -> cusumOrders _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4042,5 +4083,6 @@ object Queries {
     "q111_correlation" -> correlationLineitemSql,
     "q112_benford" -> benfordLineitemSql,
     "q113_bm25_search" -> bm25SearchSql,
-    "q114_basket_rules" -> basketRulesSql)
+    "q114_basket_rules" -> basketRulesSql,
+    "q115_cusum_shift" -> cusumOrdersSql)
 }

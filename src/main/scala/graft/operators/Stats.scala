@@ -361,6 +361,55 @@ object Stats {
       .agg(sum(col("term")).as("score_scaled"), sum(col("n")).as("n_events"))
   }
 
+  /** CUSUM mean-shift detection over a per-key integer series — the
+    * page-one sequential change detector (Page 1954), made distributed:
+    * the recursion S_i = max(0, S_{i−1} + d_i) is NOT a fold here but
+    * the closed form S_i = P_i − min(0, min_{j≤i} P_j) with P the
+    * plain prefix sum of d — two window expressions over ONE
+    * partition-by-key sort, no iteration, no driver loop. (Identity:
+    * both sides satisfy the same recurrence; induction on i.)
+    *
+    * Two-sided with slack: d⁺ = x − target − slack (upward drift),
+    * d⁻ = target − x − slack (downward), each with its own prefix
+    * stream; `target` is the per-key floor mean computed by a
+    * whole-partition window aggregate in the SAME shuffle (no join
+    * pass). All arithmetic is 64-bit integer — exact, replayable,
+    * partitioning-independent.
+    *
+    * 100 TB posture: one shuffle on the key; the window frames are
+    * running (no O(n²) re-scan); series length per key is the day
+    * grain, so partitions are calendar-bounded. The caller aggregates
+    * to (key, t, x) grain FIRST (like q64/q65's day-grain rule).
+    *
+    * @param slack     per-step dead-band in value units (≥ mean−floor
+    *                  bias 1 — slack 0 turns floor-mean drift into a
+    *                  false ramp)
+    * @param threshold flag level h: shift_up/shift_dn = cusum > h
+    */
+  def cusumShift(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      slack: Long,
+      threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRun = Window.partitionBy(col("k")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol).as("k"), col(orderCol).as("t"),
+        col(valueCol).cast("long").as("x"))
+      .withColumn("target",
+        expr("sum(x) over (partition by k) div count(x) over (partition by k)"))
+      .withColumn("pup", sum(col("x") - col("target") - lit(slack)).over(wRun))
+      .withColumn("pdn", sum(col("target") - col("x") - lit(slack)).over(wRun))
+      .withColumn("cusum_up", col("pup") - least(lit(0L), min(col("pup")).over(wRun)))
+      .withColumn("cusum_dn", col("pdn") - least(lit(0L), min(col("pdn")).over(wRun)))
+      .select(col("k"), col("t"), col("x"), col("target"),
+        col("cusum_up"), col("cusum_dn"),
+        (col("cusum_up") > threshold).as("shift_up"),
+        (col("cusum_dn") > threshold).as("shift_dn"))
+  }
+
   def robustOutliers(
       df: DataFrame,
       groupCols: Seq[String],

@@ -263,6 +263,36 @@ class StatsSpec extends SparkSuite {
     assert(Stats.decayedSum(far.limit(0), "k", "day", "v", 7).isEmpty)
   }
 
+  test("cusumShift: closed form equals the textbook fold, both directions") {
+    // two keys, deliberate level shift in "a"'s second half
+    val series = Map(
+      "a" -> Seq(5L, 4L, 5L, 6L, 5L, 9L, 10L, 9L, 11L, 10L),
+      "b" -> Seq(7L, 7L, 8L, 6L, 7L, 7L, 8L, 6L, 7L, 7L))
+    val df = series.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (x, i) => (k, i.toLong, x) }
+    }.toDF("k", "t", "x")
+    val slack = 1L
+    val got = Stats.cusumShift(df, "k", "t", "x", slack, threshold = 3)
+      .orderBy("k", "t")
+      .as[(String, Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect()
+    series.foreach { case (k, xs) =>
+      val target = xs.sum / xs.length // floor mean, same div semantics
+      // textbook recursion S_i = max(0, S_{i-1} + d_i)
+      val up = xs.scanLeft(0L)((s, x) => math.max(0L, s + (x - target - slack))).tail
+      val dn = xs.scanLeft(0L)((s, x) => math.max(0L, s + (target - x - slack))).tail
+      val rows = got.filter(_._1 == k).sortBy(_._2)
+      assert(rows.map(_._4).distinct.toSeq == Seq(target))
+      assert(rows.map(_._5).toSeq == up, s"cusum_up mismatch for $k")
+      assert(rows.map(_._6).toSeq == dn, s"cusum_dn mismatch for $k")
+      assert(rows.map(_._7).toSeq == up.map(_ > 3))
+      assert(rows.map(_._8).toSeq == dn.map(_ > 3))
+    }
+    // the planted shift in "a" must be flagged; steady "b" must not be
+    assert(got.exists(r => r._1 == "a" && r._7))
+    assert(!got.exists(r => r._1 == "b" && (r._7 || r._8)))
+  }
+
   test("outliers: constant groups and null values produce no flags") {
     val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(5.0)),
       ("g", Some(1.0)), ("g", Some(2.0)), ("g", None), ("g", Some(100.0)))
