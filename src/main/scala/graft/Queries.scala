@@ -3852,6 +3852,70 @@ object Queries {
       |  cusum_up > 10 AS shift_up, cusum_dn > 10 AS shift_dn
       |FROM c ORDER BY k, t""".stripMargin
 
+  /** q116: multi-touch attribution ([[Behavior.attribution]]) — each
+    * purchase's floor-cents value distributed over the view/click/
+    * signup touches in the 24h before it, under first-touch /
+    * last-touch / linear at once; no-touch purchases land in
+    * `(none)`. The oracle replays the pairing as a plain join and the
+    * first/last resolution as (ts, id) windows.
+    */
+  def attributionEvents(s: SparkSession, dir: String): DataFrame =
+    Behavior.attribution(t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", "value", convType = "purchase",
+        touchTypes = Seq("view", "click", "signup"),
+        lookback = 86400000000000L)
+      .orderBy("channel")
+
+  val attributionEventsSql: String =
+    """WITH c AS (
+      |  SELECT user_id AS k, epoch_ns(ts) AS ct, event_id AS conv_id,
+      |    COALESCE(CAST(FLOOR(value * 100) AS BIGINT), 0) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |tch AS (
+      |  SELECT user_id AS k, epoch_ns(ts) AS tt, event_id AS touch_id,
+      |    event_type AS channel
+      |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      |pairs AS (
+      |  SELECT c.conv_id, c.v, t.channel, t.tt, t.touch_id
+      |  FROM c JOIN tch t ON c.k = t.k
+      |    AND t.tt > c.ct - 86400000000000 AND t.tt <= c.ct),
+      |pcc AS (SELECT conv_id, v, channel, COUNT(*) AS cnt_c
+      |  FROM pairs GROUP BY 1, 2, 3),
+      |n AS (SELECT conv_id, CAST(SUM(cnt_c) AS BIGINT) AS n
+      |  FROM pcc GROUP BY 1),
+      |firsts AS (SELECT conv_id, channel FROM (
+      |  SELECT conv_id, channel, row_number() OVER (PARTITION BY conv_id
+      |    ORDER BY tt ASC, touch_id ASC) AS rn FROM pairs) WHERE rn = 1),
+      |lasts AS (SELECT conv_id, channel FROM (
+      |  SELECT conv_id, channel, row_number() OVER (PARTITION BY conv_id
+      |    ORDER BY tt DESC, touch_id DESC) AS rn FROM pairs) WHERE rn = 1),
+      |resolved AS (
+      |  SELECT pcc.conv_id, pcc.v, pcc.channel, pcc.cnt_c, n.n,
+      |    pcc.channel = f.channel AS is_first,
+      |    pcc.channel = l.channel AS is_last
+      |  FROM pcc JOIN n USING (conv_id)
+      |    JOIN firsts f USING (conv_id) JOIN lasts l USING (conv_id)),
+      |main AS (
+      |  SELECT channel,
+      |    CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS first_convs,
+      |    CAST(SUM(CASE WHEN is_first THEN v ELSE 0 END) AS BIGINT) AS first_cents,
+      |    CAST(SUM(CASE WHEN is_last THEN 1 ELSE 0 END) AS BIGINT) AS last_convs,
+      |    CAST(SUM(CASE WHEN is_last THEN v ELSE 0 END) AS BIGINT) AS last_cents,
+      |    CAST(SUM(cnt_c) AS BIGINT) AS touches,
+      |    CAST(SUM(v * cnt_c // n) AS BIGINT) AS linear_cents
+      |  FROM resolved GROUP BY 1),
+      |none AS (
+      |  SELECT '(none)' AS channel,
+      |    CAST(COUNT(*) AS BIGINT) AS first_convs,
+      |    CAST(COALESCE(SUM(v), 0) AS BIGINT) AS first_cents,
+      |    CAST(COUNT(*) AS BIGINT) AS last_convs,
+      |    CAST(COALESCE(SUM(v), 0) AS BIGINT) AS last_cents,
+      |    CAST(0 AS BIGINT) AS touches,
+      |    CAST(COALESCE(SUM(v), 0) AS BIGINT) AS linear_cents
+      |  FROM c WHERE conv_id NOT IN (SELECT conv_id FROM pcc))
+      |SELECT * FROM main UNION ALL SELECT * FROM none
+      |ORDER BY channel""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -3968,7 +4032,8 @@ object Queries {
     "q112_benford" -> benfordLineitem _,
     "q113_bm25_search" -> bm25Search _,
     "q114_basket_rules" -> basketRules _,
-    "q115_cusum_shift" -> cusumOrders _)
+    "q115_cusum_shift" -> cusumOrders _,
+    "q116_attribution" -> attributionEvents _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4084,5 +4149,6 @@ object Queries {
     "q112_benford" -> benfordLineitemSql,
     "q113_bm25_search" -> bm25SearchSql,
     "q114_basket_rules" -> basketRulesSql,
-    "q115_cusum_shift" -> cusumOrdersSql)
+    "q115_cusum_shift" -> cusumOrdersSql,
+    "q116_attribution" -> attributionEventsSql)
 }

@@ -178,4 +178,79 @@ object Behavior {
       .orderBy(col("n").desc, col("path").asc)
       .limit(topK)
   }
+
+  /** Multi-touch attribution: distribute each conversion's value over
+    * the touch events that preceded it within a lookback window, under
+    * the three standard models at once — first-touch, last-touch, and
+    * linear. The "which channel earned this purchase" report.
+    *
+    * Pairing is the [[RangeJoin]] bucketed equi-join (touch in
+    * (conv_ts − lookback, conv_ts], both sides bucketed by the lookback
+    * so a conversion probes exactly 2 buckets — no range scan, no
+    * per-user sort of the full event stream). Per (conversion, channel)
+    * the pairs collapse IMMEDIATELY to (count, min/max (ts, id)) — the
+    * pair table never reaches a second wide shuffle; first/last then
+    * resolve per conversion with whole-partition window aggregates over
+    * the ≤|channels| collapsed rows, and one final channel groupBy
+    * emits all three models from the same rows.
+    *
+    * Exactness: values enter as floor-cents (integer); linear shares
+    * are `v·cnt_c div n` floor division (each conversion drops ≤ n−1
+    * residual cents — deterministic, documented, engine-identical; the
+    * first/last models are residual-free). Ties on identical
+    * timestamps break by touch event id, so first/last are total
+    * orders. Conversions with NO touch in the window appear under
+    * channel `(none)` with full value in every model — the report sums
+    * to sum-of-conversions per model (minus the linear residue) by
+    * construction.
+    *
+    * @param lookback window length in tsCol's (numeric) unit
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, valueCol: String,
+      convType: String, touchTypes: Seq[String],
+      lookback: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val conv = events.where(col(typeCol) === convType)
+      .select(col(userCol).as("k"), col(tsCol).as("ct"),
+        col(idCol).as("conv_id"),
+        coalesce(floor(col(valueCol) * 100).cast("long"), lit(0L)).as("v"))
+    val touch = events
+      .where(col(typeCol).isin(touchTypes.map(_.asInstanceOf[Any]): _*))
+      .select(col(userCol).as("k"), col(tsCol).as("tt"),
+        col(idCol).as("touch_id"), col(typeCol).as("channel"))
+      .withColumn("bucket", expr(s"tt div $lookback"))
+    val probes = conv.select(col("k"), col("ct"), col("conv_id"), col("v"),
+      explode(array(expr(s"ct div $lookback"),
+        expr(s"ct div $lookback") - 1)).as("bucket"))
+    val perConvChannel = probes.join(touch, Seq("k", "bucket"))
+      .where(col("tt") > col("ct") - lookback && col("tt") <= col("ct"))
+      .groupBy(col("conv_id"), col("v"), col("channel"))
+      .agg(count(lit(1)).as("cnt_c"),
+        min(struct(col("tt"), col("touch_id"))).as("ft"),
+        max(struct(col("tt"), col("touch_id"))).as("lt"))
+    val wConv = Window.partitionBy(col("conv_id"))
+    val resolved = perConvChannel
+      .withColumn("n", sum(col("cnt_c")).over(wConv))
+      .withColumn("is_first", min(col("ft")).over(wConv) === col("ft"))
+      .withColumn("is_last", max(col("lt")).over(wConv) === col("lt"))
+    val attributed = resolved.groupBy(col("channel")).agg(
+      sum(when(col("is_first"), 1L).otherwise(0L)).as("first_convs"),
+      sum(when(col("is_first"), col("v")).otherwise(0L)).as("first_cents"),
+      sum(when(col("is_last"), 1L).otherwise(0L)).as("last_convs"),
+      sum(when(col("is_last"), col("v")).otherwise(0L)).as("last_cents"),
+      sum(col("cnt_c")).as("touches"),
+      sum(expr("v * cnt_c div n")).as("linear_cents"))
+    val untouched = conv
+      .join(perConvChannel.select(col("conv_id")).distinct(),
+        Seq("conv_id"), "left_anti")
+      .agg(count(lit(1)).as("first_convs"), sum(col("v")).as("first_cents"))
+      .select(lit("(none)").as("channel"),
+        col("first_convs"), coalesce(col("first_cents"), lit(0L)).as("first_cents"),
+        col("first_convs").as("last_convs"),
+        coalesce(col("first_cents"), lit(0L)).as("last_cents"),
+        lit(0L).as("touches"),
+        coalesce(col("first_cents"), lit(0L)).as("linear_cents"))
+    attributed.unionByName(untouched)
+  }
 }

@@ -111,6 +111,39 @@ class BehaviorSpec extends SparkSuite {
       s"expected a user-partitioned window:\n$plan")
   }
 
+  test("attribution: first/last/linear models match hand computation") {
+    val ev = Seq(
+      // u1: view -> click -> purchase(10.00); signup AFTER doesn't count
+      (1L, 10L, 10L, "view", 0.0), (1L, 20L, 11L, "click", 0.0),
+      (1L, 25L, 12L, "purchase", 10.0), (1L, 26L, 13L, "signup", 0.0),
+      // u2: untouched purchase(5.55)
+      (2L, 50L, 20L, "purchase", 5.55),
+      // u3: view view click -> purchase(1.01): linear 67/33, residue 1
+      (3L, 10L, 30L, "view", 0.0), (3L, 11L, 31L, "view", 0.0),
+      (3L, 12L, 32L, "click", 0.0), (3L, 100L, 33L, "purchase", 1.01),
+      // u4: tie timestamps -> event id breaks first/last
+      (4L, 5L, 40L, "view", 0.0), (4L, 5L, 41L, "click", 0.0),
+      (4L, 6L, 42L, "purchase", 100.0)
+    ).toDF("u", "ts", "id", "et", "value")
+    val got = Behavior.attribution(ev, "u", "ts", "id", "et", "value",
+        "purchase", Seq("view", "click", "signup"), lookback = 100L)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("view") == ("view", 3L, 11101L, 0L, 0L, 4L, 5567L))
+    assert(got("click") == ("click", 0L, 0L, 3L, 11101L, 3L, 5533L))
+    assert(got("(none)") == ("(none)", 1L, 555L, 1L, 555L, 0L, 555L))
+    assert(!got.contains("signup"), "post-conversion touch must not attribute")
+  }
+
+  test("attribution: empty input yields only a zero (none) row") {
+    val ev = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("u", "ts", "id", "et", "value")
+    val got = Behavior.attribution(ev, "u", "ts", "id", "et", "value",
+        "purchase", Seq("view"), lookback = 100L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("(none)", 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("transitions: no shuffle between the user sort and the matrix") {
     val ev = Seq((1L, 10L, 1L, "x"), (1L, 20L, 2L, "y")).toDF("u", "ts", "id", "et")
     val plan = Behavior.transitions(ev, "u", "ts", "id", "et")
