@@ -3916,6 +3916,59 @@ object Queries {
       |SELECT * FROM main UNION ALL SELECT * FROM none
       |ORDER BY channel""".stripMargin
 
+  /** q117: snapshot profile drift ([[Profile.drift]]) — the orders
+    * table split at 1998-01-01 into before/after releases, compared
+    * column-by-column on null rate, distinct cardinality, and min/max
+    * movement. Integer-key and string columns only (the summarize
+    * string-profile rule); floor-ppm deltas; the oracle replays both
+    * profiles as per-column UNION ALL scans.
+    */
+  def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cut = lit("1998-01-01").cast("timestamp")
+    Profile.drift(
+        o.where(col("o_orderdate") < cut),
+        o.where(col("o_orderdate") >= cut),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"))
+      .orderBy("col_name")
+  }
+
+  val profileDriftSql: String = {
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey")
+    def side(pred: String) = cols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT CAST($c AS VARCHAR)) AS n_distinct,
+         |  MIN(CAST($c AS VARCHAR)) AS min_s, MAX(CAST($c AS VARCHAR)) AS max_s
+         |FROM orders WHERE $pred GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pa AS (
+       |${side("o_orderdate < TIMESTAMP '1998-01-01'")}
+       |), pb AS (
+       |${side("o_orderdate >= TIMESTAMP '1998-01-01'")}
+       |)
+       |SELECT COALESCE(pa.col_name, pb.col_name) AS col_name,
+       |  COALESCE(pa.n_rows, 0) AS n_rows_a, COALESCE(pb.n_rows, 0) AS n_rows_b,
+       |  CASE WHEN pa.n_rows > 0 THEN pa.n_nulls * 1000000 // pa.n_rows
+       |       ELSE 0 END AS null_ppm_a,
+       |  CASE WHEN pb.n_rows > 0 THEN pb.n_nulls * 1000000 // pb.n_rows
+       |       ELSE 0 END AS null_ppm_b,
+       |  (CASE WHEN pb.n_rows > 0 THEN pb.n_nulls * 1000000 // pb.n_rows
+       |        ELSE 0 END) -
+       |  (CASE WHEN pa.n_rows > 0 THEN pa.n_nulls * 1000000 // pa.n_rows
+       |        ELSE 0 END) AS null_delta_ppm,
+       |  COALESCE(pa.n_distinct, 0) AS n_distinct_a,
+       |  COALESCE(pb.n_distinct, 0) AS n_distinct_b,
+       |  CASE WHEN pa.n_distinct > 0
+       |       THEN pb.n_distinct * 1000000 // pa.n_distinct END
+       |    AS distinct_ratio_ppm,
+       |  (pa.col_name IS NULL OR pb.col_name IS NULL) AS side_missing,
+       |  NOT (pa.min_s IS NOT DISTINCT FROM pb.min_s) AS min_changed,
+       |  NOT (pa.max_s IS NOT DISTINCT FROM pb.max_s) AS max_changed
+       |FROM pa FULL OUTER JOIN pb ON pa.col_name = pb.col_name
+       |ORDER BY col_name""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4033,7 +4086,8 @@ object Queries {
     "q113_bm25_search" -> bm25Search _,
     "q114_basket_rules" -> basketRules _,
     "q115_cusum_shift" -> cusumOrders _,
-    "q116_attribution" -> attributionEvents _)
+    "q116_attribution" -> attributionEvents _,
+    "q117_profile_drift" -> profileDrift _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4150,5 +4204,6 @@ object Queries {
     "q113_bm25_search" -> bm25SearchSql,
     "q114_basket_rules" -> basketRulesSql,
     "q115_cusum_shift" -> cusumOrdersSql,
-    "q116_attribution" -> attributionEventsSql)
+    "q116_attribution" -> attributionEventsSql,
+    "q117_profile_drift" -> profileDriftSql)
 }

@@ -50,6 +50,50 @@ object Profile {
       df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     melt(df, cols, approx_count_distinct(col("value"), rsd).as("n_distinct_approx"))
 
+  /** Snapshot drift screen: [[summarize]] both releases of a table and
+    * report, per column, the null-rate movement (floor-ppm), the
+    * distinct-cardinality movement (floor-ppm ratio new/old), and
+    * whether the lexicographic min/max moved — the cheap "did this
+    * batch change shape" gate a pipeline runs before promoting a
+    * snapshot (the value-level sibling of ChangeCapture.snapshotDiff,
+    * which answers WHICH rows changed; this answers whether the
+    * DISTRIBUTION changed, at profile cost, no key needed).
+    *
+    * An empty snapshot on either side (zero rows → zero profile rows)
+    * survives the FULL OUTER join with zeroed stats and
+    * `side_missing=true` rather than silently vanishing; `cols` must
+    * exist in both schemas (a rename IS schema drift — catch it from
+    * the schema, not the profile). One scan per snapshot (the melt),
+    * then a |cols|-row join — report-grain.
+    * All-integer output (counts, floor-ppm, boolean flags); same
+    * string-profile caveat as [[summarize]]: keep float columns out
+    * (engine float-formatting differs; profile them via typed stats).
+    */
+  def drift(before: DataFrame, after: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, s: String) =
+      summarize(df, cols).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$s"), col("n_nulls").as(s"n_nulls_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("min_s").as(s"min_$s"), col("max_s").as(s"max_$s"))
+    def ppm(num: String, den: String) =
+      when(col(den) > 0, expr(s"$num * 1000000L div $den")).otherwise(lit(0L))
+    side(before, "a").join(side(after, "b"), Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        coalesce(col("n_rows_a"), lit(0L)).as("n_rows_a"),
+        coalesce(col("n_rows_b"), lit(0L)).as("n_rows_b"),
+        ppm("n_nulls_a", "n_rows_a").as("null_ppm_a"),
+        ppm("n_nulls_b", "n_rows_b").as("null_ppm_b"),
+        (ppm("n_nulls_b", "n_rows_b") - ppm("n_nulls_a", "n_rows_a"))
+          .as("null_delta_ppm"),
+        coalesce(col("n_distinct_a"), lit(0L)).as("n_distinct_a"),
+        coalesce(col("n_distinct_b"), lit(0L)).as("n_distinct_b"),
+        when(col("n_distinct_a") > 0,
+          expr("n_distinct_b * 1000000L div n_distinct_a")).as("distinct_ratio_ppm"),
+        (col("n_rows_a").isNull || col("n_rows_b").isNull).as("side_missing"),
+        not(col("min_a") <=> col("min_b")).as("min_changed"),
+        not(col("max_a") <=> col("max_b")).as("max_changed"))
+  }
+
   /** Key-skew diagnostic — the report a pipeline runs on a join/groupBy
     * key BEFORE committing to a plan (feeds [[SkewJoin]]'s salting
     * decision): the `topK` heaviest keys (count desc, key asc) each

@@ -99,6 +99,39 @@ class ProfileSpec extends SparkSuite {
     assert(empty.getLong(2) == 0L && empty.isNullAt(3))
   }
 
+  test("drift: null/distinct/minmax movement vs hand computation") {
+    import spark.implicits._
+    val before = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("b")),
+      (4L, None)).toDF("id", "s")
+    val after = Seq((1L, Some("a")), (2L, Some("c")), (3L, None),
+      (4L, None), (5L, None)).toDF("id", "s")
+    val got = Profile.drift(before, after, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = got("s")
+    assert(s.getLong(1) == 4L && s.getLong(2) == 5L) // n_rows a/b
+    // nulls: 1/4 = 250000 ppm -> 3/5 = 600000 ppm
+    assert(s.getLong(3) == 250000L && s.getLong(4) == 600000L &&
+      s.getLong(5) == 350000L)
+    // distinct (non-null values): {a,b}=2 -> {a,c}=2, ratio 1e6
+    assert(s.getLong(6) == 2L && s.getLong(7) == 2L && s.getLong(8) == 1000000L)
+    assert(!s.getBoolean(9)) // side_missing
+    assert(!s.getBoolean(10) && s.getBoolean(11)) // min a=a; max b->c
+    val id = got("id")
+    assert(id.getLong(6) == 4L && id.getLong(7) == 5L &&
+      id.getLong(8) == 1250000L)
+    assert(id.getBoolean(11)) // max 4 -> 5
+  }
+
+  test("drift: an empty side is flagged, not dropped") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "s")
+    val got = Profile.drift(a, a.limit(0), Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("id", "s"))
+    assert(got("id").getBoolean(9) && got("s").getBoolean(9))
+    assert(got("id").getLong(2) == 0L) // n_rows_b zeroed
+  }
+
   test("correlationMatrix computes all pairs in one scan") {
     val df = spark.range(100).selectExpr("CAST(id AS DOUBLE) x",
       "CAST(id * 2 AS DOUBLE) y", "CAST(id % 7 AS DOUBLE) z")
