@@ -3969,6 +3969,38 @@ object Queries {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** q118: multi-source BFS hop distance ([[graft.operators.Graph.bfsLevels]],
+    * depth ≤ 4) over q97's undirected customer↔part graph from
+    * customers {1, 2, 3} — "how far is every entity from the seed
+    * set". Exact integer levels; the oracle replays the search as a
+    * recursive CTE (UNION-dedup) with min-level aggregation, which is
+    * the same first-discovery rule the frontier anti-join enforces.
+    */
+  def bfsParts(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val fwd = l.join(broadcast(o), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_partkey") + 10000000L).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.bfsLevels(edges, Seq(1L, 2L, 3L), maxDepth = 4)
+      .orderBy("id")
+  }
+
+  val bfsPartsSql: String =
+    """WITH RECURSIVE fwd AS (
+      |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+      |    CAST(l.l_partkey + 10000000 AS BIGINT) AS dst
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+      |bfs(id, level) AS (
+      |  SELECT * FROM (VALUES (CAST(1 AS BIGINT), 0), (2, 0), (3, 0))
+      |  UNION
+      |  SELECT e.dst, b.level + 1
+      |  FROM bfs b JOIN e ON e.src = b.id WHERE b.level < 4)
+      |SELECT id, CAST(MIN(level) AS BIGINT) AS level
+      |FROM bfs GROUP BY id ORDER BY id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4087,7 +4119,8 @@ object Queries {
     "q114_basket_rules" -> basketRules _,
     "q115_cusum_shift" -> cusumOrders _,
     "q116_attribution" -> attributionEvents _,
-    "q117_profile_drift" -> profileDrift _)
+    "q117_profile_drift" -> profileDrift _,
+    "q118_bfs_levels" -> bfsParts _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4205,5 +4238,6 @@ object Queries {
     "q114_basket_rules" -> basketRulesSql,
     "q115_cusum_shift" -> cusumOrdersSql,
     "q116_attribution" -> attributionEventsSql,
-    "q117_profile_drift" -> profileDriftSql)
+    "q117_profile_drift" -> profileDriftSql,
+    "q118_bfs_levels" -> bfsPartsSql)
 }

@@ -102,6 +102,65 @@ object Graph {
     rank
   }
 
+  /** Multi-source BFS: the shortest-path LEVEL (hop distance) from a
+    * source set to every reachable node, capped at `maxDepth` — "how
+    * far is every entity from the seed set", the reachability sibling
+    * of [[pageRank]] (importance) and Dedup's connected components
+    * (membership). Levels are small exact integers, so the DuckDB
+    * oracle replays the whole search as a recursive CTE with
+    * min-level aggregation.
+    *
+    * Frontier iteration: level d = (frontier d−1 ⋈ edges).dst, minus
+    * everything already visited (the anti-join IS the min-level rule —
+    * first discovery wins, and BFS discovers in level order). Per
+    * level: one edge join + one distinct + one anti-join, all
+    * node-grain except the edge probe; each frontier materializes
+    * eagerly (localCheckpoint) so the lineage never re-runs prior
+    * levels. Terminates EARLY on an empty frontier — the
+    * `limit(1).count()` probe on a node-sized table (the Dedup.CC
+    * convergence idiom), not a full count.
+    *
+    * 100 TB posture: the visited/frontier tables are node-sized (two
+    * longs); the per-level join shuffles edges once on src — identical
+    * to one pageRank iteration, and like it, AQE handles frontier
+    * skew. Directed edges; pass both directions for undirected
+    * reachability.
+    */
+  def bfsLevels(
+      edges: DataFrame,
+      sources: Seq[Long],
+      maxDepth: Int,
+      checkpointInterval: Int = 4): DataFrame = {
+    require(sources.nonEmpty, "bfsLevels: need at least one source node")
+    require(maxDepth >= 1 && maxDepth <= 64, "maxDepth in [1, 64]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    var visited = sources.distinct.toDF("id")
+      .select(col("id"), lit(0L).as("level")).localCheckpoint(true)
+    var frontier = visited
+    var d = 1
+    var done = false
+    while (d <= maxDepth && !done) {
+      val next = frontier
+        .join(e, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(d.toLong).as("level"))
+        .localCheckpoint(true)
+      if (next.limit(1).isEmpty) done = true
+      else {
+        visited = visited.union(next)
+        if (d % checkpointInterval == 0) visited = visited.localCheckpoint(true)
+        frontier = next
+        d += 1
+      }
+    }
+    visited
+  }
+
   /** Exact triangle count over an UNDIRECTED simple graph given as any
     * edge list (`src`/`dst`, either or both directions; self-loops
     * dropped, duplicates collapsed). Returns ONE row:

@@ -58,4 +58,27 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1000000000000L, 2L -> 1000000000000L), s"$got")
   }
+
+  test("bfsLevels: hop distances, min-level rule, unreachable stays out") {
+    // 1→2→3→4 chain + shortcut 1→3; 9→1 points INTO the source side
+    // only; 7→8 is a disconnected island
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 1L),
+      (7L, 8L)).toDF("src", "dst")
+    val got = Graph.bfsLevels(edges, Seq(1L), maxDepth = 10)
+      .as[(Long, Long)].collect().toMap
+    // 3 via the shortcut at level 1, NOT level 2; 9 and 7,8 unreachable
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L), s"$got")
+  }
+
+  test("bfsLevels: maxDepth caps the search; multi-source takes min") {
+    val chain = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    val capped = Graph.bfsLevels(chain, Seq(1L), maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), s"$capped")
+    // sources at both ends: node 3 is 2 from head, node 4 is 2 from tail
+    val multi = Graph.bfsLevels(chain, Seq(1L, 6L), maxDepth = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(multi(3L) == 2L && multi(4L) == 3L && multi(6L) == 0L, s"$multi")
+  }
 }
