@@ -4001,6 +4001,37 @@ object Queries {
       |SELECT id, CAST(MIN(level) AS BIGINT) AS level
       |FROM bfs GROUP BY id ORDER BY id""".stripMargin
 
+  /** q119: readability screen ([[TextFunctions.fleschCenti]]) — Flesch
+    * reading-ease per document from integer word/sentence/syllable-run
+    * counts, in floor-centipoints (null-words docs yield null, never
+    * NaN). One narrow scan; the oracle replays the counts with
+    * `regexp_extract_all` and the identical double chain.
+    */
+  def readabilityDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
+        TextFunctions.sentenceCount(col("text")).cast("long").as("n_sentences"),
+        TextFunctions.syllableCount(col("text")).cast("long").as("n_syllables"),
+        TextFunctions.fleschCenti(col("text")).as("flesch_centi"))
+      .orderBy("doc_id")
+
+  val readabilityDocsSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len($duckToks) AS BIGINT) AS n_words,
+       |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+       |      AS BIGINT) AS n_sentences,
+       |    CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+'))
+       |      AS BIGINT) AS n_syllables
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CASE WHEN n_words > 0 THEN CAST(FLOOR(
+       |    (206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+       |     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) * 100)
+       |    AS BIGINT) END AS flesch_centi
+       |FROM m ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4120,7 +4151,8 @@ object Queries {
     "q115_cusum_shift" -> cusumOrders _,
     "q116_attribution" -> attributionEvents _,
     "q117_profile_drift" -> profileDrift _,
-    "q118_bfs_levels" -> bfsParts _)
+    "q118_bfs_levels" -> bfsParts _,
+    "q119_readability" -> readabilityDocs _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4239,5 +4271,6 @@ object Queries {
     "q115_cusum_shift" -> cusumOrdersSql,
     "q116_attribution" -> attributionEventsSql,
     "q117_profile_drift" -> profileDriftSql,
-    "q118_bfs_levels" -> bfsPartsSql)
+    "q118_bfs_levels" -> bfsPartsSql,
+    "q119_readability" -> readabilityDocsSql)
 }

@@ -33,6 +33,37 @@ object TextFunctions {
     round(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
       greatest(length(text), lit(1)), 4)
 
+  /** Sentence count: runs of sentence-ending punctuation, floored at 1
+    * (an unpunctuated document reads as one long sentence — the
+    * conservative choice for the readability ratio below).
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+
+  /** Syllable proxy: vowel-group runs (the classic heuristic — each
+    * maximal [aeiouy]+ run reads as one syllable nucleus). Exact
+    * syllabification needs a dictionary; this proxy is deterministic,
+    * SQL-replayable, and monotone enough for corpus-level screening.
+    */
+  def syllableCount(text: Column): Column =
+    regexp_count(text, lit("[AEIOUYaeiouy]+"))
+
+  /** Flesch reading-ease in floor-centipoints:
+    * floor((206.835 − 1.015·words/sentences − 84.6·syllables/words)·100).
+    * Each input is an exact integer count, the double chain is one
+    * fixed parenthesization (engine-identical), and the floor-centi
+    * truncation follows the repo float rule. NULL when the text has no
+    * words (ratio undefined), never NaN.
+    */
+  def fleschCenti(text: Column): Column = {
+    val w = tokenCount(text).cast("long")
+    val s = sentenceCount(text).cast("long")
+    val y = syllableCount(text).cast("long")
+    when(w > 0, floor(
+      (lit(206.835) - lit(1.015) * (w.cast("double") / s)
+        - lit(84.6) * (y.cast("double") / w)) * 100).cast("long"))
+  }
+
   val StopwordsEn: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 

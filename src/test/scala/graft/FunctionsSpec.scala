@@ -62,6 +62,24 @@ class FunctionsSpec extends SparkSuite {
     assert(r.getString(3) == "en")
   }
 
+  test("readability: sentence/syllable counts and Flesch centipoints") {
+    val df = Seq("The cat sat. The dog ran! Why?",  // 3 sentences
+      "unpunctuated stream of words",                // floors to 1 sentence
+      "").toDF("text")
+    val rows = df.select(
+      TextFunctions.sentenceCount(col("text")).as("s"),
+      TextFunctions.syllableCount(col("text")).as("y"),
+      TextFunctions.fleschCenti(col("text")).as("f")).collect()
+    assert(rows(0).getInt(0) == 3)
+    // vowel runs: e,a,a,e,o,a,y -> The(1) cat(1) sat(1) The(1) dog(1)
+    // ran(1) Why(1) = 7
+    assert(rows(0).getInt(1) == 7)
+    val w0 = 7.0; val f0 = (206.835 - 1.015 * (w0 / 3) - 84.6 * (7 / w0)) * 100
+    assert(rows(0).getLong(2) == math.floor(f0).toLong)
+    assert(rows(1).getInt(0) == 1, "no enders floors to one sentence")
+    assert(rows(2).isNullAt(2), "empty text has no words -> null score")
+  }
+
   test("fingerprint: word-order and duplicate insensitive") {
     val df = Seq(("cat dog cat", "dog cat")).toDF("a", "b")
     val r = df.select(
