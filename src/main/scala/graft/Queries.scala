@@ -4032,6 +4032,51 @@ object Queries {
        |    AS BIGINT) END AS flesch_centi
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** q120: population stability index ([[Stats.psi]]) — o_totalprice
+    * distribution drift across the q117 date split, 10 fixed
+    * equi-width bins of 50k, Laplace-smoothed floor-ppm shares, one
+    * ln per bin. The per-bin report plus the attached psi_total_e6;
+    * the oracle replays bins, smoothing and the identical double
+    * chain over generate_series.
+    */
+  def psiOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cut = lit("1998-01-01").cast("timestamp")
+    Stats.psi(
+        o.where(col("o_orderdate") < cut).select(col("o_totalprice")),
+        o.where(col("o_orderdate") >= cut).select(col("o_totalprice")),
+        "o_totalprice", binWidth = 50000L, maxBin = 9)
+      .orderBy("bin")
+  }
+
+  val psiOrdersSql: String =
+    """WITH bins AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin),
+      |ba AS (SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice) AS BIGINT), 0)
+      |    // 50000, 9) AS bin, COUNT(*) AS n
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |    AND o_totalprice IS NOT NULL GROUP BY 1),
+      |bb AS (SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice) AS BIGINT), 0)
+      |    // 50000, 9) AS bin, COUNT(*) AS n
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |    AND o_totalprice IS NOT NULL GROUP BY 1),
+      |c AS (SELECT bins.bin,
+      |    CAST(COALESCE(ba.n, 0) AS BIGINT) AS n_a,
+      |    CAST(COALESCE(bb.n, 0) AS BIGINT) AS n_b
+      |  FROM bins LEFT JOIN ba USING (bin) LEFT JOIN bb USING (bin)),
+      |tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM c),
+      |s AS (SELECT c.bin, c.n_a, c.n_b,
+      |    CAST((c.n_a + 1) * 1000000 // (t.ta + 10) AS BIGINT) AS share_a_ppm,
+      |    CAST((c.n_b + 1) * 1000000 // (t.tb + 10) AS BIGINT) AS share_b_ppm
+      |  FROM c CROSS JOIN tot t),
+      |terms AS (SELECT *,
+      |    CAST(FLOOR((share_a_ppm - share_b_ppm) *
+      |      ln(CAST(share_a_ppm AS DOUBLE) / share_b_ppm)) AS BIGINT)
+      |      AS term_e6
+      |  FROM s)
+      |SELECT bin, n_a, n_b, share_a_ppm, share_b_ppm, term_e6,
+      |  CAST(SUM(term_e6) OVER () AS BIGINT) AS psi_total_e6
+      |FROM terms ORDER BY bin""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4152,7 +4197,8 @@ object Queries {
     "q116_attribution" -> attributionEvents _,
     "q117_profile_drift" -> profileDrift _,
     "q118_bfs_levels" -> bfsParts _,
-    "q119_readability" -> readabilityDocs _)
+    "q119_readability" -> readabilityDocs _,
+    "q120_psi_drift" -> psiOrders _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4272,5 +4318,6 @@ object Queries {
     "q116_attribution" -> attributionEventsSql,
     "q117_profile_drift" -> profileDriftSql,
     "q118_bfs_levels" -> bfsPartsSql,
-    "q119_readability" -> readabilityDocsSql)
+    "q119_readability" -> readabilityDocsSql,
+    "q120_psi_drift" -> psiOrdersSql)
 }

@@ -410,6 +410,71 @@ object Stats {
         (col("cusum_dn") > threshold).as("shift_dn"))
   }
 
+  /** Population Stability Index between two snapshots of a numeric
+    * column — the standard "did this feature's DISTRIBUTION move"
+    * score (PSI < 0.1 stable, > 0.25 shifted, by the usual rule of
+    * thumb — here in e6 units: 100_000 / 250_000), the quantitative
+    * sibling of Profile.drift's null/cardinality screen.
+    *
+    * Binning is fixed-boundary equi-width (`least(floor(v) div
+    * binWidth, maxBin)`, negatives clamp to bin 0) — boundaries are
+    * CONSTANTS, so the bin of a value never depends on the other
+    * snapshot (quantile bins would re-bin historical data every
+    * release). ALL maxBin+1 bins materialize (a `spark.range` frame,
+    * not the observed bins): an empty bin still contributes PSI mass
+    * under smoothing, and dropping it would understate drift exactly
+    * where it's largest.
+    *
+    * Exactness: counts are integers; shares are Laplace-smoothed
+    * floor-ppm `(n+1)·1e6 div (N + bins)`; the per-bin term
+    * floor((pa_ppm − pb_ppm) · ln(pa_ppm / pb_ppm)) is one ln on a
+    * ratio of exact integers (the q36/q113 ln-parity precedent) and
+    * sums as integers — reduction-order independent. The smoothing
+    * also makes every ratio finite: no 0/0, no ±∞, on any input.
+    *
+    * 100 TB posture: one map-side-combined count per snapshot at bin
+    * grain (≤ maxBin+1 rows each), then report-grain joins; the
+    * whole-report window that attaches psi_total_e6 runs over ≤
+    * maxBin+1 rows by construction.
+    */
+  def psi(
+      before: DataFrame,
+      after: DataFrame,
+      valueCol: String,
+      binWidth: Long,
+      maxBin: Int): DataFrame = {
+    require(binWidth >= 1, "binWidth must be positive")
+    require(maxBin >= 1 && maxBin <= 100000, "maxBin in [1, 1e5]")
+    val spark = before.sparkSession
+    val nBins = maxBin + 1
+    def binned(df: DataFrame, s: String) = df
+      .where(col(valueCol).isNotNull)
+      .select(expr(s"least(greatest(cast(floor(`$valueCol`) as long), 0L)" +
+        s" div ${binWidth}L, ${maxBin}L)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(s"n_$s"))
+    val bins = spark.range(nBins).select(col("id").as("bin"))
+    val counts = bins
+      .join(binned(before, "a"), Seq("bin"), "left")
+      .join(binned(after, "b"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    val shared = counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        expr(s"(n_a + 1L) * 1000000L div (__ta + $nBins)").as("share_a_ppm"),
+        expr(s"(n_b + 1L) * 1000000L div (__tb + $nBins)").as("share_b_ppm"))
+      .withColumn("term_e6",
+        floor((col("share_a_ppm") - col("share_b_ppm")) *
+          log(col("share_a_ppm").cast("double") / col("share_b_ppm")))
+          .cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    // report-grain window: ≤ maxBin+1 rows by construction
+    shared.withColumn("psi_total_e6",
+      sum(col("term_e6")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+  }
+
   def robustOutliers(
       df: DataFrame,
       groupCols: Seq[String],

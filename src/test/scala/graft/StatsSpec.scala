@@ -293,6 +293,40 @@ class StatsSpec extends SparkSuite {
     assert(!got.exists(r => r._1 == "b" && (r._7 || r._8)))
   }
 
+  test("psi: identical snapshots score ~0; a planted shift scores high") {
+    val a = (Seq.fill(50)(10.0) ++ Seq.fill(50)(110.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val same = Stats.psi(a, a, "v", binWidth = 100L, maxBin = 4)
+      .orderBy("bin").collect()
+    assert(same.length == 5)
+    assert(same.forall(_.getAs[Long]("term_e6") == 0L),
+      "identical distributions must have zero PSI in every bin")
+    assert(same.head.getAs[Long]("psi_total_e6") == 0L)
+    // all mass moves from bin 0/1 to bin 4
+    val b = a.withColumn("v", lit(450.0))
+    val shifted = Stats.psi(a, b, "v", binWidth = 100L, maxBin = 4)
+    val total = shifted.head.getAs[Long]("psi_total_e6")
+    assert(total > 250000L, s"full shift must exceed the 0.25 alarm, got $total")
+  }
+
+  test("psi: hand-replayed smoothing and floor terms; nulls drop") {
+    val a = Seq(Some(0.0), Some(0.0), Some(150.0), None).toDF("v")
+    val b = Seq(Some(0.0), Some(150.0), Some(150.0)).toDF("v")
+    val got = Stats.psi(a, b, "v", binWidth = 100L, maxBin = 1)
+      .orderBy("bin").collect()
+    // counts: a = (2,1) of 3; b = (1,2) of 3; smoothed over N+2=5
+    val sa = Seq((2L + 1) * 1000000 / 5, (1L + 1) * 1000000 / 5)
+    val sb = Seq((1L + 1) * 1000000 / 5, (2L + 1) * 1000000 / 5)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_a") == (if (i == 0) 2L else 1L))
+      assert(r.getAs[Long]("share_a_ppm") == sa(i))
+      assert(r.getAs[Long]("share_b_ppm") == sb(i))
+      val expect = math.floor(
+        (sa(i) - sb(i)) * math.log(sa(i).toDouble / sb(i))).toLong
+      assert(r.getAs[Long]("term_e6") == expect, s"bin $i")
+    }
+  }
+
   test("outliers: constant groups and null values produce no flags") {
     val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(5.0)),
       ("g", Some(1.0)), ("g", Some(2.0)), ("g", None), ("g", Some(100.0)))
