@@ -4077,6 +4077,75 @@ object Queries {
       |  CAST(SUM(term_e6) OVER () AS BIGINT) AS psi_total_e6
       |FROM terms ORDER BY bin""".stripMargin
 
+  /** q121: HLL audience overlap ([[Sketches.hllOverlap]]) — shared
+    * users between every event-type pair by inclusion–exclusion over
+    * register-max-merged sketches, next to the exact intersection for
+    * honesty. Every register is replayed by the oracle (the shared
+    * q61 hash/rho/estimate snippets), so the whole sketch path —
+    * state, pairwise merge, estimate arithmetic — is hash-pinned.
+    */
+  def hllOverlapEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+    val est = Sketches.hllOverlap(
+      Sketches.hllState(ev, "user_id", Seq("event_type")), "event_type")
+    val ua = ev.distinct()
+    val exact = ua.select(col("event_type").as("ga"), col("user_id"))
+      .join(ua.select(col("event_type").as("gb"), col("user_id")), Seq("user_id"))
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("exact_both"))
+    est.join(exact, Seq("ga", "gb"), "left")
+      .select(col("ga").as("type_a"), col("gb").as("type_b"),
+        coalesce(col("exact_both"), lit(0L)).as("exact_both"),
+        (floor(col("est_a") * 1e4) / 1e4).as("est_a"),
+        (floor(col("est_b") * 1e4) / 1e4).as("est_b"),
+        (floor(col("est_union") * 1e4) / 1e4).as("est_union"),
+        (floor(col("est_intersect") * 1e4) / 1e4).as("est_intersect"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val hllOverlapEventsSql: String = {
+    val h = duckHash60("", "user_id")
+    s"""WITH b AS (
+       |  SELECT event_type, $h % 64 AS bucket,
+       |    ${duckHllRho(h)} AS rho
+       |  FROM events),
+       |st AS (
+       |  SELECT event_type, bucket, MAX(rho) AS max_rho FROM b GROUP BY 1, 2),
+       |single AS (
+       |  SELECT event_type, $duckHllEstimate AS raw_est FROM st GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.event_type AS ga, b.event_type AS gb
+       |  FROM single a JOIN single b ON a.event_type < b.event_type),
+       |ust AS (
+       |  SELECT p.ga, p.gb, s.bucket, MAX(s.max_rho) AS max_rho
+       |  FROM pairs p JOIN st s ON s.event_type = p.ga OR s.event_type = p.gb
+       |  GROUP BY 1, 2, 3),
+       |uest AS (
+       |  SELECT ga, gb, $duckHllEstimate AS est_union
+       |  FROM ust GROUP BY 1, 2),
+       |ua AS (SELECT DISTINCT event_type, user_id FROM events),
+       |x AS (
+       |  SELECT a.event_type AS ga, b.event_type AS gb,
+       |    CAST(COUNT(*) AS BIGINT) AS exact_both
+       |  FROM ua a JOIN ua b ON a.user_id = b.user_id
+       |    AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT p.ga AS type_a, p.gb AS type_b,
+       |  COALESCE(x.exact_both, 0) AS exact_both,
+       |  floor(sa.raw_est * 1e4) / 1e4 AS est_a,
+       |  floor(sb.raw_est * 1e4) / 1e4 AS est_b,
+       |  floor(u.est_union * 1e4) / 1e4 AS est_union,
+       |  floor((sa.raw_est + sb.raw_est - u.est_union) * 1e4) / 1e4
+       |    AS est_intersect
+       |FROM pairs p
+       |  JOIN single sa ON sa.event_type = p.ga
+       |  JOIN single sb ON sb.event_type = p.gb
+       |  JOIN uest u ON u.ga = p.ga AND u.gb = p.gb
+       |  LEFT JOIN x ON x.ga = p.ga AND x.gb = p.gb
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4198,7 +4267,8 @@ object Queries {
     "q117_profile_drift" -> profileDrift _,
     "q118_bfs_levels" -> bfsParts _,
     "q119_readability" -> readabilityDocs _,
-    "q120_psi_drift" -> psiOrders _)
+    "q120_psi_drift" -> psiOrders _,
+    "q121_hll_overlap" -> hllOverlapEvents _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4319,5 +4389,6 @@ object Queries {
     "q117_profile_drift" -> profileDriftSql,
     "q118_bfs_levels" -> bfsPartsSql,
     "q119_readability" -> readabilityDocsSql,
-    "q120_psi_drift" -> psiOrdersSql)
+    "q120_psi_drift" -> psiOrdersSql,
+    "q121_hll_overlap" -> hllOverlapEventsSql)
 }

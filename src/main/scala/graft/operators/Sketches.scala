@@ -102,6 +102,48 @@ object Sketches {
           (sum(pow(lit(2.0), -col("max_rho"))) + (lit(HllBuckets) - count(lit(1)))))
           .as("raw_est"))
 
+  /** Pairwise set-OVERLAP estimates from per-group [[hllState]]s via
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    * the union estimate comes from register-max merging the two
+    * states — the audience-overlap / cross-contamination question
+    * ("how many users do these two segments share") answered from
+    * sketches alone, no rescan of the raw data (the q77 rollup
+    * argument, applied across groups instead of down a hierarchy).
+    *
+    * The group column is REPORT grain (segments, event types, days):
+    * the pair table is its cross product, broadcast to tag each state
+    * row into every pair containing its group — state volume is
+    * (groups−1)·64 registers, never data-sized. Estimates use the
+    * replayable [[hllRawEstimate]] formula; inclusion–exclusion on a
+    * ~13%-error sketch can go NEGATIVE on near-disjoint sets — that's
+    * the honest sketch answer and is returned as-is (clamp at the
+    * report layer if you must).
+    */
+  def hllOverlap(state: DataFrame, groupCol: String): DataFrame = {
+    val groups = state.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("ga"))
+      .crossJoin(groups.select(col(groupCol).as("gb")))
+      .where(col("ga") < col("gb"))
+    val taggedA = state.join(broadcast(pairs), col(groupCol) === col("ga"))
+    val taggedB = state.join(broadcast(pairs), col(groupCol) === col("gb"))
+    val unionState = taggedA.unionByName(taggedB)
+      .select(col("ga"), col("gb"), col("bucket"), col("max_rho"))
+      .groupBy(col("ga"), col("gb"), col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+    val estU = hllRawEstimate(unionState, Seq("ga", "gb"))
+      .select(col("ga"), col("gb"), col("raw_est").as("est_union"))
+    val single = hllRawEstimate(state, Seq(groupCol))
+    pairs
+      .join(broadcast(single.select(col(groupCol).as("ga"),
+        col("raw_est").as("est_a"))), Seq("ga"))
+      .join(broadcast(single.select(col(groupCol).as("gb"),
+        col("raw_est").as("est_b"))), Seq("gb"))
+      .join(estU, Seq("ga", "gb"))
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+  }
+
   /** Production estimate = raw with the standard small-range linear
     * counting correction (m·ln(m/V) when registers are empty and the
     * raw estimate is under 2.5m). `ln` is not bit-portable across

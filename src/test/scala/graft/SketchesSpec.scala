@@ -50,6 +50,32 @@ class SketchesSpec extends SparkSuite {
     assert(rolled == direct)
   }
 
+  test("hllOverlap: pair-union estimate equals the direct union sketch") {
+    import org.apache.spark.sql.functions.col
+    val rows = ((1 to 400).map(i => ("a", i.toLong)) ++
+      (200 to 600).map(i => ("b", i.toLong)) ++
+      (900 to 950).map(i => ("c", i.toLong))).toDF("g", "u")
+    val got = Sketches.hllOverlap(
+        Sketches.hllState(rows, "u", Seq("g")), "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // register-max associativity: the pairwise-merged union estimate
+    // must EQUAL the estimate of the physically unioned segment
+    val direct = Sketches.hllRawEstimate(
+        Sketches.hllState(rows.where(col("g") =!= "c").select("u").distinct(),
+          "u"), Nil)
+      .head.getAs[Double]("raw_est")
+    val ab = got(("a", "b"))
+    assert(ab.getAs[Double]("est_union") == direct)
+    // inclusion-exclusion arithmetic holds row-wise
+    assert(ab.getAs[Double]("est_intersect") ==
+      ab.getAs[Double]("est_a") + ab.getAs[Double]("est_b") -
+        ab.getAs[Double]("est_union"))
+    // heavy overlap (201 shared) ranks far above the disjoint pairs
+    assert(ab.getAs[Double]("est_intersect") >
+      got(("a", "c")).getAs[Double]("est_intersect"))
+  }
+
   test("HLL state is partitioning-independent") {
     val st1 = Sketches.hllState(keys.repartition(1), "k").orderBy("bucket").collect().toSeq
     val st7 = Sketches.hllState(keys.repartition(7), "k").orderBy("bucket").collect().toSeq
