@@ -4146,6 +4146,40 @@ object Queries {
        |ORDER BY type_a, type_b""".stripMargin
   }
 
+  /** q122: k-fold cross-validation folds ([[Sampling.foldColumn]],
+    * k=5) over documents — the per-(fold, lang) census a CV harness
+    * checks before training: fold sizes, char mass, and each fold's
+    * floor-ppm share of its language. Disjointness is by construction
+    * (mod-k); balance is what this report audits. The oracle replays
+    * the md5 fold draw bit-for-bit.
+    */
+  def kfoldDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Sampling.foldColumn(col("doc_id"), 5).as("fold"))
+    val perLang = d.groupBy(col("lang")).agg(count(lit(1)).as("lang_n"))
+    d.groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .join(perLang, Seq("lang"))
+      .select(col("lang"), col("fold"), col("n_docs"), col("sum_chars"),
+        expr("n_docs * 1000000L div lang_n").as("share_ppm"))
+      .orderBy("lang", "fold")
+  }
+
+  val kfoldDocsSql: String = {
+    val h = duckHash60("fold", "doc_id")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, n_chars, CAST($h % 5 AS INT) AS fold
+       |  FROM documents),
+       |pl AS (SELECT lang, COUNT(*) AS lang_n FROM d GROUP BY 1),
+       |pf AS (SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |  FROM d GROUP BY 1, 2)
+       |SELECT pf.lang, pf.fold, pf.n_docs, pf.sum_chars,
+       |  CAST(pf.n_docs * 1000000 // pl.lang_n AS BIGINT) AS share_ppm
+       |FROM pf JOIN pl USING (lang) ORDER BY lang, fold""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4268,7 +4302,8 @@ object Queries {
     "q118_bfs_levels" -> bfsParts _,
     "q119_readability" -> readabilityDocs _,
     "q120_psi_drift" -> psiOrders _,
-    "q121_hll_overlap" -> hllOverlapEvents _)
+    "q121_hll_overlap" -> hllOverlapEvents _,
+    "q122_kfold" -> kfoldDocs _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4390,5 +4425,6 @@ object Queries {
     "q118_bfs_levels" -> bfsPartsSql,
     "q119_readability" -> readabilityDocsSql,
     "q120_psi_drift" -> psiOrdersSql,
-    "q121_hll_overlap" -> hllOverlapEventsSql)
+    "q121_hll_overlap" -> hllOverlapEventsSql,
+    "q122_kfold" -> kfoldDocsSql)
 }

@@ -172,6 +172,20 @@ object Sampling {
     }._1
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * hash(id, salt) mod k — every row lands in exactly one of k
+    * disjoint folds, stable across runs/partitionings/engines (the
+    * [[splitColumn]] argument with a modulus instead of percent
+    * boundaries). Fold i's training set is "every fold but i" BY
+    * CONSTRUCTION, so train/test disjointness needs no bookkeeping.
+    * Compose with [[leakProofSplit]]'s representative ids when
+    * near-duplicates must co-fold.
+    */
+  def foldColumn(id: Column, k: Int, salt: String = "fold"): Column = {
+    require(k >= 2 && k <= 1000, "fold count k in [2, 1000]")
+    (graft.functions.PortableHash.hash60(id, salt) % k).cast("int")
+  }
+
   /** LEAKAGE-PROOF split assignment: like [[splitColumn]], but near-
     * duplicate documents always land in the SAME split. Hashing each
     * doc independently leaks — a train doc's near-copy in test inflates

@@ -165,6 +165,22 @@ class CorpusPrepSpec extends SparkSuite {
     }
   }
 
+  test("foldColumn: exhaustive, balanced, salt-independent of splits") {
+    val df = spark.range(10000).toDF("id")
+    val folds = df.select(Sampling.foldColumn(col("id"), 5).as("f"))
+      .groupBy("f").count().as[(Int, Long)].collect().toMap
+    assert(folds.keySet == (0 until 5).toSet, "every fold non-empty")
+    assert(folds.values.sum == 10000, "each row in exactly one fold")
+    folds.values.foreach(n => assert(math.abs(n - 2000) < 300, s"$folds"))
+    // a different salt reshuffles membership (folds aren't split slices)
+    val moved = df.select(
+        Sampling.foldColumn(col("id"), 5).as("a"),
+        Sampling.foldColumn(col("id"), 5, salt = "fold2").as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(moved > 5000, s"expected most rows to move under a new salt: $moved")
+    intercept[IllegalArgumentException] { Sampling.foldColumn(col("id"), 1) }
+  }
+
   test("leakProofSplit: near-dup pairs co-split; singletons match splitColumn") {
     // pair graph: {1,2,3} chained, {10,11} — 4,5 isolated
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("doc_id")
