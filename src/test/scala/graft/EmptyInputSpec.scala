@@ -172,4 +172,33 @@ class EmptyInputSpec extends SparkSuite {
     assert(Similarity.embeddingDecontaminate(vec, emptyVecs,
       "vec_id", "embedding", 0.9).count() == 0)
   }
+
+  test("round-5c family: empty inputs stay empty (or zero-row reports)") {
+    val emptyBasket = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("b", LongType), StructField("i", LongType))))
+    assert(Basket.pairRules(emptyBasket, "b", "i", minSupport = 1).count() == 0)
+    val emptySeries = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", StringType), StructField("t", LongType),
+        StructField("x", LongType))))
+    assert(Stats.cusumShift(emptySeries, "k", "t", "x", 1, 10).count() == 0)
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    // sources with no edges: levels table is just the seeds
+    assert(graft.operators.Graph.bfsLevels(emptyEdges, Seq(1L), 4)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 0L)))
+    val emptyV = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("v", DoubleType))))
+    // PSI of two empty snapshots: every bin smoothed equal -> 0 drift
+    val psi = Stats.psi(emptyV, emptyV, "v", 100L, 4).collect()
+    assert(psi.length == 5 && psi.forall(_.getAs[Long]("psi_total_e6") == 0L))
+    // drift profile of two empty frames: no profile rows on either side
+    assert(Profile.drift(emptyDocs, emptyDocs, Seq("doc_id")).count() == 0)
+    // HLL overlap needs >= 2 groups; an empty state has none
+    assert(Sketches.hllOverlap(
+      Sketches.hllState(emptyDocs, "doc_id", Seq("text")), "text").count() == 0)
+  }
 }

@@ -306,4 +306,42 @@ class PlanSpec extends SparkSuite {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
     assert(exchanges <= 2, s"interval merge re-shuffles its key ($exchanges):\n$p")
   }
+
+  test("q113 BM25: bounded top-k aggregate, no window rank, term filter early") {
+    val p = plan("q113_bm25_search")
+    assert(p.contains("graft_top_k"),
+      s"per-query top-k must use the bounded aggregate:\n$p")
+    assert(!p.contains("row_number"), s"unexpected window rank:\n$p")
+    // no data-sized all-pairs: the only nested-loop is the one-row
+    // corpus-stats fold (q36's N rule)
+    val cartesians = """\(\d+\) CartesianProduct""".r.findAllIn(p).size
+    assert(cartesians == 0, s"BM25 planned a Cartesian product:\n$p")
+  }
+
+  test("q114 basket rules: pair fan-out is narrow, no self-join of baskets") {
+    val p = plan("q114_basket_rules")
+    assert(!p.contains("CartesianProduct"), s"all-pairs basket join:\n$p")
+    // the quadratic step must be the array transform inside a project/
+    // generate, not a join: exactly the basket agg + pair agg + item
+    // decoration joins + final sort should shuffle
+    assert(p.contains("Generate"), s"pair explode missing:\n$p")
+  }
+
+  test("q116 attribution: bucketed equi-pairing, conv-partitioned windows") {
+    val p = plan("q116_attribution")
+    assert(!p.contains("CartesianProduct"), s"touch pairing went all-pairs:\n$p")
+    assert(p.contains("windowspecdefinition(conv_id#"),
+      s"first/last resolution must be conv-partitioned:\n$p")
+  }
+
+  test("q120 PSI: the whole-report window rides on aggregate-grain input") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val q = Queries.all("q120_psi_drift")(spark, sf).queryExecution.optimizedPlan
+    val windows = q.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty, "psi must plan the total window")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collect { case a: logical.Aggregate => a }.nonEmpty,
+        s"unpartitioned window must consume aggregate-grain input:\n$q")
+    }
+  }
 }
