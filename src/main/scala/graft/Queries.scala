@@ -4180,6 +4180,24 @@ object Queries {
        |FROM pf JOIN pl USING (lang) ORDER BY lang, fold""".stripMargin
   }
 
+  /** q123: edit-distance-1 fuzzy self-join ([[FuzzyJoin.selfPairs]])
+    * over customer names — deletion-neighborhood blocking (complete
+    * for maxDist=1 by the SymSpell argument) + exact levenshtein
+    * verify. The oracle is the brute-force all-pairs join the
+    * operator provably equals.
+    */
+  def fuzzyCustomers(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.selfPairs(t(s, dir, "customer"), "c_custkey", "c_name")
+      .orderBy("id_a", "id_b")
+
+  val fuzzyCustomersSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  a.c_name AS name_a, b.c_name AS name_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4303,7 +4321,8 @@ object Queries {
     "q119_readability" -> readabilityDocs _,
     "q120_psi_drift" -> psiOrders _,
     "q121_hll_overlap" -> hllOverlapEvents _,
-    "q122_kfold" -> kfoldDocs _)
+    "q122_kfold" -> kfoldDocs _,
+    "q123_fuzzy_join" -> fuzzyCustomers _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4426,5 +4445,6 @@ object Queries {
     "q119_readability" -> readabilityDocsSql,
     "q120_psi_drift" -> psiOrdersSql,
     "q121_hll_overlap" -> hllOverlapEventsSql,
-    "q122_kfold" -> kfoldDocsSql)
+    "q122_kfold" -> kfoldDocsSql,
+    "q123_fuzzy_join" -> fuzzyCustomersSql)
 }

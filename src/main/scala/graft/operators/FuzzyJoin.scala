@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance fuzzy matching WITHOUT the all-pairs scan: SymSpell-
+  * style deletion-neighborhood blocking. Two strings within Levenshtein
+  * distance 1 (one substitution, insertion, or deletion) ALWAYS share a
+  * member of each other's single-deletion neighborhood — delete the
+  * differing position from whichever side carries it — so joining on
+  * the (len+1)-element neighborhood {s} ∪ {s minus position i} is a
+  * COMPLETE candidate generator for maxDist = 1: every true pair
+  * survives; the final `levenshtein(...) ≤ 1` filter is exact, not a
+  * heuristic. (The record-linkage "blocking" step with a proof instead
+  * of a prayer — prefix or phonetic blocking silently loses pairs.)
+  *
+  * Shape: one narrow deletion-explode (fan-out = len+1, bounded by
+  * `maxLen`) → groupBy(variant) collects id lists → pair fan-out runs
+  * NARROWLY per bucket (the Basket sorted-array idiom, no self-join)
+  * → distinct candidate pairs (a true pair shares up to 3 variants) →
+  * strings hydrate per candidate for the exact verify. No all-pairs
+  * anywhere; the only shuffles are variant-grain and pair-grain.
+  *
+  * Guards, both raising pointedly (exactness means silent capping is
+  * not an option): a string longer than `maxLen` (fan-out + memory per
+  * row), and a variant bucket over `maxBucketSize` ids (a hub variant
+  * — "the empty-ish key" — would go quadratic; at real scale filter
+  * such junk keys upstream or raise the cap deliberately).
+  */
+object FuzzyJoin {
+
+  /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) ≤ 1,
+    * hydrated with both strings and the exact distance.
+    */
+  def selfPairs(df: DataFrame, idCol: String, strCol: String,
+                maxLen: Int = 64, maxBucketSize: Int = 4096): DataFrame = {
+    require(maxLen >= 1 && maxLen <= 1000, "maxLen in [1, 1000]")
+    val rows = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("id").isNotNull && col("s").isNotNull)
+    val variants = rows.select(col("id"), explode(expr(
+      s"""CASE WHEN length(s) <= $maxLen THEN
+         |  array_distinct(concat(array(s),
+         |    transform(sequence(1, greatest(length(s), 1)),
+         |      i -> concat(substr(s, 1, i - 1), substr(s, i + 1, $maxLen)))))
+         |ELSE raise_error(concat('FuzzyJoin: string of length ',
+         |  cast(length(s) AS string), ' exceeds maxLen=$maxLen; raise ',
+         |  'maxLen or pre-truncate the join key'))
+         |END""".stripMargin)).as("variant"))
+    val cands = variants
+      .groupBy(col("variant"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .select(explode(expr(
+        s"""CASE WHEN size(ids) <= $maxBucketSize THEN
+           |  flatten(transform(ids, (x, i) ->
+           |    transform(slice(ids, i + 2, size(ids)),
+           |              y -> struct(x AS id_a, y AS id_b))))
+           |ELSE raise_error(concat('FuzzyJoin: variant bucket holds ',
+           |  cast(size(ids) AS string), ' ids (> $maxBucketSize); a hub ',
+           |  'variant goes quadratic - filter junk keys or raise the cap'))
+           |END""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    cands
+      .join(rows.select(col("id").as("id_a"), col("s").as("name_a")), Seq("id_a"))
+      .join(rows.select(col("id").as("id_b"), col("s").as("name_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
+  }
+}
