@@ -4198,6 +4198,94 @@ object Queries {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q124: top-10-plus-(others) revenue rollup ([[Rollup.topNOthers]])
+    * — parts by floor-cents revenue, the (others) row DERIVED from the
+    * totals (no global key sort anywhere; bounded TopKAgg picks the
+    * head). The oracle ranks with the equivalent window and aggregates
+    * the tail directly — agreement proves the arithmetic derivation.
+    */
+  def topPartsOthers(s: SparkSession, dir: String): DataFrame =
+    Rollup.topNOthers(
+        t(s, dir, "lineitem").select(col("l_partkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "l_partkey", "cents", n = 10)
+      .orderBy("rank")
+
+  val topPartsOthersSql: String =
+    """WITH ka AS (
+      |  SELECT l_partkey AS k,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT k, v,
+      |    row_number() OVER (ORDER BY v DESC, k ASC) AS rn
+      |  FROM ka)
+      |SELECT CAST(rn AS BIGINT) AS rank, CAST(k AS VARCHAR) AS key,
+      |  v AS value_sum, CAST(1 AS BIGINT) AS n_keys
+      |FROM r WHERE rn <= 10
+      |UNION ALL
+      |SELECT 11, '(others)', CAST(COALESCE(SUM(v), 0) AS BIGINT),
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM r WHERE rn > 10
+      |ORDER BY rank""".stripMargin
+
+  /** q125: per-type discrete-median imputation ([[Stats.imputeMedian]])
+    * — event values as floor-cents, nulls filled with the type's
+    * percentile_disc(0.5) observed value. The oracle replays the
+    * lower-median by its cume_dist definition (the q92 rule — no
+    * engine quantile function trusted).
+    */
+  def imputeEvents(s: SparkSession, dir: String): DataFrame =
+    Stats.imputeMedian(
+        t(s, dir, "events").select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), "event_id", "value")
+      .orderBy("event_id")
+
+  val imputeEventsSql: String =
+    """WITH b AS (
+      |  SELECT event_type, event_id,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS sv
+      |  FROM events),
+      |cd AS (
+      |  SELECT event_type, sv,
+      |    CUME_DIST() OVER (PARTITION BY event_type ORDER BY sv) AS c
+      |  FROM b WHERE sv IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, MIN(sv) AS med
+      |  FROM cd WHERE c >= 0.5 GROUP BY 1)
+      |SELECT b.event_type, b.event_id,
+      |  COALESCE(b.sv, m.med) AS value_scaled,
+      |  (b.sv IS NULL AND m.med IS NOT NULL) AS was_imputed
+      |FROM b LEFT JOIN med m USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
+  /** q126: frequency-ranked label dictionaries
+    * ([[Encoding.labelDictionary]]) over two document vocabularies —
+    * dense codes by (count DESC, value ASC), the embedding-table
+    * ordering. The oracle replays both windows.
+    */
+  def labelDictDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Encoding.labelDictionary(d, "lang")
+      .select(lit("lang").as("column"), col("value"), col("code"), col("cnt"))
+      .unionByName(Encoding.labelDictionary(d, "source")
+        .select(lit("source").as("column"), col("value"), col("code"), col("cnt")))
+      .orderBy("column", "code")
+  }
+
+  val labelDictDocsSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", value, code, cnt FROM (
+         |  SELECT CAST($c AS VARCHAR) AS value,
+         |    CAST(row_number() OVER (ORDER BY COUNT(*) DESC,
+         |      CAST($c AS VARCHAR) ASC) - 1 AS BIGINT) AS code,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM documents WHERE $c IS NOT NULL GROUP BY $c)""".stripMargin
+    s"""${one("lang")}
+       |UNION ALL
+       |${one("source")}
+       |ORDER BY "column", code""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4322,7 +4410,10 @@ object Queries {
     "q120_psi_drift" -> psiOrders _,
     "q121_hll_overlap" -> hllOverlapEvents _,
     "q122_kfold" -> kfoldDocs _,
-    "q123_fuzzy_join" -> fuzzyCustomers _)
+    "q123_fuzzy_join" -> fuzzyCustomers _,
+    "q124_topn_others" -> topPartsOthers _,
+    "q125_impute_median" -> imputeEvents _,
+    "q126_label_dict" -> labelDictDocs _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4446,5 +4537,8 @@ object Queries {
     "q120_psi_drift" -> psiOrdersSql,
     "q121_hll_overlap" -> hllOverlapEventsSql,
     "q122_kfold" -> kfoldDocsSql,
-    "q123_fuzzy_join" -> fuzzyCustomersSql)
+    "q123_fuzzy_join" -> fuzzyCustomersSql,
+    "q124_topn_others" -> topPartsOthersSql,
+    "q125_impute_median" -> imputeEventsSql,
+    "q126_label_dict" -> labelDictDocsSql)
 }

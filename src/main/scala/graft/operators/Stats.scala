@@ -475,6 +475,46 @@ object Stats {
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
   }
 
+  /** Null IMPUTATION with the per-group discrete median — the feature-
+    * prep step that fills gaps without inventing values: the fill is
+    * `percentile_disc(0.5)` (an actual observed value, SQL-standard
+    * lower median), never an interpolated float, so the imputed column
+    * keeps the source's exact fixed-point domain and the whole output
+    * is engine-replayable. Values enter as floor-scaled integers
+    * (`decimals` places, the attribution cents rule).
+    *
+    * Groups where EVERY value is null have no median — their nulls
+    * stay null with `was_imputed=false` (inventing a global fallback
+    * silently couples groups; compose a second pass if you want one).
+    * One median aggregation per group + one narrow fill pass; AQE
+    * broadcasts the group-grain median table.
+    *
+    * @return input key/group columns + `value_scaled` (filled) +
+    *         `was_imputed`
+    */
+  def imputeMedian(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      decimals: Int = 2): DataFrame = {
+    require(decimals >= 0 && decimals <= 4, "decimals in [0, 4]")
+    val scale = math.pow(10, decimals).toLong
+    val base = df.select(
+      (groupCols :+ idCol).map(col) :+
+        floor(col(valueCol) * scale).cast("long").as("__sv"): _*)
+    val med = base.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY __sv)")
+        // discrete median of longs IS a long — Spark's percentile_disc
+        // merely returns it as double; the cast is exact by definition
+        .cast("long").as("__med"))
+    nullSafeGroupJoin(base, med, groupCols)
+      .select(
+        (groupCols :+ idCol).map(col) :+
+          coalesce(col("__sv"), col("__med")).as("value_scaled") :+
+          (col("__sv").isNull && col("__med").isNotNull).as("was_imputed"): _*)
+  }
+
   def robustOutliers(
       df: DataFrame,
       groupCols: Seq[String],

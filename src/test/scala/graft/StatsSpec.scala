@@ -327,6 +327,21 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("imputeMedian: lower-median fill, all-null group stays null") {
+    val df = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)), ("a", 3L, Some(9.0)),
+      ("a", 4L, None), // even count incl. null -> lower median of {100,200,900}
+      ("b", 5L, None), ("b", 6L, None)) // no median exists
+      .toDF("g", "id", "v")
+    val got = Stats.imputeMedian(df, Seq("g"), "id", "v")
+      .as[(String, Long, Option[Long], Boolean)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    assert(got(1L) == (Some(100L), false))
+    assert(got(4L) == (Some(200L), true)) // percentile_disc(0.5) of 3 values
+    assert(got(5L) == (None, false), "all-null group must stay null")
+    assert(got(6L) == (None, false))
+  }
+
   test("outliers: constant groups and null values produce no flags") {
     val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(5.0)),
       ("g", Some(1.0)), ("g", Some(2.0)), ("g", None), ("g", Some(100.0)))
