@@ -4286,6 +4286,70 @@ object Queries {
        |ORDER BY "column", code""".stripMargin
   }
 
+  /** q127: categorical association screen ([[Profile.association]]) —
+    * MI / chi-square / Cramér's V for (lang, source) on documents and
+    * (event_type, weekday) on events, one labeled row each. Integer
+    * contingency tables, floor-e6 cell terms summed as longs; the
+    * oracle replays the full grid including zero cells.
+    */
+  def associationPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("(ts div 86400000000000 + 4) % 7").as("dow"))
+    Profile.association(docs, "lang", "source")
+      .select(lit("docs:lang~source").as("pair"), col("*"))
+      .unionByName(Profile.association(ev, "event_type", "dow")
+        .select(lit("events:type~dow").as("pair"), col("*")))
+      .orderBy("pair")
+  }
+
+  val associationPairsSql: String = {
+    def one(label: String, src: String, a: String, b: String) =
+      s"""SELECT '$label' AS pair, n, card_a, card_b, mi_e6, chi2_e6, dof,
+         |  CASE WHEN dof > 0 AND n > 0 THEN CAST(FLOOR(
+         |    sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0) /
+         |         (n * LEAST(card_a - 1, card_b - 1))) * 1000000.0)
+         |    AS BIGINT) END AS cramers_v_e6
+         |FROM (
+         |  WITH cells AS (
+         |    SELECT CAST($a AS VARCHAR) AS a, CAST($b AS VARCHAR) AS b,
+         |      CAST(COUNT(*) AS BIGINT) AS nab
+         |    FROM $src WHERE $a IS NOT NULL AND $b IS NOT NULL
+         |    GROUP BY 1, 2),
+         |  ma AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY 1),
+         |  mb AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY 1),
+         |  tot AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM cells),
+         |  grid AS (
+         |    SELECT ma.na, mb.nb, t.n, COALESCE(c.nab, 0) AS nab
+         |    FROM ma CROSS JOIN mb
+         |      LEFT JOIN cells c ON c.a = ma.a AND c.b = mb.b
+         |      CROSS JOIN tot t),
+         |  terms AS (
+         |    SELECT n,
+         |      CASE WHEN nab > 0 THEN CAST(FLOOR(
+         |        (CAST(nab AS DOUBLE) / n) *
+         |        ln(CAST(nab AS DOUBLE) * n / (CAST(na AS DOUBLE) * nb)) *
+         |        1000000.0) AS BIGINT) ELSE 0 END AS mi_t,
+         |      CAST(FLOOR((nab - CAST(na AS DOUBLE) * nb / n) *
+         |        (nab - CAST(na AS DOUBLE) * nb / n) /
+         |        (CAST(na AS DOUBLE) * nb / n) * 1000000.0) AS BIGINT) AS chi_t
+         |    FROM grid),
+         |  cards AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ma) AS card_a,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mb) AS card_b)
+         |  SELECT COALESCE(MAX(t2.n), 0) AS n, cards.card_a, cards.card_b,
+         |    COALESCE(CAST(SUM(t2.mi_t) AS BIGINT), 0) AS mi_e6,
+         |    COALESCE(CAST(SUM(t2.chi_t) AS BIGINT), 0) AS chi2_e6,
+         |    GREATEST(cards.card_a - 1, 0) * GREATEST(cards.card_b - 1, 0) AS dof
+         |  FROM terms t2 CROSS JOIN cards
+         |  GROUP BY cards.card_a, cards.card_b)""".stripMargin
+    s"""${one("docs:lang~source", "documents", "lang", "source")}
+       |UNION ALL
+       |${one("events:type~dow", "events",
+         "event_type", "(epoch_ns(ts) // 86400000000000 + 4) % 7")}
+       |ORDER BY pair""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4413,7 +4477,8 @@ object Queries {
     "q123_fuzzy_join" -> fuzzyCustomers _,
     "q124_topn_others" -> topPartsOthers _,
     "q125_impute_median" -> imputeEvents _,
-    "q126_label_dict" -> labelDictDocs _)
+    "q126_label_dict" -> labelDictDocs _,
+    "q127_association" -> associationPairs _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4540,5 +4605,6 @@ object Queries {
     "q123_fuzzy_join" -> fuzzyCustomersSql,
     "q124_topn_others" -> topPartsOthersSql,
     "q125_impute_median" -> imputeEventsSql,
-    "q126_label_dict" -> labelDictDocsSql)
+    "q126_label_dict" -> labelDictDocsSql,
+    "q127_association" -> associationPairsSql)
 }

@@ -94,6 +94,74 @@ object Profile {
         not(col("max_a") <=> col("max_b")).as("max_changed"))
   }
 
+  /** Categorical ASSOCIATION screen between two columns — mutual
+    * information, the chi-square statistic, and Cramér's V from ONE
+    * contingency pass: the feature-selection question ("does knowing A
+    * tell you anything about B") the correlation matrix can't answer
+    * for categoricals. Null in either column drops the row (missing is
+    * not a category — impute first if it is).
+    *
+    * Exactness: the contingency table and marginals are integer
+    * counts; each cell term is one fixed double parenthesization from
+    * those integers (ln per observed cell — the q36/q113 parity
+    * precedent), floor-e6 truncated BEFORE summation so the reduce is
+    * integer addition (order-independent). Chi-square sums over the
+    * FULL marginal grid (a zero observed cell still contributes its
+    * expectation); MI sums observed cells only (0·ln 0 = 0).
+    *
+    * 100 TB shape: one map-side-combined groupBy(a, b) — the only
+    * data-sized pass; marginals, the vocab_a × vocab_b grid, and the
+    * final fold are contingency-grain (bounded by the vocab product;
+    * this is a REPORT op for categorical vocabs, not id columns —
+    * dictionary-encode or bucket first if |A|·|B| is data-sized).
+    *
+    * @return one row: (n, card_a, card_b, mi_e6, chi2_e6, dof,
+    *         cramers_v_e6); degenerate inputs (single category either
+    *         side, or empty) yield zeros with dof 0 and null V
+    */
+  def association(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("nab"))
+    val ma = cells.groupBy(col("a")).agg(sum(col("nab")).as("na"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
+    val tot = cells.agg(sum(col("nab")).as("n"),
+      count(lit(1)).as("__cells"))
+    val grid = ma.crossJoin(mb)
+      .join(cells, Seq("a", "b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"), col("n"),
+        coalesce(col("nab"), lit(0L)).as("nab"))
+    val e = col("na").cast("double") * col("nb") / col("n")
+    val miTerm = when(col("nab") > 0,
+      floor((col("nab").cast("double") / col("n")) *
+        log(col("nab").cast("double") * col("n") /
+          (col("na").cast("double") * col("nb"))) * lit(1000000.0))
+        .cast("long")).otherwise(lit(0L))
+    val chiTerm = floor((col("nab") - e) * (col("nab") - e) / e * lit(1000000.0))
+      .cast("long")
+    val cards = ma.agg(count(lit(1)).as("card_a"))
+      .crossJoin(mb.agg(count(lit(1)).as("card_b")))
+    val sums = grid
+      .agg(max(col("n")).as("n"), sum(miTerm).as("mi_e6"),
+        sum(chiTerm).as("chi2_e6"))
+    sums.crossJoin(broadcast(cards))
+      .select(
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("card_a"), lit(0L)).as("card_a"),
+        coalesce(col("card_b"), lit(0L)).as("card_b"),
+        coalesce(col("mi_e6"), lit(0L)).as("mi_e6"),
+        coalesce(col("chi2_e6"), lit(0L)).as("chi2_e6"),
+        (greatest(coalesce(col("card_a"), lit(0L)) - 1, lit(0L)) *
+          greatest(coalesce(col("card_b"), lit(0L)) - 1, lit(0L))).as("dof"))
+      .withColumn("cramers_v_e6",
+        when(col("dof") > 0 && col("n") > 0,
+          floor(sqrt((col("chi2_e6").cast("double") / 1000000.0) /
+            (col("n") * least(col("card_a") - 1, col("card_b") - 1)))
+            * lit(1000000.0)).cast("long")))
+  }
+
   /** Key-skew diagnostic — the report a pipeline runs on a join/groupBy
     * key BEFORE committing to a plan (feeds [[SkewJoin]]'s salting
     * decision): the `topK` heaviest keys (count desc, key asc) each

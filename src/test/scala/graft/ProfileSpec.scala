@@ -132,6 +132,31 @@ class ProfileSpec extends SparkSuite {
     assert(got("id").getLong(2) == 0L) // n_rows_b zeroed
   }
 
+  test("association: perfect dependence, independence, degenerate input") {
+    import spark.implicits._
+    // a determines b exactly: 2x2 diagonal
+    val dep = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"))
+      .toDF("x", "y")
+    val d = Profile.association(dep, "x", "y").head
+    assert(d.getAs[Long]("n") == 4 && d.getAs[Long]("dof") == 1)
+    // chi2 = (2-1)^2/1 * 2 + (0-1)^2/1 * 2 = 4; V = sqrt(4/(4*1)) = 1
+    assert(d.getAs[Long]("chi2_e6") == 4000000L)
+    assert(d.getAs[Long]("cramers_v_e6") == 1000000L)
+    // MI = ln 2: two cells of floor(0.5 * ln 2 * 1e6)
+    assert(d.getAs[Long]("mi_e6") ==
+      2 * math.floor(0.5 * math.log(2.0) * 1000000.0).toLong)
+    // exact independence: uniform 2x2 grid
+    val ind = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))
+      .toDF("x", "y")
+    val i = Profile.association(ind, "x", "y").head
+    assert(i.getAs[Long]("chi2_e6") == 0L && i.getAs[Long]("mi_e6") == 0L)
+    assert(i.getAs[Long]("cramers_v_e6") == 0L)
+    // single-category side: dof 0, V null
+    val deg = Seq(("a1", "b1"), ("a1", "b2")).toDF("x", "y")
+    val g = Profile.association(deg, "x", "y").head
+    assert(g.getAs[Long]("dof") == 0 && g.isNullAt(g.fieldIndex("cramers_v_e6")))
+  }
+
   test("correlationMatrix computes all pairs in one scan") {
     val df = spark.range(100).selectExpr("CAST(id AS DOUBLE) x",
       "CAST(id * 2 AS DOUBLE) y", "CAST(id % 7 AS DOUBLE) z")
