@@ -4350,6 +4350,38 @@ object Queries {
        |ORDER BY pair""".stripMargin
   }
 
+  /** q128: rolling-window outlier monitor ([[Stats.rollingOutliers]])
+    * — daily floor-dollar revenue per priority vs its own trailing
+    * 30-day baseline (self-excluded), flags via the squared integer
+    * comparison (no sqrt, no floats anywhere). The oracle replays the
+    * identical ROWS frames and inequality.
+    */
+  def rollingRevenueOutliers(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("k"),
+        to_date(col("o_orderdate")).as("t"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("x"))
+    Stats.rollingOutliers(daily, "k", "t", "x",
+        window = 30, kTenths = 25)
+      .orderBy("k", "t")
+  }
+
+  val rollingRevenueOutliersSql: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS t,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |f AS (
+      |  SELECT k, t, x,
+      |    COUNT(x) OVER w AS n, SUM(x) OVER w AS s, SUM(x * x) OVER w AS ss
+      |  FROM d WINDOW w AS (PARTITION BY k ORDER BY t
+      |    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+      |SELECT k, t, x, CAST(n AS BIGINT) AS baseline_rows,
+      |  CASE WHEN n >= 8 AND x IS NOT NULL THEN
+      |    (n * x - s) * (n * x - s) * 100 > 625 * (n * ss - s * s)
+      |  END AS is_outlier
+      |FROM f ORDER BY k, t""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4478,7 +4510,8 @@ object Queries {
     "q124_topn_others" -> topPartsOthers _,
     "q125_impute_median" -> imputeEvents _,
     "q126_label_dict" -> labelDictDocs _,
-    "q127_association" -> associationPairs _)
+    "q127_association" -> associationPairs _,
+    "q128_rolling_outliers" -> rollingRevenueOutliers _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4606,5 +4639,6 @@ object Queries {
     "q124_topn_others" -> topPartsOthersSql,
     "q125_impute_median" -> imputeEventsSql,
     "q126_label_dict" -> labelDictDocsSql,
-    "q127_association" -> associationPairsSql)
+    "q127_association" -> associationPairsSql,
+    "q128_rolling_outliers" -> rollingRevenueOutliersSql)
 }

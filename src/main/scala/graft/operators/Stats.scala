@@ -515,6 +515,58 @@ object Stats {
           (col("__sv").isNull && col("__med").isNotNull).as("was_imputed"): _*)
   }
 
+  /** ROLLING outlier flags over a per-key ordered series: x deviates
+    * more than k·σ from the trailing-w-row mean (the "is today's value
+    * anomalous vs the recent past" monitor, where the global [[outliers]]
+    * screen would blur regime changes away). The current row is
+    * EXCLUDED from its own baseline (self-inclusion dilutes the very
+    * spike being tested).
+    *
+    * Exactness without sqrt: values are integers, so the flag
+    *   |x − μ_w| > k·σ_w  ⇔  (n·x − Σ)² · 100 > kTenths² · (n·Σx² − Σ²)
+    * compares INTEGERS after squaring (multiply by n² to clear the
+    * denominators; k = kTenths/10, so k²·100 = kTenths² exactly) — no
+    * float, no sqrt, no engine divergence, the q75 z-score argument
+    * applied to window frames. Windows shorter than `minRows` emit
+    * null flags (a 2-row baseline flags everything).
+    *
+    * Overflow bound (documented, raising in ANSI): with |x| < B and
+    * window w, the squared left side needs (w·B)² · 100 < 2^63 —
+    * B < 9.6e7/w at w=30 (values are user-scaled integers; rescale or
+    * shrink w beyond that).
+    *
+    * One key-partitioned sort carries both frame aggregates — the
+    * CUSUM shuffle shape, with a ROWS frame instead of prefix sums.
+    */
+  def rollingOutliers(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      window: Int,
+      kTenths: Int,
+      minRows: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2 && window <= 10000, "window in [2, 10000]")
+    require(kTenths >= 1 && kTenths <= 1000, "kTenths in [1, 1000]")
+    require(minRows >= 2 && minRows <= window, "minRows in [2, window]")
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+      .rowsBetween(-window, -1)
+    df.select(col(keyCol).as("k"), col(orderCol).as("t"),
+        col(valueCol).cast("long").as("x"))
+      .withColumn("__n", count(col("x")).over(w))
+      .withColumn("__s", sum(col("x")).over(w))
+      .withColumn("__ss", sum(col("x") * col("x")).over(w))
+      .withColumn("is_outlier",
+        when(col("__n") >= minRows && col("x").isNotNull,
+          (col("__n") * col("x") - col("__s")) *
+            (col("__n") * col("x") - col("__s")) * lit(100L) >
+          lit(kTenths.toLong * kTenths) *
+            (col("__n") * col("__ss") - col("__s") * col("__s"))))
+      .select(col("k"), col("t"), col("x"), col("__n").as("baseline_rows"),
+        col("is_outlier"))
+  }
+
   def robustOutliers(
       df: DataFrame,
       groupCols: Seq[String],

@@ -342,6 +342,35 @@ class StatsSpec extends SparkSuite {
     assert(got(6L) == (None, false))
   }
 
+  test("rollingOutliers: squared-integer flag equals the float z-test") {
+    // steady 100s with a planted spike, plus a short series under minRows
+    val xs = Seq.fill(10)(100L) ++ Seq(500L) ++ Seq.fill(5)(100L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("a", i.toLong, x) }
+      .toDF("k", "t", "x") unionAll
+      Seq(("b", 0L, 1L), ("b", 1L, 9L), ("b", 2L, 5L)).toDF("k", "t", "x")
+    val got = Stats.rollingOutliers(df, "k", "t", "x",
+        window = 8, kTenths = 25, minRows = 4)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+    // driver-side float reference over the same trailing windows
+    for (i <- xs.indices) {
+      val base = xs.slice(math.max(0, i - 8), i)
+      val want =
+        if (base.length < 4) None
+        else {
+          val mu = base.sum.toDouble / base.length
+          val sd = math.sqrt(
+            base.map(v => (v - mu) * (v - mu)).sum / base.length)
+          Some(math.abs(xs(i) - mu) > 2.5 * sd)
+        }
+      assert(got(("a", i.toLong)) == want, s"row $i: base=$base x=${xs(i)}")
+    }
+    assert(got(("a", 10L)) == Some(true), "the planted spike must flag")
+    // series "b" never reaches minRows -> all null flags
+    assert((0 to 2).forall(i => got(("b", i.toLong)).isEmpty))
+  }
+
   test("outliers: constant groups and null values produce no flags") {
     val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(5.0)),
       ("g", Some(1.0)), ("g", Some(2.0)), ("g", None), ("g", Some(100.0)))
