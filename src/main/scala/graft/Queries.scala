@@ -4382,6 +4382,86 @@ object Queries {
       |  END AS is_outlier
       |FROM f ORDER BY k, t""".stripMargin
 
+  /** q129: conversion-latency distribution
+    * ([[Behavior.conversionLatency]]) — first view → first purchase
+    * per user, summarized with exact discrete percentiles (observed
+    * microsecond values — the µs-truncated shared timeline, q37 rule, no interpolation). The oracle replays the
+    * conditional mins and the cume_dist lower-percentile rule.
+    */
+  def conversionLatencyEvents(s: SparkSession, dir: String): DataFrame = {
+    val lat = Behavior.conversionLatency(
+      t(s, dir, "events").withColumn("ts", expr("ts div 1000")),
+      "user_id", "ts", col("event_type") === "view",
+      col("event_type") === "purchase")
+    lat.agg(count(lit(1)).as("n_converted"),
+      min(col("latency")).as("min_us"),
+      expr("cast(percentile_disc(0.25) WITHIN GROUP (ORDER BY latency) as long)")
+        .as("p25_us"),
+      expr("cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY latency) as long)")
+        .as("p50_us"),
+      expr("cast(percentile_disc(0.75) WITHIN GROUP (ORDER BY latency) as long)")
+        .as("p75_us"),
+      expr("cast(percentile_disc(0.9) WITHIN GROUP (ORDER BY latency) as long)")
+        .as("p90_us"),
+      max(col("latency")).as("max_us"))
+  }
+
+  val conversionLatencySql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS f,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS p
+      |  FROM events GROUP BY 1),
+      |lat AS (
+      |  SELECT p - f AS latency FROM u
+      |  WHERE f IS NOT NULL AND p IS NOT NULL AND p > f),
+      |cd AS (
+      |  SELECT latency, CUME_DIST() OVER (ORDER BY latency) AS c FROM lat)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lat) AS n_converted,
+      |  (SELECT CAST(MIN(latency) AS BIGINT) FROM lat) AS min_us,
+      |  (SELECT CAST(MIN(latency) AS BIGINT) FROM cd WHERE c >= 0.25) AS p25_us,
+      |  (SELECT CAST(MIN(latency) AS BIGINT) FROM cd WHERE c >= 0.5) AS p50_us,
+      |  (SELECT CAST(MIN(latency) AS BIGINT) FROM cd WHERE c >= 0.75) AS p75_us,
+      |  (SELECT CAST(MIN(latency) AS BIGINT) FROM cd WHERE c >= 0.9) AS p90_us,
+      |  (SELECT CAST(MAX(latency) AS BIGINT) FROM lat) AS max_us""".stripMargin
+
+  /** q130: revenue concentration ([[Profile.concentration]]) — Gini
+    * coefficient and head shares of part revenue in floor-dollars
+    * (coarse units keep n·Σx inside the documented 64-bit bound).
+    * The oracle replays both ranking windows and the rational Gini.
+    */
+  def revenueConcentration(s: SparkSession, dir: String): DataFrame =
+    Profile.concentration(
+      t(s, dir, "lineitem").select(col("l_partkey"),
+        floor(col("l_extendedprice")).cast("long").as("dollars")),
+      "l_partkey", "dollars")
+
+  val revenueConcentrationSql: String =
+    """WITH ka AS (
+      |  SELECT l_partkey AS k,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT v,
+      |    CAST(row_number() OVER (ORDER BY v ASC, k ASC) AS BIGINT) AS i,
+      |    CAST(row_number() OVER (ORDER BY v DESC, k ASC) AS BIGINT) AS rr,
+      |    (COUNT(*) OVER () * 10 + 99) // 100 AS headn
+      |  FROM ka),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(v) AS BIGINT) AS total,
+      |    CAST(SUM(i * v) AS BIGINT) AS s1,
+      |    CAST(MAX(v) AS BIGINT) AS vmax,
+      |    CAST(SUM(CASE WHEN rr <= headn THEN v ELSE 0 END) AS BIGINT) AS head
+      |  FROM r)
+      |SELECT n_keys, total,
+      |  CASE WHEN n_keys > 1 AND total > 0 THEN
+      |    (2 * s1 - (n_keys + 1) * total) * 1000000 // (n_keys * total)
+      |  END AS gini_ppm,
+      |  CASE WHEN total > 0 THEN vmax * 1000000 // total END AS top1_ppm,
+      |  CASE WHEN total > 0 THEN head * 1000000 // total END AS top10pct_ppm
+      |FROM s""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4511,7 +4591,9 @@ object Queries {
     "q125_impute_median" -> imputeEvents _,
     "q126_label_dict" -> labelDictDocs _,
     "q127_association" -> associationPairs _,
-    "q128_rolling_outliers" -> rollingRevenueOutliers _)
+    "q128_rolling_outliers" -> rollingRevenueOutliers _,
+    "q129_conversion_latency" -> conversionLatencyEvents _,
+    "q130_concentration" -> revenueConcentration _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4640,5 +4722,7 @@ object Queries {
     "q125_impute_median" -> imputeEventsSql,
     "q126_label_dict" -> labelDictDocsSql,
     "q127_association" -> associationPairsSql,
-    "q128_rolling_outliers" -> rollingRevenueOutliersSql)
+    "q128_rolling_outliers" -> rollingRevenueOutliersSql,
+    "q129_conversion_latency" -> conversionLatencySql,
+    "q130_concentration" -> revenueConcentrationSql)
 }

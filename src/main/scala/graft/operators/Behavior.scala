@@ -179,6 +179,26 @@ object Behavior {
       .limit(topK)
   }
 
+  /** Per-user conversion latency: time from the user's FIRST event
+    * matching `fromPred` to their FIRST matching `toPred` that comes
+    * strictly after it — the "how fast do users convert" companion to
+    * [[funnel]] (which answers how many). Users without both events,
+    * or whose conversion precedes their first touch, emit nothing.
+    *
+    * One map-side-combined groupBy(user) with two conditional mins —
+    * no window, no sort; latencies are exact integer differences in
+    * the ts unit, ready for percentile_disc reporting downstream.
+    */
+  def conversionLatency(events: DataFrame, userCol: String, tsCol: String,
+      fromPred: Column, toPred: Column): DataFrame =
+    events
+      .groupBy(col(userCol).as("user"))
+      .agg(min(when(fromPred, col(tsCol))).as("__from"),
+        min(when(toPred, col(tsCol))).as("__to"))
+      .where(col("__from").isNotNull && col("__to").isNotNull &&
+        col("__to") > col("__from"))
+      .select(col("user"), (col("__to") - col("__from")).as("latency"))
+
   /** Multi-touch attribution: distribute each conversion's value over
     * the touch events that preceded it within a lookback window, under
     * the three standard models at once — first-touch, last-touch, and

@@ -162,6 +162,57 @@ object Profile {
             * lit(1000000.0)).cast("long")))
   }
 
+  /** CONCENTRATION report over a key-grain integer measure: the Gini
+    * coefficient plus head-share metrics — "how unequal is revenue /
+    * token mass / traffic across this dimension", the inequality
+    * summary behind every pareto chart. All-integer floor-ppm:
+    * G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) ·1e6 div (n·Σx) with x sorted ASC
+    * (ties broken by key — same total either way), top-share = head
+    * sums over the DESC order. Zero/negative totals and single-key
+    * dimensions yield null Gini (undefined), not garbage.
+    *
+    * Overflow bound (documented, ANSI-raising): the numerator needs
+    * 2·n·Σx·1e6 < 2^63 — keep the measure in coarse units (dollars,
+    * kilotokens) so n·Σx < 4.6e12; rescaling does not change G.
+    *
+    * 100 TB shape: ONE map-side-combined key aggregation, then the
+    * ranking windows run at KEY grain (an aggregate beneath an
+    * unpartitioned window — the PlanSpec boundedness rule; a
+    * dimension you'd pareto-chart is report-sized) and fold to a
+    * single row.
+    */
+  def concentration(df: DataFrame, keyCol: String, valueCol: String,
+      topPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topPct >= 1 && topPct <= 99, "topPct in [1, 99]")
+    val keyAgg = df.groupBy(col(keyCol).as("k"))
+      .agg(sum(col(valueCol).cast("long")).as("v"))
+    val wAsc = Window.orderBy(col("v").asc, col("k").asc)
+    val wDesc = Window.orderBy(col("v").desc, col("k").asc)
+    val ranked = keyAgg
+      .withColumn("__i", row_number().over(wAsc).cast("long"))
+      .withColumn("__r", row_number().over(wDesc).cast("long"))
+      // integer ceil(n·topPct/100) — head size, engine-identical
+      .withColumn("__headn",
+        expr(s"(count(1) over () * $topPct + 99) div 100"))
+    ranked
+      .agg(count(lit(1)).as("n_keys"), sum(col("v")).as("total"),
+        sum(col("__i") * col("v")).as("__s1"),
+        max(col("v")).as("__vmax"),
+        sum(when(col("__r") <= col("__headn"), col("v"))
+          .otherwise(lit(0L))).as("__head"))
+      .select(
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        when(col("n_keys") > 1 && col("total") > 0,
+          expr("(2 * __s1 - (n_keys + 1) * total) * 1000000L div (n_keys * total)"))
+          .as("gini_ppm"),
+        when(col("total") > 0, expr("__vmax * 1000000L div total"))
+          .as("top1_ppm"),
+        when(col("total") > 0, expr("__head * 1000000L div total"))
+          .as(s"top${topPct}pct_ppm"))
+  }
+
   /** Key-skew diagnostic — the report a pipeline runs on a join/groupBy
     * key BEFORE committing to a plan (feeds [[SkewJoin]]'s salting
     * decision): the `topK` heaviest keys (count desc, key asc) each

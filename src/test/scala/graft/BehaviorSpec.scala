@@ -135,6 +135,20 @@ class BehaviorSpec extends SparkSuite {
     assert(!got.contains("signup"), "post-conversion touch must not attribute")
   }
 
+  test("conversionLatency: first-to-first, ordering rule, non-converters drop") {
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 15L, "view"), (1L, 40L, "purchase"),
+      (1L, 50L, "purchase"),                      // first->first: 40-10
+      (2L, 30L, "purchase"), (2L, 35L, "view"),   // converted BEFORE touch
+      (3L, 10L, "view"),                          // never converted
+      (4L, 20L, "purchase"))                      // never touched
+      .toDF("u", "ts", "et")
+    val got = Behavior.conversionLatency(ev, "u", "ts",
+        col("et") === "view", col("et") === "purchase")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 30L), s"$got")
+  }
+
   test("attribution: empty input yields only a zero (none) row") {
     val ev = Seq.empty[(Long, Long, Long, String, Double)]
       .toDF("u", "ts", "id", "et", "value")

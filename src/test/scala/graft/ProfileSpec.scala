@@ -157,6 +157,28 @@ class ProfileSpec extends SparkSuite {
     assert(g.getAs[Long]("dof") == 0 && g.isNullAt(g.fieldIndex("cramers_v_e6")))
   }
 
+  test("concentration: equal split, full concentration, head shares") {
+    import spark.implicits._
+    val equal = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))
+      .toDF("k", "v")
+    val e = Profile.concentration(equal, "k", "v", topPct = 25).head
+    assert(e.getAs[Long]("gini_ppm") == 0L)
+    assert(e.getAs[Long]("top1_ppm") == 250000L)
+    assert(e.getAs[Long]("top25pct_ppm") == 250000L) // head = 1 key of 4
+    // one key holds everything: G = (n-1)/n = 0.5 at n=2
+    val conc = Seq(("a", 0L), ("b", 10L)).toDF("k", "v")
+    val c = Profile.concentration(conc, "k", "v").head
+    assert(c.getAs[Long]("gini_ppm") == 500000L)
+    assert(c.getAs[Long]("top1_ppm") == 1000000L)
+    // single key / zero total -> null gini, not division garbage
+    val single = Profile.concentration(Seq(("a", 5L)).toDF("k", "v"), "k", "v").head
+    assert(single.isNullAt(single.fieldIndex("gini_ppm")))
+    val zero = Profile.concentration(Seq(("a", 0L), ("b", 0L)).toDF("k", "v"),
+      "k", "v").head
+    assert(zero.isNullAt(zero.fieldIndex("gini_ppm")) &&
+      zero.isNullAt(zero.fieldIndex("top1_ppm")))
+  }
+
   test("correlationMatrix computes all pairs in one scan") {
     val df = spark.range(100).selectExpr("CAST(id AS DOUBLE) x",
       "CAST(id * 2 AS DOUBLE) y", "CAST(id % 7 AS DOUBLE) z")
