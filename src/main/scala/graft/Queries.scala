@@ -4462,6 +4462,69 @@ object Queries {
       |  CASE WHEN total > 0 THEN head * 1000000 // total END AS top10pct_ppm
       |FROM s""".stripMargin
 
+  /** q131: rolling 7-day distinct users ([[Sketches.hllRolling]]) —
+    * per (event_type, day), the HLL estimate over that day's and the
+    * prior 6 days' registers (register-max day-join, no raw rescan),
+    * next to the exact windowed distinct for honesty. Every register
+    * is replayed by the oracle via the same day expansion.
+    */
+  def rollingDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("user_id"),
+      expr("ts div 86400000000000").as("day"))
+    val est = Sketches.hllRolling(
+      Sketches.hllState(ev, "user_id", Seq("event_type", "day")),
+      Seq("event_type"), "day", windowDays = 7)
+    val pairs = ev.distinct()
+    val days = pairs.select(col("event_type"), col("day")).distinct()
+    val exact = pairs.as("p")
+      .join(days.as("d"),
+        col("p.event_type") === col("d.event_type") &&
+          col("p.day") <= col("d.day") && col("p.day") > col("d.day") - 7)
+      .groupBy(col("d.event_type").as("event_type"), col("d.day").as("day"))
+      .agg(countDistinct(col("p.user_id")).as("exact_7d"))
+    exact.join(est, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("exact_7d"),
+        col("buckets_hit"),
+        (floor(col("raw_est") * 1e4) / 1e4).as("hll_7d"))
+      .orderBy("event_type", "day")
+  }
+
+  val rollingDistinctUsersSql: String = {
+    val h = duckHash60("", "user_id")
+    s"""WITH ev AS (
+       |  SELECT event_type, user_id,
+       |    epoch_ns(ts) // 86400000000000 AS day
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type, day, $h % 64 AS bucket,
+       |    ${duckHllRho(h)} AS rho
+       |  FROM ev),
+       |st AS (
+       |  SELECT event_type, day, bucket, MAX(rho) AS max_rho
+       |  FROM b GROUP BY 1, 2, 3),
+       |days AS (SELECT DISTINCT event_type, day FROM st),
+       |expanded AS (
+       |  SELECT d.event_type, d.day, s.bucket, MAX(s.max_rho) AS max_rho
+       |  FROM st s JOIN days d ON s.event_type = d.event_type
+       |    AND s.day <= d.day AND s.day > d.day - 7
+       |  GROUP BY 1, 2, 3),
+       |est AS (
+       |  SELECT event_type, day, CAST(COUNT(*) AS INT) AS buckets_hit,
+       |    $duckHllEstimate AS raw_est
+       |  FROM expanded GROUP BY 1, 2),
+       |pairs AS (SELECT DISTINCT event_type, user_id, day FROM ev),
+       |x AS (
+       |  SELECT d.event_type, d.day,
+       |    CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS exact_7d
+       |  FROM pairs p JOIN days d ON p.event_type = d.event_type
+       |    AND p.day <= d.day AND p.day > d.day - 7
+       |  GROUP BY 1, 2)
+       |SELECT x.event_type, CAST(x.day AS BIGINT) AS day, x.exact_7d,
+       |  e.buckets_hit, floor(e.raw_est * 1e4) / 1e4 AS hll_7d
+       |FROM x JOIN est e ON x.event_type = e.event_type AND x.day = e.day
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4593,7 +4656,8 @@ object Queries {
     "q127_association" -> associationPairs _,
     "q128_rolling_outliers" -> rollingRevenueOutliers _,
     "q129_conversion_latency" -> conversionLatencyEvents _,
-    "q130_concentration" -> revenueConcentration _)
+    "q130_concentration" -> revenueConcentration _,
+    "q131_rolling_distinct" -> rollingDistinctUsers _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4724,5 +4788,6 @@ object Queries {
     "q127_association" -> associationPairsSql,
     "q128_rolling_outliers" -> rollingRevenueOutliersSql,
     "q129_conversion_latency" -> conversionLatencySql,
-    "q130_concentration" -> revenueConcentrationSql)
+    "q130_concentration" -> revenueConcentrationSql,
+    "q131_rolling_distinct" -> rollingDistinctUsersSql)
 }

@@ -144,6 +144,43 @@ object Sketches {
         (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
   }
 
+  /** ROLLING-window distinct counts from daily [[hllState]]s: for each
+    * day, the estimate over that day plus the `windowDays − 1` before
+    * it — "7-day active users per day" — computed by register-max over
+    * a RANGE window on the state table instead of rescanning raw data
+    * per window (the q77 rollup argument, applied to sliding windows:
+    * a naive per-window COUNT DISTINCT rescans every row windowDays
+    * times; this touches each register once per window at
+    * 64-registers-per-day grain).
+    *
+    * `dayCol` must be an integral day ordinal. Days with no rows emit
+    * no report row (they have no state); gaps bound correctly because
+    * the participation predicate runs on the ordinal.
+    *
+    * Why a day-JOIN and not a RANGE window over the state: a bucket
+    * hit on day d−1 but not on d has no row AT d, so a trailing
+    * window over existing rows silently drops it from d's register
+    * set. Instead each state row joins to every report day whose
+    * window contains it — fan-out ≤ windowDays per register row,
+    * state-grain (≤ groups × days × 64), never data-sized.
+    */
+  def hllRolling(state: DataFrame, groupCols: Seq[String], dayCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 3650, "windowDays in [1, 3650]")
+    val days = state.select((groupCols :+ dayCol).map(col): _*).distinct()
+    val expanded = state.as("s")
+      .join(days.as("d"),
+        groupCols.map(c => col(s"s.$c") === col(s"d.$c"))
+          .foldLeft((col(s"s.$dayCol") <= col(s"d.$dayCol")) &&
+            (col(s"s.$dayCol") > col(s"d.$dayCol") - windowDays))(_ && _))
+      .select(groupCols.map(c => col(s"d.$c").as(c)) ++
+        Seq(col(s"d.$dayCol").as(dayCol), col("s.bucket"),
+          col("s.max_rho")): _*)
+      .groupBy((groupCols :+ dayCol :+ "bucket").map(col): _*)
+      .agg(max(col("max_rho")).as("max_rho"))
+    hllRawEstimate(expanded, groupCols :+ dayCol)
+  }
+
   /** Production estimate = raw with the standard small-range linear
     * counting correction (m·ln(m/V) when registers are empty and the
     * raw estimate is under 2.5m). `ln` is not bit-portable across

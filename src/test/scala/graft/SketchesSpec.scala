@@ -76,6 +76,25 @@ class SketchesSpec extends SparkSuite {
       got(("a", "c")).getAs[Double]("est_intersect"))
   }
 
+  test("hllRolling: windowed registers equal the direct union state") {
+    import org.apache.spark.sql.functions.col
+    // day 1: keys 0..99; day 2: 50..149; day 4: 200..219 (gap at 3)
+    val rows = ((0 until 100).map(k => (1L, s"k$k")) ++
+      (50 until 150).map(k => (2L, s"k$k")) ++
+      (200 until 220).map(k => (4L, s"k$k"))).toDF("day", "u")
+    val rolled = Sketches.hllRolling(
+        Sketches.hllState(rows, "u", Seq("day")), Nil, "day", windowDays = 2)
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Double]("raw_est")).toMap
+    def direct(days: Long*) = Sketches.hllRawEstimate(
+      Sketches.hllState(rows.where(col("day").isin(days: _*)).select("u"), "u"),
+      Nil).head.getAs[Double]("raw_est")
+    assert(rolled.keySet == Set(1L, 2L, 4L), "report only days that occur")
+    assert(rolled(1L) == direct(1L))
+    assert(rolled(2L) == direct(1L, 2L), "window merges both days' registers")
+    // the gap: day 4's window [3,4] contains only day 4
+    assert(rolled(4L) == direct(4L), "gap day must not leak day 2 in")
+  }
+
   test("HLL state is partitioning-independent") {
     val st1 = Sketches.hllState(keys.repartition(1), "k").orderBy("bucket").collect().toSeq
     val st7 = Sketches.hllState(keys.repartition(7), "k").orderBy("bucket").collect().toSeq
