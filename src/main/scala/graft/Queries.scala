@@ -4525,6 +4525,35 @@ object Queries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** q132: join-cardinality planner ([[Profile.joinCardinality]]) —
+    * the exact output size and dominating keys of the lineitem
+    * self-join on l_partkey, priced from key histograms without
+    * running the join. The oracle replays the products and the
+    * (pair_rows DESC, key ASC) head.
+    */
+  def joinCardinalityParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"))
+    Profile.joinCardinality(li, li, "l_partkey", "l_partkey", topK = 10)
+      .orderBy("rank")
+  }
+
+  val joinCardinalityPartsSql: String =
+    """WITH c AS (
+      |  SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1),
+      |prod AS (SELECT key, n * n AS pair_rows FROM c),
+      |tot AS (SELECT CAST(SUM(pair_rows) AS BIGINT) AS total_pair_rows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_matched_keys FROM prod),
+      |r AS (SELECT key, pair_rows,
+      |    CAST(row_number() OVER (ORDER BY pair_rows DESC, key ASC)
+      |      AS BIGINT) AS rank
+      |  FROM prod)
+      |SELECT r.rank, r.key, r.pair_rows,
+      |  CASE WHEN t.total_pair_rows > 0 THEN
+      |    r.pair_rows * 1000000 // t.total_pair_rows END AS share_ppm,
+      |  t.total_pair_rows, t.n_matched_keys
+      |FROM r CROSS JOIN tot t WHERE r.rank <= 10 ORDER BY r.rank""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4657,7 +4686,8 @@ object Queries {
     "q128_rolling_outliers" -> rollingRevenueOutliers _,
     "q129_conversion_latency" -> conversionLatencyEvents _,
     "q130_concentration" -> revenueConcentration _,
-    "q131_rolling_distinct" -> rollingDistinctUsers _)
+    "q131_rolling_distinct" -> rollingDistinctUsers _,
+    "q132_join_cardinality" -> joinCardinalityParts _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4789,5 +4819,6 @@ object Queries {
     "q128_rolling_outliers" -> rollingRevenueOutliersSql,
     "q129_conversion_latency" -> conversionLatencySql,
     "q130_concentration" -> revenueConcentrationSql,
-    "q131_rolling_distinct" -> rollingDistinctUsersSql)
+    "q131_rolling_distinct" -> rollingDistinctUsersSql,
+    "q132_join_cardinality" -> joinCardinalityPartsSql)
 }

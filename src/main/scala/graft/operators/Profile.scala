@@ -213,6 +213,47 @@ object Profile {
           .as(s"top${topPct}pct_ppm"))
   }
 
+  /** JOIN-CARDINALITY planner: the EXACT inner-join output size
+    * |A ⋈ B| = Σ_k cntA(k)·cntB(k) plus the keys that dominate it —
+    * the report you run BEFORE committing a 100 TB join (it prices the
+    * shuffle, predicts the blowup, and names the keys to salt; feeds
+    * [[SkewJoin]] exactly like [[keySkew]] feeds the groupBy side,
+    * but for the PAIRED fan-out, which single-side skew can miss).
+    *
+    * Cost: one map-side-combined count per side at key grain, one
+    * key-grain join, bounded [[TopKAgg]] for the head — the data
+    * tables are scanned once each and never joined. All-integer
+    * (products and floor-ppm shares); keys must cast to BIGINT for
+    * the top-k id slot (the [[keySkew]] rule).
+    *
+    * @return topK rows (rank, key, pair_rows, share_ppm) each
+    *         carrying the totals (total_pair_rows, n_matched_keys)
+    */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 10000, "topK in [1, 10000]")
+    val ca = left.groupBy(col(leftKey).cast("long").as("key"))
+      .agg(count(lit(1)).as("ca"))
+    val cb = right.groupBy(col(rightKey).cast("long").as("key"))
+      .agg(count(lit(1)).as("cb"))
+    val prod = ca.join(cb, Seq("key"))
+      .select(col("key"), (col("ca") * col("cb")).as("pair_rows"))
+    val tot = prod.agg(sum(col("pair_rows")).as("total_pair_rows"),
+      count(lit(1)).as("n_matched_keys"))
+    prod
+      .agg(TopKAgg.topK(col("pair_rows").cast("double"), col("key"), topK)
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "p")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("key"), col("p.val").cast("long").as("pair_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("key"), col("pair_rows"),
+        when(col("total_pair_rows") > 0,
+          expr("pair_rows * 1000000L div total_pair_rows")).as("share_ppm"),
+        coalesce(col("total_pair_rows"), lit(0L)).as("total_pair_rows"),
+        coalesce(col("n_matched_keys"), lit(0L)).as("n_matched_keys"))
+  }
+
   /** Key-skew diagnostic — the report a pipeline runs on a join/groupBy
     * key BEFORE committing to a plan (feeds [[SkewJoin]]'s salting
     * decision): the `topK` heaviest keys (count desc, key asc) each

@@ -179,6 +179,23 @@ class ProfileSpec extends SparkSuite {
       zero.isNullAt(zero.fieldIndex("top1_ppm")))
   }
 
+  test("joinCardinality: product sums predict the join exactly") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")         // counts 3,1,1
+    val b = Seq(1L, 1L, 2L, 2L, 2L, 9L).toDF("k")     // counts 2,3,(9:1)
+    val got = Profile.joinCardinality(a, b, "k", "k", topK = 5)
+      .orderBy("rank").collect()
+    // matched keys 1,2: products 6 and 3; key 3 and 9 unmatched
+    assert(got.length == 2)
+    assert(got.map(r => (r.getAs[Long]("key"), r.getAs[Long]("pair_rows")))
+      .toSeq == Seq((1L, 6L), (2L, 3L)))
+    val actual = a.join(b, Seq("k")).count()
+    assert(got.head.getAs[Long]("total_pair_rows") == actual,
+      "predicted cardinality must equal the real join's row count")
+    assert(got.head.getAs[Long]("n_matched_keys") == 2)
+    assert(got.head.getAs[Long]("share_ppm") == 6L * 1000000 / 9)
+  }
+
   test("correlationMatrix computes all pairs in one scan") {
     val df = spark.range(100).selectExpr("CAST(id AS DOUBLE) x",
       "CAST(id * 2 AS DOUBLE) y", "CAST(id % 7 AS DOUBLE) z")
