@@ -201,4 +201,37 @@ class EmptyInputSpec extends SparkSuite {
     assert(Sketches.hllOverlap(
       Sketches.hllState(emptyDocs, "doc_id", Seq("text")), "text").count() == 0)
   }
+
+  test("round-5d family: empty inputs yield empty or zeroed reports") {
+    val emptyKV = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType), StructField("v", LongType))))
+    assert(FuzzyJoin.selfPairs(
+      emptyDocs.select(col("doc_id"), col("text").as("s")), "doc_id", "s")
+      .count() == 0)
+    // rollup: single zeroed (others) row is the defined empty report
+    val ro = Rollup.topNOthers(emptyKV, "k", "v", 3).collect()
+    assert(ro.length == 1 && ro.head.getAs[Long]("value_sum") == 0L)
+    assert(Stats.imputeMedian(
+      emptyKV.withColumn("id", col("k")), Seq("k"), "id", "v").count() == 0)
+    assert(Encoding.labelDictionary(emptyKV, "v").count() == 0)
+    val assoc = Profile.association(
+      emptyKV.withColumn("a", col("k")).withColumn("b", col("v")),
+      "a", "b").head
+    assert(assoc.getAs[Long]("n") == 0 && assoc.getAs[Long]("dof") == 0)
+    val series = emptyKV.withColumn("t", col("k")).withColumn("x", col("v"))
+    assert(Stats.rollingOutliers(series, "k", "t", "x", 10, 25).count() == 0)
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("u", LongType), StructField("ts", LongType),
+        StructField("et", StringType))))
+    assert(Behavior.conversionLatency(emptyEv, "u", "ts",
+      col("et") === "a", col("et") === "b").count() == 0)
+    val conc = Profile.concentration(emptyKV, "k", "v").head
+    assert(conc.getAs[Long]("n_keys") == 0 &&
+      conc.isNullAt(conc.fieldIndex("gini_ppm")))
+    assert(Sketches.hllRolling(
+      Sketches.hllState(emptyKV, "v", Seq("k")), Nil, "k", 7).count() == 0)
+    assert(Profile.joinCardinality(emptyKV, emptyKV, "k", "k", 5).count() == 0)
+  }
 }
