@@ -4554,6 +4554,86 @@ object Queries {
       |  t.total_pair_rows, t.n_matched_keys
       |FROM r CROSS JOIN tot t WHERE r.rank <= 10 ORDER BY r.rank""".stripMargin
 
+  /** q133: hybrid-retrieval rank fusion ([[Retrieval.rrfFuse]]) — the
+    * RAG retrieval stack end to end: the q113 BM25 ranking and a
+    * brute-force cosine ranking over the embedding table, fused with
+    * floor-e6 reciprocal-rank scores into one consensus top-10. The
+    * oracle replays BOTH retrievers (the q113 double chain, the q23
+    * cosine window) and the integer fusion, so the fused ordering —
+    * not just each side — is hash-verified.
+    */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val bm = TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        bm25Queries, 20)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val e = t(s, dir, "embeddings")
+    val em = Similarity.bruteForceTopK(e,
+        e.where(col("vec_id").isin(1L, 2L)), "vec_id", "embedding", 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rnk"))
+    Retrieval.rrfFuse(Seq(bm, em), k0 = 60, topK = 10)
+      .orderBy("query_id", "fused_rank")
+  }
+
+  val hybridSearchSql: String = {
+    val qtRows = bm25Queries.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(term => s"($qid, '$term')")
+    }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($duckToks) AS term
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+       |qt(query_id, term) AS (VALUES $qtRows),
+       |tfq AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM qt)),
+       |df AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+       |scored AS (
+       |  SELECT qt.query_id, tfq.doc_id,
+       |    CAST(FLOOR(
+       |      ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+       |      ((tfq.tf * (1.2 + 1.0)) /
+       |       (tfq.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(s.sumdl AS DOUBLE) / s.n))))) *
+       |      1000000.0) AS BIGINT) AS e6
+       |  FROM tfq JOIN qt USING (term) JOIN df USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN stats s),
+       |bmagg AS (SELECT query_id, doc_id, CAST(SUM(e6) AS BIGINT) AS score_e6
+       |  FROM scored GROUP BY query_id, doc_id),
+       |bm AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+       |  FROM bmagg),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id IN (1, 2)),
+       |cscored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+       |    COALESCE(list_dot_product(q.v, e.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+       |      0.0) AS cos
+       |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+       |em AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, doc_id ASC) AS rnk
+       |  FROM cscored),
+       |contrib AS (
+       |  SELECT query_id, doc_id, 1000000 // (60 + rnk) AS e6
+       |  FROM bm WHERE rnk <= 20
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1000000 // (60 + rnk) AS e6
+       |  FROM em WHERE rnk <= 20),
+       |fused AS (SELECT query_id, doc_id, CAST(SUM(e6) AS BIGINT) AS rrf_e6,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rankers
+       |  FROM contrib GROUP BY 1, 2),
+       |fr AS (SELECT query_id, doc_id, rrf_e6, n_rankers,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf_e6 DESC, doc_id ASC) AS fused_rank
+       |  FROM fused)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(fused_rank AS BIGINT) AS fused_rank, doc_id, rrf_e6, n_rankers
+       |FROM fr WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4687,7 +4767,8 @@ object Queries {
     "q129_conversion_latency" -> conversionLatencyEvents _,
     "q130_concentration" -> revenueConcentration _,
     "q131_rolling_distinct" -> rollingDistinctUsers _,
-    "q132_join_cardinality" -> joinCardinalityParts _)
+    "q132_join_cardinality" -> joinCardinalityParts _,
+    "q133_hybrid_search" -> hybridSearch _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4820,5 +4901,6 @@ object Queries {
     "q129_conversion_latency" -> conversionLatencySql,
     "q130_concentration" -> revenueConcentrationSql,
     "q131_rolling_distinct" -> rollingDistinctUsersSql,
-    "q132_join_cardinality" -> joinCardinalityPartsSql)
+    "q132_join_cardinality" -> joinCardinalityPartsSql,
+    "q133_hybrid_search" -> hybridSearchSql)
 }
