@@ -4634,6 +4634,170 @@ object Queries {
        |FROM fr WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin
   }
 
+  /** q134: leave-one-out target encoding
+    * ([[Encoding.targetEncodeLoo]]) — each order's priority class
+    * encoded by the mean total price of the OTHER orders in that
+    * class. The oracle replays the exact decimal sums and the
+    * integer floor-division, so every held-out mean matches
+    * bit-for-bit.
+    */
+  def targetEncodeOrders(s: SparkSession, dir: String): DataFrame =
+    Encoding.targetEncodeLoo(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+        "o_orderpriority", "o_totalprice")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("n_key"),
+        col("loo_e6"))
+      .orderBy("o_orderkey")
+
+  val targetEncodeOrdersSql: String =
+    """WITH y AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,4)) * 10000 AS BIGINT) AS y4
+      |  FROM orders),
+      |s AS (
+      |  SELECT o_orderpriority, COUNT(y4) AS n_key,
+      |    CAST(SUM(y4) AS BIGINT) AS s4
+      |  FROM y GROUP BY 1)
+      |SELECT y.o_orderkey, y.o_orderpriority, s.n_key,
+      |  CASE WHEN y.y4 IS NOT NULL AND s.n_key > 1 THEN
+      |    ((s.s4 - y.y4) * 100) // (s.n_key - 1)
+      |  WHEN y.y4 IS NULL AND s.n_key > 0 THEN
+      |    (s.s4 * 100) // s.n_key END AS loo_e6
+      |FROM y JOIN s ON y.o_orderpriority IS NOT DISTINCT FROM s.o_orderpriority
+      |ORDER BY y.o_orderkey""".stripMargin
+
+  /** q135: Bloom-pruned dimension join ([[Sketches.bloomPrune]]) — the
+    * runtime-filter pattern made explicit: lineitems are pre-filtered
+    * through a bloom of nation-3 suppliers' keys (k shuffle-free
+    * broadcast semi-joins) BEFORE the exact join, so at scale the join
+    * shuffle only sees surviving rows. The oracle is the PLAIN join —
+    * agreement proves the bloom dropped nothing real and the exact
+    * join scrubbed every false positive.
+    */
+  def bloomPrunedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "supplier")
+      .where(col("s_nationkey") === 3)
+      .select(col("s_suppkey"), col("s_name"))
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val pruned = Sketches.bloomPrune(
+      Sketches.bloomBits(dim, "s_suppkey"), fact, "l_suppkey")
+    pruned.join(dim, pruned("l_suppkey") === dim("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long")).as("rev_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_suppkey")
+  }
+
+  val bloomPrunedRevenueSql: String =
+    """SELECT s.s_suppkey, s.s_name,
+      |  CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+      |    AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |WHERE s.s_nationkey = 3
+      |GROUP BY 1, 2 ORDER BY s.s_suppkey""".stripMargin
+
+  /** q136: PMI collocations ([[TextAnalysis.pmiPairs]]) — document-level
+    * term co-occurrence with both fan-out knobs (minDf vocabulary
+    * prune, maxTermsPerDoc outlier skip) replayed by the oracle, plus
+    * the floor-e6 ln with the one shared parenthesization.
+    */
+  def pmiDocuments(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 20, maxTermsPerDoc = 400)
+      .orderBy("term_a", "term_b")
+
+  val pmiDocumentsSql: String =
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest($duckToks) AS term
+       |    FROM documents WHERE text IS NOT NULL)),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+       |v AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1
+       |      HAVING COUNT(*) >= 20),
+       |k AS (SELECT dt.doc_id, dt.term, v.df FROM dt JOIN v USING (term)),
+       |sz AS (SELECT doc_id FROM k GROUP BY 1 HAVING COUNT(*) <= 400),
+       |kk AS (SELECT k.* FROM k JOIN sz USING (doc_id)),
+       |p AS (
+       |  SELECT a.term AS term_a, b.term AS term_b,
+       |    a.df AS n_a, b.df AS n_b, COUNT(*) AS n_ab
+       |  FROM kk a JOIN kk b ON a.doc_id = b.doc_id AND a.term < b.term
+       |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 20)
+       |SELECT term_a, term_b, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b, CAST(n_ab AS BIGINT) AS n_ab,
+       |  CAST(FLOOR(ln(CAST(n_ab * n_docs AS DOUBLE) /
+       |    CAST(n_a * n_b AS DOUBLE)) * 1000000.0) AS BIGINT) AS pmi_e6
+       |FROM p CROSS JOIN nd ORDER BY term_a, term_b""".stripMargin
+
+  /** q137: BM25 through the FULL persisted-index lifecycle
+    * ([[IndexStore.saveTextIndex]]/append/load +
+    * [[TextAnalysis.bm25TopKIndexed]]): build+save the inverted index
+    * from part of the corpus, APPEND the rest, load, probe. Oracle =
+    * q113's whole-corpus BM25 replay — the persisted path must
+    * hash-match the inline build, the append ≡ rebuild invariant on
+    * the lexical index.
+    */
+  def bm25IndexLoad(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = scratchDir("text_idx")
+    IndexStore.saveTextIndex(docs.where(col("doc_id") < 300),
+      "doc_id", "text", path)
+    IndexStore.appendTextIndex(docs.where(col("doc_id") >= 300),
+      "doc_id", "text", path)
+    TextAnalysis.bm25TopKIndexed(IndexStore.loadTextIndex(s, path),
+        bm25Queries, 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q138: entity-resolution golden records
+    * ([[FuzzyJoin.goldenRecords]]) — fuzzy-matched customers cluster
+    * transitively; each cluster elects its best-score record
+    * (floor-cents account balance, id tie-break). Oracle: all-pairs
+    * levenshtein + the q35 recursive-CTE components + a window
+    * election — the blocked pipeline must agree with the literal
+    * ground truth end to end.
+    */
+  def goldenCustomers(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.goldenRecords(
+        t(s, dir, "customer").withColumn("score_cents",
+          floor(col("c_acctbal") * 100).cast("long")),
+        "c_custkey", "c_name", "score_cents")
+      .orderBy("group_id")
+
+  val goldenCustomersSql: String =
+    """WITH RECURSIVE recs AS (
+      |  SELECT c_custkey AS id, c_name AS key,
+      |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS score
+      |  FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM recs a JOIN recs b ON a.id < b.id
+      |  WHERE levenshtein(a.key, b.key) <= 1),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(v, u) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.u),
+      |labels AS (SELECT v AS id, min(u) AS group_id FROM reach GROUP BY v),
+      |labeled AS (
+      |  SELECT r.id, r.key, r.score, COALESCE(l.group_id, r.id) AS group_id
+      |  FROM recs r LEFT JOIN labels l ON r.id = l.id),
+      |ranked AS (
+      |  SELECT group_id, id, key, score,
+      |    COUNT(*) OVER (PARTITION BY group_id) AS n_members,
+      |    row_number() OVER (PARTITION BY group_id
+      |                       ORDER BY score DESC, id ASC) AS rn
+      |  FROM labeled)
+      |SELECT group_id, CAST(n_members AS BIGINT) AS n_members,
+      |  id AS golden_id, key AS golden_key, score AS golden_score
+      |FROM ranked WHERE rn = 1 ORDER BY group_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4768,7 +4932,12 @@ object Queries {
     "q130_concentration" -> revenueConcentration _,
     "q131_rolling_distinct" -> rollingDistinctUsers _,
     "q132_join_cardinality" -> joinCardinalityParts _,
-    "q133_hybrid_search" -> hybridSearch _)
+    "q133_hybrid_search" -> hybridSearch _,
+    "q134_target_encode" -> targetEncodeOrders _,
+    "q135_bloom_join" -> bloomPrunedRevenue _,
+    "q136_pmi_pairs" -> pmiDocuments _,
+    "q137_bm25_index_load" -> bm25IndexLoad _,
+    "q138_golden_records" -> goldenCustomers _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -4902,5 +5071,10 @@ object Queries {
     "q130_concentration" -> revenueConcentrationSql,
     "q131_rolling_distinct" -> rollingDistinctUsersSql,
     "q132_join_cardinality" -> joinCardinalityPartsSql,
-    "q133_hybrid_search" -> hybridSearchSql)
+    "q133_hybrid_search" -> hybridSearchSql,
+    "q134_target_encode" -> targetEncodeOrdersSql,
+    "q135_bloom_join" -> bloomPrunedRevenueSql,
+    "q136_pmi_pairs" -> pmiDocumentsSql,
+    "q137_bm25_index_load" -> bm25SearchSql,
+    "q138_golden_records" -> goldenCustomersSql)
 }

@@ -67,4 +67,51 @@ object FuzzyJoin {
       .where(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
   }
+
+  /** Entity-resolution GOLDEN RECORDS — the [[selfPairs]] →
+    * connected-components → survivorship capstone (the master-data
+    * "merge/purge" every CRM-grade pipeline runs): records whose join
+    * keys are within edit distance 1 cluster transitively
+    * ([[Dedup.connectedComponents]] — A~B, B~C puts A,C in one entity
+    * even at distance 2, exactly like the near-dup groups of q35), and
+    * each cluster elects ONE surviving record by (score DESC, id ASC)
+    * — deterministic total order, no max_by tie coin-flips.
+    *
+    * `scoreCol` is cast to double for the bounded [[TopKAgg]] pick;
+    * pass an exact value (integer, or floats floor-scaled first) so
+    * the comparison is engine-replayable. Records matching nothing are
+    * their own entity (group_id = id). NULL ids/keys are excluded, as
+    * in [[selfPairs]].
+    *
+    * 100 TB shape: candidate pairs come from the deletion-neighborhood
+    * blocking (never all-pairs), CC runs pointer-jumping over the
+    * pair-sized edge list, and the election is one bounded aggregate —
+    * O(groups) output, no window over the full record set. The only
+    * full-table shuffles are the blocking explode and the final
+    * group_id aggregation.
+    *
+    * @return (group_id = min member id, n_members, golden_id,
+    *         golden_key, golden_score_e0 — the elected record's score
+    *         cast back to long)
+    */
+  def goldenRecords(df: DataFrame, idCol: String, strCol: String,
+                    scoreCol: String, maxLen: Int = 64,
+                    maxBucketSize: Int = 4096): DataFrame = {
+    val recs = df.select(col(idCol).cast("long").as("id"),
+        col(strCol).as("__key"), col(scoreCol).cast("double").as("__score"))
+      .where(col("id").isNotNull && col("__key").isNotNull)
+    val pairs = selfPairs(df, idCol, strCol, maxLen, maxBucketSize)
+    val cc = Dedup.connectedComponents(pairs)
+    val labeled = recs.join(cc, Seq("id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("id")))
+    val elected = labeled.groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_members"),
+        TopKAgg.topK(col("__score"), col("id"), 1)(0).as("__top"))
+      .select(col("group_id"), col("n_members"), col("__top.id").as("golden_id"))
+    elected.join(recs.select(col("id").as("golden_id"),
+        col("__key").as("golden_key"),
+        col("__score").cast("long").as("golden_score")), Seq("golden_id"))
+      .select(col("group_id"), col("n_members"), col("golden_id"),
+        col("golden_key"), col("golden_score"))
+  }
 }

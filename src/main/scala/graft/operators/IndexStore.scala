@@ -341,4 +341,63 @@ object IndexStore {
     assign.repartition(col("list_id"))
       .write.mode("append").parquet(s"$path/assign")
   }
+
+  // ---------------------------------------------------------------
+  // Lexical inverted index (TextAnalysis.TextIndex)
+  // ---------------------------------------------------------------
+
+  /** Build and persist the BM25 inverted index under `path` (`meta/`,
+    * `postings/`, `doclen/`). Postings are repartitioned by `term` —
+    * the probe join key, so a query-term probe prunes to its term's
+    * row groups; doclen by `doc_id` (the per-candidate hydration key).
+    * Corpus stats (N, Σdl) are NOT stored — they derive lazily from
+    * doclen at probe time, which is what makes append a pure table
+    * union (see [[graft.operators.TextAnalysis.TextIndex]]).
+    * Overwrites.
+    */
+  def saveTextIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    writeMeta(spark, path, Seq("kind" -> "text"))
+    val idx = TextAnalysis.textIndex(docs, idCol, textCol)
+    idx.postings.repartition(col("term"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    idx.doclen.repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+  }
+
+  def loadTextIndex(
+      spark: SparkSession, path: String): TextAnalysis.TextIndex = {
+    metaOf(spark, path, "text")
+    TextAnalysis.TextIndex(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/doclen"))
+  }
+
+  /** Append new documents' postings to a persisted text index
+    * (monotone-id contract, like every append here: BM25's df/N/avgdl
+    * shift with every append by design — that's the index staying
+    * CORRECT, not drifting — but a duplicated doc_id would silently
+    * double its term frequencies, so the overlap raises loudly). The
+    * id check runs against the UNION of both stored tables' ids, so a
+    * retry after a crash between the two writes below still raises
+    * instead of half-duplicating the batch.
+    */
+  def appendTextIndex(
+      newDocs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    metaOf(spark, path, "text")
+    val existingIds = spark.read.parquet(s"$path/doclen").select(col("doc_id"))
+      .unionByName(spark.read.parquet(s"$path/postings").select(col("doc_id")))
+    val idx = TextAnalysis.textIndex(newDocs, idCol, textCol)
+    requireIdsAfter(existingIds, idx.doclen.select(col("doc_id")),
+      "appendTextIndex")
+    // doclen FIRST: a crash after it leaves ids visible to the retry
+    // guard via the union above; a half-appended postings table alone
+    // would under-score the batch silently
+    idx.doclen.repartition(col("doc_id"))
+      .write.mode("append").parquet(s"$path/doclen")
+    idx.postings.repartition(col("term"))
+      .write.mode("append").parquet(s"$path/postings")
+  }
 }

@@ -346,6 +346,32 @@ object Sketches {
     BloomState(df.select(explode(bits).as("bit")).distinct(), mBits, k)
   }
 
+  /** Bloom-PRUNE a fact table before an expensive join: keep only the
+    * rows whose key "may be present" in the bloom — the runtime-filter
+    * pattern (Spark's own AQE `InjectRuntimeFilter` does this
+    * opportunistically; this operator is the explicit, guaranteed
+    * form for when the dim side is known-selective, e.g. "join 100 TB
+    * of lineitems to the 400 suppliers of one nation").
+    *
+    * Unlike [[bloomProbe]] (which re-aggregates to carry a flag), this
+    * stays a pure FILTER at the fact table's own grain: k broadcast
+    * LEFT-SEMI joins, one per hash — each is a shuffle-free
+    * BroadcastHashJoin, so at 100 TB the fact side is pruned inside
+    * its scan stage and the expensive downstream shuffle only ever
+    * sees surviving rows. No false negatives (nothing real is
+    * dropped); false positives are eliminated by the exact join that
+    * follows, so `exact_join(bloomPrune(fact), dim) ≡
+    * exact_join(fact, dim)` — the equivalence the q135 oracle checks.
+    * NULL keys never match a bloom (hash of null is null → semi-join
+    * drops them), matching equi-join semantics exactly.
+    */
+  def bloomPrune(bloom: BloomState, fact: DataFrame, keyCol: String): DataFrame =
+    (0 until bloom.k).foldLeft(fact) { (d, i) =>
+      d.join(broadcast(bloom.bits),
+        (hash60(col(keyCol), i.toString) % bloom.mBits).cast("int") === col("bit"),
+        "left_semi")
+    }
+
   /** Probe: a key "may be present" iff ALL k of its bits are set.
     * Left-join against the broadcast bit relation + count == k; carries
     * every probe column through.

@@ -85,10 +85,47 @@ object TextAnalysis {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[(Long, String)], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKIndexed(textIndex(docs, idCol, textCol), queries, k, k1, b)
+
+  /** The lexical inverted index behind [[bm25TopK]], split out so it
+    * can be built ONCE and persisted
+    * ([[graft.operators.IndexStore.saveTextIndex]]): `postings` =
+    * (doc_id, term, tf) — the per-document term-frequency table — and
+    * `doclen` = (doc_id, dl). Corpus stats (N, Σdl) are deliberately
+    * NOT part of the state: they are one-row lazy aggregates of
+    * `doclen` derived at probe time, which is what makes append ≡
+    * rebuild a pure table union (no stored stat can go stale).
+    * Documents that tokenize to nothing carry no rows (and so don't
+    * count toward N) — the empty document participates in no lexical
+    * score either way.
+    */
+  final case class TextIndex(postings: DataFrame, doclen: DataFrame)
+
+  /** One tokenize pass → postings + doc lengths (df/N/Σdl all derive
+    * from these without re-tokenizing).
+    */
+  def textIndex(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
+    val present = docs.where(col(textCol).isNotNull)
+    val tf = present
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    TextIndex(tf, tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+  }
+
+  /** [[bm25TopK]] against a prebuilt (usually loaded) [[TextIndex]] —
+    * the probe side of the persist-once/probe-forever lifecycle. Same
+    * plan shape and engine-replayability contract as [[bm25TopK]]'s
+    * scaladoc; the only difference is that the tokenize+count stages
+    * are replaced by the index relations.
+    */
+  def bm25TopKIndexed(index: TextIndex, queries: Seq[(Long, String)], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = index.postings.sparkSession
     import spark.implicits._
-    require(queries.nonEmpty, "bm25TopK: need at least one query")
+    require(queries.nonEmpty, "bm25TopKIndexed: need at least one query")
     val qt = queries
       .flatMap { case (qid, text) =>
         text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
@@ -96,13 +133,8 @@ object TextAnalysis {
       }.toDF("query_id", "term")
     val qTerms = qt.select("term").distinct()
 
-    val present = docs.where(col(textCol).isNotNull)
-    val tf = present
-      .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tf = index.postings
+    val dl = index.doclen
     // one-row corpus stats; lazy agg, not a driver count()
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
     val tfQ = tf.join(broadcast(qTerms), Seq("term"))
@@ -128,5 +160,67 @@ object TextAnalysis {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("p.id").as("doc_id"), col("p.val").cast("long").as("score_e6"))
+  }
+
+  /** Pointwise mutual information over document-level term
+    * co-occurrence — the collocation/embedding-prep statistic
+    * (Church & Hanks 1990): pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) )
+    * with p(t) = docs containing t / N. High-PMI pairs are the
+    * "New York"/"machine learning" multiword units a tokenizer or
+    * phrase-mining pass wants; a training pipeline also uses the
+    * matrix as word-vector input (PPMI factorization).
+    *
+    * Determinism: every formula input is an exact integer count
+    * (n_ab, n_a, n_b, N < 2^53), emitted alongside a floor-e6
+    * `ln((n_ab·N)/(n_a·n_b))` with ONE fixed parenthesization both
+    * engines replay (the q113 ln precedent).
+    *
+    * 100 TB shape / fan-out control: pairs are generated by a per-doc
+    * self-join over each document's DISTINCT vocab-surviving terms, so
+    * the blow-up is Σ_d C(kept_d, 2) — bounded by two explicit knobs,
+    * both replayed in the oracle: `minDf` prunes the vocabulary to
+    * terms in ≥ minDf docs BEFORE pairing (rare-term pairs are
+    * statistically meaningless at n_ab ≈ 1 anyway), and docs keeping
+    * more than `maxTermsPerDoc` vocab terms are SKIPPED (the
+    * boilerplate/concatenation outliers whose quadratic term would
+    * dominate the job; standard phrase-mining practice). The self-join
+    * shuffles on doc_id once; counts are map-side-combined.
+    *
+    * @return (term_a, term_b, n_a, n_b, n_ab, pmi_e6), term_a < term_b,
+    *         restricted to pairs co-occurring in ≥ minDf docs
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               minDf: Int = 5, maxTermsPerDoc: Int = 1000): DataFrame = {
+    require(minDf >= 1 && maxTermsPerDoc >= 2)
+    val dt = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .distinct()
+    // doc frequency over ALL docs with >= 1 token — the PMI universe
+    val nDocs = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("__terms"))
+      .agg(count(lit(1)).as("n_docs"))
+    val vocab = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    val kept = dt.join(vocab, Seq("term"))
+    val keptSized = kept.join(
+      kept.groupBy(col("doc_id")).agg(count(lit(1)).as("__kept"))
+        .where(col("__kept") <= maxTermsPerDoc),
+      Seq("doc_id"))
+    val a = keptSized.select(col("doc_id"), col("term").as("term_a"),
+      col("df").as("n_a"))
+    val bSide = keptSized.select(col("doc_id"), col("term").as("term_b"),
+      col("df").as("n_b"))
+    a.join(bSide, Seq("doc_id"))
+      .where(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi_e6",
+        floor(log((col("n_ab") * col("n_docs")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")) * lit(1000000.0))
+          .cast("long"))
+      .select(col("term_a"), col("term_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("pmi_e6"))
   }
 }

@@ -48,4 +48,31 @@ class FuzzyJoinSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("quadratic"), e2.getMessage)
   }
+
+  test("goldenRecords: transitive clusters, score election, id tie-break") {
+    // cat~cut~cot chain (distance-2 ends in ONE entity via transitivity);
+    // dog/dig pair; walrus singleton. Scores pick the golden; equal
+    // scores fall to the lower id.
+    val recs = Seq(
+      (1L, "cat", 50L), (2L, "cut", 90L), (3L, "cot", 90L),
+      (10L, "dog", 5L), (11L, "dig", 5L), (20L, "walrus", 1L))
+      .toDF("id", "name", "score")
+    val got = FuzzyJoin.goldenRecords(recs, "id", "name", "score")
+      .orderBy("group_id")
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, "cut", 90L),   // chain entity: score 90 tie -> id 2
+      (10L, 2L, 10L, "dog", 5L),  // tie -> lower id
+      (20L, 1L, 20L, "walrus", 1L)))
+  }
+
+  test("goldenRecords: null keys/ids excluded; negative scores ordered") {
+    val recs = Seq(
+      (Some(1L), Some("aa"), -10L), (Some(2L), Some("ab"), -5L),
+      (Some(3L), None, 99L), (None, Some("zz"), 99L))
+      .toDF("id", "name", "score")
+    val got = FuzzyJoin.goldenRecords(recs, "id", "name", "score")
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, "ab", -5L)))
+  }
 }

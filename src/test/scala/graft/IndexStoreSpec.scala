@@ -167,4 +167,36 @@ class IndexStoreSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("already exists"))
   }
+
+  test("text index: append equals rebuild; loaded bm25 matches inline") {
+    import graft.operators.TextAnalysis
+    val all = oldDocs.unionByName(newDocs)
+    val appended = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", appended)
+    IndexStore.appendTextIndex(newDocs, "doc_id", "text", appended)
+    val rebuilt = tmp()
+    IndexStore.saveTextIndex(all, "doc_id", "text", rebuilt)
+    assert(canonIndex(appended, Seq("postings", "doclen")) ==
+      canonIndex(rebuilt, Seq("postings", "doclen")),
+      "appended text index must equal a from-scratch rebuild")
+    val queries = Seq(1L -> "alpha beta", 2L -> "kappa zeta CHANGED")
+    val inline = canon(TextAnalysis.bm25TopK(all, "doc_id", "text", queries, 5))
+    val loaded = canon(TextAnalysis.bm25TopKIndexed(
+      IndexStore.loadTextIndex(spark, appended), queries, 5))
+    assert(loaded == inline && inline.nonEmpty,
+      "persisted-index probe must match the inline build")
+  }
+
+  test("text index: overlapping append raises; kind mismatch raises") {
+    val path = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", path)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.appendTextIndex(oldDocs.limit(1), "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.loadCorpusIndex(spark, path)
+    }
+    assert(e2.getMessage.contains("expected"), e2.getMessage)
+  }
 }

@@ -60,4 +60,26 @@ class RangeJoinSpec extends SparkSuite {
     assert(got((2L, 1L)) == (2L, e6(1, 1, 2)))
     assert(!got.contains((2L, 2L))) // cherry appears in one doc only
   }
+
+  test("pmiPairs: doc-level counts, minDf prune, outlier-doc skip") {
+    // df: a=4, b=3, c=2, x=1; N=4; d3 keeps 3 vocab terms
+    val docs = Seq((1L, "a b"), (2L, "a b a"), (3L, "a b c"),
+      (4L, "c a x")).toDF("doc_id", "text")
+    val keepAll = TextAnalysis.pmiPairs(docs, "doc_id", "text",
+        minDf = 2, maxTermsPerDoc = 10)
+      .orderBy("term_a", "term_b")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    def pmi(nab: Long, na: Long, nb: Long, n: Long): Long =
+      math.floor(math.log((nab * n).toDouble / (na * nb).toDouble)
+        * 1000000.0).toLong
+    assert(keepAll == Seq(
+      ("a", "b", 4L, 3L, 3L, pmi(3, 4, 3, 4)),
+      ("a", "c", 4L, 2L, 2L, pmi(2, 4, 2, 4))))
+    // with maxTermsPerDoc=2, d3 (3 kept terms) drops out of PAIRING but
+    // still counts toward df/N; (a,c) falls under minDf and vanishes
+    val capped = TextAnalysis.pmiPairs(docs, "doc_id", "text",
+        minDf = 2, maxTermsPerDoc = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(capped == Seq(("a", "b", 4L, 3L, 2L, pmi(2, 4, 3, 4))))
+  }
 }

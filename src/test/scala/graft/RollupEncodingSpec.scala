@@ -48,4 +48,40 @@ class RollupEncodingSpec extends SparkSuite {
     assert(applied(1).getLong(1) == 0L)
     assert(applied(2).isNullAt(1), "unseen category must encode NULL")
   }
+
+  test("targetEncodeLoo: held-out means, singleton null, null-target full mean") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("a"), Some(2.0)),
+      (3L, Some("a"), Some(4.0)), (4L, Some("a"), None),
+      (5L, Some("b"), Some(5.0)),
+      (6L, None, Some(7.0)), (7L, None, Some(9.0)))
+      .toDF("id", "k", "y")
+    val got = Encoding.targetEncodeLoo(df, "k", "y")
+      .orderBy("id")
+      .select("id", "n_key", "loo_e6")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got == Seq(
+      (1L, 3L, Some(3000000L)),  // (2+4)/2
+      (2L, 3L, Some(2500000L)),  // (1+4)/2
+      (3L, 3L, Some(1500000L)),  // (1+2)/2
+      (4L, 3L, Some(2333333L)),  // null target -> full mean 7/3 floored
+      (5L, 1L, None),            // singleton: nothing to borrow
+      (6L, 2L, Some(9000000L)),  // null key is a group
+      (7L, 2L, Some(7000000L))))
+  }
+
+  test("targetEncodeLoo: negative and out-of-domain targets raise") {
+    val neg = Seq(("a", -1.0)).toDF("k", "y")
+    val e1 = intercept[Exception] {
+      Encoding.targetEncodeLoo(neg, "k", "y").collect()
+    }
+    assert(e1.getMessage.contains("negative"), e1.getMessage)
+    val huge = Seq(("a", 2.0e10)).toDF("k", "y")
+    val e2 = intercept[Exception] {
+      Encoding.targetEncodeLoo(huge, "k", "y").collect()
+    }
+    assert(e2.getMessage.contains("overflows"), e2.getMessage)
+  }
 }

@@ -185,4 +185,21 @@ class SketchesSpec extends SparkSuite {
       Sketches.bloomBits(a, "k").merge(Sketches.bloomBits(b, "k", mBits = 8192))
     }
   }
+
+  test("bloomPrune: keeps every member row, drops nulls, join-equivalent") {
+    val dim = Seq(3L, 7L, 11L).toDF("k")
+    val fact = ((1L to 40L).map(Some(_)) :+ None)
+      .map(k => (k, s"p_${k.getOrElse(-1L)}")).toDF("k", "payload")
+    val bloom = Sketches.bloomBits(dim, "k")
+    val pruned = Sketches.bloomPrune(bloom, fact, "k")
+    val kept = pruned.select("k").as[Long].collect().toSet
+    assert(Set(3L, 7L, 11L).subsetOf(kept), "no false negatives")
+    assert(!pruned.columns.contains("bit"), "prune must not add columns")
+    // exact join after the prune == exact join without it
+    val a = pruned.join(dim, Seq("k")).orderBy("k", "payload").collect().toSeq
+    val b = fact.join(dim, Seq("k")).orderBy("k", "payload").collect().toSeq
+    assert(a == b)
+    assert(pruned.where(col("k").isNull).count() == 0,
+      "null keys match no equi-join row and must not survive the prune")
+  }
 }
