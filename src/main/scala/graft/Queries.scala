@@ -4798,6 +4798,207 @@ object Queries {
       |  id AS golden_id, key AS golden_key, score AS golden_score
       |FROM ranked WHERE rn = 1 ORDER BY group_id""".stripMargin
 
+  /** q139: k-core decomposition ([[Graph.kCore]]) over the q107
+    * co-order parts graph — the dense-subgraph extraction, peeled for
+    * a FIXED round budget both engines replay (the operator's
+    * early-exit is provably equivalent; see its scaladoc). The oracle
+    * unrolls the identical peel schedule round by round.
+    */
+  def kCoreParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val small = li.groupBy(col("ok")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= 6).select(col("ok"))
+    val li2 = li.join(small, Seq("ok"), "leftsemi")
+    val pairs = li2.as("x").join(li2.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    Graph.kCore(pairs, k = 50, rounds = 8).orderBy("id")
+  }
+
+  val kCorePartsSql: String = {
+    // every CTE is MATERIALIZED: each peel references its predecessor
+    // twice, so default inlining would expand e8 into 2^8 parquet
+    // scans (and exhaust file handles); materialization makes the
+    // replay the same linear 8-pass schedule the operator runs
+    val peels = (1 to 8).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT src AS id FROM e${i - 1} GROUP BY 1
+         |  HAVING COUNT(*) >= 50),
+         |e$i AS MATERIALIZED (SELECT e.* FROM e${i - 1} e
+         |  JOIN v$i a ON e.src = a.id JOIN v$i b ON e.dst = b.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ok6 AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) <= 6),
+       |li2 AS MATERIALIZED (SELECT li.* FROM li JOIN ok6 USING (ok)),
+       |u AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b FROM li2 x
+       |  JOIN li2 y ON x.ok = y.ok AND x.pk < y.pk),
+       |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM u
+       |  UNION ALL SELECT b, a FROM u),
+       |$peels
+       |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM e8 GROUP BY 1 ORDER BY id""".stripMargin
+  }
+
+  /** q140: walk-forward (rolling-origin) CV folds with embargo
+    * ([[Sampling.walkForwardFolds]]) over the event stream — per
+    * (fold, role) counts plus id/ts checksums so any single
+    * misassigned row shifts the hash. All int64-nanos arithmetic.
+    */
+  def walkForwardEvents(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000000L
+    Sampling.walkForwardFolds(
+        t(s, dir, "events").select(col("event_id"), col("ts")),
+        "ts", nFolds = 4, trainMin = 5 * day, step = 2 * day,
+        horizon = 2 * day, embargo = day / 4)
+      .groupBy(col("fold"), col("role"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+        min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"))
+      .orderBy("fold", "role")
+  }
+
+  val walkForwardEventsSql: String = {
+    val day = 86400000000000L
+    s"""WITH ev AS (SELECT event_id, epoch_ns(ts) AS ts FROM events),
+       |t0 AS (SELECT MIN(ts) AS t0 FROM ev),
+       |f(fold) AS (VALUES (0), (1), (2), (3)),
+       |r AS (
+       |  SELECT f.fold, ev.event_id, ev.ts,
+       |    CASE WHEN ev.ts < t0.t0 + ${5 * day} + f.fold * ${2 * day}
+       |      THEN 'train'
+       |    WHEN ev.ts >= t0.t0 + ${5 * day} + f.fold * ${2 * day}
+       |        + ${day / 4}
+       |      AND ev.ts < t0.t0 + ${5 * day} + f.fold * ${2 * day}
+       |        + ${day / 4} + ${2 * day}
+       |      THEN 'test' END AS role
+       |  FROM ev CROSS JOIN t0 CROSS JOIN f)
+       |SELECT CAST(fold AS BIGINT) AS fold, role,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       |  MIN(ts) AS ts_min, MAX(ts) AS ts_max
+       |FROM r WHERE role IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY fold, role""".stripMargin
+  }
+
+  /** q141: percent-rank feature normalization ([[Stats.rankNormalize]])
+    * — each lineitem's quantity ranked within its return flag, pct as
+    * exact integer e6. Ties share the min rank in both engines by the
+    * SQL rank() definition, so the replay is bit-for-bit.
+    */
+  def rankNormalizeLineitem(s: SparkSession, dir: String): DataFrame =
+    Stats.rankNormalize(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity")),
+        Seq("l_returnflag"), "l_quantity")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // lineitem — widen the sort until remaining ties are identical
+      // full rows (rnk/pct are functions of flag+quantity)
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+  val rankNormalizeLineitemSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      |  CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+      |    AS BIGINT) AS rnk,
+      |  ((rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1)
+      |    * 1000000)
+      |    // (COUNT(l_quantity) OVER (PARTITION BY l_returnflag) - 1)
+      |    AS pct_e6
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity"""
+      .stripMargin
+
+  /** q142: nearest-rank winsorized summary ([[Stats.winsorize]]) —
+    * per-flag p5/p95 bounds (actual member values), clamp counts, and
+    * the winsorized mean as a floor-e6 integer; the whole pipeline
+    * stays in scaled longs so the oracle replays every digit.
+    */
+  def winsorizeLineitem(s: SparkSession, dir: String): DataFrame =
+    Stats.winsorize(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice",
+        pLowPpm = 50000L, pHighPpm = 950000L)
+      .orderBy("l_returnflag")
+
+  val winsorizeLineitemSql: String =
+    """WITH rows_ AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(14,4)) * 10000 AS BIGINT)
+      |      AS x4
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |rk AS (SELECT g, x4,
+      |    row_number() OVER (PARTITION BY g ORDER BY x4) AS rn
+      |  FROM rows_),
+      |c AS (SELECT g, COUNT(*) AS n,
+      |    GREATEST((50000 * COUNT(*) + 999999) // 1000000, 1) AS lo_rn,
+      |    GREATEST((950000 * COUNT(*) + 999999) // 1000000,
+      |      GREATEST((50000 * COUNT(*) + 999999) // 1000000, 1)) AS hi_rn
+      |  FROM rows_ GROUP BY 1),
+      |b AS (SELECT rk.g,
+      |    MIN(CASE WHEN rk.rn = c.lo_rn THEN rk.x4 END) AS lo4,
+      |    MAX(CASE WHEN rk.rn = c.hi_rn THEN rk.x4 END) AS hi4
+      |  FROM rk JOIN c USING (g)
+      |  WHERE rk.rn = c.lo_rn OR rk.rn = c.hi_rn GROUP BY 1)
+      |SELECT r.g AS l_returnflag, c.n,
+      |  MIN(b.lo4) AS lo_e4, MIN(b.hi4) AS hi_e4,
+      |  CAST(SUM(CASE WHEN r.x4 < b.lo4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low,
+      |  CAST(SUM(CASE WHEN r.x4 > b.hi4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high,
+      |  (CAST(SUM(LEAST(GREATEST(r.x4, b.lo4), b.hi4)) AS BIGINT) * 100)
+      |    // c.n AS win_mean_e6
+      |FROM rows_ r JOIN c ON r.g = c.g JOIN b ON r.g = b.g
+      |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin
+
+  /** q143: two-sample z report ([[Stats.twoSampleZ]]) — A/B readouts
+    * between event types on the value measure, Welch unpooled variance
+    * from the q72 DECIMAL power sums, one fixed double chain replayed
+    * by the oracle.
+    */
+  def abTestEvents(s: SparkSession, dir: String): DataFrame =
+    Stats.twoSampleZ(t(s, dir, "events").select(col("event_type"),
+        col("value")),
+      "event_type", "value",
+      Seq("purchase" -> "click", "signup" -> "error", "view" -> "click",
+        "purchase" -> "nosuch"))
+      .orderBy("group_a", "group_b")
+
+  val abTestEventsSql: String =
+    """WITH m AS (
+      |  SELECT event_type AS g, COUNT(value) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value AS DECIMAL(14,4)) *
+      |      CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1),
+      |p(group_a, group_b) AS (VALUES
+      |  ('purchase', 'click'), ('signup', 'error'), ('view', 'click'),
+      |  ('purchase', 'nosuch')),
+      |j AS (
+      |  SELECT p.group_a, p.group_b,
+      |    a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+      |    b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
+      |  FROM p LEFT JOIN m a ON a.g = p.group_a
+      |    LEFT JOIN m b ON b.g = p.group_b)
+      |SELECT group_a, group_b,
+      |  COALESCE(na, 0) AS n_a, COALESCE(nb, 0) AS n_b,
+      |  CASE WHEN na > 0 THEN
+      |    floor(sxa / CAST(na AS DOUBLE) * 1e6) / 1e6 END AS mean_a,
+      |  CASE WHEN nb > 0 THEN
+      |    floor(sxb / CAST(nb AS DOUBLE) * 1e6) / 1e6 END AS mean_b,
+      |  CASE WHEN na > 0 AND nb > 0 AND
+      |    sqrt((CAST(na AS DOUBLE) * sxxa - sxa * sxa) /
+      |        (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+      |      + (CAST(nb AS DOUBLE) * sxxb - sxb * sxb) /
+      |        (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))
+      |      > 0 THEN
+      |    floor((sxa / CAST(na AS DOUBLE) - sxb / CAST(nb AS DOUBLE)) /
+      |      sqrt((CAST(na AS DOUBLE) * sxxa - sxa * sxa) /
+      |        (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+      |      + (CAST(nb AS DOUBLE) * sxxb - sxb * sxb) /
+      |        (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))
+      |      * 1e6) / 1e6 END AS z
+      |FROM j ORDER BY group_a, group_b""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -4937,7 +5138,12 @@ object Queries {
     "q135_bloom_join" -> bloomPrunedRevenue _,
     "q136_pmi_pairs" -> pmiDocuments _,
     "q137_bm25_index_load" -> bm25IndexLoad _,
-    "q138_golden_records" -> goldenCustomers _)
+    "q138_golden_records" -> goldenCustomers _,
+    "q139_kcore" -> kCoreParts _,
+    "q140_walk_forward" -> walkForwardEvents _,
+    "q141_rank_normalize" -> rankNormalizeLineitem _,
+    "q142_winsorize" -> winsorizeLineitem _,
+    "q143_ab_ztest" -> abTestEvents _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -5076,5 +5282,10 @@ object Queries {
     "q135_bloom_join" -> bloomPrunedRevenueSql,
     "q136_pmi_pairs" -> pmiDocumentsSql,
     "q137_bm25_index_load" -> bm25SearchSql,
-    "q138_golden_records" -> goldenCustomersSql)
+    "q138_golden_records" -> goldenCustomersSql,
+    "q139_kcore" -> kCorePartsSql,
+    "q140_walk_forward" -> walkForwardEventsSql,
+    "q141_rank_normalize" -> rankNormalizeLineitemSql,
+    "q142_winsorize" -> winsorizeLineitemSql,
+    "q143_ab_ztest" -> abTestEventsSql)
 }

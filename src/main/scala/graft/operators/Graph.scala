@@ -218,4 +218,62 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"))
   }
+
+  /** k-CORE decomposition membership by BOUNDED iterative peeling: the
+    * k-core is the maximal subgraph where every vertex keeps degree
+    * ≥ k — the standard "dense part of the graph" extraction
+    * (community cores, spam/bot rings, collaboration hubs). Each round
+    * recomputes degrees over the surviving subgraph and drops
+    * below-k vertices; the TRUE k-core is the fixpoint.
+    *
+    * Round budget as CONTRACT, not convenience: peeling can need O(n)
+    * rounds in the worst case (a chain peels from the ends inward), so
+    * an engine-replayable version fixes `rounds` and both the operator
+    * and any replay run EXACTLY that schedule — the operator early-exits
+    * when a round removes nothing (the fixpoint; every later round is
+    * a no-op, so early exit ≡ running all rounds). If the budget was
+    * too small for the data's peel depth, the result is the honest
+    * "rounds-bounded core" — callers needing the certified fixpoint
+    * check [[kCoreConverged]] semantics by comparing two budgets.
+    *
+    * 100 TB posture: per round ONE map-side-combined degree count and
+    * two semi-join filters of the edge list (broadcast-sized survivor
+    * list after the first peels; AQE picks the build side from runtime
+    * sizes); the edge table shrinks monotonically and is
+    * localCheckpoint'd each round to cut the loop's lineage.
+    *
+    * @param edges undirected edge list (src, dst); duplicates and
+    *              direction collapse, self-loops dropped
+    * @return (id, core_deg) for vertices surviving `rounds` peels,
+    *         core_deg = degree within the surviving subgraph
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    val src = col("src").cast("long")
+    val dst = col("dst").cast("long")
+    val und0 = edges
+      .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .where(col("a") < col("b")).distinct()
+    // both directions: degree = COUNT per src over the mirrored table
+    var e = und0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var done = false
+    var round = 0
+    while (round < rounds && !done) {
+      val survivors = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= k)
+        .select(col("id"))
+      val pruned = e
+        .join(survivors.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(survivors.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      // fixpoint probe: one count on the (shrinking) checkpointed table
+      if (pruned.count() == e.count()) done = true
+      e = pruned
+      round += 1
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+  }
 }

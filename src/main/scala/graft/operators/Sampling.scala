@@ -223,4 +223,53 @@ object Sampling {
       .drop("__lps_group")
       .withColumn("split", splitColumn(col("rep_id"), splits, salt))
   }
+
+  /** WALK-FORWARD (rolling-origin) time-series folds with an EMBARGO
+    * gap — the temporal cross-validation scheme that [[foldColumn]]'s
+    * hash folds must never be used for: with autocorrelated data, a
+    * random fold assignment trains on the future; walk-forward trains
+    * strictly on the past and embargoes a buffer after each origin so
+    * label/feature windows straddling the cut cannot leak
+    * (the purged/embargoed CV of the quantitative-finance literature,
+    * e.g. López de Prado 2018, applied to any event stream).
+    *
+    * Fold i (0-based) has origin O_i = min(ts) + trainMin + i·step:
+    * TRAIN = ts < O_i, TEST = O_i + embargo ≤ ts < O_i + embargo +
+    * horizon; rows in [O_i, O_i+embargo) and beyond the horizon join
+    * no role for that fold. All arithmetic is int64 (the engine's
+    * UTC-nanos event-time contract) — exact in any engine.
+    *
+    * 100 TB shape: min(ts) is a one-row lazy aggregate folded in by
+    * crossJoin (broadcast of one row, never a driver collect); the
+    * fold assignment is a literal-array explode (fan-out = nFolds) on
+    * an already-filtered stream — one narrow pass, no shuffle beyond
+    * the caller's sink.
+    *
+    * @return input rows exploded to (fold, role) memberships,
+    *         role ∈ {train, test}
+    */
+  def walkForwardFolds(
+      df: DataFrame,
+      tsCol: String,
+      nFolds: Int,
+      trainMin: Long,
+      step: Long,
+      horizon: Long,
+      embargo: Long = 0L): DataFrame = {
+    require(nFolds >= 1 && trainMin > 0 && step > 0 && horizon > 0 &&
+      embargo >= 0, "walkForwardFolds: spans must be positive")
+    val t0 = df.agg(min(col(tsCol)).as("__t0"))
+    val ts = col(tsCol)
+    df.crossJoin(broadcast(t0))
+      .withColumn("__fold", explode(array((0 until nFolds).map(lit): _*)))
+      .withColumn("__origin",
+        col("__t0") + lit(trainMin) + col("__fold").cast("long") * lit(step))
+      .withColumn("role",
+        when(ts < col("__origin"), lit("train"))
+          .when(ts >= col("__origin") + lit(embargo) &&
+            ts < col("__origin") + lit(embargo) + lit(horizon), lit("test")))
+      .where(col("role").isNotNull)
+      .withColumn("fold", col("__fold").cast("long"))
+      .drop("__t0", "__fold", "__origin")
+  }
 }

@@ -609,4 +609,154 @@ object Stats {
       .withColumn("robust_z", trunc6(rz))
       .drop("__sv", "__d2", "__med2", "__mad4")
   }
+
+  /** Per-group PERCENT-RANK normalization — the rank-based feature
+    * transform ([[normalize]]'s distribution-free sibling): each row
+    * gains its SQL-standard rank (ties share the minimum rank) and
+    * `pct_e6` = (rank − 1)·1e6 div (n − 1), the percent_rank
+    * definition in EXACT integer arithmetic — no float ever appears,
+    * so any engine replays it bit-for-bit (rank is value-determined
+    * even though row order among ties is not). Single-member groups
+    * get null pct (0/0); null values rank null but keep their rows.
+    *
+    * 100 TB posture: ONE shuffle on the group key shared by the rank
+    * window and the count — the window is always group-partitioned
+    * (never global), so this is the partitioned-window shape PlanSpec
+    * enforces everywhere.
+    */
+  def rankNormalize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "rankNormalize: need group columns " +
+      "(a global rank of a 100 TB table is a single-partition sort; " +
+      "bucket first)")
+    import org.apache.spark.sql.expressions.Window
+    // nulls LAST explicitly: Spark's asc default is nulls-first, the
+    // SQL-standard (and DuckDB) default is nulls-last — null rows are
+    // masked from the output rank either way, but they must not OFFSET
+    // the live rows' ranks differently per engine
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol).asc_nulls_last)
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("rnk",
+        when(col(valueCol).isNotNull, rank().over(w).cast("long")))
+      .withColumn("__nv", count(col(valueCol)).over(wg))
+      .withColumn("pct_e6",
+        when(col("rnk").isNotNull && col("__nv") > 1,
+          expr("(rnk - 1) * 1000000L div (__nv - 1)")))
+      .drop("__nv")
+  }
+
+  /** NEAREST-RANK winsorized group summary: per group, the p-low /
+    * p-high percentile bounds (nearest-rank, i.e. ACTUAL data values —
+    * deliberately not interpolated: an interpolated bound is a float
+    * blend, and summing clamped floats is reduction-order-dependent;
+    * clamping to member values keeps the whole pipeline in the exact
+    * scaled-long domain), the count clamped at each side, and the
+    * winsorized mean as a floor-e6 integer — the robust location
+    * estimate that tolerates fat tails without [[robustOutliers]]'
+    * row-level verdicts.
+    *
+    * Ranks: bound_low = value at row ⌈pLowPpm·n/1e6⌉ (min 1),
+    * bound_high = value at row ⌈pHighPpm·n/1e6⌉ of the group's
+    * ascending sort — value-at-position is well-defined under ties
+    * regardless of tie order. Inputs go through the [[moments]]
+    * decimal(14,4) domain guard; null values drop from the summary.
+    *
+    * 100 TB posture: one group-partitioned window pass for positions,
+    * one map-side-combined aggregate for the bounds, one narrow
+    * clamp+sum pass with the groups-sized bounds broadcast back — no
+    * global sort, no second scan of raw data.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      pLowPpm: Long = 50000L,
+      pHighPpm: Long = 950000L): DataFrame = {
+    require(pLowPpm >= 0 && pHighPpm <= 1000000L && pLowPpm < pHighPpm,
+      "ppm bounds must satisfy 0 <= low < high <= 1e6")
+    import org.apache.spark.sql.expressions.Window
+    val x4 = (scaledX(valueCol) * lit(10000)).cast("long")
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ x4.as("__x4"): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__x4").asc)
+    val ranked = rows.withColumn("__rn", row_number().over(w).cast("long"))
+    // nearest-rank positions from the group size, exact integer ceil
+    val counts = rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__lo_rn",
+        greatest(expr(s"($pLowPpm * __n + 999999) div 1000000"), lit(1L)))
+      .withColumn("__hi_rn",
+        greatest(expr(s"($pHighPpm * __n + 999999) div 1000000"),
+          col("__lo_rn")))
+    val bounds = nullSafeGroupJoin(ranked, counts, groupCols)
+      .where(col("__rn") === col("__lo_rn") || col("__rn") === col("__hi_rn"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min(when(col("__rn") === col("__lo_rn"), col("__x4"))).as("__lo4"),
+        max(when(col("__rn") === col("__hi_rn"), col("__x4"))).as("__hi4"))
+    val clamped = least(greatest(col("__x4"), col("__lo4")), col("__hi4"))
+    nullSafeGroupJoin(nullSafeGroupJoin(rows, counts, groupCols),
+        bounds, groupCols)
+      .withColumn("__c4", clamped)
+      .groupBy(groupCols.map(col) :+ col("__n").as("n"): _*)
+      .agg(
+        min(col("__lo4")).as("lo_e4"),
+        min(col("__hi4")).as("hi_e4"),
+        sum((col("__x4") < col("__lo4")).cast("long")).as("n_low"),
+        sum((col("__x4") > col("__hi4")).cast("long")).as("n_high"),
+        expr("sum(__c4)").as("__sc4"))
+      .withColumn("win_mean_e6", expr("__sc4 * 100L div n"))
+      .drop("__sc4")
+  }
+
+  /** Two-sample z-test report over EXACT decimal moments — the A/B
+    * readout (Welch-style unpooled variance): for each requested
+    * (group_a, group_b) pair,
+    *   z = (mean_a − mean_b) / √(var_a/n_a + var_b/n_b)
+    * with means/variances derived from [[moments]]' decimal power sums,
+    * so the inputs to the final double chain are exact and
+    * partitioning-independent, and the chain itself is one fixed
+    * parenthesization both engines replay (the [[regression]] rule).
+    * Outputs trunc6 doubles; a pair with a missing group, n = 0, or
+    * zero combined variance yields null z rather than NaN/Inf.
+    *
+    * 100 TB posture: ONE map-side-combined moments aggregation over
+    * the measure column; the pair report is a literal-sized join of
+    * the groups-sized moment table against itself — no second data
+    * scan, no row-level shuffle.
+    */
+  def twoSampleZ(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "twoSampleZ: need at least one group pair")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = moments(df.select(col(groupCol).cast("string").as("__g"),
+      col(valueCol)), Seq("__g"), valueCol)
+    def side(tag: String) = m.select(
+      col("__g").as(s"group_$tag"),
+      col("__n").as(s"n_$tag"),
+      col("__sx").cast("double").as(s"__sx_$tag"),
+      col("__sxx").cast("double").as(s"__sxx_$tag"))
+    val p = pairs.toDF("group_a", "group_b")
+    def mean(tag: String) = col(s"__sx_$tag") / col(s"n_$tag").cast("double")
+    def varOverN(tag: String) = {
+      val n = col(s"n_$tag").cast("double")
+      (n * col(s"__sxx_$tag") - col(s"__sx_$tag") * col(s"__sx_$tag")) /
+        (n * n * n)
+    }
+    val denom = sqrt(varOverN("a") + varOverN("b"))
+    p.join(broadcast(side("a")), Seq("group_a"), "left")
+      .join(broadcast(side("b")), Seq("group_b"), "left")
+      .select(col("group_a"), col("group_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("n_a") > 0, trunc6(mean("a"))).as("mean_a"),
+        when(col("n_b") > 0, trunc6(mean("b"))).as("mean_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 && denom > lit(0.0),
+          trunc6((mean("a") - mean("b")) / denom)).as("z"))
+  }
 }

@@ -254,4 +254,26 @@ class CorpusPrepSpec extends SparkSuite {
     assert(rows(0).getAs[String]("chunk_fp") == fp(toks.take(50).mkString(" ")))
     assert(rows(1).getAs[String]("chunk_fp") == fp(toks.slice(40, 90).mkString(" ")))
   }
+
+  test("walkForwardFolds: train strictly past, embargo gap dropped, horizon bounded") {
+    // events at t = 0..9 (ts in abstract units)
+    val df = (0L to 9L).map(t => (t, t)).toDF("id", "ts")
+    // fold i origin = 0 + 3 + i*2 -> O0=3, O1=5; embargo 1, horizon 2
+    val got = Sampling.walkForwardFolds(df, "ts", nFolds = 2,
+        trainMin = 3, step = 2, horizon = 2, embargo = 1)
+      .select("fold", "role", "id").as[(Long, String, Long)]
+      .collect().toSet
+    val want =
+      (0L to 2L).map(t => (0L, "train", t)).toSet ++
+        Seq((0L, "test", 4L), (0L, "test", 5L)) ++       // [4, 6); 3 embargoed
+        (0L to 4L).map(t => (1L, "train", t)).toSet ++
+        Seq((1L, "test", 6L), (1L, "test", 7L))          // [6, 8); 5 embargoed
+    assert(got == want, s"got $got")
+    // zero embargo: the origin row itself is the first test row
+    val ne = Sampling.walkForwardFolds(df, "ts", nFolds = 1,
+        trainMin = 3, step = 2, horizon = 1, embargo = 0)
+      .select("role", "id").as[(String, Long)].collect().toSet
+    assert(ne == ((0L to 2L).map(("train", _)).toSet + (("test", 3L))), s"$ne")
+    assert(Sampling.walkForwardFolds(df.limit(0), "ts", 2, 3, 2, 2).count() == 0)
+  }
 }

@@ -81,4 +81,28 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(multi(3L) == 2L && multi(4L) == 3L && multi(6L) == 0L, s"$multi")
   }
+
+  test("kCore: chain peels away from a clique over multiple rounds") {
+    // K4 on {1,2,3,4} + tail 4-5-6-7: the 3-core is exactly the K4;
+    // at k=2 the tail peels over THREE rounds (7, then 6, then 5)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 3, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$core")
+    // a 1-round budget peels only the first layer: 7 is gone, the rest
+    // of the tail still present with its not-yet-final degrees
+    val one = Graph.kCore(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(!one.contains(7L) && one.contains(6L), s"$one")
+    // fixpoint early-exit: a huge budget returns the same 2-core
+    val conv = Graph.kCore(edges, k = 2, rounds = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(conv == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$conv")
+    // duplicate/reversed edges and self-loops do not inflate degrees
+    val noisy = (k4 ++ k4.map(_.swap) ++ Seq((1L, 1L))).toDF("src", "dst")
+    val c2 = Graph.kCore(noisy, k = 3, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(c2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$c2")
+  }
 }

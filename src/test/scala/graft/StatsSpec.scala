@@ -382,4 +382,58 @@ class StatsSpec extends SparkSuite {
       "null values are never outliers")
     assert(Stats.outliers(df.limit(0), Seq("g"), "v").count() == 0)
   }
+
+  test("rankNormalize: min-rank ties, exact integer pct, null/singleton rules") {
+    val df = Seq(("g", Some(10.0)), ("g", Some(10.0)), ("g", Some(20.0)),
+      ("g", Some(30.0)), ("g", None), ("h", Some(5.0)))
+      .toDF("g", "v")
+    val got = Stats.rankNormalize(df, Seq("g"), "v")
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getDouble(1)),
+        if (r.isNullAt(r.fieldIndex("rnk"))) None else Some(r.getLong(r.fieldIndex("rnk"))),
+        if (r.isNullAt(r.fieldIndex("pct_e6"))) None else Some(r.getLong(r.fieldIndex("pct_e6")))))
+      .toSet
+    assert(got == Set(
+      ("g", Some(10.0), Some(1L), Some(0L)),
+      ("g", Some(20.0), Some(3L), Some(666666L)), // (3-1)*1e6 div 3
+      ("g", Some(30.0), Some(4L), Some(1000000L)),
+      ("g", None, None, None),                    // null ranks null, row kept
+      ("h", Some(5.0), Some(1L), None)),          // singleton: pct undefined
+      s"$got")
+  }
+
+  test("winsorize: nearest-rank bounds, clamp counts, floor-e6 mean") {
+    // g: sorted 1..10; p10/p90 -> lo_rank=1, hi_rank=9 -> bounds 1, 9
+    val df = ((1 to 10).map(i => ("g", i.toDouble)) :+ ("h", 5.0))
+      .toDF("g", "v")
+    val got = Stats.winsorize(df, Seq("g"), "v",
+        pLowPpm = 100000L, pHighPpm = 900000L)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // clamped sum for g: 1..9 + (10->9) = 45 - 10 + 9 + ... = 1+..+9 + 9 = 54
+    assert(got == Seq(
+      ("g", 10L, 10000L, 90000L, 0L, 1L, 5400000L),
+      ("h", 1L, 50000L, 50000L, 0L, 0L, 5000000L)), s"$got")
+  }
+
+  test("twoSampleZ: hand-computed z; missing/degenerate pairs go null") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0),
+      ("c", 4.0)).toDF("g", "v")
+    val got = Stats.twoSampleZ(df, "g", "v",
+        Seq("a" -> "b", "a" -> "zz", "c" -> "c"))
+      .orderBy("group_a", "group_b").collect()
+    // a: n=2 m=2 var=1; b: n=2 m=4 var=4 -> z=(2-4)/sqrt(.5+2)
+    val z = (2.0 - 4.0) / math.sqrt(1.0 / 2 + 4.0 / 2)
+    val zT = math.floor(z * 1e6) / 1e6
+    val r0 = got(0)
+    assert(r0.getString(0) == "a" && r0.getString(1) == "b" &&
+      r0.getLong(2) == 2L && r0.getLong(3) == 2L &&
+      r0.getDouble(4) == 2.0 && r0.getDouble(5) == 4.0 &&
+      r0.getDouble(6) == zT, s"$r0 want z=$zT")
+    val r1 = got(1) // a vs missing group
+    assert(r1.getLong(3) == 0L && r1.isNullAt(5) && r1.isNullAt(6))
+    val r2 = got(2) // c vs c: zero variance -> null z, means present
+    assert(r2.getDouble(4) == 4.0 && r2.isNullAt(6))
+  }
 }
