@@ -234,4 +234,36 @@ class EmptyInputSpec extends SparkSuite {
       Sketches.hllState(emptyKV, "v", Seq("k")), Nil, "k", 7).count() == 0)
     assert(Profile.joinCardinality(emptyKV, emptyKV, "k", "k", 5).count() == 0)
   }
+
+  test("round-5e family (q134-q143): empty inputs stay empty or zeroed") {
+    import org.apache.spark.sql.types._
+    val emptyKV = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", StringType), StructField("v", DoubleType),
+        StructField("id", LongType))))
+    assert(Encoding.targetEncodeLoo(emptyKV, "k", "v").count() == 0)
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    assert(Graph.kCore(emptyEdges, k = 2, rounds = 3).count() == 0)
+    assert(Sampling.walkForwardFolds(
+      emptyKV.withColumn("ts", col("id")), "ts", 2, 10, 5, 5).count() == 0)
+    assert(Stats.rankNormalize(emptyKV, Seq("k"), "v").count() == 0)
+    assert(Stats.winsorize(emptyKV, Seq("k"), "v").count() == 0)
+    // pair report over an empty measure table: rows survive, stats null
+    val z = Stats.twoSampleZ(emptyKV, "k", "v", Seq("a" -> "b")).head
+    assert(z.getAs[Long]("n_a") == 0 && z.isNullAt(z.fieldIndex("z")))
+    val emptyDocs2 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    assert(TextAnalysis.pmiPairs(emptyDocs2, "doc_id", "text").count() == 0)
+    // bloom of an empty dim prunes EVERYTHING (no bits set)
+    val fact = Seq((1L, "x")).toDF("k2", "p")
+    assert(Sketches.bloomPrune(
+      Sketches.bloomBits(emptyKV.select(col("id")), "id"),
+      fact, "k2").count() == 0)
+    assert(FuzzyJoin.goldenRecords(
+      emptyKV.withColumn("s", col("v")), "id", "k", "s").count() == 0)
+  }
 }

@@ -344,4 +344,33 @@ class PlanSpec extends SparkSuite {
         s"unpartitioned window must consume aggregate-grain input:\n$q")
     }
   }
+
+  test("q135 bloom prune: k broadcast semi-joins, never a fact-side shuffle join") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val lp = Queries.all("q135_bloom_join")(spark, sf)
+      .queryExecution.optimizedPlan
+    val semis = lp.collect {
+      case j: logical.Join if j.joinType == LeftSemi => j }
+    assert(semis.size == 3, s"expected the 3 per-hash semi-joins:\n$lp")
+    semis.foreach(j => assert(
+      j.hint.rightHint.exists(_.strategy.isDefined),
+      s"bloom semi-join lost its broadcast hint (fact would shuffle):\n$lp"))
+  }
+
+  test("q134/q141/q142 feature-prep windows and sums stay group-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    Seq("q141_rank_normalize", "q142_winsorize").foreach { q =>
+      val lp = Queries.all(q)(spark, sf).queryExecution.optimizedPlan
+      val ws = lp.collect { case w: logical.Window => w }
+      assert(ws.nonEmpty, s"$q expected a window")
+      ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q planned a GLOBAL window over row-grain input:\n$lp"))
+    }
+    // target encoding: one partial+final aggregate, no window at all
+    val te = plan("q134_target_encode")
+    assert(te.contains("partial_count") || te.contains("partial_sum"),
+      s"target encoding sums must combine map-side:\n$te")
+    assert(!te.contains("Window"), s"target encoding must not sort rows:\n$te")
+  }
 }
