@@ -4999,6 +4999,236 @@ object Queries {
       |      * 1e6) / 1e6 END AS z
       |FROM j ORDER BY group_a, group_b""".stripMargin
 
+  /** q144: point-in-time SCD2 join ([[ChangeCapture.pointInTime]]) —
+    * each purchase decorated with the user's BROWSING state (scd2 over
+    * the non-purchase events) valid at the purchase instant: the
+    * feature-store lookup that keeps training features temporally
+    * honest. The oracle replays the q99 scd2 CTE and the literal
+    * interval-containment join.
+    */
+  def pointInTimeEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      .where(col("user_id") < 100)
+    val dim = ChangeCapture.scd2(ev.where(col("event_type") =!= "purchase"),
+      Seq("user_id"), "ts", "event_id", Seq("event_type"))
+    val facts = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    ChangeCapture.pointInTime(facts, dim, "user_id", "ts", Seq("event_type"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type").as("state"))
+      .orderBy("event_id")
+  }
+
+  val pointInTimeEventsSql: String =
+    """WITH src AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id, event_type
+      |  FROM events WHERE user_id < 100 AND event_type <> 'purchase'),
+      |d AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM src),
+      |k AS (
+      |  SELECT user_id, ts, event_id, event_type FROM d
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      |iv AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM k),
+      |f AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts
+      |  FROM events WHERE user_id < 100 AND event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts, iv.event_type AS state
+      |FROM f LEFT JOIN iv ON iv.user_id = f.user_id
+      |  AND iv.valid_from <= f.ts
+      |  AND (iv.valid_to IS NULL OR iv.valid_to > f.ts)
+      |ORDER BY f.event_id""".stripMargin
+
+  /** q145: deterministic negative sampling
+    * ([[Sampling.negativeSamples]]) — contrastive negatives for each
+    * customer against the part catalog, md5-indexed draws with
+    * positives (ordered parts) anti-joined out; the oracle replays
+    * every draw, collision drop, and the (j, item) survivor order.
+    */
+  def negativeSamplesParts(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").where(col("o_custkey") < 50)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pos = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    Sampling.negativeSamples(pos,
+        t(s, dir, "part").select(col("p_partkey")),
+        "cust", "part", "p_partkey", k = 5)
+      .orderBy("cust", "rank")
+  }
+
+  val negativeSamplesPartsSql: String = {
+    val h = duckHash60("neg",
+      "concat(CAST(a AS VARCHAR), '#', CAST(j AS VARCHAR))")
+    s"""WITH pos AS (
+       |  SELECT DISTINCT o_custkey AS a, l_partkey AS item
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_custkey < 50),
+       |idx AS (
+       |  SELECT item, row_number() OVER (ORDER BY item) - 1 AS pos FROM
+       |    (SELECT DISTINCT p_partkey AS item FROM part
+       |     WHERE p_partkey IS NOT NULL)),
+       |n AS (SELECT COUNT(*) AS n FROM idx),
+       |anchors AS (SELECT DISTINCT a FROM pos),
+       |js(j) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9)),
+       |drawn AS (
+       |  SELECT anchors.a, js.j, $h % n.n AS pos
+       |  FROM anchors CROSS JOIN js CROSS JOIN n),
+       |hit AS (SELECT d.a, d.j, idx.item FROM drawn d JOIN idx USING (pos)),
+       |surv AS (
+       |  SELECT h.a, h.item, MIN(h.j) AS j
+       |  FROM hit h LEFT JOIN pos p ON p.a = h.a AND p.item = h.item
+       |  WHERE p.a IS NULL AND h.item <> h.a
+       |  GROUP BY 1, 2),
+       |r AS (SELECT a, item,
+       |    row_number() OVER (PARTITION BY a ORDER BY j, item) AS rank
+       |  FROM surv)
+       |SELECT a AS cust, CAST(rank AS BIGINT) AS rank, item AS neg_id
+       |FROM r WHERE rank <= 5 ORDER BY cust, rank""".stripMargin
+  }
+
+  /** q146: hard-negative mining ([[Similarity.hardNegatives]]) — per
+    * query vector, the 5 most-cosine-similar vectors of a DIFFERENT
+    * label (the q23 brute-force chain + the exclusion class, both
+    * replayed).
+    */
+  def hardNegativesVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.hardNegatives(e, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", "label", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativesVecsSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    e.label AS neighbor_label,
+      |    COALESCE(list_dot_product(q.v, e.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) *
+      |       sqrt(list_dot_product(e.v, e.v))), 0.0) AS cos
+      |  FROM q JOIN e ON e.vec_id <> q.vec_id
+      |    AND e.label IS DISTINCT FROM q.label),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, neighbor_label, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+      |  neighbor_label, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q147: tokenizer fertility report — per language: words, OOV
+    * count vs the committed BPE word table (closure makes it 0 here —
+    * the column PROVES it), single-token share, and subwords-per-word
+    * fertility as floor-e6 — the "how expensive is this language for
+    * my tokenizer" readout an LLM data pipeline budgets with. Pure
+    * composition: tokens explode ⋈ committed vocab; the oracle reads
+    * the same parquet fixture.
+    */
+  def bpeFertilityDocs(s: SparkSession, dir: String): DataFrame = {
+    val bp = s.read.parquet("/root/repo/fixtures/bpe_words.parquet")
+      .select(col("word"), col("n_bpe"))
+    val words = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+    words.join(bp, Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("n_distinct"),
+        sum(col("n_bpe").isNull.cast("long")).as("oov_words"),
+        sum((col("n_bpe") === 1).cast("long")).as("single_token_words"),
+        sum(coalesce(col("n_bpe"), lit(0L))).as("n_subwords"))
+      .withColumn("fertility_e6",
+        expr("n_subwords * 1000000L div (n_words - oov_words)"))
+      .orderBy("lang")
+  }
+
+  val bpeFertilityDocsSql: String =
+    s"""WITH w AS (
+       |  SELECT lang, unnest($duckToks) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |bp AS (SELECT word, n_bpe FROM read_parquet(
+       |        '/root/repo/fixtures/bpe_words.parquet/*.parquet')),
+       |j AS (SELECT w.lang, w.word, bp.n_bpe
+       |      FROM w LEFT JOIN bp USING (word)),
+       |g AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct,
+       |    CAST(SUM(CASE WHEN n_bpe IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS oov_words,
+       |    CAST(SUM(CASE WHEN n_bpe = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS single_token_words,
+       |    CAST(SUM(COALESCE(n_bpe, 0)) AS BIGINT) AS n_subwords
+       |  FROM j GROUP BY 1)
+       |SELECT lang, n_words, n_distinct, oov_words, single_token_words,
+       |  n_subwords,
+       |  (n_subwords * 1000000) // (n_words - oov_words) AS fertility_e6
+       |FROM g ORDER BY lang""".stripMargin
+
+  /** q148: CDC apply / MERGE ([[ChangeCapture.applyCdc]]) — a derived
+    * change log (updates, an out-of-order stale update that must LOSE,
+    * deletes, brand-new keys, and an update+delete tie settled by the
+    * tie column) applied onto the documents snapshot. The oracle
+    * replays the log construction and the latest-wins merge.
+    */
+  def cdcApplyDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      col("source"))
+    val upd = d.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(100L).as("ts"), lit(1L).as("tie"),
+        lit("U").as("op"), concat(col("lang"), lit("-v2")).as("lang"),
+        col("source"))
+    val stale = d.where(col("doc_id") % 21 === 0)
+      .select(col("doc_id"), lit(50L).as("ts"), lit(9L).as("tie"),
+        lit("U").as("op"), lit("stale").as("lang"), col("source"))
+    val del = d.where(col("doc_id") % 11 === 3)
+      .select(col("doc_id"), lit(100L).as("ts"), lit(2L).as("tie"),
+        lit("D").as("op"), lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("source"))
+    val ins = d.where(col("doc_id") % 97 === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), lit(100L).as("ts"),
+        lit(1L).as("tie"), lit("U").as("op"), lit("new").as("lang"),
+        col("source"))
+    val changes = upd.unionByName(stale).unionByName(del).unionByName(ins)
+    ChangeCapture.applyCdc(d, changes, "doc_id", "ts", "tie", "op",
+        Seq("lang", "source"))
+      .orderBy("doc_id")
+  }
+
+  val cdcApplyDocsSql: String =
+    """WITH snap AS (SELECT doc_id, lang, source FROM documents),
+      |changes AS (
+      |  SELECT doc_id, 100 AS ts, 1 AS tie, 'U' AS op,
+      |    lang || '-v2' AS lang, source FROM snap WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 50, 9, 'U', 'stale', source
+      |  FROM snap WHERE doc_id % 21 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 100, 2, 'D', NULL, NULL
+      |  FROM snap WHERE doc_id % 11 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 100, 1, 'U', 'new', source
+      |  FROM snap WHERE doc_id % 97 = 5),
+      |verdict AS (
+      |  SELECT doc_id, op, lang, source FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY ts DESC, tie DESC) AS rn FROM changes)
+      |  WHERE rn = 1)
+      |SELECT COALESCE(s.doc_id, v.doc_id) AS doc_id,
+      |  CASE WHEN v.op = 'U' THEN v.lang ELSE s.lang END AS lang,
+      |  CASE WHEN v.op = 'U' THEN v.source ELSE s.source END AS source
+      |FROM snap s FULL OUTER JOIN verdict v ON s.doc_id = v.doc_id
+      |WHERE v.op IS NULL OR v.op = 'U'
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -5143,7 +5373,12 @@ object Queries {
     "q140_walk_forward" -> walkForwardEvents _,
     "q141_rank_normalize" -> rankNormalizeLineitem _,
     "q142_winsorize" -> winsorizeLineitem _,
-    "q143_ab_ztest" -> abTestEvents _)
+    "q143_ab_ztest" -> abTestEvents _,
+    "q144_point_in_time" -> pointInTimeEvents _,
+    "q145_negative_samples" -> negativeSamplesParts _,
+    "q146_hard_negatives" -> hardNegativesVecs _,
+    "q147_bpe_fertility" -> bpeFertilityDocs _,
+    "q148_cdc_apply" -> cdcApplyDocs _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -5287,5 +5522,10 @@ object Queries {
     "q140_walk_forward" -> walkForwardEventsSql,
     "q141_rank_normalize" -> rankNormalizeLineitemSql,
     "q142_winsorize" -> winsorizeLineitemSql,
-    "q143_ab_ztest" -> abTestEventsSql)
+    "q143_ab_ztest" -> abTestEventsSql,
+    "q144_point_in_time" -> pointInTimeEventsSql,
+    "q145_negative_samples" -> negativeSamplesPartsSql,
+    "q146_hard_negatives" -> hardNegativesVecsSql,
+    "q147_bpe_fertility" -> bpeFertilityDocsSql,
+    "q148_cdc_apply" -> cdcApplyDocsSql)
 }

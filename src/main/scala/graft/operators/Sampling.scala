@@ -224,6 +224,78 @@ object Sampling {
       .withColumn("split", splitColumn(col("rep_id"), splits, salt))
   }
 
+  /** Deterministic NEGATIVE SAMPLING for contrastive training — for
+    * each anchor in `positives` (anchor_id, pos_id), draw `k`
+    * pseudo-random items from `pool` that are NOT that anchor's
+    * positives (and not the anchor itself): the (query, positive,
+    * negatives...) triples every embedding/retrieval trainer consumes.
+    * No RNG anywhere — draw j of anchor q indexes the pool at
+    * `hash60(q, "neg#j") mod |pool|` ([[hashBucket]]'s portable md5
+    * recipe), so any engine replays the exact sample and a re-run on
+    * appended data changes only what the pool change forces.
+    *
+    * Collision handling is draw-dropping, not re-drawing: a draw that
+    * lands on a positive (or the anchor, or a duplicate item of an
+    * earlier draw) is discarded and the remaining draws keep their
+    * order — re-draw loops have data-dependent depth, which neither a
+    * fixed plan nor an external replay can express. Oversample
+    * (`draws` > k, default 2k) so k survivors remain; the operator
+    * emits at most k per anchor, fewer ONLY if draws ran out (the
+    * caller sees it in the rank column, nothing silently pads).
+    *
+    * 100 TB shape: the pool is dense-indexed ONCE by a pool-grain
+    * window sort (a negative pool is vocabulary-like — item catalog,
+    * doc registry — the [[graft.operators.Encoding.labelDictionary]]
+    * boundedness argument; it is NOT the event stream); draws are a
+    * narrow k-way explode of the anchors joined to the pool index by
+    * equi-join, positives anti-join per (anchor, item). One shuffle on
+    * the draw join key, map-side-combined nothing — output is
+    * O(anchors × k).
+    *
+    * @return (anchor_id, rank 1..≤k, neg_id), rank in draw order
+    */
+  def negativeSamples(
+      positives: DataFrame,
+      pool: DataFrame,
+      anchorCol: String,
+      posCol: String,
+      poolIdCol: String,
+      k: Int,
+      draws: Int = 0,
+      salt: String = "neg"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val m = if (draws > 0) draws else 2 * k
+    require(m >= k, "draws must be >= k")
+    import org.apache.spark.sql.expressions.Window
+    val idx = pool.select(col(poolIdCol).as("__item"))
+      .where(col("__item").isNotNull).distinct()
+      .withColumn("__pos",
+        row_number().over(Window.orderBy(col("__item").asc)).cast("long") - 1)
+    val n1 = idx.agg(count(lit(1)).as("__n"))
+    val anchors = positives.select(col(anchorCol).as("__a")).distinct()
+    val drawn = anchors.crossJoin(broadcast(n1))
+      .withColumn("__j", explode(array((0 until m).map(lit): _*)))
+      .withColumn("__pos", when(col("__n") > 0,
+        graft.functions.PortableHash.hash60(
+          concat(col("__a").cast("string"), lit("#"), col("__j").cast("string")),
+          salt) % col("__n")))
+      .join(idx, Seq("__pos"))
+    val posSet = positives.select(col(anchorCol).as("__a"),
+      col(posCol).as("__item")).distinct()
+    val survivors = drawn
+      .join(posSet, Seq("__a", "__item"), "left_anti")
+      .where(col("__item") =!= col("__a"))
+      // duplicate items among one anchor's draws: keep the earliest j
+      .groupBy(col("__a"), col("__item"))
+      .agg(min(col("__j")).as("__j"))
+    val wr = Window.partitionBy(col("__a"))
+      .orderBy(col("__j").asc, col("__item").asc)
+    survivors
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__a").as(anchorCol), col("rank"), col("__item").as("neg_id"))
+  }
+
   /** WALK-FORWARD (rolling-origin) time-series folds with an EMBARGO
     * gap — the temporal cross-validation scheme that [[foldColumn]]'s
     * hash folds must never be used for: with autocorrelated data, a

@@ -71,6 +71,46 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** HARD-NEGATIVE mining — [[bruteForceTopK]] with an exclusion
+    * class: per query, the k most-similar corpus vectors whose label
+    * DIFFERS from the query's (the "looks like a match but is not"
+    * examples that make contrastive training sharp; random negatives
+    * — [[graft.operators.Sampling.negativeSamples]] — are trivially
+    * separable after the first epochs, hard negatives carry the
+    * gradient after that). Same plan as brute force: broadcast the
+    * (bounded) query batch, one narrow scored scan, per-query window
+    * head; at real scale swap the scorer for [[lshTopK]]'s blocked
+    * candidates and keep the label filter — the exclusion composes
+    * with any retriever.
+    *
+    * @return (query_id, rank 1..k, neighbor_id, neighbor_label, cos)
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__qlabel"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id") &&
+        !(col("neighbor_label") <=> col("__qlabel")))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes: `n` planes ×
     * `dim` coordinates in [-1, 1), derived from a 64-bit mix of
     * (seed, plane, coord) — no RNG state, reproducible across runs.

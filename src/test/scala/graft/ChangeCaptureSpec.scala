@@ -113,4 +113,49 @@ class ChangeCaptureSpec extends SparkSuite {
     val el = Seq.empty[(Long, Long, Long, String)].toDF("key", "ts", "id", "tier")
     assert(ChangeCapture.scd2(el, Seq("key"), "ts", "id", Seq("tier")).isEmpty)
   }
+
+  test("pointInTime: boundary inclusive at valid_from, exclusive at valid_to") {
+    // key 1: bronze [10, 20), silver [20, null); key 2: gold [15, 25) GAP
+    val dim = Seq(
+      (1L, "bronze", 10L, Some(20L)), (1L, "silver", 20L, None),
+      (2L, "gold", 15L, Some(25L)))
+      .toDF("k", "tier", "valid_from", "valid_to")
+    val facts = Seq(
+      (100L, 1L, 9L),   // before first version -> null
+      (101L, 1L, 10L),  // exactly valid_from -> bronze
+      (102L, 1L, 19L),  // inside -> bronze
+      (103L, 1L, 20L),  // boundary: silver starts AT 20
+      (104L, 2L, 30L),  // after gold expired (gap) -> null
+      (105L, 3L, 10L))  // key with no history -> null
+      .toDF("fid", "k", "ts")
+    val got = ChangeCapture.pointInTime(facts, dim, "k", "ts", Seq("tier"))
+      .orderBy("fid")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("tier"))).toMap
+    assert(got == Map(100L -> None, 101L -> Some("bronze"),
+      102L -> Some("bronze"), 103L -> Some("silver"),
+      104L -> None, 105L -> None), s"$got")
+  }
+
+  test("applyCdc: latest wins, ties by tie column, deletes, inserts, bad op raises") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    val changes = Seq(
+      (1L, 10L, 1L, "U", "a2"),   // plain update
+      (1L, 5L, 9L, "U", "old"),   // out-of-order: must lose to ts=10
+      (2L, 10L, 1L, "U", "b2"),   // loses the tie below
+      (2L, 10L, 2L, "D", null),   // same ts, higher tie: delete wins
+      (5L, 10L, 1L, "U", "e"))    // brand-new key
+      .toDF("id", "ts", "tie", "op", "v")
+    val got = ChangeCapture.applyCdc(snap, changes, "id", "ts", "tie", "op",
+        Seq("v"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a2"), (3L, "c"), (4L, "d"), (5L, "e")), s"$got")
+    val bad = Seq((1L, 10L, 1L, "X", "zz")).toDF("id", "ts", "tie", "op", "v")
+    val e = intercept[Exception] {
+      ChangeCapture.applyCdc(snap, bad, "id", "ts", "tie", "op", Seq("v"))
+        .collect()
+    }
+    assert(e.getMessage.contains("unknown op"), e.getMessage)
+  }
 }

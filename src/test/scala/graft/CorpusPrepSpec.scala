@@ -276,4 +276,35 @@ class CorpusPrepSpec extends SparkSuite {
     assert(ne == ((0L to 2L).map(("train", _)).toSet + (("test", 3L))), s"$ne")
     assert(Sampling.walkForwardFolds(df.limit(0), "ts", 2, 3, 2, 2).count() == 0)
   }
+
+  test("negativeSamples: positives/self excluded, deterministic, rank contract") {
+    // anchors ARE pool members (10, 11) so self-exclusion is exercised
+    val pos = Seq((10L, 12L), (10L, 13L), (11L, 12L)).toDF("a", "p")
+    val pool = (10L to 29L).toDF("item")
+    val got = Sampling.negativeSamples(pos, pool, "a", "p", "item",
+        k = 4, draws = 12)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.keySet == Set(10L, 11L))
+    val posMap = Map(10L -> Set(12L, 13L), 11L -> Set(12L))
+    got.foreach { case (a, _, neg) =>
+      assert(!posMap(a).contains(neg), s"positive $neg sampled for $a")
+      assert(neg != a, s"anchor $a sampled itself")
+      assert((10L to 29L).contains(neg), "negative must come from the pool")
+    }
+    byAnchor.values.foreach { rows =>
+      assert(rows.map(_._2).sorted == (1L to rows.size.toLong), "dense ranks")
+      assert(rows.size <= 4)
+      assert(rows.map(_._3).distinct.size == rows.size, "duplicate negative")
+    }
+    val again = Sampling.negativeSamples(pos, pool, "a", "p", "item",
+        k = 4, draws = 12)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again.toSet == got.toSet, "sampling must be deterministic")
+    // different salt -> (almost surely) different draws
+    val salted = Sampling.negativeSamples(pos, pool, "a", "p", "item",
+        k = 4, draws = 12, salt = "other")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(salted.toSet != got.toSet)
+  }
 }

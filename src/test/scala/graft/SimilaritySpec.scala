@@ -186,4 +186,21 @@ class SimilaritySpec extends SparkSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     (0L until 3L).foreach { q => assert(got(q) == bruteTopK(q, 5), s"query $q") }
   }
+
+  test("hardNegatives: same-label and self excluded, ranked by cosine") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0L, 0, Array(1.0, 0.0)), (1L, 0, Array(0.99, 0.141)),
+      (2L, 1, Array(0.98, 0.199)), (3L, 1, Array(0.0, 1.0)),
+      (4L, 2, Array(0.7, 0.714)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(vecs, vecs.where(col("vec_id") === 0),
+        "vec_id", "embedding", "label", 3)
+      .orderBy("rank")
+      .select("rank", "neighbor_id", "neighbor_label")
+      .as[(Long, Long, Int)].collect().toSeq
+    // label-0 vec 1 excluded even though it is the nearest overall;
+    // among labels {1,2}: vec 2 (cos~.98) > vec 4 (~.70) > vec 3 (0)
+    assert(got == Seq((1L, 2L, 1), (2L, 4L, 2), (3L, 3L, 1)), s"$got")
+  }
 }
