@@ -5229,6 +5229,143 @@ object Queries {
       |WHERE v.op IS NULL OR v.op = 'U'
       |ORDER BY doc_id""".stripMargin
 
+  /** q149: grid-blocked radius self-join ([[SpatialJoin.radiusSelfPairs]])
+    * — neighbor pairs within 2000 units on a derived integer plane
+    * (md5 coordinates, so both engines synthesize identical points).
+    * The oracle is the literal all-pairs distance join: the 3×3 grid
+    * decomposition is an exact rewrite, so all-pairs is ground truth.
+    */
+  def spatialNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+      (graft.functions.PortableHash.hash60(col("c_custkey"), "gx")
+        % 100000).as("x"),
+      (graft.functions.PortableHash.hash60(col("c_custkey"), "gy")
+        % 100000).as("y"))
+    SpatialJoin.radiusSelfPairs(pts, "id", "x", "y", radius = 2000L)
+      .orderBy("id_a", "id_b")
+  }
+
+  val spatialNeighborsSql: String = {
+    val hx = duckHash60("gx", "c_custkey")
+    val hy = duckHash60("gy", "c_custkey")
+    s"""WITH p AS (
+       |  SELECT c_custkey AS id, $hx % 100000 AS x, $hy % 100000 AS y
+       |  FROM customer WHERE c_custkey IS NOT NULL)
+       |SELECT a.id AS id_a, b.id AS id_b, a.x AS x_a, a.y AS y_a,
+       |  b.x AS x_b, b.y AS y_b,
+       |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+       |FROM p a JOIN p b ON a.id < b.id
+       |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |  <= 4000000
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q150: edit-distance-2 fuzzy self-join ([[FuzzyJoin.selfPairs]]
+    * maxDist = 2, depth-2 deletion neighborhoods) over the first 500
+    * customer names. Oracle: brute-force all-pairs levenshtein — the
+    * blocking must lose nothing and the verify must add nothing.
+    */
+  def fuzzy2Customers(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.selfPairs(
+        t(s, dir, "customer").where(col("c_custkey") < 500),
+        "c_custkey", "c_name", maxDist = 2)
+      .orderBy("id_a", "id_b")
+
+  val fuzzy2CustomersSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  a.c_name AS name_a, b.c_name AS name_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |  AND a.c_custkey < 500 AND b.c_custkey < 500
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q151: Markov removal-effect attribution
+    * ([[Behavior.markovAttribution]]) — the journey chain over event
+    * types with purchase as absorption, 12 scaled-integer value
+    * iterations, one removal run per channel. The oracle rebuilds the
+    * chain and unrolls ALL 5 × 12 iterations (base + four removals)
+    * in materialized CTEs — every floor division replayed.
+    */
+  def markovAttributionEvents(s: SparkSession, dir: String): DataFrame =
+    Behavior.markovAttribution(
+      t(s, dir, "events").withColumn("ts", expr("ts div 1000")),
+      "user_id", "ts", "event_id", "event_type", "purchase")
+
+  val markovAttributionEventsSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val scale = "1000000000000"
+    def scenario(tag: String, removed: Option[String]): String = {
+      val srcFilter = removed.map(r => s"WHERE c.src <> '$r'").getOrElse("")
+      val remClause = removed.map(r => s"WHEN c.dst = '$r' THEN 0").getOrElse("")
+      val zero = s"""p_${tag}_0 AS (SELECT src AS state, CAST(0 AS BIGINT)
+                    |  AS val FROM tots)""".stripMargin
+      val iters = (1 to 12).map { i =>
+        s"""p_${tag}_$i AS MATERIALIZED (
+           |  SELECT c.src AS state,
+           |    CAST(CAST(SUM(c.cnt * CASE WHEN c.dst = 'CONV' THEN $scale
+           |        WHEN c.dst = 'NULL' THEN 0 $remClause
+           |        ELSE COALESCE(pp.val, 0) END) AS BIGINT)
+           |      // t.tot AS BIGINT) AS val
+           |  FROM counts c JOIN tots t ON t.src = c.src
+           |  LEFT JOIN p_${tag}_${i - 1} pp ON pp.state = c.dst
+           |  $srcFilter
+           |  GROUP BY c.src, t.tot)""".stripMargin
+      }
+      (zero +: iters).mkString(",\n")
+    }
+    val scenarios = (scenario("base", None) +:
+      channels.map(c => scenario(c, Some(c)))).mkString(",\n")
+    val effRows = channels.map { c =>
+      s"""SELECT '$c' AS channel, GREATEST(
+         |  (SELECT val FROM p_base_12 WHERE state = 'START') -
+         |  (SELECT val FROM p_${c}_12 WHERE state = 'START'), 0) AS eff"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH seq0 AS MATERIALIZED (
+       |  SELECT user_id AS u, epoch_ns(ts) // 1000 AS t, event_id AS tb,
+       |    event_type AS ch,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id
+       |            ORDER BY epoch_ns(ts) // 1000, event_id) AS cum
+       |  FROM events WHERE event_type IS NOT NULL),
+       |kept AS MATERIALIZED (
+       |  SELECT * FROM seq0 WHERE cum = 0 OR (cum = 1 AND ch = 'purchase')),
+       |steps AS (
+       |  SELECT u,
+       |    COALESCE(LAG(ch) OVER (PARTITION BY u ORDER BY t, tb), 'START')
+       |      AS src,
+       |    CASE WHEN ch = 'purchase' THEN 'CONV' ELSE ch END AS dst
+       |  FROM kept),
+       |lastt AS (
+       |  SELECT u, ch AS src, 'NULL' AS dst FROM (
+       |    SELECT u, ch,
+       |      row_number() OVER (PARTITION BY u ORDER BY t DESC, tb DESC) AS rn
+       |    FROM kept WHERE ch <> 'purchase')
+       |  WHERE rn = 1 AND u NOT IN (SELECT DISTINCT u FROM steps
+       |                             WHERE dst = 'CONV')),
+       |counts AS MATERIALIZED (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT src, dst FROM steps
+       |    UNION ALL SELECT src, dst FROM lastt)
+       |  GROUP BY 1, 2),
+       |tots AS MATERIALIZED (
+       |  SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1),
+       |$scenarios,
+       |effects AS ($effRows),
+       |te AS (SELECT CAST(SUM(eff) AS BIGINT) AS te FROM effects),
+       |base AS (SELECT val FROM p_base_12 WHERE state = 'START')
+       |SELECT e.channel, b.val AS p_base_e12,
+       |  b.val - e.eff AS p_removed_e12,
+       |  CASE WHEN b.val > 0 THEN e.eff * 1000000 // b.val
+       |    ELSE 0 END AS effect_ppm,
+       |  CASE WHEN te.te > 0 THEN e.eff * 1000000 // te.te
+       |    ELSE 0 END AS share_ppm
+       |FROM effects e CROSS JOIN te CROSS JOIN base b
+       |ORDER BY e.channel""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -5378,7 +5515,10 @@ object Queries {
     "q145_negative_samples" -> negativeSamplesParts _,
     "q146_hard_negatives" -> hardNegativesVecs _,
     "q147_bpe_fertility" -> bpeFertilityDocs _,
-    "q148_cdc_apply" -> cdcApplyDocs _)
+    "q148_cdc_apply" -> cdcApplyDocs _,
+    "q149_spatial_join" -> spatialNeighbors _,
+    "q150_fuzzy2_join" -> fuzzy2Customers _,
+    "q151_markov_attribution" -> markovAttributionEvents _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -5527,5 +5667,8 @@ object Queries {
     "q145_negative_samples" -> negativeSamplesPartsSql,
     "q146_hard_negatives" -> hardNegativesVecsSql,
     "q147_bpe_fertility" -> bpeFertilityDocsSql,
-    "q148_cdc_apply" -> cdcApplyDocsSql)
+    "q148_cdc_apply" -> cdcApplyDocsSql,
+    "q149_spatial_join" -> spatialNeighborsSql,
+    "q150_fuzzy2_join" -> fuzzy2CustomersSql,
+    "q151_markov_attribution" -> markovAttributionEventsSql)
 }

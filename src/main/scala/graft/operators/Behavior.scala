@@ -273,4 +273,123 @@ object Behavior {
         coalesce(col("first_cents"), lit(0L)).as("linear_cents"))
     attributed.unionByName(untouched)
   }
+
+  /** MARKOV (removal-effect) attribution — the data-driven model that
+    * first/last/linear ([[attribution]]) heuristics approximate: build
+    * the first-order journey chain (START → touches → CONV | NULL),
+    * compute each channel's removal effect — how much absorption
+    * probability the chain LOSES when that channel's node is knocked
+    * out (its inbound transitions dead-end) — and attribute conversion
+    * credit proportionally (Anderl et al. 2014's framework).
+    *
+    * Determinism: absorption probabilities come from a FIXED number of
+    * value-iteration passes in scaled-integer arithmetic —
+    * P_{i+1}(u) = (Σ_v cnt(u→v) · val_i(v)) div cnt(u→·) at scale
+    * 1e12, the q97 PageRank recipe — so every engine replays every
+    * digit; `iters` is part of the contract like [[Graph.kCore]]'s
+    * round budget (absorption converges geometrically; 12 passes ≈
+    * journeys of length ≤ 12 fully credited).
+    *
+    * Plan: ONE data-sized pass builds per-user ordered transitions
+    * (the [[transitions]] lag window, cut at the first conversion) and
+    * aggregates them to a (states × states)-bounded count table; that
+    * table is collected (model-sized, like k-modes centers — guarded
+    * at 10k rows) and the 1 + |channels| value iterations run in exact
+    * driver-side long arithmetic on it. Nothing data-sized ever loops.
+    *
+    * @return one row per non-conversion channel:
+    *         (channel, p_base_e12, p_removed_e12, effect_ppm of base,
+    *         share_ppm of total effect), ordered by channel
+    */
+  def markovAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      channelCol: String,
+      convChannel: String,
+      iters: Int = 12,
+      maxStates: Int = 100): DataFrame = {
+    require(iters >= 1 && maxStates >= 2)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t").asc, col("tb").asc)
+    val seq0 = events
+      .select(col(userCol).as("u"), col(tsCol).as("t"), col(tieCol).as("tb"),
+        col(channelCol).cast("string").as("ch"))
+      .where(col("ch").isNotNull)
+      .withColumn("__cum",
+        sum((col("ch") === convChannel).cast("long")).over(w))
+      // keep everything up to and INCLUDING the first conversion
+      .where(col("__cum") === 0 ||
+        (col("__cum") === 1 && col("ch") === convChannel))
+    val steps = seq0
+      .withColumn("__prev", lag(col("ch"), 1, "START").over(w))
+      .select(col("u"), col("__prev").as("src"),
+        when(col("ch") === convChannel, lit("CONV")).otherwise(col("ch"))
+          .as("dst"))
+    // terminal edge for non-converters: last touch -> NULL
+    val lastTouch = seq0.where(col("ch") =!= convChannel)
+      .groupBy(col("u")).agg(max(struct(col("t"), col("tb"), col("ch"))).as("__l"))
+      .join(steps.where(col("dst") === "CONV").select(col("u")).distinct()
+        .withColumn("__conv", lit(1)), Seq("u"), "left")
+      .where(col("__conv").isNull)
+      .select(col("u"), col("__l.ch").as("src"), lit("NULL").as("dst"))
+    val counts = steps.select(col("src"), col("dst"))
+      .unionByName(lastTouch.select(col("src"), col("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    val rows = counts.collect()
+    require(rows.length <= maxStates * maxStates,
+      s"markovAttribution: ${rows.length} transition pairs exceed the " +
+        s"model-sized collect bound ($maxStates^2); a channel column " +
+        "this wide is not a channel taxonomy — bucket it first")
+    val cnt = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tot = cnt.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val states = (cnt.keys.map(_._1) ++ cnt.keys.map(_._2)).toSeq.distinct
+      .filterNot(s => s == "CONV" || s == "NULL").sorted
+    val scale = 1000000000000L // 1e12
+    def absorb(removed: Option[String]): Long = {
+      var p = states.map(_ -> 0L).toMap
+      def valOf(v: String, cur: Map[String, Long]): Long = v match {
+        case "CONV" => scale
+        case "NULL" => 0L
+        case s if removed.contains(s) => 0L
+        case s => cur.getOrElse(s, 0L)
+      }
+      for (_ <- 0 until iters) {
+        p = states.map { s =>
+          val t = tot.getOrElse(s, 0L)
+          val v =
+            if (t == 0L || removed.contains(s)) 0L
+            else {
+              // BigInt: Σ cnt·val can pass 2^63 on heavy chains; the
+              // oracle's HUGEINT sum is exact too, so both floor-divide
+              // the identical numerator
+              val num = cnt.iterator.collect {
+                case ((`s`, d), c) => BigInt(c) * BigInt(valOf(d, p))
+              }.sum
+              (num / BigInt(t)).toLong
+            }
+          s -> v
+        }.toMap
+      }
+      p.getOrElse("START", 0L)
+    }
+    val base = absorb(None)
+    val channels = states.filter(s => s != "START")
+    val effects = channels.map { c =>
+      val rem = absorb(Some(c))
+      c -> math.max(base - rem, 0L)
+    }
+    val totalEffect = effects.map(_._2).sum
+    val out = effects.map { case (c, e) =>
+      (c, base, base - e,
+        if (base > 0) e * 1000000L / base else 0L,
+        if (totalEffect > 0) e * 1000000L / totalEffect else 0L)
+    }
+    out.toDF("channel", "p_base_e12", "p_removed_e12", "effect_ppm",
+        "share_ppm")
+      .orderBy("channel")
+  }
 }

@@ -29,19 +29,35 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) ≤ 1,
-    * hydrated with both strings and the exact distance.
+  /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) ≤ maxDist
+    * (1 or 2), hydrated with both strings and the exact distance.
+    * maxDist = 2 uses the depth-2 deletion neighborhood (s, all
+    * single deletes, all double deletes — ~len²/2 variants per
+    * string, the SymSpell completeness bound for distance 2); the
+    * exact verify keeps the result precise either way.
     */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
-                maxLen: Int = 64, maxBucketSize: Int = 4096): DataFrame = {
+                maxDist: Int = 1, maxLen: Int = 64,
+                maxBucketSize: Int = 4096): DataFrame = {
     require(maxLen >= 1 && maxLen <= 1000, "maxLen in [1, 1000]")
+    require(maxDist == 1 || maxDist == 2,
+      "maxDist in {1, 2} — beyond 2 the deletion neighborhood is " +
+        "cubic-plus per string; block on a different key instead")
     val rows = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .where(col("id").isNotNull && col("s").isNotNull)
+    // del1(u): u minus each single position
+    def del1(u: String) =
+      s"""transform(sequence(1, greatest(length($u), 1)),
+         |  i -> concat(substr($u, 1, i - 1), substr($u, i + 1, $maxLen)))"""
+        .stripMargin
+    val neighborhood =
+      if (maxDist == 1) s"concat(array(s), ${del1("s")})"
+      else s"""concat(array(s), ${del1("s")},
+              |  flatten(transform(${del1("s")}, t -> ${del1("t")})))"""
+        .stripMargin
     val variants = rows.select(col("id"), explode(expr(
       s"""CASE WHEN length(s) <= $maxLen THEN
-         |  array_distinct(concat(array(s),
-         |    transform(sequence(1, greatest(length(s), 1)),
-         |      i -> concat(substr(s, 1, i - 1), substr(s, i + 1, $maxLen)))))
+         |  array_distinct($neighborhood)
          |ELSE raise_error(concat('FuzzyJoin: string of length ',
          |  cast(length(s) AS string), ' exceeds maxLen=$maxLen; raise ',
          |  'maxLen or pre-truncate the join key'))
@@ -64,7 +80,7 @@ object FuzzyJoin {
       .join(rows.select(col("id").as("id_a"), col("s").as("name_a")), Seq("id_a"))
       .join(rows.select(col("id").as("id_b"), col("s").as("name_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .where(col("dist") <= 1)
+      .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
   }
 
@@ -100,7 +116,7 @@ object FuzzyJoin {
     val recs = df.select(col(idCol).cast("long").as("id"),
         col(strCol).as("__key"), col(scoreCol).cast("double").as("__score"))
       .where(col("id").isNotNull && col("__key").isNotNull)
-    val pairs = selfPairs(df, idCol, strCol, maxLen, maxBucketSize)
+    val pairs = selfPairs(df, idCol, strCol, 1, maxLen, maxBucketSize)
     val cc = Dedup.connectedComponents(pairs)
     val labeled = recs.join(cc, Seq("id"), "left")
       .withColumn("group_id", coalesce(col("group_id"), col("id")))

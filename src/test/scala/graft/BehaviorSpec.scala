@@ -167,4 +167,33 @@ class BehaviorSpec extends SparkSuite {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
     assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$plan")
   }
+
+  test("markovAttribution: hand-computed chain, removal effects, shares") {
+    // u1: click -> view -> purchase; u2: click -> (no conversion)
+    // exact absorption: P(view)=1, P(click)=1/2, P(START)=1/2
+    // removing click or view each kills ALL conversion -> equal shares
+    val ev = Seq(
+      (1L, 10L, 1L, "click"), (1L, 20L, 2L, "view"), (1L, 30L, 3L, "purchase"),
+      (1L, 40L, 4L, "view"), // post-conversion noise: must be ignored
+      (2L, 10L, 5L, "click"))
+      .toDF("u", "ts", "id", "et")
+    val got = Behavior.markovAttribution(ev, "u", "ts", "id", "et", "purchase")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val s = 1000000000000L
+    assert(got == Seq(
+      ("click", s / 2, 0L, 1000000L, 500000L),
+      ("view", s / 2, 0L, 1000000L, 500000L)), s"$got")
+  }
+
+  test("markovAttribution: non-removable conversion share; empty input") {
+    // single converting user, one channel: that channel takes all credit
+    val ev = Seq((1L, 1L, 1L, "ads"), (1L, 2L, 2L, "purchase"))
+      .toDF("u", "ts", "id", "et")
+    val got = Behavior.markovAttribution(ev, "u", "ts", "id", "et", "purchase")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val s = 1000000000000L
+    assert(got == Seq(("ads", s, 0L, 1000000L, 1000000L)), s"$got")
+    assert(Behavior.markovAttribution(ev.limit(0), "u", "ts", "id", "et",
+      "purchase").count() == 0)
+  }
 }

@@ -49,6 +49,24 @@ class FuzzyJoinSpec extends SparkSuite {
     assert(e2.getMessage.contains("quadratic"), e2.getMessage)
   }
 
+  test("selfPairs maxDist=2 matches brute force (transpositions cost 2)") {
+    val strings = Map(1L -> "kitten", 2L -> "sitten", 3L -> "sittin",
+      4L -> "kitchen", 5L -> "mitten", 6L -> "kiten", 7L -> "nettik",
+      8L -> "ab", 9L -> "ba", 10L -> "")
+    val rows = strings.toSeq.map { case (k, v) => (k, v) }.toDF("id", "s")
+    val got = FuzzyJoin.selfPairs(rows, "id", "s", maxDist = 2)
+      .as[(Long, Long, String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    val want = (for {
+      a <- strings.keys; b <- strings.keys if a < b
+      d = lev(strings(a), strings(b)) if d <= 2
+    } yield (a, b) -> d.toLong).toMap
+    assert(got == want, s"missing=${want.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- want.keySet}")
+    // ab<->ba is a transposition: plain levenshtein distance 2, found
+    assert(got((8L, 9L)) == 2L)
+  }
+
   test("goldenRecords: transitive clusters, score election, id tie-break") {
     // cat~cut~cot chain (distance-2 ends in ONE entity via transitivity);
     // dog/dig pair; walrus singleton. Scores pick the golden; equal
