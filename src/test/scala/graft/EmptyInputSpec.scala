@@ -266,4 +266,60 @@ class EmptyInputSpec extends SparkSuite {
     assert(FuzzyJoin.goldenRecords(
       emptyKV.withColumn("s", col("v")), "id", "k", "s").count() == 0)
   }
+
+  test("round-5f family (q144-q151): empty inputs stay empty or zeroed") {
+    import org.apache.spark.sql.types._
+    val emptyFacts = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("fid", LongType), StructField("k", LongType),
+        StructField("ts", LongType))))
+    val emptyDim = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType), StructField("tier", StringType),
+        StructField("valid_from", LongType), StructField("valid_to", LongType))))
+    // empty dim: every fact survives with null attrs
+    val pit = ChangeCapture.pointInTime(
+      Seq((1L, 2L, 3L)).toDF("fid", "k", "ts"), emptyDim, "k", "ts",
+      Seq("tier")).collect()
+    assert(pit.length == 1 && pit.head.isNullAt(3))
+    assert(ChangeCapture.pointInTime(emptyFacts, emptyDim, "k", "ts",
+      Seq("tier")).count() == 0)
+    // empty change log: snapshot passes through untouched
+    val snap = Seq((1L, "a")).toDF("id", "v")
+    val emptyChanges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("ts", LongType),
+        StructField("tie", LongType), StructField("op", StringType),
+        StructField("v", StringType))))
+    assert(ChangeCapture.applyCdc(snap, emptyChanges, "id", "ts", "tie",
+      "op", Seq("v")).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    val emptyPos = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("a", LongType), StructField("p", LongType))))
+    assert(Sampling.negativeSamples(emptyPos, Seq(1L, 2L).toDF("item"),
+      "a", "p", "item", k = 3).count() == 0)
+    // empty POOL: draws find nothing, anchors yield zero rows
+    assert(Sampling.negativeSamples(Seq((1L, 2L)).toDF("a", "p"),
+      emptyPos.select(col("a").as("item")), "a", "p", "item", k = 3)
+      .count() == 0)
+    val emptyVecsL = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("label", IntegerType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    assert(Similarity.hardNegatives(emptyVecsL, emptyVecsL, "vec_id",
+      "embedding", "label", 3).count() == 0)
+    val emptyPts = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("x", LongType),
+        StructField("y", LongType))))
+    assert(SpatialJoin.radiusSelfPairs(emptyPts, "id", "x", "y", 10L)
+      .count() == 0)
+    val emptyEv2 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("u", LongType), StructField("ts", LongType),
+        StructField("id", LongType), StructField("et", StringType))))
+    assert(Behavior.markovAttribution(emptyEv2, "u", "ts", "id", "et",
+      "conv").count() == 0)
+  }
 }
