@@ -174,6 +174,14 @@ object ChangeCapture {
     * common case. Snapshot keys are assumed unique (validate with the
     * [[Quality]] gate).
     *
+    * Incremental use (foreachBatch maintenance of a living snapshot):
+    * applying batches SEQUENTIALLY equals the one-shot merge when the
+    * log is (ts, tie)-ordered across batches — the normal shape of a
+    * CDC stream (StreamOpsSpec pins the parity). If changes can
+    * arrive out of order ACROSS batch boundaries, carry ts/tie inside
+    * `attrCols` and guard the apply with an only-if-newer filter —
+    * within one batch the window already handles reordering.
+    *
     * @param changes (keyCol, tsCol, tieCol, opCol ∈ {U, D}, attrCols)
     * @return the merged snapshot: keyCol ++ attrCols
     */

@@ -314,4 +314,33 @@ class StreamOpsSpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sortBy(_._1)
     assert(streamed == batch, s"stream registers $streamed vs batch $batch")
   }
+
+  test("applyCdc via foreachBatch: incremental upsert equals one-shot merge") {
+    import graft.operators.ChangeCapture
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val b1 = Seq((1L, 10L, 1L, "U", "a2"), (4L, 11L, 1L, "U", "d"))
+    val b2 = Seq((2L, 20L, 1L, "D", null: String), (1L, 21L, 1L, "U", "a3"))
+    val input = MemoryStream[(Long, Long, Long, String, String)]
+    var snap = base
+    val q = input.toDF().toDF("id", "ts", "tie", "op", "v")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        snap = ChangeCapture.applyCdc(snap, b, "id", "ts", "tie", "op",
+          Seq("v")).localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val incremental = snap.as[(Long, String)].collect().toSeq.sorted
+    val oneShot = ChangeCapture.applyCdc(base,
+        (b1 ++ b2).toDF("id", "ts", "tie", "op", "v"),
+        "id", "ts", "tie", "op", Seq("v"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(incremental == oneShot && incremental ==
+      Seq((1L, "a3"), (3L, "c"), (4L, "d")), s"$incremental vs $oneShot")
+  }
 }
