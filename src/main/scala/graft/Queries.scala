@@ -5366,6 +5366,114 @@ object Queries {
        |ORDER BY e.channel""".stripMargin
   }
 
+  /** q152: item-item collaborative filtering
+    * ([[Basket.itemSimilarityTopK]]) — "bought X, also bought Y" over
+    * order baskets: binary-cosine n_xy/√(n_x·n_y) on the q114 pair
+    * counts, per-item top-5 through the bounded TopKAgg. The oracle
+    * replays the pair counting, the floor-e6 cosine chain, and the
+    * (cos DESC, neighbor ASC) head.
+    */
+  def itemSimilarityParts(s: SparkSession, dir: String): DataFrame =
+    Basket.itemSimilarityTopK(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L, k = 5)
+      .orderBy("item", "rank")
+
+  val itemSimilarityPartsSql: String =
+    """WITH it AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM it GROUP BY 1),
+      |p AS (
+      |  SELECT a.i AS x, b.i AS y, CAST(COUNT(*) AS BIGINT) AS nxy
+      |  FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (
+      |  SELECT x AS item, y AS neighbor, nxy FROM p
+      |  UNION ALL SELECT y, x, nxy FROM p),
+      |s AS (
+      |  SELECT sym.item, sym.neighbor,
+      |    CAST(FLOOR(CAST(sym.nxy AS DOUBLE) /
+      |      sqrt(CAST(ca.n * cb.n AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS cos_e6
+      |  FROM sym JOIN cnt ca ON ca.i = sym.item
+      |    JOIN cnt cb ON cb.i = sym.neighbor),
+      |r AS (
+      |  SELECT item, neighbor, cos_e6,
+      |    row_number() OVER (PARTITION BY item
+      |                       ORDER BY cos_e6 DESC, neighbor ASC) AS rank
+      |  FROM s)
+      |SELECT item, CAST(rank AS BIGINT) AS rank, neighbor, cos_e6
+      |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin
+
+  /** q153: dataset-card release report — the capstone metadata sheet a
+    * corpus release ships with, as one (section, key, value) table:
+    * per-language/source volumes, length screens, near-dup exposure
+    * (the q35 CC labels), and whitespace-token totals. Every number is
+    * an exact integer; the oracle replays each section (the dedup rows
+    * via the recursive-CTE component labels).
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def row(section: String, key: Column, value: Column) =
+      struct(lit(section).as("section"), key.cast("string").as("key"),
+        value.cast("long").as("value"))
+    val total = docs.agg(count(lit(1)).as("v"))
+      .select(row("docs", lit("total"), col("v")).as("r"))
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+      .select(row("docs_by_lang", col("lang"), col("v")).as("r"))
+    val charsLang = docs.groupBy(col("lang")).agg(sum(col("n_chars")).as("v"))
+      .select(row("chars_by_lang", col("lang"), col("v")).as("r"))
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("v"))
+      .select(row("docs_by_source", col("source"), col("v")).as("r"))
+    val short = docs.where(col("n_chars") < 100).agg(count(lit(1)).as("v"))
+      .select(row("length", lit("short_docs_lt100"), col("v")).as("r"))
+    val toks = docs.where(col("text").isNotNull)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .agg(count(lit(1)).as("v"))
+      .select(row("tokens", lit("whitespace_total"), col("v")).as("r"))
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashLSH(docs, "doc_id", "text", threshold = 0.7))
+    val dupDocs = labels.agg(count(lit(1)).as("v"))
+      .select(row("dedup", lit("near_dup_docs"), col("v")).as("r"))
+    val dupGroups = labels.select(col("group_id")).distinct()
+      .agg(count(lit(1)).as("v"))
+      .select(row("dedup", lit("near_dup_groups"), col("v")).as("r"))
+    Seq(total, perLang, charsLang, perSource, short, toks, dupDocs, dupGroups)
+      .reduce(_ unionByName _)
+      .select(col("r.section"), col("r.key"), col("r.value"))
+      .orderBy("section", "key")
+  }
+
+  val datasetCardSql: String =
+    s"""$componentLabelsSqlPrefix,
+       |card AS (
+       |  SELECT 'docs' AS section, 'total' AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS value FROM documents
+       |  UNION ALL
+       |  SELECT 'docs_by_lang', CAST(lang AS VARCHAR),
+       |    CAST(COUNT(*) AS BIGINT) FROM documents GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'chars_by_lang', CAST(lang AS VARCHAR),
+       |    CAST(SUM(n_chars) AS BIGINT) FROM documents GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'docs_by_source', CAST(source AS VARCHAR),
+       |    CAST(COUNT(*) AS BIGINT) FROM documents GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'length', 'short_docs_lt100', CAST(COUNT(*) AS BIGINT)
+       |  FROM documents WHERE n_chars < 100
+       |  UNION ALL
+       |  SELECT 'tokens', 'whitespace_total', CAST(COUNT(*) AS BIGINT)
+       |  FROM (SELECT unnest($duckToks) AS w
+       |        FROM documents WHERE text IS NOT NULL)
+       |  UNION ALL
+       |  SELECT 'dedup', 'near_dup_docs', CAST(COUNT(*) AS BIGINT) FROM labels
+       |  UNION ALL
+       |  SELECT 'dedup', 'near_dup_groups',
+       |    CAST(COUNT(DISTINCT group_id) AS BIGINT) FROM labels)
+       |SELECT section, key, value FROM card ORDER BY section, key"""
+      .stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -5518,7 +5626,9 @@ object Queries {
     "q148_cdc_apply" -> cdcApplyDocs _,
     "q149_spatial_join" -> spatialNeighbors _,
     "q150_fuzzy2_join" -> fuzzy2Customers _,
-    "q151_markov_attribution" -> markovAttributionEvents _)
+    "q151_markov_attribution" -> markovAttributionEvents _,
+    "q152_item_similarity" -> itemSimilarityParts _,
+    "q153_dataset_card" -> datasetCard _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -5670,5 +5780,7 @@ object Queries {
     "q148_cdc_apply" -> cdcApplyDocsSql,
     "q149_spatial_join" -> spatialNeighborsSql,
     "q150_fuzzy2_join" -> fuzzy2CustomersSql,
-    "q151_markov_attribution" -> markovAttributionEventsSql)
+    "q151_markov_attribution" -> markovAttributionEventsSql,
+    "q152_item_similarity" -> itemSimilarityPartsSql,
+    "q153_dataset_card" -> datasetCardSql)
 }

@@ -80,4 +80,47 @@ object Basket {
         expr("(pair_count * 1000000L div count_a) * __n div count_b")
           .as("lift_ppm"))
   }
+
+  /** Item-item COLLABORATIVE-FILTERING similarity — the co-occurrence
+    * recommender ("customers who bought X also bought Y"): cosine over
+    * binary basket-membership vectors, which collapses to
+    * n_xy / √(n_x · n_y) on the SAME pair/item counts [[pairRules]]
+    * builds — so the whole sparse similarity matrix costs one guarded
+    * narrow pair fan-out, never a user×item matrix product. Per-item
+    * top-k via the bounded [[TopKAgg]] (no window over the pair set).
+    *
+    * Determinism: counts are exact integers < 2^26 each, so
+    * n_x · n_y < 2^52 converts to double exactly, √ is IEEE-correctly
+    * rounded, and the single floor-e6 chain replays in any engine;
+    * ranking compares the resulting integers (ties by neighbor id).
+    *
+    * 100 TB shape: inherits [[pairRules]]' bounds (minSupport prunes
+    * the long tail, maxBasketSize kills hub baskets loudly); the
+    * symmetrize is a projection-only union; shuffle volume after the
+    * pair count is O(pairs), output O(items × k).
+    *
+    * @return (item, rank 1..≤k, neighbor, cos_e6)
+    */
+  def itemSimilarityTopK(df: DataFrame, basketCol: String, itemCol: String,
+                         minSupport: Long, k: Int,
+                         maxBasketSize: Int = 4096): DataFrame = {
+    require(k >= 1)
+    val pr = pairRules(df, basketCol, itemCol, minSupport, maxBasketSize)
+      .select(col("item_a"), col("item_b"), col("pair_count"),
+        col("count_a"), col("count_b"))
+    val sym = pr.unionByName(pr.select(
+      col("item_b").as("item_a"), col("item_a").as("item_b"),
+      col("pair_count"), col("count_b").as("count_a"),
+      col("count_a").as("count_b")))
+    val cosE6 = floor(col("pair_count").cast("double") /
+      sqrt((col("count_a") * col("count_b")).cast("double")) *
+      lit(1000000.0)).cast("long")
+    sym.withColumn("cos_e6", cosE6)
+      .groupBy(col("item_a").cast("long").as("item"))
+      .agg(TopKAgg.topK(col("cos_e6").cast("double"),
+        col("item_b").cast("long"), k).as("top"))
+      .select(col("item"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("item"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("neighbor"), col("p.val").cast("long").as("cos_e6"))
+  }
 }

@@ -48,4 +48,23 @@ class BasketSpec extends SparkSuite {
     assert(Basket.pairRules(hub.where($"i" =!= "i11" && $"i" =!= "i12"),
       "b", "i", minSupport = 1, maxBasketSize = 10).count() == 45)
   }
+
+  test("itemSimilarityTopK: hand-computed binary cosine, symmetric, ranked") {
+    // baskets: {1,2} {1,2} {1,3} -> n1=3, n2=2, n3=1; n12=2, n13=1
+    val df = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L),
+      (12L, 3L)).toDF("b", "i")
+    val got = Basket.itemSimilarityTopK(df, "b", "i", minSupport = 1, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def c(nxy: Long, nx: Long, ny: Long) =
+      math.floor(nxy.toDouble / math.sqrt((nx * ny).toDouble) * 1e6).toLong
+    assert(got == Set(
+      (1L, 1L, 2L, c(2, 3, 2)), (1L, 2L, 3L, c(1, 3, 1)),
+      (2L, 1L, 1L, c(2, 3, 2)),
+      (3L, 1L, 1L, c(1, 3, 1))), s"$got")
+    // minSupport prunes the 1-3 pair entirely, BOTH directions
+    val pruned = Basket.itemSimilarityTopK(df, "b", "i", minSupport = 2, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pruned == Set((1L, 1L, 2L, c(2, 3, 2)), (2L, 1L, 1L, c(2, 3, 2))),
+      s"$pruned")
+  }
 }
