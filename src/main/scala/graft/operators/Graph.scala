@@ -260,6 +260,10 @@ object Graph {
       .localCheckpoint(true)
     var done = false
     var round = 0
+    // one count per round: the checkpoint must materialize anyway, and
+    // comparing against the REMEMBERED previous count halves the job
+    // count of the loop
+    var prevEdges = e.count()
     while (round < rounds && !done) {
       val survivors = e.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("__deg"))
@@ -269,8 +273,9 @@ object Graph {
         .join(survivors.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(survivors.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint(true)
-      // fixpoint probe: one count on the (shrinking) checkpointed table
-      if (pruned.count() == e.count()) done = true
+      val n = pruned.count()
+      if (n == prevEdges) done = true
+      prevEdges = n
       e = pruned
       round += 1
     }

@@ -204,12 +204,24 @@ object Profile {
       .select(
         coalesce(col("n_keys"), lit(0L)).as("n_keys"),
         coalesce(col("total"), lit(0L)).as("total"),
+        // DECIMAL(38,0) arithmetic: the Gini numerator is
+        // O(n_keys · total · 1e6) and passes int64 around total ≈ 1e10
+        // (sf0.1 cents already did — the bench caught it as an ANSI
+        // overflow); scale-0 decimals keep every product EXACT (no
+        // scale to lose) far past any realistic corpus, and `div`
+        // lands back in a long
         when(col("n_keys") > 1 && col("total") > 0,
-          expr("(2 * __s1 - (n_keys + 1) * total) * 1000000L div (n_keys * total)"))
+          expr("""(2 * CAST(__s1 AS DECIMAL(38,0))
+                 |   - (CAST(n_keys AS DECIMAL(38,0)) + 1)
+                 |     * CAST(total AS DECIMAL(38,0))) * 1000000
+                 | div (CAST(n_keys AS DECIMAL(38,0))
+                 |      * CAST(total AS DECIMAL(38,0)))""".stripMargin))
           .as("gini_ppm"),
-        when(col("total") > 0, expr("__vmax * 1000000L div total"))
+        when(col("total") > 0,
+          expr("CAST(__vmax AS DECIMAL(38,0)) * 1000000 div total"))
           .as("top1_ppm"),
-        when(col("total") > 0, expr("__head * 1000000L div total"))
+        when(col("total") > 0,
+          expr("CAST(__head AS DECIMAL(38,0)) * 1000000 div total"))
           .as(s"top${topPct}pct_ppm"))
   }
 
