@@ -5474,6 +5474,66 @@ object Queries {
        |SELECT section, key, value FROM card ORDER BY section, key"""
       .stripMargin
 
+  /** q154: per-key quota admission ([[Behavior.quotaAdmit]]) — "at
+    * most 3 events per user per day", the deterministic rate-limit /
+    * per-domain-cap replay; (ts, event_id) total order means the SAME
+    * rows are admitted on every engine. The oracle replays the window.
+    */
+  def quotaAdmitEvents(s: SparkSession, dir: String): DataFrame =
+    Behavior.quotaAdmit(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts")),
+        "user_id", "ts", "event_id", windowSize = 86400000000000L, quota = 3)
+      .orderBy("event_id")
+
+  val quotaAdmitEventsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events)
+      |SELECT event_id, user_id, ts, ts // 86400000000000 AS win,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY user_id, ts // 86400000000000
+      |    ORDER BY ts, event_id) AS BIGINT) AS seq,
+      |  row_number() OVER (
+      |    PARTITION BY user_id, ts // 86400000000000
+      |    ORDER BY ts, event_id) <= 3 AS admitted
+      |FROM ev ORDER BY event_id""".stripMargin
+
+  /** q155: exact weighted percentile ([[Stats.weightedPercentile]]) —
+    * the price at which half the shipped QUANTITY sits, per return
+    * flag (weighted median; rows carry different mass, so the plain
+    * median answers the wrong question). The oracle replays the
+    * range-frame cumulative weight and the threshold pick.
+    */
+  def weightedMedianLineitem(s: SparkSession, dir: String): DataFrame =
+    Stats.weightedPercentile(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_extendedprice"), col("l_quantity")),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity",
+        pPpm = 500000L)
+      .orderBy("l_returnflag")
+
+  val weightedMedianLineitemSql: String =
+    """WITH rows_ AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(14,4)) * 10000 AS BIGINT)
+      |      AS x4,
+      |    CAST(CAST(l_quantity AS DECIMAL(14,0)) AS BIGINT) AS w
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      |c AS (
+      |  SELECT g, x4, w,
+      |    SUM(w) OVER (PARTITION BY g ORDER BY x4
+      |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cw
+      |  FROM rows_),
+      |t AS (SELECT g, CAST(SUM(w) AS BIGINT) AS w_total FROM rows_
+      |      GROUP BY 1)
+      |SELECT c.g AS l_returnflag, t.w_total,
+      |  MIN(c.x4) AS p_value_e4
+      |FROM c JOIN t ON c.g = t.g
+      |WHERE c.cw * 1000000 >= 500000 * t.w_total
+      |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -5628,7 +5688,9 @@ object Queries {
     "q150_fuzzy2_join" -> fuzzy2Customers _,
     "q151_markov_attribution" -> markovAttributionEvents _,
     "q152_item_similarity" -> itemSimilarityParts _,
-    "q153_dataset_card" -> datasetCard _)
+    "q153_dataset_card" -> datasetCard _,
+    "q154_quota_admit" -> quotaAdmitEvents _,
+    "q155_weighted_median" -> weightedMedianLineitem _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -5782,5 +5844,7 @@ object Queries {
     "q150_fuzzy2_join" -> fuzzy2CustomersSql,
     "q151_markov_attribution" -> markovAttributionEventsSql,
     "q152_item_similarity" -> itemSimilarityPartsSql,
-    "q153_dataset_card" -> datasetCardSql)
+    "q153_dataset_card" -> datasetCardSql,
+    "q154_quota_admit" -> quotaAdmitEventsSql,
+    "q155_weighted_median" -> weightedMedianLineitemSql)
 }

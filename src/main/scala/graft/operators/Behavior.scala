@@ -274,6 +274,39 @@ object Behavior {
     attributed.unionByName(untouched)
   }
 
+  /** Per-key QUOTA admission — deterministic replay of a rate-limit /
+    * sampling-cap policy over an event log: within each (key, window)
+    * the first `quota` events by (ts, tie) are admitted, the rest
+    * rejected — the batch twin of an API rate limiter, and the
+    * "at most N documents per domain per day" cap every crawl-derived
+    * training corpus enforces. The (ts, tie) total order makes the
+    * SAME events win on every engine and every rerun — a quota that
+    * admits different rows per run poisons incremental pipelines.
+    *
+    * 100 TB shape: ONE group-partitioned window (key, window) ordered
+    * by (ts, tie) — the [[Sessionize]] shuffle shape; no global sort,
+    * no join. Window id = ts div windowSize (int64 event-time
+    * contract).
+    *
+    * @return input rows + `win` (window id), `seq` (1-based arrival
+    *         rank in window), `admitted`
+    */
+  def quotaAdmit(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      windowSize: Long,
+      quota: Int): DataFrame = {
+    require(windowSize > 0 && quota >= 1)
+    val win = expr(s"`$tsCol` div ${windowSize}L")
+    val w = Window.partitionBy(col(keyCol), col("win"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    events.withColumn("win", win)
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("admitted", col("seq") <= quota)
+  }
+
   /** MARKOV (removal-effect) attribution — the data-driven model that
     * first/last/linear ([[attribution]]) heuristics approximate: build
     * the first-order journey chain (START → touches → CONV | NULL),

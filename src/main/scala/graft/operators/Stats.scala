@@ -710,6 +710,66 @@ object Stats {
       .drop("__sc4")
   }
 
+  /** Exact WEIGHTED percentile per group — "the order size at which
+    * half the QUANTITY has shipped" style questions, where the plain
+    * percentile ([[equiDepthBins]]' boundaries) answers the wrong
+    * thing because rows carry different mass. Definition (lower
+    * weighted percentile, SQL-standard discrete flavor): the smallest
+    * value v whose cumulative weight (over the group sorted by value,
+    * ties by value only) reaches `pPpm` of the group's total weight —
+    * cumW(v) · 1e6 ≥ pPpm · W. All-integer: values go through the
+    * decimal(14,4)→e4-long domain, weights must be non-negative
+    * integers (guarded — fractional or negative mass has no
+    * cumulative-order meaning), and the threshold compare multiplies
+    * longs under the documented W < 9.2e12 bound.
+    *
+    * 100 TB shape: one group-partitioned window for the cumulative
+    * weight (value-ordered — ties share a cum value via a RANGE-style
+    * self max, so equal values are one atomic step), one
+    * map-side-combined total, one narrow filter + min aggregation.
+    *
+    * @return per group: (groupCols..., w_total, p_value_e4)
+    */
+  def weightedPercentile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      pPpm: Long): DataFrame = {
+    require(pPpm >= 1 && pPpm <= 1000000L, "pPpm in [1, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    val wRaw = col(weightCol)
+    val wInt = coalesce(wRaw.try_cast("decimal(14,0)"),
+      when(wRaw.isNotNull, raise_error(concat(
+        lit(s"Stats.weightedPercentile: $weightCol value "),
+        wRaw.cast("string"),
+        lit(" is not a non-negative integer weight < 1e14; scale or " +
+          "floor the weight column first")))
+        .cast("decimal(14,0)"))).cast("long")
+    val guarded = when(wInt < 0 || wRaw.cast("double") =!= wInt.cast("double"),
+      raise_error(concat(
+        lit(s"Stats.weightedPercentile: $weightCol value "),
+        wRaw.cast("string"),
+        lit(" is not a non-negative integer weight; fractional/negative " +
+          "mass has no cumulative-order meaning — rescale first")))
+        .cast("long")).otherwise(wInt)
+    val rows = df.where(col(valueCol).isNotNull && wRaw.isNotNull)
+      .select(groupCols.map(col) :+
+        (scaledX(valueCol) * lit(10000)).cast("long").as("__x4") :+
+        guarded.as("__w"): _*)
+    // cum weight over values ASC; equal values form ONE step (range
+    // frame up to current value), so ties cannot split the mass
+    val wv = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__x4").asc).rangeBetween(Window.unboundedPreceding, 0)
+    val withCum = rows.withColumn("__cw", sum(col("__w")).over(wv))
+    val totals = rows.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__w")).as("w_total"))
+    nullSafeGroupJoin(withCum, totals, groupCols)
+      .where(col("__cw") * lit(1000000L) >= lit(pPpm) * col("w_total"))
+      .groupBy(groupCols.map(col) :+ col("w_total"): _*)
+      .agg(min(col("__x4")).as("p_value_e4"))
+  }
+
   /** Two-sample z-test report over EXACT decimal moments — the A/B
     * readout (Welch-style unpooled variance): for each requested
     * (group_a, group_b) pair,

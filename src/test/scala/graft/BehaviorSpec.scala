@@ -168,6 +168,22 @@ class BehaviorSpec extends SparkSuite {
     assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$plan")
   }
 
+  test("quotaAdmit: first-N by (ts, tie) per window; windows reset the count") {
+    val day = 100L
+    val ev = Seq(
+      (1L, 10L, 1L), (2L, 10L, 2L), (3L, 20L, 3L),   // u1 day0: 3 events
+      (4L, 110L, 4L),                                 // u1 day1: resets
+      (5L, 15L, 5L))                                  // u2 day0
+      .map { case (id, ts, tie) => (id, if (id == 5L) 2L else 1L, ts, tie) }
+      .toDF("eid", "u", "ts", "tie")
+    val got = Behavior.quotaAdmit(ev, "u", "ts", "tie", day, quota = 2)
+      .select("eid", "win", "seq", "admitted")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 0L, 1L, true), (2L, 0L, 2L, true), (3L, 0L, 3L, false),
+      (4L, 1L, 1L, true), (5L, 0L, 1L, true)), s"$got")
+  }
+
   test("markovAttribution: hand-computed chain, removal effects, shares") {
     // u1: click -> view -> purchase; u2: click -> (no conversion)
     // exact absorption: P(view)=1, P(click)=1/2, P(START)=1/2

@@ -417,6 +417,25 @@ class StatsSpec extends SparkSuite {
       ("h", 1L, 50000L, 50000L, 0L, 0L, 5000000L)), s"$got")
   }
 
+  test("weightedPercentile: tie mass is atomic; plain median differs; guards") {
+    // g: values 1 (w=1), 2 (w=1), 10 (w=8) -> weighted median = 10
+    // (unweighted median would be 2); tie row: two rows valued 10
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 10.0, 4.0),
+      ("g", 10.0, 4.0)).toDF("g", "v", "w")
+    val got = Stats.weightedPercentile(df, Seq("g"), "v", "w", 500000L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 10L, 100000L)), s"$got") // 10.0 at e4 scale
+    // p=20%: cum 1 of 10 at value 1 is 10% < 20 -> value 2 (cum 2/10)
+    val p20 = Stats.weightedPercentile(df, Seq("g"), "v", "w", 200000L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(p20 == Seq(("g", 10L, 20000L)), s"$p20")
+    val e = intercept[Exception] {
+      Stats.weightedPercentile(Seq(("g", 1.0, 1.5)).toDF("g", "v", "w"),
+        Seq("g"), "v", "w", 500000L).collect()
+    }
+    assert(e.getMessage.contains("integer weight"), e.getMessage)
+  }
+
   test("twoSampleZ: hand-computed z; missing/degenerate pairs go null") {
     val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0),
       ("c", 4.0)).toDF("g", "v")
