@@ -5534,6 +5534,68 @@ object Queries {
       |WHERE c.cw * 1000000 >= 500000 * t.w_total
       |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin
 
+  /** q156: Kaplan–Meier survival ([[Behavior.kaplanMeier]]) — user
+    * lifetime (days between first and last activity), churn observed
+    * only when the last activity predates the observation horizon by
+    * > 7 days (otherwise right-censored). The oracle replays the risk
+    * sets, the exact factor integers, and the left-fold double product
+    * via list_reduce — the identical multiply sequence.
+    */
+  def survivalUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 86400000000000L").as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("f0"))
+    val firstPurchase = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("day")).as("pd"))
+    // time-to-conversion within a 3-day window: converted inside it =
+    // event at its day; otherwise right-censored AT the window edge
+    val subj = first.join(firstPurchase, Seq("user_id"), "left")
+      .select(
+        when(col("pd").isNotNull && col("pd") - col("f0") <= 3,
+          col("pd") - col("f0")).otherwise(lit(3L)).as("dur"),
+        when(col("pd").isNotNull && col("pd") - col("f0") <= 3, lit(1))
+          .otherwise(lit(0)).as("converted"))
+    Behavior.kaplanMeier(subj, "dur", "converted").orderBy("t")
+  }
+
+  val survivalUsersSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS f0 FROM ev GROUP BY 1),
+      |p AS (SELECT user_id, MIN(day) AS pd FROM ev
+      |      WHERE event_type = 'purchase' GROUP BY 1),
+      |subj AS (
+      |  SELECT
+      |    CASE WHEN p.pd IS NOT NULL AND p.pd - f.f0 <= 3
+      |      THEN p.pd - f.f0 ELSE 3 END AS t,
+      |    CASE WHEN p.pd IS NOT NULL AND p.pd - f.f0 <= 3
+      |      THEN 1 ELSE 0 END AS e
+      |  FROM f LEFT JOIN p USING (user_id)),
+      |byt AS (SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+      |    CAST(COUNT(*) - SUM(e) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+      |st AS (
+      |  SELECT t, d, c,
+      |    CAST(n - COALESCE(SUM(d + c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_risk
+      |  FROM byt CROSS JOIN tot),
+      |es AS (
+      |  SELECT t, n_risk, d, c,
+      |    CAST((n_risk - d) * 1000000 // n_risk AS BIGINT) AS factor_e6,
+      |    CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+      |  FROM st WHERE d > 0),
+      |lst AS (SELECT list(f ORDER BY t) AS fl FROM es),
+      |r AS (SELECT es.*, row_number() OVER (ORDER BY t) AS rn FROM es)
+      |SELECT r.t, r.n_risk, r.d AS d_events, r.c AS c_censored,
+      |  r.factor_e6,
+      |  CAST(FLOOR(list_reduce(l.fl[1:r.rn], (a, b) -> a * b) * 1000000.0)
+      |    AS BIGINT) AS surv_e6
+      |FROM r CROSS JOIN lst l ORDER BY t""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -5690,7 +5752,8 @@ object Queries {
     "q152_item_similarity" -> itemSimilarityParts _,
     "q153_dataset_card" -> datasetCard _,
     "q154_quota_admit" -> quotaAdmitEvents _,
-    "q155_weighted_median" -> weightedMedianLineitem _)
+    "q155_weighted_median" -> weightedMedianLineitem _,
+    "q156_survival_curve" -> survivalUsers _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -5846,5 +5909,6 @@ object Queries {
     "q152_item_similarity" -> itemSimilarityPartsSql,
     "q153_dataset_card" -> datasetCardSql,
     "q154_quota_admit" -> quotaAdmitEventsSql,
-    "q155_weighted_median" -> weightedMedianLineitemSql)
+    "q155_weighted_median" -> weightedMedianLineitemSql,
+    "q156_survival_curve" -> survivalUsersSql)
 }

@@ -274,6 +274,83 @@ object Behavior {
     attributed.unionByName(untouched)
   }
 
+  /** KAPLAN–MEIER survival curve — churn/retention analysis done
+    * right-censoring-aware (a user still active at observation end is
+    * NOT a churn at their last-seen time; naive retention curves that
+    * ignore censoring bias survival down): at each duration t with
+    * d_t ≥ 1 events, S(t) = Π_{u ≤ t} (1 − d_u/n_u) with n_u the
+    * at-risk count (subjects with duration ≥ u).
+    *
+    * Engine-replayability of the PRODUCT chain: every factor
+    * (n−d)/n is one IEEE division of exact integers; the cumulative
+    * product is a LEFT FOLD over the time-ordered factor array (Spark
+    * `aggregate` HOF ≡ DuckDB `list_reduce` over DOUBLEs — the same
+    * multiply sequence, so the result is bit-identical; no exp/ln
+    * round-trip whose libm could differ). Factors also emit as exact
+    * `(n−d)·1e6 div n` integers, and survival as floor-e6.
+    *
+    * 100 TB shape: one map-side-combined per-duration aggregation (the
+    * curve's grain is DISTINCT DURATIONS — use a coarse unit like
+    * days; the step table is aggregate-grain and the at-risk window
+    * consumes it, satisfying the PlanSpec boundedness rule), then the
+    * fold runs on the collected step array — guarded at `maxSteps` so
+    * a per-millisecond duration column fails loudly instead of
+    * collecting an unbounded array.
+    *
+    * @param durationCol non-negative integer durations (e.g. days)
+    * @param eventCol    1 = event observed (churned), 0 = censored
+    * @return per event-time step: (t, n_risk, d_events, c_censored,
+    *         factor_e6, surv_e6), time-ascending
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      maxSteps: Int = 10000): DataFrame = {
+    require(maxSteps >= 1)
+    val t = col(durationCol).cast("long")
+    val e = col(eventCol).cast("long")
+    val rows = df
+      .select(t.as("t"),
+        when(e === 0L || e === 1L, e).otherwise(raise_error(concat(
+          lit(s"Behavior.kaplanMeier: $eventCol must be 0 (censored) or " +
+            "1 (event), got "), e.cast("string"))).cast("long")).as("e"))
+      .where(col("t").isNotNull && col("t") >= 0)
+    val byT = rows.groupBy(col("t"))
+      .agg(sum(col("e")).as("d"), (count(lit(1)) - sum(col("e"))).as("c"))
+    val total = rows.agg(count(lit(1)).as("__n"))
+    val wPrior = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // at-risk = total minus everyone who exited strictly earlier;
+    // unpartitioned window over AGGREGATE-grain input (duration steps)
+    val steps = byT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum(col("d") + col("c")).over(wPrior), lit(0L)))
+      .where(col("d") > 0)
+      .withColumn("factor_e6", expr("(n_risk - d) * 1000000L div n_risk"))
+      .withColumn("__f", (col("n_risk") - col("d")).cast("double") /
+        col("n_risk").cast("double"))
+    val packed = steps
+      .agg(array_sort(collect_list(struct(col("t"), col("n_risk"),
+        col("d"), col("c"), col("factor_e6"), col("__f")))).as("arr"))
+      .select(expr(
+        s"""CASE WHEN size(arr) <= $maxSteps THEN arr
+           |ELSE raise_error(concat('Behavior.kaplanMeier: ',
+           |  cast(size(arr) AS string), ' curve steps (> $maxSteps); ',
+           |  'coarsen the duration unit (days, not millis)'))
+           |END""".stripMargin).as("arr"))
+    packed
+      .select(posexplode(col("arr")).as(Seq("__i", "s")),
+        col("arr"))
+      .withColumn("surv_e6", floor(expr(
+        "aggregate(slice(transform(arr, x -> x.__f), 1, __i + 1), " +
+          "cast(1.0 as double), (a, x) -> a * x)") * lit(1000000.0))
+        .cast("long"))
+      .select(col("s.t").as("t"), col("s.n_risk").as("n_risk"),
+        col("s.d").as("d_events"), col("s.c").as("c_censored"),
+        col("s.factor_e6").as("factor_e6"), col("surv_e6"))
+  }
+
   /** Per-key QUOTA admission — deterministic replay of a rate-limit /
     * sampling-cap policy over an event log: within each (key, window)
     * the first `quota` events by (ts, tie) are admitted, the rest

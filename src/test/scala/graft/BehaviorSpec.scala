@@ -168,6 +168,27 @@ class BehaviorSpec extends SparkSuite {
     assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$plan")
   }
 
+  test("kaplanMeier: hand-computed risk sets, censoring, cumulative product") {
+    // subjects: two events at t=1, one censored at t=1, one event at
+    // t=2, one censored at t=3 (no step: d=0 there)
+    val df = Seq((1L, 1), (1L, 1), (1L, 0), (2L, 1), (3L, 0))
+      .toDF("dur", "e")
+    val got = Behavior.kaplanMeier(df, "dur", "e")
+      .orderBy("t")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 2L, 1L, 600000L, 600000L),  // S(1) = 3/5
+      (2L, 2L, 1L, 0L, 500000L, 300000L)), // S(2) = 3/5 * 1/2
+      s"$got")
+    // invalid event flag raises; empty input yields an empty curve
+    val e = intercept[Exception] {
+      Behavior.kaplanMeier(Seq((1L, 2)).toDF("dur", "e"), "dur", "e")
+        .collect()
+    }
+    assert(e.getMessage.contains("0 (censored) or 1"), e.getMessage)
+    assert(Behavior.kaplanMeier(df.limit(0), "dur", "e").count() == 0)
+  }
+
   test("quotaAdmit: first-N by (ts, tie) per window; windows reset the count") {
     val day = 100L
     val ev = Seq(
