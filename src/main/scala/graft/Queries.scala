@@ -5596,6 +5596,63 @@ object Queries {
       |    AS BIGINT) AS surv_e6
       |FROM r CROSS JOIN lst l ORDER BY t""".stripMargin
 
+  /** q157: deterministic random walks ([[Graph.deterministicWalks]])
+    * — a DeepWalk-style walk corpus over the co-order parts graph,
+    * every step draw content-addressed (md5) so the oracle replays
+    * the walks node-for-node through 4 unrolled join rounds.
+    */
+  def walksParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val small = li.groupBy(col("ok")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= 6).select(col("ok"))
+    val li2 = li.join(small, Seq("ok"), "leftsemi")
+    val und = li2.as("x").join(li2.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    Graph.deterministicWalks(edges, walksPerNode = 1, steps = 4)
+      .orderBy("start", "w", "step")
+  }
+
+  val walksPartsSql: String = {
+    def h(i: Int) = duckHash60("walk",
+      s"concat(CAST(p.start AS VARCHAR), '#', CAST(p.w AS VARCHAR), " +
+        s"'#', '$i')")
+    val rounds = (1 to 4).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT p.start, p.w, i.dst AS node, $i AS step
+         |  FROM w${i - 1} p
+         |  JOIN deg d ON d.src = p.node
+         |  JOIN idx i ON i.src = p.node AND i.nidx = ${h(i)} % d.deg)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ok6 AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) <= 6),
+       |li2 AS MATERIALIZED (SELECT li.* FROM li JOIN ok6 USING (ok)),
+       |u AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b FROM li2 x
+       |  JOIN li2 y ON x.ok = y.ok AND x.pk < y.pk),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM u
+       |  UNION ALL SELECT b, a FROM u),
+       |deg AS MATERIALIZED (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |idx AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+       |      AS BIGINT) AS nidx
+       |  FROM e),
+       |w0 AS (SELECT DISTINCT src AS start, 0 AS w, src AS node, 0 AS step
+       |       FROM e),
+       |$rounds
+       |SELECT start, CAST(w AS BIGINT) AS w, CAST(step AS BIGINT) AS step,
+       |  node
+       |FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1
+       |      UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+       |      UNION ALL SELECT * FROM w4)
+       |ORDER BY start, w, step""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -5753,7 +5810,8 @@ object Queries {
     "q153_dataset_card" -> datasetCard _,
     "q154_quota_admit" -> quotaAdmitEvents _,
     "q155_weighted_median" -> weightedMedianLineitem _,
-    "q156_survival_curve" -> survivalUsers _)
+    "q156_survival_curve" -> survivalUsers _,
+    "q157_graph_walks" -> walksParts _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -5910,5 +5968,6 @@ object Queries {
     "q153_dataset_card" -> datasetCardSql,
     "q154_quota_admit" -> quotaAdmitEventsSql,
     "q155_weighted_median" -> weightedMedianLineitemSql,
-    "q156_survival_curve" -> survivalUsersSql)
+    "q156_survival_curve" -> survivalUsersSql,
+    "q157_graph_walks" -> walksPartsSql)
 }

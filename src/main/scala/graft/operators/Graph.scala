@@ -281,4 +281,69 @@ object Graph {
     }
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
   }
+
+  /** DETERMINISTIC random walks — the DeepWalk/node2vec corpus
+    * generator without the RNG: `walksPerNode` fixed-length walks from
+    * every node whose step-i choice indexes the current node's sorted
+    * neighbor list at `hash60(start#replica#i) mod degree` (the
+    * portable md5 recipe every sampler here uses). The walk corpus
+    * feeds sequence models exactly like text does (walks are the
+    * "sentences" graph-embedding training consumes) — and because
+    * the draws are content-addressed, any engine reproduces every
+    * walk node-for-node, and a re-run after a graph append changes
+    * only walks the new edges actually touch.
+    *
+    * Walks stop early at sinks (no outgoing edge). Choices are
+    * independent of the current node's identity (pure function of
+    * walk id + step) — a valid uniform step draw, chosen over
+    * hash(current) so two replicas at the same node still diverge.
+    *
+    * 100 TB shape: the neighbor index is one per-src window over the
+    * edge list (grouped sort, spills fine); each step is two
+    * equi-joins of the walks-sized frontier against degree/index
+    * tables — `steps` is a bounded constant, so the whole corpus is
+    * O(nodes × walksPerNode × steps) rows, checkpointed per step to
+    * keep lineage flat.
+    *
+    * @return exploded corpus: (start, w, step, node), step 0 = start
+    */
+  def deterministicWalks(
+      edges: DataFrame,
+      walksPerNode: Int,
+      steps: Int,
+      salt: String = "walk"): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 128 &&
+      steps >= 1 && steps <= 64, "bounded walk corpus only")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val idx = e.withColumn("__nidx",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dst"))).cast("long") - 1)
+    var cur = e.select(col("src").as("start")).distinct()
+      .withColumn("w", explode(array((0 until walksPerNode).map(lit): _*)))
+      .select(col("start"), col("w").cast("long").as("w"),
+        lit(0L).as("step"), col("start").as("node"))
+      .localCheckpoint(true)
+    val parts = scala.collection.mutable.Buffer(cur)
+    for (i <- 1 to steps) {
+      val pick = graft.functions.PortableHash.hash60(
+        concat(col("start").cast("string"), lit("#"),
+          col("w").cast("string"), lit("#"), lit(i.toString)), salt) %
+        col("__deg")
+      cur = cur
+        .join(deg, col("node") === deg("src"))
+        .withColumn("__pick", pick)
+        .drop("src")
+        .join(idx, col("node") === idx("src") && col("__pick") === col("__nidx"))
+        .select(col("start"), col("w"), lit(i.toLong).as("step"),
+          col("dst").as("node"))
+        .localCheckpoint(true)
+      parts += cur
+    }
+    parts.reduce(_ unionByName _)
+  }
 }

@@ -105,4 +105,34 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(c2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$c2")
   }
+
+  test("deterministicWalks: valid edges, sink stop, replica divergence, determinism") {
+    // 1 and 2 point into each other and into 3; 3 is a SINK
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val walks = Graph.deterministicWalks(edges, walksPerNode = 4, steps = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byWalk = walks.groupBy(w => (w._1, w._2))
+      .view.mapValues(_.sortBy(_._3).map(_._4).toList).toMap
+    val edgeSet = Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L))
+    byWalk.values.foreach { path =>
+      path.sliding(2).foreach {
+        case List(a, b) => assert(edgeSet.contains((a, b)),
+          s"walk used a non-edge $a->$b in $path")
+        case _ =>
+      }
+      // any walk that reached the sink stopped there
+      if (path.last == 3L) assert(path.count(_ == 3L) == 1)
+      else assert(path.length == 6, s"non-sink walk must run all steps: $path")
+    }
+    // starts: only nodes with outgoing edges, each with 4 replicas
+    assert(byWalk.keySet.map(_._1) == Set(1L, 2L))
+    assert(byWalk.keySet.size == 8)
+    // replicas are not all identical (the draws are per (start, w, i))
+    val fromOne = (0L to 3L).map(w => byWalk((1L, w)))
+    assert(fromOne.distinct.size > 1, s"all replicas walked identically: $fromOne")
+    // bit-for-bit deterministic across invocations
+    val again = Graph.deterministicWalks(edges, walksPerNode = 4, steps = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again.sorted == walks.sorted)
+  }
 }

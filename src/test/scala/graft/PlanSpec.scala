@@ -373,4 +373,25 @@ class PlanSpec extends SparkSuite {
       s"target encoding sums must combine map-side:\n$te")
     assert(!te.contains("Window"), s"target encoding must not sort rows:\n$te")
   }
+
+  test("q144 point-in-time: union+window plan, no join node at fact grain") {
+    val p = plan("q144_point_in_time")
+    assert(p.contains("Union"), s"expected the as-of union trick:\n$p")
+    // the only joins allowed are... none: scd2 + facts merge via Union,
+    // the carry is a window — a Range/BroadcastNestedLoop join here
+    // would be the fan-out plan this operator exists to avoid
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"point-in-time must not plan a range-join fan-out:\n$p")
+  }
+
+  test("q154/q155 policy/percentile windows stay group-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    Seq("q154_quota_admit", "q155_weighted_median").foreach { q =>
+      val lp = Queries.all(q)(spark, sf).queryExecution.optimizedPlan
+      val ws = lp.collect { case w: logical.Window => w }
+      assert(ws.nonEmpty, s"$q expected a window")
+      ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q planned a GLOBAL window over row-grain input:\n$lp"))
+    }
+  }
 }
