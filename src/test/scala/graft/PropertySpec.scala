@@ -257,4 +257,94 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("weightedPercentile equals a driver-side cumulative scan on random data") {
+    import graft.operators.Stats
+    val rnd = new Random(606)
+    (1 to 4).foreach { trial =>
+      val rows = Seq.fill(40 + rnd.nextInt(60))(
+        (s"g${rnd.nextInt(3)}", (rnd.nextInt(2000) - 500) / 10.0,
+          rnd.nextInt(9).toLong))
+      val p = 1L + rnd.nextInt(999999).toLong
+      val got = Stats.weightedPercentile(rows.toDF("g", "v", "w"),
+          Seq("g"), "v", "w", p)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val wTotal = rs.map(_._3).sum
+        val sorted = rs.map(r => (math.floor(r._2 * 10000).toLong / 1L, r._3))
+          .map { case (x4, w) => (x4, w) }.sortBy(_._1)
+        // cumulative weight where equal values form one step
+        val byV = sorted.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .toSeq.sortBy(_._1)
+        var cum = 0L
+        val hit = byV.collectFirst {
+          case (x4, w) if { cum += w; cum * 1000000L >= p * wTotal } => x4
+        }
+        (got.get(g), hit) match {
+          case (Some((wt, pv)), Some(x4)) =>
+            assert(wt == wTotal && pv == x4, s"trial $trial g=$g")
+          case (None, None) => // all-zero-weight group both sides? not generated
+          case other => fail(s"trial $trial g=$g mismatch: $other")
+        }
+      }
+    }
+  }
+
+  test("targetEncodeLoo equals a driver-side held-out mean on random data") {
+    import graft.operators.Encoding
+    val rnd = new Random(707)
+    (1 to 4).foreach { trial =>
+      val rows = (1L to (30 + rnd.nextInt(40)).toLong).map { id =>
+        (id,
+          if (rnd.nextInt(10) == 0) null else s"k${rnd.nextInt(4)}",
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(100000) / 10.0))
+      }
+      val df = rows.toDF("id", "k", "y")
+      val got = Encoding.targetEncodeLoo(df, "k", "y")
+        .select("id", "n_key", "loo_e6").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      rows.foreach { case (id, k, y) =>
+        val grp = rows.filter(_._2 == k)
+        val ys = grp.flatMap(_._3)
+          .map(v => math.floor(v * 10000 + 0.5).toLong) // decimal(14,4) HALF_UP
+        val n = ys.size.toLong
+        val want = y match {
+          case Some(v) if n > 1 =>
+            val y4 = math.floor(v * 10000 + 0.5).toLong
+            Some((ys.sum - y4) * 100L / (n - 1))
+          case None if n > 0 => Some(ys.sum * 100L / n)
+          case _ => None
+        }
+        assert(got(id) == ((n, want)), s"trial $trial id=$id k=$k y=$y " +
+          s"got=${got(id)} want=${(n, want)}")
+      }
+    }
+  }
+
+  test("quotaAdmit invariants: per-window counts, order stability, flag consistency") {
+    import graft.operators.Behavior
+    val rnd = new Random(808)
+    (1 to 4).foreach { trial =>
+      val rows = (1L to 200L).map(id =>
+        (id, rnd.nextInt(5).toLong, rnd.nextInt(400).toLong))
+      val q = 1 + rnd.nextInt(4)
+      val win = 100L
+      val got = Behavior.quotaAdmit(rows.toDF("id", "u", "ts"),
+          "u", "ts", "id", win, q)
+        .select("id", "u", "ts", "win", "seq", "admitted")
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+      assert(got.size == rows.size, "quota must not drop rows")
+      got.groupBy(r => (r._2, r._4)).foreach { case ((u, w), g) =>
+        val sorted = g.sortBy(r => (r._3, r._1))
+        assert(sorted.map(_._5) == (1L to g.size.toLong), s"seq gap u=$u w=$w")
+        assert(g.count(_._6) == math.min(q, g.size), s"admitted count u=$u")
+        // admitted = exactly the first q by (ts, id)
+        assert(sorted.take(q).forall(_._6) && sorted.drop(q).forall(!_._6))
+        assert(g.forall(r => r._4 == r._3 / win))
+      }
+    }
+  }
 }
