@@ -240,6 +240,70 @@ object StreamOps {
           .as("passed"))
   }
 
+  /** Per-(key, window) admitted-count state for [[quotaGate]] (public
+    * for the state encoder, like [[SessionState]]).
+    */
+  final case class QuotaState(counts: Map[Long, Long])
+
+  /** STREAMING per-key quota admission — the live twin of
+    * [[graft.operators.Behavior.quotaAdmit]]: each user admits at most
+    * `quota` events per `windowMs` event-time window; the admitted
+    * count lives in keyed state (`flatMapGroupsWithState`), so the cap
+    * holds ACROSS micro-batches — the property a stateless per-batch
+    * window cannot give you. Only admitted events are emitted (the
+    * gate shape of [[dedupGate]]/[[outlierGate]]).
+    *
+    * Ordering contract (the [[graft.operators.ChangeCapture.applyCdc]]
+    * stance): within one micro-batch events are processed in
+    * (ts, event_id) order, so an in-order stream admits EXACTLY the
+    * batch operator's rows (StreamOpsSpec pins the parity, including a
+    * same-window quota spanning two batches); cross-batch stragglers
+    * consume quota in arrival order — an at-most-N guarantee, not a
+    * which-N one, which is what a live rate limiter means anyway.
+    * State is evicted by event-time timeout once the watermark passes
+    * the window's horizon; stale windows prune as newer ones appear.
+    */
+  def quotaGate(
+      events: Dataset[Event],
+      windowMs: Long,
+      quota: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[Event] = {
+    require(windowMs > 0 && quota >= 1)
+    implicit val stateEnc = Encoders.product[QuotaState]
+    implicit val outEnc = Encoders.product[Event]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, it: Iterator[Event], state: GroupState[QuotaState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+            val out = Seq.newBuilder[Event]
+            var maxMs = Long.MinValue
+            sorted.foreach { e =>
+              val w = e.ts.getTime / windowMs
+              maxMs = math.max(maxMs, e.ts.getTime)
+              val admitted = counts.getOrElse(w, 0L)
+              if (admitted < quota) {
+                out += e
+                counts = counts.updated(w, admitted + 1)
+              }
+            }
+            // prune windows two behind the newest seen — stragglers that
+            // old are beyond the watermark anyway
+            val newest = counts.keys.max
+            state.update(QuotaState(counts.filter(_._1 >= newest - 2)))
+            if (maxMs != Long.MinValue)
+              state.setTimeoutTimestamp(maxMs + 3 * windowMs)
+            out.result().iterator
+          }
+        })
+  }
+
   /** Gap-based sessionization per user via `flatMapGroupsWithState`
     * (SURVEY §3.2 "stateful" row): a session closes when no event
     * arrives within `gapMs` of its last event; closed sessions are

@@ -315,6 +315,34 @@ class StreamOpsSpec extends SparkSuite {
     assert(streamed == batch, s"stream registers $streamed vs batch $batch")
   }
 
+  test("quotaGate: cap holds across batches; parity with the batch operator") {
+    import graft.streaming.StreamOps.Event
+    val win = 60000L // 1-minute windows
+    def ev(id: Long, u: Long, ms: Long) =
+      Event(id, new java.sql.Timestamp(ms), u, "click", 1.0)
+    // user 1: 2 events in window 0 arrive in batch 1, 2 MORE in the
+    // SAME window in batch 2 — the cross-batch state must reject them
+    val b1 = Seq(ev(1, 1, 1000), ev(2, 1, 2000), ev(3, 2, 1500))
+    val b2 = Seq(ev(4, 1, 3000), ev(5, 1, 4000), ev(6, 1, 61000))
+    val input = MemoryStream[Event]
+    val gated = StreamOps.quotaGate(input.toDS(), win, quota = 2)
+    val got = runBatches(input, gated.toDF(), OutputMode.Append(),
+        Seq(b1, b2))
+      .map(_.getLong(0)).sorted
+    // window 0 admits ids 1,2 (batch 1) and nothing from batch 2;
+    // window 1 (61000) admits id 6; user 2 admits id 3
+    assert(got == Seq(1L, 2L, 3L, 6L), s"$got")
+    // parity: an in-order replay admits exactly the batch operator's rows
+    val all = (b1 ++ b2).map(e => (e.event_id, e.user_id, e.ts.getTime))
+    val batchAdmitted = graft.operators.Behavior.quotaAdmit(
+        all.toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id", win, 2)
+      .where(org.apache.spark.sql.functions.col("admitted"))
+      .select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(batchAdmitted == got, s"batch $batchAdmitted vs stream $got")
+  }
+
   test("applyCdc via foreachBatch: incremental upsert equals one-shot merge") {
     import graft.operators.ChangeCapture
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
