@@ -5653,6 +5653,105 @@ object Queries {
        |ORDER BY start, w, step""".stripMargin
   }
 
+  /** q158: retrieval evaluation harness ([[Retrieval.evalMetrics]]) —
+    * recall@10, MRR and nDCG@10 of the q113 BM25 ranking against
+    * deterministic graded labels (rel = how many of the query's terms
+    * the document contains). The oracle replays the BM25 chain, the
+    * label derivation, and every metric's integer/floor-e6 arithmetic.
+    */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val docs = t(s, dir, "documents")
+    val rank = TextAnalysis.bm25TopK(docs, "doc_id", "text", bm25Queries, 20)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val qt = bm25Queries.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(term => (qid, term))
+    }.toDF("query_id", "term")
+    val dt = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .distinct()
+    val rel = dt.join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("rel"))
+    Retrieval.evalMetrics(rank, rel, k = 10).orderBy("query_id")
+  }
+
+  val retrievalEvalSql: String = {
+    val qtRows = bm25Queries.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(term => s"($qid, '$term')")
+    }.mkString(", ")
+    val dcgTerm = (rankCol: String) =>
+      s"CAST(FLOOR(CAST(rel AS DOUBLE) / (ln(CAST($rankCol AS DOUBLE) " +
+        s"+ 1.0) / ln(2.0)) * 1000000.0) AS BIGINT)"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($duckToks) AS term
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+       |qt(query_id, term) AS (VALUES $qtRows),
+       |tfq AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM qt)),
+       |df AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1),
+       |scored AS (
+       |  SELECT qt.query_id, tfq.doc_id,
+       |    CAST(FLOOR(
+       |      ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+       |      ((tfq.tf * (1.2 + 1.0)) /
+       |       (tfq.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(s.sumdl AS DOUBLE) / s.n))))) *
+       |      1000000.0) AS BIGINT) AS e6
+       |  FROM tfq JOIN qt USING (term) JOIN df USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN stats s),
+       |bmagg AS (SELECT query_id, doc_id, CAST(SUM(e6) AS BIGINT) AS score_e6
+       |  FROM scored GROUP BY 1, 2),
+       |bm AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+       |  FROM bmagg),
+       |relv AS (
+       |  SELECT qt.query_id, d.doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+       |  FROM (SELECT DISTINCT doc_id, term FROM tok) d
+       |  JOIN qt USING (term) GROUP BY 1, 2),
+       |topk AS (SELECT * FROM bm WHERE rnk <= 10),
+       |j AS (SELECT t.query_id, t.doc_id, t.rnk, r.rel
+       |  FROM topk t LEFT JOIN relv r
+       |  ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
+       |pq AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+       |    CAST(COUNT(rel) AS BIGINT) AS hits,
+       |    MIN(CASE WHEN rel IS NOT NULL THEN rnk END) AS frst,
+       |    CAST(SUM(CASE WHEN rel IS NOT NULL THEN ${dcgTerm("rnk")}
+       |      ELSE 0 END) AS BIGINT) AS dcg_e6
+       |  FROM j GROUP BY 1),
+       |nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+       |  FROM relv GROUP BY 1),
+       |ideal AS (SELECT query_id, rel,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rel DESC, doc_id ASC) AS irnk
+       |  FROM relv),
+       |idcg AS (
+       |  SELECT query_id, CAST(SUM(${dcgTerm("irnk")}) AS BIGINT) AS idcg_e6
+       |  FROM ideal WHERE irnk <= 10 GROUP BY 1)
+       |SELECT COALESCE(n.query_id, p.query_id) AS query_id,
+       |  COALESCE(n.n_relevant, 0) AS n_relevant,
+       |  COALESCE(p.n_retrieved, 0) AS n_retrieved,
+       |  COALESCE(p.hits, 0) AS hits,
+       |  CASE WHEN n.n_relevant > 0 THEN
+       |    COALESCE(p.hits, 0) * 1000000 // n.n_relevant END AS recall_ppm,
+       |  CASE WHEN p.frst IS NOT NULL THEN 1000000 // p.frst END AS mrr_e6,
+       |  COALESCE(p.dcg_e6, 0) AS dcg_e6,
+       |  COALESCE(i.idcg_e6, 0) AS idcg_e6,
+       |  CASE WHEN i.idcg_e6 > 0 THEN
+       |    COALESCE(p.dcg_e6, 0) * 1000000 // i.idcg_e6 END AS ndcg_ppm
+       |FROM nrel n
+       |FULL OUTER JOIN pq p ON p.query_id = n.query_id
+       |LEFT JOIN idcg i ON i.query_id = COALESCE(n.query_id, p.query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -5811,7 +5910,8 @@ object Queries {
     "q154_quota_admit" -> quotaAdmitEvents _,
     "q155_weighted_median" -> weightedMedianLineitem _,
     "q156_survival_curve" -> survivalUsers _,
-    "q157_graph_walks" -> walksParts _)
+    "q157_graph_walks" -> walksParts _,
+    "q158_retrieval_eval" -> retrievalEval _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -5969,5 +6069,6 @@ object Queries {
     "q154_quota_admit" -> quotaAdmitEventsSql,
     "q155_weighted_median" -> weightedMedianLineitemSql,
     "q156_survival_curve" -> survivalUsersSql,
-    "q157_graph_walks" -> walksPartsSql)
+    "q157_graph_walks" -> walksPartsSql,
+    "q158_retrieval_eval" -> retrievalEvalSql)
 }

@@ -70,4 +70,79 @@ object Retrieval {
         col("doc_id"), col("p.val").cast("long").as("rrf_e6"),
         col("n_rankers"))
   }
+
+  /** Retrieval EVALUATION metrics — the harness that closes the loop
+    * on the retrieval stack (build → index → search → fuse →
+    * MEASURE): per query, recall@k, MRR, and nDCG@k of a ranked list
+    * against graded relevance labels.
+    *
+    * Exactness: recall and MRR are pure integer ratios
+    * (`hits·1e6 div n_relevant`, `1e6 div first_rank`); DCG's
+    * rel/log₂(rank+1) terms floor to e6 integers BEFORE summation
+    * (the q113 rule — the sum is order-independent integer adds and
+    * the only libm call is `ln`), IDCG runs the same chain over the
+    * ideal ordering (rel DESC, doc ASC), and nDCG is the ppm integer
+    * ratio of the two e6 sums.
+    *
+    * 100 TB shape: rankings are O(queries × k) by construction; the
+    * relevance join is query-grain; every aggregation is a
+    * map-side-combined per-query sum. Nothing corpus-sized enters.
+    *
+    * @param rankings  (query_id, doc_id, rnk) — 1-based ranks ≤ k used
+    * @param relevance (query_id, doc_id, rel) — graded, rel ≥ 1 means
+    *                  relevant; absent pairs are irrelevant
+    * @return per query: (query_id, n_relevant, n_retrieved, hits,
+    *         recall_ppm, mrr_e6, dcg_e6, idcg_e6, ndcg_ppm)
+    */
+  def evalMetrics(
+      rankings: DataFrame,
+      relevance: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val rel = relevance.select(col("query_id"), col("doc_id"),
+        col("rel").cast("long").as("rel"))
+      .where(col("rel") >= 1)
+    val topk = rankings.where(col("rnk") <= k)
+    val joined = topk.join(rel, Seq("query_id", "doc_id"), "left")
+    val dcgTerm = floor(col("rel").cast("double") /
+      (log(col("rnk").cast("double") + 1.0) / log(lit(2.0))) *
+      lit(1000000.0)).cast("long")
+    val perQuery = joined.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        count(col("rel")).as("hits"),
+        min(when(col("rel").isNotNull, col("rnk"))).as("__first"),
+        sum(when(col("rel").isNotNull, dcgTerm).otherwise(lit(0L)))
+          .as("dcg_e6"))
+    // ideal ordering per query: rel DESC, doc ASC, top k
+    import org.apache.spark.sql.expressions.Window
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val idcg = rel
+      .withColumn("__irnk", row_number().over(wIdeal).cast("long"))
+      .where(col("__irnk") <= k)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__nrel_k"),
+        sum(floor(col("rel").cast("double") /
+          (log(col("__irnk").cast("double") + 1.0) / log(lit(2.0))) *
+          lit(1000000.0)).cast("long")).as("idcg_e6"))
+    val nRel = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_relevant"))
+    perQuery
+      .join(nRel, Seq("query_id"), "full_outer")
+      .join(idcg.drop("__nrel_k"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        when(col("n_relevant") > 0,
+          expr("coalesce(hits, 0L) * 1000000L div n_relevant"))
+          .as("recall_ppm"),
+        when(col("__first").isNotNull, expr("1000000L div __first"))
+          .as("mrr_e6"),
+        coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"),
+        coalesce(col("idcg_e6"), lit(0L)).as("idcg_e6"),
+        when(col("idcg_e6") > 0,
+          expr("coalesce(dcg_e6, 0L) * 1000000L div idcg_e6"))
+          .as("ndcg_ppm"))
+  }
 }

@@ -36,6 +36,35 @@ class RetrievalSpec extends SparkSuite {
     assert(got.forall(_._4 == 1000000L / 61))
   }
 
+  test("evalMetrics: hand-computed recall/MRR/nDCG; unretrieved relevance counts") {
+    val rankings = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    // doc 11 retrieved and relevant (grade 2); doc 99 relevant but missed
+    val relevance = Seq((1L, 11L, 2L), (1L, 99L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val got = Retrieval.evalMetrics(rankings, relevance, k = 3).collect()
+    assert(got.length == 1)
+    val r = got.head
+    def term(rel: Long, rank: Long): Long =
+      math.floor(rel.toDouble / (math.log(rank.toDouble + 1.0) /
+        math.log(2.0)) * 1e6).toLong
+    val dcg = term(2, 2)
+    val idcg = term(2, 1) + term(1, 2)
+    assert(r.getAs[Long]("n_relevant") == 2 &&
+      r.getAs[Long]("n_retrieved") == 3 && r.getAs[Long]("hits") == 1)
+    assert(r.getAs[Long]("recall_ppm") == 500000L)
+    assert(r.getAs[Long]("mrr_e6") == 500000L)
+    assert(r.getAs[Long]("dcg_e6") == dcg, s"dcg ${r.getAs[Long]("dcg_e6")} vs $dcg")
+    assert(r.getAs[Long]("idcg_e6") == idcg)
+    assert(r.getAs[Long]("ndcg_ppm") == dcg * 1000000L / idcg)
+    // a query with rankings but no relevance: zeroed metrics, null ratios
+    val none = Retrieval.evalMetrics(rankings,
+      relevance.limit(0), k = 3).collect().head
+    assert(none.getAs[Long]("n_relevant") == 0 &&
+      none.isNullAt(none.fieldIndex("recall_ppm")) &&
+      none.isNullAt(none.fieldIndex("mrr_e6")))
+  }
+
   test("rrfFuse: topK truncates the fused list, not the inputs") {
     val got = Retrieval.rrfFuse(Seq(rankA, rankB), k0 = 60, topK = 2)
       .as[(Long, Long, Long, Long, Long)].collect()
