@@ -5752,6 +5752,148 @@ object Queries {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** q159: quantile normalization ([[Stats.quantileNormalize]]) across
+    * the first four embedding dimensions — every dimension ends up
+    * with the identical marginal; the oracle replays the melt, the
+    * (value, id) positional ranks, and the floor rank-means.
+    */
+  def quantileNormalizeVecs(s: SparkSession, dir: String): DataFrame =
+    Stats.quantileNormalize(
+        t(s, dir, "embeddings").select(col("vec_id"),
+          element_at(col("embedding"), 1).as("d1"),
+          element_at(col("embedding"), 2).as("d2"),
+          element_at(col("embedding"), 3).as("d3"),
+          element_at(col("embedding"), 4).as("d4")),
+        "vec_id", Seq("d1", "d2", "d3", "d4"))
+      .orderBy("feature", "rnk")
+
+  val quantileNormalizeVecsSql: String =
+    """WITH base AS (
+      |  SELECT vec_id,
+      |    CAST(CAST(embedding[1] AS DECIMAL(14,4)) * 10000 AS BIGINT) AS d1,
+      |    CAST(CAST(embedding[2] AS DECIMAL(14,4)) * 10000 AS BIGINT) AS d2,
+      |    CAST(CAST(embedding[3] AS DECIMAL(14,4)) * 10000 AS BIGINT) AS d3,
+      |    CAST(CAST(embedding[4] AS DECIMAL(14,4)) * 10000 AS BIGINT) AS d4
+      |  FROM embeddings
+      |  WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+      |    AND embedding[3] IS NOT NULL AND embedding[4] IS NOT NULL),
+      |m AS (
+      |  SELECT vec_id, 'd1' AS feature, d1 AS x_e4 FROM base
+      |  UNION ALL SELECT vec_id, 'd2', d2 FROM base
+      |  UNION ALL SELECT vec_id, 'd3', d3 FROM base
+      |  UNION ALL SELECT vec_id, 'd4', d4 FROM base),
+      |r AS (
+      |  SELECT vec_id, feature, x_e4,
+      |    CAST(row_number() OVER (PARTITION BY feature
+      |      ORDER BY x_e4, vec_id) AS BIGINT) AS rnk
+      |  FROM m),
+      |rm AS (
+      |  SELECT rnk,
+      |    CAST(FLOOR(CAST(SUM(x_e4) AS DOUBLE) / 4) AS BIGINT) AS norm_e4
+      |  FROM r GROUP BY 1)
+      |SELECT r.vec_id, r.feature, r.x_e4, r.rnk, rm.norm_e4
+      |FROM r JOIN rm USING (rnk)
+      |ORDER BY feature, rnk""".stripMargin
+
+  /** q160: period-over-period growth report — daily revenue with
+    * previous-day and previous-week deltas as floor-ppm growth (signed
+    * values ⇒ double-floor division, identical in both engines); the
+    * lag windows ride the day-grain aggregate.
+    */
+  def revenueGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    val w = Window.orderBy(col("day").asc)
+    def growth(prev: Column) = when(prev.isNotNull && prev > 0,
+      floor((col("rev_cents") - prev).cast("double") / prev.cast("double") *
+        lit(1000000.0)).cast("long"))
+    daily
+      .withColumn("__p1", lag(col("rev_cents"), 1).over(w))
+      .withColumn("__p7", lag(col("rev_cents"), 7).over(w))
+      .select(col("day"), col("rev_cents"),
+        col("__p1").as("prev_day_cents"),
+        growth(col("__p1")).as("dod_ppm"),
+        growth(col("__p7")).as("wow_ppm"))
+      .orderBy("day")
+  }
+
+  val revenueGrowthSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |l AS (
+      |  SELECT day, rev_cents,
+      |    LAG(rev_cents, 1) OVER (ORDER BY day) AS p1,
+      |    LAG(rev_cents, 7) OVER (ORDER BY day) AS p7
+      |  FROM daily)
+      |SELECT day, rev_cents, p1 AS prev_day_cents,
+      |  CASE WHEN p1 IS NOT NULL AND p1 > 0 THEN
+      |    CAST(FLOOR(CAST(rev_cents - p1 AS DOUBLE) / CAST(p1 AS DOUBLE)
+      |      * 1000000.0) AS BIGINT) END AS dod_ppm,
+      |  CASE WHEN p7 IS NOT NULL AND p7 > 0 THEN
+      |    CAST(FLOOR(CAST(rev_cents - p7 AS DOUBLE) / CAST(p7 AS DOUBLE)
+      |      * 1000000.0) AS BIGINT) END AS wow_ppm
+      |FROM l ORDER BY day""".stripMargin
+
+  /** q161: binned mutual information between two CONTINUOUS columns —
+    * [[Profile.association]]'s MI/χ²/V machinery applied to fixed-width
+    * integer bins of quantity × price: the feature-selection screen
+    * for numeric pairs, fully replayed including the binning.
+    */
+  def binnedMiLineitem(s: SparkSession, dir: String): DataFrame =
+    Profile.association(
+        t(s, dir, "lineitem").select(
+          expr("cast(l_quantity as bigint) div 10").cast("string").as("qbin"),
+          expr("cast(floor(l_extendedprice / 10000) as bigint)")
+            .cast("string").as("pbin")),
+        "qbin", "pbin")
+
+  val binnedMiLineitemSql: String =
+    // the q127 contingency replay, over the fixed-width bins
+    """WITH cells AS (
+      |  SELECT CAST(CAST(l_quantity AS BIGINT) // 10 AS VARCHAR) AS a,
+      |    CAST(CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS VARCHAR)
+      |      AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS nab
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |  GROUP BY 1, 2),
+      |ma AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY 1),
+      |mb AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM cells),
+      |grid AS (
+      |  SELECT ma.na, mb.nb, t.n, COALESCE(c.nab, 0) AS nab
+      |  FROM ma CROSS JOIN mb
+      |    LEFT JOIN cells c ON c.a = ma.a AND c.b = mb.b
+      |    CROSS JOIN tot t),
+      |terms AS (
+      |  SELECT n,
+      |    CASE WHEN nab > 0 THEN CAST(FLOOR(
+      |      (CAST(nab AS DOUBLE) / n) *
+      |      ln(CAST(nab AS DOUBLE) * n / (CAST(na AS DOUBLE) * nb)) *
+      |      1000000.0) AS BIGINT) ELSE 0 END AS mi_t,
+      |    CAST(FLOOR((nab - CAST(na AS DOUBLE) * nb / n) *
+      |      (nab - CAST(na AS DOUBLE) * nb / n) /
+      |      (CAST(na AS DOUBLE) * nb / n) * 1000000.0) AS BIGINT) AS chi_t
+      |  FROM grid),
+      |cards AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ma) AS card_a,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM mb) AS card_b)
+      |SELECT COALESCE(MAX(t2.n), 0) AS n, cards.card_a, cards.card_b,
+      |  COALESCE(CAST(SUM(t2.mi_t) AS BIGINT), 0) AS mi_e6,
+      |  COALESCE(CAST(SUM(t2.chi_t) AS BIGINT), 0) AS chi2_e6,
+      |  GREATEST(cards.card_a - 1, 0) * GREATEST(cards.card_b - 1, 0) AS dof,
+      |  CASE WHEN GREATEST(cards.card_a - 1, 0) *
+      |      GREATEST(cards.card_b - 1, 0) > 0 AND MAX(t2.n) > 0 THEN
+      |    CAST(FLOOR(sqrt((CAST(SUM(t2.chi_t) AS DOUBLE) / 1000000.0) /
+      |      (MAX(t2.n) * LEAST(cards.card_a - 1, cards.card_b - 1)))
+      |      * 1000000.0) AS BIGINT) END AS cramers_v_e6
+      |FROM terms t2 CROSS JOIN cards
+      |GROUP BY cards.card_a, cards.card_b""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -5911,7 +6053,10 @@ object Queries {
     "q155_weighted_median" -> weightedMedianLineitem _,
     "q156_survival_curve" -> survivalUsers _,
     "q157_graph_walks" -> walksParts _,
-    "q158_retrieval_eval" -> retrievalEval _)
+    "q158_retrieval_eval" -> retrievalEval _,
+    "q159_quantile_normalize" -> quantileNormalizeVecs _,
+    "q160_growth_report" -> revenueGrowth _,
+    "q161_binned_mi" -> binnedMiLineitem _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -6070,5 +6215,8 @@ object Queries {
     "q155_weighted_median" -> weightedMedianLineitemSql,
     "q156_survival_curve" -> survivalUsersSql,
     "q157_graph_walks" -> walksPartsSql,
-    "q158_retrieval_eval" -> retrievalEvalSql)
+    "q158_retrieval_eval" -> retrievalEvalSql,
+    "q159_quantile_normalize" -> quantileNormalizeVecsSql,
+    "q160_growth_report" -> revenueGrowthSql,
+    "q161_binned_mi" -> binnedMiLineitemSql)
 }

@@ -770,6 +770,55 @@ object Stats {
       .agg(min(col("__x4")).as("p_value_e4"))
   }
 
+  /** QUANTILE NORMALIZATION across features — the cross-column
+    * distribution aligner (microarray lineage, any multi-feature
+    * calibration): each column's value at positional rank r is
+    * replaced by the MEAN over all columns of their rank-r values, so
+    * every column ends up with the identical marginal distribution.
+    * Complete-case contract: a row with a null in ANY of `valueCols`
+    * drops entirely (rank alignment requires equal column lengths —
+    * the standard QN assumption, enforced rather than silently
+    * misaligned).
+    *
+    * Exactness: values pass through the decimal(14,4)→e4-long domain;
+    * positional ranks break ties by (value, id) — a deterministic
+    * total order both engines share; the rank-mean is
+    * `Σx4 div K` floor division on exact longs.
+    *
+    * 100 TB posture: the melt is a narrow K-way explode; each
+    * column's rank is a column-partitioned window (K partitions —
+    * the sort parallelism IS K, the same honest limit as
+    * [[rankNormalize]]'s low-cardinality groups; QN is defined by
+    * per-column total order, there is nothing cheaper that computes
+    * it); the rank-mean aggregation and the join back are rank-grain.
+    *
+    * @return (idCol, feature, x_e4, rnk, norm_e4)
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      idCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.size >= 2, "QN needs at least two columns")
+    import org.apache.spark.sql.expressions.Window
+    val complete = valueCols.foldLeft(df)((d, c) => d.where(col(c).isNotNull))
+    val melted = complete.select(col(idCol).as("id"),
+        explode(array(valueCols.map(c => struct(lit(c).as("feature"),
+          (scaledX(c) * lit(10000)).cast("long").as("x_e4"))): _*)).as("m"))
+      .select(col("id"), col("m.feature"), col("m.x_e4"))
+    val w = Window.partitionBy(col("feature"))
+      .orderBy(col("x_e4").asc, col("id").asc)
+    val ranked = melted.withColumn("rnk", row_number().over(w).cast("long"))
+    // FLOOR division (values may be negative, where `div` truncates
+    // toward zero but the replay's `//` floors): the sum is an exact
+    // long < 2^53, so the double floor is the same value in any engine
+    val rankMean = ranked.groupBy(col("rnk"))
+      .agg(floor(sum(col("x_e4")).cast("double") / lit(valueCols.size))
+        .cast("long").as("norm_e4"))
+    ranked.join(rankMean, Seq("rnk"))
+      .select(col("id").as(idCol), col("feature"), col("x_e4"),
+        col("rnk"), col("norm_e4"))
+  }
+
   /** Two-sample z-test report over EXACT decimal moments — the A/B
     * readout (Welch-style unpooled variance): for each requested
     * (group_a, group_b) pair,

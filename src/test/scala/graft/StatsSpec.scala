@@ -436,6 +436,34 @@ class StatsSpec extends SparkSuite {
     assert(e.getMessage.contains("integer weight"), e.getMessage)
   }
 
+  test("quantileNormalize: identical marginals, complete-case, tie order") {
+    val df = Seq(
+      (1L, Some(1.0), Some(3.0)), (2L, Some(2.0), Some(1.0)),
+      (3L, Some(3.0), Some(2.0)), (4L, None, Some(9.0))) // dropped row
+      .toDF("id", "a", "b")
+    val got = Stats.quantileNormalize(df, "id", Seq("a", "b"))
+      .select("feature", "rnk", "x_e4", "norm_e4")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // rank means: r1 (10000+10000)/2, r2 (20000+20000)/2, r3 same
+    val byFeature = got.groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2).map(_._4)).toMap
+    assert(byFeature("a") == byFeature("b"),
+      s"marginals must match: $byFeature")
+    assert(byFeature("a") == Seq(10000L, 20000L, 30000L), s"$byFeature")
+    assert(got.size == 6, "complete-case: the null row must drop entirely")
+    // asymmetric values: means blend the two distributions
+    val df2 = Seq((1L, 1.0, 10.0), (2L, 2.0, 30.0), (3L, 3.0, 20.0))
+      .toDF("id", "a", "b")
+    val g2 = Stats.quantileNormalize(df2, "id", Seq("a", "b"))
+      .select("feature", "rnk", "norm_e4")
+      .as[(String, Long, Long)].collect().toSet
+    val wantMeans = Map(1L -> (10000L + 100000L) / 2,
+      2L -> (20000L + 200000L) / 2, 3L -> (30000L + 300000L) / 2)
+    wantMeans.foreach { case (r, m) =>
+      assert(g2.contains(("a", r, m)) && g2.contains(("b", r, m)), s"r=$r")
+    }
+  }
+
   test("twoSampleZ: hand-computed z; missing/degenerate pairs go null") {
     val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0),
       ("c", 4.0)).toDF("g", "v")
