@@ -5894,6 +5894,97 @@ object Queries {
       |FROM terms t2 CROSS JOIN cards
       |GROUP BY cards.card_a, cards.card_b""".stripMargin
 
+  /** q162: cohort LTV curves — users cohorted by first-activity day;
+    * per (cohort, age-in-days): purchase value accumulated to that age
+    * as floor-cents, cumulative via a cohort-partitioned window over
+    * the AGGREGATE (cohort × age grain). The lifetime-value readout
+    * every growth team tracks, all-integer.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts div 86400000000000L").as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("c0"))
+    val rev = ev.where(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("c0").as("cohort"), (col("day") - col("c0")).as("age"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("rev_cents"),
+        count(lit(1)).as("n_purchases"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sizes = cohort.groupBy(col("c0").as("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    rev
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .join(sizes, Seq("cohort"))
+      .withColumn("ltv_cents_per_user",
+        expr("cum_cents div cohort_users"))
+      .orderBy("cohort", "age")
+  }
+
+  val cohortLtvSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |cohort AS (SELECT user_id, MIN(day) AS c0 FROM ev GROUP BY 1),
+      |sizes AS (SELECT c0 AS cohort, CAST(COUNT(*) AS BIGINT)
+      |    AS cohort_users FROM cohort GROUP BY 1),
+      |rev AS (
+      |  SELECT c.c0 AS cohort, e.day - c.c0 AS age,
+      |    CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents,
+      |    CAST(COUNT(*) AS BIGINT) AS n_purchases
+      |  FROM ev e JOIN cohort c USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT cohort, age, rev_cents, n_purchases,
+      |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cents
+      |  FROM rev)
+      |SELECT c.cohort, c.age, c.rev_cents, c.n_purchases, c.cum_cents,
+      |  s.cohort_users, c.cum_cents // s.cohort_users AS ltv_cents_per_user
+      |FROM c JOIN sizes s ON s.cohort = c.cohort
+      |ORDER BY c.cohort, c.age""".stripMargin
+
+  /** q163: SEASONAL rolling outliers — the q128 monitor with a
+    * day-of-week-aware baseline: each (priority, weekday) series is
+    * its own trailing window, so a Saturday is judged against
+    * Saturdays ([[Stats.rollingOutliers]] composes; no new operator —
+    * the seasonality lives in the key).
+    */
+  def seasonalOutliers(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("t"),
+        dayofweek(to_date(col("o_orderdate"))).cast("long").as("dow"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("x"))
+      .withColumn("k", concat(col("prio"), lit("#"), col("dow")))
+    Stats.rollingOutliers(daily.select(col("k"), col("t"), col("x")),
+        "k", "t", "x", window = 8, kTenths = 25)
+      .orderBy("k", "t")
+  }
+
+  val seasonalOutliersSql: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority || '#' ||
+      |      CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS VARCHAR) AS k,
+      |    CAST(o_orderdate AS DATE) AS t,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |f AS (
+      |  SELECT k, t, x,
+      |    COUNT(x) OVER w AS n, SUM(x) OVER w AS s, SUM(x * x) OVER w AS ss
+      |  FROM d WINDOW w AS (PARTITION BY k ORDER BY t
+      |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+      |SELECT k, t, x, CAST(n AS BIGINT) AS baseline_rows,
+      |  CASE WHEN n >= 8 AND x IS NOT NULL THEN
+      |    (n * x - s) * (n * x - s) * 100 > 625 * (n * ss - s * s)
+      |  END AS is_outlier
+      |FROM f ORDER BY k, t""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -6056,7 +6147,9 @@ object Queries {
     "q158_retrieval_eval" -> retrievalEval _,
     "q159_quantile_normalize" -> quantileNormalizeVecs _,
     "q160_growth_report" -> revenueGrowth _,
-    "q161_binned_mi" -> binnedMiLineitem _)
+    "q161_binned_mi" -> binnedMiLineitem _,
+    "q162_cohort_ltv" -> cohortLtv _,
+    "q163_seasonal_outliers" -> seasonalOutliers _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -6218,5 +6311,7 @@ object Queries {
     "q158_retrieval_eval" -> retrievalEvalSql,
     "q159_quantile_normalize" -> quantileNormalizeVecsSql,
     "q160_growth_report" -> revenueGrowthSql,
-    "q161_binned_mi" -> binnedMiLineitemSql)
+    "q161_binned_mi" -> binnedMiLineitemSql,
+    "q162_cohort_ltv" -> cohortLtvSql,
+    "q163_seasonal_outliers" -> seasonalOutliersSql)
 }
