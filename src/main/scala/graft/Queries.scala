@@ -5985,6 +5985,63 @@ object Queries {
       |  END AS is_outlier
       |FROM f ORDER BY k, t""".stripMargin
 
+  /** q164: DEADLINE funnel — view → click → purchase completed within
+    * 2 days of the user's FIRST view: the conversion-window variant
+    * every product funnel ships with, expressed as an anchored filter
+    * + the q104 funnel (the deadline lives in the data, not a new
+    * operator). The oracle replays the anchor, the cutoff, and the
+    * min-chaining.
+    */
+  def deadlineFunnel(s: SparkSession, dir: String): DataFrame = {
+    val twoDays = 2L * 86400000000000L
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val anchor = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__t0"))
+    val bounded = ev.join(anchor, Seq("user_id"))
+      .where(col("ts") <= col("__t0") + twoDays)
+      .drop("__t0")
+    Behavior.funnel(bounded, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+      .orderBy("step")
+  }
+
+  val deadlineFunnelSql: String =
+    """WITH e0 AS (SELECT user_id, epoch_ns(ts) AS ts, event_type
+      |            FROM events),
+      |anchor AS (SELECT user_id, MIN(ts) AS t0 FROM e0
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |e AS (SELECT e0.* FROM e0 JOIN anchor a USING (user_id)
+      |      WHERE e0.ts <= a.t0 + 172800000000000),
+      |s1 AS (SELECT user_id, MIN(ts) AS t FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+      |c AS (
+      |  SELECT 1 AS step, 'view' AS step_name,
+      |    (SELECT COUNT(*) FROM s1) AS users
+      |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)),
+      |d AS (SELECT step, step_name, users,
+      |        LAG(users) OVER (ORDER BY step) AS prev,
+      |        FIRST_VALUE(users) OVER (ORDER BY step) AS u1
+      |      FROM c)
+      |SELECT CAST(step AS BIGINT) AS step, step_name,
+      |  CAST(users AS BIGINT) AS users,
+      |  CAST(CASE WHEN u1 = 0 THEN 0
+      |       ELSE (users * 1000000) // u1 END AS BIGINT) AS conv_ppm,
+      |  CAST(CASE WHEN prev IS NULL THEN
+      |         (CASE WHEN users = 0 THEN 0 ELSE 1000000 END)
+      |       WHEN prev = 0 THEN 0
+      |       ELSE (users * 1000000) // prev END AS BIGINT) AS step_ppm
+      |FROM d ORDER BY step""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -6149,7 +6206,8 @@ object Queries {
     "q160_growth_report" -> revenueGrowth _,
     "q161_binned_mi" -> binnedMiLineitem _,
     "q162_cohort_ltv" -> cohortLtv _,
-    "q163_seasonal_outliers" -> seasonalOutliers _)
+    "q163_seasonal_outliers" -> seasonalOutliers _,
+    "q164_deadline_funnel" -> deadlineFunnel _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -6313,5 +6371,6 @@ object Queries {
     "q160_growth_report" -> revenueGrowthSql,
     "q161_binned_mi" -> binnedMiLineitemSql,
     "q162_cohort_ltv" -> cohortLtvSql,
-    "q163_seasonal_outliers" -> seasonalOutliersSql)
+    "q163_seasonal_outliers" -> seasonalOutliersSql,
+    "q164_deadline_funnel" -> deadlineFunnelSql)
 }
