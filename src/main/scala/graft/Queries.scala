@@ -6042,6 +6042,430 @@ object Queries {
       |       ELSE (users * 1000000) // prev END AS BIGINT) AS step_ppm
       |FROM d ORDER BY step""".stripMargin
 
+  /** q165: the classic TPC-H Q3 "shipping priority" shape — segment
+    * filter → customer⋈orders⋈lineitem → per-order revenue → top 10.
+    * The optimizer showcase: the segment filter is pushed to the
+    * customer scan, the filtered dimension is broadcast, and dates
+    * prune orders/lineitem at the scan. Revenue is summed as DECIMAL
+    * (extendedprice and discount are 2-decimal-clean, so the per-row
+    * product is EXACT at scale 4 and the sum is reduction-order
+    * independent — a double sum would be partitioning-dependent);
+    * ordering happens on the exact decimal, output casts to double.
+    */
+  def tpchShipping(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-06-01").cast("timestamp")
+    val cust = t(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(s, dir, "orders")
+      .where(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = t(s, dir, "lineitem")
+      .where(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("__rev"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("__rev")).as("__revd"))
+      .orderBy(col("__revd").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"),
+        col("__revd").cast("double").as("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+  }
+
+  val tpchShippingSql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+      |         l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** q166: RFM customer segmentation — recency (days since last order,
+    * against the corpus max-date anchor so the query is reproducible),
+    * frequency (order count), monetary (floor-cents lifetime value),
+    * each quintiled by [[Stats.equiDepthBins]]. Value-boundary bins
+    * (not ntile) so tied metrics always land in the same bucket AND
+    * there is no global single-partition window sort — the boundaries
+    * are five `percentile_disc` aggregates broadcast back, the q92
+    * pattern, which survives a billion-customer table. Scores are
+    * directed the marketing way: 5 = best (most recent / most orders /
+    * highest spend).
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("__p"))
+    val anchor = ord.agg(max(col("o_orderdate")).as("__amax"))
+    val base = ord.crossJoin(anchor)
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(datediff(col("__amax"), col("o_orderdate"))).as("r_days"),
+        count(lit(1)).as("f_orders"),
+        sum(col("__p") * 100).cast("long").as("m_cents"))
+      .withColumn("__g", lit(1))
+    val r = Stats.equiDepthBins(base, Seq("__g"), "r_days", nBins = 5)
+      .withColumnRenamed("bin", "__rb")
+    val rf = Stats.equiDepthBins(r, Seq("__g"), "f_orders", nBins = 5)
+      .withColumnRenamed("bin", "__fb")
+    val rfm = Stats.equiDepthBins(rf, Seq("__g"), "m_cents", nBins = 5)
+      .withColumnRenamed("bin", "__mb")
+    rfm.select(col("o_custkey").as("c_custkey"),
+        col("r_days").cast("long").as("r_days"), col("f_orders"),
+        col("m_cents"),
+        (lit(5) - col("__rb")).cast("long").as("r_score"),
+        (col("__fb") + 1).cast("long").as("f_score"),
+        (col("__mb") + 1).cast("long").as("m_score"),
+        ((lit(5) - col("__rb")) * 100 + (col("__fb") + 1) * 10 +
+          (col("__mb") + 1)).cast("long").as("rfm"))
+      .orderBy("c_custkey")
+  }
+
+  val rfmSegmentsSql: String = {
+    // one boundary CTE per metric, each replaying equiDepthBins'
+    // SQL-standard definition (min value with cume_dist >= b/5),
+    // then bin = count of boundaries strictly below the value
+    def bnd(metric: String) =
+      s"""(SELECT b, MIN($metric) AS vb FROM (
+         |   SELECT $metric,
+         |     CUME_DIST() OVER (ORDER BY $metric) AS c FROM base)
+         | CROSS JOIN (VALUES (1), (2), (3), (4)) bs(b)
+         | WHERE c >= CAST(b AS DOUBLE) / 5 GROUP BY b)""".stripMargin
+    def bin(metric: String, tbl: String) =
+      s"(SELECT COUNT(*) FROM $tbl WHERE base.$metric > vb)"
+    s"""WITH base AS (
+       |  SELECT o_custkey,
+       |    MIN(date_diff('day', o_orderdate,
+       |        (SELECT MAX(o_orderdate) FROM orders))) AS r_days,
+       |    COUNT(*) AS f_orders,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+       |      AS m_cents
+       |  FROM orders GROUP BY o_custkey),
+       |rb AS ${bnd("r_days")},
+       |fb AS ${bnd("f_orders")},
+       |mb AS ${bnd("m_cents")}
+       |SELECT o_custkey AS c_custkey, CAST(r_days AS BIGINT) AS r_days,
+       |  f_orders, m_cents,
+       |  5 - ${bin("r_days", "rb")} AS r_score,
+       |  ${bin("f_orders", "fb")} + 1 AS f_score,
+       |  ${bin("m_cents", "mb")} + 1 AS m_score,
+       |  (5 - ${bin("r_days", "rb")}) * 100 +
+       |  (${bin("f_orders", "fb")} + 1) * 10 +
+       |  ${bin("m_cents", "mb")} + 1 AS rfm
+       |FROM base ORDER BY c_custkey""".stripMargin
+  }
+
+  /** q167: bigram LM perplexity quality screen
+    * ([[TextAnalysis.bigramLmScore]]) — per-language add-one-smoothed
+    * bigram models trained on the even-doc_id half, scoring the
+    * held-out odd half by mean surprisal per bigram (the CCNet-style
+    * fluency filter). The oracle replays tokenization, the bigram zip,
+    * both model counts, the vocabulary, and every floored e6 ln term.
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.bigramLmScore(
+        d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", "lang")
+      .orderBy("doc_id")
+  }
+
+  val lmPerplexitySql: String =
+    s"""WITH tokd AS (SELECT doc_id, lang, $duckToks AS toks
+       |              FROM documents WHERE text IS NOT NULL),
+       |b2 AS (SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2 FROM
+       |  (SELECT doc_id, lang,
+       |     unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+       |             for i in range(1, len(toks))]) AS bg
+       |   FROM tokd WHERE len(toks) >= 2)),
+       |c12 AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM b2
+       |        WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+       |ctx AS (SELECT lang, w1, SUM(c12) AS ctx FROM c12 GROUP BY 1, 2),
+       |v AS (SELECT lang, COUNT(DISTINCT t) AS v FROM
+       |        (SELECT lang, unnest(toks) AS t FROM tokd
+       |         WHERE doc_id % 2 = 0) GROUP BY 1),
+       |tf AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS tf FROM b2
+       |       WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3, 4),
+       |sc AS (SELECT tf.doc_id, tf.lang, tf.tf,
+       |  CAST(floor(ln(CAST(COALESCE(ctx.ctx, 0) + v.v AS DOUBLE) /
+       |                CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE))
+       |       * 1000000) AS BIGINT) AS term
+       |  FROM tf JOIN v USING (lang)
+       |  LEFT JOIN ctx ON tf.lang = ctx.lang AND tf.w1 = ctx.w1
+       |  LEFT JOIN c12 ON tf.lang = c12.lang AND tf.w1 = c12.w1
+       |    AND tf.w2 = c12.w2)
+       |SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(tf * term) // SUM(tf) AS BIGINT) AS nll_e6
+       |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  /** q168: EXACT set-similarity self-join
+    * ([[SetSimJoin.tokenJaccardSelfPairs]]) — every document pair with
+    * token-set Jaccard ≥ 0.95, found by prefix filtering (provably
+    * complete, unlike the MinHash family's probabilistic recall). The
+    * oracle is the literal all-pairs Jaccard join — the prefix filter
+    * must lose nothing and the verify must add nothing.
+    */
+  def setsimJoin(s: SparkSession, dir: String): DataFrame =
+    SetSimJoin.tokenJaccardSelfPairs(
+        t(s, dir, "documents"), "doc_id", "text", thresholdPpm = 950000L)
+      .orderBy("id_a", "id_b")
+
+  val setsimJoinSql: String =
+    s"""WITH tok AS (SELECT doc_id, list_distinct($duckToks) AS s
+       |             FROM documents),
+       |tk AS (SELECT doc_id, s FROM tok WHERE len(s) >= 1),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+       |        CAST(len(a.s) + len(b.s)
+       |             - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+       |      FROM tk a JOIN tk b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, inter, uni, (inter * 1000000) // uni AS jac_ppm
+       |FROM p WHERE inter * 1000000 >= uni * 950000
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q169: prefix autocomplete index ([[TextAnalysis.prefixSuggest]])
+    * — top-3 corpus terms per 1..4-char prefix by term frequency.
+    * Oracle replays the tf count, the prefix fan-out, and the rank
+    * window.
+    */
+  def prefixSuggest(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.prefixSuggest(t(s, dir, "documents"), "doc_id", "text",
+        maxPrefixLen = 4, k = 3)
+      .orderBy("prefix", "rnk")
+
+  val prefixSuggestSql: String =
+    s"""WITH tf AS (SELECT t AS term, COUNT(*) AS tf FROM
+       |  (SELECT unnest($duckToks) AS t FROM documents
+       |   WHERE text IS NOT NULL) GROUP BY 1),
+       |pre AS (SELECT substr(term, 1, p) AS prefix, term, tf
+       |        FROM tf CROSS JOIN (SELECT unnest(range(1, 5)) AS p)
+       |        WHERE len(term) >= p),
+       |r AS (SELECT prefix, term, tf, row_number() OVER (
+       |        PARTITION BY prefix ORDER BY tf DESC, term ASC) AS rnk
+       |      FROM pre)
+       |SELECT prefix, CAST(rnk AS BIGINT) AS rnk, term, tf
+       |FROM r WHERE rnk <= 3 ORDER BY prefix, rnk""".stripMargin
+
+  /** q170: incremental aggregate maintenance
+    * ([[ChangeCapture.incrementalAggDelta]] + [[ChangeCapture
+    * .applyAggDelta]]) — a maintained per-status (rows, cents) rollup
+    * of orders updated from a CDC batch ALONE (group moves, a stale
+    * loser, deletes, inserts, and a same-ts U/D tie settled by the tie
+    * column). The oracle recomputes the rollup from the fully merged
+    * snapshot — delta maintenance must equal rescan.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("grp"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("v"))
+    val upd = base.where(col("k") % 7 === 0)
+      .select(col("k"), lit(100L).as("ts"), lit(1L).as("tie"),
+        lit("U").as("op"), lit("X").as("grp"), (col("v") + 500L).as("v"))
+    val stale = base.where(col("k") % 21 === 0)
+      .select(col("k"), lit(50L).as("ts"), lit(9L).as("tie"),
+        lit("U").as("op"), lit("stale").as("grp"), lit(1L).as("v"))
+    val del = base.where(col("k") % 11 === 3)
+      .select(col("k"), lit(100L).as("ts"), lit(2L).as("tie"),
+        lit("D").as("op"), lit(null).cast("string").as("grp"),
+        lit(null).cast("long").as("v"))
+    val ins = base.where(col("k") % 97 === 5)
+      .select((col("k") + 1000000L).as("k"), lit(100L).as("ts"),
+        lit(1L).as("tie"), lit("U").as("op"), lit("NEW").as("grp"),
+        lit(12345L).as("v"))
+    val updTie = base.where(col("k") % 91 === 0)
+      .select(col("k"), lit(100L).as("ts"), lit(3L).as("tie"),
+        lit("U").as("op"), lit("UPD").as("grp"), lit(777L).as("v"))
+    val delTie = base.where(col("k") % 91 === 0)
+      .select(col("k"), lit(100L).as("ts"), lit(5L).as("tie"),
+        lit("D").as("op"), lit(null).cast("string").as("grp"),
+        lit(null).cast("long").as("v"))
+    val changes = upd.unionByName(stale).unionByName(del)
+      .unionByName(ins).unionByName(updTie).unionByName(delTie)
+    val baseAgg = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_val"))
+    val delta = ChangeCapture.incrementalAggDelta(base, changes,
+      "k", "ts", "tie", "op", "grp", "v")
+    ChangeCapture.applyAggDelta(baseAgg, delta, "grp")
+      .orderBy("grp")
+  }
+
+  val incrementalAggSql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS grp,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |changes AS (
+      |  SELECT k, 100 AS ts, 1 AS tie, 'U' AS op, 'X' AS grp,
+      |    v + 500 AS v FROM base WHERE k % 7 = 0
+      |  UNION ALL SELECT k, 50, 9, 'U', 'stale', 1
+      |    FROM base WHERE k % 21 = 0
+      |  UNION ALL SELECT k, 100, 2, 'D', NULL, NULL
+      |    FROM base WHERE k % 11 = 3
+      |  UNION ALL SELECT k + 1000000, 100, 1, 'U', 'NEW', 12345
+      |    FROM base WHERE k % 97 = 5
+      |  UNION ALL SELECT k, 100, 3, 'U', 'UPD', 777
+      |    FROM base WHERE k % 91 = 0
+      |  UNION ALL SELECT k, 100, 5, 'D', NULL, NULL
+      |    FROM base WHERE k % 91 = 0),
+      |verdict AS (SELECT k, op, grp, v FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY k
+      |      ORDER BY ts DESC, tie DESC) AS rn FROM changes)
+      |  WHERE rn = 1),
+      |merged AS (
+      |  SELECT CASE WHEN v.op = 'U' THEN v.grp ELSE b.grp END AS grp,
+      |    CASE WHEN v.op = 'U' THEN v.v ELSE b.v END AS v
+      |  FROM base b FULL OUTER JOIN verdict v ON b.k = v.k
+      |  WHERE v.op IS NULL OR v.op = 'U')
+      |SELECT grp, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_val
+      |FROM merged GROUP BY grp ORDER BY grp""".stripMargin
+
+  /** q171: deterministic pseudonymization ([[Quality.pseudonymize]])
+    * — customer keys replaced by salted-hash surrogates in BOTH
+    * customer and orders, then joined ON THE PSEUDONYM: per-nation
+    * order counts/revenue hash-match the plaintext join (referential
+    * integrity survives the scrub) and min_pseudonym pins the
+    * surrogate values themselves to the md5 replay.
+    */
+  def pseudonymizeJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Quality.pseudonymize(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+      Seq("c_custkey"), salt = "q171")
+    val ords = Quality.pseudonymize(
+      t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+      Seq("o_custkey"), salt = "q171")
+    ords.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_custkey")).as("n_pseudonyms"),
+        count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("rev_cents"),
+        min(col("c_custkey")).as("min_pseudonym"))
+      .orderBy("c_nationkey")
+  }
+
+  val pseudonymizeJoinSql: String = {
+    val pc = duckHash60("q171", "c_custkey")
+    val po = duckHash60("q171", "o_custkey")
+    s"""WITH cust AS (SELECT $pc AS p, c_nationkey FROM customer
+       |              WHERE c_custkey IS NOT NULL),
+       |ords AS (SELECT $po AS p, o_totalprice FROM orders
+       |         WHERE o_custkey IS NOT NULL)
+       |SELECT c_nationkey, COUNT(DISTINCT p) AS n_pseudonyms,
+       |  COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |       AS BIGINT)) AS BIGINT) AS rev_cents,
+       |  MIN(p) AS min_pseudonym
+       |FROM ords JOIN cust USING (p)
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  }
+
+  /** q172: grid-blocked DBSCAN ([[SpatialJoin.dbscan]]) over the q149
+    * md5-derived point plane — core/border/noise kinds + smallest-
+    * core-id cluster labels at radius 3000, minPts 5. The oracle
+    * replays the all-pairs neighbor graph, the degree threshold, the
+    * recursive-CTE components over core-core edges, and the min-label
+    * border election.
+    */
+  def dbscanPoints(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+      (graft.functions.PortableHash.hash60(col("c_custkey"), "gx")
+        % 100000).as("x"),
+      (graft.functions.PortableHash.hash60(col("c_custkey"), "gy")
+        % 100000).as("y"))
+    SpatialJoin.dbscan(pts, "id", "x", "y", radius = 3000L, minPts = 5)
+      .orderBy("id")
+  }
+
+  val dbscanPointsSql: String = {
+    val hx = duckHash60("gx", "c_custkey")
+    val hy = duckHash60("gy", "c_custkey")
+    s"""WITH RECURSIVE p AS (
+       |  SELECT c_custkey AS id, $hx % 100000 AS x, $hy % 100000 AS y
+       |  FROM customer WHERE c_custkey IS NOT NULL),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b
+       |       FROM p a JOIN p b ON a.id < b.id
+       |       WHERE (a.x - b.x) * (a.x - b.x)
+       |           + (a.y - b.y) * (a.y - b.y) <= 9000000),
+       |adj AS (SELECT id_a AS id, id_b AS nb FROM pr
+       |        UNION ALL SELECT id_b, id_a FROM pr),
+       |deg AS (SELECT id, COUNT(*) AS n FROM adj GROUP BY 1),
+       |flag AS (SELECT p.id, COALESCE(deg.n, 0) + 1 >= 5 AS core
+       |         FROM p LEFT JOIN deg USING (id)),
+       |ce AS (SELECT id_a, id_b FROM pr
+       |       JOIN flag fa ON fa.id = pr.id_a AND fa.core
+       |       JOIN flag fb ON fb.id = pr.id_b AND fb.core),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM ce
+       |          UNION SELECT id_b, id_a FROM ce),
+       |reach(v, u) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.u),
+       |labels AS (SELECT v AS id, min(u) AS group_id FROM reach GROUP BY v),
+       |corelab AS (SELECT f.id, COALESCE(l.group_id, f.id) AS cl
+       |            FROM flag f LEFT JOIN labels l USING (id) WHERE f.core),
+       |borderlab AS (SELECT adj.id, MIN(c.cl) AS bl FROM adj
+       |              JOIN corelab c ON adj.nb = c.id GROUP BY adj.id)
+       |SELECT f.id,
+       |  CASE WHEN f.core THEN 'core'
+       |       WHEN b.bl IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS kind,
+       |  CASE WHEN f.core THEN c.cl ELSE b.bl END AS cluster
+       |FROM flag f LEFT JOIN corelab c USING (id)
+       |LEFT JOIN borderlab b USING (id)
+       |ORDER BY id""".stripMargin
+  }
+
+  /** q173: exact ROC-AUC ([[Stats.rocAuc]]) — does price predict
+    * returns, per line status: the Mann-Whitney rank-sum AUC with
+    * midrank ties in exact integers. Oracle replays the rank window,
+    * the tie counts, and the one floor division.
+    */
+  def rocAucReturns(s: SparkSession, dir: String): DataFrame =
+    Stats.rocAuc(
+        t(s, dir, "lineitem").select(col("l_linestatus"),
+          col("l_extendedprice").as("score"),
+          (col("l_returnflag") === "R").as("label")),
+        Seq("l_linestatus"), "score", "label")
+      .orderBy("l_linestatus")
+
+  val rocAucReturnsSql: String =
+    """WITH r0 AS (SELECT l_linestatus AS g, l_extendedprice AS score,
+      |    l_returnflag = 'R' AS lab FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+      |rk AS (SELECT g, lab,
+      |    RANK() OVER (PARTITION BY g ORDER BY score ASC) AS r,
+      |    COUNT(*) OVER (PARTITION BY g, score) AS c
+      |  FROM r0),
+      |agg AS (SELECT g,
+      |    SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS n_pos,
+      |    SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS n_neg,
+      |    SUM(CASE WHEN lab THEN 2 * r + c - 1 ELSE 0 END) AS s2
+      |  FROM rk GROUP BY 1)
+      |SELECT g AS l_linestatus, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_neg AS BIGINT) AS n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    CAST((1000000 * (s2 - n_pos * (n_pos + 1)))
+      |         // (2 * n_pos * n_neg) AS BIGINT) END AS auc_e6
+      |FROM agg ORDER BY g""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -6207,7 +6631,16 @@ object Queries {
     "q161_binned_mi" -> binnedMiLineitem _,
     "q162_cohort_ltv" -> cohortLtv _,
     "q163_seasonal_outliers" -> seasonalOutliers _,
-    "q164_deadline_funnel" -> deadlineFunnel _)
+    "q164_deadline_funnel" -> deadlineFunnel _,
+    "q165_tpch_shipping" -> tpchShipping _,
+    "q166_rfm_segments" -> rfmSegments _,
+    "q167_lm_perplexity" -> lmPerplexity _,
+    "q168_setsim_join" -> setsimJoin _,
+    "q169_prefix_suggest" -> prefixSuggest _,
+    "q170_incremental_agg" -> incrementalAgg _,
+    "q171_pseudonymize" -> pseudonymizeJoin _,
+    "q172_dbscan" -> dbscanPoints _,
+    "q173_roc_auc" -> rocAucReturns _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -6372,5 +6805,14 @@ object Queries {
     "q161_binned_mi" -> binnedMiLineitemSql,
     "q162_cohort_ltv" -> cohortLtvSql,
     "q163_seasonal_outliers" -> seasonalOutliersSql,
-    "q164_deadline_funnel" -> deadlineFunnelSql)
+    "q164_deadline_funnel" -> deadlineFunnelSql,
+    "q165_tpch_shipping" -> tpchShippingSql,
+    "q166_rfm_segments" -> rfmSegmentsSql,
+    "q167_lm_perplexity" -> lmPerplexitySql,
+    "q168_setsim_join" -> setsimJoinSql,
+    "q169_prefix_suggest" -> prefixSuggestSql,
+    "q170_incremental_agg" -> incrementalAggSql,
+    "q171_pseudonymize" -> pseudonymizeJoinSql,
+    "q172_dbscan" -> dbscanPointsSql,
+    "q173_roc_auc" -> rocAucReturnsSql)
 }

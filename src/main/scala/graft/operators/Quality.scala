@@ -180,4 +180,24 @@ object Quality {
         col("benford_ppm"),
         (col("observed_ppm") - col("benford_ppm")).as("delta_ppm"))
   }
+
+  /** Deterministic pseudonymization — replace identifier columns with
+    * salted-hash surrogates so datasets can leave the trust boundary
+    * with REFERENTIAL INTEGRITY intact: the same (salt, value) maps to
+    * the same pseudonym in every table, so joins still work, while the
+    * original keys never appear. Built on [[graft.functions
+    * .PortableHash.hash60]] (the repo's one salted-hash recipe) so
+    * oracles replay it bit-for-bit; 60 bits keeps collision odds
+    * below ~1e-9 per billion distinct keys (birthday bound) — for
+    * hard guarantees join a dictionary instead.
+    *
+    * A pure narrow projection: no shuffle, no state, safe to run
+    * per-partition at any scale. NULL stays NULL (a pseudonym for
+    * null would fabricate a join key).
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c).isNotNull,
+        graft.functions.PortableHash.hash60(col(c), salt)))
+    }
 }

@@ -89,4 +89,71 @@ object SpatialJoin {
       .select(col("id_a"), col("id_b"), col("x_a"), col("y_a"),
         col("x_b"), col("y_b"), col("d2"))
   }
+
+  /** Deterministic grid-blocked DBSCAN (Ester et al., KDD'96 — public
+    * algorithm) — density clustering from the SAME grid-pigeonholed
+    * radius join as [[radiusSelfPairs]], so the neighbor search never
+    * goes all-pairs: a point with ≥ minPts points within `radius`
+    * (ITSELF INCLUDED, the paper's counting) is a CORE point; clusters
+    * are the connected components of the core-core neighbor graph
+    * (labels = smallest member id via [[Dedup.connectedComponents]]'
+    * pointer jumping); non-core points with a core neighbor are BORDER
+    * points. Textbook DBSCAN assigns a border point touching two
+    * clusters by scan order — this operator assigns the SMALLEST
+    * cluster label instead, making the output a pure function of the
+    * input (engine-replayable, partitioning-independent). Everything
+    * else is unchanged DBSCAN semantics.
+    *
+    * Plan: radius pairs (bucketed equi-join) → degree count → core
+    * flag → CC on the core-core subgraph (pair-sized, not
+    * corpus-sized) → one min-label aggregation for borders → one
+    * left-join pass labeling every input point. No collects, no
+    * global windows.
+    *
+    * @return (id, kind ∈ {core, border, noise}, cluster) — cluster is
+    *         the smallest core id of the cluster, null for noise
+    */
+  def dbscan(
+      points: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      radius: Long,
+      minPts: Int,
+      maxCellSize: Int = 100000): DataFrame = {
+    require(minPts >= 1, "minPts >= 1")
+    val pairs = radiusSelfPairs(points, idCol, xCol, yCol, radius,
+        maxCellSize)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // consumed 3x: degree, core edges, border
+    val adj = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("id", "nb")
+    val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("__nb"))
+    val ids = points.select(col(idCol).as("id"))
+      .where(col("id").isNotNull)
+    val flagged = ids.join(deg, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("__nb"), lit(0L)) + 1L >= minPts).as("__core"))
+    val coreIds = flagged.where(col("__core")).select(col("id"))
+    val coreEdges = pairs
+      .join(coreIds.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(coreIds.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    val cc = Dedup.connectedComponents(coreEdges) // (id, group_id)
+    // singleton cores (no core neighbor) keep their own id as label
+    val coreLabel = coreIds.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("group_id"), col("id")).as("__cl"))
+    // border candidates: min core-neighbor cluster per point
+    val borderLabel = adj
+      .join(coreLabel.select(col("id").as("nb"), col("__cl")), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("__cl")).as("__bl"))
+    flagged
+      .join(coreLabel, Seq("id"), "left")
+      .join(borderLabel, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__core"), "core")
+          .when(col("__bl").isNotNull, "border")
+          .otherwise("noise").as("kind"),
+        when(col("__core"), col("__cl"))
+          .otherwise(col("__bl")).as("cluster"))
+  }
 }

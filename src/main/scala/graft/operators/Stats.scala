@@ -868,4 +868,52 @@ object Stats {
         when(col("n_a") > 0 && col("n_b") > 0 && denom > lit(0.0),
           trunc6((mean("a") - mean("b")) / denom)).as("z"))
   }
+
+  /** Exact ROC-AUC per group — the rank-sum (Mann-Whitney) identity
+    *   AUC = (Σ_{positives} avgrank − P(P+1)/2) / (P·N)
+    * with midrank tie handling, carried in EXACT integers end to end:
+    * with r = RANK() over (score ASC) and c = |tie group|, the doubled
+    * midrank 2·avgrank = 2r + c − 1 is an integer, so
+    *   auc_e6 = (1e6 · (Σ2R − P(P+1))) DIV (2·P·N)
+    * is one floor division — no float ranks, no reduction-order
+    * dependence, identical in any engine. The model-eval primitive a
+    * training pipeline runs after every scoring job.
+    *
+    * Cost shape: ONE rank sort per group (the unavoidable exact-AUC
+    * sort — approximate AUC would bucket scores first), then a
+    * map-side-combined aggregation. Null scores/labels are excluded
+    * (a null score cannot be ranked; a null label is neither class).
+    * Degenerate groups (P = 0 or N = 0) emit null auc_e6 rather than
+    * dividing by zero. Int64 bound: Σ2R·1e6 ≤ 2n²·1e6 must stay under
+    * 2^63 — fine to ~2e6 rows per group; beyond that, bucket scores
+    * (the [[Sketches.histState]] path) instead of exact ranks.
+    *
+    * @param labelCol boolean column (true = positive)
+    * @return groupCols ++ (n_pos, n_neg, auc_e6)
+    */
+  def rocAuc(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).asc)
+    val tied = Window.partitionBy((groupCols.map(col) :+ col(scoreCol)): _*)
+    val ranked = rows
+      .withColumn("__r", rank().over(w).cast("long"))
+      .withColumn("__c", count(lit(1)).over(tied))
+    val p = sum(when(col(labelCol), 1L).otherwise(0L))
+    val n = sum(when(col(labelCol), 0L).otherwise(1L))
+    val s2 = sum(when(col(labelCol), lit(2L) * col("__r") + col("__c") - 1L)
+      .otherwise(0L))
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(p.as("n_pos"), n.as("n_neg"), s2.as("__s2"))
+      .withColumn("auc_e6",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(1000000L * (__s2 - n_pos * (n_pos + 1L))) DIV " +
+            "(2L * n_pos * n_neg)")))
+      .drop("__s2")
+  }
 }

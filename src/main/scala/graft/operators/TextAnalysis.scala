@@ -223,4 +223,126 @@ object TextAnalysis {
       .select(col("term_a"), col("term_b"), col("n_a"), col("n_b"),
         col("n_ab"), col("pmi_e6"))
   }
+
+  /** Bigram language-model quality score — the CCNet/KenLM-style
+    * perplexity filter a web-corpus pipeline runs to rank documents by
+    * fluency (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", 2020 — public method):
+    * train an add-one-smoothed bigram model per language on a
+    * reference split, score held-out documents by mean negative
+    * log-likelihood per bigram. High scores = improbable token
+    * sequences = boilerplate/garbled/spam; the ranking is what the
+    * filter consumes (thresholds are a policy choice downstream).
+    *
+    * Model (per language):
+    *   P(w2 | w1) = (c(w1,w2) + 1) / (ctx(w1) + V)
+    * with ctx(w1) = Σ_w2 c(w1,w2) (bigram-start count) and V = distinct
+    * token vocabulary of the language's training split. Per-bigram
+    * surprisal term = ln((ctx + V)/(c12 + 1)) ≥ 0 (ctx ≥ c12, V ≥ 1).
+    *
+    * Engine-replayability: every ln input is a ratio of exact integer
+    * counts cast to double (identical IEEE division in both engines);
+    * each term is FLOORED to an e6 integer before the per-doc sum, so
+    * the sum is 64-bit integer addition — reduction-order independent —
+    * and nll_e6 = floor(Σ tf·term / n_bigrams) is a floor division of
+    * integers. Same ln-precedent as the PMI screen ([[pmiPairs]]).
+    *
+    * Plan / 100 TB shape: bigrams come from one narrow zip of each
+    * doc's token array (no self-join); model counts are two map-side-
+    * combined aggregations at (lang, w1, w2) and (lang, w1) grain; V is
+    * a lang-grain aggregate; scoring joins at (doc, w1, w2)-DISTINCT
+    * grain (tf collapses repeats BEFORE the join) with no broadcast
+    * hint on the model — a web-scale bigram table is billions of rows
+    * and AQE must choose. Scored docs inner-join the V table: a
+    * language with no training split has no model and emits nothing
+    * (ln(0/1) = −∞ is the alternative — documented, not silent).
+    *
+    * Contract: scored docs need ≥ 2 tokens (≥ 1 bigram); shorter docs
+    * are dropped, not scored 0 — a one-token doc has no sequence
+    * evidence either way.
+    *
+    * @return (doc_id, lang, n_bigrams, nll_e6) — nll_e6 is the mean
+    *         per-bigram surprisal × 1e6, floored; BIGINT throughout
+    */
+  def bigramLmScore(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = {
+      val toks = TextFunctions.tokens(col(textCol))
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+          toks.as("__t"))
+        .where(size(col("__t")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(zip_with(
+            slice(col("__t"), lit(1), size(col("__t")) - 1),
+            slice(col("__t"), lit(2), size(col("__t")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+        .select(col("doc_id"), col("lang"),
+          col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    }
+    val trainBg = bigrams(train)
+    val c12 = trainBg.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = c12.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c12")).as("ctx"))
+    val vocab = train.where(col(textCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        explode(TextFunctions.tokens(col(textCol))).as("__tk"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("__tk")).as("v"))
+    val tf = bigrams(score)
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val term = floor(log(
+      (coalesce(col("ctx"), lit(0L)) + col("v")).cast("double") /
+        (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double")) *
+      lit(1000000.0)).cast("long")
+    tf.join(vocab, Seq("lang"))
+      .join(ctx, Seq("lang", "w1"), "left")
+      .join(c12, Seq("lang", "w1", "w2"), "left")
+      .select(col("doc_id"), col("lang"), col("tf"), term.as("__term"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf") * col("__term")).as("__sum"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        expr("CAST(__sum DIV n_bigrams AS BIGINT)").as("nll_e6"))
+  }
+
+  /** Prefix autocomplete index — top-k corpus terms per prefix (the
+    * search-suggest table): every 1..maxPrefixLen-char prefix of every
+    * term, ranked by corpus term frequency (ties by term ASC). The
+    * scale shape: term frequency is one map-side-combined count at
+    * VOCAB grain; the prefix explode fans each term into at most
+    * maxPrefixLen rows (still vocab-grain); the per-prefix rank window
+    * partitions by prefix — bounded by the vocabulary under it, never
+    * by corpus rows. Short terms contribute only their existing
+    * prefixes.
+    *
+    * @return (prefix, rnk, term, tf), rnk ≤ k
+    */
+  def prefixSuggest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPrefixLen: Int = 4,
+      k: Int = 3): DataFrame = {
+    val tf = docs.where(col(textCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val pre = tf.select(col("term"), col("tf"),
+        explode(sequence(lit(1), least(length(col("term")),
+          lit(maxPrefixLen)))).as("__p"))
+      .select(substring(col("term"), 1, maxPrefixLen).substr(lit(1),
+        col("__p")).as("prefix"), col("term"), col("tf"))
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("tf").desc, col("term").asc)
+    pre.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("prefix"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tf"))
+  }
 }

@@ -158,4 +158,52 @@ class ChangeCaptureSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("unknown op"), e.getMessage)
   }
+
+  test("incrementalAggDelta + applyAggDelta == recompute (randomized)") {
+    val rng = new scala.util.Random(11)
+    val groups = Array("a", "b", "c", null)
+    val base = (1L to 200L).map(k =>
+      (k, groups(rng.nextInt(groups.length)), rng.nextInt(1000).toLong))
+      .toDF("k", "grp", "v")
+    // random log: multiple changes per key, inserts, deletes of
+    // absent keys, out-of-order ts, ties
+    val changes = (1 to 150).map { i =>
+      val k = rng.nextInt(260).toLong + 1 // some keys beyond base (inserts/absent deletes)
+      val op = if (rng.nextInt(4) == 0) "D" else "U"
+      (k, rng.nextInt(5).toLong, i.toLong, op,
+        if (op == "U") groups(rng.nextInt(groups.length)) else null,
+        if (op == "U") rng.nextInt(1000).toLong else 0L)
+    }.toDF("k", "ts", "tie", "op", "grp", "v")
+    val baseAgg = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_val"))
+    val delta = ChangeCapture.incrementalAggDelta(base, changes,
+      "k", "ts", "tie", "op", "grp", "v")
+    val got = ChangeCapture.applyAggDelta(baseAgg, delta, "grp")
+      .as[(String, Long, Long)].collect()
+      .map(r => Option(r._1) -> (r._2, r._3)).toMap
+    val want = ChangeCapture.applyCdc(base, changes, "k", "ts", "tie",
+        "op", Seq("grp", "v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .as[(String, Long, Long)].collect()
+      .map(r => Option(r._1) -> (r._2, r._3)).toMap
+    assert(got == want, s"delta-maintained != recompute\n$got\n$want")
+  }
+
+  test("incrementalAggDelta: empty log -> empty delta; applyAggDelta drops emptied groups") {
+    val base = Seq((1L, "a", 5L), (2L, "a", 7L)).toDF("k", "grp", "v")
+    val none = Seq.empty[(Long, Long, Long, String, String, Long)]
+      .toDF("k", "ts", "tie", "op", "grp", "v")
+    assert(ChangeCapture.incrementalAggDelta(base, none,
+      "k", "ts", "tie", "op", "grp", "v").count() == 0L)
+    // delete both rows of group a -> the group disappears entirely
+    val delBoth = Seq((1L, 1L, 1L, "D", null.asInstanceOf[String], 0L),
+        (2L, 1L, 1L, "D", null.asInstanceOf[String], 0L))
+      .toDF("k", "ts", "tie", "op", "grp", "v")
+    val baseAgg = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_val"))
+    val delta = ChangeCapture.incrementalAggDelta(base, delBoth,
+      "k", "ts", "tie", "op", "grp", "v")
+    assert(ChangeCapture.applyAggDelta(baseAgg, delta, "grp").count() == 0L)
+  }
 }

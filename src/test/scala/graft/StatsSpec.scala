@@ -483,4 +483,37 @@ class StatsSpec extends SparkSuite {
     val r2 = got(2) // c vs c: zero variance -> null z, means present
     assert(r2.getDouble(4) == 4.0 && r2.isNullAt(6))
   }
+
+  test("rocAuc: separation, ties, reversal, degenerate groups") {
+    // perfect separation -> 1e6; perfect reversal -> 0; all-tied
+    // scores -> exactly 500000; one-class groups -> null
+    val df = Seq(
+      ("sep", 1.0, false), ("sep", 2.0, false), ("sep", 3.0, true),
+      ("sep", 4.0, true),
+      ("rev", 9.0, false), ("rev", 1.0, true),
+      ("tie", 5.0, true), ("tie", 5.0, false), ("tie", 5.0, true),
+      ("pos", 1.0, true), ("pos", 2.0, true),
+      ("mix", 1.0, false), ("mix", 3.0, true), ("mix", 2.0, false),
+      ("mix", 4.0, true), ("mix", 2.5, false))
+      .toDF("g", "score", "label")
+    val got = Stats.rocAuc(df, Seq("g"), "score", "label")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("sep") == ((2L, 2L, Some(1000000L))))
+    assert(got("rev") == ((1L, 1L, Some(0L))))
+    assert(got("tie") == ((2L, 1L, Some(500000L))))
+    assert(got("pos") == ((2L, 0L, None)))
+    // mix: positives at 3,4 vs negatives 1,2,2.5 -> all pos > all neg
+    assert(got("mix") == ((2L, 3L, Some(1000000L))))
+    // null score/label rows are excluded entirely
+    val withNulls = Seq(
+      ("g", java.lang.Double.valueOf(1.0), java.lang.Boolean.TRUE),
+      ("g", null.asInstanceOf[java.lang.Double], java.lang.Boolean.FALSE),
+      ("g", java.lang.Double.valueOf(0.5), null.asInstanceOf[java.lang.Boolean]),
+      ("g", java.lang.Double.valueOf(0.0), java.lang.Boolean.FALSE))
+      .toDF("g", "score", "label")
+    val r2 = Stats.rocAuc(withNulls, Seq("g"), "score", "label")
+      .as[(String, Long, Long, Option[Long])].collect()
+    assert(r2.toSeq == Seq(("g", 1L, 1L, Some(1000000L))), r2.mkString(","))
+  }
 }
