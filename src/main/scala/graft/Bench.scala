@@ -66,7 +66,13 @@ object Bench {
     // exactly that). `queries_min` (per-query best-of) is emitted
     // alongside the medians as the load-immune floor.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // local-iteration subset (comma-separated name substrings); the
+    // driver leaves this unset and benches everything
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(p) => val pats = p.split(','); n => pats.exists(n.contains)
+      case None => _ => true
+    }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => only(kv._1))
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     for (_ <- 1 to runs; (name, fn) <- named) {
       val t0 = System.nanoTime()

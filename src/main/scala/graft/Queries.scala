@@ -6217,20 +6217,25 @@ object Queries {
        |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
   /** q168: EXACT set-similarity self-join
-    * ([[SetSimJoin.tokenJaccardSelfPairs]]) — every document pair with
-    * token-set Jaccard ≥ 0.95, found by prefix filtering (provably
-    * complete, unlike the MinHash family's probabilistic recall). The
-    * oracle is the literal all-pairs Jaccard join — the prefix filter
-    * must lose nothing and the verify must add nothing.
+    * ([[SetSimJoin.tokenJaccardSelfPairs]]) — every English-document
+    * pair with WORD-set Jaccard ≥ 0.95, found by prefix filtering
+    * (provably complete, unlike the MinHash family's probabilistic
+    * recall). Scoped to one language on purpose: the synthetic corpus
+    * shares one dense vocabulary, the known worst case for word-unit
+    * prefix filtering (the operator's scaladoc quantifies it); the
+    * corpus-wide exact join runs on the sparser shingle unit instead
+    * (q178). The oracle is the literal all-pairs Jaccard join — the
+    * prefix filter must lose nothing and the verify must add nothing.
     */
   def setsimJoin(s: SparkSession, dir: String): DataFrame =
     SetSimJoin.tokenJaccardSelfPairs(
-        t(s, dir, "documents"), "doc_id", "text", thresholdPpm = 950000L)
+        t(s, dir, "documents").where(col("lang") === "en"),
+        "doc_id", "text", thresholdPpm = 950000L)
       .orderBy("id_a", "id_b")
 
   val setsimJoinSql: String =
     s"""WITH tok AS (SELECT doc_id, list_distinct($duckToks) AS s
-       |             FROM documents),
+       |             FROM documents WHERE lang = 'en'),
        |tk AS (SELECT doc_id, s FROM tok WHERE len(s) >= 1),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
@@ -6466,6 +6471,237 @@ object Queries {
       |         // (2 * n_pos * n_neg) AS BIGINT) END AS auc_e6
       |FROM agg ORDER BY g""".stripMargin
 
+  /** q174: SemDeDup ([[Similarity.semDeDup]]) — cluster-then-prune
+    * semantic dedup over embeddings with PLANTED near-dup copies (the
+    * q94 one-coordinate-zeroed construction, cos ≈ 0.99 to their
+    * source). Centroids are the 8 lowest-id natural vectors (collected
+    * O(k), the IVF precedent) so the oracle replays the assignment
+    * argmin, the within-cluster pair scan, and the lower-id prune rule
+    * exactly.
+    */
+  def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // two-step select: the zeroed index must come from the SOURCE id —
+    // in a single select Spark resolves the lambda's col("vec_id")
+    // against the ALIASED (+100000) output, silently zeroing the wrong
+    // coordinate (caught by the oracle; the oracle's e0.vec_id is
+    // unambiguous)
+    val planted = e.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("__src"), col("embedding"))
+      .select((col("__src") + 100000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i === (col("__src") % 64).cast("int"), lit(0.0))
+            .otherwise(x)).as("embedding"))
+    val corpus = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(planted)
+    val centroids = e.where(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Similarity.semDeDup(corpus, "vec_id", "embedding", centroids,
+        threshold = 0.95)
+      .orderBy("id")
+  }
+
+  val semDedupSql: String =
+    """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |            FROM embeddings),
+      |pl AS (SELECT e0.vec_id + 100000 AS vec_id,
+      |         list_transform(v, (x, i) -> CASE
+      |           WHEN i - 1 = CAST(e0.vec_id % 64 AS INT) THEN 0.0
+      |           ELSE x END) AS v
+      |       FROM e0 WHERE e0.vec_id % 25 = 0),
+      |u AS (SELECT * FROM e0 UNION ALL SELECT * FROM pl),
+      |c AS (SELECT vec_id AS cid, v FROM e0 WHERE vec_id < 8),
+      |d AS (SELECT u.vec_id, c.cid,
+      |        list_dot_product(c.v, c.v)
+      |          - 2 * list_dot_product(u.v, c.v) AS dist
+      |      FROM u CROSS JOIN c),
+      |asg AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist ASC, cid ASC) AS rn FROM d) WHERE rn = 1),
+      |r AS (SELECT u.vec_id AS id, asg.cid AS cluster, u.v
+      |      FROM u JOIN asg ON u.vec_id = asg.vec_id),
+      |pruned AS (SELECT DISTINCT b.id FROM r a JOIN r b
+      |  ON a.cluster = b.cluster AND a.id < b.id
+      |  WHERE COALESCE(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) *
+      |     sqrt(list_dot_product(b.v, b.v))), 0.0) >= 0.95)
+      |SELECT r.id, CAST(r.cluster AS BIGINT) AS cluster,
+      |  r.id IN (SELECT id FROM pruned) AS pruned
+      |FROM r ORDER BY r.id""".stripMargin
+
+  /** q175: dyadic EWMA ([[Stats.dyadicEwma]]) — α = ½ exponential
+    * smoothing of daily revenue per order priority in exact integers
+    * (lag chain with power-of-two weights; no float decay drift). The
+    * oracle replays all 8 lags and the one floor division.
+    */
+  def ewmaRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("v"))
+    Stats.dyadicEwma(daily, Seq("o_orderpriority"), "day", "v", w = 8)
+      .select(col("o_orderpriority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("v"),
+        col("ewma_milli"))
+      .orderBy("o_orderpriority", "day")
+  }
+
+  val ewmaRevenueSql: String = {
+    val lags = (0 until 8).map(j =>
+      s"COALESCE(LAG(v, $j) OVER w, 0) * ${1L << (8 - 1 - j)}")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |         AS BIGINT)) AS BIGINT) AS v
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day, v,
+       |  CAST((1000 * ($lags)) // 256 AS BIGINT) AS ewma_milli
+       |FROM daily
+       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day ASC)
+       |ORDER BY o_orderpriority, day""".stripMargin
+  }
+
+  /** q176: native time-window aggregation — Spark's `window()`
+    * grouping (TimeWindow), tumbling 3-day and hopping 4-day/2-day
+    * variants in one report. Windows are epoch-aligned UTC; the
+    * oracle replays the integer bucket arithmetic on microseconds.
+    */
+  def timeWindows(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(expr("timestamp_micros(ts DIV 1000)").as("tt"),
+        col("event_type"))
+    val tumble = ev.groupBy(window(col("tt"), "3 days").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("tumble3d").as("kind"),
+        date_format(col("w.start"), "yyyy-MM-dd").as("w_start"),
+        date_format(col("w.end"), "yyyy-MM-dd").as("w_end"), col("n"))
+    val hop = ev.groupBy(window(col("tt"), "4 days", "2 days").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("hop4d2d").as("kind"),
+        date_format(col("w.start"), "yyyy-MM-dd").as("w_start"),
+        date_format(col("w.end"), "yyyy-MM-dd").as("w_end"), col("n"))
+    tumble.unionByName(hop).orderBy("kind", "w_start")
+  }
+
+  val timeWindowsSql: String =
+    """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us FROM events),
+      |tum AS (
+      |  SELECT 'tumble3d' AS kind,
+      |    (us // 259200000000) * 259200000000 AS s_us, COUNT(*) AS n
+      |  FROM e GROUP BY 2),
+      |hop AS (
+      |  SELECT 'hop4d2d' AS kind,
+      |    ((us - j.j * 172800000000) // 345600000000) * 345600000000
+      |      + j.j * 172800000000 AS s_us,
+      |    COUNT(*) AS n
+      |  FROM e CROSS JOIN (VALUES (0), (1)) j(j)
+      |  GROUP BY 2),
+      |u AS (SELECT * FROM tum UNION ALL SELECT * FROM hop),
+      |f AS (SELECT kind,
+      |    strftime(make_timestamp(s_us), '%Y-%m-%d') AS w_start,
+      |    strftime(make_timestamp(s_us +
+      |      CASE WHEN kind = 'tumble3d' THEN 259200000000
+      |           ELSE 345600000000 END), '%Y-%m-%d') AS w_end,
+      |    n
+      |  FROM u)
+      |SELECT kind, w_start, w_end, n FROM f
+      |ORDER BY kind, w_start""".stripMargin
+
+  /** q177: feature-snapshot extraction — the feature-store query a
+    * churn/propensity model trains on: per user AS OF a cutoff,
+    * trailing 7-day view/click counts, 30-day purchase revenue,
+    * recency, and the FUTURE 14-day purchase label, all from one
+    * conditional-aggregation scan (no label leakage: features read
+    * strictly before the cutoff, the label strictly at/after).
+    */
+  def featureSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val cut = 1705449600000000000L // 2024-01-17T00:00:00Z nanos
+    val d7 = 7L * 86400000000000L
+    val d30 = 30L * 86400000000000L
+    val d14 = 14L * 86400000000000L
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+      col("event_type"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view" && col("ts") < cut &&
+          col("ts") >= cut - d7, 1L).otherwise(0L)).as("n_views_7d"),
+        sum(when(col("event_type") === "click" && col("ts") < cut &&
+          col("ts") >= cut - d7, 1L).otherwise(0L)).as("n_clicks_7d"),
+        sum(when(col("event_type") === "purchase" && col("ts") < cut &&
+          col("ts") >= cut - d30, col("cents")).otherwise(0L))
+          .as("rev_30d_cents"),
+        max(when(col("ts") < cut, col("ts"))).as("__last"),
+        max(when(col("event_type") === "purchase" && col("ts") >= cut &&
+          col("ts") < cut + d14, 1L).otherwise(0L)).as("label"))
+      .where(col("__last").isNotNull)
+      .withColumn("days_since_last",
+        expr(s"(${cut}L - __last) DIV 86400000000000L"))
+      .select(col("user_id"), col("n_views_7d"), col("n_clicks_7d"),
+        col("rev_30d_cents"), col("days_since_last"), col("label"))
+      .orderBy("user_id")
+  }
+
+  val featureSnapshotSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (SELECT 1705449600000000000 AS cut,
+      |             604800000000000 AS d7,
+      |             2592000000000000 AS d30,
+      |             1209600000000000 AS d14),
+      |agg AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'view' AND ts < cut
+      |          AND ts >= cut - d7 THEN 1 ELSE 0 END) AS n_views_7d,
+      |    SUM(CASE WHEN event_type = 'click' AND ts < cut
+      |          AND ts >= cut - d7 THEN 1 ELSE 0 END) AS n_clicks_7d,
+      |    SUM(CASE WHEN event_type = 'purchase' AND ts < cut
+      |          AND ts >= cut - d30 THEN cents ELSE 0 END)
+      |      AS rev_30d_cents,
+      |    MAX(CASE WHEN ts < cut THEN ts END) AS last_ts,
+      |    MAX(CASE WHEN event_type = 'purchase' AND ts >= cut
+      |          AND ts < cut + d14 THEN 1 ELSE 0 END) AS label
+      |  FROM e CROSS JOIN c GROUP BY user_id, cut)
+      |SELECT user_id, CAST(n_views_7d AS BIGINT) AS n_views_7d,
+      |  CAST(n_clicks_7d AS BIGINT) AS n_clicks_7d,
+      |  CAST(rev_30d_cents AS BIGINT) AS rev_30d_cents,
+      |  CAST((cut - last_ts) // 86400000000000 AS BIGINT)
+      |    AS days_since_last,
+      |  CAST(label AS BIGINT) AS label
+      |FROM agg CROSS JOIN c WHERE last_ts IS NOT NULL
+      |ORDER BY user_id""".stripMargin
+
+  /** q178: EXACT shingle-set similarity self-join
+    * ([[SetSimJoin.shingleJaccardSelfPairs]]) — the corpus-wide exact
+    * near-dup pair list at 3-shingle Jaccard ≥ 0.9: q18's metric with
+    * certainty instead of MinHash recall. Shingle vocabulary is sparse
+    * even on this dense-word corpus, so prefix buckets stay tiny.
+    * Oracle: literal all-pairs shingle Jaccard.
+    */
+  def setsimShingle(s: SparkSession, dir: String): DataFrame =
+    SetSimJoin.shingleJaccardSelfPairs(
+        t(s, dir, "documents"), "doc_id", "text", shingleSize = 3,
+        thresholdPpm = 900000L)
+      .orderBy("id_a", "id_b")
+
+  val setsimShingleSql: String =
+    s"""WITH tokd AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |tok AS (SELECT doc_id, $duckShingles AS s FROM tokd),
+       |tk AS (SELECT doc_id, s FROM tok WHERE len(s) >= 1),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+       |        CAST(len(a.s) + len(b.s)
+       |             - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+       |      FROM tk a JOIN tk b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, inter, uni, (inter * 1000000) // uni AS jac_ppm
+       |FROM p WHERE inter * 1000000 >= uni * 900000
+       |ORDER BY id_a, id_b""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -6640,7 +6876,12 @@ object Queries {
     "q170_incremental_agg" -> incrementalAgg _,
     "q171_pseudonymize" -> pseudonymizeJoin _,
     "q172_dbscan" -> dbscanPoints _,
-    "q173_roc_auc" -> rocAucReturns _)
+    "q173_roc_auc" -> rocAucReturns _,
+    "q174_semdedup" -> semDedupQuery _,
+    "q175_ewma" -> ewmaRevenue _,
+    "q176_time_windows" -> timeWindows _,
+    "q177_feature_snapshot" -> featureSnapshot _,
+    "q178_setsim_shingle" -> setsimShingle _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -6814,5 +7055,10 @@ object Queries {
     "q170_incremental_agg" -> incrementalAggSql,
     "q171_pseudonymize" -> pseudonymizeJoinSql,
     "q172_dbscan" -> dbscanPointsSql,
-    "q173_roc_auc" -> rocAucReturnsSql)
+    "q173_roc_auc" -> rocAucReturnsSql,
+    "q174_semdedup" -> semDedupSql,
+    "q175_ewma" -> ewmaRevenueSql,
+    "q176_time_windows" -> timeWindowsSql,
+    "q177_feature_snapshot" -> featureSnapshotSql,
+    "q178_setsim_shingle" -> setsimShingleSql)
 }

@@ -60,12 +60,41 @@ object SetSimJoin {
       idCol: String,
       textCol: String,
       thresholdPpm: Long,
-      maxPrefixBucket: Int = 10000): DataFrame = {
+      maxPrefixBucket: Int = 10000): DataFrame =
+    selfPairs(df, idCol, TextFunctions.tokens(col(textCol)), thresholdPpm,
+      maxPrefixBucket)
+
+  /** [[tokenJaccardSelfPairs]] over distinct word n-gram (shingle)
+    * sets — the near-dup unit ([[Dedup.minhashLSH]]'s metric, here
+    * EXACT). Shingles are the prefix filter's best case: a shingle
+    * vocabulary is orders of magnitude sparser than its word
+    * vocabulary, so prefix buckets stay tiny even on a corpus whose
+    * word distribution is dense (measured on the synthetic corpus at
+    * t = 0.9: 9k shingle candidates vs 2.1M word candidates — the
+    * word-unit join is the wrong tool there, and this is the right
+    * one).
+    */
+  def shingleJaccardSelfPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      thresholdPpm: Long,
+      maxPrefixBucket: Int = 10000): DataFrame =
+    selfPairs(df, idCol,
+      TextFunctions.shingles(col(textCol), shingleSize), thresholdPpm,
+      maxPrefixBucket)
+
+  private def selfPairs(
+      df: DataFrame,
+      idCol: String,
+      unit: org.apache.spark.sql.Column,
+      thresholdPpm: Long,
+      maxPrefixBucket: Int): DataFrame = {
     require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
       "thresholdPpm must be in (0, 1000000]")
     val tok = df
-      .select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .select(col(idCol).as("id"), explode(unit).as("term"))
       .distinct()
     val dfCounts = tok.groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))
@@ -79,17 +108,27 @@ object SetSimJoin {
     // ceil(t·n) in exact integers: (n·t_ppm + 999999) DIV 1e6
     val prefix = ranked.where(col("__rn") <= col("__n") + lit(1) -
         expr(s"(__n * ${thresholdPpm}L + 999999L) DIV 1000000L"))
-      .select(col("id"), col("term"))
+      .select(col("id"), col("term"), col("__n"))
     // pair generation per prefix-token bucket, hub guard fused into the
     // generating CASE (FuzzyJoin pattern — the raise produces the data,
-    // so column pruning can never elide it)
+    // so column pruning can never elide it). The LENGTH FILTER (the
+    // AllPairs/PPJoin companion pruning rule) runs INSIDE the bucket:
+    // |∩| ≤ min(|x|,|y|) and |∪| ≥ max(|x|,|y|), so Jaccard ≥ t forces
+    // t·max ≤ min — on a near-dup threshold (t → 1) this kills almost
+    // every size-mismatched candidate before the pair ever reaches the
+    // shuffle, which is what keeps a shared-vocabulary corpus (prefix
+    // buckets that are large but size-diverse) from going quadratic.
     val cand = prefix.groupBy(col("term"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .agg(array_sort(collect_list(struct(col("id"), col("__n").as("n"))))
+        .as("ids"))
       .select(explode(expr(
         s"""CASE WHEN size(ids) <= $maxPrefixBucket THEN
            |  flatten(transform(ids, (x, i) ->
-           |    transform(slice(ids, i + 2, size(ids)),
-           |              y -> struct(x AS id_a, y AS id_b))))
+           |    filter(transform(slice(ids, i + 2, size(ids)),
+           |             y -> struct(x.id AS id_a, x.n AS na,
+           |                         y.id AS id_b, y.n AS nb)),
+           |           p -> least(p.na, p.nb) * 1000000L >=
+           |                greatest(p.na, p.nb) * ${thresholdPpm}L)))
            |ELSE raise_error(concat('SetSimJoin: prefix token bucket holds ',
            |  cast(size(ids) AS string), ' docs (> $maxPrefixBucket); the ',
            |  'token distribution is degenerate - raise maxPrefixBucket ',

@@ -411,4 +411,70 @@ object Similarity {
       .select(col("corpus_id"), col("n_hits"),
         col("eval_id").as("top_eval_id"), round(col("cos"), 6).as("top_cos"))
   }
+
+  /** SemDeDup — cluster-then-prune semantic deduplication (Abbas et
+    * al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", 2023 — public method): assign every
+    * vector to its nearest centroid, then compare pairs ONLY within a
+    * cluster and prune any vector whose cosine to a LOWER-ID
+    * same-cluster vector meets the threshold. Clustering is what makes
+    * web-scale semantic dedup affordable: the quadratic is per-cluster
+    * (Σ nᵢ² ≪ n²), and cross-cluster near-dups are out of scope BY
+    * DESIGN (the paper's trade — [[nearDuplicates]] is the certified-
+    * recall alternative when misses are not acceptable).
+    *
+    * Determinism: the paper prunes greedily in scan order; this
+    * operator prunes on the lower-id-neighbor rule instead — a pure
+    * function of the input (order-greedy keep-sets are not expressible
+    * as a declarative plan, and partitioning-dependent output would be
+    * un-oracle-able). Ties in centroid assignment go to the lowest
+    * centroid index ([[IvfIndex.assign]]'s contract).
+    *
+    * Plan: one narrow assignment pass (centroid matrix folds in as a
+    * literal — O(k) driver data, the IVF precedent), one
+    * cluster-keyed self-join filtered by the codegen'd cosine, one
+    * distinct over pruned ids, one labeling join. The cluster-size
+    * guard raises INSIDE the joined projection (data path — cannot be
+    * pruned) before a hub cluster goes quadratic.
+    *
+    * @param centroids k coarse centroids (from [[IvfIndex.build]] at
+    *                  scale, or any deterministic seed set)
+    * @return (id, cluster, pruned) for EVERY input vector
+    */
+  def semDeDup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      maxClusterSize: Int = 100000): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val asg = IvfIndex.assign(corpus, idCol, vecCol, centroids)
+    val rows = corpus
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(asg, Seq("id"))
+      .select(col("id"), col("__v"), col("list_id").as("cluster"))
+    val sized = rows.join(
+      rows.groupBy(col("cluster")).agg(count(lit(1)).as("__cs")),
+      Seq("cluster"))
+    val guardedVec = when(col("__cs") <= maxClusterSize, col("__v"))
+      .otherwise(raise_error(concat(
+        lit("Similarity.semDeDup: cluster "), col("cluster").cast("string"),
+        lit(" holds "), col("__cs").cast("string"),
+        lit(s" vectors (> $maxClusterSize); raise the centroid count " +
+          "or the cap before going quadratic"))).cast("array<double>"))
+    val a = sized.select(col("cluster"), col("id").as("id_a"),
+      guardedVec.as("__va"))
+    val b = sized.select(col("cluster"), col("id").as("id_b"),
+      guardedVec.as("__vb"))
+    val pruned = a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b") &&
+        cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__p", lit(true))
+    rows.join(pruned, Seq("id"), "left")
+      .select(col("id"), col("cluster").cast("long").as("cluster"),
+        coalesce(col("__p"), lit(false)).as("pruned"))
+  }
 }

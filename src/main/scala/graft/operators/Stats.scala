@@ -916,4 +916,49 @@ object Stats {
             "(2L * n_pos * n_neg)")))
       .drop("__s2")
   }
+
+  /** Dyadic EWMA — exponentially-weighted moving average with α = 1/2
+    * over a fixed trailing window of `w` rows, in EXACT integers: the
+    * truncated recursion s_i = Σ_{j=0..w-1} x_{i-j} / 2^(j+1) scaled
+    * by 2^w is  num_i = Σ_j x_{i-j} · 2^(w-1-j)  — a lag chain with
+    * power-of-two weights, so there is no float decay drift and the
+    * result is identical in any engine / under any partitioning (the
+    * same reasoning as [[decayedSum]]'s bucketed decay; this is the
+    * row-grain sibling). Reported as ewma_milli = (1000·num) DIV 2^w.
+    *
+    * One window sort per key serves all w lags. Early rows (fewer than
+    * w predecessors) use the available prefix — the missing terms are
+    * zero, matching the truncated recursion started from s = 0.
+    * Int64 bound: |x|·2^w·1000 must fit — with w ≤ 16 that is |x| <
+    * 1.4e11, enforced nowhere (values are caller-scaled cents; the
+    * multiply raises loudly under ANSI if exceeded).
+    *
+    * @param w trailing window length (2 ≤ w ≤ 16)
+    */
+  def dyadicEwma(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2 && w <= 16, "w in [2, 16]")
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).asc)
+    // non-negative contract enforced on the data path: Spark's DIV
+    // truncates toward zero while DuckDB's // floors, so a negative
+    // numerator would silently diverge between engines
+    val checked = when(col(valueCol).isNull || col(valueCol) < 0,
+      raise_error(lit("Stats.dyadicEwma: valueCol must be non-null and " +
+        "non-negative (caller scales to cents)")).cast("long"))
+      .otherwise(col(valueCol).cast("long"))
+    val num = (0 until w).map { j =>
+      coalesce(lag(checked, j).over(win), lit(0L)) *
+        lit(1L << (w - 1 - j))
+    }.reduce(_ + _)
+    df.withColumn("__num", num)
+      .withColumn("ewma_milli",
+        expr(s"(1000L * __num) DIV ${1L << w}L"))
+      .drop("__num")
+  }
 }

@@ -203,4 +203,36 @@ class SimilaritySpec extends SparkSuite {
     // among labels {1,2}: vec 2 (cos~.98) > vec 4 (~.70) > vec 3 (0)
     assert(got == Seq((1L, 2L, 1), (2L, 4L, 2), (3L, 3L, 1)), s"$got")
   }
+
+  test("semDeDup: within-cluster lower-id prune, cross-cluster miss by design") {
+    // centroids far apart on axis 0; cluster members are tiny
+    // perturbations (cos ~ 1 within cluster vs ~0 across)
+    val c0 = Array(1.0, 0.0, 0.0)
+    val c1 = Array(0.0, 1.0, 0.0)
+    val rows = Seq(
+      (1L, Seq(1.0, 0.001, 0.0)),   // cluster 0, kept (lowest id)
+      (2L, Seq(1.0, 0.002, 0.0)),   // near-dup of 1 -> pruned
+      (3L, Seq(0.9, -0.4, 0.2)),    // cluster 0 but dissimilar -> kept
+      (10L, Seq(0.001, 1.0, 0.0)),  // cluster 1, kept
+      (11L, Seq(0.002, 1.0, 0.0)))  // near-dup of 10 -> pruned
+      .toDF("id", "v")
+    val got = graft.operators.Similarity.semDeDup(rows, "id", "v",
+        Array(c0, c1), threshold = 0.98)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> (0L, false), 2L -> (0L, true), 3L -> (0L, false),
+      10L -> (1L, false), 11L -> (1L, true)), got.toString)
+    // hub-cluster guard raises
+    val hub = (1L to 20L).map(i => (i, Seq(1.0, 0.0, 0.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      graft.operators.Similarity.semDeDup(hub, "id", "v", Array(c0, c1),
+        threshold = 0.9, maxClusterSize = 10).collect()
+    }
+    assert(e.getMessage.contains("quadratic"), e.getMessage)
+    // empty input
+    assert(graft.operators.Similarity.semDeDup(
+      Seq.empty[(Long, Seq[Double])].toDF("id", "v"), "id", "v",
+      Array(c0, c1), 0.9).count() == 0L)
+  }
 }

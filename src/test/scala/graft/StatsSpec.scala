@@ -516,4 +516,24 @@ class StatsSpec extends SparkSuite {
       .as[(String, Long, Long, Option[Long])].collect()
     assert(r2.toSeq == Seq(("g", 1L, 1L, Some(1000000L))), r2.mkString(","))
   }
+
+  test("dyadicEwma: hand-computed dyadic weights, warmup prefix, guards") {
+    // w=2: num_i = 2*x_i + x_{i-1}, ewma_milli = 1000*num DIV 4
+    val df = Seq(("k", 1L, 4L), ("k", 2L, 8L), ("k", 3L, 0L),
+        ("j", 1L, 100L))
+      .toDF("g", "t", "v")
+    val got = Stats.dyadicEwma(df, Seq("g"), "t", "v", w = 2)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // k: t1 num=8 -> 2000; t2 num=16+4=20 -> 5000; t3 num=0+8 -> 2000
+    assert(got == Map(("k", 1L) -> 2000L, ("k", 2L) -> 5000L,
+      ("k", 3L) -> 2000L, ("j", 1L) -> 50000L), got.toString)
+    // negative value raises (Spark DIV truncates, DuckDB // floors --
+    // the operator refuses rather than diverge)
+    val neg = Seq(("k", 1L, -5L)).toDF("g", "t", "v")
+    val e = intercept[Exception] {
+      Stats.dyadicEwma(neg, Seq("g"), "t", "v", w = 2).collect()
+    }
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+  }
 }
