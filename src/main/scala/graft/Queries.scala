@@ -6702,6 +6702,132 @@ object Queries {
        |FROM p WHERE inter * 1000000 >= uni * 900000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The q177 feature snapshot as a DuckDB CTE body (shared by the
+    * q179/q180 eval readouts so the three oracles cannot drift).
+    */
+  private def featureSnapshotCte: String =
+    """feat AS (
+      |  WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type,
+      |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |    FROM events),
+      |  agg AS (
+      |    SELECT user_id,
+      |      SUM(CASE WHEN event_type = 'purchase'
+      |            AND ts < 1705449600000000000
+      |            AND ts >= 1705449600000000000 - 2592000000000000
+      |            THEN cents ELSE 0 END) AS rev_30d_cents,
+      |      MAX(CASE WHEN ts < 1705449600000000000 THEN ts END) AS last_ts,
+      |      MAX(CASE WHEN event_type = 'purchase'
+      |            AND ts >= 1705449600000000000
+      |            AND ts < 1705449600000000000 + 1209600000000000
+      |            THEN 1 ELSE 0 END) AS label
+      |    FROM e GROUP BY user_id)
+      |  SELECT user_id, rev_30d_cents, label FROM agg
+      |  WHERE last_ts IS NOT NULL)""".stripMargin
+
+  /** q179: calibration table ([[Stats.calibrationBins]]) over the q177
+    * feature snapshot — does trailing 30-day revenue predict the
+    * future-purchase label, read as observed positive rate per fixed
+    * $1000 revenue bin. Oracle replays the snapshot, the clamped
+    * integer binning, and the floor-ppm rates.
+    */
+  def calibrationRevenue(s: SparkSession, dir: String): DataFrame =
+    Stats.calibrationBins(
+        featureSnapshot(s, dir)
+          .select(col("rev_30d_cents").cast("double").as("score"),
+            (col("label") === 1L).as("lab")),
+        Seq(), "score", "lab", binWidth = 10000L, maxBin = 9)
+      .orderBy("bin")
+
+  val calibrationRevenueSql: String =
+    s"""WITH $featureSnapshotCte
+       |SELECT least(greatest(CAST(floor(CAST(rev_30d_cents AS DOUBLE))
+       |         AS BIGINT), 0) // 10000, 9) AS bin,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(label) AS BIGINT) AS pos,
+       |  CAST(SUM(label) * 1000000 // COUNT(*) AS BIGINT) AS pos_ppm
+       |FROM feat GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** q180: precision/recall operating points ([[Stats.prAtThresholds]])
+    * for the same scorer — confusion counts + floor-ppm metrics at
+    * four revenue thresholds. Oracle replays every cell.
+    */
+  def prSweepRevenue(s: SparkSession, dir: String): DataFrame =
+    Stats.prAtThresholds(
+        featureSnapshot(s, dir)
+          .select(col("rev_30d_cents").as("score"),
+            (col("label") === 1L).as("lab")),
+        Seq(), "score", "lab",
+        thresholds = Seq(0L, 50000L, 100000L, 200000L))
+      .orderBy("threshold")
+
+  val prSweepRevenueSql: String =
+    s"""WITH $featureSnapshotCte,
+       |t AS (SELECT unnest([0, 50000, 100000, 200000]) AS threshold),
+       |cell AS (
+       |  SELECT t.threshold,
+       |    SUM(CASE WHEN rev_30d_cents >= threshold AND label = 1
+       |        THEN 1 ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN rev_30d_cents >= threshold AND label = 0
+       |        THEN 1 ELSE 0 END) AS fp,
+       |    SUM(CASE WHEN rev_30d_cents < threshold AND label = 1
+       |        THEN 1 ELSE 0 END) AS fn,
+       |    SUM(CASE WHEN rev_30d_cents < threshold AND label = 0
+       |        THEN 1 ELSE 0 END) AS tn
+       |  FROM feat CROSS JOIN t GROUP BY 1)
+       |SELECT CAST(threshold AS BIGINT) AS threshold,
+       |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       |  CASE WHEN tp + fp > 0
+       |    THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+       |    AS precision_ppm,
+       |  CASE WHEN tp + fn > 0
+       |    THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
+       |    AS recall_ppm
+       |FROM cell ORDER BY threshold""".stripMargin
+
+  /** q181: bounded Bellman–Ford ([[Graph.shortestPathsK]]) — weighted
+    * shortest distances from customers {1,2,3} over the q97
+    * customer↔part graph with min-quantity edge weights, 4 relaxation
+    * rounds. The oracle unrolls all 4 rounds in MATERIALIZED CTEs.
+    */
+  def shortestPaths(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val fwd = l.join(broadcast(o), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").cast("long").as("src"),
+        (col("l_partkey") + 10000000L).as("dst"))
+      .agg(min(col("l_quantity").cast("long")).as("w"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    graft.operators.Graph.shortestPathsK(edges, Seq(1L, 2L, 3L), rounds = 4)
+      .orderBy("node")
+  }
+
+  val shortestPathsSql: String = {
+    def round(i: Int) =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d${i - 1}.dist + e.w AS dist
+         |    FROM d${i - 1} JOIN eb e ON d${i - 1}.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH fwd AS (
+       |  SELECT CAST(o.o_custkey AS BIGINT) AS src,
+       |    CAST(l.l_partkey + 10000000 AS BIGINT) AS dst,
+       |    CAST(MIN(l.l_quantity) AS BIGINT) AS w
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY 1, 2),
+       |eb AS MATERIALIZED (SELECT src, dst, w FROM fwd
+       |      UNION ALL SELECT dst, src, w FROM fwd),
+       |d0 AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+       |       (2, 0), (3, 0)) v(node, dist)),
+       |${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+       |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -6881,7 +7007,10 @@ object Queries {
     "q175_ewma" -> ewmaRevenue _,
     "q176_time_windows" -> timeWindows _,
     "q177_feature_snapshot" -> featureSnapshot _,
-    "q178_setsim_shingle" -> setsimShingle _)
+    "q178_setsim_shingle" -> setsimShingle _,
+    "q179_calibration" -> calibrationRevenue _,
+    "q180_pr_sweep" -> prSweepRevenue _,
+    "q181_shortest_paths" -> shortestPaths _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -7060,5 +7189,8 @@ object Queries {
     "q175_ewma" -> ewmaRevenueSql,
     "q176_time_windows" -> timeWindowsSql,
     "q177_feature_snapshot" -> featureSnapshotSql,
-    "q178_setsim_shingle" -> setsimShingleSql)
+    "q178_setsim_shingle" -> setsimShingleSql,
+    "q179_calibration" -> calibrationRevenueSql,
+    "q180_pr_sweep" -> prSweepRevenueSql,
+    "q181_shortest_paths" -> shortestPathsSql)
 }

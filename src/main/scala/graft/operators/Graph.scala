@@ -346,4 +346,49 @@ object Graph {
     }
     parts.reduce(_ unionByName _)
   }
+
+  /** Bounded Bellman–Ford: multi-source weighted shortest-path
+    * distances after EXACTLY `rounds` relaxation rounds — the round
+    * budget is part of the CONTRACT (the [[kCore]] stance), so the
+    * oracle replays the identical schedule and the answer is exact for
+    * every node whose shortest path uses ≤ `rounds` edges (a graph of
+    * diameter d converges at rounds ≥ d; unreached nodes are absent).
+    * Negative weights are REJECTED — with non-negative weights every
+    * relaxation round only improves distances, so a converged table is
+    * the true SSSP answer, no negative-cycle caveat.
+    *
+    * Per round: one dist⋈edges equi-join + one map-side-combined
+    * min-groupBy; the dist table is node-grain (never edge-grain
+    * between rounds), localCheckpointed per round to cut the iterative
+    * lineage ([[Dedup.connectedComponents]]'s reasoning).
+    *
+    * @param edges  (src, dst, w) directed, w ≥ 0 integer
+    * @return (node, dist) — min total weight from ANY source
+    */
+  def shortestPathsK(
+      edges: DataFrame,
+      sources: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(sources.nonEmpty, "shortestPathsK: need at least one source")
+    require(rounds >= 1 && rounds <= 64, "rounds in [1, 64]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"),
+        when(col("w") >= 0L, col("w").cast("long"))
+          .otherwise(raise_error(lit(
+            "Graph.shortestPathsK: negative edge weight")).cast("long"))
+          .as("w"))
+      .localCheckpoint(true)
+    var dist = sources.distinct.toDF("node")
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

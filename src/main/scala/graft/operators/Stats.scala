@@ -961,4 +961,76 @@ object Stats {
         expr(s"(1000L * __num) DIV ${1L << w}L"))
       .drop("__num")
   }
+
+  /** Calibration (reliability) table — the companion readout to
+    * [[rocAuc]]: fixed-boundary equi-width score bins (the [[psi]]
+    * binning rule: floor to long, integer div, clamp to [0, maxBin] —
+    * no float boundary arithmetic to diverge on), observed positive
+    * rate per bin in floor-ppm. A well-calibrated scorer shows
+    * pos_ppm rising monotonically with the bin; the gap per bin is
+    * the thing a recalibration (Platt/isotonic) would fix. One
+    * map-side-combined aggregation; empty bins are absent (a report
+    * join against `spark.range` adds them if a dense axis is wanted —
+    * [[psi]] does that; here absence IS information).
+    *
+    * @return groupCols ++ (bin, n, pos, pos_ppm)
+    */
+  def calibrationBins(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      labelCol: String,
+      binWidth: Long,
+      maxBin: Int): DataFrame = {
+    require(binWidth >= 1, "binWidth must be positive")
+    require(maxBin >= 1 && maxBin <= 100000, "maxBin in [1, 1e5]")
+    val rows = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("bin",
+        expr(s"least(greatest(cast(floor(`$scoreCol`) as long), 0L)" +
+          s" div ${binWidth}L, ${maxBin}L)"))
+    rows.groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"))
+      .withColumn("pos_ppm", expr("pos * 1000000L DIV n"))
+  }
+
+  /** Precision/recall sweep at literal thresholds — the
+    * operating-point table a model card ships with: per threshold t,
+    * confusion counts for the rule `predict positive ⟺ score ≥ t`,
+    * plus floor-ppm precision and recall. The threshold list explodes
+    * from a literal array (bounded, like a search request batch), so
+    * the fact scan happens ONCE and the fan-out is |thresholds| —
+    * shuffle volume is groups × thresholds, never rows.
+    *
+    * Score/threshold comparison is on exact integers (caller scales —
+    * cents/e4 — per the repo's fixed-point rule) so `>=` cannot
+    * disagree between engines. Degenerate denominators emit null.
+    *
+    * @return groupCols ++ (threshold, tp, fp, fn, tn,
+    *         precision_ppm, recall_ppm)
+    */
+  def prAtThresholds(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      labelCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val rows = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("threshold",
+        explode(typedlit(thresholds.sorted)))
+    val pred = col(scoreCol) >= col("threshold")
+    rows.groupBy((groupCols.map(col) :+ col("threshold")): _*)
+      .agg(
+        sum(when(pred && col(labelCol), 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !col(labelCol), 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && col(labelCol), 1L).otherwise(0L)).as("fn"),
+        sum(when(!pred && !col(labelCol), 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000L DIV (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000L DIV (tp + fn)")))
+  }
 }

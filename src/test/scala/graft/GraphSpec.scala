@@ -135,4 +135,32 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(again.sorted == walks.sorted)
   }
+
+  test("shortestPathsK: bounded Bellman-Ford relaxation, exact when converged") {
+    // 1 -> 2 (w 5), 1 -> 3 (w 1), 3 -> 2 (w 1): best 1->2 is 2 via 3,
+    // found only at round 2; 4 unreachable; 5 reaches nothing new
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L),
+        (4L, 5L, 7L))
+      .toDF("src", "dst", "w")
+    val r1 = Graph.shortestPathsK(edges, Seq(1L), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 5L, 3L -> 1L), r1.toString)
+    val r2 = Graph.shortestPathsK(edges, Seq(1L), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 2L, 3L -> 1L), r2.toString)
+    // converged: extra rounds change nothing
+    val r4 = Graph.shortestPathsK(edges, Seq(1L), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r4 == r2)
+    // multi-source takes the min over sources
+    val ms = Graph.shortestPathsK(edges, Seq(1L, 4L), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ms(5L) == 7L && ms(2L) == 2L, ms.toString)
+    // negative weight raises
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    val e = intercept[Exception] {
+      Graph.shortestPathsK(neg, Seq(1L), rounds = 1).collect()
+    }
+    assert(e.getMessage.contains("negative"), e.getMessage)
+  }
 }

@@ -536,4 +536,30 @@ class StatsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("non-negative"), e.getMessage)
   }
+
+  test("calibrationBins + prAtThresholds: hand-computed cells") {
+    val df = Seq(
+      (5.0, false), (15.0, false), (15.5, true), (25.0, true),
+      (25.9, true), (999.0, true), (-3.0, false))
+      .toDF("score", "lab")
+    // binWidth 10, maxBin 2: bins 0,1,1,2,2,2(clamped),0(clamped)
+    val cal = Stats.calibrationBins(df, Seq(), "score", "lab", 10L, 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(cal == Map(
+      0L -> (2L, 0L, 0L), 1L -> (2L, 1L, 500000L),
+      2L -> (3L, 3L, 1000000L)), cal.toString)
+    val pr = Stats.prAtThresholds(
+        df.select((col("score") * 10).cast("long").as("s"), col("lab")),
+        Seq(), "s", "lab", Seq(0L, 200L))
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5), r._6, r._7))
+      .toMap
+    // t=0: all but -30 predicted positive -> tp=4 fp=2 fn=0 tn=1
+    assert(pr(0L) == (((4L, 2L, 0L, 1L), Some(666666L), Some(1000000L))),
+      pr.toString)
+    // t=200: scores 250, 259, 9990 -> tp=3 fp=0 fn=1 tn=3
+    assert(pr(200L) == (((3L, 0L, 1L, 3L), Some(1000000L), Some(750000L))),
+      pr.toString)
+  }
 }
