@@ -6828,6 +6828,261 @@ object Queries {
        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
   }
 
+  /** q182: Spearman rank correlation ([[Stats.spearman]]) of quantity
+    * vs extended price per return flag — the monotone-association
+    * screen that is robust where q111's Pearson is not. Rank-based =
+    * scale-free, so the oracle replays the doubled-midrank integers
+    * (2·rank + ties − 1, the q173 quantity), the HUGEINT power sums,
+    * and the one sqrt/divide double chain.
+    */
+  def spearmanLineitem(s: SparkSession, dir: String): DataFrame =
+    Stats.spearman(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  val spearmanLineitemSql: String =
+    """WITH r0 AS (SELECT l_returnflag AS g, l_quantity AS x,
+      |    l_extendedprice AS y
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |rk AS (SELECT g,
+      |    CAST(2 * RANK() OVER (PARTITION BY g ORDER BY x ASC)
+      |      + COUNT(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT) AS ax,
+      |    CAST(2 * RANK() OVER (PARTITION BY g ORDER BY y ASC)
+      |      + COUNT(*) OVER (PARTITION BY g, y) - 1 AS HUGEINT) AS ay
+      |  FROM r0),
+      |m AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(ax) AS sx, SUM(ay) AS sy,
+      |    SUM(ax * ax) AS sxx, SUM(ay * ay) AS syy,
+      |    SUM(ax * ay) AS sxy
+      |  FROM rk GROUP BY g)
+      |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |    CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+      |             * CAST(n * syy - sy * sy AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) END AS rho_e6
+      |FROM m ORDER BY g""".stripMargin
+
+  /** q183: Kendall tau-b ([[Stats.kendallTau]]) between daily shipped
+    * quantity and daily revenue per return flag — concordance over the
+    * day-grain series (the operator's aggregate-grain contract; the
+    * O(n²) pair scan is the statistic's definition). Every pair
+    * comparison is on exact int64 day sums, so C/D/tie counts replay
+    * literally; tau closes with one sqrt/divide on doubles.
+    */
+  def kendallDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("qty"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+    Stats.kendallTau(daily, Seq("l_returnflag"), "day", "qty", "rev_cents")
+      .orderBy("l_returnflag")
+  }
+
+  val kendallDailySql: String =
+    """WITH d AS (SELECT l_returnflag AS g, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (SELECT a.g,
+      |    COUNT(*) AS n0,
+      |    SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+      |          OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS c,
+      |    SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+      |          OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS d,
+      |    SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS tx,
+      |    SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS ty
+      |  FROM d a JOIN d b ON a.g = b.g AND a.day < b.day
+      |  GROUP BY a.g)
+      |SELECT g AS l_returnflag, CAST(n0 AS BIGINT) AS n_pairs,
+      |  CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+      |  CASE WHEN n0 - tx > 0 AND n0 - ty > 0 THEN
+      |    CAST(FLOOR(CAST(c - d AS DOUBLE)
+      |      / SQRT(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) END AS tau_e6
+      |FROM p ORDER BY g""".stripMargin
+
+  /** q184: autocorrelation function ([[Stats.acf]]) of daily revenue
+    * at lags 1..7 per return flag — the seasonality diagnostic, in
+    * exact n²-scaled integers: every centered term (n·x_t − S) is a
+    * HUGEINT the oracle reproduces digit-for-digit; only the closing
+    * num/den ratio touches doubles. Positional index from a day-grain
+    * row_number, so gaps in the ship calendar pack (documented
+    * semantics — pass calendar days for gap-aware lags instead).
+    */
+  def acfDailyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev"))
+    val idx = daily.withColumn("idx",
+      row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("day")).cast("long"))
+    Stats.acf(idx, Seq("l_returnflag"), "idx", "rev", maxLag = 7)
+      .orderBy("l_returnflag", "lag")
+  }
+
+  val acfDailyRevenueSql: String =
+    """WITH d AS (SELECT l_returnflag AS g, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1, 2),
+      |ix AS (SELECT g, v,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) AS idx FROM d),
+      |tot AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s
+      |  FROM ix GROUP BY g),
+      |c AS (SELECT ix.g, ix.idx,
+      |    tot.n * CAST(ix.v AS HUGEINT) - tot.s AS cv, tot.n
+      |  FROM ix JOIN tot USING (g)),
+      |den AS (SELECT g, SUM(cv * cv) AS dd, CAST(MAX(n) AS BIGINT) AS n
+      |  FROM c GROUP BY g),
+      |num AS (SELECT a.g, l.lag, COUNT(*) AS n_pairs,
+      |    SUM(a.cv * b.cv) AS nm
+      |  FROM c a
+      |  CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) l(lag)
+      |  JOIN c b ON b.g = a.g AND b.idx = a.idx + l.lag
+      |  GROUP BY a.g, l.lag)
+      |SELECT num.g AS l_returnflag, CAST(num.lag AS BIGINT) AS lag,
+      |  CAST(num.n_pairs AS BIGINT) AS n_pairs, den.n,
+      |  CASE WHEN den.dd > 0 THEN
+      |    CAST(FLOOR(CAST(num.nm AS DOUBLE) / CAST(den.dd AS DOUBLE)
+      |      * 1000000.0) AS BIGINT) END AS acf_e6
+      |FROM num JOIN den USING (g) ORDER BY 1, 2""".stripMargin
+
+  /** q185: HITS hubs & authorities ([[graft.operators.Graph.hits]], 3
+    * iterations, L1-normalized integer scores) over the DIRECTED
+    * customer→part purchase graph — which parts are bought by
+    * important customers, and which customers buy important parts.
+    * The oracle unrolls every half-step (inflow sum, one-row total,
+    * floor-div normalization) as MATERIALIZED CTEs. Top 20 authorities.
+    */
+  def hitsParts(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = l.join(broadcast(o), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_partkey") + 10000000L).as("dst"))
+    graft.operators.Graph.hits(edges, iterations = 3)
+      .orderBy(col("auth").desc, col("id").asc).limit(20)
+  }
+
+  val hitsPartsSql: String = {
+    // one normalized half-step: inflow over the join key, then the L1
+    // integer normalization against the one-row total (the operator's
+    // halfStep, verbatim)
+    def half(inTbl: String, inCol: String, joinKey: String,
+        outKey: String, outTbl: String, outCol: String) =
+      s"""${outTbl}p AS MATERIALIZED (
+         |  SELECT e.$outKey AS id, SUM(t.$inCol) AS s
+         |  FROM e JOIN $inTbl t ON e.$joinKey = t.id GROUP BY e.$outKey),
+         |$outTbl AS MATERIALIZED (
+         |  SELECT n.id, CASE WHEN tt.t > 0
+         |    THEN (COALESCE(p.s, 0) * 1000000) // tt.t ELSE 0 END AS $outCol
+         |  FROM nodes n LEFT JOIN ${outTbl}p p ON p.id = n.id
+         |  CROSS JOIN (SELECT SUM(s) AS t FROM ${outTbl}p) tt)""".stripMargin
+    val steps = (1 to 3).map { i =>
+      half(s"h${i - 1}", "hub", "src", "dst", s"a$i", "auth") + ",\n" +
+        half(s"a$i", "auth", "dst", "src", s"h$i", "hub")
+    }.mkString(",\n")
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+       |    CAST(l.l_partkey + 10000000 AS BIGINT) AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM fwd),
+       |nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+       |$steps
+       |SELECT CAST(h3.id AS BIGINT) AS id, CAST(h3.hub AS BIGINT) AS hub,
+       |  CAST(a3.auth AS BIGINT) AS auth
+       |FROM h3 JOIN a3 ON a3.id = h3.id
+       |ORDER BY a3.auth DESC, h3.id ASC LIMIT 20""".stripMargin
+  }
+
+  /** q186: the TPC-H Q21 "waiting suppliers" SHAPE — suppliers who
+    * were the SOLE late shipper on a finished multi-supplier order
+    * (late = shipped > 60 days after the order date; the schema has no
+    * commit/receipt dates, so the ship-lag screen stands in). One
+    * semi-join (another supplier exists on the order) + one anti-join
+    * (no OTHER supplier was late) over the distinct (order, supplier)
+    * late set — the classic exists/not-exists decorrelation pattern,
+    * entirely engine-native on both sides.
+    */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        to_date(col("l_shipdate")).as("sdate"))
+    val late = l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .where(col("sdate") > date_add(col("odate"), 60))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = l
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      .distinct()
+    val multi = late.join(others,
+      col("o2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"),
+      "left_semi")
+    val lateOthers = late
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    val sole = multi.join(lateOthers,
+      col("o3") === col("l_orderkey") && col("s3") =!= col("l_suppkey"),
+      "left_anti")
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+    sole.groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc).limit(20)
+  }
+
+  val waitingSuppliersSql: String =
+    """WITH late AS (
+      |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderstatus = 'F'
+      |    AND CAST(l.l_shipdate AS DATE) >
+      |        CAST(o.o_orderdate AS DATE) + 60),
+      |cand AS (
+      |  SELECT lt.l_orderkey, lt.l_suppkey FROM late lt
+      |  WHERE EXISTS (
+      |      SELECT 1 FROM lineitem l2
+      |      WHERE l2.l_orderkey = lt.l_orderkey
+      |        AND l2.l_suppkey <> lt.l_suppkey)
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM late l3
+      |      WHERE l3.l_orderkey = lt.l_orderkey
+      |        AND l3.l_suppkey <> lt.l_suppkey))
+      |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM cand c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin
+
+  /** q187: the hashing trick ([[graft.operators.Encoding.hashFeatures]])
+    * — documents' whitespace tokens folded into 32 signed hash buckets,
+    * the vocabulary-free sparse encoder. Hash = the repo's one portable
+    * salted md5, so the oracle replays every bucket, sign, and summed
+    * weight byte-for-byte.
+    */
+  def featureHashDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Encoding.hashFeatures(
+        t(s, dir, "documents").where(col("text").isNotNull),
+        "doc_id", graft.functions.TextFunctions.tokens(col("text")),
+        nBuckets = 32)
+      .orderBy("doc_id", "bucket")
+
+  val featureHashDocsSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |h AS (SELECT doc_id, ${duckHash60("feat", "tk")} AS hv FROM tok)
+       |SELECT doc_id, hv % 32 AS bucket,
+       |  CAST(SUM(CASE WHEN (hv // 32) % 2 = 0 THEN 1 ELSE -1 END)
+       |    AS BIGINT) AS weight
+       |FROM h GROUP BY doc_id, bucket
+       |ORDER BY doc_id, bucket""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -7010,7 +7265,13 @@ object Queries {
     "q178_setsim_shingle" -> setsimShingle _,
     "q179_calibration" -> calibrationRevenue _,
     "q180_pr_sweep" -> prSweepRevenue _,
-    "q181_shortest_paths" -> shortestPaths _)
+    "q181_shortest_paths" -> shortestPaths _,
+    "q182_spearman" -> spearmanLineitem _,
+    "q183_kendall" -> kendallDaily _,
+    "q184_acf" -> acfDailyRevenue _,
+    "q185_hits" -> hitsParts _,
+    "q186_waiting_suppliers" -> waitingSuppliers _,
+    "q187_feature_hash" -> featureHashDocs _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -7192,5 +7453,11 @@ object Queries {
     "q178_setsim_shingle" -> setsimShingleSql,
     "q179_calibration" -> calibrationRevenueSql,
     "q180_pr_sweep" -> prSweepRevenueSql,
-    "q181_shortest_paths" -> shortestPathsSql)
+    "q181_shortest_paths" -> shortestPathsSql,
+    "q182_spearman" -> spearmanLineitemSql,
+    "q183_kendall" -> kendallDailySql,
+    "q184_acf" -> acfDailyRevenueSql,
+    "q185_hits" -> hitsPartsSql,
+    "q186_waiting_suppliers" -> waitingSuppliersSql,
+    "q187_feature_hash" -> featureHashDocsSql)
 }

@@ -111,4 +111,45 @@ object Encoding {
             expr("__s4 * 100L div n_key")))
       .drop("__k", "__y4", "__s4")
   }
+
+  /** The hashing trick (feature hashing, Weinberger et al. 2009):
+    * sparse token features folded into a FIXED `nBuckets`-dimensional
+    * space with a signed hash — the vocabulary-free encoder for
+    * unbounded token spaces where [[labelDictionary]]'s vocab-sized
+    * dictionary stops being a dictionary. bucket = h(token) mod
+    * nBuckets; sign = parity of the next hash bit (the signed variant
+    * keeps collision noise zero-mean); output is the sparse (id,
+    * bucket, weight = Σ sign) triple per document — exactly what a
+    * linear model or MinHash-over-features consumer wants.
+    *
+    * Hash = [[graft.functions.PortableHash.hash60]] (salted md5), the
+    * repo's ONE portable hash, so an external engine replays every
+    * bucket and sign byte-for-byte. Purely narrow: explode → project →
+    * one map-side-combined aggregation at (id, bucket) grain; no
+    * vocabulary state, no join, nothing driver-sized — the encoder
+    * that needs no fit() is also the one that needs no shuffle beyond
+    * its output grain.
+    *
+    * @param tokensCol array<string> column expression (pre-tokenized —
+    *                  tokenization policy stays with the caller)
+    */
+  def hashFeatures(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      nBuckets: Int,
+      salt: String = "feat"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 24),
+      "nBuckets in [2, 16M] (the point of hashing is a SMALL fixed space)")
+    val h = graft.functions.PortableHash.hash60(col("__tok"), salt)
+    df.select(col(idCol), explode(tokensCol).as("__tok"))
+      .withColumn("__h", h)
+      .select(col(idCol),
+        (col("__h") % nBuckets).as("bucket"),
+        // integer div, NOT `/` (Column./ on longs is double division)
+        when(expr(s"(__h div ${nBuckets}L) % 2") === 0, 1L).otherwise(-1L)
+          .as("__sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sign")).as("weight"))
+  }
 }

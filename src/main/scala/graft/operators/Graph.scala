@@ -102,6 +102,80 @@ object Graph {
     rank
   }
 
+  /** HITS (Kleinberg hubs & authorities) over a DIRECTED graph —
+    * [[pageRank]]'s bipartite-flavored sibling: a node is a good HUB if
+    * it points at good authorities, a good AUTHORITY if good hubs point
+    * at it (customers who buy important parts / parts bought by
+    * important customers). Fixed `iterations` of the power method with
+    * L1 (sum) normalization in EXACT integers: each half-step is
+    *   a'_j = Σ_{i→j} h_i,   a_j = (a'_j · scale) div Σ_j a'_j
+    * (then the mirrored hub half-step) — L1 instead of the textbook L2
+    * because a sum normalizer keeps every score an integer ratio the
+    * oracle replays digit-for-digit, while an L2 norm would push a
+    * sqrt into every iteration (rankings are identical; only the
+    * constant scale differs). Scores are parts-per-`scale` of the
+    * total mass, so they are partition-independent and engine-exact.
+    *
+    * Int64 bound: a raw inflow is < n·scale and the normalizing
+    * multiply is < n·scale² — with the default scale 1e6 that is exact
+    * for graphs to ~9M nodes; pass a smaller scale past that
+    * (documented, the [[pageRank]] scale rule).
+    *
+    * 100 TB posture: per half-step, one edge-probe join against a
+    * node-sized broadcast score table, one map-side-combined inflow
+    * aggregation, and a ONE-ROW total folded back by broadcast — the
+    * pageRank iteration shape exactly; localCheckpoint bounds lineage
+    * every `checkpointInterval` rounds.
+    */
+  def hits(
+      edges: DataFrame,
+      iterations: Int = 4,
+      scale: Long = 1000000L,
+      checkpointInterval: Int = 2,
+      broadcastScores: Boolean = true): DataFrame = {
+    require(iterations >= 1 && iterations <= 32, "iterations in [1, 32]")
+    require(scale >= 100L, "scale under 100 floors every score to 0")
+    require(checkpointInterval >= 1, "checkpointInterval must be positive")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    def side(df: DataFrame): DataFrame =
+      if (broadcastScores) broadcast(df) else df
+    // one normalized half-step: inflow of `scoreCol` over `joinKey`
+    // (dst for the authority step, src for the hub step), then the L1
+    // integer normalization against the one-row total
+    def halfStep(score: DataFrame, scoreCol: String, joinKey: String,
+        outKey: String, outCol: String): DataFrame = {
+      val inflow = e
+        .join(side(score.withColumnRenamed("id", joinKey)), Seq(joinKey))
+        .groupBy(col(outKey).as("id"))
+        .agg(sum(col(scoreCol)).as("__in"))
+      val total = inflow.agg(sum(col("__in")).as("__t"))
+      nodes.join(inflow, Seq("id"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("id"),
+          when(col("__t") > 0,
+            expr(s"(coalesce(__in, 0L) * ${scale}L) div __t"))
+            .otherwise(lit(0L)).as(outCol))
+    }
+    var hub = nodes.select(col("id"), lit(scale).as("hub"))
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      auth = halfStep(hub, "hub", "src", "dst", "auth")
+      hub = halfStep(auth, "auth", "dst", "src", "hub")
+      i += 1
+      if (i % checkpointInterval == 0 && i < iterations) {
+        auth = auth.localCheckpoint(true)
+        hub = hub.localCheckpoint(true)
+      }
+    }
+    hub.join(auth, Seq("id"))
+  }
+
   /** Multi-source BFS: the shortest-path LEVEL (hop distance) from a
     * source set to every reachable node, capped at `maxDepth` — "how
     * far is every entity from the seed set", the reachability sibling

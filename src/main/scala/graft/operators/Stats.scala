@@ -1033,4 +1033,201 @@ object Stats {
         when(col("tp") + col("fn") > 0,
           expr("tp * 1000000L DIV (tp + fn)")))
   }
+
+  /** Spearman rank correlation — Pearson's r computed on AVERAGE
+    * (midrank) ranks, the standard tie treatment. The midrank of a tie
+    * run is fractional only by halves, so the DOUBLED midrank
+    * `2·rank + tiecount − 1` (the [[rocAuc]] integer) keeps every rank
+    * an exact integer; scaling both columns by 2 cancels in r. All
+    * power sums accumulate as decimal(38,0) (shuffle-order
+    * independent), and the closing formula — numerator and the two
+    * variance terms cast to double, one sqrt, one division — is a
+    * fixed IEEE op sequence any engine reproduces bit-for-bit.
+    *
+    * Rank-based = scale-free: inputs stay RAW (any orderable type —
+    * no fixed-point domain guard, because only the ORDER of values
+    * enters, and ordering/equality of the stored values is identical
+    * in every engine). Rows with a null in either column drop
+    * (complete-case — a one-sided null would bias the other column's
+    * ranks). Zero-variance sides (all x tied) yield null rho.
+    * Int64/decimal bound: doubled ranks ≤ 2n, so
+    * n·Σax² ≤ 4n⁴ — exact through decimal(38,0) for n < 1e9 rows per
+    * group (documented, far past aggregate grain).
+    *
+    * 100 TB posture: two group-partitioned rank windows (one sort per
+    * column) + one map-side-combined aggregation. Like
+    * [[rankNormalize]], group columns are required — a global rank is
+    * a single-partition sort.
+    */
+  def spearman(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "spearman: need group columns " +
+      "(a global rank of a 100 TB table is a single-partition sort; " +
+      "bucket first)")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((groupCols.map(col) :+
+        col(xCol).as("__x") :+ col(yCol).as("__y")): _*)
+    def ar2(c: String) = {
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(c).asc)
+      val tied = Window.partitionBy((groupCols.map(col) :+ col(c)): _*)
+      (lit(2L) * rank().over(w).cast("long") + count(lit(1)).over(tied)
+        - lit(1L)).cast("decimal(38,0)")
+    }
+    val ranked = rows
+      .withColumn("__ax", ar2("__x"))
+      .withColumn("__ay", ar2("__y"))
+    val agged = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__ax")).as("__sx"), sum(col("__ay")).as("__sy"),
+        sum(col("__ax") * col("__ax")).as("__sxx"),
+        sum(col("__ay") * col("__ay")).as("__syy"),
+        sum(col("__ax") * col("__ay")).as("__sxy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val vx = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val vy = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    agged
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("rho_e6",
+        when(vx > 0 && vy > 0,
+          floor(num / sqrt(vx * vy) * 1e6).cast("long")))
+      .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+
+  /** Kendall tau-b — concordance rank correlation with the standard
+    * tie correction, by EXACT pair counting over an aggregate-grain
+    * series (daily sums, cohort rows — never raw facts: the pair scan
+    * is O(n²) per group BY DEFINITION of the statistic, so the
+    * operator RAISES when a group exceeds `maxRows`; pre-aggregate
+    * first — the same aggregate-grain contract as [[acf]]).
+    *
+    * C/D/tie counts are integers from one self-equi-join on the group
+    * key (`idCol` — a caller-supplied unique total order — deduplicates
+    * mirror pairs via a < b); tau_b = (C − D) / √((n0−n1)(n0−n2)) with
+    * n0 = n(n−1)/2, n1/n2 = x-tied/y-tied pair counts — one sqrt, one
+    * division on doubles from exact int64s, floor-e6. Like [[spearman]]
+    * it is rank-based, so values stay RAW: only COMPARISONS of stored
+    * values enter, which every engine evaluates identically.
+    */
+  def kendallTau(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      maxRows: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((groupCols.map(col) :+ col(idCol).as("__id") :+
+        col(xCol).as("__x") :+ col(yCol).as("__y")): _*)
+      .withColumn("__gn",
+        count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
+      // guard lives in a FILTER, not a projected-then-dropped column —
+      // Catalyst correctly prunes a dead projection, raise_error included
+      .where(when(col("__gn") <= maxRows, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"Stats.kendallTau: a group has "), col("__gn").cast("string"),
+          lit(s" rows > maxRows=$maxRows — the O(n²) pair scan needs " +
+            "aggregate-grain input; pre-aggregate or raise maxRows"))
+          .cast("boolean"))))
+      .drop("__gn")
+    val a = rows.select((groupCols.map(col) :+ col("__id").as("__ida") :+
+      col("__x").as("__xa") :+ col("__y").as("__ya")): _*)
+    val b = groupCols.foldLeft(
+        rows.select((groupCols.map(col) :+ col("__id").as("__idb") :+
+          col("__x").as("__xb") :+ col("__y").as("__yb")): _*))(
+        (d, c) => d.withColumnRenamed(c, s"__g_$c"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val pairs = a.join(b, cond && col("__ida") < col("__idb"))
+    val (xa, xb, ya, yb) =
+      (col("__xa"), col("__xb"), col("__ya"), col("__yb"))
+    val agged = pairs.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("__n0"),
+        sum(when((xa < xb && ya < yb) || (xa > xb && ya > yb), 1L)
+          .otherwise(0L)).as("__c"),
+        sum(when((xa < xb && ya > yb) || (xa > xb && ya < yb), 1L)
+          .otherwise(0L)).as("__d"),
+        sum(when(xa === xb, 1L).otherwise(0L)).as("__tx"),
+        sum(when(ya === yb, 1L).otherwise(0L)).as("__ty"))
+    val denx = (col("__n0") - col("__tx")).cast("double")
+    val deny = (col("__n0") - col("__ty")).cast("double")
+    agged
+      .withColumn("n_pairs", col("__n0"))
+      .withColumn("concordant", col("__c"))
+      .withColumn("discordant", col("__d"))
+      .withColumn("tau_e6",
+        when(denx > 0 && deny > 0,
+          floor((col("__c") - col("__d")).cast("double")
+            / sqrt(denx * deny) * 1e6).cast("long")))
+      .drop("__n0", "__c", "__d", "__tx", "__ty")
+  }
+
+  /** Sample autocorrelation function (ACF) at lags 1..maxLag over an
+    * integer-indexed, integer-valued series — the seasonality /
+    * persistence diagnostic a forecasting pipeline runs first.
+    *
+    * Exactness: with mean x̄ = S/n rational, multiplying the centered
+    * numerator Σ(x_t−x̄)(x_{t+k}−x̄) and denominator Σ(x_t−x̄)² by n²
+    * turns every term into (n·x_t − S)(n·x_{t+k} − S) — exact
+    * integers, accumulated as decimal(38,0) (|n·x−S| ≤ 2nX bounds the
+    * sum by 4n³X², within decimal(38) for day-grain cents). The ratio
+    * closes in doubles, floor-e6. Pairing is strict index equality
+    * `idx_b = idx_a + lag` — the caller controls gap semantics via the
+    * index it supplies (dense row_number = positional ACF, calendar
+    * day = gap-aware).
+    *
+    * 100 TB posture: input is aggregate-grain (a series, not facts);
+    * one literal lag explode (fan-out maxLag), one self-equi-join on
+    * (group, idx), one map-side-combined aggregation; the per-group
+    * (n, S) table joins back broadcast-sized.
+    */
+  def acf(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idxCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, "maxLag in [1, 64]")
+    val rows = df.where(col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ col(idxCol).cast("long").as("__idx") :+
+        col(valueCol).cast("long").as("__v")): _*)
+    val tot = rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__v")).cast("decimal(38,0)").as("__s"))
+    val centered = nullSafeGroupJoin(rows, tot, groupCols)
+      .withColumn("__c",
+        col("__n") * col("__v").cast("decimal(38,0)") - col("__s"))
+    val den = centered.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__c") * col("__c")).as("__den"),
+        first(col("__n")).cast("long").as("n"))
+    val lagged = centered
+      .withColumn("lag", explode(typedlit((1 to maxLag).toSeq.map(_.toLong))))
+    val right = groupCols.foldLeft(
+        centered.select((groupCols.map(col) :+ col("__idx").as("__idxb") :+
+          col("__c").as("__cb")): _*))(
+        (d, c) => d.withColumnRenamed(c, s"__g_$c"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val pairs = lagged.join(right,
+      cond && col("__idxb") === col("__idx") + col("lag"))
+    val nums = pairs.groupBy((groupCols.map(col) :+ col("lag")): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__c") * col("__cb")).as("__num"))
+    nullSafeGroupJoin(nums, den, groupCols)
+      .withColumn("acf_e6",
+        when(col("__den") > 0,
+          floor(col("__num").cast("double") / col("__den").cast("double")
+            * 1e6).cast("long")))
+      .drop("__num", "__den")
+  }
 }

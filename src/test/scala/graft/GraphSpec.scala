@@ -163,4 +163,30 @@ class GraphSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("negative"), e.getMessage)
   }
+
+  test("hits: one hand-computed iteration; L1 mass; determinism") {
+    // 1->3, 2->3, 2->4: after one iteration (scale 1e6):
+    //   a' = {3: 2e6, 4: 1e6}, total 3e6 -> a = {3: 666666, 4: 333333}
+    //   h' = {1: 666666, 2: 999999}, total 1666665
+    //     -> h = {1: 400000, 2: 600000} (both divisions exact)
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(edges, iterations = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((400000L, 0L)), 2L -> ((600000L, 0L)),
+      3L -> ((0L, 666666L)), 4L -> ((0L, 333333L))), got.toString)
+    // more iterations keep the L1 mass ~scale on each side (floor-div
+    // loses at most one unit per node) and stay deterministic
+    val g3a = Graph.hits(edges, iterations = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val g3b = Graph.hits(edges.repartition(5), iterations = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(g3a.toSeq == g3b.toSeq, "partitioning changed HITS scores")
+    val hubMass = g3a.map(_._2).sum
+    val authMass = g3a.map(_._3).sum
+    assert(hubMass > 1000000L - 4 && hubMass <= 1000000L, s"hub $hubMass")
+    assert(authMass > 1000000L - 4 && authMass <= 1000000L,
+      s"auth $authMass")
+  }
 }

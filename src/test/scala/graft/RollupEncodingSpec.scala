@@ -84,4 +84,34 @@ class RollupEncodingSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("overflows"), e2.getMessage)
   }
+
+  test("hashFeatures: buckets/signs replay the portable hash exactly") {
+    import org.apache.spark.sql.functions.{col, split}
+    // driver-side twin of PortableHash.hash60 (first 60 md5 bits)
+    def hash60(salt: String, key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + 1.toChar + key).getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def expected(tokens: Seq[String]): Map[Long, Long] =
+      tokens.groupBy { t =>
+        hash60("feat", t) % 32
+      }.map { case (b, ts) =>
+        b -> ts.map(t =>
+          if ((hash60("feat", t) / 32) % 2 == 0) 1L else -1L).sum
+      }.filter(_._2 != 0L)
+    val df = Seq((1L, "alpha alpha beta"), (2L, "gamma")).toDF("id", "txt")
+    val got = Encoding.hashFeatures(df, "id", split(col("txt"), " "), 32)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.map(r => r._2 -> r._3).toMap }
+    assert(got(1L) == expected(Seq("alpha", "alpha", "beta")),
+      got(1L).toString)
+    assert(got(2L) == expected(Seq("gamma")), got(2L).toString)
+    // a repeated token doubles its signed weight (same bucket by
+    // construction), and bucket ids stay inside [0, nBuckets)
+    assert(got(1L).values.exists(w => w == 2L || w == -2L))
+    assert(got.values.flatMap(_.keys).forall(b => b >= 0 && b < 32))
+  }
 }

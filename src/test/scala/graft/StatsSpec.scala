@@ -562,4 +562,70 @@ class StatsSpec extends SparkSuite {
     assert(pr(200L) == (((3L, 0L, 1L, 3L), Some(1000000L), Some(750000L))),
       pr.toString)
   }
+
+  test("spearman: perfect monotone, midrank ties, zero variance") {
+    val perfect = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0))
+      .toDF("g", "x", "y")
+    val r1 = Stats.spearman(perfect, Seq("g"), "x", "y")
+      .as[(String, Long, Option[Long])].collect()
+    assert(r1.toSeq == Seq(("g", 3L, Some(1000000L))), r1.mkString(","))
+    // ties in x: midranks (1.5, 1.5, 3) vs y ranks (1, 2, 3)
+    // -> rho = sqrt(3)/2 = 0.8660254... -> floor e6 866025
+    val tied = Seq(("g", 1.0, 10.0), ("g", 1.0, 20.0), ("g", 2.0, 30.0))
+      .toDF("g", "x", "y")
+    val r2 = Stats.spearman(tied, Seq("g"), "x", "y")
+      .as[(String, Long, Option[Long])].collect()
+    assert(r2.toSeq == Seq(("g", 3L, Some(866025L))), r2.mkString(","))
+    // constant x -> zero rank variance -> null rho
+    val const = Seq(("g", 5.0, 1.0), ("g", 5.0, 2.0)).toDF("g", "x", "y")
+    val r3 = Stats.spearman(const, Seq("g"), "x", "y")
+      .as[(String, Long, Option[Long])].collect()
+    assert(r3.toSeq == Seq(("g", 2L, None)), r3.mkString(","))
+  }
+
+  test("kendallTau: hand-counted pairs, tau-b ties, grain guard") {
+    val df = Seq(("g", 1L, 1.0, 1.0), ("g", 2L, 2.0, 3.0),
+        ("g", 3L, 3.0, 2.0), ("g", 4L, 4.0, 4.0))
+      .toDF("g", "id", "x", "y")
+    val r1 = Stats.kendallTau(df, Seq("g"), "id", "x", "y")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+    // 6 pairs: C=5, D=1, no ties -> tau = 4/6 -> 666666
+    assert(r1.toSeq == Seq(("g", 6L, 5L, 1L, Some(666666L))),
+      r1.mkString(","))
+    // tau-b: x-tie pair excluded from x denominator only
+    // C=2, D=0, tx=1, ty=0 -> 2/sqrt(2*3) = 0.816496... -> 816496
+    val tied = Seq(("g", 1L, 1.0, 1.0), ("g", 2L, 1.0, 2.0),
+        ("g", 3L, 2.0, 3.0)).toDF("g", "id", "x", "y")
+    val r2 = Stats.kendallTau(tied, Seq("g"), "id", "x", "y")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+    assert(r2.toSeq == Seq(("g", 3L, 2L, 0L, Some(816496L))),
+      r2.mkString(","))
+    // the O(n^2) guard: a group over maxRows raises loudly
+    val e = intercept[Exception] {
+      Stats.kendallTau(df, Seq("g"), "id", "x", "y", maxRows = 3L)
+        .collect()
+    }
+    assert(e.getMessage.contains("aggregate-grain"), e.getMessage)
+  }
+
+  test("acf: hand-computed lags on 1,2,3,4 and index-gap semantics") {
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+        ("g", 4L, 4L)).toDF("g", "idx", "v")
+    // cv = 4v-10: -6,-2,2,6; den=80
+    // lag1: 20/80 -> 250000; lag2: -24/80 -> -300000; lag3: -36/80 -> -450000
+    val got = Stats.acf(df, Seq("g"), "idx", "v", maxLag = 3)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> ((r._3, r._5))).toMap
+    assert(got == Map(1L -> ((3L, Some(250000L))),
+      2L -> ((2L, Some(-300000L))), 3L -> ((1L, Some(-450000L)))),
+      got.toString)
+    // pairing is strict index equality: a gap drops the pair, it does
+    // not slide (idx 1,2,4: lag1 pairs only (1,2); lag2 only (2,4))
+    val gap = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 4L, 4L))
+      .toDF("g", "idx", "v")
+    val np = Stats.acf(gap, Seq("g"), "idx", "v", maxLag = 2)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(np == Map(1L -> 1L, 2L -> 1L), np.toString)
+  }
 }
