@@ -196,7 +196,8 @@ object Queries {
     */
   private def lloydReplaySql(
       fromTable: String, featExprs: Seq[String],
-      k: Int, maxIter: Int, seed: Long): String = {
+      k: Int, maxIter: Int, seed: Long,
+      finalSelect: String = null): String = {
     val n = featExprs.size
     val fs = (1 to n).map(i => s"f$i")
     val fList = fs.mkString(", ")
@@ -234,11 +235,12 @@ object Queries {
         (1 to n).map(p => s"LEFT JOIN m${it}_$p m$p ON m$p.cid = c.cid").mkString(" ") +
         "),\n"
     }
-    sb ++= s"afin AS (SELECT r.w, c.cid,\n" +
+    sb ++= s"afin AS (SELECT r.w, c.cid, (${dist("c")}) AS d,\n" +
       s"  row_number() OVER (PARTITION BY $rList ORDER BY (${dist("c")}) ASC, c.cid ASC) AS rn\n" +
       s"  FROM tuples r CROSS JOIN c$maxIter c)\n"
-    sb ++= s"SELECT cid AS prediction, CAST(SUM(w) AS BIGINT) AS count\n" +
-      s"FROM afin WHERE rn = 1 GROUP BY cid ORDER BY prediction"
+    sb ++= (if (finalSelect != null) finalSelect
+    else s"SELECT cid AS prediction, CAST(SUM(w) AS BIGINT) AS count\n" +
+      s"FROM afin WHERE rn = 1 GROUP BY cid ORDER BY prediction")
     sb.toString
   }
 
@@ -7083,6 +7085,145 @@ object Queries {
        |FROM h GROUP BY doc_id, bucket
        |ORDER BY doc_id, bucket""".stripMargin
 
+  /** q188: deterministic bootstrap CI ([[Stats.bootstrapMeanCI]],
+    * 200 resamples) for mean daily order revenue per priority — the
+    * uncertainty band a metrics report ships with. Every draw is the
+    * content-addressed `md5 mod n` pick, every resample mean a
+    * floor-milli integer, the CI bounds nearest-rank members — the
+    * oracle replays the full 200×n grid digit-for-digit.
+    */
+  def bootstrapDailyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val idx = daily.withColumn("idx",
+      (row_number().over(Window.partitionBy("o_orderpriority")
+        .orderBy("day")) - 1).cast("long"))
+    Stats.bootstrapMeanCI(idx, Seq("o_orderpriority"), "idx", "rev",
+        nResamples = 200)
+      .orderBy("o_orderpriority")
+  }
+
+  val bootstrapDailyRevenueSql: String = {
+    val key = "concat_ws(chr(2), g, CAST(b AS VARCHAR), CAST(idx AS VARCHAR))"
+    s"""WITH daily AS (SELECT o_orderpriority AS g,
+       |    CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |ix AS (SELECT g, rev,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) - 1
+       |      AS BIGINT) AS idx
+       |  FROM daily),
+       |base AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(rev) AS BIGINT) AS s FROM ix GROUP BY g),
+       |grid AS (SELECT ix.g, ix.idx, b.b, base.n
+       |  FROM ix JOIN base USING (g)
+       |  CROSS JOIN (SELECT unnest(range(1, 201)) AS b) b),
+       |draws AS (SELECT g, b, n,
+       |    ${duckHash60("boot", key)} % n AS target FROM grid),
+       |picked AS (SELECT d.g, d.b, ix.rev, d.n FROM draws d
+       |  JOIN ix ON ix.g = d.g AND ix.idx = d.target),
+       |means AS (SELECT g, b,
+       |    CAST((1000 * SUM(rev)) // MAX(n) AS BIGINT) AS bm
+       |  FROM picked GROUP BY g, b),
+       |rk AS (SELECT g, b, bm,
+       |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY bm ASC, b ASC) AS r
+       |  FROM means)
+       |SELECT base.g AS o_orderpriority, base.n,
+       |  CAST((1000 * base.s) // base.n AS BIGINT) AS obs_mean_milli,
+       |  lo.bm AS ci_lo_milli, hi.bm AS ci_hi_milli,
+       |  CAST(200 AS BIGINT) AS b_resamples
+       |FROM base
+       |JOIN (SELECT g, bm FROM rk WHERE r = 5) lo USING (g)
+       |JOIN (SELECT g, bm FROM rk WHERE r = 195) hi USING (g)
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** q189: deterministic permutation test ([[Stats.permutationTest]],
+    * 100 permutations) — does weekend daily order revenue differ from
+    * weekday? Exact integer statistic, md5-ranked relabelings, add-one
+    * p-value; the oracle replays all 100 permutations including the
+    * rank-window tie rule.
+    */
+  def permTestWeekend(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .withColumn("weekend", dayofweek(col("day")).isin(1, 7))
+    Stats.permutationTest(daily, Seq.empty, "day", "weekend", "rev",
+      nPerms = 100)
+  }
+
+  val permTestWeekendSql: String = {
+    val key = "concat_ws(chr(2), CAST(b AS VARCHAR), CAST(day AS VARCHAR))"
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |lab AS (SELECT day, rev, dayofweek(day) IN (0, 6) AS we FROM daily),
+       |base AS (SELECT
+       |    CAST(SUM(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN we THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN we THEN rev ELSE 0 END) AS BIGINT) AS sa,
+       |    CAST(SUM(CASE WHEN we THEN 0 ELSE rev END) AS BIGINT) AS sb
+       |  FROM lab),
+       |grid AS (SELECT l.day, l.rev, b.b FROM lab l
+       |  CROSS JOIN (SELECT unnest(range(1, 101)) AS b) b),
+       |h AS (SELECT day, rev, b, ${duckHash60("perm", key)} AS hv
+       |  FROM grid),
+       |rk AS (SELECT b, day, rev,
+       |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY hv ASC, day ASC)
+       |      AS r
+       |  FROM h),
+       |perms AS (SELECT rk.b,
+       |    CAST((1000 * SUM(CASE WHEN rk.r <= base.n_a THEN rk.rev
+       |        ELSE 0 END)) // MAX(base.n_a) AS BIGINT)
+       |    - CAST((1000 * SUM(CASE WHEN rk.r > base.n_a THEN rk.rev
+       |        ELSE 0 END)) // MAX(base.n_b) AS BIGINT) AS d
+       |  FROM rk CROSS JOIN base GROUP BY rk.b),
+       |obs AS (SELECT CAST((1000 * sa) // n_a AS BIGINT)
+       |    - CAST((1000 * sb) // n_b AS BIGINT) AS od FROM base),
+       |ext AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_extreme
+       |  FROM perms CROSS JOIN obs WHERE abs(perms.d) >= abs(obs.od))
+       |SELECT base.n_a, base.n_b, obs.od AS obs_diff_milli,
+       |  ext.n_extreme,
+       |  CAST(((1 + ext.n_extreme) * 1000000) // 101 AS BIGINT) AS p_ppm
+       |FROM base CROSS JOIN obs CROSS JOIN ext""".stripMargin
+  }
+
+  /** q190: the k-modes ELBOW sweep — mean Hamming cost vs k ∈
+    * {2, 4, 8}, each a full portable-init Lloyd fit (maxIter 5, seed
+    * 42) — the model-selection readout every user of the reference
+    * library produces before settling on k `[UP fit() k param]`. The
+    * oracle replays ALL THREE fits via [[lloydReplaySql]] (cost form:
+    * the weighted assignment distance at the final centers), unioned.
+    */
+  def kmodesElbow(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "orders").select(orderFeatures.as("features"))
+    Seq(2, 4, 8).map { k =>
+      val model = new KModes().setK(k).setMaxIter(5).setSeed(42L)
+        .setInitHash("md5").fit(df)
+      val cLit = typedlit(model.clusterCenters.map(_.toSeq).toSeq)
+      df.select(Distances.assign(col("features"), cLit)
+          .getField("min_dist").as("d"))
+        .agg(count(lit(1)).as("__n"), sum(col("d")).as("__s"))
+        .select(lit(k).as("k"),
+          round(col("__s").cast("double") / col("__n"), 6).as("mean_cost"))
+    }.reduce(_ unionByName _).orderBy("k")
+  }
+
+  val kmodesElbowSql: String =
+    Seq(2, 4, 8).map { k =>
+      val fin = s"SELECT CAST($k AS INTEGER) AS k,\n" +
+        "  round(CAST(SUM(w * d) AS DOUBLE) / SUM(w), 6) AS mean_cost\n" +
+        "FROM afin WHERE rn = 1"
+      "SELECT * FROM (" +
+        lloydReplaySql("orders", orderFeaturesSqlCols, k, maxIter = 5,
+          seed = 42L, finalSelect = fin) + ")"
+    }.mkString("\nUNION ALL\n") + "\nORDER BY k"
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -7271,7 +7412,10 @@ object Queries {
     "q184_acf" -> acfDailyRevenue _,
     "q185_hits" -> hitsParts _,
     "q186_waiting_suppliers" -> waitingSuppliers _,
-    "q187_feature_hash" -> featureHashDocs _)
+    "q187_feature_hash" -> featureHashDocs _,
+    "q188_bootstrap_ci" -> bootstrapDailyRevenue _,
+    "q189_perm_test" -> permTestWeekend _,
+    "q190_kmodes_elbow" -> kmodesElbow _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -7459,5 +7603,8 @@ object Queries {
     "q184_acf" -> acfDailyRevenueSql,
     "q185_hits" -> hitsPartsSql,
     "q186_waiting_suppliers" -> waitingSuppliersSql,
-    "q187_feature_hash" -> featureHashDocsSql)
+    "q187_feature_hash" -> featureHashDocsSql,
+    "q188_bootstrap_ci" -> bootstrapDailyRevenueSql,
+    "q189_perm_test" -> permTestWeekendSql,
+    "q190_kmodes_elbow" -> kmodesElbowSql)
 }

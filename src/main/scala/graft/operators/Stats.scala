@@ -1172,6 +1172,180 @@ object Stats {
       .drop("__n0", "__c", "__d", "__tx", "__ty")
   }
 
+  /** Deterministic bootstrap confidence interval for a group mean —
+    * the uncertainty readout an A/B or data-quality report ships with,
+    * RNG-free so any engine replays every resample: draw (b, i) of
+    * resample b picks the row whose dense index is
+    * `hash60(salt, group ␂ b ␂ i) mod n` (the content-addressed draw
+    * rule of [[graft.operators.Sampling]]), resample means are exact
+    * floor-milli integers `(1000·Σ) div n`, and the CI bounds are
+    * NEAREST-RANK percentiles of the nResamples means (actual member
+    * values — the [[winsorize]] no-interpolation rule) under the total
+    * order (mean ASC, b ASC).
+    *
+    * Aggregate-grain contract: the input is a SERIES (day sums, cohort
+    * rows), never raw facts — the resample grid is n·nResamples rows
+    * BY DEFINITION of the bootstrap. `idxCol` must be a dense 0..n−1
+    * index per group; the operator VERIFIES (count = distinct count,
+    * min 0, max n−1) and raises, because a silent gap would bias every
+    * draw toward the surviving rows. Values must be non-negative
+    * longs (caller-scaled cents; floor-div of a negative sum diverges
+    * between engines — the [[dyadicEwma]] rule).
+    *
+    * 100 TB posture: one grid explode (bounded fan-out nResamples),
+    * one equi-join back on (group, idx), one map-side-combined mean
+    * aggregation, one window over nResamples rows per group.
+    */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idxCol: String,
+      valueCol: String,
+      nResamples: Int = 200,
+      loPpm: Long = 25000L,
+      hiPpm: Long = 975000L,
+      salt: String = "boot"): DataFrame = {
+    require(nResamples >= 10 && nResamples <= 10000,
+      "nResamples in [10, 10000]")
+    require(loPpm > 0 && hiPpm < 1000000L && loPpm < hiPpm,
+      "ppm bounds must satisfy 0 < lo < hi < 1e6")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select((groupCols.map(col) :+
+        col(idxCol).cast("long").as("__idx") :+
+        col(valueCol).cast("long").as("__v")): _*)
+      .withColumn("__v",
+        when(col("__v") >= 0, col("__v")).otherwise(raise_error(
+          lit(s"Stats.bootstrapMeanCI: negative $valueCol — floor-div " +
+            "of negative sums diverges between engines; shift or " +
+            "rescale first")).cast("long")))
+    val base = rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), countDistinct(col("__idx")).as("__nd"),
+        min(col("__idx")).as("__mn"), max(col("__idx")).as("__mx"),
+        sum(col("__v")).as("__s"))
+      .withColumn("n",
+        when(col("__nd") === col("n") && col("__mn") === 0 &&
+          col("__mx") === col("n") - 1, col("n"))
+          .otherwise(raise_error(
+            lit(s"Stats.bootstrapMeanCI: $idxCol is not a dense 0..n-1 " +
+              "index — gaps or duplicates would silently bias every " +
+              "draw; reindex with row_number() - 1 first").cast("string"))
+            .cast("long")))
+      .withColumn("obs_mean_milli", expr("(1000L * __s) div n"))
+      .drop("__nd", "__mn", "__mx", "__s")
+    val grid = nullSafeGroupJoin(rows, base, groupCols)
+      .withColumn("__b",
+        explode(typedlit((1 to nResamples).toSeq.map(_.toLong))))
+    val key = concat_ws("",
+      (groupCols.map(c => col(c).cast("string")) :+
+        col("__b").cast("string") :+ col("__idx").cast("string")): _*)
+    val draws = grid.select((groupCols.map(col) :+ col("__b") :+
+      (graft.functions.PortableHash.hash60(key, salt) % col("n"))
+        .as("__target")): _*)
+    // equi-join on (group, idx) — NOT a group-only join filtered after,
+    // which would materialize n²·B pairs per group
+    val pr = groupCols.foldLeft(rows.withColumnRenamed("__idx", "__tidx"))(
+      (d, c) => d.withColumnRenamed(c, s"__g_$c"))
+    val pcond = (groupCols.map(c => col(c) <=> col(s"__g_$c")) :+
+      (col("__tidx") === col("__target"))).reduce(_ && _)
+    val picked = groupCols.foldLeft(draws.join(pr, pcond))(
+      (d, c) => d.drop(s"__g_$c"))
+    val means = nullSafeGroupJoin(
+        picked.groupBy((groupCols.map(col) :+ col("__b")): _*)
+          .agg(sum(col("__v")).as("__bs")),
+        base.select((groupCols.map(col) :+ col("n")): _*), groupCols)
+      .withColumn("__bm", expr("(1000L * __bs) div n"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__bm").asc, col("__b").asc)
+    val loRank = (loPpm * nResamples + 999999L) / 1000000L
+    val hiRank = (hiPpm * nResamples + 999999L) / 1000000L
+    val ci = means.withColumn("__r", row_number().over(w))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("__r") === math.max(1L, loRank), col("__bm")))
+          .as("ci_lo_milli"),
+        max(when(col("__r") === hiRank, col("__bm"))).as("ci_hi_milli"))
+    nullSafeGroupJoin(base, ci, groupCols)
+      .withColumn("b_resamples", lit(nResamples.toLong))
+  }
+
+  /** Deterministic two-sample permutation test for a difference in
+    * group means — the exact-inference sibling of [[twoSampleZ]]
+    * (no normality assumption), RNG-free: permutation b re-labels the
+    * rows by ranking `hash60(salt, group ␂ b ␂ id)` (ties → id ASC)
+    * and assigning the first n_A ranks to side A, so every permutation
+    * is a pure function of the data that any engine replays. The
+    * statistic is the floor-milli mean difference
+    * `(1000·S_A) div n_A − (1000·S_B) div n_B` on non-negative long
+    * values (caller-scaled; negative values RAISE — the floor-div
+    * rule), and the two-sided p-value is the add-one estimate
+    * `((1 + #{|diff_b| ≥ |diff_obs|}) · 1e6) div (B + 1)` — exact
+    * integers end to end.
+    *
+    * Aggregate-grain contract like [[bootstrapMeanCI]]: the B·n
+    * explode and the per-(group, b) rank window are the test's own
+    * cost; feed it a series, not facts.
+    */
+  def permutationTest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      labelCol: String,
+      valueCol: String,
+      nPerms: Int = 100,
+      salt: String = "perm"): DataFrame = {
+    require(nPerms >= 10 && nPerms <= 10000, "nPerms in [10, 10000]")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .where(col(labelCol).isNotNull && col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ col(idCol).as("__id") :+
+        col(labelCol).cast("boolean").as("__lab") :+
+        col(valueCol).cast("long").as("__v")): _*)
+      .withColumn("__v",
+        when(col("__v") >= 0, col("__v")).otherwise(raise_error(
+          lit(s"Stats.permutationTest: negative $valueCol — floor-div " +
+            "of negative sums diverges between engines; shift first")
+            .cast("string")).cast("long")))
+    val base = rows.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("__lab"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__lab"), 0L).otherwise(1L)).as("n_b"),
+        sum(when(col("__lab"), col("__v")).otherwise(0L)).as("__sa"),
+        sum(when(!col("__lab"), col("__v")).otherwise(0L)).as("__sb"))
+      .withColumn("obs_diff_milli",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("(1000L * __sa) div n_a - (1000L * __sb) div n_b")))
+      .drop("__sa", "__sb")
+    val grid = nullSafeGroupJoin(rows, base, groupCols)
+      .withColumn("__b",
+        explode(typedlit((1 to nPerms).toSeq.map(_.toLong))))
+    val key = concat_ws("",
+      (groupCols.map(c => col(c).cast("string")) :+
+        col("__b").cast("string") :+ col("__id").cast("string")): _*)
+    val hashed = grid.withColumn("__h",
+      graft.functions.PortableHash.hash60(key, salt))
+    val w = Window.partitionBy((groupCols.map(col) :+ col("__b")): _*)
+      .orderBy(col("__h").asc, col("__id").asc)
+    val relabeled = hashed.withColumn("__r", row_number().over(w))
+      .withColumn("__pa", col("__r") <= col("n_a"))
+    val perms = relabeled
+      .groupBy((groupCols.map(col) :+ col("__b")): _*)
+      .agg(
+        sum(when(col("__pa"), col("__v")).otherwise(0L)).as("__sa"),
+        sum(when(!col("__pa"), col("__v")).otherwise(0L)).as("__sb"),
+        first(col("n_a")).as("__na"), first(col("n_b")).as("__nb"))
+      .withColumn("__d",
+        expr("(1000L * __sa) div __na - (1000L * __sb) div __nb"))
+    val extreme = nullSafeGroupJoin(perms,
+        base.select((groupCols.map(col) :+
+          col("obs_diff_milli").as("__obs")): _*), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(when(abs(col("__d")) >= abs(col("__obs")), 1L)
+        .otherwise(0L)).as("n_extreme"))
+    nullSafeGroupJoin(base, extreme, groupCols)
+      .withColumn("p_ppm",
+        expr(s"((1L + n_extreme) * 1000000L) div ${nPerms + 1}L"))
+  }
+
   /** Sample autocorrelation function (ACF) at lags 1..maxLag over an
     * integer-indexed, integer-valued series — the seasonality /
     * persistence diagnostic a forecasting pipeline runs first.

@@ -608,6 +608,71 @@ class StatsSpec extends SparkSuite {
     assert(e.getMessage.contains("aggregate-grain"), e.getMessage)
   }
 
+  test("bootstrapMeanCI: degenerate exactness, guards, determinism") {
+    // constant series: every resample mean equals the observed mean,
+    // so the CI collapses to a point — exact, not approximate
+    val const = (0L until 20L).map(i => ("g", i, 7L)).toDF("g", "idx", "v")
+    val r = Stats.bootstrapMeanCI(const, Seq("g"), "idx", "v",
+        nResamples = 50).head()
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Long]("obs_mean_milli") == 7000L)
+    assert(r.getAs[Long]("ci_lo_milli") == 7000L)
+    assert(r.getAs[Long]("ci_hi_milli") == 7000L)
+    // varying series: bounds are ordered, bracket nothing impossible,
+    // and the whole computation is partition-independent
+    val vary = (0L until 12L).map(i => ("g", i, i * 100L))
+      .toDF("g", "idx", "v")
+    val a = Stats.bootstrapMeanCI(vary, Seq("g"), "idx", "v",
+      nResamples = 40).head()
+    val b = Stats.bootstrapMeanCI(vary.repartition(7), Seq("g"), "idx", "v",
+      nResamples = 40).head()
+    assert(a.getAs[Long]("ci_lo_milli") <= a.getAs[Long]("ci_hi_milli"))
+    assert(a.getAs[Long]("ci_lo_milli") == b.getAs[Long]("ci_lo_milli"))
+    assert(a.getAs[Long]("ci_hi_milli") == b.getAs[Long]("ci_hi_milli"))
+    // gap in the index raises (a silent gap would bias every draw)
+    val gap = Seq(("g", 0L, 1L), ("g", 2L, 1L)).toDF("g", "idx", "v")
+    val e1 = intercept[Exception] {
+      Stats.bootstrapMeanCI(gap, Seq("g"), "idx", "v").collect()
+    }
+    assert(e1.getMessage.contains("dense"), e1.getMessage)
+    // negative values raise (floor-div divergence rule)
+    val neg = Seq(("g", 0L, -1L)).toDF("g", "idx", "v")
+    val e2 = intercept[Exception] {
+      Stats.bootstrapMeanCI(neg, Seq("g"), "idx", "v").collect()
+    }
+    assert(e2.getMessage.contains("negative"), e2.getMessage)
+  }
+
+  test("permutationTest: null-effect exactness, counts, determinism") {
+    // constant values: every permutation's diff equals the observed 0,
+    // so n_extreme = B and p = 1.0 exactly
+    val const = (1L to 10L).map(i => (i, i <= 4L, 5L)).toDF("id", "lab", "v")
+    val r = Stats.permutationTest(const, Seq.empty, "id", "lab", "v",
+      nPerms = 20).head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 6L)
+    assert(r.getAs[Long]("obs_diff_milli") == 0L)
+    assert(r.getAs[Long]("n_extreme") == 20L)
+    assert(r.getAs[Long]("p_ppm") == 1000000L)
+    // a maximal separation is never exceeded but can be matched:
+    // p stays small; and the test is partition-independent
+    val sep = (1L to 10L).map(i => (i, i <= 5L, if (i <= 5L) 100L else 0L))
+      .toDF("id", "lab", "v")
+    val a = Stats.permutationTest(sep, Seq.empty, "id", "lab", "v",
+      nPerms = 50).head()
+    val b = Stats.permutationTest(sep.toDF.repartition(5), Seq.empty,
+      "id", "lab", "v", nPerms = 50).head()
+    assert(a.getAs[Long]("obs_diff_milli") == 100000L)
+    assert(a.getAs[Long]("n_extreme") == b.getAs[Long]("n_extreme"))
+    assert(a.getAs[Long]("p_ppm") == b.getAs[Long]("p_ppm"))
+    assert(a.getAs[Long]("p_ppm") < 500000L, a.toString)
+    // negative values raise
+    val neg = Seq((1L, true, -5L)).toDF("id", "lab", "v")
+    val e = intercept[Exception] {
+      Stats.permutationTest(neg, Seq.empty, "id", "lab", "v").collect()
+    }
+    assert(e.getMessage.contains("negative"), e.getMessage)
+  }
+
   test("acf: hand-computed lags on 1,2,3,4 and index-gap semantics") {
     val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
         ("g", 4L, 4L)).toDF("g", "idx", "v")
