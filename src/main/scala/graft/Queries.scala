@@ -7224,6 +7224,104 @@ object Queries {
           seed = 42L, finalSelect = fin) + ")"
     }.mkString("\nUNION ALL\n") + "\nORDER BY k"
 
+  /** q191: REAL audio decode + exact autocorrelation periodicity
+    * ([[Multimodal.audioPeriodicity]]): per document a mono 16-bit PCM
+    * WAV is synthesized from a pure integer sample formula
+    * (s_t = ((id·31 + 7t²) mod 4096) − 2048), encoded through
+    * [[Multimodal.encodeWav]], decoded back by the byte-level RIFF
+    * parser, and reduced to integer autocorrelation R(k), k ∈ [1, 8] —
+    * best lag, best R, and energy R(0). The oracle replays the sample
+    * formula and every R(k) digit-for-digit (the q57 pixel-formula
+    * pattern, applied to audio): a decoder bug — wrong endianness, an
+    * off-by-one in the chunk walk — changes the integers and fails the
+    * hash loudly.
+    */
+  private[graft] def wavAssetFor(id: Long): Multimodal.MediaAsset = {
+    val n = (64 + id % 32).toInt
+    val samples = Array.tabulate(n)(t =>
+      (((id * 31 + 7L * t * t) % 4096) - 2048).toInt)
+    Multimodal.MediaAsset(id, "audio", Multimodal.encodeWav(8000, samples))
+  }
+
+  def wavPeriodicity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(wavAssetFor _)
+    Multimodal.audioPeriodicity(assets, lagMin = 1, lagMax = 8)
+      .orderBy("asset_id")
+  }
+
+  val wavPeriodicitySql: String =
+    """WITH ids AS (SELECT doc_id AS id,
+      |    CAST(64 + doc_id % 32 AS BIGINT) AS n FROM documents),
+      |smp AS (SELECT id, n, t,
+      |    ((id * 31 + 7 * t * t) % 4096) - 2048 AS s
+      |  FROM ids CROSS JOIN (SELECT unnest(range(0, 96)) AS t) ts
+      |  WHERE t < n),
+      |e0 AS (SELECT id, CAST(SUM(s * s) AS BIGINT) AS r0
+      |  FROM smp GROUP BY id),
+      |lagr AS (SELECT a.id, k.k, CAST(SUM(a.s * b.s) AS BIGINT) AS r
+      |  FROM smp a CROSS JOIN (SELECT unnest(range(1, 9)) AS k) k
+      |  JOIN smp b ON b.id = a.id AND b.t = a.t + k.k
+      |  GROUP BY a.id, k.k),
+      |best AS (SELECT id, k AS best_lag, r AS r_best,
+      |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY r DESC, k ASC)
+      |      AS rn
+      |  FROM lagr)
+      |SELECT i.id AS asset_id, i.n AS n_samples,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(b.best_lag AS BIGINT) AS best_lag, b.r_best, e0.r0
+      |FROM ids i JOIN best b ON b.id = i.id AND b.rn = 1
+      |JOIN e0 ON e0.id = i.id
+      |ORDER BY asset_id""".stripMargin
+
+  /** q192: vocabulary drift ([[TextAnalysis.vocabDiff]]) between two
+    * corpus snapshots (even vs odd doc ids as stand-in releases) —
+    * per-term df and floor-ppm share deltas with new/vanished/grown/
+    * shrunk statuses, top 100 by absolute share change. The oracle
+    * replays tokenization, both df counts, the full-outer merge, the
+    * minDf prune, and every ppm division.
+    */
+  def vocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.vocabDiff(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", minDf = 3L)
+      .orderBy(abs(col("delta_ppm")).desc, col("term").asc)
+      .limit(100)
+  }
+
+  val vocabDriftSql: String =
+    s"""WITH ta AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS term
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+       |tb AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS term
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+       |a AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_a
+       |  FROM ta GROUP BY term),
+       |b AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_b
+       |  FROM tb GROUP BY term),
+       |na AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+       |nb AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+       |j AS (SELECT COALESCE(a.term, b.term) AS term,
+       |    COALESCE(df_a, 0) AS df_a, COALESCE(df_b, 0) AS df_b
+       |  FROM a FULL OUTER JOIN b ON a.term = b.term),
+       |sel AS (SELECT term, df_a, df_b,
+       |    CAST(df_a * 1000000 // na.n AS BIGINT) AS share_a_ppm,
+       |    CAST(df_b * 1000000 // nb.n AS BIGINT) AS share_b_ppm
+       |  FROM j CROSS JOIN na CROSS JOIN nb
+       |  WHERE GREATEST(df_a, df_b) >= 3)
+       |SELECT term, df_a, df_b, share_a_ppm, share_b_ppm,
+       |  share_b_ppm - share_a_ppm AS delta_ppm,
+       |  CASE WHEN df_a = 0 THEN 'new' WHEN df_b = 0 THEN 'vanished'
+       |       WHEN share_b_ppm - share_a_ppm >= 0 THEN 'grown'
+       |       ELSE 'shrunk' END AS status
+       |FROM sel
+       |ORDER BY abs(share_b_ppm - share_a_ppm) DESC, term ASC
+       |LIMIT 100""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -7415,7 +7513,9 @@ object Queries {
     "q187_feature_hash" -> featureHashDocs _,
     "q188_bootstrap_ci" -> bootstrapDailyRevenue _,
     "q189_perm_test" -> permTestWeekend _,
-    "q190_kmodes_elbow" -> kmodesElbow _)
+    "q190_kmodes_elbow" -> kmodesElbow _,
+    "q191_wav_period" -> wavPeriodicity _,
+    "q192_vocab_drift" -> vocabDrift _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -7606,5 +7706,7 @@ object Queries {
     "q187_feature_hash" -> featureHashDocsSql,
     "q188_bootstrap_ci" -> bootstrapDailyRevenueSql,
     "q189_perm_test" -> permTestWeekendSql,
-    "q190_kmodes_elbow" -> kmodesElbowSql)
+    "q190_kmodes_elbow" -> kmodesElbowSql,
+    "q191_wav_period" -> wavPeriodicitySql,
+    "q192_vocab_drift" -> vocabDriftSql)
 }

@@ -131,6 +131,114 @@ object Multimodal {
     }
   }
 
+  /** Raw 16-bit samples of a mono PCM WAV (the [[decodeWav]] chunk walk
+    * with the float feature pass replaced by the raw int16 array) —
+    * the exact-integer input [[audioPeriodicity]] needs; None for
+    * anything malformed, non-PCM, or non-mono (periodicity over
+    * interleaved stereo would compare L against R).
+    */
+  def decodeWavSamples(media: Array[Byte]): Option[(WavInfo, Array[Int])] = {
+    def le32(o: Int) = (media(o) & 0xff) | ((media(o + 1) & 0xff) << 8) |
+      ((media(o + 2) & 0xff) << 16) | ((media(o + 3) & 0xff) << 24)
+    def le16(o: Int) = (media(o) & 0xff) | ((media(o + 1) & 0xff) << 8)
+    def tag(o: Int) = new String(media, o, 4, "US-ASCII")
+    if (media.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var info: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= media.length && (info.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val len = le32(off + 4)
+      if (len < 0 || off.toLong + 8L + len > media.length) return None
+      if (id == "fmt " && len >= 16) {
+        if (le16(off + 8) != 1) return None
+        info = Some((le32(off + 12), le16(off + 10), le16(off + 22)))
+      } else if (id == "data") {
+        data = Some((off + 8, len))
+      }
+      off += 8 + len + (len & 1)
+    }
+    for ((rate, channels, bits) <- info; (dOff, dLen) <- data;
+         if rate > 0 && channels == 1 && bits == 16) yield {
+      val n = dLen / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = le16(dOff + i * 2).toShort.toInt; i += 1 }
+      (WavInfo(rate, channels, bits, n), out)
+    }
+  }
+
+  /** Minimal mono 16-bit PCM WAV encoder (RIFF + fmt + data), the
+    * synthesis twin of [[decodeWavSamples]] for formula-oracled audio
+    * queries and specs — the audio sibling of [[encodeBmp]].
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, o)
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, sampleRate); le32(28, sampleRate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < samples.length) { le16(44 + i * 2, samples(i)); i += 1 }
+    out
+  }
+
+  /** Audio periodicity by EXACT integer autocorrelation — the
+    * pitch/period detector of a media-curation pipeline (voice vs tone
+    * vs noise screens), run over decoded PCM samples: for each lag k in
+    * [lagMin, lagMax], R(k) = Σ_t s_t·s_{t+k} on raw int16 samples
+    * (int64-exact: |s|≤2¹⁵ ⇒ each term ≤ 2³⁰, safe to ~2³³ samples),
+    * best_lag = argmax R(k) with ties to the SMALLEST lag, plus the
+    * energy R(0). Every output is an integer an external engine
+    * reproduces from the same samples digit-for-digit.
+    *
+    * 100 TB posture: per-row narrow work inside one mapPartitions
+    * (assets are row-opaque bytes — the [[imageStats]] rule); output is
+    * asset-grain. Assets that fail the mono-PCM parse are SKIPPED
+    * (flatMap), never stubbed — a periodicity of fake samples would be
+    * a silent wrong answer.
+    */
+  def audioPeriodicity(
+      assets: Dataset[MediaAsset],
+      lagMin: Int,
+      lagMax: Int): DataFrame = {
+    require(lagMin >= 1 && lagMax >= lagMin && lagMax <= 4096,
+      "need 1 <= lagMin <= lagMax <= 4096")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val media = if (a.media == null) Array.emptyByteArray else a.media
+        decodeWavSamples(media).map { case (info, s) =>
+          val n = s.length
+          var r0 = 0L
+          var i = 0
+          while (i < n) { r0 += s(i).toLong * s(i); i += 1 }
+          var bestLag = 0L; var bestR = Long.MinValue
+          var k = lagMin
+          while (k <= lagMax) {
+            var r = 0L; var t = 0
+            while (t + k < n) { r += s(t).toLong * s(t + k); t += 1 }
+            if (r > bestR) { bestR = r; bestLag = k.toLong }
+            k += 1
+          }
+          (a.asset_id, n.toLong, info.sampleRate.toLong, bestLag, bestR, r0)
+        }
+      }
+    }.toDF("asset_id", "n_samples", "sample_rate", "best_lag", "r_best", "r0")
+  }
+
   /** Decoded image statistics. Sums are INTEGER-exact on purpose:
     * `lumaSum` = Σ (299·R + 587·G + 114·B) over pixels (i.e. luma
     * scaled by 1000·255), `edgeCount` = horizontal neighbor pairs with

@@ -345,4 +345,56 @@ object TextAnalysis {
       .select(col("prefix"), col("rnk").cast("long").as("rnk"),
         col("term"), col("tf"))
   }
+
+  /** Vocabulary drift between two corpus snapshots — the release-over-
+    * release diff a training-data pipeline reviews before shipping:
+    * per term, the document frequency in each snapshot, floor-ppm
+    * document shares, the share delta, and a status classification
+    * (`new` / `vanished` / `grown` / `shrunk`). Catches scraper
+    * regressions (a vanished domain's vocabulary disappears), template
+    * pollution (boilerplate terms surge), and language drift — none of
+    * which a row-count diff sees.
+    *
+    * All-integer: shares are `df·1e6 div nDocs` (no engine rounds a
+    * ratio), statuses are pure integer predicates. `minDf` prunes the
+    * hapax tail BEFORE the share math (on the MAX of the two sides, so
+    * a term vanishing from a large df is never pruned).
+    *
+    * 100 TB shape: one distinct-term explode + count per side (map-side
+    * combined, vocab-grain output), one vocab-grain full-outer join, N
+    * folded in as a lazy one-row crossJoin (the [[tfidf]] rule — never
+    * an eager driver count).
+    */
+  def vocabDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 2L): DataFrame = {
+    require(minDf >= 1L, "minDf must be >= 1")
+    def dfCounts(d: DataFrame, out: String) = d
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.tokens(col(textCol))))
+          .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(out))
+    def nDocs(d: DataFrame, out: String) = d
+      .where(col(textCol).isNotNull)
+      .agg(countDistinct(col(idCol)).as(out))
+    dfCounts(oldDf, "df_a")
+      .join(dfCounts(newDf, "df_b"), Seq("term"), "full_outer")
+      .na.fill(0L, Seq("df_a", "df_b"))
+      .where(greatest(col("df_a"), col("df_b")) >= minDf)
+      .crossJoin(broadcast(nDocs(oldDf, "__na")))
+      .crossJoin(broadcast(nDocs(newDf, "__nb")))
+      .withColumn("share_a_ppm", expr("df_a * 1000000L div __na"))
+      .withColumn("share_b_ppm", expr("df_b * 1000000L div __nb"))
+      .withColumn("delta_ppm", col("share_b_ppm") - col("share_a_ppm"))
+      .withColumn("status",
+        when(col("df_a") === 0, lit("new"))
+          .when(col("df_b") === 0, lit("vanished"))
+          .when(col("delta_ppm") >= 0, lit("grown"))
+          .otherwise(lit("shrunk")))
+      .drop("__na", "__nb")
+  }
 }

@@ -231,4 +231,36 @@ class MultimodalSpec extends SparkSuite {
     assert(out(0).content_hash.length == 32)
     assert(out(1).byte_len == 0L)
   }
+
+  test("encodeWav/decodeWavSamples round-trip; decodeWav agrees") {
+    val samples = Array(0, 1000, -1000, 32767, -32768, 7)
+    val wav = Multimodal.encodeWav(8000, samples)
+    val Some((info, got)) = Multimodal.decodeWavSamples(wav)
+    assert(info == Multimodal.WavInfo(8000, 1, 16, 6))
+    assert(got.toSeq == samples.toSeq, got.mkString(","))
+    // the float-feature decoder parses the same bytes
+    val Some((info2, _)) = Multimodal.decodeWav(wav)
+    assert(info2 == info)
+    // malformed input stays None, never crashes
+    assert(Multimodal.decodeWavSamples("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeWavSamples(wav.take(30)).isEmpty)
+  }
+
+  test("audioPeriodicity: exact autocorrelation, periodic best lag") {
+    // strict period 4 (n=16): R(4) sums perfectly aligned squares, so
+    // lag 4 must win; hand-check R(0) = 4 * (0+100^2+(-100)^2+50^2)
+    val period = Array(0, 100, -100, 50)
+    val s = Array.tabulate(16)(t => period(t % 4))
+    val wav = Multimodal.encodeWav(8000, s)
+    val r = Multimodal.audioPeriodicity(
+      Seq(MediaAsset(9L, "audio", wav)).toDS(), 1, 6).collect().head
+    assert(r.getAs[Long]("n_samples") == 16L)
+    assert(r.getAs[Long]("best_lag") == 4L)
+    assert(r.getAs[Long]("r0") == 4L * (100 * 100 + 100 * 100 + 50 * 50))
+    // R(4) over 12 overlapping terms = 3 * (0 + 10000 + 10000 + 2500)
+    assert(r.getAs[Long]("r_best") == 3L * 22500L)
+    // non-audio bytes are skipped, not stubbed
+    val bad = Seq(MediaAsset(1L, "x", "not a wav".getBytes)).toDS()
+    assert(Multimodal.audioPeriodicity(bad, 1, 4).count() == 0L)
+  }
 }
