@@ -7322,6 +7322,85 @@ object Queries {
        |ORDER BY abs(share_b_ppm - share_a_ppm) DESC, term ASC
        |LIMIT 100""".stripMargin
 
+  /** q193: the TPC-H Q17 "small-quantity-order revenue" SHAPE — the
+    * correlated aggregate subquery (lineitems below 50% of their
+    * part's average quantity), decorrelated the way every engine
+    * executes it: per-part averages as a map-side-combined aggregate
+    * joined back to the facts. The average comparison stays EXACT:
+    * `5 · qty · n < Σqty · 10` on integer quantities — no float
+    * threshold an engine could round differently. DECIMAL revenue sum.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .select(col("l_partkey"), floor(col("l_quantity")).cast("long").as("qty"),
+        col("l_extendedprice"))
+    val avgq = l.groupBy(col("l_partkey").as("__pk"))
+      .agg(count(lit(1)).as("__n"), sum(col("qty")).as("__sq"))
+    l.join(avgq, col("l_partkey") === col("__pk"))
+      // qty < 0.5 * avg  ⟺  10·qty·n < 5·Σqty  (integers only)
+      .where(col("qty") * 10 * col("__n") < col("__sq") * 5)
+      .agg(count(lit(1)).as("n_small"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """WITH l AS (SELECT l_partkey,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty, l_extendedprice
+      |  FROM lineitem),
+      |a AS (SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(qty) AS BIGINT) AS sq
+      |  FROM l GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+      |    AS DECIMAL(18,2)) AS revenue
+      |FROM l JOIN a ON a.pk = l.l_partkey
+      |WHERE l.qty * 10 * a.n < a.sq * 5""".stripMargin
+
+  /** q194: seasonal-naive forecast backtest — the baseline every
+    * forecasting system must beat, evaluated leakage-free: forecast for
+    * day d is the actual at d−7 (same weekday last week); the report is
+    * per-priority MAE and bias over the days with a 7-back actual, in
+    * exact floor-milli cents. Calendar-aware: the 7-day lag is a DATE
+    * join, not a row offset, so ship-calendar gaps produce no phantom
+    * pairs. One day-grain aggregate, one self-equi-join on (group,
+    * day−7), one closing aggregate.
+    */
+  def snaiveBacktest(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("g"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val lagged = daily.select(col("g").as("__g"),
+      col("day").as("__d"), col("rev").as("prev"))
+    daily.join(lagged,
+        col("g") === col("__g") && col("__d") === date_sub(col("day"), 7))
+      .groupBy(col("g").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("rev") - col("prev"))).as("__sae"),
+        sum(col("rev") - col("prev")).as("__sbias"))
+      .withColumn("mae_milli", expr("(1000L * __sae) div n_days"))
+      // bias can be negative: floor via double (the q160 signed rule)
+      .withColumn("bias_milli",
+        floor(col("__sbias").cast("double") * 1000.0 /
+          col("n_days").cast("double")).cast("long"))
+      .drop("__sae", "__sbias")
+      .orderBy("o_orderpriority")
+  }
+
+  val snaiveBacktestSql: String =
+    """WITH d AS (SELECT o_orderpriority AS g,
+      |    CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT d.g AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST((1000 * SUM(abs(d.rev - p.rev))) // COUNT(*) AS BIGINT)
+      |    AS mae_milli,
+      |  CAST(FLOOR(CAST(SUM(d.rev - p.rev) AS DOUBLE) * 1000.0
+      |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS bias_milli
+      |FROM d JOIN d p ON p.g = d.g AND p.day = d.day - 7
+      |GROUP BY d.g ORDER BY d.g""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -7515,7 +7594,9 @@ object Queries {
     "q189_perm_test" -> permTestWeekend _,
     "q190_kmodes_elbow" -> kmodesElbow _,
     "q191_wav_period" -> wavPeriodicity _,
-    "q192_vocab_drift" -> vocabDrift _)
+    "q192_vocab_drift" -> vocabDrift _,
+    "q193_small_qty" -> smallQtyRevenue _,
+    "q194_snaive_backtest" -> snaiveBacktest _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -7708,5 +7789,7 @@ object Queries {
     "q189_perm_test" -> permTestWeekendSql,
     "q190_kmodes_elbow" -> kmodesElbowSql,
     "q191_wav_period" -> wavPeriodicitySql,
-    "q192_vocab_drift" -> vocabDriftSql)
+    "q192_vocab_drift" -> vocabDriftSql,
+    "q193_small_qty" -> smallQtyRevenueSql,
+    "q194_snaive_backtest" -> snaiveBacktestSql)
 }

@@ -388,4 +388,34 @@ object StreamOps {
           }
         })
   }
+
+  final case class TypeCount(event_type: String, running_count: Long)
+
+  /** RUNNING per-key event counts across micro-batches — the ingest
+    * heavy-hitter monitor: each batch emits every touched key's new
+    * cumulative total (Update mode), so a dashboard or admission layer
+    * always sees counts-so-far without rescanning history. State is one
+    * long per key (key-vocabulary bounded — event types, sources,
+    * tenants; for data-sized keys use [[graft.operators.Sketches]]'
+    * count-min instead, which is what it exists for).
+    *
+    * Parity contract (spec-pinned): after any prefix of batches, the
+    * latest emission per key equals the batch `groupBy(key).count()`
+    * over the same rows — streaming is the incremental view of the
+    * exact batch aggregate, the [[Sketches.hllState]] claim for plain
+    * counts. NoTimeout: running totals are BY DESIGN never evicted
+    * (eviction would silently reset a heavy hitter to zero).
+    */
+  def runningTypeCounts(events: Dataset[Event]): Dataset[TypeCount] = {
+    implicit val outEnc = Encoders.product[TypeCount]
+    implicit val stateEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.event_type)(Encoders.STRING)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[Event], state: GroupState[Long]) => {
+          val c = state.getOption.getOrElse(0L) + it.size
+          state.update(c)
+          TypeCount(k, c)
+        })
+  }
 }

@@ -371,4 +371,29 @@ class StreamOpsSpec extends SparkSuite {
     assert(incremental == oneShot && incremental ==
       Seq((1L, "a3"), (3L, "c"), (4L, "d")), s"$incremental vs $oneShot")
   }
+
+  test("runningTypeCounts: latest emission per key equals batch counts") {
+    val b1 = Seq(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "view", 1.0), Event(3, ts(2), 3, "click", 1.0))
+    val b2 = Seq(Event(4, ts(3), 1, "click", 1.0),
+      Event(5, ts(4), 2, "buy", 1.0))
+    val input = MemoryStream[Event]
+    val rows = runBatches(input,
+      StreamOps.runningTypeCounts(input.toDS()).toDF(),
+      OutputMode.Update(), Seq(b1, b2))
+    // Update mode appends each batch's emission to the memory sink;
+    // the LAST row per key is the running total after batch 2
+    val latest = rows.zipWithIndex
+      .groupBy(_._1.getString(0))
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._1.getLong(1) }
+    val batch = (b1 ++ b2).groupBy(_.event_type)
+      .map { case (k, es) => k -> es.size.toLong }
+    assert(latest == batch, s"$latest vs $batch")
+    // and the intermediate emission after batch 1 was the prefix count
+    val afterB1 = rows.take(
+      rows.length - 2) // batch 2 touched exactly 2 keys
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).max }
+    assert(afterB1 == Map("click" -> 2L, "view" -> 1L), afterB1.toString)
+  }
 }
