@@ -7401,6 +7401,89 @@ object Queries {
       |FROM d JOIN d p ON p.g = d.g AND p.day = d.day - 7
       |GROUP BY d.g ORDER BY d.g""".stripMargin
 
+  /** q195: per-state dwell time — for each event, the gap to the SAME
+    * user's next event (int64-nanos subtraction, (ts, event_id) tie
+    * order), attributed to the event's type and reduced to exact
+    * floor-milli totals/means — "how long do users sit in each state",
+    * the time-in-state readout behind session quality and UI funnels.
+    * One user-partitioned window + one map-side-combined aggregation.
+    */
+  def dwellTime(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("__next", lead(col("ts"), 1).over(w))
+      .where(col("__next").isNotNull)
+      // gap in MICROS before summing: an int64 NANO sum is
+      // Σ_users(user activity span) and overflows at ~10k user-years;
+      // micros buys 1000x headroom and ms outputs lose nothing
+      .withColumn("__d", expr("(__next - ts) div 1000L"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"), sum(col("__d")).as("__sd"))
+      .withColumn("total_ms", expr("__sd div 1000L"))
+      .withColumn("mean_ms", expr("__sd div (1000L * n_intervals)"))
+      .drop("__sd")
+      .orderBy("event_type")
+  }
+
+  val dwellTimeSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) AS tns FROM events),
+      |nx AS (SELECT event_type, tns,
+      |    LEAD(tns) OVER (PARTITION BY user_id
+      |                    ORDER BY tns ASC, event_id ASC) AS nxt
+      |  FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM((nxt - tns) // 1000) // 1000 AS BIGINT) AS total_ms,
+      |  CAST(SUM((nxt - tns) // 1000) // (1000 * COUNT(*)) AS BIGINT)
+      |    AS mean_ms
+      |FROM nx WHERE nxt IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q196: local clustering coefficient ([[Graph.localClustering]])
+    * over the q107 part co-purchase graph — per-part neighborhood
+    * density in exact ppm, top 50 by (cc, id). The oracle counts each
+    * node's closed neighbor pairs by brute force (adjacency self-join
+    * + closing-edge probe), against the operator's oriented-wedge
+    * enumeration — two different algorithms, same integers.
+    */
+  def clusteringParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val small = li.groupBy(col("ok")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= 6).select(col("ok"))
+    val li2 = li.join(small, Seq("ok"), "leftsemi")
+    val pairs = li2.as("x").join(li2.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    Graph.localClustering(pairs)
+      .orderBy(col("cc_ppm").desc_nulls_last, col("id").asc)
+      .limit(50)
+  }
+
+  val clusteringPartsSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ok6 AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) <= 6),
+      |li2 AS (SELECT li.* FROM li JOIN ok6 USING (ok)),
+      |e AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b FROM li2 x
+      |  JOIN li2 y ON x.ok = y.ok AND x.pk < y.pk),
+      |adj AS MATERIALIZED (SELECT a AS id, b AS nb FROM e
+      |  UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+      |  FROM adj GROUP BY id),
+      |tri AS (SELECT n1.id, CAST(COUNT(*) AS BIGINT) AS n_tri
+      |  FROM adj n1 JOIN adj n2 ON n2.id = n1.id AND n1.nb < n2.nb
+      |  JOIN e ON e.a = n1.nb AND e.b = n2.nb
+      |  GROUP BY n1.id)
+      |SELECT d.id, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+      |  d.deg * (d.deg - 1) // 2 AS n_wedges,
+      |  CASE WHEN d.deg > 1 THEN
+      |    COALESCE(t.n_tri, 0) * 1000000 // (d.deg * (d.deg - 1) // 2)
+      |  END AS cc_ppm
+      |FROM deg d LEFT JOIN tri t ON t.id = d.id
+      |ORDER BY cc_ppm DESC NULLS LAST, d.id ASC LIMIT 50""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -7596,7 +7679,9 @@ object Queries {
     "q191_wav_period" -> wavPeriodicity _,
     "q192_vocab_drift" -> vocabDrift _,
     "q193_small_qty" -> smallQtyRevenue _,
-    "q194_snaive_backtest" -> snaiveBacktest _)
+    "q194_snaive_backtest" -> snaiveBacktest _,
+    "q195_dwell_time" -> dwellTime _,
+    "q196_clustering_coef" -> clusteringParts _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -7791,5 +7876,7 @@ object Queries {
     "q191_wav_period" -> wavPeriodicitySql,
     "q192_vocab_drift" -> vocabDriftSql,
     "q193_small_qty" -> smallQtyRevenueSql,
-    "q194_snaive_backtest" -> snaiveBacktestSql)
+    "q194_snaive_backtest" -> snaiveBacktestSql,
+    "q195_dwell_time" -> dwellTimeSql,
+    "q196_clustering_coef" -> clusteringPartsSql)
 }

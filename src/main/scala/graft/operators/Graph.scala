@@ -293,6 +293,54 @@ object Graph {
         col("n_triangles"))
   }
 
+  /** LOCAL clustering coefficient — per node, how close its
+    * neighborhood is to a clique: cc(v) = triangles(v) / wedges(v)
+    * with wedges(v) = deg(v)·(deg(v)−1)/2, as floor-ppm integers
+    * (exact: both counts are integers, one division). The node-level
+    * sibling of [[triangles]]' global census — community tightness,
+    * bot-ring detection, feature for node classification.
+    *
+    * Triangle enumeration reuses the [[triangles]] degree-orientation
+    * (each triangle found exactly once at its lowest-degree corner's
+    * wedge), then credits ALL THREE corners via one explode — so
+    * per-node counts cost the same oriented wedge join as the global
+    * count, O(Σ deg_oriented²) not O(Σ deg²), plus one node-grain
+    * aggregation. Isolated-in-practice nodes (deg 1) report null cc.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val src = col("src").cast("long")
+    val dst = col("dst").cast("long")
+    val und = edges
+      .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val ranked = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val lowFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = ranked.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("c"),
+        least(col("e1.v"), col("e2.v")).as("a"),
+        greatest(col("e1.v"), col("e2.v")).as("b"))
+    val tri = wedges.join(und, Seq("a", "b"))
+      .select(explode(array(col("c"), col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("id"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .withColumn("n_wedges", expr("deg * (deg - 1L) div 2"))
+      .withColumn("cc_ppm",
+        when(col("n_wedges") > 0, expr("n_tri * 1000000L div n_wedges")))
+  }
+
   /** k-CORE decomposition membership by BOUNDED iterative peeling: the
     * k-core is the maximal subgraph where every vertex keeps degree
     * ≥ k — the standard "dense part of the graph" extraction

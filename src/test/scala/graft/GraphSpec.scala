@@ -164,6 +164,29 @@ class GraphSpec extends SparkSuite {
     assert(e.getMessage.contains("negative"), e.getMessage)
   }
 
+  test("localClustering: square + diagonal, hand-computed ppm") {
+    // square 1-2-3-4 with diagonal 1-3: triangles {1,2,3} and {1,3,4}
+    // deg: 1:3, 2:2, 3:3, 4:2 -> per-node tri: 2,1,2,1
+    // cc: 2/3, 1/1, 2/3, 1/1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.localClustering(edges)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, Some(666666L))), 2L -> ((2L, 1L, Some(1000000L))),
+      3L -> ((3L, 2L, Some(666666L))), 4L -> ((2L, 1L, Some(1000000L)))),
+      got.toString)
+    // a pendant node has no wedge -> null cc; duplicate/reversed edges
+    // collapse before anything counts
+    val withPendant = edges.union(Seq((5L, 1L), (1L, 5L)).toDF("src", "dst"))
+    val p = Graph.localClustering(withPendant)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._5))).toMap
+    assert(p(5L) == ((1L, None)), p.toString)
+    assert(p(1L) == ((4L, Some(333333L))), p.toString) // 2 tri / 6 wedges
+  }
+
   test("hits: one hand-computed iteration; L1 mass; determinism") {
     // 1->3, 2->3, 2->4: after one iteration (scale 1e6):
     //   a' = {3: 2e6, 4: 1e6}, total 3e6 -> a = {3: 666666, 4: 333333}
