@@ -7484,6 +7484,102 @@ object Queries {
       |FROM deg d LEFT JOIN tri t ON t.id = d.id
       |ORDER BY cc_ppm DESC NULLS LAST, d.id ASC LIMIT 50""".stripMargin
 
+  /** q197: two-feature regression ([[Stats.regression2]]) — extended
+    * price on (quantity, discount) per return flag: the workhorse
+    * multiple-OLS fit from DECIMAL-exact power sums, Cramer's-rule
+    * closed form replayed by the oracle as the identical IEEE double
+    * sequence (the q72 recipe, one regressor wider).
+    */
+  def regression2Lineitem(s: SparkSession, dir: String): DataFrame =
+    Stats.regression2(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity"), col("l_discount"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_quantity", "l_discount", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  val regression2LineitemSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(19,4))) AS s1,
+      |    SUM(CAST(l_discount AS DECIMAL(19,4))) AS s2,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(19,4))
+      |      * CAST(l_quantity AS DECIMAL(19,4))) AS s11,
+      |    SUM(CAST(l_discount AS DECIMAL(19,4))
+      |      * CAST(l_discount AS DECIMAL(19,4))) AS s22,
+      |    SUM(CAST(l_quantity AS DECIMAL(19,4))
+      |      * CAST(l_discount AS DECIMAL(19,4))) AS s12,
+      |    SUM(CAST(l_quantity AS DECIMAL(19,4))
+      |      * CAST(l_extendedprice AS DECIMAL(19,4))) AS s1y,
+      |    SUM(CAST(l_discount AS DECIMAL(19,4))
+      |      * CAST(l_extendedprice AS DECIMAL(19,4))) AS s2y,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+      |      * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+      |    (MIN(l_quantity) <> MAX(l_quantity)) AS v1,
+      |    (MIN(l_discount) <> MAX(l_discount)) AS v2,
+      |    (MIN(l_extendedprice) <> MAX(l_extendedprice)) AS vy
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+      |    AND l_extendedprice IS NOT NULL
+      |  GROUP BY 1),
+      |d AS (SELECT l_returnflag, n, v1, v2, vy,
+      |    CAST(n AS DOUBLE) AS dn,
+      |    CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+      |    CAST(sy AS DOUBLE) AS dy,
+      |    CAST(s11 AS DOUBLE) AS d11, CAST(s22 AS DOUBLE) AS d22,
+      |    CAST(s12 AS DOUBLE) AS d12,
+      |    CAST(s1y AS DOUBLE) AS d1y, CAST(s2y AS DOUBLE) AS d2y,
+      |    CAST(syy AS DOUBLE) AS dyy
+      |  FROM s),
+      |m AS (SELECT l_returnflag, n, v1, v2, vy, dn, d1, d2, dy,
+      |    dn * d11 - d1 * d1 AS a11,
+      |    dn * d12 - d1 * d2 AS a12,
+      |    dn * d22 - d2 * d2 AS a22,
+      |    dn * d1y - d1 * dy AS b1n,
+      |    dn * d2y - d2 * dy AS b2n,
+      |    dn * dyy - dy * dy AS sst
+      |  FROM d),
+      |f AS (SELECT *, a11 * a22 - a12 * a12 AS det,
+      |    (b1n * a22 - b2n * a12) / (a11 * a22 - a12 * a12) AS b1,
+      |    (b2n * a11 - b1n * a12) / (a11 * a22 - a12 * a12) AS b2
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  CASE WHEN v1 AND v2 AND det > 0 THEN
+      |    floor((dy - b1 * d1 - b2 * d2) / dn * 1e6) / 1e6 END AS b0,
+      |  CASE WHEN v1 AND v2 AND det > 0 THEN
+      |    floor(b1 * 1e6) / 1e6 END AS b1,
+      |  CASE WHEN v1 AND v2 AND det > 0 THEN
+      |    floor(b2 * 1e6) / 1e6 END AS b2,
+      |  CASE WHEN v1 AND v2 AND det > 0 AND vy AND sst > 0 THEN
+      |    floor((b1 * b1n + b2 * b2n) / sst * 1e6) / 1e6 END AS r2
+      |FROM f ORDER BY l_returnflag""".stripMargin
+
+  /** q198: arrival-health report ([[Quality.arrivalHealth]]) over the
+    * events log — per event type, duplicate ids and event-time
+    * regressions against each user's earlier arrivals (arrival order =
+    * event_id), exact counts + floor-ppm rate: the audit that sizes
+    * watermarks and dedup state before a stream goes live.
+    */
+  def arrivalHealthEvents(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.arrivalHealth(t(s, dir, "events"),
+        "event_type", "user_id", "event_id", "ts", "event_id")
+      .orderBy("event_type")
+
+  val arrivalHealthEventsSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) AS tns FROM events),
+      |w AS (SELECT event_type, event_id, tns,
+      |    MAX(tns) OVER (PARTITION BY user_id ORDER BY event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_dup_ids,
+      |  CAST(SUM(CASE WHEN pm IS NOT NULL AND tns < pm THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_ooo,
+      |  CAST(SUM(CASE WHEN pm IS NOT NULL AND tns < pm THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS ooo_ppm
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -7681,7 +7777,9 @@ object Queries {
     "q193_small_qty" -> smallQtyRevenue _,
     "q194_snaive_backtest" -> snaiveBacktest _,
     "q195_dwell_time" -> dwellTime _,
-    "q196_clustering_coef" -> clusteringParts _)
+    "q196_clustering_coef" -> clusteringParts _,
+    "q197_regression2" -> regression2Lineitem _,
+    "q198_arrival_health" -> arrivalHealthEvents _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -7878,5 +7976,7 @@ object Queries {
     "q193_small_qty" -> smallQtyRevenueSql,
     "q194_snaive_backtest" -> snaiveBacktestSql,
     "q195_dwell_time" -> dwellTimeSql,
-    "q196_clustering_coef" -> clusteringPartsSql)
+    "q196_clustering_coef" -> clusteringPartsSql,
+    "q197_regression2" -> regression2LineitemSql,
+    "q198_arrival_health" -> arrivalHealthEventsSql)
 }

@@ -200,4 +200,39 @@ object Quality {
       d.withColumn(c, when(col(c).isNotNull,
         graft.functions.PortableHash.hash60(col(c), salt)))
     }
+
+  /** Ingest ARRIVAL-health report — the diagnostics a streaming
+    * pipeline's batch-side audit runs to size watermarks and dedup
+    * state before turning them on: per key (event type), duplicate-id
+    * counts and event-time REGRESSIONS against the same entity's
+    * earlier arrivals. Arrival order is `arrivalCol` (monotone ingest
+    * ids or offsets — the caller names the log's order); an event is
+    * out-of-order when its event time is strictly below the running
+    * max of everything the entity already delivered. Exact integer
+    * counts + floor-ppm rate.
+    *
+    * 100 TB shape: one entity-partitioned window (running max), one
+    * map-side-combined aggregation; count-distinct of ids is the only
+    * potentially wide state and stays key-grain.
+    */
+  def arrivalHealth(
+      events: DataFrame,
+      keyCol: String,
+      entityCol: String,
+      idCol: String,
+      tsCol: String,
+      arrivalCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(arrivalCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__prevmax", max(col(tsCol)).over(w))
+      .withColumn("__ooo",
+        col("__prevmax").isNotNull && col(tsCol) < col("__prevmax"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col(idCol))).as("n_dup_ids"),
+        sum(when(col("__ooo"), 1L).otherwise(0L)).as("n_ooo"))
+      .withColumn("ooo_ppm", expr("n_ooo * 1000000L div n"))
+  }
 }

@@ -1172,6 +1172,77 @@ object Stats {
       .drop("__n0", "__c", "__d", "__tx", "__ty")
   }
 
+  /** Two-feature linear regression (y ~ b0 + b1·x1 + b2·x2) per group
+    * — [[regression]]'s multiple-regression sibling, same exactness
+    * design: DECIMAL power sums (shuffle-order independent), then the
+    * normal-equation closed form as ONE fixed IEEE double sequence
+    * (centered cross-moments A₁₁ A₁₂ A₂₂ B₁ B₂, Cramer's-rule solve,
+    * R² = (b1·B1 + b2·B2)/SST) any engine replays bit-for-bit.
+    * Coefficients floor-truncated to 6 (the repo float rule).
+    *
+    * Degenerate cases → null coefficients: a constant regressor
+    * (detected EXACTLY via min = max, the [[regression]] rule) or a
+    * singular/near-cancelled system (det ≤ 0 in doubles — perfectly
+    * collinear regressors land there). Inputs pass the decimal(14,4)
+    * domain guard; rows with any null drop (complete-case). Same
+    * conditioning caveat as [[regression]]: the result is always
+    * deterministic, but relative accuracy degrades when det is many
+    * orders below A₁₁·A₂₂ — pre-center the regressors if that regime
+    * matters.
+    *
+    * 100 TB posture: ONE map-side-combined aggregation (9 sums + 4
+    * extrema per group), nothing else.
+    */
+  def regression2(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x1Col: String,
+      x2Col: String,
+      yCol: String): DataFrame = {
+    val x1 = scaledX(x1Col)
+    val x2 = scaledX(x2Col)
+    val y = scaledX(yCol)
+    val rows = df.where(col(x1Col).isNotNull && col(x2Col).isNotNull &&
+      col(yCol).isNotNull)
+    val agged = rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x1).as("__s1"), sum(x2).as("__s2"), sum(y).as("__sy"),
+        sum(x1 * x1).as("__s11"), sum(x2 * x2).as("__s22"),
+        sum(x1 * x2).as("__s12"),
+        sum(x1 * y).as("__s1y"), sum(x2 * y).as("__s2y"),
+        sum(y * y).as("__syy"),
+        min(x1).as("__m1l"), max(x1).as("__m1h"),
+        min(x2).as("__m2l"), max(x2).as("__m2h"),
+        min(y).as("__myl"), max(y).as("__myh"))
+    val guarded = Seq("__s1", "__s2", "__sy", "__s11", "__s22", "__s12",
+      "__s1y", "__s2y", "__syy").foldLeft(agged)((d, c) =>
+      d.withColumn(c, loudSum(d, c, nCol = "n")))
+    val dn = col("n").cast("double")
+    def dbl(c: String) = col(c).cast("double")
+    val a11 = dn * dbl("__s11") - dbl("__s1") * dbl("__s1")
+    val a12 = dn * dbl("__s12") - dbl("__s1") * dbl("__s2")
+    val a22 = dn * dbl("__s22") - dbl("__s2") * dbl("__s2")
+    val b1n = dn * dbl("__s1y") - dbl("__s1") * dbl("__sy")
+    val b2n = dn * dbl("__s2y") - dbl("__s2") * dbl("__sy")
+    val det = a11 * a22 - a12 * a12
+    val b1 = (b1n * a22 - b2n * a12) / det
+    val b2 = (b2n * a11 - b1n * a12) / det
+    val b0 = (dbl("__sy") - b1 * dbl("__s1") - b2 * dbl("__s2")) / dn
+    val sst = dn * dbl("__syy") - dbl("__sy") * dbl("__sy")
+    val ok = col("__m1l") =!= col("__m1h") &&
+      col("__m2l") =!= col("__m2h") && det > lit(0.0)
+    guarded
+      .withColumn("b0", when(ok, trunc6(b0)))
+      .withColumn("b1", when(ok, trunc6(b1)))
+      .withColumn("b2", when(ok, trunc6(b2)))
+      .withColumn("r2",
+        when(ok && col("__myl") =!= col("__myh") && sst > lit(0.0),
+          trunc6((b1 * b1n + b2 * b2n) / sst)))
+      .drop("__s1", "__s2", "__sy", "__s11", "__s22", "__s12",
+        "__s1y", "__s2y", "__syy", "__m1l", "__m1h", "__m2l", "__m2h",
+        "__myl", "__myh")
+  }
+
   /** Deterministic bootstrap confidence interval for a group mean —
     * the uncertainty readout an A/B or data-quality report ships with,
     * RNG-free so any engine replays every resample: draw (b, i) of

@@ -100,4 +100,21 @@ class QualitySpec extends SparkSuite {
     assert(got.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
       r.getLong(4) == -r.getLong(3)))
   }
+
+  test("arrivalHealth: dup ids, strict event-time regressions only") {
+    // user 1 arrives (by id): ts 10, 5 (regression), 20, 20 (tie, NOT a
+    // regression); ids 1,2,3,3 -> one duplicate id
+    val e = Seq(
+      (1L, 1L, "a", 10L), (2L, 1L, "a", 5L),
+      (3L, 1L, "a", 20L), (3L, 1L, "a", 20L),
+      (9L, 2L, "b", 7L)).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Quality.arrivalHealth(e, "event_type", "user_id",
+        "event_id", "ts", "event_id")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // note the id-3 tie rows sort arbitrarily BETWEEN themselves, but
+    // both carry ts 20 >= prevmax 10, so neither is out-of-order
+    assert(got("a") == ((4L, 1L, 1L, 250000L)), got.toString)
+    assert(got("b") == ((1L, 0L, 0L, 0L)), got.toString)
+  }
 }

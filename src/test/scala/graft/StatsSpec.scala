@@ -608,6 +608,30 @@ class StatsSpec extends SparkSuite {
     assert(e.getMessage.contains("aggregate-grain"), e.getMessage)
   }
 
+  test("regression2: recovers an exact plane; collinear/constant null") {
+    // y = 3 + 2*x1 + 5*x2 over a full 5x5 grid: exact recovery
+    val grid = for (i <- 1 to 5; j <- 1 to 5)
+      yield ("g", i.toDouble, j.toDouble, 3.0 + 2.0 * i + 5.0 * j)
+    val r = Stats.regression2(grid.toDF("g", "x1", "x2", "y"),
+      Seq("g"), "x1", "x2", "y").head()
+    assert(r.getAs[Long]("n") == 25L)
+    assert(math.abs(r.getAs[Double]("b0") - 3.0) <= 1e-6, r.toString)
+    assert(math.abs(r.getAs[Double]("b1") - 2.0) <= 1e-6, r.toString)
+    assert(math.abs(r.getAs[Double]("b2") - 5.0) <= 1e-6, r.toString)
+    assert(r.getAs[Double]("r2") >= 0.999999 - 1e-9, r.toString)
+    // perfectly collinear regressors (x2 = 2*x1, small ints -> det
+    // exactly 0 in doubles) -> null coefficients, never Inf/NaN
+    val coll = (1 to 4).map(i =>
+      ("g", i.toDouble, 2.0 * i, i.toDouble)).toDF("g", "x1", "x2", "y")
+    val rc = Stats.regression2(coll, Seq("g"), "x1", "x2", "y").head()
+    assert(rc.isNullAt(rc.fieldIndex("b1")), rc.toString)
+    // constant regressor -> null via the exact min=max rule
+    val const = (1 to 4).map(i =>
+      ("g", i.toDouble, 7.0, i.toDouble)).toDF("g", "x1", "x2", "y")
+    val rk = Stats.regression2(const, Seq("g"), "x1", "x2", "y").head()
+    assert(rk.isNullAt(rk.fieldIndex("b0")), rk.toString)
+  }
+
   test("bootstrapMeanCI: degenerate exactness, guards, determinism") {
     // constant series: every resample mean equals the observed mean,
     // so the CI collapses to a point — exact, not approximate
