@@ -7580,6 +7580,113 @@ object Queries {
       |    * 1000000 // COUNT(*) AS BIGINT) AS ooo_ppm
       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q199: Theil–Sen robust trend ([[Stats.theilSen]]) of daily
+    * revenue vs epoch day per return flag — the median pairwise slope
+    * that shrugs off outlier days OLS would chase. Aggregate-grain
+    * pair scan by contract; the oracle replays every pair slope
+    * (signed double-floor e6) and the lower nearest-rank median.
+    */
+  def theilSenRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev"))
+    Stats.theilSen(daily, Seq("l_returnflag"), "day", "rev")
+      .orderBy("l_returnflag")
+  }
+
+  val theilSenRevenueSql: String =
+    """WITH d AS (SELECT l_returnflag AS g,
+      |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |      AS x,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (SELECT a.g, a.x AS xa, b.x AS xb,
+      |    CAST(FLOOR(CAST(b.y - a.y AS DOUBLE) * 1e6
+      |      / CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS s
+      |  FROM d a JOIN d b ON a.g = b.g AND a.x < b.x),
+      |rk AS (SELECT g, s,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY s ASC, xa ASC,
+      |      xb ASC) AS r,
+      |    COUNT(*) OVER (PARTITION BY g) AS m
+      |  FROM p),
+      |med AS (SELECT g, CAST(m AS BIGINT) AS n_pairs,
+      |    CAST(s AS BIGINT) AS slope_e6
+      |  FROM rk WHERE r = (m + 1) // 2),
+      |ns AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY g)
+      |SELECT ns.g AS l_returnflag, ns.n, med.n_pairs, med.slope_e6
+      |FROM ns JOIN med ON med.g = ns.g ORDER BY 1""".stripMargin
+
+  /** q200: hierarchical (taxonomy) rollup ([[Rollup.hierarchyRollup]])
+    * — per-category subtree revenue where category = partkey div 4
+    * chains (the synthetic-key taxonomy): each leaf explodes its
+    * closed-form ancestor list, one aggregation lands subtree counts
+    * and sums; near-root slice (node ≤ 255). No recursion anywhere.
+    */
+  def hierarchyParts(s: SparkSession, dir: String): DataFrame = {
+    val perPart = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev"))
+    Rollup.hierarchyRollup(perPart, "l_partkey", "rev", fanout = 4)
+      .where(col("node") <= 255)
+      .orderBy("node")
+  }
+
+  val hierarchyPartsSql: String =
+    """WITH pp AS (SELECT l_partkey AS id,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |anc AS (SELECT id // CAST(power(4, i.i) AS BIGINT) AS node, rev
+      |  FROM pp CROSS JOIN (SELECT unnest(range(0, 16)) AS i) i
+      |  WHERE id // CAST(power(4, i.i) AS BIGINT) >= 1)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_leaves,
+      |  CAST(SUM(rev) AS BIGINT) AS subtree_sum
+      |FROM anc WHERE node <= 255
+      |GROUP BY node ORDER BY node""".stripMargin
+
+  /** q201: exact money proration ([[Rollup.prorate]]) — each order's
+    * total (cents) distributed across its lineitems by quantity
+    * weight, floors' remainder to the first line: Σ alloc = total
+    * EXACTLY per order, the invariant float proration breaks. The
+    * oracle replays both window passes and the remainder bump.
+    */
+  def prorateOrders(s: SparkSession, dir: String): DataFrame = {
+    // line numbers repeat within an order in this data — aggregate to
+    // (order, linenumber) grain first so prorate's orderCol is the
+    // unique total order its remainder rule requires
+    val l = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("w"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("total"))
+    Rollup.prorate(l.join(o, col("o_orderkey") === col("l_orderkey")),
+        "l_orderkey", "l_linenumber", "w", "total")
+      .select(col("l_orderkey"), col("l_linenumber"), col("alloc"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val prorateOrdersSql: String =
+    """WITH lg AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |j AS (SELECT l.l_orderkey, l.l_linenumber, l.w,
+      |    CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS total
+      |  FROM lg l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |ws AS (SELECT *, SUM(w) OVER (PARTITION BY l_orderkey) AS wsum,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber) AS rn
+      |  FROM j),
+      |base AS (SELECT *, CASE WHEN wsum > 0 THEN (total * w) // wsum
+      |    WHEN rn = 1 THEN total ELSE 0 END AS b FROM ws),
+      |fin AS (SELECT *, SUM(b) OVER (PARTITION BY l_orderkey) AS alc
+      |  FROM base)
+      |SELECT l_orderkey, l_linenumber,
+      |  CAST(b + CASE WHEN rn = 1 THEN total - alc ELSE 0 END AS BIGINT)
+      |    AS alloc
+      |FROM fin ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -7779,7 +7886,10 @@ object Queries {
     "q195_dwell_time" -> dwellTime _,
     "q196_clustering_coef" -> clusteringParts _,
     "q197_regression2" -> regression2Lineitem _,
-    "q198_arrival_health" -> arrivalHealthEvents _)
+    "q198_arrival_health" -> arrivalHealthEvents _,
+    "q199_theil_sen" -> theilSenRevenue _,
+    "q200_hierarchy_rollup" -> hierarchyParts _,
+    "q201_prorate" -> prorateOrders _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -7978,5 +8088,8 @@ object Queries {
     "q195_dwell_time" -> dwellTimeSql,
     "q196_clustering_coef" -> clusteringPartsSql,
     "q197_regression2" -> regression2LineitemSql,
-    "q198_arrival_health" -> arrivalHealthEventsSql)
+    "q198_arrival_health" -> arrivalHealthEventsSql,
+    "q199_theil_sen" -> theilSenRevenueSql,
+    "q200_hierarchy_rollup" -> hierarchyPartsSql,
+    "q201_prorate" -> prorateOrdersSql)
 }

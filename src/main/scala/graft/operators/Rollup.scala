@@ -48,4 +48,81 @@ object Rollup {
         (coalesce(col("__nk"), lit(0L)) - col("__topn")).as("n_keys"))
     top.unionByName(others)
   }
+
+  /** Exact money PRORATION — distribute a parent total across its
+    * child rows proportionally to integer weights, with the classic
+    * remainder rule: share_i = floor(total · w_i / W), and the cents
+    * the floors dropped go to the FIRST child by `orderCol` (a
+    * caller-named total order), so Σ shares = total EXACTLY per
+    * parent — the invariant every financial allocation must keep and
+    * float proration silently breaks. Zero-weight parents (W = 0)
+    * allocate everything to the first child (documented; dropping the
+    * money would violate the invariant).
+    *
+    * Int64 bound: total·w_i must fit — |total| < 2⁶³/W_max; amounts
+    * and weights must be NON-NEGATIVE (floor-div sign divergence, the
+    * usual rule — both sides RAISE).
+    *
+    * 100 TB posture: two parent-partitioned window passes (weight sum
+    * + first-child rank) over the child grain, no join, no collect.
+    */
+  def prorate(
+      df: DataFrame,
+      parentCol: String,
+      orderCol: String,
+      weightCol: String,
+      totalCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byParent = Window.partitionBy(col(parentCol))
+    val ordered = Window.partitionBy(col(parentCol))
+      .orderBy(col(orderCol).asc)
+    val guardedW = when(col(weightCol) >= 0, col(weightCol).cast("long"))
+      .otherwise(raise_error(lit(s"Rollup.prorate: negative $weightCol — " +
+        "floor-div of negative products diverges between engines"))
+        .cast("long"))
+    val guardedT = when(col(totalCol) >= 0, col(totalCol).cast("long"))
+      .otherwise(raise_error(lit(s"Rollup.prorate: negative $totalCol"))
+        .cast("long"))
+    df.withColumn("__w", guardedW)
+      .withColumn("__t", guardedT)
+      .withColumn("__ws", sum(col("__w")).over(byParent))
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__base",
+        when(col("__ws") > 0, expr("(__t * __w) div __ws"))
+          .otherwise(when(col("__rn") === 1, col("__t")).otherwise(0L)))
+      .withColumn("__allocated", sum(col("__base")).over(byParent))
+      .withColumn("alloc",
+        col("__base") + when(col("__rn") === 1,
+          col("__t") - col("__allocated")).otherwise(0L))
+      .drop("__w", "__t", "__ws", "__rn", "__base", "__allocated")
+  }
+
+  /** Hierarchical (tree) rollup over a closed-form parent function —
+    * per-node SUBTREE aggregates when the hierarchy is encoded in the
+    * key itself (category = id div fanout, the standard synthetic-key
+    * taxonomy): each leaf explodes its ancestor chain (id, id/f, id/f²,
+    * … ≥ 1 — depth ≤ log_f(maxId), a LITERAL bound) and one map-side-
+    * combined aggregation lands subtree (count, sum) per node. No
+    * recursion, no self-join — the closed form makes the transitive
+    * closure a projection, which is why synthetic taxonomy keys exist.
+    */
+  def hierarchyRollup(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      fanout: Int,
+      maxDepth: Int = 16): DataFrame = {
+    require(fanout >= 2, "fanout must be >= 2")
+    require(maxDepth >= 1 && maxDepth <= 40, "maxDepth in [1, 40]")
+    val divisors = (0 until maxDepth)
+      .map(i => math.pow(fanout.toDouble, i.toDouble).toLong)
+      .takeWhile(d => d > 0 && d <= Long.MaxValue / fanout)
+    df.select(col(idCol).cast("long").as("__id"),
+        col(valueCol).cast("long").as("__v"))
+      .withColumn("__div", explode(typedlit(divisors)))
+      .withColumn("node", expr("__id div __div"))
+      .where(col("node") >= 1)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_leaves"), sum(col("__v")).as("subtree_sum"))
+  }
 }

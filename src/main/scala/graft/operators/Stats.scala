@@ -1417,6 +1417,64 @@ object Stats {
         expr(s"((1L + n_extreme) * 1000000L) div ${nPerms + 1}L"))
   }
 
+  /** Theil–Sen robust slope — the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i) over an aggregate-grain series: immune to
+    * ~29% outliers where [[regression]]'s OLS slope is not, the robust
+    * trend line for noisy daily metrics. O(n²) pairs BY DEFINITION, so
+    * the [[kendallTau]] maxRows contract (filter-guard RAISE) applies;
+    * pairs require distinct x (equal-x pairs carry no slope and drop).
+    *
+    * Exactness: each slope is floor-e6 of a double division of exact
+    * integers (the signed double-floor rule — integer div would
+    * truncate toward zero where DuckDB floors); the median is the
+    * LOWER nearest-rank member under the total order (slope, x_a, x_b)
+    * — an actual pair's slope, not an interpolated blend.
+    */
+  def theilSen(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      maxRows: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((groupCols.map(col) :+ col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("long").as("__y")): _*)
+      .withColumn("__gn",
+        count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
+      .where(when(col("__gn") <= maxRows, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"Stats.theilSen: a group has "), col("__gn").cast("string"),
+          lit(s" rows > maxRows=$maxRows — the O(n²) pair scan needs " +
+            "aggregate-grain input; pre-aggregate or raise maxRows"))
+          .cast("boolean"))))
+      .drop("__gn")
+    val b = groupCols.foldLeft(
+        rows.select((groupCols.map(col) :+ col("__x").as("__xb") :+
+          col("__y").as("__yb")): _*))(
+        (d, c) => d.withColumnRenamed(c, s"__g_$c"))
+    val cond = (groupCols.map(c => col(c) <=> col(s"__g_$c")) :+
+      (col("__x") < col("__xb"))).reduce(_ && _)
+    val pairs = groupCols.foldLeft(rows.join(b, cond))(
+        (d, c) => d.drop(s"__g_$c"))
+      .withColumn("__s",
+        floor((col("__yb") - col("__y")).cast("double") * 1e6 /
+          (col("__xb") - col("__x")).cast("double")).cast("long"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__s").asc, col("__x").asc, col("__xb").asc)
+    val ranked = pairs.withColumn("__r", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val med = ranked
+      .where(col("__r") === expr("(__m + 1L) div 2"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__m")).as("n_pairs"), max(col("__s")).as("slope_e6"))
+    val ns = rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    nullSafeGroupJoin(ns, med, groupCols)
+  }
+
   /** Sample autocorrelation function (ACF) at lags 1..maxLag over an
     * integer-indexed, integer-valued series — the seasonality /
     * persistence diagnostic a forecasting pipeline runs first.

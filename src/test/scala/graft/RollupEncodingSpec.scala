@@ -85,6 +85,48 @@ class RollupEncodingSpec extends SparkSuite {
     assert(e2.getMessage.contains("overflows"), e2.getMessage)
   }
 
+  test("prorate: floors + remainder keep the parent-total invariant") {
+    import graft.operators.Rollup
+    // total 100 over equal weights [1,1,1]: 33/33/33 + 1 cent to first
+    val df = Seq(("a", 1L, 1L, 100L), ("a", 2L, 1L, 100L),
+      ("a", 3L, 1L, 100L), ("b", 1L, 0L, 50L), ("b", 2L, 0L, 50L))
+      .toDF("p", "ord", "w", "total")
+    val got = Rollup.prorate(df, "p", "ord", "w", "total")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(got == Map(("a", 1L) -> 34L, ("a", 2L) -> 33L,
+      ("a", 3L) -> 33L,
+      // zero total weight: everything to the first child, nothing lost
+      ("b", 1L) -> 50L, ("b", 2L) -> 0L), got.toString)
+    // invariant under any weights: sums match the parent total
+    val skew = Seq(("c", 1L, 7L, 999L), ("c", 2L, 3L, 999L),
+      ("c", 3L, 11L, 999L)).toDF("p", "ord", "w", "total")
+    val sums = Rollup.prorate(skew, "p", "ord", "w", "total")
+      .groupBy("p").sum("alloc").as[(String, Long)].collect().toMap
+    assert(sums("c") == 999L, sums.toString)
+    // negative weight raises
+    val e = intercept[Exception] {
+      Rollup.prorate(Seq(("d", 1L, -1L, 10L)).toDF("p", "ord", "w", "total"),
+        "p", "ord", "w", "total").collect()
+    }
+    assert(e.getMessage.contains("negative"), e.getMessage)
+  }
+
+  test("hierarchyRollup: closed-form ancestors, exact subtree sums") {
+    import graft.operators.Rollup
+    // fanout 2 over ids 1..7 (heap tree), value = id:
+    // node 1 = all (28/7), node 2 = {2,4,5} (11/3), node 3 = {3,6,7}
+    val df = (1L to 7L).map(i => (i, i)).toDF("id", "v")
+    val got = Rollup.hierarchyRollup(df, "id", "v", fanout = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((7L, 28L)), got.toString)
+    assert(got(2L) == ((3L, 11L)), got.toString)
+    assert(got(3L) == ((3L, 16L)), got.toString)
+    assert(got(7L) == ((1L, 7L)), got.toString)
+    assert(got.size == 7, got.toString)
+  }
+
   test("hashFeatures: buckets/signs replay the portable hash exactly") {
     import org.apache.spark.sql.functions.{col, split}
     // driver-side twin of PortableHash.hash60 (first 60 md5 bits)

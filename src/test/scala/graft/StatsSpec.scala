@@ -632,6 +632,25 @@ class StatsSpec extends SparkSuite {
     assert(rk.isNullAt(rk.fieldIndex("b0")), rk.toString)
   }
 
+  test("theilSen: outlier-immune median slope; grain guard") {
+    // 0,10,20 then a wild outlier at x=3: median pairwise slope stays 10
+    val df = Seq(("g", 0L, 0L), ("g", 1L, 10L), ("g", 2L, 20L),
+      ("g", 3L, 1000L)).toDF("g", "x", "y")
+    val r = Stats.theilSen(df, Seq("g"), "x", "y").head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("slope_e6") == 10000000L, r.toString)
+    // negative slopes floor correctly (double-floor, not truncate):
+    // points (0,1), (2,0): slope -0.5 -> floor(-5e5) = -500000
+    val neg = Seq(("g", 0L, 1L), ("g", 2L, 0L)).toDF("g", "x", "y")
+    val rn = Stats.theilSen(neg, Seq("g"), "x", "y").head()
+    assert(rn.getAs[Long]("slope_e6") == -500000L, rn.toString)
+    val e = intercept[Exception] {
+      Stats.theilSen(df, Seq("g"), "x", "y", maxRows = 2L).collect()
+    }
+    assert(e.getMessage.contains("aggregate-grain"), e.getMessage)
+  }
+
   test("bootstrapMeanCI: degenerate exactness, guards, determinism") {
     // constant series: every resample mean equals the observed mean,
     // so the CI collapses to a point — exact, not approximate
