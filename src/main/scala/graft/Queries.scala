@@ -7687,6 +7687,83 @@ object Queries {
       |    AS alloc
       |FROM fin ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** q202: greedy bigram generation ([[TextAnalysis.greedyGenerate]])
+    * — per language, the argmax walk of the corpus bigram model (seed =
+    * most frequent token, 5 successor steps, ties lexicographic): the
+    * model-inspection readout where template pollution and mode
+    * collapse become visible as looping boilerplate. The oracle
+    * replays seed election, the per-token argmax successor table, and
+    * all five unrolled steps.
+    */
+  def lmGenerate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.greedyGenerate(t(s, dir, "documents"), "lang", "text",
+        steps = 5)
+      .orderBy("lang", "step")
+
+  val lmGenerateSql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""s$i AS (SELECT s${i - 1}.lang, CAST($i AS BIGINT) AS step,
+         |  nxt.b AS token
+         |  FROM s${i - 1} JOIN nxt ON nxt.lang = s${i - 1}.lang
+         |  AND nxt.a = s${i - 1}.token)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT lang, $duckToks AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |uni AS (SELECT lang, unnest(toks) AS t FROM tok),
+       |uc AS (SELECT lang, t, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+       |seed AS (SELECT lang, t FROM (SELECT lang, t,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY c DESC, t ASC) AS rn FROM uc) WHERE rn = 1),
+       |bp AS (SELECT lang, unnest([struct_pack(a := toks[i],
+       |    b := toks[i + 1]) for i in range(1, len(toks))]) AS u
+       |  FROM tok),
+       |bc AS (SELECT lang, u.a AS a, u.b AS b, COUNT(*) AS c
+       |  FROM bp GROUP BY 1, 2, 3),
+       |nxt AS (SELECT lang, a, b FROM (SELECT lang, a, b,
+       |    row_number() OVER (PARTITION BY lang, a
+       |      ORDER BY c DESC, b ASC) AS rn FROM bc) WHERE rn = 1),
+       |s0 AS (SELECT lang, CAST(0 AS BIGINT) AS step, t AS token
+       |  FROM seed),
+       |$steps
+       |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       |UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+       |UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5
+       |ORDER BY lang, step""".stripMargin
+  }
+
+  /** q203: nearest-centroid (prototype) classifier evaluation
+    * ([[Similarity.prototypeEval]]) — centroids from even-id vectors,
+    * confusion matrix over odd-id vectors, everything on e6-quantized
+    * integer embeddings so both engines land the identical matrix.
+    * The embedding-space quality smoke test.
+    */
+  def prototypeEvalQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.prototypeEval(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+        "vec_id", "label", "embedding")
+      .orderBy("label", "predicted")
+  }
+
+  val prototypeEvalSql: String =
+    """WITH q AS (SELECT vec_id, label, i.i AS pos,
+      |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0)
+      |      AS BIGINT) AS qv
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+      |c AS (SELECT label AS cl, pos,
+      |    CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |      AS BIGINT) AS cv
+      |  FROM q WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+      |d AS (SELECT q.vec_id, q.label, c.cl,
+      |    SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+      |  FROM q JOIN c ON c.pos = q.pos WHERE q.vec_id % 2 = 1
+      |  GROUP BY 1, 2, 3),
+      |p AS (SELECT vec_id, label, cl,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY dist ASC, cl ASC) AS rn FROM d)
+      |SELECT label, cl AS predicted, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -7889,7 +7966,9 @@ object Queries {
     "q198_arrival_health" -> arrivalHealthEvents _,
     "q199_theil_sen" -> theilSenRevenue _,
     "q200_hierarchy_rollup" -> hierarchyParts _,
-    "q201_prorate" -> prorateOrders _)
+    "q201_prorate" -> prorateOrders _,
+    "q202_lm_generate" -> lmGenerate _,
+    "q203_prototype_eval" -> prototypeEvalQuery _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -8091,5 +8170,7 @@ object Queries {
     "q198_arrival_health" -> arrivalHealthEventsSql,
     "q199_theil_sen" -> theilSenRevenueSql,
     "q200_hierarchy_rollup" -> hierarchyPartsSql,
-    "q201_prorate" -> prorateOrdersSql)
+    "q201_prorate" -> prorateOrdersSql,
+    "q202_lm_generate" -> lmGenerateSql,
+    "q203_prototype_eval" -> prototypeEvalSql)
 }

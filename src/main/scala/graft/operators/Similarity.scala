@@ -477,4 +477,56 @@ object Similarity {
       .select(col("id"), col("cluster").cast("long").as("cluster"),
         coalesce(col("__p"), lit(false)).as("pruned"))
   }
+
+  /** Nearest-centroid (prototype) classifier evaluation — the
+    * embedding-quality smoke test every representation-learning
+    * pipeline runs: class centroids from a TRAIN split, every TEST
+    * vector assigned to its nearest centroid, confusion counts out.
+    * High prototype accuracy ⇒ the embedding space separates labels
+    * linearly; a collapsed or shuffled space shows up immediately.
+    *
+    * Exactness design: embeddings are QUANTIZED to e6 integers first
+    * (floor(x·1e6) — float sums are reduction-order-dependent, the
+    * [[graft.operators.Stats]] determinism rule; at e6 the projection
+    * loses nothing a classifier could legitimately depend on), so
+    * centroid components (floor of an integer-sum mean), squared-L2
+    * distances, and the (dist, label) argmin are ALL exact integers —
+    * any engine replays the confusion matrix digit-for-digit.
+    *
+    * Shape: pos-exploded component grain (rows × dim), one (label,
+    * pos) centroid aggregation, one test×centroid join at (pos) —
+    * fan-out = nLabels, vocab-bounded — one distance aggregation, one
+    * argmin window over nLabels rows per test vector.
+    */
+  def prototypeEval(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      labelCol: String,
+      embCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def quantized(df: DataFrame) = df
+      .where(col(embCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).as("__lab"),
+        posexplode(transform(col(embCol).cast("array<double>"),
+          x => floor(x * lit(1000000.0)).cast("long"))).as(Seq("__pos", "__q")))
+    val centroids = quantized(train)
+      .groupBy(col("__lab").as("__cl"), col("__pos"))
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"))
+      .withColumn("__c",
+        floor(col("__s").cast("double") / col("__n").cast("double"))
+          .cast("long"))
+      .select(col("__cl"), col("__pos"), col("__c"))
+    val dists = quantized(test)
+      .join(centroids, Seq("__pos"))
+      .groupBy(col("__id"), col("__lab"), col("__cl"))
+      .agg(sum((col("__q") - col("__c")) * (col("__q") - col("__c")))
+        .as("__d"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__d").asc, col("__cl").asc)
+    dists.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .groupBy(col("__lab").as("label"), col("__cl").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -346,6 +346,62 @@ object TextAnalysis {
         col("term"), col("tf"))
   }
 
+  /** Greedy bigram generation — the argmax walk of the corpus bigram
+    * model: start from each language's most frequent token, repeatedly
+    * take the most frequent successor (ties → token ASC), `steps`
+    * times. Not a product feature — a MODEL INSPECTION readout (what
+    * the q167 fluency model "thinks" its language sounds like; mode
+    * collapse and template pollution show up immediately as looping
+    * boilerplate), fully deterministic and engine-replayable because
+    * every choice is an integer argmax with a total tie order.
+    *
+    * A walk that hits a dead-end token (no observed successor) stops —
+    * shorter output, never a fabricated token. Vocab-grain throughout:
+    * unigram/bigram counts are map-side combined; the per-token argmax
+    * successor table is one window over the bigram vocabulary; the walk
+    * itself is `steps` joins of a languages-sized frontier against it.
+    */
+  def greedyGenerate(
+      docs: DataFrame,
+      langCol: String,
+      textCol: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 32, "steps in [1, 32]")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+    val uni = toks.select(col("lang"), explode(col("tk")).as("t"))
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+    val wSeed = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("t").asc)
+    val seed = uni.withColumn("__rn", row_number().over(wSeed))
+      .where(col("__rn") === 1).select(col("lang"), col("t"))
+    val bi = toks.where(size(col("tk")) >= 2)
+      .withColumn("ta", expr("slice(tk, 1, size(tk) - 1)"))
+      .withColumn("tb", expr("slice(tk, 2, size(tk) - 1)"))
+      .select(col("lang"), explode(arrays_zip(col("ta"), col("tb"))).as("p"))
+      .select(col("lang"), col("p.ta").as("a"), col("p.tb").as("b"))
+      .groupBy(col("lang"), col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val wNxt = Window.partitionBy(col("lang"), col("a"))
+      .orderBy(col("c").desc, col("b").asc)
+    val nxt = bi.withColumn("__rn", row_number().over(wNxt))
+      .where(col("__rn") === 1)
+      .select(col("lang").as("__nl"), col("a"), col("b"))
+    var cur = seed.select(col("lang"), lit(0L).as("step"),
+      col("t").as("token"))
+    var acc = cur
+    var i = 1
+    while (i <= steps) {
+      cur = cur.join(nxt,
+          col("__nl") === col("lang") && col("a") === col("token"))
+        .select(col("lang"), lit(i.toLong).as("step"),
+          col("b").as("token"))
+      acc = acc.unionByName(cur)
+      i += 1
+    }
+    acc
+  }
+
   /** Vocabulary drift between two corpus snapshots — the release-over-
     * release diff a training-data pipeline reviews before shipping:
     * per term, the document frequency in each snapshot, floor-ppm

@@ -235,4 +235,28 @@ class SimilaritySpec extends SparkSuite {
       Seq.empty[(Long, Seq[Double])].toDF("id", "v"), "id", "v",
       Array(c0, c1), 0.9).count() == 0L)
   }
+
+  test("prototypeEval: separable clusters land a diagonal confusion") {
+    import graft.operators.Similarity
+    // label 0 near (1,0), label 1 near (0,1); train = even ids
+    def v(a: Double, b: Double) = Seq(a.toFloat, b.toFloat)
+    val rows = Seq(
+      (0L, 0, v(1.0, 0.1)), (2L, 0, v(0.9, 0.0)),
+      (1L, 0, v(1.1, 0.2)),
+      (4L, 1, v(0.1, 1.0)), (6L, 1, v(0.0, 0.9)),
+      (3L, 1, v(0.2, 1.1)), (5L, 1, v(0.0, 1.2)))
+      .toDF("vec_id", "label", "embedding")
+    val train = rows.where($"vec_id" % 2 === 0)
+    val test = rows.where($"vec_id" % 2 === 1)
+    val got = Similarity.prototypeEval(train, test,
+        "vec_id", "label", "embedding")
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((0, 0) -> 1L, (1, 1) -> 2L), got.toString)
+    // deterministic under repartition (integer quantization, no float
+    // reduction order anywhere)
+    val g2 = Similarity.prototypeEval(train.repartition(5),
+        test.repartition(3), "vec_id", "label", "embedding")
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(g2 == got)
+  }
 }

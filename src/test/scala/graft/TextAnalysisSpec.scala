@@ -27,6 +27,20 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!got.contains("cherry"), got.keys.toString)
   }
 
+  test("greedyGenerate: argmax walk, lexicographic ties, dead-end stop") {
+    // lang "en": "a b" x2, "a c" x1 -> seed = a (most frequent),
+    // successor of a = b (count 2 > 1); b has no successor -> stop
+    val docs = Seq(("en", "a b"), ("en", "a b"), ("en", "a c"),
+      ("fr", "x y x y x")).toDF("lang", "text")
+    val got = TextAnalysis.greedyGenerate(docs, "lang", "text", steps = 3)
+      .as[(String, Long, String)].collect()
+      .groupBy(_._1).map { case (l, rs) =>
+        l -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(got("en") == Seq("a", "b"), got.toString)
+    // fr: x most frequent; x->y (2), y->x (2) -> alternates, full walk
+    assert(got("fr") == Seq("x", "y", "x", "y"), got.toString)
+  }
+
   test("vocabDiff: null text drops from counts and doc totals") {
     val olds = Seq((1L, "x y"), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
