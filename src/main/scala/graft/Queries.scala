@@ -7764,6 +7764,106 @@ object Queries {
       |SELECT label, cl AS predicted, CAST(COUNT(*) AS BIGINT) AS n
       |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q204: distributed integer k-means ([[KMeansQ.fit]], k=4, 3 Lloyd
+    * passes, md5-seeded init) over e6-quantized embeddings — the
+    * numeric clustering flagship, every step exact integers so the
+    * oracle replays the ENTIRE algorithm (seed ranking, all three
+    * assignment/update rounds, stale-center rule) as unrolled
+    * MATERIALIZED CTEs at component grain — the q14 Lloyd-replay
+    * technique in the continuous domain. Output: per-cluster size and
+    * exact inertia.
+    */
+  def kmeansEmbeddings(s: SparkSession, dir: String): DataFrame =
+    KMeansQ.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, maxIter = 3, seed = 42L)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+      .orderBy("cluster")
+
+  val kmeansEmbeddingsSql: String = {
+    def iter(i: Int) =
+      s"""d$i AS MATERIALIZED (SELECT q.id, c.cid,
+         |    SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+         |  FROM q JOIN c${i - 1} c ON c.pos = q.pos GROUP BY 1, 2),
+         |a$i AS MATERIALIZED (SELECT id, cid FROM (SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d ASC, cid ASC)
+         |      AS rn FROM d$i) WHERE rn = 1),
+         |u$i AS (SELECT a.cid, q.pos,
+         |    CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS nv
+         |  FROM a$i a JOIN q ON q.id = a.id GROUP BY 1, 2),
+         |c$i AS MATERIALIZED (SELECT c.cid, c.pos,
+         |    COALESCE(u.nv, c.cv) AS cv
+         |  FROM c${i - 1} c LEFT JOIN u$i u
+         |    ON u.cid = c.cid AND u.pos = c.pos)""".stripMargin
+    s"""WITH q AS MATERIALIZED (SELECT vec_id AS id, i.i AS pos,
+       |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS qv
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+       |ids AS (SELECT DISTINCT id FROM q),
+       |sd AS (SELECT id, row_number() OVER (ORDER BY
+       |    ${duckHash60("42", "id")} ASC, id ASC) AS r FROM ids),
+       |c0 AS MATERIALIZED (SELECT CAST(sd.r - 1 AS BIGINT) AS cid,
+       |    q.pos, q.qv AS cv
+       |  FROM sd JOIN q ON q.id = sd.id WHERE sd.r <= 4),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |df AS (SELECT q.id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+       |  FROM q JOIN c3 c ON c.pos = q.pos GROUP BY 1, 2),
+       |af AS (SELECT id, cid, d FROM (SELECT id, cid, d,
+       |    row_number() OVER (PARTITION BY id ORDER BY d ASC, cid ASC)
+       |      AS rn FROM df) WHERE rn = 1)
+       |SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(d) AS BIGINT) AS inertia
+       |FROM af GROUP BY cid ORDER BY cluster""".stripMargin
+  }
+
+  /** q205: degree assortativity ([[Graph.assortativity]]) of the q107
+    * part co-purchase graph — do popular parts co-occur with popular
+    * parts? One floor-e6 Pearson of endpoint degrees over the mirrored
+    * edge list, exact decimal sums (projection graphs are classically
+    * DISassortative — the sign is the diagnosis).
+    */
+  def assortativityParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val small = li.groupBy(col("ok")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= 6).select(col("ok"))
+    val li2 = li.join(small, Seq("ok"), "leftsemi")
+    val pairs = li2.as("x").join(li2.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    Graph.assortativity(pairs)
+  }
+
+  val assortativityPartsSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ok6 AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) <= 6),
+      |li2 AS (SELECT li.* FROM li JOIN ok6 USING (ok)),
+      |e AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b FROM li2 x
+      |  JOIN li2 y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |  (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |xy AS (SELECT CAST(du.deg AS HUGEINT) AS x,
+      |    CAST(dv.deg AS HUGEINT) AS y
+      |  FROM (SELECT a AS u, b AS v FROM e
+      |        UNION ALL SELECT b, a FROM e) be
+      |  JOIN deg du ON du.id = be.u JOIN deg dv ON dv.id = be.v),
+      |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+      |    SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+      |    MIN(x) AS mn, MAX(x) AS mx
+      |  FROM xy)
+      |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+      |  CASE WHEN mn <> mx AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+      |    CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) END AS assort_e6
+      |FROM m""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -7968,7 +8068,9 @@ object Queries {
     "q200_hierarchy_rollup" -> hierarchyParts _,
     "q201_prorate" -> prorateOrders _,
     "q202_lm_generate" -> lmGenerate _,
-    "q203_prototype_eval" -> prototypeEvalQuery _)
+    "q203_prototype_eval" -> prototypeEvalQuery _,
+    "q204_kmeans" -> kmeansEmbeddings _,
+    "q205_assortativity" -> assortativityParts _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -8172,5 +8274,7 @@ object Queries {
     "q200_hierarchy_rollup" -> hierarchyPartsSql,
     "q201_prorate" -> prorateOrdersSql,
     "q202_lm_generate" -> lmGenerateSql,
-    "q203_prototype_eval" -> prototypeEvalSql)
+    "q203_prototype_eval" -> prototypeEvalSql,
+    "q204_kmeans" -> kmeansEmbeddingsSql,
+    "q205_assortativity" -> assortativityPartsSql)
 }

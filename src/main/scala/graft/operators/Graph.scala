@@ -341,6 +341,51 @@ object Graph {
         when(col("n_wedges") > 0, expr("n_tri * 1000000L div n_wedges")))
   }
 
+  /** Degree ASSORTATIVITY — the Pearson correlation of endpoint
+    * degrees over all directed edge instances (each undirected edge
+    * counted both ways, the standard Newman 2002 definition): positive
+    * = hubs link hubs (social cores), negative = hubs link leaves
+    * (star/bipartite-projection shapes). Exact decimal sums of integer
+    * degrees (the q72 rule), one double close, floor-e6; degenerate
+    * (regular graph — zero degree variance) yields null.
+    *
+    * One canonical-edge pass + one degree aggregation + one
+    * broadcast-degree join + one map-side-combined moment aggregation.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val src = col("src").cast("long")
+    val dst = col("dst").cast("long")
+    val und = edges
+      .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val both = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val xy = both
+      .join(deg.select(col("id").as("u"), col("deg").as("x")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("y")), Seq("v"))
+      .select(col("x").cast("decimal(38,0)").as("x"),
+        col("y").cast("decimal(38,0)").as("y"))
+    val m = xy.agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+      sum(col("x")).as("__sx"), sum(col("x") * col("x")).as("__sxx"),
+      sum(col("x") * col("y")).as("__sxy"),
+      min(col("x")).as("__mn"), max(col("x")).as("__mx"))
+    // by symmetry sy = sx and syy = sxx — the mirrored union makes the
+    // marginals identical, so one pair of sums serves both axes
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val varx = n * sxx - sx * sx
+    m.select(expr("CAST(__n AS BIGINT) div 2L").as("n_edges"),
+      when(col("__mn") =!= col("__mx") && varx > 0.0,
+        floor((n * sxy - sx * sx) / varx * 1e6).cast("long"))
+        .as("assort_e6"))
+  }
+
   /** k-CORE decomposition membership by BOUNDED iterative peeling: the
     * k-core is the maximal subgraph where every vertex keeps degree
     * ≥ k — the standard "dense part of the graph" extraction

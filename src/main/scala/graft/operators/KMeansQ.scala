@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-MEANS on e6-QUANTIZED integer embeddings — the
+  * numeric sibling of [[KModes]] (SURVEY §3.1's algorithm family,
+  * continuous domain), engineered for the repo's exactness contract:
+  * floats make both the assignment argmin and the centroid mean
+  * reduction-order-dependent, so vectors are projected to integers
+  * (floor(x·1e6), the [[Similarity.prototypeEval]] rule) and every
+  * step — seeded init, squared-L2 assignment, floor-mean update — is
+  * integer arithmetic an external engine replays digit-for-digit.
+  *
+  * Algorithm (all rules total-ordered):
+  *  - init: the k vectors with the smallest `md5(seed ␁ id)` (ties →
+  *    id ASC) become centroids 0..k−1 — the [[KModes]] portable-init
+  *    recipe on ids;
+  *  - assign: argmin Σ_pos (q − c)², ties → lowest centroid id;
+  *  - update: centroid component = floor(Σ q / n) over members; an
+  *    EMPTY cluster keeps its stale center (the q14 oracle rule — a
+  *    reseed heuristic would be scan-order-dependent).
+  *
+  * Shape per iteration: one component-grain join (vectors × k on
+  * pos — fan-out k, never pairwise), one map-side-combined distance
+  * aggregation, one argmin window over k rows per vector, one
+  * (cid, pos) centroid aggregation; centroid tables are k·dim rows,
+  * localCheckpointed per pass to cut lineage. Int64 bound: |q| ≤
+  * ~2·10⁶ ⇒ squared terms ≤ 4·10¹², safe past 10⁶ dims per vector
+  * and 10⁶ members per (cid, pos) sum.
+  */
+object KMeansQ {
+
+  /** Final assignment (id, cluster, dist) after `maxIter` Lloyd
+    * passes; `dist` is the exact integer squared-L2 to the final
+    * centroid.
+    */
+  def fit(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      maxIter: Int,
+      seed: Long): DataFrame = {
+    require(k >= 2 && k <= 1024, "k in [2, 1024]")
+    require(maxIter >= 1 && maxIter <= 64, "maxIter in [1, 64]")
+    import org.apache.spark.sql.expressions.Window
+    val q = df.where(col(embCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(transform(col(embCol).cast("array<double>"),
+          x => floor(x * lit(1000000.0)).cast("long")))
+          .as(Seq("pos", "qv")))
+      .localCheckpoint(true)
+    val seedRank = Window.orderBy(
+      graft.functions.PortableHash.hash60(col("id"), seed.toString).asc,
+      col("id").asc)
+    // seed ranking is a window over the ID SET (one row per vector) —
+    // k·dim centroid rows come out; the single-partition sort is over
+    // ids only and bounded by the same rule every q14-style init uses
+    val ids = q.select(col("id")).distinct()
+    val seeds = ids.withColumn("__r", row_number().over(seedRank))
+      .where(col("__r") <= k)
+      .select(col("id"), (col("__r") - 1).cast("long").as("cid"))
+    var centroids = q.join(seeds, Seq("id"))
+      .select(col("cid"), col("pos"), col("qv").as("cv"))
+      .localCheckpoint(true)
+    val byId = Window.partitionBy(col("id"))
+      .orderBy(col("__d").asc, col("cid").asc)
+    def assign(c: DataFrame): DataFrame = q
+      .join(c, Seq("pos"))
+      .groupBy(col("id"), col("cid"))
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+        .as("__d"))
+      .withColumn("__rn", row_number().over(byId))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("cid"), col("__d").as("dist"))
+    var i = 0
+    while (i < maxIter) {
+      val asg = assign(centroids)
+      val updated = q.join(asg.select(col("id"), col("cid")), Seq("id"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("qv")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("__new"))
+      // stale-center rule: clusters that lost every member keep their
+      // previous coordinates rather than reseeding nondeterministically
+      centroids = centroids.join(updated, Seq("cid", "pos"), "left")
+        .select(col("cid"), col("pos"),
+          coalesce(col("__new"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    assign(centroids).withColumnRenamed("cid", "cluster")
+  }
+}

@@ -187,6 +187,17 @@ class GraphSpec extends SparkSuite {
     assert(p(1L) == ((4L, Some(333333L))), p.toString) // 2 tri / 6 wedges
   }
 
+  test("assortativity: star is perfectly disassortative; regular null") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = Graph.assortativity(star).head()
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Long]("assort_e6") == -1000000L, r.toString)
+    // 4-cycle: every endpoint degree 2 -> zero variance -> null
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rc = Graph.assortativity(cyc).head()
+    assert(rc.isNullAt(rc.fieldIndex("assort_e6")), rc.toString)
+  }
+
   test("hits: one hand-computed iteration; L1 mass; determinism") {
     // 1->3, 2->3, 2->4: after one iteration (scale 1e6):
     //   a' = {3: 2e6, 4: 1e6}, total 3e6 -> a = {3: 666666, 4: 333333}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.KMeansQ
+
+/** Integer-quantized Lloyd k-means — separability, exactness rules,
+  * partition-independence.
+  */
+class KMeansQSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("separable clusters end up separated; inertia is exact") {
+    val rows = Seq(
+      (1L, vec(0.0, 0.1)), (2L, vec(0.1, 0.0)), (5L, vec(0.05, 0.05)),
+      (3L, vec(10.0, 10.1)), (4L, vec(10.1, 10.0)))
+      .toDF("vec_id", "embedding")
+    val fit = KMeansQ.fit(rows, "vec_id", "embedding",
+      k = 2, maxIter = 3, seed = 7L)
+    val byCluster = fit.as[(Long, Long, Long)].collect()
+      .groupBy(_._2).map { case (c, rs) => rs.map(_._1).toSet }.toSet
+    assert(byCluster == Set(Set(1L, 2L, 5L), Set(3L, 4L)),
+      byCluster.toString)
+    // dist is the exact integer squared-L2 to the final centroid —
+    // non-negative, and zero only if a point IS its centroid
+    val dists = fit.as[(Long, Long, Long)].collect().map(_._3)
+    assert(dists.forall(_ >= 0L))
+  }
+
+  test("deterministic under repartition and repeated runs") {
+    val rows = (1L to 40L)
+      .map(i => (i, vec((i % 7).toDouble, (i % 5).toDouble, 0.3 * i)))
+      .toDF("vec_id", "embedding")
+    val a = KMeansQ.fit(rows, "vec_id", "embedding", 3, 4, 42L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = KMeansQ.fit(rows.repartition(7), "vec_id", "embedding", 3, 4, 42L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b, "partitioning changed the k-means fit")
+    // guards
+    intercept[IllegalArgumentException] {
+      KMeansQ.fit(rows, "vec_id", "embedding", 1, 3, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      KMeansQ.fit(rows, "vec_id", "embedding", 2, 0, 1L)
+    }
+  }
+}
