@@ -7864,6 +7864,138 @@ object Queries {
       |      * 1000000.0) AS BIGINT) END AS assort_e6
       |FROM m""".stripMargin
 
+  /** q206: Wilson lower-bound ranking ([[Stats.wilsonLowerBound]]) —
+    * parts ranked by the CONFIDENCE-ADJUSTED return rate (z = 1.96,
+    * min 20 shipments): the sort key that keeps a 1-of-1 return from
+    * outranking 95-of-100. The oracle writes the identical IEEE
+    * expression shape, so the floor-e6 scores hash-match.
+    */
+  def wilsonReturns(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("returns"))
+      .where(col("trials") >= 20)
+    agg.withColumn("wilson_e6",
+        floor(Stats.wilsonLowerBound(col("returns"), col("trials"))
+          * lit(1000000.0)).cast("long"))
+      .orderBy(col("wilson_e6").desc, col("l_partkey").asc)
+      .limit(25)
+  }
+
+  val wilsonReturnsSql: String =
+    """WITH a AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS trials,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS returns
+      |  FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 20),
+      |w AS (SELECT l_partkey, trials, returns,
+      |    CAST(FLOOR((
+      |      (CAST(returns AS DOUBLE) / CAST(trials AS DOUBLE)
+      |        + (1.96 * 1.96) / (2.0 * CAST(trials AS DOUBLE))
+      |        - 1.96 * SQRT((CAST(returns AS DOUBLE)
+      |              / CAST(trials AS DOUBLE)
+      |            * (1.0 - CAST(returns AS DOUBLE)
+      |              / CAST(trials AS DOUBLE))
+      |            + (1.96 * 1.96) / (4.0 * CAST(trials AS DOUBLE)))
+      |          / CAST(trials AS DOUBLE)))
+      |      / (1.0 + (1.96 * 1.96) / CAST(trials AS DOUBLE))
+      |    ) * 1000000.0) AS BIGINT) AS wilson_e6
+      |  FROM a)
+      |SELECT l_partkey, trials, returns, wilson_e6 FROM w
+      |ORDER BY wilson_e6 DESC, l_partkey ASC LIMIT 25""".stripMargin
+
+  /** q207: clamped running balance ([[Behavior.clampedBalance]]) —
+    * per-user wallet fold max(0, b + d) over event deltas
+    * (purchase/signup credit, error debit), computed WITHOUT a
+    * sequential scan via the Lindley closed form (prefix sum + prefix
+    * min). End/peak balances and actual floor events, all exact cents.
+    */
+  def clampedWallet(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("delta",
+        when(col("event_type").isin("purchase", "signup"),
+          floor(col("value") * 100).cast("long"))
+          .when(col("event_type") === "error",
+            -floor(col("value") * 100).cast("long"))
+          .otherwise(lit(0L)))
+      .where(col("delta") =!= 0)
+    Behavior.clampedBalance(e, "user_id", "ts", "event_id", "delta")
+      .orderBy("user_id")
+  }
+
+  val clampedWalletSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
+      |    CASE WHEN event_type IN ('purchase', 'signup')
+      |         THEN CAST(FLOOR(value * 100) AS BIGINT)
+      |         WHEN event_type = 'error'
+      |         THEN -CAST(FLOOR(value * 100) AS BIGINT)
+      |         ELSE 0 END AS d
+      |  FROM events),
+      |nz AS (SELECT * FROM e WHERE d <> 0),
+      |r0 AS (SELECT user_id, event_id, tns,
+      |    SUM(d) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM nz),
+      |r AS (SELECT user_id, event_id, tns, s,
+      |    MIN(s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY tns, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS nr
+      |  FROM r0),
+      |b AS (SELECT user_id, rn, nr,
+      |    s - LEAST(0, COALESCE(LEAST(pm, s), s)) AS bal,
+      |    CASE WHEN s < LEAST(0, COALESCE(pm, 0)) THEN 1 ELSE 0 END
+      |      AS fl
+      |  FROM r)
+      |SELECT user_id,
+      |  CAST(MAX(CASE WHEN rn = nr THEN bal END) AS BIGINT)
+      |    AS end_balance,
+      |  CAST(MAX(bal) AS BIGINT) AS peak_balance,
+      |  CAST(SUM(fl) AS BIGINT) AS n_floor_events
+      |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q208: two-hop recommendations ([[Graph.twoHopPairs]]) over the
+    * q107 part co-purchase graph — "also bought with" pairs that are
+    * NOT directly co-purchased, scored by common neighbors; hub
+    * middles excluded by the visible degree cap. Top 30.
+    */
+  def twoHopParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val small = li.groupBy(col("ok")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= 6).select(col("ok"))
+    val li2 = li.join(small, Seq("ok"), "leftsemi")
+    val pairs = li2.as("x").join(li2.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    Graph.twoHopPairs(pairs, maxMiddleDegree = 64L)
+      .orderBy(col("n_common").desc, col("a").asc, col("b").asc)
+      .limit(30)
+  }
+
+  val twoHopPartsSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ok6 AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) <= 6),
+      |li2 AS (SELECT li.* FROM li JOIN ok6 USING (ok)),
+      |e AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b FROM li2 x
+      |  JOIN li2 y ON x.ok = y.ok AND x.pk < y.pk),
+      |adj AS MATERIALIZED (SELECT a AS id, b AS nb FROM e
+      |  UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT id, COUNT(*) AS deg FROM adj GROUP BY id),
+      |mids AS (SELECT id FROM deg WHERE deg <= 64),
+      |bm AS (SELECT adj.id, adj.nb FROM adj
+      |  JOIN mids ON mids.id = adj.nb),
+      |wp AS (SELECT e1.id AS a, e2.id AS b FROM bm e1
+      |  JOIN bm e2 ON e2.nb = e1.nb AND e1.id < e2.id),
+      |nd AS (SELECT wp.a, wp.b FROM wp
+      |  WHERE NOT EXISTS (SELECT 1 FROM e
+      |    WHERE e.a = wp.a AND e.b = wp.b))
+      |SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common
+      |FROM nd GROUP BY a, b
+      |ORDER BY n_common DESC, a ASC, b ASC LIMIT 30""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -8070,7 +8202,10 @@ object Queries {
     "q202_lm_generate" -> lmGenerate _,
     "q203_prototype_eval" -> prototypeEvalQuery _,
     "q204_kmeans" -> kmeansEmbeddings _,
-    "q205_assortativity" -> assortativityParts _)
+    "q205_assortativity" -> assortativityParts _,
+    "q206_wilson_rank" -> wilsonReturns _,
+    "q207_clamped_balance" -> clampedWallet _,
+    "q208_two_hop" -> twoHopParts _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -8276,5 +8411,8 @@ object Queries {
     "q202_lm_generate" -> lmGenerateSql,
     "q203_prototype_eval" -> prototypeEvalSql,
     "q204_kmeans" -> kmeansEmbeddingsSql,
-    "q205_assortativity" -> assortativityPartsSql)
+    "q205_assortativity" -> assortativityPartsSql,
+    "q206_wilson_rank" -> wilsonReturnsSql,
+    "q207_clamped_balance" -> clampedWalletSql,
+    "q208_two_hop" -> twoHopPartsSql)
 }

@@ -502,4 +502,45 @@ object Behavior {
         "share_ppm")
       .orderBy("channel")
   }
+
+  /** CLAMPED running balance — the wallet/inventory fold
+    * `b_t = max(0, b_{t−1} + d_t)`, which is NOT a plain window sum
+    * (the clamp makes it non-associative) but IS exactly the Lindley
+    * recursion, whose closed form
+    * `b_t = S_t − min(0, min_{s≤t} S_s)` turns the whole sequential
+    * fold into two ordinary window passes (prefix sum + prefix min)
+    * over integer deltas — the non-obvious window algebra that keeps a
+    * 100 TB ledger scan out of a sequential mapPartitions.
+    *
+    * Per key: end balance, peak clamped balance, and the number of
+    * FLOOR EVENTS (rows where the clamp actually bit: S_t < running
+    * min of everything before ⇒ the unclamped sum sank to a new low
+    * while the clamped balance sat at 0). Deltas are caller-scaled
+    * integer cents; the total order is (orderCol, idCol).
+    */
+  def clampedBalance(
+      events: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      idCol: String,
+      deltaCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).asc, col(idCol).asc)
+    val run = events
+      .withColumn("__s", sum(col(deltaCol)).over(w))
+      .withColumn("__pm",
+        min(col("__s")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__rm", least(lit(0L),
+        coalesce(least(col("__pm"), col("__s")), col("__s"))))
+      .withColumn("__b", col("__s") - col("__rm"))
+      .withColumn("__floored",
+        when(col("__s") < least(lit(0L), coalesce(col("__pm"), lit(0L))),
+          1L).otherwise(0L))
+    run.groupBy(col(keyCol))
+      .agg(max_by(col("__b"), struct(col(orderCol), col(idCol)))
+          .as("end_balance"),
+        max(col("__b")).as("peak_balance"),
+        sum(col("__floored")).as("n_floor_events"))
+  }
 }

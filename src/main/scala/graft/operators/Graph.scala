@@ -386,6 +386,43 @@ object Graph {
         .as("assort_e6"))
   }
 
+  /** Two-hop neighbor counts — one step of sparse A²: for node pairs
+    * (a, c) with NO direct edge, how many common neighbors connect
+    * them ("customers who bought this also bought", link prediction's
+    * common-neighbors score). The wedge join is the [[triangles]]
+    * machinery pointed at the OPEN wedges instead of the closed ones.
+    *
+    * Fan-out control is a hard precondition, not a heuristic: wedge
+    * count is Σ deg², so hub nodes are EXCLUDED as middles via
+    * `maxMiddleDegree` (reported in the companion count so the cap is
+    * visible, never silent — the no-silent-caps rule). Both hops stay
+    * equi-joins; the anti-join removes directly-connected pairs.
+    */
+  def twoHopPairs(
+      edges: DataFrame,
+      maxMiddleDegree: Long = 64L): DataFrame = {
+    val src = col("src").cast("long")
+    val dst = col("dst").cast("long")
+    val und = edges
+      .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint(true)
+    val adj = und.select(col("a").as("id"), col("b").as("nb"))
+      .union(und.select(col("b").as("id"), col("a").as("nb")))
+    val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val mids = deg.where(col("deg") <= maxMiddleDegree)
+      .select(col("id").as("__mid"))
+    val byMid = adj.join(mids, col("nb") === col("__mid"), "left_semi")
+    val wedges = byMid.as("e1")
+      .join(byMid.as("e2"),
+        col("e1.nb") === col("e2.nb") && col("e1.id") < col("e2.id"))
+      .select(col("e1.id").as("a"), col("e2.id").as("b"))
+    wedges
+      .join(und, Seq("a", "b"), "left_anti")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
   /** k-CORE decomposition membership by BOUNDED iterative peeling: the
     * k-core is the maximal subgraph where every vertex keeps degree
     * ≥ k — the standard "dense part of the graph" extraction

@@ -1417,6 +1417,29 @@ object Stats {
         expr(s"((1L + n_extreme) * 1000000L) div ${nPerms + 1}L"))
   }
 
+  /** Wilson score LOWER BOUND for a binomial proportion — the
+    * rank-by-confidence column every "best rated / most returned /
+    * highest CTR" list should sort by instead of the raw ratio (a 1/1
+    * item must not outrank 95/100; Wilson's lower bound encodes
+    * exactly that). One fixed IEEE double sequence from integer
+    * (successes, trials) — deterministic and engine-replayable when
+    * the replay writes the SAME expression shape:
+    * `(p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n)`.
+    * Null when trials = 0.
+    */
+  def wilsonLowerBound(
+      successes: org.apache.spark.sql.Column,
+      trials: org.apache.spark.sql.Column,
+      z: Double = 1.96): org.apache.spark.sql.Column = {
+    val n = trials.cast("double")
+    val p = successes.cast("double") / n
+    val z2 = z * z
+    when(trials > 0,
+      (p + lit(z2) / (lit(2.0) * n) -
+        lit(z) * sqrt((p * (lit(1.0) - p) + lit(z2) / (lit(4.0) * n)) / n))
+        / (lit(1.0) + lit(z2) / n))
+  }
+
   /** Theil–Sen robust slope — the MEDIAN of all pairwise slopes
     * (y_j − y_i)/(x_j − x_i) over an aggregate-grain series: immune to
     * ~29% outliers where [[regression]]'s OLS slope is not, the robust

@@ -233,4 +233,30 @@ class BehaviorSpec extends SparkSuite {
     assert(Behavior.markovAttribution(ev.limit(0), "u", "ts", "id", "et",
       "purchase").count() == 0)
   }
+
+  test("clampedBalance: Lindley closed form equals the sequential fold") {
+    // deltas -5, +3, -1, +10: recursion b = 0, 3, 2, 12; one floor hit
+    val e1 = Seq(("k", 1L, 1L, -5L), ("k", 2L, 2L, 3L),
+      ("k", 3L, 3L, -1L), ("k", 4L, 4L, 10L))
+      .toDF("u", "t", "id", "d")
+    val r1 = Behavior.clampedBalance(e1, "u", "t", "id", "d").head()
+    assert(r1.getAs[Long]("end_balance") == 12L, r1.toString)
+    assert(r1.getAs[Long]("peak_balance") == 12L, r1.toString)
+    assert(r1.getAs[Long]("n_floor_events") == 1L, r1.toString)
+    // repeated clamping: -5 then -4 both floor; end 0
+    val e2 = Seq(("k", 1L, 1L, -5L), ("k", 2L, 2L, -4L))
+      .toDF("u", "t", "id", "d")
+    val r2 = Behavior.clampedBalance(e2, "u", "t", "id", "d").head()
+    assert(r2.getAs[Long]("end_balance") == 0L &&
+      r2.getAs[Long]("n_floor_events") == 2L, r2.toString)
+    // randomized: closed form equals a driver-side sequential fold
+    val rnd = new scala.util.Random(42)
+    val ds = (1 to 200).map(i => ("k", i.toLong, i.toLong,
+      (rnd.nextInt(21) - 10).toLong))
+    val want = ds.map(_._4).scanLeft(0L)((b, d) => math.max(0L, b + d))
+    val r3 = Behavior.clampedBalance(ds.toDF("u", "t", "id", "d"),
+      "u", "t", "id", "d").head()
+    assert(r3.getAs[Long]("end_balance") == want.last, r3.toString)
+    assert(r3.getAs[Long]("peak_balance") == want.max, r3.toString)
+  }
 }

@@ -187,6 +187,26 @@ class GraphSpec extends SparkSuite {
     assert(p(1L) == ((4L, Some(333333L))), p.toString) // 2 tri / 6 wedges
   }
 
+  test("twoHopPairs: path/cycle counts; direct pairs and hubs excluded") {
+    // path 1-2-3: (1,3) share middle 2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.twoHopPairs(path).as[(Long, Long, Long)].collect()
+    assert(p.toSeq == Seq((1L, 3L, 1L)), p.mkString(","))
+    // square: (1,3) and (2,4) each via two middles
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val q = Graph.twoHopPairs(sq).as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(q == Map((1L, 3L) -> 2L, (2L, 4L) -> 2L), q.toString)
+    // add the 1-3 diagonal: that pair is now DIRECT and drops out
+    val dg = sq.union(Seq((1L, 3L)).toDF("src", "dst"))
+    val d = Graph.twoHopPairs(dg).as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(!d.contains((1L, 3L)), d.toString)
+    // hub exclusion: middle 2 in the path graph has degree 2 — cap 1
+    // removes it and the (1,3) pair vanishes with it
+    assert(Graph.twoHopPairs(path, maxMiddleDegree = 1L).count() == 0L)
+  }
+
   test("assortativity: star is perfectly disassortative; regular null") {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
     val r = Graph.assortativity(star).head()
