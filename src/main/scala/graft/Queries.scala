@@ -7996,6 +7996,122 @@ object Queries {
       |FROM nd GROUP BY a, b
       |ORDER BY n_common DESC, a ASC, b ASC LIMIT 30""".stripMargin
 
+  /** q209: changepoint by segmented least squares
+    * ([[Stats.bestBreakpoint]]) — which year boundary best splits each
+    * return flag's daily-revenue trend into two linear regimes. The
+    * SAME Scala literal list feeds the operator and the oracle, which
+    * replays the 12-sum moment aggregation, both SSE closes, the fixed
+    * two-segment add, and the argmin tie rule.
+    */
+  private[graft] val BreakCandidates: Seq[Long] =
+    (1993 to 1998).map(y => java.time.LocalDate.of(y, 1, 1).toEpochDay)
+
+  def breakpointRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev"))
+    Stats.bestBreakpoint(daily, Seq("l_returnflag"), "day", "rev",
+        BreakCandidates)
+      .orderBy("l_returnflag")
+  }
+
+  val breakpointRevenueSql: String = {
+    val cands = BreakCandidates.mkString("(", "), (", ")")
+    s"""WITH d AS (SELECT l_returnflag AS g,
+       |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+       |      AS x,
+       |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS y
+       |  FROM lineitem GROUP BY 1, 2),
+       |r AS (SELECT d.g, d.x, d.y, b.b,
+       |    CASE WHEN d.x >= b.b THEN 1 ELSE 0 END AS seg
+       |  FROM d CROSS JOIN (VALUES $cands) b(b)),
+       |m AS (SELECT g, b,
+       |    SUM(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS n0,
+       |    SUM(CASE WHEN seg = 0 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx0,
+       |    SUM(CASE WHEN seg = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy0,
+       |    SUM(CASE WHEN seg = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx0,
+       |    SUM(CASE WHEN seg = 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy0,
+       |    SUM(CASE WHEN seg = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy0,
+       |    SUM(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS n1,
+       |    SUM(CASE WHEN seg = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx1,
+       |    SUM(CASE WHEN seg = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy1,
+       |    SUM(CASE WHEN seg = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx1,
+       |    SUM(CASE WHEN seg = 1 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy1,
+       |    SUM(CASE WHEN seg = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy1
+       |  FROM r GROUP BY 1, 2),
+       |sc AS (SELECT g, b, n0, n1,
+       |    (CASE WHEN n0 = 0 THEN 0.0
+       |      WHEN n0 >= 2 AND CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+       |          - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE) > 0.0
+       |      THEN ((CAST(n0 AS DOUBLE) * CAST(syy0 AS DOUBLE)
+       |          - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+       |        - (CAST(n0 AS DOUBLE) * CAST(sxy0 AS DOUBLE)
+       |          - CAST(sx0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+       |          * (CAST(n0 AS DOUBLE) * CAST(sxy0 AS DOUBLE)
+       |          - CAST(sx0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+       |          / (CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+       |          - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)))
+       |        / CAST(n0 AS DOUBLE)
+       |      ELSE (CAST(n0 AS DOUBLE) * CAST(syy0 AS DOUBLE)
+       |          - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+       |        / CAST(n0 AS DOUBLE) END
+       |    + CASE WHEN n1 = 0 THEN 0.0
+       |      WHEN n1 >= 2 AND CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+       |          - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) > 0.0
+       |      THEN ((CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE)
+       |          - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+       |        - (CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE)
+       |          - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+       |          * (CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE)
+       |          - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+       |          / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+       |          - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)))
+       |        / CAST(n1 AS DOUBLE)
+       |      ELSE (CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE)
+       |          - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+       |        / CAST(n1 AS DOUBLE) END) AS sse
+       |  FROM m)
+       |SELECT g AS l_returnflag, b AS best_break,
+       |  CAST(FLOOR(sse / 1000000.0) AS BIGINT) AS sse_div1e6,
+       |  CAST(n0 AS BIGINT) AS n_before, CAST(n1 AS BIGINT) AS n_after
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+       |    ORDER BY sse ASC, b ASC) AS rn FROM sc)
+       |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q210: Shannon entropy profile ([[Profile.entropyReport]]) of the
+    * categorical columns — information content per column with the
+    * per-term floor-e6 quantization that keeps the ln sum an exact
+    * integer pipeline (the q158 DCG rule). Null counts as a value.
+    */
+  def entropyProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.entropyReport(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_quantity", "l_suppkey"))
+      .orderBy("column")
+
+  val entropyProfileSql: String =
+    """WITH u AS (
+      |  SELECT 'l_returnflag' AS col, CAST(l_returnflag AS VARCHAR) AS v
+      |    FROM lineitem
+      |  UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR)
+      |    FROM lineitem
+      |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS VARCHAR)
+      |    FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR)
+      |    FROM lineitem),
+      |c AS (SELECT col, v, COUNT(*) AS c FROM u GROUP BY 1, 2),
+      |a AS (SELECT col, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS st
+      |  FROM c GROUP BY 1)
+      |SELECT col AS column, n, n_distinct,
+      |  (CAST(FLOOR(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) - st) // n AS entropy_e6
+      |FROM a ORDER BY col""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -8205,7 +8321,9 @@ object Queries {
     "q205_assortativity" -> assortativityParts _,
     "q206_wilson_rank" -> wilsonReturns _,
     "q207_clamped_balance" -> clampedWallet _,
-    "q208_two_hop" -> twoHopParts _)
+    "q208_two_hop" -> twoHopParts _,
+    "q209_breakpoint" -> breakpointRevenue _,
+    "q210_entropy" -> entropyProfile _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -8414,5 +8532,7 @@ object Queries {
     "q205_assortativity" -> assortativityPartsSql,
     "q206_wilson_rank" -> wilsonReturnsSql,
     "q207_clamped_balance" -> clampedWalletSql,
-    "q208_two_hop" -> twoHopPartsSql)
+    "q208_two_hop" -> twoHopPartsSql,
+    "q209_breakpoint" -> breakpointRevenueSql,
+    "q210_entropy" -> entropyProfileSql)
 }

@@ -119,6 +119,38 @@ object Profile {
     *         cramers_v_e6); degenerate inputs (single category either
     *         side, or empty) yield zeros with dof 0 and null V
     */
+  /** Per-column Shannon entropy report — the information-content
+    * profile of categorical columns (a constant column carries 0 bits;
+    * an id column carries ln(n)): `H = ln(n) − (Σ c·ln c)/n` over the
+    * value counts. Float-sum discipline: each `c·ln c` term is
+    * floor-e6-quantized to a LONG before the sum (the q158 DCG rule —
+    * a raw double Σ would be reduction-order-dependent), so
+    * `h_e6 = (floor(1e6·n·ln n) − Σ floor(1e6·c·ln c)) div n` is an
+    * exact integer pipeline after the per-term ln.
+    *
+    * One melt + one (column, value) count + one column-grain close;
+    * null is counted as its own value (a 90%-null column is nearly
+    * constant — that IS the signal).
+    */
+  def entropyReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val melted = df.unpivot(
+      Array.empty,
+      cols.map(c => col(c).cast("string").as(c)).toArray,
+      "column", "value")
+    val counts = melted.groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("column"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1000000.0)).cast("long")).as("__st"))
+      .withColumn("entropy_e6", expr(
+        "(CAST(FLOOR(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) " +
+          "* 1000000.0) AS BIGINT) - __st) div n"))
+      .drop("__st")
+  }
+
   def association(df: DataFrame, colA: String, colB: String): DataFrame = {
     val cells = df
       .where(col(colA).isNotNull && col(colB).isNotNull)

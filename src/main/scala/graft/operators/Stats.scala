@@ -1417,6 +1417,79 @@ object Stats {
         expr(s"((1L + n_extreme) * 1000000L) div ${nPerms + 1}L"))
   }
 
+  /** Changepoint by SEGMENTED LEAST SQUARES — pick, from a literal
+    * candidate list, the breakpoint that minimizes the total SSE of
+    * two independent linear fits (before/after): the model-based
+    * changepoint detector that catches a SLOPE change where
+    * [[cusumShift]]'s mean-shift screen is blind. All moments are
+    * exact decimal sums; the per-segment SSE
+    * `(A_yy − A_xy²/A_xx)/n` (centered, n-scaled) closes in one fixed
+    * IEEE double sequence, the two segments add in a FIXED order (one
+    * expression, not a float aggregation), and the argmin tie-breaks
+    * to the smallest candidate — deterministic end to end.
+    *
+    * Degenerate segments fall back exactly: n < 2 or zero x-variance →
+    * mean-only SSE (A_yy/n); an empty segment contributes 0. Output
+    * per group: best breakpoint, total SSE div 1e6 (int64-ranged), and
+    * both segment sizes.
+    *
+    * One candidate explode (fan-out |candidates|), one map-side-
+    * combined 12-sum aggregation at (group, candidate) grain, one
+    * argmin window over |candidates| rows per group.
+    */
+  def bestBreakpoint(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idxCol: String,
+      valueCol: String,
+      candidates: Seq[Long]): DataFrame = {
+    require(candidates.nonEmpty && candidates.size <= 4096,
+      "candidates: 1 to 4096 literal breakpoints")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .where(col(idxCol).isNotNull && col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ col(idxCol).cast("long").as("__x") :+
+        col(valueCol).cast("long").as("__y")): _*)
+      .withColumn("b", explode(typedlit(candidates.sorted)))
+      .withColumn("__seg", (col("__x") >= col("b")).cast("int"))
+    val xd = col("__x").cast("decimal(38,0)")
+    val yd = col("__y").cast("decimal(38,0)")
+    def segSum(seg: Int, e: org.apache.spark.sql.Column) =
+      sum(when(col("__seg") === seg, e).otherwise(lit(0).cast(
+        "decimal(38,0)")))
+    def moments(seg: Int) = Seq(
+      sum(when(col("__seg") === seg, 1L).otherwise(0L)).as(s"__n$seg"),
+      segSum(seg, xd).as(s"__sx$seg"), segSum(seg, yd).as(s"__sy$seg"),
+      segSum(seg, xd * xd).as(s"__sxx$seg"),
+      segSum(seg, xd * yd).as(s"__sxy$seg"),
+      segSum(seg, yd * yd).as(s"__syy$seg"))
+    val agged = rows.groupBy((groupCols.map(col) :+ col("b")): _*)
+      .agg(moments(0).head, (moments(0).tail ++ moments(1)): _*)
+    def sse(seg: Int) = {
+      val n = col(s"__n$seg").cast("double")
+      val sx = col(s"__sx$seg").cast("double")
+      val sy = col(s"__sy$seg").cast("double")
+      val sxx = col(s"__sxx$seg").cast("double")
+      val sxy = col(s"__sxy$seg").cast("double")
+      val syy = col(s"__syy$seg").cast("double")
+      val axx = n * sxx - sx * sx
+      val axy = n * sxy - sx * sy
+      val ayy = n * syy - sy * sy
+      when(col(s"__n$seg") === 0, lit(0.0))
+        .when(col(s"__n$seg") >= 2 && axx > 0.0, (ayy - axy * axy / axx) / n)
+        .otherwise(ayy / n)
+    }
+    val scored = agged.withColumn("__sse", sse(0) + sse(1))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__sse").asc, col("b").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select((groupCols.map(col) :+ col("b").as("best_break") :+
+        floor(col("__sse") / lit(1000000.0)).cast("long")
+          .as("sse_div1e6") :+
+        col("__n0").as("n_before") :+ col("__n1").as("n_after")): _*)
+  }
+
   /** Wilson score LOWER BOUND for a binomial proportion — the
     * rank-by-confidence column every "best rated / most returned /
     * highest CTR" list should sort by instead of the raw ratio (a 1/1

@@ -204,4 +204,20 @@ class ProfileSpec extends SparkSuite {
     assert(plan.split("Range \\(").length - 1 == 1,
       s"expected exactly one scan of the source:\n$plan")
   }
+
+  test("entropyReport: uniform ln2, constant zero, nulls counted") {
+    import spark.implicits._
+    val df = Seq(("a", "k", Some("x")), ("a", "k", Some("x")),
+      ("b", "k", None), ("b", "k", None))
+      .toDF("u2", "const", "maybe")
+    val got = Profile.entropyReport(df, Seq("u2", "const", "maybe"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // two values x2 each: H = ln 2 with the per-term floors:
+    // (floor(4·ln4·1e6) − 2·floor(2·ln2·1e6)) div 4 = 693147
+    assert(got("u2") == ((4L, 2L, 693147L)), got.toString)
+    assert(got("const") == ((4L, 1L, 0L)), got.toString)
+    // null is a value: maybe = {x:2, null:2} — same entropy as u2
+    assert(got("maybe") == ((4L, 2L, 693147L)), got.toString)
+  }
 }

@@ -632,6 +632,23 @@ class StatsSpec extends SparkSuite {
     assert(rk.isNullAt(rk.fieldIndex("b0")), rk.toString)
   }
 
+  test("bestBreakpoint: finds the slope change; ties to smallest") {
+    // y = x below 10, flat 10 after: two perfect lines split at 10
+    val series = (0L until 20L).map(x =>
+      ("g", x, if (x < 10) x else 10L)).toDF("g", "x", "y")
+    val r = Stats.bestBreakpoint(series, Seq("g"), "x", "y",
+      Seq(5L, 10L, 15L)).head()
+    assert(r.getAs[Long]("best_break") == 10L, r.toString)
+    assert(r.getAs[Long]("sse_div1e6") == 0L, r.toString)
+    assert(r.getAs[Long]("n_before") == 10L &&
+      r.getAs[Long]("n_after") == 10L, r.toString)
+    // one global line: every candidate fits perfectly -> smallest wins
+    val line = (0L until 12L).map(x => ("g", x, 3 * x)).toDF("g", "x", "y")
+    val rl = Stats.bestBreakpoint(line, Seq("g"), "x", "y",
+      Seq(4L, 8L)).head()
+    assert(rl.getAs[Long]("best_break") == 4L, rl.toString)
+  }
+
   test("theilSen: outlier-immune median slope; grain guard") {
     // 0,10,20 then a wild outlier at x=3: median pairwise slope stays 10
     val df = Seq(("g", 0L, 0L), ("g", 1L, 10L), ("g", 2L, 20L),
