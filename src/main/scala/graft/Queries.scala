@@ -7587,18 +7587,21 @@ object Queries {
     * (signed double-floor e6) and the lower nearest-rank median.
     */
   def theilSenRevenue(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "lineitem")
+    // WEEK grain: the O(n²) pair scan is the statistic's cost — ~360
+    // weeks/group keeps it ~65k pairs where day grain would be ~3M
+    val weekly = t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"),
-        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("day"))
+        expr("datediff(to_date(l_shipdate), DATE '1970-01-01') div 7")
+          .as("week"))
       .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev"))
-    Stats.theilSen(daily, Seq("l_returnflag"), "day", "rev")
+    Stats.theilSen(weekly, Seq("l_returnflag"), "week", "rev")
       .orderBy("l_returnflag")
   }
 
   val theilSenRevenueSql: String =
     """WITH d AS (SELECT l_returnflag AS g,
       |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-      |      AS x,
+      |      // 7 AS x,
       |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
       |      AS BIGINT) AS y
       |  FROM lineitem GROUP BY 1, 2),

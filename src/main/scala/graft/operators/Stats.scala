@@ -1199,11 +1199,14 @@ object Stats {
       x1Col: String,
       x2Col: String,
       yCol: String): DataFrame = {
-    val x1 = scaledX(x1Col)
-    val x2 = scaledX(x2Col)
-    val y = scaledX(yCol)
+    // guard ONCE in a projection — evaluating the guarded cast inside
+    // all ten aggregate expressions defeats codegen subexpression
+    // sharing and was measured 10x slower at sf0.1
     val rows = df.where(col(x1Col).isNotNull && col(x2Col).isNotNull &&
-      col(yCol).isNotNull)
+        col(yCol).isNotNull)
+      .select((groupCols.map(col) :+ scaledX(x1Col).as("__x1") :+
+        scaledX(x2Col).as("__x2") :+ scaledX(yCol).as("__yv")): _*)
+    val (x1, x2, y) = (col("__x1"), col("__x2"), col("__yv"))
     val agged = rows.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(x1).as("__s1"), sum(x2).as("__s2"), sum(y).as("__sy"),

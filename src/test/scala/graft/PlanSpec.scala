@@ -394,4 +394,27 @@ class PlanSpec extends SparkSuite {
         s"$q planned a GLOBAL window over row-grain input:\n$lp"))
     }
   }
+
+  test("round-5 additions: equi-joins only where the design says equi") {
+    // k-means assignment joins on pos; bootstrap draws join on (group,
+    // idx); two-hop wedges join on the middle — none of these may
+    // degenerate into a Cartesian/nested-loop product
+    Seq("q204_kmeans", "q188_bootstrap_ci", "q208_two_hop",
+        "q203_prototype_eval").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q has a Cartesian product:\n$p")
+    }
+  }
+
+  test("q195/q207 event windows stay user-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    Seq("q195_dwell_time", "q207_clamped_balance").foreach { q =>
+      val lp = Queries.all(q)(spark, sf).queryExecution.optimizedPlan
+      val ws = lp.collect { case w: logical.Window => w }
+      assert(ws.nonEmpty, s"$q expected a window")
+      ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q planned a GLOBAL window over row-grain input:\n$lp"))
+    }
+  }
 }
