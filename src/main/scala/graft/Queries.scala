@@ -8115,6 +8115,99 @@ object Queries {
       |    * 1000000.0) AS BIGINT) - st) // n AS entropy_e6
       |FROM a ORDER BY col""".stripMargin
 
+  /** q211: sorted-neighborhood near-dup blocking
+    * ([[Dedup.sortedNeighborhoodPairs]], Hernández–Stolfo) — the third
+    * blocking family (sort windows vs LSH's hash buckets vs deletion
+    * neighborhoods), verified by exact token Jaccard. The oracle
+    * replays the sorted-token key, the prefix block, the rank window,
+    * the offset join, and every Jaccard.
+    */
+  def sortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"),
+        "doc_id", "text", window = 5, threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
+  val sortedNeighborhoodSql: String =
+    s"""WITH tok AS (SELECT doc_id AS id,
+       |    list_sort(list_distinct($duckToks)) AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |nz AS (SELECT id, ts, array_to_string(ts, ' ') AS key
+       |  FROM tok WHERE len(ts) > 0),
+       |rk AS (SELECT id, ts, substr(key, 1, 2) AS blk,
+       |    row_number() OVER (PARTITION BY substr(key, 1, 2)
+       |      ORDER BY key ASC, id ASC) AS rn
+       |  FROM nz),
+       |cand AS (SELECT a.id AS ia, b.id AS ib, a.ts AS ta, b.ts AS tb
+       |  FROM rk a JOIN rk b ON b.blk = a.blk
+       |    AND b.rn BETWEEN a.rn + 1 AND a.rn + 5),
+       |j AS (SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b,
+       |    round(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+       |      / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 4)
+       |      AS jaccard
+       |  FROM cand)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q212: blocking-strategy evaluation — sorted-neighborhood recall
+    * against the EXACT word-unit Jaccard truth ([[SetSimJoin]]):
+    * n_true, n_found, hits, completeness ppm, and the candidate
+    * reduction vs all pairs. The honest readout every blocking choice
+    * owes its users (the no-silent-caps rule, applied to recall).
+    */
+  def blockingEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val truth = SetSimJoin.tokenJaccardSelfPairs(docs, "doc_id", "text",
+        thresholdPpm = 700000L)
+      .select(col("id_a"), col("id_b"))
+    val found = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 5, threshold = 0.7)
+      .select(col("id_a"), col("id_b"))
+    val nDocs = docs.where(col("text").isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nf = found.agg(count(lit(1)).as("n_found"))
+    val hit = found.join(truth, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nDocs.crossJoin(nt).crossJoin(nf).crossJoin(hit)
+      .withColumn("completeness_ppm",
+        when(col("n_true") > 0, expr("n_hits * 1000000L div n_true")))
+  }
+
+  val blockingEvalSql: String =
+    s"""WITH tok AS (SELECT doc_id AS id,
+       |    list_sort(list_distinct($duckToks)) AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |nz AS (SELECT id, ts, array_to_string(ts, ' ') AS key
+       |  FROM tok WHERE len(ts) > 0),
+       |truth AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM nz a JOIN nz b ON a.id < b.id
+       |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) * 1000000
+       |    >= CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+       |       AS BIGINT) * 700000),
+       |rk AS (SELECT id, ts, substr(key, 1, 2) AS blk,
+       |    row_number() OVER (PARTITION BY substr(key, 1, 2)
+       |      ORDER BY key ASC, id ASC) AS rn
+       |  FROM nz),
+       |found AS (SELECT DISTINCT LEAST(a.id, b.id) AS id_a,
+       |    GREATEST(a.id, b.id) AS id_b
+       |  FROM rk a JOIN rk b ON b.blk = a.blk
+       |    AND b.rn BETWEEN a.rn + 1 AND a.rn + 5
+       |  WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |      / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+       |      4) >= 0.7),
+       |m AS (SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |     WHERE text IS NOT NULL) AS n_docs,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM found f
+       |     WHERE EXISTS (SELECT 1 FROM truth t
+       |       WHERE t.id_a = f.id_a AND t.id_b = f.id_b)) AS n_hits)
+       |SELECT n_docs, n_true, n_found, n_hits,
+       |  CASE WHEN n_true > 0 THEN n_hits * 1000000 // n_true END
+       |    AS completeness_ppm
+       |FROM m""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -8326,7 +8419,9 @@ object Queries {
     "q207_clamped_balance" -> clampedWallet _,
     "q208_two_hop" -> twoHopParts _,
     "q209_breakpoint" -> breakpointRevenue _,
-    "q210_entropy" -> entropyProfile _)
+    "q210_entropy" -> entropyProfile _,
+    "q211_sorted_neighborhood" -> sortedNeighborhood _,
+    "q212_blocking_eval" -> blockingEval _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -8537,5 +8632,7 @@ object Queries {
     "q207_clamped_balance" -> clampedWalletSql,
     "q208_two_hop" -> twoHopPartsSql,
     "q209_breakpoint" -> breakpointRevenueSql,
-    "q210_entropy" -> entropyProfileSql)
+    "q210_entropy" -> entropyProfileSql,
+    "q211_sorted_neighborhood" -> sortedNeighborhoodSql,
+    "q212_blocking_eval" -> blockingEvalSql)
 }

@@ -674,4 +674,64 @@ object Dedup {
       .agg(count(lit(1)).as("hits")) // shingles are distinct per doc
       .where(col("hits") >= minHits)
   }
+
+  /** SORTED-NEIGHBORHOOD near-dup blocking (Hernández–Stolfo) — the
+    * third blocking family next to [[minhashLSH]] (hash buckets) and
+    * [[graft.operators.FuzzyJoin]] (deletion neighborhoods): sort the
+    * corpus by a similarity-preserving key and compare each doc only
+    * to its `window` successors. The key here is the SORTED DISTINCT
+    * TOKEN STRING — near-duplicate documents share most tokens, so
+    * their sorted-token strings share long prefixes and land adjacent
+    * in the sort; candidates verify by exact token Jaccard.
+    *
+    * Method contract (SN is approximate BY DESIGN, like LSH's bands):
+    * only pairs whose keys agree on the first `prefixChars` characters
+    * AND sit within `window` sort positions become candidates — the
+    * prefix block keeps every sort window PARTITIONED (no global
+    * row-grain window, the PlanSpec rule) and is part of the recall
+    * contract, not a hidden cap. Candidate count is ≤ n·window.
+    *
+    * @return (id_a, id_b, jaccard) — canonical id order, Jaccard
+    *         rounded to 4 (the q20 convention), ≥ threshold
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 5,
+      threshold: Double = 0.7,
+      prefixChars: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 64, "window in [1, 64]")
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(prefixChars >= 1 && prefixChars <= 16, "prefixChars in [1, 16]")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        array_sort(array_distinct(
+          graft.functions.TextFunctions.tokens(col(textCol)))).as("__ts"))
+      .where(size(col("__ts")) > 0)
+      .withColumn("__key", concat_ws(" ", col("__ts")))
+      .withColumn("__blk", substring(col("__key"), 1, prefixChars))
+    val w = Window.partitionBy(col("__blk"))
+      .orderBy(col("__key").asc, col("__id").asc)
+    val ranked = toks.withColumn("__rn", row_number().over(w))
+      .select(col("__blk"), col("__rn"), col("__id"), col("__ts"))
+    val right = ranked.select(col("__blk").as("__blk2"),
+      col("__rn").as("__rn2"), col("__id").as("__idb"),
+      col("__ts").as("__tsb"))
+    val cand = ranked
+      .withColumn("__off", explode(typedlit((1 to window).toList)))
+      .join(right, col("__blk2") === col("__blk") &&
+        col("__rn2") === col("__rn") + col("__off"))
+    val inter = size(array_intersect(col("__ts"), col("__tsb")))
+    cand
+      .withColumn("__i", inter)
+      .withColumn("__u",
+        size(col("__ts")) + size(col("__tsb")) - col("__i"))
+      .withColumn("jaccard",
+        round(col("__i").cast("double") / col("__u").cast("double"), 4))
+      .where(col("jaccard") >= threshold)
+      .select(least(col("__id"), col("__idb")).as("id_a"),
+        greatest(col("__id"), col("__idb")).as("id_b"), col("jaccard"))
+  }
 }

@@ -198,4 +198,32 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((100L, 1L)), s"got $got")
   }
+
+  test("sortedNeighborhoodPairs: near-dups land adjacent and verify") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // jac 5/6 = 0.8333
+      (3L, "alpha beta gamma unrelated suffix words here"), // low jac
+      (4L, "zz completely different vocabulary entirely"),
+      (5L, "zz completely different vocabulary entirely extra")) // 5/6
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 3, threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == Set((1L, 2L), (4L, 5L)), got.toString)
+    assert(got((1L, 2L)) == 0.8333, got.toString)
+    // the prefix block is part of the contract: docs whose sorted-token
+    // strings differ in the first 2 chars are never candidates — (1,4)
+    // can't pair no matter the window
+    val one = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      window = 64, threshold = 0.0001)
+    assert(!one.as[(Long, Long, Double)].collect()
+      .exists(r => r._1 == 1L && r._2 == 4L))
+    // deterministic under repartition
+    val a = Dedup.sortedNeighborhoodPairs(docs.repartition(5), "doc_id",
+        "text", window = 3, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a.map(r => (r._1, r._2)) == Seq((1L, 2L), (4L, 5L)), a.toString)
+  }
 }
