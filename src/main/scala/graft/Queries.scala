@@ -8208,6 +8208,49 @@ object Queries {
        |    AS completeness_ppm
        |FROM m""".stripMargin
 
+  /** q213: NATIVE session windows — Spark's `session_window()`
+    * (SessionWindow/TimeWindow family, the engine-native sibling of
+    * the custom [[Sessionize]] operator): 30-minute-gap sessions per
+    * user as one groupBy, no window/state code. Semantics pinned by
+    * the oracle's islands replay: events merge while the gap is
+    * STRICTLY under 30 min (the window is [start, last+gap)), session
+    * end = last event + gap.
+    */
+  def nativeSessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tstamp"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    e.groupBy(col("user_id"),
+        session_window(col("tstamp"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("cents"))
+      .orderBy("user_id", "start_us")
+  }
+
+  val nativeSessionWindowsSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+      |l AS (SELECT user_id, us, cents,
+      |    LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS pus
+      |  FROM e),
+      |o AS (SELECT user_id, us, cents,
+      |    CASE WHEN pus IS NULL OR us - pus >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM l),
+      |s AS (SELECT user_id, us, cents,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM o)
+      |SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+      |  CAST(MAX(us) + 1800000000 AS BIGINT) AS end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -8421,7 +8464,8 @@ object Queries {
     "q209_breakpoint" -> breakpointRevenue _,
     "q210_entropy" -> entropyProfile _,
     "q211_sorted_neighborhood" -> sortedNeighborhood _,
-    "q212_blocking_eval" -> blockingEval _)
+    "q212_blocking_eval" -> blockingEval _,
+    "q213_native_sessions" -> nativeSessionWindows _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -8634,5 +8678,6 @@ object Queries {
     "q209_breakpoint" -> breakpointRevenueSql,
     "q210_entropy" -> entropyProfileSql,
     "q211_sorted_neighborhood" -> sortedNeighborhoodSql,
-    "q212_blocking_eval" -> blockingEvalSql)
+    "q212_blocking_eval" -> blockingEvalSql,
+    "q213_native_sessions" -> nativeSessionWindowsSql)
 }

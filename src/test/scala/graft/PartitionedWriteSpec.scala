@@ -34,4 +34,28 @@ class PartitionedWriteSpec extends SparkSuite {
     assert(en.count() == expected)
     assert(expected > 0)
   }
+
+  test("dynamic partition pruning: a dim filter prunes the fact scan") {
+    // the 100 TB join shape: fact partitioned by a key, dim filtered at
+    // runtime — DPP must push the dim's surviving keys into the fact
+    // scan's PARTITION filters (a static plan would read every
+    // partition and filter rows post-scan)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = docs.select(col("lang").as("d_lang"),
+        col("n_chars").as("d_n")).distinct()
+      .where(col("d_n") > 100) // runtime-selective predicate
+    val joined = fact.join(broadcast(dim), col("lang") === col("d_lang"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in the fact " +
+        s"scan's partition filters:\n$p")
+    // and the join answer matches the un-partitioned equivalent
+    val want = docs.join(broadcast(dim), col("lang") === col("d_lang"))
+      .count()
+    assert(joined.count() == want && want > 0)
+  }
 }
