@@ -8251,6 +8251,99 @@ object Queries {
       |  CAST(SUM(cents) AS BIGINT) AS cents
       |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
 
+  /** q214: SKYLINE (Pareto frontier) — parts not dominated on the
+    * (min price ASC-better, max quantity DESC-better) plane: the
+    * classic preference-query operator, computed WITHOUT the naive
+    * all-pairs dominance join: under the total order (price ASC, qty
+    * DESC, id ASC) every dominator precedes its victim, so one
+    * running-max window decides dominance in a single pass (duplicate
+    * profiles keep the lowest id — the deterministic convention).
+    * The window is global but DIMENSION-grain (the part summary table,
+    * never facts — the equiDepthBins boundedness rule). The oracle is
+    * the brute-force NOT EXISTS dominance definition — a different
+    * algorithm, same frontier.
+    */
+  def skylineParts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (floor-mean price, total quantity): a plane with a real frontier
+    // — min/max profiles collapse to one dominator on this data
+    val parts = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(expr("sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) " +
+          "div count(1)").as("best_price"),
+        sum(floor(col("l_quantity")).cast("long")).as("best_qty"))
+    val w = Window.orderBy(col("best_price").asc, col("best_qty").desc,
+        col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.withColumn("__rm", max(col("best_qty")).over(w))
+      .where(col("__rm").isNull || col("best_qty") > col("__rm"))
+      .drop("__rm")
+      .orderBy("best_price", "l_partkey")
+  }
+
+  val skylinePartsSql: String =
+    """WITH p AS (SELECT l_partkey,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+      |      // COUNT(*) AS BIGINT) AS best_price,
+      |    CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+      |      AS best_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_partkey, best_price, best_qty FROM p
+      |WHERE NOT EXISTS (SELECT 1 FROM p q
+      |  WHERE q.best_price <= p.best_price AND q.best_qty >= p.best_qty
+      |    AND (q.best_price < p.best_price OR q.best_qty > p.best_qty
+      |         OR q.l_partkey < p.l_partkey))
+      |ORDER BY best_price, l_partkey""".stripMargin
+
+  /** q215: BITEMPORAL as-known-at query — two time axes: what was the
+    * order book VALID on V = 1996-01-01, AS KNOWN ON R = 1996-06-01,
+    * over a corrections log (every order recorded at its order date;
+    * every third order re-recorded 10 days later with a +10% price
+    * correction)? Belief selection = latest version with recorded ≤ R
+    * per order (one window), validity = orderdate ≤ V (a filter) —
+    * the audit query SCD2 alone (one axis) cannot answer.
+    */
+  def bitemporalBook(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), to_date(col("o_orderdate")).as("odate"),
+      col("o_totalprice"))
+    val v1 = o.select(col("o_orderkey"), col("o_orderstatus"),
+      col("odate"), col("odate").as("recorded"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val v2 = o.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("odate"),
+        date_add(col("odate"), 10).as("recorded"),
+        floor(col("o_totalprice") * 110).cast("long").as("cents"))
+    val log = v1.unionByName(v2)
+    val known = log.where(col("recorded") <= lit("1996-06-01"))
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("recorded").desc)
+    known.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("odate") <= lit("1996-01-01"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("book_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  val bitemporalBookSql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_orderdate AS DATE) AS odate, o_totalprice FROM orders),
+      |log AS (
+      |  SELECT o_orderkey, o_orderstatus, odate, odate AS recorded,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM o
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, odate, odate + 10,
+      |    CAST(FLOOR(o_totalprice * 110) AS BIGINT) FROM o
+      |  WHERE o_orderkey % 3 = 0),
+      |known AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |    ORDER BY recorded DESC) AS rn
+      |  FROM log WHERE recorded <= DATE '1996-06-01')
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS book_cents
+      |FROM known WHERE rn = 1 AND odate <= DATE '1996-01-01'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -8465,7 +8558,9 @@ object Queries {
     "q210_entropy" -> entropyProfile _,
     "q211_sorted_neighborhood" -> sortedNeighborhood _,
     "q212_blocking_eval" -> blockingEval _,
-    "q213_native_sessions" -> nativeSessionWindows _)
+    "q213_native_sessions" -> nativeSessionWindows _,
+    "q214_skyline" -> skylineParts _,
+    "q215_bitemporal" -> bitemporalBook _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -8679,5 +8774,7 @@ object Queries {
     "q210_entropy" -> entropyProfileSql,
     "q211_sorted_neighborhood" -> sortedNeighborhoodSql,
     "q212_blocking_eval" -> blockingEvalSql,
-    "q213_native_sessions" -> nativeSessionWindowsSql)
+    "q213_native_sessions" -> nativeSessionWindowsSql,
+    "q214_skyline" -> skylinePartsSql,
+    "q215_bitemporal" -> bitemporalBookSql)
 }

@@ -206,4 +206,23 @@ class ChangeCaptureSpec extends SparkSuite {
       "k", "ts", "tie", "op", "grp", "v")
     assert(ChangeCapture.applyAggDelta(baseAgg, delta, "grp").count() == 0L)
   }
+
+  test("applyCdc is idempotent: replaying a delivered batch is a no-op") {
+    // the exactly-once-sink property a foreachBatch retry relies on:
+    // applying the same change batch twice must equal applying it once
+    // (latest-wins picks the identical winner; upserts overwrite with
+    // the same values; deletes stay deleted)
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val batch = Seq((1L, 10L, 1L, "U", "a2"), (2L, 10L, 1L, "D", null),
+        (4L, 11L, 1L, "U", "d"))
+      .toDF("id", "ts", "tie", "op", "v")
+    val once = ChangeCapture.applyCdc(base, batch, "id", "ts", "tie",
+      "op", Seq("v")).localCheckpoint(true)
+    val twice = ChangeCapture.applyCdc(once, batch, "id", "ts", "tie",
+      "op", Seq("v"))
+    val a = once.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val b = twice.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(a == b, s"replay changed the snapshot: $a vs $b")
+    assert(a == Seq((1L, "a2"), (3L, "c"), (4L, "d")), a.toString)
+  }
 }
