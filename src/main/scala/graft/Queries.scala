@@ -8344,6 +8344,56 @@ object Queries {
       |FROM known WHERE rn = 1 AND odate <= DATE '1996-01-01'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q216: personalized PageRank ([[Graph.personalizedPageRank]],
+    * restart to customers {1, 2, 3}, 6 iterations) over the q97
+    * customer↔part graph — importance RELATIVE to a seed history, the
+    * recommend-from-history walk. The oracle unrolls all six
+    * iterations of the identical seed-grossed integer arithmetic.
+    * Top 25 NON-seed nodes by (rank, id).
+    */
+  def pprParts(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val fwd = l.join(broadcast(o), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_partkey") + 10000000L).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.personalizedPageRank(edges, Seq(1L, 2L, 3L), iterations = 6)
+      .where(!col("id").isin(1L, 2L, 3L))
+      .orderBy(col("rank").desc, col("id").asc).limit(25)
+  }
+
+  val pprPartsSql: String = {
+    val iters = (1 to 6).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.id,
+         |    (CASE WHEN n.id IN (1, 2, 3)
+         |       THEN (nn.n * 150000000000) // 3 ELSE 0 END)
+         |    + (85 * COALESCE(inf.s, 0)) // 100 AS rank
+         |  FROM nodes n CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(r.rank // deg.d) AS BIGINT) AS s
+         |    FROM r${i - 1} r JOIN e ON e.src = r.id
+         |    JOIN deg ON deg.src = r.id
+         |    GROUP BY e.dst) inf ON inf.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+       |    CAST(l.l_partkey + 10000000 AS BIGINT) AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM fwd
+       |  UNION SELECT dst, src FROM fwd),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |r0 AS (SELECT n.id, CASE WHEN n.id IN (1, 2, 3)
+       |    THEN (nn.n * 150000000000) // 3 ELSE CAST(0 AS BIGINT) END
+       |    AS rank
+       |  FROM nodes n CROSS JOIN nn),
+       |$iters
+       |SELECT id, rank FROM r6 WHERE id NOT IN (1, 2, 3)
+       |ORDER BY rank DESC, id ASC LIMIT 25""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -8560,7 +8610,8 @@ object Queries {
     "q212_blocking_eval" -> blockingEval _,
     "q213_native_sessions" -> nativeSessionWindows _,
     "q214_skyline" -> skylineParts _,
-    "q215_bitemporal" -> bitemporalBook _)
+    "q215_bitemporal" -> bitemporalBook _,
+    "q216_ppr" -> pprParts _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -8776,5 +8827,6 @@ object Queries {
     "q212_blocking_eval" -> blockingEvalSql,
     "q213_native_sessions" -> nativeSessionWindowsSql,
     "q214_skyline" -> skylinePartsSql,
-    "q215_bitemporal" -> bitemporalBookSql)
+    "q215_bitemporal" -> bitemporalBookSql,
+    "q216_ppr" -> pprPartsSql)
 }

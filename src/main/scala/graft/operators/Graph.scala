@@ -102,6 +102,79 @@ object Graph {
     rank
   }
 
+  /** PERSONALIZED PageRank — random walk with restart to a SEED set:
+    * the "importance relative to these entities" score behind
+    * recommend-from-history and local community detection, versus
+    * [[pageRank]]'s global prior. Identical integer-scaled iteration
+    * except the teleport mass lands ONLY on seeds:
+    *
+    *   rank_{i+1}(v) = 1[v ∈ seeds]·(scale·(100−d) div 100)·n/|seeds|
+    *                 + (d · Σ_{u→v} rank_i(u) div outdeg(u)) div 100
+    *
+    * (the seed base is grossed up by n/|seeds| so total restart mass
+    * matches the global variant's — scores stay comparable across seed
+    * set sizes). Same loud-overflow bound, same per-iteration one-join
+    * one-aggregate shape, same unrollable-oracle property as
+    * [[pageRank]]; non-seed nodes keep only inherited mass, so scores
+    * decay with distance from the seeds — exactly the point.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      iterations: Int = 10,
+      dampingPct: Int = 85,
+      scale: Long = 1000000000000L,
+      checkpointInterval: Int = 4,
+      broadcastRanks: Boolean = true): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank: need at least one seed")
+    require(checkpointInterval >= 1, "checkpointInterval must be positive")
+    require(iterations >= 1 && iterations <= 64, "iterations in [1, 64]")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
+    require(scale >= 100L, "scale under 100 floors the damped base to 0")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val isSeed = col("id").isin(seeds: _*)
+    // grossed-up seed base: (n · scale·(100−d) div 100) div |seeds|,
+    // computed against the lazily-derived node count (one-row fold, the
+    // tfidf N rule — no eager driver count)
+    val baseUnit = scale / 100 * (100 - dampingPct) +
+      scale % 100 * (100 - dampingPct) / 100
+    val nNodes = nodes.agg(count(lit(1)).as("__n"))
+    def side(df: DataFrame): DataFrame =
+      if (broadcastRanks) broadcast(df) else df
+    var rank = nodes.crossJoin(broadcast(nNodes))
+      .select(col("id"),
+        when(isSeed, expr(s"(__n * ${baseUnit}L) div ${seeds.size}L"))
+          .otherwise(0L).as("rank"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(side(rank.withColumnRenamed("id", "src")), Seq("src"))
+        .join(side(deg.withColumnRenamed("id", "src")
+          .withColumnRenamed("deg", "d")), Seq("src"))
+        .select(col("dst").as("id"), expr("rank div d").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      rank = nodes.join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(nNodes))
+        .select(col("id"),
+          (when(isSeed, expr(s"(__n * ${baseUnit}L) div ${seeds.size}L"))
+            .otherwise(0L) +
+            expr(s"($dampingPct * coalesce(inflow, 0L)) div 100"))
+            .as("rank"))
+      i += 1
+      if (i % checkpointInterval == 0 && i < iterations)
+        rank = rank.localCheckpoint(true)
+    }
+    rank
+  }
+
   /** HITS (Kleinberg hubs & authorities) over a DIRECTED graph —
     * [[pageRank]]'s bipartite-flavored sibling: a node is a good HUB if
     * it points at good authorities, a good AUTHORITY if good hubs point

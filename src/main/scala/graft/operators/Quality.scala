@@ -201,6 +201,27 @@ object Quality {
         graft.functions.PortableHash.hash60(col(c), salt)))
     }
 
+  /** ZERO-COST observed quality metrics — Spark's native
+    * `Dataset.observe` (CollectMetrics): the same violation counters
+    * [[run]] computes, attached to an EXISTING job instead of a second
+    * scan. The production shape for "count violations while writing
+    * the output anyway": metrics ride the write job's pass over the
+    * data and surface through the Observation handle / query-listener
+    * events, so a 100 TB write pays nothing extra for its quality
+    * readout. Returns the instrumented frame and the handle;
+    * `observation.get` blocks until an ACTION on the frame completes.
+    */
+  def observed(
+      df: DataFrame,
+      checks: Seq[Check]): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(checks.nonEmpty, "need at least one check")
+    val obs = org.apache.spark.sql.Observation()
+    // rowViolation is already a 0/1 integer expression
+    val aggs = count(lit(1)).as("n_rows") +:
+      checks.map(c => sum(rowViolation(c).cast("long")).as(c.name))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Ingest ARRIVAL-health report — the diagnostics a streaming
     * pipeline's batch-side audit runs to size watermarks and dedup
     * state before turning them on: per key (event type), duplicate-id

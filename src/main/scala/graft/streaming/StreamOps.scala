@@ -91,6 +91,36 @@ object StreamOps {
         col("view_id"), col("click_ts"), col("view_ts"))
   }
 
+  /** LEFT-OUTER stream-stream join — [[clickViewJoin]] with the
+    * unmatched clicks KEPT: the attribution-completeness view ("every
+    * click, with its view if one preceded it in-window"). Outer rows
+    * (null view columns) are emitted only once the watermark proves no
+    * matching view can still arrive — the join-state eviction point —
+    * so the output is append-correct, never retracted. Both sides need
+    * watermarks AND the time-interval condition; without them Spark
+    * (correctly) refuses, because outer state would be unbounded.
+    */
+  def clickViewJoinOuter(
+      clicks: DataFrame,
+      views: DataFrame,
+      windowSeconds: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .alias("c")
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+      .alias("v")
+    c.join(v, expr(
+      s"""c.user_id = v_user_id AND
+         |view_ts > click_ts - interval $windowSeconds seconds AND
+         |view_ts <= click_ts""".stripMargin), "left_outer")
+      .select(col("click_id"), col("c.user_id").as("user_id"),
+        col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
   /** Document record for the streaming admission gate. */
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
 

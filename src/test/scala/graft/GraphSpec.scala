@@ -187,6 +187,25 @@ class GraphSpec extends SparkSuite {
     assert(p(1L) == ((4L, Some(333333L))), p.toString) // 2 tri / 6 wedges
   }
 
+  test("personalizedPageRank: mass restarts at seeds and decays out") {
+    // path 1 -> 2 -> 3, seed {1}, one iteration:
+    // seedBase = 3 * 1.5e11 div 1 = 4.5e11
+    // r1(1) = 4.5e11; r1(2) = 85*4.5e11 div 100; r1(3) = 0
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Graph.personalizedPageRank(edges, Seq(1L), iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 450000000000L, 2L -> 382500000000L, 3L -> 0L),
+      r1.toString)
+    // more iterations: mass reaches 3 but still decays with distance
+    val r3 = Graph.personalizedPageRank(edges, Seq(1L), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3(1L) > r3(2L) && r3(2L) > r3(3L) && r3(3L) > 0L, r3.toString)
+    // seedless guard
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq.empty)
+    }
+  }
+
   test("twoHopPairs: path/cycle counts; direct pairs and hubs excluded") {
     // path 1-2-3: (1,3) share middle 2
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")

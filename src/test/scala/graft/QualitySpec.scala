@@ -101,6 +101,27 @@ class QualitySpec extends SparkSuite {
       r.getLong(4) == -r.getLong(3)))
   }
 
+  test("observed: CollectMetrics counters equal Quality.run, one scan") {
+    val df = Seq((1.0, "click"), (5.0, "buy"), (2.0, "view"),
+      (-1.0, "click")).toDF("value", "event_type")
+    val checks: Seq[Quality.Check] = Seq(
+      Quality.InRange("value", 0.0, 2.0, maxPpm = 500000L),
+      Quality.InSet("event_type", Seq("click", "view")))
+    val (instrumented, obs) = Quality.observed(df, checks)
+    // metrics ride an ordinary action — here a count, in production
+    // the output write
+    assert(instrumented.count() == 4L)
+    val m = obs.get
+    assert(m("n_rows") == 4L, m.toString)
+    assert(m("in_range(value)") == 2L, m.toString) // 5.0 and -1.0
+    assert(m("in_set(event_type)") == 1L, m.toString) // "buy"
+    // parity with the dedicated report operator
+    val report = Quality.run(df, checks).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report("in_range(value)") == 2L &&
+      report("in_set(event_type)") == 1L, report.toString)
+  }
+
   test("arrivalHealth: dup ids, strict event-time regressions only") {
     // user 1 arrives (by id): ts 10, 5 (regression), 20, 20 (tie, NOT a
     // regression); ids 1,2,3,3 -> one duplicate id

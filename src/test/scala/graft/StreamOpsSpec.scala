@@ -122,6 +122,38 @@ class StreamOpsSpec extends SparkSuite {
     assert(pairs == Seq((1L, 11L)), s"got $pairs")
   }
 
+  test("clickViewJoinOuter: matches pair; orphans flush after watermark") {
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = StreamOps.clickViewJoinOuter(
+      clicks.toDF(), views.toDF(), windowSeconds = 5 * 60, "2 minutes")
+    val name = s"ssjo_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val rows = try {
+      views.addData(Seq(Event(11, ts(4), 1, "view", 0)))
+      // click 1 has an in-window view; click 2 (user 5) has none
+      clicks.addData(Seq(Event(1, ts(5), 1, "click", 0),
+        Event(2, ts(5), 5, "click", 0)))
+      q.processAllAvailable()
+      // push both watermarks far past click 2's join window so the
+      // orphan's "no view can still arrive" proof lands and it emits
+      views.addData(Seq(Event(19, ts(120), 9, "view", 0)))
+      clicks.addData(Seq(Event(9, ts(120), 9, "click", 0)))
+      q.processAllAvailable()
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+    // judge only clicks 1 and 2 — the watermark-advancing pair (9, 19)
+    // legitimately matches itself and is not under test
+    val matched = rows.filter(r => !r.isNullAt(2) && r.getLong(0) <= 2)
+      .map(r => (r.getLong(0), r.getLong(2))).sorted
+    assert(matched == Seq((1L, 11L)), s"got $matched")
+    // the orphan click emitted exactly once, with null view columns
+    val orphans = rows.filter(r => r.isNullAt(2)).map(_.getLong(0))
+    assert(orphans.contains(2L), s"orphan click missing: $rows")
+    assert(orphans.count(_ == 2L) == 1, s"orphan emitted twice: $rows")
+  }
+
   test("sessionize: gap closes a session, timeout flushes the last one") {
     val input = MemoryStream[Event]
     val sessions = StreamOps.sessionize(input.toDS(), gapMs = 5 * 60000L, "1 minutes")
