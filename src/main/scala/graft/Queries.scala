@@ -8394,6 +8394,92 @@ object Queries {
        |ORDER BY rank DESC, id ASC LIMIT 25""".stripMargin
   }
 
+  /** q217: event-path CONFORMANCE — each user's first-10-step
+    * type-initial path scored by Levenshtein distance against the
+    * canonical "svcp" journey (signup → view → click → purchase), the
+    * sequence-QA screen behind onboarding funnels; reported as a
+    * distance histogram. Path assembly is the deterministic
+    * sort_array-of-structs fold (collect_list alone is
+    * partition-order-dependent); Levenshtein is the same textbook
+    * recurrence in both engines (the q150 parity precedent).
+    */
+  def pathConformance(s: SparkSession, dir: String): DataFrame = {
+    val paths = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy(col("user_id"))
+      .agg(array_join(expr(
+        "transform(slice(array_sort(collect_list(" +
+          "struct(ts, event_id, ini))), 1, 10), x -> x.ini)"), "")
+        .as("path"))
+    paths.select(levenshtein(col("path"), lit("svcp")).as("distance"))
+      .groupBy(col("distance")).agg(count(lit(1)).as("n_users"))
+      .orderBy("distance")
+  }
+
+  val pathConformanceSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id,
+      |    substr(event_type, 1, 1) AS ini FROM events),
+      |rk AS (SELECT user_id, ini,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY tns, event_id) AS rn
+      |  FROM e),
+      |p AS (SELECT user_id,
+      |    string_agg(ini, '' ORDER BY rn) AS path
+      |  FROM rk WHERE rn <= 10 GROUP BY user_id)
+      |SELECT CAST(levenshtein(path, 'svcp') AS INT) AS distance,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q218: embedding covariance diagnostics — the top-20 most
+    * co-varying dimension pairs of the e6-QUANTIZED embedding space
+    * (n-scaled covariance n·Σxy − Σx·Σy in exact integers): redundant
+    * or entangled dimensions jump out, the cheap pre-PCA screen. One
+    * component self-join at (vec, i ≤ j) grain — fan-out dim²/2,
+    * bounded by geometry, never by corpus.
+    */
+  def embedCovariance(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000000.0)).cast("long")))
+          .as(Seq("pos", "qv")))
+    val b = q.select(col("vec_id").as("__vid"), col("pos").as("pos_j"),
+      col("qv").as("qj"))
+    val pairs = q.join(b,
+      col("__vid") === col("vec_id") && col("pos_j") > col("pos"))
+    pairs.groupBy(col("pos").as("pos_i"), col("pos_j"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("qv")).cast("decimal(38,0)").as("__sx"),
+        sum(col("qj")).cast("decimal(38,0)").as("__sy"),
+        sum(col("qv") * col("qj")).cast("decimal(38,0)").as("__sxy"))
+      .withColumn("cov_n",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("decimal(38,0)"))
+      .select(col("pos_i"), col("pos_j"), col("cov_n").cast("long")
+        .as("cov_n"))
+      .orderBy(abs(col("cov_n")).desc, col("pos_i").asc, col("pos_j").asc)
+      .limit(20)
+  }
+
+  val embedCovarianceSql: String =
+    """WITH q AS (SELECT vec_id, i.i AS pos,
+      |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0)
+      |      AS BIGINT) AS qv
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+      |p AS (SELECT a.pos AS pos_i, b.pos AS pos_j,
+      |    CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(CAST(a.qv AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(SUM(CAST(b.qv AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(SUM(CAST(a.qv AS HUGEINT) * b.qv) AS HUGEINT) AS sxy
+      |  FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.pos > a.pos
+      |  GROUP BY 1, 2)
+      |SELECT pos_i, pos_j,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS cov_n
+      |FROM p
+      |ORDER BY abs(n * sxy - sx * sy) DESC, pos_i ASC, pos_j ASC
+      |LIMIT 20""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -8611,7 +8697,9 @@ object Queries {
     "q213_native_sessions" -> nativeSessionWindows _,
     "q214_skyline" -> skylineParts _,
     "q215_bitemporal" -> bitemporalBook _,
-    "q216_ppr" -> pprParts _)
+    "q216_ppr" -> pprParts _,
+    "q217_path_conformance" -> pathConformance _,
+    "q218_embed_covariance" -> embedCovariance _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -8828,5 +8916,7 @@ object Queries {
     "q213_native_sessions" -> nativeSessionWindowsSql,
     "q214_skyline" -> skylinePartsSql,
     "q215_bitemporal" -> bitemporalBookSql,
-    "q216_ppr" -> pprPartsSql)
+    "q216_ppr" -> pprPartsSql,
+    "q217_path_conformance" -> pathConformanceSql,
+    "q218_embed_covariance" -> embedCovarianceSql)
 }
