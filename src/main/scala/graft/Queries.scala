@@ -8480,6 +8480,174 @@ object Queries {
       |ORDER BY abs(n * sxy - sx * sy) DESC, pos_i ASC, pos_j ASC
       |LIMIT 20""".stripMargin
 
+  /** q219: SPLIT-CONFORMAL calibration — distribution-free prediction
+    * intervals for the q72 price~quantity regression: fit on the train
+    * split, take q̂ = the ⌈0.9·(n+1)⌉-th smallest absolute residual on
+    * the CALIBRATION split (nearest-rank — an actual residual, the
+    * no-interpolation rule), report the guaranteed-coverage check on
+    * the TEST split. Residuals are floor-milli integers from the
+    * deterministic double fit, so ranks and coverage counts are exact.
+    */
+  def conformalCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem").select(
+      (col("l_orderkey") % 4).as("split"),
+      floor(col("l_quantity")).cast("long").as("x"),
+      floor(col("l_extendedprice") * 1000).cast("long").as("y_milli"))
+    val m = li.where(col("split") < 2)
+      .agg(count(lit(1)).as("n_train"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y_milli").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x").cast("decimal(38,0)") *
+          col("y_milli").cast("decimal(38,0)"))).as("sxy"))
+      .withColumn("slope",
+        (col("n_train").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n_train").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("icept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n_train").cast("double"))
+      .select(col("n_train"), col("slope"), col("icept"))
+    val scored = li.where(col("split") >= 2).crossJoin(broadcast(m))
+      .withColumn("__res",
+        abs(col("y_milli") - floor(col("slope") * col("x").cast("double")
+          + col("icept")).cast("long")))
+    val cal = scored.where(col("split") === 2)
+    val w = Window.orderBy(col("__res").asc, col("x").asc,
+      col("y_milli").asc)
+    val qhat = cal.withColumn("__r", row_number().over(w))
+      .withColumn("__nc", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .where(col("__r") === expr("least(__nc, ((__nc + 1) * 9) div 10)"))
+      .groupBy()
+      .agg(max(col("__nc")).as("n_cal"), max(col("__res")).as("qhat_milli"))
+    scored.where(col("split") === 3).crossJoin(broadcast(qhat))
+      .agg(first(col("n_train")).as("n_train"),
+        first(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        first(col("qhat_milli")).as("qhat_milli"),
+        sum(when(col("__res") <= col("qhat_milli"), 1L).otherwise(0L))
+          .as("__cov"))
+      .withColumn("coverage_ppm", expr("__cov * 1000000L div n_test"))
+      .drop("__cov")
+  }
+
+  val conformalCalibrationSql: String =
+    """WITH li AS (SELECT l_orderkey % 4 AS split,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+      |    CAST(FLOOR(l_extendedprice * 1000) AS BIGINT) AS y_milli
+      |  FROM lineitem),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+      |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y_milli AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y_milli) AS DOUBLE) AS sxy
+      |  FROM li WHERE split < 2),
+      |f AS (SELECT n_train,
+      |    (CAST(n_train AS DOUBLE) * sxy - sx * sy)
+      |      / (CAST(n_train AS DOUBLE) * sxx - sx * sx) AS slope
+      |  FROM m),
+      |f2 AS (SELECT f.n_train, f.slope,
+      |    (m.sy - f.slope * m.sx) / CAST(f.n_train AS DOUBLE) AS icept
+      |  FROM f CROSS JOIN m),
+      |sc AS (SELECT li.split, li.x, li.y_milli,
+      |    abs(li.y_milli - CAST(FLOOR(f2.slope * CAST(li.x AS DOUBLE)
+      |      + f2.icept) AS BIGINT)) AS res,
+      |    f2.n_train
+      |  FROM li CROSS JOIN f2 WHERE li.split >= 2),
+      |cal AS (SELECT res, n_train,
+      |    ROW_NUMBER() OVER (ORDER BY res ASC, x ASC, y_milli ASC) AS r,
+      |    COUNT(*) OVER () AS nc
+      |  FROM sc WHERE split = 2),
+      |qh AS (SELECT CAST(nc AS BIGINT) AS n_cal,
+      |    CAST(res AS BIGINT) AS qhat_milli
+      |  FROM cal WHERE r = LEAST(nc, ((nc + 1) * 9) // 10))
+      |SELECT MAX(sc.n_train) AS n_train, MAX(qh.n_cal) AS n_cal,
+      |  CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  MAX(qh.qhat_milli) AS qhat_milli,
+      |  CAST(SUM(CASE WHEN sc.res <= qh.qhat_milli THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+      |FROM sc CROSS JOIN qh WHERE sc.split = 3""".stripMargin
+
+  /** q220: retention DECAY fit — weekly retention curve r_k (distinct
+    * users active k weeks after their first week, over the user base),
+    * fitted as ln(r_k_ppm) ~ k by the exact-moment recipe: the ln
+    * terms floor-e6-quantize BEFORE the regression (the q158 rule), so
+    * the decimal sums and the closing slope/half-life doubles are
+    * engine-identical. half_life_milli = −ln(2)/slope·1000, the weeks
+    * for retention to halve.
+    */
+  def retentionDecayFit(s: SparkSession, dir: String): DataFrame = {
+    val weeks = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+      .distinct()
+    val first = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+    val ages = weeks.join(first, Seq("user_id"))
+      .select(col("user_id"), (col("wk") - col("w0")).as("k"))
+      .distinct()
+    val base = first.agg(countDistinct(col("user_id")).as("nu"))
+    val curve = ages.groupBy(col("k"))
+      .agg(countDistinct(col("user_id")).as("active"))
+      .crossJoin(broadcast(base))
+      .withColumn("r_ppm", expr("active * 1000000L div nu"))
+      .where(col("r_ppm") > 0)
+      .withColumn("lnr_e6",
+        floor(log(col("r_ppm").cast("double")) * 1e6).cast("long"))
+    val mom = curve.agg(count(lit(1)).as("n_points"),
+        sum(col("k").cast("decimal(38,0)")).as("sx"),
+        sum(col("lnr_e6").cast("decimal(38,0)")).as("sy"),
+        sum((col("k") * col("k")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("k").cast("decimal(38,0)") *
+          col("lnr_e6").cast("decimal(38,0)"))).as("sxy"))
+    mom.withColumn("__sl",
+        (col("n_points").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n_points").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("slope_e6_per_wk", floor(col("__sl")).cast("long"))
+      .withColumn("half_life_milli_wk",
+        when(col("__sl") < 0,
+          floor(lit(-1000000.0 * math.log(2.0)) / col("__sl") * 1000.0)
+            .cast("long")))
+      .select(col("n_points"), col("slope_e6_per_wk"),
+        col("half_life_milli_wk"))
+  }
+
+  val retentionDecayFitSql: String =
+    """WITH wk AS (SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 604800000000000 AS wk FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS w0 FROM wk GROUP BY user_id),
+      |ages AS (SELECT DISTINCT wk.user_id, wk.wk - f.w0 AS k
+      |  FROM wk JOIN f ON f.user_id = wk.user_id),
+      |base AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+      |  FROM f),
+      |curve AS (SELECT k,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active FROM ages
+      |  GROUP BY k),
+      |c2 AS (SELECT k, active * 1000000 // base.nu AS r_ppm
+      |  FROM curve CROSS JOIN base),
+      |c3 AS (SELECT k,
+      |    CAST(FLOOR(ln(CAST(r_ppm AS DOUBLE)) * 1e6) AS BIGINT)
+      |      AS lnr_e6
+      |  FROM c2 WHERE r_ppm > 0),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+      |    CAST(SUM(CAST(k AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(lnr_e6 AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(k AS HUGEINT) * k) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(k AS HUGEINT) * lnr_e6) AS DOUBLE) AS sxy
+      |  FROM c3),
+      |sl AS (SELECT n_points,
+      |    (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+      |      / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS s
+      |  FROM m)
+      |SELECT n_points, CAST(FLOOR(s) AS BIGINT) AS slope_e6_per_wk,
+      |  CASE WHEN s < 0 THEN
+      |    CAST(FLOOR(-1000000.0 * ln(2.0) / s * 1000.0) AS BIGINT) END
+      |    AS half_life_milli_wk
+      |FROM sl""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -8699,7 +8867,9 @@ object Queries {
     "q215_bitemporal" -> bitemporalBook _,
     "q216_ppr" -> pprParts _,
     "q217_path_conformance" -> pathConformance _,
-    "q218_embed_covariance" -> embedCovariance _)
+    "q218_embed_covariance" -> embedCovariance _,
+    "q219_conformal" -> conformalCalibration _,
+    "q220_decay_fit" -> retentionDecayFit _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -8918,5 +9088,7 @@ object Queries {
     "q215_bitemporal" -> bitemporalBookSql,
     "q216_ppr" -> pprPartsSql,
     "q217_path_conformance" -> pathConformanceSql,
-    "q218_embed_covariance" -> embedCovarianceSql)
+    "q218_embed_covariance" -> embedCovarianceSql,
+    "q219_conformal" -> conformalCalibrationSql,
+    "q220_decay_fit" -> retentionDecayFitSql)
 }
