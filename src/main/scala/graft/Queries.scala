@@ -8648,6 +8648,147 @@ object Queries {
       |    AS half_life_milli_wk
       |FROM sl""".stripMargin
 
+  /** q221: Benjamini–Hochberg FDR over the per-priority weekend
+    * permutation tests — the multiple-testing correction a metrics
+    * platform must apply before flagging segments: m = 5 exact
+    * permutation p-values (q189's machinery, grouped), BH rule
+    * rejected(i) ⟺ p_(i)·m ≤ i·α as PURE INTEGER cross-multiplication
+    * on ppm values (α = 10%), with the standard step-up closure
+    * (everything below the largest passing rank rejects).
+    */
+  def fdrWeekendByPriority(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .withColumn("weekend", dayofweek(col("day")).isin(1, 7))
+    val tests = Stats.permutationTest(daily, Seq("o_orderpriority"),
+      "day", "weekend", "rev", nPerms = 100)
+    val w = Window.orderBy(col("p_ppm").asc, col("o_orderpriority").asc)
+    val ranked = tests
+      .withColumn("rank", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("__pass",
+        col("p_ppm") * col("m") <= col("rank") * lit(100000L))
+    val cutoff = ranked.agg(
+      coalesce(max(when(col("__pass"), col("rank"))), lit(0L)).as("__k"))
+    ranked.crossJoin(broadcast(cutoff))
+      .select(col("o_orderpriority"), col("p_ppm"), col("rank"),
+        (col("rank") <= col("__k")).as("rejected"))
+      .orderBy("rank")
+  }
+
+  val fdrWeekendByPrioritySql: String = {
+    val key = "concat_ws(chr(2), g, CAST(b AS VARCHAR), CAST(day AS VARCHAR))"
+    s"""WITH daily AS (SELECT o_orderpriority AS g,
+       |    CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |lab AS (SELECT g, day, rev, dayofweek(day) IN (0, 6) AS we
+       |  FROM daily),
+       |base AS (SELECT g,
+       |    CAST(SUM(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN we THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN we THEN rev ELSE 0 END) AS BIGINT) AS sa,
+       |    CAST(SUM(CASE WHEN we THEN 0 ELSE rev END) AS BIGINT) AS sb
+       |  FROM lab GROUP BY g),
+       |grid AS (SELECT l.g, l.day, l.rev, b.b FROM lab l
+       |  CROSS JOIN (SELECT unnest(range(1, 101)) AS b) b),
+       |h AS (SELECT g, day, rev, b, ${duckHash60("perm", key)} AS hv
+       |  FROM grid),
+       |rk AS (SELECT g, b, day, rev,
+       |    ROW_NUMBER() OVER (PARTITION BY g, b
+       |      ORDER BY hv ASC, day ASC) AS r
+       |  FROM h),
+       |perms AS (SELECT rk.g, rk.b,
+       |    CAST((1000 * SUM(CASE WHEN rk.r <= base.n_a THEN rk.rev
+       |        ELSE 0 END)) // MAX(base.n_a) AS BIGINT)
+       |    - CAST((1000 * SUM(CASE WHEN rk.r > base.n_a THEN rk.rev
+       |        ELSE 0 END)) // MAX(base.n_b) AS BIGINT) AS d
+       |  FROM rk JOIN base ON base.g = rk.g GROUP BY rk.g, rk.b),
+       |obs AS (SELECT g, CAST((1000 * sa) // n_a AS BIGINT)
+       |    - CAST((1000 * sb) // n_b AS BIGINT) AS od FROM base),
+       |ext AS (SELECT perms.g, CAST(COUNT(*) AS BIGINT) AS n_extreme
+       |  FROM perms JOIN obs ON obs.g = perms.g
+       |  WHERE abs(perms.d) >= abs(obs.od) GROUP BY perms.g),
+       |pv AS (SELECT obs.g,
+       |    CAST(((1 + COALESCE(ext.n_extreme, 0)) * 1000000) // 101
+       |      AS BIGINT) AS p_ppm
+       |  FROM obs LEFT JOIN ext ON ext.g = obs.g),
+       |rkd AS (SELECT g, p_ppm,
+       |    ROW_NUMBER() OVER (ORDER BY p_ppm ASC, g ASC) AS rank,
+       |    COUNT(*) OVER () AS m
+       |  FROM pv),
+       |k AS (SELECT COALESCE(MAX(CASE WHEN p_ppm * m <= rank * 100000
+       |    THEN rank END), 0) AS kk FROM rkd)
+       |SELECT rkd.g AS o_orderpriority, rkd.p_ppm,
+       |  CAST(rkd.rank AS BIGINT) AS rank, rkd.rank <= k.kk AS rejected
+       |FROM rkd CROSS JOIN k ORDER BY rkd.rank""".stripMargin
+  }
+
+  /** q222: Simpson's-paradox guard — the aggregate weekend-vs-weekday
+    * revenue effect next to every stratum's own effect (priority
+    * strata): when the pooled sign contradicts every stratum's sign,
+    * the pooled number is a composition artifact and the report SAYS
+    * so. Signs of exact floor-milli mean differences, one boolean
+    * verdict row per stratum plus the pooled row.
+    */
+  def simpsonGuard(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .withColumn("we", dayofweek(col("day")).isin(1, 7))
+    def diff(df: DataFrame, g: Seq[String]) = df
+      .groupBy(g.map(col): _*)
+      .agg(sum(when(col("we"), col("rev")).otherwise(0L)).as("__sa"),
+        sum(when(col("we"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("we"), col("rev")).otherwise(0L)).as("__sb"),
+        sum(when(!col("we"), 1L).otherwise(0L)).as("__nb"))
+      .withColumn("diff_milli",
+        when(col("__na") > 0 && col("__nb") > 0,
+          expr("(1000L * __sa) div __na - (1000L * __sb) div __nb")))
+      .drop("__sa", "__na", "__sb", "__nb")
+    val strata = diff(daily, Seq("o_orderpriority"))
+      .select(col("o_orderpriority").as("stratum"), col("diff_milli"))
+    val pooled = diff(daily, Seq.empty)
+      .select(lit("(pooled)").as("stratum"), col("diff_milli"))
+    val pooledSign = pooled.select(signum(col("diff_milli")).as("__ps"))
+    strata.unionByName(pooled)
+      .crossJoin(broadcast(pooledSign))
+      .withColumn("agrees_with_pooled",
+        signum(col("diff_milli")) === col("__ps"))
+      .drop("__ps")
+      .orderBy("stratum")
+  }
+
+  val simpsonGuardSql: String =
+    """WITH daily AS (SELECT o_orderpriority AS g,
+      |    CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |lab AS (SELECT g, rev, dayofweek(day) IN (0, 6) AS we FROM daily),
+      |st AS (SELECT g AS stratum,
+      |    CAST((1000 * SUM(CASE WHEN we THEN rev ELSE 0 END))
+      |      // SUM(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT)
+      |    - CAST((1000 * SUM(CASE WHEN we THEN 0 ELSE rev END))
+      |      // SUM(CASE WHEN we THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS diff_milli
+      |  FROM lab GROUP BY g),
+      |pl AS (SELECT '(pooled)' AS stratum,
+      |    CAST((1000 * SUM(CASE WHEN we THEN rev ELSE 0 END))
+      |      // SUM(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT)
+      |    - CAST((1000 * SUM(CASE WHEN we THEN 0 ELSE rev END))
+      |      // SUM(CASE WHEN we THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS diff_milli
+      |  FROM lab),
+      |u AS (SELECT * FROM st UNION ALL SELECT * FROM pl),
+      |ps AS (SELECT sign(diff_milli) AS s FROM pl)
+      |SELECT u.stratum, u.diff_milli,
+      |  sign(u.diff_milli) = ps.s AS agrees_with_pooled
+      |FROM u CROSS JOIN ps ORDER BY u.stratum""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -8869,7 +9010,9 @@ object Queries {
     "q217_path_conformance" -> pathConformance _,
     "q218_embed_covariance" -> embedCovariance _,
     "q219_conformal" -> conformalCalibration _,
-    "q220_decay_fit" -> retentionDecayFit _)
+    "q220_decay_fit" -> retentionDecayFit _,
+    "q221_fdr_bh" -> fdrWeekendByPriority _,
+    "q222_simpson_guard" -> simpsonGuard _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -9090,5 +9233,7 @@ object Queries {
     "q217_path_conformance" -> pathConformanceSql,
     "q218_embed_covariance" -> embedCovarianceSql,
     "q219_conformal" -> conformalCalibrationSql,
-    "q220_decay_fit" -> retentionDecayFitSql)
+    "q220_decay_fit" -> retentionDecayFitSql,
+    "q221_fdr_bh" -> fdrWeekendByPrioritySql,
+    "q222_simpson_guard" -> simpsonGuardSql)
 }
