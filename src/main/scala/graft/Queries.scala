@@ -8155,13 +8155,20 @@ object Queries {
     * owes its users (the no-silent-caps rule, applied to recall).
     */
   def blockingEval(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // one language (the q168 scoping): WORD-unit exact truth over the
+    // full corpus is the prefix filter's dense-vocab worst case
+    // (measured 79 s at sf0.1); the evaluation question is
+    // per-language anyway
+    val docs = t(s, dir, "documents").where(col("lang") === "en")
+    // materialize both pair sets ONCE — each feeds two branches of the
+    // one-row report (count + hit join), and a lazy plan would run the
+    // whole join twice
     val truth = SetSimJoin.tokenJaccardSelfPairs(docs, "doc_id", "text",
-        thresholdPpm = 700000L)
-      .select(col("id_a"), col("id_b"))
+        thresholdPpm = 800000L)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
     val found = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
-        window = 5, threshold = 0.7)
-      .select(col("id_a"), col("id_b"))
+        window = 5, threshold = 0.8)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
     val nDocs = docs.where(col("text").isNotNull)
       .agg(count(lit(1)).as("n_docs"))
     val nt = truth.agg(count(lit(1)).as("n_true"))
@@ -8176,14 +8183,14 @@ object Queries {
   val blockingEvalSql: String =
     s"""WITH tok AS (SELECT doc_id AS id,
        |    list_sort(list_distinct($duckToks)) AS ts
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM documents WHERE text IS NOT NULL AND lang = 'en'),
        |nz AS (SELECT id, ts, array_to_string(ts, ' ') AS key
        |  FROM tok WHERE len(ts) > 0),
        |truth AS (SELECT a.id AS id_a, b.id AS id_b
        |  FROM nz a JOIN nz b ON a.id < b.id
        |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) * 1000000
        |    >= CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
-       |       AS BIGINT) * 700000),
+       |       AS BIGINT) * 800000),
        |rk AS (SELECT id, ts, substr(key, 1, 2) AS blk,
        |    row_number() OVER (PARTITION BY substr(key, 1, 2)
        |      ORDER BY key ASC, id ASC) AS rn
@@ -8194,10 +8201,10 @@ object Queries {
        |    AND b.rn BETWEEN a.rn + 1 AND a.rn + 5
        |  WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
        |      / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
-       |      4) >= 0.7),
+       |      4) >= 0.8),
        |m AS (SELECT
        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
-       |     WHERE text IS NOT NULL) AS n_docs,
+       |     WHERE text IS NOT NULL AND lang = 'en') AS n_docs,
        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found,
        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM found f
