@@ -8796,6 +8796,181 @@ object Queries {
       |  sign(u.diff_milli) = ps.s AS agrees_with_pooled
       |FROM u CROSS JOIN ps ORDER BY u.stratum""".stripMargin
 
+  /** q223: two-sample Kolmogorov–Smirnov — do weekend and weekday
+    * daily revenues come from the same distribution? The statistic is
+    * EXACT integers end to end: at every observed value,
+    * |F_A·n_B − F_B·n_A| (the cross-multiplied ECDF gap) is an int64,
+    * its max is an int64, and only the final d_e6 division touches
+    * doubles. One value-grain aggregation + one cumulative window
+    * over the ~2.4k distinct daily values.
+    */
+  def ksWeekend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .withColumn("we", dayofweek(col("day")).isin(1, 7))
+    val byValue = daily.groupBy(col("rev"))
+      .agg(sum(when(col("we"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("we"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("rev").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = byValue.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    byValue
+      .withColumn("fa", sum(col("ca")).over(w))
+      .withColumn("fb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("__gap",
+        abs(col("fa") * col("nb") - col("fb") * col("na")))
+      .groupBy()
+      .agg(max(col("na")).as("n_weekend"), max(col("nb")).as("n_weekday"),
+        max(col("__gap")).as("__d"))
+      .withColumn("d_e6",
+        floor(col("__d").cast("double") * 1e6 /
+          (col("n_weekend") * col("n_weekday")).cast("double"))
+          .cast("long"))
+      .drop("__d")
+  }
+
+  val ksWeekendSql: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |lab AS (SELECT rev, dayofweek(day) IN (0, 6) AS we FROM daily),
+      |bv AS (SELECT rev,
+      |    CAST(SUM(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN we THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM lab GROUP BY rev),
+      |cum AS (SELECT rev, ca, cb,
+      |    SUM(ca) OVER (ORDER BY rev ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+      |    SUM(cb) OVER (ORDER BY rev ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+      |  FROM bv),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb FROM bv)
+      |SELECT tot.na AS n_weekend, tot.nb AS n_weekday,
+      |  CAST(FLOOR(CAST(MAX(abs(cum.fa * tot.nb - cum.fb * tot.na))
+      |      AS DOUBLE) * 1e6
+      |    / CAST(tot.na * tot.nb AS DOUBLE)) AS BIGINT) AS d_e6
+      |FROM cum CROSS JOIN tot GROUP BY tot.na, tot.nb""".stripMargin
+
+  /** q224: best decision STUMP — the single-split classifier (CART's
+    * building block) for "does quantity predict a return?": for every
+    * candidate threshold t, misclassification count = min(pos, neg) on
+    * each side of qty ≤ t, minimized with ties to the smallest t —
+    * pure integer counting over one cumulative window at value grain
+    * (≤ 50 distinct quantities), the exact stump no sampling could
+    * misplace.
+    */
+  def decisionStump(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQty = t(s, dir, "lineitem")
+      .groupBy(floor(col("l_quantity")).cast("long").as("qty"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("pos"),
+        sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L))
+          .as("neg"))
+    val w = Window.orderBy(col("qty").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = byQty.agg(sum(col("pos")).as("tp"), sum(col("neg")).as("tn"))
+    val scored = byQty
+      .withColumn("pl", sum(col("pos")).over(w))
+      .withColumn("nl", sum(col("neg")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("errors",
+        least(col("pl"), col("nl")) +
+          least(col("tp") - col("pl"), col("tn") - col("nl")))
+    val best = Window.orderBy(col("errors").asc, col("qty").asc)
+    scored.withColumn("__rn", row_number().over(best))
+      .where(col("__rn") === 1)
+      .select(col("qty").as("threshold"), col("errors"),
+        (col("tp") + col("tn")).as("n"),
+        expr("(tp + tn - errors) * 1000000L div (tp + tn)")
+          .as("accuracy_ppm"))
+  }
+
+  val decisionStumpSql: String =
+    """WITH bq AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos,
+      |    CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS neg
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (SELECT qty,
+      |    SUM(pos) OVER (ORDER BY qty ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+      |    SUM(neg) OVER (ORDER BY qty ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl
+      |  FROM bq),
+      |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tp,
+      |    CAST(SUM(neg) AS BIGINT) AS tn FROM bq),
+      |sc AS (SELECT cum.qty,
+      |    LEAST(cum.pl, cum.nl)
+      |      + LEAST(tot.tp - cum.pl, tot.tn - cum.nl) AS errors,
+      |    tot.tp + tot.tn AS n, tot.tp, tot.tn
+      |  FROM cum CROSS JOIN tot)
+      |SELECT qty AS threshold, CAST(errors AS BIGINT) AS errors,
+      |  CAST(n AS BIGINT) AS n,
+      |  CAST((tp + tn - errors) * 1000000 // (tp + tn) AS BIGINT)
+      |    AS accuracy_ppm
+      |FROM sc ORDER BY errors ASC, qty ASC LIMIT 1""".stripMargin
+
+  /** q225: VaR / CVaR from the daily revenue-change series — the
+    * tail-risk readout: VaR95 = the lower nearest-rank 5th percentile
+    * of signed day-over-day changes (an ACTUAL day's change), CVaR =
+    * the floor-milli mean of the tail at or below it (signed → the
+    * q160 double-floor rule). Day-grain aggregate, one lag window,
+    * one rank window.
+    */
+  def varCvar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val chg = daily
+      .withColumn("__prev", lag(col("rev"), 1).over(Window.orderBy("day")))
+      .where(col("__prev").isNotNull)
+      .withColumn("pnl", col("rev") - col("__prev"))
+    val w = Window.orderBy(col("pnl").asc, col("day").asc)
+    val ranked = chg.withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val varRow = ranked
+      .where(col("__r") === expr("greatest(1L, (__n * 50000L) div 1000000L)"))
+      .select(col("pnl").as("var95_cents"), col("__n").as("n_days"))
+    ranked.crossJoin(broadcast(varRow))
+      .where(col("pnl") <= col("var95_cents"))
+      .groupBy()
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("var95_cents")).as("var95_cents"),
+        count(lit(1)).as("n_tail"),
+        floor(sum(col("pnl")).cast("double") * 1000.0 /
+          count(lit(1)).cast("double")).cast("long").as("cvar_milli"))
+  }
+
+  val varCvarSql: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |chg AS (SELECT day,
+      |    rev - LAG(rev) OVER (ORDER BY day) AS pnl
+      |  FROM daily QUALIFY pnl IS NOT NULL),
+      |rk AS (SELECT day, pnl,
+      |    ROW_NUMBER() OVER (ORDER BY pnl ASC, day ASC) AS r,
+      |    COUNT(*) OVER () AS n
+      |  FROM chg),
+      |v AS (SELECT CAST(pnl AS BIGINT) AS var95_cents,
+      |    CAST(n AS BIGINT) AS n_days
+      |  FROM rk WHERE r = GREATEST(1, (n * 50000) // 1000000))
+      |SELECT v.n_days, v.var95_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tail,
+      |  CAST(FLOOR(CAST(SUM(rk.pnl) AS DOUBLE) * 1000.0
+      |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cvar_milli
+      |FROM rk CROSS JOIN v WHERE rk.pnl <= v.var95_cents
+      |GROUP BY v.n_days, v.var95_cents""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -9019,7 +9194,10 @@ object Queries {
     "q219_conformal" -> conformalCalibration _,
     "q220_decay_fit" -> retentionDecayFit _,
     "q221_fdr_bh" -> fdrWeekendByPriority _,
-    "q222_simpson_guard" -> simpsonGuard _)
+    "q222_simpson_guard" -> simpsonGuard _,
+    "q223_ks_test" -> ksWeekend _,
+    "q224_decision_stump" -> decisionStump _,
+    "q225_var_cvar" -> varCvar _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -9242,5 +9420,8 @@ object Queries {
     "q219_conformal" -> conformalCalibrationSql,
     "q220_decay_fit" -> retentionDecayFitSql,
     "q221_fdr_bh" -> fdrWeekendByPrioritySql,
-    "q222_simpson_guard" -> simpsonGuardSql)
+    "q222_simpson_guard" -> simpsonGuardSql,
+    "q223_ks_test" -> ksWeekendSql,
+    "q224_decision_stump" -> decisionStumpSql,
+    "q225_var_cvar" -> varCvarSql)
 }
