@@ -8971,6 +8971,46 @@ object Queries {
       |FROM rk CROSS JOIN v WHERE rk.pnl <= v.var95_cents
       |GROUP BY v.n_days, v.var95_cents""".stripMargin
 
+  /** q226: dedup-cluster COHESION audit — per connected-component
+    * near-dup group: member count, verified-pair count, and the
+    * min / floor-e4-mean within-group Jaccard — the quality readout
+    * that catches chained-together clusters (A~B~C where A and C are
+    * NOT similar: min ≪ threshold exposes transitive drift) before a
+    * survivor policy collapses them. Means sum e4-quantized integers
+    * (never raw doubles — float Σ is reduction-order-dependent).
+    */
+  def dedupCohesion(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLSH(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.7)
+      .localCheckpoint(true) // feeds both the label pass and the metrics
+    val labels = Dedup.connectedComponents(pairs)
+    val perGroup = pairs
+      .join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        expr("sum(CAST(round(jaccard * 1e4) AS BIGINT)) div count(1)")
+          .as("mean_jac_e4"))
+    labels.groupBy(col("group_id")).agg(count(lit(1)).as("n_members"))
+      .join(perGroup, Seq("group_id"))
+      .orderBy("group_id")
+  }
+
+  val dedupCohesionSql: String =
+    s"""$componentLabelsSqlPrefix,
+       |pj AS (SELECT l.group_id, p.jaccard
+       |  FROM pairs p JOIN labels l ON l.id = p.id_a),
+       |pg AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    MIN(jaccard) AS min_jaccard,
+       |    CAST(SUM(CAST(round(jaccard * 1e4) AS BIGINT))
+       |      // COUNT(*) AS BIGINT) AS mean_jac_e4
+       |  FROM pj GROUP BY group_id),
+       |nm AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM labels GROUP BY group_id)
+       |SELECT nm.group_id, nm.n_members, pg.n_pairs, pg.min_jaccard,
+       |  pg.mean_jac_e4
+       |FROM nm JOIN pg USING (group_id) ORDER BY group_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -9197,7 +9237,8 @@ object Queries {
     "q222_simpson_guard" -> simpsonGuard _,
     "q223_ks_test" -> ksWeekend _,
     "q224_decision_stump" -> decisionStump _,
-    "q225_var_cvar" -> varCvar _)
+    "q225_var_cvar" -> varCvar _,
+    "q226_dedup_cohesion" -> dedupCohesion _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -9423,5 +9464,6 @@ object Queries {
     "q222_simpson_guard" -> simpsonGuardSql,
     "q223_ks_test" -> ksWeekendSql,
     "q224_decision_stump" -> decisionStumpSql,
-    "q225_var_cvar" -> varCvarSql)
+    "q225_var_cvar" -> varCvarSql,
+    "q226_dedup_cohesion" -> dedupCohesionSql)
 }
