@@ -9011,6 +9011,143 @@ object Queries {
        |  pg.mean_jac_e4
        |FROM nm JOIN pg USING (group_id) ORDER BY group_id""".stripMargin
 
+  /** q227: session BOUNCE report — per entry event type: sessions
+    * started (native session_window semantics via the islands rule),
+    * bounce share (single-event sessions) and floor-milli mean session
+    * length — the landing-page diagnostic. Entry type = the session's
+    * (ts, event_id)-first event; all integer counts and ppm.
+    */
+  def bounceReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("ts"),
+      col("event_id"), col("event_type"))
+    val wu = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = e
+      .withColumn("__prev", lag(col("ts"), 1).over(wu))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          col("ts") - col("__prev") >= 1800L * 1000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(
+        wu.rowsBetween(Window.unboundedPreceding, 0)))
+    val perSession = sess.groupBy(col("user_id"), col("__sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("__first"))
+      .select(col("__first.event_type").as("entry_type"), col("n_events"))
+    perSession.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("n_events")).as("__ne"))
+      .withColumn("bounce_ppm", expr("n_bounces * 1000000L div n_sessions"))
+      .withColumn("mean_events_milli", expr("__ne * 1000L div n_sessions"))
+      .drop("__ne")
+      .orderBy("entry_type")
+  }
+
+  val bounceReportSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id,
+      |    event_type FROM events),
+      |l AS (SELECT *, LAG(tns) OVER (PARTITION BY user_id
+      |    ORDER BY tns, event_id) AS prev FROM e),
+      |o AS (SELECT *, CASE WHEN prev IS NULL
+      |    OR tns - prev >= 1800000000000 THEN 1 ELSE 0 END AS brk
+      |  FROM l),
+      |sid AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+      |    ORDER BY tns, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sd
+      |  FROM o),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sd
+      |    ORDER BY tns, event_id) AS rn FROM sid),
+      |ps AS (SELECT user_id, sd, COUNT(*) AS ne FROM sid
+      |  GROUP BY user_id, sd),
+      |pe AS (SELECT rk.event_type AS entry_type, ps.ne
+      |  FROM rk JOIN ps ON ps.user_id = rk.user_id AND ps.sd = rk.sd
+      |  WHERE rk.rn = 1)
+      |SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounces,
+      |  CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS bounce_ppm,
+      |  CAST(SUM(ne) * 1000 // COUNT(*) AS BIGINT) AS mean_events_milli
+      |FROM pe GROUP BY entry_type ORDER BY entry_type""".stripMargin
+
+  /** q228: corpus PANORAMA capstone — one per-language health sheet
+    * joining ALL THREE domains: document volume/length, near-dup
+    * exposure (members of ≥1 verified LSH pair — the q18 set), and
+    * embedding-space dispersion (floor-mean squared-L2 of each
+    * language's e6-quantized vectors to their own integer centroid,
+    * doc_id = vec_id). The release-review dashboard row, exact end to
+    * end.
+    */
+  def corpusPanorama(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val pairs = Dedup.minhashLSH(docs, "doc_id", "text", threshold = 0.7)
+    val exposed = pairs.select(explode(array(col("id_a"), col("id_b")))
+        .as("doc_id")).distinct()
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_neardup_docs"))
+    val q = t(s, dir, "embeddings")
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+      .select(col("lang"), col("vec_id"),
+        posexplode(transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000000.0)).cast("long")))
+          .as(Seq("pos", "qv")))
+    val cent = q.groupBy(col("lang").as("__cl"), col("pos"))
+      .agg(floor(sum(col("qv")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("cv"))
+    val disp = q.join(cent,
+        col("__cl") === col("lang") && cent("pos") === q("pos"))
+      .groupBy(col("lang"), col("vec_id"))
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+        .as("__d"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(__d) div count(1)").as("mean_sq_disp"))
+    base.join(exposed, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_neardup_docs"))
+      .join(disp, Seq("lang"), "left")
+      .orderBy("lang")
+  }
+
+  val corpusPanoramaSql: String =
+    s"""WITH base AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |  FROM documents GROUP BY lang),
+       |pairs AS (${allPairsJaccardSql(0.7).replace(
+              "ORDER BY id_a, id_b", "")}),
+       |exp0 AS (SELECT DISTINCT id FROM (
+       |  SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+       |expl AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_neardup_docs
+       |  FROM exp0 JOIN documents d ON d.doc_id = exp0.id
+       |  GROUP BY d.lang),
+       |q AS (SELECT d.lang, e.vec_id, i.i AS pos,
+       |    CAST(FLOOR(CAST(e.embedding[i.i + 1] AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS qv
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+       |cent AS (SELECT lang, pos,
+       |    CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+       |      AS BIGINT) AS cv
+       |  FROM q GROUP BY 1, 2),
+       |dv AS (SELECT q.lang, q.vec_id,
+       |    SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+       |  FROM q JOIN cent c ON c.lang = q.lang AND c.pos = q.pos
+       |  GROUP BY 1, 2),
+       |disp AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    CAST(SUM(d) // COUNT(*) AS BIGINT) AS mean_sq_disp
+       |  FROM dv GROUP BY lang)
+       |SELECT base.lang, base.n_docs, base.total_chars,
+       |  COALESCE(expl.n_neardup_docs, 0) AS n_neardup_docs,
+       |  disp.n_vecs, disp.mean_sq_disp
+       |FROM base LEFT JOIN expl USING (lang)
+       |LEFT JOIN disp USING (lang)
+       |ORDER BY base.lang""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -9238,7 +9375,9 @@ object Queries {
     "q223_ks_test" -> ksWeekend _,
     "q224_decision_stump" -> decisionStump _,
     "q225_var_cvar" -> varCvar _,
-    "q226_dedup_cohesion" -> dedupCohesion _)
+    "q226_dedup_cohesion" -> dedupCohesion _,
+    "q227_bounce_report" -> bounceReport _,
+    "q228_corpus_panorama" -> corpusPanorama _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -9465,5 +9604,7 @@ object Queries {
     "q223_ks_test" -> ksWeekendSql,
     "q224_decision_stump" -> decisionStumpSql,
     "q225_var_cvar" -> varCvarSql,
-    "q226_dedup_cohesion" -> dedupCohesionSql)
+    "q226_dedup_cohesion" -> dedupCohesionSql,
+    "q227_bounce_report" -> bounceReportSql,
+    "q228_corpus_panorama" -> corpusPanoramaSql)
 }
