@@ -9148,6 +9148,88 @@ object Queries {
        |LEFT JOIN disp USING (lang)
        |ORDER BY base.lang""".stripMargin
 
+  /** q229: median + MAD report — the robust location/scale summary
+    * per group (the readout [[Stats.robustOutliers]] thresholds
+    * against, standalone): both are LOWER nearest-rank member values
+    * (cents — no interpolated float blend), MAD via one deviation
+    * pass against the broadcast medians.
+    */
+  def medianMadReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+      floor(col("l_extendedprice") * 100).cast("long").as("v"))
+    def lowerMedian(df: org.apache.spark.sql.DataFrame, c: String) = {
+      val w = Window.partitionBy(col("g")).orderBy(col(c).asc)
+      df.withColumn("__r", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .where(col("__r") === expr("(__n + 1L) div 2"))
+        .select(col("g"), col(c).as(s"med_$c"), col("__n").as("n"))
+    }
+    val med = lowerMedian(rows, "v")
+    val dev = rows.join(med.select(col("g"), col("med_v")), Seq("g"))
+      .withColumn("d", abs(col("v") - col("med_v")))
+    lowerMedian(dev, "d").drop("n")
+      .join(med, Seq("g"))
+      .select(col("g").as("l_returnflag"), col("n"),
+        col("med_v").as("median_cents"), col("med_d").as("mad_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val medianMadReportSql: String =
+    """WITH r AS (SELECT l_returnflag AS g,
+      |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |rk AS (SELECT g, v,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v ASC) AS r,
+      |    COUNT(*) OVER (PARTITION BY g) AS n
+      |  FROM r),
+      |med AS (SELECT g, v AS med_v, CAST(n AS BIGINT) AS n FROM rk
+      |  WHERE r = (n + 1) // 2),
+      |dev AS (SELECT r.g, abs(r.v - med.med_v) AS d
+      |  FROM r JOIN med ON med.g = r.g),
+      |dk AS (SELECT g, d,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY d ASC) AS r,
+      |    COUNT(*) OVER (PARTITION BY g) AS n
+      |  FROM dev),
+      |mad AS (SELECT g, d AS mad_d FROM dk WHERE r = (n + 1) // 2)
+      |SELECT med.g AS l_returnflag, med.n, med.med_v AS median_cents,
+      |  mad.mad_d AS mad_cents
+      |FROM med JOIN mad ON mad.g = med.g ORDER BY l_returnflag""".stripMargin
+
+  /** q230: open-order BACKLOG aging — non-finished orders bucketed by
+    * age in 30-day bands at the corpus's own snapshot (max order
+    * date): counts and cents per (status, band) — the operations
+    * dashboard row, exact integer banding against a lazily-derived
+    * snapshot (no eager driver max).
+    */
+  def backlogAging(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderstatus").as("st"),
+      to_date(col("o_orderdate")).as("odate"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val snap = o.agg(max(col("odate")).as("__snap"))
+    o.where(col("st") =!= "F")
+      .crossJoin(broadcast(snap))
+      .withColumn("age_band",
+        expr("datediff(__snap, odate) div 30"))
+      .groupBy(col("st").as("o_orderstatus"), col("age_band"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .orderBy("o_orderstatus", "age_band")
+  }
+
+  val backlogAgingSql: String =
+    """WITH o AS (SELECT o_orderstatus AS st,
+      |    CAST(o_orderdate AS DATE) AS odate,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |snap AS (SELECT MAX(odate) AS sd FROM o)
+      |SELECT o.st AS o_orderstatus,
+      |  CAST(datediff('day', o.odate, snap.sd) // 30 AS BIGINT)
+      |    AS age_band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(o.cents) AS BIGINT) AS cents
+      |FROM o CROSS JOIN snap WHERE o.st <> 'F'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_pricing" -> aggPricing _,
@@ -9377,7 +9459,9 @@ object Queries {
     "q225_var_cvar" -> varCvar _,
     "q226_dedup_cohesion" -> dedupCohesion _,
     "q227_bounce_report" -> bounceReport _,
-    "q228_corpus_panorama" -> corpusPanorama _)
+    "q228_corpus_panorama" -> corpusPanorama _,
+    "q229_median_mad" -> medianMadReport _,
+    "q230_backlog_aging" -> backlogAging _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -9606,5 +9690,7 @@ object Queries {
     "q225_var_cvar" -> varCvarSql,
     "q226_dedup_cohesion" -> dedupCohesionSql,
     "q227_bounce_report" -> bounceReportSql,
-    "q228_corpus_panorama" -> corpusPanoramaSql)
+    "q228_corpus_panorama" -> corpusPanoramaSql,
+    "q229_median_mad" -> medianMadReportSql,
+    "q230_backlog_aging" -> backlogAgingSql)
 }
