@@ -16,6 +16,12 @@ run / fork := true
 // default logger prefix is exactly what defeated the driver's JSON
 // parser in rounds 1-4 (BENCH parsed: null).
 Compile / run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's "[success] Total time: ..." epilogue, which
+// otherwise lands AFTER the JSON and is what kept BENCH parsed:null in
+// round 5 even with the logger prefix gone: the JSON must be the LAST
+// stdout line the driver sees.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1195,6 +1195,29 @@ object Queries {
     Multimodal.MediaAsset(id, "image", Multimodal.encodeJpeg(w, h, px, JpegQuality))
   }
 
+  /** Deterministic MJPEG-in-AVI fixture: `2 + doc_id % 4` frames at the
+    * q57 geometry, each frame's pixels the q57 formula shifted by a
+    * frame salt, JPEG-encoded at [[JpegQuality]] and wrapped by
+    * [[Multimodal.encodeAvi]] at exactly 25 fps (40 000 µs/frame).
+    * Period: pixels reduce mod 256, w/h mod 8/5, frame count mod 4, and
+    * 4 divides lcm(256·5·8) = 1280 — so golden row `doc_id % 1280`
+    * covers every doc id at every scale factor, like q87's.
+    */
+  private[graft] val VideoGeomPeriod = 1280L
+  private[graft] val VideoMicroSecPerFrame = 40000
+  private[graft] def videoNFrames(id: Long): Int = (2 + id % 4).toInt
+  private[graft] def videoFramePx(id: Long, f: Int)(x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 7 + f * 19 + x * 3 + y * 5) % 256).toInt,
+    ((id * 11 + f * 23 + x * 13 + y) % 256).toInt,
+    ((id + f * 29 + x + y * 17) % 256).toInt)
+  private[graft] def videoAssetFor(id: Long): Multimodal.MediaAsset = {
+    val (w, h, _) = imageGeom(id)
+    val frames = (0 until videoNFrames(id)).map(f =>
+      Multimodal.encodeJpeg(w, h, videoFramePx(id, f), JpegQuality))
+    Multimodal.MediaAsset(id, "video",
+      Multimodal.encodeAvi(w, h, VideoMicroSecPerFrame, frames))
+  }
+
   private def imageStatsFrom(s: SparkSession, dir: String,
       mk: Long => Multimodal.MediaAsset): DataFrame = {
     import s.implicits._
@@ -1306,6 +1329,52 @@ object Queries {
        |  round(CAST(g.edge_count AS DOUBLE) / CAST((i.w - 1) * i.h AS DOUBLE), 6) AS edge_density
        |FROM img i JOIN g ON g.gid = i.doc_id % $JpegGeomPeriod
        |ORDER BY asset_id""".stripMargin
+
+  /** q231: REAL video frame decode — MJPEG-in-AVI through
+    * [[Multimodal.decodeAvi]] (RIFF container walk + per-frame JPEG
+    * decode; no external codec, no stub anywhere on this path). One row
+    * per decoded frame. The oracle splits by what is knowable exactly
+    * like q87: frame indices, the 25 fps timestamps, geometry and
+    * frame counts replay from the fixture formula (verifying the
+    * container parse end-to-end), while per-frame byte length and
+    * decoded luma/edge stats — encoder/decoder properties — join from
+    * the committed golden table ([[graft.tools.VideoGolden]]).
+    */
+  def videoDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(videoAssetFor _)
+    Multimodal.videoFrameStats(assets)
+      .select(col("asset_id"), col("frame_idx"), col("ts_micros"),
+        col("format"), col("width"), col("height"), col("frame_bytes"),
+        col("n_decoded"), col("n_declared"),
+        round(col("luma_sum").cast("double") /
+          (lit(255000.0) * col("n_pixels")), 6).as("mean_luma"),
+        round(col("edge_count").cast("double") /
+          col("h_pairs").cast("double"), 6).as("edge_density"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  val videoDecodeSql: String =
+    s"""WITH img AS (SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w,
+       |                    CAST(8 + doc_id % 5 AS INT) AS h,
+       |                    CAST(2 + doc_id % 4 AS INT) AS nf
+       |             FROM documents),
+       |fr AS (SELECT i.doc_id, i.w, i.h, i.nf, CAST(f.f AS INT) AS f
+       |  FROM img i JOIN (SELECT unnest(range(0, 5)) AS f) f
+       |    ON f.f < i.nf),
+       |g AS (SELECT * FROM read_parquet(
+       |        '/root/repo/fixtures/video_golden.parquet/*.parquet'))
+       |SELECT fr.doc_id AS asset_id, fr.f AS frame_idx,
+       |  CAST(fr.f AS BIGINT) * $VideoMicroSecPerFrame AS ts_micros,
+       |  'jpeg' AS format, fr.w AS width, fr.h AS height,
+       |  g.byte_len AS frame_bytes, fr.nf AS n_decoded,
+       |  fr.nf AS n_declared,
+       |  round(CAST(g.luma_sum AS DOUBLE) / (255000.0E0 * (fr.w * fr.h)), 6) AS mean_luma,
+       |  round(CAST(g.edge_count AS DOUBLE) / CAST((fr.w - 1) * fr.h AS DOUBLE), 6) AS edge_density
+       |FROM fr JOIN g ON g.gid = fr.doc_id % $VideoGeomPeriod
+       |  AND g.frame_idx = fr.f
+       |ORDER BY asset_id, frame_idx""".stripMargin
 
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(s,
@@ -7188,8 +7257,11 @@ object Queries {
        |ext AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_extreme
        |  FROM perms CROSS JOIN obs WHERE abs(perms.d) >= abs(obs.od))
        |SELECT base.n_a, base.n_b, obs.od AS obs_diff_milli,
-       |  ext.n_extreme,
-       |  CAST(((1 + ext.n_extreme) * 1000000) // 101 AS BIGINT) AS p_ppm
+       |  CASE WHEN obs.od IS NOT NULL THEN ext.n_extreme END
+       |    AS n_extreme,
+       |  CASE WHEN obs.od IS NOT NULL THEN
+       |    CAST(((1 + ext.n_extreme) * 1000000) // 101 AS BIGINT) END
+       |    AS p_ppm
        |FROM base CROSS JOIN obs CROSS JOIN ext""".stripMargin
   }
 
@@ -8671,6 +8743,9 @@ object Queries {
       .withColumn("weekend", dayofweek(col("day")).isin(1, 7))
     val tests = Stats.permutationTest(daily, Seq("o_orderpriority"),
       "day", "weekend", "rev", nPerms = 100)
+      // untestable strata (label never varies → null p) cannot enter a
+      // multiple-testing correction; drop them before ranking
+      .where(col("p_ppm").isNotNull)
     val w = Window.orderBy(col("p_ppm").asc, col("o_orderpriority").asc)
     val ranked = tests
       .withColumn("rank", row_number().over(w))
@@ -8720,13 +8795,14 @@ object Queries {
        |  FROM perms JOIN obs ON obs.g = perms.g
        |  WHERE abs(perms.d) >= abs(obs.od) GROUP BY perms.g),
        |pv AS (SELECT obs.g,
-       |    CAST(((1 + COALESCE(ext.n_extreme, 0)) * 1000000) // 101
-       |      AS BIGINT) AS p_ppm
+       |    CASE WHEN obs.od IS NOT NULL THEN
+       |      CAST(((1 + COALESCE(ext.n_extreme, 0)) * 1000000) // 101
+       |        AS BIGINT) END AS p_ppm
        |  FROM obs LEFT JOIN ext ON ext.g = obs.g),
        |rkd AS (SELECT g, p_ppm,
        |    ROW_NUMBER() OVER (ORDER BY p_ppm ASC, g ASC) AS rank,
        |    COUNT(*) OVER () AS m
-       |  FROM pv),
+       |  FROM pv WHERE p_ppm IS NOT NULL),
        |k AS (SELECT COALESCE(MAX(CASE WHEN p_ppm * m <= rank * 100000
        |    THEN rank END), 0) AS kk FROM rkd)
        |SELECT rkd.g AS o_orderpriority, rkd.p_ppm,
@@ -9461,7 +9537,8 @@ object Queries {
     "q227_bounce_report" -> bounceReport _,
     "q228_corpus_panorama" -> corpusPanorama _,
     "q229_median_mad" -> medianMadReport _,
-    "q230_backlog_aging" -> backlogAging _)
+    "q230_backlog_aging" -> backlogAging _,
+    "q231_video_frames" -> videoDecode _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -9692,5 +9769,6 @@ object Queries {
     "q227_bounce_report" -> bounceReportSql,
     "q228_corpus_panorama" -> corpusPanoramaSql,
     "q229_median_mad" -> medianMadReportSql,
-    "q230_backlog_aging" -> backlogAgingSql)
+    "q230_backlog_aging" -> backlogAgingSql,
+    "q231_video_frames" -> videoDecodeSql)
 }

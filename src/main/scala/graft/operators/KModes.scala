@@ -58,7 +58,7 @@ trait KModesParams extends Params {
     ParamValidators.inArray(Array("hamming", "frequency")))
   /** Hash ordering the seeded init (and empty-cluster reseed) ranks
     * candidate rows by. `xxhash64` (default) is the cheapest; `md5` is
-    * the PORTABLE variant — md5 over `seed  f₁  … fₙ` is a
+    * the PORTABLE variant — md5 over `seed \u0001 f₁ \u0001 … fₙ` is a
     * standard digest any SQL engine computes identically, which lets an
     * external oracle replay the whole fit (the q19 pluggable-tokenHash
     * technique applied to init order). Both are seeded, deterministic,

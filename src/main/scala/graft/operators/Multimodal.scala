@@ -7,18 +7,21 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata; decode / feature
   * extraction / frame sampling run as batched per-partition transforms.
   *
-  * Decode is REAL for uncompressed PCM WAV audio ([[decodeWav]] — RIFF
-  * is a trivial byte-level format needing no codec library), for
-  * uncompressed 24-bit BMP and binary PPM images ([[decodeBmp]]/
-  * [[decodePpm]], byte-level parsers), and for compressed-lossless PNG
-  * ([[decodePng]], via the JDK's built-in javax.imageio — still no
-  * external codec). Remaining LOSSY formats (JPEG/video codecs) fall to
-  * `decodeStub`, which derives deterministic fake features from the raw
-  * bytes. [[decode]] dispatches on magic bytes. Everything around the
-  * stub is real and tested: the schema
-  * contract, the `mapPartitions` batch shape (one buffer reused per
-  * partition, no per-row allocation of the decode context), the
-  * partition sizing notes, and the downstream columnar handoff.
+  * Decode is REAL for every format the fixtures exercise: uncompressed
+  * PCM WAV audio ([[decodeWav]] — RIFF is a trivial byte-level format
+  * needing no codec library), uncompressed 24-bit BMP and binary PPM
+  * images ([[decodeBmp]]/[[decodePpm]], byte-level parsers),
+  * compressed-lossless PNG and lossy JPEG ([[decodePng]]/[[decodeJpeg]]
+  * via the JDK's built-in javax.imageio — still no external codec), and
+  * MJPEG-in-AVI video ([[decodeAvi]] — the RIFF walk composed with the
+  * per-frame JPEG decode). [[decode]] dispatches on magic bytes;
+  * `decodeStub` remains ONLY as the unknown-format fallback (bytes that
+  * match no magic), deriving deterministic features from the raw bytes
+  * so arbitrary blobs still flow through the typed pipeline. The
+  * surrounding plumbing is uniform: the schema contract, the
+  * `mapPartitions` batch shape (one buffer reused per partition, no
+  * per-row allocation of the decode context), the partition sizing
+  * notes, and the downstream columnar handoff.
   *
   * 100 TB design notes:
   *  - Media bytes never hit the driver; the decode stage is a narrow
@@ -49,10 +52,11 @@ object Multimodal {
   val FrameBytes = 256
   val FeatureDim = 8
 
-  /** STUB decoder: where a real implementation would call an image/audio
-    * codec, this derives deterministic features from the raw bytes so the
-    * full pipeline is testable. Replace the body (only) with a real codec
-    * when available; the signature and batch shape are the contract.
+  /** UNKNOWN-FORMAT fallback (no longer a stub for any supported
+    * format — WAV/BMP/PPM/PNG/JPEG/AVI all decode for real): derives
+    * deterministic features from the raw bytes so blobs that match no
+    * magic (text, protobufs, future codecs) still flow through the
+    * typed pipeline instead of failing the task.
     */
   def decodeStub(media: Array[Byte]): (Int, Array[Float]) = {
     val nFrames = math.max(1, (media.length + FrameBytes - 1) / FrameBytes)
@@ -432,6 +436,157 @@ object Multimodal {
     }
   }
 
+  /** Parsed AVI container header (`avih`): geometry, declared frame
+    * count, and the frame clock (microseconds per frame — the exact
+    * per-frame timestamp base, `ts_micros = idx · microSecPerFrame`).
+    */
+  final case class AviInfo(
+      width: Int, height: Int, totalFrames: Int, microSecPerFrame: Int)
+
+  /** One decoded video frame: position among the movi video chunks,
+    * compressed payload size, and the decoded pixel stats (same
+    * integer-exact [[ImageStats]] contract as the still-image path).
+    */
+  final case class FrameStats(frameIdx: Int, byteLen: Int, stats: ImageStats)
+
+  /** Frame-count cap parsed per asset BEFORE any frame decodes — the
+    * video twin of [[MaxPngPixels]]: a forged movi list claiming
+    * millions of chunks must not turn one row into an unbounded loop.
+    */
+  val MaxVideoFrames = 4096
+
+  /** REAL decoder for MJPEG-in-AVI video — pure composition of two
+    * parsers the engine already ships: the RIFF chunk walk (the WAV
+    * container, [[decodeWav]]) and the per-frame JPEG decode
+    * ([[decodeJpeg]]; `00db` raw-DIB frames holding any other supported
+    * image format dispatch through [[decodeImage]] the same way). No
+    * external codec: MJPEG is by definition one independent JPEG per
+    * frame — there is no inter-frame state.
+    *
+    * Container walk: `RIFF('AVI ')` → `LIST(hdrl)` → `avih` for
+    * geometry/frame-count/frame-clock, then `LIST(movi)` → every
+    * `##dc`/`##db` chunk of stream 0 in file order is a frame payload.
+    * `idx1` and non-video streams are skipped. All sizes are read
+    * unsigned and bounds-checked against the buffer (RIFF sizes are
+    * attacker-controlled); frames past [[MaxVideoFrames]] and frames
+    * whose payload fails its own decoder's validation yield no entry —
+    * malformed input degrades to fewer frames or None, never a crash.
+    */
+  def decodeAvi(media: Array[Byte]): Option[(AviInfo, Vector[FrameStats])] = {
+    def le32(o: Int): Long = (media(o) & 0xffL) | ((media(o + 1) & 0xffL) << 8) |
+      ((media(o + 2) & 0xffL) << 16) | ((media(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(media, o, 4, "US-ASCII")
+    if (media.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var info: Option[AviInfo] = None
+    val frames = Vector.newBuilder[(Int, Int)] // (payload offset, length)
+    var nVid = 0
+    // walk one chunk list in [from, until); recurse into LISTs
+    def walk(from: Int, until: Int): Unit = {
+      var off = from
+      while (off + 8 <= until && nVid <= MaxVideoFrames) {
+        val fourcc = tag(off)
+        val size = le32(off + 4)
+        val payload = off + 8
+        if (size < 0 || payload + size > until) return // truncated: stop
+        val end = payload + size.toInt
+        if (fourcc == "LIST" && size >= 4) {
+          walk(payload + 4, end) // list type at payload, children after
+        } else if (fourcc == "avih" && size >= 40 && info.isEmpty) {
+          val w = le32(payload + 32); val h = le32(payload + 36)
+          val tf = le32(payload + 16); val uspf = le32(payload)
+          if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+              w * h > MaxPngPixels) return
+          info = Some(AviInfo(w.toInt, h.toInt, tf.toInt, uspf.toInt))
+        } else if (fourcc.length == 4 &&
+            fourcc(0) == '0' && fourcc(1) == '0' &&
+            (fourcc.substring(2) == "dc" || fourcc.substring(2) == "db")) {
+          if (nVid < MaxVideoFrames) frames += ((payload, size.toInt))
+          nVid += 1
+        }
+        off = end + (size.toInt & 1) // RIFF chunks pad to even
+      }
+    }
+    walk(12, media.length)
+    info.map { i =>
+      val decoded = frames.result().zipWithIndex.flatMap {
+        case ((o, len), idx) =>
+          val payload = java.util.Arrays.copyOfRange(media, o, o + len)
+          decodeImage(payload).map(FrameStats(idx, len, _))
+      }
+      (i, decoded)
+    }
+  }
+
+  /** Fixture/test encoder: minimal MJPEG-in-AVI from pre-encoded frame
+    * payloads (normally [[encodeJpeg]] output), inverse of
+    * [[decodeAvi]]. Writes RIFF(AVI ) → LIST(hdrl){avih,
+    * LIST(strl){strh,strf}} → LIST(movi){00dc...}; no idx1 (optional in
+    * the spec, ignored by the parser).
+    */
+  def encodeAvi(
+      w: Int, h: Int, microSecPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val moviBody = frames.map(f => 8 + f.length + (f.length & 1)).sum + 4
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    tag("RIFF"); le32(riffBody); tag("AVI ")
+    tag("LIST"); le32(hdrlBody); tag("hdrl")
+    tag("avih"); le32(56)
+    le32(microSecPerFrame); le32(0); le32(0); le32(0)
+    le32(frames.size); le32(0); le32(1); le32(0)
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(4 + (8 + 56) + (8 + 40)); tag("strl")
+    tag("strh"); le32(56)
+    tag("vids"); tag("MJPG")
+    le32(0); le32(0); le32(0)
+    le32(microSecPerFrame); le32(1000000) // dwScale/dwRate = frame clock
+    le32(0); le32(frames.size); le32(0); le32(-1); le32(0)
+    le32(0); le32(0) // rcFrame
+    tag("strf"); le32(40)
+    le32(40); le32(w); le32(h); out.write(1); out.write(0)
+    out.write(24); out.write(0); tag("MJPG")
+    le32(0); le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(moviBody); tag("movi")
+    frames.foreach { f =>
+      tag("00dc"); le32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0) // even padding
+    }
+    out.toByteArray
+  }
+
+  /** Video decode + per-frame stat extraction, one batched narrow pass
+    * per partition — the video twin of [[imageStats]]: one output row
+    * per DECODED frame with the container clock's exact timestamp.
+    * Assets that are not a parseable AVI yield no rows.
+    */
+  def videoFrameStats(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val media = if (a.media == null) Array.emptyByteArray else a.media
+        decodeAvi(media).toSeq.flatMap { case (info, fs) =>
+          fs.map { f =>
+            (a.asset_id, f.frameIdx,
+              f.frameIdx.toLong * info.microSecPerFrame,
+              f.stats.format, f.stats.width, f.stats.height,
+              f.byteLen.toLong, fs.size, info.totalFrames,
+              f.stats.lumaSum, f.stats.nPixels, f.stats.edgeCount,
+              f.stats.hPairs)
+          }
+        }
+      }
+    }.toDF("asset_id", "frame_idx", "ts_micros", "format", "width",
+      "height", "frame_bytes", "n_decoded", "n_declared",
+      "luma_sum", "n_pixels", "edge_count", "h_pairs")
+  }
+
   /** Image dispatch on magic bytes: BMP, PPM, PNG, JPEG, else None. */
   def decodeImage(media: Array[Byte]): Option[ImageStats] =
     if (media.length >= 2 && media(0) == 'B' && media(1) == 'M') decodeBmp(media)
@@ -570,16 +725,28 @@ object Multimodal {
       "luma_sum", "n_pixels", "edge_count", "h_pairs")
   }
 
-  /** Format dispatch: real WAV/BMP/PPM parse when magic bytes match
-    * (each parser returns None on anything malformed, so a text blob
-    * that merely begins with a magic pair still stubs), deterministic
-    * stub otherwise. Image features: [w, h, mean luma, edge density,
-    * 3 channels, 0, 0, 0]; nFrames = 1.
+  /** Format dispatch: real WAV/AVI/BMP/PPM/PNG/JPEG parse when magic
+    * bytes match (each parser returns None on anything malformed, so a
+    * text blob that merely begins with a magic pair still falls back),
+    * deterministic unknown-format fallback otherwise. Image features:
+    * [w, h, mean luma, edge density, 3 channels, 0, 0, 0]; nFrames = 1.
+    * Video features: [w, h, mean luma over decoded frames, mean edge
+    * density, 3, µs/frame ÷ 1000, 0, 0]; nFrames = decoded count.
     */
   def decode(media: Array[Byte]): (Int, Array[Float]) =
     (if (media.length >= 12 && media(0) == 'R' && media(1) == 'I' &&
          media(2) == 'F' && media(3) == 'F')
        decodeWav(media).map { case (info, feats) => (info.nFrames, feats) }
+         .orElse(decodeAvi(media).collect {
+           case (info, fs) if fs.nonEmpty =>
+             val luma = fs.map(f =>
+               f.stats.lumaSum.toDouble / (255000.0 * f.stats.nPixels)).sum / fs.size
+             val edges = fs.map(f => if (f.stats.hPairs == 0) 0.0
+               else f.stats.edgeCount.toDouble / f.stats.hPairs).sum / fs.size
+             (fs.size, Array[Float](info.width.toFloat, info.height.toFloat,
+               luma.toFloat, edges.toFloat, 3f,
+               info.microSecPerFrame / 1000.0f, 0f, 0f))
+         })
      else decodeImage(media).map { s =>
        val meanLuma = s.lumaSum.toDouble / (255000.0 * s.nPixels)
        val edgeDensity =

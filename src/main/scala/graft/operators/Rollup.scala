@@ -114,9 +114,18 @@ object Rollup {
       maxDepth: Int = 16): DataFrame = {
     require(fanout >= 2, "fanout must be >= 2")
     require(maxDepth >= 1 && maxDepth <= 40, "maxDepth in [1, 40]")
-    val divisors = (0 until maxDepth)
-      .map(i => math.pow(fanout.toDouble, i.toDouble).toLong)
-      .takeWhile(d => d > 0 && d <= Long.MaxValue / fanout)
+    // exact long powers — math.pow loses integer exactness past 2^53
+    // (fanout 13 at depth 15 already exceeds it), which would silently
+    // hash leaves onto wrong ancestors
+    val divisors = {
+      val b = Seq.newBuilder[Long]
+      var d = 1L
+      var i = 0
+      while (i < maxDepth && d <= Long.MaxValue / fanout) {
+        b += d; d *= fanout; i += 1
+      }
+      b.result()
+    }
     df.select(col(idCol).cast("long").as("__id"),
         col(valueCol).cast("long").as("__v"))
       .withColumn("__div", explode(typedlit(divisors)))

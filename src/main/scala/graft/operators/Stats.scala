@@ -1309,7 +1309,7 @@ object Stats {
     val grid = nullSafeGroupJoin(rows, base, groupCols)
       .withColumn("__b",
         explode(typedlit((1 to nResamples).toSeq.map(_.toLong))))
-    val key = concat_ws("",
+    val key = concat_ws("\u0002",
       (groupCols.map(c => col(c).cast("string")) :+
         col("__b").cast("string") :+ col("__idx").cast("string")): _*)
     val draws = grid.select((groupCols.map(col) :+ col("__b") :+
@@ -1392,7 +1392,7 @@ object Stats {
     val grid = nullSafeGroupJoin(rows, base, groupCols)
       .withColumn("__b",
         explode(typedlit((1 to nPerms).toSeq.map(_.toLong))))
-    val key = concat_ws("",
+    val key = concat_ws("\u0002",
       (groupCols.map(c => col(c).cast("string")) :+
         col("__b").cast("string") :+ col("__id").cast("string")): _*)
     val hashed = grid.withColumn("__h",
@@ -1408,16 +1408,24 @@ object Stats {
         sum(when(!col("__pa"), col("__v")).otherwise(0L)).as("__sb"),
         first(col("n_a")).as("__na"), first(col("n_b")).as("__nb"))
       .withColumn("__d",
-        expr("(1000L * __sa) div __na - (1000L * __sb) div __nb"))
+        when(col("__na") > 0 && col("__nb") > 0,
+          expr("(1000L * __sa) div __na - (1000L * __sb) div __nb")))
     val extreme = nullSafeGroupJoin(perms,
         base.select((groupCols.map(col) :+
           col("obs_diff_milli").as("__obs")): _*), groupCols)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(when(abs(col("__d")) >= abs(col("__obs")), 1L)
         .otherwise(0L)).as("n_extreme"))
+    // a group where the label never varies has no testable hypothesis:
+    // obs_diff is null, every permuted diff is null, n_extreme would be
+    // 0 and the add-one rule would report the SMALLEST possible p —
+    // spurious maximal significance. Report null for both instead.
     nullSafeGroupJoin(base, extreme, groupCols)
+      .withColumn("n_extreme",
+        when(col("obs_diff_milli").isNotNull, col("n_extreme")))
       .withColumn("p_ppm",
-        expr(s"((1L + n_extreme) * 1000000L) div ${nPerms + 1}L"))
+        when(col("obs_diff_milli").isNotNull,
+          expr(s"((1L + n_extreme) * 1000000L) div ${nPerms + 1}L")))
   }
 
   /** Changepoint by SEGMENTED LEAST SQUARES — pick, from a literal

@@ -263,4 +263,79 @@ class MultimodalSpec extends SparkSuite {
     val bad = Seq(MediaAsset(1L, "x", "not a wav".getBytes)).toDS()
     assert(Multimodal.audioPeriodicity(bad, 1, 4).count() == 0L)
   }
+
+  test("decodeAvi: MJPEG round trip — frames equal standalone JPEG decode") {
+    def px(f: Int)(x: Int, y: Int) = ((x * 7 + f * 19) % 256,
+      (y * 13 + f) % 256, (x + y + f * 3) % 256)
+    val payloads = (0 until 3).map(f => Multimodal.encodeJpeg(16, 10, px(f)))
+    val avi = Multimodal.encodeAvi(16, 10, 40000, payloads)
+    val Some((info, frames)) = Multimodal.decodeAvi(avi)
+    assert(info == Multimodal.AviInfo(16, 10, 3, 40000))
+    assert(frames.map(_.frameIdx) == Vector(0, 1, 2))
+    assert(frames.map(_.byteLen) == payloads.map(_.length).toVector)
+    // each frame's stats must equal the standalone JPEG decoder's: the
+    // container walk may not corrupt a single payload byte
+    payloads.zip(frames).foreach { case (p, f) =>
+      assert(Multimodal.decodeJpeg(p).contains(f.stats), s"frame ${f.frameIdx}")
+    }
+  }
+
+  test("decodeAvi: lossless PNG frames pin exact pixel stats through the container") {
+    // PNG frames: decoded pixels equal the encoder input bit-for-bit,
+    // so the stats through the AVI path replay the pure pixel formula
+    def px(x: Int, y: Int) = (x % 256, y % 256, (x + y) % 256)
+    val p = Multimodal.encodePng(9, 7, px)
+    val avi = Multimodal.encodeAvi(9, 7, 33333, Seq(p, p))
+    val Some((_, frames)) = Multimodal.decodeAvi(avi)
+    assert(frames.size == 2)
+    val expect = Multimodal.decodePng(p).get
+    assert(frames.forall(_.stats == expect.copy(format = expect.format)))
+    assert(frames.head.stats.nPixels == 63L)
+  }
+
+  test("decodeAvi: malformed input degrades, never crashes") {
+    val good = Multimodal.encodeAvi(8, 8, 40000,
+      Seq(Multimodal.encodeJpeg(8, 8, (x, y) => (x, y, x + y))))
+    // wrong magic / truncated container / truncated mid-frame
+    assert(Multimodal.decodeAvi("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeAvi(good.take(20)).isEmpty)
+    val cut = good.take(good.length - 5)
+    assert(Multimodal.decodeAvi(cut).forall(_._2.isEmpty))
+    // corrupt ONE frame of three: the other two still decode
+    def pxf(f: Int)(x: Int, y: Int) = ((x + f) % 256, y % 256, f % 256)
+    val ps = (0 until 3).map(f => Multimodal.encodeJpeg(8, 8, pxf(f)))
+    val avi3 = Multimodal.encodeAvi(8, 8, 40000,
+      Seq(ps(0), "garbage frame bytes".getBytes, ps(2)))
+    val Some((_, fs)) = Multimodal.decodeAvi(avi3)
+    assert(fs.map(_.frameIdx) == Vector(0, 2))
+    // decompression-bomb header: avih claiming 20000x20000 rejects
+    val bomb = good.clone()
+    // avih payload starts at 12 (LIST hdr) + 12 (hdrl+avih hdr) = 32;
+    // width at +32, height at +36 of the payload
+    def putLe32(o: Int, v: Int): Unit = {
+      bomb(o) = v.toByte; bomb(o + 1) = (v >> 8).toByte
+      bomb(o + 2) = (v >> 16).toByte; bomb(o + 3) = (v >> 24).toByte
+    }
+    putLe32(32 + 32, 20000); putLe32(32 + 36, 20000)
+    assert(Multimodal.decodeAvi(bomb).isEmpty)
+  }
+
+  test("decode dispatch: AVI yields real video features, not the fallback") {
+    val avi = Multimodal.encodeAvi(12, 8, 40000,
+      Seq(Multimodal.encodeJpeg(12, 8, (x, y) => (128, 128, 128)),
+        Multimodal.encodeJpeg(12, 8, (x, y) => (128, 128, 128))))
+    val (n, feats) = Multimodal.decode(avi)
+    assert(n == 2)
+    assert(feats(0) == 12f && feats(1) == 8f)
+    assert(feats(2) > 0.4f && feats(2) < 0.6f) // mid-gray luma
+    assert(feats(5) == 40f) // ms per frame
+    // videoFrameStats: distributed per-frame rows with exact timestamps
+    val ds = Seq(MediaAsset(5L, "video", avi)).toDS()
+    val rows = Multimodal.videoFrameStats(ds)
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("ts_micros")).toSeq == Seq(0L, 40000L))
+    assert(rows.forall(_.getAs[String]("format") == "jpeg"))
+    assert(rows.forall(_.getAs[Int]("n_decoded") == 2))
+  }
 }

@@ -125,6 +125,20 @@ class RollupEncodingSpec extends SparkSuite {
     assert(got(3L) == ((3L, 16L)), got.toString)
     assert(got(7L) == ((1L, 7L)), got.toString)
     assert(got.size == 7, got.toString)
+    // divisor exactness past 2^53: fanout 13 at depth 15 is where
+    // math.pow's double image first goes inexact (13^15 = 51185893014090757
+    // but pow gives ...756) — a leaf at that id must land on ancestor 1,
+    // not on a phantom neighbor node
+    val big = 51185893014090757L // 13^15 exactly
+    val deep = Seq((big, 1L)).toDF("id", "v")
+    val anc = Rollup.hierarchyRollup(deep, "id", "v", fanout = 13,
+        maxDepth = 16)
+      .as[(Long, Long, Long)].collect().map(_._1).sorted
+    // ancestors are big/13^0 .. big/13^15 = exact powers down to 1
+    val want = (0 to 15).map(i => big / (0 until i)
+      .foldLeft(1L)((d, _) => d * 13)).distinct.sorted
+    assert(anc.toSeq == want, s"got ${anc.toSeq} want $want")
+    assert(anc.head == 1L, anc.toSeq.toString)
   }
 
   test("hashFeatures: buckets/signs replay the portable hash exactly") {

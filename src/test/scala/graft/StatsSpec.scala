@@ -731,6 +731,17 @@ class StatsSpec extends SparkSuite {
       Stats.permutationTest(neg, Seq.empty, "id", "lab", "v").collect()
     }
     assert(e.getMessage.contains("negative"), e.getMessage)
+    // degenerate group (label never varies): no testable hypothesis —
+    // n_extreme and p_ppm must be NULL, not the add-one minimum that
+    // would read as maximal significance
+    val degen = Seq(("a", 1L, true, 5L), ("a", 2L, true, 7L),
+        ("b", 1L, true, 5L), ("b", 2L, false, 9L))
+      .toDF("g", "id", "lab", "v")
+    val dr = Stats.permutationTest(degen, Seq("g"), "id", "lab", "v",
+        nPerms = 20).collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(dr("a").isNullAt(dr("a").fieldIndex("p_ppm")), dr.toString)
+    assert(dr("a").isNullAt(dr("a").fieldIndex("n_extreme")), dr.toString)
+    assert(!dr("b").isNullAt(dr("b").fieldIndex("p_ppm")), dr.toString)
   }
 
   test("acf: hand-computed lags on 1,2,3,4 and index-gap semantics") {
