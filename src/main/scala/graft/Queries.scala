@@ -2641,6 +2641,64 @@ object Queries {
       |  CAST(MIN(CASE WHEN cum >= ceil(n * 0.99) THEN bucket END) * 1000.0 AS DOUBLE) AS p99
       |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q232: data-adaptive MERGEABLE quantile sketch
+    * ([[Sketches.quantState]], cap 256) over cent-scaled order total
+    * per order priority — the rank-error-bounded estimator q71's
+    * fixed-boundary histogram can't be when the value range is unknown
+    * a priori. Deterministic geometric subsampling by the portable md5
+    * hash (KLL's compaction schedule with content-addressed "coin
+    * flips"), so the DuckDB oracle replays the ENTIRE sketch: every
+    * row's survivable level, the per-group level choice, the kept set,
+    * and the integer ppm argmin readout, digit for digit.
+    */
+  def quantSketchPrices(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select(
+      col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey").as("rid")) // the table's true unique key
+    val st = Sketches.quantState(ord, "cents", "rid",
+      groupCols = Seq("o_orderpriority"), cap = 256, salt = "quant")
+    Sketches.quantQuantiles(st,
+        qPpms = Seq(250000L, 500000L, 900000L, 990000L))
+      .orderBy("o_orderpriority", "q_ppm")
+  }
+
+  val quantSketchPricesSql: String = {
+    val key = "CAST(o_orderkey AS VARCHAR)"
+    s"""WITH raw AS (SELECT o_orderpriority AS g,
+       |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v,
+       |    ${duckHash60("quant", key)} AS h
+       |  FROM orders),
+       |lm AS (SELECT g, v, h,
+       |    CAST(60 - length(bin(h)) AS INT) AS lmax FROM raw),
+       |counts AS (SELECT g, lmax, COUNT(*) AS c FROM lm GROUP BY 1, 2),
+       |cum AS (SELECT g, lmax,
+       |    SUM(c) OVER (PARTITION BY g ORDER BY lmax DESC
+       |                 ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM counts),
+       |lvl AS (SELECT g, CAST(COALESCE(
+       |      MAX(CASE WHEN cum > 256 THEN lmax + 1 END), 0) AS INT)
+       |    AS level FROM cum GROUP BY g),
+       |meta AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM raw GROUP BY g),
+       |kept AS (SELECT lm.g, lm.v, lvl.level,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lm.g
+       |      ORDER BY lm.v ASC, lm.h ASC) AS BIGINT) - 1 AS i
+       |  FROM lm JOIN lvl ON lvl.g = lm.g WHERE lm.lmax >= lvl.level),
+       |qs AS (SELECT CAST(unnest([250000, 500000, 900000, 990000])
+       |    AS BIGINT) AS q_ppm),
+       |cand AS (SELECT k.g, q.q_ppm, m.n, k.level, k.v,
+       |    k.i * (1::BIGINT << k.level) AS est_rank,
+       |    abs(k.i * (1::BIGINT << k.level) * 1000000
+       |        - q.q_ppm * (m.n - 1)) AS cost
+       |  FROM kept k CROSS JOIN qs q JOIN meta m ON m.g = k.g),
+       |pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g, q_ppm
+       |    ORDER BY cost ASC, est_rank ASC) AS r FROM cand)
+       |SELECT g AS o_orderpriority, q_ppm, n, level, v AS value,
+       |  est_rank
+       |FROM pick WHERE r = 1 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Exact distributed regression ([[Stats.regression]]): slope /
     * intercept / Pearson r of extended price on quantity per return
     * flag, from DECIMAL-exact power sums — deterministic under any
@@ -9538,7 +9596,8 @@ object Queries {
     "q228_corpus_panorama" -> corpusPanorama _,
     "q229_median_mad" -> medianMadReport _,
     "q230_backlog_aging" -> backlogAging _,
-    "q231_video_frames" -> videoDecode _)
+    "q231_video_frames" -> videoDecode _,
+    "q232_quant_sketch" -> quantSketchPrices _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -9770,5 +9829,6 @@ object Queries {
     "q228_corpus_panorama" -> corpusPanoramaSql,
     "q229_median_mad" -> medianMadReportSql,
     "q230_backlog_aging" -> backlogAgingSql,
-    "q231_video_frames" -> videoDecodeSql)
+    "q231_video_frames" -> videoDecodeSql,
+    "q232_quant_sketch" -> quantSketchPricesSql)
 }

@@ -266,6 +266,182 @@ object Sketches {
     else cum.groupBy(groupCols.map(col): _*).agg(nAgg, aggs: _*)
   }
 
+  // --------------------------------------- rank-error quantile sketch
+
+  /** Mergeable RANK-ERROR-BOUNDED quantile state over an UNKNOWN value
+    * range — the data-adaptive member the fixed-boundary [[histState]]
+    * can't be: no width to choose, no boundaries known a priori.
+    *
+    * Design: deterministic geometric subsampling (the KLL compactor
+    * schedule with the coin flips replaced by the repo's
+    * content-addressed md5 rule). Every row gets the portable 60-bit
+    * hash `h` of its unique key; its MAXIMUM SURVIVABLE LEVEL is
+    * `lmax = 60 − bitlen(h)` (integer string-length arithmetic in both
+    * engines — no float log anywhere), and the state at level L keeps
+    * exactly the rows with `lmax ≥ L` — i.e. `h < 2^(60−L)`, a
+    * pseudorandom 2^-L sample. The state's level is the SMALLEST L
+    * keeping ≤ cap rows per group. Because membership is a pure
+    * function of the row (not of arrival order, partitioning, or merge
+    * shape), the state is order-independent, the merge is ASSOCIATIVE
+    * with `merge(A,B) = build(A∪B)` exactly, and an external SQL engine
+    * replays every kept row — the whole sketch is oracle-auditable,
+    * which a coin-flip KLL fundamentally is not.
+    *
+    * Each kept row at level L stands for 2^L rows, so the estimated
+    * rank of the i-th kept value (ties broken by h — both engines sort
+    * identically) is `i·2^L`. Rank error: the true rank of that row is
+    * a sum of i.i.d. geometric gaps with mean 2^L, so the deviation is
+    * O(√i·2^L) ≈ O(n/√cap) with exponential tails — cap 256 gives
+    * ~3–6% rank error in practice (exact when n ≤ cap: level 0 keeps
+    * everything and the estimator degenerates to nearest-rank).
+    * [[histQuantiles]] trades adaptivity for its one-bucket bound; this
+    * trades a √cap factor for needing NO prior knowledge of the range.
+    *
+    * Merge contract: states must come from DISJOINT row sets sharing
+    * cap/salt (enforced), with globally unique keys (guarded at build:
+    * duplicate keys per group RAISE — a duplicated key would correlate
+    * "independent" inclusion decisions and silently bias every rank).
+    *
+    * 100 TB posture: build is one narrow projection + one
+    * map-side-combined (group, lmax) count (≤ 61 rows per group) + one
+    * group-sized join to re-filter — two scans, no sort, no data-sized
+    * shuffle; the kept state is ≤ ~cap rows per group. Values are
+    * caller-scaled longs (the repo's exact-integer rule).
+    */
+  final case class QuantState(
+      cap: Int, salt: String, groupCols: Seq[String],
+      items: DataFrame,   // groupCols..., v, h, lmax
+      meta: DataFrame) {  // groupCols..., n (exact), level
+    def merge(other: QuantState): QuantState = {
+      require(cap == other.cap && salt == other.salt &&
+        groupCols == other.groupCols,
+        "quantile states merge only at identical cap/salt/grouping")
+      def joinOn(a: DataFrame, b: DataFrame): DataFrame =
+        if (groupCols.isEmpty) a.crossJoin(broadcast(b))
+        else a.join(broadcast(b), groupCols)
+      val it = items.unionByName(other.items)
+      // the union's kept sets are complete only at L ≥ both parts'
+      // levels, so the selection floor is the max of the two
+      val floorLvl = meta.select((groupCols :+ "level").map(col): _*)
+        .unionByName(other.meta.select((groupCols :+ "level").map(col): _*))
+        .groupBy(groupCols.map(col): _*)
+        .agg(max(col("level")).as("__floor"))
+      val lvl = joinOn(pickLevel(it, cap, groupCols), floorLvl)
+        .select(groupCols.map(col) :+
+          greatest(col("level"), col("__floor")).as("level"): _*)
+      val n = meta.select((groupCols :+ "n").map(col): _*)
+        .unionByName(other.meta.select((groupCols :+ "n").map(col): _*))
+        .groupBy(groupCols.map(col): _*).agg(sum(col("n")).as("n"))
+      QuantState(cap, salt, groupCols,
+        joinOn(it, lvl).where(col("lmax") >= col("level"))
+          .select(it.columns.map(col): _*),
+        joinOn(n, lvl))
+    }
+  }
+
+  /** Smallest level keeping ≤ cap rows per group: cumulative survivor
+    * counts from the top level down; L* = 1 + the largest lmax whose
+    * cumulative count still exceeds cap (0 if none does).
+    */
+  private def pickLevel(
+      rows: DataFrame, cap: Int, groupCols: Seq[String]): DataFrame = {
+    val counts = rows.groupBy((groupCols :+ "lmax").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w =
+      if (groupCols.isEmpty) Window.orderBy(col("lmax").desc)
+      else Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("lmax").desc)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val grouped =
+      if (groupCols.isEmpty) cum.groupBy()
+      else cum.groupBy(groupCols.map(col): _*)
+    grouped.agg(coalesce(
+      max(when(col("__cum") > cap, col("lmax") + 1)), lit(0))
+      .cast("int").as("level"))
+  }
+
+  /** Build [[QuantState]] in one logical pass. `keyCol` must uniquely
+    * identify rows within a group (verified — duplicates RAISE);
+    * `valueCol` is cast to long (caller-scaled). Null keys/values drop.
+    */
+  def quantState(df: DataFrame, valueCol: String, keyCol: String,
+                 groupCols: Seq[String] = Nil, cap: Int = 256,
+                 salt: String = "quant"): QuantState = {
+    require(cap >= 16 && cap <= (1 << 20), "cap in [16, 2^20]")
+    val rows = df
+      .where(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .select(groupCols.map(col) :+
+        col(valueCol).cast("long").as("v") :+
+        col(keyCol).cast("string").as("__k"): _*)
+      .withColumn("h", hash60(col("__k"), salt))
+      // bitlen via binary STRING length — exact integer semantics that
+      // DuckDB's bin() mirrors; h = 0 (p ≈ 2^-60) lands at 59, same
+      // formula both sides
+      .withColumn("lmax", (lit(60) - length(bin(col("h")))).cast("int"))
+    val meta = rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), countDistinct(col("__k")).as("__nd"))
+      .withColumn("n", when(col("__nd") === col("n"), col("n"))
+        .otherwise(raise_error(lit(s"Sketches.quantState: $keyCol is " +
+          "not unique per group — duplicate keys correlate sampling " +
+          "decisions and bias every rank; use a true row id")
+          .cast("string")).cast("long")))
+      .drop("__nd")
+    val items = rows.drop("__k")
+    val lvl = pickLevel(items, cap, groupCols)
+    val (kept, metaLvl) =
+      if (groupCols.isEmpty)
+        (items.crossJoin(broadcast(lvl)), meta.crossJoin(broadcast(lvl)))
+      else
+        (items.join(broadcast(lvl), groupCols), meta.join(lvl, groupCols))
+    QuantState(cap, salt, groupCols,
+      kept.where(col("lmax") >= col("level"))
+        .select(items.columns.map(col): _*),
+      metaLvl)
+  }
+
+  /** Quantile readout: for each q (in ppm — exact integer targets), the
+    * kept value whose estimated rank `i·2^level` is nearest to
+    * `q·(n−1)/1e6`, ties to the smaller estimated rank — pure integer
+    * argmin both engines replay digit-for-digit. One explode by |qs|
+    * over the cap-bounded state + one argmin window.
+    */
+  def quantQuantiles(state: QuantState, qPpms: Seq[Long]): DataFrame = {
+    require(qPpms.nonEmpty && qPpms.forall(q => q >= 0 && q <= 1000000L),
+      "quantile targets are ppm in [0, 1e6]")
+    val g = state.groupCols
+    val wOrd =
+      if (g.isEmpty) Window.orderBy(col("v").asc, col("h").asc)
+      else Window.partitionBy(g.map(col): _*)
+        .orderBy(col("v").asc, col("h").asc)
+    val items = state.items
+      .withColumn("__i", row_number().over(wOrd).cast("long") - 1)
+    val ranked =
+      if (g.isEmpty) items.crossJoin(broadcast(state.meta))
+      else items.join(broadcast(state.meta), g)
+    // est_rank·1e6 must fit a long: i·2^level ≤ ~2n, so n is capped at
+    // 4e12 per group — RAISES past it (the kCore budget-as-contract
+    // rule) rather than silently wrapping the argmin
+    val guarded = ranked.withColumn("n",
+      when(col("n") <= 4000000000000L, col("n")).otherwise(raise_error(
+        lit("Sketches.quantQuantiles: group count exceeds 4e12 — the " +
+          "ppm argmin would overflow int64; rescale to coarser groups")
+        .cast("string")).cast("long")))
+    val est = guarded
+      .withColumn("q_ppm", explode(typedlit(qPpms.sorted)))
+      .withColumn("est_rank", expr("__i * shiftleft(1L, level)"))
+      .withColumn("__cost",
+        abs(col("est_rank") * 1000000L - col("q_ppm") * (col("n") - 1)))
+    val wPick =
+      if (g.isEmpty) Window.partitionBy(col("q_ppm"))
+        .orderBy(col("__cost").asc, col("est_rank").asc)
+      else Window.partitionBy((g.map(col) :+ col("q_ppm")): _*)
+        .orderBy(col("__cost").asc, col("est_rank").asc)
+    est.withColumn("__r", row_number().over(wPick))
+      .where(col("__r") === 1)
+      .select((g.map(col) :+ col("q_ppm") :+ col("n") :+ col("level") :+
+        col("v").as("value") :+ col("est_rank")): _*)
+  }
+
   // ------------------------------------------------------------- count-min
 
   /** Count-min state CARRIES its geometry: build and probe sharing
