@@ -4969,6 +4969,104 @@ object Queries {
        |FROM e8 GROUP BY 1 ORDER BY id""".stripMargin
   }
 
+  /** q233: strongly connected components
+    * ([[Graph.stronglyConnectedComponents]]) over a DIRECTED part
+    * graph: each ≤6-line order (sampled, orderkey % 17) contributes a
+    * directed RING over its parts sorted by id (rings are cycles, so
+    * node-sharing rings merge into larger SCCs), plus acyclic bridge
+    * edges pk → pk+1000 that weakly connect components WITHOUT merging
+    * them — exactly the structure where undirected CC over-merges and
+    * SCC must not. Budgets (12 rounds, 3 phases) are the query's
+    * replay contract; the operator RAISES if they ever stop covering
+    * the data. The oracle unrolls the full schedule — every min-label
+    * round including the pointer jumps, both directions, all phases,
+    * the singleton-orphan rule — materialized round by round (the
+    * q139 recipe).
+    */
+  def sccParts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val ok6 = li.groupBy(col("ok")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= 6 && col("ok") % 17 === 0).select(col("ok"))
+    val li2 = li.join(ok6, Seq("ok"), "leftsemi").distinct()
+    val srt = li2.withColumn("r",
+      row_number().over(Window.partitionBy(col("ok")).orderBy(col("pk"))))
+    val mn = li2.groupBy(col("ok")).agg(min(col("pk")).as("mpk"))
+    val ring = srt.as("a")
+      .join(srt.as("b"),
+        col("a.ok") === col("b.ok") && col("b.r") === col("a.r") + 1, "left")
+      .join(mn.as("m"), col("a.ok") === col("m.ok"))
+      .select(col("a.pk").as("src"),
+        coalesce(col("b.pk"), col("m.mpk")).as("dst"))
+      .distinct()
+    val nodes = ring.select(col("src").as("id"))
+      .unionByName(ring.select(col("dst").as("id"))).distinct()
+    val bridge = nodes.as("x")
+      .join(nodes.as("y"), col("y.id") === col("x.id") + 1000)
+      .where(col("x.id") <= 1000)
+      .select(col("x.id").as("src"), col("y.id").as("dst"))
+    val g = ring.unionByName(bridge).distinct()
+    Graph.stronglyConnectedComponents(g, maxRounds = 12, maxPhases = 3)
+      .orderBy("id")
+  }
+
+  val sccPartsSql: String = {
+    val rounds = 12
+    def prop(p: Int, dir: String, from: String, to: String): String = {
+      val base = s"${dir}_${p}_0 AS (SELECT id, id AS lab FROM nodes_$p)"
+      val steps = (1 to rounds).map { r =>
+        s"""${dir}_${p}_$r AS MATERIALIZED (SELECT id, MIN(lab) AS lab FROM (
+           |  SELECT id, lab FROM ${dir}_${p}_${r - 1}
+           |  UNION ALL SELECT e.$to, l.lab FROM rem_${p - 1} e
+           |    JOIN ${dir}_${p}_${r - 1} l ON l.id = e.$from
+           |  UNION ALL SELECT l.id, l2.lab FROM ${dir}_${p}_${r - 1} l
+           |    JOIN ${dir}_${p}_${r - 1} l2 ON l2.id = l.lab
+           |  ) GROUP BY id)""".stripMargin
+      }
+      (base +: steps).mkString(",\n")
+    }
+    val phases = (1 to 3).map { p =>
+      s"""nodes_$p AS MATERIALIZED (SELECT DISTINCT src AS id
+         |  FROM rem_${p - 1} UNION SELECT dst FROM rem_${p - 1}),
+         |${prop(p, "f", "src", "dst")},
+         |${prop(p, "b", "dst", "src")},
+         |scc_$p AS MATERIALIZED (SELECT f.id, f.lab AS scc
+         |  FROM f_${p}_$rounds f JOIN b_${p}_$rounds b
+         |    ON b.id = f.id AND b.lab = f.lab),
+         |rem_$p AS MATERIALIZED (SELECT e.* FROM rem_${p - 1} e
+         |  WHERE NOT EXISTS (SELECT 1 FROM scc_$p s WHERE s.id = e.src)
+         |    AND NOT EXISTS (SELECT 1 FROM scc_$p s WHERE s.id = e.dst)),
+         |orph_$p AS (SELECT n.id, n.id AS scc FROM nodes_$p n
+         |  WHERE NOT EXISTS (SELECT 1 FROM scc_$p s WHERE s.id = n.id)
+         |    AND NOT EXISTS (SELECT 1 FROM rem_$p e
+         |      WHERE e.src = n.id OR e.dst = n.id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ok6 AS (SELECT ok FROM li GROUP BY ok
+       |  HAVING COUNT(*) <= 6 AND ok % 17 = 0),
+       |li2 AS MATERIALIZED (SELECT DISTINCT li.ok, li.pk FROM li
+       |  JOIN ok6 USING (ok)),
+       |srt AS MATERIALIZED (SELECT ok, pk,
+       |  ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS r FROM li2),
+       |mn AS (SELECT ok, MIN(pk) AS mpk FROM li2 GROUP BY ok),
+       |ring AS MATERIALIZED (SELECT DISTINCT a.pk AS src,
+       |    COALESCE(b.pk, mn.mpk) AS dst
+       |  FROM srt a LEFT JOIN srt b ON b.ok = a.ok AND b.r = a.r + 1
+       |  JOIN mn ON mn.ok = a.ok),
+       |nd AS (SELECT DISTINCT src AS id FROM ring
+       |  UNION SELECT dst FROM ring),
+       |rem_0 AS MATERIALIZED (SELECT src, dst FROM ring
+       |  UNION SELECT x.id, y.id FROM nd x JOIN nd y ON y.id = x.id + 1000
+       |  WHERE x.id <= 1000),
+       |$phases
+       |SELECT id, scc FROM (
+       |  SELECT * FROM scc_1 UNION ALL SELECT * FROM orph_1
+       |  UNION ALL SELECT * FROM scc_2 UNION ALL SELECT * FROM orph_2
+       |  UNION ALL SELECT * FROM scc_3 UNION ALL SELECT * FROM orph_3)
+       |ORDER BY id""".stripMargin
+  }
+
   /** q140: walk-forward (rolling-origin) CV folds with embargo
     * ([[Sampling.walkForwardFolds]]) over the event stream — per
     * (fold, role) counts plus id/ts checksums so any single
@@ -9597,7 +9695,8 @@ object Queries {
     "q229_median_mad" -> medianMadReport _,
     "q230_backlog_aging" -> backlogAging _,
     "q231_video_frames" -> videoDecode _,
-    "q232_quant_sketch" -> quantSketchPrices _)
+    "q232_quant_sketch" -> quantSketchPrices _,
+    "q233_scc" -> sccParts _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -9830,5 +9929,6 @@ object Queries {
     "q229_median_mad" -> medianMadReportSql,
     "q230_backlog_aging" -> backlogAgingSql,
     "q231_video_frames" -> videoDecodeSql,
-    "q232_quant_sketch" -> quantSketchPricesSql)
+    "q232_quant_sketch" -> quantSketchPricesSql,
+    "q233_scc" -> sccPartsSql)
 }

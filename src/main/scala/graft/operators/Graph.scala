@@ -668,4 +668,159 @@ object Graph {
     }
     dist
   }
+
+  /** STRONGLY connected components of a DIRECTED graph — the directed
+    * sibling of [[Dedup.connectedComponents]] (crawl-graph cycle
+    * analysis, dependency-cycle detection, link-farm rings — where
+    * undirected CC over-merges: a link TO a page is not a link back).
+    *
+    * Algorithm: iterative min-label FORWARD-BACKWARD with pointer
+    * jumping. Per phase, over the still-unassigned subgraph:
+    * `f(v)` = min node id that REACHES v and `b(v)` = min node id v
+    * reaches, each computed by min-label propagation where a round
+    * folds in (a) labels along edges and (b) the label OF the label —
+    * valid because a forward label is itself an ancestor (w →* u →* v
+    * composes), and the jump collapses label chains at the
+    * [[Dedup.connectedComponents]] pointer-jumping rate, O(log path)
+    * rounds instead of O(path). If `f(v) = b(v) = m` then m →* v and
+    * v →* m, so v ∈ SCC(m) — and the converse holds once propagation
+    * converges, because every witness path of an SCC lies WHOLLY
+    * inside it (each node on a v →* m →* v cycle is mutually
+    * reachable with both), so min-over-ancestors is exact within the
+    * component. Assigned components are removed; a node stranded with
+    * no remaining edges is its own singleton SCC (paths between
+    * same-SCC nodes never leave the SCC, so removing OTHER components
+    * cannot break one). The global-min active node always satisfies
+    * f = b = itself, so every phase retires ≥ 1 component.
+    *
+    * Budget as CONTRACT (the [[kCore]] stance, but RAISING): each
+    * propagation runs ≤ `maxRounds` rounds with early exit at the
+    * fixpoint (no label changed — every later round is a no-op, so a
+    * replay running all `maxRounds` rounds computes the identical
+    * labels), and the phase loop runs ≤ `maxPhases`. A budget too
+    * small for the data RAISES loudly rather than returning a
+    * silently-partial grouping — an under-propagated f would split
+    * components, which no caller can detect downstream.
+    *
+    * 100 TB posture: per round ONE equi-join of edges against the
+    * node-sized label table + ONE self-join of the label table + one
+    * map-side-combined min — node-sized state, localCheckpoint'd
+    * lineage cuts, the same shape as [[pageRank]] rounds; the edge set
+    * shrinks monotonically across phases.
+    *
+    * @param edges directed (src, dst); duplicates collapse, self-loops
+    *              allowed (they make a node trivially cyclic)
+    * @return (id, scc) — scc = min node id of the component
+    */
+  def stronglyConnectedComponents(
+      edges: DataFrame,
+      maxRounds: Int = 16,
+      maxPhases: Int = 4): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64 &&
+      maxPhases >= 1 && maxPhases <= 16, "bounded budgets only")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // Spark 4.1's Union constraint rewrite (UnionBase.rewriteConstraints)
+    // throws "key not found" on the assigned-components union when a
+    // child carries an id=scc alias constraint — a planner bug this
+    // loop reliably trips via localCheckpoint's stats/constraints
+    // rewrite. Constraint propagation buys nothing here (every frame in
+    // the loop is checkpointed state), so scope it off for the run.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.getOption(cpKey)
+    spark.conf.set(cpKey, "false")
+    try {
+    var rem = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var remEdges = rem.count()
+    var assigned = Seq.empty[(Long, Long)].toDF("id", "scc")
+
+    // min-label propagation with pointer jumping over the CURRENT
+    // subgraph; forward = labels flow src→dst (ancestor mins), else
+    // dst→src (descendant mins). Raises if maxRounds is too small.
+    def propagate(nodes: DataFrame, forward: Boolean): DataFrame = {
+      val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
+      var lab = nodes.select(col("id"), col("id").as("lab"))
+        .localCheckpoint(true)
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        // no unions: Spark's Union constraint rewrite chokes on
+        // shared-lineage children; equivalent min via two left joins
+        // (least() skips nulls, so absent contributions are identity)
+        val edgeMin = rem.select(col(from).as("__at"), col(to).as("id"))
+          .join(lab.select(col("id").as("__at"), col("lab").as("__el")),
+            Seq("__at"))
+          .groupBy(col("id")).agg(min(col("__el")).as("__em"))
+        val jumpMin = lab.select(col("id"), col("lab").as("__ptr"))
+          .join(lab.select(col("id").as("__ptr"), col("lab").as("__jl")),
+            Seq("__ptr"))
+          .groupBy(col("id")).agg(min(col("__jl")).as("__jm"))
+        val next = lab
+          .join(edgeMin, Seq("id"), "left")
+          .join(jumpMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lab"), col("__em"), col("__jm")).as("lab"))
+          .localCheckpoint(true)
+        val changed = next.select(col("id"), col("lab").as("__new"))
+          .join(lab, Seq("id"))
+          .where(col("__new") < col("lab")).count()
+        lab = next
+        converged = changed == 0L
+        round += 1
+      }
+      if (!converged) sys.error(
+        s"Graph.stronglyConnectedComponents: min-label propagation " +
+          s"did not converge within maxRounds=$maxRounds — an " +
+          s"under-propagated label would silently SPLIT components; " +
+          s"raise the budget past the subgraph's label-chain depth")
+      lab
+    }
+
+    var phase = 0
+    while (phase < maxPhases && remEdges > 0) {
+      val nodes = rem
+        .select(explode(array(col("src"), col("dst"))).as("id"))
+        .distinct().localCheckpoint(true)
+      val f = propagate(nodes, forward = true)
+      val b = propagate(nodes, forward = false)
+      val scc = f.as("f").join(b.as("b"),
+          col("f.id") === col("b.id") && col("f.lab") === col("b.lab"))
+        .select(col("f.id").as("id"), col("f.lab").as("scc"))
+        .localCheckpoint(true)
+      val nextRem = rem
+        .join(scc.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(scc.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      // nodes whose every edge touched a retired component: singleton
+      // SCCs (same-component witness paths never leave the component)
+      val orphans = nodes
+        .join(scc.select(col("id")), Seq("id"), "left_anti")
+        .join(nextRem.select(explode(array(col("src"), col("dst")))
+          .as("id")).distinct(), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("scc"))
+        .localCheckpoint(true)
+      assigned = assigned.unionByName(scc).unionByName(orphans)
+        .localCheckpoint(true)
+      remEdges = nextRem.count()
+      rem = nextRem
+      phase += 1
+    }
+    if (remEdges > 0) sys.error(
+      s"Graph.stronglyConnectedComponents: $remEdges edges still " +
+        s"unassigned after maxPhases=$maxPhases — the phase budget " +
+        s"must cover the component-removal depth; raise it")
+    assigned
+    } finally {
+      cpPrev match {
+        case Some(v) => spark.conf.set(cpKey, v)
+        case None => spark.conf.unset(cpKey)
+      }
+    }
+  }
 }

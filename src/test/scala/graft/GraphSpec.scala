@@ -262,4 +262,41 @@ class GraphSpec extends SparkSuite {
     assert(authMass > 1000000L - 4 && authMass <= 1000000L,
       s"auth $authMass")
   }
+
+  test("scc: multi-component fixture — cycles, bridge, singleton, self-loop") {
+    // {1,2,3} cycle → bridge 3→4 → {4,5} cycle; 6→1 (6 is a singleton
+    // source); 7→7 self-loop. Undirected CC would merge 1..6 into one
+    // blob; SCC must keep four components.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (6L, 1L), (7L, 7L)).toDF("src", "dst")
+    val got = Graph.stronglyConnectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L, 6L -> 6L, 7L -> 7L), got.toString)
+    // partitioning-independent
+    val got2 = Graph.stronglyConnectedComponents(edges.repartition(5))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == got)
+  }
+
+  test("scc: budgets raise loudly instead of splitting components") {
+    // a 3-cycle needs 3 propagation rounds (2 label rounds + the
+    // fixpoint-detection round): maxRounds = 2 must raise
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val e1 = intercept[Exception] {
+      Graph.stronglyConnectedComponents(cyc, maxRounds = 2).collect()
+    }
+    assert(e1.getMessage.contains("did not converge"), e1.getMessage)
+    // two chained SCCs need 2 phases: maxPhases = 1 must raise
+    val chain = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val e2 = intercept[Exception] {
+      Graph.stronglyConnectedComponents(chain, maxPhases = 1).collect()
+    }
+    assert(e2.getMessage.contains("unassigned"), e2.getMessage)
+    // and with adequate budgets the same chain resolves exactly
+    val ok = Graph.stronglyConnectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(ok == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L), ok.toString)
+  }
 }
