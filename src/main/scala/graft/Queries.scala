@@ -194,18 +194,19 @@ object Queries {
     * [[kmodesFitGlobal]]. `featExprs` are the already-COALESCEd feature
     * SQL expressions in order; emits ~maxIter × (n + 2) tiny CTEs.
     */
-  private def lloydReplaySql(
-      fromTable: String, featExprs: Seq[String],
-      k: Int, maxIter: Int, seed: Long,
-      finalSelect: String = null): String = {
-    val n = featExprs.size
+  /** CTE chain of one full Lloyd replay over an EXISTING tuples CTE
+    * named `${pfx}tuples` with columns f1..fn and weight w. Every CTE
+    * is prefixed, so multiple chains (per-bucket ensemble stages, q234)
+    * compose in one statement. Emits `${pfx}c0..c$maxIter` (centers),
+    * `${pfx}afin` (final assignment with rn=1 picking the winner).
+    */
+  private def lloydChainCtes(
+      pfx: String, n: Int, k: Int, maxIter: Int, seedExpr: String): String = {
     val fs = (1 to n).map(i => s"f$i")
     val fList = fs.mkString(", ")
     val rList = fs.map("r." + _).mkString(", ")
-    val featSel = featExprs.zipWithIndex
-      .map { case (e, i) => s"$e AS f${i + 1}" }.mkString(", ")
     val keyStr = s"concat_ws(chr(1), $fList)"
-    val hashStr = s"md5(concat_ws(chr(1), '$seed', $fList))"
+    val hashStr = s"md5(concat_ws(chr(1), $seedExpr, $fList))"
     def dist(centerAlias: String) = fs.zipWithIndex.map { case (f, i) =>
       s"(CASE WHEN r.$f <> $centerAlias.g${i + 1} THEN 1 ELSE 0 END)"
     }.mkString(" + ")
@@ -213,31 +214,45 @@ object Queries {
     // predecessor twice, so default inlining would expand the chain
     // 2^maxIter-fold (observed as "too many open files" on the scan)
     val sb = new StringBuilder
-    sb ++= s"WITH feats AS MATERIALIZED (SELECT $featSel FROM $fromTable),\n"
-    sb ++= s"tuples AS MATERIALIZED (SELECT $fList, COUNT(*) AS w FROM feats GROUP BY $fList),\n"
-    sb ++= s"c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS cid, " +
+    sb ++= s"${pfx}c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS cid, " +
       (1 to n).map(i => s"f$i AS g$i").mkString(", ") + " FROM (\n" +
       s"  SELECT $fList, row_number() OVER (ORDER BY $hashStr ASC, $keyStr ASC) AS rn\n" +
-      s"  FROM tuples) WHERE rn <= $k),\n"
+      s"  FROM ${pfx}tuples) WHERE rn <= $k),\n"
     for (it <- 1 to maxIter) {
-      sb ++= s"a$it AS MATERIALIZED (SELECT $rList, r.w, c.cid,\n" +
+      sb ++= s"${pfx}a$it AS MATERIALIZED (SELECT $rList, r.w, c.cid,\n" +
         s"  row_number() OVER (PARTITION BY $rList ORDER BY (${dist("c")}) ASC, c.cid ASC) AS rn\n" +
-        s"  FROM tuples r CROSS JOIN c${it - 1} c),\n"
-      sb ++= s"p$it AS MATERIALIZED (SELECT $fList, w, cid FROM a$it WHERE rn = 1),\n"
+        s"  FROM ${pfx}tuples r CROSS JOIN ${pfx}c${it - 1} c),\n"
+      sb ++= s"${pfx}p$it AS MATERIALIZED (SELECT $fList, w, cid FROM ${pfx}a$it WHERE rn = 1),\n"
       for (p <- 1 to n)
-        sb ++= s"m${it}_$p AS MATERIALIZED (SELECT cid, val FROM (\n" +
+        sb ++= s"${pfx}m${it}_$p AS MATERIALIZED (SELECT cid, val FROM (\n" +
           s"  SELECT cid, f$p AS val,\n" +
           s"    row_number() OVER (PARTITION BY cid ORDER BY SUM(w) DESC, f$p ASC) AS rn\n" +
-          s"  FROM p$it GROUP BY cid, f$p) WHERE rn = 1),\n"
-      sb ++= s"c$it AS MATERIALIZED (SELECT c.cid, " +
+          s"  FROM ${pfx}p$it GROUP BY cid, f$p) WHERE rn = 1),\n"
+      sb ++= s"${pfx}c$it AS MATERIALIZED (SELECT c.cid, " +
         (1 to n).map(p => s"COALESCE(m$p.val, c.g$p) AS g$p").mkString(", ") +
-        s" FROM c${it - 1} c " +
-        (1 to n).map(p => s"LEFT JOIN m${it}_$p m$p ON m$p.cid = c.cid").mkString(" ") +
+        s" FROM ${pfx}c${it - 1} c " +
+        (1 to n).map(p => s"LEFT JOIN ${pfx}m${it}_$p m$p ON m$p.cid = c.cid").mkString(" ") +
         "),\n"
     }
-    sb ++= s"afin AS (SELECT r.w, c.cid, (${dist("c")}) AS d,\n" +
+    sb ++= s"${pfx}afin AS (SELECT r.w, c.cid, (${dist("c")}) AS d,\n" +
       s"  row_number() OVER (PARTITION BY $rList ORDER BY (${dist("c")}) ASC, c.cid ASC) AS rn\n" +
-      s"  FROM tuples r CROSS JOIN c$maxIter c)\n"
+      s"  FROM ${pfx}tuples r CROSS JOIN ${pfx}c$maxIter c)"
+    sb.toString
+  }
+
+  private def lloydReplaySql(
+      fromTable: String, featExprs: Seq[String],
+      k: Int, maxIter: Int, seed: Long,
+      finalSelect: String = null): String = {
+    val n = featExprs.size
+    val fList = (1 to n).map(i => s"f$i").mkString(", ")
+    val featSel = featExprs.zipWithIndex
+      .map { case (e, i) => s"$e AS f${i + 1}" }.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"WITH feats AS MATERIALIZED (SELECT $featSel FROM $fromTable),\n"
+    sb ++= s"tuples AS MATERIALIZED (SELECT $fList, COUNT(*) AS w FROM feats GROUP BY $fList),\n"
+    sb ++= lloydChainCtes("", n, k, maxIter, s"'$seed'")
+    sb ++= "\n"
     sb ++= (if (finalSelect != null) finalSelect
     else s"SELECT cid AS prediction, CAST(SUM(w) AS BIGINT) AS count\n" +
       s"FROM afin WHERE rn = 1 GROUP BY cid ORDER BY prediction")
@@ -254,6 +269,80 @@ object Queries {
     // through the reference-style entry point (EnsembleKModes alias)
     val model = EnsembleKModes(8, 10).setSeed(42L).fit(df)
     model.transform(df).groupBy("prediction").count().orderBy("prediction")
+  }
+
+  /** q234: the ensemble MATH with deterministic partitioning — every
+    * stage oracle-replayable, closing the one `no_oracle` row (q15,
+    * which keeps the reference's physical-partition semantics). Stage-1
+    * "partitions" are PORTABLE md5 hash buckets of the feature tuple
+    * (not task partition ids), so each bucket is a pure function of the
+    * data; each bucket gets a full md5-init Lloyd fit (seed + bucket),
+    * replayed per bucket by the q14 chain. Stage 2 meta-clusters the
+    * B×k collected modes with the SAME replayable fit (q190's recipe,
+    * one more chain over a 16-row relation). Final readout assigns
+    * every order to its metamode: (prediction, count, sum_dist) —
+    * integer-exact. Like q14/q190 this relies on no cluster emptying
+    * mid-fit (the reseed path is not SQL-replayed); holds on this data.
+    */
+  def kmodesEnsembleDet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 4; val kk = 4; val mi = 5; val sd = 42L
+    val df = t(s, dir, "orders").select(orderFeatures.as("features"))
+    val bucket = (graft.functions.PortableHash.hash60(
+      concat_ws("\u0001", col("features")), "ens") % B).cast("int")
+    val bucketed = df.withColumn("__b", bucket)
+    val localModes: Seq[Array[Array[String]]] = (0 until B).map { b =>
+      new KModes().setK(kk).setMaxIter(mi).setSeed(sd + b)
+        .setInitHash("md5")
+        .fit(bucketed.where(col("__b") === b).select(col("features")))
+        .clusterCenters
+    }
+    val modesDf = localModes.flatten.map(_.toSeq).toSeq.toDF("features")
+    val meta = new KModes().setK(kk).setMaxIter(mi).setSeed(sd)
+      .setInitHash("md5").fit(modesDf)
+    val cLit = typedlit(meta.clusterCenters.map(_.toSeq).toSeq)
+    val a = Distances.assign(col("features"), cLit)
+    df.select(a.getField("prediction").as("prediction"),
+        a.getField("min_dist").as("d"))
+      .groupBy(col("prediction"))
+      .agg(count(lit(1)).as("count"), sum(col("d")).as("sum_dist"))
+      .orderBy("prediction")
+  }
+
+  val kmodesEnsembleDetSql: String = {
+    val B = 4; val kk = 4; val mi = 5; val sd = 42L
+    val n = orderFeaturesSqlCols.size
+    val fList = (1 to n).map(i => s"f$i").mkString(", ")
+    val featSel = orderFeaturesSqlCols.zipWithIndex
+      .map { case (e, i) => s"$e AS f${i + 1}" }.mkString(", ")
+    val bucketExpr = s"${duckHash60("ens", s"concat_ws(chr(1), $fList)")} % $B"
+    val gList = (1 to n).map(i => s"g$i").mkString(", ")
+    val bucketCtes = (0 until B).map { b =>
+      s"""b${b}tuples AS MATERIALIZED (SELECT $fList, COUNT(*) AS w
+         |  FROM feats WHERE b = $b GROUP BY $fList),
+         |${lloydChainCtes(s"b$b", n, kk, mi, s"'${sd + b}'")}"""
+        .stripMargin
+    }.mkString(",\n")
+    val modeUnion = (0 until B)
+      .map(b => s"SELECT $gList FROM b${b}c$mi").mkString("\n  UNION ALL ")
+    val distFin = (1 to n).map(i =>
+      s"(CASE WHEN r.f$i <> c.g$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH feats0 AS MATERIALIZED (SELECT $featSel FROM orders),
+       |feats AS MATERIALIZED (SELECT $fList, $bucketExpr AS b FROM feats0),
+       |$bucketCtes,
+       |modes AS MATERIALIZED ($modeUnion),
+       |mtuples AS MATERIALIZED (SELECT ${(1 to n).map(i => s"g$i AS f$i").mkString(", ")},
+       |  COUNT(*) AS w FROM modes GROUP BY $gList),
+       |${lloydChainCtes("m", n, kk, mi, s"'$sd'")},
+       |tuples AS MATERIALIZED (SELECT $fList, COUNT(*) AS w FROM feats
+       |  GROUP BY $fList),
+       |fin AS (SELECT r.w, c.cid, ($distFin) AS d,
+       |  row_number() OVER (PARTITION BY $fList
+       |    ORDER BY ($distFin) ASC, c.cid ASC) AS rn
+       |  FROM tuples r CROSS JOIN mc$mi c)
+       |SELECT cid AS prediction, CAST(SUM(w) AS BIGINT) AS count,
+       |  CAST(SUM(w * d) AS BIGINT) AS sum_dist
+       |FROM fin WHERE rn = 1 GROUP BY cid ORDER BY prediction""".stripMargin
   }
 
   // -------------------------------------------------------------- relational
@@ -9696,7 +9785,8 @@ object Queries {
     "q230_backlog_aging" -> backlogAging _,
     "q231_video_frames" -> videoDecode _,
     "q232_quant_sketch" -> quantSketchPrices _,
-    "q233_scc" -> sccParts _)
+    "q233_scc" -> sccParts _,
+    "q234_kmodes_ensemble_det" -> kmodesEnsembleDet _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" -> aggPricingSql,
@@ -9930,5 +10020,6 @@ object Queries {
     "q230_backlog_aging" -> backlogAgingSql,
     "q231_video_frames" -> videoDecodeSql,
     "q232_quant_sketch" -> quantSketchPricesSql,
-    "q233_scc" -> sccPartsSql)
+    "q233_scc" -> sccPartsSql,
+    "q234_kmodes_ensemble_det" -> kmodesEnsembleDetSql)
 }
