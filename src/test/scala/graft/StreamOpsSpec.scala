@@ -428,4 +428,67 @@ class StreamOpsSpec extends SparkSuite {
       .map { case (k, rs) => k -> rs.map(_.getLong(1)).max }
     assert(afterB1 == Map("click" -> 2L, "view" -> 1L), afterB1.toString)
   }
+
+  test("restart-with-append capstone: checkpointed gate resumes against the grown index") {
+    // the full production lifecycle in one scenario: persist index →
+    // gate stream (checkpointed) → STOP → append corpus delta →
+    // RESTART from the checkpoint with the re-loaded index → the gate
+    // resumes with (a) no dropped batches, (b) no duplicated
+    // admissions — the restored pair-dedup state suppresses a replayed
+    // doc — and (c) matches against the APPENDED corpus going live.
+    import graft.streaming.StreamOps.Doc
+    import graft.operators.{Dedup, IndexStore}
+    val corpusV1 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "a completely different corpus document about catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (102L, "spark structured streaming state stores and watermarks explained"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_restart_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
+    IndexStore.saveCorpusIndex(corpusV1, "doc_id", "text", path)
+
+    val input = MemoryStream[Doc]
+    val nearDup = "the quick brown fox jumps over the lazy dog again and again now"
+    val batch1 = Seq(
+      Doc(1L, nearDup, ts(0)),
+      Doc(2L, "an entirely novel document matching nothing in the existing corpus", ts(1)))
+    val batch2 = Seq(
+      Doc(3L, "spark structured streaming state stores and watermarks explained", ts(2)),
+      Doc(1L, nearDup, ts(3))) // replay: restored state must suppress
+
+    // the memory sink cannot recover from a checkpoint; the capstone
+    // uses the fault-tolerant file sink a production gate would
+    val outDir = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
+    def startGate() = StreamOps.dedupGateIndexed(input.toDF(),
+        IndexStore.loadCorpusIndex(spark, path), threshold = 0.5)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    def readOut(): Seq[(Long, Long, Double)] = spark.read.parquet(outDir)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+
+    val q1 = startGate()
+    try { input.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+    val run1 = readOut()
+    val want1 = Dedup.minhashLSHJoin(
+        batch1.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        corpusV1, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(run1.nonEmpty && run1 == want1, s"run1 $run1 vs batch $want1")
+    assert(run1.forall(_._1 == 1L), "only the near-dup doc matches v1")
+
+    IndexStore.appendCorpusIndex(delta, "doc_id", "text", path)
+    val q2 = startGate()
+    try { input.addData(batch2); q2.processAllAvailable() } finally q2.stop()
+    // file sink is cumulative: run-2's own output = total minus run-1.
+    // Exactly ONE new admission-block: doc 3 against the APPENDED doc
+    // 102 (exact text → jaccard 1.0). Nothing from batch 1 re-emits
+    // (no duplicated admissions), and the replayed doc 1 pair is
+    // suppressed by the restored pair-dedup state.
+    val run2 = readOut().diff(run1)
+    assert(run2 == Seq((3L, 102L, 1.0)), s"run2 $run2")
+  }
 }
