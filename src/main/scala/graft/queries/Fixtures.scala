@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Deterministic synthesized-media fixture builders shared by the
+  * multimodal queries (q57/q66/q87/q191/q231), their DuckDB oracles,
+  * the golden-table tools, and the scale probe.
+  *
+  * A TOP-LEVEL object on purpose: these run INSIDE Dataset closures
+  * (`.map(Fixtures.imageAssetFor _)`), and a static module call
+  * serializes as nothing — whereas the same method mixed into the
+  * [[Queries]] object via a trait makes every eta-expansion capture
+  * `this` and drags the (non-serializable) registry into the task
+  * closure. Found the hard way when the Queries split broke q57.
+  */
+object Fixtures {
+
+  /** Shared synthesized-image geometry + pixel formula for doc `id` —
+    * the single source the q57/q66 oracles replay; the 10× scale probe
+    * reuses it so the probed geometry is exactly the certified one. */
+  private[graft] def imageGeom(id: Long): (Int, Int, (Int, Int) => (Int, Int, Int)) = {
+    val w = (8 + id % 8).toInt
+    val h = (8 + id % 5).toInt
+    def px(x: Int, y: Int) = (
+      ((id * 7 + x * 3 + y * 5) % 256).toInt,
+      ((id * 11 + x * 13 + y) % 256).toInt,
+      ((id + x + y * 17) % 256).toInt)
+    (w, h, px)
+  }
+
+  private[graft] def imageAssetFor(id: Long): Multimodal.MediaAsset = {
+    val (w, h, px) = imageGeom(id)
+    Multimodal.MediaAsset(id, "image",
+      if (id % 2 == 0) Multimodal.encodeBmp(w, h, px)
+      else Multimodal.encodePpm(w, h, px))
+  }
+
+  /** Same geometry/pixels, compressed through the PNG encoder — PNG is
+    * lossless, so the decoded stats equal the raw-format ones and the
+    * identical formula oracle applies (q66). */
+  private[graft] def pngAssetFor(id: Long): Multimodal.MediaAsset = {
+    val (w, h, px) = imageGeom(id)
+    Multimodal.MediaAsset(id, "image", Multimodal.encodePng(w, h, px))
+  }
+
+  /** Same geometry/pixels through the LOSSY JPEG encoder at a fixed
+    * quality. Everything about the pixel VALUES is decoder-dependent
+    * after this, so q87's oracle pins them via the committed golden
+    * table instead of the formula ([[graft.tools.JpegGolden]]); the
+    * geometry period is lcm(256, 40) = 1280 (pixel formula reduces mod
+    * 256, w/h mod 8/5), so golden row `doc_id % 1280` covers every doc
+    * id at every scale factor.
+    */
+  private[graft] val JpegQuality = 0.9f
+  private[graft] val JpegGeomPeriod = 1280L
+  private[graft] def jpegAssetFor(id: Long): Multimodal.MediaAsset = {
+    val (w, h, px) = imageGeom(id)
+    Multimodal.MediaAsset(id, "image", Multimodal.encodeJpeg(w, h, px, JpegQuality))
+  }
+
+  /** Deterministic MJPEG-in-AVI fixture: `2 + doc_id % 4` frames at the
+    * q57 geometry, each frame's pixels the q57 formula shifted by a
+    * frame salt, JPEG-encoded at [[JpegQuality]] and wrapped by
+    * [[Multimodal.encodeAvi]] at exactly 25 fps (40 000 µs/frame).
+    * Period: pixels reduce mod 256, w/h mod 8/5, frame count mod 4, and
+    * 4 divides lcm(256·5·8) = 1280 — so golden row `doc_id % 1280`
+    * covers every doc id at every scale factor, like q87's.
+    */
+  private[graft] val VideoGeomPeriod = 1280L
+  private[graft] val VideoMicroSecPerFrame = 40000
+  private[graft] def videoNFrames(id: Long): Int = (2 + id % 4).toInt
+  private[graft] def videoFramePx(id: Long, f: Int)(x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 7 + f * 19 + x * 3 + y * 5) % 256).toInt,
+    ((id * 11 + f * 23 + x * 13 + y) % 256).toInt,
+    ((id + f * 29 + x + y * 17) % 256).toInt)
+  private[graft] def videoAssetFor(id: Long): Multimodal.MediaAsset = {
+    val (w, h, _) = imageGeom(id)
+    val frames = (0 until videoNFrames(id)).map(f =>
+      Multimodal.encodeJpeg(w, h, videoFramePx(id, f), JpegQuality))
+    Multimodal.MediaAsset(id, "video",
+      Multimodal.encodeAvi(w, h, VideoMicroSecPerFrame, frames))
+  }
+  private[graft] def wavAssetFor(id: Long): Multimodal.MediaAsset = {
+    val n = (64 + id % 32).toInt
+    val samples = Array.tabulate(n)(t =>
+      (((id * 31 + 7L * t * t) % 4096) - 2048).toInt)
+    Multimodal.MediaAsset(id, "audio", Multimodal.encodeWav(8000, samples))
+  }
+}

@@ -1,0 +1,954 @@
+package graft
+
+import graft.functions.{Distances, TextFunctions}
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query+oracle registrations: one family slice of the [[Queries]]
+  * surface (split from the former monolithic Queries.scala; the
+  * registry maps stay in [[Queries]]).
+  */
+private[graft] trait QueriesEntityResolution { this: Queries.type =>
+  /** q138: entity-resolution golden records
+    * ([[FuzzyJoin.goldenRecords]]) — fuzzy-matched customers cluster
+    * transitively; each cluster elects its best-score record
+    * (floor-cents account balance, id tie-break). Oracle: all-pairs
+    * levenshtein + the q35 recursive-CTE components + a window
+    * election — the blocked pipeline must agree with the literal
+    * ground truth end to end.
+    */
+  def goldenCustomers(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.goldenRecords(
+        t(s, dir, "customer").withColumn("score_cents",
+          floor(col("c_acctbal") * 100).cast("long")),
+        "c_custkey", "c_name", "score_cents")
+      .orderBy("group_id")
+
+  val goldenCustomersSql: String =
+    """WITH RECURSIVE recs AS (
+      |  SELECT c_custkey AS id, c_name AS key,
+      |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS score
+      |  FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM recs a JOIN recs b ON a.id < b.id
+      |  WHERE levenshtein(a.key, b.key) <= 1),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(v, u) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.u),
+      |labels AS (SELECT v AS id, min(u) AS group_id FROM reach GROUP BY v),
+      |labeled AS (
+      |  SELECT r.id, r.key, r.score, COALESCE(l.group_id, r.id) AS group_id
+      |  FROM recs r LEFT JOIN labels l ON r.id = l.id),
+      |ranked AS (
+      |  SELECT group_id, id, key, score,
+      |    COUNT(*) OVER (PARTITION BY group_id) AS n_members,
+      |    row_number() OVER (PARTITION BY group_id
+      |                       ORDER BY score DESC, id ASC) AS rn
+      |  FROM labeled)
+      |SELECT group_id, CAST(n_members AS BIGINT) AS n_members,
+      |  id AS golden_id, key AS golden_key, score AS golden_score
+      |FROM ranked WHERE rn = 1 ORDER BY group_id""".stripMargin
+
+  /** q139: k-core decomposition ([[Graph.kCore]]) over the q107
+    * co-order parts graph — the dense-subgraph extraction, peeled for
+    * a FIXED round budget both engines replay (the operator's
+    * early-exit is provably equivalent; see its scaladoc). The oracle
+    * unrolls the identical peel schedule round by round.
+    */
+  def kCoreParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val small = li.groupBy(col("ok")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= 6).select(col("ok"))
+    val li2 = li.join(small, Seq("ok"), "leftsemi")
+    val pairs = li2.as("x").join(li2.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    Graph.kCore(pairs, k = 50, rounds = 8).orderBy("id")
+  }
+
+  val kCorePartsSql: String = {
+    // every CTE is MATERIALIZED: each peel references its predecessor
+    // twice, so default inlining would expand e8 into 2^8 parquet
+    // scans (and exhaust file handles); materialization makes the
+    // replay the same linear 8-pass schedule the operator runs
+    val peels = (1 to 8).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT src AS id FROM e${i - 1} GROUP BY 1
+         |  HAVING COUNT(*) >= 50),
+         |e$i AS MATERIALIZED (SELECT e.* FROM e${i - 1} e
+         |  JOIN v$i a ON e.src = a.id JOIN v$i b ON e.dst = b.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ok6 AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) <= 6),
+       |li2 AS MATERIALIZED (SELECT li.* FROM li JOIN ok6 USING (ok)),
+       |u AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b FROM li2 x
+       |  JOIN li2 y ON x.ok = y.ok AND x.pk < y.pk),
+       |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM u
+       |  UNION ALL SELECT b, a FROM u),
+       |$peels
+       |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM e8 GROUP BY 1 ORDER BY id""".stripMargin
+  }
+
+  /** q233: strongly connected components
+    * ([[Graph.stronglyConnectedComponents]]) over a DIRECTED part
+    * graph: each ≤6-line order (sampled, orderkey % 17) contributes a
+    * directed RING over its parts sorted by id (rings are cycles, so
+    * node-sharing rings merge into larger SCCs), plus acyclic bridge
+    * edges pk → pk+1000 that weakly connect components WITHOUT merging
+    * them — exactly the structure where undirected CC over-merges and
+    * SCC must not. Budgets (12 rounds, 3 phases) are the query's
+    * replay contract; the operator RAISES if they ever stop covering
+    * the data. The oracle unrolls the full schedule — every min-label
+    * round including the pointer jumps, both directions, all phases,
+    * the singleton-orphan rule — materialized round by round (the
+    * q139 recipe).
+    */
+  def sccParts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val ok6 = li.groupBy(col("ok")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= 6 && col("ok") % 17 === 0).select(col("ok"))
+    val li2 = li.join(ok6, Seq("ok"), "leftsemi").distinct()
+    val srt = li2.withColumn("r",
+      row_number().over(Window.partitionBy(col("ok")).orderBy(col("pk"))))
+    val mn = li2.groupBy(col("ok")).agg(min(col("pk")).as("mpk"))
+    val ring = srt.as("a")
+      .join(srt.as("b"),
+        col("a.ok") === col("b.ok") && col("b.r") === col("a.r") + 1, "left")
+      .join(mn.as("m"), col("a.ok") === col("m.ok"))
+      .select(col("a.pk").as("src"),
+        coalesce(col("b.pk"), col("m.mpk")).as("dst"))
+      .distinct()
+    val nodes = ring.select(col("src").as("id"))
+      .unionByName(ring.select(col("dst").as("id"))).distinct()
+    val bridge = nodes.as("x")
+      .join(nodes.as("y"), col("y.id") === col("x.id") + 1000)
+      .where(col("x.id") <= 1000)
+      .select(col("x.id").as("src"), col("y.id").as("dst"))
+    val g = ring.unionByName(bridge).distinct()
+    Graph.stronglyConnectedComponents(g, maxRounds = 12, maxPhases = 3)
+      .orderBy("id")
+  }
+
+  val sccPartsSql: String = {
+    val rounds = 12
+    def prop(p: Int, dir: String, from: String, to: String): String = {
+      val base = s"${dir}_${p}_0 AS (SELECT id, id AS lab FROM nodes_$p)"
+      val steps = (1 to rounds).map { r =>
+        s"""${dir}_${p}_$r AS MATERIALIZED (SELECT id, MIN(lab) AS lab FROM (
+           |  SELECT id, lab FROM ${dir}_${p}_${r - 1}
+           |  UNION ALL SELECT e.$to, l.lab FROM rem_${p - 1} e
+           |    JOIN ${dir}_${p}_${r - 1} l ON l.id = e.$from
+           |  UNION ALL SELECT l.id, l2.lab FROM ${dir}_${p}_${r - 1} l
+           |    JOIN ${dir}_${p}_${r - 1} l2 ON l2.id = l.lab
+           |  ) GROUP BY id)""".stripMargin
+      }
+      (base +: steps).mkString(",\n")
+    }
+    val phases = (1 to 3).map { p =>
+      s"""nodes_$p AS MATERIALIZED (SELECT DISTINCT src AS id
+         |  FROM rem_${p - 1} UNION SELECT dst FROM rem_${p - 1}),
+         |${prop(p, "f", "src", "dst")},
+         |${prop(p, "b", "dst", "src")},
+         |scc_$p AS MATERIALIZED (SELECT f.id, f.lab AS scc
+         |  FROM f_${p}_$rounds f JOIN b_${p}_$rounds b
+         |    ON b.id = f.id AND b.lab = f.lab),
+         |rem_$p AS MATERIALIZED (SELECT e.* FROM rem_${p - 1} e
+         |  WHERE NOT EXISTS (SELECT 1 FROM scc_$p s WHERE s.id = e.src)
+         |    AND NOT EXISTS (SELECT 1 FROM scc_$p s WHERE s.id = e.dst)),
+         |orph_$p AS (SELECT n.id, n.id AS scc FROM nodes_$p n
+         |  WHERE NOT EXISTS (SELECT 1 FROM scc_$p s WHERE s.id = n.id)
+         |    AND NOT EXISTS (SELECT 1 FROM rem_$p e
+         |      WHERE e.src = n.id OR e.dst = n.id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ok6 AS (SELECT ok FROM li GROUP BY ok
+       |  HAVING COUNT(*) <= 6 AND ok % 17 = 0),
+       |li2 AS MATERIALIZED (SELECT DISTINCT li.ok, li.pk FROM li
+       |  JOIN ok6 USING (ok)),
+       |srt AS MATERIALIZED (SELECT ok, pk,
+       |  ROW_NUMBER() OVER (PARTITION BY ok ORDER BY pk) AS r FROM li2),
+       |mn AS (SELECT ok, MIN(pk) AS mpk FROM li2 GROUP BY ok),
+       |ring AS MATERIALIZED (SELECT DISTINCT a.pk AS src,
+       |    COALESCE(b.pk, mn.mpk) AS dst
+       |  FROM srt a LEFT JOIN srt b ON b.ok = a.ok AND b.r = a.r + 1
+       |  JOIN mn ON mn.ok = a.ok),
+       |nd AS (SELECT DISTINCT src AS id FROM ring
+       |  UNION SELECT dst FROM ring),
+       |rem_0 AS MATERIALIZED (SELECT src, dst FROM ring
+       |  UNION SELECT x.id, y.id FROM nd x JOIN nd y ON y.id = x.id + 1000
+       |  WHERE x.id <= 1000),
+       |$phases
+       |SELECT id, scc FROM (
+       |  SELECT * FROM scc_1 UNION ALL SELECT * FROM orph_1
+       |  UNION ALL SELECT * FROM scc_2 UNION ALL SELECT * FROM orph_2
+       |  UNION ALL SELECT * FROM scc_3 UNION ALL SELECT * FROM orph_3)
+       |ORDER BY id""".stripMargin
+  }
+
+  /** q140: walk-forward (rolling-origin) CV folds with embargo
+    * ([[Sampling.walkForwardFolds]]) over the event stream — per
+    * (fold, role) counts plus id/ts checksums so any single
+    * misassigned row shifts the hash. All int64-nanos arithmetic.
+    */
+  def walkForwardEvents(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000000L
+    Sampling.walkForwardFolds(
+        t(s, dir, "events").select(col("event_id"), col("ts")),
+        "ts", nFolds = 4, trainMin = 5 * day, step = 2 * day,
+        horizon = 2 * day, embargo = day / 4)
+      .groupBy(col("fold"), col("role"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+        min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"))
+      .orderBy("fold", "role")
+  }
+
+  val walkForwardEventsSql: String = {
+    val day = 86400000000000L
+    s"""WITH ev AS (SELECT event_id, epoch_ns(ts) AS ts FROM events),
+       |t0 AS (SELECT MIN(ts) AS t0 FROM ev),
+       |f(fold) AS (VALUES (0), (1), (2), (3)),
+       |r AS (
+       |  SELECT f.fold, ev.event_id, ev.ts,
+       |    CASE WHEN ev.ts < t0.t0 + ${5 * day} + f.fold * ${2 * day}
+       |      THEN 'train'
+       |    WHEN ev.ts >= t0.t0 + ${5 * day} + f.fold * ${2 * day}
+       |        + ${day / 4}
+       |      AND ev.ts < t0.t0 + ${5 * day} + f.fold * ${2 * day}
+       |        + ${day / 4} + ${2 * day}
+       |      THEN 'test' END AS role
+       |  FROM ev CROSS JOIN t0 CROSS JOIN f)
+       |SELECT CAST(fold AS BIGINT) AS fold, role,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       |  MIN(ts) AS ts_min, MAX(ts) AS ts_max
+       |FROM r WHERE role IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY fold, role""".stripMargin
+  }
+
+  /** q141: percent-rank feature normalization ([[Stats.rankNormalize]])
+    * — each lineitem's quantity ranked within its return flag, pct as
+    * exact integer e6. Ties share the min rank in both engines by the
+    * SQL rank() definition, so the replay is bit-for-bit.
+    */
+  def rankNormalizeLineitem(s: SparkSession, dir: String): DataFrame =
+    Stats.rankNormalize(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity")),
+        Seq("l_returnflag"), "l_quantity")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // lineitem — widen the sort until remaining ties are identical
+      // full rows (rnk/pct are functions of flag+quantity)
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+  val rankNormalizeLineitemSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      |  CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+      |    AS BIGINT) AS rnk,
+      |  ((rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1)
+      |    * 1000000)
+      |    // (COUNT(l_quantity) OVER (PARTITION BY l_returnflag) - 1)
+      |    AS pct_e6
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity"""
+      .stripMargin
+
+  /** q142: nearest-rank winsorized summary ([[Stats.winsorize]]) —
+    * per-flag p5/p95 bounds (actual member values), clamp counts, and
+    * the winsorized mean as a floor-e6 integer; the whole pipeline
+    * stays in scaled longs so the oracle replays every digit.
+    */
+  def winsorizeLineitem(s: SparkSession, dir: String): DataFrame =
+    Stats.winsorize(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice",
+        pLowPpm = 50000L, pHighPpm = 950000L)
+      .orderBy("l_returnflag")
+
+  val winsorizeLineitemSql: String =
+    """WITH rows_ AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(14,4)) * 10000 AS BIGINT)
+      |      AS x4
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |rk AS (SELECT g, x4,
+      |    row_number() OVER (PARTITION BY g ORDER BY x4) AS rn
+      |  FROM rows_),
+      |c AS (SELECT g, COUNT(*) AS n,
+      |    GREATEST((50000 * COUNT(*) + 999999) // 1000000, 1) AS lo_rn,
+      |    GREATEST((950000 * COUNT(*) + 999999) // 1000000,
+      |      GREATEST((50000 * COUNT(*) + 999999) // 1000000, 1)) AS hi_rn
+      |  FROM rows_ GROUP BY 1),
+      |b AS (SELECT rk.g,
+      |    MIN(CASE WHEN rk.rn = c.lo_rn THEN rk.x4 END) AS lo4,
+      |    MAX(CASE WHEN rk.rn = c.hi_rn THEN rk.x4 END) AS hi4
+      |  FROM rk JOIN c USING (g)
+      |  WHERE rk.rn = c.lo_rn OR rk.rn = c.hi_rn GROUP BY 1)
+      |SELECT r.g AS l_returnflag, c.n,
+      |  MIN(b.lo4) AS lo_e4, MIN(b.hi4) AS hi_e4,
+      |  CAST(SUM(CASE WHEN r.x4 < b.lo4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low,
+      |  CAST(SUM(CASE WHEN r.x4 > b.hi4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high,
+      |  (CAST(SUM(LEAST(GREATEST(r.x4, b.lo4), b.hi4)) AS BIGINT) * 100)
+      |    // c.n AS win_mean_e6
+      |FROM rows_ r JOIN c ON r.g = c.g JOIN b ON r.g = b.g
+      |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin
+
+  /** q143: two-sample z report ([[Stats.twoSampleZ]]) — A/B readouts
+    * between event types on the value measure, Welch unpooled variance
+    * from the q72 DECIMAL power sums, one fixed double chain replayed
+    * by the oracle.
+    */
+  def abTestEvents(s: SparkSession, dir: String): DataFrame =
+    Stats.twoSampleZ(t(s, dir, "events").select(col("event_type"),
+        col("value")),
+      "event_type", "value",
+      Seq("purchase" -> "click", "signup" -> "error", "view" -> "click",
+        "purchase" -> "nosuch"))
+      .orderBy("group_a", "group_b")
+
+  val abTestEventsSql: String =
+    """WITH m AS (
+      |  SELECT event_type AS g, COUNT(value) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value AS DECIMAL(14,4)) *
+      |      CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1),
+      |p(group_a, group_b) AS (VALUES
+      |  ('purchase', 'click'), ('signup', 'error'), ('view', 'click'),
+      |  ('purchase', 'nosuch')),
+      |j AS (
+      |  SELECT p.group_a, p.group_b,
+      |    a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+      |    b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
+      |  FROM p LEFT JOIN m a ON a.g = p.group_a
+      |    LEFT JOIN m b ON b.g = p.group_b)
+      |SELECT group_a, group_b,
+      |  COALESCE(na, 0) AS n_a, COALESCE(nb, 0) AS n_b,
+      |  CASE WHEN na > 0 THEN
+      |    floor(sxa / CAST(na AS DOUBLE) * 1e6) / 1e6 END AS mean_a,
+      |  CASE WHEN nb > 0 THEN
+      |    floor(sxb / CAST(nb AS DOUBLE) * 1e6) / 1e6 END AS mean_b,
+      |  CASE WHEN na > 0 AND nb > 0 AND
+      |    sqrt((CAST(na AS DOUBLE) * sxxa - sxa * sxa) /
+      |        (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+      |      + (CAST(nb AS DOUBLE) * sxxb - sxb * sxb) /
+      |        (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))
+      |      > 0 THEN
+      |    floor((sxa / CAST(na AS DOUBLE) - sxb / CAST(nb AS DOUBLE)) /
+      |      sqrt((CAST(na AS DOUBLE) * sxxa - sxa * sxa) /
+      |        (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+      |      + (CAST(nb AS DOUBLE) * sxxb - sxb * sxb) /
+      |        (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))
+      |      * 1e6) / 1e6 END AS z
+      |FROM j ORDER BY group_a, group_b""".stripMargin
+
+  /** q144: point-in-time SCD2 join ([[ChangeCapture.pointInTime]]) —
+    * each purchase decorated with the user's BROWSING state (scd2 over
+    * the non-purchase events) valid at the purchase instant: the
+    * feature-store lookup that keeps training features temporally
+    * honest. The oracle replays the q99 scd2 CTE and the literal
+    * interval-containment join.
+    */
+  def pointInTimeEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      .where(col("user_id") < 100)
+    val dim = ChangeCapture.scd2(ev.where(col("event_type") =!= "purchase"),
+      Seq("user_id"), "ts", "event_id", Seq("event_type"))
+    val facts = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    ChangeCapture.pointInTime(facts, dim, "user_id", "ts", Seq("event_type"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type").as("state"))
+      .orderBy("event_id")
+  }
+
+  val pointInTimeEventsSql: String =
+    """WITH src AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id, event_type
+      |  FROM events WHERE user_id < 100 AND event_type <> 'purchase'),
+      |d AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM src),
+      |k AS (
+      |  SELECT user_id, ts, event_id, event_type FROM d
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      |iv AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM k),
+      |f AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts
+      |  FROM events WHERE user_id < 100 AND event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts, iv.event_type AS state
+      |FROM f LEFT JOIN iv ON iv.user_id = f.user_id
+      |  AND iv.valid_from <= f.ts
+      |  AND (iv.valid_to IS NULL OR iv.valid_to > f.ts)
+      |ORDER BY f.event_id""".stripMargin
+
+  /** q145: deterministic negative sampling
+    * ([[Sampling.negativeSamples]]) — contrastive negatives for each
+    * customer against the part catalog, md5-indexed draws with
+    * positives (ordered parts) anti-joined out; the oracle replays
+    * every draw, collision drop, and the (j, item) survivor order.
+    */
+  def negativeSamplesParts(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").where(col("o_custkey") < 50)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pos = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    Sampling.negativeSamples(pos,
+        t(s, dir, "part").select(col("p_partkey")),
+        "cust", "part", "p_partkey", k = 5)
+      .orderBy("cust", "rank")
+  }
+
+  val negativeSamplesPartsSql: String = {
+    val h = duckHash60("neg",
+      "concat(CAST(a AS VARCHAR), '#', CAST(j AS VARCHAR))")
+    s"""WITH pos AS (
+       |  SELECT DISTINCT o_custkey AS a, l_partkey AS item
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_custkey < 50),
+       |idx AS (
+       |  SELECT item, row_number() OVER (ORDER BY item) - 1 AS pos FROM
+       |    (SELECT DISTINCT p_partkey AS item FROM part
+       |     WHERE p_partkey IS NOT NULL)),
+       |n AS (SELECT COUNT(*) AS n FROM idx),
+       |anchors AS (SELECT DISTINCT a FROM pos),
+       |js(j) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9)),
+       |drawn AS (
+       |  SELECT anchors.a, js.j, $h % n.n AS pos
+       |  FROM anchors CROSS JOIN js CROSS JOIN n),
+       |hit AS (SELECT d.a, d.j, idx.item FROM drawn d JOIN idx USING (pos)),
+       |surv AS (
+       |  SELECT h.a, h.item, MIN(h.j) AS j
+       |  FROM hit h LEFT JOIN pos p ON p.a = h.a AND p.item = h.item
+       |  WHERE p.a IS NULL AND h.item <> h.a
+       |  GROUP BY 1, 2),
+       |r AS (SELECT a, item,
+       |    row_number() OVER (PARTITION BY a ORDER BY j, item) AS rank
+       |  FROM surv)
+       |SELECT a AS cust, CAST(rank AS BIGINT) AS rank, item AS neg_id
+       |FROM r WHERE rank <= 5 ORDER BY cust, rank""".stripMargin
+  }
+
+  /** q146: hard-negative mining ([[Similarity.hardNegatives]]) — per
+    * query vector, the 5 most-cosine-similar vectors of a DIFFERENT
+    * label (the q23 brute-force chain + the exclusion class, both
+    * replayed).
+    */
+  def hardNegativesVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.hardNegatives(e, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", "label", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativesVecsSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    e.label AS neighbor_label,
+      |    COALESCE(list_dot_product(q.v, e.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) *
+      |       sqrt(list_dot_product(e.v, e.v))), 0.0) AS cos
+      |  FROM q JOIN e ON e.vec_id <> q.vec_id
+      |    AND e.label IS DISTINCT FROM q.label),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, neighbor_label, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+      |  neighbor_label, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q147: tokenizer fertility report — per language: words, OOV
+    * count vs the committed BPE word table (closure makes it 0 here —
+    * the column PROVES it), single-token share, and subwords-per-word
+    * fertility as floor-e6 — the "how expensive is this language for
+    * my tokenizer" readout an LLM data pipeline budgets with. Pure
+    * composition: tokens explode ⋈ committed vocab; the oracle reads
+    * the same parquet fixture.
+    */
+  def bpeFertilityDocs(s: SparkSession, dir: String): DataFrame = {
+    val bp = s.read.parquet("/root/repo/fixtures/bpe_words.parquet")
+      .select(col("word"), col("n_bpe"))
+    val words = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+    words.join(bp, Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("n_distinct"),
+        sum(col("n_bpe").isNull.cast("long")).as("oov_words"),
+        sum((col("n_bpe") === 1).cast("long")).as("single_token_words"),
+        sum(coalesce(col("n_bpe"), lit(0L))).as("n_subwords"))
+      .withColumn("fertility_e6",
+        expr("n_subwords * 1000000L div (n_words - oov_words)"))
+      .orderBy("lang")
+  }
+
+  val bpeFertilityDocsSql: String =
+    s"""WITH w AS (
+       |  SELECT lang, unnest($duckToks) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |bp AS (SELECT word, n_bpe FROM read_parquet(
+       |        '/root/repo/fixtures/bpe_words.parquet/*.parquet')),
+       |j AS (SELECT w.lang, w.word, bp.n_bpe
+       |      FROM w LEFT JOIN bp USING (word)),
+       |g AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct,
+       |    CAST(SUM(CASE WHEN n_bpe IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS oov_words,
+       |    CAST(SUM(CASE WHEN n_bpe = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS single_token_words,
+       |    CAST(SUM(COALESCE(n_bpe, 0)) AS BIGINT) AS n_subwords
+       |  FROM j GROUP BY 1)
+       |SELECT lang, n_words, n_distinct, oov_words, single_token_words,
+       |  n_subwords,
+       |  (n_subwords * 1000000) // (n_words - oov_words) AS fertility_e6
+       |FROM g ORDER BY lang""".stripMargin
+
+  /** q148: CDC apply / MERGE ([[ChangeCapture.applyCdc]]) — a derived
+    * change log (updates, an out-of-order stale update that must LOSE,
+    * deletes, brand-new keys, and an update+delete tie settled by the
+    * tie column) applied onto the documents snapshot. The oracle
+    * replays the log construction and the latest-wins merge.
+    */
+  def cdcApplyDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      col("source"))
+    val upd = d.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(100L).as("ts"), lit(1L).as("tie"),
+        lit("U").as("op"), concat(col("lang"), lit("-v2")).as("lang"),
+        col("source"))
+    val stale = d.where(col("doc_id") % 21 === 0)
+      .select(col("doc_id"), lit(50L).as("ts"), lit(9L).as("tie"),
+        lit("U").as("op"), lit("stale").as("lang"), col("source"))
+    val del = d.where(col("doc_id") % 11 === 3)
+      .select(col("doc_id"), lit(100L).as("ts"), lit(2L).as("tie"),
+        lit("D").as("op"), lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("source"))
+    val ins = d.where(col("doc_id") % 97 === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), lit(100L).as("ts"),
+        lit(1L).as("tie"), lit("U").as("op"), lit("new").as("lang"),
+        col("source"))
+    val changes = upd.unionByName(stale).unionByName(del).unionByName(ins)
+    ChangeCapture.applyCdc(d, changes, "doc_id", "ts", "tie", "op",
+        Seq("lang", "source"))
+      .orderBy("doc_id")
+  }
+
+  val cdcApplyDocsSql: String =
+    """WITH snap AS (SELECT doc_id, lang, source FROM documents),
+      |changes AS (
+      |  SELECT doc_id, 100 AS ts, 1 AS tie, 'U' AS op,
+      |    lang || '-v2' AS lang, source FROM snap WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 50, 9, 'U', 'stale', source
+      |  FROM snap WHERE doc_id % 21 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 100, 2, 'D', NULL, NULL
+      |  FROM snap WHERE doc_id % 11 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 100, 1, 'U', 'new', source
+      |  FROM snap WHERE doc_id % 97 = 5),
+      |verdict AS (
+      |  SELECT doc_id, op, lang, source FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY ts DESC, tie DESC) AS rn FROM changes)
+      |  WHERE rn = 1)
+      |SELECT COALESCE(s.doc_id, v.doc_id) AS doc_id,
+      |  CASE WHEN v.op = 'U' THEN v.lang ELSE s.lang END AS lang,
+      |  CASE WHEN v.op = 'U' THEN v.source ELSE s.source END AS source
+      |FROM snap s FULL OUTER JOIN verdict v ON s.doc_id = v.doc_id
+      |WHERE v.op IS NULL OR v.op = 'U'
+      |ORDER BY doc_id""".stripMargin
+
+  /** q149: grid-blocked radius self-join ([[SpatialJoin.radiusSelfPairs]])
+    * — neighbor pairs within 2000 units on a derived integer plane
+    * (md5 coordinates, so both engines synthesize identical points).
+    * The oracle is the literal all-pairs distance join: the 3×3 grid
+    * decomposition is an exact rewrite, so all-pairs is ground truth.
+    */
+  def spatialNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+      (graft.functions.PortableHash.hash60(col("c_custkey"), "gx")
+        % 100000).as("x"),
+      (graft.functions.PortableHash.hash60(col("c_custkey"), "gy")
+        % 100000).as("y"))
+    SpatialJoin.radiusSelfPairs(pts, "id", "x", "y", radius = 2000L)
+      .orderBy("id_a", "id_b")
+  }
+
+  val spatialNeighborsSql: String = {
+    val hx = duckHash60("gx", "c_custkey")
+    val hy = duckHash60("gy", "c_custkey")
+    s"""WITH p AS (
+       |  SELECT c_custkey AS id, $hx % 100000 AS x, $hy % 100000 AS y
+       |  FROM customer WHERE c_custkey IS NOT NULL)
+       |SELECT a.id AS id_a, b.id AS id_b, a.x AS x_a, a.y AS y_a,
+       |  b.x AS x_b, b.y AS y_b,
+       |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+       |FROM p a JOIN p b ON a.id < b.id
+       |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |  <= 4000000
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q150: edit-distance-2 fuzzy self-join ([[FuzzyJoin.selfPairs]]
+    * maxDist = 2, depth-2 deletion neighborhoods) over the first 500
+    * customer names. Oracle: brute-force all-pairs levenshtein — the
+    * blocking must lose nothing and the verify must add nothing.
+    */
+  def fuzzy2Customers(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.selfPairs(
+        t(s, dir, "customer").where(col("c_custkey") < 500),
+        "c_custkey", "c_name", maxDist = 2)
+      .orderBy("id_a", "id_b")
+
+  val fuzzy2CustomersSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  a.c_name AS name_a, b.c_name AS name_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |  AND a.c_custkey < 500 AND b.c_custkey < 500
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q151: Markov removal-effect attribution
+    * ([[Behavior.markovAttribution]]) — the journey chain over event
+    * types with purchase as absorption, 12 scaled-integer value
+    * iterations, one removal run per channel. The oracle rebuilds the
+    * chain and unrolls ALL 5 × 12 iterations (base + four removals)
+    * in materialized CTEs — every floor division replayed.
+    */
+  def markovAttributionEvents(s: SparkSession, dir: String): DataFrame =
+    Behavior.markovAttribution(
+      t(s, dir, "events").withColumn("ts", expr("ts div 1000")),
+      "user_id", "ts", "event_id", "event_type", "purchase")
+
+  val markovAttributionEventsSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val scale = "1000000000000"
+    def scenario(tag: String, removed: Option[String]): String = {
+      val srcFilter = removed.map(r => s"WHERE c.src <> '$r'").getOrElse("")
+      val remClause = removed.map(r => s"WHEN c.dst = '$r' THEN 0").getOrElse("")
+      val zero = s"""p_${tag}_0 AS (SELECT src AS state, CAST(0 AS BIGINT)
+                    |  AS val FROM tots)""".stripMargin
+      val iters = (1 to 12).map { i =>
+        s"""p_${tag}_$i AS MATERIALIZED (
+           |  SELECT c.src AS state,
+           |    CAST(CAST(SUM(c.cnt * CASE WHEN c.dst = 'CONV' THEN $scale
+           |        WHEN c.dst = 'NULL' THEN 0 $remClause
+           |        ELSE COALESCE(pp.val, 0) END) AS BIGINT)
+           |      // t.tot AS BIGINT) AS val
+           |  FROM counts c JOIN tots t ON t.src = c.src
+           |  LEFT JOIN p_${tag}_${i - 1} pp ON pp.state = c.dst
+           |  $srcFilter
+           |  GROUP BY c.src, t.tot)""".stripMargin
+      }
+      (zero +: iters).mkString(",\n")
+    }
+    val scenarios = (scenario("base", None) +:
+      channels.map(c => scenario(c, Some(c)))).mkString(",\n")
+    val effRows = channels.map { c =>
+      s"""SELECT '$c' AS channel, GREATEST(
+         |  (SELECT val FROM p_base_12 WHERE state = 'START') -
+         |  (SELECT val FROM p_${c}_12 WHERE state = 'START'), 0) AS eff"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH seq0 AS MATERIALIZED (
+       |  SELECT user_id AS u, epoch_ns(ts) // 1000 AS t, event_id AS tb,
+       |    event_type AS ch,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id
+       |            ORDER BY epoch_ns(ts) // 1000, event_id) AS cum
+       |  FROM events WHERE event_type IS NOT NULL),
+       |kept AS MATERIALIZED (
+       |  SELECT * FROM seq0 WHERE cum = 0 OR (cum = 1 AND ch = 'purchase')),
+       |steps AS (
+       |  SELECT u,
+       |    COALESCE(LAG(ch) OVER (PARTITION BY u ORDER BY t, tb), 'START')
+       |      AS src,
+       |    CASE WHEN ch = 'purchase' THEN 'CONV' ELSE ch END AS dst
+       |  FROM kept),
+       |lastt AS (
+       |  SELECT u, ch AS src, 'NULL' AS dst FROM (
+       |    SELECT u, ch,
+       |      row_number() OVER (PARTITION BY u ORDER BY t DESC, tb DESC) AS rn
+       |    FROM kept WHERE ch <> 'purchase')
+       |  WHERE rn = 1 AND u NOT IN (SELECT DISTINCT u FROM steps
+       |                             WHERE dst = 'CONV')),
+       |counts AS MATERIALIZED (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT src, dst FROM steps
+       |    UNION ALL SELECT src, dst FROM lastt)
+       |  GROUP BY 1, 2),
+       |tots AS MATERIALIZED (
+       |  SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1),
+       |$scenarios,
+       |effects AS ($effRows),
+       |te AS (SELECT CAST(SUM(eff) AS BIGINT) AS te FROM effects),
+       |base AS (SELECT val FROM p_base_12 WHERE state = 'START')
+       |SELECT e.channel, b.val AS p_base_e12,
+       |  b.val - e.eff AS p_removed_e12,
+       |  CASE WHEN b.val > 0 THEN e.eff * 1000000 // b.val
+       |    ELSE 0 END AS effect_ppm,
+       |  CASE WHEN te.te > 0 THEN e.eff * 1000000 // te.te
+       |    ELSE 0 END AS share_ppm
+       |FROM effects e CROSS JOIN te CROSS JOIN base b
+       |ORDER BY e.channel""".stripMargin
+  }
+
+  /** q152: item-item collaborative filtering
+    * ([[Basket.itemSimilarityTopK]]) — "bought X, also bought Y" over
+    * order baskets: binary-cosine n_xy/√(n_x·n_y) on the q114 pair
+    * counts, per-item top-5 through the bounded TopKAgg. The oracle
+    * replays the pair counting, the floor-e6 cosine chain, and the
+    * (cos DESC, neighbor ASC) head.
+    */
+  def itemSimilarityParts(s: SparkSession, dir: String): DataFrame =
+    Basket.itemSimilarityTopK(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L, k = 5)
+      .orderBy("item", "rank")
+
+  val itemSimilarityPartsSql: String =
+    """WITH it AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM it GROUP BY 1),
+      |p AS (
+      |  SELECT a.i AS x, b.i AS y, CAST(COUNT(*) AS BIGINT) AS nxy
+      |  FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (
+      |  SELECT x AS item, y AS neighbor, nxy FROM p
+      |  UNION ALL SELECT y, x, nxy FROM p),
+      |s AS (
+      |  SELECT sym.item, sym.neighbor,
+      |    CAST(FLOOR(CAST(sym.nxy AS DOUBLE) /
+      |      sqrt(CAST(ca.n * cb.n AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS cos_e6
+      |  FROM sym JOIN cnt ca ON ca.i = sym.item
+      |    JOIN cnt cb ON cb.i = sym.neighbor),
+      |r AS (
+      |  SELECT item, neighbor, cos_e6,
+      |    row_number() OVER (PARTITION BY item
+      |                       ORDER BY cos_e6 DESC, neighbor ASC) AS rank
+      |  FROM s)
+      |SELECT item, CAST(rank AS BIGINT) AS rank, neighbor, cos_e6
+      |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin
+
+  /** q153: dataset-card release report — the capstone metadata sheet a
+    * corpus release ships with, as one (section, key, value) table:
+    * per-language/source volumes, length screens, near-dup exposure
+    * (the q35 CC labels), and whitespace-token totals. Every number is
+    * an exact integer; the oracle replays each section (the dedup rows
+    * via the recursive-CTE component labels).
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def row(section: String, key: Column, value: Column) =
+      struct(lit(section).as("section"), key.cast("string").as("key"),
+        value.cast("long").as("value"))
+    val total = docs.agg(count(lit(1)).as("v"))
+      .select(row("docs", lit("total"), col("v")).as("r"))
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+      .select(row("docs_by_lang", col("lang"), col("v")).as("r"))
+    val charsLang = docs.groupBy(col("lang")).agg(sum(col("n_chars")).as("v"))
+      .select(row("chars_by_lang", col("lang"), col("v")).as("r"))
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("v"))
+      .select(row("docs_by_source", col("source"), col("v")).as("r"))
+    val short = docs.where(col("n_chars") < 100).agg(count(lit(1)).as("v"))
+      .select(row("length", lit("short_docs_lt100"), col("v")).as("r"))
+    val toks = docs.where(col("text").isNotNull)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .agg(count(lit(1)).as("v"))
+      .select(row("tokens", lit("whitespace_total"), col("v")).as("r"))
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashLSH(docs, "doc_id", "text", threshold = 0.7))
+    val dupDocs = labels.agg(count(lit(1)).as("v"))
+      .select(row("dedup", lit("near_dup_docs"), col("v")).as("r"))
+    val dupGroups = labels.select(col("group_id")).distinct()
+      .agg(count(lit(1)).as("v"))
+      .select(row("dedup", lit("near_dup_groups"), col("v")).as("r"))
+    Seq(total, perLang, charsLang, perSource, short, toks, dupDocs, dupGroups)
+      .reduce(_ unionByName _)
+      .select(col("r.section"), col("r.key"), col("r.value"))
+      .orderBy("section", "key")
+  }
+
+  val datasetCardSql: String =
+    s"""$componentLabelsSqlPrefix,
+       |card AS (
+       |  SELECT 'docs' AS section, 'total' AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS value FROM documents
+       |  UNION ALL
+       |  SELECT 'docs_by_lang', CAST(lang AS VARCHAR),
+       |    CAST(COUNT(*) AS BIGINT) FROM documents GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'chars_by_lang', CAST(lang AS VARCHAR),
+       |    CAST(SUM(n_chars) AS BIGINT) FROM documents GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'docs_by_source', CAST(source AS VARCHAR),
+       |    CAST(COUNT(*) AS BIGINT) FROM documents GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'length', 'short_docs_lt100', CAST(COUNT(*) AS BIGINT)
+       |  FROM documents WHERE n_chars < 100
+       |  UNION ALL
+       |  SELECT 'tokens', 'whitespace_total', CAST(COUNT(*) AS BIGINT)
+       |  FROM (SELECT unnest($duckToks) AS w
+       |        FROM documents WHERE text IS NOT NULL)
+       |  UNION ALL
+       |  SELECT 'dedup', 'near_dup_docs', CAST(COUNT(*) AS BIGINT) FROM labels
+       |  UNION ALL
+       |  SELECT 'dedup', 'near_dup_groups',
+       |    CAST(COUNT(DISTINCT group_id) AS BIGINT) FROM labels)
+       |SELECT section, key, value FROM card ORDER BY section, key"""
+      .stripMargin
+
+  /** q154: per-key quota admission ([[Behavior.quotaAdmit]]) — "at
+    * most 3 events per user per day", the deterministic rate-limit /
+    * per-domain-cap replay; (ts, event_id) total order means the SAME
+    * rows are admitted on every engine. The oracle replays the window.
+    */
+  def quotaAdmitEvents(s: SparkSession, dir: String): DataFrame =
+    Behavior.quotaAdmit(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts")),
+        "user_id", "ts", "event_id", windowSize = 86400000000000L, quota = 3)
+      .orderBy("event_id")
+
+  val quotaAdmitEventsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events)
+      |SELECT event_id, user_id, ts, ts // 86400000000000 AS win,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY user_id, ts // 86400000000000
+      |    ORDER BY ts, event_id) AS BIGINT) AS seq,
+      |  row_number() OVER (
+      |    PARTITION BY user_id, ts // 86400000000000
+      |    ORDER BY ts, event_id) <= 3 AS admitted
+      |FROM ev ORDER BY event_id""".stripMargin
+
+  /** q155: exact weighted percentile ([[Stats.weightedPercentile]]) —
+    * the price at which half the shipped QUANTITY sits, per return
+    * flag (weighted median; rows carry different mass, so the plain
+    * median answers the wrong question). The oracle replays the
+    * range-frame cumulative weight and the threshold pick.
+    */
+  def weightedMedianLineitem(s: SparkSession, dir: String): DataFrame =
+    Stats.weightedPercentile(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_extendedprice"), col("l_quantity")),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity",
+        pPpm = 500000L)
+      .orderBy("l_returnflag")
+
+  val weightedMedianLineitemSql: String =
+    """WITH rows_ AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(14,4)) * 10000 AS BIGINT)
+      |      AS x4,
+      |    CAST(CAST(l_quantity AS DECIMAL(14,0)) AS BIGINT) AS w
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      |c AS (
+      |  SELECT g, x4, w,
+      |    SUM(w) OVER (PARTITION BY g ORDER BY x4
+      |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cw
+      |  FROM rows_),
+      |t AS (SELECT g, CAST(SUM(w) AS BIGINT) AS w_total FROM rows_
+      |      GROUP BY 1)
+      |SELECT c.g AS l_returnflag, t.w_total,
+      |  MIN(c.x4) AS p_value_e4
+      |FROM c JOIN t ON c.g = t.g
+      |WHERE c.cw * 1000000 >= 500000 * t.w_total
+      |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin
+
+  /** q156: Kaplan–Meier survival ([[Behavior.kaplanMeier]]) — user
+    * lifetime (days between first and last activity), churn observed
+    * only when the last activity predates the observation horizon by
+    * > 7 days (otherwise right-censored). The oracle replays the risk
+    * sets, the exact factor integers, and the left-fold double product
+    * via list_reduce — the identical multiply sequence.
+    */
+  def survivalUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 86400000000000L").as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("f0"))
+    val firstPurchase = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("day")).as("pd"))
+    // time-to-conversion within a 3-day window: converted inside it =
+    // event at its day; otherwise right-censored AT the window edge
+    val subj = first.join(firstPurchase, Seq("user_id"), "left")
+      .select(
+        when(col("pd").isNotNull && col("pd") - col("f0") <= 3,
+          col("pd") - col("f0")).otherwise(lit(3L)).as("dur"),
+        when(col("pd").isNotNull && col("pd") - col("f0") <= 3, lit(1))
+          .otherwise(lit(0)).as("converted"))
+    Behavior.kaplanMeier(subj, "dur", "converted").orderBy("t")
+  }
+
+  val survivalUsersSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS f0 FROM ev GROUP BY 1),
+      |p AS (SELECT user_id, MIN(day) AS pd FROM ev
+      |      WHERE event_type = 'purchase' GROUP BY 1),
+      |subj AS (
+      |  SELECT
+      |    CASE WHEN p.pd IS NOT NULL AND p.pd - f.f0 <= 3
+      |      THEN p.pd - f.f0 ELSE 3 END AS t,
+      |    CASE WHEN p.pd IS NOT NULL AND p.pd - f.f0 <= 3
+      |      THEN 1 ELSE 0 END AS e
+      |  FROM f LEFT JOIN p USING (user_id)),
+      |byt AS (SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+      |    CAST(COUNT(*) - SUM(e) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+      |st AS (
+      |  SELECT t, d, c,
+      |    CAST(n - COALESCE(SUM(d + c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_risk
+      |  FROM byt CROSS JOIN tot),
+      |es AS (
+      |  SELECT t, n_risk, d, c,
+      |    CAST((n_risk - d) * 1000000 // n_risk AS BIGINT) AS factor_e6,
+      |    CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+      |  FROM st WHERE d > 0),
+      |lst AS (SELECT list(f ORDER BY t) AS fl FROM es),
+      |r AS (SELECT es.*, row_number() OVER (ORDER BY t) AS rn FROM es)
+      |SELECT r.t, r.n_risk, r.d AS d_events, r.c AS c_censored,
+      |  r.factor_e6,
+      |  CAST(FLOOR(list_reduce(l.fl[1:r.rn], (a, b) -> a * b) * 1000000.0)
+      |    AS BIGINT) AS surv_e6
+      |FROM r CROSS JOIN lst l ORDER BY t""".stripMargin
+}

@@ -1,0 +1,305 @@
+package graft
+
+import graft.functions.{Distances, TextFunctions}
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query+oracle registrations: one family slice of the [[Queries]]
+  * surface (split from the former monolithic Queries.scala; the
+  * registry maps stay in [[Queries]]).
+  */
+private[graft] trait QueriesSimilarity { this: Queries.type =>
+  // -------------------------------------------------------------- similarity
+  def simTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val simTopKSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  -- COALESCE: 0/0 on a zero-norm vector is NULL in DuckDB but 0.0
+      |  -- by convention in the engine's cosine kernel
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    COALESCE(list_dot_product(q.v, e.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 0.0) AS cos
+      |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Approximate LSH top-k, oracled EXACTLY by replaying the whole
+    * algorithm in DuckDB: the hyperplanes are deterministic (seeded
+    * splitmix64, [[Similarity.hyperplanes]]), so the oracle embeds the
+    * same 64 plane vectors as literals and recomputes sign-pattern
+    * blocks, the bucket equi-join, and the candidate ranking — the
+    * APPROXIMATE answer is hash-verified, not just a lucky subset of
+    * brute force. Valid because at the verify SF no bucket can exceed
+    * maxBucketSize=10000 (corpus < 10k), so the cap the oracle omits
+    * cannot bind; sign agreement across engines is a
+    * one-in-~1e13 |dot| < ulp event per (vector, plane).
+    */
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5, numBlocks = 8, planesPerBlock = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q24 with MULTI-PROBE on: per block the query also probes the
+    * single-plane-flip neighbor buckets (the recall dial that avoids
+    * rebuilding the index with more blocks). The oracle replays the
+    * flip set exactly, so the probe path — not just the exact-bucket
+    * path — is hash-verified.
+    */
+  def simAnnMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5, numBlocks = 8, planesPerBlock = 8, multiProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val simAnnLshSql: String = annLshSql(multiProbe = 0)
+  val simAnnMultiProbeSql: String = annLshSql(multiProbe = 2)
+
+  private[graft] def annLshSql(multiProbe: Int): String = {
+    val numBlocks = 8
+    val planesPerBlock = 8
+    val planes = Similarity.hyperplanes(numBlocks * planesPerBlock, 64, 42L)
+    // E-notation forces DuckDB to parse each literal directly as DOUBLE;
+    // a bare decimal goes through DECIMAL first, whose >2^53 numerators
+    // round BEFORE the divide (verified: -0.9999999999999999 parses to
+    // -1.0 that way) — a 1-ulp plane error could flip a near-zero dot's
+    // sign and change a band key
+    def lit(d: Double): String = {
+      val s = d.toString
+      if (s.contains("E") || s.contains("e")) s else s + "E0"
+    }
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / planesPerBlock}, ${i % planesPerBlock}, [${p.map(lit).mkString(", ")}])"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes(block_idx, bit, coords) AS (VALUES
+       |  $planeRows),
+       |sig AS (
+       |  SELECT e.vec_id, p.block_idx,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.coords) >= 0
+       |             THEN 1::BIGINT << p.bit ELSE 0 END) AS BIGINT) AS band_hash
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.block_idx),
+       |qprobe AS (
+       |  SELECT vec_id, block_idx, band_hash FROM sig WHERE vec_id < 10
+       |${(0 until multiProbe).map(r =>
+            s"  UNION ALL SELECT vec_id, block_idx, xor(band_hash, ${1L << r}) " +
+              "FROM sig WHERE vec_id < 10").mkString("\n")}),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qprobe q JOIN sig c
+       |    ON q.block_idx = c.block_idx AND q.band_hash = c.band_hash
+       |  WHERE c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    COALESCE(list_dot_product(qe.v, ce.v) /
+       |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 0.0) AS cos
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+       |            JOIN e ce ON ce.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF registered at nProbe = nLists: every list is probed, which by
+    * the operator's own contract degrades EXACTLY to brute force — so
+    * the brute-force SQL ([[simTopKSql]]) is a true oracle. This
+    * hash-verifies the full IVF machinery (the quantizer assignment
+    * must be a partition — any dropped or double-assigned vector, probe
+    * mis-ranking, or scoring bug breaks equality); the approximate
+    * nProbe < nLists path is covered by SimilaritySpec's recall test.
+    * (The sf0.01 embeddings are near-uniform random — max cos ≈ 0.37 —
+    * so no honest nProbe < nLists reaches 100% recall on them; measured
+    * 36/50 at nProbe=4.)
+    */
+  def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = IvfIndex.build(e, "vec_id", "embedding", nLists = 16)
+    IvfIndex.search(index, e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 16)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic clustered-embeddings fixture, DERIVED (not stored):
+    * 16 planted centroids at scaled 4-bit hypercube corners — dim j of
+    * cluster c (= vec_id % 16) is ±4.0 by bit (j % 4) of c — plus a
+    * small exact-rational perturbation ((vec_id·131 + j·37) % 101 / 101
+    * − 0.5 ∈ [−0.5, 0.5)). Every step is integer or correctly-rounded
+    * IEEE-double arithmetic (no transcendentals), so DuckDB derives the
+    * bit-identical vectors from the same base table. Geometry: each
+    * corner repeats its 4 bits over 32 dims (8× each, |centroid|² = 512,
+    * noise ≤ 8), so same-cluster cos ≈ 0.99 while corners differing in
+    * d ≥ 1 bits have cos ≈ (32−16d)/32 ≤ 0.5 — a query's true top-k are
+    * ALWAYS same-cluster, the separation an honest IVF probe recovers.
+    */
+  private[graft] def clusteredVec: Column = {
+    val c = pmod(col("vec_id"), lit(16))
+    transform(sequence(lit(0), lit(31)), j => {
+      val bit = pmod(floor(c.cast("double") / pow(lit(2.0), pmod(j, lit(4)).cast("double"))), lit(2))
+      val base = when(bit === 0, lit(-4.0)).otherwise(lit(4.0))
+      val noise = pmod(col("vec_id") * lit(131) + j * lit(37), lit(101))
+        .cast("double") / lit(101.0) - lit(0.5)
+      base + noise
+    })
+  }
+
+  /** The DuckDB twin of [[clusteredVec]] (E-notation keeps every float
+    * literal a DOUBLE — bare decimals round-trip through DECIMAL). */
+  private[graft] val clusteredVecSql: String =
+    """list_transform(range(0, 32), j ->
+      |    (CASE WHEN CAST(FLOOR(CAST(vec_id % 16 AS DOUBLE) / POWER(2.0E0, CAST(j % 4 AS DOUBLE))) AS BIGINT) % 2 = 0
+      |          THEN -4.0E0 ELSE 4.0E0 END)
+      |    + (CAST((vec_id * 131 + j * 37) % 101 AS DOUBLE) / 101.0E0 - 0.5E0))""".stripMargin
+
+  /** The HONEST approximate-ANN configuration (round-3 verdict #1):
+    * IVF with nProbe = 2 of nLists = 16 — each query exactly scores
+    * ~1/8 of the corpus, the plan IVF exists for (q28 keeps the
+    * nProbe = nLists exact-mode row as the machinery contract). Runs
+    * over the planted-cluster fixture ([[clusteredVec]]) where the true
+    * top-5 are provably same-cluster; whatever partition of the corpus
+    * the seeded coarse quantizer converges to, the lists covering a
+    * query's planted cluster have by far the nearest centroids and land
+    * in any honest probe set — so brute-force SQL remains an EXACT
+    * oracle (q25's certified-recall argument; cross-checked at sf0.1).
+    */
+  def simIvfProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), clusteredVec.as("cv"))
+    // trainFraction=1.0 skips the corpus-count job (the oracle does not
+    // depend on quantizer quality, so a shorter k-means is honest: it
+    // only has to keep planted clusters compact, which it does in far
+    // fewer than 10 iterations on separation this wide)
+    val index = IvfIndex.build(e, "vec_id", "cv", nLists = 16,
+      trainFraction = 1.0, kmeansMaxIter = 10)
+    IvfIndex.search(index, e, e.where(col("vec_id") < 10), "vec_id", "cv",
+        k = 5, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val simIvfProbeSql: String =
+    s"""WITH e AS (SELECT vec_id, $clusteredVecSql AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    COALESCE(list_dot_product(q.v, c.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 0.0E0) AS cos
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding-cosine near-dup pairs. Oracle: exact all-pairs cosine >=
+    * threshold — the q18 argument: the seeded LSH is deterministic, and
+    * on this corpus it recalls every qualifying pair (verified offline
+    * at sf0.01: the full pair set matches all-pairs exactly; per-pair
+    * collision probability at the observed cos >= 0.51 is >= 97% per
+    * seed and the fixed seed is one that succeeds).
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.5, numBlocks = 16, planesPerBlock = 4)
+      .orderBy("id_a", "id_b")
+
+  val embedNearDupSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(COALESCE(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 0.0), 6) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** q94: SEMANTIC decontamination
+    * ([[Similarity.embeddingDecontaminate]]) — flag corpus vectors too
+    * close in cosine to an eval suite. The eval set here is a PLANTED
+    * leak: every 40th corpus vector with one coordinate zeroed
+    * (coordinate = vec_id mod 64) — byte-level and n-gram
+    * decontamination (q68) both miss such an edit, but the cosine to
+    * the source stays ≈ sqrt(1 - v_k²/|v|²) ≈ 0.99, which is exactly
+    * the paraphrase/light-edit case this stage exists to catch. The
+    * perturbation is exact arithmetic (zeroing), so the oracle replays
+    * eval-set construction and the shared q23 cosine kernel verbatim.
+    */
+  def embedDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val evalSet = e.where(col("vec_id") % 40 === 7)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i === (col("vec_id") % 64).cast("int"), lit(0.0))
+            .otherwise(x)).as("embedding"))
+    Similarity.embeddingDecontaminate(e, evalSet, "vec_id", "embedding",
+        threshold = 0.9)
+      .orderBy("corpus_id")
+  }
+
+  val embedDecontaminateSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ev AS (
+      |  -- DuckDB lambda index i is 1-based; Spark's transform index is
+      |  -- 0-based — hence i - 1
+      |  SELECT vec_id AS eval_id,
+      |    list_transform(v, (x, i) -> CASE WHEN i - 1 = CAST(vec_id % 64 AS INT)
+      |                                     THEN 0.0 ELSE x END) AS w
+      |  FROM e WHERE vec_id % 40 = 7),
+      |hits AS (
+      |  SELECT * FROM (
+      |    SELECT e.vec_id AS corpus_id, ev.eval_id,
+      |      COALESCE(list_dot_product(e.v, ev.w) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ev.w, ev.w))), 0.0) AS cos
+      |    FROM e, ev) WHERE cos >= 0.9),
+      |ranked AS (
+      |  SELECT corpus_id, eval_id, cos,
+      |    row_number() OVER (PARTITION BY corpus_id
+      |                       ORDER BY cos DESC, eval_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY corpus_id) AS n_hits
+      |  FROM hits)
+      |SELECT corpus_id, n_hits, eval_id AS top_eval_id, round(cos, 6) AS top_cos
+      |FROM ranked WHERE rk = 1 ORDER BY corpus_id""".stripMargin
+
+  /** As-of join on the events stream: for every click, the most recent
+    * view by the same user at or before the click time. ts stays raw
+    * int64 nanos on the Spark side (nanosAsLong); the oracle compares
+    * the same nanos via epoch_ns.
+    */
+  def asofClickView(s: SparkSession, dir: String): DataFrame = {
+    // truncate int64 nanos to micros: DuckDB reads the nanosecond-typed
+    // parquet column as microsecond TIMESTAMP, so comparing raw nanos
+    // would use a finer timeline than the oracle's epoch_ns
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    AsOfJoin.latestAsOf(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"),
+        "user_id", "ts", "event_id")
+      .select(col("left_id").as("click_id"), col("as_of_id").as("last_view_id"))
+      .orderBy("click_id")
+  }
+
+  val asofClickViewSql: String =
+    """SELECT c.event_id AS click_id,
+      |  (SELECT v.event_id FROM events v
+      |   WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      |     AND epoch_ns(v.ts) <= epoch_ns(c.ts)
+      |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_id
+      |FROM events c WHERE c.event_type = 'click' ORDER BY click_id""".stripMargin
+}

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.Queries
+import graft.{Fixtures, Queries}
 import graft.operators.Multimodal
 import org.apache.spark.sql.SparkSession
 
@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * sums and the encoder's byte lengths are pinned by this table while
   * everything container-level (frame count, geometry, timestamps) is
   * formula-oracled exactly. The pin is generated end to end through the
-  * REAL pipeline — [[Queries.videoAssetFor]] encodes the AVI,
+  * REAL pipeline — [[Fixtures.videoAssetFor]] encodes the AVI,
   * [[Multimodal.decodeAvi]] walks the container and decodes every frame
   * — so a regression anywhere on that path shifts the golden values and
   * fails q231 loudly.
@@ -33,15 +33,15 @@ object VideoGolden {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     import spark.implicits._
-    val rows = (0L until Queries.VideoGeomPeriod).flatMap { gid =>
-      val asset = Queries.videoAssetFor(gid)
+    val rows = (0L until Fixtures.VideoGeomPeriod).flatMap { gid =>
+      val asset = Fixtures.videoAssetFor(gid)
       val (info, frames) = Multimodal.decodeAvi(asset.media).getOrElse(
         sys.error(s"golden generation: decodeAvi failed on its own AVI " +
           s"for geometry $gid"))
-      require(frames.size == Queries.videoNFrames(gid) &&
+      require(frames.size == Fixtures.videoNFrames(gid) &&
         info.totalFrames == frames.size,
         s"golden generation: geometry $gid decoded ${frames.size} of " +
-          s"${Queries.videoNFrames(gid)} frames")
+          s"${Fixtures.videoNFrames(gid)} frames")
       frames.map(f => (gid, f.frameIdx, f.byteLen.toLong,
         f.stats.lumaSum, f.stats.nPixels, f.stats.edgeCount, f.stats.hPairs))
     }
