@@ -105,7 +105,7 @@ private[graft] trait QueriesEntityResolution { this: Queries.type =>
     * node-sharing rings merge into larger SCCs), plus acyclic bridge
     * edges pk → pk+1000 that weakly connect components WITHOUT merging
     * them — exactly the structure where undirected CC over-merges and
-    * SCC must not. Budgets (12 rounds, 3 phases) are the query's
+    * SCC must not. Budgets (16 rounds, 3 phases — sized by DuckDB probe: 11 rounds suffice at sf0.01, 14 at sf0.1, slack for growth) are the query's
     * replay contract; the operator RAISES if they ever stop covering
     * the data. The oracle unrolls the full schedule — every min-label
     * round including the pointer jumps, both directions, all phases,
@@ -136,12 +136,12 @@ private[graft] trait QueriesEntityResolution { this: Queries.type =>
       .where(col("x.id") <= 1000)
       .select(col("x.id").as("src"), col("y.id").as("dst"))
     val g = ring.unionByName(bridge).distinct()
-    Graph.stronglyConnectedComponents(g, maxRounds = 12, maxPhases = 3)
+    Graph.stronglyConnectedComponents(g, maxRounds = 16, maxPhases = 3)
       .orderBy("id")
   }
 
   val sccPartsSql: String = {
-    val rounds = 12
+    val rounds = 16
     def prop(p: Int, dir: String, from: String, to: String): String = {
       val base = s"${dir}_${p}_0 AS (SELECT id, id AS lab FROM nodes_$p)"
       val steps = (1 to rounds).map { r =>
