@@ -300,11 +300,22 @@ private[graft] trait QueriesCorpusShaping { this: Queries.type =>
       .orderBy("o_orderpriority", "q_ppm")
   }
 
-  val quantSketchPricesSql: String = {
+  /** Shared DuckDB replay of [[Sketches.quantState]] +
+    * [[Sketches.quantQuantiles]] over cent-scaled `o_totalprice` keyed
+    * by `o_orderkey`: the single-shot build over ALL of `orders`. The
+    * merge path (q235) uses the SAME replay — merge ≡ build is a
+    * PROVEN identity of the sketch (state is a pure function of the
+    * data multiset; SketchesSpec asserts state equality), so one
+    * oracle text serves both registrations honestly.
+    */
+  private[graft] def quantReplaySql(
+      groupExpr: String, outName: String, cap: Int, salt: String,
+      qPpms: Seq[Long]): String = {
     val key = "CAST(o_orderkey AS VARCHAR)"
-    s"""WITH raw AS (SELECT o_orderpriority AS g,
+    val qsList = qPpms.sorted.mkString(", ")
+    s"""WITH raw AS (SELECT $groupExpr AS g,
        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v,
-       |    ${duckHash60("quant", key)} AS h
+       |    ${duckHash60(salt, key)} AS h
        |  FROM orders),
        |lm AS (SELECT g, v, h,
        |    CAST(60 - length(bin(h)) AS INT) AS lmax FROM raw),
@@ -314,7 +325,7 @@ private[graft] trait QueriesCorpusShaping { this: Queries.type =>
        |                 ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM counts),
        |lvl AS (SELECT g, CAST(COALESCE(
-       |      MAX(CASE WHEN cum > 256 THEN lmax + 1 END), 0) AS INT)
+       |      MAX(CASE WHEN cum > $cap THEN lmax + 1 END), 0) AS INT)
        |    AS level FROM cum GROUP BY g),
        |meta AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM raw GROUP BY g),
@@ -322,8 +333,7 @@ private[graft] trait QueriesCorpusShaping { this: Queries.type =>
        |    CAST(ROW_NUMBER() OVER (PARTITION BY lm.g
        |      ORDER BY lm.v ASC, lm.h ASC) AS BIGINT) - 1 AS i
        |  FROM lm JOIN lvl ON lvl.g = lm.g WHERE lm.lmax >= lvl.level),
-       |qs AS (SELECT CAST(unnest([250000, 500000, 900000, 990000])
-       |    AS BIGINT) AS q_ppm),
+       |qs AS (SELECT CAST(unnest([$qsList]) AS BIGINT) AS q_ppm),
        |cand AS (SELECT k.g, q.q_ppm, m.n, k.level, k.v,
        |    k.i * (1::BIGINT << k.level) AS est_rank,
        |    abs(k.i * (1::BIGINT << k.level) * 1000000
@@ -331,10 +341,46 @@ private[graft] trait QueriesCorpusShaping { this: Queries.type =>
        |  FROM kept k CROSS JOIN qs q JOIN meta m ON m.g = k.g),
        |pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g, q_ppm
        |    ORDER BY cost ASC, est_rank ASC) AS r FROM cand)
-       |SELECT g AS o_orderpriority, q_ppm, n, level, v AS value,
+       |SELECT g AS $outName, q_ppm, n, level, v AS value,
        |  est_rank
        |FROM pick WHERE r = 1 ORDER BY 1, 2""".stripMargin
   }
+
+  val quantSketchPricesSql: String = quantReplaySql(
+    "o_orderpriority", "o_orderpriority", 256, "quant",
+    Seq(250000L, 500000L, 900000L, 990000L))
+
+  /** q235: the quantile sketch's MERGE path in the oracled surface —
+    * the q77 rollup argument applied to quantiles: three year-sliced
+    * states ([[Sketches.quantState]] per slice, disjoint by
+    * construction) folded with [[Sketches.QuantState.merge]], read out
+    * once. The oracle is deliberately the SINGLE-SHOT replay over all
+    * of `orders` ([[quantReplaySql]]): merge(A,B,C) ≡ build(A∪B∪C) is
+    * the sketch's structural identity (content-addressed membership is
+    * a pure function of the row), so a hash match here certifies the
+    * distributed merge path end-to-end on real data — states from any
+    * ingest cadence answer as if built in one pass, without rescanning
+    * history.
+    */
+  def quantSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select(
+      col("o_orderstatus"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey").as("rid"),
+      (year(col("o_orderdate")) % 3).cast("int").as("__slice"))
+    val states = (0 until 3).map(i =>
+      Sketches.quantState(ord.where(col("__slice") === i),
+        "cents", "rid", groupCols = Seq("o_orderstatus"),
+        cap = 128, salt = "quantm"))
+    val merged = states.reduce(_ merge _)
+    Sketches.quantQuantiles(merged,
+        qPpms = Seq(100000L, 500000L, 990000L))
+      .orderBy("o_orderstatus", "q_ppm")
+  }
+
+  val quantSketchMergeSql: String = quantReplaySql(
+    "o_orderstatus", "o_orderstatus", 128, "quantm",
+    Seq(100000L, 500000L, 990000L))
 
   /** Exact distributed regression ([[Stats.regression]]): slope /
     * intercept / Pearson r of extended price on quantity per return

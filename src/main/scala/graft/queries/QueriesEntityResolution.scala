@@ -86,7 +86,7 @@ private[graft] trait QueriesEntityResolution { this: Queries.type =>
          |  JOIN v$i a ON e.src = a.id JOIN v$i b ON e.dst = b.id)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    s"""li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |ok6 AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) <= 6),
        |li2 AS MATERIALIZED (SELECT li.* FROM li JOIN ok6 USING (ok)),
        |u AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b FROM li2 x
@@ -112,7 +112,7 @@ private[graft] trait QueriesEntityResolution { this: Queries.type =>
     * the singleton-orphan rule — materialized round by round (the
     * q139 recipe).
     */
-  def sccParts(s: SparkSession, dir: String): DataFrame = {
+  private def sccPartsGraph(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -135,12 +135,15 @@ private[graft] trait QueriesEntityResolution { this: Queries.type =>
       .join(nodes.as("y"), col("y.id") === col("x.id") + 1000)
       .where(col("x.id") <= 1000)
       .select(col("x.id").as("src"), col("y.id").as("dst"))
-    val g = ring.unionByName(bridge).distinct()
-    Graph.stronglyConnectedComponents(g, maxRounds = 16, maxPhases = 3)
-      .orderBy("id")
+    ring.unionByName(bridge).distinct()
   }
 
-  val sccPartsSql: String = {
+  def sccParts(s: SparkSession, dir: String): DataFrame =
+    Graph.stronglyConnectedComponents(sccPartsGraph(s, dir),
+        maxRounds = 16, maxPhases = 3)
+      .orderBy("id")
+
+  private[graft] lazy val sccReplayCtes: String = {
     val rounds = 16
     def prop(p: Int, dir: String, from: String, to: String): String = {
       val base = s"${dir}_${p}_0 AS (SELECT id, id AS lab FROM nodes_$p)"
@@ -171,7 +174,7 @@ private[graft] trait QueriesEntityResolution { this: Queries.type =>
          |    AND NOT EXISTS (SELECT 1 FROM rem_$p e
          |      WHERE e.src = n.id OR e.dst = n.id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    s"""li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |ok6 AS (SELECT ok FROM li GROUP BY ok
        |  HAVING COUNT(*) <= 6 AND ok % 17 = 0),
        |li2 AS MATERIALIZED (SELECT DISTINCT li.ok, li.pk FROM li
@@ -188,13 +191,67 @@ private[graft] trait QueriesEntityResolution { this: Queries.type =>
        |rem_0 AS MATERIALIZED (SELECT src, dst FROM ring
        |  UNION SELECT x.id, y.id FROM nd x JOIN nd y ON y.id = x.id + 1000
        |  WHERE x.id <= 1000),
-       |$phases
-       |SELECT id, scc FROM (
+       |$phases,
+       |assign AS MATERIALIZED (
        |  SELECT * FROM scc_1 UNION ALL SELECT * FROM orph_1
        |  UNION ALL SELECT * FROM scc_2 UNION ALL SELECT * FROM orph_2
-       |  UNION ALL SELECT * FROM scc_3 UNION ALL SELECT * FROM orph_3)
-       |ORDER BY id""".stripMargin
+       |  UNION ALL SELECT * FROM scc_3 UNION ALL SELECT * FROM orph_3)"""
+      .stripMargin
   }
+
+  val sccPartsSql: String =
+    s"""WITH $sccReplayCtes
+       |SELECT id, scc FROM assign ORDER BY id""".stripMargin
+
+  /** q236: the CONDENSATION readout over q233's components — per SCC:
+    * member count, internal edge count, and condensation out-degree
+    * (distinct downstream components) — the crawl-graph summary an
+    * analyst reads components THROUGH: which cycles are big, how the
+    * component DAG fans out. Same replay CTEs as q233
+    * ([[sccReplayCtes]]) plus three exact aggregations.
+    */
+  def sccCondensation(s: SparkSession, dir: String): DataFrame = {
+    val g = sccPartsGraph(s, dir)
+    val a = Graph.stronglyConnectedComponents(g, maxRounds = 16,
+      maxPhases = 3)
+    val e = g
+      .join(a.select(col("id").as("src"), col("scc").as("s_scc")),
+        Seq("src"))
+      .join(a.select(col("id").as("dst"), col("scc").as("d_scc")),
+        Seq("dst"))
+    val members = a.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
+    val internal = e.where(col("s_scc") === col("d_scc"))
+      .groupBy(col("s_scc").as("scc"))
+      .agg(count(lit(1)).as("n_internal_edges"))
+    val outdeg = e.where(col("s_scc") =!= col("d_scc"))
+      .select(col("s_scc").as("scc"), col("d_scc")).distinct()
+      .groupBy(col("scc")).agg(count(lit(1)).as("n_out_sccs"))
+    members
+      .join(internal, Seq("scc"), "left")
+      .join(outdeg, Seq("scc"), "left")
+      .select(col("scc"), col("n_members"),
+        coalesce(col("n_internal_edges"), lit(0L)).as("n_internal_edges"),
+        coalesce(col("n_out_sccs"), lit(0L)).as("n_out_sccs"))
+      .orderBy("scc")
+  }
+
+  val sccCondensationSql: String =
+    s"""WITH $sccReplayCtes,
+       |ee AS (SELECT a.scc AS s_scc, b.scc AS d_scc FROM rem_0 e
+       |  JOIN assign a ON a.id = e.src JOIN assign b ON b.id = e.dst),
+       |mm AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM assign GROUP BY scc),
+       |ii AS (SELECT s_scc AS scc, CAST(COUNT(*) AS BIGINT) AS n_int
+       |  FROM ee WHERE s_scc = d_scc GROUP BY s_scc),
+       |oo AS (SELECT s_scc AS scc,
+       |    CAST(COUNT(DISTINCT d_scc) AS BIGINT) AS n_out
+       |  FROM ee WHERE s_scc <> d_scc GROUP BY s_scc)
+       |SELECT mm.scc, mm.n_members,
+       |  COALESCE(ii.n_int, 0) AS n_internal_edges,
+       |  COALESCE(oo.n_out, 0) AS n_out_sccs
+       |FROM mm LEFT JOIN ii ON ii.scc = mm.scc
+       |  LEFT JOIN oo ON oo.scc = mm.scc
+       |ORDER BY mm.scc""".stripMargin
 
   /** q140: walk-forward (rolling-origin) CV folds with embargo
     * ([[Sampling.walkForwardFolds]]) over the event stream — per

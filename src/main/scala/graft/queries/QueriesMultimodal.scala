@@ -181,6 +181,54 @@ private[graft] trait QueriesMultimodal { this: Queries.type =>
        |  AND g.frame_idx = fr.f
        |ORDER BY asset_id, frame_idx""".stripMargin
 
+  /** q237: VIDEO corpus dedup by DECODED content — the multimodal twin
+    * of q16's exact text dedup: each video's identity is the ordered
+    * multiset of its decoded per-frame integer stats (frame_idx,
+    * luma_sum, edge_count, payload bytes), so two videos group together
+    * iff the DECODER sees identical frames — a container-level byte
+    * diff (chunk padding, header noise) does NOT split a group, which
+    * is exactly why video dedup must run on decoded content, not file
+    * hashes. Fixture plants real duplicates (assets built from
+    * `doc_id % 250` → copies per class at every scale factor). One
+    * narrow decode pass, one signature aggregation, one group-by —
+    * corpus-sized, no pairs. Oracle: signatures replayed from the
+    * committed golden frame table, groups formula-exact.
+    */
+  def videoDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaAsset(id, "video",
+        Fixtures.videoAssetFor(id % 250).media))
+    val part = concat_ws(":", col("frame_idx"), col("luma_sum"),
+      col("edge_count"), col("frame_bytes"))
+    val sig = Multimodal.videoFrameStats(assets)
+      .groupBy(col("asset_id"))
+      .agg(concat_ws("|", sort_array(collect_list(part))).as("__sig"),
+        count(lit(1)).as("__nf"))
+    sig.groupBy(col("__sig"))
+      .agg(min(col("asset_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"), min(col("__nf")).as("n_frames"))
+      .select(col("rep_id"), col("n_copies"), col("n_frames"))
+      .orderBy("rep_id")
+  }
+
+  val videoDedupSql: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % 250 AS gid FROM documents),
+       |g AS (SELECT * FROM read_parquet(
+       |        '/root/repo/fixtures/video_golden.parquet/*.parquet')),
+       |part AS (SELECT d.doc_id,
+       |    concat_ws(':', CAST(g.frame_idx AS VARCHAR),
+       |      CAST(g.luma_sum AS VARCHAR), CAST(g.edge_count AS VARCHAR),
+       |      CAST(g.byte_len AS VARCHAR)) AS p
+       |  FROM d JOIN g ON g.gid = d.gid),
+       |sig AS (SELECT doc_id,
+       |    array_to_string(array_agg(p ORDER BY p), '|') AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS nf
+       |  FROM part GROUP BY doc_id)
+       |SELECT MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       |  MIN(nf) AS n_frames
+       |FROM sig GROUP BY s ORDER BY rep_id""".stripMargin
+
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(s,
         t(s, dir, "documents").where(col("text").isNotNull))

@@ -217,6 +217,29 @@ object StreamOps {
     * not copied), so stream and batch verdicts cannot drift — the same
     * contract as [[dedupGate]].
     */
+  /** Streaming QUANTILE gate: flag live rows whose value exceeds their
+    * group's precomputed q-th value — the tail-latency/price-spike
+    * monitor, with thresholds from the mergeable quantile sketch
+    * ([[graft.operators.Sketches.quantQuantiles]] filtered to ONE
+    * `q_ppm`) so the reference corpus is summarized once (and kept
+    * fresh by cheap state MERGES on whatever cadence the caller owns —
+    * never a rescan). Stream-static broadcast join + narrow filter:
+    * stateless, no watermark, no shuffle of the stream; groups absent
+    * from the threshold table pass nothing (inner join), the same
+    * unknown-group posture as [[outlierGate]].
+    */
+  def quantileGate(
+      stream: DataFrame,
+      quantiles: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val thr = quantiles
+      .select((groupCols.map(col) :+ col("value").as("__thr")): _*)
+    stream.join(broadcast(thr), groupCols)
+      .where(col(valueCol).cast("long") > col("__thr"))
+      .drop("__thr")
+  }
+
   def outlierGate(
       stream: DataFrame,
       moments: DataFrame,

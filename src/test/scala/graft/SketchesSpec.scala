@@ -270,6 +270,21 @@ class SketchesSpec extends SparkSuite {
     intercept[IllegalArgumentException] { direct.merge(other) }
   }
 
+  test("quantState: ungrouped (global) path — build, merge, readout") {
+    val df = (1 to 500).map(i => (i.toLong * 7 % 3001, i.toLong))
+      .toDF("v", "k")
+    val st = Sketches.quantState(df, "v", "k", Nil, cap = 64)
+    assert(st.meta.select("n").as[Long].head() == 500L)
+    val parts = Seq(df.where(col("k") % 2 === 0), df.where(col("k") % 2 === 1))
+      .map(p => Sketches.quantState(p, "v", "k", Nil, cap = 64))
+    val merged = parts(0).merge(parts(1))
+    def canon(s: Sketches.QuantState) =
+      s.items.select("v", "h", "lmax").collect().map(_.toSeq).toSet
+    assert(canon(merged) == canon(st), "ungrouped merge != build")
+    val out = Sketches.quantQuantiles(merged, Seq(500000L)).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n") == 500L)
+  }
+
   test("quantState: duplicate keys raise loudly") {
     val dup = Seq(("g", 1L, 5L), ("g", 2L, 5L)).toDF("g", "v", "k")
     val e = intercept[Exception] {

@@ -303,6 +303,30 @@ class StreamOpsSpec extends SparkSuite {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("quantileGate: streaming flags equal the batch filter at the sketch p90") {
+    import graft.operators.Sketches
+    // reference corpus: two groups with distinct scales; thresholds
+    // from the quantile sketch at p90 (exact here: n <= cap)
+    val corpus = (Seq.tabulate(100)(i => ("a", (i + 1).toLong, i.toLong)) ++
+      Seq.tabulate(100)(i => ("b", (i + 1).toLong * 100, 1000L + i)))
+      .toDF("g", "v", "k")
+    val st = Sketches.quantState(corpus, "v", "k", Seq("g"), cap = 256)
+    val p90 = Sketches.quantQuantiles(st, Seq(900000L))
+    val probes = Seq(("a", 95L), ("a", 50L), ("b", 9500L), ("b", 100L),
+      ("c", 1L)) // unknown group: passes nothing
+    val input = MemoryStream[(String, Long)]
+    val gated = StreamOps.quantileGate(input.toDF().toDF("g", "v"),
+      p90, Seq("g"), "v").select("g", "v")
+    val got = runBatches(input, gated, OutputMode.Append(),
+        Seq(probes.take(2), probes.drop(2)))
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    val want = StreamOps.quantileGate(probes.toDF("g", "v"), p90,
+      Seq("g"), "v").select("g", "v").as[(String, Long)]
+      .collect().toSeq.sorted
+    assert(want == Seq(("a", 95L), ("b", 9500L)), s"batch fixture: $want")
+    assert(got == want, s"stream $got vs batch $want")
+  }
+
   test("qualityWindows: per-window report equals the batch Quality.run slice") {
     import graft.operators.Quality
     val checks: Seq[Quality.Check] = Seq(
