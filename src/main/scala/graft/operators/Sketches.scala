@@ -399,6 +399,63 @@ object Sketches {
       metaLvl)
   }
 
+  /** ROLLING-window quantiles from per-day [[quantState]]s — the
+    * [[hllRolling]] pattern applied to the quantile sketch: for each
+    * (group, day), the q-th values over that day plus the
+    * `windowDays − 1` before it, computed by WINDOW-MERGING the daily
+    * kept sets instead of rescanning raw data per window. Because
+    * sketch membership is content-addressed, the window merge is
+    * EXACTLY the single-shot build over the window's raw rows (the
+    * [[QuantState.merge]] identity, per-window): daily levels lower-
+    * bound the window level (floor), survivor counts over the union of
+    * daily kept sets are complete at every level ≥ floor, and the
+    * minimal qualifying level equals the build's. An external engine
+    * therefore replays each window as ONE plain build — no state
+    * shipping in the oracle.
+    *
+    * Cost shape: one [[quantState]] build at (group, day) grain, then
+    * every expansion runs at STATE grain — ≤ cap kept rows per
+    * (group, day) × windowDays fan-out — never data-sized. Days with
+    * no rows emit no report row (the [[hllRolling]] convention).
+    */
+  def quantRolling(
+      df: DataFrame, valueCol: String, keyCol: String,
+      groupCols: Seq[String], dayCol: String, windowDays: Int,
+      qPpms: Seq[Long], cap: Int = 256,
+      salt: String = "quant"): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 3650,
+      "windowDays in [1, 3650]")
+    val st = quantState(df, valueCol, keyCol, groupCols :+ dayCol,
+      cap, salt)
+    val days = st.meta.select((groupCols :+ dayCol).map(col): _*)
+      .distinct()
+    def windowJoin(left: DataFrame): DataFrame = {
+      val d = days.select(groupCols.map(c => col(c).as(s"__g_$c")) :+
+        col(dayCol).as("__rday"): _*)
+      val cond = (groupCols.map(c => col(c) <=> col(s"__g_$c")) :+
+        (col(dayCol) <= col("__rday")) :+
+        (col(dayCol) > col("__rday") - windowDays)).reduce(_ && _)
+      groupCols.foldLeft(left.join(broadcast(d), cond))(
+        (acc, c) => acc.drop(s"__g_$c")).drop(dayCol)
+    }
+    val rcols = groupCols :+ "__rday"
+    val wMeta = windowJoin(st.meta)
+      .groupBy(rcols.map(col): _*)
+      .agg(sum(col("n")).as("n"), max(col("level")).as("__floor"))
+    val wItems = windowJoin(st.items)
+    val lvl = pickLevel(wItems, cap, rcols)
+      .join(wMeta, rcols)
+      .select((rcols.map(col) :+
+        greatest(col("level"), col("__floor")).as("level") :+
+        col("n")): _*)
+    val kept = wItems.join(broadcast(lvl), rcols)
+      .where(col("lmax") >= col("level"))
+      .select((rcols.map(col) :+ col("v") :+ col("h") :+
+        col("lmax")): _*)
+    quantQuantiles(QuantState(cap, salt, rcols, kept, lvl), qPpms)
+      .withColumnRenamed("__rday", dayCol)
+  }
+
   /** Quantile readout: for each q (in ppm — exact integer targets), the
     * kept value whose estimated rank `i·2^level` is nearest to
     * `q·(n−1)/1e6`, ties to the smaller estimated rank — pure integer

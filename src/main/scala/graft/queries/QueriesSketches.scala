@@ -155,4 +155,64 @@ private[graft] trait QueriesSketches { this: Queries.type =>
        |  CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
        |FROM mem GROUP BY cohort ORDER BY cohort""".stripMargin
   }
+
+  /** q238: rolling 7-day p50/p99 event values per type
+    * ([[Sketches.quantRolling]]) — the quantile sibling of q131's HLL
+    * rolling distinct: per (event_type, day), the window's quantiles
+    * from WINDOW-MERGED daily sketch states (state-grain day-join, no
+    * raw rescan per window). Because the window merge provably equals
+    * the single-shot build over the window's rows, the oracle replays
+    * each window as one plain build — the identity IS the check.
+    */
+  def quantRollingEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      expr("ts div 86400000000000").as("day"),
+      floor(col("value") * 1000).cast("long").as("mills"),
+      col("event_id").as("rid"))
+    Sketches.quantRolling(ev, "mills", "rid", Seq("event_type"), "day",
+        windowDays = 7, qPpms = Seq(500000L, 990000L), cap = 128,
+        salt = "quantr")
+      .orderBy("event_type", "day", "q_ppm")
+  }
+
+  val quantRollingEventsSql: String =
+    s"""WITH ev AS (SELECT event_type AS g,
+       |    epoch_ns(ts) // 86400000000000 AS day,
+       |    CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+       |    ${duckHash60("quantr", "CAST(event_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |lm AS (SELECT g, day, v, h,
+       |    CAST(60 - length(bin(h)) AS INT) AS lmax FROM ev),
+       |days AS (SELECT DISTINCT g, day FROM ev),
+       |win AS (SELECT d.g, d.day AS rday, l.v, l.h, l.lmax FROM lm l
+       |  JOIN days d ON d.g = l.g AND l.day <= d.day
+       |    AND l.day > d.day - 7),
+       |counts AS (SELECT g, rday, lmax, COUNT(*) AS c FROM win
+       |  GROUP BY 1, 2, 3),
+       |cum AS (SELECT g, rday, lmax,
+       |    SUM(c) OVER (PARTITION BY g, rday ORDER BY lmax DESC
+       |                 ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM counts),
+       |lvl AS (SELECT g, rday, CAST(COALESCE(
+       |      MAX(CASE WHEN cum > 128 THEN lmax + 1 END), 0) AS INT)
+       |    AS level FROM cum GROUP BY 1, 2),
+       |meta AS (SELECT g, rday, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM win GROUP BY 1, 2),
+       |kept AS (SELECT w.g, w.rday, w.v, l.level,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY w.g, w.rday
+       |      ORDER BY w.v ASC, w.h ASC) AS BIGINT) - 1 AS i
+       |  FROM win w JOIN lvl l ON l.g = w.g AND l.rday = w.rday
+       |  WHERE w.lmax >= l.level),
+       |qs AS (SELECT CAST(unnest([500000, 990000]) AS BIGINT) AS q_ppm),
+       |cand AS (SELECT k.g, k.rday, q.q_ppm, m.n, k.level, k.v,
+       |    k.i * (1::BIGINT << k.level) AS est_rank,
+       |    abs(k.i * (1::BIGINT << k.level) * 1000000
+       |        - q.q_ppm * (m.n - 1)) AS cost
+       |  FROM kept k CROSS JOIN qs q
+       |  JOIN meta m ON m.g = k.g AND m.rday = k.rday),
+       |pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g, rday, q_ppm
+       |    ORDER BY cost ASC, est_rank ASC) AS r FROM cand)
+       |SELECT g AS event_type, rday AS day, q_ppm, n, level,
+       |  v AS value, est_rank
+       |FROM pick WHERE r = 1 ORDER BY 1, 2, 3""".stripMargin
 }

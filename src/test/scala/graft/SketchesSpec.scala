@@ -285,6 +285,29 @@ class SketchesSpec extends SparkSuite {
     assert(out.length == 1 && out.head.getAs[Long]("n") == 500L)
   }
 
+  test("quantRolling: each window equals the single-shot build over its rows") {
+    // 3 days × 60 rows; window 2 → day d's report must equal a direct
+    // build over days {d-1, d} — the per-window merge ≡ build identity
+    val df = (0 until 180).map { i =>
+      ("g", (i / 60).toLong, (i * 13 % 509).toLong, i.toLong)
+    }.toDF("g", "day", "v", "k")
+    val rolled = Sketches.quantRolling(df, "v", "k", Seq("g"), "day",
+        windowDays = 2, qPpms = Seq(500000L), cap = 32)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n"), r.getAs[Int]("level"),
+          r.getAs[Long]("value"))).toMap
+    assert(rolled.keySet == Set(0L, 1L, 2L))
+    (0L to 2L).foreach { d =>
+      val win = df.where(col("day") >= d - 1 && col("day") <= d)
+      val direct = Sketches.quantQuantiles(
+        Sketches.quantState(win, "v", "k", Seq("g"), cap = 32),
+        Seq(500000L)).collect().head
+      assert(rolled(d) == ((direct.getAs[Long]("n"),
+        direct.getAs[Int]("level"), direct.getAs[Long]("value"))),
+        s"day $d: ${rolled(d)} vs direct")
+    }
+  }
+
   test("quantState: duplicate keys raise loudly") {
     val dup = Seq(("g", 1L, 5L), ("g", 2L, 5L)).toDF("g", "v", "k")
     val e = intercept[Exception] {
