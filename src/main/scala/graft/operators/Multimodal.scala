@@ -472,7 +472,19 @@ object Multimodal {
     * whose payload fails its own decoder's validation yield no entry —
     * malformed input degrades to fewer frames or None, never a crash.
     */
-  def decodeAvi(media: Array[Byte]): Option[(AviInfo, Vector[FrameStats])] = {
+  def decodeAvi(media: Array[Byte]): Option[(AviInfo, Vector[FrameStats])] =
+    decodeAviRaw(media).map { case (info, frames) =>
+      (info, frames.flatMap { case (idx, payload) =>
+        decodeImage(payload).map(FrameStats(idx, payload.length, _))
+      })
+    }
+
+  /** Container walk only: parsed [[AviInfo]] + (frameIdx, payload
+    * bytes) per video chunk in file order — shared by [[decodeAvi]]
+    * (stats) and [[sampleVideoFrames]] (payload extraction).
+    */
+  def decodeAviRaw(
+      media: Array[Byte]): Option[(AviInfo, Vector[(Int, Array[Byte])])] = {
     def le32(o: Int): Long = (media(o) & 0xffL) | ((media(o + 1) & 0xffL) << 8) |
       ((media(o + 2) & 0xffL) << 16) | ((media(o + 3) & 0xffL) << 24)
     def tag(o: Int) = new String(media, o, 4, "US-ASCII")
@@ -508,12 +520,9 @@ object Multimodal {
     }
     walk(12, media.length)
     info.map { i =>
-      val decoded = frames.result().zipWithIndex.flatMap {
-        case ((o, len), idx) =>
-          val payload = java.util.Arrays.copyOfRange(media, o, o + len)
-          decodeImage(payload).map(FrameStats(idx, len, _))
-      }
-      (i, decoded)
+      (i, frames.result().zipWithIndex.map { case ((o, len), idx) =>
+        (idx, java.util.Arrays.copyOfRange(media, o, o + len))
+      })
     }
   }
 
@@ -586,6 +595,47 @@ object Multimodal {
       "height", "frame_bytes", "n_decoded", "n_declared",
       "luma_sum", "n_pixels", "edge_count", "h_pairs")
   }
+
+  /** REAL frame extraction for batch inference — the decoded-video twin
+    * of [[sampleFrames]] (which slices the raw byte stream at a fixed
+    * stride for stub/unknown media): every `stride`-th VIDEO FRAME
+    * payload from the AVI container, up to `maxFrames`, with the
+    * container clock's exact timestamp — (asset_id, frame_idx,
+    * ts_micros, payload) is the batch shape a vision model's inference
+    * stage consumes (each payload is a standalone JPEG — MJPEG has no
+    * inter-frame state, so any downstream decoder works per-row).
+    * Narrow mapPartitions, no shuffle; non-AVI assets yield no rows.
+    */
+  def sampleVideoFrames(
+      assets: Dataset[MediaAsset],
+      stride: Int = 1,
+      maxFrames: Int = MaxVideoFrames): DataFrame = {
+    require(stride >= 1 && maxFrames >= 1, "positive stride/cap")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val media = if (a.media == null) Array.emptyByteArray else a.media
+        framePayloads(media).toSeq.flatMap { case (info, frames) =>
+          frames.iterator.zipWithIndex
+            .filter { case (_, idx) => idx % stride == 0 }
+            .take(maxFrames)
+            .map { case ((fIdx, payload), _) =>
+              (a.asset_id, fIdx, fIdx.toLong * info.microSecPerFrame,
+                payload)
+            }
+        }
+      }
+    }.toDF("asset_id", "frame_idx", "ts_micros", "payload")
+  }
+
+  /** Raw (idx, payload) frame list from an AVI — the container walk of
+    * [[decodeAvi]] WITHOUT decoding the frames (payload extraction must
+    * not pay for pixel stats the consumer's own decoder will redo).
+    */
+  def framePayloads(
+      media: Array[Byte]): Option[(AviInfo, Vector[(Int, Array[Byte])])] =
+    decodeAviRaw(media)
 
   /** Image dispatch on magic bytes: BMP, PPM, PNG, JPEG, else None. */
   def decodeImage(media: Array[Byte]): Option[ImageStats] =

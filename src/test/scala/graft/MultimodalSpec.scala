@@ -320,6 +320,28 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeAvi(bomb).isEmpty)
   }
 
+  test("sampleVideoFrames: extracted payloads are the standalone JPEGs, stride + cap honored") {
+    def px(f: Int)(x: Int, y: Int) = ((x * 5 + f * 31) % 256,
+      (y * 11 + f) % 256, (x + y + f * 7) % 256)
+    val payloads = (0 until 5).map(f => Multimodal.encodeJpeg(10, 8, px(f)))
+    val avi = Multimodal.encodeAvi(10, 8, 40000, payloads)
+    val ds = Seq(MediaAsset(11L, "video", avi),
+      MediaAsset(12L, "not-a-video", "plain bytes".getBytes)).toDS()
+    val rows = Multimodal.sampleVideoFrames(ds, stride = 2, maxFrames = 2)
+      .orderBy("frame_idx").collect()
+    // stride 2 of frames 0..4 → 0, 2, 4; cap 2 → 0, 2; non-AVI: no rows
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    assert(rows.map(_.getAs[Long]("ts_micros")).toSeq == Seq(0L, 80000L))
+    assert(rows.forall(_.getAs[Long]("asset_id") == 11L))
+    // each extracted payload is byte-identical to the encoded frame —
+    // the container walk may not touch a single payload byte
+    rows.foreach { r =>
+      val idx = r.getAs[Int]("frame_idx")
+      assert(r.getAs[Array[Byte]]("payload").toSeq == payloads(idx).toSeq,
+        s"frame $idx payload differs")
+    }
+  }
+
   test("decode dispatch: AVI yields real video features, not the fallback") {
     val avi = Multimodal.encodeAvi(12, 8, 40000,
       Seq(Multimodal.encodeJpeg(12, 8, (x, y) => (128, 128, 128)),

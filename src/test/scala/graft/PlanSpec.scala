@@ -417,4 +417,31 @@ class PlanSpec extends SparkSuite {
         s"$q planned a GLOBAL window over row-grain input:\n$lp"))
     }
   }
+
+  test("quantile sketch plans: partitioned windows only, no Cartesian product") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // the readout argmin window runs over the CAP-BOUNDED kept state,
+    // partitioned by (group, q) — a global window over raw rows would
+    // be the one-worker sort SCALING.md forbids. Same for the rolling
+    // variant's window-merge path. (q232's group count is 5, so any
+    // unpartitioned window here means the state plumbing regressed.)
+    Seq("q232_quant_sketch", "q235_quant_merge", "q238_quant_rolling")
+      .foreach { q =>
+        val lp = Queries.all(q)(spark, sf).queryExecution.optimizedPlan
+        val ws = lp.collect { case w: logical.Window => w }
+        assert(ws.nonEmpty, s"$q expected a ranking window")
+        ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+          s"$q planned a GLOBAL window:\n$lp"))
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"),
+          s"$q has a Cartesian product")
+      }
+  }
+
+  test("q237 video dedup: one narrow decode, no joins of the corpus against itself") {
+    val p = plan("q237_video_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"q237 should dedup by signature aggregation, not a pair join:\n$p")
+  }
 }
