@@ -669,6 +669,58 @@ object Graph {
     dist
   }
 
+  /** Longest-path-from-source LEVELS of a DAG — the topological depth
+    * readout (crawl depth over a condensation, build-stage waves over a
+    * dependency graph): level(v) = 0 for sources, else 1 + max over
+    * predecessors. Fixed-round max-label propagation under the
+    * [[stronglyConnectedComponents]] budget contract: each round folds
+    * `level(u) + 1` along edges; on a DAG the fixpoint is the longest
+    * path and arrives within `depth` rounds; if the budget round still
+    * changes labels the input either is DEEPER than the budget or has a
+    * CYCLE (where "levels" are undefined — levels would grow forever),
+    * and the operator RAISES naming both possibilities rather than
+    * returning silently-wrong depths. One equi-join + one
+    * map-side-combined max per round over node-sized state.
+    *
+    * @param edges directed DAG (src, dst); duplicates collapse
+    * @return (id, level)
+    */
+  def dagLevels(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 256, "bounded budget only")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    var lab = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct().select(col("id"), lit(0L).as("lv"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val push = e.join(lab.select(col("id").as("src"), col("lv")),
+          Seq("src"))
+        .groupBy(col("dst").as("id")).agg(max(col("lv") + 1).as("__in"))
+      val next = lab.join(push, Seq("id"), "left")
+        .select(col("id"), greatest(col("lv"), col("__in")).as("lv"))
+        .localCheckpoint(true)
+      val changed = next.select(col("id"), col("lv").as("__new"))
+        .join(lab, Seq("id"))
+        .where(col("__new") > col("lv")).count()
+      lab = next
+      converged = changed == 0L
+      round += 1
+    }
+    if (!converged) sys.error(
+      s"Graph.dagLevels: levels still changing after maxRounds=" +
+        s"$maxRounds — the graph is deeper than the budget or contains " +
+        s"a cycle (levels are undefined on cycles; run " +
+        s"stronglyConnectedComponents first and condense)")
+    lab.select(col("id"), col("lv").as("level"))
+  }
+
   /** STRONGLY connected components of a DIRECTED graph — the directed
     * sibling of [[Dedup.connectedComponents]] (crawl-graph cycle
     * analysis, dependency-cycle detection, link-farm rings — where

@@ -253,6 +253,62 @@ private[graft] trait QueriesEntityResolution { this: Queries.type =>
        |  LEFT JOIN oo ON oo.scc = mm.scc
        |ORDER BY mm.scc""".stripMargin
 
+  /** q239: topological LEVELS of the condensation DAG
+    * ([[Graph.dagLevels]] over q236's component graph) — the crawl-
+    * depth / build-wave readout: level = longest path from any source
+    * component. Cycles are impossible HERE by construction (a
+    * condensation is a DAG — that is the theorem SCC buys you), which
+    * is exactly the precondition [[Graph.dagLevels]]' budget raise
+    * enforces on arbitrary input. Isolated components sit at level 0.
+    * Oracle: the q233 replay CTEs + 8 unrolled max-propagation rounds.
+    */
+  def sccLevels(s: SparkSession, dir: String): DataFrame = {
+    val g = sccPartsGraph(s, dir)
+    val a = Graph.stronglyConnectedComponents(g, maxRounds = 16,
+      maxPhases = 3)
+    val e = g
+      .join(a.select(col("id").as("src"), col("scc").as("s_scc")),
+        Seq("src"))
+      .join(a.select(col("id").as("dst"), col("scc").as("d_scc")),
+        Seq("dst"))
+      .where(col("s_scc") =!= col("d_scc"))
+      .select(col("s_scc").as("src"), col("d_scc").as("dst")).distinct()
+    val lv = Graph.dagLevels(e, maxRounds = 8)
+    a.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
+      .join(lv.select(col("id").as("scc"), col("level")), Seq("scc"),
+        "left")
+      .select(col("scc"), col("n_members"),
+        coalesce(col("level"), lit(0L)).as("level"))
+      .orderBy("scc")
+  }
+
+  val sccLevelsSql: String = {
+    val rounds = 8
+    val lvs = (1 to rounds).map { r =>
+      s"""lv_$r AS MATERIALIZED (SELECT n.id,
+         |    CASE WHEN p.m IS NULL OR n.lv >= p.m THEN n.lv ELSE p.m END
+         |      AS lv
+         |  FROM lv_${r - 1} n LEFT JOIN (
+         |    SELECT e.d_scc AS id, MAX(l.lv + 1) AS m FROM cd e
+         |    JOIN lv_${r - 1} l ON l.id = e.s_scc GROUP BY e.d_scc) p
+         |  ON p.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sccReplayCtes,
+       |ee AS (SELECT a.scc AS s_scc, b.scc AS d_scc FROM rem_0 e
+       |  JOIN assign a ON a.id = e.src JOIN assign b ON b.id = e.dst),
+       |cd AS (SELECT DISTINCT s_scc, d_scc FROM ee WHERE s_scc <> d_scc),
+       |lv_0 AS (SELECT id, CAST(0 AS BIGINT) AS lv FROM (
+       |  SELECT DISTINCT s_scc AS id FROM cd
+       |  UNION SELECT d_scc FROM cd)),
+       |$lvs,
+       |mm AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM assign GROUP BY scc)
+       |SELECT mm.scc, mm.n_members,
+       |  COALESCE(l.lv, 0) AS level
+       |FROM mm LEFT JOIN lv_$rounds l ON l.id = mm.scc
+       |ORDER BY mm.scc""".stripMargin
+  }
+
   /** q140: walk-forward (rolling-origin) CV folds with embargo
     * ([[Sampling.walkForwardFolds]]) over the event stream — per
     * (fold, role) counts plus id/ts checksums so any single

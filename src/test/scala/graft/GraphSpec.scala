@@ -279,6 +279,19 @@ class GraphSpec extends SparkSuite {
     assert(got2 == got)
   }
 
+  test("dagLevels: longest-path levels; cycles raise instead of looping") {
+    // diamond + tail: 1→2, 1→3, 2→4, 3→4, 4→5; level = longest path
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.dagLevels(dag).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L),
+      got.toString)
+    // a cycle makes levels undefined: the budget raise must name it
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val e = intercept[Exception] { Graph.dagLevels(cyc, 8).collect() }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
+
   test("scc: budgets raise loudly instead of splitting components") {
     // a 3-cycle needs 3 propagation rounds (2 label rounds + the
     // fixpoint-detection round): maxRounds = 2 must raise
