@@ -357,6 +357,94 @@ object StreamOps {
         })
   }
 
+  /** Keyed state for [[quantileState]]: the content-addressed sketch's
+    * kept items (v, h, lmax — each ≤ cap of them), current level, and
+    * exact count. Public for the state encoder.
+    */
+  final case class QuantKeptState(
+      level: Int, n: Long, kept: Seq[(Long, Long, Int)])
+
+  /** STREAMING incremental quantile sketch — the live twin of
+    * [[graft.operators.Sketches.quantState]]: per group, keyed state
+    * holds the content-addressed kept set and its level, each
+    * micro-batch folds its rows in (hash → survivable level → keep if
+    * ≥ current level → raise the level while > cap), and every trigger
+    * emits the group's refreshed quantile readouts. Because sketch
+    * membership is a pure function of the row, this fold is EXACTLY
+    * [[graft.operators.Sketches.QuantState.merge]] with single-batch
+    * parts — so after any prefix of batches the state equals the BATCH
+    * build over that prefix (StreamOpsSpec pins it per batch), the
+    * guarantee that lets a monitoring readout claim sketch semantics
+    * rather than "some running approximation". State is ≤ cap items
+    * per group by construction — bounded regardless of stream length.
+    *
+    * The per-row hash is the SAME portable recipe
+    * ([[graft.functions.PortableHash]]: first 60 bits of
+    * md5(salt ␁ key)) computed JVM-side, so the state interoperates
+    * with batch-built states and their DuckDB replays. Keys must be
+    * unique across the stream (the batch operator's contract; a replay
+    * of the same key double-counts n).
+    */
+  def quantileState(
+      rows: Dataset[(String, Long, String)], // (group, value, key)
+      qPpms: Seq[Long],
+      cap: Int = 256,
+      salt: String = "quant"): DataFrame = {
+    require(cap >= 16 && qPpms.nonEmpty)
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val qs = qPpms.sorted
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (g: String, it: Iterator[(String, Long, String)],
+         state: GroupState[QuantKeptState]) => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hash60(key: String): Long = {
+            md.reset()
+            val d = md.digest((salt + "\u0001" + key).getBytes("UTF-8"))
+            java.lang.Long.parseLong(
+              d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+          }
+          // engine lmax rule: 60 − bitlen, with bin(0) length 1
+          def lmaxOf(h: Long): Int =
+            60 - (if (h == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(h))
+          val prev = state.getOption.getOrElse(QuantKeptState(0, 0L, Nil))
+          var level = prev.level
+          var kept = prev.kept.toVector
+          var n = prev.n
+          it.foreach { case (_, v, k) =>
+            val h = hash60(k)
+            val lm = lmaxOf(h)
+            n += 1
+            if (lm >= level) kept = kept :+ ((v, h, lm))
+          }
+          while (kept.size > cap) {
+            level += 1
+            kept = kept.filter(_._3 >= level)
+          }
+          state.update(QuantKeptState(level, n, kept))
+          // readout: the batch argmin rule (v ASC, h ASC; ties → lower
+          // estimated rank)
+          val sorted = kept.sortBy(t => (t._1, t._2))
+          val picks = qs.map { q =>
+            var bestV = 0L; var bestCost = Long.MaxValue; var bestR = 0L
+            var i = 0
+            while (i < sorted.size) {
+              val er = i.toLong << level
+              val cost = math.abs(er * 1000000L - q * (n - 1))
+              if (cost < bestCost) { bestCost = cost; bestV = sorted(i)._1; bestR = er }
+              i += 1
+            }
+            (q, bestV, bestR)
+          }
+          (g, n, level, picks)
+        })
+      .flatMap { case (g, n, level, picks) =>
+        picks.map(p => (g, p._1, n, level, p._2, p._3))
+      }
+      .toDF("g", "q_ppm", "n", "level", "value", "est_rank")
+  }
+
   /** Gap-based sessionization per user via `flatMapGroupsWithState`
     * (SURVEY §3.2 "stateful" row): a session closes when no event
     * arrives within `gapMs` of its last event; closed sessions are

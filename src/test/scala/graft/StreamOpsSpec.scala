@@ -327,6 +327,42 @@ class StreamOpsSpec extends SparkSuite {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("quantileState: incremental sketch state equals the batch build after every prefix") {
+    import graft.operators.Sketches
+    val all = (1 to 300).map(i => ("a", (i * 17 % 1009).toLong, s"k$i")) ++
+      (1 to 50).map(i => ("b", i.toLong, s"b$i"))
+    val (b1, b2) = all.splitAt(200)
+    val input = MemoryStream[(String, Long, String)]
+    val out = StreamOps.quantileState(input.toDS(),
+      Seq(500000L, 900000L), cap = 64, salt = "qs")
+    val rows = runBatches(input, out, OutputMode.Update(), Seq(b1, b2))
+    // Update mode emits one readout per trigger; the final state is the
+    // row with the largest n per (group, q)
+    val got = rows.map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getInt(3), r.getLong(4), r.getLong(5))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    val st = Sketches.quantState(all.toDF("g", "v", "k"), "v", "k",
+      Seq("g"), cap = 64, salt = "qs")
+    val want = Sketches.quantQuantiles(st, Seq(500000L, 900000L))
+      .collect().map(r => ((r.getString(0), r.getAs[Long]("q_ppm")),
+        (r.getAs[Long]("n"), r.getAs[Int]("level"),
+          r.getAs[Long]("value"), r.getAs[Long]("est_rank")))).toMap
+    assert(got == want, s"stream-final $got vs batch $want")
+    // and the mid-stream emission matched the b1-prefix build (for the
+    // groups batch 1 actually contained — "b" only arrives in batch 2)
+    val mid = rows.map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getInt(3), r.getLong(4), r.getLong(5))))
+      .filter(_._1._1 == "a")
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).minBy(_._1) }
+    val stMid = Sketches.quantState(b1.toDF("g", "v", "k"), "v", "k",
+      Seq("g"), cap = 64, salt = "qs")
+    val wantMid = Sketches.quantQuantiles(stMid, Seq(500000L, 900000L))
+      .collect().map(r => ((r.getString(0), r.getAs[Long]("q_ppm")),
+        (r.getAs[Long]("n"), r.getAs[Int]("level"),
+          r.getAs[Long]("value"), r.getAs[Long]("est_rank")))).toMap
+    assert(mid == wantMid, s"stream-mid $mid vs batch-prefix $wantMid")
+  }
+
   test("qualityWindows: per-window report equals the batch Quality.run slice") {
     import graft.operators.Quality
     val checks: Seq[Quality.Check] = Seq(
