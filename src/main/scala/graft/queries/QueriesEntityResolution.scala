@@ -86,7 +86,7 @@ private[graft] trait QueriesEntityResolution { this: Queries.type =>
          |  JOIN v$i a ON e.src = a.id JOIN v$i b ON e.dst = b.id)"""
         .stripMargin
     }.mkString(",\n")
-    s"""li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |ok6 AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) <= 6),
        |li2 AS MATERIALIZED (SELECT li.* FROM li JOIN ok6 USING (ok)),
        |u AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b FROM li2 x
