@@ -322,4 +322,34 @@ class EmptyInputSpec extends SparkSuite {
     assert(Behavior.markovAttribution(emptyEv2, "u", "ts", "id", "et",
       "conv").count() == 0)
   }
+
+  test("round-6 family returns empty on empty input") {
+    import org.apache.spark.sql.types._
+    // quantile sketch: empty build → empty state, empty readout; empty
+    // merges stay empty
+    val emptyKV = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("g", StringType),
+        StructField("v", LongType), StructField("k", LongType))))
+    val st = Sketches.quantState(emptyKV, "v", "k", Seq("g"))
+    assert(st.items.count() == 0 && st.meta.count() == 0)
+    assert(Sketches.quantQuantiles(st, Seq(500000L)).count() == 0)
+    assert(st.merge(st).items.count() == 0)
+    assert(Sketches.quantRolling(emptyKV.withColumn("day", lit(0L)),
+      "v", "k", Seq("g"), "day", 7, Seq(500000L)).count() == 0)
+    // graph: empty edge lists → empty assignments/levels, no budget raise
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType),
+        StructField("dst", LongType))))
+    assert(Graph.stronglyConnectedComponents(emptyEdges).count() == 0)
+    assert(Graph.dagLevels(emptyEdges).count() == 0)
+    // video: empty asset set and a null-media asset both yield no rows
+    val emptyAssets = spark.emptyDataset(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaAsset])
+    assert(Multimodal.videoFrameStats(emptyAssets).count() == 0)
+    assert(Multimodal.sampleVideoFrames(emptyAssets).count() == 0)
+    val nullMedia = Seq(Multimodal.MediaAsset(1L, "video", null)).toDS()
+    assert(Multimodal.videoFrameStats(nullMedia).count() == 0)
+  }
 }
