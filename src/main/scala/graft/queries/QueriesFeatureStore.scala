@@ -670,6 +670,53 @@ private[graft] trait QueriesFeatureStore { this: Queries.type =>
       |JOIN e0 ON e0.id = i.id
       |ORDER BY asset_id""".stripMargin
 
+  /** q240: AUDIO corpus dedup by DECODED content — completes the
+    * modality sweep (text q16, video q237, audio here): each clip's
+    * identity is (sample count, Σs, Σs²) over the samples the RIFF
+    * parser actually decodes, so re-encoded byte-level noise cannot
+    * split a group and a decoder regression (endianness, chunk-walk
+    * off-by-one) changes the sums and fails the hash loudly. Fixture
+    * plants duplicates (assets from `doc_id % 200`); the oracle replays
+    * the integer sample formula per class — no golden table needed,
+    * PCM is lossless. One narrow decode + one aggregation, no pairs.
+    */
+  def audioDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaAsset(id, "audio",
+        Fixtures.wavAssetFor(id % 200).media))
+    val sig = assets.mapPartitions { it =>
+      it.flatMap { a =>
+        Multimodal.decodeWavSamples(a.media).map { case (_, samples) =>
+          var s1 = 0L; var s2 = 0L
+          samples.foreach { v => s1 += v; s2 += v.toLong * v }
+          (a.asset_id, samples.length.toLong, s1, s2)
+        }
+      }
+    }.toDF("asset_id", "n_samples", "s1", "s2")
+    sig.groupBy(col("n_samples"), col("s1"), col("s2"))
+      .agg(min(col("asset_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("rep_id"), col("n_copies"), col("n_samples"))
+      .orderBy("rep_id")
+  }
+
+  val audioDedupSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 200 AS gid FROM documents),
+      |cls AS (SELECT DISTINCT gid FROM d),
+      |t AS (SELECT gid, unnest(range(0, 64 + gid % 32)) AS t FROM cls),
+      |sig AS (SELECT gid, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(((gid * 31 + 7 * t * t) % 4096) - 2048) AS BIGINT)
+      |      AS s1,
+      |    CAST(SUM((((gid * 31 + 7 * t * t) % 4096) - 2048)
+      |      * (((gid * 31 + 7 * t * t) % 4096) - 2048)) AS BIGINT) AS s2
+      |  FROM t GROUP BY gid),
+      |ds AS (SELECT d.doc_id, s.n, s.s1, s.s2
+      |  FROM d JOIN sig s ON s.gid = d.gid)
+      |SELECT MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |  MIN(n) AS n_samples
+      |FROM ds GROUP BY n, s1, s2 ORDER BY rep_id""".stripMargin
+
   /** q192: vocabulary drift ([[TextAnalysis.vocabDiff]]) between two
     * corpus snapshots (even vs odd doc ids as stand-in releases) —
     * per-term df and floor-ppm share deltas with new/vanished/grown/
