@@ -108,21 +108,28 @@ object Bench {
     val failed = results.collect { case (k, _, _, 0) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
+    val sideFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // full record (per-query medians + best-of + run counts) — side
+    // file ONLY. The driver reads just a 2000-character stdout tail, so
+    // the ~20 KB per-query maps can never ride the primary channel: six
+    // rounds of `parsed: null` were exactly that (the tail started
+    // mid-line). Stdout gets a SHORT summary line (<1 KB) instead, with
+    // a pointer to the side file carrying the maps.
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_per_query":$ns,"failed":$failed,"sf":"$sfDir"}"""
-    // the JSON goes to stdout FIRST (driver contract: ONE line — a
-    // failed side-file write must not eat the primary channel), then to
-    // a side file so a parser tripped by surrounding build-tool noise
-    // has a clean copy; both BEFORE spark.stop() so shutdown logs can't
-    // trail the line.
-    System.out.println(json)
-    System.out.flush()
-    try java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
-      (json + "\n").getBytes("UTF-8"))
+    val shortJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","detail":"$sideFile"}"""
+    // side file FIRST so the stdout pointer never dangles on a crash
+    // between the two writes; a failed side-file write is reported on
+    // stderr and must not eat the primary channel. Both happen BEFORE
+    // spark.stop() so shutdown logs can't trail the line.
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sideFile),
+      (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"bench side-file write failed: ${e.getMessage}")
     }
+    System.out.println(shortJson)
+    System.out.flush()
     spark.stop()
   }
 }

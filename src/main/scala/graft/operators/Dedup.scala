@@ -330,6 +330,49 @@ object Dedup {
       size(TextFunctions.tokens(col("__text"))) > 0)
   }
 
+  /** Hamming near-dup pairs over a PRECOMPUTED 64-bit signature column —
+    * the media sibling of [[simhashPairs]], for signatures that come
+    * from a perceptual hash ([[Multimodal.dhash64]] in q241) rather
+    * than token votes. Same structure end to end: identical signatures
+    * collapse FIRST (the duplication-skew fix — a family of N exact
+    * copies must not expand N² inside every block bucket), then the
+    * 4×16-bit pigeonhole blocking (any pair within Hamming ≤ 3 shares
+    * at least one exact block — lossless recall for maxDist ≤ 3),
+    * size-capped bucket join, bit_count(xor) verification, and group
+    * re-expansion (signature-identical pairs at hamming 0).
+    *
+    * Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= maxDist.
+    */
+  def hammingPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxDist: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxDist <= 3, "4-block pigeonhole guarantees recall only for maxDist <= 3")
+    val groups = hashes
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("__h"))
+      .where(col("__h").isNotNull)
+      .groupBy(col("__h"))
+      .agg(array_sort(collect_list(col("id"))).as("members"))
+      .select(element_at(col("members"), 1).as("id"), col("__h"), col("members"))
+      .localCheckpoint(true)
+    val blocks = groups.select(struct(col("id"), col("__h").as("sim")).as("m"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("__h"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val buckets = keepCappedBuckets(blocks, maxBucketSize)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(array_sort(collect_set(col("m"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val repPairs = buckets.select(explode(triangularPairs(col("ids"))).as("p"))
+      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
+        bit_count(col("p.id_a.sim").bitwiseXOR(col("p.id_b.sim"))).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+    expandGroups(repPairs, groups, "hamming", lit(0), lit(true))
+  }
+
   /** Duplicate-group formation: connected components over a near-dup
     * pair list (id_a, id_b), labels = smallest reachable id — the
     * SURVEY §3.3 "dup groups via iterative smallest-id propagation".

@@ -290,7 +290,15 @@ object Multimodal {
     * anything else (compressed, paletted, top-down, truncated);
     * callers fall back to the stub.
     */
-  def decodeBmp(media: Array[Byte]): Option[ImageStats] = {
+  def decodeBmp(media: Array[Byte]): Option[ImageStats] =
+    bmpPixels(media).map { case (w, h, px) => scanRows("bmp", w, h)(px) }
+
+  /** Validated pixel accessor under [[decodeBmp]] — shared with
+    * [[decodePixels]] so perceptual hashing ([[dhash64]]) reuses the
+    * exact header validation instead of duplicating it.
+    */
+  private def bmpPixels(
+      media: Array[Byte]): Option[(Int, Int, (Int, Int) => (Int, Int, Int))] = {
     def le32(o: Int) = (media(o) & 0xff) | ((media(o + 1) & 0xff) << 8) |
       ((media(o + 2) & 0xff) << 16) | ((media(o + 3) & 0xff) << 24)
     def le16(o: Int) = (media(o) & 0xff) | ((media(o + 1) & 0xff) << 8)
@@ -307,19 +315,23 @@ object Multimodal {
     val strideL = ((w.toLong * 3 + 3) / 4) * 4
     if (pixOff < 54 || pixOff.toLong + strideL * h > media.length) return None
     val stride = strideL.toInt // bounded by media.length after the check
-    Some(scanRows("bmp", w, h) { (x, y) =>
+    Some((w, h, (x: Int, y: Int) => {
       // rows are stored bottom-up; the scan is top-down like PPM so the
       // two decoders present identical (x, y) coordinates
       val o = pixOff + (h - 1 - y) * stride + x * 3
       ((media(o + 2) & 0xff), (media(o + 1) & 0xff), (media(o) & 0xff))
-    })
+    }))
   }
 
   /** REAL decoder for binary PPM (P6, maxval 255): ASCII header
     * `P6 <w> <h> 255`, then top-down RGB triples. No comment support —
     * a `#` in the header returns None (stub fallback).
     */
-  def decodePpm(media: Array[Byte]): Option[ImageStats] = {
+  def decodePpm(media: Array[Byte]): Option[ImageStats] =
+    ppmPixels(media).map { case (w, h, px) => scanRows("ppm", w, h)(px) }
+
+  private def ppmPixels(
+      media: Array[Byte]): Option[(Int, Int, (Int, Int) => (Int, Int, Int))] = {
     if (media.length < 9 || media(0) != 'P' || media(1) != '6') return None
     var off = 2
     def nextInt(): Option[Int] = {
@@ -335,10 +347,10 @@ object Multimodal {
       if off < media.length && Character.isWhitespace(media(off))
       pixOff = off + 1 // exactly ONE whitespace byte after maxval (spec)
       if pixOff.toLong + 3L * w * h <= media.length
-    } yield scanRows("ppm", w, h) { (x, y) =>
+    } yield (w, h, (x: Int, y: Int) => {
       val o = pixOff + (y * w + x) * 3
       ((media(o) & 0xff), (media(o + 1) & 0xff), (media(o + 2) & 0xff))
-    }
+    })
   }
 
   private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
@@ -361,7 +373,11 @@ object Multimodal {
     */
   val MaxPngPixels: Long = 16L * 1024 * 1024
 
-  def decodePng(media: Array[Byte]): Option[ImageStats] = {
+  def decodePng(media: Array[Byte]): Option[ImageStats] =
+    pngPixels(media).map { case (w, h, px) => scanRows("png", w, h)(px) }
+
+  private def pngPixels(
+      media: Array[Byte]): Option[(Int, Int, (Int, Int) => (Int, Int, Int))] = {
     if (media.length < 24 || !PngMagic.indices.forall(i => media(i) == PngMagic(i)))
       return None
     // IHDR is mandatory-first: width/height are big-endian at 16/20 —
@@ -373,10 +389,10 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else Some(scanRows("png", img.getWidth, img.getHeight) { (x, y) =>
+      else Some((img.getWidth, img.getHeight, (x: Int, y: Int) => {
         val argb = img.getRGB(x, y)
         ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
-      })
+      }))
     } catch {
       // ImageIO throws IllegalArgument/IndexOutOfBounds/NegativeArraySize
       // (not just IOException) on malformed streams; the documented
@@ -397,7 +413,11 @@ object Multimodal {
     * (same decompression-bomb cap as PNG). Returns None on anything
     * malformed — stub fallback, never a failed task.
     */
-  def decodeJpeg(media: Array[Byte]): Option[ImageStats] = {
+  def decodeJpeg(media: Array[Byte]): Option[ImageStats] =
+    jpegPixels(media).map { case (w, h, px) => scanRows("jpeg", w, h)(px) }
+
+  private def jpegPixels(
+      media: Array[Byte]): Option[(Int, Int, (Int, Int) => (Int, Int, Int))] = {
     if (media.length < 4 ||
         (media(0) & 0xff) != 0xFF || (media(1) & 0xff) != 0xD8) return None
     def be16(o: Int) = ((media(o) & 0xff) << 8) | (media(o + 1) & 0xff)
@@ -425,10 +445,10 @@ object Multimodal {
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
           if (img == null || img.getWidth != w || img.getHeight != h) None
-          else Some(scanRows("jpeg", w, h) { (x, y) =>
+          else Some((w, h, (x: Int, y: Int) => {
             val argb = img.getRGB(x, y)
             ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
-          })
+          }))
         } catch {
           case scala.util.control.NonFatal(_) => None
         }
@@ -645,6 +665,67 @@ object Multimodal {
     else if (media.length >= 3 && (media(0) & 0xff) == 0xFF &&
       (media(1) & 0xff) == 0xD8) decodeJpeg(media)
     else None
+
+  /** Validated pixel accessor with the same magic-byte dispatch (and the
+    * same bomb caps / None-fallbacks) as [[decodeImage]] — for consumers
+    * that need the pixels themselves rather than the reduced stats
+    * ([[dhash64]]).
+    */
+  def decodePixels(
+      media: Array[Byte]): Option[(Int, Int, (Int, Int) => (Int, Int, Int))] =
+    if (media.length >= 2 && media(0) == 'B' && media(1) == 'M') bmpPixels(media)
+    else if (media.length >= 2 && media(0) == 'P' && media(1) == '6') ppmPixels(media)
+    else if (media.length >= 4 && media(0) == PngMagic(0) && media(1) == 'P') pngPixels(media)
+    else if (media.length >= 3 && (media(0) & 0xff) == 0xFF &&
+      (media(1) & 0xff) == 0xD8) jpegPixels(media)
+    else None
+
+  /** 64-bit difference hash (dHash) over the decoded luma plane — the
+    * PERCEPTUAL image fingerprint (q241): the image is reduced to a 9×8
+    * grid of integer scaled-luma cell sums (pixel x lands in grid
+    * column x·9/w, y in row y·8/h — every cell non-empty for w ≥ 9,
+    * h ≥ 8), and bit (row·8 + col) is set iff the MEAN luma of cell
+    * (col+1, row) exceeds cell (col, row)'s. Means are compared by
+    * cross-multiplied integer sums (sum_r·cnt_l > sum_l·cnt_r) — exact,
+    * no division rounding; overflow-safe because a cell holds at most
+    * ~([[MaxPngPixels]]/72)·1.1 pixels, keeping sum·cnt < 2⁵⁴.
+    *
+    * Perceptual property: re-encoding (a different JPEG quality factor,
+    * a lossless↔lossy format hop) perturbs individual pixels but not
+    * the ORDERING of coarse-cell means, so re-encoded copies land
+    * within a small Hamming distance of each other — which exact
+    * decoded-content signatures (q237/q240) by design cannot catch.
+    * None for undecodable media or images smaller than the grid.
+    */
+  def dhash64(media: Array[Byte]): Option[Long] =
+    decodePixels(media).collect { case (w, h, px) if w >= 9 && h >= 8 =>
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = px(x, y)
+          sums(cy)(x * 9 / w) += lumaInt(r, g, b)
+          cnts(cy)(x * 9 / w) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          if (sums(cy)(cx + 1) * cnts(cy)(cx) > sums(cy)(cx) * cnts(cy)(cx + 1))
+            hash |= 1L << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      hash
+    }
 
   /** Fixture/test encoder: uncompressed 24-bit bottom-up BMP from a
     * pixel function (x, y) → (r, g, b), inverse of [[decodeBmp]].

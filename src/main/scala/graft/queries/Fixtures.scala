@@ -86,4 +86,57 @@ object Fixtures {
       (((id * 31 + 7L * t * t) % 4096) - 2048).toInt)
     Multimodal.MediaAsset(id, "audio", Multimodal.encodeWav(8000, samples))
   }
+
+  /** Perceptual image-dedup fixture (q241): [[DhashClasses]] image
+    * classes, each a 36×32 grayscale block pattern with STRICT
+    * inequality between horizontally adjacent cells (value step ≥ 20
+    * luma units — far above JPEG quantization noise, so a re-encode
+    * cannot flip a dHash comparison), re-encoded at TWO JPEG qualities:
+    * variant 0 = 0.9, variant 1 = 0.5. Same pixels in, different bytes
+    * AND different decoded pixels out (lossy) — the planted "re-encoded
+    * copy" that exact decoded-content signatures (q237/q240) cannot
+    * group but [[Multimodal.dhash64]] can. The 36×32 geometry makes
+    * every dHash grid cell exactly 4×4 pixels, so each pattern cell
+    * IS a grid cell.
+    *
+    * Pattern: cell k (row-major over the 9×8 grid) has gray value
+    * 30 + 20·((k·s + t) mod 11) with s = gid%10 + 1, t = gid/10 —
+    * s ∈ 1..10 is never ≡ 0 (mod 11), so adjacent cells always differ,
+    * and the per-row phase (9s + t) mod 11 shifts every row. 110
+    * distinct (s, t) classes.
+    */
+  private[graft] val DhashClasses = 110L
+  private[graft] val DhashQualities = Array(0.9f, 0.5f)
+  private[graft] def dhashPattern(gid: Long)(x: Int, y: Int): (Int, Int, Int) = {
+    val s = (gid % 10 + 1).toInt
+    val tt = (gid / 10).toInt
+    val k = (y / 4) * 9 + (x / 4)
+    val v = 30 + 20 * ((k * s + tt) % 11)
+    (v, v, v)
+  }
+  private[graft] def dhashMedia(gid: Long, variant: Int): Array[Byte] =
+    Multimodal.encodeJpeg(36, 32, dhashPattern(gid), DhashQualities(variant))
+  private[graft] def dhashAssetFor(id: Long): Multimodal.MediaAsset = {
+    val gid = id % DhashClasses
+    val variant = ((id / DhashClasses) % 2).toInt
+    Multimodal.MediaAsset(id, "image", dhashMedia(gid, variant))
+  }
+
+  /** Amplitude-scaled audio fixture (q242): [[AudioEnvClasses]] clip
+    * classes on the [[wavAssetFor]] sample formula, each planted at
+    * THREE amplitudes (×1, ×2, ×3 — integer-exact, |s| ≤ 3·2048 well
+    * inside int16). A scaled copy has different samples, a different
+    * (n, Σs, Σs²) exact signature (q240 splits it), but the SAME
+    * energy-envelope shape — the invariance q242's quantized envelope
+    * signature exploits.
+    */
+  private[graft] val AudioEnvClasses = 150L
+  private[graft] def wavScaledAssetFor(id: Long): Multimodal.MediaAsset = {
+    val gid = id % AudioEnvClasses
+    val amp = ((id / AudioEnvClasses) % 3 + 1).toInt
+    val n = (64 + gid % 32).toInt
+    val samples = Array.tabulate(n)(t =>
+      amp * (((gid * 31 + 7L * t * t) % 4096) - 2048).toInt)
+    Multimodal.MediaAsset(id, "audio", Multimodal.encodeWav(8000, samples))
+  }
 }

@@ -229,6 +229,51 @@ private[graft] trait QueriesMultimodal { this: Queries.type =>
        |  MIN(nf) AS n_frames
        |FROM sig GROUP BY s ORDER BY rep_id""".stripMargin
 
+  /** q241: PERCEPTUAL image near-dup — the gap q237/q240 leave open:
+    * their exact decoded-content signatures cannot group a RE-ENCODED
+    * copy (same picture, different JPEG quality ⇒ different decoded
+    * pixels). Here each asset gets a 64-bit dHash over its decoded luma
+    * grid ([[Multimodal.dhash64]]) and near-dups are found by the q19
+    * pigeonhole recipe ([[Dedup.hammingPairs]]): identical hashes
+    * collapse, 4×16-bit blocks bucket candidates (lossless for
+    * Hamming ≤ 3), bit_count(xor) verifies. The fixture plants real
+    * re-encodes — 110 image classes each encoded at JPEG quality 0.9
+    * AND 0.5 ([[Fixtures.dhashAssetFor]]); the two variants of a class
+    * decode to DIFFERENT pixels but identical dHashes (cell margins 20×
+    * the compression noise — MultimodalSpec pins this for all 110
+    * classes), so exactly the pairs an exact signature misses appear
+    * here. Oracle: hashes join from the committed golden table
+    * ([[graft.tools.DhashGolden]] — JPEG decode is decoder-dependent,
+    * the q87 pin rationale), then the ENTIRE pairing replays as
+    * all-pairs Hamming ≤ 3 — equal to the blocked pipeline by the
+    * pigeonhole guarantee, everything downstream of the decode exact.
+    */
+  def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Multimodal.dhash64(Fixtures.dhashAssetFor(id).media).map(dh => (id, dh))
+        }
+      }.toDF("doc_id", "dh")
+    Dedup.hammingPairs(hashes, "doc_id", "dh", maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val imagePhashDedupSql: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,
+       |    CAST((doc_id // ${Fixtures.DhashClasses}) % 2 AS INT) AS variant
+       |  FROM documents),
+       |g AS (SELECT * FROM read_parquet(
+       |        '/root/repo/fixtures/dhash_golden.parquet/*.parquet')),
+       |h AS (SELECT d.doc_id, g.dh FROM d
+       |  JOIN g ON g.gid = d.gid AND g.variant = d.variant)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dh, b.dh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(s,
         t(s, dir, "documents").where(col("text").isNotNull))
