@@ -117,8 +117,20 @@ object Bench {
     // a pointer to the side file carrying the maps.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_per_query":$ns,"failed":$failed,"sf":"$sfDir"}"""
+      // (fullJson keeps the failed name LIST — it has no size budget)
+    // stdout stays bounded no matter how many queries fail: a failure
+    // COUNT, not the name list (~6 KB at 240 names — that would blow
+    // the 2000-char driver tail exactly when the signal matters most);
+    // the full names ride the side file. Paths are JSON-escaped — an
+    // env-supplied SPARK_GRAFT_BENCH_OUT may contain quotes/backslashes.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val shortJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","detail":"$sideFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._4 == 0)},"sf":${jstr(sfDir)},"detail":${jstr(sideFile)}}"""
     // side file FIRST so the stdout pointer never dangles on a crash
     // between the two writes; a failed side-file write is reported on
     // stderr and must not eat the primary channel. Both happen BEFORE

@@ -770,18 +770,40 @@ object Graph {
       maxPhases: Int = 4): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 64 &&
       maxPhases >= 1 && maxPhases <= 16, "bounded budgets only")
-    val spark = edges.sparkSession
-    import spark.implicits._
+    val parent = edges.sparkSession
     // Spark 4.1's Union constraint rewrite (UnionBase.rewriteConstraints)
     // throws "key not found" on the assigned-components union when a
     // child carries an id=scc alias constraint — a planner bug this
     // loop reliably trips via localCheckpoint's stats/constraints
     // rewrite. Constraint propagation buys nothing here (every frame in
-    // the loop is checkpointed state), so scope it off for the run.
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpPrev = spark.conf.getOption(cpKey)
-    spark.conf.set(cpKey, "false")
-    try {
+    // the loop is checkpointed state), so scope it OFF — on a CHILD
+    // session (`newSession`: same SparkContext, isolated SQLConf), so
+    // a concurrent query on the caller's session never observes the
+    // toggle (GraphSpec pins this). The edge plan crosses sessions via
+    // a global temp view (eagerly analyzed, then dropped); the result
+    // crosses back the same way — it is checkpoint-backed (LogicalRDD),
+    // so the caller's downstream plans never contain loop internals.
+    // Note: newSession starts from SparkConf-level SQL confs; caller
+    // RUNTIME conf edits don't apply inside the loop (none matter — the
+    // loop pins its own behavior via checkpoints and explicit shapes).
+    val iso = parent.newSession()
+    iso.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    val view = "graft_scc_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    edges.createOrReplaceGlobalTempView(view)
+    val out =
+      try sccLoop(iso.table(s"global_temp.$view"), maxRounds, maxPhases)
+      finally parent.catalog.dropGlobalTempView(view)
+    out.createOrReplaceGlobalTempView(view + "_out")
+    try parent.table(s"global_temp.${view}_out")
+    finally parent.catalog.dropGlobalTempView(view + "_out")
+  }
+
+  private def sccLoop(
+      edges: DataFrame, maxRounds: Int, maxPhases: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    {
     var rem = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -868,11 +890,6 @@ object Graph {
         s"unassigned after maxPhases=$maxPhases — the phase budget " +
         s"must cover the component-removal depth; raise it")
     assigned
-    } finally {
-      cpPrev match {
-        case Some(v) => spark.conf.set(cpKey, v)
-        case None => spark.conf.unset(cpKey)
-      }
     }
   }
 }

@@ -243,6 +243,46 @@ object Multimodal {
     }.toDF("asset_id", "n_samples", "sample_rate", "best_lag", "r_best", "r0")
   }
 
+  /** Amplitude-normalized quantized energy envelope — the PERCEPTUAL
+    * audio fingerprint (q242), closing the gap q240's exact signature
+    * leaves open: a volume-scaled copy (samples × c) has a different
+    * (n, Σs, Σs²) but the SAME energy SHAPE. The clip is cut into
+    * `windows` equal time slices (sample t lands in window t·W/n —
+    * every window non-empty for n ≥ W), per-window energy
+    * E_w = Σ s² is computed in exact Long arithmetic, and each window
+    * is quantized RELATIVE to the whole clip:
+    * q_w = ⌊E_w · scale / ΣE⌋. Scaling every sample by c multiplies
+    * E_w and ΣE by the same c², so the floor of the SAME rational is
+    * taken — scaled copies collide EXACTLY, not approximately, which
+    * is what lets a formula-replaying oracle cover the query with no
+    * golden table. All-silent clips (ΣE = 0) quantize to all-zero.
+    *
+    * Overflow bound: a 16-bit PCM sample square is < 2³⁰, so
+    * E_w < n·2³⁰ and the quantization product E_w·scale stays below
+    * 2⁶³ exactly when n·scale < 2³² (at scale = 1000 that is ~4.3M
+    * samples ≈ 9 minutes at 8 kHz — any longer clip must be windowed
+    * upstream). The `require` pins that envelope so overflow RAISES
+    * instead of silently corrupting signatures.
+    */
+  def energyEnvelope(
+      samples: Array[Int], windows: Int, scale: Long): Array[Long] = {
+    require(windows >= 1 && scale >= 1, "need windows >= 1, scale >= 1")
+    require(samples.length.toLong * scale < (1L << 32),
+      s"n·scale = ${samples.length.toLong * scale} exceeds the 2^32 " +
+        "overflow envelope (E_w·scale must stay below 2^63)")
+    val n = samples.length
+    val e = Array.ofDim[Long](windows)
+    var t = 0
+    while (t < n) {
+      e((t.toLong * windows / n).toInt) += samples(t).toLong * samples(t)
+      t += 1
+    }
+    var etot = 0L
+    var w = 0
+    while (w < windows) { etot += e(w); w += 1 }
+    if (etot == 0L) e else e.map(ew => ew * scale / etot)
+  }
+
   /** Decoded image statistics. Sums are INTEGER-exact on purpose:
     * `lumaSum` = Σ (299·R + 587·G + 114·B) over pixels (i.e. luma
     * scaled by 1000·255), `edgeCount` = horizontal neighbor pairs with
@@ -309,6 +349,10 @@ object Multimodal {
     val h = le32(22)
     if (hdrSize < 40 || w <= 0 || h <= 0 || le16(26) != 1) return None
     if (le16(28) != 24 || le32(30) != 0) return None // 24bpp, BI_RGB only
+    // same pixel cap as the PNG/JPEG paths: [[dhash64]]'s overflow
+    // bound (cell sum·cnt < 2⁵⁴) assumes ≤ MaxPngPixels for EVERY
+    // decoder, not just the ImageIO-backed ones
+    if (w.toLong * h > MaxPngPixels) return None
     // stride math in Long: a malicious header width near Int.MaxValue
     // would wrap `w * 3 + 3` negative and slip past the bounds check,
     // turning the documented None-fallback into an array crash
@@ -344,6 +388,9 @@ object Multimodal {
     for {
       w <- nextInt(); h <- nextInt(); maxv <- nextInt()
       if w > 0 && h > 0 && maxv == 255
+      // pixel cap mirrors bmpPixels/pngPixels — keeps dhash64's
+      // documented overflow bound valid across all four formats
+      if w.toLong * h <= MaxPngPixels
       if off < media.length && Character.isWhitespace(media(off))
       pixOff = off + 1 // exactly ONE whitespace byte after maxval (spec)
       if pixOff.toLong + 3L * w * h <= media.length

@@ -717,6 +717,67 @@ private[graft] trait QueriesFeatureStore { this: Queries.type =>
       |  MIN(n) AS n_samples
       |FROM ds GROUP BY n, s1, s2 ORDER BY rep_id""".stripMargin
 
+  /** q242: PERCEPTUAL audio dedup — the modality twin of q241's image
+    * dHash, closing the gap q240 leaves open: a volume-scaled copy
+    * (every sample × c) has different samples and a different
+    * (n, Σs, Σs²), so q240's exact signature SPLITS it; the
+    * amplitude-normalized quantized energy envelope
+    * ([[Multimodal.energyEnvelope]]: 8 windows, scale 1000) is
+    * EXACTLY invariant under scaling (c² cancels inside the floor), so
+    * scaled copies collide with no Hamming tolerance needed — grouping
+    * stays the one-aggregation q240 shape, no pair enumeration. The
+    * fixture plants each of [[Fixtures.AudioEnvClasses]] clip classes
+    * at amplitudes ×1/×2/×3 ([[Fixtures.wavScaledAssetFor]]); the
+    * engine decodes REAL RIFF bytes while the oracle replays the
+    * integer sample formula, window split (t·8/n), per-window Σs², and
+    * the ⌊E_w·1000/ΣE⌋ quantization — PCM is lossless and every step
+    * is integer-exact, so no golden table is needed (the q240
+    * rationale, extended through the envelope arithmetic).
+    */
+  def audioEnvelopeDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaAsset(id, "audio",
+        Fixtures.wavScaledAssetFor(id).media))
+    val sig = assets.mapPartitions { it =>
+      it.flatMap { a =>
+        Multimodal.decodeWavSamples(a.media).map { case (_, samples) =>
+          val env = Multimodal.energyEnvelope(samples, windows = 8,
+            scale = 1000L)
+          (a.asset_id, samples.length.toLong, env.mkString("|"))
+        }
+      }
+    }.toDF("asset_id", "n_samples", "env")
+    sig.groupBy(col("n_samples"), col("env"))
+      .agg(min(col("asset_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("rep_id"), col("n_copies"), col("n_samples"))
+      .orderBy("rep_id")
+  }
+
+  val audioEnvelopeDedupSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 150 AS gid,
+      |    CAST((doc_id // 150) % 3 + 1 AS BIGINT) AS amp FROM documents),
+      |cls AS (SELECT DISTINCT gid, amp FROM d),
+      |smp AS (SELECT gid, amp, t, 64 + gid % 32 AS n,
+      |    amp * (((gid * 31 + 7 * t * t) % 4096) - 2048) AS s
+      |  FROM cls CROSS JOIN (SELECT unnest(range(0, 96)) AS t) ts
+      |  WHERE t < 64 + gid % 32),
+      |win AS (SELECT gid, amp, n, (t * 8) // n AS w,
+      |    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS ew
+      |  FROM smp GROUP BY gid, amp, n, (t * 8) // n),
+      |tot AS (SELECT gid, amp, n, w, ew,
+      |    SUM(ew) OVER (PARTITION BY gid, amp) AS etot FROM win),
+      |env AS (SELECT gid, amp, MIN(n) AS n,
+      |    string_agg(CAST((ew * 1000) // etot AS VARCHAR), '|'
+      |      ORDER BY w) AS env
+      |  FROM tot GROUP BY gid, amp),
+      |ds AS (SELECT d.doc_id, e.n, e.env
+      |  FROM d JOIN env e ON e.gid = d.gid AND e.amp = d.amp)
+      |SELECT MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |  CAST(MIN(n) AS BIGINT) AS n_samples
+      |FROM ds GROUP BY n, env ORDER BY rep_id""".stripMargin
+
   /** q192: vocabulary drift ([[TextAnalysis.vocabDiff]]) between two
     * corpus snapshots (even vs odd doc ids as stand-in releases) —
     * per-term df and floor-ppm share deltas with new/vanished/grown/

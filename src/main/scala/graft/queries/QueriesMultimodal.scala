@@ -242,11 +242,22 @@ private[graft] trait QueriesMultimodal { this: Queries.type =>
     * decode to DIFFERENT pixels but identical dHashes (cell margins 20×
     * the compression noise — MultimodalSpec pins this for all 110
     * classes), so exactly the pairs an exact signature misses appear
-    * here. Oracle: hashes join from the committed golden table
+    * here. Cross-class pairs keep a ≥ 5-bit Hamming margin above
+    * maxDist = 3 (spec-pinned), so the output is exactly the 110
+    * planted within-class families — no accidental cross matches. Oracle: hashes join from the committed golden table
     * ([[graft.tools.DhashGolden]] — JPEG decode is decoder-dependent,
     * the q87 pin rationale), then the ENTIRE pairing replays as
     * all-pairs Hamming ≤ 3 — equal to the blocked pipeline by the
     * pigeonhole guarantee, everything downstream of the decode exact.
+    *
+    * Cap caveat: blocked ≡ all-pairs additionally requires that no band
+    * bucket exceeds [[Dedup.hammingPairs]]'s `maxBucketSize` (capped
+    * buckets are DROPPED by design — a scale guard, not a recall
+    * guarantee). Here the signature space is ≤ 2·[[Fixtures.DhashClasses]]
+    * DISTINCT hashes (exact copies collapse before blocking), so every
+    * bucket holds ≤ 220 representatives — an order of magnitude under
+    * the 1000 cap; MultimodalSpec asserts the margin so a fixture
+    * change that breaks the equality fails a spec, not the oracle.
     */
   def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -121,6 +121,44 @@ object StreamOps {
         col("view_id"), col("click_ts"), col("view_ts"))
   }
 
+  /** FULL-OUTER stream-stream join — completes the matrix
+    * ([[clickViewJoin]] inner, [[clickViewJoinOuter]] left): BOTH
+    * orphan kinds survive — clicks with no in-window view (null view
+    * columns: lost attribution) AND views that converted to no click
+    * (null click columns: abandonment). Each side's orphans flush when
+    * the WATERMARK proves its match window can no longer fill: a click
+    * at t waits until the watermark passes t (a matching view may have
+    * ts ≤ t), a view at t waits until the watermark passes
+    * t + windowSeconds (a matching click may come that much later) —
+    * Spark derives both eviction points from the same two-sided
+    * time-interval condition that bounds the inner join's state, so the
+    * output stays append-only (no retraction of an orphan that later
+    * "matches": by flush time the match is provably impossible).
+    * user_id is taken from whichever side is present (coalesce) — the
+    * only column both sides share.
+    */
+  def clickViewJoinFullOuter(
+      clicks: DataFrame,
+      views: DataFrame,
+      windowSeconds: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .alias("c")
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+      .alias("v")
+    c.join(v, expr(
+      s"""c.user_id = v_user_id AND
+         |view_ts > click_ts - interval $windowSeconds seconds AND
+         |view_ts <= click_ts""".stripMargin), "full_outer")
+      .select(col("click_id"),
+        coalesce(col("c.user_id"), col("v_user_id")).as("user_id"),
+        col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
   /** Document record for the streaming admission gate. */
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
 

@@ -226,4 +226,49 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(a.map(r => (r._1, r._2)) == Seq((1L, 2L), (4L, 5L)), a.toString)
   }
+
+  test("hammingPairs: pigeonhole completeness at maxDist=3 — blocked " +
+      "output equals brute-force all-pairs for adversarial bit layouts") {
+    // adversarial placements: flips spread across DIFFERENT 16-bit
+    // bands (a blocking scheme that keyed on fewer than 4 bands, or on
+    // the wrong band boundaries, loses exactly these)
+    val base = 0x0123456789ABCDEFL
+    val rows = Seq(
+      10L -> base,
+      11L -> base, // exact dup of 10 — must re-expand at hamming 0
+      12L -> (base ^ 1L), // 1 flip, band 0
+      13L -> (base ^ (1L << 17) ^ (1L << 33)), // 2 flips, bands 1+2
+      14L -> (base ^ (1L << 1) ^ (1L << 18) ^ (1L << 63)), // 3 flips, bands 0+1+3
+      15L -> (base ^ (1L << 2) ^ (1L << 19) ^ (1L << 34) ^ (1L << 50)), // 4 — out
+      16L -> ~base, // far
+      17L -> (~base ^ 2L)) // 1 flip from 16
+    val df = rows.toDF("doc_id", "dh")
+    val got = Dedup.hammingPairs(df, "doc_id", "dh", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(want.exists(_._3 == 3) && want.exists(_._3 == 0)) // layout sanity
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("hammingPairs: oversized band buckets are dropped by the cap, " +
+      "not silently truncated mid-bucket") {
+    // 30 distinct hashes all within hamming<=2 of base: every band
+    // bucket holds ~all of them, so cap=10 drops the buckets entirely
+    val rows = (0 until 30).map(i =>
+      (i.toLong, 0x5555_5555_5555_5555L ^ (1L << i))) // 1 flip each, distinct
+    val df = rows.toDF("doc_id", "dh")
+    val capped = Dedup.hammingPairs(df, "doc_id", "dh", maxDist = 3,
+      maxBucketSize = 10).count()
+    val full = Dedup.hammingPairs(df, "doc_id", "dh", maxDist = 3,
+      maxBucketSize = 1000).as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(full == want) // cap raised -> exact recall returns
+    assert(capped < full.size) // cap dropped crowded buckets wholesale
+  }
 }

@@ -312,4 +312,36 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(ok == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L), ok.toString)
   }
+
+  test("scc: constraint-propagation toggle never escapes to the " +
+      "caller's session, even mid-run") {
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    assert(spark.conf.get(cpKey) == "true") // precondition
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    // a CONCURRENT reader polling the caller's session while SCC runs:
+    // with the old same-session try/finally toggle this observed
+    // "false" during the window; session isolation makes it impossible
+    @volatile var observed = Set.empty[String]
+    @volatile var poll = true
+    val watcher = new Thread(() => {
+      while (poll) { observed += spark.conf.get(cpKey); Thread.sleep(1) }
+    })
+    watcher.start()
+    val got =
+      try Graph.stronglyConnectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      finally { poll = false; watcher.join() }
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L), got.toString)
+    assert(observed == Set("true"),
+      s"caller session observed toggled conf values: $observed")
+    assert(spark.conf.get(cpKey) == "true")
+    // the cross-session temp views are cleaned up — nothing leaks into
+    // the shared global-temp namespace
+    assert(spark.sql("SHOW VIEWS IN global_temp").where(
+      col("viewName").startsWith("graft_scc_")).count() == 0)
+    // and the returned frame stays collectible AFTER the handoff views
+    // are dropped (checkpoint-backed, no dangling view reference)
+    assert(Graph.stronglyConnectedComponents(edges).count() == 4)
+  }
 }

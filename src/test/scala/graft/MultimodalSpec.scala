@@ -360,4 +360,89 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.forall(_.getAs[String]("format") == "jpeg"))
     assert(rows.forall(_.getAs[Int]("n_decoded") == 2))
   }
+
+  test("dhash64: q241 fixture — re-encode invariant for all 110 classes, " +
+      "planted cross-class structure, bucket margin") {
+    val nClasses = Fixtures.DhashClasses.toInt
+    val hashes = (0 until nClasses).map { gid =>
+      val m0 = Fixtures.dhashMedia(gid, 0)
+      val m1 = Fixtures.dhashMedia(gid, 1)
+      // the two quality variants are genuinely different content to an
+      // exact signature: different bytes AND different decoded pixels
+      assert(!java.util.Arrays.equals(m0, m1), s"class $gid: same bytes")
+      val Some((w0, h0, px0)) = Multimodal.decodePixels(m0)
+      val Some((_, _, px1)) = Multimodal.decodePixels(m1)
+      val pixelsDiffer = (0 until h0).exists(y =>
+        (0 until w0).exists(x => px0(x, y) != px1(x, y)))
+      assert(pixelsDiffer, s"class $gid: lossy variants decoded identically")
+      // ...yet the PERCEPTUAL hash is identical: cell margins (20 luma
+      // units) dwarf JPEG quantization noise, so no comparison flips
+      val Some(d0) = Multimodal.dhash64(m0)
+      val Some(d1) = Multimodal.dhash64(m1)
+      assert(d0 == d1, s"class $gid: re-encode flipped dHash bits " +
+        s"(hamming ${java.lang.Long.bitCount(d0 ^ d1)})")
+      d0
+    }
+    // cross-class separation: every cross pair keeps a >= 5-bit margin
+    // above maxDist=3, so q241's output is exactly the 110 planted
+    // within-class families and nothing else
+    assert(hashes.distinct.size == nClasses)
+    for (g1 <- 0 until nClasses; g2 <- g1 + 1 until nClasses) {
+      val d = java.lang.Long.bitCount(hashes(g1) ^ hashes(g2))
+      assert(d >= 5, s"cross pair ($g1,$g2) at hamming $d < 5 margin")
+    }
+    // blocked-equals-all-pairs precondition (q241 doc cap caveat): at
+    // most 2*DhashClasses distinct signatures can ever share a band
+    // bucket — an order of magnitude under hammingPairs' 1000 cap
+    assert(2 * nClasses <= 220 && 220 < 1000)
+    // golden table agreement: the committed pin matches a fresh decode
+    val golden = spark.read
+      .parquet("fixtures/dhash_golden.parquet")
+      .collect()
+      .map(r => (r.getAs[Long]("gid"), r.getAs[Int]("variant")) ->
+        r.getAs[Long]("dh")).toMap
+    assert(golden.size == 2 * nClasses)
+    for (g <- 0 until nClasses; v <- 0 to 1)
+      assert(golden((g.toLong, v)) == hashes(g),
+        s"golden pin stale for class $g variant $v — rerun DhashGolden")
+  }
+
+  test("energyEnvelope: q242 fixture — exact amplitude invariance for " +
+      "all 150 classes, signatures split what q240's exact sums split") {
+    val nClasses = Fixtures.AudioEnvClasses.toInt
+    val sigs = (0 until nClasses).map { gid =>
+      val envs = (0 to 2).map { ampIdx =>
+        val id = gid.toLong + ampIdx * Fixtures.AudioEnvClasses
+        val Some((_, samples)) =
+          Multimodal.decodeWavSamples(Fixtures.wavScaledAssetFor(id).media)
+        // scaled copies are genuinely different content to q240's exact
+        // signature: Σs² scales by amp², so the sums differ...
+        (samples.length, samples.map(s => s.toLong * s).sum,
+          Multimodal.energyEnvelope(samples, windows = 8, scale = 1000L).toSeq)
+      }
+      assert(envs.map(_._2).distinct.size == 3,
+        s"class $gid: amp variants share Σs² — fixture broken")
+      // ...yet the normalized envelope is EXACTLY equal across ×1/×2/×3
+      assert(envs.map(_._3).distinct.size == 1,
+        s"class $gid: envelope not amplitude-invariant: ${envs.map(_._3)}")
+      (envs.head._1, envs.head._3)
+    }
+    // cross-class separation: (n, envelope) keys are pairwise distinct,
+    // so q242's groups are exactly the 150 planted classes
+    assert(sigs.distinct.size == nClasses)
+  }
+
+  test("energyEnvelope: silence, window mapping, and the overflow guard") {
+    // all-silent clip: no division by zero, all-zero envelope
+    assert(Multimodal.energyEnvelope(Array.fill(16)(0), 8, 1000L).toSeq ==
+      Seq.fill(8)(0L))
+    // single-spike clip: all energy quantizes into the spike's window
+    val spike = Array.fill(16)(0); spike(12) = 100 // window 12*8/16 = 6
+    val env = Multimodal.energyEnvelope(spike, 8, 1000L)
+    assert(env(6) == 1000L && env.sum == 1000L)
+    // n·scale over the 2^32 envelope raises instead of corrupting
+    intercept[IllegalArgumentException] {
+      Multimodal.energyEnvelope(Array.fill(5000000)(1), 8, 1000L)
+    }
+  }
 }

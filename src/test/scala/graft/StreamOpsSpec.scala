@@ -154,6 +154,50 @@ class StreamOpsSpec extends SparkSuite {
     assert(orphans.count(_ == 2L) == 1, s"orphan emitted twice: $rows")
   }
 
+  test("clickViewJoinFullOuter: matches pair; BOTH orphan kinds flush " +
+      "after watermark, exactly once, never retracted") {
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = StreamOps.clickViewJoinFullOuter(
+      clicks.toDF(), views.toDF(), windowSeconds = 5 * 60, "2 minutes")
+    val name = s"ssjf_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val rows = try {
+      // view 11 matches click 1; click 2 (user 5) has no view; view 12
+      // (user 7) has no click — the two orphan kinds, one per side
+      views.addData(Seq(Event(11, ts(4), 1, "view", 0),
+        Event(12, ts(4), 7, "view", 0)))
+      clicks.addData(Seq(Event(1, ts(5), 1, "click", 0),
+        Event(2, ts(5), 5, "click", 0)))
+      q.processAllAvailable()
+      // push both watermarks far past every join window: click 2's
+      // "no view can still arrive" AND view 12's "no click can still
+      // arrive" (which needs windowSeconds MORE slack) both prove out
+      views.addData(Seq(Event(19, ts(120), 9, "view", 0)))
+      clicks.addData(Seq(Event(9, ts(120), 9, "click", 0)))
+      q.processAllAvailable()
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+    val underTest = rows.filter(r =>
+      (!r.isNullAt(0) && r.getLong(0) <= 2) ||
+        (!r.isNullAt(2) && r.getLong(2) <= 12))
+    // the match pairs exactly once
+    val matched = underTest.filter(r => !r.isNullAt(0) && !r.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(matched == Seq((1L, 11L)), s"got $rows")
+    // click orphan: null view columns, user_id from the click side
+    val clickOrphans = underTest.filter(r => !r.isNullAt(0) && r.isNullAt(2))
+    assert(clickOrphans.map(_.getLong(0)) == Seq(2L), s"got $rows")
+    assert(clickOrphans.head.getLong(1) == 5L) // coalesce took click user
+    // view orphan: null click columns, user_id from the view side —
+    // the row left-outer drops and only full-outer can produce
+    val viewOrphans = underTest.filter(r => r.isNullAt(0) && !r.isNullAt(2))
+    assert(viewOrphans.map(_.getLong(2)) == Seq(12L), s"got $rows")
+    assert(viewOrphans.head.getLong(1) == 7L) // coalesce took view user
+    assert(viewOrphans.head.isNullAt(3)) // click_ts null too
+  }
+
   test("sessionize: gap closes a session, timeout flushes the last one") {
     val input = MemoryStream[Event]
     val sessions = StreamOps.sessionize(input.toDS(), gapMs = 5 * 60000L, "1 minutes")
