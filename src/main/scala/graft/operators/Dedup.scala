@@ -373,6 +373,65 @@ object Dedup {
     expandGroups(repPairs, groups, "hamming", lit(0), lit(true))
   }
 
+  /** Persisted perceptual-hash index tables ([[graft.operators
+    * .IndexStore]] media index): `bands` = one (band_idx, band_hash)
+    * row per DISTINCT 64-bit signature per 16-bit band (the
+    * [[hammingPairs]] pigeonhole keys, precomputed once at build);
+    * `members` = (dh, member_id) for every indexed asset. Signatures
+    * repeat freely in members and exactly once in bands — the
+    * exact-dup-collapse invariant, preserved by append.
+    */
+  final case class MediaIndex(bands: DataFrame, members: DataFrame)
+
+  /** The 4×16-bit pigeonhole band rows of each DISTINCT hash — the
+    * shared blocking-key derivation of [[hammingPairs]] (self-join
+    * form) and the media index (build + probe form).
+    */
+  private[graft] def hashBandRows(
+      hashes: DataFrame, hashCol: String): DataFrame =
+    hashes.select(col(hashCol).cast("long").as("dh"))
+      .where(col("dh").isNotNull)
+      .distinct()
+      .select(col("dh"), posexplode(array((0 until 4).map(i =>
+        shiftright(col("dh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_hash")))
+
+  /** Hamming near-dup join of a NEW batch against a persisted media
+    * index — the incremental-ingest form of [[hammingPairs]], the
+    * perceptual sibling of [[minhashLSHJoinIndexed]]: the corpus is
+    * never rescanned or rehashed; only the batch's DISTINCT signatures
+    * explode into band keys, join the stored band table, verify with
+    * one bit_count, and re-expand to members on both sides. Emits
+    * (new_id, corpus_id, hamming ≤ maxDist) — a batch asset with no
+    * row is perceptually novel. Same recall contract as
+    * [[hammingPairs]]: lossless for maxDist ≤ 3 up to the loader's
+    * bucket cap.
+    */
+  def hammingJoinIndexed(
+      newAssets: DataFrame,
+      index: MediaIndex,
+      idCol: String,
+      hashCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      "4-block pigeonhole guarantees recall only for maxDist <= 3")
+    val p = newAssets
+      .select(col(idCol).as("new_id"), col(hashCol).cast("long").as("__ph"))
+      .where(col("__ph").isNotNull)
+    val cand = hashBandRows(p, "__ph").withColumnRenamed("dh", "__ph")
+      .join(index.bands, Seq("band_idx", "band_hash"))
+      .select(col("__ph"), col("dh"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("__ph").bitwiseXOR(col("dh"))).cast("int"))
+      .where(col("hamming") <= maxDist)
+    cand
+      .join(p, Seq("__ph"))
+      .join(index.members, Seq("dh"))
+      .select(col("new_id"), col("member_id").as("corpus_id"),
+        col("hamming"))
+  }
+
   /** Duplicate-group formation: connected components over a near-dup
     * pair list (id_a, id_b), labels = smallest reachable id — the
     * SURVEY §3.3 "dup groups via iterative smallest-id propagation".
@@ -447,8 +506,14 @@ object Dedup {
         .select(col("a.id").as("id"),
           least(col("a.group_id"), coalesce(col("gg"), col("a.group_id"))).as("group_id"))
       // checkpoint again (the jumped table is consumed by both the
-      // convergence check and the next pass), truncating the lineage
-      val updated = jumped.localCheckpoint(true)
+      // convergence check and the next pass), truncating the lineage —
+      // through [[Graph.cpFlatStats]], because localCheckpoint alone
+      // PRESERVES the estimated stats and the self-join above squares
+      // them every pass: on a deep (high-diameter) component the
+      // estimate's digit count doubles per pass until Catalyst grinds
+      // driver-side BigInteger math (the round-8 SCC probe finding;
+      // early convergence on shallow dup graphs merely masked it here)
+      val updated = Graph.cpFlatStats(jumped)
       val changed = updated.join(labels.withColumnRenamed("group_id", "old"), Seq("id"))
         .where(col("group_id") =!= col("old")).limit(1).count()
       labels = updated

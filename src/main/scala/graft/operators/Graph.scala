@@ -799,6 +799,27 @@ object Graph {
     finally parent.catalog.dropGlobalTempView(view + "_out")
   }
 
+  /** Checkpoint with a STATS RESET — the iterative-self-join fix.
+    * `localCheckpoint` truncates lineage but PRESERVES the truncated
+    * plan's estimated statistics; in a loop whose round contains a
+    * label SELF-join (the pointer-jumping shortcut), the size estimate
+    * therefore SQUARES every round — the estimate's digit count
+    * doubles per round, and past ~20 rounds Catalyst spends its time
+    * multiplying million-digit BigIntegers on the driver (observed:
+    * the 2M-edge scale probe pinned one core in
+    * BigInteger.multiplyToomCook3 for half an hour). Re-rooting the
+    * materialized RDD through `createDataFrame` makes the leaf's
+    * stats the flat default again — O(1) estimation forever, at the
+    * cost of one Row re-encode when consumed (node-grain tables only).
+    * Loops whose rounds only join against a FIXED table (CC, PageRank,
+    * BFS) grow the estimate one factor per round — digits linear in
+    * rounds — and don't need this.
+    */
+  private[operators] def cpFlatStats(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true)
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
   private def sccLoop(
       edges: DataFrame, maxRounds: Int, maxPhases: Int): DataFrame = {
     val spark = edges.sparkSession
@@ -818,8 +839,7 @@ object Graph {
     // dst→src (descendant mins). Raises if maxRounds is too small.
     def propagate(nodes: DataFrame, forward: Boolean): DataFrame = {
       val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
-      var lab = nodes.select(col("id"), col("id").as("lab"))
-        .localCheckpoint(true)
+      var lab = cpFlatStats(nodes.select(col("id"), col("id").as("lab")))
       var round = 0
       var converged = false
       while (round < maxRounds && !converged) {
@@ -834,12 +854,14 @@ object Graph {
           .join(lab.select(col("id").as("__ptr"), col("lab").as("__jl")),
             Seq("__ptr"))
           .groupBy(col("id")).agg(min(col("__jl")).as("__jm"))
-        val next = lab
+        // cpFlatStats, not plain localCheckpoint: jumpMin self-joins
+        // lab, so a stats-preserving checkpoint would square the size
+        // estimate every round (see cpFlatStats)
+        val next = cpFlatStats(lab
           .join(edgeMin, Seq("id"), "left")
           .join(jumpMin, Seq("id"), "left")
           .select(col("id"),
-            least(col("lab"), col("__em"), col("__jm")).as("lab"))
-          .localCheckpoint(true)
+            least(col("lab"), col("__em"), col("__jm")).as("lab")))
         val changed = next.select(col("id"), col("lab").as("__new"))
           .join(lab, Seq("id"))
           .where(col("__new") < col("lab")).count()

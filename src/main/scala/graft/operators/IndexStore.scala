@@ -201,6 +201,95 @@ object IndexStore {
   }
 
   // ---------------------------------------------------------------
+  // Perceptual-hash media index (Dedup.MediaIndex)
+  // ---------------------------------------------------------------
+
+  /** Build and persist the perceptual-hash media index under `path`
+    * (`meta/`, `bands/`, `members/`). Input is (id, 64-bit signature)
+    * — the hash is computed UPSTREAM (e.g. [[Multimodal.dhash64]] in a
+    * decode pass) so the index is hash-agnostic: dHash, SimHash, or
+    * any 64-bit fingerprint persists identically. Band rows exist once
+    * per DISTINCT signature ([[Dedup.hashBandRows]]); members carry
+    * every asset. Overwrites.
+    */
+  def saveMediaIndex(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      path: String): Unit = {
+    val spark = hashes.sparkSession
+    writeMeta(spark, path, Seq("kind" -> "media"))
+    val members = hashes
+      .select(col(hashCol).cast("long").as("dh"),
+        col(idCol).as("member_id"))
+      .where(col("dh").isNotNull)
+    members.repartition(col("dh"))
+      .write.mode("overwrite").parquet(s"$path/members")
+    Dedup.hashBandRows(members, "dh").repartition(col("band_hash"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Load a persisted media index, applying the bucket cap over the
+    * CURRENT (post-append) band table — same placement rationale as
+    * [[loadCorpusIndex]]: a cap baked into the files would go stale as
+    * appends grow buckets; capping at load sees the live distribution.
+    */
+  def loadMediaIndex(
+      spark: SparkSession,
+      path: String,
+      maxBucketSize: Int = 1000): Dedup.MediaIndex = {
+    metaOf(spark, path, "media")
+    val bands = spark.read.parquet(s"$path/bands")
+    val crowded = bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucketSize)
+      .drop("__n")
+    Dedup.MediaIndex(
+      bands.join(crowded, Seq("band_idx", "band_hash"), "left_anti"),
+      spark.read.parquet(s"$path/members"))
+  }
+
+  /** Append a batch of newly hashed assets (pure parquet appends).
+    * Signatures already present contribute member rows only (their
+    * band rows are in place — the exact-collapse invariant); novel
+    * signatures add bands too. Monotone-id contract as everywhere:
+    * members is written FIRST so a crash between the two appends
+    * leaves a state the id guard REJECTS on retry instead of
+    * double-banding signatures (a duplicated band row would double
+    * every probe candidate against it). After this,
+    * `loadMediaIndex` ≡ `saveMediaIndex` over the full corpus
+    * (IndexStoreSpec proves it).
+    */
+  def appendMediaIndex(
+      newHashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      path: String): Unit = {
+    val spark = newHashes.sparkSession
+    metaOf(spark, path, "media")
+    val incoming = newHashes
+      .select(col(hashCol).cast("long").as("dh"),
+        col(idCol).as("member_id"))
+      .where(col("dh").isNotNull)
+      .localCheckpoint(true)
+    val oldMembers = spark.read.parquet(s"$path/members")
+    requireIdsAfter(oldMembers.select(col("member_id")),
+      incoming.select(col("member_id")), "appendMediaIndex")
+    // materialized BEFORE the members append below: novel reads the
+    // pre-append members listing, and leaving it lazy would race the
+    // directory mutation (append ≠ rebuild if re-listed files double
+    // the anti-join's right side)
+    val novel = incoming.select(col("dh")).distinct()
+      .join(oldMembers.select(col("dh")).distinct(), Seq("dh"),
+        "left_anti")
+      .localCheckpoint(true)
+    incoming.repartition(col("dh"))
+      .write.mode("append").parquet(s"$path/members")
+    Dedup.hashBandRows(novel, "dh").repartition(col("band_hash"))
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
+  // ---------------------------------------------------------------
   // Sign-pattern LSH vector index (Similarity.VectorIndex)
   // ---------------------------------------------------------------
 

@@ -130,6 +130,58 @@ object Fixtures {
     * energy-envelope shape — the invariance q242's quantized envelope
     * signature exploits.
     */
+  /** Cross-FORMAT image-identity fixture (q244): the [[dhashPattern]]
+    * classes again, but each planted in FOUR container formats — BMP,
+    * PPM, PNG (lossless: identical decoded pixels, wildly different
+    * bytes) and JPEG 0.9 (lossy: different decoded pixels too). A
+    * byte-hash splits all four; an exact decoded-pixel signature still
+    * splits JPEG from the rest; the dHash collapses all four (the
+    * lossless trio trivially, JPEG by the ≥ 20-luma-unit margin that
+    * q241 pins). Because every cell of the pattern is CONSTANT within
+    * its 4×4 dHash grid cell, the hash has a closed integer form —
+    * bit (cy·8+cx) = [pattern(cx+1, cy) > pattern(cx, cy)] — which the
+    * oracle replays directly: no golden table, even though one format
+    * is lossy.
+    */
+  private[graft] def formatMedia(gid: Long, fmt: Int): Array[Byte] = fmt match {
+    case 0 => Multimodal.encodeBmp(36, 32, dhashPattern(gid))
+    case 1 => Multimodal.encodePpm(36, 32, dhashPattern(gid))
+    case 2 => Multimodal.encodePng(36, 32, dhashPattern(gid))
+    case _ => Multimodal.encodeJpeg(36, 32, dhashPattern(gid), 0.9f)
+  }
+  private[graft] def formatAssetFor(id: Long): Multimodal.MediaAsset = {
+    val gid = id % DhashClasses
+    val fmt = ((id / DhashClasses) % 4).toInt
+    Multimodal.MediaAsset(id, "image", formatMedia(gid, fmt))
+  }
+
+  /** Perceptual video-dedup fixture (q243): [[VideoPerceptClasses]]
+    * clip classes, each an MJPEG AVI of 2–4 36×32 frames drawn from the
+    * [[dhashPattern]] family (frame f of class gid uses pattern class
+    * (gid + 37·f) mod [[DhashClasses]] — the same ≥ 20-luma-unit cell
+    * steps that make the dHash re-encode-proof), re-encoded at the two
+    * [[DhashQualities]] JPEG qualities. The two variants of a class are
+    * different bytes AND different decoded frame pixels (lossy), so
+    * q237's exact frame-stat signature splits them — but every frame's
+    * dHash is identical across variants, so the q243 per-frame dHash
+    * SEQUENCE collapses them. Classes are sequence-distinct: two
+    * classes share all pattern indices only when gid₁ ≡ gid₂
+    * (mod [[DhashClasses]]), and those pairs differ in frame COUNT
+    * (n = 2 + gid mod 3 shifts by 2 between gid and gid+110).
+    */
+  private[graft] val VideoPerceptClasses = 120L
+  private[graft] def videoPerceptMedia(gid: Long, variant: Int): Array[Byte] = {
+    val n = (2 + gid % 3).toInt
+    val frames = (0 until n).map(f => Multimodal.encodeJpeg(36, 32,
+      dhashPattern((gid + 37L * f) % DhashClasses), DhashQualities(variant)))
+    Multimodal.encodeAvi(36, 32, VideoMicroSecPerFrame, frames)
+  }
+  private[graft] def videoPerceptAssetFor(id: Long): Multimodal.MediaAsset = {
+    val gid = id % VideoPerceptClasses
+    val variant = ((id / VideoPerceptClasses) % 2).toInt
+    Multimodal.MediaAsset(id, "video", videoPerceptMedia(gid, variant))
+  }
+
   private[graft] val AudioEnvClasses = 150L
   private[graft] def wavScaledAssetFor(id: Long): Multimodal.MediaAsset = {
     val gid = id % AudioEnvClasses

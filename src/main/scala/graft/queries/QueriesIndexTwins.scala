@@ -97,4 +97,55 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
         e.where(col("vec_id") < 10), "vec_id", "cv", k = 5, nProbe = 2)
       .orderBy("query_id", "rank")
   }
+
+  /** q245: the PERCEPTUAL media index through its full persisted
+    * lifecycle — the q241 hash family operated the way a 100 TB ingest
+    * actually runs: decode each corpus slice ONCE, persist the 64-bit
+    * dHashes with their pigeonhole band keys
+    * ([[IndexStore.saveMediaIndex]]), append the next ingest slice
+    * (pure parquet appends, novel signatures only grow the band
+    * table), then screen a new batch against the LOADED index
+    * ([[Dedup.hammingJoinIndexed]]) — corpus assets are never decoded
+    * or rehashed again. Fixture: the q241 dHash classes; corpus =
+    * docs 100+ (saved [100, 300), appended [300, ∞)), batch = docs
+    * < 100 — every batch asset is a re-encoded copy of some corpus
+    * class, so each must surface ALL its corpus-side copies at
+    * hamming 0 and nothing else (cross classes hold the ≥ 5-bit
+    * margin). Oracle: hashes join from the committed dhash golden
+    * table on both sides, then the screen replays as the plain
+    * batch × corpus Hamming join — append ≡ rebuild by construction,
+    * so persistence adds nothing the SQL has to model.
+    */
+  def mediaIndexLoad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        Multimodal.dhash64(Fixtures.dhashAssetFor(id).media)
+          .map(dh => (id, dh))
+      }).toDF("doc_id", "dh")
+    val path = scratchDir("media_idx")
+    IndexStore.saveMediaIndex(
+      hashes.where(col("doc_id") >= 100 && col("doc_id") < 300),
+      "doc_id", "dh", path)
+    IndexStore.appendMediaIndex(hashes.where(col("doc_id") >= 300),
+      "doc_id", "dh", path)
+    Dedup.hammingJoinIndexed(hashes.where(col("doc_id") < 100),
+        IndexStore.loadMediaIndex(s, path), "doc_id", "dh")
+      .orderBy("new_id", "corpus_id")
+  }
+
+  val mediaIndexLoadSql: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,
+       |    CAST((doc_id // ${Fixtures.DhashClasses}) % 2 AS INT) AS variant
+       |  FROM documents),
+       |g AS (SELECT * FROM read_parquet(
+       |        '/root/repo/fixtures/dhash_golden.parquet/*.parquet')),
+       |h AS (SELECT d.doc_id, g.dh FROM d
+       |  JOIN g ON g.gid = d.gid AND g.variant = d.variant)
+       |SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+       |  CAST(bit_count(xor(b.dh, c.dh)) AS INT) AS hamming
+       |FROM h b JOIN h c
+       |  ON b.doc_id < 100 AND c.doc_id >= 100
+       |  AND bit_count(xor(b.dh, c.dh)) <= 3
+       |ORDER BY new_id, corpus_id""".stripMargin
 }

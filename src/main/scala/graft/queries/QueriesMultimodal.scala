@@ -285,6 +285,123 @@ private[graft] trait QueriesMultimodal { this: Queries.type =>
        |WHERE bit_count(xor(a.dh, b.dh)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q243: PERCEPTUAL video near-dup — completes the perceptual sweep
+    * (image q241, audio q242): a re-encoded video copy (same frames,
+    * different MJPEG quality) decodes to different pixels, so q237's
+    * exact frame-stat signature splits it; here each frame gets the
+    * q241 dHash ([[Multimodal.dhash64]] over the extracted JPEG
+    * payloads — [[Multimodal.framePayloads]] walks the container
+    * without paying for stats) and the clip's identity is the ORDERED
+    * frame-dHash sequence. Because the fixture's cell margins make
+    * every frame hash re-encode-invariant
+    * ([[Fixtures.videoPerceptAssetFor]] — spec-pinned for all 120
+    * classes), cross-quality copies collapse by exact sequence
+    * equality: one decode pass + one aggregation, no pair join, the
+    * q237 scale shape with q241 robustness. Assets where any frame
+    * fails to hash are SKIPPED loudly-by-absence (flatMap None), never
+    * grouped on a partial sequence — a silent prefix match would be a
+    * wrong answer. Oracle: per-frame hashes join from the committed
+    * golden table ([[graft.tools.VideoDhashGolden]] — JPEG decode is
+    * decoder-dependent, the q87/q241 pin rationale), then the ordered
+    * string_agg and grouping replay exactly.
+    */
+  def videoPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val a = Fixtures.videoPerceptAssetFor(id)
+          Multimodal.framePayloads(a.media).flatMap { case (_, frames) =>
+            val hs = frames.sortBy(_._1).map(f => Multimodal.dhash64(f._2))
+            if (hs.exists(_.isEmpty)) None
+            else Some((id, frames.size.toLong,
+              hs.map(_.get).mkString("|")))
+          }
+        }
+      }.toDF("asset_id", "n_frames", "sig")
+    sigs.groupBy(col("n_frames"), col("sig"))
+      .agg(min(col("asset_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("rep_id"), col("n_copies"), col("n_frames"))
+      .orderBy("rep_id")
+  }
+
+  val videoPhashDedupSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    doc_id % ${Fixtures.VideoPerceptClasses} AS gid,
+       |    CAST((doc_id // ${Fixtures.VideoPerceptClasses}) % 2 AS INT)
+       |      AS variant
+       |  FROM documents),
+       |g AS (SELECT * FROM read_parquet(
+       |        '/root/repo/fixtures/video_dhash_golden.parquet/*.parquet')),
+       |sig AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS nf,
+       |    string_agg(CAST(g.dh AS VARCHAR), '|' ORDER BY g.frame_idx)
+       |      AS s
+       |  FROM d JOIN g ON g.gid = d.gid AND g.variant = d.variant
+       |  GROUP BY d.doc_id)
+       |SELECT MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       |  MIN(nf) AS n_frames
+       |FROM sig GROUP BY nf, s ORDER BY rep_id""".stripMargin
+
+  /** q244: cross-FORMAT image identity — the q241 robustness argument
+    * taken across CONTAINERS instead of qualities: each class is
+    * planted as BMP, PPM, PNG (lossless) and JPEG 0.9 (lossy)
+    * ([[Fixtures.formatAssetFor]]); byte hashes split all four, exact
+    * pixel signatures still split JPEG from the lossless trio, the
+    * dHash collapses everything. Grouping is EXACT on the 64-bit hash
+    * (the four formats hash identically — spec-pinned with the closed
+    * form), so the shape is the scale-safe q237 one: one decode pass,
+    * one aggregation, class-grain output, no pair join. Oracle: the
+    * dHash has a CLOSED INTEGER FORM on this fixture (every pattern
+    * cell is constant within its 4×4 grid cell, so the cell-mean
+    * comparison reduces to comparing pattern values), which the SQL
+    * replays from scratch — engine-independent, no golden table, even
+    * though one planted format is lossy. The oracle groups by ITS OWN
+    * formula hash; group equality (not hash-value equality) is what
+    * the output exposes, so the replay verifies the partition itself.
+    */
+  def imageFormatDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        Multimodal.dhash64(Fixtures.formatAssetFor(id).media)
+          .map(dh => (id, dh))
+      }).toDF("doc_id", "dh")
+    hashes
+      .withColumn("fmt",
+        expr(s"(doc_id div ${Fixtures.DhashClasses}) % 4"))
+      .groupBy(col("dh"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("fmt")).as("n_formats"))
+      .select(col("rep_id"), col("n_copies"), col("n_formats"))
+      .orderBy("rep_id")
+  }
+
+  val imageFormatDedupSql: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,
+       |    (doc_id // ${Fixtures.DhashClasses}) % 4 AS fmt
+       |  FROM documents),
+       |cls AS (SELECT DISTINCT gid FROM d),
+       |cells AS (SELECT gid, cy, cx,
+       |    30 + 20 * (((cy * 9 + cx) * (gid % 10 + 1) + (gid // 10)) % 11)
+       |      AS v
+       |  FROM cls
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cy) a
+       |  CROSS JOIN (SELECT unnest(range(0, 9)) AS cx) b),
+       |bits AS (SELECT l.gid, l.cy, l.cx,
+       |    CASE WHEN r.v > l.v THEN 1 ELSE 0 END AS bit
+       |  FROM cells l JOIN cells r
+       |    ON r.gid = l.gid AND r.cy = l.cy AND r.cx = l.cx + 1
+       |  WHERE l.cx < 8),
+       |dh AS (SELECT gid,
+       |    SUM(bit * (CAST(1 AS HUGEINT) << (cy * 8 + cx))) AS h
+       |  FROM bits GROUP BY gid)
+       |SELECT MIN(d.doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       |  CAST(COUNT(DISTINCT d.fmt) AS BIGINT) AS n_formats
+       |FROM d JOIN dh ON dh.gid = d.gid
+       |GROUP BY dh.h ORDER BY rep_id""".stripMargin
+
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentFeatures(s,
         t(s, dir, "documents").where(col("text").isNotNull))

@@ -199,4 +199,52 @@ class IndexStoreSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("expected"), e2.getMessage)
   }
+
+  test("media index: append equals rebuild; indexed hamming join " +
+      "matches the self-join operator's cross pairs") {
+    // 8 signature families, 1-bit-apart siblings, ids interleaved so
+    // corpus slices mix families; batch ids sit BELOW the corpus
+    val base = 0x0F0F_1234_ABCD_5678L
+    def hashOf(i: Long): Long = base ^ (1L << (i % 8)) ^
+      (if (i % 2 == 0) 0L else 1L << 32)
+    val all = (0L until 64L).map(i => (i, hashOf(i))).toDF("id", "dh")
+    val corpusA = all.where(col("id") >= 16 && col("id") < 40)
+    val corpusB = all.where(col("id") >= 40)
+    val batch = all.where(col("id") < 16)
+    val pApp = tmp(); val pFull = tmp()
+    IndexStore.saveMediaIndex(corpusA, "id", "dh", pApp)
+    IndexStore.appendMediaIndex(corpusB, "id", "dh", pApp)
+    IndexStore.saveMediaIndex(corpusA.unionByName(corpusB), "id", "dh",
+      pFull)
+    // append ≡ rebuild, table for table (bands once per distinct dh)
+    def tbl(p: String, t: String) = spark.read.parquet(s"$p/$t")
+      .collect().map(_.toSeq).toSet
+    assert(tbl(pApp, "members") == tbl(pFull, "members"))
+    assert(tbl(pApp, "bands") == tbl(pFull, "bands"))
+    // probe for probe...
+    val got = Dedup.hammingJoinIndexed(batch,
+        IndexStore.loadMediaIndex(spark, pApp), "id", "dh")
+      .as[(Long, Long, Int)].collect().toSet
+    // ...matching a brute-force replay of the screen semantics
+    val hs = (0L until 64L).map(i => i -> hashOf(i)).toMap
+    val want = (for {
+      b <- 0L until 16L; c <- 16L until 64L
+      d = java.lang.Long.bitCount(hs(b) ^ hs(c)) if d <= 3
+    } yield (b, c, d)).toSet
+    assert(want.nonEmpty && got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+    // monotone-id contract holds for the media kind too
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.appendMediaIndex(batch, "id", "dh", pApp)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    // loader cap drops crowded buckets wholesale: cap=1 kills every
+    // multi-signature bucket, leaving only exact-signature matches
+    // reachable through singleton band buckets
+    val capped = Dedup.hammingJoinIndexed(batch,
+        IndexStore.loadMediaIndex(spark, pApp, maxBucketSize = 1),
+        "id", "dh")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped.subsetOf(got) && capped.size < got.size)
+  }
 }

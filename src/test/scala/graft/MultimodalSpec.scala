@@ -432,6 +432,63 @@ class MultimodalSpec extends SparkSuite {
     assert(sigs.distinct.size == nClasses)
   }
 
+  test("video frame dHash: q243 fixture — per-frame re-encode invariance " +
+      "for all 120 classes, sequence distinctness, golden agreement") {
+    val nClasses = Fixtures.VideoPerceptClasses.toInt
+    val sigs = (0 until nClasses).map { gid =>
+      val seqs = (0 to 1).map { variant =>
+        val media = Fixtures.videoPerceptMedia(gid, variant)
+        val Some((_, frames)) = Multimodal.framePayloads(media)
+        frames.sortBy(_._1).map { case (idx, payload) =>
+          Multimodal.dhash64(payload).getOrElse(
+            fail(s"class $gid variant $variant frame $idx failed to hash"))
+        }
+      }
+      // lossy: the two variants are different container bytes...
+      assert(!java.util.Arrays.equals(Fixtures.videoPerceptMedia(gid, 0),
+        Fixtures.videoPerceptMedia(gid, 1)))
+      // ...but every frame's perceptual hash is quality-invariant
+      assert(seqs(0) == seqs(1),
+        s"class $gid: re-encode changed a frame dHash")
+      assert(seqs(0).size == (2 + gid % 3), s"class $gid frame count")
+      seqs(0)
+    }
+    // sequence identity separates classes: q243's groups are exactly
+    // the 120 planted cross-quality families
+    assert(sigs.distinct.size == nClasses)
+    // committed golden pin matches a fresh decode, variant by variant
+    val golden = spark.read
+      .parquet("fixtures/video_dhash_golden.parquet")
+      .collect()
+      .map(r => (r.getAs[Long]("gid"), r.getAs[Int]("variant"),
+        r.getAs[Int]("frame_idx")) -> r.getAs[Long]("dh")).toMap
+    for (g <- 0 until nClasses; v <- 0 to 1; f <- 0 until (2 + g % 3))
+      assert(golden((g.toLong, v, f)) == sigs(g)(f),
+        s"golden pin stale for ($g, $v, $f) — rerun VideoDhashGolden")
+  }
+
+  test("dhash64: q244 fixture — BMP/PPM/PNG/JPEG of one class hash " +
+      "identically and equal the closed integer form") {
+    val nClasses = Fixtures.DhashClasses.toInt
+    for (gid <- 0 until nClasses) {
+      // closed form: every pattern cell is constant within its 4x4
+      // grid cell, so the cell-mean comparison IS the pattern-value
+      // comparison — the same formula the q244 oracle replays in SQL
+      def v(cx: Int, cy: Int): Int = {
+        val s = gid % 10 + 1; val t = gid / 10
+        30 + 20 * (((cy * 9 + cx) * s + t) % 11)
+      }
+      var want = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8)
+        if (v(cx + 1, cy) > v(cx, cy)) want |= 1L << (cy * 8 + cx)
+      val hs = (0 to 3).map(fmt =>
+        Multimodal.dhash64(Fixtures.formatMedia(gid, fmt)).getOrElse(
+          fail(s"class $gid format $fmt failed to hash")))
+      assert(hs.forall(_ == want),
+        s"class $gid: format hashes $hs != closed form $want")
+    }
+  }
+
   test("energyEnvelope: silence, window mapping, and the overflow guard") {
     // all-silent clip: no division by zero, all-zero envelope
     assert(Multimodal.energyEnvelope(Array.fill(16)(0), 8, 1000L).toSeq ==
