@@ -766,7 +766,7 @@ object Graph {
     */
   def stronglyConnectedComponents(
       edges: DataFrame,
-      maxRounds: Int = 16,
+      maxRounds: Int = 32,
       maxPhases: Int = 4): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 64 &&
       maxPhases >= 1 && maxPhases <= 16, "bounded budgets only")
@@ -837,34 +837,107 @@ object Graph {
     // min-label propagation with pointer jumping over the CURRENT
     // subgraph; forward = labels flow src→dst (ancestor mins), else
     // dst→src (descendant mins). Raises if maxRounds is too small.
+    //
+    // Propagation order is a DETERMINISTIC HASH of the node id (ties
+    // impossible: the id itself is the struct's second field), not the
+    // id order. Chain-jump acceleration only helps once label CHAINS
+    // form, and chains only form where propagation makes interim
+    // progress; under the raw id order an adversarial layout — e.g.
+    // ascending ids around a directed cycle, propagated backward —
+    // keeps every label self-pointing (all interim descendant minima
+    // ARE the node itself), so the true min crosses ONE edge per round:
+    // O(diameter) rounds, measured as exactly changed=1 per round on
+    // the round-8 scale probe's planted 4096-cycle. Hashing the order
+    // makes every layout statistically random: O(log n) rounds and
+    // O(log n) phases with high probability for ANY input ids. The
+    // f==b SCC characterization is order-agnostic (within an SCC every
+    // node shares Anc and Desc, so f and b are component-constants and
+    // f==b ⟺ the order-min of Anc∪Desc lies in the component), and the
+    // REPORTED label is recovered as the min REAL id per component
+    // below — the output contract is unchanged, which is what keeps
+    // the q233/q236/q239 oracle replays (real-id min to ITS fixpoint)
+    // valid without modeling the engine's acceleration.
+    //
+    // Acceleration is ARRIVAL-PARENT POINTER HALVING, not label-value
+    // jumping. The naive jump ("adopt the label of my current label's
+    // NODE") has a measured dead end: the interim-min node can sit on
+    // a SIDE BRANCH (e.g. a tail hanging off a cycle) whose own label
+    // is already its local fixpoint — jumping there yields nothing,
+    // and the frontier serializes back to one edge-hop per round
+    // (observed on the round-8 probe: changed=2 per round for
+    // thousands of rounds on a 4096-cycle with a 25-node tail). The
+    // parent pointer instead tracks the node that SUPPLIED the current
+    // label via an edge — always on the propagation path — and halves
+    // every round (ptr ← ptr(ptr)); adopting lab(ptr) pulls minima the
+    // frontier has not carried here yet, so compressed segments
+    // broadcast a newly arrived min in O(tree depth). Soundness: for
+    // forward propagation ptr(v) ∈ Anc(v) ∪ {v} inductively (parents
+    // are in-neighbors, halving stays inside the ancestor set), and
+    // lab(ptr(v)) is a min over Anc(ptr(v)) ⊆ Anc(v) — every adopted
+    // value is a true ancestor min, so the fixpoint is exact.
+    //
+    // Honest worst case: unlike undirected CC, DIRECTED label
+    // fixpoints differ per node (Anc/Desc sets differ), so a pointer
+    // tree can legitimately lead into a side branch whose labels are
+    // already at a DIFFERENT fixpoint — a dead hub that never learns
+    // the component's min, leaving its subscribers to edge-speed
+    // propagation (measured: a cycle with a small-hash tail serializes
+    // its backward pass to one hop per round past the tail's entry).
+    // Typical graphs converge in ≈ 3·log₂ d rounds via parallel
+    // segment merging (512-cycle: 28; 4096-cycle: 35); adversarial
+    // branch structure degrades toward O(d) and hits the RAISING
+    // budget rather than a silent split. Breaking that bound needs
+    // transitive-closure edge doubling, whose edge growth is not
+    // viable at data scale — the budget contract is the design choice.
     def propagate(nodes: DataFrame, forward: Boolean): DataFrame = {
       val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
-      var lab = cpFlatStats(nodes.select(col("id"), col("id").as("lab")))
+      val ord = struct(
+        xxhash64(col("id"), lit("graft_scc_order")).as("h"),
+        col("id").as("i"))
+      var lab = cpFlatStats(nodes.select(col("id"), ord.as("lab"),
+        col("id").as("ptr")))
       var round = 0
       var converged = false
       while (round < maxRounds && !converged) {
         // no unions: Spark's Union constraint rewrite chokes on
-        // shared-lineage children; equivalent min via two left joins
+        // shared-lineage children; equivalent min via left joins
         // (least() skips nulls, so absent contributions are identity)
         val edgeMin = rem.select(col(from).as("__at"), col(to).as("id"))
-          .join(lab.select(col("id").as("__at"), col("lab").as("__el")),
+          .join(lab.select(col("id").as("__at"),
+            struct(col("lab").as("l"), col("id").as("u")).as("__e")),
             Seq("__at"))
-          .groupBy(col("id")).agg(min(col("__el")).as("__em"))
-        val jumpMin = lab.select(col("id"), col("lab").as("__ptr"))
-          .join(lab.select(col("id").as("__ptr"), col("lab").as("__jl")),
-            Seq("__ptr"))
-          .groupBy(col("id")).agg(min(col("__jl")).as("__jm"))
-        // cpFlatStats, not plain localCheckpoint: jumpMin self-joins
-        // lab, so a stats-preserving checkpoint would square the size
+          .groupBy(col("id")).agg(min(col("__e")).as("__em"))
+        val jump = lab.select(col("id"), col("ptr").as("__pt"))
+          .join(lab.select(col("id").as("__pt"), col("lab").as("__jl"),
+            col("ptr").as("__jp")), Seq("__pt"))
+          .select(col("id"), col("__jl"), col("__jp"))
+        // cpFlatStats, not plain localCheckpoint: jump self-joins lab,
+        // so a stats-preserving checkpoint would square the size
         // estimate every round (see cpFlatStats)
         val next = cpFlatStats(lab
           .join(edgeMin, Seq("id"), "left")
-          .join(jumpMin, Seq("id"), "left")
+          .join(jump, Seq("id"), "left")
           .select(col("id"),
-            least(col("lab"), col("__em"), col("__jm")).as("lab")))
+            least(col("lab"), col("__em.l"), col("__jl")).as("lab"),
+            // parent update: a strictly better edge supply re-roots the
+            // chain at the supplying neighbor; otherwise halve
+            when(col("__em").isNotNull &&
+              col("__em.l") < least(col("lab"),
+                coalesce(col("__jl"), col("lab"))),
+              col("__em.u"))
+              .otherwise(coalesce(col("__jp"), col("ptr"))).as("ptr")))
         val changed = next.select(col("id"), col("lab").as("__new"))
-          .join(lab, Seq("id"))
+          .join(lab.select(col("id"), col("lab")), Seq("id"))
           .where(col("__new") < col("lab")).count()
+        if (sys.env.contains("GRAFT_SCC_DEBUG")) {
+          System.err.println(s"[scc-debug] forward=$forward round=$round changed=$changed")
+          if (changed > 0 && changed <= 4 && round > 20) {
+            val rows = next.select(col("id"), col("lab").as("__new"))
+              .join(lab.withColumnRenamed("lab", "__old"), Seq("id"))
+              .where(col("__new") < col("__old")).limit(4).collect()
+            rows.foreach(r => System.err.println(s"[scc-debug]   changing: $r"))
+          }
+        }
         lab = next
         converged = changed == 0L
         round += 1
@@ -884,9 +957,18 @@ object Graph {
         .distinct().localCheckpoint(true)
       val f = propagate(nodes, forward = true)
       val b = propagate(nodes, forward = false)
-      val scc = f.as("f").join(b.as("b"),
+      // members of an assigned component share the hash-order pivot
+      // (lab.i = the pivot's real id); the REPORTED component label is
+      // the min REAL id over the members — the pre-hash-order output
+      // contract, recovered with one component-grain aggregation
+      val pivoted = f.as("f").join(b.as("b"),
           col("f.id") === col("b.id") && col("f.lab") === col("b.lab"))
-        .select(col("f.id").as("id"), col("f.lab").as("scc"))
+        .select(col("f.id").as("id"), col("f.lab.i").as("__pivot"))
+        .localCheckpoint(true)
+      val scc = pivoted
+        .join(pivoted.groupBy(col("__pivot"))
+          .agg(min(col("id")).as("scc")), Seq("__pivot"))
+        .select(col("id"), col("scc"))
         .localCheckpoint(true)
       val nextRem = rem
         .join(scc.select(col("id").as("src")), Seq("src"), "left_anti")
