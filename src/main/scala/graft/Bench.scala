@@ -109,6 +109,24 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sideFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // Paths are JSON-escaped in BOTH outputs — env-supplied
+    // SPARK_GRAFT_SF_DIR / SPARK_GRAFT_BENCH_OUT may contain
+    // quotes/backslashes/control bytes.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // per-query interference flag: a median >1.5× the best-of-N floor
+    // means at least half the passes were taxed by co-located load —
+    // the min is the load-immune signal (GC/JIT/neighbor bursts can
+    // only ADD time). Emitting the adjudication in the artifact stops
+    // humans re-litigating machine noise (r7 q212, r8 q212+q111: the
+    // mins agreed across runs, the medians didn't).
+    val noisy = results.collect {
+      case (k, med, min, n) if n > 1 && min > 0 && med / min > 1.5 => jstr(k)
+    }.mkString("[", ",", "]")
     // full record (per-query medians + best-of + run counts) — side
     // file ONLY. The driver reads just a 2000-character stdout tail, so
     // the ~20 KB per-query maps can never ride the primary channel: six
@@ -116,21 +134,14 @@ object Bench {
     // mid-line). Stdout gets a SHORT summary line (<1 KB) instead, with
     // a pointer to the side file carrying the maps.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_per_query":$ns,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_per_query":$ns,"noisy":$noisy,"failed":$failed,"sf":${jstr(sfDir)}}"""
       // (fullJson keeps the failed name LIST — it has no size budget)
     // stdout stays bounded no matter how many queries fail: a failure
     // COUNT, not the name list (~6 KB at 240 names — that would blow
     // the 2000-char driver tail exactly when the signal matters most);
-    // the full names ride the side file. Paths are JSON-escaped — an
-    // env-supplied SPARK_GRAFT_BENCH_OUT may contain quotes/backslashes.
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // the full names ride the side file.
     val shortJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._4 == 0)},"sf":${jstr(sfDir)},"detail":${jstr(sideFile)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._4 == 0)},"n_noisy":${results.count { case (_, med, min, n) => n > 1 && min > 0 && med / min > 1.5 }},"sf":${jstr(sfDir)},"detail":${jstr(sideFile)}}"""
     // side file FIRST so the stdout pointer never dangles on a crash
     // between the two writes; a failed side-file write is reported on
     // stderr and must not eat the primary channel. Both happen BEFORE

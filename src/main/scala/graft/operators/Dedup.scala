@@ -314,8 +314,7 @@ object Dedup {
     val groups = textGroups(df, idCol, textCol)
     val sim = simhashes(groups, "id", "__text", tokenHash)
     val blocks = sim.select(struct(col("id"), col("sim")).as("m"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(pigeonholeBands(col("sim")))
         .as(Seq("band_idx", "band_hash")))
     val buckets = keepCappedBuckets(blocks, maxBucketSize)
       .groupBy(col("band_idx"), col("band_hash"))
@@ -358,8 +357,7 @@ object Dedup {
       .select(element_at(col("members"), 1).as("id"), col("__h"), col("members"))
       .localCheckpoint(true)
     val blocks = groups.select(struct(col("id"), col("__h").as("sim")).as("m"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("__h"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(pigeonholeBands(col("__h")))
         .as(Seq("band_idx", "band_hash")))
     val buckets = keepCappedBuckets(blocks, maxBucketSize)
       .groupBy(col("band_idx"), col("band_hash"))
@@ -383,6 +381,17 @@ object Dedup {
     */
   final case class MediaIndex(bands: DataFrame, members: DataFrame)
 
+  /** The 4×16-bit pigeonhole band ARRAY of a 64-bit signature column —
+    * the single key derivation every Hamming blocking form shares
+    * (self-join [[hammingPairs]], index build [[hashBandRows]], batch
+    * probe [[hammingJoinIndexed]], and the streaming gate
+    * [[graft.streaming.StreamOps.mediaGateIndexed]]), so batch and
+    * stream verdicts cannot drift.
+    */
+  private[graft] def pigeonholeBands(h: Column): Column =
+    array((0 until 4).map(i =>
+      shiftright(h, i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+
   /** The 4×16-bit pigeonhole band rows of each DISTINCT hash — the
     * shared blocking-key derivation of [[hammingPairs]] (self-join
     * form) and the media index (build + probe form).
@@ -392,8 +401,7 @@ object Dedup {
     hashes.select(col(hashCol).cast("long").as("dh"))
       .where(col("dh").isNotNull)
       .distinct()
-      .select(col("dh"), posexplode(array((0 until 4).map(i =>
-        shiftright(col("dh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .select(col("dh"), posexplode(pigeonholeBands(col("dh")))
         .as(Seq("band_idx", "band_hash")))
 
   /** Hamming near-dup join of a NEW batch against a persisted media
@@ -413,11 +421,17 @@ object Dedup {
       idCol: String,
       hashCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
     require(maxDist <= 3,
       "4-block pigeonhole guarantees recall only for maxDist <= 3")
+    // materialized ONCE: p feeds both the band-key derivation and the
+    // member re-expansion join below, and the batch side is typically
+    // decode-backed (per-asset perceptual hashing) — lazy, the decode
+    // would run twice per screen. Narrow (id + one long), so cheap.
     val p = newAssets
       .select(col(idCol).as("new_id"), col(hashCol).cast("long").as("__ph"))
       .where(col("__ph").isNotNull)
+      .localCheckpoint(true)
     val cand = hashBandRows(p, "__ph").withColumnRenamed("dh", "__ph")
       .join(index.bands, Seq("band_idx", "band_hash"))
       .select(col("__ph"), col("dh"))

@@ -219,10 +219,15 @@ object IndexStore {
       path: String): Unit = {
     val spark = hashes.sparkSession
     writeMeta(spark, path, Seq("kind" -> "media"))
+    // materialized ONCE: the projection feeds BOTH writes below, and
+    // lazy it would re-run the upstream plan (typically a per-asset
+    // perceptual decode — the expensive part) for the bands write too,
+    // violating the decode-once contract the q245 lifecycle documents
     val members = hashes
       .select(col(hashCol).cast("long").as("dh"),
         col(idCol).as("member_id"))
       .where(col("dh").isNotNull)
+      .localCheckpoint(true)
     members.repartition(col("dh"))
       .write.mode("overwrite").parquet(s"$path/members")
     Dedup.hashBandRows(members, "dh").repartition(col("band_hash"))
@@ -250,15 +255,21 @@ object IndexStore {
   }
 
   /** Append a batch of newly hashed assets (pure parquet appends).
-    * Signatures already present contribute member rows only (their
-    * band rows are in place — the exact-collapse invariant); novel
-    * signatures add bands too. Monotone-id contract as everywhere:
-    * members is written FIRST so a crash between the two appends
-    * leaves a state the id guard REJECTS on retry instead of
-    * double-banding signatures (a duplicated band row would double
-    * every probe candidate against it). After this,
-    * `loadMediaIndex` ≡ `saveMediaIndex` over the full corpus
-    * (IndexStoreSpec proves it).
+    * Signatures whose band rows are already in place contribute member
+    * rows only (the exact-collapse invariant); signatures missing from
+    * the band table — the batch's novel ones PLUS any orphans a crash
+    * between a prior members append and its bands append left behind —
+    * get band rows here, so every append lazily repairs a torn
+    * predecessor. Monotone-id contract as everywhere: members is
+    * written FIRST so the crash-torn state is member-rows-without-bands
+    * (healed by the next append as above, and merely under-probed
+    * meanwhile) rather than bands-without-members (which would emit
+    * phantom corpus_ids with no member row — silently wrong matches).
+    * A duplicated band row, were one ever written, would only inflate
+    * load-time bucket counts: [[Dedup.hammingJoinIndexed]] dedups
+    * candidate (sig, sig) pairs with `.distinct()` before re-expansion.
+    * After this, `loadMediaIndex` ≡ `saveMediaIndex` over the full
+    * corpus (IndexStoreSpec proves it, torn-append case included).
     */
   def appendMediaIndex(
       newHashes: DataFrame,
@@ -275,13 +286,18 @@ object IndexStore {
     val oldMembers = spark.read.parquet(s"$path/members")
     requireIdsAfter(oldMembers.select(col("member_id")),
       incoming.select(col("member_id")), "appendMediaIndex")
-    // materialized BEFORE the members append below: novel reads the
-    // pre-append members listing, and leaving it lazy would race the
-    // directory mutation (append ≠ rebuild if re-listed files double
-    // the anti-join's right side)
-    val novel = incoming.select(col("dh")).distinct()
-      .join(oldMembers.select(col("dh")).distinct(), Seq("dh"),
-        "left_anti")
+    // anti-join against BANDS (not members): a signature with member
+    // rows but no band rows — the torn-append orphan — is invisible to
+    // hammingJoinIndexed, so band-presence is the correctness-bearing
+    // predicate; membership alone is not. Materialized BEFORE the
+    // members append below: novel reads the pre-append listings, and
+    // leaving it lazy would race the directory mutation (append ≠
+    // rebuild if re-listed files double the anti-join inputs).
+    val novel = incoming.select(col("dh"))
+      .unionByName(oldMembers.select(col("dh")))
+      .distinct()
+      .join(spark.read.parquet(s"$path/bands").select(col("dh")).distinct(),
+        Seq("dh"), "left_anti")
       .localCheckpoint(true)
     incoming.repartition(col("dh"))
       .write.mode("append").parquet(s"$path/members")

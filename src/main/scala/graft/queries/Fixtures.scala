@@ -191,4 +191,32 @@ object Fixtures {
       amp * (((gid * 31 + 7L * t * t) % 4096) - 2048).toInt)
     Multimodal.MediaAsset(id, "audio", Multimodal.encodeWav(8000, samples))
   }
+
+  /** Cross-SAMPLE-RATE audio fixture (q246): [[AudioRateClasses]] clip
+    * classes, each planted at 8/16/32 kHz as zero-order-hold re-encodes
+    * of the same base clip (every base sample repeated r = 1/2/4 times,
+    * sample-rate header scaled to match — same audible content, same
+    * duration, r× the samples). The base length n₀ = 64 + 8·(gid mod 5)
+    * is a MULTIPLE of the 8 envelope windows, so window boundaries of
+    * the upsampled stream fall on multiples of r·n₀/8 and a
+    * repeat-group of r copies is never split across windows: per-window
+    * energy scales by exactly r, the clip total by the same r, and the
+    * ⌊E_w·scale/ΣE⌋ quantization takes the floor of the SAME rational —
+    * re-encodes collide EXACTLY (the rate analog of q242's amplitude
+    * c² cancellation), while n_samples, sample_rate, and the raw bytes
+    * all differ. The sample formula (37·gid + 11·t²) is deliberately
+    * distinct from [[wavScaledAssetFor]]'s so the two fixture families
+    * never cross-collide in shared scratch comparisons.
+    */
+  private[graft] val AudioRateClasses = 150L
+  private[graft] def wavRateAssetFor(id: Long): Multimodal.MediaAsset = {
+    val gid = id % AudioRateClasses
+    val r = 1 << ((id / AudioRateClasses) % 3).toInt // 1, 2, 4
+    val n0 = (64 + 8 * (gid % 5)).toInt
+    val base = Array.tabulate(n0)(t =>
+      (((gid * 37 + 11L * t * t) % 4096) - 2048).toInt)
+    val samples = Array.tabulate(n0 * r)(j => base(j / r))
+    Multimodal.MediaAsset(id, "audio",
+      Multimodal.encodeWav(8000 * r, samples))
+  }
 }

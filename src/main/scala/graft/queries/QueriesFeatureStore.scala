@@ -778,6 +778,72 @@ private[graft] trait QueriesFeatureStore { this: Queries.type =>
       |  CAST(MIN(n) AS BIGINT) AS n_samples
       |FROM ds GROUP BY n, env ORDER BY rep_id""".stripMargin
 
+  /** q246: CROSS-SAMPLE-RATE audio dedup — the audio sibling of q244's
+    * cross-format image identity, closing the re-encode gap q242
+    * leaves open: q242 collapses amplitude-scaled copies at ONE rate,
+    * but the same clip resampled (8 kHz master shipped as 16/32 kHz
+    * zero-order-hold re-encodes — [[Fixtures.wavRateAssetFor]]) has
+    * different bytes, different n_samples, and a different sample_rate
+    * header, so every exact signature splits it. The energy envelope is
+    * TIME-normalized (window = t·W/n spans the clip regardless of n),
+    * and with the fixture's window-aligned base length a repeat-group
+    * never straddles a window: E_w and ΣE both scale by exactly r, the
+    * quantization floors the same rational, and re-encodes collide
+    * EXACTLY — so grouping on (duration_ms, envelope) stays the
+    * one-aggregation q242 shape, with `n_rates` pinning that every
+    * class collapsed across all three rates. The oracle replays the
+    * BASE clip's integer formula only (window split, Σs², ⌊E_w·1000/ΣE⌋)
+    * — deliberately: if the engine's upsampled envelopes ever drifted
+    * from the base's, the hash compare would catch it.
+    */
+  def audioRateDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => Fixtures.wavRateAssetFor(id))
+    val sig = assets.mapPartitions { it =>
+      it.flatMap { a =>
+        Multimodal.decodeWavSamples(a.media).map { case (info, samples) =>
+          val env = Multimodal.energyEnvelope(samples, windows = 8,
+            scale = 1000L)
+          (a.asset_id, samples.length.toLong * 1000L / info.sampleRate,
+            info.sampleRate.toLong, env.mkString("|"))
+        }
+      }
+    }.toDF("asset_id", "duration_ms", "sample_rate", "env")
+    sig.groupBy(col("duration_ms"), col("env"))
+      .agg(min(col("asset_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("sample_rate")).as("n_rates"))
+      .select(col("rep_id"), col("n_copies"), col("n_rates"),
+        col("duration_ms"))
+      .orderBy("rep_id")
+  }
+
+  val audioRateDedupSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 150 AS gid,
+      |    CAST(8000 * (1 << ((doc_id // 150) % 3)) AS BIGINT) AS rate
+      |  FROM documents),
+      |cls AS (SELECT DISTINCT gid FROM d),
+      |smp AS (SELECT gid, t, 64 + 8 * (gid % 5) AS n,
+      |    ((gid * 37 + 11 * t * t) % 4096) - 2048 AS s
+      |  FROM cls CROSS JOIN (SELECT unnest(range(0, 96)) AS t) ts
+      |  WHERE t < 64 + 8 * (gid % 5)),
+      |win AS (SELECT gid, n, (t * 8) // n AS w,
+      |    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS ew
+      |  FROM smp GROUP BY gid, n, (t * 8) // n),
+      |tot AS (SELECT gid, n, w, ew,
+      |    SUM(ew) OVER (PARTITION BY gid) AS etot FROM win),
+      |env AS (SELECT gid, MIN(n) // 8 AS duration_ms,
+      |    string_agg(CAST((ew * 1000) // etot AS VARCHAR), '|'
+      |      ORDER BY w) AS env
+      |  FROM tot GROUP BY gid),
+      |ds AS (SELECT d.doc_id, d.rate, e.duration_ms, e.env
+      |  FROM d JOIN env e ON e.gid = d.gid)
+      |SELECT MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |  CAST(COUNT(DISTINCT rate) AS BIGINT) AS n_rates,
+      |  CAST(MIN(duration_ms) AS BIGINT) AS duration_ms
+      |FROM ds GROUP BY duration_ms, env ORDER BY rep_id""".stripMargin
+
   /** q192: vocabulary drift ([[TextAnalysis.vocabDiff]]) between two
     * corpus snapshots (even vs odd doc ids as stand-in releases) —
     * per-term df and floor-ppm share deltas with new/vanished/grown/

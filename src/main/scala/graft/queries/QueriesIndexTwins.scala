@@ -118,11 +118,15 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
     */
   def mediaIndexLoad(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // checkpointed: save, append, and probe each take a slice of this
+    // frame — lazy, the per-asset decode would run once per lifecycle
+    // stage; materialized, the whole corpus decodes exactly once
     val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
         Multimodal.dhash64(Fixtures.dhashAssetFor(id).media)
           .map(dh => (id, dh))
       }).toDF("doc_id", "dh")
+      .localCheckpoint(true)
     val path = scratchDir("media_idx")
     IndexStore.saveMediaIndex(
       hashes.where(col("doc_id") >= 100 && col("doc_id") < 300),

@@ -162,6 +162,12 @@ object StreamOps {
   /** Document record for the streaming admission gate. */
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
+  /** Hashed-asset record for the streaming media admission gate
+    * ([[mediaGateIndexed]]): the 64-bit perceptual signature is
+    * computed by the upstream decode stage.
+    */
+  final case class Asset(asset_id: Long, dh: Long, ts: Timestamp)
+
   /** STREAMING near-dup admission gate — the continuous form of
     * [[graft.operators.Dedup.minhashLSHJoin]] (its batch twin and
     * parity oracle): a stream of incoming documents is checked against
@@ -184,9 +190,12 @@ object StreamOps {
     * At scale: the corpus index is computed here per micro-batch; a
     * production deployment persists [[graft.operators.IndexStore]]'s
     * parquet index, loads it once, and runs [[dedupGateIndexed]] — the
-    * "admission gate over a living corpus" capstone (the loaded tables
-    * are re-read per micro-batch by the stream-static join, so daily
-    * appends surface without restarting the query).
+    * "admission gate over a living corpus" capstone. The stream-static
+    * join re-reads the static side's DATA per micro-batch, but its
+    * FILE LISTING is pinned when the index is loaded, so appended
+    * delta files surface on gate restart with a fresh load (the
+    * checkpointed restart StreamOpsSpec pins) — or live, by setting
+    * `spark.sql.metadataCacheTTLSeconds` so the listing itself expires.
     */
   def dedupGate(
       newDocs: DataFrame,
@@ -243,6 +252,65 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("new_id", "corpus_id")
       .join(idx.members, Seq("corpus_id")) // expand collapsed corpus dups
       .select(col("new_id"), col("member_id").as("corpus_id"), col("jaccard"))
+  }
+
+  /** STREAMING perceptual-media admission gate — the continuous form of
+    * [[graft.operators.Dedup.hammingJoinIndexed]] (its batch twin and
+    * parity oracle), and the perceptual sibling of [[dedupGateIndexed]]:
+    * a stream of freshly hashed assets (id, 64-bit signature, ts) is
+    * screened against a persisted media index
+    * ([[graft.operators.IndexStore.loadMediaIndex]]) via a
+    * stream-static equi-join on the 4×16-bit pigeonhole band keys. The
+    * signature is computed UPSTREAM (a decode stage feeding the
+    * stream), so per arriving asset everything here is stateless —
+    * band explode (×4), static band join, one `bit_count` verify —
+    * except one bounded dedup of multi-band repeats of the same
+    * (new, corpus-signature) pair, evicted by the watermark. Emits
+    * (new_id, corpus_id, hamming ≤ maxDist); an asset with no row is
+    * perceptually novel. Band keys come from the batch operator's own
+    * derivation ([[graft.operators.Dedup.pigeonholeBands]], shared not
+    * copied), so stream and batch verdicts cannot drift; recall is
+    * lossless for maxDist ≤ 3 up to the loader's bucket cap, exactly
+    * the batch contract.
+    *
+    * At scale: the stream-static join re-reads the loaded band/member
+    * DATA per micro-batch, but the parquet file listing is pinned at
+    * [[graft.operators.IndexStore.loadMediaIndex]] time, so daily
+    * [[graft.operators.IndexStore.appendMediaIndex]] deltas surface on
+    * gate restart with a fresh load (StreamOpsSpec pins the pickup) —
+    * or live, via `spark.sql.metadataCacheTTLSeconds` expiring the
+    * listing in a long-running query.
+    */
+  def mediaGateIndexed(
+      newAssets: DataFrame,
+      idx: graft.operators.Dedup.MediaIndex,
+      idCol: String = "asset_id",
+      hashCol: String = "dh",
+      maxDist: Int = 3,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(maxDist <= 3,
+      "4-block pigeonhole guarantees recall only for maxDist <= 3")
+    import graft.operators.Dedup
+    val n = newAssets.withWatermark("ts", watermarkDelay)
+      .select(col(idCol).as("new_id"), col("ts"),
+        col(hashCol).cast("long").as("__ph"))
+      .where(col("__ph").isNotNull)
+      .select(col("new_id"), col("ts"), col("__ph"),
+        posexplode(Dedup.pigeonholeBands(col("__ph")))
+          .as(Seq("band_idx", "band_hash")))
+    n.join(idx.bands, Seq("band_idx", "band_hash")) // stream-static, stateless
+      .withColumn("hamming",
+        bit_count(col("__ph").bitwiseXOR(col("dh"))).cast("int"))
+      .where(col("hamming") <= maxDist)
+      // the same (asset, corpus-signature) pair surfaces once per
+      // colliding band (≤ 4) — bounded state, watermark-evicted; dedup
+      // BEFORE member expansion so state is per distinct signature,
+      // not per corpus copy
+      .dropDuplicatesWithinWatermark("new_id", "dh")
+      .join(idx.members, Seq("dh")) // expand signature-identical corpus copies
+      .select(col("new_id"), col("member_id").as("corpus_id"),
+        col("hamming"))
   }
 
   /** Streaming z-score OUTLIER gate: flag live rows whose value sits

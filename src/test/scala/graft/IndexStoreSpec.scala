@@ -247,4 +247,46 @@ class IndexStoreSpec extends SparkSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(capped.subsetOf(got) && capped.size < got.size)
   }
+
+  test("media index: a torn append (members without bands) heals on the next append") {
+    // crash scenario: appendMediaIndex writes members, dies before the
+    // bands append. The orphaned signature is invisible to probes (its
+    // member rows have no band rows) and the monotone-id guard rejects
+    // a same-batch retry — the contract is that the NEXT append
+    // backfills band rows for ANY member signature missing from bands,
+    // restoring append ≡ rebuild without manual repair
+    val corpus = Seq((10L, 0x1111_2222_3333_4444L), (11L, 0x1111_2222_3333_4445L))
+      .toDF("id", "dh")
+    val orphanSig = 0x5555_6666_7777_8888L
+    val orphans = Seq((20L, orphanSig), (21L, orphanSig))
+    val late = Seq((30L, 0x0101_0202_0303_0404L))
+    val path = tmp()
+    IndexStore.saveMediaIndex(corpus, "id", "dh", path)
+    // simulate the torn append: member rows land, band rows never do
+    orphans.toDF("id", "dh")
+      .select(col("dh"), col("id").as("member_id"))
+      .write.mode("append").parquet(s"$path/members")
+    def probeOrphan() = Dedup.hammingJoinIndexed(
+        Seq((1L, orphanSig)).toDF("id", "dh"),
+        IndexStore.loadMediaIndex(spark, path), "id", "dh")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probeOrphan().isEmpty, "torn state: orphan unreachable (under-probe, not wrong)")
+    // a retry of the torn batch is still rejected (ids already present)
+    intercept[IllegalArgumentException] {
+      IndexStore.appendMediaIndex(orphans.toDF("id", "dh"), "id", "dh", path)
+    }
+    // the next (fresh-id) append heals: orphan signature gets its bands
+    IndexStore.appendMediaIndex(late.toDF("id", "dh"), "id", "dh", path)
+    assert(probeOrphan() == Set((1L, 20L, 0), (1L, 21L, 0)),
+      "post-heal: both orphan copies reachable at hamming 0")
+    // healed state ≡ a clean rebuild over the same corpus, table for table
+    val pFull = tmp()
+    IndexStore.saveMediaIndex(
+      corpus.unionByName(orphans.toDF("id", "dh")).unionByName(late.toDF("id", "dh")),
+      "id", "dh", pFull)
+    def tbl(p: String, t: String) = spark.read.parquet(s"$p/$t")
+      .collect().map(_.toSeq).toSet
+    assert(tbl(path, "members") == tbl(pFull, "members"))
+    assert(tbl(path, "bands") == tbl(pFull, "bands"))
+  }
 }

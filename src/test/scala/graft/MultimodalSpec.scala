@@ -432,6 +432,35 @@ class MultimodalSpec extends SparkSuite {
     assert(sigs.distinct.size == nClasses)
   }
 
+  test("energyEnvelope: q246 fixture — exact cross-sample-rate invariance " +
+      "for all 150 classes, cross-class separation at equal duration") {
+    val nClasses = Fixtures.AudioRateClasses.toInt
+    val sigs = (0 until nClasses).map { gid =>
+      val envs = (0 to 2).map { rix =>
+        val id = gid.toLong + rix * Fixtures.AudioRateClasses
+        val Some((info, samples)) =
+          Multimodal.decodeWavSamples(Fixtures.wavRateAssetFor(id).media)
+        // the re-encodes are genuinely different to every exact
+        // signature: r× the samples, r× the header rate...
+        assert(info.sampleRate == 8000 * (1 << rix) &&
+          samples.length == (64 + 8 * (gid % 5)) * (1 << rix),
+          s"class $gid rate-index $rix: fixture shape broken")
+        (samples.length.toLong * 1000L / info.sampleRate,
+          Multimodal.energyEnvelope(samples, windows = 8, scale = 1000L).toSeq)
+      }
+      // ...yet duration and normalized envelope are EXACTLY equal
+      // across 8/16/32 kHz (r scales E_w and ΣE identically, and the
+      // window-aligned base length keeps repeat-groups whole)
+      assert(envs.distinct.size == 1,
+        s"class $gid: envelope not rate-invariant: $envs")
+      envs.head
+    }
+    // cross-class separation: (duration_ms, envelope) pairwise distinct
+    // — classes SHARING a duration (gid ≡ mod 5) split on the envelope
+    // alone, so q246's groups are exactly the 150 planted classes
+    assert(sigs.distinct.size == nClasses)
+  }
+
   test("video frame dHash: q243 fixture — per-frame re-encode invariance " +
       "for all 120 classes, sequence distinctness, golden agreement") {
     val nClasses = Fixtures.VideoPerceptClasses.toInt

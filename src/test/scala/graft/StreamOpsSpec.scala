@@ -327,6 +327,62 @@ class StreamOpsSpec extends SparkSuite {
     assert(!got.exists(_._1 == 2L), "the novel doc is admitted (no row)")
   }
 
+  test("mediaGateIndexed: parity vs hammingJoinIndexed; appended deltas surface on reload") {
+    // the perceptual twin of the dedupGateIndexed capstone: persist a
+    // media index, stream hashed assets against the LOADED tables, and
+    // (a) output equals the batch hammingJoinIndexed over the same
+    // batch + index, (b) signature-identical corpus copies BOTH
+    // expand, (c) a novel asset is admitted silently, and (d) an
+    // appendMediaIndex delta surfaces once the gate restarts with a
+    // fresh loadMediaIndex (the static side's file listing is pinned at
+    // load — see the operator's scaladoc)
+    import graft.streaming.StreamOps.Asset
+    import graft.operators.{Dedup, IndexStore}
+    val sigA = 0x0123456789ABCDEFL // corpus class with two exact copies
+    val sigB = 0x7EDCBA9876543210L // no 16-bit band shared with A
+    val sigC = 0x0F0F0F0F0F0F0F0FL // appended later; far from both
+    val corpusV1 = Seq((100L, sigA), (101L, sigA), (102L, sigB))
+      .toDF("doc_id", "dh")
+    val delta = Seq((103L, sigC)).toDF("doc_id", "dh")
+    val path = java.nio.file.Files.createTempDirectory("graft_media_gate").toString
+    IndexStore.saveMediaIndex(corpusV1, "doc_id", "dh", path)
+
+    val batch1 = Seq(
+      Asset(1L, sigA ^ 1L, ts(0)), // 1 bit off A: hits BOTH copies at hamming 1
+      Asset(2L, 0x5555AAAA3333CCCCL, ts(1))) // novel: no band collision anywhere
+    val batch2 = Seq(Asset(3L, sigC, ts(2))) // exact hit on the appended delta
+
+    val input = MemoryStream[Asset]
+    def gate() = StreamOps.mediaGateIndexed(input.toDF(),
+      IndexStore.loadMediaIndex(spark, path), "asset_id", "dh")
+    def parity(streamed: Seq[org.apache.spark.sql.Row],
+        assets: Seq[Asset]): Seq[(Long, Long, Int)] = {
+      val got = streamed.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      val want = Dedup.hammingJoinIndexed(
+          assets.map(a => (a.asset_id, a.dh)).toDF("asset_id", "dh"),
+          IndexStore.loadMediaIndex(spark, path), "asset_id", "dh")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      assert(want.nonEmpty, "fixture must produce matches for the parity check")
+      assert(got == want, s"stream $got vs batch $want")
+      got
+    }
+    val got1 = parity(
+      runBatches(input, gate(), OutputMode.Append(), Seq(batch1)), batch1)
+    assert(got1.filter(_._1 == 1L).map(_._2).toSet == Set(100L, 101L),
+      "signature-identical corpus copies must both expand")
+    assert(!got1.exists(_._1 == 2L), "the novel asset is admitted (no row)")
+    assert(!got1.exists(_._2 == 103L), "pre-append: delta signature absent")
+
+    IndexStore.appendMediaIndex(delta, "doc_id", "dh", path)
+    // fresh gate + fresh load (a new query on the MemoryStream resumes
+    // from the latest offset, so run 2 sees batch2 only): parity
+    // against the GROWN index — the appended signature must now match
+    val got2 = parity(
+      runBatches(input, gate(), OutputMode.Append(), Seq(batch2)), batch2)
+    assert(got2.contains((3L, 103L, 0)),
+      "the appended delta must surface after reload")
+  }
+
   test("outlierGate: streaming flags equal the batch flag stage exactly") {
     // moments from a reference corpus (two groups, one with a clear σ)
     val corpus = (Seq.tabulate(60)(i => ("a", 10.0 + (i % 5))) ++
