@@ -404,6 +404,40 @@ object Dedup {
       .select(col("dh"), posexplode(pigeonholeBands(col("dh")))
         .as(Seq("band_idx", "band_hash")))
 
+  /** Drop over-crowded pigeonhole buckets from a band table wholesale
+    * — the skew guard shared by the in-memory builder ([[mediaIndex]])
+    * and the loader ([[graft.operators.IndexStore.loadMediaIndex]]),
+    * so the two paths cannot drift on what "capped" means.
+    */
+  private[graft] def capBands(bands: DataFrame, maxBucketSize: Int): DataFrame = {
+    val crowded = bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucketSize)
+      .drop("__n")
+    bands.join(crowded, Seq("band_idx", "band_hash"), "left_anti")
+  }
+
+  /** Build an in-memory [[MediaIndex]] from a (id, 64-bit signature)
+    * frame — the un-persisted twin of
+    * [[graft.operators.IndexStore.saveMediaIndex]] +
+    * [[graft.operators.IndexStore.loadMediaIndex]], for one-shot
+    * screens ([[hammingJoinIndexed]]) and ad-hoc streaming gates
+    * ([[graft.streaming.StreamOps.mediaGate]]) where the corpus is
+    * small or already resident; persist via IndexStore when the corpus
+    * outlives the session.
+    */
+  def mediaIndex(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxBucketSize: Int = 1000): MediaIndex = {
+    val members = hashes
+      .select(col(hashCol).cast("long").as("dh"),
+        col(idCol).as("member_id"))
+      .where(col("dh").isNotNull)
+    MediaIndex(capBands(hashBandRows(members, "dh"), maxBucketSize), members)
+  }
+
   /** Hamming near-dup join of a NEW batch against a persisted media
     * index — the incremental-ingest form of [[hammingPairs]], the
     * perceptual sibling of [[minhashLSHJoinIndexed]]: the corpus is

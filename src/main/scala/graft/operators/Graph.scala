@@ -889,60 +889,88 @@ object Graph {
     // budget rather than a silent split. Breaking that bound needs
     // transitive-closure edge doubling, whose edge growth is not
     // viable at data scale — the budget contract is the design choice.
-    def propagate(nodes: DataFrame, forward: Boolean): DataFrame = {
-      val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
+    // FUSED bidirectional propagation (round-9): both directions'
+    // labels ride ONE node-grain table (labF/ptrF/labB/ptrB), so a
+    // round costs one checkpoint materialization + one convergence
+    // count instead of two — halving the sub-second driver-coordinated
+    // job count that the round-8 probe measured as the 2M-edge wall's
+    // actual cost driver (round latency, not shuffle volume). The
+    // per-direction update rules are byte-identical to the sequential
+    // form (a direction never reads the other's state inside a round),
+    // so labels, round counts per direction, and the f==b fixpoint are
+    // unchanged; a direction that converges first is FROZEN — its
+    // edge/jump joins drop out of later rounds' plans — so the fused
+    // round count is max(f, b), not f + b.
+    def propagate(nodes: DataFrame): DataFrame = {
       val ord = struct(
         xxhash64(col("id"), lit("graft_scc_order")).as("h"),
         col("id").as("i"))
-      var lab = cpFlatStats(nodes.select(col("id"), ord.as("lab"),
-        col("id").as("ptr")))
+      var lab = cpFlatStats(nodes.select(col("id"),
+        ord.as("labF"), col("id").as("ptrF"),
+        ord.as("labB"), col("id").as("ptrB")))
       var round = 0
-      var converged = false
-      while (round < maxRounds && !converged) {
+      var doneF = false
+      var doneB = false
+      while (round < maxRounds && !(doneF && doneB)) {
         // no unions: Spark's Union constraint rewrite chokes on
         // shared-lineage children; equivalent min via left joins
         // (least() skips nulls, so absent contributions are identity)
-        val edgeMin = rem.select(col(from).as("__at"), col(to).as("id"))
-          .join(lab.select(col("id").as("__at"),
-            struct(col("lab").as("l"), col("id").as("u")).as("__e")),
-            Seq("__at"))
-          .groupBy(col("id")).agg(min(col("__e")).as("__em"))
-        val jump = lab.select(col("id"), col("ptr").as("__pt"))
-          .join(lab.select(col("id").as("__pt"), col("lab").as("__jl"),
-            col("ptr").as("__jp")), Seq("__pt"))
-          .select(col("id"), col("__jl"), col("__jp"))
+        def edgeMin(from: String, to: String, labCol: String, sfx: String) =
+          rem.select(col(from).as("__at"), col(to).as("id"))
+            .join(lab.select(col("id").as("__at"),
+              struct(col(labCol).as("l"), col("id").as("u")).as(s"__em$sfx")),
+              Seq("__at"))
+            .groupBy(col("id")).agg(min(col(s"__em$sfx")).as(s"__em$sfx"))
+        def jump(labCol: String, ptrCol: String, sfx: String) =
+          lab.select(col("id"), col(ptrCol).as("__pt"))
+            .join(lab.select(col("id").as("__pt"), col(labCol).as(s"__jl$sfx"),
+              col(ptrCol).as(s"__jp$sfx")), Seq("__pt"))
+            .select(col("id"), col(s"__jl$sfx"), col(s"__jp$sfx"))
+        // per-direction output columns; a frozen direction passes
+        // through untouched (its fixpoint makes every later update a
+        // no-op anyway — freezing just saves the joins)
+        def dirCols(labCol: String, ptrCol: String, sfx: String) = Seq(
+          least(col(labCol), col(s"__em$sfx.l"), col(s"__jl$sfx")).as(labCol),
+          // parent update: a strictly better edge supply re-roots the
+          // chain at the supplying neighbor; otherwise halve
+          when(col(s"__em$sfx").isNotNull &&
+            col(s"__em$sfx.l") < least(col(labCol),
+              coalesce(col(s"__jl$sfx"), col(labCol))),
+            col(s"__em$sfx.u"))
+            .otherwise(coalesce(col(s"__jp$sfx"), col(ptrCol))).as(ptrCol))
+        var cur = lab
+        if (!doneF) cur = cur
+          .join(edgeMin("src", "dst", "labF", "f"), Seq("id"), "left")
+          .join(jump("labF", "ptrF", "f"), Seq("id"), "left")
+        if (!doneB) cur = cur
+          .join(edgeMin("dst", "src", "labB", "b"), Seq("id"), "left")
+          .join(jump("labB", "ptrB", "b"), Seq("id"), "left")
+        val fCols = if (doneF) Seq(col("labF"), col("ptrF"))
+          else dirCols("labF", "ptrF", "f")
+        val bCols = if (doneB) Seq(col("labB"), col("ptrB"))
+          else dirCols("labB", "ptrB", "b")
         // cpFlatStats, not plain localCheckpoint: jump self-joins lab,
         // so a stats-preserving checkpoint would square the size
         // estimate every round (see cpFlatStats)
-        val next = cpFlatStats(lab
-          .join(edgeMin, Seq("id"), "left")
-          .join(jump, Seq("id"), "left")
-          .select(col("id"),
-            least(col("lab"), col("__em.l"), col("__jl")).as("lab"),
-            // parent update: a strictly better edge supply re-roots the
-            // chain at the supplying neighbor; otherwise halve
-            when(col("__em").isNotNull &&
-              col("__em.l") < least(col("lab"),
-                coalesce(col("__jl"), col("lab"))),
-              col("__em.u"))
-              .otherwise(coalesce(col("__jp"), col("ptr"))).as("ptr")))
-        val changed = next.select(col("id"), col("lab").as("__new"))
-          .join(lab.select(col("id"), col("lab")), Seq("id"))
-          .where(col("__new") < col("lab")).count()
-        if (sys.env.contains("GRAFT_SCC_DEBUG")) {
-          System.err.println(s"[scc-debug] forward=$forward round=$round changed=$changed")
-          if (changed > 0 && changed <= 4 && round > 20) {
-            val rows = next.select(col("id"), col("lab").as("__new"))
-              .join(lab.withColumnRenamed("lab", "__old"), Seq("id"))
-              .where(col("__new") < col("__old")).limit(4).collect()
-            rows.foreach(r => System.err.println(s"[scc-debug]   changing: $r"))
-          }
-        }
+        val next = cpFlatStats(cur.select((col("id") +: (fCols ++ bCols)): _*))
+        // ONE aggregation yields both directions' changed counts
+        val ch = next
+          .select(col("id"), col("labF").as("__nf"), col("labB").as("__nb"))
+          .join(lab.select(col("id"), col("labF").as("__of"),
+            col("labB").as("__ob")), Seq("id"))
+          .agg(sum(when(col("__nf") < col("__of"), 1L).otherwise(0L)),
+            sum(when(col("__nb") < col("__ob"), 1L).otherwise(0L)))
+          .head()
+        val (chF, chB) = (ch.getLong(0), ch.getLong(1))
+        if (sys.env.contains("GRAFT_SCC_DEBUG"))
+          System.err.println(
+            s"[scc-debug] round=$round changedF=$chF changedB=$chB")
         lab = next
-        converged = changed == 0L
+        doneF = doneF || chF == 0L
+        doneB = doneB || chB == 0L
         round += 1
       }
-      if (!converged) sys.error(
+      if (!(doneF && doneB)) sys.error(
         s"Graph.stronglyConnectedComponents: min-label propagation " +
           s"did not converge within maxRounds=$maxRounds — an " +
           s"under-propagated label would silently SPLIT components; " +
@@ -955,15 +983,16 @@ object Graph {
       val nodes = rem
         .select(explode(array(col("src"), col("dst"))).as("id"))
         .distinct().localCheckpoint(true)
-      val f = propagate(nodes, forward = true)
-      val b = propagate(nodes, forward = false)
-      // members of an assigned component share the hash-order pivot
-      // (lab.i = the pivot's real id); the REPORTED component label is
-      // the min REAL id over the members — the pre-hash-order output
-      // contract, recovered with one component-grain aggregation
-      val pivoted = f.as("f").join(b.as("b"),
-          col("f.id") === col("b.id") && col("f.lab") === col("b.lab"))
-        .select(col("f.id").as("id"), col("f.lab.i").as("__pivot"))
+      val fb = propagate(nodes)
+      // members of an assigned component satisfy labF == labB (the
+      // hash-order pivot; lab.i = the pivot's real id) — with both
+      // directions on one row this is a narrow FILTER, the cross-
+      // direction join of the sequential form gone. The REPORTED
+      // component label is the min REAL id over the members — the
+      // pre-hash-order output contract, recovered with one
+      // component-grain aggregation
+      val pivoted = fb.where(col("labF") === col("labB"))
+        .select(col("id"), col("labF.i").as("__pivot"))
         .localCheckpoint(true)
       val scc = pivoted
         .join(pivoted.groupBy(col("__pivot"))

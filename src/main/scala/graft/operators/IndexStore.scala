@@ -244,13 +244,8 @@ object IndexStore {
       path: String,
       maxBucketSize: Int = 1000): Dedup.MediaIndex = {
     metaOf(spark, path, "media")
-    val bands = spark.read.parquet(s"$path/bands")
-    val crowded = bands.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") > maxBucketSize)
-      .drop("__n")
     Dedup.MediaIndex(
-      bands.join(crowded, Seq("band_idx", "band_hash"), "left_anti"),
+      Dedup.capBands(spark.read.parquet(s"$path/bands"), maxBucketSize),
       spark.read.parquet(s"$path/members"))
   }
 

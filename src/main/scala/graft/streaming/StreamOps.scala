@@ -214,6 +214,26 @@ object StreamOps {
       idCol, textCol, shingleSize, numHashes, numBands, threshold,
       watermarkDelay)
 
+  /** [[mediaGateIndexed]] with the corpus index built inline from a
+    * (id, signature) frame — the perceptual twin of [[dedupGate]]'s
+    * convenience form, for gates whose corpus is small or already
+    * resident. The index is computed per micro-batch; a production
+    * deployment persists it ([[graft.operators.IndexStore
+    * .saveMediaIndex]]) and runs [[mediaGateIndexed]] over the load.
+    */
+  def mediaGate(
+      newAssets: DataFrame,
+      corpusHashes: DataFrame,
+      idCol: String = "asset_id",
+      hashCol: String = "dh",
+      maxDist: Int = 3,
+      watermarkDelay: String = "10 minutes",
+      maxBucketSize: Int = 1000): DataFrame =
+    mediaGateIndexed(newAssets,
+      graft.operators.Dedup.mediaIndex(corpusHashes, idCol, hashCol,
+        maxBucketSize),
+      idCol, hashCol, maxDist, watermarkDelay)
+
   /** [[dedupGate]] against a PREBUILT (typically
     * [[graft.operators.IndexStore.loadCorpusIndex loaded-from-parquet]])
     * corpus index. Signature parameters must match the index's build

@@ -383,6 +383,27 @@ class StreamOpsSpec extends SparkSuite {
       "the appended delta must surface after reload")
   }
 
+  test("mediaGate: inline-index convenience form matches the batch screen") {
+    import graft.streaming.StreamOps.Asset
+    import graft.operators.Dedup
+    val sigA = 0x00FF00FF00FF00FFL
+    val corpus = Seq((100L, sigA), (101L, sigA ^ 4L)).toDF("asset_id", "dh")
+    val batch = Seq(
+      Asset(1L, sigA ^ 1L, ts(0)), // hamming 1 to 100, 2 to 101
+      Asset(2L, ~sigA, ts(1))) // far from both
+    val input = MemoryStream[Asset]
+    val got = runBatches(input,
+        StreamOps.mediaGate(input.toDF(), corpus), OutputMode.Append(),
+        Seq(batch))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val want = Dedup.hammingJoinIndexed(
+        batch.map(a => (a.asset_id, a.dh)).toDF("asset_id", "dh"),
+        Dedup.mediaIndex(corpus, "asset_id", "dh"), "asset_id", "dh")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(want == Seq((1L, 100L, 1), (1L, 101L, 2)), s"batch fixture: $want")
+    assert(got == want, s"stream $got vs batch $want")
+  }
+
   test("outlierGate: streaming flags equal the batch flag stage exactly") {
     // moments from a reference corpus (two groups, one with a clear σ)
     val corpus = (Seq.tabulate(60)(i => ("a", 10.0 + (i % 5))) ++
