@@ -319,6 +319,50 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Cosine THRESHOLD screen of a new batch against a prebuilt (or
+    * [[IndexStore.loadVectorIndex loaded]]) corpus index — the
+    * embedding sibling of [[Dedup.hammingJoinIndexed]] and the batch
+    * twin of [[graft.streaming.StreamOps.vectorGateIndexed]]: emits
+    * EVERY corpus match with cos ≥ threshold (not top-k), so a batch
+    * vector with no row is semantically novel — the admission-gate
+    * contract, where [[lshTopKIndexed]]'s ranked answer shape would
+    * force a per-query aggregation. Candidate recall is the index's
+    * sign-pattern block recall (a near-dup pair agreeing on no block
+    * is missed — same approximation [[cosineNearDupPairs]] documents);
+    * candidates carry ONLY (id, block) until the single hydrate join.
+    * Parameters must match the index build (persisted indexes carry
+    * them in meta). No self-exclusion: screening a batch against a
+    * corpus that already contains it is the caller's re-ingest check.
+    */
+  def cosineJoinIndexed(
+      idx: VectorIndex,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      numBlocks: Int = 8,
+      planesPerBlock: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val qn = batch.select(col(idCol).as("new_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val q = qn.select(col("new_id"),
+      posexplode(blockKeys(col("qvec"), dim, numBlocks, planesPerBlock, seed))
+        .as(Seq("band_idx", "band_hash")))
+    val cand = idx.blocks.join(q, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("rep_id"))
+      .distinct()
+    cand
+      .join(qn, Seq("new_id"))
+      .join(idx.reps.select(col("rep_id"), col("v").as("cvec")), Seq("rep_id"))
+      .select(col("new_id"), col("rep_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .where(col("cos") >= threshold)
+      .join(idx.members.select(col("rep_id"),
+        col("member_id").as("corpus_id")), Seq("rep_id"))
+      .select(col("new_id"), col("corpus_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: (id_a < id_b, cos >=
     * threshold). The embedding-space member of the dedup family
     * (SURVEY §3.3).

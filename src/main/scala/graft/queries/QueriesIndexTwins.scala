@@ -98,6 +98,55 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
       .orderBy("query_id", "rank")
   }
 
+  /** q247: cosine THRESHOLD screen through the persisted vector index
+    * — [[Similarity.cosineJoinIndexed]], the embedding member of the
+    * indexed-screen family (q84 MinHash text, q245 perceptual media,
+    * this one semantic) and the batch twin of the
+    * [[graft.streaming.StreamOps.vectorGateIndexed]] admission gate:
+    * save the sign-pattern index for part of the planted-cluster
+    * corpus ([[clusteredVec]] — same-cluster cos ≈ 0.99, cross ≤ 0.5),
+    * append the rest, load, and emit EVERY corpus match at cos ≥ 0.9
+    * for a 50-vector batch: each batch vector surfaces its own corpus
+    * copy at cos 1.0 (the re-ingest check — no self-exclusion) plus
+    * its entire planted cluster at ≈ 0.99, and nothing cross-cluster. Oracle: the q24 full-algorithm replay at the
+    * q25 recall geometry (16 blocks × 4 planes; hyperplane literals →
+    * sign blocks → bucket join → cosine), with the ranked top-k tail
+    * swapped for the threshold filter; exact
+    * because no bucket can exceed the 10000 cap at verify SF and sign
+    * agreement across engines is a one-in-~1e13 |dot| < ulp event.
+    */
+  def vectorScreenIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), clusteredVec.as("cv"))
+    val path = scratchDir("vec_screen_idx")
+    IndexStore.saveVectorIndex(e.where(col("vec_id") < 400), "vec_id",
+      "cv", path, dim = 32, numBlocks = 16, planesPerBlock = 4)
+    IndexStore.appendVectorIndex(e.where(col("vec_id") >= 400), "vec_id",
+      "cv", path)
+    Similarity.cosineJoinIndexed(IndexStore.loadVectorIndex(s, path),
+        e.where(col("vec_id") < 50), "vec_id", "cv",
+        dim = 32, threshold = 0.9, numBlocks = 16, planesPerBlock = 4)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  val vectorScreenIndexedSql: String =
+    s"""${annSigPrefix(16, 4, dim = 32, vecSql = clusteredVecSql)},
+       |q AS (SELECT vec_id, block_idx, band_hash FROM sig
+       |  WHERE vec_id < 50),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS new_id, c.vec_id AS corpus_id
+       |  FROM q JOIN sig c
+       |    ON q.block_idx = c.block_idx AND q.band_hash = c.band_hash),
+       |scored AS (
+       |  SELECT cand.new_id, cand.corpus_id,
+       |    COALESCE(list_dot_product(qe.v, ce.v) /
+       |      (sqrt(list_dot_product(qe.v, qe.v)) *
+       |       sqrt(list_dot_product(ce.v, ce.v))), 0.0) AS cos
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.new_id
+       |            JOIN e ce ON ce.vec_id = cand.corpus_id)
+       |SELECT new_id, corpus_id, round(cos, 6) AS cos
+       |FROM scored WHERE cos >= 0.9
+       |ORDER BY new_id, corpus_id""".stripMargin
+
   /** q245: the PERCEPTUAL media index through its full persisted
     * lifecycle — the q241 hash family operated the way a 100 TB ingest
     * actually runs: decode each corpus slice ONCE, persist the 64-bit

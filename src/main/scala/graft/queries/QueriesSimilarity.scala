@@ -70,10 +70,17 @@ private[graft] trait QueriesSimilarity { this: Queries.type =>
   val simAnnLshSql: String = annLshSql(multiProbe = 0)
   val simAnnMultiProbeSql: String = annLshSql(multiProbe = 2)
 
-  private[graft] def annLshSql(multiProbe: Int): String = {
-    val numBlocks = 8
-    val planesPerBlock = 8
-    val planes = Similarity.hyperplanes(numBlocks * planesPerBlock, 64, 42L)
+  /** Shared WITH prefix of every sign-pattern-LSH oracle: embeddings
+    * as DOUBLE[], the 64 seeded hyperplanes as literals, and each
+    * vector's per-block band hash — the part of the algorithm replay
+    * that is identical across the top-k (q24/q82/q85) and
+    * threshold-screen (q247) query shapes.
+    */
+  private[graft] def annSigPrefix: String = annSigPrefix(8, 8)
+  private[graft] def annSigPrefix(
+      numBlocks: Int, planesPerBlock: Int, dim: Int = 64,
+      vecSql: String = "CAST(embedding AS DOUBLE[])"): String = {
+    val planes = Similarity.hyperplanes(numBlocks * planesPerBlock, dim, 42L)
     // E-notation forces DuckDB to parse each literal directly as DOUBLE;
     // a bare decimal goes through DECIMAL first, whose >2^53 numerators
     // round BEFORE the divide (verified: -0.9999999999999999 parses to
@@ -86,14 +93,18 @@ private[graft] trait QueriesSimilarity { this: Queries.type =>
     val planeRows = planes.zipWithIndex.map { case (p, i) =>
       s"(${i / planesPerBlock}, ${i % planesPerBlock}, [${p.map(lit).mkString(", ")}])"
     }.mkString(",\n  ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
        |planes(block_idx, bit, coords) AS (VALUES
        |  $planeRows),
        |sig AS (
        |  SELECT e.vec_id, p.block_idx,
        |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.coords) >= 0
        |             THEN 1::BIGINT << p.bit ELSE 0 END) AS BIGINT) AS band_hash
-       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.block_idx),
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.block_idx)""".stripMargin
+  }
+
+  private[graft] def annLshSql(multiProbe: Int): String = {
+    s"""$annSigPrefix,
        |qprobe AS (
        |  SELECT vec_id, block_idx, band_hash FROM sig WHERE vec_id < 10
        |${(0 until multiProbe).map(r =>

@@ -168,6 +168,12 @@ object StreamOps {
     */
   final case class Asset(asset_id: Long, dh: Long, ts: Timestamp)
 
+  /** Embedded-row record for the streaming semantic admission gate
+    * ([[vectorGateIndexed]]): the embedding comes from the upstream
+    * encoder stage.
+    */
+  final case class Vec(vec_id: Long, embedding: Array[Double], ts: Timestamp)
+
   /** STREAMING near-dup admission gate — the continuous form of
     * [[graft.operators.Dedup.minhashLSHJoin]] (its batch twin and
     * parity oracle): a stream of incoming documents is checked against
@@ -331,6 +337,59 @@ object StreamOps {
       .join(idx.members, Seq("dh")) // expand signature-identical corpus copies
       .select(col("new_id"), col("member_id").as("corpus_id"),
         col("hamming"))
+  }
+
+  /** STREAMING semantic admission gate — the embedding member of the
+    * gate family ([[dedupGateIndexed]] MinHash text,
+    * [[mediaGateIndexed]] perceptual hash, this one cosine): a stream
+    * of (id, embedding, ts) rows is screened against a persisted
+    * sign-pattern LSH vector index
+    * ([[graft.operators.IndexStore.loadVectorIndex]]) via a
+    * stream-static equi-join on block keys, then ONE cosine per
+    * candidate representative. Batch twin and parity oracle:
+    * [[graft.operators.Similarity.cosineJoinIndexed]] — block keys and
+    * the cosine kernel are the batch operator's own (shared, not
+    * copied). Emits (new_id, corpus_id, cos ≥ threshold); a vector
+    * with no row is semantically novel up to the index's block recall
+    * (a pair agreeing on no sign block is missed — the documented
+    * [[graft.operators.Similarity.cosineNearDupPairs]] approximation).
+    * Stateless per arriving row except the bounded per-(new,rep)
+    * multi-block dedup, watermark-evicted; dedup BEFORE member
+    * expansion so state is per distinct corpus vector, not per copy.
+    * Parameters must match the index build (persisted indexes carry
+    * them in meta).
+    */
+  def vectorGateIndexed(
+      newVecs: DataFrame,
+      idx: graft.operators.Similarity.VectorIndex,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      numBlocks: Int = 8,
+      planesPerBlock: Int = 8,
+      seed: Long = 42L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.operators.Similarity
+    val qn = newVecs.withWatermark("ts", watermarkDelay)
+      .select(col(idCol).as("new_id"), col("ts"),
+        col(vecCol).cast("array<double>").as("qvec"))
+    qn.select(col("new_id"), col("ts"), col("qvec"),
+        posexplode(Similarity.blockKeys(col("qvec"), dim, numBlocks,
+          planesPerBlock, seed)).as(Seq("band_idx", "band_hash")))
+      .join(idx.blocks, Seq("band_idx", "band_hash")) // stream-static
+      .join(idx.reps.select(col("rep_id"), col("v").as("cvec")),
+        Seq("rep_id"))
+      .select(col("new_id"), col("rep_id"), col("ts"),
+        Similarity.cosine(col("qvec"), col("cvec")).as("cos"))
+      .where(col("cos") >= threshold)
+      // the same (new, rep) pair surfaces once per agreeing block —
+      // bounded state, watermark-evicted
+      .dropDuplicatesWithinWatermark("new_id", "rep_id")
+      .join(idx.members.select(col("rep_id"),
+        col("member_id").as("corpus_id")), Seq("rep_id"))
+      .select(col("new_id"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"))
   }
 
   /** Streaming z-score OUTLIER gate: flag live rows whose value sits

@@ -404,6 +404,48 @@ class StreamOpsSpec extends SparkSuite {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("vectorGateIndexed: parity vs cosineJoinIndexed over the loaded index") {
+    // the semantic member of the gate family: persist the sign-pattern
+    // vector index (save + append), stream embedded rows against the
+    // load, and (a) output equals the batch cosineJoinIndexed screen,
+    // (b) exact corpus copies of a re-ingested vector BOTH surface at
+    // cos 1.0 (rep collapse + member expansion), (c) a semantically
+    // novel vector is admitted silently
+    import graft.streaming.StreamOps.Vec
+    import graft.operators.{IndexStore, Similarity}
+    val corpus = Seq(
+      (100L, Array(1.0, 0.0, 0.0, 0.0)),
+      (101L, Array(1.0, 0.0, 0.0, 0.0)), // exact copy of 100
+      (102L, Array(1.0, 0.1, 0.0, 0.0)), // near-dup of the class
+      (103L, Array(0.0, 1.0, 0.0, 0.0))) // unrelated
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_vec_gate").toString
+    IndexStore.saveVectorIndex(corpus.where($"vec_id" < 102),
+      "vec_id", "embedding", path, dim = 4, numBlocks = 8, planesPerBlock = 8)
+    IndexStore.appendVectorIndex(corpus.where($"vec_id" >= 102),
+      "vec_id", "embedding", path)
+    val idx = IndexStore.loadVectorIndex(spark, path)
+
+    val batch = Seq(
+      Vec(1L, Array(1.0, 0.0, 0.0, 0.0), ts(0)), // re-ingest of 100/101
+      Vec(2L, Array(0.0, 0.0, 1.0, 0.0), ts(1))) // novel: cos < 0.9 to all
+    val input = MemoryStream[Vec]
+    val gated = StreamOps.vectorGateIndexed(input.toDF(), idx,
+      "vec_id", "embedding", dim = 4, threshold = 0.9)
+    val got = runBatches(input, gated, OutputMode.Append(), Seq(batch))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+
+    val want = Similarity.cosineJoinIndexed(idx,
+        batch.map(v => (v.vec_id, v.embedding)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 4, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(want.nonEmpty, "fixture must produce matches for the parity check")
+    assert(got == want, s"stream $got vs batch $want")
+    assert(Set((1L, 100L, 1.0), (1L, 101L, 1.0)).subsetOf(got.toSet),
+      "both exact corpus copies must surface at cos 1.0")
+    assert(!got.exists(_._1 == 2L), "the novel vector is admitted (no row)")
+  }
+
   test("outlierGate: streaming flags equal the batch flag stage exactly") {
     // moments from a reference corpus (two groups, one with a clear σ)
     val corpus = (Seq.tabulate(60)(i => ("a", 10.0 + (i % 5))) ++
