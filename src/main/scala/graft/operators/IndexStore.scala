@@ -300,6 +300,62 @@ object IndexStore {
       .write.mode("append").parquet(s"$path/bands")
   }
 
+  /** One INGEST ROUND against the persisted media index — the
+    * production shape a deduplicating 100 TB pipeline runs per batch:
+    * screen the freshly hashed assets against the loaded index
+    * ([[Dedup.hammingJoinIndexed]]), reject everything within
+    * `maxDist` of an indexed signature, append the ADMITTED assets
+    * ([[appendMediaIndex]] — novel signatures grow the band table), and
+    * return one verdict row per batch asset:
+    * (asset_id, status admitted|duplicate, n_matches,
+    * best_corpus_id, best_hamming) with best = (hamming, corpus_id)
+    * lexicographic min, nulls for admitted. Because admitted assets
+    * enter the index, a later ingest's duplicates include THIS batch's
+    * admissions — cross-batch dedup through the growing index, with no
+    * corpus rescan ever. Contract notes: dedup is against the INDEX
+    * only — two mutually-near novel assets in the same batch are both
+    * admitted (collapse a batch first with [[Dedup.hammingPairs]] if
+    * intra-batch dedup is wanted); the monotone-id append contract
+    * applies to the admitted ids.
+    */
+  def ingestMedia(
+      newHashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      path: String,
+      maxDist: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = newHashes.sparkSession
+    metaOf(spark, path, "media")
+    // hash once (the batch is typically decode-backed): the projection
+    // feeds the screen, the verdict join, and the admitted append
+    val batch = newHashes
+      .select(col(idCol).as("asset_id"), col(hashCol).cast("long").as("dh"))
+      .where(col("dh").isNotNull)
+      .localCheckpoint(true)
+    val matches = Dedup.hammingJoinIndexed(batch,
+      loadMediaIndex(spark, path, maxBucketSize), "asset_id", "dh", maxDist)
+    val agg = matches.groupBy(col("new_id").as("asset_id"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("hamming"), col("corpus_id"))).as("__best"))
+    // materialized BEFORE the append below mutates the index
+    // directories — a lazy verdict would re-list post-append files and
+    // re-screen against an index containing the batch itself
+    val verdict = batch.join(agg, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        when(col("__n").isNull, lit("admitted"))
+          .otherwise(lit("duplicate")).as("status"),
+        coalesce(col("__n"), lit(0L)).as("n_matches"),
+        col("__best.corpus_id").as("best_corpus_id"),
+        col("__best.hamming").as("best_hamming"))
+      .localCheckpoint(true)
+    val admitted = batch.join(
+      verdict.where(col("status") === "admitted").select(col("asset_id")),
+      Seq("asset_id"))
+    appendMediaIndex(admitted, "asset_id", "dh", path)
+    verdict
+  }
+
   // ---------------------------------------------------------------
   // Sign-pattern LSH vector index (Similarity.VectorIndex)
   // ---------------------------------------------------------------

@@ -201,4 +201,105 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
        |  ON b.doc_id < 100 AND c.doc_id >= 100
        |  AND bit_count(xor(b.dh, c.dh)) <= 3
        |ORDER BY new_id, corpus_id""".stripMargin
+
+  /** q248: TWO INGEST ROUNDS through the persisted media index
+    * ([[IndexStore.ingestMedia]]) — the full production loop: screen →
+    * reject duplicates → append admissions → repeat, with the second
+    * round's duplicates proving the index GREW. Fixture: corpus = even
+    * dHash classes below id 280; ingest 1 = ids [280, 390) (one asset
+    * per class: even classes reject against the corpus, odd classes
+    * are novel and admitted); ingest 2 = ids [390, 500) (same class
+    * sweep at the other JPEG quality — every asset is a duplicate, but
+    * the odd-class ones match ONLY ingest 1's admissions: cross-batch
+    * dedup through the growing index, never a corpus rescan). The
+    * oracle replays both rounds from the committed golden table —
+    * round-1 verdicts, the admitted set, and round-2 verdicts against
+    * corpus ∪ admissions — so the index lifecycle must be transparent
+    * (ingest ≡ replay) for the hashes to match.
+    */
+  def mediaIngestRounds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // fixed [0, 500) slice at every SF: the round structure (which
+    // classes are where) is the fixture, not the corpus size; scale
+    // behavior of this path is probed in ScaleProbe's r9 rows
+    val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter((id: Long) => id < 500)
+      .mapPartitions(_.flatMap { id =>
+        Multimodal.dhash64(Fixtures.dhashAssetFor(id).media)
+          .map(dh => (id, dh))
+      }).toDF("doc_id", "dh")
+      .localCheckpoint(true)
+    val path = scratchDir("media_ingest")
+    IndexStore.saveMediaIndex(
+      hashes.where(col("doc_id") < 280 &&
+        pmod(pmod(col("doc_id"), lit(Fixtures.DhashClasses)), lit(2)) === 0),
+      "doc_id", "dh", path)
+    val v1 = IndexStore.ingestMedia(
+        hashes.where(col("doc_id") >= 280 && col("doc_id") < 390),
+        "doc_id", "dh", path)
+      .withColumn("ingest", lit(1))
+    val v2 = IndexStore.ingestMedia(hashes.where(col("doc_id") >= 390),
+        "doc_id", "dh", path)
+      .withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("asset_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_hamming"))
+      .orderBy("asset_id")
+  }
+
+  val mediaIngestRoundsSql: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,
+       |    CAST((doc_id // ${Fixtures.DhashClasses}) % 2 AS INT) AS variant
+       |  FROM documents WHERE doc_id < 500),
+       |g AS (SELECT * FROM read_parquet(
+       |        '/root/repo/fixtures/dhash_golden.parquet/*.parquet')),
+       |h AS (SELECT d.doc_id, d.gid, g.dh FROM d
+       |  JOIN g ON g.gid = d.gid AND g.variant = d.variant),
+       |corpus AS (SELECT doc_id, dh FROM h
+       |  WHERE doc_id < 280 AND gid % 2 = 0),
+       |i1 AS (SELECT doc_id, dh FROM h
+       |  WHERE doc_id >= 280 AND doc_id < 390),
+       |i2 AS (SELECT doc_id, dh FROM h WHERE doc_id >= 390),
+       |m1 AS (SELECT i1.doc_id AS asset_id, c.doc_id AS corpus_id,
+       |    CAST(bit_count(xor(i1.dh, c.dh)) AS INT) AS hamming
+       |  FROM i1 JOIN corpus c ON bit_count(xor(i1.dh, c.dh)) <= 3),
+       |r1 AS (SELECT asset_id, corpus_id, hamming,
+       |    row_number() OVER (PARTITION BY asset_id
+       |                       ORDER BY hamming, corpus_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY asset_id) AS BIGINT) AS n
+       |  FROM m1),
+       |b1 AS (SELECT asset_id, corpus_id AS best_corpus_id,
+       |    hamming AS best_hamming, n FROM r1 WHERE rn = 1),
+       |v1 AS (SELECT i1.doc_id AS asset_id,
+       |    CASE WHEN b.asset_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(b.n, 0) AS n_matches, b.best_corpus_id,
+       |    b.best_hamming
+       |  FROM i1 LEFT JOIN b1 b ON b.asset_id = i1.doc_id),
+       |idx2 AS (SELECT * FROM corpus
+       |  UNION ALL
+       |  SELECT doc_id, dh FROM i1 WHERE doc_id IN
+       |    (SELECT asset_id FROM v1 WHERE status = 'admitted')),
+       |m2 AS (SELECT i2.doc_id AS asset_id, c.doc_id AS corpus_id,
+       |    CAST(bit_count(xor(i2.dh, c.dh)) AS INT) AS hamming
+       |  FROM i2 JOIN idx2 c ON bit_count(xor(i2.dh, c.dh)) <= 3),
+       |r2 AS (SELECT asset_id, corpus_id, hamming,
+       |    row_number() OVER (PARTITION BY asset_id
+       |                       ORDER BY hamming, corpus_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY asset_id) AS BIGINT) AS n
+       |  FROM m2),
+       |b2 AS (SELECT asset_id, corpus_id AS best_corpus_id,
+       |    hamming AS best_hamming, n FROM r2 WHERE rn = 1),
+       |v2 AS (SELECT i2.doc_id AS asset_id,
+       |    CASE WHEN b.asset_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(b.n, 0) AS n_matches, b.best_corpus_id,
+       |    b.best_hamming
+       |  FROM i2 LEFT JOIN b2 b ON b.asset_id = i2.doc_id)
+       |SELECT CAST(1 AS INT) AS ingest, asset_id, status, n_matches,
+       |  best_corpus_id, best_hamming FROM v1
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS ingest, asset_id, status, n_matches,
+       |  best_corpus_id, best_hamming FROM v2
+       |ORDER BY asset_id""".stripMargin
 }

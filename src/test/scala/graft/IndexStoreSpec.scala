@@ -248,6 +248,54 @@ class IndexStoreSpec extends SparkSuite {
     assert(capped.subsetOf(got) && capped.size < got.size)
   }
 
+  test("ingestMedia: screen → reject → append-admitted; later rounds " +
+      "match earlier admissions; all-duplicate rounds leave the index intact") {
+    val sigA = 0x1234_5678_9ABC_DEF0L
+    val sigN = 0x0F0F_F0F0_0F0F_F0F0L // no 16-bit band shared with A
+    val path = tmp()
+    IndexStore.saveMediaIndex(
+      Seq((10L, sigA), (11L, sigA)).toDF("id", "dh"), "id", "dh", path)
+    // round 1: one near-dup of the corpus pair, one novel signature
+    val v1 = IndexStore.ingestMedia(
+        Seq((20L, sigA ^ 1L), (21L, sigN)).toDF("id", "dh"), "id", "dh", path)
+      .orderBy("asset_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4))).toSeq
+    assert(v1 == Seq((20L, "duplicate", 2L, 10L, 1), // both copies counted, best = (1, 10)
+      (21L, "admitted", 0L, -1L, -1)), s"round 1: $v1")
+    // round 2: matches the round-1 ADMISSION (index grew) and the
+    // original corpus; the round-1 REJECT (id 20) is NOT in the index
+    val v2 = IndexStore.ingestMedia(
+        Seq((30L, sigN), (31L, sigA)).toDF("id", "dh"), "id", "dh", path)
+      .orderBy("asset_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    assert(v2 == Seq((30L, "duplicate", 1L, 21L, 0),
+      (31L, "duplicate", 2L, 10L, 0)), s"round 2: $v2")
+    // round 3: every asset rejected — the empty append must leave the
+    // index fully functional (round 4 screens identically)
+    val v3 = IndexStore.ingestMedia(
+        Seq((40L, sigN ^ 2L)).toDF("id", "dh"), "id", "dh", path)
+      .collect()
+    assert(v3.map(_.getString(1)).toSeq == Seq("duplicate"))
+    val v4 = IndexStore.ingestMedia(
+        Seq((50L, sigA)).toDF("id", "dh"), "id", "dh", path)
+      .collect()
+    assert(v4.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("duplicate", 2L)), "post-empty-append screen unchanged")
+    // lifecycle ≡ rebuild: the index now holds corpus + the single
+    // admission, exactly what a clean save over that set produces
+    val pFull = tmp()
+    IndexStore.saveMediaIndex(
+      Seq((10L, sigA), (11L, sigA), (21L, sigN)).toDF("id", "dh"),
+      "id", "dh", pFull)
+    def tbl2(p: String, t: String) = spark.read.parquet(s"$p/$t")
+      .collect().map(_.toSeq).toSet
+    assert(tbl2(path, "members") == tbl2(pFull, "members"))
+    assert(tbl2(path, "bands") == tbl2(pFull, "bands"))
+  }
+
   test("media index: a torn append (members without bands) heals on the next append") {
     // crash scenario: appendMediaIndex writes members, dies before the
     // bands append. The orphaned signature is invisible to probes (its
