@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,43 +123,88 @@ object TextAnalysis {
     */
   def bm25TopKIndexed(index: TextIndex, queries: Seq[(Long, String)], k: Int,
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKIndexed: need at least one query")
+    val scored = bm25ScoredIndexed(index, queryTerms(index, queries), k1, b)
+    scored.groupBy(col("query_id"))
+      .agg(TopKAgg.topK(col("score_e6").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("p.id").as("doc_id"), col("p.val").cast("long").as("score_e6"))
+  }
+
+  /** BM25 THRESHOLD screen against a prebuilt index — every
+    * (query, doc) with score_e6 ≥ `minScoreE6`, no ranking: the
+    * lexical member of the threshold-screen family
+    * ([[Dedup.hammingJoinIndexed]] perceptual,
+    * [[Similarity.cosineJoinIndexed]] semantic) and the batch twin of
+    * [[graft.streaming.StreamOps.searchGate]]. The use case is
+    * lexical DECONTAMINATION at query grain: flag every corpus doc
+    * suspiciously close to an eval prompt, where top-k would truncate
+    * exactly the long tail one needs to see. Scoring is
+    * [[bm25TopKIndexed]]'s own chain (shared, not copied).
+    */
+  def bm25ScreenIndexed(index: TextIndex, queries: Seq[(Long, String)],
+                        minScoreE6: Long,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25ScreenIndexed: need at least one query")
+    bm25ScoredIndexed(index, queryTerms(index, queries), k1, b)
+      .where(col("score_e6") >= minScoreE6)
+  }
+
+  /** Driver-literal query batch → (query_id, term) rows (lowercased
+    * whitespace tokens, per-query distinct) — the query-side
+    * tokenization every BM25 form shares; the streaming gate replays
+    * it as column expressions (split/lower/filter/array_distinct) over
+    * the live stream.
+    */
+  private def queryTerms(
+      index: TextIndex, queries: Seq[(Long, String)]): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    require(queries.nonEmpty, "bm25TopKIndexed: need at least one query")
-    val qt = queries
-      .flatMap { case (qid, text) =>
-        text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
-          .map(term => (qid, term))
-      }.toDF("query_id", "term")
-    val qTerms = qt.select("term").distinct()
+    queries.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(term => (qid, term))
+    }.toDF("query_id", "term")
+  }
 
+  /** The shared scoring core: per-(query, doc) e6 score sums over a
+    * (query_id, term) table. Joined small sides are broadcast; the
+    * scan-side kill (postings filtered to query terms before any other
+    * join) is what keeps this index-grain at 100 TB.
+    */
+  private[graft] def bm25ScoredIndexed(index: TextIndex, qt: DataFrame,
+                                       k1: Double, b: Double): DataFrame = {
+    val qTerms = qt.select("term").distinct()
     val tf = index.postings
     val dl = index.doclen
     // one-row corpus stats; lazy agg, not a driver count()
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
     val tfQ = tf.join(broadcast(qTerms), Seq("term"))
     val df = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tfQ
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), bm25TermE6(k1, b).as("e6"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("e6")).as("score_e6"))
+  }
 
+  /** The per-(term, doc) BM25 e6 score expression over columns
+    * (tf, df, dl, __n, __sumdl) — ONE fixed parenthesization, floored
+    * to an e6 integer before the cross-term sum (reduction-order
+    * independence; scaladoc above). Shared by the ranked, threshold,
+    * and streaming ([[graft.streaming.StreamOps.searchGate]]) forms so
+    * their scores cannot drift.
+    */
+  private[graft] def bm25TermE6(k1: Double, b: Double): Column = {
     val idf = log(lit(1.0) +
       (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val quot = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) +
         lit(b) * (col("dl") / (col("__sumdl").cast("double") / col("__n")))))
-    val scored = tfQ
-      .join(broadcast(qt), Seq("term"))
-      .join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
-        floor(idf * quot * lit(1000000.0)).cast("long").as("e6"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("e6")).as("score_e6"))
-
-    scored.groupBy(col("query_id"))
-      .agg(TopKAgg.topK(col("score_e6").cast("double"), col("doc_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
-        col("p.id").as("doc_id"), col("p.val").cast("long").as("score_e6"))
+    floor(idf * quot * lit(1000000.0)).cast("long")
   }
 
   /** Pointwise mutual information over document-level term

@@ -593,7 +593,11 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
         bm25Queries, 10)
       .orderBy("query_id", "rnk")
 
-  val bm25SearchSql: String = {
+  /** The shared WITH prelude of the BM25 oracles (q113/q137 ranked,
+    * q249 threshold): tokenize → tf/dl/stats → query terms → df →
+    * per-term e6 scores → per-(query, doc) integer sums.
+    */
+  private[graft] val bm25AggSql: String = {
     val qtRows = bm25Queries.flatMap { case (qid, text) =>
       text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
         .map(term => s"($qid, '$term')")
@@ -617,7 +621,11 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
        |  FROM tfq JOIN qt USING (term) JOIN df USING (term)
        |    JOIN dl USING (doc_id) CROSS JOIN stats s),
        |agg AS (SELECT query_id, doc_id, CAST(SUM(e6) AS BIGINT) AS score_e6
-       |  FROM scored GROUP BY query_id, doc_id),
+       |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
+  }
+
+  val bm25SearchSql: String =
+    s"""$bm25AggSql,
        |ranked AS (SELECT query_id, doc_id, score_e6,
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY score_e6 DESC, doc_id ASC) AS rnk
@@ -625,7 +633,34 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
        |  doc_id, score_e6
        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** q249: the BM25 THRESHOLD screen through the persisted-index
+    * lifecycle ([[TextAnalysis.bm25ScreenIndexed]] over a
+    * saved+appended [[IndexStore]] text index) — the lexical member of
+    * the indexed-screen family and the batch twin of
+    * [[graft.streaming.StreamOps.searchGate]]: every (query, doc) at
+    * score_e6 ≥ 1,000,000 for the q113 prompts, un-ranked (the
+    * decontamination shape — top-k would truncate the tail this exists
+    * to surface). Oracle: the q113 replay with the ranked tail swapped
+    * for the threshold filter; scores are e6 integers, so the compare
+    * is exact.
+    */
+  def bm25ScreenLoad(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = scratchDir("text_screen_idx")
+    IndexStore.saveTextIndex(docs.where(col("doc_id") < 300),
+      "doc_id", "text", path)
+    IndexStore.appendTextIndex(docs.where(col("doc_id") >= 300),
+      "doc_id", "text", path)
+    TextAnalysis.bm25ScreenIndexed(IndexStore.loadTextIndex(s, path),
+        bm25Queries, minScoreE6 = 1000000L)
+      .orderBy("query_id", "doc_id")
   }
+
+  val bm25ScreenLoadSql: String =
+    s"""$bm25AggSql
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e6
+       |FROM agg WHERE score_e6 >= 1000000 ORDER BY query_id, doc_id""".stripMargin
 
   /** q114: market-basket association rules ([[Basket.pairRules]]) —
     * supplier pairs that co-occur in ≥5 orders, with floor-ppm support,

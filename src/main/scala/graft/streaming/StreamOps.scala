@@ -392,6 +392,64 @@ object StreamOps {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** STREAMING lexical search/decontamination gate — the text-index
+    * member of the gate family ([[dedupGateIndexed]] MinHash,
+    * [[mediaGateIndexed]] perceptual, [[vectorGateIndexed]] semantic):
+    * a stream of (query_id, text, ts) prompts is scored against a
+    * persisted inverted index
+    * ([[graft.operators.IndexStore.loadTextIndex]]) and every corpus
+    * doc with BM25 score_e6 ≥ `minScoreE6` is emitted — the live
+    * eval-prompt decontamination shape ("which training docs are
+    * lexically close to what we are about to evaluate on?"). Unlike
+    * the other gates this one is NOT per-row stateless: per-term
+    * contributions of one prompt fan out across postings rows and must
+    * re-aggregate, so scores ride ONE windowed streaming aggregation
+    * (tumbling `windowDuration` on event time) and emit when the
+    * watermark closes the window — the gate's only state, bounded by
+    * (open windows × matched docs). Tokenization replays the batch
+    * form's query split (lower/whitespace/distinct) as column
+    * expressions, and the per-term score expression IS the batch
+    * operator's ([[graft.operators.TextAnalysis.bm25TermE6]], shared
+    * not copied); parity vs
+    * [[graft.operators.TextAnalysis.bm25ScreenIndexed]] is pinned by
+    * StreamOpsSpec. Corpus stats/df re-derive from the loaded tables
+    * per micro-batch — lazy one-row/term-grain aggregates, the same
+    * append-≡-rebuild posture as the loader.
+    */
+  def searchGate(
+      queries: DataFrame,
+      idx: graft.operators.TextAnalysis.TextIndex,
+      minScoreE6: Long,
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "10 minutes",
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import graft.operators.TextAnalysis
+    val toks = array_distinct(filter(
+      split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0))
+    val qt = queries.withWatermark("ts", watermarkDelay)
+      .select(col("query_id"), col("ts"), explode(toks).as("term"),
+        lit(1).as("__k"))
+    val tf = idx.postings
+    val dl = idx.doclen
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+      .withColumn("__k", lit(1))
+    val dfAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    qt.join(tf, Seq("term")) // stream-static, the postings fan-out
+      .join(broadcast(dfAll), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      // literal-key equi-join: a true cross join is unsupported
+      // stream-static, and the stats side is one broadcast row
+      .join(broadcast(stats), Seq("__k"))
+      .select(col("query_id"), col("ts"), col("doc_id"),
+        TextAnalysis.bm25TermE6(k1, b).as("e6"))
+      .groupBy(window(col("ts"), windowDuration), col("query_id"),
+        col("doc_id"))
+      .agg(sum(col("e6")).as("score_e6"))
+      .where(col("score_e6") >= minScoreE6)
+      .select(col("query_id"), col("doc_id"), col("score_e6"))
+  }
+
   /** Streaming z-score OUTLIER gate: flag live rows whose value sits
     * more than k·σ from their group's mean, where mean/σ come from a
     * PRECOMPUTED batch moment table ([[graft.operators.Stats.moments]]

@@ -446,6 +446,47 @@ class StreamOpsSpec extends SparkSuite {
     assert(!got.exists(_._1 == 2L), "the novel vector is admitted (no row)")
   }
 
+  test("searchGate: windowed streaming BM25 screen equals the batch bm25ScreenIndexed") {
+    // the lexical member of the gate family, and the only stateful one
+    // (per-prompt scores re-aggregate across the postings fan-out, so
+    // results emit when the watermark closes the prompt's window):
+    // persist the inverted index (save + append), stream prompts
+    // against the load, and the emitted (query, doc, score_e6) set
+    // must equal the batch threshold screen exactly — integer scores,
+    // so equality is exact, not approximate
+    import graft.streaming.StreamOps.Doc
+    import graft.operators.{IndexStore, TextAnalysis}
+    val corpus = Seq(
+      (100L, "spark shuffle join optimizer"),
+      (101L, "stream window watermark state"),
+      (102L, "spark streaming state store"),
+      (103L, "parquet column pruning")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_search_idx").toString
+    IndexStore.saveTextIndex(corpus.where($"doc_id" < 102), "doc_id", "text", path)
+    IndexStore.appendTextIndex(corpus.where($"doc_id" >= 102), "doc_id", "text", path)
+    val idx = IndexStore.loadTextIndex(spark, path)
+
+    // "Spark  state": mixed case + double space — the stream-side
+    // column tokenization must replay the batch's driver-side split
+    val prompts = Seq(Doc(1L, "Spark  state", ts(0)), Doc(2L, "zzzz", ts(1)))
+    val input = MemoryStream[Doc]
+    val gated = StreamOps.searchGate(
+      input.toDF().withColumnRenamed("doc_id", "query_id"), idx,
+      minScoreE6 = 500000L)
+    // the second batch only advances the watermark so prompt windows close
+    val got = runBatches(input, gated, OutputMode.Append(),
+        Seq(prompts, Seq(Doc(9L, "zzzz", ts(60)))))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val want = TextAnalysis.bm25ScreenIndexed(idx,
+        Seq(1L -> "Spark  state", 2L -> "zzzz"), minScoreE6 = 500000L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty && want.map(_._1).toSet == Set(1L),
+      s"batch fixture: $want")
+    assert(got == want, s"stream $got vs batch $want")
+    assert(got.map(_._2).toSet == Set(100L, 101L, 102L),
+      "every spark/state doc flagged; the unrelated doc is not")
+  }
+
   test("outlierGate: streaming flags equal the batch flag stage exactly") {
     // moments from a reference corpus (two groups, one with a clear σ)
     val corpus = (Seq.tabulate(60)(i => ("a", 10.0 + (i % 5))) ++
