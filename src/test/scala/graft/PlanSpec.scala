@@ -444,4 +444,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"),
       s"q237 should dedup by signature aggregation, not a pair join:\n$p")
   }
+
+  test("indexed screens (q245/q247/q249): banded/blocked equi-joins, never a Cartesian") {
+    // the probe side of every persisted-index screen must candidate-
+    // generate through its blocking equi-join (pigeonhole bands, sign
+    // blocks, query-term postings); a CartesianProduct here would be
+    // the all-pairs scan the indexes exist to avoid. (q249's one-row
+    // corpus-stats broadcast plans as a BroadcastNestedLoopJoin by
+    // design — a single-row broadcast, not a data×data product.)
+    Seq("q245_media_index_load", "q247_vector_screen_indexed",
+        "q249_bm25_screen_load").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q builds a Cartesian:\n$p")
+    }
+  }
 }
