@@ -434,6 +434,58 @@ object IndexStore {
       .write.mode("append").parquet(s"$path/blocks")
   }
 
+  /** One INGEST ROUND against the persisted vector index — the
+    * semantic twin of [[ingestMedia]], same contract shape: screen the
+    * batch ([[Similarity.cosineJoinIndexed]], hyperplane geometry from
+    * the index meta so screen and store cannot disagree), reject
+    * everything with cos ≥ `threshold` against an indexed vector,
+    * append the admissions ([[appendVectorIndex]]), and return one
+    * verdict row per batch vector: (vec_id, status admitted|duplicate,
+    * n_matches, best_corpus_id, best_cos) with best = highest cos,
+    * ties to the smallest corpus_id; nulls for admitted. Dedup is
+    * against the index only (intra-batch near-dups co-admit — run
+    * [[Similarity.cosineNearDupPairs]] on the batch first if wanted);
+    * recall is the index's sign-block recall, the documented
+    * approximation. Monotone-id append contract on the admitted ids.
+    */
+  def ingestVector(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val spark = newVecs.sparkSession
+    val m = metaOf(spark, path, "vector")
+    val batch = newVecs
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    val matches = Similarity.cosineJoinIndexed(
+      loadVectorIndex(spark, path, maxBucketSize), batch, "vec_id", "v",
+      m("dim").toInt, threshold, m("num_blocks").toInt,
+      m("planes_per_block").toInt, m("seed").toLong)
+    val agg = matches.groupBy(col("new_id").as("vec_id"))
+      .agg(count(lit(1)).as("__n"),
+        // lexicographic min over (-cos, corpus_id) = best match by
+        // highest (rounded, as emitted) cos, smallest id on ties
+        min(struct((-col("cos")).as("negcos"), col("corpus_id"))).as("__best"))
+    // materialized BEFORE the append mutates the index directories —
+    // same race rationale as [[ingestMedia]]
+    val verdict = batch.join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("__n").isNull, lit("admitted"))
+          .otherwise(lit("duplicate")).as("status"),
+        coalesce(col("__n"), lit(0L)).as("n_matches"),
+        col("__best.corpus_id").as("best_corpus_id"),
+        (-col("__best.negcos")).as("best_cos"))
+      .localCheckpoint(true)
+    val admitted = batch.join(
+      verdict.where(col("status") === "admitted").select(col("vec_id")),
+      Seq("vec_id"))
+    appendVectorIndex(admitted, "vec_id", "v", path)
+    verdict
+  }
+
   /** Collapsed (id, v, members) vector groups — the vector twin of
     * [[Dedup.textGroups]] (shared with [[Similarity.vectorIndex]]).
     */

@@ -147,6 +147,104 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
        |FROM scored WHERE cos >= 0.9
        |ORDER BY new_id, corpus_id""".stripMargin
 
+  /** q250: TWO INGEST ROUNDS through the persisted vector index
+    * ([[IndexStore.ingestVector]]) — the semantic sibling of q248's
+    * media ingest loop, on the planted-cluster fixture: corpus = even
+    * clusters below vec_id 300; ingest 1 = [300, 400) (even clusters
+    * reject against the corpus at cos ≈ 0.99, odd clusters are
+    * admitted); ingest 2 = [400, 500) (every vector is a duplicate —
+    * the odd-cluster ones ONLY against ingest 1's admissions). The
+    * oracle replays both rounds at full algorithm depth: sign blocks
+    * from the hyperplane literals, candidate buckets, unrounded-cos
+    * thresholding, best-match ordering on the rounded cos, the
+    * admitted set, and the round-2 rescreen against
+    * corpus ∪ admissions.
+    */
+  def vectorIngestRounds(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), clusteredVec.as("cv"))
+    val path = scratchDir("vec_ingest")
+    IndexStore.saveVectorIndex(
+      e.where(col("vec_id") < 300 && pmod(col("vec_id"), lit(16)) % 2 === 0),
+      "vec_id", "cv", path, dim = 32, numBlocks = 16, planesPerBlock = 4)
+    val v1 = IndexStore.ingestVector(
+        e.where(col("vec_id") >= 300 && col("vec_id") < 400),
+        "vec_id", "cv", path, threshold = 0.9)
+      .withColumn("ingest", lit(1))
+    val v2 = IndexStore.ingestVector(
+        e.where(col("vec_id") >= 400 && col("vec_id") < 500),
+        "vec_id", "cv", path, threshold = 0.9)
+      .withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("vec_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_cos"))
+      .orderBy("vec_id")
+  }
+
+  val vectorIngestRoundsSql: String = {
+    val cosOf = (q: String, c: String) =>
+      s"""COALESCE(list_dot_product($q.v, $c.v) /
+         |      (sqrt(list_dot_product($q.v, $q.v)) *
+         |       sqrt(list_dot_product($c.v, $c.v))), 0.0)""".stripMargin
+    s"""${annSigPrefix(16, 4, dim = 32, vecSql = clusteredVecSql)},
+       |corpus AS (SELECT vec_id FROM e
+       |  WHERE vec_id < 300 AND (vec_id % 16) % 2 = 0),
+       |i1 AS (SELECT vec_id FROM e WHERE vec_id >= 300 AND vec_id < 400),
+       |i2 AS (SELECT vec_id FROM e WHERE vec_id >= 400 AND vec_id < 500),
+       |cand1 AS (SELECT DISTINCT q.vec_id AS new_id, c.vec_id AS corpus_id
+       |  FROM sig q JOIN sig c
+       |    ON q.block_idx = c.block_idx AND q.band_hash = c.band_hash
+       |  WHERE q.vec_id IN (SELECT vec_id FROM i1)
+       |    AND c.vec_id IN (SELECT vec_id FROM corpus)),
+       |m1 AS (SELECT cand1.new_id, cand1.corpus_id,
+       |    round(${cosOf("qe", "ce")}, 6) AS cos
+       |  FROM cand1 JOIN e qe ON qe.vec_id = cand1.new_id
+       |             JOIN e ce ON ce.vec_id = cand1.corpus_id
+       |  WHERE ${cosOf("qe", "ce")} >= 0.9),
+       |r1 AS (SELECT new_id, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY new_id
+       |                       ORDER BY cos DESC, corpus_id ASC) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY new_id) AS BIGINT) AS n
+       |  FROM m1),
+       |b1 AS (SELECT new_id, corpus_id AS best_corpus_id, cos AS best_cos,
+       |    n FROM r1 WHERE rn = 1),
+       |v1 AS (SELECT i1.vec_id,
+       |    CASE WHEN b.new_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(b.n, 0) AS n_matches, b.best_corpus_id, b.best_cos
+       |  FROM i1 LEFT JOIN b1 b ON b.new_id = i1.vec_id),
+       |idx2 AS (SELECT vec_id FROM corpus
+       |  UNION ALL
+       |  SELECT vec_id FROM v1 WHERE status = 'admitted'),
+       |cand2 AS (SELECT DISTINCT q.vec_id AS new_id, c.vec_id AS corpus_id
+       |  FROM sig q JOIN sig c
+       |    ON q.block_idx = c.block_idx AND q.band_hash = c.band_hash
+       |  WHERE q.vec_id IN (SELECT vec_id FROM i2)
+       |    AND c.vec_id IN (SELECT vec_id FROM idx2)),
+       |m2 AS (SELECT cand2.new_id, cand2.corpus_id,
+       |    round(${cosOf("qe", "ce")}, 6) AS cos
+       |  FROM cand2 JOIN e qe ON qe.vec_id = cand2.new_id
+       |             JOIN e ce ON ce.vec_id = cand2.corpus_id
+       |  WHERE ${cosOf("qe", "ce")} >= 0.9),
+       |r2 AS (SELECT new_id, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY new_id
+       |                       ORDER BY cos DESC, corpus_id ASC) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY new_id) AS BIGINT) AS n
+       |  FROM m2),
+       |b2 AS (SELECT new_id, corpus_id AS best_corpus_id, cos AS best_cos,
+       |    n FROM r2 WHERE rn = 1),
+       |v2 AS (SELECT i2.vec_id,
+       |    CASE WHEN b.new_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(b.n, 0) AS n_matches, b.best_corpus_id, b.best_cos
+       |  FROM i2 LEFT JOIN b2 b ON b.new_id = i2.vec_id)
+       |SELECT CAST(1 AS INT) AS ingest, vec_id, status, n_matches,
+       |  best_corpus_id, best_cos FROM v1
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS ingest, vec_id, status, n_matches,
+       |  best_corpus_id, best_cos FROM v2
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** q245: the PERCEPTUAL media index through its full persisted
     * lifecycle — the q241 hash family operated the way a 100 TB ingest
     * actually runs: decode each corpus slice ONCE, persist the 64-bit

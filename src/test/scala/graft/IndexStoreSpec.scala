@@ -296,6 +296,52 @@ class IndexStoreSpec extends SparkSuite {
     assert(tbl2(path, "bands") == tbl2(pFull, "bands"))
   }
 
+  test("ingestVector: screen → reject → append-admitted; later rounds " +
+      "match earlier admissions; lifecycle ≡ rebuild") {
+    // scaled copies share the exact sign pattern (every plane dot
+    // scales by the same positive factor), so candidacy is guaranteed
+    // deterministically and cos is exactly 1.0 — no recall caveat in
+    // the assertions
+    val u = Array(1.0, 0.0, 0.0, 0.0)
+    val w = Array(0.0, 1.0, 0.0, 0.0)
+    def scale(v: Array[Double], c: Double) = v.map(_ * c)
+    val path = tmp()
+    IndexStore.saveVectorIndex(
+      Seq((10L, u), (11L, u)).toDF("id", "v"), "id", "v", path, dim = 4)
+    val v1 = IndexStore.ingestVector(
+        Seq((20L, scale(u, 2.0)), (21L, w)).toDF("id", "v"),
+        "id", "v", path, threshold = 0.9)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSeq
+    assert(v1 == Seq((20L, "duplicate", 2L, 10L, 1.0),
+      (21L, "admitted", 0L, -1L, -1.0)), s"round 1: $v1")
+    // round 2: the round-1 admission gates its scaled copy; the
+    // round-1 REJECT (id 20) is not in the index
+    val v2 = IndexStore.ingestVector(
+        Seq((30L, scale(w, 3.0)), (31L, u)).toDF("id", "v"),
+        "id", "v", path, threshold = 0.9)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(v2 == Seq((30L, "duplicate", 1L, 21L, 1.0),
+      (31L, "duplicate", 2L, 10L, 1.0)), s"round 2: $v2")
+    // lifecycle ≡ rebuild over corpus + the single admission
+    val pFull = tmp()
+    IndexStore.saveVectorIndex(
+      Seq((10L, u), (11L, u), (21L, w)).toDF("id", "v"),
+      "id", "v", pFull, dim = 4)
+    def tbl3(p: String, t: String) = spark.read.parquet(s"$p/$t")
+      .collect().map(_.toSeq.map {
+        case a: Seq[_] => a.toList
+        case x => x
+      }).toSet
+    assert(tbl3(path, "members") == tbl3(pFull, "members"))
+    assert(tbl3(path, "reps") == tbl3(pFull, "reps"))
+    assert(tbl3(path, "blocks") == tbl3(pFull, "blocks"))
+  }
+
   test("media index: a torn append (members without bands) heals on the next append") {
     // crash scenario: appendMediaIndex writes members, dies before the
     // bands append. The orphaned signature is invisible to probes (its
