@@ -200,6 +200,56 @@ object IndexStore {
       .write.mode("append").parquet(s"$path/bands")
   }
 
+  /** One INGEST ROUND against the persisted corpus (MinHash-LSH) index
+    * — the lexical member of the ingest-round family ([[ingestMedia]]
+    * perceptual, [[ingestVector]] semantic), same contract: screen the
+    * batch ([[Dedup.minhashLSHJoinIndexed]], shingle/band parameters
+    * from the index meta), reject every doc with jaccard ≥ `threshold`
+    * against an indexed doc, append the admissions
+    * ([[appendCorpusIndex]] — exact-text copies merge under their
+    * existing representative), and return one verdict row per batch
+    * doc: (doc_id, status admitted|duplicate, n_matches,
+    * best_corpus_id, best_jaccard) with best = highest jaccard, ties
+    * to the smallest corpus_id. Dedup is against the index only;
+    * recall is the LSH band recall at `threshold`. The batch text is
+    * tokenized twice (screen signatures + append tables) — batch-
+    * sized work, the corpus is never re-tokenized.
+    */
+  def ingestCorpus(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val m = metaOf(spark, path, "corpus")
+    val batch = newDocs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .localCheckpoint(true)
+    val matches = Dedup.minhashLSHJoinIndexed(batch,
+      loadCorpusIndex(spark, path, maxBucketSize), "doc_id", "text",
+      m("shingle_size").toInt, m("num_hashes").toInt,
+      m("num_bands").toInt, threshold, maxBucketSize)
+    val agg = matches.groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct((-col("jaccard")).as("negj"), col("corpus_id"))).as("__best"))
+    // materialized BEFORE the append mutates the index directories
+    val verdict = batch.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__n").isNull, lit("admitted"))
+          .otherwise(lit("duplicate")).as("status"),
+        coalesce(col("__n"), lit(0L)).as("n_matches"),
+        col("__best.corpus_id").as("best_corpus_id"),
+        (-col("__best.negj")).as("best_jaccard"))
+      .localCheckpoint(true)
+    val admitted = batch.join(
+      verdict.where(col("status") === "admitted").select(col("doc_id")),
+      Seq("doc_id"))
+    appendCorpusIndex(admitted, "doc_id", "text", path)
+    verdict
+  }
+
   // ---------------------------------------------------------------
   // Perceptual-hash media index (Dedup.MediaIndex)
   // ---------------------------------------------------------------

@@ -342,6 +342,54 @@ class IndexStoreSpec extends SparkSuite {
     assert(tbl3(path, "blocks") == tbl3(pFull, "blocks"))
   }
 
+  test("ingestCorpus: screen → reject → append-admitted; later rounds " +
+      "match earlier admissions; lifecycle ≡ rebuild") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again now"
+    val other = "spark structured streaming state stores and watermarks explained carefully"
+    val otherNear = "spark structured streaming state stores and watermarks explained properly"
+    val path = tmp()
+    IndexStore.saveCorpusIndex(
+      Seq((10L, base), (11L, base)).toDF("id", "text"), "id", "text", path)
+    val v1 = IndexStore.ingestCorpus(
+        Seq((20L, near), (21L, other)).toDF("id", "text"),
+        "id", "text", path, threshold = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSeq
+    assert(v1.map(t => (t._1, t._2, t._3, t._4)) ==
+      Seq((20L, "duplicate", 2L, 10L), (21L, "admitted", 0L, -1L)),
+      s"round 1: $v1")
+    assert(v1.head._5 >= 0.5 && v1.head._5 < 1.0,
+      s"near-dup best_jaccard in [0.5, 1): ${v1.head._5}")
+    // round 2: the round-1 admission gates its near-dup; the exact
+    // corpus copy surfaces both members at jaccard 1.0
+    val v2 = IndexStore.ingestCorpus(
+        Seq((30L, otherNear), (31L, base)).toDF("id", "text"),
+        "id", "text", path, threshold = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(v2.map(t => (t._1, t._2, t._3, t._4)) ==
+      Seq((30L, "duplicate", 1L, 21L), (31L, "duplicate", 2L, 10L)),
+      s"round 2: $v2")
+    assert(v2(1)._5 == 1.0, "exact copy scores jaccard 1.0")
+    // lifecycle ≡ rebuild over corpus + the single admission
+    val pFull = tmp()
+    IndexStore.saveCorpusIndex(
+      Seq((10L, base), (11L, base), (21L, other)).toDF("id", "text"),
+      "id", "text", pFull)
+    def tbl4(p: String, t: String) = spark.read.parquet(s"$p/$t")
+      .collect().map(_.toSeq.map {
+        case a: Seq[_] => a.toList
+        case x => x
+      }).toSet
+    assert(tbl4(path, "members") == tbl4(pFull, "members"))
+    assert(tbl4(path, "sets") == tbl4(pFull, "sets"))
+    assert(tbl4(path, "bands") == tbl4(pFull, "bands"))
+  }
+
   test("media index: a torn append (members without bands) heals on the next append") {
     // crash scenario: appendMediaIndex writes members, dies before the
     // bands append. The orphaned signature is invisible to probes (its
