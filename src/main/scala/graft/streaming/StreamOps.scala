@@ -450,6 +450,55 @@ object StreamOps {
       .select(col("query_id"), col("doc_id"), col("score_e6"))
   }
 
+  /** STREAMING media ingest loop — the living-index closure of the
+    * gate family: where [[mediaGateIndexed]] only SCREENS against a
+    * fixed load, this `foreachBatch` body runs one full
+    * [[graft.operators.IndexStore.ingestMedia]] round per micro-batch
+    * (screen → reject duplicates → append admissions) and appends the
+    * verdicts to `verdictPath`, so assets admitted in micro-batch N
+    * gate their copies in micro-batch N+1 — the index grows WITH the
+    * stream. Usage:
+    * {{{
+    * hashedAssets.writeStream
+    *   .foreachBatch(StreamOps.mediaIngestBatch(indexPath, verdictPath))
+    *   .option("checkpointLocation", ckpt).start()
+    * }}}
+    *
+    * Exactly-once posture: foreachBatch is at-least-once, so the body
+    * is made IDEMPOTENT by a batch_id high-water-mark check against
+    * the verdict table — a replayed micro-batch (sink retry after a
+    * crash between the index append and the verdict write is the one
+    * torn state) is skipped instead of tripping the index's
+    * monotone-id guard; a replay that lost its index append cannot
+    * exist (verdicts are written AFTER the append, so the watermark
+    * only covers fully-ingested batches).
+    */
+  def mediaIngestBatch(
+      indexPath: String,
+      verdictPath: String,
+      idCol: String = "asset_id",
+      hashCol: String = "dh",
+      maxDist: Int = 3,
+      maxBucketSize: Int = 1000): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val alreadyDone = try {
+        val r = spark.read.parquet(verdictPath)
+          .agg(max(col("batch_id"))).head()
+        !r.isNullAt(0) && r.getLong(0) >= batchId
+      } catch {
+        // first batch: no verdict table yet
+        case _: org.apache.spark.sql.AnalysisException => false
+      }
+      if (!alreadyDone && !batch.isEmpty) {
+        graft.operators.IndexStore.ingestMedia(batch, idCol, hashCol,
+            indexPath, maxDist, maxBucketSize)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(verdictPath)
+      }
+      ()
+    }
+
   /** Streaming z-score OUTLIER gate: flag live rows whose value sits
     * more than k·σ from their group's mean, where mean/σ come from a
     * PRECOMPUTED batch moment table ([[graft.operators.Stats.moments]]

@@ -487,6 +487,44 @@ class StreamOpsSpec extends SparkSuite {
       "every spark/state doc flagged; the unrelated doc is not")
   }
 
+  test("mediaIngestBatch: the living-index streaming ingest — batch-1 " +
+      "admissions gate batch-2 copies; replays are idempotent") {
+    import graft.streaming.StreamOps.Asset
+    import graft.operators.IndexStore
+    val sigA = 0x1111_2222_3333_4444L
+    val sigN = 0x5555_6666_7777_8888L // no band shared with A
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ing_idx").toString
+    val outPath = java.nio.file.Files.createTempDirectory("graft_ing_out").toString + "/v"
+    IndexStore.saveMediaIndex(
+      Seq((10L, sigA), (11L, sigA)).toDF("id", "dh"), "id", "dh", idxPath)
+
+    val b1 = Seq(Asset(20L, sigA ^ 1L, ts(0)), // duplicate of the corpus pair
+      Asset(21L, sigN, ts(1))) // novel: admitted, grows the index
+    val b2 = Seq(Asset(30L, sigN, ts(2))) // gated by batch 1's admission
+    val input = MemoryStream[Asset]
+    val sink = StreamOps.mediaIngestBatch(idxPath, outPath, "asset_id", "dh")
+    val q = input.toDF().writeStream.foreachBatch(sink).start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    def verdicts() = spark.read.parquet(outPath)
+      .select("batch_id", "asset_id", "status", "n_matches")
+      .as[(Long, Long, String, Long)].collect().toSeq.sorted
+    val got = verdicts()
+    assert(got == Seq((0L, 20L, "duplicate", 2L), (0L, 21L, "admitted", 0L),
+      (1L, 30L, "duplicate", 1L)), s"got $got")
+    // the cross-batch gate matched the batch-1 ADMISSION specifically
+    val m30 = spark.read.parquet(outPath).where($"asset_id" === 30L)
+      .select("best_corpus_id").as[Long].head()
+    assert(m30 == 21L, s"batch-2 copy should match the batch-1 admission, got $m30")
+    // idempotence: replaying an already-watermarked micro-batch is a
+    // no-op — no double verdicts, no monotone-id raise
+    sink(b2.map(a => (a.asset_id, a.dh)).toDF("asset_id", "dh"), 1L)
+    assert(verdicts() == got, "replay must not change the verdict table")
+  }
+
   test("outlierGate: streaming flags equal the batch flag stage exactly") {
     // moments from a reference corpus (two groups, one with a clear σ)
     val corpus = (Seq.tabulate(60)(i => ("a", 10.0 + (i % 5))) ++
