@@ -480,6 +480,19 @@ object StreamOps {
       hashCol: String = "dh",
       maxDist: Int = 3,
       maxBucketSize: Int = 1000): (DataFrame, Long) => Unit =
+    ingestBatchBody(verdictPath)(b =>
+      graft.operators.IndexStore.ingestMedia(b, idCol, hashCol,
+        indexPath, maxDist, maxBucketSize))
+
+  /** The shared idempotence wrapper of the streaming ingest sinks: run
+    * `round` (one index ingest returning verdicts) per micro-batch
+    * unless the verdict table's batch_id high-water mark proves this
+    * batch already fully ingested — the at-least-once foreachBatch
+    * retry contract made exactly-once (see [[mediaIngestBatch]]).
+    */
+  private def ingestBatchBody(
+      verdictPath: String)(round: DataFrame => DataFrame)
+      : (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
       val alreadyDone = try {
@@ -491,13 +504,43 @@ object StreamOps {
         case _: org.apache.spark.sql.AnalysisException => false
       }
       if (!alreadyDone && !batch.isEmpty) {
-        graft.operators.IndexStore.ingestMedia(batch, idCol, hashCol,
-            indexPath, maxDist, maxBucketSize)
-          .withColumn("batch_id", lit(batchId))
+        round(batch).withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(verdictPath)
       }
       ()
     }
+
+  /** [[mediaIngestBatch]]'s SEMANTIC sibling: one
+    * [[graft.operators.IndexStore.ingestVector]] round per micro-batch
+    * — embeddings admitted in batch N gate their copies in batch N+1.
+    * Same idempotence and crash posture.
+    */
+  def vectorIngestBatch(
+      indexPath: String,
+      verdictPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      maxBucketSize: Int = 10000): (DataFrame, Long) => Unit =
+    ingestBatchBody(verdictPath)(b =>
+      graft.operators.IndexStore.ingestVector(b, idCol, vecCol,
+        indexPath, threshold, maxBucketSize))
+
+  /** [[mediaIngestBatch]]'s LEXICAL sibling: one
+    * [[graft.operators.IndexStore.ingestCorpus]] round per micro-batch
+    * — documents admitted in batch N gate their near-dups in batch
+    * N+1. Same idempotence and crash posture.
+    */
+  def corpusIngestBatch(
+      indexPath: String,
+      verdictPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): (DataFrame, Long) => Unit =
+    ingestBatchBody(verdictPath)(b =>
+      graft.operators.IndexStore.ingestCorpus(b, idCol, textCol,
+        indexPath, threshold, maxBucketSize))
 
   /** Streaming z-score OUTLIER gate: flag live rows whose value sits
     * more than k·σ from their group's mean, where mean/σ come from a

@@ -525,6 +525,55 @@ class StreamOpsSpec extends SparkSuite {
     assert(verdicts() == got, "replay must not change the verdict table")
   }
 
+  test("vectorIngestBatch / corpusIngestBatch: the sibling living-index " +
+      "ingest loops gate batch-2 copies on batch-1 admissions") {
+    import graft.operators.IndexStore
+    // --- semantic sibling: scaled copies share sign patterns exactly
+    val u = Array(1.0, 0.0, 0.0, 0.0)
+    val w = Array(0.0, 1.0, 0.0, 0.0)
+    val vIdx = java.nio.file.Files.createTempDirectory("graft_vib_idx").toString
+    val vOut = java.nio.file.Files.createTempDirectory("graft_vib_out").toString + "/v"
+    IndexStore.saveVectorIndex(Seq((10L, u), (11L, u)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", vIdx, dim = 4)
+    val vin = MemoryStream[(Long, Array[Double])]
+    val vq = vin.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(StreamOps.vectorIngestBatch(vIdx, vOut)).start()
+    try {
+      vin.addData(Seq((20L, u.map(_ * 2)), (21L, w))); vq.processAllAvailable()
+      vin.addData(Seq((30L, w.map(_ * 3)))); vq.processAllAvailable()
+    } finally vq.stop()
+    val vGot = spark.read.parquet(vOut)
+      .select("batch_id", "vec_id", "status", "best_corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sorted
+    assert(vGot == Seq((0L, 20L, "duplicate", 10L), (0L, 21L, "admitted", -1L),
+      (1L, 30L, "duplicate", 21L)), s"vector: $vGot")
+
+    // --- lexical sibling: batch-1 admission gates its batch-2 near-dup
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again now"
+    val other = "spark structured streaming state stores and watermarks explained carefully"
+    val otherNear = "spark structured streaming state stores and watermarks explained properly"
+    val cIdx = java.nio.file.Files.createTempDirectory("graft_cib_idx").toString
+    val cOut = java.nio.file.Files.createTempDirectory("graft_cib_out").toString + "/v"
+    IndexStore.saveCorpusIndex(Seq((10L, base), (11L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", cIdx)
+    val cin = MemoryStream[(Long, String)]
+    val cq = cin.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamOps.corpusIngestBatch(cIdx, cOut, threshold = 0.5))
+      .start()
+    try {
+      cin.addData(Seq((20L, near), (21L, other))); cq.processAllAvailable()
+      cin.addData(Seq((30L, otherNear))); cq.processAllAvailable()
+    } finally cq.stop()
+    val cGot = spark.read.parquet(cOut)
+      .select("batch_id", "doc_id", "status", "best_corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sorted
+    assert(cGot == Seq((0L, 20L, "duplicate", 10L), (0L, 21L, "admitted", -1L),
+      (1L, 30L, "duplicate", 21L)), s"corpus: $cGot")
+  }
+
   test("outlierGate: streaming flags equal the batch flag stage exactly") {
     // moments from a reference corpus (two groups, one with a clear σ)
     val corpus = (Seq.tabulate(60)(i => ("a", 10.0 + (i % 5))) ++
