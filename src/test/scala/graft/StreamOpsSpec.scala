@@ -466,9 +466,12 @@ class StreamOpsSpec extends SparkSuite {
     IndexStore.appendTextIndex(corpus.where($"doc_id" >= 102), "doc_id", "text", path)
     val idx = IndexStore.loadTextIndex(spark, path)
 
-    // "Spark  state": mixed case + double space — the stream-side
-    // column tokenization must replay the batch's driver-side split
-    val prompts = Seq(Doc(1L, "Spark  state", ts(0)), Doc(2L, "zzzz", ts(1)))
+    // "Spark  spark state": mixed case + double space + a REPEATED
+    // term — the stream-side column tokenization (split/lower/filter/
+    // array_distinct) must replay the batch's driver-side split with
+    // .distinct exactly; a missed dedup would double the repeated
+    // term's e6 contribution and break the integer parity
+    val prompts = Seq(Doc(1L, "Spark  spark state", ts(0)), Doc(2L, "zzzz", ts(1)))
     val input = MemoryStream[Doc]
     val gated = StreamOps.searchGate(
       input.toDF().withColumnRenamed("doc_id", "query_id"), idx,
@@ -478,7 +481,7 @@ class StreamOpsSpec extends SparkSuite {
         Seq(prompts, Seq(Doc(9L, "zzzz", ts(60)))))
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     val want = TextAnalysis.bm25ScreenIndexed(idx,
-        Seq(1L -> "Spark  state", 2L -> "zzzz"), minScoreE6 = 500000L)
+        Seq(1L -> "Spark  spark state", 2L -> "zzzz"), minScoreE6 = 500000L)
       .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(want.nonEmpty && want.map(_._1).toSet == Set(1L),
       s"batch fixture: $want")
