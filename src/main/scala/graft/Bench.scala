@@ -108,6 +108,12 @@ object Bench {
     val failed = results.collect { case (k, _, _, 0) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // interference-free run total: the sum of per-query best-of-N
+    // floors. Two runs of the same code agree on total_min even when
+    // co-located load taxes different queries in each (the r8/r9
+    // driver-vs-quiet totals diverged by 15 s with identical code);
+    // compare THIS across runs, `value` only within one.
+    val totalMin = results.map(_._3).filter(_ >= 0).sum
     val sideFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     // Paths are JSON-escaped in BOTH outputs — env-supplied
     // SPARK_GRAFT_SF_DIR / SPARK_GRAFT_BENCH_OUT may contain
@@ -134,14 +140,14 @@ object Bench {
     // mid-line). Stdout gets a SHORT summary line (<1 KB) instead, with
     // a pointer to the side file carrying the maps.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_per_query":$ns,"noisy":$noisy,"failed":$failed,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_per_query":$ns,"noisy":$noisy,"failed":$failed,"sf":${jstr(sfDir)}}"""
       // (fullJson keeps the failed name LIST — it has no size budget)
     // stdout stays bounded no matter how many queries fail: a failure
     // COUNT, not the name list (~6 KB at 240 names — that would blow
     // the 2000-char driver tail exactly when the signal matters most);
     // the full names ride the side file.
     val shortJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._4 == 0)},"n_noisy":${results.count { case (_, med, min, n) => n > 1 && min > 0 && med / min > 1.5 }},"sf":${jstr(sfDir)},"detail":${jstr(sideFile)}}"""
+      s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._4 == 0)},"n_noisy":${results.count { case (_, med, min, n) => n > 1 && min > 0 && med / min > 1.5 }},"sf":${jstr(sfDir)},"detail":${jstr(sideFile)}}"""
     // side file FIRST so the stdout pointer never dangles on a crash
     // between the two writes; a failed side-file write is reported on
     // stderr and must not eat the primary channel. Both happen BEFORE

@@ -607,11 +607,7 @@ object Dedup {
       shingleSize: Int,
       numHashes: Int,
       numBands: Int): (DataFrame, DataFrame, DataFrame) = {
-    val rowsPerBand = numHashes / numBands
-    val bands = shingleSignatures(gc, "id", "__text", shingleSize, numHashes)
-      .select(col("id").as("corpus_id"),
-        posexplode(bandKeys(col("sig"), numBands, rowsPerBand))
-          .as(Seq("band_idx", "band_hash")))
+    val bands = corpusBandRows(gc, shingleSize, numHashes, numBands)
     // text rides in the sets table: the persistence append path merges
     // new docs into existing rep groups by exact text equality
     val sets = gc.select(col("id").as("corpus_id"), col("__text").as("text"),
@@ -619,6 +615,25 @@ object Dedup {
     val members = gc.select(col("id").as("corpus_id"),
       explode(col("members")).as("member_id"))
     (bands, sets, members)
+  }
+
+  /** Band rows alone for (id, __text) groups — shared by
+    * [[corpusTablesFromGroups]] and the torn-append heal in
+    * [[graft.operators.IndexStore.appendCorpusIndex]] (a crash-orphaned
+    * sets row carries the text, so its band rows are recomputable from
+    * the same derivation the builder used — heal ≡ rebuild by sharing,
+    * not copying).
+    */
+  private[operators] def corpusBandRows(
+      gc: DataFrame,
+      shingleSize: Int,
+      numHashes: Int,
+      numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    shingleSignatures(gc, "id", "__text", shingleSize, numHashes)
+      .select(col("id").as("corpus_id"),
+        posexplode(bandKeys(col("sig"), numBands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
   }
 
   /** Assemble the probe-ready [[CorpusIndex]] from the raw tables:

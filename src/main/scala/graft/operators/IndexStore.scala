@@ -100,6 +100,99 @@ object IndexStore {
         "rebuild); re-id the batch or rebuild the index")
   }
 
+  /** Restrict screen matches to PRE-BATCH corpus ids. Under the
+    * monotone-id contract every legitimately indexed id sorts strictly
+    * below the batch's minimum id, so a match at-or-above it can only be
+    * the batch seeing its OWN admissions through a replayed round (the
+    * streaming ingest loops are at-least-once: a crash between the
+    * index append and the verdict write re-runs the round against an
+    * index that already contains the batch). Filtering those out makes
+    * the screen REPLAY-INVARIANT — the re-run reproduces the original
+    * verdicts instead of recording formerly-admitted assets as
+    * duplicates of themselves — and is a no-op on a first run, by the
+    * same contract. One broadcast 1-row aggregate, no extra shuffle.
+    */
+  private def preBatchMatches(
+      matches: DataFrame, batch: DataFrame, idCol: String): DataFrame = {
+    val mn = batch.agg(min(col(idCol)).as("__batch_min"))
+    matches.crossJoin(broadcast(mn))
+      .where(col("corpus_id") < col("__batch_min"))
+      .drop("__batch_min")
+  }
+
+  /** Run `append` for an ingest round's admissions unless the round is
+    * a REPLAY whose append already happened. Three dispositions from
+    * one distributed aggregate over (admitted min/max, index max) —
+    * never a driver-side comparison of unknown id types:
+    *  - FRESH (every admitted id above the index max, or empty index):
+    *    append; the append's own monotone guard re-verifies.
+    *  - REPLAY (every admitted id at-or-below the index max): under the
+    *    monotone contract this can only be a re-run of a round whose
+    *    append landed before the crash — verify each admitted id is
+    *    already a member (anti-join, only in this rare branch) and skip
+    *    the append instead of tripping the monotone guard.
+    *  - STRADDLING ids: a genuine contract violation — raise.
+    * An all-duplicate round (nothing admitted) appends nothing and
+    * writes no files.
+    */
+  private def appendAdmittedIdempotent(
+      admitted: DataFrame,
+      idCol: String,
+      existingIds: DataFrame,
+      op: String)(append: => Unit): Unit = {
+    val adm = admitted.agg(count(lit(1)).as("__n"),
+      min(col(idCol)).as("__amn"), max(col(idCol)).as("__amx"))
+    val emx = existingIds
+      .agg(max(col(existingIds.columns.head)).as("__emx"))
+    val r = adm.crossJoin(broadcast(emx)).select(col("__n"),
+      (col("__emx").isNull || col("__amn") > col("__emx")).as("__fresh"),
+      (col("__emx").isNotNull && col("__amx") <= col("__emx")).as("__replay"))
+      .head()
+    val n = r.getLong(0)
+    if (n == 0L) ()
+    else if (r.getBoolean(1)) append
+    else if (r.getBoolean(2)) {
+      val missing = admitted.select(col(idCol).as("__aid"))
+        .join(existingIds.toDF("__aid"), Seq("__aid"), "left_anti")
+        .limit(1).count()
+      require(missing == 0L,
+        s"IndexStore.$op: the batch's admitted ids sort at-or-below the " +
+          "index's max id (replay shape) but some are NOT members — the " +
+          "index is corrupt or the monotone-id contract was violated; " +
+          "rebuild the index or re-id the batch")
+      // verified replay: the admissions are already in the index
+    } else throw new IllegalArgumentException(
+      s"IndexStore.$op: admitted ids straddle the index's max id — the " +
+        "monotone-ingest contract is violated (a replayed round would " +
+        "sit entirely at-or-below it, a fresh one entirely above); " +
+        "re-id the batch or rebuild the index")
+  }
+
+  /** Raise if member rows reference group ids with no group-key row —
+    * the UNHEALABLE torn-append shape for the corpus/vector indexes: a
+    * crash between the members append and the sets/reps append loses
+    * the group's text/vector, so the orphans can never be probed and
+    * never healed from members alone (unlike the media index, whose
+    * member rows carry the signature itself — see
+    * [[appendMediaIndex]]'s lazy heal). Detection at load keeps every
+    * screen built on a consistent index; recovery is a rebuild over the
+    * full corpus or pruning the orphaned id range from members/.
+    */
+  private def requireMemberCoverage(
+      members: DataFrame, groups: DataFrame, keyCol: String,
+      groupTable: String, path: String): Unit = {
+    val orphans = members.select(col(keyCol)).distinct()
+      .join(groups.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .count()
+    require(orphans == 0L,
+      s"IndexStore: index at $path is torn — $orphans member group id(s) " +
+        s"have no $groupTable row (a crash between the members append " +
+        s"and the $groupTable append lost the group key, so these " +
+        "members are permanently unreachable and unhealable); rebuild " +
+        "the index over the full corpus or prune the orphaned id range " +
+        "from members/")
+  }
+
   // ---------------------------------------------------------------
   // MinHash-LSH corpus index (Dedup.CorpusIndex)
   // ---------------------------------------------------------------
@@ -132,18 +225,26 @@ object IndexStore {
 
   /** Load a persisted corpus index, applying the bucket cap over the
     * CURRENT (post-append) band table — see the class doc for why the
-    * cap lives here and not in the files.
+    * cap lives here and not in the files. With `check` on (the
+    * default), raises on the unhealable torn-append shape (member rows
+    * whose group has no sets row — the group text is lost, see
+    * [[requireMemberCoverage]]); the one-aggregate cost is narrow-column
+    * work, disable only on a hot probe path over an index some other
+    * loader already validated. The OTHER torn shape (sets row without
+    * band rows) is deliberately not raised: it is merely under-probed,
+    * and the next [[appendCorpusIndex]] heals it from the stored text.
     */
   def loadCorpusIndex(
       spark: SparkSession,
       path: String,
-      maxBucketSize: Int = 1000): Dedup.CorpusIndex = {
+      maxBucketSize: Int = 1000,
+      check: Boolean = true): Dedup.CorpusIndex = {
     metaOf(spark, path, "corpus")
+    val sets = spark.read.parquet(s"$path/sets")
+    val members = spark.read.parquet(s"$path/members")
+    if (check) requireMemberCoverage(members, sets, "corpus_id", "sets", path)
     Dedup.capCorpusTables(
-      spark.read.parquet(s"$path/bands"),
-      spark.read.parquet(s"$path/sets"),
-      spark.read.parquet(s"$path/members"),
-      maxBucketSize)
+      spark.read.parquet(s"$path/bands"), sets, members, maxBucketSize)
   }
 
   /** Append a batch of new documents to a persisted corpus index (pure
@@ -156,12 +257,17 @@ object IndexStore {
     *
     * Crash posture: each table append is one atomic Spark write job,
     * but the SEQUENCE of three is not a transaction. The members table
-    * is therefore written FIRST — it is what the monotone-id guard
-    * reads, so a re-run after any mid-sequence failure RAISES on the
+    * is written FIRST — it is what the monotone-id guard reads, so a
+    * re-run after any mid-sequence failure RAISES on the
     * already-appended ids instead of silently duplicating set/band rows
-    * (duplicated sets would multiply probe output rows). Recovery from
-    * a partial append = rebuild the index (or prune the partial batch's
-    * rows by id range); never blind-retry into corruption.
+    * (duplicated sets would multiply probe output rows). The two torn
+    * shapes divide by healability: members-without-sets loses the group
+    * text — unhealable, detected and raised by [[loadCorpusIndex]];
+    * sets-without-bands keeps it — every append lazily recomputes band
+    * rows for ANY sets row missing band coverage (the batch's novel
+    * groups plus crash orphans), the same self-heal
+    * [[appendMediaIndex]] runs, restoring append ≡ rebuild with no
+    * manual repair.
     */
   def appendCorpusIndex(
       newDocs: DataFrame,
@@ -189,6 +295,18 @@ object IndexStore {
       // consumed by all three table derivations below — materialize the
       // anti-join once
       .localCheckpoint(true)
+    // torn-append heal: stored sets with no band rows (a crash between
+    // a prior sets append and its bands append) are invisible to every
+    // probe but carry their text — recompute their bands with the
+    // builder's own derivation. Materialized BEFORE the writes below
+    // mutate the directories this plan lists (same race rationale as
+    // `novel`). Healthy index → empty frame → no extra band rows.
+    val orphanedSets = oldSets
+      .select(col("corpus_id").as("id"), col("text").as("__text"))
+      .join(spark.read.parquet(s"$path/bands")
+          .select(col("corpus_id").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .localCheckpoint(true)
     val (bands, sets, members) =
       Dedup.corpusTablesFromGroups(novel, shingleSize, numHashes, numBands)
     // members FIRST — see crash posture in the scaladoc
@@ -196,7 +314,10 @@ object IndexStore {
       .write.mode("append").parquet(s"$path/members")
     sets.repartition(col("corpus_id"))
       .write.mode("append").parquet(s"$path/sets")
-    bands.repartition(col("band_hash"))
+    bands
+      .unionByName(
+        Dedup.corpusBandRows(orphanedSets, shingleSize, numHashes, numBands))
+      .repartition(col("band_hash"))
       .write.mode("append").parquet(s"$path/bands")
   }
 
@@ -214,6 +335,16 @@ object IndexStore {
     * recall is the LSH band recall at `threshold`. The batch text is
     * tokenized twice (screen signatures + append tables) — batch-
     * sized work, the corpus is never re-tokenized.
+    *
+    * The round is IDEMPOTENT under at-least-once replay (the streaming
+    * ingest loops' retry contract): matches are restricted to pre-batch
+    * corpus ids ([[preBatchMatches]] — a replayed batch would otherwise
+    * screen against its own prior admissions and record them as
+    * duplicates of themselves) and a verified replay skips the append
+    * instead of tripping the monotone-id guard
+    * ([[appendAdmittedIdempotent]]). Re-running a completed round
+    * therefore reproduces its verdicts exactly and leaves the index
+    * untouched.
     */
   def ingestCorpus(
       newDocs: DataFrame,
@@ -227,10 +358,10 @@ object IndexStore {
     val batch = newDocs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .localCheckpoint(true)
-    val matches = Dedup.minhashLSHJoinIndexed(batch,
+    val matches = preBatchMatches(Dedup.minhashLSHJoinIndexed(batch,
       loadCorpusIndex(spark, path, maxBucketSize), "doc_id", "text",
       m("shingle_size").toInt, m("num_hashes").toInt,
-      m("num_bands").toInt, threshold, maxBucketSize)
+      m("num_bands").toInt, threshold, maxBucketSize), batch, "doc_id")
     val agg = matches.groupBy(col("new_id").as("doc_id"))
       .agg(count(lit(1)).as("__n"),
         min(struct((-col("jaccard")).as("negj"), col("corpus_id"))).as("__best"))
@@ -246,7 +377,11 @@ object IndexStore {
     val admitted = batch.join(
       verdict.where(col("status") === "admitted").select(col("doc_id")),
       Seq("doc_id"))
-    appendCorpusIndex(admitted, "doc_id", "text", path)
+    appendAdmittedIdempotent(admitted, "doc_id",
+      spark.read.parquet(s"$path/members").select(col("member_id")),
+      "ingestCorpus") {
+      appendCorpusIndex(admitted, "doc_id", "text", path)
+    }
     verdict
   }
 
@@ -365,8 +500,11 @@ object IndexStore {
     * corpus rescan ever. Contract notes: dedup is against the INDEX
     * only — two mutually-near novel assets in the same batch are both
     * admitted (collapse a batch first with [[Dedup.hammingPairs]] if
-    * intra-batch dedup is wanted); the monotone-id append contract
-    * applies to the admitted ids.
+    * intra-batch dedup is wanted — q251 registers exactly that
+    * composition); the monotone-id append contract applies to the
+    * admitted ids. Idempotent under at-least-once replay: matches are
+    * restricted to pre-batch corpus ids and a verified replay skips
+    * the append (see [[ingestCorpus]] — same mechanics).
     */
   def ingestMedia(
       newHashes: DataFrame,
@@ -383,8 +521,9 @@ object IndexStore {
       .select(col(idCol).as("asset_id"), col(hashCol).cast("long").as("dh"))
       .where(col("dh").isNotNull)
       .localCheckpoint(true)
-    val matches = Dedup.hammingJoinIndexed(batch,
-      loadMediaIndex(spark, path, maxBucketSize), "asset_id", "dh", maxDist)
+    val matches = preBatchMatches(Dedup.hammingJoinIndexed(batch,
+      loadMediaIndex(spark, path, maxBucketSize), "asset_id", "dh", maxDist),
+      batch, "asset_id")
     val agg = matches.groupBy(col("new_id").as("asset_id"))
       .agg(count(lit(1)).as("__n"),
         min(struct(col("hamming"), col("corpus_id"))).as("__best"))
@@ -402,7 +541,11 @@ object IndexStore {
     val admitted = batch.join(
       verdict.where(col("status") === "admitted").select(col("asset_id")),
       Seq("asset_id"))
-    appendMediaIndex(admitted, "asset_id", "dh", path)
+    appendAdmittedIdempotent(admitted, "asset_id",
+      spark.read.parquet(s"$path/members").select(col("member_id")),
+      "ingestMedia") {
+      appendMediaIndex(admitted, "asset_id", "dh", path)
+    }
     verdict
   }
 
@@ -438,16 +581,26 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$path/members")
   }
 
+  /** Load a persisted vector index (cap-at-load, like
+    * [[loadCorpusIndex]]). With `check` on (the default), raises on the
+    * unhealable torn-append shape — member rows whose rep has no reps
+    * row, i.e. the group VECTOR was lost in a crash between the members
+    * and reps appends (see [[requireMemberCoverage]]). The healable
+    * shape (reps row without block rows) is not raised: it is merely
+    * under-probed until the next [[appendVectorIndex]] recomputes the
+    * missing blocks from the stored vector.
+    */
   def loadVectorIndex(
       spark: SparkSession,
       path: String,
-      maxBucketSize: Int = 10000): Similarity.VectorIndex = {
+      maxBucketSize: Int = 10000,
+      check: Boolean = true): Similarity.VectorIndex = {
     metaOf(spark, path, "vector")
+    val reps = spark.read.parquet(s"$path/reps")
+    val members = spark.read.parquet(s"$path/members")
+    if (check) requireMemberCoverage(members, reps, "rep_id", "reps", path)
     Similarity.capVectorTables(
-      spark.read.parquet(s"$path/blocks"),
-      spark.read.parquet(s"$path/reps"),
-      spark.read.parquet(s"$path/members"),
-      maxBucketSize)
+      spark.read.parquet(s"$path/blocks"), reps, members, maxBucketSize)
   }
 
   /** Append new vectors to a persisted vector index; exact-duplicate
@@ -455,6 +608,11 @@ object IndexStore {
     * vector value — the same key [[Dedup.textGroups]] collapsed on).
     * Hyperplane geometry comes from the index's meta, so the appended
     * block keys are derived from the SAME planes as the stored ones.
+    * Crash posture mirrors [[appendCorpusIndex]]: members first (a
+    * retry raises on the monotone guard), members-without-reps is
+    * unhealable and raised by [[loadVectorIndex]], and reps-without-
+    * blocks is lazily HEALED here — every append recomputes block rows
+    * for any stored rep missing block coverage, with the same planes.
     */
   def appendVectorIndex(
       newVecs: DataFrame,
@@ -472,6 +630,14 @@ object IndexStore {
       .select(col("__rep").as("rep_id"), explode(col("members")).as("member_id"))
     val novel = gn.join(oldReps.select(col("v")), Seq("v"), "left_anti")
       .localCheckpoint(true)
+    // torn-append heal: stored reps with no block rows get them
+    // recomputed from their stored vector — materialized BEFORE the
+    // directory-mutating writes below (see [[appendCorpusIndex]])
+    val orphanedReps = oldReps.select(col("rep_id").as("id"), col("v"))
+      .join(spark.read.parquet(s"$path/blocks")
+          .select(col("rep_id").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .localCheckpoint(true)
     val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
       novel, m("dim").toInt, m("num_blocks").toInt,
       m("planes_per_block").toInt, m("seed").toLong)
@@ -480,7 +646,10 @@ object IndexStore {
       .write.mode("append").parquet(s"$path/members")
     reps.repartition(col("rep_id"))
       .write.mode("append").parquet(s"$path/reps")
-    blocks.repartition(col("band_hash"))
+    blocks
+      .unionByName(Similarity.vectorBlockRows(orphanedReps, m("dim").toInt,
+        m("num_blocks").toInt, m("planes_per_block").toInt, m("seed").toLong))
+      .repartition(col("band_hash"))
       .write.mode("append").parquet(s"$path/blocks")
   }
 
@@ -497,6 +666,11 @@ object IndexStore {
     * [[Similarity.cosineNearDupPairs]] on the batch first if wanted);
     * recall is the index's sign-block recall, the documented
     * approximation. Monotone-id append contract on the admitted ids.
+    * Null or wrong-dimension embeddings are dropped up front (no
+    * verdict row — the [[ingestMedia]] null-hash posture): they yield
+    * no block keys, so left in they would be silently "admitted" and
+    * appended as permanently dead index members. Idempotent under
+    * at-least-once replay, like [[ingestMedia]].
     */
   def ingestVector(
       newVecs: DataFrame,
@@ -509,11 +683,12 @@ object IndexStore {
     val m = metaOf(spark, path, "vector")
     val batch = newVecs
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull && size(col("v")) === m("dim").toInt)
       .localCheckpoint(true)
-    val matches = Similarity.cosineJoinIndexed(
+    val matches = preBatchMatches(Similarity.cosineJoinIndexed(
       loadVectorIndex(spark, path, maxBucketSize), batch, "vec_id", "v",
       m("dim").toInt, threshold, m("num_blocks").toInt,
-      m("planes_per_block").toInt, m("seed").toLong)
+      m("planes_per_block").toInt, m("seed").toLong), batch, "vec_id")
     val agg = matches.groupBy(col("new_id").as("vec_id"))
       .agg(count(lit(1)).as("__n"),
         // lexicographic min over (-cos, corpus_id) = best match by
@@ -532,7 +707,11 @@ object IndexStore {
     val admitted = batch.join(
       verdict.where(col("status") === "admitted").select(col("vec_id")),
       Seq("vec_id"))
-    appendVectorIndex(admitted, "vec_id", "v", path)
+    appendAdmittedIdempotent(admitted, "vec_id",
+      spark.read.parquet(s"$path/members").select(col("member_id")),
+      "ingestVector") {
+      appendVectorIndex(admitted, "vec_id", "v", path)
+    }
     verdict
   }
 
@@ -583,6 +762,14 @@ object IndexStore {
     * EXISTING centroids (no retrain — see class doc) and append to the
     * inverted lists. Raises if any new id already exists in the index
     * (a duplicate id would double-count its vector in every probe).
+    *
+    * Crash posture (audited round 10): this append touches exactly ONE
+    * table — the assign/ inverted lists — so there is no multi-table
+    * torn window like the corpus/vector/media appends have; the single
+    * Spark write job is atomic at job commit (files surface only when
+    * the committer publishes them), and a retry after a committed
+    * write raises on the id-overlap guard instead of double-counting.
+    * The centroids/ table is written only by [[saveIvf]], never here.
     */
   def appendIvf(
       newVecs: DataFrame,
@@ -630,6 +817,99 @@ object IndexStore {
     TextAnalysis.TextIndex(
       spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/doclen"))
+  }
+
+  // ---------------------------------------------------------------
+  // Maintenance: file compaction
+  // ---------------------------------------------------------------
+
+  /** Per-table result of [[compactIndex]]: how many data files the
+    * rewrite collapsed, and the bytes it moved.
+    */
+  case class CompactStat(
+      table: String, filesBefore: Long, filesAfter: Long, bytes: Long)
+
+  /** The raw tables of each index kind with their probe join key —
+    * the key each table is clustered by on write, preserved by
+    * [[compactIndex]]'s rewrite.
+    */
+  private val tablesByKind: Map[String, Seq[(String, String)]] = Map(
+    "corpus" -> Seq("bands" -> "band_hash", "sets" -> "corpus_id",
+      "members" -> "corpus_id"),
+    "media" -> Seq("bands" -> "band_hash", "members" -> "dh"),
+    "vector" -> Seq("blocks" -> "band_hash", "reps" -> "rep_id",
+      "members" -> "rep_id"),
+    "ivf" -> Seq("assign" -> "list_id", "centroids" -> "list_id"),
+    "text" -> Seq("postings" -> "term", "doclen" -> "doc_id"))
+
+  /** Compact a persisted index of ANY kind in place: rewrite each raw
+    * table — same rows, same clustering key — into
+    * ceil(bytes / targetBytesPerFile) files. The long-running-index
+    * maintenance op: every ingest round and every streaming
+    * foreachBatch trigger appends a handful of small parquet files, so
+    * after thousands of triggers a table is thousands of files and
+    * every load/gate construction pays the full listing plus
+    * per-file-footer overhead; compaction restores scan-sized files
+    * without touching semantics (compact ≡ append-chain, proved in
+    * IndexStoreSpec). The id-monotone append contract is untouched —
+    * rows are moved, never rewritten.
+    *
+    * Each table swaps via write-aside-then-rename (write `t__compacting`,
+    * rename `t` → `t__old`, rename `t__compacting` → `t`, drop
+    * `t__old`), so a crash leaves either the original or the compacted
+    * table plus recoverable debris; the one window where the table dir
+    * is absent (between the two renames) is self-healed at the next
+    * compact, which restores `t__old` before starting. Run OFFLINE
+    * with exclusive access: concurrent readers hold a file listing
+    * pinned at THEIR load (see the gate scaladocs) and would chase
+    * deleted files mid-read, and a concurrent append's files would be
+    * dropped by the swap. Gates restart after compaction — the same
+    * restart they already need to see appends.
+    */
+  def compactIndex(
+      spark: SparkSession,
+      path: String,
+      targetBytesPerFile: Long = 128L << 20): Seq[CompactStat] = {
+    import org.apache.hadoop.fs.Path
+    val kind = readMeta(spark, path).getOrElse("kind",
+      throw new IllegalArgumentException(
+        s"IndexStore.compactIndex: $path/meta carries no index kind"))
+    val tables = tablesByKind.getOrElse(kind,
+      throw new IllegalArgumentException(
+        s"IndexStore.compactIndex: unknown index kind '$kind'"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path) =
+      fs.listStatus(dir).filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    tables.map { case (t, key) =>
+      val dir = new Path(s"$path/$t")
+      val fs = dir.getFileSystem(conf)
+      val aside = new Path(s"$path/${t}__old")
+      // recover a prior compact that crashed between its two renames
+      if (!fs.exists(dir) && fs.exists(aside)) {
+        require(fs.rename(aside, dir),
+          s"IndexStore.compactIndex: could not restore $aside to $dir")
+      }
+      val before = dataFiles(fs, dir)
+      val bytes = before.map(_.getLen).sum
+      val nParts =
+        math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile)
+          .min(1 << 20).toInt
+      val tmp = new Path(s"$path/${t}__compacting")
+      spark.read.parquet(dir.toString)
+        .repartition(nParts, col(key))
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(aside)) fs.delete(aside, true): Unit
+      require(fs.rename(dir, aside),
+        s"IndexStore.compactIndex: rename $dir aside failed")
+      require(fs.rename(tmp, dir),
+        s"IndexStore.compactIndex: rename $tmp into place failed")
+      fs.delete(aside, true): Unit
+      CompactStat(t, before.length.toLong,
+        dataFiles(fs, dir).length.toLong, bytes)
+    }
   }
 
   /** Append new documents' postings to a persisted text index

@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   *    over the exploded centroid list), never a driver loop.
   *  - Recall/cost dial: nProbe. nProbe = nLists degrades gracefully to
   *    exact brute force.
+  *
+  * Lifecycle posture (decided round 10): IVF deliberately stops at
+  * persistence + append ([[IndexStore.saveIvf]]/[[IndexStore.appendIvf]]
+  * — assign-to-frozen-centroids) and does NOT get an ingest-round /
+  * streaming-gate twin. The canonical GROWING-corpus dedup path is the
+  * sign-block vector index ([[Similarity.vectorIndex]] →
+  * [[IndexStore.ingestVector]] / [[graft.streaming.StreamOps.vectorIngestBatch]]):
+  * its hyperplanes are data-independent, so admission geometry never
+  * drifts no matter how much the corpus grows, whereas IVF centroids are
+  * a snapshot of the TRAINING distribution — under sustained ingest the
+  * lists skew, recall decays, and the correct maintenance is a RETRAIN
+  * on compaction cadence ([[build]] again), which an append-only gate
+  * contract cannot express honestly. Use IVF for the read side (top-k
+  * search over a periodically rebuilt snapshot), the sign-block index
+  * for the write side (admission screening of a living corpus).
   */
 object IvfIndex {
 

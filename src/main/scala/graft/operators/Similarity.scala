@@ -213,14 +213,28 @@ object Similarity {
       numBlocks: Int,
       planesPerBlock: Int,
       seed: Long): (DataFrame, DataFrame, DataFrame) = {
-    val blocks = groups.select(col("id").as("rep_id"),
-      posexplode(blockKeys(col("v"), dim, numBlocks, planesPerBlock, seed))
-        .as(Seq("band_idx", "band_hash")))
+    val blocks = vectorBlockRows(groups, dim, numBlocks, planesPerBlock, seed)
     val reps = groups.select(col("id").as("rep_id"), col("v"))
     val members = groups.select(col("id").as("rep_id"),
       explode(col("members")).as("member_id"))
     (blocks, reps, members)
   }
+
+  /** Block rows alone for (id, v) groups — shared by
+    * [[vectorTablesFromGroups]] and the torn-append heal in
+    * [[graft.operators.IndexStore.appendVectorIndex]] (a crash-orphaned
+    * reps row carries the vector, so its block rows are recomputable
+    * with the SAME hyperplane geometry — heal ≡ rebuild by sharing).
+    */
+  private[operators] def vectorBlockRows(
+      groups: DataFrame,
+      dim: Int,
+      numBlocks: Int,
+      planesPerBlock: Int,
+      seed: Long): DataFrame =
+    groups.select(col("id").as("rep_id"),
+      posexplode(blockKeys(col("v"), dim, numBlocks, planesPerBlock, seed))
+        .as(Seq("band_idx", "band_hash")))
 
   private[operators] def capVectorTables(
       blocks: DataFrame, reps: DataFrame, members: DataFrame,

@@ -345,6 +345,148 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
       .orderBy("asset_id")
   }
 
+  /** q252: COMPACTION TRANSPARENCY through the ingest lifecycle — the
+    * q248 two-round fixture with [[IndexStore.compactIndex]] run
+    * between the rounds: a long-running index is compacted on some
+    * maintenance cadence while ingest continues, and the rewrite must
+    * be invisible to every verdict. The oracle is therefore EXACTLY
+    * q248's two-round replay ([[mediaIngestRoundsSql]] — shared, not
+    * copied): if compaction moved, lost, or duplicated a single row,
+    * round 2's screen against the compacted index would drift from the
+    * replay and the hash check would fail. File-count effects (the
+    * actual point of compaction) are non-deterministic layout, pinned
+    * by IndexStoreSpec instead.
+    */
+  def mediaIngestCompacted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter((id: Long) => id < 500)
+      .mapPartitions(_.flatMap { id =>
+        Multimodal.dhash64(Fixtures.dhashAssetFor(id).media)
+          .map(dh => (id, dh))
+      }).toDF("doc_id", "dh")
+      .localCheckpoint(true)
+    val path = scratchDir("media_ingest_compacted")
+    IndexStore.saveMediaIndex(
+      hashes.where(col("doc_id") < 280 &&
+        pmod(pmod(col("doc_id"), lit(Fixtures.DhashClasses)), lit(2)) === 0),
+      "doc_id", "dh", path)
+    val v1 = IndexStore.ingestMedia(
+        hashes.where(col("doc_id") >= 280 && col("doc_id") < 390),
+        "doc_id", "dh", path)
+      .withColumn("ingest", lit(1))
+    // v1 rides ingestMedia's internally checkpointed verdict — already
+    // materialized, so the compact's file swap can't touch its plan
+    IndexStore.compactIndex(s, path): Unit
+    val v2 = IndexStore.ingestMedia(hashes.where(col("doc_id") >= 390),
+        "doc_id", "dh", path)
+      .withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("asset_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_hamming"))
+      .orderBy("asset_id")
+  }
+
+  /** q251: INTRA-BATCH COLLAPSE composed into an ingest round — the
+    * composition [[IndexStore.ingestMedia]]'s contract hands to the
+    * caller ("dedup is against the INDEX only; two mutually-near novel
+    * assets in the same batch are both admitted — collapse a batch
+    * first with [[Dedup.hammingPairs]]"), registered end to end so
+    * exactly ONE member of every intra-batch near-dup family reaches
+    * the index. Fixture: corpus = even dHash classes below id 280 (as
+    * q248); batch = ids [280, 500) — every class exactly twice, once
+    * per JPEG-quality variant, so the batch is 110 two-member near-dup
+    * families with zero exact duplicates. Collapse rule: an asset with
+    * ANY smaller-id batch partner within Hamming ≤ 3 is 'collapsed'
+    * (best = lexicographic (hamming, partner) min — the ingest
+    * verdict's own convention); [[Dedup.hammingPairs]]' pigeonhole
+    * recall is EXACT at maxDist ≤ 3, so the rule is deterministic and
+    * the DuckDB oracle replays it brute-force. Family heads then run
+    * one [[IndexStore.ingestMedia]] round: even-class heads reject
+    * against the corpus, odd-class heads admit — one admission per
+    * family, co-admission eliminated.
+    */
+  def mediaIngestCollapsed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter((id: Long) => id < 500)
+      .mapPartitions(_.flatMap { id =>
+        Multimodal.dhash64(Fixtures.dhashAssetFor(id).media)
+          .map(dh => (id, dh))
+      }).toDF("doc_id", "dh")
+      .localCheckpoint(true)
+    val path = scratchDir("media_ingest_collapsed")
+    IndexStore.saveMediaIndex(
+      hashes.where(col("doc_id") < 280 &&
+        pmod(pmod(col("doc_id"), lit(Fixtures.DhashClasses)), lit(2)) === 0),
+      "doc_id", "dh", path)
+    val batch = hashes.where(col("doc_id") >= 280)
+    // consumed twice (collapsed verdicts + survivor anti-join)
+    val pairs = Dedup.hammingPairs(batch, "doc_id", "dh", maxDist = 3)
+      .localCheckpoint(true)
+    val collapsed = pairs
+      .groupBy(col("id_b").as("asset_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct(col("hamming"), col("id_a").as("corpus_id"))).as("__best"))
+      .select(col("asset_id"), lit("collapsed").as("status"),
+        col("n_matches"), col("__best.corpus_id").as("best_corpus_id"),
+        col("__best.hamming").as("best_hamming"))
+    val survivors = batch.join(
+      pairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    IndexStore.ingestMedia(survivors, "doc_id", "dh", path)
+      .unionByName(collapsed)
+      .orderBy("asset_id")
+  }
+
+  val mediaIngestCollapsedSql: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,
+       |    CAST((doc_id // ${Fixtures.DhashClasses}) % 2 AS INT) AS variant
+       |  FROM documents WHERE doc_id < 500),
+       |g AS (SELECT * FROM read_parquet(
+       |        '/root/repo/fixtures/dhash_golden.parquet/*.parquet')),
+       |h AS (SELECT d.doc_id, d.gid, g.dh FROM d
+       |  JOIN g ON g.gid = d.gid AND g.variant = d.variant),
+       |corpus AS (SELECT doc_id, dh FROM h
+       |  WHERE doc_id < 280 AND gid % 2 = 0),
+       |b AS (SELECT doc_id, dh FROM h WHERE doc_id >= 280),
+       |ip AS (SELECT b2.doc_id AS asset_id, b1.doc_id AS partner,
+       |    CAST(bit_count(xor(b1.dh, b2.dh)) AS INT) AS hamming
+       |  FROM b b1 JOIN b b2 ON b1.doc_id < b2.doc_id
+       |    AND bit_count(xor(b1.dh, b2.dh)) <= 3),
+       |rc AS (SELECT asset_id, partner, hamming,
+       |    row_number() OVER (PARTITION BY asset_id
+       |                       ORDER BY hamming, partner) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY asset_id) AS BIGINT) AS n
+       |  FROM ip),
+       |coll AS (SELECT asset_id, 'collapsed' AS status, n AS n_matches,
+       |    partner AS best_corpus_id, hamming AS best_hamming
+       |  FROM rc WHERE rn = 1),
+       |surv AS (SELECT doc_id, dh FROM b
+       |  WHERE doc_id NOT IN (SELECT asset_id FROM coll)),
+       |m AS (SELECT s.doc_id AS asset_id, c.doc_id AS corpus_id,
+       |    CAST(bit_count(xor(s.dh, c.dh)) AS INT) AS hamming
+       |  FROM surv s JOIN corpus c ON bit_count(xor(s.dh, c.dh)) <= 3),
+       |r AS (SELECT asset_id, corpus_id, hamming,
+       |    row_number() OVER (PARTITION BY asset_id
+       |                       ORDER BY hamming, corpus_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY asset_id) AS BIGINT) AS n
+       |  FROM m),
+       |bst AS (SELECT asset_id, corpus_id AS best_corpus_id,
+       |    hamming AS best_hamming, n FROM r WHERE rn = 1),
+       |v AS (SELECT s.doc_id AS asset_id,
+       |    CASE WHEN bst.asset_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(bst.n, 0) AS n_matches, bst.best_corpus_id,
+       |    bst.best_hamming
+       |  FROM surv s LEFT JOIN bst ON bst.asset_id = s.doc_id)
+       |SELECT asset_id, status, n_matches, best_corpus_id, best_hamming
+       |FROM v
+       |UNION ALL
+       |SELECT asset_id, status, n_matches, best_corpus_id, best_hamming
+       |FROM coll
+       |ORDER BY asset_id""".stripMargin
+
   val mediaIngestRoundsSql: String =
     s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,
        |    CAST((doc_id // ${Fixtures.DhashClasses}) % 2 AS INT) AS variant

@@ -413,12 +413,20 @@ object StreamOps {
     * not copied); parity vs
     * [[graft.operators.TextAnalysis.bm25ScreenIndexed]] is pinned by
     * StreamOpsSpec. Corpus stats and per-term df are aggregated ONCE
-    * at gate construction and checkpointed: a stream-static join
-    * re-executes its static PLAN every trigger, which would re-run
-    * the full postings aggregation per micro-batch — and since the
-    * static side's file listing is pinned at load anyway (appends
-    * need a gate restart; see [[mediaGateIndexed]]), the frozen
-    * aggregates give up nothing a lazy re-derive would see.
+    * at gate construction: a stream-static join re-executes its static
+    * PLAN every trigger, which would re-run the full postings
+    * aggregation per micro-batch — and since the static side's file
+    * listing is pinned at load anyway (appends need a gate restart;
+    * see [[mediaGateIndexed]]), the frozen aggregates give up nothing
+    * a lazy re-derive would see. Freezing has two modes: pass
+    * `statsPath` to WRITE the aggregates to reliable storage at gate
+    * construction and read them back — the long-running-production
+    * choice (localCheckpoint blocks die with an executor, killing the
+    * query) — or omit it for localCheckpoint pinning in short-lived /
+    * test gates. Either way the per-term df table joins WITHOUT a
+    * broadcast: it spans the index's entire vocabulary, and a
+    * corpus-scale vocabulary must not be collected to the driver (the
+    * one-row corpus stats remain the only broadcast).
     */
   def searchGate(
       queries: DataFrame,
@@ -427,7 +435,8 @@ object StreamOps {
       windowDuration: String = "1 minute",
       watermarkDelay: String = "10 minutes",
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      statsPath: Option[String] = None): DataFrame = {
     import graft.operators.TextAnalysis
     val toks = array_distinct(filter(
       split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0))
@@ -436,13 +445,21 @@ object StreamOps {
         lit(1).as("__k"))
     val tf = idx.postings
     val dl = idx.doclen
-    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+    val statsLazy = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
       .withColumn("__k", lit(1))
-      .localCheckpoint(true)
-    val dfAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .localCheckpoint(true)
+    val dfLazy = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (stats, dfAll) = statsPath match {
+      case Some(p) =>
+        val spark = queries.sparkSession
+        statsLazy.write.mode("overwrite").parquet(s"$p/stats")
+        dfLazy.repartition(col("term"))
+          .write.mode("overwrite").parquet(s"$p/df")
+        (spark.read.parquet(s"$p/stats"), spark.read.parquet(s"$p/df"))
+      case None =>
+        (statsLazy.localCheckpoint(true), dfLazy.localCheckpoint(true))
+    }
     qt.join(tf, Seq("term")) // stream-static, the postings fan-out
-      .join(broadcast(dfAll), Seq("term"))
+      .join(dfAll, Seq("term")) // vocabulary-sized: never broadcast
       .join(dl, Seq("doc_id"))
       // literal-key equi-join: a true cross join is unsupported
       // stream-static, and the stats side is one broadcast row
@@ -470,14 +487,15 @@ object StreamOps {
     *   .option("checkpointLocation", ckpt).start()
     * }}}
     *
-    * Exactly-once posture: foreachBatch is at-least-once, so the body
-    * is made IDEMPOTENT by a batch_id high-water-mark check against
-    * the verdict table — a replayed micro-batch (sink retry after a
-    * crash between the index append and the verdict write is the one
-    * torn state) is skipped instead of tripping the index's
-    * monotone-id guard; a replay that lost its index append cannot
-    * exist (verdicts are written AFTER the append, so the watermark
-    * only covers fully-ingested batches).
+    * Exactly-once posture: foreachBatch is at-least-once; every crash
+    * window is covered by [[ingestBatchBody]]'s three pieces — the
+    * ingest round itself is replay-idempotent (a re-run after a crash
+    * between the index append and the verdict write reproduces the
+    * original verdicts instead of marking admissions as duplicates of
+    * themselves), the batch_id-partitioned verdict write is a dynamic
+    * partition OVERWRITE (a re-run after a crash between the verdict
+    * write and the marker write replaces, never duplicates), and the
+    * O(1) high-water-mark marker skips batches proven fully done.
     */
   def mediaIngestBatch(
       indexPath: String,
@@ -490,31 +508,86 @@ object StreamOps {
       graft.operators.IndexStore.ingestMedia(b, idCol, hashCol,
         indexPath, maxDist, maxBucketSize))
 
-  /** The shared idempotence wrapper of the streaming ingest sinks: run
-    * `round` (one index ingest returning verdicts) per micro-batch
-    * unless the verdict table's batch_id high-water mark proves this
-    * batch already fully ingested — the at-least-once foreachBatch
-    * retry contract made exactly-once (see [[mediaIngestBatch]]).
+  /** The shared exactly-once wrapper of the streaming ingest sinks: run
+    * `round` (one index ingest returning verdicts) per micro-batch and
+    * land its verdicts idempotently. foreachBatch is at-least-once;
+    * exactly-once comes from three reinforcing pieces, one per crash
+    * window:
+    *  - the ROUND is idempotent (IndexStore ingest rounds restrict
+    *    matches to pre-batch ids and skip a verified replay's append),
+    *    so a crash between the index append and the verdict write
+    *    re-runs to the ORIGINAL verdicts — admissions are not recorded
+    *    as duplicates of themselves;
+    *  - the verdict table is PARTITIONED by batch_id and written with
+    *    dynamic partition overwrite, so a crash between the verdict
+    *    write and the marker write replays into the same partition
+    *    instead of appending duplicate rows;
+    *  - a high-water-mark MARKER file (`_graft_hwm` inside the verdict
+    *    path — the underscore keeps it invisible to parquet readers),
+    *    written after the verdicts, makes the already-done check O(1)
+    *    per trigger instead of a scan of the ever-growing verdict
+    *    table (that scan was quadratic over the stream's lifetime; it
+    *    remains only as the one-time fallback for a missing/corrupt
+    *    marker, e.g. a pre-upgrade table).
     */
   private def ingestBatchBody(
       verdictPath: String)(round: DataFrame => DataFrame)
       : (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
-      val alreadyDone = try {
-        val r = spark.read.parquet(verdictPath)
-          .agg(max(col("batch_id"))).head()
-        !r.isNullAt(0) && r.getLong(0) >= batchId
-      } catch {
-        // first batch: no verdict table yet
-        case _: org.apache.spark.sql.AnalysisException => false
+      val hwm = readHwm(spark, verdictPath).getOrElse {
+        // fallback: legacy table without a marker (or torn marker
+        // write) — one full scan, after which the next marker write
+        // restores O(1) triggers
+        try {
+          val r = spark.read.parquet(verdictPath)
+            .agg(max(col("batch_id").cast("long"))).head()
+          if (r.isNullAt(0)) -1L else r.getLong(0)
+        } catch {
+          // first batch: no verdict table yet
+          case _: org.apache.spark.sql.AnalysisException => -1L
+        }
       }
-      if (!alreadyDone && !batch.isEmpty) {
+      if (hwm < batchId && !batch.isEmpty) {
         round(batch).withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(verdictPath)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(verdictPath)
+        writeHwm(spark, verdictPath, batchId)
       }
       ()
     }
+
+  private def hwmPath(verdictPath: String) =
+    new org.apache.hadoop.fs.Path(verdictPath, "_graft_hwm")
+
+  /** The last fully-ingested batch id, from the marker file; None if
+    * the marker is absent or unparseable (fall back to the table scan).
+    */
+  private def readHwm(
+      spark: org.apache.spark.sql.SparkSession,
+      verdictPath: String): Option[Long] =
+    try {
+      val p = hwmPath(verdictPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(s.trim.toLong)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeHwm(
+      spark: org.apache.spark.sql.SparkSession,
+      verdictPath: String, batchId: Long): Unit = {
+    val p = hwmPath(verdictPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+  }
 
   /** [[mediaIngestBatch]]'s SEMANTIC sibling: one
     * [[graft.operators.IndexStore.ingestVector]] round per micro-batch

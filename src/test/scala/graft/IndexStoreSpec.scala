@@ -390,6 +390,251 @@ class IndexStoreSpec extends SparkSuite {
     assert(tbl4(path, "bands") == tbl4(pFull, "bands"))
   }
 
+  test("corpus index: torn append (members without sets) raises at load — " +
+      "the unhealable shape is detected, not silently under-probed") {
+    val path = tmp()
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", path)
+    // simulate: appendCorpusIndex wrote members, crashed before sets —
+    // the group's text is gone, so these members can never be probed
+    // or healed
+    Seq((50L, 50L), (50L, 51L)).toDF("corpus_id", "member_id")
+      .write.mode("append").parquet(s"$path/members")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadCorpusIndex(spark, path)
+    }
+    assert(e.getMessage.contains("torn") && e.getMessage.contains("sets"),
+      e.getMessage)
+    // the ingest round loads through the same check → also refuses
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.ingestCorpus(Seq((200L, sentence(30))).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+    }
+    assert(e2.getMessage.contains("torn"), e2.getMessage)
+    // forensic bypass for manual repair tooling
+    IndexStore.loadCorpusIndex(spark, path, check = false): Unit
+  }
+
+  test("corpus index: torn append (sets without bands) heals on the next " +
+      "append — band rows recompute from the stored text") {
+    val tornText = sentence(30)
+    val lateText = sentence(30)
+    val path = tmp(); val pAux = tmp()
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", path)
+    // simulate: members+sets landed for doc 50, crash before bands —
+    // the aux build provides byte-identical sets/members rows
+    IndexStore.saveCorpusIndex(
+      oldDocs.unionByName(Seq((50L, tornText)).toDF("doc_id", "text")),
+      "doc_id", "text", pAux)
+    spark.read.parquet(s"$pAux/members").where($"corpus_id" === 50L)
+      .write.mode("append").parquet(s"$path/members")
+    spark.read.parquet(s"$pAux/sets").where($"corpus_id" === 50L)
+      .write.mode("append").parquet(s"$path/sets")
+    // torn state: loads fine (member coverage holds) but the torn doc
+    // is invisible to probes — under-recall, not wrongness
+    def probeTorn() = Dedup.minhashLSHJoinIndexed(
+        Seq((900L, tornText)).toDF("doc_id", "text"),
+        IndexStore.loadCorpusIndex(spark, path), "doc_id", "text")
+      .where($"corpus_id" === 50L).count()
+    assert(probeTorn() == 0L, "torn doc must be unreachable pre-heal")
+    // the next append heals: doc 50's bands recompute from sets.text
+    IndexStore.appendCorpusIndex(Seq((60L, lateText)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(probeTorn() > 0L, "post-heal the torn doc is reachable at jaccard 1")
+    // healed state ≡ clean rebuild, table for table
+    val pFull = tmp()
+    IndexStore.saveCorpusIndex(
+      oldDocs.unionByName(Seq((50L, tornText), (60L, lateText))
+        .toDF("doc_id", "text")),
+      "doc_id", "text", pFull)
+    val ts = Seq("bands", "sets", "members")
+    assert(canonIndex(path, ts) == canonIndex(pFull, ts))
+  }
+
+  test("vector index: torn append (members without reps) raises at load; " +
+      "(reps without blocks) heals on the next append") {
+    // unhealable shape: member rows whose rep vector was never written
+    val p1 = tmp()
+    IndexStore.saveVectorIndex(oldVecs, "vec_id", "embedding", p1, dim = 8)
+    Seq((50L, 50L)).toDF("rep_id", "member_id")
+      .write.mode("append").parquet(s"$p1/members")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadVectorIndex(spark, p1)
+    }
+    assert(e.getMessage.contains("torn") && e.getMessage.contains("reps"),
+      e.getMessage)
+    IndexStore.loadVectorIndex(spark, p1, check = false): Unit
+
+    // healable shape: reps+members landed, crash before blocks
+    val tornVec = vec(1, 7)
+    val lateVec = vec(2, 8)
+    val p2 = tmp(); val pAux = tmp()
+    IndexStore.saveVectorIndex(oldVecs, "vec_id", "embedding", p2, dim = 8)
+    IndexStore.saveVectorIndex(
+      oldVecs.unionByName(Seq((50L, tornVec)).toDF("vec_id", "embedding")),
+      "vec_id", "embedding", pAux, dim = 8)
+    spark.read.parquet(s"$pAux/members").where($"rep_id" === 50L)
+      .write.mode("append").parquet(s"$p2/members")
+    spark.read.parquet(s"$pAux/reps").where($"rep_id" === 50L)
+      .write.mode("append").parquet(s"$p2/reps")
+    def probeTorn() = Similarity.lshTopKIndexed(
+        IndexStore.loadVectorIndex(spark, p2),
+        Seq((900L, tornVec)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 8, k = 3)
+      .where($"neighbor_id" === 50L).count()
+    assert(probeTorn() == 0L, "torn vector unreachable pre-heal")
+    IndexStore.appendVectorIndex(
+      Seq((60L, lateVec)).toDF("vec_id", "embedding"), "vec_id", "embedding", p2)
+    assert(probeTorn() > 0L, "post-heal the torn vector is reachable")
+    val pFull = tmp()
+    IndexStore.saveVectorIndex(
+      oldVecs.unionByName(Seq((50L, tornVec), (60L, lateVec))
+        .toDF("vec_id", "embedding")),
+      "vec_id", "embedding", pFull, dim = 8)
+    val ts = Seq("blocks", "reps", "members")
+    assert(canonIndex(p2, ts) == canonIndex(pFull, ts))
+  }
+
+  test("ingest rounds are replay-idempotent: a re-run against an index " +
+      "containing the batch's own admissions reproduces the original " +
+      "verdicts and leaves the index unchanged") {
+    // media: the crash window is between the index append (inside the
+    // round) and the caller's verdict write — the replay re-screens
+    // against an index that already holds admission 21
+    val sigA = 0x1234_5678_9ABC_DEF0L
+    val sigN = 0x0F0F_F0F0_0F0F_F0F0L
+    val mPath = tmp()
+    IndexStore.saveMediaIndex(
+      Seq((10L, sigA), (11L, sigA)).toDF("id", "dh"), "id", "dh", mPath)
+    val mBatch = Seq((20L, sigA ^ 1L), (21L, sigN)).toDF("id", "dh")
+    def mRun() = IndexStore.ingestMedia(mBatch, "id", "dh", mPath)
+      .orderBy("asset_id").collect().map(_.toString).toSeq
+    val m1 = mRun(); val m2 = mRun()
+    assert(m1 == m2, s"media replay drifted: $m1 vs $m2")
+    assert(m1.exists(_.contains("admitted")), s"fixture must admit: $m1")
+    val mFull = tmp()
+    IndexStore.saveMediaIndex(
+      Seq((10L, sigA), (11L, sigA), (21L, sigN)).toDF("id", "dh"),
+      "id", "dh", mFull)
+    assert(canonIndex(mPath, Seq("members", "bands")) ==
+      canonIndex(mFull, Seq("members", "bands")),
+      "replay must not grow the media index")
+
+    // vector sibling
+    val u = Array(1.0, 0.0, 0.0, 0.0); val w = Array(0.0, 1.0, 0.0, 0.0)
+    val vPath = tmp()
+    IndexStore.saveVectorIndex(
+      Seq((10L, u), (11L, u)).toDF("id", "v"), "id", "v", vPath, dim = 4)
+    val vBatch = Seq((20L, u.map(_ * 2)), (21L, w)).toDF("id", "v")
+    def vRun() = IndexStore.ingestVector(vBatch, "id", "v", vPath,
+      threshold = 0.9).orderBy("vec_id").collect().map(_.toString).toSeq
+    val v1 = vRun(); val v2 = vRun()
+    assert(v1 == v2, s"vector replay drifted: $v1 vs $v2")
+    assert(v1.exists(_.contains("admitted")), s"fixture must admit: $v1")
+
+    // corpus sibling
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "spark structured streaming state stores and watermarks explained carefully"
+    val cPath = tmp()
+    IndexStore.saveCorpusIndex(
+      Seq((10L, base), (11L, base)).toDF("id", "text"), "id", "text", cPath)
+    val cBatch = Seq((20L, other)).toDF("id", "text")
+    def cRun() = IndexStore.ingestCorpus(cBatch, "id", "text", cPath,
+      threshold = 0.5).orderBy("doc_id").collect().map(_.toString).toSeq
+    val c1 = cRun(); val c2 = cRun()
+    assert(c1 == c2, s"corpus replay drifted: $c1 vs $c2")
+    assert(c1.exists(_.contains("admitted")), s"fixture must admit: $c1")
+  }
+
+  test("ingest rounds: admitted ids straddling the index max raise; " +
+      "null/wrong-dim vectors are dropped before screening") {
+    val sigA = 0x1234_5678_9ABC_DEF0L
+    val path = tmp()
+    IndexStore.saveMediaIndex(
+      Seq((10L, sigA), (20L, sigA)).toDF("id", "dh"), "id", "dh", path)
+    // novel signatures at ids 15 and 30: both admitted, 15 sits below
+    // the index max (20) while 30 sits above — neither a clean replay
+    // nor a fresh batch, so the contract violation raises
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.ingestMedia(
+        Seq((15L, 0x1L), (30L, 0x2L)).toDF("id", "dh"), "id", "dh", path)
+    }
+    assert(e.getMessage.contains("straddle"), e.getMessage)
+
+    val u = Array(1.0, 0.0, 0.0, 0.0); val w = Array(0.0, 1.0, 0.0, 0.0)
+    val vPath = tmp()
+    IndexStore.saveVectorIndex(
+      Seq((10L, u)).toDF("id", "v"), "id", "v", vPath, dim = 4)
+    val dirty = Seq(
+      (20L, null.asInstanceOf[Array[Double]]), // null embedding
+      (21L, Array(1.0, 2.0)),                  // wrong dimension
+      (22L, w))                                // valid, novel
+      .toDF("id", "v")
+    val verdicts = IndexStore.ingestVector(dirty, "id", "v", vPath,
+      threshold = 0.9)
+    assert(verdicts.select("vec_id").as[Long].collect().toSeq == Seq(22L),
+      "null/wrong-dim rows get no verdict and never reach the index")
+    val members = spark.read.parquet(s"$vPath/members")
+      .select("member_id").as[Long].collect().toSet
+    assert(members == Set(10L, 22L), s"index members: $members")
+  }
+
+  test("compactIndex: collapses append-accumulated small files; " +
+      "compact ≡ append-chain, table for table and probe for probe") {
+    // media kind: one save + three appends = four file generations
+    val base = 0x0F0F_1234_ABCD_5678L
+    def hashOf(i: Long): Long = base ^ (1L << (i % 8)) ^
+      (if (i % 2 == 0) 0L else 1L << 32)
+    val all = (0L until 64L).map(i => (i, hashOf(i))).toDF("id", "dh")
+    val path = tmp()
+    IndexStore.saveMediaIndex(all.where($"id" >= 16 && $"id" < 32),
+      "id", "dh", path)
+    for ((lo, hi) <- Seq((32L, 44L), (44L, 56L), (56L, 64L)))
+      IndexStore.appendMediaIndex(all.where($"id" >= lo && $"id" < hi),
+        "id", "dh", path)
+    val batch = all.where($"id" < 16)
+    def probe() = Dedup.hammingJoinIndexed(batch,
+        IndexStore.loadMediaIndex(spark, path), "id", "dh")
+      .collect().map(_.toString).sorted.toSeq
+    val ts = Seq("bands", "members")
+    val preTables = canonIndex(path, ts)
+    val preProbe = probe()
+    assert(preProbe.nonEmpty)
+    val stats = IndexStore.compactIndex(spark, path)
+    assert(stats.map(_.table).toSet == ts.toSet)
+    assert(stats.forall(s => s.filesAfter < s.filesBefore),
+      s"four write generations must collapse: $stats")
+    assert(stats.forall(_.filesAfter == 1L),
+      s"tiny tables compact to one file: $stats")
+    assert(canonIndex(path, ts) == preTables,
+      "compaction must move rows, never change them")
+    assert(probe() == preProbe, "probe surface unchanged by compaction")
+    // the lifecycle continues: append after compact, monotone guard intact
+    IndexStore.appendMediaIndex(Seq((99L, 0x7777_8888_9999_AAAAL))
+      .toDF("id", "dh"), "id", "dh", path)
+    assert(spark.read.parquet(s"$path/members").count() ==
+      preTables("members").size + 1)
+
+    // corpus kind (multi-table, sets carry text) + crash recovery
+    val cPath = tmp()
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", cPath)
+    IndexStore.appendCorpusIndex(newDocs, "doc_id", "text", cPath)
+    val cts = Seq("bands", "sets", "members")
+    val cPre = canonIndex(cPath, cts)
+    // simulate a compact that crashed between its two renames: the
+    // members dir is aside, the table dir is gone
+    val fsDir = new java.io.File(s"$cPath/members")
+    assert(fsDir.renameTo(new java.io.File(s"$cPath/members__old")))
+    intercept[Exception] { IndexStore.loadCorpusIndex(spark, cPath) }
+    val cStats = IndexStore.compactIndex(spark, cPath)
+    assert(cStats.map(_.table).toSet == cts.toSet)
+    assert(canonIndex(cPath, cts) == cPre,
+      "recovery + compaction must restore the exact table image")
+    assert(!new java.io.File(s"$cPath/members__old").exists &&
+      !new java.io.File(s"$cPath/members__compacting").exists,
+      "no debris after a clean compact")
+    IndexStore.loadCorpusIndex(spark, cPath): Unit
+  }
+
   test("media index: a torn append (members without bands) heals on the next append") {
     // crash scenario: appendMediaIndex writes members, dies before the
     // bands append. The orphaned signature is invisible to probes (its

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Structured Streaming ops driven through MemoryStream: watermark
@@ -488,6 +489,23 @@ class StreamOpsSpec extends SparkSuite {
     assert(got == want, s"stream $got vs batch $want")
     assert(got.map(_._2).toSet == Set(100L, 101L, 102L),
       "every spark/state doc flagged; the unrelated doc is not")
+
+    // durable-stats mode: the frozen df/stats ride reliable storage
+    // (the long-running-production choice — localCheckpoint blocks die
+    // with an executor) and the gate's output is identical
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("graft_search_stats").toString
+    val input2 = MemoryStream[Doc]
+    val gated2 = StreamOps.searchGate(
+      input2.toDF().withColumnRenamed("doc_id", "query_id"), idx,
+      minScoreE6 = 500000L, statsPath = Some(statsPath))
+    val got2 = runBatches(input2, gated2, OutputMode.Append(),
+        Seq(prompts, Seq(Doc(9L, "zzzz", ts(60)))))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got2 == want, s"durable-stats gate drifted: $got2 vs $want")
+    assert(new java.io.File(statsPath, "df").isDirectory &&
+      new java.io.File(statsPath, "stats").isDirectory,
+      "frozen aggregates must be persisted for executor-failure recovery")
   }
 
   test("mediaIngestBatch: the living-index streaming ingest — batch-1 " +
@@ -513,7 +531,8 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
 
     def verdicts() = spark.read.parquet(outPath)
-      .select("batch_id", "asset_id", "status", "n_matches")
+      .select(col("batch_id").cast("long"), col("asset_id"), col("status"),
+        col("n_matches"))
       .as[(Long, Long, String, Long)].collect().toSeq.sorted
     val got = verdicts()
     assert(got == Seq((0L, 20L, "duplicate", 2L), (0L, 21L, "admitted", 0L),
@@ -522,10 +541,52 @@ class StreamOpsSpec extends SparkSuite {
     val m30 = spark.read.parquet(outPath).where($"asset_id" === 30L)
       .select("best_corpus_id").as[Long].head()
     assert(m30 == 21L, s"batch-2 copy should match the batch-1 admission, got $m30")
+    // the O(1) high-water-mark marker landed (underscore-prefixed, so
+    // invisible to the parquet reads above)
+    val hwmFile = new java.io.File(outPath, "_graft_hwm")
+    assert(hwmFile.isFile &&
+      scala.io.Source.fromFile(hwmFile).mkString.trim == "1",
+      "marker file must record the last fully-ingested batch id")
     // idempotence: replaying an already-watermarked micro-batch is a
     // no-op — no double verdicts, no monotone-id raise
     sink(b2.map(a => (a.asset_id, a.dh)).toDF("asset_id", "dh"), 1L)
     assert(verdicts() == got, "replay must not change the verdict table")
+    // crash window 1 — index appended, verdict write lost: simulate by
+    // running the round DIRECTLY (grows the index, writes no verdicts),
+    // then replaying through the sink. The round's replay-invariance
+    // must reproduce the original verdicts: the admission (41) stays
+    // admitted instead of becoming a duplicate of itself
+    val sigM = 0x00FF_00FF_00FF_00FFL // novel vs sigA/sigN
+    val b3 = Seq((40L, sigA ^ 2L), (41L, sigM)).toDF("asset_id", "dh")
+    IndexStore.ingestMedia(b3, "asset_id", "dh", idxPath): Unit
+    sink(b3, 2L)
+    val after3 = verdicts()
+    assert(after3.filter(_._1 == 2L) ==
+      Seq((2L, 40L, "duplicate", 2L), (2L, 41L, "admitted", 0L)),
+      s"crash-replay verdicts drifted: $after3")
+    assert(spark.read.parquet(s"$idxPath/members")
+        .where($"member_id" === 41L).count() == 1L,
+      "the admission must be in the index exactly once after the replay")
+    // crash window 2 — verdicts written, marker write lost: the stale
+    // marker replays the batch; dynamic partition overwrite replaces
+    // its partition rather than appending duplicate rows. (The raw
+    // rewrite must also drop Hadoop's local-FS checksum shadow, or the
+    // reader sees a CORRUPT marker — which exercises the other leg:
+    // checksum mismatch → fallback scan, also covered below.)
+    new java.io.PrintWriter(hwmFile) { write("1"); close() }
+    new java.io.File(outPath, "._graft_hwm.crc").delete(): Unit
+    sink(b3, 2L)
+    assert(verdicts() == after3,
+      "stale-marker replay must not duplicate verdict rows")
+    assert(scala.io.Source.fromFile(hwmFile).mkString.trim == "2",
+      "the replay must restore the marker")
+    // corrupt/unreadable marker: the fallback table scan finds batch 2
+    // already recorded and skips — no duplicate rows, no raise
+    new java.io.PrintWriter(hwmFile) { write("not-a-number"); close() }
+    new java.io.File(outPath, "._graft_hwm.crc").delete(): Unit
+    sink(b3, 2L)
+    assert(verdicts() == after3,
+      "corrupt-marker fallback must scan and skip, not re-ingest")
   }
 
   test("vectorIngestBatch / corpusIngestBatch: the sibling living-index " +
@@ -546,7 +607,8 @@ class StreamOpsSpec extends SparkSuite {
       vin.addData(Seq((30L, w.map(_ * 3)))); vq.processAllAvailable()
     } finally vq.stop()
     val vGot = spark.read.parquet(vOut)
-      .select("batch_id", "vec_id", "status", "best_corpus_id")
+      .select(col("batch_id").cast("long"), col("vec_id"), col("status"),
+        col("best_corpus_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sorted
     assert(vGot == Seq((0L, 20L, "duplicate", 10L), (0L, 21L, "admitted", -1L),
@@ -570,7 +632,8 @@ class StreamOpsSpec extends SparkSuite {
       cin.addData(Seq((30L, otherNear))); cq.processAllAvailable()
     } finally cq.stop()
     val cGot = spark.read.parquet(cOut)
-      .select("batch_id", "doc_id", "status", "best_corpus_id")
+      .select(col("batch_id").cast("long"), col("doc_id"), col("status"),
+        col("best_corpus_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sorted
     assert(cGot == Seq((0L, 20L, "duplicate", 10L), (0L, 21L, "admitted", -1L),
