@@ -181,16 +181,28 @@ object IndexStore {
   private def requireMemberCoverage(
       members: DataFrame, groups: DataFrame, keyCol: String,
       groupTable: String, path: String): Unit = {
-    val orphans = members.select(col(keyCol)).distinct()
-      .join(groups.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .count()
-    require(orphans == 0L,
-      s"IndexStore: index at $path is torn — $orphans member group id(s) " +
-        s"have no $groupTable row (a crash between the members append " +
-        s"and the $groupTable append lost the group key, so these " +
-        "members are permanently unreachable and unhealable); rebuild " +
-        "the index over the full corpus or prune the orphaned id range " +
-        "from members/")
+    // fast path: one action over two partial aggregates. Group-key rows
+    // are unique per group and always written AFTER their member rows
+    // (members-first crash posture), so the group-table row count
+    // equals the members' distinct group count IFF no member group is
+    // orphaned — the anti-join runs only on the failure path, to count
+    // the orphans for the message.
+    val chk = members.agg(count_distinct(col(keyCol)).as("__mg"))
+      .crossJoin(broadcast(groups.agg(count(lit(1)).as("__gs"))))
+      .head()
+    if (chk.getLong(0) != chk.getLong(1)) {
+      val orphans = members.select(col(keyCol)).distinct()
+        .join(groups.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .count()
+      throw new IllegalArgumentException(
+        s"IndexStore: index at $path is torn — $orphans member group " +
+          s"id(s) have no $groupTable row (${chk.getLong(0)} member " +
+          s"groups vs ${chk.getLong(1)} $groupTable rows; a crash " +
+          s"between the members append and the $groupTable append lost " +
+          "the group key, so these members are permanently unreachable " +
+          "and unhealable); rebuild the index over the full corpus or " +
+          "prune the orphaned id range from members/")
+    }
   }
 
   // ---------------------------------------------------------------
@@ -298,15 +310,28 @@ object IndexStore {
     // torn-append heal: stored sets with no band rows (a crash between
     // a prior sets append and its bands append) are invisible to every
     // probe but carry their text — recompute their bands with the
-    // builder's own derivation. Materialized BEFORE the writes below
-    // mutate the directories this plan lists (same race rationale as
-    // `novel`). Healthy index → empty frame → no extra band rows.
-    val orphanedSets = oldSets
+    // builder's own derivation. Fast path first: every group with ≥1
+    // shingle has exactly numBands band rows, so
+    // count(bands) == numBands × count(sets) proves full coverage with
+    // two shuffle-free counts and the heal anti-join is skipped
+    // entirely (filter-false prunes it to an empty relation — the
+    // stored files are never even listed, so there is no re-list race
+    // with the writes below). Zero-shingle docs legitimately break the
+    // count identity; such corpora fall back to the anti-join, which
+    // is then materialized BEFORE the directory-mutating writes (same
+    // race rationale as `novel`).
+    val oldBands = spark.read.parquet(s"$path/bands")
+    val covered = oldBands.agg(count(lit(1)).as("__b"))
+      .crossJoin(broadcast(oldSets.agg(count(lit(1)).as("__s"))))
+      .head()
+    val orphanedSets0 = oldSets
       .select(col("corpus_id").as("id"), col("text").as("__text"))
-      .join(spark.read.parquet(s"$path/bands")
-          .select(col("corpus_id").as("id")).distinct(),
+      .join(oldBands.select(col("corpus_id").as("id")).distinct(),
         Seq("id"), "left_anti")
-      .localCheckpoint(true)
+    val orphanedSets =
+      if (covered.getLong(0) == numBands.toLong * covered.getLong(1))
+        orphanedSets0.where(lit(false))
+      else orphanedSets0.localCheckpoint(true)
     val (bands, sets, members) =
       Dedup.corpusTablesFromGroups(novel, shingleSize, numHashes, numBands)
     // members FIRST — see crash posture in the scaladoc
@@ -631,13 +656,22 @@ object IndexStore {
     val novel = gn.join(oldReps.select(col("v")), Seq("v"), "left_anti")
       .localCheckpoint(true)
     // torn-append heal: stored reps with no block rows get them
-    // recomputed from their stored vector — materialized BEFORE the
-    // directory-mutating writes below (see [[appendCorpusIndex]])
-    val orphanedReps = oldReps.select(col("rep_id").as("id"), col("v"))
-      .join(spark.read.parquet(s"$path/blocks")
-          .select(col("rep_id").as("id")).distinct(),
+    // recomputed from their stored vector. Same fast path as
+    // [[appendCorpusIndex]] — every rep has exactly numBlocks block
+    // rows, so the count identity proves coverage without the
+    // anti-join shuffle; on mismatch the anti-join is materialized
+    // BEFORE the directory-mutating writes below.
+    val oldBlocks = spark.read.parquet(s"$path/blocks")
+    val covered = oldBlocks.agg(count(lit(1)).as("__b"))
+      .crossJoin(broadcast(oldReps.agg(count(lit(1)).as("__r"))))
+      .head()
+    val orphanedReps0 = oldReps.select(col("rep_id").as("id"), col("v"))
+      .join(oldBlocks.select(col("rep_id").as("id")).distinct(),
         Seq("id"), "left_anti")
-      .localCheckpoint(true)
+    val orphanedReps =
+      if (covered.getLong(0) == m("num_blocks").toLong * covered.getLong(1))
+        orphanedReps0.where(lit(false))
+      else orphanedReps0.localCheckpoint(true)
     val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
       novel, m("dim").toInt, m("num_blocks").toInt,
       m("planes_per_block").toInt, m("seed").toLong)
