@@ -899,6 +899,17 @@ object IndexStore {
     * deleted files mid-read, and a concurrent append's files would be
     * dropped by the swap. Gates restart after compaction — the same
     * restart they already need to see appends.
+    *
+    * Cost is O(table) per call — the safe primitive over plain parquet
+    * directories, where the atomic unit is the directory swap. A
+    * PARTIAL compaction (rewrite only the small files) cannot be made
+    * crash-safe here: merging N small files and deleting them is two
+    * non-atomic steps whose crash window either duplicates or loses
+    * rows, and fixing that requires a manifest-bearing table format
+    * (Iceberg/Delta-style) rather than path-listing parquet. At 100 TB
+    * run this per table on the maintenance cadence (the rewrite is a
+    * scan → hash-repartition → write with no joins — cheaper than one
+    * ingest round at the same scale, per SCALING.md round-10).
     */
   def compactIndex(
       spark: SparkSession,

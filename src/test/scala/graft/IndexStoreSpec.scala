@@ -633,6 +633,38 @@ class IndexStoreSpec extends SparkSuite {
       !new java.io.File(s"$cPath/members__compacting").exists,
       "no debris after a clean compact")
     IndexStore.loadCorpusIndex(spark, cPath): Unit
+
+    // remaining kinds: the table/key mappings must round-trip for
+    // vector, ivf and text too (a wrong key column would throw in the
+    // repartition; a wrong table name in the listing)
+    val vPath = tmp()
+    IndexStore.saveVectorIndex(oldVecs, "vec_id", "embedding", vPath, dim = 8)
+    IndexStore.appendVectorIndex(newVecs, "vec_id", "embedding", vPath)
+    val vts = Seq("blocks", "reps", "members")
+    val vPre = canonIndex(vPath, vts)
+    assert(IndexStore.compactIndex(spark, vPath).map(_.table).toSet == vts.toSet)
+    assert(canonIndex(vPath, vts) == vPre)
+    IndexStore.loadVectorIndex(spark, vPath): Unit
+
+    val iPath = tmp()
+    IndexStore.saveIvf(
+      IvfIndex.build(oldVecs, "vec_id", "embedding", nLists = 3,
+        trainFraction = 1.0), iPath)
+    IndexStore.appendIvf(newVecs, "vec_id", "embedding", iPath)
+    val iPre = canonIndex(iPath, Seq("assign", "centroids"))
+    assert(IndexStore.compactIndex(spark, iPath).map(_.table).toSet ==
+      Set("assign", "centroids"))
+    assert(canonIndex(iPath, Seq("assign", "centroids")) == iPre)
+    IndexStore.loadIvf(spark, iPath): Unit
+
+    val tPath = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", tPath)
+    IndexStore.appendTextIndex(newDocs, "doc_id", "text", tPath)
+    val tPre = canonIndex(tPath, Seq("postings", "doclen"))
+    assert(IndexStore.compactIndex(spark, tPath).map(_.table).toSet ==
+      Set("postings", "doclen"))
+    assert(canonIndex(tPath, Seq("postings", "doclen")) == tPre)
+    IndexStore.loadTextIndex(spark, tPath): Unit
   }
 
   test("media index: a torn append (members without bands) heals on the next append") {
