@@ -845,12 +845,47 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$path/doclen")
   }
 
+  /** Load a persisted text index. With `check` on (the default),
+    * raises on the text kind's one torn-append shape: doclen rows
+    * whose postings append was lost in a crash (doclen is written
+    * first — see [[appendTextIndex]]). Such docs can never match a
+    * query (no postings) but silently inflate N and Σdl, shifting
+    * EVERY document's idf and length normalization — corpus-wide skew
+    * rather than unreachable rows, so it is detected, not tolerated.
+    * The check is one action over two shuffle-free sums: dl is BY
+    * CONSTRUCTION the per-doc sum of tf ([[TextAnalysis.textIndex]]),
+    * so Σdl == Σtf iff no doclen row lost its postings; the
+    * orphan-counting anti-join runs only on the failure path. The doc
+    * text is not stored, so the shape is unhealable — recovery is a
+    * rebuild or pruning the orphaned id range, as with the
+    * corpus/vector member orphans.
+    */
   def loadTextIndex(
-      spark: SparkSession, path: String): TextAnalysis.TextIndex = {
+      spark: SparkSession, path: String,
+      check: Boolean = true): TextAnalysis.TextIndex = {
     metaOf(spark, path, "text")
-    TextAnalysis.TextIndex(
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/doclen"))
+    val postings = spark.read.parquet(s"$path/postings")
+    val doclen = spark.read.parquet(s"$path/doclen")
+    if (check) {
+      val sums = doclen.agg(sum(col("dl")).as("__dl"))
+        .crossJoin(broadcast(postings.agg(sum(col("tf")).as("__tf"))))
+        .head()
+      if (sums.isNullAt(0) != sums.isNullAt(1) ||
+          (!sums.isNullAt(0) && sums.getLong(0) != sums.getLong(1))) {
+        val orphans = doclen.select(col("doc_id")).distinct()
+          .join(postings.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .count()
+        throw new IllegalArgumentException(
+          s"IndexStore: text index at $path is torn — $orphans doc(s) " +
+            s"have doclen rows but no postings (Σdl=${sums.get(0)} vs " +
+            s"Σtf=${sums.get(1)}; a crash between the doclen append and " +
+            "the postings append lost the terms, and the stranded " +
+            "doclen rows skew every score's idf/avgdl); rebuild the " +
+            "index or prune the orphaned id range from doclen/")
+      }
+    }
+    TextAnalysis.TextIndex(postings, doclen)
   }
 
   // ---------------------------------------------------------------

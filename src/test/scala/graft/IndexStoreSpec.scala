@@ -187,6 +187,21 @@ class IndexStoreSpec extends SparkSuite {
       "persisted-index probe must match the inline build")
   }
 
+  test("text index: torn append (doclen without postings) raises at load") {
+    val path = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", path)
+    // simulate: appendTextIndex wrote doclen, crashed before postings —
+    // the stranded rows inflate N/avgdl for every future score
+    Seq((50L, 30L)).toDF("doc_id", "dl")
+      .write.mode("append").parquet(s"$path/doclen")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadTextIndex(spark, path)
+    }
+    assert(e.getMessage.contains("torn") && e.getMessage.contains("postings"),
+      e.getMessage)
+    IndexStore.loadTextIndex(spark, path, check = false): Unit
+  }
+
   test("text index: overlapping append raises; kind mismatch raises") {
     val path = tmp()
     IndexStore.saveTextIndex(oldDocs, "doc_id", "text", path)
