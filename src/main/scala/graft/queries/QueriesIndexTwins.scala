@@ -345,6 +345,141 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
       .orderBy("asset_id")
   }
 
+  /** q253: TWO INGEST ROUNDS through the persisted CORPUS (MinHash-LSH)
+    * index — the lexical member of the ingest-round family finally
+    * oracled end to end. The raw documents table is too densely
+    * self-similar for this (at jaccard ≥ 0.6 nearly every slice has
+    * cross-slice partners whose LSH candidacy is probabilistic — the
+    * round-9 finding), so the fixture DILUTES: every corpus doc is a
+    * real document's text plus 2× its token count of doc-unique filler
+    * tokens, which caps jaccard between ANY two distinct constructed
+    * texts at ≈ 1/3 (shared base shingles over a 5×-ish union) while
+    * exact copies stay at jaccard 1.0 — and an exact copy has the
+    * IDENTICAL minhash signature, so its candidacy is certain, not
+    * banded luck. Every ≥-0.7 pair in the construction is therefore an
+    * exact-text pair: the verdict is deterministic and the DuckDB
+    * oracle replays the construction plus brute-force exact jaccard.
+    * Round 1: even-base batch docs are exact corpus copies (rejected,
+    * n_matches 1, best_jaccard 1.0), odd-base docs are fresh dilutions
+    * (admitted). Round 2: exact copies of round 1's ADMISSIONS — every
+    * one rejected against a doc that was not in the corpus when the
+    * query started: cross-batch growth through the persisted index,
+    * proven by hash.
+    */
+  def corpusIngestRounds(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    def diluted(prefix: String) = concat(col("text"), lit(" "),
+      concat_ws(" ", transform(
+        sequence(lit(1), size(TextFunctions.tokens(col("text"))) * 2),
+        i => concat(lit(prefix), col("doc_id").cast("string"), lit("x"),
+          i.cast("string")))))
+    val base = t(s, dir, "documents")
+      .where(col("doc_id") >= 100 && col("doc_id") < 300 &&
+        col("text").isNotNull &&
+        size(TextFunctions.tokens(col("text"))) >= 10)
+      .select(col("doc_id"), col("text"))
+    val corpus = base.select(col("doc_id"), diluted("cc").as("text"))
+      .localCheckpoint(true) // reused: index build + batch-even copies
+    val path = scratchDir("corpus_ingest_rounds")
+    IndexStore.saveCorpusIndex(corpus, "doc_id", "text", path)
+    val evens = corpus
+      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 0)
+      .select((col("doc_id") + 200).as("doc_id"), col("text"))
+    val odds = base
+      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") + 200).as("doc_id"), col("text"))
+      .select(col("doc_id"), diluted("zz").as("text"))
+    val batch1 = evens.unionByName(odds).localCheckpoint(true)
+    val v1 = IndexStore.ingestCorpus(batch1, "doc_id", "text", path,
+      threshold = 0.7).withColumn("ingest", lit(1))
+    val batch2 = batch1
+      .join(v1.where(col("status") === "admitted").select("doc_id"),
+        Seq("doc_id"))
+      .select((col("doc_id") + 200).as("doc_id"), col("text"))
+    val v2 = IndexStore.ingestCorpus(batch2, "doc_id", "text", path,
+      threshold = 0.7).withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("doc_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val corpusIngestRoundsSql: String = {
+    def dil(prefix: String, idExpr: String): String =
+      s"""array_to_string(['$prefix' || CAST($idExpr AS VARCHAR) || 'x' ||
+         |      CAST(i AS VARCHAR) for i in range(1, 2 * len(toks) + 1)], ' ')"""
+        .stripMargin
+    val toksOf = duckToks
+    val shOf = duckShingles
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $toksOf AS toks FROM documents
+       |  WHERE doc_id >= 100 AND doc_id < 300 AND text IS NOT NULL),
+       |base10 AS (SELECT * FROM base WHERE len(toks) >= 10),
+       |corpus AS (SELECT doc_id,
+       |    text || ' ' || ${dil("cc", "doc_id")} AS text
+       |  FROM base10),
+       |evens AS (SELECT doc_id + 200 AS doc_id, text FROM corpus
+       |  WHERE doc_id < 200 AND doc_id % 2 = 0),
+       |odds AS (SELECT doc_id + 200 AS doc_id,
+       |    text || ' ' || ${dil("zz", "doc_id + 200")} AS text
+       |  FROM base10 WHERE doc_id < 200 AND doc_id % 2 = 1),
+       |b1 AS (SELECT * FROM evens UNION ALL SELECT * FROM odds),
+       |csh AS (SELECT doc_id, $shOf AS sh
+       |  FROM (SELECT doc_id, $toksOf AS toks FROM corpus)),
+       |b1sh AS (SELECT doc_id, $shOf AS sh
+       |  FROM (SELECT doc_id, $toksOf AS toks FROM b1)),
+       |m1 AS (SELECT * FROM (
+       |    SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id,
+       |      round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+       |            len(list_distinct(list_concat(b.sh, c.sh))), 4) AS jaccard
+       |    FROM b1sh b JOIN csh c ON true)
+       |  WHERE jaccard >= 0.7),
+       |r1 AS (SELECT doc_id, corpus_id, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY jaccard DESC, corpus_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+       |  FROM m1),
+       |best1 AS (SELECT doc_id, corpus_id AS best_corpus_id,
+       |    jaccard AS best_jaccard, n FROM r1 WHERE rn = 1),
+       |v1 AS (SELECT b.doc_id,
+       |    CASE WHEN best1.doc_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(best1.n, 0) AS n_matches, best1.best_corpus_id,
+       |    best1.best_jaccard
+       |  FROM b1 b LEFT JOIN best1 ON best1.doc_id = b.doc_id),
+       |idx2 AS (SELECT * FROM csh
+       |  UNION ALL
+       |  SELECT doc_id, sh FROM b1sh WHERE doc_id IN
+       |    (SELECT doc_id FROM v1 WHERE status = 'admitted')),
+       |b2sh AS (SELECT doc_id + 200 AS doc_id, sh FROM b1sh
+       |  WHERE doc_id IN (SELECT doc_id FROM v1 WHERE status = 'admitted')),
+       |m2 AS (SELECT * FROM (
+       |    SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id,
+       |      round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+       |            len(list_distinct(list_concat(b.sh, c.sh))), 4) AS jaccard
+       |    FROM b2sh b JOIN idx2 c ON true)
+       |  WHERE jaccard >= 0.7),
+       |r2 AS (SELECT doc_id, corpus_id, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY jaccard DESC, corpus_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+       |  FROM m2),
+       |best2 AS (SELECT doc_id, corpus_id AS best_corpus_id,
+       |    jaccard AS best_jaccard, n FROM r2 WHERE rn = 1),
+       |v2 AS (SELECT b.doc_id,
+       |    CASE WHEN best2.doc_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(best2.n, 0) AS n_matches, best2.best_corpus_id,
+       |    best2.best_jaccard
+       |  FROM b2sh b LEFT JOIN best2 ON best2.doc_id = b.doc_id)
+       |SELECT CAST(1 AS INT) AS ingest, doc_id, status, n_matches,
+       |  best_corpus_id, best_jaccard FROM v1
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS ingest, doc_id, status, n_matches,
+       |  best_corpus_id, best_jaccard FROM v2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q252: COMPACTION TRANSPARENCY through the ingest lifecycle — the
     * q248 two-round fixture with [[IndexStore.compactIndex]] run
     * between the rounds: a long-running index is compacted on some
