@@ -682,6 +682,33 @@ class IndexStoreSpec extends SparkSuite {
     IndexStore.loadTextIndex(spark, tPath): Unit
   }
 
+  test("intra-batch collapse composes into ingestVector: one admission " +
+      "per near-dup family (the q251 pattern, semantic sibling)") {
+    val u = Array(1.0, 0.0, 0.0, 0.0)
+    val w = Array(0.0, 1.0, 0.0, 0.0)
+    val path = tmp()
+    IndexStore.saveVectorIndex(
+      Seq((10L, u)).toDF("id", "v"), "id", "v", path, dim = 4)
+    // 20/21: mutually-near novel family (scaled copies, cos exactly 1.0
+    // with guaranteed shared sign pattern); 22: copy of the corpus vector
+    val batch = Seq((20L, w), (21L, w.map(_ * 2)), (22L, u.map(_ * 3)))
+      .toDF("id", "v")
+    val pairs = Similarity.cosineNearDupPairs(batch, "id", "v",
+      dim = 4, threshold = 0.9)
+    val survivors = batch.join(
+      pairs.select(col("id_b").as("id")).distinct(), Seq("id"), "left_anti")
+    val v = IndexStore.ingestVector(survivors, "id", "v", path,
+        threshold = 0.9)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v == Seq((20L, "admitted"), (22L, "duplicate")),
+      s"family head admits, corpus copy rejects: $v")
+    val members = spark.read.parquet(s"$path/members")
+      .select("member_id").as[Long].collect().toSet
+    assert(members == Set(10L, 20L),
+      s"exactly one member of the 20/21 family reached the index: $members")
+  }
+
   test("media index: a torn append (members without bands) heals on the next append") {
     // crash scenario: appendMediaIndex writes members, dies before the
     // bands append. The orphaned signature is invisible to probes (its
