@@ -458,4 +458,19 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), s"$q builds a Cartesian:\n$p")
     }
   }
+
+  test("ingest rounds (q248/q250/q251/q253): the replay-invariance filter " +
+      "stays a broadcast one-row fold, never a Cartesian") {
+    // IndexStore's pre-batch match filter crossJoins ONE broadcast
+    // aggregate row (min batch id) into the screen output; it must plan
+    // as a BroadcastNestedLoopJoin over that single row — a
+    // CartesianProduct would mean the broadcast hint was lost and the
+    // screen output is being multiplied against a distributed relation
+    Seq("q248_media_ingest_rounds", "q250_vector_ingest_rounds",
+        "q251_media_ingest_collapsed", "q253_corpus_ingest_rounds")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q builds a Cartesian:\n$p")
+      }
+  }
 }
