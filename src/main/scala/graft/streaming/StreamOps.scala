@@ -496,6 +496,15 @@ object StreamOps {
     * partition OVERWRITE (a re-run after a crash between the verdict
     * write and the marker write replaces, never duplicates), and the
     * O(1) high-water-mark marker skips batches proven fully done.
+    *
+    * Maintenance note: the verdict table grows one `batch_id=N`
+    * partition per trigger — an append-only LOG, deliberately outside
+    * [[graft.operators.IndexStore.compactIndex]]'s scope (coalescing
+    * partitions would break the per-batch overwrite idempotence for
+    * any batch that could still replay). Long-lived deployments should
+    * periodically ETL closed batches into date-partitioned archives
+    * downstream; the INDEX the loop grows is what compactIndex
+    * maintains.
     */
   def mediaIngestBatch(
       indexPath: String,

@@ -846,6 +846,51 @@ class StreamOpsSpec extends SparkSuite {
     assert(afterB1 == Map("click" -> 2L, "view" -> 1L), afterB1.toString)
   }
 
+  test("mediaIngestBatch: checkpointed RESTART continues batch numbering — " +
+      "the high-water-mark contract survives a query bounce") {
+    // the ingest loops' exactly-once story leans on foreachBatch's
+    // batchId continuity under a checkpoint: after a stop/restart the
+    // next micro-batch must arrive with the NEXT id (not 0), or the
+    // marker would skip it as already done. Pin the whole interplay:
+    // batch 0 pre-restart, batch 1 post-restart, marker ends at 1,
+    // cross-restart admission gating intact.
+    import graft.streaming.StreamOps.Asset
+    import graft.operators.IndexStore
+    val sigA = 0x1111_2222_3333_4444L
+    val sigN = 0x5555_6666_7777_8888L
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ingr_idx").toString
+    val outPath = java.nio.file.Files.createTempDirectory("graft_ingr_out").toString + "/v"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingr_ckpt").toString
+    IndexStore.saveMediaIndex(
+      Seq((10L, sigA)).toDF("id", "dh"), "id", "dh", idxPath)
+    val input = MemoryStream[Asset]
+    def start() = input.toDF().writeStream
+      .foreachBatch(StreamOps.mediaIngestBatch(idxPath, outPath, "asset_id", "dh"))
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(Seq(Asset(20L, sigN, ts(0)))) // novel: admitted
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // gated by the PRE-restart admission + the original corpus
+      input.addData(Seq(Asset(30L, sigN, ts(1)), Asset(31L, sigA ^ 1L, ts(2))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(outPath)
+      .select(col("batch_id").cast("long"), col("asset_id"), col("status"),
+        col("best_corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sorted
+    assert(got == Seq((0L, 20L, "admitted", -1L),
+      (1L, 30L, "duplicate", 20L), (1L, 31L, "duplicate", 10L)),
+      s"restart must continue at batch 1 and gate on batch 0's admission: $got")
+    assert(scala.io.Source.fromFile(
+        new java.io.File(outPath, "_graft_hwm")).mkString.trim == "1",
+      "marker advanced across the restart")
+  }
+
   test("restart-with-append capstone: checkpointed gate resumes against the grown index") {
     // the full production lifecycle in one scenario: persist index →
     // gate stream (checkpointed) → STOP → append corpus delta →
