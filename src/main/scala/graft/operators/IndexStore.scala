@@ -112,7 +112,7 @@ object IndexStore {
     * duplicates of themselves — and is a no-op on a first run, by the
     * same contract. One broadcast 1-row aggregate, no extra shuffle.
     */
-  private def preBatchMatches(
+  private[graft] def preBatchMatches(
       matches: DataFrame, batch: DataFrame, idCol: String): DataFrame = {
     val mn = batch.agg(min(col(idCol)).as("__batch_min"))
     matches.crossJoin(broadcast(mn))
@@ -128,9 +128,19 @@ object IndexStore {
     *    append; the append's own monotone guard re-verifies.
     *  - REPLAY (every admitted id at-or-below the index max): under the
     *    monotone contract this can only be a re-run of a round whose
-    *    append landed before the crash — verify each admitted id is
-    *    already a member (anti-join, only in this rare branch) and skip
-    *    the append instead of tripping the monotone guard.
+    *    append landed before the crash — verify membership (anti-join,
+    *    only in this rare branch) and skip the append instead of
+    *    tripping the monotone guard. A replay whose original append
+    *    pushed an LSH bucket past the load-time cap can legitimately
+    *    re-screen a borderline duplicate as admitted (the grown bucket
+    *    is dropped wholesale at load): such flipped ids are NOT members
+    *    and are NOT appended (their ids sort below the index max — the
+    *    monotone contract forbids it), and the skip tolerates them
+    *    rather than wedging the at-least-once loop with a raise; the
+    *    leakage is bounded to the replayed batch (later copies carry
+    *    fresh ids, screen on the fresh path, and index normally). Only
+    *    a replay-shaped batch with NO admitted id present raises — that
+    *    is not a replay but a reused id range.
     *  - STRADDLING ids: a genuine contract violation — raise.
     * An all-duplicate round (nothing admitted) appends nothing and
     * writes no files.
@@ -154,13 +164,14 @@ object IndexStore {
     else if (r.getBoolean(2)) {
       val missing = admitted.select(col(idCol).as("__aid"))
         .join(existingIds.toDF("__aid"), Seq("__aid"), "left_anti")
-        .limit(1).count()
-      require(missing == 0L,
-        s"IndexStore.$op: the batch's admitted ids sort at-or-below the " +
-          "index's max id (replay shape) but some are NOT members — the " +
-          "index is corrupt or the monotone-id contract was violated; " +
-          "rebuild the index or re-id the batch")
-      // verified replay: the admissions are already in the index
+        .count()
+      require(missing < n,
+        s"IndexStore.$op: every admitted id sorts at-or-below the " +
+          "index's max id but NONE is a member — this is not a replay, " +
+          "it is a reused id range (monotone-ingest contract " +
+          "violation); re-id the batch or rebuild the index")
+      // verified replay: admissions already indexed. missing > 0 is the
+      // documented cap-flip tolerance (see scaladoc), not corruption.
     } else throw new IllegalArgumentException(
       s"IndexStore.$op: admitted ids straddle the index's max id — the " +
         "monotone-ingest contract is violated (a replayed round would " +
@@ -383,8 +394,11 @@ object IndexStore {
     val batch = newDocs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .localCheckpoint(true)
+    // loaded once: the screen probes it, and the replay disposition
+    // reuses its members relation instead of re-listing the table
+    val idx = loadCorpusIndex(spark, path, maxBucketSize)
     val matches = preBatchMatches(Dedup.minhashLSHJoinIndexed(batch,
-      loadCorpusIndex(spark, path, maxBucketSize), "doc_id", "text",
+      idx, "doc_id", "text",
       m("shingle_size").toInt, m("num_hashes").toInt,
       m("num_bands").toInt, threshold, maxBucketSize), batch, "doc_id")
     val agg = matches.groupBy(col("new_id").as("doc_id"))
@@ -403,8 +417,7 @@ object IndexStore {
       verdict.where(col("status") === "admitted").select(col("doc_id")),
       Seq("doc_id"))
     appendAdmittedIdempotent(admitted, "doc_id",
-      spark.read.parquet(s"$path/members").select(col("member_id")),
-      "ingestCorpus") {
+      idx.members.select(col("member_id")), "ingestCorpus") {
       appendCorpusIndex(admitted, "doc_id", "text", path)
     }
     verdict
@@ -546,9 +559,9 @@ object IndexStore {
       .select(col(idCol).as("asset_id"), col(hashCol).cast("long").as("dh"))
       .where(col("dh").isNotNull)
       .localCheckpoint(true)
+    val idx = loadMediaIndex(spark, path, maxBucketSize)
     val matches = preBatchMatches(Dedup.hammingJoinIndexed(batch,
-      loadMediaIndex(spark, path, maxBucketSize), "asset_id", "dh", maxDist),
-      batch, "asset_id")
+      idx, "asset_id", "dh", maxDist), batch, "asset_id")
     val agg = matches.groupBy(col("new_id").as("asset_id"))
       .agg(count(lit(1)).as("__n"),
         min(struct(col("hamming"), col("corpus_id"))).as("__best"))
@@ -567,8 +580,7 @@ object IndexStore {
       verdict.where(col("status") === "admitted").select(col("asset_id")),
       Seq("asset_id"))
     appendAdmittedIdempotent(admitted, "asset_id",
-      spark.read.parquet(s"$path/members").select(col("member_id")),
-      "ingestMedia") {
+      idx.members.select(col("member_id")), "ingestMedia") {
       appendMediaIndex(admitted, "asset_id", "dh", path)
     }
     verdict
@@ -719,8 +731,9 @@ object IndexStore {
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull && size(col("v")) === m("dim").toInt)
       .localCheckpoint(true)
+    val idx = loadVectorIndex(spark, path, maxBucketSize)
     val matches = preBatchMatches(Similarity.cosineJoinIndexed(
-      loadVectorIndex(spark, path, maxBucketSize), batch, "vec_id", "v",
+      idx, batch, "vec_id", "v",
       m("dim").toInt, threshold, m("num_blocks").toInt,
       m("planes_per_block").toInt, m("seed").toLong), batch, "vec_id")
     val agg = matches.groupBy(col("new_id").as("vec_id"))
@@ -742,8 +755,7 @@ object IndexStore {
       verdict.where(col("status") === "admitted").select(col("vec_id")),
       Seq("vec_id"))
     appendAdmittedIdempotent(admitted, "vec_id",
-      spark.read.parquet(s"$path/members").select(col("member_id")),
-      "ingestVector") {
+      idx.members.select(col("member_id")), "ingestVector") {
       appendVectorIndex(admitted, "vec_id", "v", path)
     }
     verdict

@@ -558,6 +558,7 @@ object StreamOps {
         }
       }
       if (hwm < batchId && !batch.isEmpty) {
+        requireNotLegacyLayout(spark, verdictPath)
         round(batch).withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -567,6 +568,35 @@ object StreamOps {
       }
       ()
     }
+
+  /** Refuse to write `batch_id=` partition directories into a verdict
+    * table that holds ROOT-LEVEL data files (the pre-round-10
+    * unpartitioned layout, where batch_id rode as a data column): the
+    * mixed result is a directory structure Spark cannot read at all
+    * ("conflicting directory structures"), which would break every
+    * downstream consumer AND this sink's own fallback scan. Legacy
+    * tables stay readable (the fallback scan handles them) right up
+    * until a write would corrupt them — the raise carries the
+    * migration recipe instead. One root listing per trigger.
+    */
+  private def requireNotLegacyLayout(
+      spark: org.apache.spark.sql.SparkSession, verdictPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(verdictPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val legacy = fs.listStatus(p).exists(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      require(!legacy,
+        s"StreamOps ingest sink: verdict table at $verdictPath has " +
+          "root-level data files (the unpartitioned legacy layout); " +
+          "writing batch_id= partitions alongside them would produce a " +
+          "mixed directory structure Spark cannot read. Migrate once — " +
+          "read the table and rewrite it partitioned by batch_id — or " +
+          "point the sink at a fresh verdict path")
+    }
+  }
 
   private def hwmPath(verdictPath: String) =
     new org.apache.hadoop.fs.Path(verdictPath, "_graft_hwm")

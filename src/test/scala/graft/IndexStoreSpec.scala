@@ -574,6 +574,13 @@ class IndexStoreSpec extends SparkSuite {
         Seq((15L, 0x1L), (30L, 0x2L)).toDF("id", "dh"), "id", "dh", path)
     }
     assert(e.getMessage.contains("straddle"), e.getMessage)
+    // replay-SHAPED but nothing is a member: a reused id range, not a
+    // replay — raises instead of silently recording unindexed verdicts
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.ingestMedia(
+        Seq((12L, 0x4L)).toDF("id", "dh"), "id", "dh", path)
+    }
+    assert(e2.getMessage.contains("reused id range"), e2.getMessage)
 
     val u = Array(1.0, 0.0, 0.0, 0.0); val w = Array(0.0, 1.0, 0.0, 0.0)
     val vPath = tmp()

@@ -459,18 +459,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("ingest rounds (q248/q250/q251/q253): the replay-invariance filter " +
-      "stays a broadcast one-row fold, never a Cartesian") {
-    // IndexStore's pre-batch match filter crossJoins ONE broadcast
-    // aggregate row (min batch id) into the screen output; it must plan
-    // as a BroadcastNestedLoopJoin over that single row — a
-    // CartesianProduct would mean the broadcast hint was lost and the
-    // screen output is being multiplied against a distributed relation
-    Seq("q248_media_ingest_rounds", "q250_vector_ingest_rounds",
-        "q251_media_ingest_collapsed", "q253_corpus_ingest_rounds")
-      .foreach { q =>
-        val p = plan(q)
-        assert(!p.contains("CartesianProduct"), s"$q builds a Cartesian:\n$p")
-      }
+  test("IndexStore.preBatchMatches: the one-row min fold plans as a " +
+      "broadcast nested loop, never a Cartesian") {
+    // The ingest rounds' replay-invariance filter crossJoins ONE
+    // broadcast aggregate row (min batch id) into the screen output.
+    // The registered ingest queries cannot pin this (their verdicts are
+    // localCheckpoint-truncated before they surface), so pin the
+    // operator's own plan directly: the single-row side must ride a
+    // BroadcastNestedLoopJoin — a CartesianProduct would mean the
+    // broadcast hint was lost and the screen output is being multiplied
+    // against a distributed relation.
+    import spark.implicits._
+    val matches = Seq((1L, 5L, 0)).toDF("new_id", "corpus_id", "hamming")
+    val batch = Seq((10L, 7L)).toDF("asset_id", "dh")
+    val p = graft.operators.IndexStore
+      .preBatchMatches(matches, batch, "asset_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the min-row broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"filter builds a Cartesian:\n$p")
   }
 }
