@@ -120,28 +120,44 @@ object IndexStore {
       .drop("__batch_min")
   }
 
-  /** Run `append` for an ingest round's admissions unless the round is
-    * a REPLAY whose append already happened. Three dispositions from
-    * one distributed aggregate over (admitted min/max, index max) —
-    * never a driver-side comparison of unknown id types:
+  /** Run `append` (called with the subset of `admitted` to index) for
+    * an ingest round's admissions unless the round is a REPLAY whose
+    * append already happened. Three dispositions from one distributed
+    * aggregate over (admitted min/max, index max) — never a driver-side
+    * comparison of unknown id types:
     *  - FRESH (every admitted id above the index max, or empty index):
-    *    append; the append's own monotone guard re-verifies.
-    *  - REPLAY (every admitted id at-or-below the index max): under the
-    *    monotone contract this can only be a re-run of a round whose
-    *    append landed before the crash — verify membership (anti-join,
-    *    only in this rare branch) and skip the append instead of
-    *    tripping the monotone guard. A replay whose original append
-    *    pushed an LSH bucket past the load-time cap can legitimately
-    *    re-screen a borderline duplicate as admitted (the grown bucket
-    *    is dropped wholesale at load): such flipped ids are NOT members
-    *    and are NOT appended (their ids sort below the index max — the
-    *    monotone contract forbids it), and the skip tolerates them
-    *    rather than wedging the at-least-once loop with a raise; the
-    *    leakage is bounded to the replayed batch (later copies carry
-    *    fresh ids, screen on the fresh path, and index normally). Only
-    *    a replay-shaped batch with NO admitted id present raises — that
-    *    is not a replay but a reused id range.
-    *  - STRADDLING ids: a genuine contract violation — raise.
+    *    append everything; the append's own monotone guard re-verifies.
+    *  - REPLAY-SHAPED (every admitted id at-or-below the index max):
+    *    under the monotone contract this can only be a re-run of a
+    *    round whose append landed before the crash — verify membership
+    *    (semi-join, only in this rare branch) and skip the append
+    *    instead of tripping the monotone guard. A replay whose original
+    *    append pushed an LSH bucket past the load-time cap can
+    *    legitimately re-screen a formerly-REJECTED doc as admitted (the
+    *    grown bucket is dropped wholesale at load): such cap-flipped
+    *    ids are not members — the monotone contract constrains INDEXED
+    *    ids, so a rejected (never-indexed) batch id may sit anywhere in
+    *    the batch's range, below or above the index max. Flipped ids
+    *    at-or-below the max are tolerated un-appended (appending them
+    *    would break monotonicity; the leakage is bounded to the
+    *    replayed batch — later copies carry fresh ids, screen on the
+    *    fresh path, and index normally). Only a replay-shaped batch
+    *    with NO admitted id present raises — that is not a replay but
+    *    a reused id range.
+    *  - STRADDLING ids (some at-or-below the max, some above): the
+    *    same cap-flip replay when the flipped doc holds an id ABOVE
+    *    the index max (the original admissions sit at-or-below it, the
+    *    flipped extra above — neither disposition alone matches), so
+    *    membership of the at-or-below subset decides: at least one
+    *    member proves the replay (the original admissions are always
+    *    members; non-members in that subset are below-max cap-flips,
+    *    tolerated as above), and the above-max remainder — all
+    *    cap-flipped, never indexed, monotone-safe by construction — is
+    *    appended so the leakage shrinks to the below-max flips only.
+    *    A straddling batch whose at-or-below subset has no member at
+    *    all is a reused id range and raises; raising on EVERY straddle
+    *    (the pre-round-11 posture) wedged the at-least-once loop —
+    *    each retry reproduced the same legitimate straddle.
     * An all-duplicate round (nothing admitted) appends nothing and
     * writes no files.
     */
@@ -149,7 +165,7 @@ object IndexStore {
       admitted: DataFrame,
       idCol: String,
       existingIds: DataFrame,
-      op: String)(append: => Unit): Unit = {
+      op: String)(append: DataFrame => Unit): Unit = {
     val adm = admitted.agg(count(lit(1)).as("__n"),
       min(col(idCol)).as("__amn"), max(col(idCol)).as("__amx"))
     val emx = existingIds
@@ -160,23 +176,37 @@ object IndexStore {
       .head()
     val n = r.getLong(0)
     if (n == 0L) ()
-    else if (r.getBoolean(1)) append
-    else if (r.getBoolean(2)) {
-      val missing = admitted.select(col(idCol).as("__aid"))
-        .join(existingIds.toDF("__aid"), Seq("__aid"), "left_anti")
-        .count()
-      require(missing < n,
-        s"IndexStore.$op: every admitted id sorts at-or-below the " +
-          "index's max id but NONE is a member — this is not a replay, " +
-          "it is a reused id range (monotone-ingest contract " +
-          "violation); re-id the batch or rebuild the index")
-      // verified replay: admissions already indexed. missing > 0 is the
-      // documented cap-flip tolerance (see scaladoc), not corruption.
-    } else throw new IllegalArgumentException(
-      s"IndexStore.$op: admitted ids straddle the index's max id — the " +
-        "monotone-ingest contract is violated (a replayed round would " +
-        "sit entirely at-or-below it, a fresh one entirely above); " +
-        "re-id the batch or rebuild the index")
+    else if (r.getBoolean(1)) append(admitted)
+    else {
+      // replay-shaped or straddling: legitimate only as a replay, and
+      // a replay always leaves the original admissions as members
+      // at-or-below the index max — so membership of that subset is
+      // the verification for both shapes (rare branch: one semi-join)
+      val withEmx = admitted.crossJoin(broadcast(emx))
+      val verified = withEmx.where(col(idCol) <= col("__emx"))
+        .select(col(idCol).as("__aid"))
+        .join(existingIds.toDF("__aid"), Seq("__aid"), "left_semi")
+        .limit(1).count() > 0
+      if (!verified) throw new IllegalArgumentException(
+        if (r.getBoolean(2))
+          s"IndexStore.$op: every admitted id sorts at-or-below the " +
+            "index's max id but NONE is a member — this is not a " +
+            "replay, it is a reused id range (monotone-ingest contract " +
+            "violation); re-id the batch or rebuild the index"
+        else
+          s"IndexStore.$op: admitted ids straddle the index's max id " +
+            "and none at-or-below it is a member — not a replay (whose " +
+            "original admissions would be members) but a reused or " +
+            "out-of-order id range (monotone-ingest contract " +
+            "violation); re-id the batch or rebuild the index")
+      // verified replay: the at-or-below admissions are already indexed
+      // (non-members among them are the documented below-max cap-flip
+      // tolerance, not corruption); any above-max remainder holds the
+      // cap-flipped formerly-rejected docs — never indexed, ids above
+      // the max, so appending them is monotone-safe and closes the leak
+      val remainder = withEmx.where(col(idCol) > col("__emx")).drop("__emx")
+      if (remainder.limit(1).count() > 0) append(remainder)
+    }
   }
 
   /** Raise if member rows reference group ids with no group-key row —
@@ -232,6 +262,7 @@ object IndexStore {
       numHashes: Int = 64,
       numBands: Int = 16): Unit = {
     val spark = corpus.sparkSession
+    resetGenerations(spark, path)
     writeMeta(spark, path, Seq(
       "kind" -> "corpus", "shingle_size" -> shingleSize.toString,
       "num_hashes" -> numHashes.toString, "num_bands" -> numBands.toString))
@@ -263,11 +294,12 @@ object IndexStore {
       maxBucketSize: Int = 1000,
       check: Boolean = true): Dedup.CorpusIndex = {
     metaOf(spark, path, "corpus")
-    val sets = spark.read.parquet(s"$path/sets")
-    val members = spark.read.parquet(s"$path/members")
+    val dir = tableDirs(spark, path)
+    val sets = spark.read.parquet(dir("sets"))
+    val members = spark.read.parquet(dir("members"))
     if (check) requireMemberCoverage(members, sets, "corpus_id", "sets", path)
     Dedup.capCorpusTables(
-      spark.read.parquet(s"$path/bands"), sets, members, maxBucketSize)
+      spark.read.parquet(dir("bands")), sets, members, maxBucketSize)
   }
 
   /** Append a batch of new documents to a persisted corpus index (pure
@@ -301,8 +333,12 @@ object IndexStore {
     val m = metaOf(spark, path, "corpus")
     val (shingleSize, numHashes, numBands) =
       (m("shingle_size").toInt, m("num_hashes").toInt, m("num_bands").toInt)
-    val oldSets = spark.read.parquet(s"$path/sets")
-    val oldMembers = spark.read.parquet(s"$path/members")
+    // one manifest resolution for the whole append: reads and writes
+    // must hit the SAME generation (the exclusivity-vs-compaction
+    // contract of [[compactIndex]] guarantees it cannot move mid-call)
+    val dir = tableDirs(spark, path)
+    val oldSets = spark.read.parquet(dir("sets"))
+    val oldMembers = spark.read.parquet(dir("members"))
     val gn = Dedup.textGroups(newDocs, idCol, textCol)
     requireIdsAfter(oldMembers.select(col("member_id")),
       gn.select(explode(col("members")).as("member_id")), "appendCorpusIndex")
@@ -323,19 +359,25 @@ object IndexStore {
     // probe but carry their text — recompute their bands with the
     // builder's own derivation. Fast path first: every group with ≥1
     // shingle has exactly numBands band rows, so
-    // count(bands) == numBands × count(sets) proves full coverage with
-    // two shuffle-free counts and the heal anti-join is skipped
-    // entirely (filter-false prunes it to an empty relation — the
-    // stored files are never even listed, so there is no re-list race
-    // with the writes below). Zero-shingle docs legitimately break the
-    // count identity; such corpora fall back to the anti-join, which
-    // is then materialized BEFORE the directory-mutating writes (same
-    // race rationale as `novel`).
-    val oldBands = spark.read.parquet(s"$path/bands")
+    // count(bands) == numBands × count(sets with shingles) proves full
+    // coverage with two shuffle-free counts and the heal anti-join is
+    // skipped entirely (filter-false prunes it to an empty relation —
+    // the stored files are never even listed, so there is no re-list
+    // race with the writes below). A shingle-less set legitimately
+    // owns zero band rows, so it is excluded from BOTH the identity
+    // and the heal anti-join — one such row must not permanently
+    // demote every future append to the slow path. (This library's
+    // own writers never produce one: null text is dropped at collapse
+    // and shingling non-null text always yields ≥1 shingle — the
+    // filter is defense against external/legacy table writers.) On an
+    // identity mismatch the anti-join is materialized BEFORE the
+    // directory-mutating writes (same race rationale as `novel`).
+    val oldBands = spark.read.parquet(dir("bands"))
+    val bandedSets = oldSets.where(size(col("sh")) > 0)
     val covered = oldBands.agg(count(lit(1)).as("__b"))
-      .crossJoin(broadcast(oldSets.agg(count(lit(1)).as("__s"))))
+      .crossJoin(broadcast(bandedSets.agg(count(lit(1)).as("__s"))))
       .head()
-    val orphanedSets0 = oldSets
+    val orphanedSets0 = bandedSets
       .select(col("corpus_id").as("id"), col("text").as("__text"))
       .join(oldBands.select(col("corpus_id").as("id")).distinct(),
         Seq("id"), "left_anti")
@@ -347,14 +389,14 @@ object IndexStore {
       Dedup.corpusTablesFromGroups(novel, shingleSize, numHashes, numBands)
     // members FIRST — see crash posture in the scaladoc
     members.unionByName(matched).repartition(col("corpus_id"))
-      .write.mode("append").parquet(s"$path/members")
+      .write.mode("append").parquet(dir("members"))
     sets.repartition(col("corpus_id"))
-      .write.mode("append").parquet(s"$path/sets")
+      .write.mode("append").parquet(dir("sets"))
     bands
       .unionByName(
         Dedup.corpusBandRows(orphanedSets, shingleSize, numHashes, numBands))
       .repartition(col("band_hash"))
-      .write.mode("append").parquet(s"$path/bands")
+      .write.mode("append").parquet(dir("bands"))
   }
 
   /** One INGEST ROUND against the persisted corpus (MinHash-LSH) index
@@ -417,8 +459,8 @@ object IndexStore {
       verdict.where(col("status") === "admitted").select(col("doc_id")),
       Seq("doc_id"))
     appendAdmittedIdempotent(admitted, "doc_id",
-      idx.members.select(col("member_id")), "ingestCorpus") {
-      appendCorpusIndex(admitted, "doc_id", "text", path)
+      idx.members.select(col("member_id")), "ingestCorpus") { adm =>
+      appendCorpusIndex(adm, "doc_id", "text", path)
     }
     verdict
   }
@@ -441,6 +483,7 @@ object IndexStore {
       hashCol: String,
       path: String): Unit = {
     val spark = hashes.sparkSession
+    resetGenerations(spark, path)
     writeMeta(spark, path, Seq("kind" -> "media"))
     // materialized ONCE: the projection feeds BOTH writes below, and
     // lazy it would re-run the upstream plan (typically a per-asset
@@ -467,9 +510,10 @@ object IndexStore {
       path: String,
       maxBucketSize: Int = 1000): Dedup.MediaIndex = {
     metaOf(spark, path, "media")
+    val dir = tableDirs(spark, path)
     Dedup.MediaIndex(
-      Dedup.capBands(spark.read.parquet(s"$path/bands"), maxBucketSize),
-      spark.read.parquet(s"$path/members"))
+      Dedup.capBands(spark.read.parquet(dir("bands")), maxBucketSize),
+      spark.read.parquet(dir("members")))
   }
 
   /** Append a batch of newly hashed assets (pure parquet appends).
@@ -501,7 +545,8 @@ object IndexStore {
         col(idCol).as("member_id"))
       .where(col("dh").isNotNull)
       .localCheckpoint(true)
-    val oldMembers = spark.read.parquet(s"$path/members")
+    val dir = tableDirs(spark, path)
+    val oldMembers = spark.read.parquet(dir("members"))
     requireIdsAfter(oldMembers.select(col("member_id")),
       incoming.select(col("member_id")), "appendMediaIndex")
     // anti-join against BANDS (not members): a signature with member
@@ -514,13 +559,13 @@ object IndexStore {
     val novel = incoming.select(col("dh"))
       .unionByName(oldMembers.select(col("dh")))
       .distinct()
-      .join(spark.read.parquet(s"$path/bands").select(col("dh")).distinct(),
+      .join(spark.read.parquet(dir("bands")).select(col("dh")).distinct(),
         Seq("dh"), "left_anti")
       .localCheckpoint(true)
     incoming.repartition(col("dh"))
-      .write.mode("append").parquet(s"$path/members")
+      .write.mode("append").parquet(dir("members"))
     Dedup.hashBandRows(novel, "dh").repartition(col("band_hash"))
-      .write.mode("append").parquet(s"$path/bands")
+      .write.mode("append").parquet(dir("bands"))
   }
 
   /** One INGEST ROUND against the persisted media index — the
@@ -543,6 +588,22 @@ object IndexStore {
     * admitted ids. Idempotent under at-least-once replay: matches are
     * restricted to pre-batch corpus ids and a verified replay skips
     * the append (see [[ingestCorpus]] — same mechanics).
+    *
+    * ORCHESTRATOR RETRY CONTRACT (applies to all three ingest rounds —
+    * this, [[ingestCorpus]], [[ingestVector]]): a round is safe to
+    * re-run from the top after ANY failure, and that is the whole
+    * contract — treat a round as retryable, never as resumable. The
+    * intermediate batch/verdict materializations use
+    * `localCheckpoint(true)`, whose blocks live in executor storage,
+    * not reliable storage: on a real cluster, executor loss mid-round
+    * can fail the ROUND (truncated lineage is not recomputable), at
+    * which point the orchestrator re-runs it — the replay guard makes
+    * the re-run reproduce the original verdicts and skip or complete
+    * the append, whether the failure hit before, between, or after
+    * the index writes. What an orchestrator must NOT do is treat a
+    * failed round as partially done (e.g. re-submit only "the rest
+    * of" a batch under fresh ids): the guard keys on the batch's id
+    * range, and a reshaped batch forfeits the replay detection.
     */
   def ingestMedia(
       newHashes: DataFrame,
@@ -580,8 +641,8 @@ object IndexStore {
       verdict.where(col("status") === "admitted").select(col("asset_id")),
       Seq("asset_id"))
     appendAdmittedIdempotent(admitted, "asset_id",
-      idx.members.select(col("member_id")), "ingestMedia") {
-      appendMediaIndex(admitted, "asset_id", "dh", path)
+      idx.members.select(col("member_id")), "ingestMedia") { adm =>
+      appendMediaIndex(adm, "asset_id", "dh", path)
     }
     verdict
   }
@@ -603,6 +664,7 @@ object IndexStore {
       planesPerBlock: Int = 8,
       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
+    resetGenerations(spark, path)
     writeMeta(spark, path, Seq(
       "kind" -> "vector", "dim" -> dim.toString,
       "num_blocks" -> numBlocks.toString,
@@ -633,11 +695,12 @@ object IndexStore {
       maxBucketSize: Int = 10000,
       check: Boolean = true): Similarity.VectorIndex = {
     metaOf(spark, path, "vector")
-    val reps = spark.read.parquet(s"$path/reps")
-    val members = spark.read.parquet(s"$path/members")
+    val dir = tableDirs(spark, path)
+    val reps = spark.read.parquet(dir("reps"))
+    val members = spark.read.parquet(dir("members"))
     if (check) requireMemberCoverage(members, reps, "rep_id", "reps", path)
     Similarity.capVectorTables(
-      spark.read.parquet(s"$path/blocks"), reps, members, maxBucketSize)
+      spark.read.parquet(dir("blocks")), reps, members, maxBucketSize)
   }
 
   /** Append new vectors to a persisted vector index; exact-duplicate
@@ -658,8 +721,9 @@ object IndexStore {
       path: String): Unit = {
     val spark = newVecs.sparkSession
     val m = metaOf(spark, path, "vector")
-    val oldReps = spark.read.parquet(s"$path/reps")
-    val oldMembers = spark.read.parquet(s"$path/members")
+    val dir = tableDirs(spark, path)
+    val oldReps = spark.read.parquet(dir("reps"))
+    val oldMembers = spark.read.parquet(dir("members"))
     val gn = vecGroups(newVecs, idCol, vecCol)
     requireIdsAfter(oldMembers.select(col("member_id")),
       gn.select(explode(col("members")).as("member_id")), "appendVectorIndex")
@@ -673,7 +737,7 @@ object IndexStore {
     // rows, so the count identity proves coverage without the
     // anti-join shuffle; on mismatch the anti-join is materialized
     // BEFORE the directory-mutating writes below.
-    val oldBlocks = spark.read.parquet(s"$path/blocks")
+    val oldBlocks = spark.read.parquet(dir("blocks"))
     val covered = oldBlocks.agg(count(lit(1)).as("__b"))
       .crossJoin(broadcast(oldReps.agg(count(lit(1)).as("__r"))))
       .head()
@@ -689,14 +753,14 @@ object IndexStore {
       m("planes_per_block").toInt, m("seed").toLong)
     // members FIRST — same crash posture as [[appendCorpusIndex]]
     members.unionByName(matched).repartition(col("rep_id"))
-      .write.mode("append").parquet(s"$path/members")
+      .write.mode("append").parquet(dir("members"))
     reps.repartition(col("rep_id"))
-      .write.mode("append").parquet(s"$path/reps")
+      .write.mode("append").parquet(dir("reps"))
     blocks
       .unionByName(Similarity.vectorBlockRows(orphanedReps, m("dim").toInt,
         m("num_blocks").toInt, m("planes_per_block").toInt, m("seed").toLong))
       .repartition(col("band_hash"))
-      .write.mode("append").parquet(s"$path/blocks")
+      .write.mode("append").parquet(dir("blocks"))
   }
 
   /** One INGEST ROUND against the persisted vector index — the
@@ -755,8 +819,8 @@ object IndexStore {
       verdict.where(col("status") === "admitted").select(col("vec_id")),
       Seq("vec_id"))
     appendAdmittedIdempotent(admitted, "vec_id",
-      idx.members.select(col("member_id")), "ingestVector") {
-      appendVectorIndex(admitted, "vec_id", "v", path)
+      idx.members.select(col("member_id")), "ingestVector") { adm =>
+      appendVectorIndex(adm, "vec_id", "v", path)
     }
     verdict
   }
@@ -783,6 +847,7 @@ object IndexStore {
   def saveIvf(model: IvfIndex.Model, path: String): Unit = {
     val spark = model.assignments.sparkSession
     import spark.implicits._
+    resetGenerations(spark, path)
     writeMeta(spark, path, Seq(
       "kind" -> "ivf", "n_lists" -> model.centroids.length.toString))
     model.centroids.zipWithIndex
@@ -798,10 +863,11 @@ object IndexStore {
     */
   def loadIvf(spark: SparkSession, path: String): IvfIndex.Model = {
     metaOf(spark, path, "ivf")
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val dir = tableDirs(spark, path)
+    val centroids = spark.read.parquet(dir("centroids"))
       .orderBy("list_id").collect()
       .map(_.getAs[Seq[Double]]("centroid").toArray)
-    IvfIndex.Model(centroids, spark.read.parquet(s"$path/assign"))
+    IvfIndex.Model(centroids, spark.read.parquet(dir("assign")))
   }
 
   /** Append new vectors to a persisted IVF model: assign them to the
@@ -830,7 +896,7 @@ object IndexStore {
       "IndexStore.appendIvf: a new id already exists in the index; " +
         "appending it would double-count its vector in every probe")
     assign.repartition(col("list_id"))
-      .write.mode("append").parquet(s"$path/assign")
+      .write.mode("append").parquet(tableDir(spark, path, "assign"))
   }
 
   // ---------------------------------------------------------------
@@ -849,6 +915,7 @@ object IndexStore {
   def saveTextIndex(
       docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val spark = docs.sparkSession
+    resetGenerations(spark, path)
     writeMeta(spark, path, Seq("kind" -> "text"))
     val idx = TextAnalysis.textIndex(docs, idCol, textCol)
     idx.postings.repartition(col("term"))
@@ -876,8 +943,9 @@ object IndexStore {
       spark: SparkSession, path: String,
       check: Boolean = true): TextAnalysis.TextIndex = {
     metaOf(spark, path, "text")
-    val postings = spark.read.parquet(s"$path/postings")
-    val doclen = spark.read.parquet(s"$path/doclen")
+    val dir = tableDirs(spark, path)
+    val postings = spark.read.parquet(dir("postings"))
+    val doclen = spark.read.parquet(dir("doclen"))
     if (check) {
       val sums = doclen.agg(sum(col("dl")).as("__dl"))
         .crossJoin(broadcast(postings.agg(sum(col("tf")).as("__tf"))))
@@ -893,15 +961,17 @@ object IndexStore {
             s"have doclen rows but no postings (Σdl=${sums.get(0)} vs " +
             s"Σtf=${sums.get(1)}; a crash between the doclen append and " +
             "the postings append lost the terms, and the stranded " +
-            "doclen rows skew every score's idf/avgdl); rebuild the " +
-            "index or prune the orphaned id range from doclen/")
+            "doclen rows skew every score's idf/avgdl); run " +
+            "IndexStore.repairTextIndex to prune them (restoring exact " +
+            "idf/avgdl — the orphans' terms are gone either way) or " +
+            "rebuild the index over the full corpus")
       }
     }
     TextAnalysis.TextIndex(postings, doclen)
   }
 
   // ---------------------------------------------------------------
-  // Maintenance: file compaction
+  // Table generations + maintenance (compaction, reap)
   // ---------------------------------------------------------------
 
   /** Per-table result of [[compactIndex]]: how many data files the
@@ -923,8 +993,248 @@ object IndexStore {
     "ivf" -> Seq("assign" -> "list_id", "centroids" -> "list_id"),
     "text" -> Seq("postings" -> "term", "doclen" -> "doc_id"))
 
-  /** Compact a persisted index of ANY kind in place: rewrite each raw
-    * table — same rows, same clustering key — into
+  /** The generation manifest: a single small file under the index root
+    * naming the ACTIVE generation of every raw table. Generation 0 is
+    * the plain `path/table` directory (the layout every save* builder
+    * writes — and the only layout that exists until the first
+    * compaction); generation g > 0 lives at `path/table__g0000g`.
+    * Loads and appends resolve through [[tableDir]], so a maintenance
+    * rewrite can land a NEW generation next to the live one and
+    * publish it with one atomic single-FILE rename of the manifest —
+    * no directory rename, no window where a table directory is absent.
+    * A reader that loaded before the swap keeps reading its pinned
+    * generation's files (retained until [[reapIndexGenerations]] or
+    * the next compaction's grace reap), which is what makes compaction
+    * safe to run ONLINE under concurrent readers.
+    */
+  private val GenManifest = "_generations"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genDirName(t: String, g: Long): String =
+    if (g == 0L) t else f"${t}__g$g%05d"
+
+  /** table → active generation from the manifest; empty (all tables at
+    * generation 0) when the manifest is absent — the pre-compaction
+    * and pre-round-11 layout.
+    */
+  private def readGenerations(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, GenManifest)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val Array(t, g) = line.split("=", 2)
+        t -> g.toLong
+      }.toMap
+    }
+  }
+
+  /** Publish a new manifest atomically: write aside, then one
+    * single-file rename over the live name. A single-file rename is
+    * atomic on HDFS and local filesystems, and on object stores it is
+    * an atomic whole-object PUT followed by a delete — a reader sees
+    * the complete old or complete new manifest, never a torn one.
+    * (Contrast with DIRECTORY renames, which object stores implement
+    * as per-file copy+delete — the round-10 compactIndex's one
+    * documented unsafe window, eliminated by this design.)
+    */
+  private def writeGenerations(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gens: Map[String, Long]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(path, GenManifest + "__swap")
+    val out = fs.create(tmp, true)
+    try out.write(gens.toSeq.sortBy(_._1)
+      .map { case (t, g) => s"$t=$g\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+    val live = new org.apache.hadoop.fs.Path(path, GenManifest)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      live.toUri, fs.getConf)
+    fc.rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The ACTIVE directory of a raw index table (public: specs and
+    * tooling that inspect raw tables must resolve through the
+    * generation manifest once an index has been compacted).
+    */
+  def tableDir(spark: SparkSession, path: String, table: String): String =
+    tableDirs(spark, path)(table)
+
+  /** Resolve the manifest ONCE for a multi-table operation. */
+  private def tableDirs(spark: SparkSession, path: String): String => String = {
+    val gens = readGenerations(fsOf(spark, path), path)
+    t => s"$path/${genDirName(t, gens.getOrElse(t, 0L))}"
+  }
+
+  /** Reset an index root to the generation-0 layout before a full
+    * rebuild (every save* builder): drop the manifest — the plain
+    * table dirs the builder is about to overwrite become active again
+    * — then clear stale generation dirs and legacy compaction debris.
+    * Manifest first: a crash mid-reset leaves generation 0 active with
+    * orphaned `__g` dirs, which the next reset or compaction reaps.
+    */
+  private def resetGenerations(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return
+    fs.delete(new org.apache.hadoop.fs.Path(path, GenManifest), false): Unit
+    val stale = fs.listStatus(root).filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && (n.matches(".*__g\\d+$") ||
+        n.endsWith("__old") || n.endsWith("__compacting"))
+    }
+    stale.foreach(s => fs.delete(s.getPath, true): Unit)
+  }
+
+  /** Delete every NON-ACTIVE generation directory under `path` and
+    * return the reclaimed directory names. [[compactIndex]] retains
+    * the immediately-prior generation so readers pinned at a pre-swap
+    * load keep a valid file listing; call this on the operator's own
+    * cadence, once no reader can still hold a pre-swap load (e.g.
+    * after the gates' next restart). Never touches the active
+    * generation or the manifest.
+    */
+  def reapIndexGenerations(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val gens = readGenerations(fs, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val GenRe = "(.*)__g(\\d+)$".r
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        s.getPath.getName match {
+          case GenRe(t, g) if g.toLong != gens.getOrElse(t, 0L) =>
+            Some(s.getPath)
+          // a plain table dir is generation 0: stale iff the manifest
+          // points that table somewhere newer
+          case n if gens.getOrElse(n, 0L) != 0L => Some(s.getPath)
+          case _ => None
+        }
+      }
+      .map { p => fs.delete(p, true); p.getName }
+  }
+
+  /** Rewrite the given tables as their NEXT generations and publish
+    * them with one atomic manifest swap — the shared write-aside
+    * machinery of the maintenance ops ([[compactIndex]] inlines the
+    * same flow to collect per-table stats). Each `write` callback
+    * receives the next-generation directory to write into; nothing
+    * live is touched until every write has finished and the manifest
+    * rename publishes them all together. Grace-reaps generations older
+    * than the just-replaced one, exactly like [[compactIndex]].
+    */
+  private def swapGenerations(
+      spark: SparkSession, path: String)(
+      writes: Seq[(String, String => Unit)]): Unit = {
+    val fs = fsOf(spark, path)
+    val gens = readGenerations(fs, path)
+    val next = writes.map { case (t, w) =>
+      val g = gens.getOrElse(t, 0L) + 1L
+      w(s"$path/${genDirName(t, g)}")
+      t -> g
+    }
+    writeGenerations(fs, path, gens ++ next)
+    next.foreach { case (t, g) =>
+      (0L until (g - 1L)).foreach { old =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/${genDirName(t, old)}"),
+          true): Unit
+      }
+    }
+  }
+
+  /** Repair the text index's one torn-append shape — doclen rows whose
+    * postings append was lost in a crash ([[loadTextIndex]]'s raise):
+    * prune the orphaned doclen rows and return how many were dropped.
+    * The doc text is not stored, so the orphans' TERMS are gone either
+    * way — pruning their doclen rows restores exactly the index a
+    * rebuild without those docs would produce (their stranded rows
+    * were silently inflating N and Σdl, skewing every score's
+    * idf/avgdl), which is why this repair is lossless for every
+    * surviving document and completes the heal parity the other index
+    * kinds already have. The rewritten doclen lands as a new
+    * generation published by one atomic manifest rename
+    * ([[swapGenerations]]) — a crash mid-repair leaves the old (still
+    * torn, still detected) table fully intact. The orphaned ids
+    * themselves are NOT freed: the monotone-id append contract keys on
+    * doclen ∪ postings ids, and the pruned rows vanish from both, so
+    * re-ingesting the lost docs requires fresh ids (scaladoc'd over
+    * [[appendTextIndex]]'s guard — reusing a pruned id would otherwise
+    * be indistinguishable from a reused id range).
+    */
+  def repairTextIndex(spark: SparkSession, path: String): Long = {
+    metaOf(spark, path, "text")
+    val dir = tableDirs(spark, path)
+    val doclen = spark.read.parquet(dir("doclen"))
+    // materialized once: drives the orphan count AND the pruned rewrite
+    val postingDocs = spark.read.parquet(dir("postings"))
+      .select(col("doc_id")).distinct().localCheckpoint(true)
+    val orphaned = doclen.select(col("doc_id"))
+      .join(postingDocs, Seq("doc_id"), "left_anti").count()
+    if (orphaned > 0L) {
+      val pruned = doclen.join(postingDocs, Seq("doc_id"), "left_semi")
+        .repartition(col("doc_id"))
+      swapGenerations(spark, path)(Seq(
+        "doclen" -> (d => pruned.write.mode("overwrite").parquet(d))))
+    }
+    orphaned
+  }
+
+  /** Rebuild a persisted IVF model in place — the documented read-side
+    * maintenance under ingest drift ([[IvfIndex]] lifecycle posture:
+    * centroids are a snapshot of the TRAINING distribution; under
+    * sustained [[appendIvf]] growth the lists skew and recall decays,
+    * and the correct maintenance is a periodic retrain, which this op
+    * makes runnable): retrain the coarse quantizer on `corpus` (the
+    * caller supplies the vectors — the stored assign table carries
+    * only (id, list_id), deliberately, since [[IvfIndex.search]] reads
+    * vectors from the corpus too), reassign every vector, and publish
+    * both rewritten tables with one atomic manifest swap
+    * ([[swapGenerations]]) — readers pinned at a pre-rebuild load keep
+    * their generation, exactly like [[compactIndex]]; a crash
+    * mid-rebuild leaves the old model fully intact. `nLists` defaults
+    * to the stored model's; when overridden, the meta row is rewritten
+    * AFTER the swap (n_lists in meta is informational — loads derive
+    * the true count from the centroids table — so the tiny
+    * post-publish crash window leaves a stale label, not a wrong
+    * model). Run on the compaction cadence; rebuild ≡ fresh
+    * [[IvfIndex.build]] over the same corpus (IndexStoreSpec).
+    */
+  def rebuildIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nLists: Int = -1,
+      seed: Long = 42L,
+      trainFraction: Double = Double.NaN,
+      maxTrainRows: Long = 200000L,
+      kmeansMaxIter: Int = 20): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = metaOf(spark, path, "ivf")
+    val k = if (nLists > 0) nLists else m("n_lists").toInt
+    val model = IvfIndex.build(corpus, idCol, vecCol, k, seed,
+      trainFraction, maxTrainRows, kmeansMaxIter)
+    val cdf = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid").coalesce(1)
+    swapGenerations(spark, path)(Seq(
+      "centroids" -> (d => cdf.write.mode("overwrite").parquet(d)),
+      "assign" -> (d => model.assignments.repartition(col("list_id"))
+        .write.mode("overwrite").parquet(d))))
+    if (k.toString != m("n_lists"))
+      writeMeta(spark, path, (m + ("n_lists" -> k.toString)).toSeq)
+  }
+
+  /** Compact a persisted index of ANY kind: rewrite each raw table —
+    * same rows, same clustering key — into
     * ceil(bytes / targetBytesPerFile) files. The long-running-index
     * maintenance op: every ingest round and every streaming
     * foreachBatch trigger appends a handful of small parquet files, so
@@ -935,28 +1245,42 @@ object IndexStore {
     * IndexStoreSpec). The id-monotone append contract is untouched —
     * rows are moved, never rewritten.
     *
-    * Each table swaps via write-aside-then-rename (write `t__compacting`,
-    * rename `t` → `t__old`, rename `t__compacting` → `t`, drop
-    * `t__old`), so a crash leaves either the original or the compacted
-    * table plus recoverable debris; the one window where the table dir
-    * is absent (between the two renames) is self-healed at the next
-    * compact, which restores `t__old` before starting. Run OFFLINE
-    * with exclusive access: concurrent readers hold a file listing
-    * pinned at THEIR load (see the gate scaladocs) and would chase
-    * deleted files mid-read, and a concurrent append's files would be
-    * dropped by the swap. Gates restart after compaction — the same
-    * restart they already need to see appends.
+    * Each table's rewrite lands as a NEW generation directory next to
+    * the live one; when every table is written, one atomic single-file
+    * rename of the generation manifest publishes them all together
+    * (see [[GenManifest]] — no directory renames, so the swap is safe
+    * on object stores too, round-10's one documented gap). Crash
+    * posture: a crash anywhere before the manifest swap leaves the
+    * manifest — and therefore every reader and the next append —
+    * on the old generations, with partially-written next-generation
+    * dirs as inert debris that the next compaction overwrites
+    * (mode=overwrite) and reaps.
+    *
+    * Safe under concurrent READERS: a load pins its generation's file
+    * listing, the swap never deletes it — the immediately-prior
+    * generation survives until the NEXT compaction (or an explicit
+    * [[reapIndexGenerations]]), so a reader that loaded before the
+    * swap finishes its probes against intact files, and the next
+    * load/gate restart picks up the compacted generation. Still
+    * requires exclusivity against APPENDS: an append writes into the
+    * generation it resolved at ITS start, so files appended during the
+    * rewrite window would be missing from the new generation and
+    * silently dropped by the swap. The streaming ingest loops satisfy
+    * this by construction when compaction runs inside their own
+    * foreachBatch cadence ([[graft.streaming.StreamOps.mediaIngestBatch]]'s
+    * `compactEvery`) — the loop is the only appender and it is between
+    * rounds.
     *
     * Cost is O(table) per call — the safe primitive over plain parquet
-    * directories, where the atomic unit is the directory swap. A
-    * PARTIAL compaction (rewrite only the small files) cannot be made
-    * crash-safe here: merging N small files and deleting them is two
-    * non-atomic steps whose crash window either duplicates or loses
-    * rows, and fixing that requires a manifest-bearing table format
-    * (Iceberg/Delta-style) rather than path-listing parquet. At 100 TB
-    * run this per table on the maintenance cadence (the rewrite is a
-    * scan → hash-repartition → write with no joins — cheaper than one
-    * ingest round at the same scale, per SCALING.md round-10).
+    * directories, where the atomic publish unit is the manifest file.
+    * A PARTIAL compaction (rewrite only the small files) cannot be
+    * made crash-safe here: merging N small files and deleting them is
+    * two non-atomic steps whose crash window either duplicates or
+    * loses rows, and fixing that requires per-FILE manifests
+    * (Iceberg/Delta-style) rather than per-table generations. At
+    * 100 TB run this per table on the maintenance cadence (the rewrite
+    * is a scan → hash-repartition → write with no joins — cheaper than
+    * one ingest round at the same scale, per SCALING.md round-10).
     */
   def compactIndex(
       spark: SparkSession,
@@ -969,39 +1293,53 @@ object IndexStore {
     val tables = tablesByKind.getOrElse(kind,
       throw new IllegalArgumentException(
         s"IndexStore.compactIndex: unknown index kind '$kind'"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    def dataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path) =
+    val fs = fsOf(spark, path)
+    def dataFiles(dir: Path) =
       fs.listStatus(dir).filter(s => s.isFile && {
         val n = s.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       })
-    tables.map { case (t, key) =>
-      val dir = new Path(s"$path/$t")
-      val fs = dir.getFileSystem(conf)
-      val aside = new Path(s"$path/${t}__old")
-      // recover a prior compact that crashed between its two renames
-      if (!fs.exists(dir) && fs.exists(aside)) {
-        require(fs.rename(aside, dir),
-          s"IndexStore.compactIndex: could not restore $aside to $dir")
+    val gens = readGenerations(fs, path)
+    val results = tables.map { case (t, key) =>
+      val cur = gens.getOrElse(t, 0L)
+      val dir = new Path(s"$path/${genDirName(t, cur)}")
+      // recover debris from a pre-round-11 compact that crashed
+      // between its two DIRECTORY renames (the old design's one
+      // unsafe window): the live dir is absent, the aside dir intact
+      val legacyAside = new Path(s"$path/${t}__old")
+      if (!fs.exists(dir) && fs.exists(legacyAside)) {
+        require(fs.rename(legacyAside, dir),
+          s"IndexStore.compactIndex: could not restore $legacyAside to $dir")
       }
-      val before = dataFiles(fs, dir)
+      val before = dataFiles(dir)
       val bytes = before.map(_.getLen).sum
       val nParts =
         math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile)
           .min(1 << 20).toInt
-      val tmp = new Path(s"$path/${t}__compacting")
+      val next = cur + 1
       spark.read.parquet(dir.toString)
         .repartition(nParts, col(key))
-        .write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(aside)) fs.delete(aside, true): Unit
-      require(fs.rename(dir, aside),
-        s"IndexStore.compactIndex: rename $dir aside failed")
-      require(fs.rename(tmp, dir),
-        s"IndexStore.compactIndex: rename $tmp into place failed")
-      fs.delete(aside, true): Unit
-      CompactStat(t, before.length.toLong,
-        dataFiles(fs, dir).length.toLong, bytes)
+        .write.mode("overwrite")
+        .parquet(s"$path/${genDirName(t, next)}")
+      (t, next,
+        CompactStat(t, before.length.toLong,
+          dataFiles(new Path(s"$path/${genDirName(t, next)}")).length.toLong,
+          bytes))
     }
+    // one atomic publish for ALL tables — readers see a consistent
+    // all-old or all-new set of generations, never a mix
+    writeGenerations(fs, path,
+      gens ++ results.map { case (t, g, _) => t -> g })
+    // grace reap: drop generations OLDER than the one just replaced
+    // (the just-replaced one stays for readers pinned pre-swap) plus
+    // any legacy __compacting debris
+    results.foreach { case (t, next, _) =>
+      (0L until (next - 1L)).foreach { g =>
+        fs.delete(new Path(s"$path/${genDirName(t, g)}"), true): Unit
+      }
+      fs.delete(new Path(s"$path/${t}__compacting"), true): Unit
+    }
+    results.map(_._3)
   }
 
   /** Append new documents' postings to a persisted text index
@@ -1011,14 +1349,19 @@ object IndexStore {
     * double its term frequencies, so the overlap raises loudly). The
     * id check runs against the UNION of both stored tables' ids, so a
     * retry after a crash between the two writes below still raises
-    * instead of half-duplicating the batch.
+    * instead of half-duplicating the batch. Ids pruned by
+    * [[repairTextIndex]] leave BOTH tables and are NOT freed for
+    * reuse: they sort below the surviving max id, so the monotone
+    * guard rejects them — re-ingest repaired-away docs under fresh
+    * ids.
     */
   def appendTextIndex(
       newDocs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val spark = newDocs.sparkSession
     metaOf(spark, path, "text")
-    val existingIds = spark.read.parquet(s"$path/doclen").select(col("doc_id"))
-      .unionByName(spark.read.parquet(s"$path/postings").select(col("doc_id")))
+    val dir = tableDirs(spark, path)
+    val existingIds = spark.read.parquet(dir("doclen")).select(col("doc_id"))
+      .unionByName(spark.read.parquet(dir("postings")).select(col("doc_id")))
     val idx = TextAnalysis.textIndex(newDocs, idCol, textCol)
     requireIdsAfter(existingIds, idx.doclen.select(col("doc_id")),
       "appendTextIndex")
@@ -1026,8 +1369,8 @@ object IndexStore {
     // guard via the union above; a half-appended postings table alone
     // would under-score the batch silently
     idx.doclen.repartition(col("doc_id"))
-      .write.mode("append").parquet(s"$path/doclen")
+      .write.mode("append").parquet(dir("doclen"))
     idx.postings.repartition(col("term"))
-      .write.mode("append").parquet(s"$path/postings")
+      .write.mode("append").parquet(dir("postings"))
   }
 }

@@ -497,14 +497,21 @@ object StreamOps {
     * write and the marker write replaces, never duplicates), and the
     * O(1) high-water-mark marker skips batches proven fully done.
     *
-    * Maintenance note: the verdict table grows one `batch_id=N`
-    * partition per trigger — an append-only LOG, deliberately outside
-    * [[graft.operators.IndexStore.compactIndex]]'s scope (coalescing
-    * partitions would break the per-batch overwrite idempotence for
-    * any batch that could still replay). Long-lived deployments should
-    * periodically ETL closed batches into date-partitioned archives
-    * downstream; the INDEX the loop grows is what compactIndex
-    * maintains.
+    * Maintenance: every trigger appends a handful of small files to
+    * the index; pass `compactEvery = Some(n)` to run
+    * [[graft.operators.IndexStore.compactIndex]] on the index every n
+    * ingested batches, INSIDE the loop between rounds — the loop is
+    * the sole appender, so compaction's exclusivity-vs-appends
+    * contract holds by construction, and concurrent gate READERS on
+    * other sessions survive the swap via the generation manifest. The
+    * VERDICT table is different: it grows one `batch_id=N` partition
+    * per trigger — an append-only LOG, deliberately outside
+    * compactIndex's scope (coalescing partitions would break the
+    * per-batch overwrite idempotence for any batch that could still
+    * replay). Long-lived deployments should periodically ETL closed
+    * batches into date-partitioned archives downstream. Consumers of
+    * the verdict table should read it via [[readVerdicts]], which pins
+    * the batch_id partition column to a stable LongType.
     */
   def mediaIngestBatch(
       indexPath: String,
@@ -512,8 +519,9 @@ object StreamOps {
       idCol: String = "asset_id",
       hashCol: String = "dh",
       maxDist: Int = 3,
-      maxBucketSize: Int = 1000): (DataFrame, Long) => Unit =
-    ingestBatchBody(verdictPath)(b =>
+      maxBucketSize: Int = 1000,
+      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit =
+    ingestBatchBody(verdictPath, indexPath, compactEvery)(b =>
       graft.operators.IndexStore.ingestMedia(b, idCol, hashCol,
         indexPath, maxDist, maxBucketSize))
 
@@ -540,7 +548,9 @@ object StreamOps {
     *    marker, e.g. a pre-upgrade table).
     */
   private def ingestBatchBody(
-      verdictPath: String)(round: DataFrame => DataFrame)
+      verdictPath: String,
+      indexPath: String,
+      compactEvery: Option[Int] = None)(round: DataFrame => DataFrame)
       : (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
@@ -565,9 +575,40 @@ object StreamOps {
           .partitionBy("batch_id")
           .parquet(verdictPath)
         writeHwm(spark, verdictPath, batchId)
+        // maintenance cadence: compact the INDEX every `n` ingested
+        // batches. Safe by construction: the loop is the index's sole
+        // appender and sits between rounds right here, so compactIndex's
+        // exclusivity-vs-appends contract holds; concurrent READERS
+        // (gates on other sessions) survive via the generation manifest.
+        // Best-effort on replay: a crash between the marker write and
+        // the compact skips this cadence hit (the replayed batch is
+        // proven done and the whole body is skipped) — the next
+        // multiple compacts instead, which only defers file-count
+        // maintenance, never correctness.
+        compactEvery.foreach { n =>
+          if (n > 0 && (batchId + 1) % n == 0)
+            graft.operators.IndexStore.compactIndex(spark, indexPath): Unit
+        }
       }
       ()
     }
+
+  /** Read an ingest loop's verdict table with a STABLE schema. Since
+    * round 10 the table is PARTITIONED by batch_id, and Spark types an
+    * inferred partition column by its values — IntegerType for small
+    * batch ids — where the pre-round-10 layout carried batch_id as a
+    * LongType DATA column. Consumers reading the path directly would
+    * see a schema that varies with table age (and would flip to
+    * LongType the day a deployment passes 2³¹ batches); this reader
+    * pins batch_id to LongType over either layout. Migration note for
+    * direct readers of post-round-10 tables: cast batch_id yourself or
+    * read through this helper.
+    */
+  def readVerdicts(
+      spark: org.apache.spark.sql.SparkSession,
+      verdictPath: String): DataFrame =
+    spark.read.parquet(verdictPath)
+      .withColumn("batch_id", col("batch_id").cast("long"))
 
   /** Refuse to write `batch_id=` partition directories into a verdict
     * table that holds ROOT-LEVEL data files (the pre-round-10
@@ -639,8 +680,9 @@ object StreamOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       threshold: Double = 0.9,
-      maxBucketSize: Int = 10000): (DataFrame, Long) => Unit =
-    ingestBatchBody(verdictPath)(b =>
+      maxBucketSize: Int = 10000,
+      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit =
+    ingestBatchBody(verdictPath, indexPath, compactEvery)(b =>
       graft.operators.IndexStore.ingestVector(b, idCol, vecCol,
         indexPath, threshold, maxBucketSize))
 
@@ -655,8 +697,9 @@ object StreamOps {
       idCol: String = "doc_id",
       textCol: String = "text",
       threshold: Double = 0.7,
-      maxBucketSize: Int = 1000): (DataFrame, Long) => Unit =
-    ingestBatchBody(verdictPath)(b =>
+      maxBucketSize: Int = 1000,
+      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit =
+    ingestBatchBody(verdictPath, indexPath, compactEvery)(b =>
       graft.operators.IndexStore.ingestCorpus(b, idCol, textCol,
         indexPath, threshold, maxBucketSize))
 

@@ -46,8 +46,12 @@ class IndexStoreSpec extends SparkSuite {
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** Resolves through the generation manifest, so it reads the ACTIVE
+    * generation before and after a compaction alike.
+    */
   private def canonIndex(path: String, tables: Seq[String]): Map[String, Seq[String]] =
-    tables.map(t => t -> canon(spark.read.parquet(s"$path/$t"))).toMap
+    tables.map(t =>
+      t -> canon(spark.read.parquet(IndexStore.tableDir(spark, path, t)))).toMap
 
   test("corpus index: append equals rebuild, table for table and probe for probe") {
     val appended = tmp(); val rebuilt = tmp()
@@ -200,6 +204,86 @@ class IndexStoreSpec extends SparkSuite {
     assert(e.getMessage.contains("torn") && e.getMessage.contains("postings"),
       e.getMessage)
     IndexStore.loadTextIndex(spark, path, check = false): Unit
+  }
+
+  test("repairTextIndex: detect → repair → load green; repaired scores " +
+      "equal an index built without the orphaned docs; pruned ids stay " +
+      "retired under the monotone guard") {
+    import graft.operators.TextAnalysis
+    val path = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", path)
+    // torn append: doclen rows landed, postings never did
+    Seq((50L, 30L), (51L, 12L)).toDF("doc_id", "dl")
+      .write.mode("append").parquet(s"$path/doclen")
+    intercept[IllegalArgumentException] { IndexStore.loadTextIndex(spark, path) }
+    assert(IndexStore.repairTextIndex(spark, path) == 2L,
+      "repair must report both pruned orphans")
+    val repaired = IndexStore.loadTextIndex(spark, path) // green again
+    // repaired index ≡ one that never saw the torn docs, probe for probe
+    val clean = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", clean)
+    val queries = Seq(1L -> "alpha beta", 2L -> "kappa zeta")
+    val viaRepaired = canon(TextAnalysis.bm25TopKIndexed(repaired, queries, 5))
+    val viaClean = canon(TextAnalysis.bm25TopKIndexed(
+      IndexStore.loadTextIndex(spark, clean), queries, 5))
+    assert(viaRepaired == viaClean && viaClean.nonEmpty,
+      "pruning must restore exact idf/avgdl")
+    // a second repair is a no-op
+    assert(IndexStore.repairTextIndex(spark, path) == 0L)
+    // pruned ids are NOT freed: they sort below the surviving max only
+    // if older — here 50/51 were the max, so re-appending id 50 would
+    // pass the monotone guard ONLY with a fresh-enough id; an id at or
+    // below the surviving max still raises
+    intercept[IllegalArgumentException] {
+      IndexStore.appendTextIndex(oldDocs.limit(1), "doc_id", "text", path)
+    }
+    // and the lifecycle continues: a fresh-id append lands in the
+    // repaired (new-generation) doclen
+    IndexStore.appendTextIndex(newDocs, "doc_id", "text", path)
+    assert(canonIndex(path, Seq("postings", "doclen")) == {
+      val full = tmp()
+      IndexStore.saveTextIndex(oldDocs.unionByName(newDocs),
+        "doc_id", "text", full)
+      canonIndex(full, Seq("postings", "doclen"))
+    }, "append-after-repair ≡ rebuild without the orphans")
+  }
+
+  test("rebuildIvf: retrain+reassign ≡ fresh build over the same corpus; " +
+      "published atomically next to a pinned reader") {
+    val path = tmp()
+    // stale model: trained on cluster-0-heavy prefix, then appends
+    // drifted the corpus — the documented IVF decay scenario
+    IndexStore.saveIvf(
+      IvfIndex.build(oldVecs, "vec_id", "embedding", nLists = 3,
+        trainFraction = 1.0), path)
+    IndexStore.appendIvf(newVecs, "vec_id", "embedding", path)
+    val pinned = IndexStore.loadIvf(spark, path)
+    val full = oldVecs.unionByName(newVecs)
+    IndexStore.rebuildIvf(full, "vec_id", "embedding", path,
+      trainFraction = 1.0)
+    // rebuild ≡ fresh build: same corpus, same seed, same params
+    val fresh = tmp()
+    IndexStore.saveIvf(
+      IvfIndex.build(full, "vec_id", "embedding", nLists = 3,
+        trainFraction = 1.0), fresh)
+    val ts = Seq("centroids", "assign")
+    assert(canonIndex(path, ts) == canonIndex(fresh, ts),
+      "rebuilt model must equal a from-scratch build")
+    // the pre-rebuild reader still probes its pinned generation
+    assert(IvfIndex.search(pinned, full, full.limit(2), "vec_id",
+      "embedding", k = 3, nProbe = 3).count() > 0)
+    // fresh load sees the rebuilt generation; searches agree with the
+    // fresh-build model
+    val a = canon(IvfIndex.search(IndexStore.loadIvf(spark, path), full,
+      full.limit(4), "vec_id", "embedding", k = 3, nProbe = 2))
+    val b = canon(IvfIndex.search(IndexStore.loadIvf(spark, fresh), full,
+      full.limit(4), "vec_id", "embedding", k = 3, nProbe = 2))
+    assert(a == b && a.nonEmpty)
+    // nLists override updates the informational meta label
+    IndexStore.rebuildIvf(full, "vec_id", "embedding", path, nLists = 5,
+      trainFraction = 1.0)
+    assert(IndexStore.readMeta(spark, path)("n_lists") == "5")
+    assert(IndexStore.loadIvf(spark, path).centroids.length == 5)
   }
 
   test("text index: overlapping append raises; kind mismatch raises") {
@@ -630,11 +714,12 @@ class IndexStoreSpec extends SparkSuite {
     assert(canonIndex(path, ts) == preTables,
       "compaction must move rows, never change them")
     assert(probe() == preProbe, "probe surface unchanged by compaction")
-    // the lifecycle continues: append after compact, monotone guard intact
+    // the lifecycle continues: append after compact lands in the
+    // ACTIVE generation, monotone guard intact
     IndexStore.appendMediaIndex(Seq((99L, 0x7777_8888_9999_AAAAL))
       .toDF("id", "dh"), "id", "dh", path)
-    assert(spark.read.parquet(s"$path/members").count() ==
-      preTables("members").size + 1)
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "members"))
+      .count() == preTables("members").size + 1)
 
     // corpus kind (multi-table, sets carry text) + crash recovery
     val cPath = tmp()
@@ -689,6 +774,77 @@ class IndexStoreSpec extends SparkSuite {
     IndexStore.loadTextIndex(spark, tPath): Unit
   }
 
+  test("compaction is ONLINE for readers: an index loaded pre-swap keeps " +
+      "probing correctly after compaction (its generation is retained), " +
+      "fresh loads pin the new generation, reap retires the rest, and a " +
+      "rebuild resets to generation 0") {
+    val base = 0x0F0F_1234_ABCD_5678L
+    def hashOf(i: Long): Long = base ^ (1L << (i % 8)) ^
+      (if (i % 2 == 0) 0L else 1L << 32)
+    val all = (0L until 64L).map(i => (i, hashOf(i))).toDF("id", "dh")
+    val path = tmp()
+    IndexStore.saveMediaIndex(all.where($"id" >= 16 && $"id" < 48),
+      "id", "dh", path)
+    IndexStore.appendMediaIndex(all.where($"id" >= 48), "id", "dh", path)
+    val batch = all.where($"id" < 16)
+    def probeOf(idx: Dedup.MediaIndex) =
+      Dedup.hammingJoinIndexed(batch, idx, "id", "dh")
+        .collect().map(_.toString).sorted.toSeq
+    val expected = probeOf(IndexStore.loadMediaIndex(spark, path))
+    assert(expected.nonEmpty)
+
+    // a reader PINNED at generation 0 (file listing taken at load)...
+    val pinned0 = IndexStore.loadMediaIndex(spark, path)
+    val stats1 = IndexStore.compactIndex(spark, path)
+    assert(stats1.forall(_.filesAfter == 1L), s"$stats1")
+    // ...still probes correctly AFTER the swap: generation 0 is
+    // retained as the immediately-prior generation
+    assert(probeOf(pinned0) == expected,
+      "pre-swap reader must survive an online compaction")
+    assert(new java.io.File(s"$path/members").exists,
+      "prior generation (0: the plain dir) must be retained for pinned readers")
+    assert(IndexStore.tableDir(spark, path, "members")
+      .endsWith("members__g00001"), "fresh resolution pins generation 1")
+    assert(probeOf(IndexStore.loadMediaIndex(spark, path)) == expected)
+
+    // second compaction while a generation-1 reader is pinned: swap to
+    // generation 2, grace-reap generation 0, retain generation 1
+    val pinned1 = IndexStore.loadMediaIndex(spark, path)
+    IndexStore.compactIndex(spark, path): Unit
+    assert(!new java.io.File(s"$path/members").exists,
+      "generation 0 is older-than-prior after the second swap — reaped")
+    assert(new java.io.File(s"$path/members__g00001").exists,
+      "generation 1 retained for its pinned readers")
+    assert(probeOf(pinned1) == expected,
+      "generation-1 reader must survive the second compaction")
+    assert(probeOf(IndexStore.loadMediaIndex(spark, path)) == expected)
+
+    // explicit reap (the operator's no-readers-left cadence) retires
+    // every non-active generation; the active one keeps probing
+    val reaped = IndexStore.reapIndexGenerations(spark, path).sorted
+    assert(reaped == Seq("bands__g00001", "members__g00001"), s"$reaped")
+    assert(probeOf(IndexStore.loadMediaIndex(spark, path)) == expected)
+    // and appends keep working against the active generation
+    IndexStore.appendMediaIndex(Seq((99L, 0x7777_8888_9999_AAAAL))
+      .toDF("id", "dh"), "id", "dh", path)
+    assert(probeOf(IndexStore.loadMediaIndex(spark, path)) == expected)
+
+    // a full rebuild (save*) resets the root to generation 0: plain
+    // dirs active, no manifest, no generation debris (same corpus as
+    // the original build minus the post-compact 99 append, so the
+    // probe image is unchanged)
+    IndexStore.saveMediaIndex(all.where($"id" >= 16), "id", "dh", path)
+    assert(IndexStore.tableDir(spark, path, "members") == s"$path/members")
+    assert(!new java.io.File(s"$path/$GenManifestName").exists,
+      "rebuild must drop the generation manifest")
+    assert(Option(new java.io.File(path).listFiles()).get
+      .forall(f => !f.getName.matches(".*__g\\d+$")),
+      "rebuild must clear stale generation dirs")
+    assert(probeOf(IndexStore.loadMediaIndex(spark, path)) == expected)
+  }
+
+  private val GenManifestName = "_generations"
+
   test("intra-batch collapse composes into ingestVector: one admission " +
       "per near-dup family (the q251 pattern, semantic sibling)") {
     val u = Array(1.0, 0.0, 0.0, 0.0)
@@ -714,6 +870,109 @@ class IndexStoreSpec extends SparkSuite {
       .select("member_id").as[Long].collect().toSet
     assert(members == Set(10L, 20L),
       s"exactly one member of the 20/21 family reached the index: $members")
+  }
+
+  test("ingest rounds: a cap-flip replay whose flipped id sits ABOVE the " +
+      "index max (straddle shape) is verified by the at-or-below members " +
+      "and appends only the above-max remainder — no wedge") {
+    // replay scenario: the original round admitted 20 and 21 (both
+    // indexed, so index max = 21), then crashed before its verdict
+    // write. The replay re-screens the SAME batch, but a load-time cap
+    // flip now admits 25 too — formerly rejected, never indexed, id
+    // above the index max. Admitted ids {20, 21, 25} straddle the max:
+    // the pre-round-11 guard raised here on every retry (a permanent
+    // wedge of the at-least-once loop); the contract is that the
+    // at-or-below subset's membership verifies the replay and the
+    // above-max remainder is appended.
+    val sigA = 0x1234_5678_9ABC_DEF0L
+    val sigB = 0x0F0F_F0F0_0F0F_F0F0L
+    val sigC = 0xAAAA_5555_CCCC_3333L
+    val sigX = 0x1111_8888_4444_2222L // novel: far from all of the above
+    val path = tmp()
+    // index state as the crashed round left it: pre-batch doc 10 plus
+    // the original admissions 20 and 21
+    IndexStore.saveMediaIndex(
+      Seq((10L, sigA), (20L, sigB), (21L, sigC)).toDF("id", "dh"),
+      "id", "dh", path)
+    val replayBatch = Seq((20L, sigB), (21L, sigC), (25L, sigX)).toDF("id", "dh")
+    val v = IndexStore.ingestMedia(replayBatch, "id", "dh", path)
+      .orderBy("asset_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v == Seq((20L, "admitted"), (21L, "admitted"), (25L, "admitted")),
+      s"replay reproduces the original verdicts plus the flip: $v")
+    val members = spark.read.parquet(s"$path/members")
+      .select("member_id").as[Long].collect().toSet
+    assert(members == Set(10L, 20L, 21L, 25L),
+      s"only the above-max remainder (25) was appended: $members")
+    // a SECOND retry is now a pure replay (all ids at-or-below max 25,
+    // all members) — verdicts stable, index untouched
+    val v2 = IndexStore.ingestMedia(replayBatch, "id", "dh", path)
+      .orderBy("asset_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v2 == v, s"second retry drifted: $v2 vs $v")
+    assert(spark.read.parquet(s"$path/members").count() == 4,
+      "second retry must not grow the index")
+  }
+
+  test("corpus index: a shingle-less set row does not demote appends to " +
+      "the heal anti-join — the coverage identity excludes band-less sets") {
+    // this library's own writers cannot produce a shingle-less set
+    // (null text is dropped at collapse; shingling non-null text
+    // always yields ≥1 shingle — asserted below), so inject one
+    // directly, the external/legacy-writer shape the fast path must
+    // tolerate forever, alongside a GENUINE torn set (text-bearing,
+    // bands lost) the next append must still heal
+    val path = tmp()
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", path)
+    val meta = IndexStore.readMeta(spark, path)
+    val numBands = meta("num_bands").toLong
+    val shType = spark.read.parquet(s"$path/sets").schema("sh").dataType
+    // degenerate: empty shingle array — zero band rows by construction
+    Seq((50L, "", Seq.empty[String])).toDF("corpus_id", "text", "sh")
+      .select(col("corpus_id"), col("text"), col("sh").cast(shType))
+      .write.mode("append").parquet(s"$path/sets")
+    Seq((50L, 50L)).toDF("corpus_id", "member_id")
+      .write.mode("append").parquet(s"$path/members")
+    // genuine torn set: full shingles, band rows never landed (derive
+    // the sets/members rows the same way the builder does — via a
+    // scratch save — and copy everything except the bands)
+    val tornText = sentence(30)
+    val scratch = tmp()
+    IndexStore.saveCorpusIndex(Seq((60L, tornText)).toDF("doc_id", "text"),
+      "doc_id", "text", scratch)
+    spark.read.parquet(s"$scratch/sets")
+      .write.mode("append").parquet(s"$path/sets")
+    spark.read.parquet(s"$scratch/members")
+      .write.mode("append").parquet(s"$path/members")
+    // the fix's premise, pinned: the shingle-aware identity holds for
+    // a healthy band table even with the degenerate set present, while
+    // the naive all-sets identity (the pre-round-11 formula) is
+    // permanently broken by it — and a real orphan breaks both
+    val bands = spark.read.parquet(s"$path/bands").count()
+    val sets = spark.read.parquet(s"$path/sets")
+    assert(sets.where(size(col("sh")) === 0).count() == 1,
+      "fixture must contain the degenerate band-less set")
+    assert(bands != numBands * sets.count(),
+      "naive identity is defeated by the degenerate set")
+    assert(bands != numBands * sets.where(size(col("sh")) > 0).count(),
+      "the genuine orphan (60) must be visible to the shingle-aware identity")
+    // the next append heals the GENUINE orphan only; afterwards the
+    // shingle-aware identity holds (fast path restored for every
+    // subsequent append) while the naive one stays broken
+    IndexStore.appendCorpusIndex(
+      Seq((70L, sentence(30))).toDF("doc_id", "text"), "doc_id", "text", path)
+    val bands2 = spark.read.parquet(s"$path/bands").count()
+    val sets2 = spark.read.parquet(s"$path/sets")
+    assert(bands2 == numBands * sets2.where(size(col("sh")) > 0).count(),
+      "post-heal: shingle-aware identity restored — fast path holds")
+    assert(bands2 != numBands * sets2.count(),
+      "naive identity would still demote every future append")
+    // healed orphan is probe-reachable; degenerate set never is
+    val hits = Dedup.minhashLSHJoinIndexed(
+        Seq((900L, tornText)).toDF("doc_id", "text"),
+        IndexStore.loadCorpusIndex(spark, path), "doc_id", "text")
+      .select("corpus_id").as[Long].collect().toSet
+    assert(hits.contains(60L), s"healed orphan must match its copy: $hits")
   }
 
   test("media index: a torn append (members without bands) heals on the next append") {

