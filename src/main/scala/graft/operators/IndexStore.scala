@@ -1120,6 +1120,146 @@ object IndexStore {
       .map { p => fs.delete(p, true); p.getName }
   }
 
+  /** Per-table storage report for [[describeIndex]]. */
+  case class TableStat(
+      table: String, generation: Long, files: Long, bytes: Long,
+      staleGenerations: Long)
+
+  /** Operator's-eye view of a persisted index: one row per raw table
+    * with its ACTIVE generation, data-file count, byte size, and how
+    * many retired generation dirs are still on disk awaiting
+    * [[reapIndexGenerations]]. Pure filesystem listings — no Spark
+    * jobs, no row scans — so it is safe to call on any cadence (the
+    * file count is the number compaction exists to bound; alert on
+    * it). Works for every index kind.
+    */
+  def describeIndex(spark: SparkSession, path: String): Seq[TableStat] = {
+    val kind = readMeta(spark, path).getOrElse("kind",
+      throw new IllegalArgumentException(
+        s"IndexStore.describeIndex: $path/meta carries no index kind"))
+    val tables = tablesByKind.getOrElse(kind,
+      throw new IllegalArgumentException(
+        s"IndexStore.describeIndex: unknown index kind '$kind'"))
+    val fs = fsOf(spark, path)
+    val gens = readGenerations(fs, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val entries = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    tables.map { case (t, _) =>
+      val g = gens.getOrElse(t, 0L)
+      val dir = new org.apache.hadoop.fs.Path(s"$path/${genDirName(t, g)}")
+      val data =
+        if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(dir).filter(s => s.isFile && {
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+      val GenRe = s"${java.util.regex.Pattern.quote(t)}__g(\\d+)$$".r
+      val stale = entries.count {
+        case GenRe(gg) => gg.toLong != g
+        case n => n == t && g != 0L // plain dir retired by a compaction
+      }
+      TableStat(t, g, data.length.toLong, data.map(_.getLen).sum,
+        stale.toLong)
+    }
+  }
+
+  /** One consistency finding from [[checkIndex]]. */
+  case class CheckFinding(
+      table: String, check: String, severity: String, detail: String)
+
+  /** On-demand consistency fsck for a persisted index of ANY kind —
+    * the same invariants the loads/appends enforce, packaged as a
+    * REPORT instead of a raise, for maintenance tooling that wants to
+    * inspect before it loads (a raise mid-pipeline is the right
+    * default; a scheduled auditor wants the full list). Findings:
+    *  - corpus/vector: member groups with no sets/reps row (severity
+    *    `unhealable` — the group key is lost; rebuild or prune), and
+    *    sets/reps with shingles/vector but no band/block rows
+    *    (severity `healable` — the next append backfills them).
+    *  - media: member signatures with no band rows (`healable`).
+    *  - text: doclen rows with no postings (`repairable` —
+    *    [[repairTextIndex]] prunes them).
+    *  - ivf: duplicate assignment ids (`unhealable` — every probe
+    *    double-counts; rebuild via [[rebuildIvf]]).
+    * Empty result = every invariant holds. Costs one or two narrow
+    * aggregates/anti-joins per table — run it on the maintenance
+    * cadence, not per probe (loads already fast-path the same checks).
+    */
+  def checkIndex(spark: SparkSession, path: String): Seq[CheckFinding] = {
+    val kind = readMeta(spark, path).getOrElse("kind",
+      throw new IllegalArgumentException(
+        s"IndexStore.checkIndex: $path/meta carries no index kind"))
+    val dir = tableDirs(spark, path)
+    def orphanCount(
+        members: DataFrame, keyCol: String, groups: DataFrame): Long =
+      members.select(col(keyCol)).distinct()
+        .join(groups.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .count()
+    kind match {
+      case "corpus" =>
+        val sets = spark.read.parquet(dir("sets"))
+        val members = spark.read.parquet(dir("members"))
+        val bands = spark.read.parquet(dir("bands"))
+        val lost = orphanCount(members, "corpus_id", sets)
+        val unbanded = orphanCount(
+          sets.where(size(col("sh")) > 0), "corpus_id",
+          bands.select(col("corpus_id")).distinct())
+        Seq(
+          if (lost > 0) Some(CheckFinding("members", "group-key-coverage",
+            "unhealable", s"$lost member group(s) have no sets row — " +
+              "group text lost; rebuild or prune")) else None,
+          if (unbanded > 0) Some(CheckFinding("sets", "band-coverage",
+            "healable", s"$unbanded set(s) lack band rows — " +
+              "the next appendCorpusIndex heals them")) else None).flatten
+      case "vector" =>
+        val reps = spark.read.parquet(dir("reps"))
+        val members = spark.read.parquet(dir("members"))
+        val blocks = spark.read.parquet(dir("blocks"))
+        val lost = orphanCount(members, "rep_id", reps)
+        val unblocked = orphanCount(reps, "rep_id",
+          blocks.select(col("rep_id")).distinct())
+        Seq(
+          if (lost > 0) Some(CheckFinding("members", "group-key-coverage",
+            "unhealable", s"$lost member group(s) have no reps row — " +
+              "group vector lost; rebuild or prune")) else None,
+          if (unblocked > 0) Some(CheckFinding("reps", "block-coverage",
+            "healable", s"$unblocked rep(s) lack block rows — " +
+              "the next appendVectorIndex heals them")) else None).flatten
+      case "media" =>
+        val members = spark.read.parquet(dir("members"))
+        val bands = spark.read.parquet(dir("bands"))
+        val unbanded = members.select(col("dh")).distinct()
+          .join(bands.select(col("dh")).distinct(), Seq("dh"), "left_anti")
+          .count()
+        if (unbanded > 0) Seq(CheckFinding("members", "band-coverage",
+          "healable", s"$unbanded signature(s) lack band rows — " +
+            "the next appendMediaIndex heals them"))
+        else Seq.empty
+      case "text" =>
+        val doclen = spark.read.parquet(dir("doclen"))
+        val postings = spark.read.parquet(dir("postings"))
+        val orphans = doclen.select(col("doc_id")).distinct()
+          .join(postings.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .count()
+        if (orphans > 0) Seq(CheckFinding("doclen", "postings-coverage",
+          "repairable", s"$orphans doc(s) have doclen rows but no " +
+            "postings — they skew idf/avgdl; run repairTextIndex"))
+        else Seq.empty
+      case "ivf" =>
+        val assign = spark.read.parquet(dir("assign"))
+        val dups = assign.groupBy(col("id")).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1).count()
+        if (dups > 0) Seq(CheckFinding("assign", "id-uniqueness",
+          "unhealable", s"$dups id(s) assigned more than once — every " +
+            "probe double-counts them; rebuild via rebuildIvf"))
+        else Seq.empty
+      case k => throw new IllegalArgumentException(
+        s"IndexStore.checkIndex: unknown index kind '$k'")
+    }
+  }
+
   /** Rewrite the given tables as their NEXT generations and publish
     * them with one atomic manifest swap — the shared write-aside
     * machinery of the maintenance ops ([[compactIndex]] inlines the

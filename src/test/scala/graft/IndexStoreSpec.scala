@@ -845,6 +845,76 @@ class IndexStoreSpec extends SparkSuite {
 
   private val GenManifestName = "_generations"
 
+  test("describeIndex + checkIndex: storage report tracks generations and " +
+      "stale dirs; the fsck reports every torn shape without raising") {
+    // corpus: healthy → empty report; then inject BOTH torn shapes
+    val cPath = tmp()
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", cPath)
+    assert(IndexStore.checkIndex(spark, cPath).isEmpty)
+    // healable: a sets row (with shingles) whose bands never landed
+    val scratch = tmp()
+    IndexStore.saveCorpusIndex(Seq((60L, sentence(30))).toDF("doc_id", "text"),
+      "doc_id", "text", scratch)
+    spark.read.parquet(s"$scratch/sets")
+      .write.mode("append").parquet(s"$cPath/sets")
+    spark.read.parquet(s"$scratch/members")
+      .write.mode("append").parquet(s"$cPath/members")
+    // unhealable: a member row whose sets row never landed
+    Seq((70L, 70L)).toDF("corpus_id", "member_id")
+      .write.mode("append").parquet(s"$cPath/members")
+    val cFindings = IndexStore.checkIndex(spark, cPath)
+      .map(f => (f.table, f.severity)).toSet
+    assert(cFindings == Set(("members", "unhealable"), ("sets", "healable")),
+      s"$cFindings")
+
+    // text: repairable finding → repairTextIndex → clean
+    val tPath = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", tPath)
+    Seq((50L, 30L)).toDF("doc_id", "dl")
+      .write.mode("append").parquet(s"$tPath/doclen")
+    val tf = IndexStore.checkIndex(spark, tPath)
+    assert(tf.map(f => (f.table, f.severity)) == Seq(("doclen", "repairable")),
+      s"$tf")
+    IndexStore.repairTextIndex(spark, tPath): Unit
+    assert(IndexStore.checkIndex(spark, tPath).isEmpty)
+
+    // ivf: duplicate assignment id → unhealable finding
+    val iPath = tmp()
+    IndexStore.saveIvf(IvfIndex.build(oldVecs, "vec_id", "embedding",
+      nLists = 3, trainFraction = 1.0), iPath)
+    assert(IndexStore.checkIndex(spark, iPath).isEmpty)
+    spark.read.parquet(s"$iPath/assign").limit(1)
+      .write.mode("append").parquet(s"$iPath/assign")
+    assert(IndexStore.checkIndex(spark, iPath)
+      .map(f => (f.table, f.severity)) == Seq(("assign", "unhealable")))
+
+    // media + describeIndex: file counts, generation bump, stale dirs
+    val mPath = tmp()
+    val sigs = (0L until 32L).map(i => (i, 0x1000_0000L * (i % 4) + i / 4))
+      .toDF("id", "dh")
+    IndexStore.saveMediaIndex(sigs.where($"id" < 16), "id", "dh", mPath)
+    IndexStore.appendMediaIndex(sigs.where($"id" >= 16), "id", "dh", mPath)
+    assert(IndexStore.checkIndex(spark, mPath).isEmpty)
+    val pre = IndexStore.describeIndex(spark, mPath)
+    assert(pre.map(_.table).toSet == Set("bands", "members"))
+    assert(pre.forall(s => s.generation == 0L && s.staleGenerations == 0L &&
+      s.files > 1L && s.bytes > 0L), s"$pre")
+    IndexStore.compactIndex(spark, mPath): Unit
+    val post = IndexStore.describeIndex(spark, mPath)
+    assert(post.forall(s => s.generation == 1L && s.files == 1L &&
+      s.staleGenerations == 1L), // the retired plain dir awaits reap
+      s"$post")
+    IndexStore.reapIndexGenerations(spark, mPath): Unit
+    assert(IndexStore.describeIndex(spark, mPath)
+      .forall(_.staleGenerations == 0L))
+    // torn media (members without bands) surfaces as healable
+    Seq((0x7777_0000_1111_2222L, 99L)).toDF("dh", "member_id")
+      .write.mode("append")
+      .parquet(IndexStore.tableDir(spark, mPath, "members"))
+    assert(IndexStore.checkIndex(spark, mPath)
+      .map(f => (f.table, f.severity)) == Seq(("members", "healable")))
+  }
+
   test("intra-batch collapse composes into ingestVector: one admission " +
       "per near-dup family (the q251 pattern, semantic sibling)") {
     val u = Array(1.0, 0.0, 0.0, 0.0)
