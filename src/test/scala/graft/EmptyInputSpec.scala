@@ -352,4 +352,42 @@ class EmptyInputSpec extends SparkSuite {
     val nullMedia = Seq(Multimodal.MediaAsset(1L, "video", null)).toDS()
     assert(Multimodal.videoFrameStats(nullMedia).count() == 0)
   }
+
+  test("round-11 maintenance ops on empty/degenerate indexes: compact, " +
+      "repair, describe, check, reap all no-op cleanly") {
+    val path = java.nio.file.Files.createTempDirectory("graft_empty_idx").toString
+    IndexStore.saveCorpusIndex(emptyDocs, "doc_id", "text", path)
+    // fsck of an empty index: no findings, nothing to raise
+    assert(IndexStore.checkIndex(spark, path).isEmpty)
+    // compaction of empty tables: one file target, zero bytes, no crash
+    // (an "empty" parquet table still holds a schema-bearing footer
+    // file, so file/byte counts are ≤1/small, not zero)
+    val stats = IndexStore.compactIndex(spark, path)
+    assert(stats.forall(_.filesAfter <= 1L), s"$stats")
+    // describe resolves the new generation
+    val d = IndexStore.describeIndex(spark, path)
+    assert(d.forall(s => s.generation == 1L && s.files <= 1L), s"$d")
+    // reap retires the empty gen-0 dirs; the empty index still loads
+    IndexStore.reapIndexGenerations(spark, path): Unit
+    assert(Dedup.minhashLSHJoinIndexed(
+      Seq((1L, "probe text")).toDF("doc_id", "text"),
+      IndexStore.loadCorpusIndex(spark, path), "doc_id", "text").count() == 0)
+    // text index: repair of a healthy (and empty) index prunes nothing
+    val tPath = java.nio.file.Files.createTempDirectory("graft_empty_txt").toString
+    IndexStore.saveTextIndex(emptyDocs, "doc_id", "text", tPath)
+    assert(IndexStore.repairTextIndex(spark, tPath) == 0L)
+    assert(IndexStore.checkIndex(spark, tPath).isEmpty)
+    IndexStore.loadTextIndex(spark, tPath): Unit
+    // an all-duplicate (empty-admission) ingest round after a compact
+    // appends nothing and leaves the generation untouched
+    val mPath = java.nio.file.Files.createTempDirectory("graft_empty_med").toString
+    IndexStore.saveMediaIndex(Seq((10L, 0x1234L)).toDF("id", "dh"),
+      "id", "dh", mPath)
+    IndexStore.compactIndex(spark, mPath): Unit
+    val v = IndexStore.ingestMedia(Seq((20L, 0x1234L)).toDF("id", "dh"),
+      "id", "dh", mPath)
+    assert(v.where(col("status") === "admitted").count() == 0)
+    assert(IndexStore.describeIndex(spark, mPath)
+      .forall(_.generation == 1L))
+  }
 }
