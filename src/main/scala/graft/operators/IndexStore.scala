@@ -406,8 +406,11 @@ object IndexStore {
     * from the index meta), reject every doc with jaccard ≥ `threshold`
     * against an indexed doc, append the admissions
     * ([[appendCorpusIndex]] — exact-text copies merge under their
-    * existing representative), and return one verdict row per batch
-    * doc: (doc_id, status admitted|duplicate, n_matches,
+    * existing representative), and return one verdict row per
+    * NON-NULL-TEXT batch doc (null-text docs are dropped up front, no
+    * verdict row — the [[ingestVector]] posture; they can never be
+    * indexed, so an "admitted" verdict would be a phantom):
+    * (doc_id, status admitted|duplicate, n_matches,
     * best_corpus_id, best_jaccard) with best = highest jaccard, ties
     * to the smallest corpus_id. Dedup is against the index only;
     * recall is the LSH band recall at `threshold`. The batch text is
@@ -433,8 +436,14 @@ object IndexStore {
       maxBucketSize: Int = 1000): DataFrame = {
     val spark = newDocs.sparkSession
     val m = metaOf(spark, path, "corpus")
+    // null-text docs are dropped up front (no verdict row — the
+    // [[ingestVector]] null/wrong-dim posture): they yield no shingles,
+    // so left in they would be silently "admitted" yet never indexed
+    // (the group collapse drops null texts), leaving a phantom verdict
+    // with no index entry behind it
     val batch = newDocs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .where(col("text").isNotNull)
       .localCheckpoint(true)
     // loaded once: the screen probes it, and the replay disposition
     // reuses its members relation instead of re-listing the table

@@ -682,6 +682,25 @@ class IndexStoreSpec extends SparkSuite {
     val members = spark.read.parquet(s"$vPath/members")
       .select("member_id").as[Long].collect().toSet
     assert(members == Set(10L, 22L), s"index members: $members")
+
+    // corpus sibling: a null-text doc gets NO verdict row (it can never
+    // be indexed — the collapse drops null texts — so an "admitted"
+    // verdict for it would be a phantom) and never reaches the index
+    val cPath = tmp()
+    IndexStore.saveCorpusIndex(
+      Seq((10L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("id", "text"), "id", "text", cPath)
+    val cDirty = Seq(
+      (20L, null.asInstanceOf[String]),
+      (21L, "spark structured streaming state stores explained with care"))
+      .toDF("id", "text")
+    val cv = IndexStore.ingestCorpus(cDirty, "id", "text", cPath,
+      threshold = 0.7)
+    assert(cv.select("doc_id").as[Long].collect().toSeq == Seq(21L),
+      "null-text rows get no verdict and never reach the index")
+    val cMembers = spark.read.parquet(s"$cPath/members")
+      .select("member_id").as[Long].collect().toSet
+    assert(cMembers == Set(10L, 21L), s"corpus index members: $cMembers")
   }
 
   test("compactIndex: collapses append-accumulated small files; " +
