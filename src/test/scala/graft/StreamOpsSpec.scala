@@ -384,6 +384,44 @@ class StreamOpsSpec extends SparkSuite {
       "the appended delta must surface after reload")
   }
 
+  test("a RUNNING gate survives an online compaction mid-query: the " +
+      "generation pinned at load keeps serving micro-batches after the swap") {
+    // the strongest form of the round-11 readers-survive claim: not a
+    // pre-built DataFrame re-executed, but a LIVE streaming query whose
+    // static side was loaded pre-compact, processing micro-batches on
+    // both sides of the swap — the retained prior generation keeps its
+    // file listing valid, no restart required (the restart is only
+    // needed to SEE the compacted generation, as with appends)
+    import graft.streaming.StreamOps.Asset
+    import graft.operators.IndexStore
+    val sigA = 0x0123456789ABCDEFL
+    val sigB = 0x7EDCBA9876543210L
+    val path = java.nio.file.Files.createTempDirectory("graft_live_compact").toString
+    IndexStore.saveMediaIndex(
+      Seq((100L, sigA), (101L, sigB)).toDF("doc_id", "dh"),
+      "doc_id", "dh", path)
+    val input = MemoryStream[Asset]
+    val q = StreamOps.mediaGateIndexed(input.toDF(),
+        IndexStore.loadMediaIndex(spark, path), "asset_id", "dh")
+      .writeStream.format("memory").queryName("live_gate_compact")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(Asset(1L, sigA ^ 1L, ts(0))))
+      q.processAllAvailable()
+      // compact while the query is LIVE — swaps to generation 1,
+      // retains generation 0 for this query's pinned listing
+      IndexStore.compactIndex(spark, path): Unit
+      assert(IndexStore.tableDir(spark, path, "members")
+        .endsWith("members__g00001"))
+      input.addData(Seq(Asset(2L, sigB ^ 2L, ts(1))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("live_gate_compact")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got == Seq((1L, 100L, 1), (2L, 101L, 1)),
+      s"live gate must match correctly on both sides of the swap: $got")
+  }
+
   test("mediaGate: inline-index convenience form matches the batch screen") {
     import graft.streaming.StreamOps.Asset
     import graft.operators.Dedup
