@@ -53,6 +53,9 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.IndexStore")
+
   // ---------------------------------------------------------------
   // meta
   // ---------------------------------------------------------------
@@ -181,12 +184,32 @@ object IndexStore {
       // replay-shaped or straddling: legitimate only as a replay, and
       // a replay always leaves the original admissions as members
       // at-or-below the index max — so membership of that subset is
-      // the verification for both shapes (rare branch: one semi-join)
+      // the verification for both shapes (rare branch: one semi-join).
+      // Both counts are taken, not just a limit-1 existence probe: a
+      // reused id range that merely OVERLAPS the index also produces
+      // members, so the non-member count is surfaced (logged below) —
+      // bounded non-membership is the documented cap-flip tolerance,
+      // but a large count on a round that was NOT a retry is the
+      // operator's one observable signal of id reuse.
       val withEmx = admitted.crossJoin(broadcast(emx))
-      val verified = withEmx.where(col(idCol) <= col("__emx"))
+      val atOrBelow = withEmx.where(col(idCol) <= col("__emx"))
         .select(col(idCol).as("__aid"))
+        .localCheckpoint(true)
+      val subTotal = atOrBelow.count()
+      val subMembers = atOrBelow
         .join(existingIds.toDF("__aid"), Seq("__aid"), "left_semi")
-        .limit(1).count() > 0
+        .count()
+      val verified = subMembers > 0
+      if (verified && subMembers < subTotal)
+        log.warn(
+          s"IndexStore.$op: replay verified by $subMembers member id(s), " +
+            s"but ${subTotal - subMembers} admitted id(s) at-or-below the " +
+            "index max are NOT members — tolerated as load-time cap flips " +
+            "(a formerly-rejected doc re-admitted after its grown LSH " +
+            "bucket was dropped at load; leakage bounded to this batch). " +
+            "If this round was NOT an at-least-once retry of a crashed " +
+            "round, this is a reused id range silently skipping documents " +
+            "— re-id the batch.")
       if (!verified) throw new IllegalArgumentException(
         if (r.getBoolean(2))
           s"IndexStore.$op: every admitted id sorts at-or-below the " +
@@ -263,9 +286,6 @@ object IndexStore {
       numBands: Int = 16): Unit = {
     val spark = corpus.sparkSession
     resetGenerations(spark, path)
-    writeMeta(spark, path, Seq(
-      "kind" -> "corpus", "shingle_size" -> shingleSize.toString,
-      "num_hashes" -> numHashes.toString, "num_bands" -> numBands.toString))
     val gc = Dedup.textGroups(corpus, idCol, textCol)
     val (bands, sets, members) =
       Dedup.corpusTablesFromGroups(gc, shingleSize, numHashes, numBands)
@@ -275,6 +295,10 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$path/sets")
     members.repartition(col("corpus_id"))
       .write.mode("overwrite").parquet(s"$path/members")
+    // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+    writeMeta(spark, path, Seq(
+      "kind" -> "corpus", "shingle_size" -> shingleSize.toString,
+      "num_hashes" -> numHashes.toString, "num_bands" -> numBands.toString))
   }
 
   /** Load a persisted corpus index, applying the bucket cap over the
@@ -335,8 +359,10 @@ object IndexStore {
       (m("shingle_size").toInt, m("num_hashes").toInt, m("num_bands").toInt)
     // one manifest resolution for the whole append: reads and writes
     // must hit the SAME generation (the exclusivity-vs-compaction
-    // contract of [[compactIndex]] guarantees it cannot move mid-call)
-    val dir = tableDirs(spark, path)
+    // contract of [[compactIndex]]; the fence after the writes converts
+    // a violation to a loud raise instead of silent row loss)
+    val (resolved, dir) = resolvedDirs(spark, path)
+    appendFenceTestHook()
     val oldSets = spark.read.parquet(dir("sets"))
     val oldMembers = spark.read.parquet(dir("members"))
     val gn = Dedup.textGroups(newDocs, idCol, textCol)
@@ -397,6 +423,8 @@ object IndexStore {
         Dedup.corpusBandRows(orphanedSets, shingleSize, numHashes, numBands))
       .repartition(col("band_hash"))
       .write.mode("append").parquet(dir("bands"))
+    requireGenerationsUnmoved(spark, path, resolved,
+      Seq("members", "sets", "bands"), "appendCorpusIndex")
   }
 
   /** One INGEST ROUND against the persisted corpus (MinHash-LSH) index
@@ -493,7 +521,6 @@ object IndexStore {
       path: String): Unit = {
     val spark = hashes.sparkSession
     resetGenerations(spark, path)
-    writeMeta(spark, path, Seq("kind" -> "media"))
     // materialized ONCE: the projection feeds BOTH writes below, and
     // lazy it would re-run the upstream plan (typically a per-asset
     // perceptual decode — the expensive part) for the bands write too,
@@ -507,6 +534,8 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$path/members")
     Dedup.hashBandRows(members, "dh").repartition(col("band_hash"))
       .write.mode("overwrite").parquet(s"$path/bands")
+    // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+    writeMeta(spark, path, Seq("kind" -> "media"))
   }
 
   /** Load a persisted media index, applying the bucket cap over the
@@ -554,7 +583,8 @@ object IndexStore {
         col(idCol).as("member_id"))
       .where(col("dh").isNotNull)
       .localCheckpoint(true)
-    val dir = tableDirs(spark, path)
+    val (resolved, dir) = resolvedDirs(spark, path)
+    appendFenceTestHook()
     val oldMembers = spark.read.parquet(dir("members"))
     requireIdsAfter(oldMembers.select(col("member_id")),
       incoming.select(col("member_id")), "appendMediaIndex")
@@ -575,6 +605,8 @@ object IndexStore {
       .write.mode("append").parquet(dir("members"))
     Dedup.hashBandRows(novel, "dh").repartition(col("band_hash"))
       .write.mode("append").parquet(dir("bands"))
+    requireGenerationsUnmoved(spark, path, resolved,
+      Seq("members", "bands"), "appendMediaIndex")
   }
 
   /** One INGEST ROUND against the persisted media index — the
@@ -674,10 +706,6 @@ object IndexStore {
       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     resetGenerations(spark, path)
-    writeMeta(spark, path, Seq(
-      "kind" -> "vector", "dim" -> dim.toString,
-      "num_blocks" -> numBlocks.toString,
-      "planes_per_block" -> planesPerBlock.toString, "seed" -> seed.toString))
     val groups = vecGroups(corpus, idCol, vecCol)
     val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
       groups, dim, numBlocks, planesPerBlock, seed)
@@ -687,6 +715,11 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$path/reps")
     members.repartition(col("rep_id"))
       .write.mode("overwrite").parquet(s"$path/members")
+    // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+    writeMeta(spark, path, Seq(
+      "kind" -> "vector", "dim" -> dim.toString,
+      "num_blocks" -> numBlocks.toString,
+      "planes_per_block" -> planesPerBlock.toString, "seed" -> seed.toString))
   }
 
   /** Load a persisted vector index (cap-at-load, like
@@ -730,7 +763,8 @@ object IndexStore {
       path: String): Unit = {
     val spark = newVecs.sparkSession
     val m = metaOf(spark, path, "vector")
-    val dir = tableDirs(spark, path)
+    val (resolved, dir) = resolvedDirs(spark, path)
+    appendFenceTestHook()
     val oldReps = spark.read.parquet(dir("reps"))
     val oldMembers = spark.read.parquet(dir("members"))
     val gn = vecGroups(newVecs, idCol, vecCol)
@@ -770,6 +804,8 @@ object IndexStore {
         m("num_blocks").toInt, m("planes_per_block").toInt, m("seed").toLong))
       .repartition(col("band_hash"))
       .write.mode("append").parquet(dir("blocks"))
+    requireGenerationsUnmoved(spark, path, resolved,
+      Seq("members", "reps", "blocks"), "appendVectorIndex")
   }
 
   /** One INGEST ROUND against the persisted vector index — the
@@ -857,14 +893,15 @@ object IndexStore {
     val spark = model.assignments.sparkSession
     import spark.implicits._
     resetGenerations(spark, path)
-    writeMeta(spark, path, Seq(
-      "kind" -> "ivf", "n_lists" -> model.centroids.length.toString))
     model.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     model.assignments.repartition(col("list_id"))
       .write.mode("overwrite").parquet(s"$path/assign")
+    // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+    writeMeta(spark, path, Seq(
+      "kind" -> "ivf", "n_lists" -> model.centroids.length.toString))
   }
 
   /** Load a persisted IVF model. The centroid collect is O(nLists) —
@@ -898,14 +935,25 @@ object IndexStore {
       vecCol: String,
       path: String): Unit = {
     val spark = newVecs.sparkSession
-    val model = loadIvf(spark, path)
-    val assign = IvfIndex.assign(newVecs, idCol, vecCol, model.centroids)
-    require(assign.join(model.assignments.select(col("id")), Seq("id"),
+    metaOf(spark, path, "ivf")
+    // one manifest resolution for the read AND the write (the loadIvf
+    // convenience would resolve separately — a rebuild landing between
+    // the two reads would mix generations)
+    val (resolved, dir) = resolvedDirs(spark, path)
+    appendFenceTestHook()
+    val centroids = spark.read.parquet(dir("centroids"))
+      .orderBy("list_id").collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+    val assignments = spark.read.parquet(dir("assign"))
+    val assign = IvfIndex.assign(newVecs, idCol, vecCol, centroids)
+    require(assign.join(assignments.select(col("id")), Seq("id"),
         "left_semi").limit(1).count() == 0,
       "IndexStore.appendIvf: a new id already exists in the index; " +
         "appending it would double-count its vector in every probe")
     assign.repartition(col("list_id"))
-      .write.mode("append").parquet(tableDir(spark, path, "assign"))
+      .write.mode("append").parquet(dir("assign"))
+    requireGenerationsUnmoved(spark, path, resolved,
+      Seq("assign", "centroids"), "appendIvf")
   }
 
   // ---------------------------------------------------------------
@@ -925,12 +973,13 @@ object IndexStore {
       docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val spark = docs.sparkSession
     resetGenerations(spark, path)
-    writeMeta(spark, path, Seq("kind" -> "text"))
     val idx = TextAnalysis.textIndex(docs, idCol, textCol)
     idx.postings.repartition(col("term"))
       .write.mode("overwrite").parquet(s"$path/postings")
     idx.doclen.repartition(col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/doclen")
+    // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+    writeMeta(spark, path, Seq("kind" -> "text"))
   }
 
   /** Load a persisted text index. With `check` on (the default),
@@ -1039,8 +1088,18 @@ object IndexStore {
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       body.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
-        val Array(t, g) = line.split("=", 2)
-        t -> g.toLong
+        // diagnosable parse: a hand-edited or corrupted line must name
+        // the manifest and the offending text, not surface as a
+        // MatchError/NumberFormatException from deep inside a load
+        line.split("=", 2) match {
+          case Array(t, g) if t.nonEmpty && g.matches("\\d+") => t -> g.toLong
+          case _ => throw new IllegalArgumentException(
+            s"IndexStore: generation manifest $p is corrupt — line " +
+              s"'$line' is not '<table>=<generation>'; restore the " +
+              "manifest (or delete it to reactivate the plain " +
+              "generation-0 table dirs, correct only if the index was " +
+              "never compacted)")
+        }
       }.toMap
     }
   }
@@ -1076,22 +1135,85 @@ object IndexStore {
     tableDirs(spark, path)(table)
 
   /** Resolve the manifest ONCE for a multi-table operation. */
-  private def tableDirs(spark: SparkSession, path: String): String => String = {
+  private def tableDirs(spark: SparkSession, path: String): String => String =
+    resolvedDirs(spark, path)._2
+
+  /** [[tableDirs]] plus the raw generation map it resolved — appends
+    * keep the map to fence their commit against a concurrent external
+    * compaction ([[requireGenerationsUnmoved]]).
+    */
+  private def resolvedDirs(
+      spark: SparkSession, path: String): (Map[String, Long], String => String) = {
     val gens = readGenerations(fsOf(spark, path), path)
-    t => s"$path/${genDirName(t, gens.getOrElse(t, 0L))}"
+    (gens, t => s"$path/${genDirName(t, gens.getOrElse(t, 0L))}")
+  }
+
+  /** Test seam for the append-commit fence: invoked by every append
+    * right after its manifest resolution, so a spec can interleave a
+    * compaction into the exact window the fence exists to detect.
+    * No-op in production.
+    */
+  private[graft] var appendFenceTestHook: () => Unit = () => ()
+
+  /** The append-commit generation FENCE: raise if any written table's
+    * active generation moved since the append resolved the manifest —
+    * i.e. an external [[compactIndex]] (or repair/rebuild) ran
+    * concurrently with this append, violating the documented
+    * exclusivity contract. The rewrite scanned the table BEFORE this
+    * append's files landed, so the just-published generation is
+    * missing them: without this check the rows would be silently
+    * dropped (the appended files sit in the now-retired directory);
+    * with it the loss is converted to a loud raise naming the race.
+    * The retired directory survives until the grace reap, and the
+    * appended ids are NOT in the active generation, so the recovery is
+    * simply re-running the append (an ingest round's replay machinery
+    * does this on its normal retry path). Detection, not prevention —
+    * an append that commits after the rewrite's scan but before its
+    * swap still loses the window; single-writer discipline remains
+    * the contract, this fence makes violations observable.
+    */
+  private def requireGenerationsUnmoved(
+      spark: SparkSession,
+      path: String,
+      resolved: Map[String, Long],
+      tables: Seq[String],
+      op: String): Unit = {
+    val now = readGenerations(fsOf(spark, path), path)
+    val moved = tables
+      .map(t => (t, resolved.getOrElse(t, 0L), now.getOrElse(t, 0L)))
+      .filter { case (_, a, b) => a != b }
+    if (moved.nonEmpty) throw new IllegalStateException(
+      s"IndexStore.$op: the index at $path was compacted/rebuilt while " +
+        s"this append was writing (" +
+        moved.map { case (t, a, b) => s"$t generation $a -> $b" }
+          .mkString(", ") +
+        ") — the appended files landed in the retired generation and " +
+        "are NOT part of the newly published one. Re-run the append " +
+        "against the new generation (the retired directory is retained " +
+        "until the grace reap; the appended ids are absent from the " +
+        "active tables, so a re-run is safe), and restore the " +
+        "single-appender exclusivity the compaction contract requires")
   }
 
   /** Reset an index root to the generation-0 layout before a full
-    * rebuild (every save* builder): drop the manifest — the plain
-    * table dirs the builder is about to overwrite become active again
-    * — then clear stale generation dirs and legacy compaction debris.
-    * Manifest first: a crash mid-reset leaves generation 0 active with
-    * orphaned `__g` dirs, which the next reset or compaction reaps.
+    * rebuild (every save* builder): drop `meta/`, then the manifest —
+    * the plain table dirs the builder is about to overwrite become
+    * active again — then clear stale generation dirs and legacy
+    * compaction debris. META FIRST, and the builders re-write it LAST
+    * (their commit record): every load resolves the kind through
+    * `meta/`, so a crash anywhere between this reset and the builder's
+    * final writeMeta makes loads fail loudly on the missing meta
+    * instead of silently serving the reactivated generation-0 dirs —
+    * which, after a compaction, are stale (missing every
+    * post-compaction append) or gone entirely. A crash mid-reset
+    * (manifest still present, meta gone) fails the same way; the next
+    * rebuild re-runs the reset.
     */
   private def resetGenerations(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) return
+    fs.delete(new org.apache.hadoop.fs.Path(path, "meta"), true): Unit
     fs.delete(new org.apache.hadoop.fs.Path(path, GenManifest), false): Unit
     val stale = fs.listStatus(root).filter { s =>
       val n = s.getPath.getName
@@ -1190,7 +1312,10 @@ object IndexStore {
     *  - text: doclen rows with no postings (`repairable` —
     *    [[repairTextIndex]] prunes them).
     *  - ivf: duplicate assignment ids (`unhealable` — every probe
-    *    double-counts; rebuild via [[rebuildIvf]]).
+    *    double-counts; rebuild via [[rebuildIvf]]); assignments whose
+    *    list_id has no centroids row (`unhealable` — unreachable by
+    *    every probe); centroid count vs the meta n_lists label
+    *    (`repairable` — informational, but it misleads nProbe sizing).
     * Empty result = every invariant holds. Costs one or two narrow
     * aggregates/anti-joins per table — run it on the maintenance
     * cadence, not per probe (loads already fast-path the same checks).
@@ -1258,12 +1383,38 @@ object IndexStore {
         else Seq.empty
       case "ivf" =>
         val assign = spark.read.parquet(dir("assign"))
+        val centroids = spark.read.parquet(dir("centroids"))
         val dups = assign.groupBy(col("id")).agg(count(lit(1)).as("__n"))
           .where(col("__n") > 1).count()
-        if (dups > 0) Seq(CheckFinding("assign", "id-uniqueness",
-          "unhealable", s"$dups id(s) assigned more than once — every " +
-            "probe double-counts them; rebuild via rebuildIvf"))
-        else Seq.empty
+        // referential integrity: an assignment pointing at a list with
+        // no centroid row can never be probed (search selects lists by
+        // centroid distance) — its vector silently vanished from recall
+        val badRefs = assign.select(col("list_id")).distinct()
+          .join(centroids.select(col("list_id")), Seq("list_id"),
+            "left_anti").count()
+        // meta n_lists is informational (loads derive the true count
+        // from the centroids table), but a drifted label misleads the
+        // operator sizing nProbe — e.g. a crash between rebuildIvf's
+        // swap and its meta rewrite
+        val nCentroids = centroids.count()
+        val metaLists = readMeta(spark, path).get("n_lists").map(_.toLong)
+        Seq(
+          if (dups > 0) Some(CheckFinding("assign", "id-uniqueness",
+            "unhealable", s"$dups id(s) assigned more than once — every " +
+              "probe double-counts them; rebuild via rebuildIvf"))
+          else None,
+          if (badRefs > 0) Some(CheckFinding("assign", "centroid-coverage",
+            "unhealable", s"$badRefs list_id(s) in assign have no " +
+              "centroids row — their vectors are unreachable by every " +
+              "probe; rebuild via rebuildIvf"))
+          else None,
+          if (metaLists.exists(_ != nCentroids))
+            Some(CheckFinding("centroids", "count-vs-meta", "repairable",
+              s"meta says n_lists=${metaLists.get} but the centroids " +
+                s"table has $nCentroids rows — loads use the table (the " +
+                "label is informational), but rerun rebuildIvf or fix " +
+                "the meta row so operators sizing nProbe see the truth"))
+          else None).flatten
       case k => throw new IllegalArgumentException(
         s"IndexStore.checkIndex: unknown index kind '$k'")
     }
@@ -1405,17 +1556,26 @@ object IndexStore {
     * dirs as inert debris that the next compaction overwrites
     * (mode=overwrite) and reaps.
     *
-    * Safe under concurrent READERS: a load pins its generation's file
-    * listing, the swap never deletes it — the immediately-prior
-    * generation survives until the NEXT compaction (or an explicit
-    * [[reapIndexGenerations]]), so a reader that loaded before the
-    * swap finishes its probes against intact files, and the next
-    * load/gate restart picks up the compacted generation. Still
-    * requires exclusivity against APPENDS: an append writes into the
-    * generation it resolved at ITS start, so files appended during the
-    * rewrite window would be missing from the new generation and
-    * silently dropped by the swap. The streaming ingest loops satisfy
-    * this by construction when compaction runs inside their own
+    * Safe under concurrent READERS — within the retention window: a
+    * load pins its generation's file listing, the swap never deletes
+    * it, and the grace reap keeps the `retainGenerations` most recent
+    * RETIRED generations per table (plus the active one). A reader
+    * therefore survives exactly `retainGenerations` subsequent
+    * compactions before its pinned listing is deleted mid-query — size
+    * the window to the longest-lived reader: the default 1 suits
+    * gates that restart at least once per compaction interval; an
+    * aggressive `compactEvery` cadence with long-lived gates on other
+    * sessions needs 2+. Disk cost is (retainGenerations + 1)× the
+    * table between swaps, reclaimed by the next reap or an explicit
+    * [[reapIndexGenerations]] once no reader can be pinned that far
+    * back. Still requires exclusivity against APPENDS: an append
+    * writes into the generation it resolved at ITS start, so files
+    * appended during the rewrite window would be missing from the new
+    * generation and silently dropped by the swap — every append
+    * re-reads the manifest at commit and RAISES if its generation
+    * moved (the append-commit fence), converting that silent loss to
+    * a loud, retryable error. The streaming ingest loops satisfy
+    * exclusivity by construction when compaction runs inside their own
     * foreachBatch cadence ([[graft.streaming.StreamOps.mediaIngestBatch]]'s
     * `compactEvery`) — the loop is the only appender and it is between
     * rounds.
@@ -1434,8 +1594,13 @@ object IndexStore {
   def compactIndex(
       spark: SparkSession,
       path: String,
-      targetBytesPerFile: Long = 128L << 20): Seq[CompactStat] = {
+      targetBytesPerFile: Long = 128L << 20,
+      retainGenerations: Int = 1): Seq[CompactStat] = {
     import org.apache.hadoop.fs.Path
+    require(retainGenerations >= 1,
+      "IndexStore.compactIndex: retainGenerations must be >= 1 — a " +
+        "reader pinned at the pre-swap generation needs its files to " +
+        "survive at least until the next compaction")
     val kind = readMeta(spark, path).getOrElse("kind",
       throw new IllegalArgumentException(
         s"IndexStore.compactIndex: $path/meta carries no index kind"))
@@ -1479,11 +1644,12 @@ object IndexStore {
     // all-old or all-new set of generations, never a mix
     writeGenerations(fs, path,
       gens ++ results.map { case (t, g, _) => t -> g })
-    // grace reap: drop generations OLDER than the one just replaced
-    // (the just-replaced one stays for readers pinned pre-swap) plus
-    // any legacy __compacting debris
+    // grace reap: keep the `retainGenerations` most recent RETIRED
+    // generations (readers pinned up to that many swaps back keep a
+    // valid listing), drop everything older, plus legacy __compacting
+    // debris
     results.foreach { case (t, next, _) =>
-      (0L until (next - 1L)).foreach { g =>
+      (0L until (next - retainGenerations.toLong)).foreach { g =>
         fs.delete(new Path(s"$path/${genDirName(t, g)}"), true): Unit
       }
       fs.delete(new Path(s"$path/${t}__compacting"), true): Unit
@@ -1508,7 +1674,8 @@ object IndexStore {
       newDocs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val spark = newDocs.sparkSession
     metaOf(spark, path, "text")
-    val dir = tableDirs(spark, path)
+    val (resolved, dir) = resolvedDirs(spark, path)
+    appendFenceTestHook()
     val existingIds = spark.read.parquet(dir("doclen")).select(col("doc_id"))
       .unionByName(spark.read.parquet(dir("postings")).select(col("doc_id")))
     val idx = TextAnalysis.textIndex(newDocs, idCol, textCol)
@@ -1521,5 +1688,110 @@ object IndexStore {
       .write.mode("append").parquet(dir("doclen"))
     idx.postings.repartition(col("term"))
       .write.mode("append").parquet(dir("postings"))
+    requireGenerationsUnmoved(spark, path, resolved,
+      Seq("doclen", "postings"), "appendTextIndex")
+  }
+
+  /** One INGEST ROUND against the persisted TEXT (BM25 inverted) index
+    * — the lexical-decontamination member of the ingest-round family,
+    * completing four-for-four kind parity ([[ingestMedia]] perceptual,
+    * [[ingestVector]] semantic, [[ingestCorpus]] shingle-LSH, this one
+    * term-level): screen each batch document AS A QUERY against the
+    * index ([[TextAnalysis.bm25ScoredIndexed]] — the q249 screen's
+    * scoring chain, shared not copied), reject every doc whose best
+    * BM25 score against an indexed doc reaches `minScoreE6`, append
+    * the admissions ([[appendTextIndex]]), and return one verdict row
+    * per TOKEN-BEARING batch doc: (doc_id, status admitted|duplicate,
+    * n_matches, best_corpus_id, best_score_e6) with best = highest
+    * score, ties to the smallest corpus_id; nulls for admitted.
+    * Null/token-less texts are dropped up front (no verdict row — the
+    * [[ingestCorpus]] phantom-verdict posture: [[TextAnalysis.textIndex]]
+    * writes no rows for them, so an "admitted" verdict would have no
+    * index entry behind it). Unlike the LSH-family screens this one
+    * has NO probabilistic recall — every (query-term ∩ postings) pair
+    * is scored exactly.
+    *
+    * REPLAY INVARIANCE is restricted at the RELATION level, not the
+    * match level: BM25 scores are corpus-STAT-dependent (N, df, avgdl
+    * all shift with every append), so the other rounds'
+    * [[preBatchMatches]] filter alone would reproduce a replay's match
+    * SET but not its scores — the re-run would screen against stats
+    * that already include the batch. Instead postings and doclen are
+    * filtered to pre-batch doc ids (one broadcast 1-row aggregate on
+    * each — under the monotone contract a no-op on a first run), which
+    * makes the entire score computation, verdicts included, identical
+    * on a replay. The verified replay then skips the append
+    * ([[appendAdmittedIdempotent]] — the at-least-once retry that
+    * previously tripped [[appendTextIndex]]'s overlap raise). A crash
+    * BETWEEN the doclen and postings appends is the torn shape
+    * [[loadTextIndex]] raises on: the retry fails loudly at this
+    * round's load, [[repairTextIndex]] prunes the orphaned doclen rows
+    * (restoring the pre-append id range), and the re-run then screens
+    * and appends as a fresh round — the replay-skip path only ever
+    * fires for a FULLY-landed append.
+    *
+    * Batch-as-queries tokenization replays the literal-query split of
+    * [[TextAnalysis.bm25TopKIndexed]] (lower/whitespace/distinct) as
+    * column expressions — the [[graft.streaming.StreamOps.searchGate]]
+    * discipline — and the batch side joins WITHOUT broadcast hints
+    * (an ingest batch's vocabulary is data-sized; AQE decides).
+    */
+  def ingestText(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      minScoreE6: Long,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import graft.functions.TextFunctions
+    val spark = newDocs.sparkSession
+    metaOf(spark, path, "text")
+    val batch = newDocs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .where(col("text").isNotNull &&
+        size(TextFunctions.tokens(col("text"))) > 0)
+      .localCheckpoint(true)
+    // loadTextIndex (not raw reads): its torn-state check is the gate
+    // that keeps the replay-skip path honest — see the scaladoc
+    val idx = loadTextIndex(spark, path)
+    val mn = batch.agg(min(col("doc_id")).as("__batch_min"))
+    def preBatch(t: DataFrame): DataFrame = t.crossJoin(broadcast(mn))
+      .where(col("doc_id") < col("__batch_min")).drop("__batch_min")
+    val pre = TextAnalysis.TextIndex(
+      preBatch(idx.postings), preBatch(idx.doclen))
+    val qt = batch.select(col("doc_id").as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+    val matches = TextAnalysis
+      .bm25ScoredIndexed(pre, qt, k1, b, broadcastQueries = false)
+      .where(col("score_e6") >= minScoreE6)
+      .select(col("query_id").as("doc_id"),
+        col("doc_id").as("corpus_id"), col("score_e6"))
+    val agg = matches.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"),
+        // lexicographic min over (-score, corpus_id) = best match by
+        // highest score, smallest id on ties — the family convention
+        min(struct((-col("score_e6")).as("negs"), col("corpus_id")))
+          .as("__best"))
+    // materialized BEFORE the append mutates the index directories —
+    // same re-list race rationale as [[ingestMedia]]
+    val verdict = batch.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__n").isNull, lit("admitted"))
+          .otherwise(lit("duplicate")).as("status"),
+        coalesce(col("__n"), lit(0L)).as("n_matches"),
+        col("__best.corpus_id").as("best_corpus_id"),
+        (-col("__best.negs")).as("best_score_e6"))
+      .localCheckpoint(true)
+    val admitted = batch.join(
+      verdict.where(col("status") === "admitted").select(col("doc_id")),
+      Seq("doc_id"))
+    // doclen ids suffice for the replay disposition: doclen is written
+    // FIRST by appendTextIndex, so its id set always covers postings'
+    appendAdmittedIdempotent(admitted, "doc_id",
+      idx.doclen.select(col("doc_id")), "ingestText") { adm =>
+      appendTextIndex(adm, "doc_id", "text", path)
+    }
+    verdict
   }
 }

@@ -168,22 +168,34 @@ object TextAnalysis {
   }
 
   /** The shared scoring core: per-(query, doc) e6 score sums over a
-    * (query_id, term) table. Joined small sides are broadcast; the
-    * scan-side kill (postings filtered to query terms before any other
-    * join) is what keeps this index-grain at 100 TB.
+    * (query_id, term) table. The scan-side kill (postings filtered to
+    * query terms before any other join) is what keeps this index-grain
+    * at 100 TB. With `broadcastQueries` on (the default — the
+    * driver-literal search-request shape of [[bm25TopKIndexed]] /
+    * [[bm25ScreenIndexed]]) the query-term, query and df sides carry
+    * broadcast hints; off (the data-sized query side of
+    * [[graft.operators.IndexStore.ingestText]], where "queries" are a
+    * whole ingest batch's documents) no hint is given and AQE picks the
+    * join strategy from measured sizes — a forced broadcast of an
+    * unbounded batch vocabulary would OOM the build side. The one-row
+    * stats fold stays broadcast either way.
     */
   private[graft] def bm25ScoredIndexed(index: TextIndex, qt: DataFrame,
-                                       k1: Double, b: Double): DataFrame = {
+                                       k1: Double, b: Double,
+                                       broadcastQueries: Boolean = true
+                                      ): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastQueries) broadcast else identity
     val qTerms = qt.select("term").distinct()
     val tf = index.postings
     val dl = index.doclen
     // one-row corpus stats; lazy agg, not a driver count()
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
-    val tfQ = tf.join(broadcast(qTerms), Seq("term"))
+    val tfQ = tf.join(hint(qTerms), Seq("term"))
     val df = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tfQ
-      .join(broadcast(qt), Seq("term"))
-      .join(broadcast(df), Seq("term"))
+      .join(hint(qt), Seq("term"))
+      .join(hint(df), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), bm25TermE6(k1, b).as("e6"))

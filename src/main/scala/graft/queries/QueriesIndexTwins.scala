@@ -889,6 +889,149 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
       .orderBy("query_id", "rank")
   }
 
+  /** q257: TWO INGEST ROUNDS through the persisted TEXT (BM25) index —
+    * [[IndexStore.ingestText]] end to end, completing four-for-four
+    * ingest-round kind parity (q248 media, q250 vector, q253 corpus,
+    * this one lexical). The BM25 screen has no probabilistic recall
+    * (every query-term ∩ postings pair is scored exactly), so unlike
+    * the LSH rounds ANY fixture is engine-deterministic; the q253
+    * dilution construction is reused anyway because it gives the
+    * THRESHOLD a structural margin: each corpus doc is a real text
+    * plus 2× its token count of doc-unique `cc` filler, so an exact
+    * copy screened as a query matches its original on every filler
+    * term too — ≥ 20 df=1 terms at idf ≈ ln(134) each, probed ≥ 150.5M
+    * e6 at verify SF — while any non-copy pair shares only base-text
+    * terms (probed ≤ 11.1M e6). At minScoreE6 = 30M: round 1's even
+    * heads (exact corpus copies at id+300) all reject with their
+    * original as best match, the odd heads (fresh `zz` dilutions)
+    * all admit; round 2 re-screens exact copies of round 1's
+    * ADMISSIONS (at +300 again) — every one rejects against a doc
+    * that was not in the index when the query started, the cross-batch
+    * growth proof, with round-2 scores computed over the GROWN stats
+    * (N, df, avgdl include the admissions — the replay the oracle
+    * reproduces from idx2 = corpus ∪ admitted). The DuckDB oracle
+    * replays construction and both BM25 rounds at full algorithm
+    * depth with the q113 fixed-parenthesization e6 discipline, so the
+    * hash compare is exact.
+    */
+  def textIngestRounds(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    def diluted(prefix: String) = concat(col("text"), lit(" "),
+      concat_ws(" ", transform(
+        sequence(lit(1), size(TextFunctions.tokens(col("text"))) * 2),
+        i => concat(lit(prefix), col("doc_id").cast("string"), lit("x"),
+          i.cast("string")))))
+    val base = t(s, dir, "documents")
+      .where(col("doc_id") >= 100 && col("doc_id") < 300 &&
+        col("text").isNotNull &&
+        size(TextFunctions.tokens(col("text"))) >= 10)
+      .select(col("doc_id"), col("text"))
+    val corpus = base.select(col("doc_id"), diluted("cc").as("text"))
+      .localCheckpoint(true) // reused: index build + batch-even copies
+    val path = scratchDir("text_ingest_rounds")
+    IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
+    val evens = corpus
+      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 0)
+      .select((col("doc_id") + 300).as("doc_id"), col("text"))
+    val odds = base
+      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") + 300).as("doc_id"), col("text"))
+      .select(col("doc_id"), diluted("zz").as("text"))
+    val batch1 = evens.unionByName(odds).localCheckpoint(true)
+    val v1 = IndexStore.ingestText(batch1, "doc_id", "text", path,
+      minScoreE6 = 30000000L).withColumn("ingest", lit(1))
+    val batch2 = batch1
+      .join(v1.where(col("status") === "admitted").select("doc_id"),
+        Seq("doc_id"))
+      .select((col("doc_id") + 300).as("doc_id"), col("text"))
+    val v2 = IndexStore.ingestText(batch2, "doc_id", "text", path,
+      minScoreE6 = 30000000L).withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("doc_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_score_e6"))
+      .orderBy("doc_id")
+  }
+
+  val textIngestRoundsSql: String = {
+    def dil(prefix: String, idExpr: String): String =
+      s"""array_to_string(['$prefix' || CAST($idExpr AS VARCHAR) || 'x' ||
+         |      CAST(i AS VARCHAR) for i in range(1, 2 * len(toks) + 1)], ' ')"""
+        .stripMargin
+    val toksOf = duckToks
+    // one full BM25 round (the q113/q249 scoring chain, index stats
+    // derived from `idx`, queries = `batch` docs): CTEs suffixed by
+    // round so the two rounds compose in one WITH
+    def bmRound(idx: String, batch: String, r: String): String =
+      s"""tok_$r AS (SELECT doc_id, unnest(toks) AS term
+         |  FROM (SELECT doc_id, $toksOf AS toks FROM $idx)),
+         |tf_$r AS (SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM tok_$r GROUP BY 1, 2),
+         |dl_$r AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+         |  FROM tf_$r GROUP BY 1),
+         |st_$r AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl
+         |  FROM dl_$r),
+         |qt_$r AS (SELECT doc_id AS query_id,
+         |    unnest(list_distinct($toksOf)) AS term FROM $batch),
+         |tfq_$r AS (SELECT * FROM tf_$r
+         |  WHERE term IN (SELECT DISTINCT term FROM qt_$r)),
+         |df_$r AS (SELECT term, COUNT(*) AS df FROM tfq_$r GROUP BY 1),
+         |sc_$r AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    CAST(FLOOR(
+         |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+         |      ((t.tf * (1.2 + 1.0)) /
+         |       (t.tf + 1.2 * (0.25 + 0.75 *
+         |         (l.dl / (CAST(s.sumdl AS DOUBLE) / s.n))))) *
+         |      1000000.0) AS BIGINT) AS e6
+         |  FROM tfq_$r t JOIN qt_$r q USING (term) JOIN df_$r d USING (term)
+         |    JOIN dl_$r l USING (doc_id) CROSS JOIN st_$r s),
+         |m_$r AS (SELECT * FROM (
+         |    SELECT query_id AS doc_id, doc_id AS corpus_id,
+         |      CAST(SUM(e6) AS BIGINT) AS score_e6
+         |    FROM sc_$r GROUP BY query_id, doc_id)
+         |  WHERE score_e6 >= 30000000),
+         |r_$r AS (SELECT doc_id, corpus_id, score_e6,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score_e6 DESC, corpus_id ASC) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+         |  FROM m_$r),
+         |best_$r AS (SELECT doc_id, corpus_id AS best_corpus_id,
+         |    score_e6 AS best_score_e6, n FROM r_$r WHERE rn = 1),
+         |v_$r AS (SELECT b.doc_id,
+         |    CASE WHEN bb.doc_id IS NULL THEN 'admitted'
+         |         ELSE 'duplicate' END AS status,
+         |    COALESCE(bb.n, 0) AS n_matches, bb.best_corpus_id,
+         |    bb.best_score_e6
+         |  FROM $batch b LEFT JOIN best_$r bb ON bb.doc_id = b.doc_id)"""
+        .stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $toksOf AS toks FROM documents
+       |  WHERE doc_id >= 100 AND doc_id < 300 AND text IS NOT NULL),
+       |base10 AS (SELECT * FROM base WHERE len(toks) >= 10),
+       |corpus AS (SELECT doc_id,
+       |    text || ' ' || ${dil("cc", "doc_id")} AS text
+       |  FROM base10),
+       |evens AS (SELECT doc_id + 300 AS doc_id, text FROM corpus
+       |  WHERE doc_id < 200 AND doc_id % 2 = 0),
+       |odds AS (SELECT doc_id + 300 AS doc_id,
+       |    text || ' ' || ${dil("zz", "doc_id + 300")} AS text
+       |  FROM base10 WHERE doc_id < 200 AND doc_id % 2 = 1),
+       |b1 AS (SELECT * FROM evens UNION ALL SELECT * FROM odds),
+       |${bmRound("corpus", "b1", "1")},
+       |adm1 AS (SELECT b1.doc_id, b1.text FROM b1
+       |  JOIN v_1 v ON v.doc_id = b1.doc_id WHERE v.status = 'admitted'),
+       |idx2 AS (SELECT doc_id, text FROM corpus
+       |  UNION ALL SELECT doc_id, text FROM adm1),
+       |b2 AS (SELECT doc_id + 300 AS doc_id, text FROM adm1),
+       |${bmRound("idx2", "b2", "2")}
+       |SELECT CAST(1 AS INT) AS ingest, doc_id, status, n_matches,
+       |  best_corpus_id, best_score_e6 FROM v_1
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS ingest, doc_id, status, n_matches,
+       |  best_corpus_id, best_score_e6 FROM v_2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val mediaIngestRoundsSql: String =
     s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,
        |    CAST((doc_id // ${Fixtures.DhashClasses}) % 2 AS INT) AS variant

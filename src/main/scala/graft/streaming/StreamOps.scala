@@ -502,9 +502,14 @@ object StreamOps {
     * [[graft.operators.IndexStore.compactIndex]] on the index every n
     * ingested batches, INSIDE the loop between rounds — the loop is
     * the sole appender, so compaction's exclusivity-vs-appends
-    * contract holds by construction, and concurrent gate READERS on
-    * other sessions survive the swap via the generation manifest. The
-    * VERDICT table is different: it grows one `batch_id=N` partition
+    * contract holds by construction. Concurrent gate READERS on other
+    * sessions survive the swap via the generation manifest for
+    * exactly `retainGenerations` subsequent compactions (default 1):
+    * a gate that restarts at least once per `compactEvery` interval is
+    * safe at the default; a longer-lived gate needs `retainGenerations`
+    * sized to how many compaction intervals it may stay pinned, at a
+    * disk cost of (retainGenerations + 1)× the table between swaps.
+    * The VERDICT table is different: it grows one `batch_id=N` partition
     * per trigger — an append-only LOG, deliberately outside
     * compactIndex's scope (coalescing partitions would break the
     * per-batch overwrite idempotence for any batch that could still
@@ -520,8 +525,10 @@ object StreamOps {
       hashCol: String = "dh",
       maxDist: Int = 3,
       maxBucketSize: Int = 1000,
-      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit =
-    ingestBatchBody(verdictPath, indexPath, compactEvery)(b =>
+      compactEvery: Option[Int] = None,
+      retainGenerations: Int = 1): (DataFrame, Long) => Unit =
+    ingestBatchBody(verdictPath, indexPath, compactEvery,
+      retainGenerations)(b =>
       graft.operators.IndexStore.ingestMedia(b, idCol, hashCol,
         indexPath, maxDist, maxBucketSize))
 
@@ -550,7 +557,8 @@ object StreamOps {
   private def ingestBatchBody(
       verdictPath: String,
       indexPath: String,
-      compactEvery: Option[Int] = None)(round: DataFrame => DataFrame)
+      compactEvery: Option[Int] = None,
+      retainGenerations: Int = 1)(round: DataFrame => DataFrame)
       : (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
@@ -579,7 +587,10 @@ object StreamOps {
         // batches. Safe by construction: the loop is the index's sole
         // appender and sits between rounds right here, so compactIndex's
         // exclusivity-vs-appends contract holds; concurrent READERS
-        // (gates on other sessions) survive via the generation manifest.
+        // (gates on other sessions) survive via the generation manifest
+        // for retainGenerations swaps — size it to the longest-lived
+        // gate (see the mediaIngestBatch scaladoc; the default 1 covers
+        // gates that restart within one compaction interval).
         // Best-effort on replay: a crash between the marker write and
         // the compact skips this cadence hit (the replayed batch is
         // proven done and the whole body is skipped) — the next
@@ -587,7 +598,8 @@ object StreamOps {
         // maintenance, never correctness.
         compactEvery.foreach { n =>
           if (n > 0 && (batchId + 1) % n == 0)
-            graft.operators.IndexStore.compactIndex(spark, indexPath): Unit
+            graft.operators.IndexStore.compactIndex(spark, indexPath,
+              retainGenerations = retainGenerations): Unit
         }
       }
       ()
@@ -609,6 +621,47 @@ object StreamOps {
       verdictPath: String): DataFrame =
     spark.read.parquet(verdictPath)
       .withColumn("batch_id", col("batch_id").cast("long"))
+
+  /** Storage report for an ingest loop's VERDICT table — the
+    * [[graft.operators.IndexStore.describeIndex]] twin for the other
+    * thing the loops grow forever: one `batch_id=N` partition directory
+    * lands per trigger, and nothing compacts them (coalescing would
+    * break the per-batch overwrite idempotence for replayable batches
+    * — see [[mediaIngestBatch]]), so the numbers an operator must
+    * watch are the partition count and total file count; when closed
+    * batches are ETL'd into downstream archives, this report is the
+    * "how overdue is that" signal.
+    */
+  final case class VerdictStat(
+      partitions: Long, files: Long, bytes: Long,
+      hwmBatchId: Option[Long], legacyRootFiles: Long)
+
+  /** Pure filesystem listings (no Spark jobs, no row scans — safe on
+    * any cadence): partition-directory count, data-file count and
+    * bytes across them, the high-water marker's last fully-ingested
+    * batch id (None = marker absent/corrupt: the next trigger pays the
+    * one-time fallback scan), and any ROOT-level data files (the
+    * pre-round-10 unpartitioned legacy layout — nonzero means the
+    * sink will refuse to write until the table is migrated).
+    */
+  def describeVerdicts(
+      spark: org.apache.spark.sql.SparkSession,
+      verdictPath: String): VerdictStat = {
+    val p = new org.apache.hadoop.fs.Path(verdictPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return VerdictStat(0L, 0L, 0L, None, 0L)
+    def isData(s: org.apache.hadoop.fs.FileStatus) = s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val root = fs.listStatus(p)
+    val parts = root.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    val data = parts.flatMap(d => fs.listStatus(d.getPath).filter(isData))
+    VerdictStat(parts.length.toLong, data.length.toLong,
+      data.map(_.getLen).sum, readHwm(spark, verdictPath),
+      root.count(isData).toLong)
+  }
 
   /** Refuse to write `batch_id=` partition directories into a verdict
     * table that holds ROOT-LEVEL data files (the pre-round-10
@@ -681,8 +734,10 @@ object StreamOps {
       vecCol: String = "embedding",
       threshold: Double = 0.9,
       maxBucketSize: Int = 10000,
-      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit =
-    ingestBatchBody(verdictPath, indexPath, compactEvery)(b =>
+      compactEvery: Option[Int] = None,
+      retainGenerations: Int = 1): (DataFrame, Long) => Unit =
+    ingestBatchBody(verdictPath, indexPath, compactEvery,
+      retainGenerations)(b =>
       graft.operators.IndexStore.ingestVector(b, idCol, vecCol,
         indexPath, threshold, maxBucketSize))
 
@@ -698,10 +753,38 @@ object StreamOps {
       textCol: String = "text",
       threshold: Double = 0.7,
       maxBucketSize: Int = 1000,
-      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit =
-    ingestBatchBody(verdictPath, indexPath, compactEvery)(b =>
+      compactEvery: Option[Int] = None,
+      retainGenerations: Int = 1): (DataFrame, Long) => Unit =
+    ingestBatchBody(verdictPath, indexPath, compactEvery,
+      retainGenerations)(b =>
       graft.operators.IndexStore.ingestCorpus(b, idCol, textCol,
         indexPath, threshold, maxBucketSize))
+
+  /** [[mediaIngestBatch]]'s TEXT-INDEX sibling — the loop that closes
+    * four-for-four kind parity: one
+    * [[graft.operators.IndexStore.ingestText]] round per micro-batch,
+    * so documents admitted (BM25-screened) in batch N lexically gate
+    * their close copies in batch N+1. Same idempotence and crash
+    * posture; note [[graft.operators.IndexStore.ingestText]]'s
+    * relation-level replay restriction (BM25 scores are
+    * corpus-stat-dependent) and its torn-append recovery contract — a
+    * crash between the two table appends fails the NEXT round's load
+    * loudly until [[graft.operators.IndexStore.repairTextIndex]] runs.
+    */
+  def textIngestBatch(
+      indexPath: String,
+      verdictPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minScoreE6: Long = 1000000L,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      compactEvery: Option[Int] = None,
+      retainGenerations: Int = 1): (DataFrame, Long) => Unit =
+    ingestBatchBody(verdictPath, indexPath, compactEvery,
+      retainGenerations)(batch =>
+      graft.operators.IndexStore.ingestText(batch, idCol, textCol,
+        indexPath, minScoreE6, k1, b))
 
   /** Streaming z-score OUTLIER gate: flag live rows whose value sits
     * more than k·σ from their group's mean, where mean/σ come from a

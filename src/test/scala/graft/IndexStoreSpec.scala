@@ -1105,4 +1105,203 @@ class IndexStoreSpec extends SparkSuite {
     assert(tbl(path, "members") == tbl(pFull, "members"))
     assert(tbl(path, "bands") == tbl(pFull, "bands"))
   }
+
+  test("ingestText: BM25 ingest rounds screen, admit, grow the index, and " +
+      "replay to the ORIGINAL scores (relation-level pre-batch restriction)") {
+    // distinct-vocabulary docs: an exact copy matches only its original
+    // (all its terms are df=1 there), a disjoint-vocab doc matches
+    // nothing — the BM25 screen is exact, no banded luck anywhere
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val tB = "one two three four five six seven eight nine ten eleven twelve"
+    val tC = "spark shuffle partition broadcast codegen watermark state store lineage stage task executor"
+    val path = tmp()
+    IndexStore.saveTextIndex(Seq((10L, tA), (11L, tB)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    // null and token-less texts get NO verdict row (phantom-admission
+    // posture: textIndex writes no rows for them)
+    val batch1 = Seq[(java.lang.Long, String)]((20L, tA), (21L, tC),
+      (22L, null), (23L, "   ")).toDF("doc_id", "text")
+    def vrows(df: DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    val v1 = vrows(IndexStore.ingestText(batch1, "doc_id", "text", path,
+      minScoreE6 = 1000000L))
+    assert(v1.map(t => (t._1, t._2, t._3, t._4)) ==
+      Seq((20L, "duplicate", 1L, 10L), (21L, "admitted", 0L, -1L)),
+      s"round 1: $v1")
+    assert(v1.head._5 >= 1000000L, s"copy score must clear the threshold: $v1")
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "doclen"))
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L, 21L),
+      "only the admission grew the index")
+    // replay of the completed round (the at-least-once retry): verdicts
+    // — SCORES included, the stat-dependent part — are bit-identical,
+    // and the index does not grow (the pre-round-11 appendTextIndex
+    // overlap raise is exactly what this path must not hit)
+    val v1b = vrows(IndexStore.ingestText(batch1, "doc_id", "text", path,
+      minScoreE6 = 1000000L))
+    assert(v1b == v1, s"replay drifted: $v1b vs $v1")
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "doclen"))
+      .count() == 3, "replay must not grow the index")
+    // round 2: a copy of round 1's admission rejects against it —
+    // cross-batch growth through the persisted index
+    val v2 = vrows(IndexStore.ingestText(Seq((30L, tC)).toDF("doc_id", "text"),
+      "doc_id", "text", path, minScoreE6 = 1000000L))
+    assert(v2.map(t => (t._1, t._2, t._4)) == Seq((30L, "duplicate", 21L)),
+      s"round 2: $v2")
+  }
+
+  test("ingestText: a torn text append (doclen without postings) fails the " +
+      "NEXT round loudly at load; repairTextIndex unblocks the retry") {
+    val path = tmp()
+    IndexStore.saveTextIndex(
+      Seq((10L, "alpha beta gamma"), (11L, "one two three"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    // crash between appendTextIndex's doclen and postings writes
+    Seq((50L, 7L)).toDF("doc_id", "dl")
+      .write.mode("append").parquet(s"$path/doclen")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.ingestText(Seq((60L, "novel vocabulary entirely"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, 1000000L)
+    }
+    assert(e.getMessage.contains("torn"), e.getMessage)
+    assert(IndexStore.repairTextIndex(spark, path) == 1L)
+    val v = IndexStore.ingestText(Seq((60L, "novel vocabulary entirely"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, 1000000L)
+      .select("status").as[String].collect().toSeq
+    assert(v == Seq("admitted"), s"post-repair retry must run clean: $v")
+  }
+
+  test("compactIndex retainGenerations=2: a reader pinned TWO swaps back " +
+      "still probes green; the third swap finally reaps its generation") {
+    val base = 0x0F0F_1234_ABCD_5678L
+    def hashOf(i: Long): Long = base ^ (1L << (i % 8)) ^
+      (if (i % 2 == 0) 0L else 1L << 32)
+    val all = (0L until 48L).map(i => (i, hashOf(i))).toDF("id", "dh")
+    val path = tmp()
+    IndexStore.saveMediaIndex(all.where($"id" >= 16), "id", "dh", path)
+    val batch = all.where($"id" < 16)
+    def probeOf(idx: Dedup.MediaIndex) =
+      Dedup.hammingJoinIndexed(batch, idx, "id", "dh")
+        .collect().map(_.toString).sorted.toSeq
+    val expected = probeOf(IndexStore.loadMediaIndex(spark, path))
+    assert(expected.nonEmpty)
+    // pin at generation 0, then compact TWICE with retainGenerations=2:
+    // the default-1 policy would delete generation 0 on the second swap
+    // (the IndexStoreSpec online-compaction case pins exactly that);
+    // retain 2 must keep it
+    val pinned0 = IndexStore.loadMediaIndex(spark, path)
+    IndexStore.compactIndex(spark, path, retainGenerations = 2): Unit
+    IndexStore.compactIndex(spark, path, retainGenerations = 2): Unit
+    assert(new java.io.File(s"$path/members").exists,
+      "generation 0 must survive two swaps at retainGenerations=2")
+    assert(probeOf(pinned0) == expected,
+      "a reader pinned two compactions back must still probe green")
+    // third swap: generation 0 is now beyond the retention window
+    IndexStore.compactIndex(spark, path, retainGenerations = 2): Unit
+    assert(!new java.io.File(s"$path/members").exists,
+      "the third swap reaps the generation beyond the window")
+    assert(new java.io.File(s"$path/members__g00001").exists &&
+      new java.io.File(s"$path/members__g00002").exists,
+      "the two most recent retired generations stay")
+    assert(probeOf(IndexStore.loadMediaIndex(spark, path)) == expected)
+    intercept[IllegalArgumentException] {
+      IndexStore.compactIndex(spark, path, retainGenerations = 0)
+    }
+  }
+
+  test("append-commit fence: a compaction racing an append raises loudly " +
+      "instead of silently dropping the appended rows; the re-run lands") {
+    val path = tmp()
+    val sigs = (0L until 16L).map(i => (i, 0x1111_0000L * (i % 4) + i))
+      .toDF("id", "dh")
+    IndexStore.saveMediaIndex(sigs, "id", "dh", path)
+    val late = Seq((99L, 0x7777_8888_9999_AAAAL)).toDF("id", "dh")
+    // interleave an external compaction into the append's
+    // resolve-to-commit window (the documented exclusivity violation)
+    IndexStore.appendFenceTestHook =
+      () => { IndexStore.compactIndex(spark, path): Unit }
+    val e = try intercept[IllegalStateException] {
+      IndexStore.appendMediaIndex(late, "id", "dh", path)
+    } finally IndexStore.appendFenceTestHook = () => ()
+    assert(e.getMessage.contains("compacted") &&
+      e.getMessage.contains("generation 0 -> 1"), e.getMessage)
+    // the raced rows landed only in the RETIRED generation — the active
+    // one is clean, so the documented recovery (re-run the append)
+    // works and the index ends consistent
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "members"))
+      .where($"member_id" === 99L).count() == 0,
+      "the active generation must not contain the raced append")
+    IndexStore.appendMediaIndex(late, "id", "dh", path)
+    val hits = Dedup.hammingJoinIndexed(
+        Seq((1L, 0x7777_8888_9999_AAAAL)).toDF("id", "dh"),
+        IndexStore.loadMediaIndex(spark, path), "id", "dh")
+      .select("corpus_id").as[Long].collect().toSet
+    assert(hits == Set(99L), s"re-run append must be probe-reachable: $hits")
+  }
+
+  test("generation manifest: a corrupt line raises a diagnosable error " +
+      "naming the manifest, not a MatchError from inside a load") {
+    val path = tmp()
+    val sigs = (0L until 8L).map(i => (i, 0x1234L + i)).toDF("id", "dh")
+    IndexStore.saveMediaIndex(sigs, "id", "dh", path)
+    IndexStore.compactIndex(spark, path): Unit
+    val mf = new java.io.File(path, "_generations")
+    new java.io.PrintWriter(mf) { write("members\nbands=1\n"); close() }
+    new java.io.File(path, "._generations.crc").delete(): Unit
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadMediaIndex(spark, path)
+    }
+    assert(e.getMessage.contains("_generations") &&
+      e.getMessage.contains("members"), e.getMessage)
+  }
+
+  test("rebuild crash window: meta is the commit record — a reset that " +
+      "never completed fails loads loudly instead of serving stale gen 0") {
+    val path = tmp()
+    val sigs = (0L until 8L).map(i => (i, 0x4321L + i)).toDF("id", "dh")
+    IndexStore.saveMediaIndex(sigs, "id", "dh", path)
+    IndexStore.compactIndex(spark, path): Unit
+    // post-compact appends land in generation 1; generation 0 (the
+    // retained plain dirs) is STALE — exactly what a reactivated gen 0
+    // would silently serve
+    IndexStore.appendMediaIndex(Seq((50L, 0x9999L)).toDF("id", "dh"),
+      "id", "dh", path)
+    // simulate resetGenerations crashing after its deletes, before the
+    // rebuilding save* wrote anything: meta and manifest gone
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(path, "meta"))
+    new java.io.File(path, "_generations").delete(): Unit
+    new java.io.File(path, "._generations.crc").delete(): Unit
+    intercept[Exception] { IndexStore.loadMediaIndex(spark, path) }
+    // a completed rebuild restores service (meta written last)
+    IndexStore.saveMediaIndex(sigs, "id", "dh", path)
+    assert(IndexStore.loadMediaIndex(spark, path).members.count() == 8)
+  }
+
+  test("checkIndex(ivf): referential and meta-label findings — " +
+      "assignments without a centroid row, centroid count vs meta") {
+    val path = tmp()
+    IndexStore.saveIvf(IvfIndex.build(oldVecs, "vec_id", "embedding",
+      nLists = 3, trainFraction = 1.0), path)
+    assert(IndexStore.checkIndex(spark, path).isEmpty)
+    // an assignment pointing at a list with no centroid: unreachable
+    Seq((999L, 77)).toDF("id", "list_id")
+      .write.mode("append").parquet(s"$path/assign")
+    val f1 = IndexStore.checkIndex(spark, path)
+    assert(f1.map(f => (f.table, f.check, f.severity)) ==
+      Seq(("assign", "centroid-coverage", "unhealable")), s"$f1")
+    // meta label drift (e.g. a crash between rebuildIvf's swap and its
+    // meta rewrite): repairable, loads unaffected
+    val m = IndexStore.readMeta(spark, path) + ("n_lists" -> "7")
+    m.toSeq.toDF("key", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val f2 = IndexStore.checkIndex(spark, path)
+      .map(f => (f.table, f.check, f.severity)).toSet
+    assert(f2 == Set(("assign", "centroid-coverage", "unhealable"),
+      ("centroids", "count-vs-meta", "repairable")), s"$f2")
+  }
 }

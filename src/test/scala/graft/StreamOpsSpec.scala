@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Structured Streaming ops driven through MemoryStream: watermark
@@ -676,6 +676,64 @@ class StreamOpsSpec extends SparkSuite {
         if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sorted
     assert(cGot == Seq((0L, 20L, "duplicate", 10L), (0L, 21L, "admitted", -1L),
       (1L, 30L, "duplicate", 21L)), s"corpus: $cGot")
+  }
+
+  test("textIngestBatch: the text-index ingest loop (four-for-four kind " +
+      "parity) gates batch-2 copies on batch-1 admissions and replays " +
+      "to the ORIGINAL verdicts") {
+    import graft.operators.IndexStore
+    // distinct-vocabulary docs: the BM25 screen is exact, so an exact
+    // copy matches only its original and a disjoint-vocab doc nothing
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val tB = "one two three four five six seven eight nine ten eleven twelve"
+    val tC = "spark shuffle partition broadcast codegen watermark state store lineage stage task executor"
+    val idx = java.nio.file.Files.createTempDirectory("graft_tib_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tib_out").toString + "/v"
+    IndexStore.saveTextIndex(Seq((10L, tA), (11L, tB)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val sink = StreamOps.textIngestBatch(idx, out, minScoreE6 = 1000000L)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink).start()
+    try {
+      in.addData(Seq((20L, tA), (21L, tC))); q.processAllAvailable()
+      in.addData(Seq((30L, tC))); q.processAllAvailable()
+    } finally q.stop()
+    def verdicts() = StreamOps.readVerdicts(spark, out)
+      .select(col("batch_id"), col("doc_id"), col("status"),
+        col("n_matches"),
+        coalesce(col("best_corpus_id"), lit(-1L)))
+      .as[(Long, Long, String, Long, Long)].collect().toSeq.sorted
+    val got = verdicts()
+    assert(got == Seq((0L, 20L, "duplicate", 1L, 10L),
+      (0L, 21L, "admitted", 0L, -1L),
+      (1L, 30L, "duplicate", 1L, 21L)), s"got $got")
+    // watermarked replay: a no-op
+    sink(Seq((30L, tC)).toDF("doc_id", "text"), 1L)
+    assert(verdicts() == got, "replay must not change the verdict table")
+    // crash window — index appended (round ran), verdict write lost:
+    // the replay through the sink must reproduce the ORIGINAL verdicts,
+    // scores included (ingestText's relation-level pre-batch
+    // restriction), and not re-append
+    val tD = "kubernetes container scheduler orchestration deployment rollout canary probe sidecar mesh ingress gateway"
+    val b3 = Seq((40L, tA), (41L, tD)).toDF("doc_id", "text")
+    IndexStore.ingestText(b3, "doc_id", "text", idx, 1000000L): Unit
+    sink(b3, 2L)
+    val after3 = verdicts()
+    assert(after3.filter(_._1 == 2L) ==
+      Seq((2L, 40L, "duplicate", 1L, 10L), (2L, 41L, "admitted", 0L, -1L)),
+      s"crash-replay verdicts drifted: $after3")
+    assert(spark.read.parquet(IndexStore.tableDir(spark, idx, "doclen"))
+        .where($"doc_id" === 41L).count() == 1L,
+      "the admission must be in the index exactly once after the replay")
+    // the verdict-table storage report (describeIndex's twin): one
+    // batch_id partition per ingested batch, marker at the high water,
+    // no legacy root files — pure listings, no Spark jobs
+    val st = StreamOps.describeVerdicts(spark, out)
+    assert(st.partitions == 3L && st.files >= 3L && st.bytes > 0L &&
+      st.hwmBatchId.contains(2L) && st.legacyRootFiles == 0L, s"$st")
+    assert(StreamOps.describeVerdicts(spark, out + "_absent") ==
+      StreamOps.VerdictStat(0L, 0L, 0L, None, 0L))
   }
 
   test("outlierGate: streaming flags equal the batch flag stage exactly") {
