@@ -952,85 +952,202 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
       .orderBy("doc_id")
   }
 
-  val textIngestRoundsSql: String = {
-    def dil(prefix: String, idExpr: String): String =
-      s"""array_to_string(['$prefix' || CAST($idExpr AS VARCHAR) || 'x' ||
-         |      CAST(i AS VARCHAR) for i in range(1, 2 * len(toks) + 1)], ' ')"""
-        .stripMargin
+  /** The q257/q258 dilution construction's filler expression (DuckDB). */
+  private def textDilSql(prefix: String, idExpr: String): String =
+    s"""array_to_string(['$prefix' || CAST($idExpr AS VARCHAR) || 'x' ||
+       |      CAST(i AS VARCHAR) for i in range(1, 2 * len(toks) + 1)], ' ')"""
+      .stripMargin
+
+  /** One full BM25 round as DuckDB CTEs (the q113/q249 scoring chain:
+    * index stats derived from `idx`, queries = `batch` docs, threshold
+    * 30M e6), suffixed by `r` so several rounds compose in one WITH.
+    * Ends at `best_$r` (per-query best match + match count at
+    * threshold); `pairPred` further restricts the scored pairs (the
+    * q258 collapse round's `corpus_id < doc_id`). Shared by the q257
+    * and q258 oracles.
+    */
+  private def bm25RoundSql(
+      idx: String, batch: String, r: String,
+      pairPred: String = "TRUE"): String = {
     val toksOf = duckToks
-    // one full BM25 round (the q113/q249 scoring chain, index stats
-    // derived from `idx`, queries = `batch` docs): CTEs suffixed by
-    // round so the two rounds compose in one WITH
-    def bmRound(idx: String, batch: String, r: String): String =
-      s"""tok_$r AS (SELECT doc_id, unnest(toks) AS term
-         |  FROM (SELECT doc_id, $toksOf AS toks FROM $idx)),
-         |tf_$r AS (SELECT doc_id, term, COUNT(*) AS tf
-         |  FROM tok_$r GROUP BY 1, 2),
-         |dl_$r AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
-         |  FROM tf_$r GROUP BY 1),
-         |st_$r AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl
-         |  FROM dl_$r),
-         |qt_$r AS (SELECT doc_id AS query_id,
-         |    unnest(list_distinct($toksOf)) AS term FROM $batch),
-         |tfq_$r AS (SELECT * FROM tf_$r
-         |  WHERE term IN (SELECT DISTINCT term FROM qt_$r)),
-         |df_$r AS (SELECT term, COUNT(*) AS df FROM tfq_$r GROUP BY 1),
-         |sc_$r AS (
-         |  SELECT q.query_id, t.doc_id,
-         |    CAST(FLOOR(
-         |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
-         |      ((t.tf * (1.2 + 1.0)) /
-         |       (t.tf + 1.2 * (0.25 + 0.75 *
-         |         (l.dl / (CAST(s.sumdl AS DOUBLE) / s.n))))) *
-         |      1000000.0) AS BIGINT) AS e6
-         |  FROM tfq_$r t JOIN qt_$r q USING (term) JOIN df_$r d USING (term)
-         |    JOIN dl_$r l USING (doc_id) CROSS JOIN st_$r s),
-         |m_$r AS (SELECT * FROM (
-         |    SELECT query_id AS doc_id, doc_id AS corpus_id,
-         |      CAST(SUM(e6) AS BIGINT) AS score_e6
-         |    FROM sc_$r GROUP BY query_id, doc_id)
-         |  WHERE score_e6 >= 30000000),
-         |r_$r AS (SELECT doc_id, corpus_id, score_e6,
-         |    row_number() OVER (PARTITION BY doc_id
-         |                       ORDER BY score_e6 DESC, corpus_id ASC) AS rn,
-         |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
-         |  FROM m_$r),
-         |best_$r AS (SELECT doc_id, corpus_id AS best_corpus_id,
-         |    score_e6 AS best_score_e6, n FROM r_$r WHERE rn = 1),
-         |v_$r AS (SELECT b.doc_id,
-         |    CASE WHEN bb.doc_id IS NULL THEN 'admitted'
-         |         ELSE 'duplicate' END AS status,
-         |    COALESCE(bb.n, 0) AS n_matches, bb.best_corpus_id,
-         |    bb.best_score_e6
-         |  FROM $batch b LEFT JOIN best_$r bb ON bb.doc_id = b.doc_id)"""
-        .stripMargin
-    s"""WITH base AS (
+    s"""tok_$r AS (SELECT doc_id, unnest(toks) AS term
+       |  FROM (SELECT doc_id, $toksOf AS toks FROM $idx)),
+       |tf_$r AS (SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM tok_$r GROUP BY 1, 2),
+       |dl_$r AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       |  FROM tf_$r GROUP BY 1),
+       |st_$r AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl
+       |  FROM dl_$r),
+       |qt_$r AS (SELECT doc_id AS query_id,
+       |    unnest(list_distinct($toksOf)) AS term FROM $batch),
+       |tfq_$r AS (SELECT * FROM tf_$r
+       |  WHERE term IN (SELECT DISTINCT term FROM qt_$r)),
+       |df_$r AS (SELECT term, COUNT(*) AS df FROM tfq_$r GROUP BY 1),
+       |sc_$r AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    CAST(FLOOR(
+       |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+       |      ((t.tf * (1.2 + 1.0)) /
+       |       (t.tf + 1.2 * (0.25 + 0.75 *
+       |         (l.dl / (CAST(s.sumdl AS DOUBLE) / s.n))))) *
+       |      1000000.0) AS BIGINT) AS e6
+       |  FROM tfq_$r t JOIN qt_$r q USING (term) JOIN df_$r d USING (term)
+       |    JOIN dl_$r l USING (doc_id) CROSS JOIN st_$r s),
+       |m_$r AS (SELECT * FROM (
+       |    SELECT query_id AS doc_id, doc_id AS corpus_id,
+       |      CAST(SUM(e6) AS BIGINT) AS score_e6
+       |    FROM sc_$r GROUP BY query_id, doc_id)
+       |  WHERE score_e6 >= 30000000 AND ($pairPred)),
+       |r_$r AS (SELECT doc_id, corpus_id, score_e6,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score_e6 DESC, corpus_id ASC) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+       |  FROM m_$r),
+       |best_$r AS (SELECT doc_id, corpus_id AS best_corpus_id,
+       |    score_e6 AS best_score_e6, n FROM r_$r WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  /** admitted/duplicate verdict CTE over a round's `best_$r`. */
+  private def bm25VerdictSql(batch: String, r: String): String =
+    s"""v_$r AS (SELECT b.doc_id,
+       |    CASE WHEN bb.doc_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(bb.n, 0) AS n_matches, bb.best_corpus_id,
+       |    bb.best_score_e6
+       |  FROM $batch b LEFT JOIN best_$r bb ON bb.doc_id = b.doc_id)"""
+      .stripMargin
+
+  /** The q257/q258 shared fixture CTEs: diluted corpus + round-1 head
+    * batch (evens = exact corpus copies at id+300, odds = fresh `zz`
+    * dilutions at id+300).
+    */
+  private def textFixtureSql: String = {
+    val toksOf = duckToks
+    s"""base AS (
        |  SELECT doc_id, text, $toksOf AS toks FROM documents
        |  WHERE doc_id >= 100 AND doc_id < 300 AND text IS NOT NULL),
        |base10 AS (SELECT * FROM base WHERE len(toks) >= 10),
        |corpus AS (SELECT doc_id,
-       |    text || ' ' || ${dil("cc", "doc_id")} AS text
+       |    text || ' ' || ${textDilSql("cc", "doc_id")} AS text
        |  FROM base10),
        |evens AS (SELECT doc_id + 300 AS doc_id, text FROM corpus
        |  WHERE doc_id < 200 AND doc_id % 2 = 0),
        |odds AS (SELECT doc_id + 300 AS doc_id,
-       |    text || ' ' || ${dil("zz", "doc_id + 300")} AS text
+       |    text || ' ' || ${textDilSql("zz", "doc_id + 300")} AS text
        |  FROM base10 WHERE doc_id < 200 AND doc_id % 2 = 1),
-       |b1 AS (SELECT * FROM evens UNION ALL SELECT * FROM odds),
-       |${bmRound("corpus", "b1", "1")},
+       |b1 AS (SELECT * FROM evens UNION ALL SELECT * FROM odds)"""
+      .stripMargin
+  }
+
+  val textIngestRoundsSql: String =
+    s"""WITH $textFixtureSql,
+       |${bm25RoundSql("corpus", "b1", "1")},
+       |${bm25VerdictSql("b1", "1")},
        |adm1 AS (SELECT b1.doc_id, b1.text FROM b1
        |  JOIN v_1 v ON v.doc_id = b1.doc_id WHERE v.status = 'admitted'),
        |idx2 AS (SELECT doc_id, text FROM corpus
        |  UNION ALL SELECT doc_id, text FROM adm1),
        |b2 AS (SELECT doc_id + 300 AS doc_id, text FROM adm1),
-       |${bmRound("idx2", "b2", "2")}
+       |${bm25RoundSql("idx2", "b2", "2")},
+       |${bm25VerdictSql("b2", "2")}
        |SELECT CAST(1 AS INT) AS ingest, doc_id, status, n_matches,
        |  best_corpus_id, best_score_e6 FROM v_1
        |UNION ALL
        |SELECT CAST(2 AS INT) AS ingest, doc_id, status, n_matches,
        |  best_corpus_id, best_score_e6 FROM v_2
        |ORDER BY doc_id""".stripMargin
+
+  /** q258: INTRA-BATCH COLLAPSE composed into a TEXT ingest round —
+    * completing collapse → ingest four-for-four (q251 media, q254
+    * vector, q255 corpus, this one lexical). The collapse rule is the
+    * BM25 self-screen itself: the batch is indexed in memory
+    * ([[TextAnalysis.textIndex]] over the batch) and screened against
+    * itself with the SAME scoring chain the ingest round uses; a doc
+    * with any smaller-id batch partner at score_e6 ≥ 30M is
+    * 'collapsed' (best = highest score, ties smallest partner — the
+    * verdict convention, and the metric matches the ingest verdicts,
+    * unlike a jaccard-based collapse would). Fixture: q257's heads
+    * plus an exact copy of every head at id+400 — two-member
+    * exact-text families whose within-family score carries the
+    * structural filler margin (≥150M) while every cross-batch pair
+    * stays ≤ ~11M, so exactly the copies collapse. Family heads then
+    * run one [[IndexStore.ingestText]] round (even-base heads reject
+    * as exact corpus copies, odd-base heads admit). The oracle
+    * replays construction, the self-screen collapse (intra-batch
+    * stats: N = batch size), and the ingest screen brute-force — all
+    * e6-integer exact.
+    */
+  def textIngestCollapsed(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    def diluted(prefix: String) = concat(col("text"), lit(" "),
+      concat_ws(" ", transform(
+        sequence(lit(1), size(TextFunctions.tokens(col("text"))) * 2),
+        i => concat(lit(prefix), col("doc_id").cast("string"), lit("x"),
+          i.cast("string")))))
+    val base = t(s, dir, "documents")
+      .where(col("doc_id") >= 100 && col("doc_id") < 300 &&
+        col("text").isNotNull &&
+        size(TextFunctions.tokens(col("text"))) >= 10)
+      .select(col("doc_id"), col("text"))
+    val corpus = base.select(col("doc_id"), diluted("cc").as("text"))
+      .localCheckpoint(true)
+    val path = scratchDir("text_ingest_collapsed")
+    IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
+    val evens = corpus
+      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 0)
+      .select((col("doc_id") + 300).as("doc_id"), col("text"))
+    val odds = base
+      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") + 300).as("doc_id"), col("text"))
+      .select(col("doc_id"), diluted("zz").as("text"))
+    val heads = evens.unionByName(odds)
+    val copies = heads.select((col("doc_id") + 400).as("doc_id"), col("text"))
+    // consumed by the self-screen and the survivor anti-join
+    val batch = heads.unionByName(copies).localCheckpoint(true)
+    // BM25 self-screen: batch indexed in memory, batch as queries,
+    // smaller-id partners only — the ingest screen's own scoring chain
+    val qt = batch.select(col("doc_id").as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+    val pairs = TextAnalysis
+      .bm25ScoredIndexed(TextAnalysis.textIndex(batch, "doc_id", "text"),
+        qt, 1.2, 0.75, broadcastQueries = false)
+      .where(col("score_e6") >= 30000000L && col("doc_id") < col("query_id"))
+      .select(col("query_id").as("doc_id"),
+        col("doc_id").as("corpus_id"), col("score_e6"))
+      .localCheckpoint(true)
+    val collapsed = pairs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct((-col("score_e6")).as("negs"), col("corpus_id")))
+          .as("__best"))
+      .select(col("doc_id"), lit("collapsed").as("status"),
+        col("n_matches"), col("__best.corpus_id").as("best_corpus_id"),
+        (-col("__best.negs")).as("best_score_e6"))
+    val survivors = batch.join(
+      pairs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    IndexStore.ingestText(survivors, "doc_id", "text", path,
+        minScoreE6 = 30000000L)
+      .unionByName(collapsed)
+      .orderBy("doc_id")
   }
+
+  val textIngestCollapsedSql: String =
+    s"""WITH $textFixtureSql,
+       |copies AS (SELECT doc_id + 400 AS doc_id, text FROM b1),
+       |b AS (SELECT * FROM b1 UNION ALL SELECT * FROM copies),
+       |${bm25RoundSql("b", "b", "c", pairPred = "corpus_id < doc_id")},
+       |coll AS (SELECT doc_id, 'collapsed' AS status, n AS n_matches,
+       |    best_corpus_id, best_score_e6 FROM best_c),
+       |surv AS (SELECT * FROM b
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM coll)),
+       |${bm25RoundSql("corpus", "surv", "1")},
+       |${bm25VerdictSql("surv", "1")}
+       |SELECT doc_id, status, n_matches, best_corpus_id, best_score_e6
+       |FROM v_1
+       |UNION ALL
+       |SELECT doc_id, status, n_matches, best_corpus_id, best_score_e6
+       |FROM coll
+       |ORDER BY doc_id""".stripMargin
 
   val mediaIngestRoundsSql: String =
     s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,

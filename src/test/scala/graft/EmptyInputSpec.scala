@@ -389,5 +389,25 @@ class EmptyInputSpec extends SparkSuite {
     assert(v.where(col("status") === "admitted").count() == 0)
     assert(IndexStore.describeIndex(spark, mPath)
       .forall(_.generation == 1L))
+    // ingestText degenerate batches: an EMPTY batch (and one that is
+    // all null/token-less text — dropped up front) yields no verdicts
+    // and leaves the index untouched; an all-duplicate batch appends
+    // nothing
+    val xPath = java.nio.file.Files.createTempDirectory("graft_empty_tin").toString
+    IndexStore.saveTextIndex(
+      Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", xPath)
+    assert(IndexStore.ingestText(emptyDocs, "doc_id", "text", xPath,
+      1000000L).count() == 0)
+    assert(IndexStore.ingestText(
+      Seq[(java.lang.Long, String)]((20L, null), (21L, "   "))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", xPath, 1000000L).count() == 0)
+    val tv = IndexStore.ingestText(
+      Seq((30L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", xPath, 1000000L)
+    assert(tv.where(col("status") === "admitted").count() == 0)
+    assert(spark.read.parquet(IndexStore.tableDir(spark, xPath, "doclen"))
+      .count() == 1, "all-duplicate round must not grow the index")
   }
 }

@@ -459,6 +459,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ingestText screen core: term equi-joins end to end, never a " +
+      "Cartesian (batch side unhinted — AQE chooses)") {
+    // q257/q258's verdicts ride localCheckpoint (plan pins through them
+    // are vacuous — the PlanSpec convention), so pin the OPERATOR's
+    // scoring core directly in its ingest configuration
+    // (broadcastQueries = false: a data-sized batch must not be
+    // force-broadcast). The one-row stats fold is a broadcast nested
+    // loop by design; everything else joins on term/doc_id keys.
+    import spark.implicits._
+    val idx = graft.operators.TextAnalysis.textIndex(
+      Seq((1L, "alpha beta gamma"), (2L, "gamma delta epsilon"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val qt = Seq((10L, "alpha"), (10L, "zeta"), (11L, "delta"))
+      .toDF("query_id", "term")
+    val p = graft.operators.TextAnalysis
+      .bm25ScoredIndexed(idx, qt, 1.2, 0.75, broadcastQueries = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"text screen core builds a Cartesian:\n$p")
+  }
+
   test("IndexStore.preBatchMatches: the one-row min fold plans as a " +
       "broadcast nested loop, never a Cartesian") {
     // The ingest rounds' replay-invariance filter crossJoins ONE
