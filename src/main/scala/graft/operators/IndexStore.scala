@@ -1426,12 +1426,17 @@ object IndexStore {
     * same flow to collect per-table stats). Each `write` callback
     * receives the next-generation directory to write into; nothing
     * live is touched until every write has finished and the manifest
-    * rename publishes them all together. Grace-reaps generations older
-    * than the just-replaced one, exactly like [[compactIndex]].
+    * rename publishes them all together. Grace-reaps all but the
+    * `retain` most recent RETIRED generations, exactly like
+    * [[compactIndex]]'s `retainGenerations` (same reader-lifetime
+    * bound: a pinned reader survives `retain` subsequent swaps).
     */
   private def swapGenerations(
-      spark: SparkSession, path: String)(
+      spark: SparkSession, path: String, retain: Int = 1)(
       writes: Seq[(String, String => Unit)]): Unit = {
+    require(retain >= 1,
+      "IndexStore: generation swaps must retain >= 1 retired generation " +
+        "for readers pinned at a pre-swap load")
     val fs = fsOf(spark, path)
     val gens = readGenerations(fs, path)
     val next = writes.map { case (t, w) =>
@@ -1441,7 +1446,7 @@ object IndexStore {
     }
     writeGenerations(fs, path, gens ++ next)
     next.foreach { case (t, g) =>
-      (0L until (g - 1L)).foreach { old =>
+      (0L until (g - retain.toLong)).foreach { old =>
         fs.delete(
           new org.apache.hadoop.fs.Path(s"$path/${genDirName(t, old)}"),
           true): Unit
@@ -1468,7 +1473,9 @@ object IndexStore {
     * [[appendTextIndex]]'s guard — reusing a pruned id would otherwise
     * be indistinguishable from a reused id range).
     */
-  def repairTextIndex(spark: SparkSession, path: String): Long = {
+  def repairTextIndex(
+      spark: SparkSession, path: String,
+      retainGenerations: Int = 1): Long = {
     metaOf(spark, path, "text")
     val dir = tableDirs(spark, path)
     val doclen = spark.read.parquet(dir("doclen"))
@@ -1480,7 +1487,7 @@ object IndexStore {
     if (orphaned > 0L) {
       val pruned = doclen.join(postingDocs, Seq("doc_id"), "left_semi")
         .repartition(col("doc_id"))
-      swapGenerations(spark, path)(Seq(
+      swapGenerations(spark, path, retainGenerations)(Seq(
         "doclen" -> (d => pruned.write.mode("overwrite").parquet(d))))
     }
     orphaned
@@ -1515,7 +1522,8 @@ object IndexStore {
       seed: Long = 42L,
       trainFraction: Double = Double.NaN,
       maxTrainRows: Long = 200000L,
-      kmeansMaxIter: Int = 20): Unit = {
+      kmeansMaxIter: Int = 20,
+      retainGenerations: Int = 1): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val m = metaOf(spark, path, "ivf")
@@ -1525,7 +1533,7 @@ object IndexStore {
     val cdf = model.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid").coalesce(1)
-    swapGenerations(spark, path)(Seq(
+    swapGenerations(spark, path, retainGenerations)(Seq(
       "centroids" -> (d => cdf.write.mode("overwrite").parquet(d)),
       "assign" -> (d => model.assignments.repartition(col("list_id"))
         .write.mode("overwrite").parquet(d))))

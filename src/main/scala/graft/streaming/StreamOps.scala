@@ -644,6 +644,109 @@ object StreamOps {
     * pre-round-10 unpartitioned legacy layout — nonzero means the
     * sink will refuse to write until the table is migrated).
     */
+  /** ETL CLOSED verdict batches into a long-term archive — the
+    * maintenance op the verdict table's append-only-log design defers
+    * to (the live table deliberately never compacts: coalescing
+    * partitions would break per-batch overwrite idempotence for a
+    * batch that could still replay). Every `batch_id ≤ upToBatch`
+    * partition is rewritten into `archivePath` (same batch_id
+    * partitioning, dynamic partition OVERWRITE — so the op is itself
+    * idempotent) and then deleted from the live table; returns the
+    * number of batches moved.
+    *
+    * Safety: `upToBatch` must be strictly below the high-water marker
+    * (raises otherwise, or when the marker is absent) — Structured
+    * Streaming's checkpoint only ever re-delivers the LATEST
+    * uncommitted batch id, so batches below the marker are closed and
+    * can never be rewritten by the sink; archiving at-or-above it
+    * could race an in-flight replay's partition overwrite. The marker
+    * itself is untouched, so the sink's O(1) already-done check keeps
+    * working over the truncated live table, and the fallback scan
+    * (corrupt-marker path) still lands at-or-above any archived id.
+    * Crash posture: archive-write then live-delete are two steps — a
+    * crash between them leaves a batch in BOTH tables with IDENTICAL
+    * rows; re-running the op re-overwrites the archive partition and
+    * completes the delete, and [[readAllVerdicts]] reads such overlap
+    * exactly once (live wins by partition listing). At 100 TB this is
+    * the op a daily cadence runs with `upToBatch = hwm - K`, keeping
+    * the live table at K partitions regardless of stream age.
+    */
+  def archiveVerdicts(
+      spark: org.apache.spark.sql.SparkSession,
+      verdictPath: String,
+      archivePath: String,
+      upToBatch: Long): Long = {
+    val hwm = readHwm(spark, verdictPath).getOrElse(
+      throw new IllegalStateException(
+        s"StreamOps.archiveVerdicts: $verdictPath has no readable " +
+          "high-water marker — archiving without it cannot prove a " +
+          "batch is closed; let the sink write one trigger first"))
+    require(upToBatch < hwm,
+      s"StreamOps.archiveVerdicts: upToBatch=$upToBatch must be " +
+        s"strictly below the high-water marker ($hwm) — the marker " +
+        "batch is the one a checkpoint replay can still rewrite")
+    val p = new org.apache.hadoop.fs.Path(verdictPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val closed = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix("batch_id=").toLong))
+      .filter(_._2 <= upToBatch)
+      .sortBy(_._2)
+    if (closed.nonEmpty) {
+      // one read of exactly the closed partitions (basePath keeps the
+      // batch_id partition column); the rewrite keeps batch_id
+      // partitioning so the archive reads like the live table
+      spark.read.option("basePath", verdictPath)
+        .parquet(closed.map(_._1.toString): _*)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(archivePath)
+      closed.foreach { case (dir, _) => fs.delete(dir, true): Unit }
+    }
+    closed.length.toLong
+  }
+
+  /** Read the live verdict table UNION its archive with exactly-once
+    * semantics across the [[archiveVerdicts]] crash window (a batch
+    * present in both — archive written, live delete lost — is read
+    * from the LIVE side only: archive partitions are filtered by the
+    * live table's partition listing before the union). Schema matches
+    * [[readVerdicts]] (batch_id pinned to LongType). Either side may
+    * be absent.
+    */
+  def readAllVerdicts(
+      spark: org.apache.spark.sql.SparkSession,
+      verdictPath: String,
+      archivePath: String): DataFrame = {
+    def partIds(path: String): Option[Set[Long]] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else Some(fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet)
+    }
+    val live = partIds(verdictPath)
+    val arch = partIds(archivePath)
+    (live, arch) match {
+      case (None, None) => throw new IllegalArgumentException(
+        s"StreamOps.readAllVerdicts: neither $verdictPath nor " +
+          s"$archivePath exists")
+      case (Some(_), None) => readVerdicts(spark, verdictPath)
+      case (None, Some(_)) => readVerdicts(spark, archivePath)
+      // live table fully archived (marker-only dir): reading it would
+      // fail on schema inference — the archive IS the table
+      case (Some(l), Some(_)) if l.isEmpty =>
+        readVerdicts(spark, archivePath)
+      case (Some(l), Some(_)) =>
+        readVerdicts(spark, verdictPath).unionByName(
+          readVerdicts(spark, archivePath)
+            .where(!col("batch_id").isin(l.toSeq: _*)))
+    }
+  }
+
   def describeVerdicts(
       spark: org.apache.spark.sql.SparkSession,
       verdictPath: String): VerdictStat = {

@@ -736,6 +736,60 @@ class StreamOpsSpec extends SparkSuite {
       StreamOps.VerdictStat(0L, 0L, 0L, None, 0L))
   }
 
+  test("archiveVerdicts: closed batches move to the archive exactly once; " +
+      "readAllVerdicts heals the crash window; the sink keeps working") {
+    import graft.operators.IndexStore
+    val idx = java.nio.file.Files.createTempDirectory("graft_av_idx").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_av_out").toString
+    val out = root + "/v"
+    val arc = root + "/archive"
+    IndexStore.saveMediaIndex(Seq((10L, 0x1234L)).toDF("id", "dh"),
+      "id", "dh", idx)
+    val sink = StreamOps.mediaIngestBatch(idx, out, "id", "dh")
+    sink(Seq((20L, 0x0F0F_0000_1111_9999L)).toDF("id", "dh"), 0L)
+    sink(Seq((30L, 0x7070_2222_3333_8888L)).toDF("id", "dh"), 1L)
+    sink(Seq((40L, 0x0505_4444_5555_7777L)).toDF("id", "dh"), 2L) // hwm = 2
+    // guards: never at-or-above the marker; never without one
+    intercept[IllegalArgumentException] {
+      StreamOps.archiveVerdicts(spark, out, arc, 2L)
+    }
+    intercept[IllegalStateException] {
+      StreamOps.archiveVerdicts(spark, out + "_none", arc, 0L)
+    }
+    assert(StreamOps.archiveVerdicts(spark, out, arc, 1L) == 2L)
+    val live = StreamOps.describeVerdicts(spark, out)
+    assert(live.partitions == 1L && live.hwmBatchId.contains(2L),
+      s"live after archive: $live")
+    assert(StreamOps.describeVerdicts(spark, arc).partitions == 2L)
+    def allIds() = StreamOps.readAllVerdicts(spark, out, arc)
+      .select("batch_id").as[Long].collect().toSeq.sorted
+    assert(allIds() == Seq(0L, 1L, 2L))
+    // idempotent: nothing left below the cutoff
+    assert(StreamOps.archiveVerdicts(spark, out, arc, 1L) == 0L)
+    // crash window: archive written, live delete lost — simulate by
+    // copying an archived partition back into the live table; the
+    // combined reader must still see it exactly ONCE (live wins)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$arc/batch_id=1"), fs,
+      new org.apache.hadoop.fs.Path(s"$out/batch_id=1"), false, conf)
+    assert(allIds() == Seq(0L, 1L, 2L),
+      "a batch in BOTH tables must be read exactly once")
+    // re-running the op completes the interrupted delete
+    assert(StreamOps.archiveVerdicts(spark, out, arc, 1L) == 1L)
+    assert(allIds() == Seq(0L, 1L, 2L))
+    // the sink's O(1) already-done check and numbering survive the
+    // truncation (marker untouched): the next batch lands normally
+    sink(Seq((50L, 0x1111_6666_2222_6666L)).toDF("id", "dh"), 3L)
+    assert(allIds() == Seq(0L, 1L, 2L, 3L))
+    // and a fully-archived live table (marker-only) still reads
+    StreamOps.archiveVerdicts(spark, out, arc, 2L): Unit
+    sink(Seq((60L, 0x3333_6666_4444_5555L)).toDF("id", "dh"), 4L)
+    StreamOps.archiveVerdicts(spark, out, arc, 3L): Unit
+    assert(StreamOps.archiveVerdicts(spark, out, arc, 3L) == 0L)
+  }
+
   test("outlierGate: streaming flags equal the batch flag stage exactly") {
     // moments from a reference corpus (two groups, one with a clear σ)
     val corpus = (Seq.tabulate(60)(i => ("a", 10.0 + (i % 5))) ++
