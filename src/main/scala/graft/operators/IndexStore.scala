@@ -1159,18 +1159,24 @@ object IndexStore {
     * active generation moved since the append resolved the manifest —
     * i.e. an external [[compactIndex]] (or repair/rebuild) ran
     * concurrently with this append, violating the documented
-    * exclusivity contract. The rewrite scanned the table BEFORE this
-    * append's files landed, so the just-published generation is
-    * missing them: without this check the rows would be silently
-    * dropped (the appended files sit in the now-retired directory);
-    * with it the loss is converted to a loud raise naming the race.
-    * The retired directory survives until the grace reap, and the
-    * appended ids are NOT in the active generation, so the recovery is
-    * simply re-running the append (an ingest round's replay machinery
-    * does this on its normal retry path). Detection, not prevention —
-    * an append that commits after the rewrite's scan but before its
-    * swap still loses the window; single-writer discipline remains
-    * the contract, this fence makes violations observable.
+    * exclusivity contract. The rewrite typically scanned the table
+    * BEFORE this append's files landed, so the just-published
+    * generation is missing them: without this check the rows would be
+    * silently dropped (the appended files sit in the now-retired
+    * directory); with it the loss is converted to a loud raise naming
+    * the race. Recovery is NOT blind re-append: the racing rewrite's
+    * listing may have caught a SUBSET of this append's part-files
+    * mid-job-commit, leaving a PARTIAL batch in the new generation —
+    * run [[checkIndex]] first (a partial multi-table append surfaces
+    * as its torn-state findings) and let the re-run's own guards
+    * arbitrate: a clean miss re-appends normally; a partial capture
+    * trips the monotone-id guard (raw appends) or the torn-state
+    * raise at load (ingest rounds), whose documented recovery —
+    * repair or prune the partial id range — then applies. Detection,
+    * not prevention — an append that commits after the rewrite's scan
+    * but before its swap still loses the window; single-writer
+    * discipline remains the contract, this fence makes violations
+    * observable.
     */
   private def requireGenerationsUnmoved(
       spark: SparkSession,
@@ -1187,11 +1193,12 @@ object IndexStore {
         s"this append was writing (" +
         moved.map { case (t, a, b) => s"$t generation $a -> $b" }
           .mkString(", ") +
-        ") — the appended files landed in the retired generation and " +
-        "are NOT part of the newly published one. Re-run the append " +
-        "against the new generation (the retired directory is retained " +
-        "until the grace reap; the appended ids are absent from the " +
-        "active tables, so a re-run is safe), and restore the " +
+        ") — this append's files landed in the retired generation and " +
+        "the newly published one holds NONE or (if the rewrite listed " +
+        "mid-commit) PART of them. Run checkIndex, then re-run the " +
+        "append: a clean miss re-appends normally, a partial capture " +
+        "trips the monotone-id guard / torn-state raise whose " +
+        "documented repair-or-prune recovery applies. Restore the " +
         "single-appender exclusivity the compaction contract requires")
   }
 

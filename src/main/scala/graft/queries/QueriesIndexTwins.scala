@@ -38,6 +38,48 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
       java.nio.file.Files.createTempDirectory(s"graft_$tag").toString)
   }
 
+  /** The dilution construction shared by the corpus/text ingest
+    * fixtures (q253/q255/q257/q258): text + 2× its token count of
+    * doc-unique `<prefix><id>x<i>` filler tokens. Two structural
+    * properties, one per screen family: it caps jaccard between ANY
+    * two distinct constructed texts at ≈ 1/3 while exact copies stay
+    * at 1.0 with identical minhash signatures (LSH candidacy certain —
+    * the corpus rounds' determinism), and it gives BM25 self-matches
+    * ≥ 2n df=1 filler terms (≥ 150M e6 probed vs ≤ 11.1M cross — the
+    * text rounds' threshold margin). Mirrored CTE-for-CTE by the
+    * oracles' `dil`/[[textDilSql]] expressions.
+    */
+  private def dilutedText(prefix: String) = concat(col("text"), lit(" "),
+    concat_ws(" ", transform(
+      sequence(lit(1), size(TextFunctions.tokens(col("text"))) * 2),
+      i => concat(lit(prefix), col("doc_id").cast("string"), lit("x"),
+        i.cast("string")))))
+
+  /** The shared fixture: cc-diluted corpus over base docs [100, 300)
+    * (non-null text, ≥ 10 tokens; checkpointed — reused by the index
+    * build and the batch-even copies) plus the head batch at
+    * `doc_id + off`: evens = exact corpus copies, odds = fresh
+    * zz-diluted texts.
+    */
+  private def dilutionFixture(
+      s: SparkSession, dir: String, off: Int): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "documents")
+      .where(col("doc_id") >= 100 && col("doc_id") < 300 &&
+        col("text").isNotNull &&
+        size(TextFunctions.tokens(col("text"))) >= 10)
+      .select(col("doc_id"), col("text"))
+    val corpus = base.select(col("doc_id"), dilutedText("cc").as("text"))
+      .localCheckpoint(true)
+    val evens = corpus
+      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 0)
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+    val odds = base
+      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+      .select(col("doc_id"), dilutedText("zz").as("text"))
+    (corpus, evens.unionByName(odds))
+  }
+
   /** q54's operator through the FULL persisted-index lifecycle
     * ([[IndexStore]]): build+save the corpus LSH index from part of the
     * corpus, APPEND the rest (exercising the exact-dup merge and the
@@ -367,29 +409,10 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
     * proven by hash.
     */
   def corpusIngestRounds(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    def diluted(prefix: String) = concat(col("text"), lit(" "),
-      concat_ws(" ", transform(
-        sequence(lit(1), size(TextFunctions.tokens(col("text"))) * 2),
-        i => concat(lit(prefix), col("doc_id").cast("string"), lit("x"),
-          i.cast("string")))))
-    val base = t(s, dir, "documents")
-      .where(col("doc_id") >= 100 && col("doc_id") < 300 &&
-        col("text").isNotNull &&
-        size(TextFunctions.tokens(col("text"))) >= 10)
-      .select(col("doc_id"), col("text"))
-    val corpus = base.select(col("doc_id"), diluted("cc").as("text"))
-      .localCheckpoint(true) // reused: index build + batch-even copies
+    val (corpus, heads) = dilutionFixture(s, dir, off = 200)
     val path = scratchDir("corpus_ingest_rounds")
     IndexStore.saveCorpusIndex(corpus, "doc_id", "text", path)
-    val evens = corpus
-      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 0)
-      .select((col("doc_id") + 200).as("doc_id"), col("text"))
-    val odds = base
-      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 1)
-      .select((col("doc_id") + 200).as("doc_id"), col("text"))
-      .select(col("doc_id"), diluted("zz").as("text"))
-    val batch1 = evens.unionByName(odds).localCheckpoint(true)
+    val batch1 = heads.localCheckpoint(true)
     val v1 = IndexStore.ingestCorpus(batch1, "doc_id", "text", path,
       threshold = 0.7).withColumn("ingest", lit(1))
     val batch2 = batch1
@@ -746,29 +769,9 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
     * replays construction, collapse, and screen brute-force.
     */
   def corpusIngestCollapsed(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    def diluted(prefix: String) = concat(col("text"), lit(" "),
-      concat_ws(" ", transform(
-        sequence(lit(1), size(TextFunctions.tokens(col("text"))) * 2),
-        i => concat(lit(prefix), col("doc_id").cast("string"), lit("x"),
-          i.cast("string")))))
-    val base = t(s, dir, "documents")
-      .where(col("doc_id") >= 100 && col("doc_id") < 300 &&
-        col("text").isNotNull &&
-        size(TextFunctions.tokens(col("text"))) >= 10)
-      .select(col("doc_id"), col("text"))
-    val corpus = base.select(col("doc_id"), diluted("cc").as("text"))
-      .localCheckpoint(true)
+    val (corpus, heads) = dilutionFixture(s, dir, off = 200)
     val path = scratchDir("corpus_ingest_collapsed")
     IndexStore.saveCorpusIndex(corpus, "doc_id", "text", path)
-    val evens = corpus
-      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 0)
-      .select((col("doc_id") + 200).as("doc_id"), col("text"))
-    val odds = base
-      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 1)
-      .select((col("doc_id") + 200).as("doc_id"), col("text"))
-      .select(col("doc_id"), diluted("zz").as("text"))
-    val heads = evens.unionByName(odds)
     val copies = heads.select((col("doc_id") + 400).as("doc_id"), col("text"))
     // consumed by the pair scan and the survivor anti-join
     val batch = heads.unionByName(copies).localCheckpoint(true)
@@ -915,29 +918,10 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
     * hash compare is exact.
     */
   def textIngestRounds(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    def diluted(prefix: String) = concat(col("text"), lit(" "),
-      concat_ws(" ", transform(
-        sequence(lit(1), size(TextFunctions.tokens(col("text"))) * 2),
-        i => concat(lit(prefix), col("doc_id").cast("string"), lit("x"),
-          i.cast("string")))))
-    val base = t(s, dir, "documents")
-      .where(col("doc_id") >= 100 && col("doc_id") < 300 &&
-        col("text").isNotNull &&
-        size(TextFunctions.tokens(col("text"))) >= 10)
-      .select(col("doc_id"), col("text"))
-    val corpus = base.select(col("doc_id"), diluted("cc").as("text"))
-      .localCheckpoint(true) // reused: index build + batch-even copies
+    val (corpus, heads) = dilutionFixture(s, dir, off = 300)
     val path = scratchDir("text_ingest_rounds")
     IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
-    val evens = corpus
-      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 0)
-      .select((col("doc_id") + 300).as("doc_id"), col("text"))
-    val odds = base
-      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 1)
-      .select((col("doc_id") + 300).as("doc_id"), col("text"))
-      .select(col("doc_id"), diluted("zz").as("text"))
-    val batch1 = evens.unionByName(odds).localCheckpoint(true)
+    val batch1 = heads.localCheckpoint(true)
     val v1 = IndexStore.ingestText(batch1, "doc_id", "text", path,
       minScoreE6 = 30000000L).withColumn("ingest", lit(1))
     val batch2 = batch1
@@ -1080,28 +1064,9 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
     */
   def textIngestCollapsed(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
-    def diluted(prefix: String) = concat(col("text"), lit(" "),
-      concat_ws(" ", transform(
-        sequence(lit(1), size(TextFunctions.tokens(col("text"))) * 2),
-        i => concat(lit(prefix), col("doc_id").cast("string"), lit("x"),
-          i.cast("string")))))
-    val base = t(s, dir, "documents")
-      .where(col("doc_id") >= 100 && col("doc_id") < 300 &&
-        col("text").isNotNull &&
-        size(TextFunctions.tokens(col("text"))) >= 10)
-      .select(col("doc_id"), col("text"))
-    val corpus = base.select(col("doc_id"), diluted("cc").as("text"))
-      .localCheckpoint(true)
+    val (corpus, heads) = dilutionFixture(s, dir, off = 300)
     val path = scratchDir("text_ingest_collapsed")
     IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
-    val evens = corpus
-      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 0)
-      .select((col("doc_id") + 300).as("doc_id"), col("text"))
-    val odds = base
-      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(2)) === 1)
-      .select((col("doc_id") + 300).as("doc_id"), col("text"))
-      .select(col("doc_id"), diluted("zz").as("text"))
-    val heads = evens.unionByName(odds)
     val copies = heads.select((col("doc_id") + 400).as("doc_id"), col("text"))
     // consumed by the self-screen and the survivor anti-join
     val batch = heads.unionByName(copies).localCheckpoint(true)

@@ -636,14 +636,6 @@ object StreamOps {
       partitions: Long, files: Long, bytes: Long,
       hwmBatchId: Option[Long], legacyRootFiles: Long)
 
-  /** Pure filesystem listings (no Spark jobs, no row scans — safe on
-    * any cadence): partition-directory count, data-file count and
-    * bytes across them, the high-water marker's last fully-ingested
-    * batch id (None = marker absent/corrupt: the next trigger pays the
-    * one-time fallback scan), and any ROOT-level data files (the
-    * pre-round-10 unpartitioned legacy layout — nonzero means the
-    * sink will refuse to write until the table is migrated).
-    */
   /** ETL CLOSED verdict batches into a long-term archive — the
     * maintenance op the verdict table's append-only-log design defers
     * to (the live table deliberately never compacts: coalescing
@@ -661,11 +653,27 @@ object StreamOps {
     * can never be rewritten by the sink; archiving at-or-above it
     * could race an in-flight replay's partition overwrite. The marker
     * itself is untouched, so the sink's O(1) already-done check keeps
-    * working over the truncated live table, and the fallback scan
-    * (corrupt-marker path) still lands at-or-above any archived id.
-    * Crash posture: archive-write then live-delete are two steps — a
-    * crash between them leaves a batch in BOTH tables with IDENTICAL
-    * rows; re-running the op re-overwrites the archive partition and
+    * working over the truncated live table. (Corner stated honestly:
+    * a live table whose every partition has been archived is
+    * marker-only; if the marker is ALSO lost there, the sink's
+    * fallback scan finds no table and restarts the check at −1 —
+    * harmless, because the only batch a checkpoint re-delivers is the
+    * latest one and its partition overwrite is idempotent, but direct
+    * `readVerdicts(live)` on such a table fails schema inference; use
+    * [[readAllVerdicts]].)
+    *
+    * EXCLUSIVITY vs READERS: the live-partition delete is in place —
+    * run this on the maintenance cadence, not under concurrent
+    * readers of the LIVE table (the compactIndex posture, minus the
+    * generation machinery: verdict partitions are immutable once
+    * closed, so the archive copy is complete BEFORE any delete and no
+    * data is ever lost — a racing reader fails loudly mid-scan on the
+    * deleted files rather than silently missing rows, which
+    * [[readAllVerdicts]] guarantees by pinning its live read to the
+    * partition listing it filtered the archive with). Crash posture:
+    * archive-write then live-delete are two steps — a crash between
+    * them leaves a batch in BOTH tables with IDENTICAL rows;
+    * re-running the op re-overwrites the archive partition and
     * completes the delete, and [[readAllVerdicts]] reads such overlap
     * exactly once (live wins by partition listing). At 100 TB this is
     * the op a daily cadence runs with `upToBatch = hwm - K`, keeping
@@ -712,14 +720,20 @@ object StreamOps {
     * semantics across the [[archiveVerdicts]] crash window (a batch
     * present in both — archive written, live delete lost — is read
     * from the LIVE side only: archive partitions are filtered by the
-    * live table's partition listing before the union). Schema matches
-    * [[readVerdicts]] (batch_id pinned to LongType). Either side may
-    * be absent.
+    * live table's partition listing before the union, and the live
+    * READ is pinned to that same listing snapshot, so a concurrent
+    * archive run deleting a listed partition fails this query loudly
+    * on the missing files — never a silently absent batch). Schema
+    * matches [[readVerdicts]] (batch_id pinned to LongType). Either
+    * side may be absent or empty.
     */
   def readAllVerdicts(
       spark: org.apache.spark.sql.SparkSession,
       verdictPath: String,
       archivePath: String): DataFrame = {
+    // None = path absent; Some(empty) = exists but no batch partitions
+    // (e.g. a marker-only fully-archived live table, or a pre-created
+    // archive dir) — both read-skipped, never schema-inferred against
     def partIds(path: String): Option[Set[Long]] = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -728,25 +742,41 @@ object StreamOps {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
         .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet)
     }
-    val live = partIds(verdictPath)
-    val arch = partIds(archivePath)
-    (live, arch) match {
-      case (None, None) => throw new IllegalArgumentException(
+    // live read pinned to the SAME listing the archive filter uses
+    def readParts(path: String, ids: Set[Long]): DataFrame =
+      spark.read.option("basePath", path)
+        .parquet(ids.toSeq.sorted.map(b => s"$path/batch_id=$b"): _*)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+    val liveOpt = partIds(verdictPath)
+    val archOpt = partIds(archivePath)
+    if (liveOpt.isEmpty && archOpt.isEmpty)
+      throw new IllegalArgumentException(
         s"StreamOps.readAllVerdicts: neither $verdictPath nor " +
           s"$archivePath exists")
-      case (Some(_), None) => readVerdicts(spark, verdictPath)
-      case (None, Some(_)) => readVerdicts(spark, archivePath)
-      // live table fully archived (marker-only dir): reading it would
-      // fail on schema inference — the archive IS the table
-      case (Some(l), Some(_)) if l.isEmpty =>
-        readVerdicts(spark, archivePath)
-      case (Some(l), Some(_)) =>
-        readVerdicts(spark, verdictPath).unionByName(
-          readVerdicts(spark, archivePath)
-            .where(!col("batch_id").isin(l.toSeq: _*)))
+    val live = liveOpt.getOrElse(Set.empty[Long])
+    val arch = archOpt.getOrElse(Set.empty[Long])
+    val archOnly = arch -- live
+    (live.nonEmpty, archOnly.nonEmpty) match {
+      case (true, true) =>
+        readParts(verdictPath, live)
+          .unionByName(readParts(archivePath, archOnly))
+      case (true, false) => readParts(verdictPath, live)
+      case (false, true) => readParts(archivePath, archOnly)
+      case (false, false) => throw new IllegalArgumentException(
+        s"StreamOps.readAllVerdicts: no batch partitions under either " +
+          s"$verdictPath or $archivePath (nothing ingested yet, or " +
+          "everything still mid-archive)")
     }
   }
 
+  /** Pure filesystem listings (no Spark jobs, no row scans — safe on
+    * any cadence): partition-directory count, data-file count and
+    * bytes across them, the high-water marker's last fully-ingested
+    * batch id (None = marker absent/corrupt: the next trigger pays the
+    * one-time fallback scan), and any ROOT-level data files (the
+    * pre-round-10 unpartitioned legacy layout — nonzero means the
+    * sink will refuse to write until the table is migrated).
+    */
   def describeVerdicts(
       spark: org.apache.spark.sql.SparkSession,
       verdictPath: String): VerdictStat = {
