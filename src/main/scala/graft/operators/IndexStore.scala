@@ -1010,19 +1010,27 @@ object IndexStore {
         .head()
       if (sums.isNullAt(0) != sums.isNullAt(1) ||
           (!sums.isNullAt(0) && sums.getLong(0) != sums.getLong(1))) {
-        val orphans = doclen.select(col("doc_id")).distinct()
-          .join(postings.select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          .count()
+        // failure path only: per-doc triage of the three torn shapes
+        // (the same rule repairTextIndex prunes by)
+        val t = doclen.select(col("doc_id"), col("dl"))
+          .join(postings.groupBy(col("doc_id"))
+            .agg(sum(col("tf")).as("__tf")), Seq("doc_id"), "full_outer")
+          .agg(sum(when(col("__tf").isNull, 1L).otherwise(0L)),
+            sum(when(col("dl").isNull, 1L).otherwise(0L)),
+            sum(when(col("dl") =!= col("__tf"), 1L).otherwise(0L)))
+          .head()
         throw new IllegalArgumentException(
-          s"IndexStore: text index at $path is torn — $orphans doc(s) " +
-            s"have doclen rows but no postings (Σdl=${sums.get(0)} vs " +
-            s"Σtf=${sums.get(1)}; a crash between the doclen append and " +
-            "the postings append lost the terms, and the stranded " +
-            "doclen rows skew every score's idf/avgdl); run " +
-            "IndexStore.repairTextIndex to prune them (restoring exact " +
-            "idf/avgdl — the orphans' terms are gone either way) or " +
-            "rebuild the index over the full corpus")
+          s"IndexStore: text index at $path is torn — ${t.getLong(0)} " +
+            s"doc(s) with doclen rows but no postings (a crash between " +
+            s"the doclen and postings appends — stranded rows skew " +
+            s"every score's idf/avgdl), ${t.getLong(1)} with postings " +
+            s"but no doclen row (external/legacy half-index), " +
+            s"${t.getLong(2)} with dl ≠ Σtf on both sides (partial " +
+            s"postings; Σdl=${sums.get(0)} vs Σtf=${sums.get(1)}); run " +
+            "IndexStore.repairTextIndex to prune every inconsistent doc " +
+            "(restoring exact idf/avgdl — their index entries are " +
+            "incomplete either way) or rebuild the index over the full " +
+            "corpus")
       }
     }
     TextAnalysis.TextIndex(postings, doclen)
@@ -1316,8 +1324,9 @@ object IndexStore {
     *    sets/reps with shingles/vector but no band/block rows
     *    (severity `healable` — the next append backfills them).
     *  - media: member signatures with no band rows (`healable`).
-    *  - text: doclen rows with no postings (`repairable` —
-    *    [[repairTextIndex]] prunes them).
+    *  - text: doclen rows with no postings, and postings with no
+    *    doclen row (both `repairable` — [[repairTextIndex]] prunes
+    *    either direction).
     *  - ivf: duplicate assignment ids (`unhealable` — every probe
     *    double-counts; rebuild via [[rebuildIvf]]); assignments whose
     *    list_id has no centroids row (`unhealable` — unreachable by
@@ -1380,14 +1389,37 @@ object IndexStore {
       case "text" =>
         val doclen = spark.read.parquet(dir("doclen"))
         val postings = spark.read.parquet(dir("postings"))
-        val orphans = doclen.select(col("doc_id")).distinct()
-          .join(postings.select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          .count()
-        if (orphans > 0) Seq(CheckFinding("doclen", "postings-coverage",
-          "repairable", s"$orphans doc(s) have doclen rows but no " +
-            "postings — they skew idf/avgdl; run repairTextIndex"))
-        else Seq.empty
+        // one full-outer join at doc grain surfaces all three torn
+        // shapes (the same rule repairTextIndex prunes by)
+        val perDoc = doclen.select(col("doc_id"), col("dl"))
+          .join(postings.groupBy(col("doc_id"))
+            .agg(sum(col("tf")).as("__tf")), Seq("doc_id"), "full_outer")
+          .select(col("dl").isNull.as("__noDl"), col("__tf").isNull
+            .as("__noTf"), (col("dl") =!= col("__tf")).as("__mis"))
+          .agg(coalesce(sum(when(col("__noTf"), 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(when(col("__noDl"), 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(when(col("__mis"), 1L).otherwise(0L)), lit(0L)))
+          .head()
+        val orphans = perDoc.getLong(0)
+        val reverse = perDoc.getLong(1)
+        val partial = perDoc.getLong(2)
+        Seq(
+          if (orphans > 0) Some(CheckFinding("doclen", "postings-coverage",
+            "repairable", s"$orphans doc(s) have doclen rows but no " +
+              "postings — they skew idf/avgdl; run repairTextIndex"))
+          else None,
+          if (reverse > 0) Some(CheckFinding("postings", "doclen-coverage",
+            "repairable", s"$reverse doc(s) have postings but no doclen " +
+              "row (external/legacy half-index — this library writes " +
+              "doclen first) — they inflate df and never score; run " +
+              "repairTextIndex"))
+          else None,
+          if (partial > 0) Some(CheckFinding("postings", "tf-sum-identity",
+            "repairable", s"$partial doc(s) have dl ≠ Σtf with both " +
+              "tables present (partial postings — e.g. a rewrite raced " +
+              "an append mid-commit) — under-scored and df-skewed; run " +
+              "repairTextIndex"))
+          else None).flatten
       case "ivf" =>
         val assign = spark.read.parquet(dir("assign"))
         val centroids = spark.read.parquet(dir("centroids"))
@@ -1461,24 +1493,31 @@ object IndexStore {
     }
   }
 
-  /** Repair the text index's one torn-append shape — doclen rows whose
-    * postings append was lost in a crash ([[loadTextIndex]]'s raise):
-    * prune the orphaned doclen rows and return how many were dropped.
-    * The doc text is not stored, so the orphans' TERMS are gone either
-    * way — pruning their doclen rows restores exactly the index a
-    * rebuild without those docs would produce (their stranded rows
-    * were silently inflating N and Σdl, skewing every score's
-    * idf/avgdl), which is why this repair is lossless for every
-    * surviving document and completes the heal parity the other index
-    * kinds already have. The rewritten doclen lands as a new
-    * generation published by one atomic manifest rename
-    * ([[swapGenerations]]) — a crash mid-repair leaves the old (still
-    * torn, still detected) table fully intact. The orphaned ids
-    * themselves are NOT freed: the monotone-id append contract keys on
-    * doclen ∪ postings ids, and the pruned rows vanish from both, so
-    * re-ingesting the lost docs requires fresh ids (scaladoc'd over
-    * [[appendTextIndex]]'s guard — reusing a pruned id would otherwise
-    * be indistinguishable from a reused id range).
+  /** Repair the text index by pruning every PER-DOC-INCONSISTENT doc
+    * (dl ≠ Σtf, either side missing counts as mismatched), returned at
+    * doc grain — all three torn shapes in one rule: doclen rows whose
+    * postings append was lost in a crash (this library's own shape —
+    * [[loadTextIndex]]'s raise; stranded rows inflate N and Σdl),
+    * postings with no doclen row (impossible from this library's
+    * doclen-first writers; an external/legacy half-index — inflates df,
+    * never scores), and PARTIAL postings (dl ≠ Σtf with both sides
+    * present — e.g. a rewrite that raced an append captured a subset
+    * of its part-files; silently under-scores the doc AND shifts df).
+    * The doc text is not stored, so an inconsistent doc's entry cannot
+    * be completed — pruning restores exactly the index a rebuild
+    * without those docs would produce, lossless for every surviving
+    * document, completing the heal parity the other index kinds
+    * already have. Only tables that actually carry bad rows are
+    * rewritten (the common crash shape touches doclen alone — the
+    * large postings table is not re-copied for it), published by one
+    * atomic manifest rename ([[swapGenerations]]) — a crash mid-repair
+    * leaves the old (still torn, still detected) tables fully intact.
+    * The pruned ids themselves are NOT freed: the monotone-id append
+    * contract keys on doclen ∪ postings ids, and the pruned rows
+    * vanish from both, so re-ingesting the lost docs requires fresh
+    * ids (scaladoc'd over [[appendTextIndex]]'s guard — reusing a
+    * pruned id would otherwise be indistinguishable from a reused id
+    * range).
     */
   def repairTextIndex(
       spark: SparkSession, path: String,
@@ -1486,18 +1525,46 @@ object IndexStore {
     metaOf(spark, path, "text")
     val dir = tableDirs(spark, path)
     val doclen = spark.read.parquet(dir("doclen"))
-    // materialized once: drives the orphan count AND the pruned rewrite
-    val postingDocs = spark.read.parquet(dir("postings"))
-      .select(col("doc_id")).distinct().localCheckpoint(true)
-    val orphaned = doclen.select(col("doc_id"))
-      .join(postingDocs, Seq("doc_id"), "left_anti").count()
-    if (orphaned > 0L) {
-      val pruned = doclen.join(postingDocs, Seq("doc_id"), "left_semi")
-        .repartition(col("doc_id"))
-      swapGenerations(spark, path, retainGenerations)(Seq(
-        "doclen" -> (d => pruned.write.mode("overwrite").parquet(d))))
+    val postings = spark.read.parquet(dir("postings"))
+    // the unified per-doc consistency rule: dl is BY CONSTRUCTION the
+    // sum of the doc's tf ([[TextAnalysis.textIndex]]), so a doc is
+    // healthy iff dl == Σtf with both sides present. One full-outer
+    // join at doc grain catches all three torn shapes: doclen-only
+    // (Σtf null — this library's crash shape), postings-only (dl null
+    // — an external half-index), and PARTIAL postings (dl ≠ Σtf —
+    // e.g. a rewrite that raced an append captured a subset of its
+    // part-files), which the two directional anti-joins alone would
+    // both miss, returning 0 while the index stays unloadable.
+    val bad = doclen.select(col("doc_id"), col("dl"))
+      .join(postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("__tf")),
+        Seq("doc_id"), "full_outer")
+      .where(col("dl").isNull || col("__tf").isNull ||
+        col("dl") =!= col("__tf"))
+      .select(col("doc_id"))
+      .localCheckpoint(true)
+    val nBad = bad.count()
+    if (nBad > 0L) {
+      // rewrite only the tables that actually carry bad rows (the
+      // common crash shape touches doclen alone; postings is usually
+      // the LARGE table and skipping its rewrite matters)
+      val dlBad = doclen.join(bad, Seq("doc_id"), "left_semi")
+        .limit(1).count() > 0
+      val pBad = postings.join(bad, Seq("doc_id"), "left_semi")
+        .limit(1).count() > 0
+      val writes = Seq(
+        if (dlBad) Some("doclen" -> { (d: String) =>
+          doclen.join(bad, Seq("doc_id"), "left_anti")
+            .repartition(col("doc_id"))
+            .write.mode("overwrite").parquet(d)
+        }) else None,
+        if (pBad) Some("postings" -> { (d: String) =>
+          postings.join(bad, Seq("doc_id"), "left_anti")
+            .repartition(col("term"))
+            .write.mode("overwrite").parquet(d)
+        }) else None).flatten
+      swapGenerations(spark, path, retainGenerations)(writes)
     }
-    orphaned
+    nBad
   }
 
   /** Rebuild a persisted IVF model in place — the documented read-side

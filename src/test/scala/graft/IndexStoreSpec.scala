@@ -886,16 +886,37 @@ class IndexStoreSpec extends SparkSuite {
     assert(cFindings == Set(("members", "unhealable"), ("sets", "healable")),
       s"$cFindings")
 
-    // text: repairable finding → repairTextIndex → clean
+    // text: ALL THREE repairable shapes surface distinctly, then one
+    // repairTextIndex prunes every inconsistent doc
     val tPath = tmp()
     IndexStore.saveTextIndex(oldDocs, "doc_id", "text", tPath)
+    // doclen-only (this library's crash shape)
     Seq((50L, 30L)).toDF("doc_id", "dl")
       .write.mode("append").parquet(s"$tPath/doclen")
+    // postings-only (external/legacy half-index)
+    Seq((60L, "zzz", 3L)).toDF("doc_id", "term", "tf")
+      .write.mode("append").parquet(s"$tPath/postings")
+    // partial: an existing doc's dl no longer equals its Σtf (the
+    // shape BOTH directional anti-joins miss)
+    Seq((0L, "xtraterm", 5L)).toDF("doc_id", "term", "tf")
+      .write.mode("append").parquet(s"$tPath/postings")
     val tf = IndexStore.checkIndex(spark, tPath)
-    assert(tf.map(f => (f.table, f.severity)) == Seq(("doclen", "repairable")),
+      .map(f => (f.table, f.check)).toSet
+    assert(tf == Set(("doclen", "postings-coverage"),
+      ("postings", "doclen-coverage"), ("postings", "tf-sum-identity")),
       s"$tf")
-    IndexStore.repairTextIndex(spark, tPath): Unit
+    assert(IndexStore.repairTextIndex(spark, tPath) == 3L,
+      "three inconsistent docs pruned at doc grain")
     assert(IndexStore.checkIndex(spark, tPath).isEmpty)
+    IndexStore.loadTextIndex(spark, tPath): Unit
+    assert(spark.read.parquet(
+        IndexStore.tableDir(spark, tPath, "doclen"))
+      .where(col("doc_id").isin(0L, 50L)).count() == 0,
+      "the partial doc and the doclen orphan are gone from doclen")
+    assert(spark.read.parquet(
+        IndexStore.tableDir(spark, tPath, "postings"))
+      .where(col("doc_id").isin(0L, 60L)).count() == 0,
+      "the partial doc and the postings orphan are gone from postings")
 
     // ivf: duplicate assignment id → unhealable finding
     val iPath = tmp()
