@@ -736,6 +736,40 @@ class StreamOpsSpec extends SparkSuite {
       StreamOps.VerdictStat(0L, 0L, 0L, None, 0L))
   }
 
+  test("textIngestBatch with compactEvery: in-loop compaction swaps the " +
+      "text index's generation mid-loop; verdicts stay exactly-once and " +
+      "post-compact rounds append into the new generation") {
+    import graft.operators.IndexStore
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val tB = "one two three four five six seven eight nine ten eleven twelve"
+    val tC = "spark shuffle partition broadcast codegen watermark state store lineage stage task executor"
+    val idx = java.nio.file.Files.createTempDirectory("graft_tic_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tic_out").toString + "/v"
+    IndexStore.saveTextIndex(Seq((10L, tA), (11L, tB)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val sink = StreamOps.textIngestBatch(idx, out, minScoreE6 = 1000000L,
+      compactEvery = Some(2))
+    sink(Seq((20L, tC)).toDF("doc_id", "text"), 0L) // admitted
+    sink(Seq((30L, tA)).toDF("doc_id", "text"), 1L) // dup; cadence fires
+    assert(IndexStore.describeIndex(spark, idx).forall(_.generation == 1L),
+      "the second trigger's cadence must have compacted to generation 1")
+    // post-compact round: appends resolve the NEW generation; the
+    // batch-0 admission (now living in compacted files) still gates
+    sink(Seq((40L, tC)).toDF("doc_id", "text"), 2L)
+    val got = StreamOps.readVerdicts(spark, out)
+      .select(col("batch_id"), col("doc_id"), col("status"),
+        coalesce(col("best_corpus_id"), lit(-1L)))
+      .as[(Long, Long, String, Long)].collect().toSeq.sorted
+    assert(got == Seq((0L, 20L, "admitted", -1L),
+      (1L, 30L, "duplicate", 10L), (2L, 40L, "duplicate", 20L)), s"$got")
+    // replay over the compacted index: a no-op
+    sink(Seq((40L, tC)).toDF("doc_id", "text"), 2L)
+    assert(StreamOps.readVerdicts(spark, out).count() == 3)
+    assert(spark.read.parquet(IndexStore.tableDir(spark, idx, "doclen"))
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L, 20L))
+    IndexStore.loadTextIndex(spark, idx): Unit
+  }
+
   test("archiveVerdicts: closed batches move to the archive exactly once; " +
       "readAllVerdicts heals the crash window; the sink keeps working") {
     import graft.operators.IndexStore
