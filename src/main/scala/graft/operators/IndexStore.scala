@@ -1098,16 +1098,20 @@ object IndexStore {
       body.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
         // diagnosable parse: a hand-edited or corrupted line must name
         // the manifest and the offending text, not surface as a
-        // MatchError/NumberFormatException from deep inside a load
-        line.split("=", 2) match {
-          case Array(t, g) if t.nonEmpty && g.matches("\\d+") => t -> g.toLong
-          case _ => throw new IllegalArgumentException(
-            s"IndexStore: generation manifest $p is corrupt — line " +
-              s"'$line' is not '<table>=<generation>'; restore the " +
-              "manifest (or delete it to reactivate the plain " +
-              "generation-0 table dirs, correct only if the index was " +
-              "never compacted)")
+        // MatchError/NumberFormatException from deep inside a load.
+        // Try(toLong) on top of the digit check: a 20-digit generation
+        // passes \d+ but overflows Long — it gets this raise too
+        val parsed = line.split("=", 2) match {
+          case Array(t, g) if t.nonEmpty && g.matches("\\d+") =>
+            scala.util.Try(g.toLong).toOption.map(t -> _)
+          case _ => None
         }
+        parsed.getOrElse(throw new IllegalArgumentException(
+          s"IndexStore: generation manifest $p is corrupt — line " +
+            s"'$line' is not '<table>=<generation>'; restore the " +
+            "manifest (or delete it to reactivate the plain " +
+            "generation-0 table dirs, correct only if the index was " +
+            "never compacted)"))
       }.toMap
     }
   }
@@ -1161,13 +1165,27 @@ object IndexStore {
     * compaction into the exact window the fence exists to detect.
     * No-op in production.
     */
-  private[graft] var appendFenceTestHook: () => Unit = () => ()
+  private var appendFenceTestHook: () => Unit = () => ()
+
+  /** Run `body` with the fence test seam set to `hook`, resetting it
+    * unconditionally afterwards — the seam cannot leak past a failing
+    * test body into production appends sharing the JVM (a bare var
+    * assignment could). Tests only; not thread-safe across parallel
+    * suites, like the seam itself.
+    */
+  private[graft] def withFenceHook[T](hook: () => Unit)(body: => T): T = {
+    appendFenceTestHook = hook
+    try body finally appendFenceTestHook = () => ()
+  }
 
   /** The append-commit generation FENCE: raise if any written table's
     * active generation moved since the append resolved the manifest —
     * i.e. an external [[compactIndex]] (or repair/rebuild) ran
     * concurrently with this append, violating the documented
-    * exclusivity contract. The rewrite typically scanned the table
+    * exclusivity contract. A racing save* REBUILD is additionally
+    * caught through meta/ (its reset deletes meta FIRST, the builder
+    * re-writes it LAST): generation numbers alone would miss a rebuild
+    * racing an index still at generation 0 — 0 -> 0 compares equal. The rewrite typically scanned the table
     * BEFORE this append's files landed, so the just-published
     * generation is missing them: without this check the rows would be
     * silently dropped (the appended files sit in the now-retired
@@ -1192,7 +1210,23 @@ object IndexStore {
       resolved: Map[String, Long],
       tables: Seq[String],
       op: String): Unit = {
-    val now = readGenerations(fsOf(spark, path), path)
+    val fs = fsOf(spark, path)
+    // generation numbers alone have a gen-0 blind spot: a racing save*
+    // REBUILD resets every table to generation 0, so against an index
+    // still at generation 0 the compare is 0 -> 0 and passes. The
+    // rebuild's reset deletes meta/ FIRST and the builder re-writes it
+    // LAST (its commit record), so a missing meta/ here is an in-flight
+    // rebuild — raise on that too
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "meta")))
+      throw new IllegalStateException(
+        s"IndexStore.$op: the index at $path is being REBUILT while " +
+          "this append was writing (meta/ is gone — a save* builder's " +
+          "reset runs first, its meta re-write lands last) — this " +
+          "append's files land in directories the rebuild is about to " +
+          "overwrite. Wait for the rebuild's meta/ to reappear, then " +
+          "re-run the append; restore the single-appender exclusivity " +
+          "the rebuild contract requires")
+    val now = readGenerations(fs, path)
     val moved = tables
       .map(t => (t, resolved.getOrElse(t, 0L), now.getOrElse(t, 0L)))
       .filter { case (_, a, b) => a != b }
@@ -1817,6 +1851,37 @@ object IndexStore {
     * column expressions — the [[graft.streaming.StreamOps.searchGate]]
     * discipline — and the batch side joins WITHOUT broadcast hints
     * (an ingest batch's vocabulary is data-sized; AQE decides).
+    *
+    * COST GUARDRAIL. The exact screen's join volume is
+    * Σ_t |postings(t)| · |queries(t)| — data-dependent and unbounded
+    * (a dup-heavy batch against a dense shared-vocabulary index
+    * multiplies out: the round-12 probe measured 100 exact copies vs
+    * 500k docs ≈ 300M scored rows with 54.6 GB of spill under an
+    * 8 GiB heap, and 500 copies OOM'd it — and decontamination
+    * batches are exactly the dup-heavy shape). Before scoring, this
+    * round therefore computes that sum EXACTLY with one narrow
+    * aggregate join ([[estimateTextScreen]]'s core — cost linear in
+    * the MATCHED postings, never the product) and raises above
+    * `maxScreenPairs` naming the densest terms, so the pathological
+    * batch dies in seconds with a recipe instead of hours into a
+    * spill. The default (1B pairs) sits just above the largest volume
+    * the round-12 probe survived; size it to executor memory × cluster
+    * for real deployments. Recovery: set `collapseFirst = true` (below
+    * — usually the right fix: copies collapse against each OTHER
+    * before any of them pays the index screen), pre-collapse the batch
+    * yourself, or raise the budget consciously.
+    *
+    * `collapseFirst = true` runs the INTRA-BATCH self-screen first —
+    * the batch indexed in memory and screened against itself with the
+    * SAME scoring chain (intra-batch stats: N = batch size), a doc
+    * with any smaller-id batch partner at `minScoreE6` collapsing to
+    * status 'collapsed' with that partner as best match — and only
+    * the surviving family heads pay the index screen (one admission
+    * per near-dup family). Self-screen cost is Σ_t |batch queries(t)|²
+    * — batch-sized, not index-sized. Verdict rows for collapsed docs
+    * carry the batch partner in `best_corpus_id`; replay invariance is
+    * unchanged (the self-screen depends only on the batch, and the
+    * index screen still runs over pre-batch-filtered relations).
     */
   def ingestText(
       newDocs: DataFrame,
@@ -1825,10 +1890,14 @@ object IndexStore {
       path: String,
       minScoreE6: Long,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      maxScreenPairs: Long = 1000000000L,
+      collapseFirst: Boolean = false): DataFrame = {
     import graft.functions.TextFunctions
     val spark = newDocs.sparkSession
     metaOf(spark, path, "text")
+    require(maxScreenPairs > 0L,
+      "IndexStore.ingestText: maxScreenPairs must be positive")
     val batch = newDocs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .where(col("text").isNotNull &&
@@ -1842,8 +1911,61 @@ object IndexStore {
       .where(col("doc_id") < col("__batch_min")).drop("__batch_min")
     val pre = TextAnalysis.TextIndex(
       preBatch(idx.postings), preBatch(idx.doclen))
-    val qt = batch.select(col("doc_id").as("query_id"),
-      explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+    def queryTermsOf(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id").as("query_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+    // intra-batch collapse (the q258 composition, integrated): index
+    // the batch in memory, screen it against itself, smaller-id
+    // partners only — family heads go on to the index screen
+    val (screened, collapsed) = if (collapseFirst) {
+      val selfPairs = TextAnalysis
+        .bm25ScoredIndexed(TextAnalysis.textIndex(batch, "doc_id", "text"),
+          queryTermsOf(batch), k1, b, broadcastQueries = false)
+        .where(col("score_e6") >= minScoreE6 &&
+          col("doc_id") < col("query_id"))
+        .select(col("query_id").as("doc_id"),
+          col("doc_id").as("corpus_id"), col("score_e6"))
+        .localCheckpoint(true)
+      val coll = selfPairs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(struct((-col("score_e6")).as("negs"), col("corpus_id")))
+            .as("__best"))
+        .select(col("doc_id"), lit("collapsed").as("status"),
+          col("n_matches"), col("__best.corpus_id").as("best_corpus_id"),
+          (-col("__best.negs")).as("best_score_e6"))
+      val heads = batch.join(selfPairs.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      (heads, Some(coll))
+    } else (batch, None)
+    // screened is checkpointed either way (batch, or the collapse's
+    // heads), so the estimate and the screen re-derive qt cheaply
+    val qt = queryTermsOf(screened)
+    // the guardrail: exact screen volume as one narrow agg join —
+    // decimal sum (a 100 TB-shape product sum can overflow Long)
+    val estTotal = screenPairEstimate(pre.postings, qt)
+      .agg(coalesce(sum(col("pairs").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("t"))
+      .head().getDecimal(0)
+    if (estTotal.compareTo(
+        java.math.BigDecimal.valueOf(maxScreenPairs)) > 0) {
+      val dense = screenPairEstimate(pre.postings, qt)
+        .orderBy(col("pairs").desc, col("term")).limit(5)
+        .collect()
+        .map(r => s"'${r.getString(0)}' (df=${r.getLong(1)} × " +
+          s"queries=${r.getLong(2)} = ${r.getLong(3)})")
+        .mkString(", ")
+      throw new IllegalStateException(
+        s"IndexStore.ingestText: the exact BM25 screen for this batch " +
+          s"would score $estTotal (term, query, doc) rows — over the " +
+          s"maxScreenPairs budget of $maxScreenPairs. Densest terms: " +
+          s"$dense. A dup-heavy batch multiplies against a dense " +
+          "shared-vocabulary index; pass collapseFirst = true so only " +
+          "near-dup family heads pay the screen, pre-collapse the " +
+          "batch yourself, or raise maxScreenPairs consciously " +
+          "(the screen spills gracefully but its volume is exactly " +
+          "this estimate)")
+    }
     val matches = TextAnalysis
       .bm25ScoredIndexed(pre, qt, k1, b, broadcastQueries = false)
       .where(col("score_e6") >= minScoreE6)
@@ -1857,7 +1979,7 @@ object IndexStore {
           .as("__best"))
     // materialized BEFORE the append mutates the index directories —
     // same re-list race rationale as [[ingestMedia]]
-    val verdict = batch.join(agg, Seq("doc_id"), "left")
+    val verdict = screened.join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__n").isNull, lit("admitted"))
           .otherwise(lit("duplicate")).as("status"),
@@ -1865,7 +1987,7 @@ object IndexStore {
         col("__best.corpus_id").as("best_corpus_id"),
         (-col("__best.negs")).as("best_score_e6"))
       .localCheckpoint(true)
-    val admitted = batch.join(
+    val admitted = screened.join(
       verdict.where(col("status") === "admitted").select(col("doc_id")),
       Seq("doc_id"))
     // doclen ids suffice for the replay disposition: doclen is written
@@ -1874,6 +1996,55 @@ object IndexStore {
       idx.doclen.select(col("doc_id")), "ingestText") { adm =>
       appendTextIndex(adm, "doc_id", "text", path)
     }
-    verdict
+    collapsed.fold(verdict)(verdict.unionByName(_))
+  }
+
+  /** The [[ingestText]] guardrail's core, shared with
+    * [[estimateTextScreen]]: per matched term, the EXACT number of
+    * (term, query, doc) rows the screen would score — `df` postings
+    * rows × `n_queries` batch docs carrying the term. One narrow
+    * aggregate join whose own cost is linear in the MATCHED postings
+    * (Σ_t df(t)), never their product — cheap precisely when the
+    * screen would not be.
+    */
+  private def screenPairEstimate(
+      prePostings: DataFrame, qt: DataFrame): DataFrame =
+    prePostings
+      .join(qt.groupBy(col("term")).agg(count(lit(1)).as("n_queries")),
+        Seq("term"))
+      .groupBy(col("term"), col("n_queries"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"), col("n_queries"),
+        (col("df") * col("n_queries")).as("pairs"))
+
+  /** DRY-RUN the [[ingestText]] cost guardrail: per term shared
+    * between `newDocs` and the persisted text index at `path`, the
+    * exact screen volume an ingest round for this batch would pay —
+    * (term, df, n_queries, pairs = df × n_queries), Σ pairs being the
+    * round's scored-row count. Same batch discipline as the round
+    * itself (token-less docs dropped, relations filtered to pre-batch
+    * ids), so the numbers match what the round would see. Use it to
+    * size `maxScreenPairs`, to find the dense terms a raise would
+    * name, or to decide `collapseFirst` before paying anything.
+    */
+  def estimateTextScreen(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val spark = newDocs.sparkSession
+    metaOf(spark, path, "text")
+    val batch = newDocs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .where(col("text").isNotNull &&
+        size(TextFunctions.tokens(col("text"))) > 0)
+    val idx = loadTextIndex(spark, path)
+    val mn = batch.agg(min(col("doc_id")).as("__batch_min"))
+    val prePostings = idx.postings.crossJoin(broadcast(mn))
+      .where(col("doc_id") < col("__batch_min")).drop("__batch_min")
+    val qt = batch.select(col("doc_id").as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+    screenPairEstimate(prePostings, qt)
   }
 }

@@ -1063,36 +1063,18 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
     * e6-integer exact.
     */
   def textIngestCollapsed(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
     val (corpus, heads) = dilutionFixture(s, dir, off = 300)
     val path = scratchDir("text_ingest_collapsed")
     IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
     val copies = heads.select((col("doc_id") + 400).as("doc_id"), col("text"))
-    // consumed by the self-screen and the survivor anti-join
-    val batch = heads.unionByName(copies).localCheckpoint(true)
-    // BM25 self-screen: batch indexed in memory, batch as queries,
-    // smaller-id partners only — the ingest screen's own scoring chain
-    val qt = batch.select(col("doc_id").as("query_id"),
-      explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
-    val pairs = TextAnalysis
-      .bm25ScoredIndexed(TextAnalysis.textIndex(batch, "doc_id", "text"),
-        qt, 1.2, 0.75, broadcastQueries = false)
-      .where(col("score_e6") >= 30000000L && col("doc_id") < col("query_id"))
-      .select(col("query_id").as("doc_id"),
-        col("doc_id").as("corpus_id"), col("score_e6"))
-      .localCheckpoint(true)
-    val collapsed = pairs.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_matches"),
-        min(struct((-col("score_e6")).as("negs"), col("corpus_id")))
-          .as("__best"))
-      .select(col("doc_id"), lit("collapsed").as("status"),
-        col("n_matches"), col("__best.corpus_id").as("best_corpus_id"),
-        (-col("__best.negs")).as("best_score_e6"))
-    val survivors = batch.join(
-      pairs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-    IndexStore.ingestText(survivors, "doc_id", "text", path,
-        minScoreE6 = 30000000L)
-      .unionByName(collapsed)
+    val batch = heads.unionByName(copies)
+    // since round 13 the self-screen composition IS the operator:
+    // collapseFirst runs the intra-batch BM25 collapse (smaller-id
+    // partners at the round's own threshold) and only family heads
+    // pay the index screen — this query pins the integrated path
+    // against the same full-replay oracle
+    IndexStore.ingestText(batch, "doc_id", "text", path,
+        minScoreE6 = 30000000L, collapseFirst = true)
       .orderBy("doc_id")
   }
 
@@ -1113,6 +1095,52 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
        |SELECT doc_id, status, n_matches, best_corpus_id, best_score_e6
        |FROM coll
        |ORDER BY doc_id""".stripMargin
+
+  /** q259: the [[IndexStore.ingestText]] cost guardrail as a DRY-RUN
+    * readout — per term shared between a batch and a persisted text
+    * index, the EXACT number of (term, query, doc) rows the round's
+    * BM25 screen would score: df (postings rows carrying the term) ×
+    * n_queries (batch docs carrying it). Σ pairs is the volume the
+    * guardrail compares against `maxScreenPairs`, and the top rows are
+    * the dense terms its raise names — the sizing readout an operator
+    * runs BEFORE an expensive decontamination round. Plain documents
+    * (no dilution): real shared vocabulary is exactly what makes the
+    * estimate non-trivial. The oracle replays tokenize → df → per-term
+    * query counts → product, all integer-exact.
+    */
+  def textScreenEstimate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs
+      .where(col("doc_id") >= 100 && col("doc_id") < 300 &&
+        col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val path = scratchDir("text_screen_estimate")
+    IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
+    val batch = docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
+      .select(col("doc_id"), col("text"))
+    IndexStore.estimateTextScreen(batch, "doc_id", "text", path)
+      .orderBy(col("pairs").desc, col("term"))
+  }
+
+  val textScreenEstimateSql: String = {
+    val toksOf = duckToks
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id >= 100 AND doc_id < 300 AND text IS NOT NULL),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toksOf) AS term FROM corpus)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY 1),
+       |batch AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id >= 300 AND doc_id < 400 AND text IS NOT NULL),
+       |qt AS (SELECT doc_id AS query_id,
+       |    unnest(list_distinct($toksOf)) AS term FROM batch),
+       |nq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_queries
+       |  FROM qt GROUP BY 1)
+       |SELECT d.term, d.df, n.n_queries, d.df * n.n_queries AS pairs
+       |FROM df d JOIN nq n USING (term)
+       |ORDER BY pairs DESC, d.term""".stripMargin
+  }
 
   val mediaIngestRoundsSql: String =
     s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,

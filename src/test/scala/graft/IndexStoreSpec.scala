@@ -1194,6 +1194,54 @@ class IndexStoreSpec extends SparkSuite {
     assert(v == Seq("admitted"), s"post-repair retry must run clean: $v")
   }
 
+  test("ingestText guardrail: a dup-dense batch raises at the EXACT " +
+      "estimated screen volume naming the dense terms; collapseFirst " +
+      "admits one family head under the same budget") {
+    val path = tmp()
+    val dense = "apple banana cherry date elder fig grape honey iris juniper"
+    val corpus = (0L until 8L).map(i => (i, s"$dense tag$i"))
+      .toDF("doc_id", "text")
+    IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
+    // 16 exact copies of one dense text — the decontamination-batch
+    // pathology: every dense term multiplies df=8 × queries=16
+    val batch = (100L until 116L).map(i => (i, s"$dense tag0"))
+      .toDF("doc_id", "text")
+    // the dry-run estimate is exact: 10 dense terms at 8×16 = 128
+    // plus tag0 at 1×16 = 16 → Σ 1296
+    val est = IndexStore.estimateTextScreen(batch, "doc_id", "text", path)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(est.map(_._4).sum == 1296L, s"estimate total: $est")
+    assert(est.filter(_._1 == "tag0") == Seq(("tag0", 1L, 16L, 16L)) &&
+      est.filter(_._1 == "apple") == Seq(("apple", 8L, 16L, 128L)),
+      s"per-term estimate: $est")
+    val e = intercept[IllegalStateException] {
+      IndexStore.ingestText(batch, "doc_id", "text", path,
+        minScoreE6 = 100000L, maxScreenPairs = 100L)
+    }
+    assert(e.getMessage.contains("1296") &&
+      e.getMessage.contains("maxScreenPairs") &&
+      e.getMessage.contains("128") &&
+      e.getMessage.contains("collapseFirst"), e.getMessage)
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "doclen"))
+      .count() == 8, "a refused round must not touch the index")
+    // collapseFirst: 15 copies collapse intra-batch onto head 100, and
+    // the head's own screen volume (10×8 + 1×1 = 81) fits the budget
+    // the raw batch violated
+    val v = IndexStore.ingestText(batch, "doc_id", "text", path,
+        minScoreE6 = 100000L, maxScreenPairs = 100L, collapseFirst = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(v.head == ((100L, "duplicate", 8L, 0L)),
+      s"the head screens against the corpus: ${v.head}")
+    assert(v.tail == (101L until 116L).map(i =>
+      (i, "collapsed", i - 100L, 100L)),
+      s"copies collapse onto the smallest-id head: ${v.tail}")
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "doclen"))
+      .count() == 8, "nothing admitted: the head was a corpus duplicate")
+  }
+
   test("compactIndex retainGenerations=2: a reader pinned TWO swaps back " +
       "still probes green; the third swap finally reaps its generation") {
     val base = 0x0F0F_1234_ABCD_5678L
@@ -1241,11 +1289,12 @@ class IndexStoreSpec extends SparkSuite {
     val late = Seq((99L, 0x7777_8888_9999_AAAAL)).toDF("id", "dh")
     // interleave an external compaction into the append's
     // resolve-to-commit window (the documented exclusivity violation)
-    IndexStore.appendFenceTestHook =
-      () => { IndexStore.compactIndex(spark, path): Unit }
-    val e = try intercept[IllegalStateException] {
-      IndexStore.appendMediaIndex(late, "id", "dh", path)
-    } finally IndexStore.appendFenceTestHook = () => ()
+    val e = IndexStore.withFenceHook(
+        () => { IndexStore.compactIndex(spark, path): Unit }) {
+      intercept[IllegalStateException] {
+        IndexStore.appendMediaIndex(late, "id", "dh", path)
+      }
+    }
     assert(e.getMessage.contains("compacted") &&
       e.getMessage.contains("generation 0 -> 1"), e.getMessage)
     // the raced rows landed only in the RETIRED generation — the active
@@ -1276,6 +1325,46 @@ class IndexStoreSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("_generations") &&
       e.getMessage.contains("members"), e.getMessage)
+    // a generation value OVERFLOWING Long is all digits — it must get
+    // the same diagnosable raise, not a raw NumberFormatException
+    new java.io.PrintWriter(mf) {
+      write("members=99999999999999999999\nbands=1\n"); close()
+    }
+    new java.io.File(path, "._generations.crc").delete(): Unit
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.loadMediaIndex(spark, path)
+    }
+    assert(e2.getMessage.contains("_generations") &&
+      e2.getMessage.contains("99999999999999999999"), e2.getMessage)
+  }
+
+  test("append-commit fence: a REBUILD racing an append is caught through " +
+      "meta/ even at generation 0, where generation numbers compare equal") {
+    val path = tmp()
+    val sigs = (0L until 8L).map(i => (i, 0x2222L * (i % 2) + i))
+      .toDF("id", "dh")
+    IndexStore.saveMediaIndex(sigs, "id", "dh", path)
+    // index still at generation 0: simulate a save* rebuild's FIRST
+    // step (resetGenerations deletes meta/) landing inside the append's
+    // resolve-to-commit window — the gen compare alone would pass 0 -> 0
+    val e = IndexStore.withFenceHook(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path, "meta"))
+    }) {
+      intercept[IllegalStateException] {
+        IndexStore.appendMediaIndex(
+          Seq((99L, 0xABCDL)).toDF("id", "dh"), "id", "dh", path)
+      }
+    }
+    assert(e.getMessage.contains("REBUILT") &&
+      e.getMessage.contains("meta/"), e.getMessage)
+    // the completed rebuild restores service and the append then lands
+    IndexStore.saveMediaIndex(sigs, "id", "dh", path)
+    IndexStore.appendMediaIndex(
+      Seq((99L, 0xABCDL)).toDF("id", "dh"), "id", "dh", path)
+    assert(IndexStore.loadMediaIndex(spark, path).members.count() == 9)
   }
 
   test("rebuild crash window: meta is the commit record — a reset that " +
