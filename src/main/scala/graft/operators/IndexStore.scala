@@ -285,20 +285,22 @@ object IndexStore {
       numHashes: Int = 64,
       numBands: Int = 16): Unit = {
     val spark = corpus.sparkSession
-    resetGenerations(spark, path)
-    val gc = Dedup.textGroups(corpus, idCol, textCol)
-    val (bands, sets, members) =
-      Dedup.corpusTablesFromGroups(gc, shingleSize, numHashes, numBands)
-    bands.repartition(col("band_hash"))
-      .write.mode("overwrite").parquet(s"$path/bands")
-    sets.repartition(col("corpus_id"))
-      .write.mode("overwrite").parquet(s"$path/sets")
-    members.repartition(col("corpus_id"))
-      .write.mode("overwrite").parquet(s"$path/members")
-    // meta LAST — the rebuild's commit record (see [[resetGenerations]])
-    writeMeta(spark, path, Seq(
-      "kind" -> "corpus", "shingle_size" -> shingleSize.toString,
-      "num_hashes" -> numHashes.toString, "num_bands" -> numBands.toString))
+    withIndexLease(spark, path, "saveCorpusIndex") {
+      resetGenerations(spark, path)
+      val gc = Dedup.textGroups(corpus, idCol, textCol)
+      val (bands, sets, members) =
+        Dedup.corpusTablesFromGroups(gc, shingleSize, numHashes, numBands)
+      bands.repartition(col("band_hash"))
+        .write.mode("overwrite").parquet(s"$path/bands")
+      sets.repartition(col("corpus_id"))
+        .write.mode("overwrite").parquet(s"$path/sets")
+      members.repartition(col("corpus_id"))
+        .write.mode("overwrite").parquet(s"$path/members")
+      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+      writeMeta(spark, path, Seq(
+        "kind" -> "corpus", "shingle_size" -> shingleSize.toString,
+        "num_hashes" -> numHashes.toString, "num_bands" -> numBands.toString))
+    }
   }
 
   /** Load a persisted corpus index, applying the bucket cap over the
@@ -354,77 +356,79 @@ object IndexStore {
       textCol: String,
       path: String): Unit = {
     val spark = newDocs.sparkSession
-    val m = metaOf(spark, path, "corpus")
-    val (shingleSize, numHashes, numBands) =
-      (m("shingle_size").toInt, m("num_hashes").toInt, m("num_bands").toInt)
-    // one manifest resolution for the whole append: reads and writes
-    // must hit the SAME generation (the exclusivity-vs-compaction
-    // contract of [[compactIndex]]; the fence after the writes converts
-    // a violation to a loud raise instead of silent row loss)
-    val (resolved, dir) = resolvedDirs(spark, path)
-    appendFenceTestHook()
-    val oldSets = spark.read.parquet(dir("sets"))
-    val oldMembers = spark.read.parquet(dir("members"))
-    val gn = Dedup.textGroups(newDocs, idCol, textCol)
-    requireIdsAfter(oldMembers.select(col("member_id")),
-      gn.select(explode(col("members")).as("member_id")), "appendCorpusIndex")
-    // exact-text merge: members of matched groups file under the
-    // EXISTING rep (no new band/set rows — identical text means the
-    // stored ones already cover it)
-    val matched = gn
-      .join(oldSets.select(col("text").as("__text"), col("corpus_id")),
-        Seq("__text"))
-      .select(col("corpus_id"), explode(col("members")).as("member_id"))
-    val novel = gn
-      .join(oldSets.select(col("text").as("__text")), Seq("__text"), "left_anti")
-      // consumed by all three table derivations below — materialize the
-      // anti-join once
-      .localCheckpoint(true)
-    // torn-append heal: stored sets with no band rows (a crash between
-    // a prior sets append and its bands append) are invisible to every
-    // probe but carry their text — recompute their bands with the
-    // builder's own derivation. Fast path first: every group with ≥1
-    // shingle has exactly numBands band rows, so
-    // count(bands) == numBands × count(sets with shingles) proves full
-    // coverage with two shuffle-free counts and the heal anti-join is
-    // skipped entirely (filter-false prunes it to an empty relation —
-    // the stored files are never even listed, so there is no re-list
-    // race with the writes below). A shingle-less set legitimately
-    // owns zero band rows, so it is excluded from BOTH the identity
-    // and the heal anti-join — one such row must not permanently
-    // demote every future append to the slow path. (This library's
-    // own writers never produce one: null text is dropped at collapse
-    // and shingling non-null text always yields ≥1 shingle — the
-    // filter is defense against external/legacy table writers.) On an
-    // identity mismatch the anti-join is materialized BEFORE the
-    // directory-mutating writes (same race rationale as `novel`).
-    val oldBands = spark.read.parquet(dir("bands"))
-    val bandedSets = oldSets.where(size(col("sh")) > 0)
-    val covered = oldBands.agg(count(lit(1)).as("__b"))
-      .crossJoin(broadcast(bandedSets.agg(count(lit(1)).as("__s"))))
-      .head()
-    val orphanedSets0 = bandedSets
-      .select(col("corpus_id").as("id"), col("text").as("__text"))
-      .join(oldBands.select(col("corpus_id").as("id")).distinct(),
-        Seq("id"), "left_anti")
-    val orphanedSets =
-      if (covered.getLong(0) == numBands.toLong * covered.getLong(1))
-        orphanedSets0.where(lit(false))
-      else orphanedSets0.localCheckpoint(true)
-    val (bands, sets, members) =
-      Dedup.corpusTablesFromGroups(novel, shingleSize, numHashes, numBands)
-    // members FIRST — see crash posture in the scaladoc
-    members.unionByName(matched).repartition(col("corpus_id"))
-      .write.mode("append").parquet(dir("members"))
-    sets.repartition(col("corpus_id"))
-      .write.mode("append").parquet(dir("sets"))
-    bands
-      .unionByName(
-        Dedup.corpusBandRows(orphanedSets, shingleSize, numHashes, numBands))
-      .repartition(col("band_hash"))
-      .write.mode("append").parquet(dir("bands"))
-    requireGenerationsUnmoved(spark, path, resolved,
-      Seq("members", "sets", "bands"), "appendCorpusIndex")
+    withIndexLease(spark, path, "appendCorpusIndex") {
+      val m = metaOf(spark, path, "corpus")
+      val (shingleSize, numHashes, numBands) =
+        (m("shingle_size").toInt, m("num_hashes").toInt, m("num_bands").toInt)
+      // one manifest resolution for the whole append: reads and writes
+      // must hit the SAME generation (the exclusivity-vs-compaction
+      // contract of [[compactIndex]]; the fence after the writes converts
+      // a violation to a loud raise instead of silent row loss)
+      val (resolved, dir) = resolvedDirs(spark, path)
+      appendFenceTestHook()
+      val oldSets = spark.read.parquet(dir("sets"))
+      val oldMembers = spark.read.parquet(dir("members"))
+      val gn = Dedup.textGroups(newDocs, idCol, textCol)
+      requireIdsAfter(oldMembers.select(col("member_id")),
+        gn.select(explode(col("members")).as("member_id")), "appendCorpusIndex")
+      // exact-text merge: members of matched groups file under the
+      // EXISTING rep (no new band/set rows — identical text means the
+      // stored ones already cover it)
+      val matched = gn
+        .join(oldSets.select(col("text").as("__text"), col("corpus_id")),
+          Seq("__text"))
+        .select(col("corpus_id"), explode(col("members")).as("member_id"))
+      val novel = gn
+        .join(oldSets.select(col("text").as("__text")), Seq("__text"), "left_anti")
+        // consumed by all three table derivations below — materialize the
+        // anti-join once
+        .localCheckpoint(true)
+      // torn-append heal: stored sets with no band rows (a crash between
+      // a prior sets append and its bands append) are invisible to every
+      // probe but carry their text — recompute their bands with the
+      // builder's own derivation. Fast path first: every group with ≥1
+      // shingle has exactly numBands band rows, so
+      // count(bands) == numBands × count(sets with shingles) proves full
+      // coverage with two shuffle-free counts and the heal anti-join is
+      // skipped entirely (filter-false prunes it to an empty relation —
+      // the stored files are never even listed, so there is no re-list
+      // race with the writes below). A shingle-less set legitimately
+      // owns zero band rows, so it is excluded from BOTH the identity
+      // and the heal anti-join — one such row must not permanently
+      // demote every future append to the slow path. (This library's
+      // own writers never produce one: null text is dropped at collapse
+      // and shingling non-null text always yields ≥1 shingle — the
+      // filter is defense against external/legacy table writers.) On an
+      // identity mismatch the anti-join is materialized BEFORE the
+      // directory-mutating writes (same race rationale as `novel`).
+      val oldBands = spark.read.parquet(dir("bands"))
+      val bandedSets = oldSets.where(size(col("sh")) > 0)
+      val covered = oldBands.agg(count(lit(1)).as("__b"))
+        .crossJoin(broadcast(bandedSets.agg(count(lit(1)).as("__s"))))
+        .head()
+      val orphanedSets0 = bandedSets
+        .select(col("corpus_id").as("id"), col("text").as("__text"))
+        .join(oldBands.select(col("corpus_id").as("id")).distinct(),
+          Seq("id"), "left_anti")
+      val orphanedSets =
+        if (covered.getLong(0) == numBands.toLong * covered.getLong(1))
+          orphanedSets0.where(lit(false))
+        else orphanedSets0.localCheckpoint(true)
+      val (bands, sets, members) =
+        Dedup.corpusTablesFromGroups(novel, shingleSize, numHashes, numBands)
+      // members FIRST — see crash posture in the scaladoc
+      members.unionByName(matched).repartition(col("corpus_id"))
+        .write.mode("append").parquet(dir("members"))
+      sets.repartition(col("corpus_id"))
+        .write.mode("append").parquet(dir("sets"))
+      bands
+        .unionByName(
+          Dedup.corpusBandRows(orphanedSets, shingleSize, numHashes, numBands))
+        .repartition(col("band_hash"))
+        .write.mode("append").parquet(dir("bands"))
+      requireGenerationsUnmoved(spark, path, resolved,
+        Seq("members", "sets", "bands"), "appendCorpusIndex")
+    }
   }
 
   /** One INGEST ROUND against the persisted corpus (MinHash-LSH) index
@@ -520,22 +524,24 @@ object IndexStore {
       hashCol: String,
       path: String): Unit = {
     val spark = hashes.sparkSession
-    resetGenerations(spark, path)
-    // materialized ONCE: the projection feeds BOTH writes below, and
-    // lazy it would re-run the upstream plan (typically a per-asset
-    // perceptual decode — the expensive part) for the bands write too,
-    // violating the decode-once contract the q245 lifecycle documents
-    val members = hashes
-      .select(col(hashCol).cast("long").as("dh"),
-        col(idCol).as("member_id"))
-      .where(col("dh").isNotNull)
-      .localCheckpoint(true)
-    members.repartition(col("dh"))
-      .write.mode("overwrite").parquet(s"$path/members")
-    Dedup.hashBandRows(members, "dh").repartition(col("band_hash"))
-      .write.mode("overwrite").parquet(s"$path/bands")
-    // meta LAST — the rebuild's commit record (see [[resetGenerations]])
-    writeMeta(spark, path, Seq("kind" -> "media"))
+    withIndexLease(spark, path, "saveMediaIndex") {
+      resetGenerations(spark, path)
+      // materialized ONCE: the projection feeds BOTH writes below, and
+      // lazy it would re-run the upstream plan (typically a per-asset
+      // perceptual decode — the expensive part) for the bands write too,
+      // violating the decode-once contract the q245 lifecycle documents
+      val members = hashes
+        .select(col(hashCol).cast("long").as("dh"),
+          col(idCol).as("member_id"))
+        .where(col("dh").isNotNull)
+        .localCheckpoint(true)
+      members.repartition(col("dh"))
+        .write.mode("overwrite").parquet(s"$path/members")
+      Dedup.hashBandRows(members, "dh").repartition(col("band_hash"))
+        .write.mode("overwrite").parquet(s"$path/bands")
+      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+      writeMeta(spark, path, Seq("kind" -> "media"))
+    }
   }
 
   /** Load a persisted media index, applying the bucket cap over the
@@ -577,36 +583,38 @@ object IndexStore {
       hashCol: String,
       path: String): Unit = {
     val spark = newHashes.sparkSession
-    metaOf(spark, path, "media")
-    val incoming = newHashes
-      .select(col(hashCol).cast("long").as("dh"),
-        col(idCol).as("member_id"))
-      .where(col("dh").isNotNull)
-      .localCheckpoint(true)
-    val (resolved, dir) = resolvedDirs(spark, path)
-    appendFenceTestHook()
-    val oldMembers = spark.read.parquet(dir("members"))
-    requireIdsAfter(oldMembers.select(col("member_id")),
-      incoming.select(col("member_id")), "appendMediaIndex")
-    // anti-join against BANDS (not members): a signature with member
-    // rows but no band rows — the torn-append orphan — is invisible to
-    // hammingJoinIndexed, so band-presence is the correctness-bearing
-    // predicate; membership alone is not. Materialized BEFORE the
-    // members append below: novel reads the pre-append listings, and
-    // leaving it lazy would race the directory mutation (append ≠
-    // rebuild if re-listed files double the anti-join inputs).
-    val novel = incoming.select(col("dh"))
-      .unionByName(oldMembers.select(col("dh")))
-      .distinct()
-      .join(spark.read.parquet(dir("bands")).select(col("dh")).distinct(),
-        Seq("dh"), "left_anti")
-      .localCheckpoint(true)
-    incoming.repartition(col("dh"))
-      .write.mode("append").parquet(dir("members"))
-    Dedup.hashBandRows(novel, "dh").repartition(col("band_hash"))
-      .write.mode("append").parquet(dir("bands"))
-    requireGenerationsUnmoved(spark, path, resolved,
-      Seq("members", "bands"), "appendMediaIndex")
+    withIndexLease(spark, path, "appendMediaIndex") {
+      metaOf(spark, path, "media")
+      val incoming = newHashes
+        .select(col(hashCol).cast("long").as("dh"),
+          col(idCol).as("member_id"))
+        .where(col("dh").isNotNull)
+        .localCheckpoint(true)
+      val (resolved, dir) = resolvedDirs(spark, path)
+      appendFenceTestHook()
+      val oldMembers = spark.read.parquet(dir("members"))
+      requireIdsAfter(oldMembers.select(col("member_id")),
+        incoming.select(col("member_id")), "appendMediaIndex")
+      // anti-join against BANDS (not members): a signature with member
+      // rows but no band rows — the torn-append orphan — is invisible to
+      // hammingJoinIndexed, so band-presence is the correctness-bearing
+      // predicate; membership alone is not. Materialized BEFORE the
+      // members append below: novel reads the pre-append listings, and
+      // leaving it lazy would race the directory mutation (append ≠
+      // rebuild if re-listed files double the anti-join inputs).
+      val novel = incoming.select(col("dh"))
+        .unionByName(oldMembers.select(col("dh")))
+        .distinct()
+        .join(spark.read.parquet(dir("bands")).select(col("dh")).distinct(),
+          Seq("dh"), "left_anti")
+        .localCheckpoint(true)
+      incoming.repartition(col("dh"))
+        .write.mode("append").parquet(dir("members"))
+      Dedup.hashBandRows(novel, "dh").repartition(col("band_hash"))
+        .write.mode("append").parquet(dir("bands"))
+      requireGenerationsUnmoved(spark, path, resolved,
+        Seq("members", "bands"), "appendMediaIndex")
+    }
   }
 
   /** One INGEST ROUND against the persisted media index — the
@@ -705,21 +713,23 @@ object IndexStore {
       planesPerBlock: Int = 8,
       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
-    resetGenerations(spark, path)
-    val groups = vecGroups(corpus, idCol, vecCol)
-    val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
-      groups, dim, numBlocks, planesPerBlock, seed)
-    blocks.repartition(col("band_hash"))
-      .write.mode("overwrite").parquet(s"$path/blocks")
-    reps.repartition(col("rep_id"))
-      .write.mode("overwrite").parquet(s"$path/reps")
-    members.repartition(col("rep_id"))
-      .write.mode("overwrite").parquet(s"$path/members")
-    // meta LAST — the rebuild's commit record (see [[resetGenerations]])
-    writeMeta(spark, path, Seq(
-      "kind" -> "vector", "dim" -> dim.toString,
-      "num_blocks" -> numBlocks.toString,
-      "planes_per_block" -> planesPerBlock.toString, "seed" -> seed.toString))
+    withIndexLease(spark, path, "saveVectorIndex") {
+      resetGenerations(spark, path)
+      val groups = vecGroups(corpus, idCol, vecCol)
+      val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
+        groups, dim, numBlocks, planesPerBlock, seed)
+      blocks.repartition(col("band_hash"))
+        .write.mode("overwrite").parquet(s"$path/blocks")
+      reps.repartition(col("rep_id"))
+        .write.mode("overwrite").parquet(s"$path/reps")
+      members.repartition(col("rep_id"))
+        .write.mode("overwrite").parquet(s"$path/members")
+      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+      writeMeta(spark, path, Seq(
+        "kind" -> "vector", "dim" -> dim.toString,
+        "num_blocks" -> numBlocks.toString,
+        "planes_per_block" -> planesPerBlock.toString, "seed" -> seed.toString))
+    }
   }
 
   /** Load a persisted vector index (cap-at-load, like
@@ -762,50 +772,52 @@ object IndexStore {
       vecCol: String,
       path: String): Unit = {
     val spark = newVecs.sparkSession
-    val m = metaOf(spark, path, "vector")
-    val (resolved, dir) = resolvedDirs(spark, path)
-    appendFenceTestHook()
-    val oldReps = spark.read.parquet(dir("reps"))
-    val oldMembers = spark.read.parquet(dir("members"))
-    val gn = vecGroups(newVecs, idCol, vecCol)
-    requireIdsAfter(oldMembers.select(col("member_id")),
-      gn.select(explode(col("members")).as("member_id")), "appendVectorIndex")
-    val matched = gn.join(oldReps.withColumnRenamed("rep_id", "__rep"), Seq("v"))
-      .select(col("__rep").as("rep_id"), explode(col("members")).as("member_id"))
-    val novel = gn.join(oldReps.select(col("v")), Seq("v"), "left_anti")
-      .localCheckpoint(true)
-    // torn-append heal: stored reps with no block rows get them
-    // recomputed from their stored vector. Same fast path as
-    // [[appendCorpusIndex]] — every rep has exactly numBlocks block
-    // rows, so the count identity proves coverage without the
-    // anti-join shuffle; on mismatch the anti-join is materialized
-    // BEFORE the directory-mutating writes below.
-    val oldBlocks = spark.read.parquet(dir("blocks"))
-    val covered = oldBlocks.agg(count(lit(1)).as("__b"))
-      .crossJoin(broadcast(oldReps.agg(count(lit(1)).as("__r"))))
-      .head()
-    val orphanedReps0 = oldReps.select(col("rep_id").as("id"), col("v"))
-      .join(oldBlocks.select(col("rep_id").as("id")).distinct(),
-        Seq("id"), "left_anti")
-    val orphanedReps =
-      if (covered.getLong(0) == m("num_blocks").toLong * covered.getLong(1))
-        orphanedReps0.where(lit(false))
-      else orphanedReps0.localCheckpoint(true)
-    val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
-      novel, m("dim").toInt, m("num_blocks").toInt,
-      m("planes_per_block").toInt, m("seed").toLong)
-    // members FIRST — same crash posture as [[appendCorpusIndex]]
-    members.unionByName(matched).repartition(col("rep_id"))
-      .write.mode("append").parquet(dir("members"))
-    reps.repartition(col("rep_id"))
-      .write.mode("append").parquet(dir("reps"))
-    blocks
-      .unionByName(Similarity.vectorBlockRows(orphanedReps, m("dim").toInt,
-        m("num_blocks").toInt, m("planes_per_block").toInt, m("seed").toLong))
-      .repartition(col("band_hash"))
-      .write.mode("append").parquet(dir("blocks"))
-    requireGenerationsUnmoved(spark, path, resolved,
-      Seq("members", "reps", "blocks"), "appendVectorIndex")
+    withIndexLease(spark, path, "appendVectorIndex") {
+      val m = metaOf(spark, path, "vector")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      appendFenceTestHook()
+      val oldReps = spark.read.parquet(dir("reps"))
+      val oldMembers = spark.read.parquet(dir("members"))
+      val gn = vecGroups(newVecs, idCol, vecCol)
+      requireIdsAfter(oldMembers.select(col("member_id")),
+        gn.select(explode(col("members")).as("member_id")), "appendVectorIndex")
+      val matched = gn.join(oldReps.withColumnRenamed("rep_id", "__rep"), Seq("v"))
+        .select(col("__rep").as("rep_id"), explode(col("members")).as("member_id"))
+      val novel = gn.join(oldReps.select(col("v")), Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      // torn-append heal: stored reps with no block rows get them
+      // recomputed from their stored vector. Same fast path as
+      // [[appendCorpusIndex]] — every rep has exactly numBlocks block
+      // rows, so the count identity proves coverage without the
+      // anti-join shuffle; on mismatch the anti-join is materialized
+      // BEFORE the directory-mutating writes below.
+      val oldBlocks = spark.read.parquet(dir("blocks"))
+      val covered = oldBlocks.agg(count(lit(1)).as("__b"))
+        .crossJoin(broadcast(oldReps.agg(count(lit(1)).as("__r"))))
+        .head()
+      val orphanedReps0 = oldReps.select(col("rep_id").as("id"), col("v"))
+        .join(oldBlocks.select(col("rep_id").as("id")).distinct(),
+          Seq("id"), "left_anti")
+      val orphanedReps =
+        if (covered.getLong(0) == m("num_blocks").toLong * covered.getLong(1))
+          orphanedReps0.where(lit(false))
+        else orphanedReps0.localCheckpoint(true)
+      val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
+        novel, m("dim").toInt, m("num_blocks").toInt,
+        m("planes_per_block").toInt, m("seed").toLong)
+      // members FIRST — same crash posture as [[appendCorpusIndex]]
+      members.unionByName(matched).repartition(col("rep_id"))
+        .write.mode("append").parquet(dir("members"))
+      reps.repartition(col("rep_id"))
+        .write.mode("append").parquet(dir("reps"))
+      blocks
+        .unionByName(Similarity.vectorBlockRows(orphanedReps, m("dim").toInt,
+          m("num_blocks").toInt, m("planes_per_block").toInt, m("seed").toLong))
+        .repartition(col("band_hash"))
+        .write.mode("append").parquet(dir("blocks"))
+      requireGenerationsUnmoved(spark, path, resolved,
+        Seq("members", "reps", "blocks"), "appendVectorIndex")
+    }
   }
 
   /** One INGEST ROUND against the persisted vector index — the
@@ -891,17 +903,19 @@ object IndexStore {
     */
   def saveIvf(model: IvfIndex.Model, path: String): Unit = {
     val spark = model.assignments.sparkSession
-    import spark.implicits._
-    resetGenerations(spark, path)
-    model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list_id", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    model.assignments.repartition(col("list_id"))
-      .write.mode("overwrite").parquet(s"$path/assign")
-    // meta LAST — the rebuild's commit record (see [[resetGenerations]])
-    writeMeta(spark, path, Seq(
-      "kind" -> "ivf", "n_lists" -> model.centroids.length.toString))
+    withIndexLease(spark, path, "saveIvf") {
+      import spark.implicits._
+      resetGenerations(spark, path)
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      model.assignments.repartition(col("list_id"))
+        .write.mode("overwrite").parquet(s"$path/assign")
+      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+      writeMeta(spark, path, Seq(
+        "kind" -> "ivf", "n_lists" -> model.centroids.length.toString))
+    }
   }
 
   /** Load a persisted IVF model. The centroid collect is O(nLists) —
@@ -935,25 +949,27 @@ object IndexStore {
       vecCol: String,
       path: String): Unit = {
     val spark = newVecs.sparkSession
-    metaOf(spark, path, "ivf")
-    // one manifest resolution for the read AND the write (the loadIvf
-    // convenience would resolve separately — a rebuild landing between
-    // the two reads would mix generations)
-    val (resolved, dir) = resolvedDirs(spark, path)
-    appendFenceTestHook()
-    val centroids = spark.read.parquet(dir("centroids"))
-      .orderBy("list_id").collect()
-      .map(_.getAs[Seq[Double]]("centroid").toArray)
-    val assignments = spark.read.parquet(dir("assign"))
-    val assign = IvfIndex.assign(newVecs, idCol, vecCol, centroids)
-    require(assign.join(assignments.select(col("id")), Seq("id"),
-        "left_semi").limit(1).count() == 0,
-      "IndexStore.appendIvf: a new id already exists in the index; " +
-        "appending it would double-count its vector in every probe")
-    assign.repartition(col("list_id"))
-      .write.mode("append").parquet(dir("assign"))
-    requireGenerationsUnmoved(spark, path, resolved,
-      Seq("assign", "centroids"), "appendIvf")
+    withIndexLease(spark, path, "appendIvf") {
+      metaOf(spark, path, "ivf")
+      // one manifest resolution for the read AND the write (the loadIvf
+      // convenience would resolve separately — a rebuild landing between
+      // the two reads would mix generations)
+      val (resolved, dir) = resolvedDirs(spark, path)
+      appendFenceTestHook()
+      val centroids = spark.read.parquet(dir("centroids"))
+        .orderBy("list_id").collect()
+        .map(_.getAs[Seq[Double]]("centroid").toArray)
+      val assignments = spark.read.parquet(dir("assign"))
+      val assign = IvfIndex.assign(newVecs, idCol, vecCol, centroids)
+      require(assign.join(assignments.select(col("id")), Seq("id"),
+          "left_semi").limit(1).count() == 0,
+        "IndexStore.appendIvf: a new id already exists in the index; " +
+          "appending it would double-count its vector in every probe")
+      assign.repartition(col("list_id"))
+        .write.mode("append").parquet(dir("assign"))
+      requireGenerationsUnmoved(spark, path, resolved,
+        Seq("assign", "centroids"), "appendIvf")
+    }
   }
 
   // ---------------------------------------------------------------
@@ -972,14 +988,16 @@ object IndexStore {
   def saveTextIndex(
       docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val spark = docs.sparkSession
-    resetGenerations(spark, path)
-    val idx = TextAnalysis.textIndex(docs, idCol, textCol)
-    idx.postings.repartition(col("term"))
-      .write.mode("overwrite").parquet(s"$path/postings")
-    idx.doclen.repartition(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/doclen")
-    // meta LAST — the rebuild's commit record (see [[resetGenerations]])
-    writeMeta(spark, path, Seq("kind" -> "text"))
+    withIndexLease(spark, path, "saveTextIndex") {
+      resetGenerations(spark, path)
+      val idx = TextAnalysis.textIndex(docs, idCol, textCol)
+      idx.postings.repartition(col("term"))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      idx.doclen.repartition(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$path/doclen")
+      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+      writeMeta(spark, path, Seq("kind" -> "text"))
+    }
   }
 
   /** Load a persisted text index. With `check` on (the default),
@@ -1139,6 +1157,173 @@ object IndexStore {
     fc.rename(tmp, live, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Name of the single-writer lease file at the index root (the
+    * underscore keeps it invisible to parquet readers, like
+    * [[GenManifest]]).
+    */
+  val LeaseFile = "_lease"
+
+  /** A held (or observed) single-writer lease: `owner` is a per-
+    * acquisition UUID, `epoch` increments across acquisitions (pure
+    * diagnostics — it names "how many writers have held this index"
+    * in error messages), `expiresMs` is the wall-clock steal deadline,
+    * `op` names what the holder is doing.
+    */
+  final case class IndexLease(
+      owner: String, epoch: Long, expiresMs: Long, op: String)
+
+  /** Default lease TTL (30 min) — generously above any single append/
+    * compact/repair/rebuild at the scales SCALING.md measures; an op
+    * expected to outlive it should pass its own `ttlMs` (or
+    * re-acquire), because a stolen lease degrades the guarantee back
+    * to fence DETECTION for that op.
+    */
+  val DefaultLeaseTtlMs: Long = 30L * 60L * 1000L
+
+  /** The current lease at `path`, if any — expired leases are returned
+    * too (the caller decides whether to steal). Raises a diagnosable
+    * error on a corrupt lease file rather than guessing.
+    */
+  def readIndexLease(spark: SparkSession, path: String): Option[IndexLease] = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, LeaseFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val kv = body.linesIterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+      val parsed = for {
+        o <- kv.get("owner")
+        e <- kv.get("epoch").flatMap(s => scala.util.Try(s.toLong).toOption)
+        x <- kv.get("expires_ms")
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+        op <- kv.get("op")
+      } yield IndexLease(o, e, x, op)
+      Some(parsed.getOrElse(throw new IllegalArgumentException(
+        s"IndexStore: lease file $p is corrupt ('${body.trim}') — " +
+          "delete it to clear, but only after confirming no writer " +
+          "is live against this index")))
+    }
+  }
+
+  /** Acquire the single-writer LEASE on the index at `path` —
+    * PREVENTION for the exclusivity contract the append-commit fence
+    * can only DETECT after the work is spent. Every mutating op here
+    * (the append family, compactIndex, repairTextIndex, rebuildIvf,
+    * and the save* builders) acquires
+    * it for the duration of its writes; a second concurrent writer
+    * raises AT ACQUIRE, before reading a row. Acquisition is one
+    * atomic create-if-absent of [[LeaseFile]] (atomic on HDFS and
+    * local filesystems; object stores need conditional-PUT support —
+    * where absent, the lease degrades to advisory and the fence
+    * remains the detector, stated honestly). A lease left by a CRASHED
+    * holder expires after its TTL: the next acquire deletes it and
+    * takes a fresh one (epoch + 1), so a crash never wedges the index.
+    *
+    * The lease is cooperative (writers that bypass this API — raw
+    * parquet writes into the table dirs — are invisible to it) and
+    * TTL-bounded: an op outliving its TTL can lose the lease to a
+    * steal, at which point the generation fence and the monotone-id
+    * guards are the backstop, exactly as before round 13. Returns the
+    * held lease; pass it to [[releaseIndexLease]] when done.
+    */
+  def acquireIndexLease(
+      spark: SparkSession,
+      path: String,
+      op: String,
+      ttlMs: Long = DefaultLeaseTtlMs): IndexLease = {
+    require(ttlMs > 0, "IndexStore.acquireIndexLease: ttlMs must be positive")
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, LeaseFile)
+    def tryCreate(epoch: Long): Option[IndexLease] = {
+      val lease = IndexLease(java.util.UUID.randomUUID().toString, epoch,
+        System.currentTimeMillis() + ttlMs, op)
+      try {
+        // overwrite=false: atomic create-if-absent — the lock primitive
+        val out = fs.create(p, false)
+        try out.write(
+          (s"owner=${lease.owner}\nepoch=${lease.epoch}\n" +
+            s"expires_ms=${lease.expiresMs}\nop=${lease.op}\n")
+            .getBytes("UTF-8"))
+        finally out.close()
+        Some(lease)
+      } catch { case _: java.io.IOException => None }
+    }
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      val prevEpoch = readIndexLease(spark, path) match {
+        case Some(cur) if cur.expiresMs >= System.currentTimeMillis() =>
+          throw new IllegalStateException(
+            s"IndexStore.$op: the index at $path is locked by a live " +
+              s"single-writer lease (op=${cur.op}, epoch=${cur.epoch}, " +
+              s"expires in ${cur.expiresMs - System.currentTimeMillis()} " +
+              "ms) — a second concurrent writer would race its " +
+              "generation resolution. Wait for the holder to finish " +
+              "(the lease self-expires if it crashed), then retry")
+        case Some(cur) =>
+          // crashed holder: the TTL elapsed — clear and steal
+          fs.delete(p, false)
+          cur.epoch
+        case None => 0L
+      }
+      tryCreate(prevEpoch + 1) match {
+        case Some(l) => return l
+        case None => () // lost a create race or transient IO — re-inspect
+      }
+    }
+    throw new IllegalStateException(
+      s"IndexStore.$op: could not acquire the single-writer lease at " +
+        s"$path/$LeaseFile after 3 attempts — either writers are " +
+        "churning it faster than this one can observe, or the " +
+        "filesystem is failing lease creates; inspect the file")
+  }
+
+  /** Release a lease taken by [[acquireIndexLease]]. Idempotent when
+    * the file is already gone; RAISES if the file now carries a
+    * DIFFERENT owner — that means this op outlived its TTL and a
+    * second writer stole the lease mid-op (the interleaving the TTL
+    * documents): the generation fence has either raised already or
+    * the racing writer's guards will — run checkIndex before trusting
+    * the index.
+    */
+  def releaseIndexLease(
+      spark: SparkSession, path: String, lease: IndexLease): Unit =
+    readIndexLease(spark, path) match {
+      case None => ()
+      case Some(cur) if cur.owner == lease.owner =>
+        fsOf(spark, path)
+          .delete(new org.apache.hadoop.fs.Path(path, LeaseFile), false): Unit
+      case Some(cur) => throw new IllegalStateException(
+        s"IndexStore: releasing the ${lease.op} lease at $path found it " +
+          s"held by ANOTHER writer (op=${cur.op}, epoch=${cur.epoch}) — " +
+          s"this ${lease.op} outlived its TTL and the lease was stolen " +
+          "mid-op; exclusivity was violated for the overlap window. Run " +
+          "checkIndex and let the fence/monotone-guard recoveries " +
+          "arbitrate")
+    }
+
+  /** Run `body` under the single-writer lease: acquire → body →
+    * release, with a body failure taking precedence over any release
+    * failure (the body's error is the actionable one). A raise INSIDE
+    * body still releases — the JVM is alive, so no concurrent writer
+    * remains; only a hard crash leaves the lease for TTL expiry.
+    */
+  private def withIndexLease[T](
+      spark: SparkSession, path: String, op: String,
+      ttlMs: Long = DefaultLeaseTtlMs)(body: => T): T = {
+    val lease = acquireIndexLease(spark, path, op, ttlMs)
+    var primary: Throwable = null
+    try body
+    catch { case t: Throwable => primary = t; throw t }
+    finally {
+      try releaseIndexLease(spark, path, lease)
+      catch { case t: Throwable => if (primary == null) throw t }
+    }
+  }
+
   /** The ACTIVE directory of a raw index table (public: specs and
     * tooling that inspect raw tables must resolve through the
     * generation manifest once an index has been compacted).
@@ -1200,9 +1385,13 @@ object IndexStore {
     * raise at load (ingest rounds), whose documented recovery —
     * repair or prune the partial id range — then applies. Detection,
     * not prevention — an append that commits after the rewrite's scan
-    * but before its swap still loses the window; single-writer
-    * discipline remains the contract, this fence makes violations
-    * observable.
+    * but before its swap still loses the window. Since round 13
+    * PREVENTION is the single-writer LEASE ([[acquireIndexLease]] —
+    * every mutator here holds it), so a well-behaved second writer
+    * never reaches this window; the fence remains the backstop for
+    * the cases the lease cannot cover (a writer bypassing the API, an
+    * op outliving its TTL and losing a steal, object stores without
+    * atomic create-if-absent).
     */
   private def requireGenerationsUnmoved(
       spark: SparkSession,
@@ -1505,11 +1694,10 @@ object IndexStore {
     * bound: a pinned reader survives `retain` subsequent swaps).
     */
   private def swapGenerations(
-      spark: SparkSession, path: String, retain: Int = 1)(
+      spark: SparkSession, path: String, retain: Int = 1,
+      retainAge: Option[java.time.Duration] = None)(
       writes: Seq[(String, String => Unit)]): Unit = {
-    require(retain >= 1,
-      "IndexStore: generation swaps must retain >= 1 retired generation " +
-        "for readers pinned at a pre-swap load")
+    requireRetention(retain, retainAge)
     val fs = fsOf(spark, path)
     val gens = readGenerations(fs, path)
     val next = writes.map { case (t, w) =>
@@ -1518,12 +1706,60 @@ object IndexStore {
       t -> g
     }
     writeGenerations(fs, path, gens ++ next)
-    next.foreach { case (t, g) =>
-      (0L until (g - retain.toLong)).foreach { old =>
-        fs.delete(
-          new org.apache.hadoop.fs.Path(s"$path/${genDirName(t, old)}"),
-          true): Unit
-      }
+    next.foreach { case (t, g) => reapRetired(fs, path, t, g, retain,
+      retainAge) }
+  }
+
+  private def requireRetention(
+      retain: Int, retainAge: Option[java.time.Duration]): Unit = {
+    require(retain >= 1,
+      "IndexStore: generation swaps must retain >= 1 retired generation " +
+        "for readers pinned at a pre-swap load")
+    require(retainAge.forall(a => !a.isNegative && !a.isZero),
+      "IndexStore: retainAge must be a positive grace window — a " +
+        "reader pinned at a pre-swap load needs its files to survive " +
+        "at least until it finishes")
+  }
+
+  /** Grace-reap a table's RETIRED generations right after a swap
+    * published generation `next`. Two modes: count-based (default —
+    * keep the `retain` most recent retired generations, reap older),
+    * or AGE-based when `retainAge` is set — a retired generation
+    * survives while its RETIRE stamp is younger than the window,
+    * letting operators bound the grace period by reader/gate LIFETIME
+    * instead of guessing a swap count against an unknown compaction
+    * cadence. The retire stamp is the generation dir's mtime, SET HERE
+    * at the swap that retires it: a dir's natural mtime is its WRITE
+    * time, which can be arbitrarily old by retirement — counting age
+    * from that would reap a generation retired seconds ago out from
+    * under a reader pinned just before the swap. (Generations retired
+    * BEFORE round 13 carry only their write-time mtime, so an
+    * age-based reap may reclaim them early — acceptable: they are at
+    * least as old as their stamp claims.) Age mode supersedes the
+    * count rule; the just-retired generation is stamped fresh so it
+    * always survives its own swap.
+    */
+  private def reapRetired(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, table: String,
+      next: Long, retain: Int,
+      retainAge: Option[java.time.Duration]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val nowMs = System.currentTimeMillis()
+    val justRetired = new Path(s"$path/${genDirName(table, next - 1L)}")
+    if (fs.exists(justRetired)) fs.setTimes(justRetired, nowMs, -1L)
+    retainAge match {
+      case None =>
+        (0L until (next - retain.toLong)).foreach { g =>
+          fs.delete(new Path(s"$path/${genDirName(table, g)}"), true): Unit
+        }
+      case Some(age) =>
+        val cutoff = nowMs - age.toMillis
+        (0L until next).foreach { g =>
+          val p = new Path(s"$path/${genDirName(table, g)}")
+          if (fs.exists(p) &&
+              fs.getFileStatus(p).getModificationTime < cutoff)
+            fs.delete(p, true): Unit
+        }
     }
   }
 
@@ -1555,50 +1791,53 @@ object IndexStore {
     */
   def repairTextIndex(
       spark: SparkSession, path: String,
-      retainGenerations: Int = 1): Long = {
-    metaOf(spark, path, "text")
-    val dir = tableDirs(spark, path)
-    val doclen = spark.read.parquet(dir("doclen"))
-    val postings = spark.read.parquet(dir("postings"))
-    // the unified per-doc consistency rule: dl is BY CONSTRUCTION the
-    // sum of the doc's tf ([[TextAnalysis.textIndex]]), so a doc is
-    // healthy iff dl == Σtf with both sides present. One full-outer
-    // join at doc grain catches all three torn shapes: doclen-only
-    // (Σtf null — this library's crash shape), postings-only (dl null
-    // — an external half-index), and PARTIAL postings (dl ≠ Σtf —
-    // e.g. a rewrite that raced an append captured a subset of its
-    // part-files), which the two directional anti-joins alone would
-    // both miss, returning 0 while the index stays unloadable.
-    val bad = doclen.select(col("doc_id"), col("dl"))
-      .join(postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("__tf")),
-        Seq("doc_id"), "full_outer")
-      .where(col("dl").isNull || col("__tf").isNull ||
-        col("dl") =!= col("__tf"))
-      .select(col("doc_id"))
-      .localCheckpoint(true)
-    val nBad = bad.count()
-    if (nBad > 0L) {
-      // rewrite only the tables that actually carry bad rows (the
-      // common crash shape touches doclen alone; postings is usually
-      // the LARGE table and skipping its rewrite matters)
-      val dlBad = doclen.join(bad, Seq("doc_id"), "left_semi")
-        .limit(1).count() > 0
-      val pBad = postings.join(bad, Seq("doc_id"), "left_semi")
-        .limit(1).count() > 0
-      val writes = Seq(
-        if (dlBad) Some("doclen" -> { (d: String) =>
-          doclen.join(bad, Seq("doc_id"), "left_anti")
-            .repartition(col("doc_id"))
-            .write.mode("overwrite").parquet(d)
-        }) else None,
-        if (pBad) Some("postings" -> { (d: String) =>
-          postings.join(bad, Seq("doc_id"), "left_anti")
-            .repartition(col("term"))
-            .write.mode("overwrite").parquet(d)
-        }) else None).flatten
-      swapGenerations(spark, path, retainGenerations)(writes)
+      retainGenerations: Int = 1,
+      retainAge: Option[java.time.Duration] = None): Long = {
+    withIndexLease(spark, path, "repairTextIndex") {
+      metaOf(spark, path, "text")
+      val dir = tableDirs(spark, path)
+      val doclen = spark.read.parquet(dir("doclen"))
+      val postings = spark.read.parquet(dir("postings"))
+      // the unified per-doc consistency rule: dl is BY CONSTRUCTION the
+      // sum of the doc's tf ([[TextAnalysis.textIndex]]), so a doc is
+      // healthy iff dl == Σtf with both sides present. One full-outer
+      // join at doc grain catches all three torn shapes: doclen-only
+      // (Σtf null — this library's crash shape), postings-only (dl null
+      // — an external half-index), and PARTIAL postings (dl ≠ Σtf —
+      // e.g. a rewrite that raced an append captured a subset of its
+      // part-files), which the two directional anti-joins alone would
+      // both miss, returning 0 while the index stays unloadable.
+      val bad = doclen.select(col("doc_id"), col("dl"))
+        .join(postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("__tf")),
+          Seq("doc_id"), "full_outer")
+        .where(col("dl").isNull || col("__tf").isNull ||
+          col("dl") =!= col("__tf"))
+        .select(col("doc_id"))
+        .localCheckpoint(true)
+      val nBad = bad.count()
+      if (nBad > 0L) {
+        // rewrite only the tables that actually carry bad rows (the
+        // common crash shape touches doclen alone; postings is usually
+        // the LARGE table and skipping its rewrite matters)
+        val dlBad = doclen.join(bad, Seq("doc_id"), "left_semi")
+          .limit(1).count() > 0
+        val pBad = postings.join(bad, Seq("doc_id"), "left_semi")
+          .limit(1).count() > 0
+        val writes = Seq(
+          if (dlBad) Some("doclen" -> { (d: String) =>
+            doclen.join(bad, Seq("doc_id"), "left_anti")
+              .repartition(col("doc_id"))
+              .write.mode("overwrite").parquet(d)
+          }) else None,
+          if (pBad) Some("postings" -> { (d: String) =>
+            postings.join(bad, Seq("doc_id"), "left_anti")
+              .repartition(col("term"))
+              .write.mode("overwrite").parquet(d)
+          }) else None).flatten
+        swapGenerations(spark, path, retainGenerations, retainAge)(writes)
+      }
+      nBad
     }
-    nBad
   }
 
   /** Rebuild a persisted IVF model in place — the documented read-side
@@ -1631,22 +1870,25 @@ object IndexStore {
       trainFraction: Double = Double.NaN,
       maxTrainRows: Long = 200000L,
       kmeansMaxIter: Int = 20,
-      retainGenerations: Int = 1): Unit = {
+      retainGenerations: Int = 1,
+      retainAge: Option[java.time.Duration] = None): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val m = metaOf(spark, path, "ivf")
-    val k = if (nLists > 0) nLists else m("n_lists").toInt
-    val model = IvfIndex.build(corpus, idCol, vecCol, k, seed,
-      trainFraction, maxTrainRows, kmeansMaxIter)
-    val cdf = model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list_id", "centroid").coalesce(1)
-    swapGenerations(spark, path, retainGenerations)(Seq(
-      "centroids" -> (d => cdf.write.mode("overwrite").parquet(d)),
-      "assign" -> (d => model.assignments.repartition(col("list_id"))
-        .write.mode("overwrite").parquet(d))))
-    if (k.toString != m("n_lists"))
-      writeMeta(spark, path, (m + ("n_lists" -> k.toString)).toSeq)
+    withIndexLease(spark, path, "rebuildIvf") {
+      import spark.implicits._
+      val m = metaOf(spark, path, "ivf")
+      val k = if (nLists > 0) nLists else m("n_lists").toInt
+      val model = IvfIndex.build(corpus, idCol, vecCol, k, seed,
+        trainFraction, maxTrainRows, kmeansMaxIter)
+      val cdf = model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "centroid").coalesce(1)
+      swapGenerations(spark, path, retainGenerations, retainAge)(Seq(
+        "centroids" -> (d => cdf.write.mode("overwrite").parquet(d)),
+        "assign" -> (d => model.assignments.repartition(col("list_id"))
+          .write.mode("overwrite").parquet(d))))
+      if (k.toString != m("n_lists"))
+        writeMeta(spark, path, (m + ("n_lists" -> k.toString)).toSeq)
+    }
   }
 
   /** Compact a persisted index of ANY kind: rewrite each raw table —
@@ -1684,13 +1926,23 @@ object IndexStore {
     * sessions needs 2+. Disk cost is (retainGenerations + 1)× the
     * table between swaps, reclaimed by the next reap or an explicit
     * [[reapIndexGenerations]] once no reader can be pinned that far
-    * back. Still requires exclusivity against APPENDS: an append
-    * writes into the generation it resolved at ITS start, so files
-    * appended during the rewrite window would be missing from the new
-    * generation and silently dropped by the swap — every append
-    * re-reads the manifest at commit and RAISES if its generation
-    * moved (the append-commit fence), converting that silent loss to
-    * a loud, retryable error. The streaming ingest loops satisfy
+    * back. When the swap COUNT is the wrong unit — gates of known
+    * lifetime on an unknown or changing compaction cadence — pass
+    * `retainAge` instead: a retired generation then survives while
+    * its retire stamp is younger than the window (age supersedes the
+    * count rule; see [[reapRetired]] for the stamp semantics), so the
+    * grace period is "any reader that started in the last T is safe",
+    * at a disk cost of one extra generation per swap within T. Exclusivity against APPENDS is ENFORCED since round 13 by
+    * the single-writer lease ([[acquireIndexLease]]): an append writes
+    * into the generation it resolved at ITS start, so files appended
+    * during the rewrite window would be missing from the new
+    * generation and silently dropped by the swap — the lease makes a
+    * concurrent appender raise at acquire before reading a row, and
+    * for writers the lease cannot see (API bypass, expired TTL,
+    * non-atomic object-store creates) every append still re-reads the
+    * manifest at commit and RAISES if its generation moved (the
+    * append-commit fence), converting that silent loss to a loud,
+    * retryable error. The streaming ingest loops additionally satisfy
     * exclusivity by construction when compaction runs inside their own
     * foreachBatch cadence ([[graft.streaming.StreamOps.mediaIngestBatch]]'s
     * `compactEvery`) — the loop is the only appender and it is between
@@ -1711,12 +1963,26 @@ object IndexStore {
       spark: SparkSession,
       path: String,
       targetBytesPerFile: Long = 128L << 20,
-      retainGenerations: Int = 1): Seq[CompactStat] = {
+      retainGenerations: Int = 1,
+      retainAge: Option[java.time.Duration] = None): Seq[CompactStat] =
+    withIndexLease(spark, path, "compactIndex") {
+      compactIndexUnlocked(spark, path, targetBytesPerFile,
+        retainGenerations, retainAge)
+    }
+
+  /** [[compactIndex]] without the single-writer lease — the raw
+    * rewrite for tests that deliberately simulate a rogue/expired-TTL
+    * writer racing an append (the fence spec's window), which the
+    * lease would otherwise prevent by construction.
+    */
+  private[graft] def compactIndexUnlocked(
+      spark: SparkSession,
+      path: String,
+      targetBytesPerFile: Long = 128L << 20,
+      retainGenerations: Int = 1,
+      retainAge: Option[java.time.Duration] = None): Seq[CompactStat] = {
     import org.apache.hadoop.fs.Path
-    require(retainGenerations >= 1,
-      "IndexStore.compactIndex: retainGenerations must be >= 1 — a " +
-        "reader pinned at the pre-swap generation needs its files to " +
-        "survive at least until the next compaction")
+    requireRetention(retainGenerations, retainAge)
     val kind = readMeta(spark, path).getOrElse("kind",
       throw new IllegalArgumentException(
         s"IndexStore.compactIndex: $path/meta carries no index kind"))
@@ -1760,14 +2026,11 @@ object IndexStore {
     // all-old or all-new set of generations, never a mix
     writeGenerations(fs, path,
       gens ++ results.map { case (t, g, _) => t -> g })
-    // grace reap: keep the `retainGenerations` most recent RETIRED
-    // generations (readers pinned up to that many swaps back keep a
-    // valid listing), drop everything older, plus legacy __compacting
-    // debris
+    // grace reap: count-based (keep the `retainGenerations` most
+    // recent retired generations) or age-based when retainAge is set —
+    // see [[reapRetired]]; plus legacy __compacting debris
     results.foreach { case (t, next, _) =>
-      (0L until (next - retainGenerations.toLong)).foreach { g =>
-        fs.delete(new Path(s"$path/${genDirName(t, g)}"), true): Unit
-      }
+      reapRetired(fs, path, t, next, retainGenerations, retainAge)
       fs.delete(new Path(s"$path/${t}__compacting"), true): Unit
     }
     results.map(_._3)
@@ -1789,23 +2052,25 @@ object IndexStore {
   def appendTextIndex(
       newDocs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val spark = newDocs.sparkSession
-    metaOf(spark, path, "text")
-    val (resolved, dir) = resolvedDirs(spark, path)
-    appendFenceTestHook()
-    val existingIds = spark.read.parquet(dir("doclen")).select(col("doc_id"))
-      .unionByName(spark.read.parquet(dir("postings")).select(col("doc_id")))
-    val idx = TextAnalysis.textIndex(newDocs, idCol, textCol)
-    requireIdsAfter(existingIds, idx.doclen.select(col("doc_id")),
-      "appendTextIndex")
-    // doclen FIRST: a crash after it leaves ids visible to the retry
-    // guard via the union above; a half-appended postings table alone
-    // would under-score the batch silently
-    idx.doclen.repartition(col("doc_id"))
-      .write.mode("append").parquet(dir("doclen"))
-    idx.postings.repartition(col("term"))
-      .write.mode("append").parquet(dir("postings"))
-    requireGenerationsUnmoved(spark, path, resolved,
-      Seq("doclen", "postings"), "appendTextIndex")
+    withIndexLease(spark, path, "appendTextIndex") {
+      metaOf(spark, path, "text")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      appendFenceTestHook()
+      val existingIds = spark.read.parquet(dir("doclen")).select(col("doc_id"))
+        .unionByName(spark.read.parquet(dir("postings")).select(col("doc_id")))
+      val idx = TextAnalysis.textIndex(newDocs, idCol, textCol)
+      requireIdsAfter(existingIds, idx.doclen.select(col("doc_id")),
+        "appendTextIndex")
+      // doclen FIRST: a crash after it leaves ids visible to the retry
+      // guard via the union above; a half-appended postings table alone
+      // would under-score the batch silently
+      idx.doclen.repartition(col("doc_id"))
+        .write.mode("append").parquet(dir("doclen"))
+      idx.postings.repartition(col("term"))
+        .write.mode("append").parquet(dir("postings"))
+      requireGenerationsUnmoved(spark, path, resolved,
+        Seq("doclen", "postings"), "appendTextIndex")
+    }
   }
 
   /** One INGEST ROUND against the persisted TEXT (BM25 inverted) index

@@ -513,10 +513,16 @@ object StreamOps {
     * per trigger — an append-only LOG, deliberately outside
     * compactIndex's scope (coalescing partitions would break the
     * per-batch overwrite idempotence for any batch that could still
-    * replay). Long-lived deployments should periodically ETL closed
-    * batches into date-partitioned archives downstream. Consumers of
-    * the verdict table should read it via [[readVerdicts]], which pins
-    * the batch_id partition column to a stable LongType.
+    * replay). Its cadence is `archiveEvery = Some(n)` + `archivePath`:
+    * every n ingested batches the loop runs [[archiveVerdicts]] at
+    * `hwm − archiveKeepBatches`, moving every closed partition below
+    * that into the archive and bounding the live table at
+    * ~archiveKeepBatches partitions regardless of stream age
+    * (sole-writer by construction, like compactEvery — the loop is
+    * between triggers). Read the full history with [[readAllVerdicts]]
+    * (live ∪ archive, exactly-once across the archive crash window);
+    * consumers of either table alone should use [[readVerdicts]],
+    * which pins the batch_id partition column to a stable LongType.
     */
   def mediaIngestBatch(
       indexPath: String,
@@ -526,9 +532,13 @@ object StreamOps {
       maxDist: Int = 3,
       maxBucketSize: Int = 1000,
       compactEvery: Option[Int] = None,
-      retainGenerations: Int = 1): (DataFrame, Long) => Unit =
+      retainGenerations: Int = 1,
+      archiveEvery: Option[Int] = None,
+      archivePath: Option[String] = None,
+      archiveKeepBatches: Int = 8): (DataFrame, Long) => Unit =
     ingestBatchBody(verdictPath, indexPath, compactEvery,
-      retainGenerations)(b =>
+      retainGenerations, archiveEvery, archivePath,
+      archiveKeepBatches)(b =>
       graft.operators.IndexStore.ingestMedia(b, idCol, hashCol,
         indexPath, maxDist, maxBucketSize))
 
@@ -558,8 +568,18 @@ object StreamOps {
       verdictPath: String,
       indexPath: String,
       compactEvery: Option[Int] = None,
-      retainGenerations: Int = 1)(round: DataFrame => DataFrame)
-      : (DataFrame, Long) => Unit =
+      retainGenerations: Int = 1,
+      archiveEvery: Option[Int] = None,
+      archivePath: Option[String] = None,
+      archiveKeepBatches: Int = 8)(round: DataFrame => DataFrame)
+      : (DataFrame, Long) => Unit = {
+    require(archiveEvery.isEmpty || archivePath.nonEmpty,
+      "StreamOps ingest sink: archiveEvery needs an archivePath — the " +
+        "cadence has nowhere to move closed verdict batches otherwise")
+    require(archiveKeepBatches >= 1,
+      "StreamOps ingest sink: archiveKeepBatches must be >= 1 — the " +
+        "marker batch is the one a checkpoint replay can still rewrite, " +
+        "so it can never be archived")
     (batch, batchId) => {
       val spark = batch.sparkSession
       val hwm = readHwm(spark, verdictPath).getOrElse {
@@ -601,9 +621,31 @@ object StreamOps {
             graft.operators.IndexStore.compactIndex(spark, indexPath,
               retainGenerations = retainGenerations): Unit
         }
+        // the VERDICT table's maintenance cadence — the compactEvery
+        // twin for the other thing the loop grows forever (one
+        // batch_id=N partition per trigger): every `n` ingested
+        // batches, ETL every closed partition at or below
+        // hwm − archiveKeepBatches into the archive and delete it
+        // from the live table, keeping the live table bounded at
+        // ~archiveKeepBatches partitions regardless of stream age.
+        // Sole-writer by construction (the loop runs it between
+        // triggers — the compactEvery argument); always strictly
+        // below the just-written marker because archiveKeepBatches
+        // >= 1. Same replay posture as compactEvery: a crash between
+        // the marker write and this cadence only defers the archive
+        // to the next multiple, and archiveVerdicts is itself
+        // idempotent across ITS crash window (re-overwrite + complete
+        // the delete; readAllVerdicts reads the overlap exactly once).
+        archiveEvery.foreach { n =>
+          if (n > 0 && (batchId + 1) % n == 0 &&
+              batchId - archiveKeepBatches >= 0)
+            archiveVerdicts(spark, verdictPath, archivePath.get,
+              batchId - archiveKeepBatches): Unit
+        }
       }
       ()
     }
+  }
 
   /** Read an ingest loop's verdict table with a STABLE schema. Since
     * round 10 the table is PARTITIONED by batch_id, and Spark types an
@@ -868,9 +910,13 @@ object StreamOps {
       threshold: Double = 0.9,
       maxBucketSize: Int = 10000,
       compactEvery: Option[Int] = None,
-      retainGenerations: Int = 1): (DataFrame, Long) => Unit =
+      retainGenerations: Int = 1,
+      archiveEvery: Option[Int] = None,
+      archivePath: Option[String] = None,
+      archiveKeepBatches: Int = 8): (DataFrame, Long) => Unit =
     ingestBatchBody(verdictPath, indexPath, compactEvery,
-      retainGenerations)(b =>
+      retainGenerations, archiveEvery, archivePath,
+      archiveKeepBatches)(b =>
       graft.operators.IndexStore.ingestVector(b, idCol, vecCol,
         indexPath, threshold, maxBucketSize))
 
@@ -887,9 +933,13 @@ object StreamOps {
       threshold: Double = 0.7,
       maxBucketSize: Int = 1000,
       compactEvery: Option[Int] = None,
-      retainGenerations: Int = 1): (DataFrame, Long) => Unit =
+      retainGenerations: Int = 1,
+      archiveEvery: Option[Int] = None,
+      archivePath: Option[String] = None,
+      archiveKeepBatches: Int = 8): (DataFrame, Long) => Unit =
     ingestBatchBody(verdictPath, indexPath, compactEvery,
-      retainGenerations)(b =>
+      retainGenerations, archiveEvery, archivePath,
+      archiveKeepBatches)(b =>
       graft.operators.IndexStore.ingestCorpus(b, idCol, textCol,
         indexPath, threshold, maxBucketSize))
 
@@ -913,9 +963,13 @@ object StreamOps {
       k1: Double = 1.2,
       b: Double = 0.75,
       compactEvery: Option[Int] = None,
-      retainGenerations: Int = 1): (DataFrame, Long) => Unit =
+      retainGenerations: Int = 1,
+      archiveEvery: Option[Int] = None,
+      archivePath: Option[String] = None,
+      archiveKeepBatches: Int = 8): (DataFrame, Long) => Unit =
     ingestBatchBody(verdictPath, indexPath, compactEvery,
-      retainGenerations)(batch =>
+      retainGenerations, archiveEvery, archivePath,
+      archiveKeepBatches)(batch =>
       graft.operators.IndexStore.ingestText(batch, idCol, textCol,
         indexPath, minScoreE6, k1, b))
 

@@ -1288,9 +1288,11 @@ class IndexStoreSpec extends SparkSuite {
     IndexStore.saveMediaIndex(sigs, "id", "dh", path)
     val late = Seq((99L, 0x7777_8888_9999_AAAAL)).toDF("id", "dh")
     // interleave an external compaction into the append's
-    // resolve-to-commit window (the documented exclusivity violation)
+    // resolve-to-commit window (the documented exclusivity violation;
+    // the UNLOCKED variant models a rogue/expired-TTL writer — the
+    // lease prevents a well-behaved one from getting here at all)
     val e = IndexStore.withFenceHook(
-        () => { IndexStore.compactIndex(spark, path): Unit }) {
+        () => { IndexStore.compactIndexUnlocked(spark, path): Unit }) {
       intercept[IllegalStateException] {
         IndexStore.appendMediaIndex(late, "id", "dh", path)
       }
@@ -1309,6 +1311,104 @@ class IndexStoreSpec extends SparkSuite {
         IndexStore.loadMediaIndex(spark, path), "id", "dh")
       .select("corpus_id").as[Long].collect().toSet
     assert(hits == Set(99L), s"re-run append must be probe-reachable: $hits")
+  }
+
+  test("compactIndex retainAge: retired generations survive by retire-" +
+      "stamp AGE, not swap count — a fresh one outlives extra swaps, a " +
+      "backdated one is reaped while recent ones stay") {
+    val path = tmp()
+    val sigs = (0L until 16L).map(i => (i, 0x00FF_0000L * (i % 4) + i))
+      .toDF("id", "dh")
+    IndexStore.saveMediaIndex(sigs, "id", "dh", path)
+    val hour = java.time.Duration.ofHours(1)
+    intercept[IllegalArgumentException] {
+      IndexStore.compactIndex(spark, path,
+        retainAge = Some(java.time.Duration.ZERO))
+    }
+    IndexStore.compactIndex(spark, path, retainAge = Some(hour)): Unit
+    IndexStore.compactIndex(spark, path, retainAge = Some(hour)): Unit
+    // the count rule (default retain=1) would have reaped generation 0
+    // at the second swap; under a 1h age window it survives — both
+    // retired generations are minutes old
+    assert(new java.io.File(s"$path/members").exists &&
+      new java.io.File(s"$path/members__g00001").exists,
+      "retired generations within the age window must survive any " +
+        "number of swaps")
+    // a generation retired LONGER ago than the window goes: backdate
+    // generation 0's retire stamp two hours and swap again
+    Seq("members", "bands").foreach { t =>
+      assert(new java.io.File(s"$path/$t")
+        .setLastModified(System.currentTimeMillis() - 2L * 3600L * 1000L))
+    }
+    IndexStore.compactIndex(spark, path, retainAge = Some(hour)): Unit
+    assert(!new java.io.File(s"$path/members").exists &&
+      !new java.io.File(s"$path/bands").exists,
+      "a retired generation older than the window is reaped")
+    assert(new java.io.File(s"$path/members__g00001").exists &&
+      new java.io.File(s"$path/members__g00002").exists,
+      "recently-retired generations stay")
+    // the active generation is untouched and healthy
+    assert(IndexStore.describeIndex(spark, path)
+      .forall(_.generation == 3L))
+    assert(IndexStore.loadMediaIndex(spark, path).members.count() == 16L)
+  }
+
+  test("single-writer lease: a second writer raises AT ACQUIRE while the " +
+      "lease is live; release frees it; a crashed holder's lease expires " +
+      "and a fresh append steals it") {
+    val path = tmp()
+    val sigs = (0L until 8L).map(i => (i, 0x5151L + i)).toDF("id", "dh")
+    IndexStore.saveMediaIndex(sigs, "id", "dh", path)
+    assert(IndexStore.readIndexLease(spark, path).isEmpty,
+      "every op releases its lease on completion")
+    // an external coordinator (e.g. a migration) holds the lease: any
+    // mutating op is refused BEFORE it reads a row — prevention, where
+    // the fence was detection after the work was spent
+    val held = IndexStore.acquireIndexLease(spark, path, "external-etl")
+    val e1 = intercept[IllegalStateException] {
+      IndexStore.appendMediaIndex(Seq((90L, 0x1L)).toDF("id", "dh"),
+        "id", "dh", path)
+    }
+    assert(e1.getMessage.contains("lease") &&
+      e1.getMessage.contains("external-etl"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      IndexStore.compactIndex(spark, path)
+    }
+    assert(e2.getMessage.contains("external-etl"), e2.getMessage)
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "members"))
+      .count() == 8, "a refused append must not have written anything")
+    IndexStore.releaseIndexLease(spark, path, held)
+    IndexStore.appendMediaIndex(Seq((90L, 0x1L)).toDF("id", "dh"),
+      "id", "dh", path)
+    assert(IndexStore.readIndexLease(spark, path).isEmpty)
+    // crashed holder: a lease whose TTL elapsed is stolen by the next
+    // writer (epoch bumps), and releasing the STOLEN lease raises
+    // loudly instead of deleting a lease another writer now holds
+    val crashed = IndexStore.acquireIndexLease(spark, path, "crasher",
+      ttlMs = 1L)
+    Thread.sleep(10L)
+    val thief = IndexStore.acquireIndexLease(spark, path, "thief2",
+      ttlMs = 60000L)
+    assert(thief.epoch == crashed.epoch + 1,
+      s"epoch must increment across a steal: $crashed -> $thief")
+    val e3 = intercept[IllegalStateException] {
+      IndexStore.releaseIndexLease(spark, path, crashed)
+    }
+    assert(e3.getMessage.contains("ANOTHER writer") &&
+      e3.getMessage.contains("thief2"), e3.getMessage)
+    IndexStore.releaseIndexLease(spark, path, thief)
+    // release is idempotent once the file is gone
+    IndexStore.releaseIndexLease(spark, path, thief)
+    // and a mutating op steals an expired lease the same way: a crash
+    // never wedges the index
+    IndexStore.acquireIndexLease(spark, path, "crasher2", ttlMs = 1L): Unit
+    Thread.sleep(10L)
+    IndexStore.appendMediaIndex(Seq((91L, 0x2L)).toDF("id", "dh"),
+      "id", "dh", path)
+    assert(IndexStore.readIndexLease(spark, path).isEmpty,
+      "the stealing append releases ITS lease when done")
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "members"))
+      .count() == 10)
   }
 
   test("generation manifest: a corrupt line raises a diagnosable error " +

@@ -824,6 +824,53 @@ class StreamOpsSpec extends SparkSuite {
     assert(StreamOps.archiveVerdicts(spark, out, arc, 3L) == 0L)
   }
 
+  test("ingest loop with archiveEvery: the live verdict table stays " +
+      "bounded while readAllVerdicts keeps the full exactly-once history; " +
+      "a re-delivered batch is still a no-op") {
+    import graft.operators.IndexStore
+    val idx = java.nio.file.Files.createTempDirectory("graft_ae_idx").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_ae_out").toString
+    val out = root + "/v"
+    val arc = root + "/archive"
+    IndexStore.saveMediaIndex(Seq((10L, 0x1234L)).toDF("id", "dh"),
+      "id", "dh", idx)
+    // misconfigurations fail at sink CONSTRUCTION, not mid-stream
+    intercept[IllegalArgumentException] {
+      StreamOps.mediaIngestBatch(idx, out, "id", "dh",
+        archiveEvery = Some(1))
+    }
+    intercept[IllegalArgumentException] {
+      StreamOps.mediaIngestBatch(idx, out, "id", "dh",
+        archiveEvery = Some(1), archivePath = Some(arc),
+        archiveKeepBatches = 0)
+    }
+    val sink = StreamOps.mediaIngestBatch(idx, out, "id", "dh",
+      archiveEvery = Some(1), archivePath = Some(arc),
+      archiveKeepBatches = 1)
+    def b(i: Long) = Seq((20L + i, 0x1111_0000_0000_0000L * (i % 4) + i))
+      .toDF("id", "dh")
+    (0L to 4L).foreach(i => sink(b(i), i))
+    // every trigger archived hwm−1, so the live table carries ONLY the
+    // marker batch's partition — bounded regardless of stream age
+    val live = StreamOps.describeVerdicts(spark, out)
+    assert(live.partitions == 1L && live.hwmBatchId.contains(4L),
+      s"live must stay bounded: $live")
+    assert(StreamOps.describeVerdicts(spark, arc).partitions == 4L)
+    def history() = StreamOps.readAllVerdicts(spark, out, arc)
+      .select("batch_id").as[Long].collect().toSeq.sorted
+    assert(history() == Seq(0L, 1L, 2L, 3L, 4L),
+      "full history, each verdict exactly once")
+    // restart re-delivery of the marker batch: proven done → the whole
+    // body (round, verdict write, cadences) is skipped
+    sink(b(4L), 4L)
+    assert(history() == Seq(0L, 1L, 2L, 3L, 4L) &&
+      StreamOps.describeVerdicts(spark, out).partitions == 1L)
+    // the loop continues: next trigger lands and re-bounds the table
+    sink(b(5L), 5L)
+    assert(history() == (0L to 5L).toSeq &&
+      StreamOps.describeVerdicts(spark, out).partitions == 1L)
+  }
+
   test("outlierGate: streaming flags equal the batch flag stage exactly") {
     // moments from a reference corpus (two groups, one with a clear σ)
     val corpus = (Seq.tabulate(60)(i => ("a", 10.0 + (i % 5))) ++
