@@ -1466,13 +1466,19 @@ object IndexStore {
     * the immediately-prior generation so readers pinned at a pre-swap
     * load keep a valid file listing; call this on the operator's own
     * cadence, once no reader can still hold a pre-swap load (e.g.
-    * after the gates' next restart). Never touches the active
-    * generation or the manifest.
+    * after the gates' next restart). With `olderThan` set, only
+    * retired generations whose retire stamp ([[reapRetired]]'s mtime
+    * semantics) is older than the window are reclaimed — the manual
+    * twin of `retainAge`. Never touches the active generation or the
+    * manifest.
     */
-  def reapIndexGenerations(spark: SparkSession, path: String): Seq[String] = {
+  def reapIndexGenerations(
+      spark: SparkSession, path: String,
+      olderThan: Option[java.time.Duration] = None): Seq[String] = {
     val fs = fsOf(spark, path)
     val gens = readGenerations(fs, path)
     val root = new org.apache.hadoop.fs.Path(path)
+    val cutoff = olderThan.map(d => System.currentTimeMillis() - d.toMillis)
     val GenRe = "(.*)__g(\\d+)$".r
     fs.listStatus(root).toSeq
       .filter(_.isDirectory)
@@ -1486,6 +1492,8 @@ object IndexStore {
           case _ => None
         }
       }
+      .filter(p => cutoff.forall(c =>
+        fs.getFileStatus(p).getModificationTime < c))
       .map { p => fs.delete(p, true); p.getName }
   }
 
@@ -2147,6 +2155,15 @@ object IndexStore {
     * carry the batch partner in `best_corpus_id`; replay invariance is
     * unchanged (the self-screen depends only on the batch, and the
     * index screen still runs over pre-batch-filtered relations).
+    *
+    * `maxDfPpm` prunes ultra-common terms from BOTH screens (index and
+    * self) before any scoring join — the structural fix for the dense
+    * volume law itself, since stopword-class terms (df ≈ N) dominate
+    * Σ_t |postings(t)|·|queries(t)| while contributing idf ≈ 0 to the
+    * decision: see [[TextAnalysis.bm25ScoredIndexed]] for the exact
+    * integer rule. The guardrail estimate applies the same prune, so
+    * budget and actual volume stay one number. Off by default —
+    * scores then match the classic BM25 form the oracles replay.
     */
   def ingestText(
       newDocs: DataFrame,
@@ -2157,7 +2174,8 @@ object IndexStore {
       k1: Double = 1.2,
       b: Double = 0.75,
       maxScreenPairs: Long = 1000000000L,
-      collapseFirst: Boolean = false): DataFrame = {
+      collapseFirst: Boolean = false,
+      maxDfPpm: Option[Long] = None): DataFrame = {
     import graft.functions.TextFunctions
     val spark = newDocs.sparkSession
     metaOf(spark, path, "text")
@@ -2185,7 +2203,8 @@ object IndexStore {
     val (screened, collapsed) = if (collapseFirst) {
       val selfPairs = TextAnalysis
         .bm25ScoredIndexed(TextAnalysis.textIndex(batch, "doc_id", "text"),
-          queryTermsOf(batch), k1, b, broadcastQueries = false)
+          queryTermsOf(batch), k1, b, broadcastQueries = false,
+          maxDfPpm = maxDfPpm)
         .where(col("score_e6") >= minScoreE6 &&
           col("doc_id") < col("query_id"))
         .select(col("query_id").as("doc_id"),
@@ -2207,14 +2226,17 @@ object IndexStore {
     // heads), so the estimate and the screen re-derive qt cheaply
     val qt = queryTermsOf(screened)
     // the guardrail: exact screen volume as one narrow agg join —
-    // decimal sum (a 100 TB-shape product sum can overflow Long)
-    val estTotal = screenPairEstimate(pre.postings, qt)
+    // decimal sum (a 100 TB-shape product sum can overflow Long).
+    // maxDfPpm-aware: pruned terms cost nothing, so they count nothing
+    val estTotal = screenPairEstimate(pre.postings, qt, maxDfPpm,
+        pre.doclen)
       .agg(coalesce(sum(col("pairs").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO)).as("t"))
       .head().getDecimal(0)
     if (estTotal.compareTo(
         java.math.BigDecimal.valueOf(maxScreenPairs)) > 0) {
-      val dense = screenPairEstimate(pre.postings, qt)
+      val dense = screenPairEstimate(pre.postings, qt, maxDfPpm,
+          pre.doclen)
         .orderBy(col("pairs").desc, col("term")).limit(5)
         .collect()
         .map(r => s"'${r.getString(0)}' (df=${r.getLong(1)} × " +
@@ -2232,7 +2254,8 @@ object IndexStore {
           "this estimate)")
     }
     val matches = TextAnalysis
-      .bm25ScoredIndexed(pre, qt, k1, b, broadcastQueries = false)
+      .bm25ScoredIndexed(pre, qt, k1, b, broadcastQueries = false,
+        maxDfPpm = maxDfPpm)
       .where(col("score_e6") >= minScoreE6)
       .select(col("query_id").as("doc_id"),
         col("doc_id").as("corpus_id"), col("score_e6"))
@@ -2273,14 +2296,25 @@ object IndexStore {
     * screen would not be.
     */
   private def screenPairEstimate(
-      prePostings: DataFrame, qt: DataFrame): DataFrame =
-    prePostings
+      prePostings: DataFrame, qt: DataFrame,
+      maxDfPpm: Option[Long], preDoclen: => DataFrame): DataFrame = {
+    val base = prePostings
       .join(qt.groupBy(col("term")).agg(count(lit(1)).as("n_queries")),
         Seq("term"))
       .groupBy(col("term"), col("n_queries"))
       .agg(count(lit(1)).as("df"))
-      .select(col("term"), col("df"), col("n_queries"),
-        (col("df") * col("n_queries")).as("pairs"))
+    // mirror the screen's own prune ([[TextAnalysis.bm25ScoredIndexed]]
+    // maxDfPpm): a pruned term never reaches the scoring join, so the
+    // estimate must not charge for it — same integer rule, same N
+    val kept = maxDfPpm.fold(base) { ppm =>
+      base.crossJoin(
+          broadcast(preDoclen.agg(count(lit(1)).as("__n"))))
+        .where(col("df") * lit(1000000L) <= lit(ppm) * col("__n"))
+        .drop("__n")
+    }
+    kept.select(col("term"), col("df"), col("n_queries"),
+      (col("df") * col("n_queries")).as("pairs"))
+  }
 
   /** DRY-RUN the [[ingestText]] cost guardrail: per term shared
     * between `newDocs` and the persisted text index at `path`, the
@@ -2296,7 +2330,8 @@ object IndexStore {
       newDocs: DataFrame,
       idCol: String,
       textCol: String,
-      path: String): DataFrame = {
+      path: String,
+      maxDfPpm: Option[Long] = None): DataFrame = {
     import graft.functions.TextFunctions
     val spark = newDocs.sparkSession
     metaOf(spark, path, "text")
@@ -2306,10 +2341,11 @@ object IndexStore {
         size(TextFunctions.tokens(col("text"))) > 0)
     val idx = loadTextIndex(spark, path)
     val mn = batch.agg(min(col("doc_id")).as("__batch_min"))
-    val prePostings = idx.postings.crossJoin(broadcast(mn))
+    def preBatch(t: DataFrame): DataFrame = t.crossJoin(broadcast(mn))
       .where(col("doc_id") < col("__batch_min")).drop("__batch_min")
     val qt = batch.select(col("doc_id").as("query_id"),
       explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
-    screenPairEstimate(prePostings, qt)
+    screenPairEstimate(preBatch(idx.postings), qt, maxDfPpm,
+      preBatch(idx.doclen))
   }
 }

@@ -145,9 +145,11 @@ object TextAnalysis {
     */
   def bm25ScreenIndexed(index: TextIndex, queries: Seq[(Long, String)],
                         minScoreE6: Long,
-                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                        k1: Double = 1.2, b: Double = 0.75,
+                        maxDfPpm: Option[Long] = None): DataFrame = {
     require(queries.nonEmpty, "bm25ScreenIndexed: need at least one query")
-    bm25ScoredIndexed(index, queryTerms(index, queries), k1, b)
+    bm25ScoredIndexed(index, queryTerms(index, queries), k1, b,
+        maxDfPpm = maxDfPpm)
       .where(col("score_e6") >= minScoreE6)
   }
 
@@ -179,10 +181,26 @@ object TextAnalysis {
     * join strategy from measured sizes — a forced broadcast of an
     * unbounded batch vocabulary would OOM the build side. The one-row
     * stats fold stays broadcast either way.
+    *
+    * `maxDfPpm` (off by default — scores then match the classic form
+    * exactly) PRUNES ultra-common query terms before scoring: a term
+    * whose document frequency exceeds maxDfPpm parts-per-million of
+    * the corpus (integer rule df · 1e6 > ppm · N, replayed exactly by
+    * the DuckDB oracles) is dropped from every score sum. This is the
+    * principled fix for exact BM25's worst scale law: a stopword-class
+    * term (df ≈ N) contributes idf ≈ ln(1 + 0.5/(N+0.5)) ≈ 0 to every
+    * score yet multiplies the scored volume by its ENTIRE postings
+    * list — at web scale the screen's Σ_t |postings(t)|·|queries(t)|
+    * is dominated by exactly the terms that decide nothing. The prune
+    * is applied via the df relation BEFORE the query join, so the
+    * volume never materializes; scores change only by the near-zero
+    * terms removed, and deterministically (the rule is integer-exact
+    * on both engines).
     */
   private[graft] def bm25ScoredIndexed(index: TextIndex, qt: DataFrame,
                                        k1: Double, b: Double,
-                                       broadcastQueries: Boolean = true
+                                       broadcastQueries: Boolean = true,
+                                       maxDfPpm: Option[Long] = None
                                       ): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (broadcastQueries) broadcast else identity
@@ -192,10 +210,17 @@ object TextAnalysis {
     // one-row corpus stats; lazy agg, not a driver count()
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
     val tfQ = tf.join(hint(qTerms), Seq("term"))
-    val df = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfAll = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = maxDfPpm.fold(dfAll) { ppm =>
+      dfAll.crossJoin(broadcast(stats.select(col("__n"))))
+        .where(col("df") * lit(1000000L) <= lit(ppm) * col("__n"))
+        .drop("__n")
+    }
     tfQ
-      .join(hint(qt), Seq("term"))
+      // df join FIRST: with maxDfPpm set, the inner join drops a
+      // pruned term's postings BEFORE the query join multiplies them
       .join(hint(df), Seq("term"))
+      .join(hint(qt), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), bm25TermE6(k1, b).as("e6"))

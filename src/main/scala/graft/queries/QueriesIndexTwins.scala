@@ -947,13 +947,23 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
     * 30M e6), suffixed by `r` so several rounds compose in one WITH.
     * Ends at `best_$r` (per-query best match + match count at
     * threshold); `pairPred` further restricts the scored pairs (the
-    * q258 collapse round's `corpus_id < doc_id`). Shared by the q257
-    * and q258 oracles.
+    * q258 collapse round's `corpus_id < doc_id`); `maxDfPpm` replays
+    * the engine's high-df term prune (df · 1e6 > ppm · N dropped
+    * before scoring — the q260 round). Shared by the q257, q258 and
+    * q260 oracles.
     */
   private def bm25RoundSql(
       idx: String, batch: String, r: String,
-      pairPred: String = "TRUE"): String = {
+      pairPred: String = "TRUE",
+      maxDfPpm: Option[Long] = None): String = {
     val toksOf = duckToks
+    val dfKept = maxDfPpm match {
+      case None => s"df_$r AS (SELECT term, COUNT(*) AS df FROM tfq_$r GROUP BY 1),"
+      case Some(ppm) =>
+        s"""dfa_$r AS (SELECT term, COUNT(*) AS df FROM tfq_$r GROUP BY 1),
+           |df_$r AS (SELECT a.term, a.df FROM dfa_$r a CROSS JOIN st_$r s
+           |  WHERE a.df * 1000000 <= $ppm * s.n),""".stripMargin
+    }
     s"""tok_$r AS (SELECT doc_id, unnest(toks) AS term
        |  FROM (SELECT doc_id, $toksOf AS toks FROM $idx)),
        |tf_$r AS (SELECT doc_id, term, COUNT(*) AS tf
@@ -966,7 +976,7 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
        |    unnest(list_distinct($toksOf)) AS term FROM $batch),
        |tfq_$r AS (SELECT * FROM tf_$r
        |  WHERE term IN (SELECT DISTINCT term FROM qt_$r)),
-       |df_$r AS (SELECT term, COUNT(*) AS df FROM tfq_$r GROUP BY 1),
+       |$dfKept
        |sc_$r AS (
        |  SELECT q.query_id, t.doc_id,
        |    CAST(FLOOR(
@@ -1141,6 +1151,38 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
        |FROM df d JOIN nq n USING (term)
        |ORDER BY pairs DESC, d.term""".stripMargin
   }
+
+  /** q260: a TEXT ingest round under the high-df term PRUNE
+    * (`maxDfPpm`) — the structural fix for exact BM25's worst scale
+    * law registered as an oracled query: terms whose df exceeds 5% of
+    * the corpus (integer rule df·1e6 > 50000·N) are dropped from every
+    * score sum BEFORE the scoring join multiplies their postings. On
+    * the dilution fixture the decision margin survives pruning by
+    * construction — an exact copy's ≥20 df=1 filler matches carry the
+    * ≥150M e6 self-score, while the pruned terms are the common base-
+    * text words that dominate volume and carry idf ≈ 0 — so the
+    * verdict pattern matches q257 round 1 (even heads reject against
+    * their originals, odd heads admit) but every SCORE is the pruned
+    * sum, which the oracle replays at full algorithm depth with the
+    * same integer prune rule. Guardrail coherence is part of the
+    * contract: the estimate inside the round applies the same prune,
+    * so budget and actual volume stay one number.
+    */
+  def textIngestPruned(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, heads) = dilutionFixture(s, dir, off = 300)
+    val path = scratchDir("text_ingest_pruned")
+    IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
+    IndexStore.ingestText(heads, "doc_id", "text", path,
+        minScoreE6 = 30000000L, maxDfPpm = Some(50000L))
+      .orderBy("doc_id")
+  }
+
+  val textIngestPrunedSql: String =
+    s"""WITH $textFixtureSql,
+       |${bm25RoundSql("corpus", "b1", "1", maxDfPpm = Some(50000L))},
+       |${bm25VerdictSql("b1", "1")}
+       |SELECT doc_id, status, n_matches, best_corpus_id, best_score_e6
+       |FROM v_1 ORDER BY doc_id""".stripMargin
 
   val mediaIngestRoundsSql: String =
     s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,

@@ -1240,6 +1240,23 @@ class IndexStoreSpec extends SparkSuite {
       s"copies collapse onto the smallest-id head: ${v.tail}")
     assert(spark.read.parquet(IndexStore.tableDir(spark, path, "doclen"))
       .count() == 8, "nothing admitted: the head was a corpus duplicate")
+    // maxDfPpm: pruning the dense terms (df = 8 of N = 8 = 1e6 ppm,
+    // over a 50% cut) makes the SAME batch fit the budget WITHOUT
+    // collapsing — only the df=1 'tag0' term survives to score, and
+    // its idf alone (ln 6 ≈ 1.79M e6) rejects every copy against
+    // corpus doc 0; the estimate applies the same prune (16 pairs)
+    assert(IndexStore.estimateTextScreen(batch, "doc_id", "text", path,
+        maxDfPpm = Some(500000L))
+      .agg(coalesce(sum(col("pairs")), lit(0L))).head().getLong(0) == 16L,
+      "the estimate must not charge for pruned terms")
+    val vp = IndexStore.ingestText(batch, "doc_id", "text", path,
+        minScoreE6 = 100000L, maxScreenPairs = 100L,
+        maxDfPpm = Some(500000L))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(vp == (100L until 116L).map(i => (i, "duplicate", 1L, 0L)),
+      s"pruned screen: every copy matches doc 0 through tag0 alone: $vp")
   }
 
   test("compactIndex retainGenerations=2: a reader pinned TWO swaps back " +
@@ -1350,6 +1367,12 @@ class IndexStoreSpec extends SparkSuite {
     // the active generation is untouched and healthy
     assert(IndexStore.describeIndex(spark, path)
       .forall(_.generation == 3L))
+    assert(IndexStore.loadMediaIndex(spark, path).members.count() == 16L)
+    // the manual reap's age filter: recent retirees survive it, the
+    // unfiltered form reclaims them
+    assert(IndexStore.reapIndexGenerations(spark, path, Some(hour)).isEmpty,
+      "retirees younger than the window must survive a filtered reap")
+    assert(IndexStore.reapIndexGenerations(spark, path).nonEmpty)
     assert(IndexStore.loadMediaIndex(spark, path).members.count() == 16L)
   }
 
