@@ -1186,7 +1186,88 @@ object IndexStore {
     */
   def readIndexLease(spark: SparkSession, path: String): Option[IndexLease] = {
     val fs = fsOf(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path, LeaseFile)
+    readLeaseAt(fs, new org.apache.hadoop.fs.Path(path, LeaseFile))
+  }
+
+  /** Acquire the single-writer LEASE on the index at `path` —
+    * PREVENTION for the exclusivity contract the append-commit fence
+    * can only DETECT after the work is spent. Every mutating op here
+    * (the append family, compactIndex, repairTextIndex, rebuildIvf,
+    * and the save* builders) acquires
+    * it for the duration of its writes; a second concurrent writer
+    * raises AT ACQUIRE, before reading a row. Acquisition PUBLISHES
+    * [[LeaseFile]] by write-tmp-then-rename-no-overwrite — one atomic
+    * step that is both the create-if-absent lock primitive and a
+    * full-content publish, so no reader or crash window can ever
+    * observe a half-written lease (atomic on HDFS and local
+    * filesystems; object stores need atomic-rename/conditional-PUT
+    * support — where absent, the lease degrades to advisory and the
+    * fence remains the detector, stated honestly). A lease left by a
+    * CRASHED holder expires after its TTL: the next acquire STEALS it
+    * by atomic claim-rename — of N concurrent stealers exactly one
+    * wins, and the claimed bytes are re-checked for expiry (a FRESH
+    * lease acquired inside the inspection window is restored, never
+    * stolen) — then publishes its own (epoch + 1), so a crash never
+    * wedges the index.
+    *
+    * The lease is cooperative (writers that bypass this API — raw
+    * parquet writes into the table dirs — are invisible to it) and
+    * TTL-bounded: an op outliving its TTL can lose the lease to a
+    * steal, at which point the generation fence and the monotone-id
+    * guards are the backstop, exactly as before round 13. Returns the
+    * held lease; pass it to [[releaseIndexLease]] when done.
+    */
+  /** Write a lease body to a private tmp file and atomically RENAME it
+    * over [[LeaseFile]] WITHOUT overwrite — one step that is both the
+    * create-if-absent lock primitive and a full-content publish (a
+    * plain create-then-write would expose/leave a zero-byte lease if a
+    * reader raced the write or the writer crashed between the two —
+    * which would wedge every later acquire as "corrupt"). Returns false
+    * if the live lease already exists (lost the race).
+    */
+  private def tryPublishLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, lease: IndexLease): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(path, s"${LeaseFile}__tmp_${lease.owner}")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"owner=${lease.owner}\nepoch=${lease.epoch}\n" +
+        s"expires_ms=${lease.expiresMs}\nop=${lease.op}\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    val live = new Path(path, LeaseFile)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      live.toUri, fs.getConf)
+    try { fc.rename(tmp, live); true }
+    catch {
+      case _: java.io.IOException =>
+        fs.delete(tmp, false): Unit
+        false
+    }
+  }
+
+  /** Atomically CLAIM the current lease file by renaming it to a
+    * private aside name — of N concurrent stealers/releasers exactly
+    * one rename succeeds, which is what makes steal and release
+    * single-winner (a read-then-delete would let a second stealer
+    * delete the FIRST stealer's fresh lease). Returns the aside path,
+    * or None if the file was gone / another claimer won.
+    */
+  private def claimLeaseFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[org.apache.hadoop.fs.Path] = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path, LeaseFile)
+    val aside = new Path(path,
+      s"${LeaseFile}__claim_${java.util.UUID.randomUUID()}")
+    try { if (fs.rename(live, aside)) Some(aside) else None }
+    catch { case _: java.io.IOException => None }
+  }
+
+  private def readLeaseAt(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[IndexLease] = {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -1208,27 +1289,6 @@ object IndexStore {
     }
   }
 
-  /** Acquire the single-writer LEASE on the index at `path` —
-    * PREVENTION for the exclusivity contract the append-commit fence
-    * can only DETECT after the work is spent. Every mutating op here
-    * (the append family, compactIndex, repairTextIndex, rebuildIvf,
-    * and the save* builders) acquires
-    * it for the duration of its writes; a second concurrent writer
-    * raises AT ACQUIRE, before reading a row. Acquisition is one
-    * atomic create-if-absent of [[LeaseFile]] (atomic on HDFS and
-    * local filesystems; object stores need conditional-PUT support —
-    * where absent, the lease degrades to advisory and the fence
-    * remains the detector, stated honestly). A lease left by a CRASHED
-    * holder expires after its TTL: the next acquire deletes it and
-    * takes a fresh one (epoch + 1), so a crash never wedges the index.
-    *
-    * The lease is cooperative (writers that bypass this API — raw
-    * parquet writes into the table dirs — are invisible to it) and
-    * TTL-bounded: an op outliving its TTL can lose the lease to a
-    * steal, at which point the generation fence and the monotone-id
-    * guards are the backstop, exactly as before round 13. Returns the
-    * held lease; pass it to [[releaseIndexLease]] when done.
-    */
   def acquireIndexLease(
       spark: SparkSession,
       path: String,
@@ -1236,21 +1296,9 @@ object IndexStore {
       ttlMs: Long = DefaultLeaseTtlMs): IndexLease = {
     require(ttlMs > 0, "IndexStore.acquireIndexLease: ttlMs must be positive")
     val fs = fsOf(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path, LeaseFile)
-    def tryCreate(epoch: Long): Option[IndexLease] = {
-      val lease = IndexLease(java.util.UUID.randomUUID().toString, epoch,
-        System.currentTimeMillis() + ttlMs, op)
-      try {
-        // overwrite=false: atomic create-if-absent — the lock primitive
-        val out = fs.create(p, false)
-        try out.write(
-          (s"owner=${lease.owner}\nepoch=${lease.epoch}\n" +
-            s"expires_ms=${lease.expiresMs}\nop=${lease.op}\n")
-            .getBytes("UTF-8"))
-        finally out.close()
-        Some(lease)
-      } catch { case _: java.io.IOException => None }
-    }
+    def freshLease(epoch: Long) = IndexLease(
+      java.util.UUID.randomUUID().toString, epoch,
+      System.currentTimeMillis() + ttlMs, op)
     var attempt = 0
     while (attempt < 3) {
       attempt += 1
@@ -1264,21 +1312,45 @@ object IndexStore {
               "generation resolution. Wait for the holder to finish " +
               "(the lease self-expires if it crashed), then retry")
         case Some(cur) =>
-          // crashed holder: the TTL elapsed — clear and steal
-          fs.delete(p, false)
-          cur.epoch
+          // crashed holder: the TTL elapsed — STEAL by atomic claim
+          // (rename aside): of N concurrent stealers exactly one wins;
+          // the losers loop and see whatever the winner published
+          claimLeaseFile(fs, path) match {
+            case None => -1L // another claimer won — re-inspect
+            case Some(aside) =>
+              // the claimed file may not be the one we read (the
+              // holder could have released and a NEW writer acquired
+              // in the window): re-check expiry on the CLAIMED bytes
+              val claimed = readLeaseAt(fs, aside)
+              if (claimed.exists(_.expiresMs >=
+                  System.currentTimeMillis())) {
+                // we grabbed a LIVE lease — restore it and refuse;
+                // if the restore loses a race, the live holder's own
+                // release raises loudly (stolen-release detection)
+                val live = new org.apache.hadoop.fs.Path(path, LeaseFile)
+                try fs.rename(aside, live)
+                catch { case _: java.io.IOException => () }
+                throw new IllegalStateException(
+                  s"IndexStore.$op: the index at $path is locked by a " +
+                    "live single-writer lease (acquired concurrently " +
+                    "with this attempt) — retry after it completes")
+              }
+              fs.delete(aside, false): Unit
+              claimed.map(_.epoch).getOrElse(cur.epoch)
+          }
         case None => 0L
       }
-      tryCreate(prevEpoch + 1) match {
-        case Some(l) => return l
-        case None => () // lost a create race or transient IO — re-inspect
+      if (prevEpoch >= 0L) {
+        val lease = freshLease(prevEpoch + 1)
+        if (tryPublishLease(fs, path, lease)) return lease
+        // lost the publish race — re-inspect who holds it now
       }
     }
     throw new IllegalStateException(
       s"IndexStore.$op: could not acquire the single-writer lease at " +
         s"$path/$LeaseFile after 3 attempts — either writers are " +
         "churning it faster than this one can observe, or the " +
-        "filesystem is failing lease creates; inspect the file")
+        "filesystem is failing lease publishes; inspect the file")
   }
 
   /** Release a lease taken by [[acquireIndexLease]]. Idempotent when
@@ -1290,20 +1362,34 @@ object IndexStore {
     * the index.
     */
   def releaseIndexLease(
-      spark: SparkSession, path: String, lease: IndexLease): Unit =
-    readIndexLease(spark, path) match {
-      case None => ()
-      case Some(cur) if cur.owner == lease.owner =>
-        fsOf(spark, path)
-          .delete(new org.apache.hadoop.fs.Path(path, LeaseFile), false): Unit
-      case Some(cur) => throw new IllegalStateException(
-        s"IndexStore: releasing the ${lease.op} lease at $path found it " +
-          s"held by ANOTHER writer (op=${cur.op}, epoch=${cur.epoch}) — " +
-          s"this ${lease.op} outlived its TTL and the lease was stolen " +
-          "mid-op; exclusivity was violated for the overlap window. Run " +
-          "checkIndex and let the fence/monotone-guard recoveries " +
-          "arbitrate")
+      spark: SparkSession, path: String, lease: IndexLease): Unit = {
+    val fs = fsOf(spark, path)
+    // atomic claim-then-check (not read-then-delete): renaming the live
+    // file aside first means a stealer racing this release can never
+    // have ITS fresh lease deleted by us — exactly one party gets the
+    // file, and if the claimed bytes turn out to be another owner's we
+    // restore them and raise
+    claimLeaseFile(fs, path) match {
+      case None => () // already gone — idempotent
+      case Some(aside) =>
+        val cur = readLeaseAt(fs, aside)
+        if (cur.exists(_.owner == lease.owner)) {
+          fs.delete(aside, false): Unit
+        } else {
+          val live = new org.apache.hadoop.fs.Path(path, LeaseFile)
+          try fs.rename(aside, live)
+          catch { case _: java.io.IOException => () }
+          throw new IllegalStateException(
+            s"IndexStore: releasing the ${lease.op} lease at $path found " +
+              s"it held by ANOTHER writer (op=${cur.map(_.op).getOrElse("?")}, " +
+              s"epoch=${cur.map(_.epoch).getOrElse(-1L)}) — this " +
+              s"${lease.op} outlived its TTL and the lease was stolen " +
+              "mid-op; exclusivity was violated for the overlap window. " +
+              "Run checkIndex and let the fence/monotone-guard " +
+              "recoveries arbitrate")
+        }
     }
+  }
 
   /** Run `body` under the single-writer lease: acquire → body →
     * release, with a body failure taking precedence over any release
@@ -1484,17 +1570,16 @@ object IndexStore {
       .filter(_.isDirectory)
       .flatMap { s =>
         s.getPath.getName match {
-          case GenRe(t, g) if g.toLong != gens.getOrElse(t, 0L) =>
-            Some(s.getPath)
+          case GenRe(t, g) if g.toLong != gens.getOrElse(t, 0L) => Some(s)
           // a plain table dir is generation 0: stale iff the manifest
           // points that table somewhere newer
-          case n if gens.getOrElse(n, 0L) != 0L => Some(s.getPath)
+          case n if gens.getOrElse(n, 0L) != 0L => Some(s)
           case _ => None
         }
       }
-      .filter(p => cutoff.forall(c =>
-        fs.getFileStatus(p).getModificationTime < c))
-      .map { p => fs.delete(p, true); p.getName }
+      // the mtime is already on the listing's FileStatus — no re-stat
+      .filter(s => cutoff.forall(s.getModificationTime < _))
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
   }
 
   /** Per-table storage report for [[describeIndex]]. */
@@ -2041,6 +2126,18 @@ object IndexStore {
       reapRetired(fs, path, t, next, retainGenerations, retainAge)
       fs.delete(new Path(s"$path/${t}__compacting"), true): Unit
     }
+    // lease debris from CRASHED acquires/releases: a tmp/claim file
+    // older than the default TTL belongs to no live protocol step —
+    // reap it on the maintenance cadence (one root listing)
+    fs.listStatus(new Path(path)).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isFile &&
+          (n.startsWith(s"${LeaseFile}__tmp_") ||
+            n.startsWith(s"${LeaseFile}__claim_")) &&
+          s.getModificationTime <
+            System.currentTimeMillis() - DefaultLeaseTtlMs)
+        fs.delete(s.getPath, false): Unit
+    }
     results.map(_._3)
   }
 
@@ -2225,22 +2322,30 @@ object IndexStore {
     // screened is checkpointed either way (batch, or the collapse's
     // heads), so the estimate and the screen re-derive qt cheaply
     val qt = queryTermsOf(screened)
-    // the guardrail: exact screen volume as one narrow agg join —
-    // decimal sum (a 100 TB-shape product sum can overflow Long).
+    // the guardrail: exact screen volume as one narrow agg join. The
+    // decision math runs in DECIMAL from the per-term MULTIPLY up (at
+    // the 100 TB shape a single stopword-class term's df × queries can
+    // overflow Long on its own, not just the cross-term sum — an
+    // overflow here would either throw an opaque ANSI error or
+    // under-report the volume below budget, defeating the guard).
     // maxDfPpm-aware: pruned terms cost nothing, so they count nothing
+    val pairsDec =
+      col("df").cast("decimal(38,0)") * col("n_queries").cast("decimal(38,0)")
     val estTotal = screenPairEstimate(pre.postings, qt, maxDfPpm,
         pre.doclen)
-      .agg(coalesce(sum(col("pairs").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO)).as("t"))
+      .agg(coalesce(sum(pairsDec),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("t"))
       .head().getDecimal(0)
     if (estTotal.compareTo(
         java.math.BigDecimal.valueOf(maxScreenPairs)) > 0) {
       val dense = screenPairEstimate(pre.postings, qt, maxDfPpm,
           pre.doclen)
-        .orderBy(col("pairs").desc, col("term")).limit(5)
+        .orderBy(pairsDec.desc, col("term")).limit(5)
+        .select(col("term"), col("df"), col("n_queries"),
+          pairsDec.as("p"))
         .collect()
         .map(r => s"'${r.getString(0)}' (df=${r.getLong(1)} × " +
-          s"queries=${r.getLong(2)} = ${r.getLong(3)})")
+          s"queries=${r.getLong(2)} = ${r.getDecimal(3)})")
         .mkString(", ")
       throw new IllegalStateException(
         s"IndexStore.ingestText: the exact BM25 screen for this batch " +
@@ -2293,7 +2398,10 @@ object IndexStore {
     * rows × `n_queries` batch docs carrying the term. One narrow
     * aggregate join whose own cost is linear in the MATCHED postings
     * (Σ_t df(t)), never their product — cheap precisely when the
-    * screen would not be.
+    * screen would not be. The per-term `pairs` readout is a Long (its
+    * factors are physical row counts); the guardrail's own DECISION
+    * math re-derives the products in DECIMAL, where a single extreme
+    * term could overflow the readout column.
     */
   private def screenPairEstimate(
       prePostings: DataFrame, qt: DataFrame,

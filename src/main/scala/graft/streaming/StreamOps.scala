@@ -966,12 +966,24 @@ object StreamOps {
       retainGenerations: Int = 1,
       archiveEvery: Option[Int] = None,
       archivePath: Option[String] = None,
-      archiveKeepBatches: Int = 8): (DataFrame, Long) => Unit =
+      archiveKeepBatches: Int = 8,
+      // the ingestText guardrail knobs MUST be reachable from the sink:
+      // a dup-dense micro-batch over the budget raises INSIDE
+      // foreachBatch, and a checkpoint restart re-delivers the same
+      // batch — without these the loop would wedge deterministically
+      // with the raise's own recovery advice unreachable. collapseFirst
+      // defaults ON here (unlike the batch op): a streaming ingest loop
+      // wants one admission per intra-batch near-dup family anyway, and
+      // it is the documented mitigation for exactly that wedge.
+      maxScreenPairs: Long = 1000000000L,
+      collapseFirst: Boolean = true,
+      maxDfPpm: Option[Long] = None): (DataFrame, Long) => Unit =
     ingestBatchBody(verdictPath, indexPath, compactEvery,
       retainGenerations, archiveEvery, archivePath,
       archiveKeepBatches)(batch =>
       graft.operators.IndexStore.ingestText(batch, idCol, textCol,
-        indexPath, minScoreE6, k1, b))
+        indexPath, minScoreE6, k1, b, maxScreenPairs, collapseFirst,
+        maxDfPpm))
 
   /** Streaming z-score OUTLIER gate: flag live rows whose value sits
     * more than k·σ from their group's mean, where mean/σ come from a

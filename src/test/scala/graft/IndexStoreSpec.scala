@@ -1422,6 +1422,10 @@ class IndexStoreSpec extends SparkSuite {
     IndexStore.releaseIndexLease(spark, path, thief)
     // release is idempotent once the file is gone
     IndexStore.releaseIndexLease(spark, path, thief)
+    // the rename-based protocol leaves NO lease debris on clean flows
+    val debris = Option(new java.io.File(path).listFiles()).get
+      .map(_.getName).filter(_.startsWith("_lease")).toSeq
+    assert(debris.isEmpty, s"protocol must clean up after itself: $debris")
     // and a mutating op steals an expired lease the same way: a crash
     // never wedges the index
     IndexStore.acquireIndexLease(spark, path, "crasher2", ttlMs = 1L): Unit
