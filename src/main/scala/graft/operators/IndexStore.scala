@@ -323,9 +323,13 @@ object IndexStore {
     val dir = tableDirs(spark, path)
     val sets = spark.read.parquet(dir("sets"))
     val members = spark.read.parquet(dir("members"))
+    // coverage on the RAW members (see [[loadVectorIndex]]: a
+    // fully-deleted group is a tombstone state, not a torn append)
     if (check) requireMemberCoverage(members, sets, "corpus_id", "sets", path)
     Dedup.capCorpusTables(
-      spark.read.parquet(dir("bands")), sets, members, maxBucketSize)
+      spark.read.parquet(dir("bands")), sets,
+      applyDeletes(members, readDeletes(spark, path, dir), "member_id"),
+      maxBucketSize)
   }
 
   /** Append a batch of new documents to a persisted corpus index (pure
@@ -369,7 +373,8 @@ object IndexStore {
       val oldSets = spark.read.parquet(dir("sets"))
       val oldMembers = spark.read.parquet(dir("members"))
       val gn = Dedup.textGroups(newDocs, idCol, textCol)
-      requireIdsAfter(oldMembers.select(col("member_id")),
+      requireIdsAfter(graveyardUnion(spark, path, dir,
+          oldMembers.select(col("member_id"))),
         gn.select(explode(col("members")).as("member_id")), "appendCorpusIndex")
       // exact-text merge: members of matched groups file under the
       // EXISTING rep (no new band/set rows — identical text means the
@@ -555,9 +560,16 @@ object IndexStore {
       maxBucketSize: Int = 1000): Dedup.MediaIndex = {
     metaOf(spark, path, "media")
     val dir = tableDirs(spark, path)
+    // tombstones ([[deleteFromMediaIndex]]) are applied to the MEMBER
+    // grain only: every screen hydrates matches through members, so a
+    // deleted asset can never surface; its dh's band rows (shared with
+    // surviving exact-dup family members, or stale if the family is
+    // empty) are harmless candidates and reclaimed by
+    // [[vacuumMediaIndex]]
     Dedup.MediaIndex(
       Dedup.capBands(spark.read.parquet(dir("bands")), maxBucketSize),
-      spark.read.parquet(dir("members")))
+      applyDeletes(spark.read.parquet(dir("members")),
+        readDeletes(spark, path, dir), "member_id"))
   }
 
   /** Append a batch of newly hashed assets (pure parquet appends).
@@ -593,7 +605,8 @@ object IndexStore {
       val (resolved, dir) = resolvedDirs(spark, path)
       appendFenceTestHook()
       val oldMembers = spark.read.parquet(dir("members"))
-      requireIdsAfter(oldMembers.select(col("member_id")),
+      requireIdsAfter(graveyardUnion(spark, path, dir,
+          oldMembers.select(col("member_id"))),
         incoming.select(col("member_id")), "appendMediaIndex")
       // anti-join against BANDS (not members): a signature with member
       // rows but no band rows — the torn-append orphan — is invisible to
@@ -750,9 +763,14 @@ object IndexStore {
     val dir = tableDirs(spark, path)
     val reps = spark.read.parquet(dir("reps"))
     val members = spark.read.parquet(dir("members"))
+    // torn-state coverage runs on the RAW members: a fully-deleted rep
+    // group legitimately has a reps row and zero LIVE members — that is
+    // a tombstone state, not a torn append (vacuum prunes the group)
     if (check) requireMemberCoverage(members, reps, "rep_id", "reps", path)
     Similarity.capVectorTables(
-      spark.read.parquet(dir("blocks")), reps, members, maxBucketSize)
+      spark.read.parquet(dir("blocks")), reps,
+      applyDeletes(members, readDeletes(spark, path, dir), "member_id"),
+      maxBucketSize)
   }
 
   /** Append new vectors to a persisted vector index; exact-duplicate
@@ -779,7 +797,8 @@ object IndexStore {
       val oldReps = spark.read.parquet(dir("reps"))
       val oldMembers = spark.read.parquet(dir("members"))
       val gn = vecGroups(newVecs, idCol, vecCol)
-      requireIdsAfter(oldMembers.select(col("member_id")),
+      requireIdsAfter(graveyardUnion(spark, path, dir,
+          oldMembers.select(col("member_id"))),
         gn.select(explode(col("members")).as("member_id")), "appendVectorIndex")
       val matched = gn.join(oldReps.withColumnRenamed("rep_id", "__rep"), Seq("v"))
         .select(col("__rep").as("rep_id"), explode(col("members")).as("member_id"))
@@ -927,7 +946,12 @@ object IndexStore {
     val centroids = spark.read.parquet(dir("centroids"))
       .orderBy("list_id").collect()
       .map(_.getAs[Seq[Double]]("centroid").toArray)
-    IvfIndex.Model(centroids, spark.read.parquet(dir("assign")))
+    // tombstones ([[deleteFromIvf]]): a deleted id leaves the inverted
+    // lists at load, so no probe can select it — searches hydrate
+    // vectors from the caller's corpus BY these assignments
+    IvfIndex.Model(centroids,
+      applyDeletes(spark.read.parquet(dir("assign")),
+        readDeletes(spark, path, dir), "id"))
   }
 
   /** Append new vectors to a persisted IVF model: assign them to the
@@ -961,10 +985,15 @@ object IndexStore {
         .map(_.getAs[Seq[Double]]("centroid").toArray)
       val assignments = spark.read.parquet(dir("assign"))
       val assign = IvfIndex.assign(newVecs, idCol, vecCol, centroids)
-      require(assign.join(assignments.select(col("id")), Seq("id"),
+      // overlap guard over live ids ∪ the tombstone graveyard: a
+      // vacuumed delete's rows leave assign/, but re-admitting its id
+      // would resurrect a taken-down vector under the same identity
+      require(assign.join(graveyardUnion(spark, path, dir,
+            assignments.select(col("id"))), Seq("id"),
           "left_semi").limit(1).count() == 0,
-        "IndexStore.appendIvf: a new id already exists in the index; " +
-          "appending it would double-count its vector in every probe")
+        "IndexStore.appendIvf: a new id already exists in the index " +
+          "(or its graveyard); appending it would double-count its " +
+          "vector in every probe (or resurrect a deleted id)")
       assign.repartition(col("list_id"))
         .write.mode("append").parquet(dir("assign"))
       requireGenerationsUnmoved(spark, path, resolved,
@@ -1014,14 +1043,30 @@ object IndexStore {
     * text is not stored, so the shape is unhealable — recovery is a
     * rebuild or pruning the orphaned id range, as with the
     * corpus/vector member orphans.
+    *
+    * TOMBSTONES ([[deleteFromTextIndex]]) are applied here: when the
+    * index carries a `deletes` table, both relations are anti-joined
+    * by doc_id before anything else, so every probe — and, because
+    * N/Σdl/df all DERIVE from these relations at probe time rather
+    * than being stored, every BM25 STATISTIC — sees exactly the
+    * corpus minus its deleted documents, immediately at the delete
+    * and without waiting for a [[vacuumTextIndex]] rewrite. The
+    * anti-joins carry no broadcast hint (AQE broadcasts the normally
+    * tiny delete set; a delete set too big to broadcast is the signal
+    * to vacuum). The torn-state identity is checked AFTER the
+    * anti-join — deletes remove whole documents from both tables, so
+    * they preserve it.
     */
   def loadTextIndex(
       spark: SparkSession, path: String,
       check: Boolean = true): TextAnalysis.TextIndex = {
     metaOf(spark, path, "text")
     val dir = tableDirs(spark, path)
-    val postings = spark.read.parquet(dir("postings"))
-    val doclen = spark.read.parquet(dir("doclen"))
+    val del = readDeletes(spark, path, dir)
+    val postings = applyDeletes(
+      spark.read.parquet(dir("postings")), del, "doc_id")
+    val doclen = applyDeletes(
+      spark.read.parquet(dir("doclen")), del, "doc_id")
     if (check) {
       val sums = doclen.agg(sum(col("dl")).as("__dl"))
         .crossJoin(broadcast(postings.agg(sum(col("tf")).as("__tf"))))
@@ -1054,6 +1099,501 @@ object IndexStore {
     TextAnalysis.TextIndex(postings, doclen)
   }
 
+  /** An index's OPTIONAL tombstone table — one id column (named for
+    * the kind's member grain: doc_id / member_id / id) per deleted
+    * row — resolved through the generation manifest like every raw
+    * table; None when the index has never seen a delete.
+    */
+  private def readDeletes(
+      spark: SparkSession, path: String,
+      dir: String => String): Option[DataFrame] = {
+    val d = dir("deletes")
+    if (fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(d)))
+      Some(spark.read.parquet(d))
+    else None
+  }
+
+  /** Anti-join a live table by the tombstone set (no-op when the index
+    * has never seen a delete). Deliberately no broadcast hint: AQE
+    * broadcasts the normally tiny delete set at runtime size; a delete
+    * set too big to broadcast is the operator's signal to vacuum.
+    */
+  private def applyDeletes(
+      t: DataFrame, del: Option[DataFrame], idColName: String): DataFrame =
+    del.fold(t)(d => t.join(d.toDF(idColName), Seq(idColName), "left_anti"))
+
+  /** Union the kind's id GRAVEYARD (the deletes table, if present)
+    * into an existing-ids relation for the monotone append guard: a
+    * deleted id's rows may have left the live tables (vacuum), but the
+    * id must stay unreusable forever — re-admitting it would splice
+    * two members' content under one id across the index's history.
+    */
+  private def graveyardUnion(
+      spark: SparkSession, path: String, dir: String => String,
+      existing: DataFrame): DataFrame =
+    readDeletes(spark, path, dir)
+      .fold(existing)(d => existing.unionByName(d.toDF(existing.columns.head)))
+
+  /** The shared tombstone-delete core behind deleteFrom*Index: under
+    * the caller's lease, validate the id set (non-empty, duplicate-free,
+    * every id LIVE per `liveIds` — a takedown that silently no-ops on a
+    * typo'd or already-deleted id is the failure mode the raises
+    * prevent) and append it to the `deletes` table under the kind's id
+    * column name, fencing the commit like every append. Returns the
+    * number of ids tombstoned.
+    */
+  private def tombstoneDelete(
+      spark: SparkSession, path: String, op: String, idColName: String,
+      ids: DataFrame, liveIds: DataFrame,
+      dir: String => String, resolved: Map[String, Long]): Long = {
+    appendFenceTestHook()
+    val del = ids.select(col(ids.columns.head).as(idColName))
+      .localCheckpoint(true) // validation + write must see ONE set
+    val counts = del.agg(count(lit(1)).as("__n"),
+      count_distinct(col(idColName)).as("__nd")).head()
+    val n = counts.getLong(0)
+    require(n > 0L,
+      s"IndexStore.$op: empty delete set — a takedown that names " +
+        "nothing is almost certainly a filter bug; raise rather than " +
+        "silently no-op")
+    require(counts.getLong(1) == n,
+      s"IndexStore.$op: delete set carries " +
+        s"${n - counts.getLong(1)} duplicate id(s) — dedupe it (the " +
+        "tombstone table is the audit log of what was erased; " +
+        "duplicates make its row count lie)")
+    val missing = del.join(liveIds, Seq(idColName), "left_anti")
+      .localCheckpoint(true)
+    val nMissing = missing.count()
+    if (nMissing > 0L) {
+      val sample = missing.limit(5).collect()
+        .map(_.get(0)).mkString(", ")
+      throw new IllegalArgumentException(
+        s"IndexStore.$op: $nMissing id(s) name no LIVE member of the " +
+          s"index at $path (e.g. $sample) — never indexed, already " +
+          "deleted, or pruned by a repair. A takedown must not " +
+          "silently no-op; fix the id set (or drop already-deleted " +
+          "ids from it) and re-run")
+    }
+    del.coalesce(1).write.mode("append").parquet(dir("deletes"))
+    requireGenerationsUnmoved(spark, path, resolved, Seq("deletes"), op)
+    n
+  }
+
+  /** TOMBSTONE-delete documents from a persisted text index — the
+    * takedown/right-to-erasure primitive a 100 TB corpus needs: the
+    * ids land in a small `deletes` table (one narrow append, the heavy
+    * postings/doclen tables untouched) and [[loadTextIndex]] anti-joins
+    * them out of BOTH relations, so every subsequent probe sees the
+    * corpus minus the deleted docs with EXACT BM25 statistics (N, df,
+    * Σdl all derive from the live relations at probe time — no stored
+    * stat to go stale; deletion is stat-exact the moment this returns,
+    * the same reason append ≡ rebuild holds). Space is reclaimed
+    * lazily by [[vacuumTextIndex]].
+    *
+    * Every id must name a LIVE document (present in doclen, not
+    * already tombstoned): a takedown that silently no-ops on a typo'd
+    * id is the failure mode this raise exists to prevent, and the
+    * uniqueness requirement keeps the delete set auditable (the
+    * anti-join itself would tolerate duplicates). Tombstoned ids are
+    * NEVER freed for reuse — the id graveyard is retained across
+    * [[vacuumTextIndex]] and [[appendTextIndex]] fences against it —
+    * because an id's reappearance would silently splice two documents'
+    * statistics together under the monotone-ingest contract. Do not
+    * interleave deletes with an in-flight ingest round's crash-retry
+    * window (the round's replay verification reads the live id set);
+    * the single-writer lease serializes this op against every other
+    * mutation as usual.
+    *
+    * @return the number of documents tombstoned
+    */
+  def deleteFromTextIndex(
+      spark: SparkSession, path: String, ids: DataFrame): Long = {
+    withIndexLease(spark, path, "deleteFromTextIndex") {
+      metaOf(spark, path, "text")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      val liveIds = {
+        val all = spark.read.parquet(dir("doclen")).select(col("doc_id"))
+        readDeletes(spark, path, dir)
+          .fold(all)(d => all.join(d, Seq("doc_id"), "left_anti"))
+      }
+      tombstoneDelete(spark, path, "deleteFromTextIndex", "doc_id",
+        ids, liveIds, dir, resolved)
+    }
+  }
+
+  /** Fold tombstones into the heavy tables: rewrite postings and
+    * doclen WITHOUT the deleted docs' rows and publish both with one
+    * atomic manifest swap ([[swapGenerations]] — same online-reader
+    * safety and retention knobs as [[compactIndex]]). Probe results
+    * are IDENTICAL before and after (loads already anti-join the
+    * tombstones; the vacuum reclaims space and retires the per-load
+    * anti-join work, it never changes semantics — vacuum ≡ fresh build
+    * over the live corpus, IndexStoreSpec). The `deletes` table itself
+    * is KEPT as the id graveyard: it is what lets
+    * [[appendTextIndex]]'s monotone guard keep refusing a vacuumed
+    * id's reuse after its rows left the heavy tables, and it is tiny
+    * relative to what the vacuum just reclaimed. No-op (returns 0,
+    * swaps nothing) when no tombstone still has rows to fold. Run on
+    * the compaction cadence, or when the delete set approaches
+    * broadcast size.
+    *
+    * @return the number of deleted documents whose rows were folded out
+    */
+  def vacuumTextIndex(
+      spark: SparkSession, path: String,
+      retainGenerations: Int = 1,
+      retainAge: Option[java.time.Duration] = None): Long = {
+    withIndexLease(spark, path, "vacuumTextIndex") {
+      metaOf(spark, path, "text")
+      val dir = tableDirs(spark, path)
+      readDeletes(spark, path, dir) match {
+        case None => 0L
+        case Some(del0) =>
+          val del = del0.localCheckpoint(true)
+          val doclen = spark.read.parquet(dir("doclen"))
+          val postings = spark.read.parquet(dir("postings"))
+          val unfolded = doclen.join(del, Seq("doc_id"), "left_semi").count()
+          if (unfolded == 0L) 0L
+          else {
+            swapGenerations(spark, path, retainGenerations, retainAge)(Seq(
+              "doclen" -> (d => doclen.join(del, Seq("doc_id"), "left_anti")
+                .repartition(col("doc_id"))
+                .write.mode("overwrite").parquet(d)),
+              "postings" -> (d =>
+                postings.join(del, Seq("doc_id"), "left_anti")
+                  .repartition(col("term"))
+                  .write.mode("overwrite").parquet(d))))
+            unfolded
+          }
+      }
+    }
+  }
+
+  /** MERGE shard text indexes into one — the shard-parallel BUILD path
+    * at 100 TB: no single job tokenizes a 100 TB corpus in one go, so
+    * K builders each [[saveTextIndex]] a disjoint id range
+    * concurrently (each under its own path's lease) and this op unions
+    * them into one probe-able index. It is exact BY THE SAME DESIGN
+    * that makes append ≡ rebuild: a text index stores NO corpus
+    * statistic — N, Σdl and df all derive from postings/doclen at
+    * probe time — so the union of shard tables IS the single-build
+    * index (merge ≡ [[saveTextIndex]] over the concatenated corpus,
+    * IndexStoreSpec, and q261's full-replay oracle). Shards are read
+    * through [[loadTextIndex]] (torn shards raise; shard tombstones
+    * are applied — the merged index starts with a clean slate, no
+    * `deletes` table, so shard graveyards do NOT transfer and the
+    * output's monotone guard fences against live ids only). Disjoint
+    * doc_ids across shards are REQUIRED and verified with one narrow
+    * count-vs-distinct aggregate (the failure path samples the
+    * overlapping ids); the rewrite clusters postings by term and
+    * doclen by doc_id — one scan-shaped pass over the combined data,
+    * the same cost shape as one compaction of the result. The shards
+    * themselves are left untouched (readers pinned on them are
+    * unaffected); `outPath` must be a fresh or sacrificial location —
+    * it is rebuilt via [[resetGenerations]] under its own lease.
+    *
+    * @return the merged index's document count
+    */
+  def mergeTextIndexes(
+      spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
+    require(shardPaths.size >= 2,
+      "IndexStore.mergeTextIndexes: need at least two shard indexes " +
+        "(one shard is already the index you want)")
+    require(shardPaths.distinct.size == shardPaths.size,
+      "IndexStore.mergeTextIndexes: duplicate shard path — merging a " +
+        "shard with itself would double every df/tf")
+    require(!shardPaths.contains(outPath),
+      "IndexStore.mergeTextIndexes: outPath must not be one of the " +
+        "shards — the output is rebuilt from scratch and the rewrite " +
+        "would consume a shard it is overwriting")
+    val shards = shardPaths.map(p => loadTextIndex(spark, p))
+    val postings = shards.map(_.postings).reduce(_.unionByName(_))
+    val doclen = shards.map(_.doclen).reduce(_.unionByName(_))
+    val c = doclen.agg(count(lit(1)).as("__n"),
+      count_distinct(col("doc_id")).as("__nd")).head()
+    if (c.getLong(0) != c.getLong(1)) {
+      // failure path only: name some overlapping ids
+      val sample = doclen.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__k")).where(col("__k") > 1)
+        .limit(5).collect().map(_.get(0)).mkString(", ")
+      throw new IllegalArgumentException(
+        s"IndexStore.mergeTextIndexes: shard doc_ids overlap — " +
+          s"${c.getLong(0) - c.getLong(1)} id(s) appear in more than " +
+          s"one shard (e.g. $sample). Shards must hold disjoint id " +
+          "ranges (a duplicated id would splice two documents' " +
+          "statistics); re-id the offending shard and re-run")
+    }
+    withIndexLease(spark, outPath, "mergeTextIndexes") {
+      resetGenerations(spark, outPath)
+      postings.repartition(col("term"))
+        .write.mode("overwrite").parquet(s"$outPath/postings")
+      doclen.repartition(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$outPath/doclen")
+      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+      writeMeta(spark, outPath, Seq("kind" -> "text"))
+    }
+    c.getLong(0)
+  }
+
+  // ---------------------------------------------------------------
+  // Tombstone deletes — every index kind (takedown / right-to-erasure)
+  // ---------------------------------------------------------------
+
+  /** TOMBSTONE-delete assets from a persisted MEDIA index — the
+    * perceptual-grain takedown (DMCA'd images, revoked assets): ids
+    * land in the small `deletes` table and [[loadMediaIndex]]
+    * anti-joins them out of `members`, so no screen can surface a
+    * deleted asset the moment this returns (every screen hydrates
+    * matches THROUGH members — band rows alone emit nothing). The
+    * asset's band rows stay until [[vacuumMediaIndex]]: they are
+    * shared with surviving exact-dup family members, and stale ones
+    * (family fully deleted) are harmless never-hydrated candidates.
+    * Validation contract and graveyard semantics as
+    * [[deleteFromTextIndex]].
+    *
+    * @return the number of assets tombstoned
+    */
+  def deleteFromMediaIndex(
+      spark: SparkSession, path: String, ids: DataFrame): Long = {
+    withIndexLease(spark, path, "deleteFromMediaIndex") {
+      metaOf(spark, path, "media")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      val live = applyDeletes(
+        spark.read.parquet(dir("members")).select(col("member_id")),
+        readDeletes(spark, path, dir), "member_id")
+      tombstoneDelete(spark, path, "deleteFromMediaIndex", "member_id",
+        ids, live, dir, resolved)
+    }
+  }
+
+  /** Fold a media index's tombstones: rewrite `members` without the
+    * deleted rows and `bands` without the signatures that no longer
+    * have ANY live member (a dh's band rows are per-signature, shared
+    * by its exact-dup family — they fold only when the family dies),
+    * published with one atomic generation swap ([[swapGenerations]],
+    * same online-reader retention as [[compactIndex]]). Probe results
+    * are identical before and after; the `deletes` table is KEPT as
+    * the id graveyard ([[vacuumTextIndex]]'s rationale). No-op when no
+    * tombstone still has member rows.
+    *
+    * @return the number of member rows folded out
+    */
+  def vacuumMediaIndex(
+      spark: SparkSession, path: String,
+      retainGenerations: Int = 1,
+      retainAge: Option[java.time.Duration] = None): Long = {
+    withIndexLease(spark, path, "vacuumMediaIndex") {
+      metaOf(spark, path, "media")
+      val dir = tableDirs(spark, path)
+      readDeletes(spark, path, dir) match {
+        case None => 0L
+        case Some(del0) =>
+          val del = del0.toDF("member_id").localCheckpoint(true)
+          val members = spark.read.parquet(dir("members"))
+          val unfolded =
+            members.join(del, Seq("member_id"), "left_semi").count()
+          if (unfolded == 0L) 0L
+          else {
+            val live = members.join(del, Seq("member_id"), "left_anti")
+            val bands = spark.read.parquet(dir("bands"))
+            swapGenerations(spark, path, retainGenerations, retainAge)(Seq(
+              "members" -> (d => live.repartition(col("dh"))
+                .write.mode("overwrite").parquet(d)),
+              "bands" -> (d => bands
+                .join(live.select(col("dh")).distinct(), Seq("dh"),
+                  "left_semi")
+                .repartition(col("band_hash"))
+                .write.mode("overwrite").parquet(d))))
+            unfolded
+          }
+      }
+    }
+  }
+
+  /** TOMBSTONE-delete members from a persisted VECTOR index. Deletion
+    * is at the MEMBER grain: the rep rows are internal scoring state
+    * (one stored vector per exact-dup family), and every screen
+    * expands matches through `members`, so a deleted member can never
+    * surface — even when it was the family's rep id, its surviving
+    * exact-dup twins (identical vector by construction) keep matching
+    * through the same rep row. A fully-deleted family's reps/blocks
+    * rows are stale-but-harmless (zero members hydrate) until
+    * [[vacuumVectorIndex]] prunes them. Validation and graveyard as
+    * [[deleteFromTextIndex]].
+    */
+  def deleteFromVectorIndex(
+      spark: SparkSession, path: String, ids: DataFrame): Long = {
+    withIndexLease(spark, path, "deleteFromVectorIndex") {
+      metaOf(spark, path, "vector")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      val live = applyDeletes(
+        spark.read.parquet(dir("members")).select(col("member_id")),
+        readDeletes(spark, path, dir), "member_id")
+      tombstoneDelete(spark, path, "deleteFromVectorIndex", "member_id",
+        ids, live, dir, resolved)
+    }
+  }
+
+  /** Fold a vector index's tombstones: `members` loses the deleted
+    * rows; `reps` and `blocks` lose the families with no surviving
+    * member. One atomic generation swap; probes identical before and
+    * after; graveyard kept. The RAW-members coverage identity
+    * [[loadVectorIndex]] checks is preserved: a group survives in reps
+    * iff it keeps ≥ 1 member row.
+    */
+  def vacuumVectorIndex(
+      spark: SparkSession, path: String,
+      retainGenerations: Int = 1,
+      retainAge: Option[java.time.Duration] = None): Long = {
+    withIndexLease(spark, path, "vacuumVectorIndex") {
+      metaOf(spark, path, "vector")
+      val dir = tableDirs(spark, path)
+      readDeletes(spark, path, dir) match {
+        case None => 0L
+        case Some(del0) =>
+          val del = del0.toDF("member_id").localCheckpoint(true)
+          val members = spark.read.parquet(dir("members"))
+          val unfolded =
+            members.join(del, Seq("member_id"), "left_semi").count()
+          if (unfolded == 0L) 0L
+          else {
+            val live = members.join(del, Seq("member_id"), "left_anti")
+            val liveGroups = live.select(col("rep_id")).distinct()
+            val reps = spark.read.parquet(dir("reps"))
+            val blocks = spark.read.parquet(dir("blocks"))
+            swapGenerations(spark, path, retainGenerations, retainAge)(Seq(
+              "members" -> (d => live.repartition(col("rep_id"))
+                .write.mode("overwrite").parquet(d)),
+              "reps" -> (d => reps
+                .join(liveGroups, Seq("rep_id"), "left_semi")
+                .repartition(col("rep_id"))
+                .write.mode("overwrite").parquet(d)),
+              "blocks" -> (d => blocks
+                .join(liveGroups, Seq("rep_id"), "left_semi")
+                .repartition(col("band_hash"))
+                .write.mode("overwrite").parquet(d))))
+            unfolded
+          }
+      }
+    }
+  }
+
+  /** TOMBSTONE-delete documents from a persisted CORPUS (MinHash-LSH)
+    * index — [[deleteFromVectorIndex]]'s lexical twin, member grain
+    * for the same reason: sets/bands rows are per-family scoring state
+    * over IDENTICAL text, matches expand through `members`. A dead
+    * family's sets/bands rows stay (harmless, zero members hydrate —
+    * and a later append of the same text legitimately REVIVES the
+    * family with a fresh member id: the content was re-admitted, the
+    * stored shingles still describe it exactly) until
+    * [[vacuumCorpusIndex]] prunes them.
+    */
+  def deleteFromCorpusIndex(
+      spark: SparkSession, path: String, ids: DataFrame): Long = {
+    withIndexLease(spark, path, "deleteFromCorpusIndex") {
+      metaOf(spark, path, "corpus")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      val live = applyDeletes(
+        spark.read.parquet(dir("members")).select(col("member_id")),
+        readDeletes(spark, path, dir), "member_id")
+      tombstoneDelete(spark, path, "deleteFromCorpusIndex", "member_id",
+        ids, live, dir, resolved)
+    }
+  }
+
+  /** Fold a corpus index's tombstones: `members` loses the deleted
+    * rows; `sets` and `bands` lose the families with no surviving
+    * member. Swap/retention/graveyard as [[vacuumVectorIndex]].
+    */
+  def vacuumCorpusIndex(
+      spark: SparkSession, path: String,
+      retainGenerations: Int = 1,
+      retainAge: Option[java.time.Duration] = None): Long = {
+    withIndexLease(spark, path, "vacuumCorpusIndex") {
+      metaOf(spark, path, "corpus")
+      val dir = tableDirs(spark, path)
+      readDeletes(spark, path, dir) match {
+        case None => 0L
+        case Some(del0) =>
+          val del = del0.toDF("member_id").localCheckpoint(true)
+          val members = spark.read.parquet(dir("members"))
+          val unfolded =
+            members.join(del, Seq("member_id"), "left_semi").count()
+          if (unfolded == 0L) 0L
+          else {
+            val live = members.join(del, Seq("member_id"), "left_anti")
+            val liveGroups = live.select(col("corpus_id")).distinct()
+            val sets = spark.read.parquet(dir("sets"))
+            val bands = spark.read.parquet(dir("bands"))
+            swapGenerations(spark, path, retainGenerations, retainAge)(Seq(
+              "members" -> (d => live.repartition(col("corpus_id"))
+                .write.mode("overwrite").parquet(d)),
+              "sets" -> (d => sets
+                .join(liveGroups, Seq("corpus_id"), "left_semi")
+                .repartition(col("corpus_id"))
+                .write.mode("overwrite").parquet(d)),
+              "bands" -> (d => bands
+                .join(liveGroups, Seq("corpus_id"), "left_semi")
+                .repartition(col("band_hash"))
+                .write.mode("overwrite").parquet(d))))
+            unfolded
+          }
+      }
+    }
+  }
+
+  /** TOMBSTONE-delete vector ids from a persisted IVF model: the id
+    * leaves the inverted lists at load ([[loadIvf]] anti-joins), so no
+    * probe can select it — searches hydrate vectors from the caller's
+    * corpus BY these assignments, so the deleted vector is gone from
+    * recall immediately regardless of what the caller still stores.
+    * [[vacuumIvf]] folds the rows; [[appendIvf]]'s overlap guard
+    * unions the graveyard so a deleted id can never be re-admitted.
+    */
+  def deleteFromIvf(
+      spark: SparkSession, path: String, ids: DataFrame): Long = {
+    withIndexLease(spark, path, "deleteFromIvf") {
+      metaOf(spark, path, "ivf")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      val live = applyDeletes(
+        spark.read.parquet(dir("assign")).select(col("id")),
+        readDeletes(spark, path, dir), "id")
+      tombstoneDelete(spark, path, "deleteFromIvf", "id",
+        ids, live, dir, resolved)
+    }
+  }
+
+  /** Fold an IVF model's tombstones out of the inverted lists (one
+    * table — the simplest vacuum). Swap/retention/graveyard as the
+    * other kinds. Centroids are untouched: they are a training
+    * snapshot, and sustained deletion skew is the same drift
+    * [[rebuildIvf]] exists to correct.
+    */
+  def vacuumIvf(
+      spark: SparkSession, path: String,
+      retainGenerations: Int = 1,
+      retainAge: Option[java.time.Duration] = None): Long = {
+    withIndexLease(spark, path, "vacuumIvf") {
+      metaOf(spark, path, "ivf")
+      val dir = tableDirs(spark, path)
+      readDeletes(spark, path, dir) match {
+        case None => 0L
+        case Some(del0) =>
+          val del = del0.toDF("id").localCheckpoint(true)
+          val assign = spark.read.parquet(dir("assign"))
+          val unfolded = assign.join(del, Seq("id"), "left_semi").count()
+          if (unfolded == 0L) 0L
+          else {
+            swapGenerations(spark, path, retainGenerations, retainAge)(Seq(
+              "assign" -> (d => assign.join(del, Seq("id"), "left_anti")
+                .repartition(col("list_id"))
+                .write.mode("overwrite").parquet(d))))
+            unfolded
+          }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------
   // Table generations + maintenance (compaction, reap)
   // ---------------------------------------------------------------
@@ -1068,14 +1608,21 @@ object IndexStore {
     * the key each table is clustered by on write, preserved by
     * [[compactIndex]]'s rewrite.
     */
+  // every kind's `deletes` table is OPTIONAL (absent until the first
+  // deleteFrom*Index) — compactIndex/describeIndex tolerate a missing
+  // live dir
+  private val OptionalTables = Set("deletes")
   private val tablesByKind: Map[String, Seq[(String, String)]] = Map(
     "corpus" -> Seq("bands" -> "band_hash", "sets" -> "corpus_id",
-      "members" -> "corpus_id"),
-    "media" -> Seq("bands" -> "band_hash", "members" -> "dh"),
+      "members" -> "corpus_id", "deletes" -> "member_id"),
+    "media" -> Seq("bands" -> "band_hash", "members" -> "dh",
+      "deletes" -> "member_id"),
     "vector" -> Seq("blocks" -> "band_hash", "reps" -> "rep_id",
-      "members" -> "rep_id"),
-    "ivf" -> Seq("assign" -> "list_id", "centroids" -> "list_id"),
-    "text" -> Seq("postings" -> "term", "doclen" -> "doc_id"))
+      "members" -> "rep_id", "deletes" -> "member_id"),
+    "ivf" -> Seq("assign" -> "list_id", "centroids" -> "list_id",
+      "deletes" -> "id"),
+    "text" -> Seq("postings" -> "term", "doclen" -> "doc_id",
+      "deletes" -> "doc_id"))
 
   /** The generation manifest: a single small file under the index root
     * naming the ACTIVE generation of every raw table. Generation 0 is
@@ -1539,6 +2086,10 @@ object IndexStore {
     if (!fs.exists(root)) return
     fs.delete(new org.apache.hadoop.fs.Path(path, "meta"), true): Unit
     fs.delete(new org.apache.hadoop.fs.Path(path, GenManifest), false): Unit
+    // OPTIONAL tables no builder rewrites (the text kind's tombstones):
+    // a stale graveyard surviving the rebuild would silently delete the
+    // NEW index's documents that happen to share the old ids
+    fs.delete(new org.apache.hadoop.fs.Path(path, "deletes"), true): Unit
     val stale = fs.listStatus(root).filter { s =>
       val n = s.getPath.getName
       s.isDirectory && (n.matches(".*__g\\d+$") ||
@@ -1607,9 +2158,15 @@ object IndexStore {
     val root = new org.apache.hadoop.fs.Path(path)
     val entries = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName).toSet
-    tables.map { case (t, _) =>
+    tables.flatMap { case (t, _) =>
       val g = gens.getOrElse(t, 0L)
       val dir = new org.apache.hadoop.fs.Path(s"$path/${genDirName(t, g)}")
+      // an OPTIONAL table that never materialized (no live dir, no
+      // manifest entry — e.g. deletes on a never-deleted index) gets
+      // no report row; a MANDATORY table's missing dir still reports
+      // 0 files, which is the diagnostic a torn index wants
+      if (OptionalTables(t) && !gens.contains(t) && !fs.exists(dir)) None
+      else Some {
       val data =
         if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
         else fs.listStatus(dir).filter(s => s.isFile && {
@@ -1623,6 +2180,7 @@ object IndexStore {
       }
       TableStat(t, g, data.length.toLong, data.map(_.getLen).sum,
         stale.toLong)
+      }
     }
   }
 
@@ -2089,7 +2647,7 @@ object IndexStore {
         !n.startsWith("_") && !n.startsWith(".")
       })
     val gens = readGenerations(fs, path)
-    val results = tables.map { case (t, key) =>
+    val results = tables.flatMap { case (t, key) =>
       val cur = gens.getOrElse(t, 0L)
       val dir = new Path(s"$path/${genDirName(t, cur)}")
       // recover debris from a pre-round-11 compact that crashed
@@ -2100,20 +2658,26 @@ object IndexStore {
         require(fs.rename(legacyAside, dir),
           s"IndexStore.compactIndex: could not restore $legacyAside to $dir")
       }
-      val before = dataFiles(dir)
-      val bytes = before.map(_.getLen).sum
-      val nParts =
-        math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile)
-          .min(1 << 20).toInt
-      val next = cur + 1
-      spark.read.parquet(dir.toString)
-        .repartition(nParts, col(key))
-        .write.mode("overwrite")
-        .parquet(s"$path/${genDirName(t, next)}")
-      (t, next,
-        CompactStat(t, before.length.toLong,
-          dataFiles(new Path(s"$path/${genDirName(t, next)}")).length.toLong,
-          bytes))
+      // OPTIONAL tables (the text kind's deletes, absent until the
+      // first tombstone) simply don't participate
+      if (!fs.exists(dir)) None
+      else Some {
+        val before = dataFiles(dir)
+        val bytes = before.map(_.getLen).sum
+        val nParts =
+          math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile)
+            .min(1 << 20).toInt
+        val next = cur + 1
+        spark.read.parquet(dir.toString)
+          .repartition(nParts, col(key))
+          .write.mode("overwrite")
+          .parquet(s"$path/${genDirName(t, next)}")
+        (t, next,
+          CompactStat(t, before.length.toLong,
+            dataFiles(new Path(s"$path/${genDirName(t, next)}"))
+              .length.toLong,
+            bytes))
+      }
     }
     // one atomic publish for ALL tables — readers see a consistent
     // all-old or all-new set of generations, never a mix
@@ -2161,8 +2725,17 @@ object IndexStore {
       metaOf(spark, path, "text")
       val (resolved, dir) = resolvedDirs(spark, path)
       appendFenceTestHook()
-      val existingIds = spark.read.parquet(dir("doclen")).select(col("doc_id"))
-        .unionByName(spark.read.parquet(dir("postings")).select(col("doc_id")))
+      // the union covers BOTH stored tables (crash-retry, see above)
+      // AND the tombstone graveyard: a vacuumed delete's rows leave
+      // doclen/postings, but its id must stay unreusable forever
+      // ([[deleteFromTextIndex]]'s contract) — without the deletes
+      // union, deleting and vacuuming the max-id docs would re-open
+      // their range to the next append
+      val existingIds = (Seq(
+          spark.read.parquet(dir("doclen")).select(col("doc_id")),
+          spark.read.parquet(dir("postings")).select(col("doc_id"))) ++
+          readDeletes(spark, path, dir))
+        .reduce(_.unionByName(_))
       val idx = TextAnalysis.textIndex(newDocs, idCol, textCol)
       requireIdsAfter(existingIds, idx.doclen.select(col("doc_id")),
         "appendTextIndex")

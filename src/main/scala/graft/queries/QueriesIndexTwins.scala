@@ -1184,6 +1184,130 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
        |SELECT doc_id, status, n_matches, best_corpus_id, best_score_e6
        |FROM v_1 ORDER BY doc_id""".stripMargin
 
+  /** q261: SHARD-PARALLEL index build —
+    * [[IndexStore.mergeTextIndexes]] registered at full oracle depth.
+    * The 100 TB build path: no single job tokenizes a 100 TB corpus,
+    * so K builders each save a disjoint id range as its own index and
+    * the merge unions them. Merge ≡ single build is exact BY DESIGN
+    * (the text index stores no corpus statistic — N/df/Σdl derive from
+    * the unioned relations at probe time), and this query proves it
+    * end-to-end: the corpus is split by doc_id parity into two shard
+    * indexes, merged, and an ingest round runs against the MERGED
+    * index — while the oracle replays the round against the single
+    * undivided corpus. Any merge defect (lost rows, doubled df,
+    * shard-boundary skew) would shift scores and break the hash.
+    */
+  def textIndexMerged(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, heads) = dilutionFixture(s, dir, off = 300)
+    val shardA = scratchDir("text_merge_shard_a")
+    val shardB = scratchDir("text_merge_shard_b")
+    val out = scratchDir("text_merge_out")
+    IndexStore.saveTextIndex(
+      corpus.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+      shardA)
+    IndexStore.saveTextIndex(
+      corpus.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+      shardB)
+    IndexStore.mergeTextIndexes(s, Seq(shardA, shardB), out)
+    IndexStore.ingestText(heads, "doc_id", "text", out,
+        minScoreE6 = 30000000L)
+      .orderBy("doc_id")
+  }
+
+  val textIndexMergedSql: String =
+    s"""WITH $textFixtureSql,
+       |${bm25RoundSql("corpus", "b1", "1")},
+       |${bm25VerdictSql("b1", "1")}
+       |SELECT doc_id, status, n_matches, best_corpus_id, best_score_e6
+       |FROM v_1 ORDER BY doc_id""".stripMargin
+
+  /** q262: TOMBSTONE DELETES are stat-exact immediately —
+    * [[IndexStore.deleteFromTextIndex]] registered at full oracle
+    * depth. Every EVEN corpus doc is deleted (half the index, a large
+    * statistic shift), then q257's round-1 batch screens against the
+    * remaining index: the even heads — exact copies of the DELETED
+    * docs — flip from 'duplicate' to 'admitted' (their originals are
+    * gone and their doc-unique filler terms now match nothing), and
+    * every surviving score is computed over corpus-minus-deleted
+    * statistics (N, df, avgdl all shrink), which the oracle replays
+    * brute-force over exactly the odd half. No vacuum runs: this pins
+    * the tombstone-at-load path ([[IndexStore.loadTextIndex]]'s
+    * anti-join), the heavy tables still physically hold the deleted
+    * rows.
+    */
+  def textDeleteScreen(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, heads) = dilutionFixture(s, dir, off = 300)
+    val path = scratchDir("text_delete_screen")
+    IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
+    IndexStore.deleteFromTextIndex(s, path,
+      corpus.where(pmod(col("doc_id"), lit(2)) === 0).select("doc_id"))
+    IndexStore.ingestText(heads, "doc_id", "text", path,
+        minScoreE6 = 30000000L)
+      .orderBy("doc_id")
+  }
+
+  val textDeleteScreenSql: String =
+    s"""WITH $textFixtureSql,
+       |live AS (SELECT * FROM corpus WHERE doc_id % 2 = 1),
+       |${bm25RoundSql("live", "b1", "1")},
+       |${bm25VerdictSql("b1", "1")}
+       |SELECT doc_id, status, n_matches, best_corpus_id, best_score_e6
+       |FROM v_1 ORDER BY doc_id""".stripMargin
+
+  /** q263: the full delete → VACUUM → ingest lifecycle —
+    * [[IndexStore.vacuumTextIndex]] composed with two post-vacuum
+    * ingest rounds. Same deletion as q262 (every even corpus doc),
+    * but the tombstones are FOLDED into the heavy tables before any
+    * screen — vacuum must not change a single verdict or score
+    * (vacuum ≡ fresh build over the live corpus), and the index must
+    * keep ingesting normally afterwards: round 1 screens q257's head
+    * batch against the vacuumed index, round 2 re-screens exact
+    * copies of round 1's admissions against the GROWN index
+    * (post-vacuum appends exercise the graveyard-aware monotone
+    * guard). The oracle replays both rounds brute-force from the odd
+    * half of the corpus.
+    */
+  def textVacuumRounds(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, heads) = dilutionFixture(s, dir, off = 300)
+    val path = scratchDir("text_vacuum_rounds")
+    IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
+    IndexStore.deleteFromTextIndex(s, path,
+      corpus.where(pmod(col("doc_id"), lit(2)) === 0).select("doc_id"))
+    IndexStore.vacuumTextIndex(s, path)
+    val batch1 = heads.localCheckpoint(true)
+    val v1 = IndexStore.ingestText(batch1, "doc_id", "text", path,
+      minScoreE6 = 30000000L).withColumn("ingest", lit(1))
+    val batch2 = batch1
+      .join(v1.where(col("status") === "admitted").select("doc_id"),
+        Seq("doc_id"))
+      .select((col("doc_id") + 300).as("doc_id"), col("text"))
+    val v2 = IndexStore.ingestText(batch2, "doc_id", "text", path,
+      minScoreE6 = 30000000L).withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("doc_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_score_e6"))
+      .orderBy("doc_id")
+  }
+
+  val textVacuumRoundsSql: String =
+    s"""WITH $textFixtureSql,
+       |live AS (SELECT * FROM corpus WHERE doc_id % 2 = 1),
+       |${bm25RoundSql("live", "b1", "1")},
+       |${bm25VerdictSql("b1", "1")},
+       |adm1 AS (SELECT b1.doc_id, b1.text FROM b1
+       |  JOIN v_1 v ON v.doc_id = b1.doc_id WHERE v.status = 'admitted'),
+       |idx2 AS (SELECT doc_id, text FROM live
+       |  UNION ALL SELECT doc_id, text FROM adm1),
+       |b2 AS (SELECT doc_id + 300 AS doc_id, text FROM adm1),
+       |${bm25RoundSql("idx2", "b2", "2")},
+       |${bm25VerdictSql("b2", "2")}
+       |SELECT CAST(1 AS INT) AS ingest, doc_id, status, n_matches,
+       |  best_corpus_id, best_score_e6 FROM v_1
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS ingest, doc_id, status, n_matches,
+       |  best_corpus_id, best_score_e6 FROM v_2
+       |ORDER BY doc_id""".stripMargin
+
   val mediaIngestRoundsSql: String =
     s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,
        |    CAST((doc_id // ${Fixtures.DhashClasses}) % 2 AS INT) AS variant

@@ -1541,4 +1541,196 @@ class IndexStoreSpec extends SparkSuite {
     assert(f2 == Set(("assign", "centroid-coverage", "unhealable"),
       ("centroids", "count-vs-meta", "repairable")), s"$f2")
   }
+
+  test("mergeTextIndexes: merge ≡ single build, table for table and " +
+      "probe for probe; disjointness and path guards raise") {
+    import graft.operators.TextAnalysis
+    val all = oldDocs.unionByName(newDocs)
+    val shardA = tmp(); val shardB = tmp(); val out = tmp()
+    IndexStore.saveTextIndex(all.where(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", shardA)
+    IndexStore.saveTextIndex(all.where(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text", shardB)
+    val n = IndexStore.mergeTextIndexes(spark, Seq(shardA, shardB), out)
+    assert(n == all.count(), "merged doc count must cover every shard")
+    val rebuilt = tmp()
+    IndexStore.saveTextIndex(all, "doc_id", "text", rebuilt)
+    assert(canonIndex(out, Seq("postings", "doclen")) ==
+      canonIndex(rebuilt, Seq("postings", "doclen")),
+      "merge must equal a single undivided build — the text index " +
+        "stores no corpus stat, so the union IS the index")
+    val queries = Seq(1L -> "alpha beta", 2L -> "kappa zeta CHANGED")
+    assert(canon(TextAnalysis.bm25TopKIndexed(
+        IndexStore.loadTextIndex(spark, out), queries, 5)) ==
+      canon(TextAnalysis.bm25TopK(all, "doc_id", "text", queries, 5)))
+    // overlap: shard ids must be disjoint (a duplicated id would splice
+    // two documents' statistics)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.mergeTextIndexes(spark, Seq(shardA, rebuilt), tmp())
+    }
+    assert(e.getMessage.contains("overlap"), e.getMessage)
+    // guards: too few shards, duplicate shard, outPath among shards
+    intercept[IllegalArgumentException] {
+      IndexStore.mergeTextIndexes(spark, Seq(shardA), tmp())
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.mergeTextIndexes(spark, Seq(shardA, shardA), tmp())
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.mergeTextIndexes(spark, Seq(shardA, shardB), shardB)
+    }
+  }
+
+  test("mergeTextIndexes: shard tombstones are applied, not carried — " +
+      "the merged index equals a build over the LIVE union") {
+    import graft.operators.TextAnalysis
+    val shardA = tmp(); val shardB = tmp(); val out = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", shardA)
+    IndexStore.saveTextIndex(newDocs, "doc_id", "text", shardB)
+    IndexStore.deleteFromTextIndex(spark, shardA,
+      Seq(3L, 18L).toDF("doc_id"))
+    IndexStore.mergeTextIndexes(spark, Seq(shardA, shardB), out)
+    val live = oldDocs.where(!col("doc_id").isin(3L, 18L))
+      .unionByName(newDocs)
+    val liveBuilt = tmp()
+    IndexStore.saveTextIndex(live, "doc_id", "text", liveBuilt)
+    assert(canonIndex(out, Seq("postings", "doclen")) ==
+      canonIndex(liveBuilt, Seq("postings", "doclen")))
+    // the merged output starts with a clean slate — no deletes table
+    assert(!new java.io.File(out, "deletes").exists(),
+      "shard graveyards must not transfer to the merged index")
+  }
+
+  test("deleteFromTextIndex: stat-exact at load — delete ≡ rebuild over " +
+      "the live corpus, heavy tables physically untouched") {
+    import graft.operators.TextAnalysis
+    val path = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", path)
+    val rawBefore = canonIndex(path, Seq("postings", "doclen"))
+    val deleted = Seq(3L, 7L, 18L, 19L)
+    assert(IndexStore.deleteFromTextIndex(spark, path,
+      deleted.toDF("doc_id")) == 4L)
+    // the heavy tables still hold every row (tombstones, not rewrite)
+    assert(canonIndex(path, Seq("postings", "doclen")) == rawBefore,
+      "delete must not rewrite the heavy tables")
+    // but every probe sees corpus-minus-deleted with EXACT stats: the
+    // loaded relations equal an index that never held the deleted docs
+    val live = oldDocs.where(!col("doc_id").isin(deleted: _*))
+    val liveBuilt = tmp()
+    IndexStore.saveTextIndex(live, "doc_id", "text", liveBuilt)
+    val queries = Seq(1L -> "alpha beta", 2L -> "kappa zeta")
+    assert(canon(TextAnalysis.bm25TopKIndexed(
+        IndexStore.loadTextIndex(spark, path), queries, 5)) ==
+      canon(TextAnalysis.bm25TopKIndexed(
+        IndexStore.loadTextIndex(spark, liveBuilt), queries, 5)),
+      "deletion must shift N/df/avgdl exactly, immediately at load")
+  }
+
+  test("deleteFromTextIndex guards: empty set, duplicate ids, and ids " +
+      "naming no live doc all raise; double delete raises") {
+    val path = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", path)
+    val eEmpty = intercept[IllegalArgumentException] {
+      IndexStore.deleteFromTextIndex(spark, path,
+        Seq.empty[Long].toDF("doc_id"))
+    }
+    assert(eEmpty.getMessage.contains("empty"), eEmpty.getMessage)
+    val eDup = intercept[IllegalArgumentException] {
+      IndexStore.deleteFromTextIndex(spark, path,
+        Seq(3L, 3L).toDF("doc_id"))
+    }
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+    val eMiss = intercept[IllegalArgumentException] {
+      IndexStore.deleteFromTextIndex(spark, path,
+        Seq(3L, 999L).toDF("doc_id"))
+    }
+    assert(eMiss.getMessage.contains("999") &&
+      eMiss.getMessage.contains("LIVE"), eMiss.getMessage)
+    // nothing was tombstoned by the failed calls
+    IndexStore.deleteFromTextIndex(spark, path, Seq(3L).toDF("doc_id"))
+    // an already-deleted id is no longer live — a repeat raises too
+    val eTwice = intercept[IllegalArgumentException] {
+      IndexStore.deleteFromTextIndex(spark, path, Seq(3L).toDF("doc_id"))
+    }
+    assert(eTwice.getMessage.contains("LIVE"), eTwice.getMessage)
+  }
+
+  test("vacuumTextIndex: folds tombstoned rows out, keeps probes " +
+      "identical and the graveyard intact; deleted max-id range stays " +
+      "unreusable after the fold") {
+    import graft.operators.TextAnalysis
+    val path = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", path)
+    // delete the MAX ids — the case where only the graveyard keeps the
+    // monotone guard honest after their rows leave the heavy tables
+    IndexStore.deleteFromTextIndex(spark, path,
+      Seq(17L, 18L, 19L).toDF("doc_id"))
+    val before = canon(TextAnalysis.bm25TopKIndexed(
+      IndexStore.loadTextIndex(spark, path),
+      Seq(1L -> "alpha beta", 2L -> "kappa zeta"), 5))
+    assert(IndexStore.vacuumTextIndex(spark, path) == 3L)
+    // physically gone from the ACTIVE generation now
+    val rawIds = spark.read
+      .parquet(IndexStore.tableDir(spark, path, "doclen"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!rawIds.exists(_ >= 17L), "vacuum must fold the rows out")
+    // vacuum ≡ fresh build over the live corpus, table for table
+    val liveBuilt = tmp()
+    IndexStore.saveTextIndex(oldDocs.where(col("doc_id") < 17),
+      "doc_id", "text", liveBuilt)
+    assert(canonIndex(path, Seq("postings", "doclen")) ==
+      canonIndex(liveBuilt, Seq("postings", "doclen")))
+    // probe results unchanged by the fold (loads already anti-joined)
+    val after = canon(TextAnalysis.bm25TopKIndexed(
+      IndexStore.loadTextIndex(spark, path),
+      Seq(1L -> "alpha beta", 2L -> "kappa zeta"), 5))
+    assert(after == before && before.nonEmpty,
+      "vacuum reclaims space, never changes semantics")
+    // second vacuum: nothing left to fold
+    assert(IndexStore.vacuumTextIndex(spark, path) == 0L)
+    // the graveyard keeps the deleted range unreusable: without the
+    // deletes union the surviving max (16) would re-open 17-19
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.appendTextIndex(Seq((18L, sentence(10)))
+        .toDF("doc_id", "text"), "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    // and the lifecycle continues above the graveyard
+    IndexStore.appendTextIndex(newDocs, "doc_id", "text", path)
+    assert(IndexStore.loadTextIndex(spark, path).doclen.count() ==
+      17L + newDocs.count())
+  }
+
+  test("text tombstones survive compaction; describeIndex lists the " +
+      "deletes table; vacuum swaps retain a pinned reader's generation") {
+    import graft.operators.TextAnalysis
+    val path = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", path)
+    IndexStore.deleteFromTextIndex(spark, path,
+      Seq(3L, 7L).toDF("doc_id"))
+    val queries = Seq(1L -> "alpha beta", 2L -> "kappa zeta")
+    val before = canon(TextAnalysis.bm25TopKIndexed(
+      IndexStore.loadTextIndex(spark, path), queries, 5))
+    // compaction rewrites ALL tables present — deletes included — and
+    // changes nothing semantically
+    val stats = IndexStore.compactIndex(spark, path)
+    assert(stats.map(_.table).toSet == Set("postings", "doclen", "deletes"),
+      s"optional deletes must compact once present: $stats")
+    assert(canon(TextAnalysis.bm25TopKIndexed(
+      IndexStore.loadTextIndex(spark, path), queries, 5)) == before)
+    assert(IndexStore.describeIndex(spark, path)
+      .exists(t => t.table == "deletes" && t.files > 0))
+    // a reader pinned before the vacuum keeps its generation's files
+    val pinned = IndexStore.loadTextIndex(spark, path)
+    assert(IndexStore.vacuumTextIndex(spark, path) == 2L)
+    assert(canon(TextAnalysis.bm25TopKIndexed(pinned, queries, 5)) ==
+      before, "pinned reader must survive the vacuum swap")
+    // an index that never saw a delete: vacuum is a no-op, compaction
+    // reports only the mandatory tables
+    val fresh = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", fresh)
+    assert(IndexStore.vacuumTextIndex(spark, fresh) == 0L)
+    assert(IndexStore.compactIndex(spark, fresh).map(_.table).toSet ==
+      Set("postings", "doclen"))
+  }
 }
