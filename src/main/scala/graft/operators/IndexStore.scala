@@ -1120,7 +1120,11 @@ object IndexStore {
     */
   private def applyDeletes(
       t: DataFrame, del: Option[DataFrame], idColName: String): DataFrame =
-    del.fold(t)(d => t.join(d.toDF(idColName), Seq(idColName), "left_anti"))
+    del.fold(t)(d => t.join(d.toDF(idColName), Seq(idColName), "left_anti")
+      // the join moves its key to the front — restore the stored
+      // column order (vacuum rewrites and schema-shaped consumers
+      // must see the exact save-time shape)
+      .select(t.columns.map(col).toIndexedSeq: _*))
 
   /** Union the kind's id GRAVEYARD (the deletes table, if present)
     * into an existing-ids relation for the monotone append guard: a
@@ -1395,6 +1399,7 @@ object IndexStore {
           if (unfolded == 0L) 0L
           else {
             val live = members.join(del, Seq("member_id"), "left_anti")
+              .select(members.columns.map(col).toIndexedSeq: _*)
             val bands = spark.read.parquet(dir("bands"))
             swapGenerations(spark, path, retainGenerations, retainAge)(Seq(
               "members" -> (d => live.repartition(col("dh"))
@@ -1458,6 +1463,7 @@ object IndexStore {
           if (unfolded == 0L) 0L
           else {
             val live = members.join(del, Seq("member_id"), "left_anti")
+              .select(members.columns.map(col).toIndexedSeq: _*)
             val liveGroups = live.select(col("rep_id")).distinct()
             val reps = spark.read.parquet(dir("reps"))
             val blocks = spark.read.parquet(dir("blocks"))
@@ -1522,6 +1528,7 @@ object IndexStore {
           if (unfolded == 0L) 0L
           else {
             val live = members.join(del, Seq("member_id"), "left_anti")
+              .select(members.columns.map(col).toIndexedSeq: _*)
             val liveGroups = live.select(col("corpus_id")).distinct()
             val sets = spark.read.parquet(dir("sets"))
             val bands = spark.read.parquet(dir("bands"))
@@ -2845,12 +2852,23 @@ object IndexStore {
       b: Double = 0.75,
       maxScreenPairs: Long = 1000000000L,
       collapseFirst: Boolean = false,
-      maxDfPpm: Option[Long] = None): DataFrame = {
+      maxDfPpm: Option[Long] = None,
+      maxScorePrune: Boolean = false): DataFrame = {
     import graft.functions.TextFunctions
     val spark = newDocs.sparkSession
     metaOf(spark, path, "text")
     require(maxScreenPairs > 0L,
       "IndexStore.ingestText: maxScreenPairs must be positive")
+    // maxScorePrune: the LOSSLESS candidate cut for high-threshold
+    // rounds ([[TextAnalysis.bm25ScoredIndexed]]'s scaladoc) — every
+    // verdict and score is bit-identical with it on or off; it applies
+    // to BOTH screens below. The guardrail estimate deliberately keeps
+    // modeling the UNPRUNED volume (the prune's cut is data-dependent
+    // and only cheaply boundable from above), so a refusal under the
+    // prune is conservative — dry-run with estimateTextScreen, then
+    // raise maxScreenPairs consciously if the pruned round is known
+    // to fit.
+    val pruneThr = if (maxScorePrune) Some(minScoreE6) else None
     val batch = newDocs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .where(col("text").isNotNull &&
@@ -2874,7 +2892,7 @@ object IndexStore {
       val selfPairs = TextAnalysis
         .bm25ScoredIndexed(TextAnalysis.textIndex(batch, "doc_id", "text"),
           queryTermsOf(batch), k1, b, broadcastQueries = false,
-          maxDfPpm = maxDfPpm)
+          maxDfPpm = maxDfPpm, pruneThresholdE6 = pruneThr)
         .where(col("score_e6") >= minScoreE6 &&
           col("doc_id") < col("query_id"))
         .select(col("query_id").as("doc_id"),
@@ -2933,7 +2951,7 @@ object IndexStore {
     }
     val matches = TextAnalysis
       .bm25ScoredIndexed(pre, qt, k1, b, broadcastQueries = false,
-        maxDfPpm = maxDfPpm)
+        maxDfPpm = maxDfPpm, pruneThresholdE6 = pruneThr)
       .where(col("score_e6") >= minScoreE6)
       .select(col("query_id").as("doc_id"),
         col("doc_id").as("corpus_id"), col("score_e6"))

@@ -146,10 +146,12 @@ object TextAnalysis {
   def bm25ScreenIndexed(index: TextIndex, queries: Seq[(Long, String)],
                         minScoreE6: Long,
                         k1: Double = 1.2, b: Double = 0.75,
-                        maxDfPpm: Option[Long] = None): DataFrame = {
+                        maxDfPpm: Option[Long] = None,
+                        maxScorePrune: Boolean = false): DataFrame = {
     require(queries.nonEmpty, "bm25ScreenIndexed: need at least one query")
     bm25ScoredIndexed(index, queryTerms(index, queries), k1, b,
-        maxDfPpm = maxDfPpm)
+        maxDfPpm = maxDfPpm,
+        pruneThresholdE6 = if (maxScorePrune) Some(minScoreE6) else None)
       .where(col("score_e6") >= minScoreE6)
   }
 
@@ -200,7 +202,8 @@ object TextAnalysis {
   private[graft] def bm25ScoredIndexed(index: TextIndex, qt: DataFrame,
                                        k1: Double, b: Double,
                                        broadcastQueries: Boolean = true,
-                                       maxDfPpm: Option[Long] = None
+                                       maxDfPpm: Option[Long] = None,
+                                       pruneThresholdE6: Option[Long] = None
                                       ): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (broadcastQueries) broadcast else identity
@@ -209,12 +212,52 @@ object TextAnalysis {
     val dl = index.doclen
     // one-row corpus stats; lazy agg, not a driver count()
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
-    val tfQ = tf.join(hint(qTerms), Seq("term"))
-    val dfAll = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfQ0 = tf.join(hint(qTerms), Seq("term"))
+    val dfAll = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val df = maxDfPpm.fold(dfAll) { ppm =>
       dfAll.crossJoin(broadcast(stats.select(col("__n"))))
         .where(col("df") * lit(1000000L) <= lit(ppm) * col("__n"))
         .drop("__n")
+    }
+    // LOSSLESS MaxScore-style candidate prune (threshold screens only —
+    // `pruneThresholdE6` is the screen's own minScoreE6): every
+    // per-term contribution is bounded by ub_t = ⌊idf_t·(k1+1)·1e6⌋
+    // (the tf-saturation quotient is < k1+1 for any tf/dl), so sort a
+    // query's matched terms by ub ascending and the longest prefix
+    // whose ub-sum stays below the threshold is NON-ESSENTIAL: a doc
+    // matching only prefix terms cannot reach the threshold, whatever
+    // its tf/dl. Candidates are therefore the docs carrying at least
+    // one ESSENTIAL term, and the scoring join runs over candidate
+    // docs only — at decontamination-grade thresholds the
+    // stopword-class postings (low idf ⇒ tiny ub ⇒ non-essential)
+    // never reach the multiply. Exactness contract: every (query, doc)
+    // at-or-above the threshold is scored EXACTLY as without the prune
+    // (ub is a true upper bound from the same df/N the score uses);
+    // pairs BELOW the threshold may be absent from the output, which
+    // is why only the ≥-threshold callers (bm25ScreenIndexed,
+    // ingestText) may set this. Unlike `maxDfPpm` (which drops terms
+    // and changes scores by their ≈0 contributions) this prune never
+    // changes a score. Cost: the ub relation is the df aggregate the
+    // core already computes, the essential analysis is one window over
+    // the (query, term) table (query-batch-sized), and the candidate
+    // set is one distinct over the essential postings.
+    val tfQ = pruneThresholdE6.fold(tfQ0) { thr =>
+      val ub = df.crossJoin(broadcast(stats.select(col("__n"))))
+        .select(col("term"),
+          floor(log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) * lit((k1 + 1.0) * 1000000.0))
+            .cast("long").as("__ub"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__ub").asc, col("term").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val essentialTerms = qt.join(hint(ub), Seq("term"))
+        .withColumn("__cum", sum(col("__ub")).over(w))
+        .where(col("__cum") >= thr)
+        .select(col("term")).distinct()
+      val candDocs = tfQ0.select(col("term"), col("doc_id"))
+        .join(hint(essentialTerms), Seq("term"))
+        .select(col("doc_id")).distinct()
+      tfQ0.join(candDocs, Seq("doc_id"), "left_semi")
     }
     tfQ
       // df join FIRST: with maxDfPpm set, the inner join drops a

@@ -1308,6 +1308,401 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
        |  best_corpus_id, best_score_e6 FROM v_2
        |ORDER BY doc_id""".stripMargin
 
+  /** q264: TAKEDOWN deletes through the MEDIA ingest lifecycle —
+    * [[IndexStore.deleteFromMediaIndex]] + [[IndexStore.vacuumMediaIndex]]
+    * composed into q248's two-round fixture: every corpus asset of the
+    * gid % 4 == 0 dHash classes is tombstoned before round 1 (their
+    * round-1 batch copies flip from 'duplicate' to 'admitted' — the
+    * deleted originals can no longer match), the vacuum folds the
+    * tombstones between the rounds (probe-invisible by contract), and
+    * round 2 re-screens every class at the other JPEG quality against
+    * the grown index — the formerly-deleted classes now match ROUND
+    * 1's admissions, never the deleted originals. The oracle replays
+    * both rounds from the committed golden with the live corpus
+    * (gid % 4 ≠ 0), so a single resurrected or lost row breaks the
+    * hash.
+    */
+  def mediaDeleteRounds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter((id: Long) => id < 500)
+      .mapPartitions(_.flatMap { id =>
+        Multimodal.dhash64(Fixtures.dhashAssetFor(id).media)
+          .map(dh => (id, dh))
+      }).toDF("doc_id", "dh")
+      .localCheckpoint(true)
+    val path = scratchDir("media_delete")
+    val gid = pmod(col("doc_id"), lit(Fixtures.DhashClasses))
+    val corpus = hashes.where(col("doc_id") < 280 && pmod(gid, lit(2)) === 0)
+    IndexStore.saveMediaIndex(corpus, "doc_id", "dh", path)
+    IndexStore.deleteFromMediaIndex(s, path,
+      corpus.where(pmod(gid, lit(4)) === 0).select("doc_id"))
+    val v1 = IndexStore.ingestMedia(
+        hashes.where(col("doc_id") >= 280 && col("doc_id") < 390),
+        "doc_id", "dh", path)
+      .withColumn("ingest", lit(1))
+    IndexStore.vacuumMediaIndex(s, path)
+    val v2 = IndexStore.ingestMedia(hashes.where(col("doc_id") >= 390),
+        "doc_id", "dh", path)
+      .withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("asset_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_hamming"))
+      .orderBy("asset_id")
+  }
+
+  val mediaDeleteRoundsSql: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,
+       |    CAST((doc_id // ${Fixtures.DhashClasses}) % 2 AS INT) AS variant
+       |  FROM documents WHERE doc_id < 500),
+       |g AS (SELECT * FROM read_parquet(
+       |        '/root/repo/fixtures/dhash_golden.parquet/*.parquet')),
+       |h AS (SELECT d.doc_id, d.gid, g.dh FROM d
+       |  JOIN g ON g.gid = d.gid AND g.variant = d.variant),
+       |corpus AS (SELECT doc_id, dh FROM h
+       |  WHERE doc_id < 280 AND gid % 2 = 0 AND gid % 4 <> 0),
+       |i1 AS (SELECT doc_id, dh FROM h
+       |  WHERE doc_id >= 280 AND doc_id < 390),
+       |i2 AS (SELECT doc_id, dh FROM h WHERE doc_id >= 390),
+       |m1 AS (SELECT i1.doc_id AS asset_id, c.doc_id AS corpus_id,
+       |    CAST(bit_count(xor(i1.dh, c.dh)) AS INT) AS hamming
+       |  FROM i1 JOIN corpus c ON bit_count(xor(i1.dh, c.dh)) <= 3),
+       |r1 AS (SELECT asset_id, corpus_id, hamming,
+       |    row_number() OVER (PARTITION BY asset_id
+       |                       ORDER BY hamming, corpus_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY asset_id) AS BIGINT) AS n
+       |  FROM m1),
+       |b1 AS (SELECT asset_id, corpus_id AS best_corpus_id,
+       |    hamming AS best_hamming, n FROM r1 WHERE rn = 1),
+       |v1 AS (SELECT i1.doc_id AS asset_id,
+       |    CASE WHEN b.asset_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(b.n, 0) AS n_matches, b.best_corpus_id,
+       |    b.best_hamming
+       |  FROM i1 LEFT JOIN b1 b ON b.asset_id = i1.doc_id),
+       |idx2 AS (SELECT * FROM corpus
+       |  UNION ALL
+       |  SELECT doc_id, dh FROM i1 WHERE doc_id IN
+       |    (SELECT asset_id FROM v1 WHERE status = 'admitted')),
+       |m2 AS (SELECT i2.doc_id AS asset_id, c.doc_id AS corpus_id,
+       |    CAST(bit_count(xor(i2.dh, c.dh)) AS INT) AS hamming
+       |  FROM i2 JOIN idx2 c ON bit_count(xor(i2.dh, c.dh)) <= 3),
+       |r2 AS (SELECT asset_id, corpus_id, hamming,
+       |    row_number() OVER (PARTITION BY asset_id
+       |                       ORDER BY hamming, corpus_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY asset_id) AS BIGINT) AS n
+       |  FROM m2),
+       |b2 AS (SELECT asset_id, corpus_id AS best_corpus_id,
+       |    hamming AS best_hamming, n FROM r2 WHERE rn = 1),
+       |v2 AS (SELECT i2.doc_id AS asset_id,
+       |    CASE WHEN b.asset_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(b.n, 0) AS n_matches, b.best_corpus_id,
+       |    b.best_hamming
+       |  FROM i2 LEFT JOIN b2 b ON b.asset_id = i2.doc_id)
+       |SELECT CAST(1 AS INT) AS ingest, asset_id, status, n_matches,
+       |  best_corpus_id, best_hamming FROM v1
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS ingest, asset_id, status, n_matches,
+       |  best_corpus_id, best_hamming FROM v2
+       |ORDER BY asset_id""".stripMargin
+
+  /** q265: TAKEDOWN deletes through the VECTOR ingest lifecycle —
+    * q264's semantic sibling on q250's planted-cluster fixture: every
+    * corpus vector of cluster 0 (vec_id % 16 == 0) is tombstoned
+    * before round 1, so ingest-1's cluster-0 vectors flip to
+    * 'admitted'; the vacuum folds between the rounds (pruning the dead
+    * families' reps/blocks); round 2's cluster-0 duplicates then match
+    * ONLY round 1's admissions. Full sign-block + unrounded-cos
+    * replay over the live corpus.
+    */
+  def vectorDeleteRounds(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), clusteredVec.as("cv"))
+    val path = scratchDir("vec_delete")
+    val corpus =
+      e.where(col("vec_id") < 300 && pmod(col("vec_id"), lit(16)) % 2 === 0)
+    IndexStore.saveVectorIndex(corpus, "vec_id", "cv", path,
+      dim = 32, numBlocks = 16, planesPerBlock = 4)
+    IndexStore.deleteFromVectorIndex(s, path,
+      corpus.where(pmod(col("vec_id"), lit(16)) === 0).select("vec_id"))
+    val v1 = IndexStore.ingestVector(
+        e.where(col("vec_id") >= 300 && col("vec_id") < 400),
+        "vec_id", "cv", path, threshold = 0.9)
+      .withColumn("ingest", lit(1))
+    IndexStore.vacuumVectorIndex(s, path)
+    val v2 = IndexStore.ingestVector(
+        e.where(col("vec_id") >= 400 && col("vec_id") < 500),
+        "vec_id", "cv", path, threshold = 0.9)
+      .withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("vec_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_cos"))
+      .orderBy("vec_id")
+  }
+
+  val vectorDeleteRoundsSql: String = {
+    val cosOf = (q: String, c: String) =>
+      s"""COALESCE(list_dot_product($q.v, $c.v) /
+         |      (sqrt(list_dot_product($q.v, $q.v)) *
+         |       sqrt(list_dot_product($c.v, $c.v))), 0.0)""".stripMargin
+    s"""${annSigPrefix(16, 4, dim = 32, vecSql = clusteredVecSql)},
+       |corpus AS (SELECT vec_id FROM e
+       |  WHERE vec_id < 300 AND (vec_id % 16) % 2 = 0
+       |    AND vec_id % 16 <> 0),
+       |i1 AS (SELECT vec_id FROM e WHERE vec_id >= 300 AND vec_id < 400),
+       |i2 AS (SELECT vec_id FROM e WHERE vec_id >= 400 AND vec_id < 500),
+       |cand1 AS (SELECT DISTINCT q.vec_id AS new_id, c.vec_id AS corpus_id
+       |  FROM sig q JOIN sig c
+       |    ON q.block_idx = c.block_idx AND q.band_hash = c.band_hash
+       |  WHERE q.vec_id IN (SELECT vec_id FROM i1)
+       |    AND c.vec_id IN (SELECT vec_id FROM corpus)),
+       |m1 AS (SELECT cand1.new_id, cand1.corpus_id,
+       |    round(${cosOf("qe", "ce")}, 6) AS cos
+       |  FROM cand1 JOIN e qe ON qe.vec_id = cand1.new_id
+       |             JOIN e ce ON ce.vec_id = cand1.corpus_id
+       |  WHERE ${cosOf("qe", "ce")} >= 0.9),
+       |r1 AS (SELECT new_id, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY new_id
+       |                       ORDER BY cos DESC, corpus_id ASC) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY new_id) AS BIGINT) AS n
+       |  FROM m1),
+       |b1 AS (SELECT new_id, corpus_id AS best_corpus_id, cos AS best_cos,
+       |    n FROM r1 WHERE rn = 1),
+       |v1 AS (SELECT i1.vec_id,
+       |    CASE WHEN b.new_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(b.n, 0) AS n_matches, b.best_corpus_id, b.best_cos
+       |  FROM i1 LEFT JOIN b1 b ON b.new_id = i1.vec_id),
+       |idx2 AS (SELECT vec_id FROM corpus
+       |  UNION ALL
+       |  SELECT vec_id FROM v1 WHERE status = 'admitted'),
+       |cand2 AS (SELECT DISTINCT q.vec_id AS new_id, c.vec_id AS corpus_id
+       |  FROM sig q JOIN sig c
+       |    ON q.block_idx = c.block_idx AND q.band_hash = c.band_hash
+       |  WHERE q.vec_id IN (SELECT vec_id FROM i2)
+       |    AND c.vec_id IN (SELECT vec_id FROM idx2)),
+       |m2 AS (SELECT cand2.new_id, cand2.corpus_id,
+       |    round(${cosOf("qe", "ce")}, 6) AS cos
+       |  FROM cand2 JOIN e qe ON qe.vec_id = cand2.new_id
+       |             JOIN e ce ON ce.vec_id = cand2.corpus_id
+       |  WHERE ${cosOf("qe", "ce")} >= 0.9),
+       |r2 AS (SELECT new_id, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY new_id
+       |                       ORDER BY cos DESC, corpus_id ASC) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY new_id) AS BIGINT) AS n
+       |  FROM m2),
+       |b2 AS (SELECT new_id, corpus_id AS best_corpus_id, cos AS best_cos,
+       |    n FROM r2 WHERE rn = 1),
+       |v2 AS (SELECT i2.vec_id,
+       |    CASE WHEN b.new_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(b.n, 0) AS n_matches, b.best_corpus_id, b.best_cos
+       |  FROM i2 LEFT JOIN b2 b ON b.new_id = i2.vec_id)
+       |SELECT CAST(1 AS INT) AS ingest, vec_id, status, n_matches,
+       |  best_corpus_id, best_cos FROM v1
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS ingest, vec_id, status, n_matches,
+       |  best_corpus_id, best_cos FROM v2
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** q266: TAKEDOWN deletes through the CORPUS (MinHash-LSH) ingest
+    * lifecycle — the lexical sibling, on q253's dilution fixture:
+    * every corpus doc with doc_id % 4 == 0 is tombstoned before
+    * round 1 (a MIXED flip: even-base heads whose original was
+    * deleted — base id % 4 == 0 — now admit, the other even-base
+    * heads still reject at jaccard 1.0, odd-base heads admit as
+    * always); the vacuum folds between the rounds (pruning the dead
+    * singleton families' sets/bands); round 2 rejects exact copies of
+    * round 1's admissions against the grown index. Construction
+    * replay + brute-force exact jaccard over the live corpus.
+    */
+  def corpusDeleteRounds(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, heads) = dilutionFixture(s, dir, off = 200)
+    val path = scratchDir("corpus_delete")
+    IndexStore.saveCorpusIndex(corpus, "doc_id", "text", path)
+    IndexStore.deleteFromCorpusIndex(s, path,
+      corpus.where(pmod(col("doc_id"), lit(4)) === 0).select("doc_id"))
+    val batch1 = heads.localCheckpoint(true)
+    val v1 = IndexStore.ingestCorpus(batch1, "doc_id", "text", path,
+      threshold = 0.7).withColumn("ingest", lit(1))
+    IndexStore.vacuumCorpusIndex(s, path)
+    val batch2 = batch1
+      .join(v1.where(col("status") === "admitted").select("doc_id"),
+        Seq("doc_id"))
+      .select((col("doc_id") + 200).as("doc_id"), col("text"))
+    val v2 = IndexStore.ingestCorpus(batch2, "doc_id", "text", path,
+      threshold = 0.7).withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("doc_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDeleteRoundsSql: String = {
+    def dil(prefix: String, idExpr: String): String =
+      s"""array_to_string(['$prefix' || CAST($idExpr AS VARCHAR) || 'x' ||
+         |      CAST(i AS VARCHAR) for i in range(1, 2 * len(toks) + 1)], ' ')"""
+        .stripMargin
+    val toksOf = duckToks
+    val shOf = duckShingles
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $toksOf AS toks FROM documents
+       |  WHERE doc_id >= 100 AND doc_id < 300 AND text IS NOT NULL),
+       |base10 AS (SELECT * FROM base WHERE len(toks) >= 10),
+       |corpus AS (SELECT doc_id,
+       |    text || ' ' || ${dil("cc", "doc_id")} AS text
+       |  FROM base10),
+       |evens AS (SELECT doc_id + 200 AS doc_id, text FROM corpus
+       |  WHERE doc_id < 200 AND doc_id % 2 = 0),
+       |odds AS (SELECT doc_id + 200 AS doc_id,
+       |    text || ' ' || ${dil("zz", "doc_id + 200")} AS text
+       |  FROM base10 WHERE doc_id < 200 AND doc_id % 2 = 1),
+       |b1 AS (SELECT * FROM evens UNION ALL SELECT * FROM odds),
+       |csh AS (SELECT doc_id, $shOf AS sh
+       |  FROM (SELECT doc_id, $toksOf AS toks FROM corpus
+       |        WHERE doc_id % 4 <> 0)),
+       |b1sh AS (SELECT doc_id, $shOf AS sh
+       |  FROM (SELECT doc_id, $toksOf AS toks FROM b1)),
+       |m1 AS (SELECT * FROM (
+       |    SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id,
+       |      round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+       |            len(list_distinct(list_concat(b.sh, c.sh))), 4) AS jaccard
+       |    FROM b1sh b JOIN csh c ON true)
+       |  WHERE jaccard >= 0.7),
+       |r1 AS (SELECT doc_id, corpus_id, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY jaccard DESC, corpus_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+       |  FROM m1),
+       |best1 AS (SELECT doc_id, corpus_id AS best_corpus_id,
+       |    jaccard AS best_jaccard, n FROM r1 WHERE rn = 1),
+       |v1 AS (SELECT b.doc_id,
+       |    CASE WHEN best1.doc_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(best1.n, 0) AS n_matches, best1.best_corpus_id,
+       |    best1.best_jaccard
+       |  FROM b1 b LEFT JOIN best1 ON best1.doc_id = b.doc_id),
+       |idx2 AS (SELECT * FROM csh
+       |  UNION ALL
+       |  SELECT doc_id, sh FROM b1sh WHERE doc_id IN
+       |    (SELECT doc_id FROM v1 WHERE status = 'admitted')),
+       |b2sh AS (SELECT doc_id + 200 AS doc_id, sh FROM b1sh
+       |  WHERE doc_id IN (SELECT doc_id FROM v1 WHERE status = 'admitted')),
+       |m2 AS (SELECT * FROM (
+       |    SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id,
+       |      round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+       |            len(list_distinct(list_concat(b.sh, c.sh))), 4) AS jaccard
+       |    FROM b2sh b JOIN idx2 c ON true)
+       |  WHERE jaccard >= 0.7),
+       |r2 AS (SELECT doc_id, corpus_id, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY jaccard DESC, corpus_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+       |  FROM m2),
+       |best2 AS (SELECT doc_id, corpus_id AS best_corpus_id,
+       |    jaccard AS best_jaccard, n FROM r2 WHERE rn = 1),
+       |v2 AS (SELECT b.doc_id,
+       |    CASE WHEN best2.doc_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(best2.n, 0) AS n_matches, best2.best_corpus_id,
+       |    best2.best_jaccard
+       |  FROM b2sh b LEFT JOIN best2 ON best2.doc_id = b.doc_id)
+       |SELECT CAST(1 AS INT) AS ingest, doc_id, status, n_matches,
+       |  best_corpus_id, best_jaccard FROM v1
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS ingest, doc_id, status, n_matches,
+       |  best_corpus_id, best_jaccard FROM v2
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q268: a TEXT ingest round under the LOSSLESS MaxScore candidate
+    * prune — [[TextAnalysis.bm25ScoredIndexed]]'s `pruneThresholdE6`
+    * registered end to end. Unlike q260's `maxDfPpm` (which DROPS
+    * near-zero terms and changes scores by that documented rule), the
+    * MaxScore cut never changes a score: per-term contributions are
+    * bounded by ub = ⌊idf·(k1+1)·1e6⌋, a query's ascending-ub prefix
+    * whose ub-sum stays under the threshold is non-essential, and only
+    * docs carrying an essential term are scored — every ≥-threshold
+    * verdict is bit-identical. On this fixture the prune provably has
+    * work to skip (the shared base-text words' ubs sum below the 30M
+    * threshold, so their whole postings lists leave the multiply; the
+    * df=1 filler terms stay essential and carry every decision), yet
+    * the oracle is EXACTLY the unpruned round-1 replay — the
+    * losslessness proof at full algorithm depth.
+    */
+  def textIngestMaxscore(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, heads) = dilutionFixture(s, dir, off = 300)
+    val path = scratchDir("text_ingest_maxscore")
+    IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
+    IndexStore.ingestText(heads, "doc_id", "text", path,
+        minScoreE6 = 30000000L, maxScorePrune = true)
+      .orderBy("doc_id")
+  }
+
+  val textIngestMaxscoreSql: String =
+    s"""WITH $textFixtureSql,
+       |${bm25RoundSql("corpus", "b1", "1")},
+       |${bm25VerdictSql("b1", "1")}
+       |SELECT doc_id, status, n_matches, best_corpus_id, best_score_e6
+       |FROM v_1 ORDER BY doc_id""".stripMargin
+
+  /** q267: TAKEDOWN deletes through the persisted IVF model —
+    * [[IndexStore.deleteFromIvf]] + [[IndexStore.vacuumIvf]] on q55's
+    * planted-cluster fixture: the two nearest same-cluster neighbors
+    * of every query (vec_ids 16–47) are tombstoned, phase 1 searches
+    * the TOMBSTONE path (load anti-joins the inverted lists), the
+    * vacuum folds, and phase 2 searches the folded model — both
+    * phases must produce the identical brute-force top-5 over the
+    * live corpus (the deleted vectors are gone from recall the moment
+    * the delete returns, and the vacuum changes nothing). Honest
+    * nProbe = 2/16 stays exact by the planted-separation argument:
+    * clusters remain compact after losing two members each.
+    */
+  def ivfDeleteSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), clusteredVec.as("cv"))
+    val path = scratchDir("ivf_delete")
+    IndexStore.saveIvf(
+      IvfIndex.build(e, "vec_id", "cv", nLists = 16,
+        trainFraction = 1.0, kmeansMaxIter = 10), path)
+    IndexStore.deleteFromIvf(s, path,
+      e.where(col("vec_id") >= 16 && col("vec_id") < 48).select("vec_id"))
+    val s1 = IvfIndex.search(IndexStore.loadIvf(s, path), e,
+        e.where(col("vec_id") < 10), "vec_id", "cv", k = 5, nProbe = 2)
+      .withColumn("phase", lit(1))
+    IndexStore.vacuumIvf(s, path)
+    val s2 = IvfIndex.search(IndexStore.loadIvf(s, path), e,
+        e.where(col("vec_id") < 10), "vec_id", "cv", k = 5, nProbe = 2)
+      .withColumn("phase", lit(2))
+    s1.unionByName(s2)
+      .select(col("phase"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cos"))
+      .orderBy("phase", "query_id", "rank")
+  }
+
+  val ivfDeleteSearchSql: String =
+    s"""WITH e AS (SELECT vec_id, $clusteredVecSql AS v FROM embeddings),
+       |live AS (SELECT * FROM e WHERE vec_id < 16 OR vec_id >= 48),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    COALESCE(list_dot_product(q.v, c.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 0.0E0) AS cos
+       |  FROM e q JOIN live c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored),
+       |top AS (SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+       |  FROM ranked WHERE rank <= 5)
+       |SELECT CAST(1 AS INT) AS phase, query_id, rank, neighbor_id, cos
+       |FROM top
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS phase, query_id, rank, neighbor_id, cos
+       |FROM top
+       |ORDER BY phase, query_id, rank""".stripMargin
+
   val mediaIngestRoundsSql: String =
     s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,
        |    CAST((doc_id // ${Fixtures.DhashClasses}) % 2 AS INT) AS variant

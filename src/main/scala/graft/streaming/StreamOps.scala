@@ -977,13 +977,14 @@ object StreamOps {
       // it is the documented mitigation for exactly that wedge.
       maxScreenPairs: Long = 1000000000L,
       collapseFirst: Boolean = true,
-      maxDfPpm: Option[Long] = None): (DataFrame, Long) => Unit =
+      maxDfPpm: Option[Long] = None,
+      maxScorePrune: Boolean = false): (DataFrame, Long) => Unit =
     ingestBatchBody(verdictPath, indexPath, compactEvery,
       retainGenerations, archiveEvery, archivePath,
       archiveKeepBatches)(batch =>
       graft.operators.IndexStore.ingestText(batch, idCol, textCol,
         indexPath, minScoreE6, k1, b, maxScreenPairs, collapseFirst,
-        maxDfPpm))
+        maxDfPpm, maxScorePrune))
 
   /** Streaming z-score OUTLIER gate: flag live rows whose value sits
     * more than k·σ from their group's mean, where mean/σ come from a

@@ -1733,4 +1733,196 @@ class IndexStoreSpec extends SparkSuite {
     assert(IndexStore.compactIndex(spark, fresh).map(_.table).toSet ==
       Set("postings", "doclen"))
   }
+
+  test("media tombstones: a deleted asset never surfaces (probes ≡ a " +
+      "live-only rebuild); vacuum folds members and prunes dead " +
+      "families' bands; the graveyard blocks id reuse after the fold") {
+    val path = tmp()
+    // two exact-dup families ({1,2} at h1, {10,11} at h2) + a singleton
+    val sigs = Seq((1L, 0x1111L), (2L, 0x1111L), (10L, 0x2222L),
+      (11L, 0x2222L), (20L, 0x3333L)).toDF("id", "dh")
+    IndexStore.saveMediaIndex(sigs, "id", "dh", path)
+    // delete ONE member of family h1, the WHOLE family h2, and the
+    // MAX-id singleton (so only the graveyard can fence its range)
+    assert(IndexStore.deleteFromMediaIndex(spark, path,
+      Seq(2L, 10L, 11L, 20L).toDF("id")) == 4L)
+    val probe = Seq((100L, 0x1111L), (101L, 0x2222L)).toDF("id", "dh")
+    def screen(p: String) = canon(Dedup.hammingJoinIndexed(probe,
+      IndexStore.loadMediaIndex(spark, p), "id", "dh", maxDist = 3))
+    val live = tmp()
+    IndexStore.saveMediaIndex(Seq((1L, 0x1111L)).toDF("id", "dh"),
+      "id", "dh", live)
+    assert(screen(path) == screen(live) && screen(path).nonEmpty,
+      "tombstoned assets must be invisible to every screen immediately")
+    // vacuum: members fold; the dead families' band rows prune; h1's
+    // stay (member 1 survives)
+    assert(IndexStore.vacuumMediaIndex(spark, path) == 4L)
+    assert(canonIndex(path, Seq("members", "bands")) ==
+      canonIndex(live, Seq("members", "bands")),
+      "vacuum ≡ fresh build over the live assets")
+    assert(screen(path) == screen(live))
+    assert(IndexStore.vacuumMediaIndex(spark, path) == 0L)
+    // graveyard: the surviving max id is 1, so only the deletes union
+    // keeps the folded 2..20 range unreusable
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.appendMediaIndex(Seq((11L, 0x4444L)).toDF("id", "dh"),
+        "id", "dh", path)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    IndexStore.appendMediaIndex(Seq((30L, 0x4444L)).toDF("id", "dh"),
+      "id", "dh", path)
+    assert(IndexStore.loadMediaIndex(spark, path).members.count() == 2L)
+  }
+
+  test("vector tombstones: member-grain deletes hide even a family's " +
+      "rep id while its exact-dup twins keep matching; vacuum prunes " +
+      "dead families' reps/blocks; raw-members coverage stays green") {
+    val path = tmp()
+    // family {0, 100} holds EXACT-dup vectors (rep = 0); the rest are
+    // singletons — delete the REP id 0 and the whole singleton 3
+    IndexStore.saveVectorIndex(oldVecs, "vec_id", "embedding", path, dim = 8)
+    IndexStore.appendVectorIndex(newVecs, "vec_id", "embedding", path)
+    assert(IndexStore.deleteFromVectorIndex(spark, path,
+      Seq(0L, 3L).toDF("vec_id")) == 2L)
+    // the load-time coverage identity runs on RAW members: a
+    // fully-deleted group is a tombstone state, not a torn append
+    val idx = IndexStore.loadVectorIndex(spark, path)
+    val probe = oldVecs.where(col("vec_id") === 0)
+    def matches(i: Similarity.VectorIndex) =
+      Similarity.cosineJoinIndexed(i, probe, "vec_id", "embedding",
+        dim = 8, threshold = 0.999).collect().map(_.getLong(1)).toSet
+    // rep 0 deleted, but its exact-dup twin 100 still matches through
+    // the same (internal) rep row
+    assert(matches(idx).contains(100L) && !matches(idx).contains(0L))
+    // vacuum folds and prunes; probes unchanged; a live-only rebuild
+    // agrees probe-for-probe (table identity is NOT expected: the
+    // fresh build elects 100 as its own rep — an internal label)
+    assert(IndexStore.vacuumVectorIndex(spark, path) == 2L)
+    val live = tmp()
+    IndexStore.saveVectorIndex(
+      oldVecs.where(!col("vec_id").isin(0L, 3L)).unionByName(newVecs),
+      "vec_id", "embedding", live, dim = 8)
+    val after = IndexStore.loadVectorIndex(spark, path)
+    assert(matches(after) == matches(IndexStore.loadVectorIndex(spark, live)))
+    // singleton 3's family died: its reps/blocks rows are pruned
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "reps"))
+      .where(col("rep_id") === 3).count() == 0L)
+    // family {0,100} survives through member 100 under rep 0's row
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "reps"))
+      .where(col("rep_id") === 0).count() == 1L)
+    assert(IndexStore.vacuumVectorIndex(spark, path) == 0L)
+  }
+
+  test("corpus tombstones: deleting a family's rep id keeps its " +
+      "exact-text twins matching; a dead family REVIVES when the same " +
+      "text is legitimately re-admitted; vacuum prunes dead sets/bands") {
+    val path = tmp()
+    // oldDocs: family {3, 18, 19} shares base(3)'s text (rep = 3)
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", path)
+    val famText = oldDocs.where(col("doc_id") === 3)
+      .select("text").as[String].head()
+    // delete the rep and one twin; the third twin keeps matching
+    assert(IndexStore.deleteFromCorpusIndex(spark, path,
+      Seq(3L, 18L).toDF("doc_id")) == 2L)
+    val probe = Seq((900L, famText)).toDF("doc_id", "text")
+    def matches(p: String) = Dedup.minhashLSHJoinIndexed(probe,
+        IndexStore.loadCorpusIndex(spark, p), "doc_id", "text")
+      .collect().map(_.getLong(1)).toSet
+    assert(matches(path) == Set(19L),
+      s"only the surviving twin must match, got ${matches(path)}")
+    // delete the last twin: the family is dead — and REVIVES when the
+    // same text is re-admitted under a fresh id (the content was
+    // erased and legitimately re-enters; stored shingles still
+    // describe it exactly)
+    assert(IndexStore.deleteFromCorpusIndex(spark, path,
+      Seq(19L).toDF("doc_id")) == 1L)
+    assert(matches(path).isEmpty)
+    IndexStore.appendCorpusIndex(Seq((200L, famText)).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(matches(path) == Set(200L))
+    // delete the revival too, vacuum: the family's sets/bands prune
+    IndexStore.deleteFromCorpusIndex(spark, path, Seq(200L).toDF("doc_id"))
+    assert(IndexStore.vacuumCorpusIndex(spark, path) == 4L)
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "sets"))
+      .where(col("corpus_id") === 3).count() == 0L)
+    assert(matches(path).isEmpty)
+    // post-vacuum lifecycle continues above the graveyard
+    intercept[IllegalArgumentException] {
+      IndexStore.appendCorpusIndex(
+        Seq((19L, sentence(20))).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+    }
+    IndexStore.appendCorpusIndex(
+      Seq((300L, sentence(20))).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+  }
+
+  test("bm25 maxScorePrune is LOSSLESS: screens and ingest rounds are " +
+      "bit-identical with the prune on or off, across thresholds (all-" +
+      "candidate, partial, impossible) and composed with maxDfPpm") {
+    import graft.operators.TextAnalysis
+    val path = tmp()
+    IndexStore.saveTextIndex(oldDocs.unionByName(newDocs),
+      "doc_id", "text", path)
+    val idx = IndexStore.loadTextIndex(spark, path)
+    val queries = Seq(
+      1L -> "alpha beta gamma delta", // all common vocab (low ub)
+      2L -> "CHANGED kappa zeta",     // one rare (high ub) + common
+      3L -> "alpha alpha alpha")      // single repeated common term
+    for (thr <- Seq(1L, 200000L, 1000000L, 5000000L, 100000000L)) {
+      val off = canon(TextAnalysis.bm25ScreenIndexed(idx, queries, thr))
+      val on = canon(TextAnalysis.bm25ScreenIndexed(idx, queries, thr,
+        maxScorePrune = true))
+      assert(on == off, s"prune must be lossless at threshold $thr")
+      val ppmOnly = canon(TextAnalysis.bm25ScreenIndexed(idx, queries,
+        thr, maxDfPpm = Some(500000L)))
+      val both = canon(TextAnalysis.bm25ScreenIndexed(idx, queries, thr,
+        maxDfPpm = Some(500000L), maxScorePrune = true))
+      assert(both == ppmOnly,
+        s"prune must compose losslessly with maxDfPpm at $thr")
+    }
+    // and through a full ingest round: identical verdicts AND an
+    // identically grown index
+    val p2 = tmp(); val p3 = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", p2)
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", p3)
+    val off = canon(IndexStore.ingestText(newDocs, "doc_id", "text", p2,
+      minScoreE6 = 2000000L, collapseFirst = true))
+    val on = canon(IndexStore.ingestText(newDocs, "doc_id", "text", p3,
+      minScoreE6 = 2000000L, collapseFirst = true, maxScorePrune = true))
+    assert(on == off && off.nonEmpty)
+    assert(canonIndex(p2, Seq("postings", "doclen")) ==
+      canonIndex(p3, Seq("postings", "doclen")))
+  }
+
+  test("ivf tombstones: a deleted id leaves recall at load; vacuum " +
+      "folds the inverted lists; the graveyard blocks re-admission") {
+    val path = tmp()
+    IndexStore.saveIvf(IvfIndex.build(oldVecs, "vec_id", "embedding",
+      nLists = 3, trainFraction = 1.0), path)
+    val queries = oldVecs.where(col("vec_id") === 1)
+    def top(p: String) = IvfIndex.search(IndexStore.loadIvf(spark, p),
+        oldVecs, queries, "vec_id", "embedding", k = 3, nProbe = 3)
+      .collect().map(_.getLong(2)).toSet
+    val before = top(path)
+    // delete two of query 1's own same-cluster neighbors (cluster 1 =
+    // ids 1,4,7,10) — its top-3 must visibly change
+    assert(IndexStore.deleteFromIvf(spark, path,
+      Seq(4L, 7L).toDF("vec_id")) == 2L)
+    val after = top(path)
+    assert(!after.contains(4L) && !after.contains(7L) && after != before,
+      s"deleted ids must leave recall immediately: $after")
+    assert(IndexStore.vacuumIvf(spark, path) == 2L)
+    assert(top(path) == after, "vacuum must not change search results")
+    assert(spark.read.parquet(IndexStore.tableDir(spark, path, "assign"))
+      .where(col("id").isin(4L, 7L)).count() == 0L)
+    // graveyard: appendIvf refuses a deleted id even after the fold
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.appendIvf(oldVecs.where(col("vec_id") === 4),
+        "vec_id", "embedding", path)
+    }
+    assert(e.getMessage.contains("graveyard"), e.getMessage)
+    IndexStore.appendIvf(newVecs, "vec_id", "embedding", path)
+    assert(IndexStore.vacuumIvf(spark, path) == 0L)
+  }
 }
