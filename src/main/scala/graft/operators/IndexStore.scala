@@ -1298,35 +1298,49 @@ object IndexStore {
     *
     * @return the merged index's document count
     */
-  def mergeTextIndexes(
-      spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
+  /** The merge ops' shared path guards. */
+  private def requireShardPaths(
+      op: String, shardPaths: Seq[String], outPath: String): Unit = {
     require(shardPaths.size >= 2,
-      "IndexStore.mergeTextIndexes: need at least two shard indexes " +
+      s"IndexStore.$op: need at least two shard indexes " +
         "(one shard is already the index you want)")
     require(shardPaths.distinct.size == shardPaths.size,
-      "IndexStore.mergeTextIndexes: duplicate shard path — merging a " +
-        "shard with itself would double every df/tf")
+      s"IndexStore.$op: duplicate shard path — merging a " +
+        "shard with itself would double its every row")
     require(!shardPaths.contains(outPath),
-      "IndexStore.mergeTextIndexes: outPath must not be one of the " +
+      s"IndexStore.$op: outPath must not be one of the " +
         "shards — the output is rebuilt from scratch and the rewrite " +
         "would consume a shard it is overwriting")
-    val shards = shardPaths.map(p => loadTextIndex(spark, p))
-    val postings = shards.map(_.postings).reduce(_.unionByName(_))
-    val doclen = shards.map(_.doclen).reduce(_.unionByName(_))
-    val c = doclen.agg(count(lit(1)).as("__n"),
-      count_distinct(col("doc_id")).as("__nd")).head()
+  }
+
+  /** The merge ops' shared disjointness proof: one count-vs-distinct
+    * aggregate over the unioned member grain; the failure path samples
+    * the overlapping ids. Returns the merged member count.
+    */
+  private def requireDisjointMembers(
+      op: String, ids: DataFrame, idColName: String): Long = {
+    val c = ids.agg(count(lit(1)).as("__n"),
+      count_distinct(col(idColName)).as("__nd")).head()
     if (c.getLong(0) != c.getLong(1)) {
-      // failure path only: name some overlapping ids
-      val sample = doclen.groupBy(col("doc_id"))
+      val sample = ids.groupBy(col(idColName))
         .agg(count(lit(1)).as("__k")).where(col("__k") > 1)
         .limit(5).collect().map(_.get(0)).mkString(", ")
       throw new IllegalArgumentException(
-        s"IndexStore.mergeTextIndexes: shard doc_ids overlap — " +
+        s"IndexStore.$op: shard ids overlap — " +
           s"${c.getLong(0) - c.getLong(1)} id(s) appear in more than " +
           s"one shard (e.g. $sample). Shards must hold disjoint id " +
-          "ranges (a duplicated id would splice two documents' " +
-          "statistics); re-id the offending shard and re-run")
+          "ranges; re-id the offending shard and re-run")
     }
+    c.getLong(0)
+  }
+
+  def mergeTextIndexes(
+      spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
+    requireShardPaths("mergeTextIndexes", shardPaths, outPath)
+    val shards = shardPaths.map(p => loadTextIndex(spark, p))
+    val postings = shards.map(_.postings).reduce(_.unionByName(_))
+    val doclen = shards.map(_.doclen).reduce(_.unionByName(_))
+    val n = requireDisjointMembers("mergeTextIndexes", doclen, "doc_id")
     withIndexLease(spark, outPath, "mergeTextIndexes") {
       resetGenerations(spark, outPath)
       postings.repartition(col("term"))
@@ -1336,7 +1350,151 @@ object IndexStore {
       // meta LAST — the rebuild's commit record (see [[resetGenerations]])
       writeMeta(spark, outPath, Seq("kind" -> "text"))
     }
-    c.getLong(0)
+    n
+  }
+
+  /** MERGE shard MEDIA indexes — [[mergeTextIndexes]]'s perceptual
+    * sibling: union the live member rows (shard tombstones applied,
+    * graveyards not carried) and RE-DERIVE the band table from them
+    * with the single build's own derivation ([[Dedup.hashBandRows]]) —
+    * exact by construction (merge ≡ [[saveMediaIndex]] over the
+    * concatenated assets, IndexStoreSpec), deduplicating the band rows
+    * that the same signature earned in several shards, and healing any
+    * shard's members-without-bands torn state for free. Disjoint
+    * member ids required; `outPath` rebuilt under its own lease.
+    *
+    * @return the merged index's member count
+    */
+  def mergeMediaIndexes(
+      spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
+    requireShardPaths("mergeMediaIndexes", shardPaths, outPath)
+    shardPaths.foreach(p => metaOf(spark, p, "media"))
+    val members = shardPaths.map { p =>
+      val dir = tableDirs(spark, p)
+      applyDeletes(spark.read.parquet(dir("members")),
+        readDeletes(spark, p, dir), "member_id")
+        .select(col("dh"), col("member_id"))
+    }.reduce(_.unionByName(_))
+    val n = requireDisjointMembers("mergeMediaIndexes", members, "member_id")
+    withIndexLease(spark, outPath, "mergeMediaIndexes") {
+      resetGenerations(spark, outPath)
+      members.repartition(col("dh"))
+        .write.mode("overwrite").parquet(s"$outPath/members")
+      Dedup.hashBandRows(members, "dh").repartition(col("band_hash"))
+        .write.mode("overwrite").parquet(s"$outPath/bands")
+      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+      writeMeta(spark, outPath, Seq("kind" -> "media"))
+    }
+    n
+  }
+
+  /** MERGE shard VECTOR indexes. The one step beyond a union: shards
+    * elected their OWN exact-dup family reps, so the same vector value
+    * split across shards arrives as several rep groups — the merge
+    * CONSOLIDATES by regrouping the (vector, member) pairs with the
+    * single build's own grouping rule (rep = min member id,
+    * [[vecGroups]]' collapse) and re-derives reps/blocks/members from
+    * the consolidated groups with the single build's own table
+    * builder. Merge ≡ [[saveVectorIndex]] over the concatenated corpus
+    * — table for table — BECAUSE every derivation is shared, not
+    * copied. Shards must carry identical geometry meta (dim, blocks,
+    * planes, seed — block keys are only comparable under one set of
+    * hyperplanes); torn shards raise (member coverage on RAW members,
+    * as loads do); shard tombstones applied, graveyards not carried.
+    *
+    * @return the merged index's member count
+    */
+  def mergeVectorIndexes(
+      spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
+    requireShardPaths("mergeVectorIndexes", shardPaths, outPath)
+    val metas = shardPaths.map(p => metaOf(spark, p, "vector"))
+    val geomKeys = Seq("dim", "num_blocks", "planes_per_block", "seed")
+    require(metas.map(m => geomKeys.map(m)).distinct.size == 1,
+      "IndexStore.mergeVectorIndexes: shards were built with different " +
+        "hyperplane geometry (dim/num_blocks/planes_per_block/seed " +
+        "must match — block keys are only comparable under one set of " +
+        "planes); rebuild the divergent shard with the shared geometry")
+    val m = metas.head
+    val pairs = shardPaths.map { p =>
+      val dir = tableDirs(spark, p)
+      val reps = spark.read.parquet(dir("reps"))
+      val rawMembers = spark.read.parquet(dir("members"))
+      requireMemberCoverage(rawMembers, reps, "rep_id", "reps", p)
+      applyDeletes(rawMembers, readDeletes(spark, p, dir), "member_id")
+        .join(reps, Seq("rep_id"))
+        .select(col("v"), col("member_id"))
+    }.reduce(_.unionByName(_))
+    val n = requireDisjointMembers("mergeVectorIndexes", pairs, "member_id")
+    val groups = vecGroups(pairs, "member_id", "v")
+    val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
+      groups, m("dim").toInt, m("num_blocks").toInt,
+      m("planes_per_block").toInt, m("seed").toLong)
+    withIndexLease(spark, outPath, "mergeVectorIndexes") {
+      resetGenerations(spark, outPath)
+      blocks.repartition(col("band_hash"))
+        .write.mode("overwrite").parquet(s"$outPath/blocks")
+      reps.repartition(col("rep_id"))
+        .write.mode("overwrite").parquet(s"$outPath/reps")
+      members.repartition(col("rep_id"))
+        .write.mode("overwrite").parquet(s"$outPath/members")
+      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+      writeMeta(spark, outPath, m.toSeq)
+    }
+    n
+  }
+
+  /** MERGE shard CORPUS (MinHash-LSH) indexes —
+    * [[mergeVectorIndexes]]' lexical twin: consolidate cross-shard
+    * exact-text families by regrouping the (text, member) pairs with
+    * [[Dedup.textGroups]]' own rule and re-derive bands/sets/members
+    * via [[Dedup.corpusTablesFromGroups]] — the single build's exact
+    * builders, so merge ≡ [[saveCorpusIndex]] over the concatenated
+    * corpus, table for table. Shards must share the LSH parameters
+    * (shingle_size/num_hashes/num_bands); torn shards raise; shard
+    * tombstones applied, graveyards not carried. There is deliberately
+    * NO mergeIvf: IVF shards trained separately hold incomparable
+    * quantizers — the documented path is [[rebuildIvf]] over the
+    * concatenated corpus, which IS the merge (one retrain + one
+    * reassign, measured in SCALING.md).
+    *
+    * @return the merged index's member count
+    */
+  def mergeCorpusIndexes(
+      spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
+    requireShardPaths("mergeCorpusIndexes", shardPaths, outPath)
+    val metas = shardPaths.map(p => metaOf(spark, p, "corpus"))
+    val lshKeys = Seq("shingle_size", "num_hashes", "num_bands")
+    require(metas.map(m => lshKeys.map(m)).distinct.size == 1,
+      "IndexStore.mergeCorpusIndexes: shards were built with different " +
+        "LSH parameters (shingle_size/num_hashes/num_bands must match " +
+        "— band keys are only comparable under one signature scheme); " +
+        "rebuild the divergent shard with the shared parameters")
+    val m = metas.head
+    val pairs = shardPaths.map { p =>
+      val dir = tableDirs(spark, p)
+      val sets = spark.read.parquet(dir("sets"))
+      val rawMembers = spark.read.parquet(dir("members"))
+      requireMemberCoverage(rawMembers, sets, "corpus_id", "sets", p)
+      applyDeletes(rawMembers, readDeletes(spark, p, dir), "member_id")
+        .join(sets.select(col("corpus_id"), col("text")), Seq("corpus_id"))
+        .select(col("text"), col("member_id"))
+    }.reduce(_.unionByName(_))
+    val n = requireDisjointMembers("mergeCorpusIndexes", pairs, "member_id")
+    val gc = Dedup.textGroups(pairs, "member_id", "text")
+    val (bands, sets, members) = Dedup.corpusTablesFromGroups(gc,
+      m("shingle_size").toInt, m("num_hashes").toInt, m("num_bands").toInt)
+    withIndexLease(spark, outPath, "mergeCorpusIndexes") {
+      resetGenerations(spark, outPath)
+      bands.repartition(col("band_hash"))
+        .write.mode("overwrite").parquet(s"$outPath/bands")
+      sets.repartition(col("corpus_id"))
+        .write.mode("overwrite").parquet(s"$outPath/sets")
+      members.repartition(col("corpus_id"))
+        .write.mode("overwrite").parquet(s"$outPath/members")
+      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+      writeMeta(spark, outPath, m.toSeq)
+    }
+    n
   }
 
   // ---------------------------------------------------------------

@@ -1616,6 +1616,120 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q269: SHARD-PARALLEL build for the MEDIA index —
+    * [[IndexStore.mergeMediaIndexes]] registered at full oracle depth:
+    * q248's corpus is split by doc_id parity into two shard indexes
+    * (the same dHash class lands in BOTH shards, so the merge's
+    * band-row dedup is structurally exercised), merged, and the
+    * standard TWO ingest rounds run against the merged index — while
+    * the oracle replays them against the single undivided corpus
+    * ([[mediaIngestRoundsSql]] shared verbatim, the q252 precedent):
+    * a duplicated band row would double candidates, a lost member
+    * would flip a verdict, and either breaks the hash.
+    */
+  def mediaIndexMerged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter((id: Long) => id < 500)
+      .mapPartitions(_.flatMap { id =>
+        Multimodal.dhash64(Fixtures.dhashAssetFor(id).media)
+          .map(dh => (id, dh))
+      }).toDF("doc_id", "dh")
+      .localCheckpoint(true)
+    val shardA = scratchDir("media_merge_shard_a")
+    val shardB = scratchDir("media_merge_shard_b")
+    val out = scratchDir("media_merge_out")
+    val gid = pmod(col("doc_id"), lit(Fixtures.DhashClasses))
+    val corpus = hashes.where(col("doc_id") < 280 && pmod(gid, lit(2)) === 0)
+    IndexStore.saveMediaIndex(
+      corpus.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "dh",
+      shardA)
+    IndexStore.saveMediaIndex(
+      corpus.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "dh",
+      shardB)
+    IndexStore.mergeMediaIndexes(s, Seq(shardA, shardB), out)
+    val v1 = IndexStore.ingestMedia(
+        hashes.where(col("doc_id") >= 280 && col("doc_id") < 390),
+        "doc_id", "dh", out)
+      .withColumn("ingest", lit(1))
+    val v2 = IndexStore.ingestMedia(hashes.where(col("doc_id") >= 390),
+        "doc_id", "dh", out)
+      .withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("asset_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_hamming"))
+      .orderBy("asset_id")
+  }
+
+  /** q270: SHARD-PARALLEL build for the VECTOR index —
+    * [[IndexStore.mergeVectorIndexes]] end to end: q250's corpus split
+    * at vec_id 150, merged (rep-group consolidation by vector value —
+    * exercised adversarially with cross-shard exact-dup families in
+    * IndexStoreSpec; this fixture's vectors are distinct, so here the
+    * merge must simply reproduce the single build), then the standard
+    * two ingest rounds against the merged index vs the undivided
+    * oracle ([[vectorIngestRoundsSql]] shared verbatim).
+    */
+  def vectorIndexMerged(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), clusteredVec.as("cv"))
+    val shardA = scratchDir("vec_merge_shard_a")
+    val shardB = scratchDir("vec_merge_shard_b")
+    val out = scratchDir("vec_merge_out")
+    val corpus =
+      e.where(col("vec_id") < 300 && pmod(col("vec_id"), lit(16)) % 2 === 0)
+    IndexStore.saveVectorIndex(corpus.where(col("vec_id") < 150),
+      "vec_id", "cv", shardA, dim = 32, numBlocks = 16, planesPerBlock = 4)
+    IndexStore.saveVectorIndex(corpus.where(col("vec_id") >= 150),
+      "vec_id", "cv", shardB, dim = 32, numBlocks = 16, planesPerBlock = 4)
+    IndexStore.mergeVectorIndexes(s, Seq(shardA, shardB), out)
+    val v1 = IndexStore.ingestVector(
+        e.where(col("vec_id") >= 300 && col("vec_id") < 400),
+        "vec_id", "cv", out, threshold = 0.9)
+      .withColumn("ingest", lit(1))
+    val v2 = IndexStore.ingestVector(
+        e.where(col("vec_id") >= 400 && col("vec_id") < 500),
+        "vec_id", "cv", out, threshold = 0.9)
+      .withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("vec_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** q271: SHARD-PARALLEL build for the CORPUS (MinHash-LSH) index —
+    * [[IndexStore.mergeCorpusIndexes]] end to end: q253's dilution
+    * corpus split by doc_id parity, merged (exact-text family
+    * consolidation — adversarial cross-shard families in
+    * IndexStoreSpec), then the standard two ingest rounds vs the
+    * undivided oracle ([[corpusIngestRoundsSql]] shared verbatim).
+    */
+  def corpusIndexMerged(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, heads) = dilutionFixture(s, dir, off = 200)
+    val shardA = scratchDir("corpus_merge_shard_a")
+    val shardB = scratchDir("corpus_merge_shard_b")
+    val out = scratchDir("corpus_merge_out")
+    IndexStore.saveCorpusIndex(
+      corpus.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+      shardA)
+    IndexStore.saveCorpusIndex(
+      corpus.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+      shardB)
+    IndexStore.mergeCorpusIndexes(s, Seq(shardA, shardB), out)
+    val batch1 = heads.localCheckpoint(true)
+    val v1 = IndexStore.ingestCorpus(batch1, "doc_id", "text", out,
+      threshold = 0.7).withColumn("ingest", lit(1))
+    val batch2 = batch1
+      .join(v1.where(col("status") === "admitted").select("doc_id"),
+        Seq("doc_id"))
+      .select((col("doc_id") + 200).as("doc_id"), col("text"))
+    val v2 = IndexStore.ingestCorpus(batch2, "doc_id", "text", out,
+      threshold = 0.7).withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("doc_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** q268: a TEXT ingest round under the LOSSLESS MaxScore candidate
     * prune — [[TextAnalysis.bm25ScoredIndexed]]'s `pruneThresholdE6`
     * registered end to end. Unlike q260's `maxDfPpm` (which DROPS

@@ -1857,6 +1857,89 @@ class IndexStoreSpec extends SparkSuite {
       "doc_id", "text", path)
   }
 
+  test("mergeMediaIndexes: merge ≡ single build table for table — band " +
+      "rows deduped across shards, a torn shard's members-without-bands " +
+      "healed by the re-derivation; overlapping shard ids raise") {
+    val a = tmp(); val b = tmp(); val out = tmp(); val rebuilt = tmp()
+    val sA = Seq((1L, 0x11L), (2L, 0x22L)).toDF("id", "dh")
+    // 0x11 lives in BOTH shards: its band rows arrive twice and must
+    // come out once (bands hold each signature exactly once)
+    val sB = Seq((10L, 0x11L), (11L, 0x33L)).toDF("id", "dh")
+    IndexStore.saveMediaIndex(sA, "id", "dh", a)
+    IndexStore.saveMediaIndex(sB, "id", "dh", b)
+    // torn shard state: a member row whose bands append was lost
+    Seq((0x44L, 12L)).toDF("dh", "member_id")
+      .write.mode("append").parquet(s"$b/members")
+    IndexStore.mergeMediaIndexes(spark, Seq(a, b), out)
+    IndexStore.saveMediaIndex(
+      sA.unionByName(sB).unionByName(Seq((12L, 0x44L)).toDF("id", "dh")),
+      "id", "dh", rebuilt)
+    assert(canonIndex(out, Seq("members", "bands")) ==
+      canonIndex(rebuilt, Seq("members", "bands")),
+      "merge must equal a single undivided build, torn shard healed")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.mergeMediaIndexes(spark, Seq(a, rebuilt), tmp())
+    }
+    assert(e.getMessage.contains("overlap"), e.getMessage)
+  }
+
+  test("mergeVectorIndexes: cross-shard exact-dup families consolidate " +
+      "to the single build's rep (min member id); geometry mismatch " +
+      "raises") {
+    val a = tmp(); val b = tmp(); val out = tmp(); val rebuilt = tmp()
+    // the same vector value split across shards: each shard elected
+    // its own rep (2 and 100) — the merge must re-elect the global min
+    val vA = Seq((2L, vec(0, 0)), (5L, vec(0, 0)), (7L, vec(1, 0)))
+      .toDF("vec_id", "embedding")
+    val vB = Seq((100L, vec(0, 0)), (101L, vec(2, 0)))
+      .toDF("vec_id", "embedding")
+    IndexStore.saveVectorIndex(vA, "vec_id", "embedding", a, dim = 8)
+    IndexStore.saveVectorIndex(vB, "vec_id", "embedding", b, dim = 8)
+    IndexStore.mergeVectorIndexes(spark, Seq(a, b), out)
+    IndexStore.saveVectorIndex(vA.unionByName(vB), "vec_id", "embedding",
+      rebuilt, dim = 8)
+    val ts = Seq("blocks", "reps", "members")
+    assert(canonIndex(out, ts) == canonIndex(rebuilt, ts),
+      "consolidated merge must equal a single undivided build")
+    assert(spark.read.parquet(IndexStore.tableDir(spark, out, "members"))
+      .where(col("rep_id") === 2).count() == 3L,
+      "the cross-shard family must re-key to the global min member")
+    val c = tmp()
+    IndexStore.saveVectorIndex(vB, "vec_id", "embedding", c,
+      dim = 8, numBlocks = 4)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.mergeVectorIndexes(spark, Seq(a, c), tmp())
+    }
+    assert(e.getMessage.contains("geometry"), e.getMessage)
+  }
+
+  test("mergeCorpusIndexes: cross-shard exact-text families " +
+      "consolidate; shard tombstones applied, not carried; LSH " +
+      "parameter mismatch raises") {
+    val a = tmp(); val b = tmp(); val out = tmp(); val rebuilt = tmp()
+    // newDocs 100/104 duplicate oldDocs 7's text — the family spans
+    // the shards; 104 is tombstoned in its shard pre-merge
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", a)
+    IndexStore.saveCorpusIndex(newDocs, "doc_id", "text", b)
+    IndexStore.deleteFromCorpusIndex(spark, b, Seq(104L).toDF("doc_id"))
+    IndexStore.mergeCorpusIndexes(spark, Seq(a, b), out)
+    IndexStore.saveCorpusIndex(
+      oldDocs.unionByName(newDocs.where(col("doc_id") =!= 104)),
+      "doc_id", "text", rebuilt)
+    val ts = Seq("bands", "sets", "members")
+    assert(canonIndex(out, ts) == canonIndex(rebuilt, ts),
+      "merge must equal a single build over the LIVE union")
+    assert(spark.read.parquet(IndexStore.tableDir(spark, out, "members"))
+      .where(col("corpus_id") === 7).count() == 2L,
+      "the cross-shard family holds 7 and 100 (104 was tombstoned)")
+    val c = tmp()
+    IndexStore.saveCorpusIndex(newDocs, "doc_id", "text", c, numBands = 8)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.mergeCorpusIndexes(spark, Seq(a, c), tmp())
+    }
+    assert(e.getMessage.contains("LSH"), e.getMessage)
+  }
+
   test("bm25 maxScorePrune is LOSSLESS: screens and ingest rounds are " +
       "bit-identical with the prune on or off, across thresholds (all-" +
       "candidate, partial, impossible) and composed with maxDfPpm") {
