@@ -1151,7 +1151,13 @@ object IndexStore {
       ids: DataFrame, liveIds: DataFrame,
       dir: String => String, resolved: Map[String, Long]): Long = {
     appendFenceTestHook()
-    val del = ids.select(col(ids.columns.head).as(idColName))
+    // cast to the LIVE id column's type before validating and writing:
+    // the validation join would insert the cast implicitly anyway, but
+    // the parquet append would not — an int-typed delete batch would
+    // land an INT32 file next to INT64 ones and break every later
+    // read of the deletes directory
+    val del = ids.select(col(ids.columns.head)
+        .cast(liveIds.schema.head.dataType).as(idColName))
       .localCheckpoint(true) // validation + write must see ONE set
     val counts = del.agg(count(lit(1)).as("__n"),
       count_distinct(col(idColName)).as("__nd")).head()
@@ -1215,11 +1221,9 @@ object IndexStore {
     withIndexLease(spark, path, "deleteFromTextIndex") {
       metaOf(spark, path, "text")
       val (resolved, dir) = resolvedDirs(spark, path)
-      val liveIds = {
-        val all = spark.read.parquet(dir("doclen")).select(col("doc_id"))
-        readDeletes(spark, path, dir)
-          .fold(all)(d => all.join(d, Seq("doc_id"), "left_anti"))
-      }
+      val liveIds = applyDeletes(
+        spark.read.parquet(dir("doclen")).select(col("doc_id")),
+        readDeletes(spark, path, dir), "doc_id")
       tombstoneDelete(spark, path, "deleteFromTextIndex", "doc_id",
         ids, liveIds, dir, resolved)
     }
@@ -2823,9 +2827,11 @@ object IndexStore {
         require(fs.rename(legacyAside, dir),
           s"IndexStore.compactIndex: could not restore $legacyAside to $dir")
       }
-      // OPTIONAL tables (the text kind's deletes, absent until the
-      // first tombstone) simply don't participate
-      if (!fs.exists(dir)) None
+      // OPTIONAL tables (deletes, absent until the first tombstone)
+      // simply don't participate; a MANDATORY table's missing dir must
+      // still fail loudly below (spark.read throws) — silently
+      // skipping it would let compaction "succeed" on a torn index
+      if (OptionalTables(t) && !fs.exists(dir)) None
       else Some {
         val before = dataFiles(dir)
         val bytes = before.map(_.getLen).sum
