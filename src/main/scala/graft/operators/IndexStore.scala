@@ -1763,6 +1763,51 @@ object IndexStore {
     }
   }
 
+  /** Kind-dispatching takedown: read the index's kind from `meta/` and
+    * route to the right deleteFrom*Index — the one-call surface a
+    * compliance tool wants when it holds a path and an id list but not
+    * the index's type. Same contracts as the per-kind ops (which
+    * remain the explicit, type-honest API).
+    */
+  def deleteFromIndex(
+      spark: SparkSession, path: String, ids: DataFrame): Long =
+    readMeta(spark, path).getOrElse("kind",
+      throw new IllegalArgumentException(
+        s"IndexStore.deleteFromIndex: $path/meta carries no index kind")
+    ) match {
+      case "text" => deleteFromTextIndex(spark, path, ids)
+      case "media" => deleteFromMediaIndex(spark, path, ids)
+      case "vector" => deleteFromVectorIndex(spark, path, ids)
+      case "corpus" => deleteFromCorpusIndex(spark, path, ids)
+      case "ivf" => deleteFromIvf(spark, path, ids)
+      case k => throw new IllegalArgumentException(
+        s"IndexStore.deleteFromIndex: unknown index kind '$k'")
+    }
+
+  /** Kind-dispatching vacuum — [[deleteFromIndex]]'s fold twin, for
+    * the maintenance cadence that sweeps a directory of indexes.
+    */
+  def vacuumIndex(
+      spark: SparkSession, path: String,
+      retainGenerations: Int = 1,
+      retainAge: Option[java.time.Duration] = None): Long =
+    readMeta(spark, path).getOrElse("kind",
+      throw new IllegalArgumentException(
+        s"IndexStore.vacuumIndex: $path/meta carries no index kind")
+    ) match {
+      case "text" =>
+        vacuumTextIndex(spark, path, retainGenerations, retainAge)
+      case "media" =>
+        vacuumMediaIndex(spark, path, retainGenerations, retainAge)
+      case "vector" =>
+        vacuumVectorIndex(spark, path, retainGenerations, retainAge)
+      case "corpus" =>
+        vacuumCorpusIndex(spark, path, retainGenerations, retainAge)
+      case "ivf" => vacuumIvf(spark, path, retainGenerations, retainAge)
+      case k => throw new IllegalArgumentException(
+        s"IndexStore.vacuumIndex: unknown index kind '$k'")
+    }
+
   // ---------------------------------------------------------------
   // Table generations + maintenance (compaction, reap)
   // ---------------------------------------------------------------

@@ -1857,6 +1857,26 @@ class IndexStoreSpec extends SparkSuite {
       "doc_id", "text", path)
   }
 
+  test("deleteFromIndex/vacuumIndex dispatch on the stored kind and " +
+      "match the per-kind ops; unknown/absent kind raises") {
+    val path = tmp()
+    IndexStore.saveMediaIndex(
+      Seq((1L, 0xAAL), (2L, 0xBBL)).toDF("id", "dh"), "id", "dh", path)
+    assert(IndexStore.deleteFromIndex(spark, path,
+      Seq(1L).toDF("id")) == 1L)
+    assert(IndexStore.loadMediaIndex(spark, path).members.count() == 1L)
+    assert(IndexStore.vacuumIndex(spark, path) == 1L)
+    assert(IndexStore.vacuumIndex(spark, path) == 0L)
+    val t = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", t)
+    assert(IndexStore.deleteFromIndex(spark, t,
+      Seq(3L, 4L).toDF("doc_id")) == 2L)
+    assert(IndexStore.vacuumIndex(spark, t) == 2L)
+    intercept[Exception] {
+      IndexStore.deleteFromIndex(spark, tmp(), Seq(1L).toDF("id"))
+    }
+  }
+
   test("mergeMediaIndexes: merge ≡ single build table for table — band " +
       "rows deduped across shards, a torn shard's members-without-bands " +
       "healed by the re-derivation; overlapping shard ids raise") {
