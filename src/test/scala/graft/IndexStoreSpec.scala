@@ -1857,6 +1857,36 @@ class IndexStoreSpec extends SparkSuite {
       "doc_id", "text", path)
   }
 
+  test("edges: merging an EMPTY shard is exact (a 100 TB id range can " +
+      "legitimately hold no docs); deleting EVERY doc leaves a valid " +
+      "empty-probe index that still ingests and vacuums") {
+    import graft.operators.TextAnalysis
+    val a = tmp(); val b = tmp(); val out = tmp(); val rebuilt = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", a)
+    IndexStore.saveTextIndex(oldDocs.limit(0), "doc_id", "text", b)
+    IndexStore.mergeTextIndexes(spark, Seq(a, b), out)
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", rebuilt)
+    assert(canonIndex(out, Seq("postings", "doclen")) ==
+      canonIndex(rebuilt, Seq("postings", "doclen")))
+    // total deletion: probes return empty (stats over the empty live
+    // set never divide), ingest admits everything, vacuum folds all
+    val p = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", p)
+    assert(IndexStore.deleteFromTextIndex(spark, p,
+      oldDocs.select("doc_id")) == oldDocs.count())
+    assert(TextAnalysis.bm25ScreenIndexed(
+      IndexStore.loadTextIndex(spark, p),
+      Seq(1L -> "alpha beta"), 1L).count() == 0L)
+    val v = IndexStore.ingestText(newDocs, "doc_id", "text", p,
+      minScoreE6 = 1L)
+    assert(v.where(col("status") === "admitted").count() ==
+      newDocs.count(), "nothing live can match — everything admits")
+    assert(IndexStore.vacuumTextIndex(spark, p) == oldDocs.count())
+    // the re-grown index holds exactly the new batch
+    assert(IndexStore.loadTextIndex(spark, p).doclen.count() ==
+      newDocs.count())
+  }
+
   test("deleteFromIndex/vacuumIndex dispatch on the stored kind and " +
       "match the per-kind ops; unknown/absent kind raises") {
     val path = tmp()
