@@ -3071,12 +3071,13 @@ object IndexStore {
     // maxScorePrune: the LOSSLESS candidate cut for high-threshold
     // rounds ([[TextAnalysis.bm25ScoredIndexed]]'s scaladoc) — every
     // verdict and score is bit-identical with it on or off; it applies
-    // to BOTH screens below. The guardrail estimate deliberately keeps
-    // modeling the UNPRUNED volume (the prune's cut is data-dependent
-    // and only cheaply boundable from above), so a refusal under the
-    // prune is conservative — dry-run with estimateTextScreen, then
-    // raise maxScreenPairs consciously if the pruned round is known
-    // to fit.
+    // to BOTH screens below. With the prune ON, the guardrail budgets
+    // the TRUE candidate-restricted volume: the candidate set is
+    // materialized ONCE (scan-shaped — essential-postings semi-join,
+    // never the multiply), the estimate restricts postings to it, and
+    // the screen REUSES the same set — budget and actual volume stay
+    // one number, so a dense batch the prune makes cheap no longer
+    // refuses under the default budget.
     val pruneThr = if (maxScorePrune) Some(minScoreE6) else None
     val batch = newDocs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
@@ -3131,14 +3132,22 @@ object IndexStore {
     // maxDfPpm-aware: pruned terms cost nothing, so they count nothing
     val pairsDec =
       col("df").cast("decimal(38,0)") * col("n_queries").cast("decimal(38,0)")
-    val estTotal = screenPairEstimate(pre.postings, qt, maxDfPpm,
+    // with maxScorePrune on, the screen only ever scores candidate
+    // docs — so the budget measures exactly those (see pruneThr above)
+    val candDocs = pruneThr.map(thr =>
+      TextAnalysis.maxScoreCandidates(pre, qt, k1, thr, maxDfPpm,
+          broadcastQueries = false)
+        .localCheckpoint(true))
+    val estPostings = candDocs.fold(pre.postings)(c =>
+      pre.postings.join(c, Seq("doc_id"), "left_semi"))
+    val estTotal = screenPairEstimate(estPostings, qt, maxDfPpm,
         pre.doclen)
       .agg(coalesce(sum(pairsDec),
         lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("t"))
       .head().getDecimal(0)
     if (estTotal.compareTo(
         java.math.BigDecimal.valueOf(maxScreenPairs)) > 0) {
-      val dense = screenPairEstimate(pre.postings, qt, maxDfPpm,
+      val dense = screenPairEstimate(estPostings, qt, maxDfPpm,
           pre.doclen)
         .orderBy(pairsDec.desc, col("term")).limit(5)
         .select(col("term"), col("df"), col("n_queries"),
@@ -3160,7 +3169,8 @@ object IndexStore {
     }
     val matches = TextAnalysis
       .bm25ScoredIndexed(pre, qt, k1, b, broadcastQueries = false,
-        maxDfPpm = maxDfPpm, pruneThresholdE6 = pruneThr)
+        maxDfPpm = maxDfPpm, pruneThresholdE6 = pruneThr,
+        candidateDocs = candDocs)
       .where(col("score_e6") >= minScoreE6)
       .select(col("query_id").as("doc_id"),
         col("doc_id").as("corpus_id"), col("score_e6"))

@@ -199,11 +199,65 @@ object TextAnalysis {
     * terms removed, and deterministically (the rule is integer-exact
     * on both engines).
     */
+  /** The MaxScore prune's candidate set: docs carrying at least one
+    * ESSENTIAL term for some query (see [[bm25ScoredIndexed]]'s prune
+    * scaladoc for the ub/prefix argument). Split out so
+    * [[graft.operators.IndexStore.ingestText]] can materialize it ONCE
+    * and share it between its guardrail estimate (which, with the
+    * prune on, budgets the TRUE candidate-restricted volume) and the
+    * screen itself via `candidateDocs`.
+    */
+  private[graft] def maxScoreCandidateDocs(
+      tfQ0: DataFrame, qt: DataFrame, df: DataFrame, stats: DataFrame,
+      k1: Double, thr: Long,
+      hint: DataFrame => DataFrame): DataFrame = {
+    val ub = df.crossJoin(broadcast(stats.select(col("__n"))))
+      .select(col("term"),
+        floor(log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) * lit((k1 + 1.0) * 1000000.0))
+          .cast("long").as("__ub"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ub").asc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val essentialTerms = qt.join(hint(ub), Seq("term"))
+      .withColumn("__cum", sum(col("__ub")).over(w))
+      .where(col("__cum") >= thr)
+      .select(col("term")).distinct()
+    tfQ0.select(col("term"), col("doc_id"))
+      .join(hint(essentialTerms), Seq("term"))
+      .select(col("doc_id")).distinct()
+  }
+
+  /** [[maxScoreCandidateDocs]] from a raw index + query-term table —
+    * the ingest guardrail's entry point (recomputes the same tfQ/df/
+    * stats relations the screen derives; all scan-shaped, never the
+    * multiply).
+    */
+  private[graft] def maxScoreCandidates(
+      index: TextIndex, qt: DataFrame, k1: Double, thr: Long,
+      maxDfPpm: Option[Long],
+      broadcastQueries: Boolean): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastQueries) broadcast else identity
+    val stats = index.doclen
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+    val tfQ0 = index.postings.join(hint(qt.select("term").distinct()),
+      Seq("term"))
+    val dfAll = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = maxDfPpm.fold(dfAll) { ppm =>
+      dfAll.crossJoin(broadcast(stats.select(col("__n"))))
+        .where(col("df") * lit(1000000L) <= lit(ppm) * col("__n"))
+        .drop("__n")
+    }
+    maxScoreCandidateDocs(tfQ0, qt, df, stats, k1, thr, hint)
+  }
+
   private[graft] def bm25ScoredIndexed(index: TextIndex, qt: DataFrame,
                                        k1: Double, b: Double,
                                        broadcastQueries: Boolean = true,
                                        maxDfPpm: Option[Long] = None,
-                                       pruneThresholdE6: Option[Long] = None
+                                       pruneThresholdE6: Option[Long] = None,
+                                       candidateDocs: Option[DataFrame] = None
                                       ): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (broadcastQueries) broadcast else identity
@@ -242,21 +296,8 @@ object TextAnalysis {
     // the (query, term) table (query-batch-sized), and the candidate
     // set is one distinct over the essential postings.
     val tfQ = pruneThresholdE6.fold(tfQ0) { thr =>
-      val ub = df.crossJoin(broadcast(stats.select(col("__n"))))
-        .select(col("term"),
-          floor(log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
-              (col("df") + lit(0.5))) * lit((k1 + 1.0) * 1000000.0))
-            .cast("long").as("__ub"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("__ub").asc, col("term").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val essentialTerms = qt.join(hint(ub), Seq("term"))
-        .withColumn("__cum", sum(col("__ub")).over(w))
-        .where(col("__cum") >= thr)
-        .select(col("term")).distinct()
-      val candDocs = tfQ0.select(col("term"), col("doc_id"))
-        .join(hint(essentialTerms), Seq("term"))
-        .select(col("doc_id")).distinct()
+      val candDocs = candidateDocs.getOrElse(
+        maxScoreCandidateDocs(tfQ0, qt, df, stats, k1, thr, hint))
       tfQ0.join(candDocs, Seq("doc_id"), "left_semi")
     }
     tfQ

@@ -1990,6 +1990,40 @@ class IndexStoreSpec extends SparkSuite {
     assert(e.getMessage.contains("LSH"), e.getMessage)
   }
 
+  test("ingestText maxScorePrune: the guardrail budgets the TRUE " +
+      "candidate-restricted volume — a batch whose UNPRUNED estimate " +
+      "refuses passes under the same budget with identical verdicts") {
+    val path = tmp()
+    val dense = "apple banana cherry date elder fig grape honey iris juniper"
+    val corpus = (0L until 8L).map(i => (i, s"$dense tag$i"))
+      .toDF("doc_id", "text")
+    IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
+    val batch = (100L until 116L).map(i => (i, s"$dense tag0"))
+      .toDF("doc_id", "text")
+    // unpruned: the 1296-pair estimate refuses a 200-pair budget
+    intercept[IllegalStateException] {
+      IndexStore.ingestText(batch, "doc_id", "text", path,
+        minScoreE6 = 1300000L, maxScreenPairs = 200L)
+    }
+    // pruned: at this threshold the ten dense terms' ub-sum
+    // (10 × ⌊ln(1+0.5/8.5)·2.2e6⌋ ≈ 1.257M) stays under 1.3M, so only
+    // tag0 is essential — candidates = {doc 0}, restricted volume
+    // 11 × 16 = 176 ≤ 200, and the round completes under the SAME
+    // budget the raw batch violated
+    val v = IndexStore.ingestText(batch, "doc_id", "text", path,
+        minScoreE6 = 1300000L, maxScreenPairs = 200L,
+        maxScorePrune = true)
+      .orderBy("doc_id").collect()
+    assert(v.length == 16 && v.forall(r =>
+      r.getString(1) == "duplicate" && r.getLong(3) == 0L), v.toSeq)
+    // bit-identical to the unpruned run under a generous budget
+    // (all-duplicate rounds append nothing, so the index is unchanged)
+    val big = IndexStore.ingestText(batch, "doc_id", "text", path,
+        minScoreE6 = 1300000L)
+      .orderBy("doc_id").collect()
+    assert(v.map(_.toString).toSeq == big.map(_.toString).toSeq)
+  }
+
   test("bm25 maxScorePrune is LOSSLESS: screens and ingest rounds are " +
       "bit-identical with the prune on or off, across thresholds (all-" +
       "candidate, partial, impossible) and composed with maxDfPpm") {
