@@ -85,8 +85,10 @@ object TextAnalysis {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[(Long, String)], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25TopKIndexed(textIndex(docs, idCol, textCol), queries, k, k1, b)
+               k1: Double = 1.2, b: Double = 0.75,
+               maxScorePrune: Boolean = false): DataFrame =
+    bm25TopKIndexed(textIndex(docs, idCol, textCol), queries, k, k1, b,
+      maxScorePrune)
 
   /** The lexical inverted index behind [[bm25TopK]], split out so it
     * can be built ONCE and persisted
@@ -120,11 +122,40 @@ object TextAnalysis {
     * plan shape and engine-replayability contract as [[bm25TopK]]'s
     * scaladoc; the only difference is that the tokenize+count stages
     * are replaced by the index relations.
+    *
+    * `maxScorePrune` (off by default) is the RANKED sibling of the
+    * threshold screens' lossless MaxScore cut — classic WAND/MaxScore
+    * adapted to a two-pass batch plan, because a top-k query has no
+    * fixed threshold to prune against until some scores are known:
+    * pass 1 scores a cheap per-query SEED candidate set exactly (the
+    * docs behind each query's rarest matched terms — see
+    * [[topKCandidateDocs]]) and takes the running k-th seed score as
+    * that query's adaptive threshold θ_q (a LOWER bound on the true
+    * k-th score: every seed score is an exact score of a real doc);
+    * pass 2 reuses the q268 ub machinery per query — a query's
+    * ascending-ub prefix whose ub-sum stays under θ_q is
+    * non-essential, only docs carrying an essential term are scored.
+    * LOSSLESS by the same argument as the screens: every doc with
+    * score ≥ θ_q is scored exactly, the true top-k all score
+    * ≥ k-th ≥ θ_q, and ties at the boundary compare identical e6
+    * integers under the same (score DESC, doc ASC) order — the output
+    * is bit-identical to the unpruned form (hash-proven by q272's
+    * unpruned oracle and TextAnalysisSpec). The win is the same
+    * volume law as q268: stopword-class terms (ub ≈ 0) leave the
+    * multiply entirely once θ_q > 0, so a retrieval user stops paying
+    * Σ_t |postings(t)|·|queries(t)| over postings that decide nothing.
+    * Cost when it cannot help (θ_q = 0 — fewer than k seed matches):
+    * two extra scan-shaped passes, then the exact unpruned volume.
     */
   def bm25TopKIndexed(index: TextIndex, queries: Seq[(Long, String)], k: Int,
-                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                      k1: Double = 1.2, b: Double = 0.75,
+                      maxScorePrune: Boolean = false): DataFrame = {
     require(queries.nonEmpty, "bm25TopKIndexed: need at least one query")
-    val scored = bm25ScoredIndexed(index, queryTerms(index, queries), k1, b)
+    val qt = queryTerms(index, queries)
+    val scored =
+      if (!maxScorePrune) bm25ScoredIndexed(index, qt, k1, b)
+      else bm25ScoredIndexed(index, qt, k1, b,
+        candidateDocs = Some(topKCandidateDocs(index, qt, k, k1, b)))
     scored.groupBy(col("query_id"))
       .agg(TopKAgg.topK(col("score_e6").cast("double"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
@@ -210,22 +241,92 @@ object TextAnalysis {
   private[graft] def maxScoreCandidateDocs(
       tfQ0: DataFrame, qt: DataFrame, df: DataFrame, stats: DataFrame,
       k1: Double, thr: Long,
-      hint: DataFrame => DataFrame): DataFrame = {
-    val ub = df.crossJoin(broadcast(stats.select(col("__n"))))
+      hint: DataFrame => DataFrame): DataFrame =
+    maxScoreCandidateDocsPerQuery(tfQ0, qt, df, stats, k1,
+      qt.select(col("query_id")).distinct().withColumn("__thr", lit(thr)),
+      hint)
+
+  /** Per-term score upper bound ub = ⌊idf·(k1+1)·1e6⌋ (the
+    * tf-saturation quotient is < k1+1 for any tf/dl, and the per-term
+    * e6 floor is monotone under it) — the relation both MaxScore
+    * prunes reason over.
+    */
+  private def maxScoreUb(
+      df: DataFrame, stats: DataFrame, k1: Double): DataFrame =
+    df.crossJoin(broadcast(stats.select(col("__n"))))
       .select(col("term"),
         floor(log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
             (col("df") + lit(0.5))) * lit((k1 + 1.0) * 1000000.0))
           .cast("long").as("__ub"))
+
+  /** The MaxScore essential-prefix candidate set with a PER-QUERY
+    * threshold relation `thrs` (query_id, __thr) — the top-k form's
+    * adaptive thresholds ride through here; the fixed-threshold
+    * screens pass one literal per query. A query missing from `thrs`
+    * coalesces to 0 (cum ≥ 0 always holds, so every matched term
+    * stays essential — the prune degrades to a no-op, never to a
+    * dropped doc). Candidates are a UNION over queries (a doc
+    * essential for any query is scored for all it matches) — a
+    * superset, so still lossless.
+    */
+  private[graft] def maxScoreCandidateDocsPerQuery(
+      tfQ0: DataFrame, qt: DataFrame, df: DataFrame, stats: DataFrame,
+      k1: Double, thrs: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__ub").asc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val essentialTerms = qt.join(hint(ub), Seq("term"))
+    val essentialTerms = qt.join(hint(maxScoreUb(df, stats, k1)), Seq("term"))
+      .join(hint(thrs), Seq("query_id"), "left")
       .withColumn("__cum", sum(col("__ub")).over(w))
-      .where(col("__cum") >= thr)
+      .where(col("__cum") >= coalesce(col("__thr"), lit(0L)))
       .select(col("term")).distinct()
     tfQ0.select(col("term"), col("doc_id"))
       .join(hint(essentialTerms), Seq("term"))
       .select(col("doc_id")).distinct()
+  }
+
+  /** The ranked prune's candidate set ([[bm25TopKIndexed]]'s
+    * `maxScorePrune` scaladoc): seed → per-query θ → essential-prefix
+    * candidates. The seed picks each query's matched terms by ub
+    * DESCENDING (rarest first — shortest postings lists AND the
+    * likeliest high scorers) until the EXCLUSIVE df prefix reaches k,
+    * so a query's seed carries at least its rarest term and at least
+    * ~k postings when the corpus has them; seed docs are scored
+    * exactly (pass 1 restricts docs, never terms — every seed doc's
+    * score is its true score) and θ_q is the k-th best, or 0 when
+    * fewer than k seed pairs exist (no valid bound ⇒ no pruning for
+    * that query).
+    */
+  private[graft] def topKCandidateDocs(
+      index: TextIndex, qt: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val stats = index.doclen
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+    val tfQ0 = index.postings
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+    val df = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wSeed = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ub").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seedTerms = qt
+      .join(broadcast(maxScoreUb(df, stats, k1).join(df, Seq("term"))),
+        Seq("term"))
+      .withColumn("__cum", sum(col("df")).over(wSeed))
+      .where(col("__cum") - col("df") < k)
+      .select(col("term")).distinct()
+    val seedDocs = tfQ0.join(broadcast(seedTerms), Seq("term"))
+      .select(col("doc_id")).distinct()
+    val thrs = bm25ScoredIndexed(index, qt, k1, b,
+        candidateDocs = Some(seedDocs))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.topK(
+        col("score_e6").cast("double"), col("doc_id"), k).as("__top"))
+      .select(col("query_id"),
+        when(size(col("__top")) >= k,
+          element_at(col("__top"), k).getField("val").cast("long"))
+          .otherwise(lit(0L)).as("__thr"))
+    maxScoreCandidateDocsPerQuery(tfQ0, qt, df, stats, k1, thrs, broadcast)
   }
 
   /** [[maxScoreCandidateDocs]] from a raw index + query-term table —
@@ -295,11 +396,10 @@ object TextAnalysis {
     // core already computes, the essential analysis is one window over
     // the (query, term) table (query-batch-sized), and the candidate
     // set is one distinct over the essential postings.
-    val tfQ = pruneThresholdE6.fold(tfQ0) { thr =>
-      val candDocs = candidateDocs.getOrElse(
-        maxScoreCandidateDocs(tfQ0, qt, df, stats, k1, thr, hint))
-      tfQ0.join(candDocs, Seq("doc_id"), "left_semi")
-    }
+    val candDocs = candidateDocs.orElse(pruneThresholdE6.map(thr =>
+      maxScoreCandidateDocs(tfQ0, qt, df, stats, k1, thr, hint)))
+    val tfQ = candDocs.fold(tfQ0)(cd =>
+      tfQ0.join(cd, Seq("doc_id"), "left_semi"))
     tfQ
       // df join FIRST: with maxDfPpm set, the inner join drops a
       // pruned term's postings BEFORE the query join multiplies them

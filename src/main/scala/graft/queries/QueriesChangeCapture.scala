@@ -594,11 +594,12 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
       .orderBy("query_id", "rnk")
 
   /** The shared WITH prelude of the BM25 oracles (q113/q137 ranked,
-    * q249 threshold): tokenize → tf/dl/stats → query terms → df →
+    * q249 threshold, q272's unpruned replay), parameterized by the
+    * query batch: tokenize → tf/dl/stats → query terms → df →
     * per-term e6 scores → per-(query, doc) integer sums.
     */
-  private[graft] val bm25AggSql: String = {
-    val qtRows = bm25Queries.flatMap { case (qid, text) =>
+  private[graft] def bm25AggSqlFor(queries: Seq[(Long, String)]): String = {
+    val qtRows = queries.flatMap { case (qid, text) =>
       text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
         .map(term => s"($qid, '$term')")
     }.mkString(", ")
@@ -623,6 +624,8 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
        |agg AS (SELECT query_id, doc_id, CAST(SUM(e6) AS BIGINT) AS score_e6
        |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
   }
+
+  private[graft] val bm25AggSql: String = bm25AggSqlFor(bm25Queries)
 
   val bm25SearchSql: String =
     s"""$bm25AggSql,
@@ -661,6 +664,40 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
     s"""$bm25AggSql
        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e6
        |FROM agg WHERE score_e6 >= 1000000 ORDER BY query_id, doc_id""".stripMargin
+
+  /** q272: RANKED BM25 retrieval under the lossless WAND/MaxScore
+    * prune ([[TextAnalysis.bm25TopKIndexed]]'s `maxScorePrune`,
+    * verdict-13 ask #1) through the persisted-index lifecycle. The
+    * q268 precedent at top-k grain: the prune's two-pass plan (seed
+    * the rarest matched terms → exact seed scores → per-query k-th
+    * seed score as the adaptive θ → essential-prefix candidates →
+    * exact scoring) must be BIT-IDENTICAL to the brute-force ranking,
+    * so the oracle is the UNPRUNED full replay — the q113 chain over a
+    * query batch that includes a stopword-shaped query (every term
+    * common — the worst case the prune exists for; its θ comes from
+    * the seed's exact scores, not a tuned threshold).
+    */
+  val bm25TopKPrunedQueries: Seq[(Long, String)] =
+    bm25Queries ++ Seq(3L -> "the a table value row")
+
+  def bm25TopKPruned(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = scratchDir("text_topk_maxscore")
+    IndexStore.saveTextIndex(docs, "doc_id", "text", path)
+    TextAnalysis.bm25TopKIndexed(IndexStore.loadTextIndex(s, path),
+        bm25TopKPrunedQueries, 12, maxScorePrune = true)
+      .orderBy("query_id", "rnk")
+  }
+
+  val bm25TopKPrunedSql: String =
+    s"""${bm25AggSqlFor(bm25TopKPrunedQueries)},
+       |ranked AS (SELECT query_id, doc_id, score_e6,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+       |  FROM agg)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+       |  doc_id, score_e6
+       |FROM ranked WHERE rnk <= 12 ORDER BY query_id, rnk""".stripMargin
 
   /** q114: market-basket association rules ([[Basket.pairRules]]) —
     * supplier pairs that co-occur in ≥5 orders, with floor-ppm support,

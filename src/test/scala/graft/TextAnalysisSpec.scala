@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions.col
 
 /** [[TextAnalysis.vocabDiff]] — corpus snapshot vocabulary drift. */
 class TextAnalysisSpec extends SparkSuite {
@@ -39,6 +40,62 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got("en") == Seq("a", "b"), got.toString)
     // fr: x most frequent; x->y (2), y->x (2) -> alternates, full walk
     assert(got("fr") == Seq("x", "y", "x", "y"), got.toString)
+  }
+
+  /** Sorted row images — row order is layout, not semantics. */
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** 200 docs in 10 families of 20: every doc carries 10 universal
+    * stopwords (df = 200, ub ≈ 5.5k) plus 3 family-shared terms
+    * (df = 20, ub ≈ 5.0M) — the shape where the ranked MaxScore prune
+    * provably has work to skip: a family query's θ lands in the
+    * millions, so the stopwords' ascending-ub prefix is non-essential
+    * and their 200-doc postings never reach the multiply.
+    */
+  private lazy val famDocs = (0L until 200L).map(i =>
+    (i, "the of and to in a is for on with " +
+      s"fam${i / 20}a fam${i / 20}b fam${i / 20}c")).toDF("doc_id", "text")
+
+  test("bm25TopKIndexed maxScorePrune: lossless by bit-identity, and " +
+      "the candidate set provably shrinks to the essential families") {
+    val idx = TextAnalysis.textIndex(famDocs, "doc_id", "text")
+    val queries = Seq(
+      1L -> famDocs.where(col("doc_id") === 0L)
+        .select("text").as[String].head(),
+      2L -> famDocs.where(col("doc_id") === 55L)
+        .select("text").as[String].head())
+    for (k <- Seq(1, 5, 20, 50)) {
+      val off = canon(TextAnalysis.bm25TopKIndexed(idx, queries, k))
+      val on = canon(TextAnalysis.bm25TopKIndexed(idx, queries, k,
+        maxScorePrune = true))
+      assert(on == off, s"ranked prune must be lossless at k=$k")
+    }
+    // the proof the prune FIRES: two family queries at k=5 keep only
+    // the two families' 40 docs as candidates, not all 200 matched
+    val qt = queries.flatMap { case (qid, text) =>
+      text.split(" ").distinct.map(t => (qid, t)) }.toDF("query_id", "term")
+    val cands = TextAnalysis.topKCandidateDocs(idx, qt, k = 5,
+      k1 = 1.2, b = 0.75)
+    assert(cands.count() == 40L,
+      "family queries at k=5 must prune candidates to the 2 families")
+  }
+
+  test("bm25TopKIndexed maxScorePrune edges: θ=0 (fewer than k " +
+      "matches), all-stopword query, and unmatched query stay exact") {
+    val idx = TextAnalysis.textIndex(famDocs, "doc_id", "text")
+    val queries = Seq(
+      1L -> "fam0a fam0b fam0c",        // 20 matches < k=25 → θ = 0
+      2L -> "the of and",               // every doc matches, all tiny ubs
+      3L -> "zzz_unseen_term")          // matches nothing — absent rows
+    for (k <- Seq(3, 25)) {
+      val off = canon(TextAnalysis.bm25TopKIndexed(idx, queries, k))
+      val on = canon(TextAnalysis.bm25TopKIndexed(idx, queries, k,
+        maxScorePrune = true))
+      assert(on == off, s"edge queries must stay exact at k=$k")
+      assert(!off.exists(_.startsWith("[3,")),
+        "an unmatched query must emit no rows")
+    }
   }
 
   test("vocabDiff: null text drops from counts and doc totals") {
