@@ -361,6 +361,17 @@ object IndexStore {
       path: String): Unit = {
     val spark = newDocs.sparkSession
     withIndexLease(spark, path, "appendCorpusIndex") {
+      appendCorpusIndexBody(spark, newDocs, idCol, textCol, path,
+        "appendCorpusIndex")
+    }
+  }
+
+  /** [[appendCorpusIndex]]'s body, lease assumed HELD by the caller
+    * ([[replaceCorpusDocs]] composes it under its one lease).
+    */
+  private def appendCorpusIndexBody(
+      spark: SparkSession, newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, op: String): Unit = {
       val m = metaOf(spark, path, "corpus")
       val (shingleSize, numHashes, numBands) =
         (m("shingle_size").toInt, m("num_hashes").toInt, m("num_bands").toInt)
@@ -375,7 +386,7 @@ object IndexStore {
       val gn = Dedup.textGroups(newDocs, idCol, textCol)
       requireIdsAfter(graveyardUnion(spark, path, dir,
           oldMembers.select(col("member_id"))),
-        gn.select(explode(col("members")).as("member_id")), "appendCorpusIndex")
+        gn.select(explode(col("members")).as("member_id")), op)
       // exact-text merge: members of matched groups file under the
       // EXISTING rep (no new band/set rows — identical text means the
       // stored ones already cover it)
@@ -432,8 +443,7 @@ object IndexStore {
         .repartition(col("band_hash"))
         .write.mode("append").parquet(dir("bands"))
       requireGenerationsUnmoved(spark, path, resolved,
-        Seq("members", "sets", "bands"), "appendCorpusIndex")
-    }
+        Seq("members", "sets", "bands"), op)
   }
 
   /** One INGEST ROUND against the persisted corpus (MinHash-LSH) index
@@ -553,6 +563,8 @@ object IndexStore {
     * CURRENT (post-append) band table — same placement rationale as
     * [[loadCorpusIndex]]: a cap baked into the files would go stale as
     * appends grow buckets; capping at load sees the live distribution.
+    * The cap counts RAW band rows (pre-vacuum tombstoned families
+    * included) — see [[vacuumMediaIndex]]'s documented edge.
     */
   def loadMediaIndex(
       spark: SparkSession,
@@ -596,6 +608,17 @@ object IndexStore {
       path: String): Unit = {
     val spark = newHashes.sparkSession
     withIndexLease(spark, path, "appendMediaIndex") {
+      appendMediaIndexBody(spark, newHashes, idCol, hashCol, path,
+        "appendMediaIndex")
+    }
+  }
+
+  /** [[appendMediaIndex]]'s body, lease assumed HELD by the caller
+    * ([[replaceMediaAssets]] composes it under its one lease).
+    */
+  private def appendMediaIndexBody(
+      spark: SparkSession, newHashes: DataFrame, idCol: String,
+      hashCol: String, path: String, op: String): Unit = {
       metaOf(spark, path, "media")
       val incoming = newHashes
         .select(col(hashCol).cast("long").as("dh"),
@@ -607,7 +630,7 @@ object IndexStore {
       val oldMembers = spark.read.parquet(dir("members"))
       requireIdsAfter(graveyardUnion(spark, path, dir,
           oldMembers.select(col("member_id"))),
-        incoming.select(col("member_id")), "appendMediaIndex")
+        incoming.select(col("member_id")), op)
       // anti-join against BANDS (not members): a signature with member
       // rows but no band rows — the torn-append orphan — is invisible to
       // hammingJoinIndexed, so band-presence is the correctness-bearing
@@ -626,8 +649,7 @@ object IndexStore {
       Dedup.hashBandRows(novel, "dh").repartition(col("band_hash"))
         .write.mode("append").parquet(dir("bands"))
       requireGenerationsUnmoved(spark, path, resolved,
-        Seq("members", "bands"), "appendMediaIndex")
-    }
+        Seq("members", "bands"), op)
   }
 
   /** One INGEST ROUND against the persisted media index — the
@@ -791,6 +813,17 @@ object IndexStore {
       path: String): Unit = {
     val spark = newVecs.sparkSession
     withIndexLease(spark, path, "appendVectorIndex") {
+      appendVectorIndexBody(spark, newVecs, idCol, vecCol, path,
+        "appendVectorIndex")
+    }
+  }
+
+  /** [[appendVectorIndex]]'s body, lease assumed HELD by the caller
+    * ([[replaceVectorMembers]] composes it under its one lease).
+    */
+  private def appendVectorIndexBody(
+      spark: SparkSession, newVecs: DataFrame, idCol: String,
+      vecCol: String, path: String, op: String): Unit = {
       val m = metaOf(spark, path, "vector")
       val (resolved, dir) = resolvedDirs(spark, path)
       appendFenceTestHook()
@@ -799,7 +832,7 @@ object IndexStore {
       val gn = vecGroups(newVecs, idCol, vecCol)
       requireIdsAfter(graveyardUnion(spark, path, dir,
           oldMembers.select(col("member_id"))),
-        gn.select(explode(col("members")).as("member_id")), "appendVectorIndex")
+        gn.select(explode(col("members")).as("member_id")), op)
       val matched = gn.join(oldReps.withColumnRenamed("rep_id", "__rep"), Seq("v"))
         .select(col("__rep").as("rep_id"), explode(col("members")).as("member_id"))
       val novel = gn.join(oldReps.select(col("v")), Seq("v"), "left_anti")
@@ -835,8 +868,7 @@ object IndexStore {
         .repartition(col("band_hash"))
         .write.mode("append").parquet(dir("blocks"))
       requireGenerationsUnmoved(spark, path, resolved,
-        Seq("members", "reps", "blocks"), "appendVectorIndex")
-    }
+        Seq("members", "reps", "blocks"), op)
   }
 
   /** One INGEST ROUND against the persisted vector index — the
@@ -974,6 +1006,16 @@ object IndexStore {
       path: String): Unit = {
     val spark = newVecs.sparkSession
     withIndexLease(spark, path, "appendIvf") {
+      appendIvfBody(spark, newVecs, idCol, vecCol, path, "appendIvf")
+    }
+  }
+
+  /** [[appendIvf]]'s body, lease assumed HELD by the caller
+    * ([[replaceIvfMembers]] composes it under its one lease).
+    */
+  private def appendIvfBody(
+      spark: SparkSession, newVecs: DataFrame, idCol: String,
+      vecCol: String, path: String, op: String): Unit = {
       metaOf(spark, path, "ivf")
       // one manifest resolution for the read AND the write (the loadIvf
       // convenience would resolve separately — a rebuild landing between
@@ -991,14 +1033,13 @@ object IndexStore {
       require(assign.join(graveyardUnion(spark, path, dir,
             assignments.select(col("id"))), Seq("id"),
           "left_semi").limit(1).count() == 0,
-        "IndexStore.appendIvf: a new id already exists in the index " +
+        s"IndexStore.$op: a new id already exists in the index " +
           "(or its graveyard); appending it would double-count its " +
           "vector in every probe (or resurrect a deleted id)")
       assign.repartition(col("list_id"))
         .write.mode("append").parquet(dir("assign"))
       requireGenerationsUnmoved(spark, path, resolved,
-        Seq("assign", "centroids"), "appendIvf")
-    }
+        Seq("assign", "centroids"), op)
   }
 
   // ---------------------------------------------------------------
@@ -1139,12 +1180,16 @@ object IndexStore {
       .fold(existing)(d => existing.unionByName(d.toDF(existing.columns.head)))
 
   /** The shared tombstone-delete core behind deleteFrom*Index: under
-    * the caller's lease, validate the id set (non-empty, duplicate-free,
-    * every id LIVE per `liveIds` — a takedown that silently no-ops on a
-    * typo'd or already-deleted id is the failure mode the raises
-    * prevent) and append it to the `deletes` table under the kind's id
-    * column name, fencing the commit like every append. Returns the
-    * number of ids tombstoned.
+    * the caller's lease, validate the id set (non-empty, null-free,
+    * duplicate-free, every id LIVE per `liveIds` — a takedown that
+    * silently no-ops on a typo'd or already-deleted id is the failure
+    * mode the raises prevent) and append it to the `deletes` table
+    * under the kind's id column name, fencing the commit like every
+    * append. ALL FOUR validations ride ONE multi-aggregate over the
+    * delete set left-joined to the live ids (a compliance mega-sweep
+    * at millions of ids per call pays one narrow action, not three);
+    * the diagnostic samples on the raise paths are computed only when
+    * the raise fires. Returns the number of ids tombstoned.
     */
   private def tombstoneDelete(
       spark: SparkSession, path: String, op: String, idColName: String,
@@ -1159,24 +1204,34 @@ object IndexStore {
     val del = ids.select(col(ids.columns.head)
         .cast(liveIds.schema.head.dataType).as(idColName))
       .localCheckpoint(true) // validation + write must see ONE set
-    val counts = del.agg(count(lit(1)).as("__n"),
-      count_distinct(col(idColName)).as("__nd")).head()
-    val n = counts.getLong(0)
+    val c = del
+      .join(liveIds.distinct().withColumn("__live", lit(1)),
+        Seq(idColName), "left")
+      .agg(count(lit(1)).as("__n"),
+        count(col(idColName)).as("__nnn"), // non-null (count skips nulls)
+        count_distinct(col(idColName)).as("__nd"),
+        count(col("__live")).as("__nlive")).head()
+    val n = c.getLong(0)
+    val nNull = n - c.getLong(1)
     require(n > 0L,
       s"IndexStore.$op: empty delete set — a takedown that names " +
         "nothing is almost certainly a filter bug; raise rather than " +
         "silently no-op")
-    require(counts.getLong(1) == n,
+    require(nNull == 0L,
+      s"IndexStore.$op: delete set carries $nNull NULL id(s) — " +
+        "typically a failed cast from an incompatible id type (the " +
+        s"live column is ${liveIds.schema.head.dataType.sql}) or a " +
+        "join that missed; fix the id derivation and re-run")
+    require(c.getLong(2) == n,
       s"IndexStore.$op: delete set carries " +
-        s"${n - counts.getLong(1)} duplicate id(s) — dedupe it (the " +
+        s"${n - c.getLong(2)} duplicate id(s) — dedupe it (the " +
         "tombstone table is the audit log of what was erased; " +
         "duplicates make its row count lie)")
-    val missing = del.join(liveIds, Seq(idColName), "left_anti")
-      .localCheckpoint(true)
-    val nMissing = missing.count()
+    val nMissing = n - c.getLong(3)
     if (nMissing > 0L) {
-      val sample = missing.limit(5).collect()
-        .map(_.get(0)).mkString(", ")
+      // diagnostic sample — raise path only, never the happy path
+      val sample = del.join(liveIds, Seq(idColName), "left_anti")
+        .limit(5).collect().map(_.get(0)).mkString(", ")
       throw new IllegalArgumentException(
         s"IndexStore.$op: $nMissing id(s) name no LIVE member of the " +
           s"index at $path (e.g. $sample) — never indexed, already " +
@@ -1297,25 +1352,112 @@ object IndexStore {
     * doclen by doc_id — one scan-shaped pass over the combined data,
     * the same cost shape as one compaction of the result. The shards
     * themselves are left untouched (readers pinned on them are
-    * unaffected); `outPath` must be a fresh or sacrificial location —
-    * it is rebuilt via [[resetGenerations]] under its own lease.
+    * unaffected), but every merge HOLDS the shards' single-writer
+    * leases for its duration ([[withShardLeases]]): the shard tables
+    * are read lazily and re-scanned during the output writes, so a
+    * concurrent shard append in that window would land rows the
+    * disjointness proof never saw — with the leases held, the
+    * appender raises at ITS acquire instead. `outPath` must be a
+    * fresh or sacrificial location — it is rebuilt via
+    * [[resetGenerations]] under its own lease.
     *
     * @return the merged index's document count
     */
-  /** The merge ops' shared path guards. */
+  /** The merge ops' shared path guards. Paths are FULLY QUALIFIED
+    * through the filesystem before comparing (trailing slashes,
+    * relative forms, and scheme prefixes all collapse to one
+    * spelling), so a differently-spelled duplicate shard — or an
+    * outPath that aliases a shard it would then overwrite while
+    * reading — cannot slip past the checks.
+    */
   private def requireShardPaths(
-      op: String, shardPaths: Seq[String], outPath: String): Unit = {
-    require(shardPaths.size >= 2,
+      spark: SparkSession, op: String, shardPaths: Seq[String],
+      outPath: String): Unit = {
+    def qual(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      fsOf(spark, p).makeQualified(hp).toString
+    }
+    val shards = shardPaths.map(qual)
+    require(shards.size >= 2,
       s"IndexStore.$op: need at least two shard indexes " +
         "(one shard is already the index you want)")
-    require(shardPaths.distinct.size == shardPaths.size,
+    require(shards.distinct.size == shards.size,
       s"IndexStore.$op: duplicate shard path — merging a " +
         "shard with itself would double its every row")
-    require(!shardPaths.contains(outPath),
+    require(!shards.contains(qual(outPath)),
       s"IndexStore.$op: outPath must not be one of the " +
         "shards — the output is rebuilt from scratch and the rewrite " +
         "would consume a shard it is overwriting")
   }
+
+  /** Shard-ownership PRECHECK — disjointness by construction for the
+    * K-builder fleet. The merge ops prove disjoint ids only AFTER the
+    * shard builds are spent; a fleet that feeds each builder k of n
+    * through this guard makes a collision IMPOSSIBLE instead of
+    * detected two builds too late. The convention is modulo ownership:
+    * builder k of n owns exactly the ids with `id mod n == k`
+    * (stateless — no range registry to coordinate — and uniform under
+    * any id distribution; per-shard ids stay monotone-appendable
+    * because the contract constrains order only WITHIN a shard's own
+    * index). Raises naming sample violators when any id is owned by a
+    * different shard, is NULL, or is not integral (modulo ownership
+    * needs integer ids — hash your keys to i64 first, the
+    * [[graft.operators.Dedup]] fingerprint convention). Returns the
+    * input unchanged for pipeline composition:
+    * `saveTextIndex(requireShardOwnership(docs, "doc_id", k, n), ...)`.
+    * Cost: one narrow count over the batch — the precheck is paid at
+    * build time, once, by the builder.
+    */
+  def requireShardOwnership(
+      docs: DataFrame, idCol: String, shard: Int, nShards: Int): DataFrame = {
+    require(nShards >= 2,
+      "IndexStore.requireShardOwnership: nShards must be >= 2 " +
+        "(one shard owns everything — no plan to validate)")
+    require(shard >= 0 && shard < nShards,
+      s"IndexStore.requireShardOwnership: shard must be in " +
+        s"[0, $nShards), got $shard")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    docs.schema(docs.schema.fieldIndex(idCol)).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"IndexStore.requireShardOwnership: id column '$idCol' has " +
+          s"non-integral type ${other.sql} — modulo ownership needs " +
+          "integer ids; hash your keys to i64 first (the Dedup " +
+          "fingerprint convention)")
+    }
+    val owned = pmod(col(idCol).cast("long"), lit(nShards.toLong))
+    val bad = docs.where(col(idCol).isNull || owned =!= shard.toLong)
+    val nBad = bad.count()
+    if (nBad > 0L) {
+      val sample = bad.select(col(idCol)).limit(5).collect()
+        .map(_.get(0)).mkString(", ")
+      throw new IllegalArgumentException(
+        s"IndexStore.requireShardOwnership: $nBad id(s) do not belong " +
+          s"to shard $shard of $nShards under the modulo-ownership " +
+          s"convention (id mod $nShards == $shard; e.g. $sample — " +
+          "null ids violate it too). Route each id to its owning " +
+          "builder")
+    }
+    docs
+  }
+
+  /** Hold every shard's single-writer lease for the duration of a
+    * merge (sorted acquisition; acquire RAISES rather than blocks, so
+    * there is no deadlock to order around — sorting just makes the
+    * failure deterministic). The merge reads shard tables LAZILY and
+    * re-scans them during the output writes, so without the leases a
+    * concurrent shard append between the disjointness proof and the
+    * write could land rows in the merged output that were never
+    * checked for id overlap; holding them turns that race into a loud
+    * raise at the APPENDER's acquire — prevention, the round-13 lease
+    * posture.
+    */
+  private def withShardLeases[T](
+      spark: SparkSession, shardPaths: Seq[String], op: String)(
+      body: => T): T =
+    shardPaths.sorted
+      .foldRight(() => body)((p, acc) =>
+        () => withIndexLease(spark, p, op)(acc()))()
 
   /** The merge ops' shared disjointness proof: one count-vs-distinct
     * aggregate over the unioned member grain; the failure path samples
@@ -1340,21 +1482,23 @@ object IndexStore {
 
   def mergeTextIndexes(
       spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
-    requireShardPaths("mergeTextIndexes", shardPaths, outPath)
-    val shards = shardPaths.map(p => loadTextIndex(spark, p))
-    val postings = shards.map(_.postings).reduce(_.unionByName(_))
-    val doclen = shards.map(_.doclen).reduce(_.unionByName(_))
-    val n = requireDisjointMembers("mergeTextIndexes", doclen, "doc_id")
-    withIndexLease(spark, outPath, "mergeTextIndexes") {
-      resetGenerations(spark, outPath)
-      postings.repartition(col("term"))
-        .write.mode("overwrite").parquet(s"$outPath/postings")
-      doclen.repartition(col("doc_id"))
-        .write.mode("overwrite").parquet(s"$outPath/doclen")
-      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
-      writeMeta(spark, outPath, Seq("kind" -> "text"))
+    requireShardPaths(spark, "mergeTextIndexes", shardPaths, outPath)
+    withShardLeases(spark, shardPaths, "mergeTextIndexes") {
+      val shards = shardPaths.map(p => loadTextIndex(spark, p))
+      val postings = shards.map(_.postings).reduce(_.unionByName(_))
+      val doclen = shards.map(_.doclen).reduce(_.unionByName(_))
+      val n = requireDisjointMembers("mergeTextIndexes", doclen, "doc_id")
+      withIndexLease(spark, outPath, "mergeTextIndexes") {
+        resetGenerations(spark, outPath)
+        postings.repartition(col("term"))
+          .write.mode("overwrite").parquet(s"$outPath/postings")
+        doclen.repartition(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$outPath/doclen")
+        // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+        writeMeta(spark, outPath, Seq("kind" -> "text"))
+      }
+      n
     }
-    n
   }
 
   /** MERGE shard MEDIA indexes — [[mergeTextIndexes]]'s perceptual
@@ -1371,25 +1515,28 @@ object IndexStore {
     */
   def mergeMediaIndexes(
       spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
-    requireShardPaths("mergeMediaIndexes", shardPaths, outPath)
-    shardPaths.foreach(p => metaOf(spark, p, "media"))
-    val members = shardPaths.map { p =>
-      val dir = tableDirs(spark, p)
-      applyDeletes(spark.read.parquet(dir("members")),
-        readDeletes(spark, p, dir), "member_id")
-        .select(col("dh"), col("member_id"))
-    }.reduce(_.unionByName(_))
-    val n = requireDisjointMembers("mergeMediaIndexes", members, "member_id")
-    withIndexLease(spark, outPath, "mergeMediaIndexes") {
-      resetGenerations(spark, outPath)
-      members.repartition(col("dh"))
-        .write.mode("overwrite").parquet(s"$outPath/members")
-      Dedup.hashBandRows(members, "dh").repartition(col("band_hash"))
-        .write.mode("overwrite").parquet(s"$outPath/bands")
-      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
-      writeMeta(spark, outPath, Seq("kind" -> "media"))
+    requireShardPaths(spark, "mergeMediaIndexes", shardPaths, outPath)
+    withShardLeases(spark, shardPaths, "mergeMediaIndexes") {
+      shardPaths.foreach(p => metaOf(spark, p, "media"))
+      val members = shardPaths.map { p =>
+        val dir = tableDirs(spark, p)
+        applyDeletes(spark.read.parquet(dir("members")),
+          readDeletes(spark, p, dir), "member_id")
+          .select(col("dh"), col("member_id"))
+      }.reduce(_.unionByName(_))
+      val n = requireDisjointMembers("mergeMediaIndexes", members,
+        "member_id")
+      withIndexLease(spark, outPath, "mergeMediaIndexes") {
+        resetGenerations(spark, outPath)
+        members.repartition(col("dh"))
+          .write.mode("overwrite").parquet(s"$outPath/members")
+        Dedup.hashBandRows(members, "dh").repartition(col("band_hash"))
+          .write.mode("overwrite").parquet(s"$outPath/bands")
+        // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+        writeMeta(spark, outPath, Seq("kind" -> "media"))
+      }
+      n
     }
-    n
   }
 
   /** MERGE shard VECTOR indexes. The one step beyond a union: shards
@@ -1410,41 +1557,44 @@ object IndexStore {
     */
   def mergeVectorIndexes(
       spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
-    requireShardPaths("mergeVectorIndexes", shardPaths, outPath)
-    val metas = shardPaths.map(p => metaOf(spark, p, "vector"))
-    val geomKeys = Seq("dim", "num_blocks", "planes_per_block", "seed")
-    require(metas.map(m => geomKeys.map(m)).distinct.size == 1,
-      "IndexStore.mergeVectorIndexes: shards were built with different " +
-        "hyperplane geometry (dim/num_blocks/planes_per_block/seed " +
-        "must match — block keys are only comparable under one set of " +
-        "planes); rebuild the divergent shard with the shared geometry")
-    val m = metas.head
-    val pairs = shardPaths.map { p =>
-      val dir = tableDirs(spark, p)
-      val reps = spark.read.parquet(dir("reps"))
-      val rawMembers = spark.read.parquet(dir("members"))
-      requireMemberCoverage(rawMembers, reps, "rep_id", "reps", p)
-      applyDeletes(rawMembers, readDeletes(spark, p, dir), "member_id")
-        .join(reps, Seq("rep_id"))
-        .select(col("v"), col("member_id"))
-    }.reduce(_.unionByName(_))
-    val n = requireDisjointMembers("mergeVectorIndexes", pairs, "member_id")
-    val groups = vecGroups(pairs, "member_id", "v")
-    val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
-      groups, m("dim").toInt, m("num_blocks").toInt,
-      m("planes_per_block").toInt, m("seed").toLong)
-    withIndexLease(spark, outPath, "mergeVectorIndexes") {
-      resetGenerations(spark, outPath)
-      blocks.repartition(col("band_hash"))
-        .write.mode("overwrite").parquet(s"$outPath/blocks")
-      reps.repartition(col("rep_id"))
-        .write.mode("overwrite").parquet(s"$outPath/reps")
-      members.repartition(col("rep_id"))
-        .write.mode("overwrite").parquet(s"$outPath/members")
-      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
-      writeMeta(spark, outPath, m.toSeq)
+    requireShardPaths(spark, "mergeVectorIndexes", shardPaths, outPath)
+    withShardLeases(spark, shardPaths, "mergeVectorIndexes") {
+      val metas = shardPaths.map(p => metaOf(spark, p, "vector"))
+      val geomKeys = Seq("dim", "num_blocks", "planes_per_block", "seed")
+      require(metas.map(m => geomKeys.map(m)).distinct.size == 1,
+        "IndexStore.mergeVectorIndexes: shards were built with different " +
+          "hyperplane geometry (dim/num_blocks/planes_per_block/seed " +
+          "must match — block keys are only comparable under one set of " +
+          "planes); rebuild the divergent shard with the shared geometry")
+      val m = metas.head
+      val pairs = shardPaths.map { p =>
+        val dir = tableDirs(spark, p)
+        val reps = spark.read.parquet(dir("reps"))
+        val rawMembers = spark.read.parquet(dir("members"))
+        requireMemberCoverage(rawMembers, reps, "rep_id", "reps", p)
+        applyDeletes(rawMembers, readDeletes(spark, p, dir), "member_id")
+          .join(reps, Seq("rep_id"))
+          .select(col("v"), col("member_id"))
+      }.reduce(_.unionByName(_))
+      val n = requireDisjointMembers("mergeVectorIndexes", pairs,
+        "member_id")
+      val groups = vecGroups(pairs, "member_id", "v")
+      val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
+        groups, m("dim").toInt, m("num_blocks").toInt,
+        m("planes_per_block").toInt, m("seed").toLong)
+      withIndexLease(spark, outPath, "mergeVectorIndexes") {
+        resetGenerations(spark, outPath)
+        blocks.repartition(col("band_hash"))
+          .write.mode("overwrite").parquet(s"$outPath/blocks")
+        reps.repartition(col("rep_id"))
+          .write.mode("overwrite").parquet(s"$outPath/reps")
+        members.repartition(col("rep_id"))
+          .write.mode("overwrite").parquet(s"$outPath/members")
+        // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+        writeMeta(spark, outPath, m.toSeq)
+      }
+      n
     }
-    n
   }
 
   /** MERGE shard CORPUS (MinHash-LSH) indexes —
@@ -1465,40 +1615,43 @@ object IndexStore {
     */
   def mergeCorpusIndexes(
       spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
-    requireShardPaths("mergeCorpusIndexes", shardPaths, outPath)
-    val metas = shardPaths.map(p => metaOf(spark, p, "corpus"))
-    val lshKeys = Seq("shingle_size", "num_hashes", "num_bands")
-    require(metas.map(m => lshKeys.map(m)).distinct.size == 1,
-      "IndexStore.mergeCorpusIndexes: shards were built with different " +
-        "LSH parameters (shingle_size/num_hashes/num_bands must match " +
-        "— band keys are only comparable under one signature scheme); " +
-        "rebuild the divergent shard with the shared parameters")
-    val m = metas.head
-    val pairs = shardPaths.map { p =>
-      val dir = tableDirs(spark, p)
-      val sets = spark.read.parquet(dir("sets"))
-      val rawMembers = spark.read.parquet(dir("members"))
-      requireMemberCoverage(rawMembers, sets, "corpus_id", "sets", p)
-      applyDeletes(rawMembers, readDeletes(spark, p, dir), "member_id")
-        .join(sets.select(col("corpus_id"), col("text")), Seq("corpus_id"))
-        .select(col("text"), col("member_id"))
-    }.reduce(_.unionByName(_))
-    val n = requireDisjointMembers("mergeCorpusIndexes", pairs, "member_id")
-    val gc = Dedup.textGroups(pairs, "member_id", "text")
-    val (bands, sets, members) = Dedup.corpusTablesFromGroups(gc,
-      m("shingle_size").toInt, m("num_hashes").toInt, m("num_bands").toInt)
-    withIndexLease(spark, outPath, "mergeCorpusIndexes") {
-      resetGenerations(spark, outPath)
-      bands.repartition(col("band_hash"))
-        .write.mode("overwrite").parquet(s"$outPath/bands")
-      sets.repartition(col("corpus_id"))
-        .write.mode("overwrite").parquet(s"$outPath/sets")
-      members.repartition(col("corpus_id"))
-        .write.mode("overwrite").parquet(s"$outPath/members")
-      // meta LAST — the rebuild's commit record (see [[resetGenerations]])
-      writeMeta(spark, outPath, m.toSeq)
+    requireShardPaths(spark, "mergeCorpusIndexes", shardPaths, outPath)
+    withShardLeases(spark, shardPaths, "mergeCorpusIndexes") {
+      val metas = shardPaths.map(p => metaOf(spark, p, "corpus"))
+      val lshKeys = Seq("shingle_size", "num_hashes", "num_bands")
+      require(metas.map(m => lshKeys.map(m)).distinct.size == 1,
+        "IndexStore.mergeCorpusIndexes: shards were built with different " +
+          "LSH parameters (shingle_size/num_hashes/num_bands must match " +
+          "— band keys are only comparable under one signature scheme); " +
+          "rebuild the divergent shard with the shared parameters")
+      val m = metas.head
+      val pairs = shardPaths.map { p =>
+        val dir = tableDirs(spark, p)
+        val sets = spark.read.parquet(dir("sets"))
+        val rawMembers = spark.read.parquet(dir("members"))
+        requireMemberCoverage(rawMembers, sets, "corpus_id", "sets", p)
+        applyDeletes(rawMembers, readDeletes(spark, p, dir), "member_id")
+          .join(sets.select(col("corpus_id"), col("text")), Seq("corpus_id"))
+          .select(col("text"), col("member_id"))
+      }.reduce(_.unionByName(_))
+      val n = requireDisjointMembers("mergeCorpusIndexes", pairs,
+        "member_id")
+      val gc = Dedup.textGroups(pairs, "member_id", "text")
+      val (bands, sets, members) = Dedup.corpusTablesFromGroups(gc,
+        m("shingle_size").toInt, m("num_hashes").toInt, m("num_bands").toInt)
+      withIndexLease(spark, outPath, "mergeCorpusIndexes") {
+        resetGenerations(spark, outPath)
+        bands.repartition(col("band_hash"))
+          .write.mode("overwrite").parquet(s"$outPath/bands")
+        sets.repartition(col("corpus_id"))
+          .write.mode("overwrite").parquet(s"$outPath/sets")
+        members.repartition(col("corpus_id"))
+          .write.mode("overwrite").parquet(s"$outPath/members")
+        // meta LAST — the rebuild's commit record (see [[resetGenerations]])
+        writeMeta(spark, outPath, m.toSeq)
+      }
+      n
     }
-    n
   }
 
   // ---------------------------------------------------------------
@@ -1538,9 +1691,17 @@ object IndexStore {
     * by its exact-dup family — they fold only when the family dies),
     * published with one atomic generation swap ([[swapGenerations]],
     * same online-reader retention as [[compactIndex]]). Probe results
-    * are identical before and after; the `deletes` table is KEPT as
-    * the id graveyard ([[vacuumTextIndex]]'s rationale). No-op when no
-    * tombstone still has member rows.
+    * are identical before and after — with one DOCUMENTED edge: the
+    * load-time bucket cap counts RAW band rows, so between a delete
+    * and this vacuum a bucket inflated by fully-dead families' rows
+    * can sit over `maxBucketSize` and be dropped where the folded
+    * index keeps it (delete ≡ rebuild-over-live is exact only below
+    * the cap; computing the cap over live-restricted bands would cost
+    * every probe a members-distinct semi-join to serve a window this
+    * vacuum closes — run the vacuum when a delete wave lands near
+    * capped buckets). Text has no cap and is exempt. The `deletes`
+    * table is KEPT as the id graveyard ([[vacuumTextIndex]]'s
+    * rationale). No-op when no tombstone still has member rows.
     *
     * @return the number of member rows folded out
     */
@@ -2050,6 +2211,69 @@ object IndexStore {
     }
   }
 
+  /** Filesystems already capability-probed this JVM (by fs URI) —
+    * the probe runs once per store, not per acquire.
+    */
+  private val leaseCapabilityProbed =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Where the degraded-lease warning goes — a seam so the spec can
+    * capture it; production default is stderr (no logger dependency,
+    * the [[graft.Bench]] convention).
+    */
+  private[graft] var leaseWarnSink: String => Unit = Console.err.println
+
+  /** Test seam: run `body` with the capability probe's RESULT forced
+    * (the local test fs can't be made to overwrite, so the degraded
+    * branch is injected) and the once-per-store memo cleared on both
+    * sides — [[withFenceHook]]'s try/finally discipline, cannot leak
+    * into same-JVM production acquires.
+    */
+  private[graft] var leaseProbeOverride: Option[Boolean] = None
+  private[graft] def withLeaseProbe[T](result: Boolean)(body: => T): T = {
+    leaseCapabilityProbed.clear()
+    leaseProbeOverride = Some(result)
+    try body finally {
+      leaseProbeOverride = None
+      leaseCapabilityProbed.clear()
+    }
+  }
+
+  /** CAPABILITY PROBE for the lease's one load-bearing filesystem
+    * primitive: rename MUST FAIL when the destination exists
+    * (rename-no-overwrite is both the create-if-absent lock step of
+    * [[tryPublishLease]] and the single-winner claim of
+    * [[claimLeaseFile]]). HDFS and local filesystems have it; S3-class
+    * object stores emulate rename as copy+delete and may happily
+    * overwrite — there the lease silently degrades to ADVISORY (two
+    * writers can both "hold" it) with the generation fence and
+    * monotone guards as the only backstop. This probe converts that
+    * SILENT degradation into a loud once-per-store warning: two probe
+    * files, one rename-onto-existing via the exact
+    * FileContext.rename call the lease uses — atomic stores throw,
+    * degraded stores overwrite. Returns true when the primitive holds.
+    */
+  private[graft] def probeRenameNoOverwrite(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val tag = java.util.UUID.randomUUID()
+    val a = new Path(path, s"${LeaseFile}__probe_a_$tag")
+    val b = new Path(path, s"${LeaseFile}__probe_b_$tag")
+    def put(p: Path): Unit = {
+      val out = fs.create(p, true)
+      try out.write("probe\n".getBytes("UTF-8")) finally out.close()
+    }
+    put(a); put(b)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      a.toUri, fs.getConf)
+    val atomic =
+      try { fc.rename(b, a); false } // overwrote a live destination
+      catch { case _: java.io.IOException => true }
+    fs.delete(a, false): Unit
+    fs.delete(b, false): Unit
+    atomic
+  }
+
   def acquireIndexLease(
       spark: SparkSession,
       path: String,
@@ -2057,6 +2281,18 @@ object IndexStore {
       ttlMs: Long = DefaultLeaseTtlMs): IndexLease = {
     require(ttlMs > 0, "IndexStore.acquireIndexLease: ttlMs must be positive")
     val fs = fsOf(spark, path)
+    // once per filesystem per JVM: warn LOUDLY when the store cannot
+    // give the lease its exclusivity primitive (see the probe's doc)
+    if (leaseCapabilityProbed.putIfAbsent(
+        fs.getUri.toString, java.lang.Boolean.TRUE) == null &&
+        !leaseProbeOverride.getOrElse(probeRenameNoOverwrite(fs, path)))
+      leaseWarnSink(
+        s"IndexStore.$op: the filesystem at ${fs.getUri} does NOT fail " +
+          "rename-onto-existing — the single-writer lease DEGRADES TO " +
+          "ADVISORY on this store (two writers can both acquire it). " +
+          "The generation fence and monotone-id guards remain the " +
+          "backstop; serialize writers externally, or host indexes on " +
+          "a store with atomic rename (HDFS, local, most NFS)")
     def freshLease(epoch: Long) = IndexLease(
       java.util.UUID.randomUUID().toString, epoch,
       System.currentTimeMillis() + ttlMs, op)
@@ -2939,31 +3175,238 @@ object IndexStore {
     val spark = newDocs.sparkSession
     withIndexLease(spark, path, "appendTextIndex") {
       metaOf(spark, path, "text")
-      val (resolved, dir) = resolvedDirs(spark, path)
-      appendFenceTestHook()
-      // the union covers BOTH stored tables (crash-retry, see above)
-      // AND the tombstone graveyard: a vacuumed delete's rows leave
-      // doclen/postings, but its id must stay unreusable forever
-      // ([[deleteFromTextIndex]]'s contract) — without the deletes
-      // union, deleting and vacuuming the max-id docs would re-open
-      // their range to the next append
-      val existingIds = (Seq(
-          spark.read.parquet(dir("doclen")).select(col("doc_id")),
-          spark.read.parquet(dir("postings")).select(col("doc_id"))) ++
-          readDeletes(spark, path, dir))
-        .reduce(_.unionByName(_))
-      val idx = TextAnalysis.textIndex(newDocs, idCol, textCol)
-      requireIdsAfter(existingIds, idx.doclen.select(col("doc_id")),
+      appendTextIndexBody(spark, newDocs, idCol, textCol, path,
         "appendTextIndex")
-      // doclen FIRST: a crash after it leaves ids visible to the retry
-      // guard via the union above; a half-appended postings table alone
-      // would under-score the batch silently
-      idx.doclen.repartition(col("doc_id"))
-        .write.mode("append").parquet(dir("doclen"))
-      idx.postings.repartition(col("term"))
-        .write.mode("append").parquet(dir("postings"))
-      requireGenerationsUnmoved(spark, path, resolved,
-        Seq("doclen", "postings"), "appendTextIndex")
+    }
+  }
+
+  /** [[appendTextIndex]]'s body, lease assumed HELD by the caller —
+    * split out so composite leased ops ([[replaceTextDocs]]) can
+    * append under the ONE lease they already hold.
+    */
+  private def appendTextIndexBody(
+      spark: SparkSession, newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, op: String): Unit = {
+    val (resolved, dir) = resolvedDirs(spark, path)
+    appendFenceTestHook()
+    // the union covers BOTH stored tables (crash-retry, see above)
+    // AND the tombstone graveyard: a vacuumed delete's rows leave
+    // doclen/postings, but its id must stay unreusable forever
+    // ([[deleteFromTextIndex]]'s contract) — without the deletes
+    // union, deleting and vacuuming the max-id docs would re-open
+    // their range to the next append
+    val existingIds = (Seq(
+        spark.read.parquet(dir("doclen")).select(col("doc_id")),
+        spark.read.parquet(dir("postings")).select(col("doc_id"))) ++
+        readDeletes(spark, path, dir))
+      .reduce(_.unionByName(_))
+    val idx = TextAnalysis.textIndex(newDocs, idCol, textCol)
+    requireIdsAfter(existingIds, idx.doclen.select(col("doc_id")), op)
+    // doclen FIRST: a crash after it leaves ids visible to the retry
+    // guard via the union above; a half-appended postings table alone
+    // would under-score the batch silently
+    idx.doclen.repartition(col("doc_id"))
+      .write.mode("append").parquet(dir("doclen"))
+    idx.postings.repartition(col("term"))
+      .write.mode("append").parquet(dir("postings"))
+    requireGenerationsUnmoved(spark, path, resolved,
+      Seq("doclen", "postings"), op)
+  }
+
+  /** REPLACE documents in a persisted text index — the RECTIFICATION
+    * composition (GDPR rectification, a re-crawl superseding stale
+    * pages): under ONE single-writer lease, tombstone `oldIds`
+    * ([[deleteFromTextIndex]]'s exact validation and stat-exactness)
+    * and append `newDocs` as their replacements. The replacements must
+    * carry FRESH ids (ids are never reused — the graveyard contract:
+    * re-admitting an id would splice two documents' statistics under
+    * one identity across the index's history), and the standard
+    * monotone guard applies to them like any append.
+    *
+    * CRASH WINDOW between the tombstone landing and the append: the
+    * retry is built in. A re-run classifies `oldIds` with one
+    * aggregate — ALL still live ⇒ fresh run (tombstone + append); ALL
+    * already tombstoned AND no `newDocs` id present anywhere ⇒ the
+    * crash-retry shape, the tombstone is NOT re-validated (it already
+    * landed) and only the append runs; any MIX raises loudly (a typo'd
+    * id set and a half-landed replace are indistinguishable without
+    * operator eyes — neither should silently proceed). A crash INSIDE
+    * the append (between doclen and postings) is the torn shape
+    * [[loadTextIndex]] raises on: run [[repairTextIndex]], then re-run
+    * this op — the retry lands as the append-only shape above.
+    *
+    * @return (documents tombstoned, documents appended) BY THIS CALL —
+    *         a crash-retry that only appends reports 0 tombstoned
+    */
+  def replaceTextDocs(
+      newDocs: DataFrame, idCol: String, textCol: String, path: String,
+      oldIds: DataFrame): (Long, Long) = {
+    val spark = newDocs.sparkSession
+    withIndexLease(spark, path, "replaceTextDocs") {
+      metaOf(spark, path, "text")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      replaceCore(spark, path, "replaceTextDocs", "deleteFromTextIndex",
+        "doc_id", oldIds, newDocs.select(col(idCol)),
+        spark.read.parquet(dir("doclen")).select(col("doc_id")),
+        dir, resolved)(
+        () => appendTextIndexBody(spark, newDocs, idCol, textCol, path,
+          "replaceTextDocs"))
+    }
+  }
+
+  /** [[replaceTextDocs]] for the MEDIA index — tombstone the old asset
+    * ids, append the replacement hashes under fresh ids, one lease,
+    * same classification/crash-retry contract.
+    */
+  def replaceMediaAssets(
+      newHashes: DataFrame, idCol: String, hashCol: String, path: String,
+      oldIds: DataFrame): (Long, Long) = {
+    val spark = newHashes.sparkSession
+    withIndexLease(spark, path, "replaceMediaAssets") {
+      metaOf(spark, path, "media")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      replaceCore(spark, path, "replaceMediaAssets",
+        "deleteFromMediaIndex", "member_id", oldIds,
+        newHashes.select(col(idCol)),
+        spark.read.parquet(dir("members")).select(col("member_id")),
+        dir, resolved)(
+        () => appendMediaIndexBody(spark, newHashes, idCol, hashCol,
+          path, "replaceMediaAssets"))
+    }
+  }
+
+  /** [[replaceTextDocs]] for the VECTOR index. */
+  def replaceVectorMembers(
+      newVecs: DataFrame, idCol: String, vecCol: String, path: String,
+      oldIds: DataFrame): (Long, Long) = {
+    val spark = newVecs.sparkSession
+    withIndexLease(spark, path, "replaceVectorMembers") {
+      metaOf(spark, path, "vector")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      replaceCore(spark, path, "replaceVectorMembers",
+        "deleteFromVectorIndex", "member_id", oldIds,
+        newVecs.select(col(idCol)),
+        spark.read.parquet(dir("members")).select(col("member_id")),
+        dir, resolved)(
+        () => appendVectorIndexBody(spark, newVecs, idCol, vecCol,
+          path, "replaceVectorMembers"))
+    }
+  }
+
+  /** [[replaceTextDocs]] for the CORPUS (MinHash-LSH) index. */
+  def replaceCorpusDocs(
+      newDocs: DataFrame, idCol: String, textCol: String, path: String,
+      oldIds: DataFrame): (Long, Long) = {
+    val spark = newDocs.sparkSession
+    withIndexLease(spark, path, "replaceCorpusDocs") {
+      metaOf(spark, path, "corpus")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      replaceCore(spark, path, "replaceCorpusDocs",
+        "deleteFromCorpusIndex", "member_id", oldIds,
+        newDocs.select(col(idCol)),
+        spark.read.parquet(dir("members")).select(col("member_id")),
+        dir, resolved)(
+        () => appendCorpusIndexBody(spark, newDocs, idCol, textCol,
+          path, "replaceCorpusDocs"))
+    }
+  }
+
+  /** [[replaceTextDocs]] for the IVF model — assignment against the
+    * FROZEN centroids, like [[appendIvf]].
+    */
+  def replaceIvfMembers(
+      newVecs: DataFrame, idCol: String, vecCol: String, path: String,
+      oldIds: DataFrame): (Long, Long) = {
+    val spark = newVecs.sparkSession
+    withIndexLease(spark, path, "replaceIvfMembers") {
+      metaOf(spark, path, "ivf")
+      val (resolved, dir) = resolvedDirs(spark, path)
+      replaceCore(spark, path, "replaceIvfMembers", "deleteFromIvf",
+        "id", oldIds, newVecs.select(col(idCol)),
+        spark.read.parquet(dir("assign")).select(col("id")),
+        dir, resolved)(
+        () => appendIvfBody(spark, newVecs, idCol, vecCol, path,
+          "replaceIvfMembers"))
+    }
+  }
+
+  /** The shared rectification core behind the replace* family, lease
+    * assumed HELD: classify `oldIds` with one aggregate (all live ⇒
+    * fresh run; all tombstoned AND no new id present ⇒ the
+    * crash-retry, append only; MIX ⇒ raise), validate the replacement
+    * ids FRESH against live ∪ graveyard with a second aggregate,
+    * tombstone on the fresh path ([[tombstoneDelete]]'s fused
+    * validation), then run the kind's append body. See
+    * [[replaceTextDocs]]'s scaladoc for the full contract.
+    */
+  private def replaceCore(
+      spark: SparkSession, path: String, op: String, deleteOp: String,
+      idColName: String, oldIds: DataFrame, rawNewIds: DataFrame,
+      allIds: DataFrame, dir: String => String,
+      resolved: Map[String, Long])(append: () => Unit): (Long, Long) = {
+    val dead = readDeletes(spark, path, dir)
+    val liveIds = applyDeletes(allIds, dead, idColName)
+    val old = oldIds.select(col(oldIds.columns.head)
+        .cast(allIds.schema.head.dataType).as(idColName))
+      .localCheckpoint(true)
+    val newIds = rawNewIds.select(col(rawNewIds.columns.head)
+        .cast(allIds.schema.head.dataType).as(idColName))
+      .localCheckpoint(true)
+    // ONE classification aggregate: old ids vs live/graveyard; one
+    // more for new ids vs everything ever seen (live ∪ graveyard
+    // covers vacuumed ids too)
+    val oldTag = old
+      .join(liveIds.distinct().withColumn("__live", lit(1)),
+        Seq(idColName), "left")
+      .join(dead.fold(allIds.limit(0))(_.toDF(idColName)).distinct()
+          .withColumn("__dead", lit(1)),
+        Seq(idColName), "left")
+      .agg(count(lit(1)).as("__n"), count(col("__live")).as("__nlive"),
+        count(col("__dead")).as("__ndead")).head()
+    val (nOld, nOldLive, nOldDead) =
+      (oldTag.getLong(0), oldTag.getLong(1), oldTag.getLong(2))
+    require(nOld > 0L,
+      s"IndexStore.$op: empty oldIds — a rectification that replaces " +
+        "nothing is almost certainly a filter bug")
+    val everIds = graveyardUnion(spark, path, dir, allIds)
+    val newTag = newIds
+      .join(everIds.distinct().withColumn("__seen", lit(1)),
+        Seq(idColName), "left")
+      .agg(count(lit(1)).as("__n"), count(col("__seen")).as("__nseen"))
+      .head()
+    val (nNew, nNewPresent) = (newTag.getLong(0), newTag.getLong(1))
+    require(nNew > 0L,
+      s"IndexStore.$op: empty replacement batch — to erase without " +
+        s"replacing, use $deleteOp")
+    if (nNewPresent > 0L) {
+      val sample = newIds.join(everIds, Seq(idColName), "left_semi")
+        .limit(5).collect().map(_.get(0)).mkString(", ")
+      throw new IllegalArgumentException(
+        s"IndexStore.$op: $nNewPresent replacement id(s) already " +
+          s"exist in the index at $path (live, tombstoned, or " +
+          s"half-appended; e.g. $sample) — replacements must carry " +
+          "FRESH ids (ids are never reused). If a prior replace " +
+          "crashed INSIDE its append, run checkIndex/repair first, " +
+          "then re-run")
+    }
+    if (nOldLive == nOld) {
+      // fresh run: tombstone (full fused validation), then append
+      val nDel = tombstoneDelete(spark, path, op, idColName, old,
+        liveIds, dir, resolved)
+      append()
+      (nDel, nNew)
+    } else if (nOldDead == nOld) {
+      // the crash-retry shape: the tombstone landed, the append did
+      // not (new ids proven absent above) — finish the append only
+      append()
+      (0L, nNew)
+    } else {
+      throw new IllegalArgumentException(
+        s"IndexStore.$op: oldIds are a MIX — of $nOld ids, $nOldLive " +
+          s"are live, $nOldDead are tombstoned and " +
+          s"${nOld - nOldLive - nOldDead} were never indexed. A fresh " +
+          "replace needs ALL old ids live; a crash-retry needs ALL " +
+          "tombstoned. Fix the id set (or split it) and re-run")
     }
   }
 

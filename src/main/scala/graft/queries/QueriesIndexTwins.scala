@@ -1308,6 +1308,169 @@ private[graft] trait QueriesIndexTwins { this: Queries.type =>
        |  best_corpus_id, best_score_e6 FROM v_2
        |ORDER BY doc_id""".stripMargin
 
+  /** q273: RECTIFICATION through the text index —
+    * [[IndexStore.replaceTextDocs]] (verdict-13 ask #4) composed into
+    * an ingest round: every fourth corpus doc is REPLACED under one
+    * lease (tombstoned, its rectified text re-appended under a fresh
+    * id — ids are never reused), then q262's head batch screens
+    * against the post-replace corpus. The head copies of REPLACED
+    * docs flip from 'duplicate' to 'admitted' (their originals are
+    * gone and the replacements carry different rr-filler vocabulary,
+    * so the copies match nothing at threshold), heads of UNREPLACED
+    * evens stay duplicates, and every score is computed over the
+    * post-replace statistics (N unchanged — one doc out, one in — but
+    * df and Σdl shift with the rectified text). The oracle replays
+    * the screen brute-force over exactly corpus-minus-replaced-plus-
+    * replacements.
+    */
+  def textReplaceScreen(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, heads) = dilutionFixture(s, dir, off = 300)
+    val path = scratchDir("text_replace_screen")
+    IndexStore.saveTextIndex(corpus, "doc_id", "text", path)
+    val base = t(s, dir, "documents")
+      .where(col("doc_id") >= 100 && col("doc_id") < 300 &&
+        col("text").isNotNull &&
+        size(TextFunctions.tokens(col("text"))) >= 10)
+      .select(col("doc_id"), col("text"))
+    val repl = base
+      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(4)) === 0)
+      .select((col("doc_id") + 200).as("doc_id"), col("text"))
+      .select(col("doc_id"), dilutedText("rr").as("text"))
+    val oldIds = corpus
+      .where(col("doc_id") < 200 && pmod(col("doc_id"), lit(4)) === 0)
+      .select("doc_id")
+    IndexStore.replaceTextDocs(repl, "doc_id", "text", path, oldIds)
+    IndexStore.ingestText(heads, "doc_id", "text", path,
+        minScoreE6 = 30000000L)
+      .orderBy("doc_id")
+  }
+
+  val textReplaceScreenSql: String =
+    s"""WITH $textFixtureSql,
+       |repl AS (SELECT doc_id + 200 AS doc_id,
+       |    text || ' ' || ${textDilSql("rr", "doc_id + 200")} AS text
+       |  FROM base10 WHERE doc_id < 200 AND doc_id % 4 = 0),
+       |live AS (SELECT doc_id, text FROM corpus
+       |    WHERE NOT (doc_id < 200 AND doc_id % 4 = 0)
+       |  UNION ALL SELECT doc_id, text FROM repl),
+       |${bm25RoundSql("live", "b1", "1")},
+       |${bm25VerdictSql("b1", "1")}
+       |SELECT doc_id, status, n_matches, best_corpus_id, best_score_e6
+       |FROM v_1 ORDER BY doc_id""".stripMargin
+
+  /** q274: RECTIFICATION through the MEDIA index —
+    * [[IndexStore.replaceMediaAssets]] (the replace* family's
+    * perceptual member) composed into two ingest rounds: every
+    * `gid % 4 == 0` corpus asset is REPLACED under one lease by the
+    * SAME dHash class's other-JPEG-quality variant under a fresh id
+    * (the re-encode/re-crawl shape: new bytes, new asset id, same
+    * perceptual content), round 1 screens a batch against the
+    * post-replace index (copies of replaced classes now match the
+    * REPLACEMENT ids, never the tombstoned originals),
+    * [[IndexStore.vacuumMediaIndex]] folds the replace's tombstones
+    * between the rounds (probe-invisible by contract), and round 2
+    * re-screens against the grown index. The oracle replays both
+    * rounds brute-force over corpus−replaced+replacements from the
+    * golden dHash fixture.
+    */
+  def mediaReplaceRounds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter((id: Long) => id < 500)
+      .mapPartitions(_.flatMap { id =>
+        Multimodal.dhash64(Fixtures.dhashAssetFor(id).media)
+          .map(dh => (id, dh))
+      }).toDF("doc_id", "dh")
+      .localCheckpoint(true)
+    val path = scratchDir("media_replace")
+    val gid = pmod(col("doc_id"), lit(Fixtures.DhashClasses))
+    val corpus = hashes.where(col("doc_id") < 200 && pmod(gid, lit(2)) === 0)
+    IndexStore.saveMediaIndex(corpus, "doc_id", "dh", path)
+    val replaced = corpus.where(pmod(gid, lit(4)) === 0)
+    // the rectified asset: same class, other variant, fresh id + 200
+    val repl = replaced
+      .select((col("doc_id") + Fixtures.DhashClasses).as("doc_id"))
+      .join(hashes, Seq("doc_id"))
+      .select((col("doc_id") - Fixtures.DhashClasses + 200).as("doc_id"),
+        col("dh"))
+    IndexStore.replaceMediaAssets(repl, "doc_id", "dh", path,
+      replaced.select("doc_id"))
+    val v1 = IndexStore.ingestMedia(
+        hashes.where(col("doc_id") >= 400 && col("doc_id") < 450),
+        "doc_id", "dh", path)
+      .withColumn("ingest", lit(1))
+    IndexStore.vacuumMediaIndex(s, path)
+    val v2 = IndexStore.ingestMedia(hashes.where(col("doc_id") >= 450),
+        "doc_id", "dh", path)
+      .withColumn("ingest", lit(2))
+    v1.unionByName(v2)
+      .select(col("ingest"), col("asset_id"), col("status"),
+        col("n_matches"), col("best_corpus_id"), col("best_hamming"))
+      .orderBy("asset_id")
+  }
+
+  val mediaReplaceRoundsSql: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % ${Fixtures.DhashClasses} AS gid,
+       |    CAST((doc_id // ${Fixtures.DhashClasses}) % 2 AS INT) AS variant
+       |  FROM documents WHERE doc_id < 500),
+       |g AS (SELECT * FROM read_parquet(
+       |        '/root/repo/fixtures/dhash_golden.parquet/*.parquet')),
+       |h AS (SELECT d.doc_id, d.gid, g.dh FROM d
+       |  JOIN g ON g.gid = d.gid AND g.variant = d.variant),
+       |corpus0 AS (SELECT doc_id, gid, dh FROM h
+       |  WHERE doc_id < 200 AND gid % 2 = 0),
+       |repl AS (SELECT c.doc_id + 200 AS doc_id, h2.dh
+       |  FROM corpus0 c JOIN h h2
+       |    ON h2.doc_id = c.doc_id + ${Fixtures.DhashClasses}
+       |  WHERE c.gid % 4 = 0),
+       |live AS (SELECT doc_id, dh FROM corpus0 WHERE gid % 4 <> 0
+       |  UNION ALL SELECT doc_id, dh FROM repl),
+       |i1 AS (SELECT doc_id, dh FROM h
+       |  WHERE doc_id >= 400 AND doc_id < 450),
+       |i2 AS (SELECT doc_id, dh FROM h WHERE doc_id >= 450),
+       |m1 AS (SELECT i1.doc_id AS asset_id, c.doc_id AS corpus_id,
+       |    CAST(bit_count(xor(i1.dh, c.dh)) AS INT) AS hamming
+       |  FROM i1 JOIN live c ON bit_count(xor(i1.dh, c.dh)) <= 3),
+       |r1 AS (SELECT asset_id, corpus_id, hamming,
+       |    row_number() OVER (PARTITION BY asset_id
+       |                       ORDER BY hamming, corpus_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY asset_id) AS BIGINT) AS n
+       |  FROM m1),
+       |b1 AS (SELECT asset_id, corpus_id AS best_corpus_id,
+       |    hamming AS best_hamming, n FROM r1 WHERE rn = 1),
+       |v1 AS (SELECT i1.doc_id AS asset_id,
+       |    CASE WHEN b.asset_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(b.n, 0) AS n_matches, b.best_corpus_id,
+       |    b.best_hamming
+       |  FROM i1 LEFT JOIN b1 b ON b.asset_id = i1.doc_id),
+       |idx2 AS (SELECT doc_id, dh FROM live
+       |  UNION ALL
+       |  SELECT doc_id, dh FROM i1 WHERE doc_id IN
+       |    (SELECT asset_id FROM v1 WHERE status = 'admitted')),
+       |m2 AS (SELECT i2.doc_id AS asset_id, c.doc_id AS corpus_id,
+       |    CAST(bit_count(xor(i2.dh, c.dh)) AS INT) AS hamming
+       |  FROM i2 JOIN idx2 c ON bit_count(xor(i2.dh, c.dh)) <= 3),
+       |r2 AS (SELECT asset_id, corpus_id, hamming,
+       |    row_number() OVER (PARTITION BY asset_id
+       |                       ORDER BY hamming, corpus_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY asset_id) AS BIGINT) AS n
+       |  FROM m2),
+       |b2 AS (SELECT asset_id, corpus_id AS best_corpus_id,
+       |    hamming AS best_hamming, n FROM r2 WHERE rn = 1),
+       |v2 AS (SELECT i2.doc_id AS asset_id,
+       |    CASE WHEN b.asset_id IS NULL THEN 'admitted'
+       |         ELSE 'duplicate' END AS status,
+       |    COALESCE(b.n, 0) AS n_matches, b.best_corpus_id,
+       |    b.best_hamming
+       |  FROM i2 LEFT JOIN b2 b ON b.asset_id = i2.doc_id)
+       |SELECT CAST(1 AS INT) AS ingest, asset_id, status, n_matches,
+       |  best_corpus_id, best_hamming FROM v1
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS ingest, asset_id, status, n_matches,
+       |  best_corpus_id, best_hamming FROM v2
+       |ORDER BY asset_id""".stripMargin
+
   /** q264: TAKEDOWN deletes through the MEDIA ingest lifecycle —
     * [[IndexStore.deleteFromMediaIndex]] + [[IndexStore.vacuumMediaIndex]]
     * composed into q248's two-round fixture: every corpus asset of the

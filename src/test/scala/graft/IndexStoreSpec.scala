@@ -1438,6 +1438,43 @@ class IndexStoreSpec extends SparkSuite {
       .count() == 10)
   }
 
+  test("lease capability probe: the local fs HAS rename-no-overwrite " +
+      "(no warning, no probe debris); a degraded store warns LOUDLY " +
+      "once per store and the op still proceeds (advisory)") {
+    val path = tmp()
+    val sigs = (0L until 4L).map(i => (i, 0x1L + i)).toDF("id", "dh")
+    // the primitive itself, on the real test fs
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file://$path"),
+      spark.sparkContext.hadoopConfiguration)
+    assert(IndexStore.probeRenameNoOverwrite(fs, path),
+      "local filesystems must fail rename-onto-existing")
+    val probeDebris = Option(new java.io.File(path).listFiles()).toSeq
+      .flatten.map(_.getName).filter(_.contains("__probe_"))
+    assert(probeDebris.isEmpty, s"probe must clean up: $probeDebris")
+    // degraded-store branch: inject the probe result, capture the sink
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prevSink = IndexStore.leaseWarnSink
+    IndexStore.leaseWarnSink = warnings += _
+    try IndexStore.withLeaseProbe(false) {
+      IndexStore.saveMediaIndex(sigs, "id", "dh", path)
+      // op succeeded despite degradation (advisory, not refusal)
+      assert(IndexStore.loadMediaIndex(spark, path).members.count() == 4L)
+      // ...and warned exactly ONCE for the store, not per acquire
+      IndexStore.appendMediaIndex(Seq((10L, 0x9L)).toDF("id", "dh"),
+        "id", "dh", path)
+      assert(warnings.size == 1 &&
+        warnings.head.contains("ADVISORY"), warnings.toString)
+    } finally IndexStore.leaseWarnSink = prevSink
+    // with the seam cleared, a real acquire on the healthy fs warns
+    // nothing
+    warnings.clear()
+    IndexStore.leaseWarnSink = warnings += _
+    try IndexStore.compactIndex(spark, path): Unit
+    finally IndexStore.leaseWarnSink = prevSink
+    assert(warnings.isEmpty, warnings.toString)
+  }
+
   test("generation manifest: a corrupt line raises a diagnosable error " +
       "naming the manifest, not a MatchError from inside a load") {
     val path = tmp()
@@ -1581,6 +1618,92 @@ class IndexStoreSpec extends SparkSuite {
     }
   }
 
+  test("merge path guards see through spellings; merges hold the " +
+      "shards' leases (a held shard lease refuses the merge, and the " +
+      "merge refuses a concurrent shard appender)") {
+    val shardA = tmp(); val shardB = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", shardA)
+    IndexStore.saveTextIndex(newDocs, "doc_id", "text", shardB)
+    // a trailing-slash respelling of a shard as outPath must still trip
+    // the outPath-is-a-shard guard (paths are fs-qualified first)
+    val eAlias = intercept[IllegalArgumentException] {
+      IndexStore.mergeTextIndexes(spark, Seq(shardA, shardB), s"$shardB/")
+    }
+    assert(eAlias.getMessage.contains("outPath"), eAlias.getMessage)
+    val eDup = intercept[IllegalArgumentException] {
+      IndexStore.mergeTextIndexes(spark, Seq(shardA, s"$shardA/"), tmp())
+    }
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+    // shard quiescence is ENFORCED, not assumed: with a writer holding
+    // shard B's lease, the merge raises at acquire before reading a row
+    val held = IndexStore.acquireIndexLease(spark, shardB, "appender")
+    try {
+      val eLease = intercept[IllegalStateException] {
+        IndexStore.mergeTextIndexes(spark, Seq(shardA, shardB), tmp())
+      }
+      assert(eLease.getMessage.contains("lease"), eLease.getMessage)
+    } finally IndexStore.releaseIndexLease(spark, shardB, held)
+    // ...and leases release on the merge's own failure paths: the
+    // outPath-guard raise above left no shard lease behind
+    assert(IndexStore.readIndexLease(spark, shardA).isEmpty &&
+      IndexStore.readIndexLease(spark, shardB).isEmpty,
+      "a refused merge must leave no shard lease behind")
+    // a clean merge still works end to end under the new leasing
+    val out = tmp()
+    assert(IndexStore.mergeTextIndexes(spark, Seq(shardA, shardB), out) ==
+      oldDocs.count() + newDocs.count())
+    assert(IndexStore.readIndexLease(spark, shardA).isEmpty &&
+      IndexStore.readIndexLease(spark, shardB).isEmpty &&
+      IndexStore.readIndexLease(spark, out).isEmpty,
+      "a completed merge must release every lease it held")
+  }
+
+  test("requireShardOwnership: disjointness by construction — owned " +
+      "batches pass through, foreign/null/non-integral ids raise " +
+      "naming samples, bad plans raise at the parameters") {
+    val owned = Seq((4L, "a"), (14L, "b"), (24L, "c")).toDF("doc_id", "text")
+    // shard 4 of 10 owns ids ≡ 4 (mod 10): pass-through, same rows
+    assert(IndexStore.requireShardOwnership(owned, "doc_id", 4, 10)
+      .collect().toSeq == owned.collect().toSeq)
+    val eForeign = intercept[IllegalArgumentException] {
+      IndexStore.requireShardOwnership(
+        Seq((4L, "a"), (15L, "b")).toDF("doc_id", "text"),
+        "doc_id", 4, 10).collect()
+    }
+    assert(eForeign.getMessage.contains("15") &&
+      eForeign.getMessage.contains("mod"), eForeign.getMessage)
+    val eNull = intercept[IllegalArgumentException] {
+      IndexStore.requireShardOwnership(
+        Seq(Some(4L), None).map(v => (v, "x")).toDF("doc_id", "text"),
+        "doc_id", 4, 10).collect()
+    }
+    assert(eNull.getMessage.contains("do not belong"), eNull.getMessage)
+    val eStr = intercept[IllegalArgumentException] {
+      IndexStore.requireShardOwnership(
+        Seq(("k4", "a")).toDF("doc_id", "text"), "doc_id", 4, 10)
+        .collect()
+    }
+    assert(eStr.getMessage.contains("non-integral"), eStr.getMessage)
+    intercept[IllegalArgumentException] {
+      IndexStore.requireShardOwnership(owned, "doc_id", 4, 1)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.requireShardOwnership(owned, "doc_id", 10, 10)
+    }
+    // the composed fleet shape: K owned builds merge with disjointness
+    // guaranteed by construction (the proof then never fires)
+    val sa = tmp(); val sb = tmp(); val out = tmp()
+    val all = oldDocs
+    IndexStore.saveTextIndex(IndexStore.requireShardOwnership(
+      all.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", 0, 2),
+      "doc_id", "text", sa)
+    IndexStore.saveTextIndex(IndexStore.requireShardOwnership(
+      all.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", 1, 2),
+      "doc_id", "text", sb)
+    assert(IndexStore.mergeTextIndexes(spark, Seq(sa, sb), out) ==
+      all.count())
+  }
+
   test("mergeTextIndexes: shard tombstones are applied, not carried — " +
       "the merged index equals a build over the LIVE union") {
     import graft.operators.TextAnalysis
@@ -1646,6 +1769,15 @@ class IndexStoreSpec extends SparkSuite {
     }
     assert(eMiss.getMessage.contains("999") &&
       eMiss.getMessage.contains("LIVE"), eMiss.getMessage)
+    // an id that fails the cast to the live column's type lands as
+    // NULL — a dedicated raise (before the duplicate/liveness checks)
+    // names the real problem instead of reporting phantom duplicates
+    val eNull = intercept[IllegalArgumentException] {
+      IndexStore.deleteFromTextIndex(spark, path,
+        Seq("7", "not_an_id").toDF("doc_id"))
+    }
+    assert(eNull.getMessage.contains("NULL") &&
+      eNull.getMessage.contains("cast"), eNull.getMessage)
     // nothing was tombstoned by the failed calls
     IndexStore.deleteFromTextIndex(spark, path, Seq(3L).toDF("doc_id"))
     // an already-deleted id is no longer live — a repeat raises too
@@ -1653,6 +1785,144 @@ class IndexStoreSpec extends SparkSuite {
       IndexStore.deleteFromTextIndex(spark, path, Seq(3L).toDF("doc_id"))
     }
     assert(eTwice.getMessage.contains("LIVE"), eTwice.getMessage)
+  }
+
+  test("replaceTextDocs: replace ≡ delete + fresh-id append table for " +
+      "table; fresh-id and mix guards raise; the crash window between " +
+      "tombstone and append retries to completion") {
+    val path = tmp(); val twin = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", path)
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", twin)
+    val repl = Seq((200L, sentence(25)), (201L, sentence(25)))
+      .toDF("doc_id", "text")
+    assert(IndexStore.replaceTextDocs(repl, "doc_id", "text", path,
+      Seq(3L, 5L).toDF("doc_id")) == ((2L, 2L)))
+    // the composition is exactly its parts: tombstone + append
+    IndexStore.deleteFromTextIndex(spark, twin, Seq(3L, 5L).toDF("doc_id"))
+    IndexStore.appendTextIndex(repl, "doc_id", "text", twin)
+    val ts = Seq("postings", "doclen", "deletes")
+    assert(canonIndex(path, ts) == canonIndex(twin, ts))
+    // fresh-id guard: a live id, and a tombstoned (never-reusable) id
+    val eLive = intercept[IllegalArgumentException] {
+      IndexStore.replaceTextDocs(
+        Seq((7L, sentence(25))).toDF("doc_id", "text"),
+        "doc_id", "text", path, Seq(9L).toDF("doc_id"))
+    }
+    assert(eLive.getMessage.contains("FRESH"), eLive.getMessage)
+    val eDead = intercept[IllegalArgumentException] {
+      IndexStore.replaceTextDocs(
+        Seq((3L, sentence(25))).toDF("doc_id", "text"),
+        "doc_id", "text", path, Seq(9L).toDF("doc_id"))
+    }
+    assert(eDead.getMessage.contains("FRESH"), eDead.getMessage)
+    // crash window: the tombstone landed but the append never ran —
+    // the retry classifies old ids as all-dead/new absent and finishes
+    IndexStore.deleteFromTextIndex(spark, path, Seq(9L).toDF("doc_id"))
+    val repl2 = Seq((210L, sentence(25))).toDF("doc_id", "text")
+    assert(IndexStore.replaceTextDocs(repl2, "doc_id", "text", path,
+      Seq(9L).toDF("doc_id")) == ((0L, 1L)))
+    assert(spark.read.parquet(
+        IndexStore.tableDir(spark, path, "doclen"))
+      .where(col("doc_id") === 210L).count() == 1L)
+    // a COMPLETE replace re-run raises (new ids now present) instead
+    // of double-appending
+    val eDone = intercept[IllegalArgumentException] {
+      IndexStore.replaceTextDocs(repl2, "doc_id", "text", path,
+        Seq(9L).toDF("doc_id"))
+    }
+    assert(eDone.getMessage.contains("FRESH"), eDone.getMessage)
+    // mix guard: one live + one tombstoned old id is neither a fresh
+    // run nor a clean retry
+    val eMix = intercept[IllegalArgumentException] {
+      IndexStore.replaceTextDocs(
+        Seq((220L, sentence(25))).toDF("doc_id", "text"),
+        "doc_id", "text", path, Seq(9L, 11L).toDF("doc_id"))
+    }
+    assert(eMix.getMessage.contains("MIX"), eMix.getMessage)
+    // empty sides raise
+    val eOld = intercept[IllegalArgumentException] {
+      IndexStore.replaceTextDocs(
+        Seq((230L, sentence(25))).toDF("doc_id", "text"),
+        "doc_id", "text", path, Seq.empty[Long].toDF("doc_id"))
+    }
+    assert(eOld.getMessage.contains("empty oldIds"), eOld.getMessage)
+    val eNew = intercept[IllegalArgumentException] {
+      IndexStore.replaceTextDocs(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text", path, Seq(11L).toDF("doc_id"))
+    }
+    assert(eNew.getMessage.contains("empty replacement"), eNew.getMessage)
+    // the whole composition runs under ONE lease — a held lease
+    // refuses it at acquire
+    val lease = IndexStore.acquireIndexLease(spark, path, "spec")
+    try {
+      val eLease = intercept[IllegalStateException] {
+        IndexStore.replaceTextDocs(
+          Seq((240L, sentence(25))).toDF("doc_id", "text"),
+          "doc_id", "text", path, Seq(11L).toDF("doc_id"))
+      }
+      assert(eLease.getMessage.contains("lease"), eLease.getMessage)
+    } finally IndexStore.releaseIndexLease(spark, path, lease)
+  }
+
+  test("replace* kind parity: media/vector/corpus/ivf rectification ≡ " +
+      "delete + fresh-id append, table for table, each under one lease") {
+    // media
+    val sigs = (0L until 8L).map(i => (i, 0x100L + i)).toDF("id", "dh")
+    val mp = tmp(); val mt = tmp()
+    IndexStore.saveMediaIndex(sigs, "id", "dh", mp)
+    IndexStore.saveMediaIndex(sigs, "id", "dh", mt)
+    val mRepl = Seq((100L, 0x900L), (101L, 0x901L)).toDF("id", "dh")
+    assert(IndexStore.replaceMediaAssets(mRepl, "id", "dh", mp,
+      Seq(2L, 5L).toDF("id")) == ((2L, 2L)))
+    IndexStore.deleteFromMediaIndex(spark, mt, Seq(2L, 5L).toDF("id"))
+    IndexStore.appendMediaIndex(mRepl, "id", "dh", mt)
+    val mTs = Seq("members", "bands", "deletes")
+    assert(canonIndex(mp, mTs) == canonIndex(mt, mTs), "media twin")
+    // vector
+    val vp = tmp(); val vt = tmp()
+    IndexStore.saveVectorIndex(oldVecs, "vec_id", "embedding", vp, dim = 8)
+    IndexStore.saveVectorIndex(oldVecs, "vec_id", "embedding", vt, dim = 8)
+    val vRepl = Seq((200L, vec(1, 8)), (201L, vec(2, 8)))
+      .toDF("vec_id", "embedding")
+    assert(IndexStore.replaceVectorMembers(vRepl, "vec_id", "embedding",
+      vp, Seq(3L, 5L).toDF("vec_id")) == ((2L, 2L)))
+    IndexStore.deleteFromVectorIndex(spark, vt, Seq(3L, 5L).toDF("vec_id"))
+    IndexStore.appendVectorIndex(vRepl, "vec_id", "embedding", vt)
+    val vTs = Seq("members", "reps", "blocks", "deletes")
+    assert(canonIndex(vp, vTs) == canonIndex(vt, vTs), "vector twin")
+    // corpus
+    val cp = tmp(); val ct = tmp()
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", cp)
+    IndexStore.saveCorpusIndex(oldDocs, "doc_id", "text", ct)
+    val cRepl = Seq((200L, sentence(25))).toDF("doc_id", "text")
+    assert(IndexStore.replaceCorpusDocs(cRepl, "doc_id", "text", cp,
+      Seq(7L).toDF("doc_id")) == ((1L, 1L)))
+    IndexStore.deleteFromCorpusIndex(spark, ct, Seq(7L).toDF("doc_id"))
+    IndexStore.appendCorpusIndex(cRepl, "doc_id", "text", ct)
+    val cTs = Seq("members", "sets", "bands", "deletes")
+    assert(canonIndex(cp, cTs) == canonIndex(ct, cTs), "corpus twin")
+    // ivf (frozen centroids — replacement assigned, never retrained)
+    val ip = tmp(); val it = tmp()
+    val model = IvfIndex.build(oldVecs, "vec_id", "embedding",
+      nLists = 3, trainFraction = 1.0)
+    IndexStore.saveIvf(model, ip)
+    IndexStore.saveIvf(model, it)
+    val iRepl = Seq((300L, vec(0, 7))).toDF("vec_id", "embedding")
+    assert(IndexStore.replaceIvfMembers(iRepl, "vec_id", "embedding",
+      ip, Seq(4L).toDF("vec_id")) == ((1L, 1L)))
+    IndexStore.deleteFromIvf(spark, it, Seq(4L).toDF("vec_id"))
+    IndexStore.appendIvf(iRepl, "vec_id", "embedding", it)
+    assert(canonIndex(ip, Seq("assign", "deletes")) ==
+      canonIndex(it, Seq("assign", "deletes")), "ivf twin")
+    // one shared core ⇒ the guards hold everywhere: spot-check the
+    // reused-id raise on a non-text kind
+    val eReuse = intercept[IllegalArgumentException] {
+      IndexStore.replaceMediaAssets(
+        Seq((2L, 0x777L)).toDF("id", "dh"), "id", "dh", mp,
+        Seq(3L).toDF("id"))
+    }
+    assert(eReuse.getMessage.contains("FRESH"), eReuse.getMessage)
   }
 
   test("vacuumTextIndex: folds tombstoned rows out, keeps probes " +
