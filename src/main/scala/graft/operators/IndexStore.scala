@@ -1195,7 +1195,6 @@ object IndexStore {
       spark: SparkSession, path: String, op: String, idColName: String,
       ids: DataFrame, liveIds: DataFrame,
       dir: String => String, resolved: Map[String, Long]): Long = {
-    appendFenceTestHook()
     // cast to the LIVE id column's type before validating and writing:
     // the validation join would insert the cast implicitly anyway, but
     // the parquet append would not — an int-typed delete batch would
@@ -1204,9 +1203,27 @@ object IndexStore {
     val del = ids.select(col(ids.columns.head)
         .cast(liveIds.schema.head.dataType).as(idColName))
       .localCheckpoint(true) // validation + write must see ONE set
-    val c = del
-      .join(liveIds.distinct().withColumn("__live", lit(1)),
-        Seq(idColName), "left")
+    tombstoneDeletePrepared(spark, path, op, idColName, del, liveIds,
+      dir, resolved, liveProven = false)
+  }
+
+  /** [[tombstoneDelete]] over an ALREADY cast-and-checkpointed delete
+    * set. `liveProven = true` ([[replaceCore]]'s fresh path, which
+    * already proved every id live with its classification aggregate)
+    * skips the live-set join — the remaining null/duplicate checks
+    * need only the small del-side aggregate, not a second pass over
+    * the live id relation.
+    */
+  private def tombstoneDeletePrepared(
+      spark: SparkSession, path: String, op: String, idColName: String,
+      del: DataFrame, liveIds: DataFrame,
+      dir: String => String, resolved: Map[String, Long],
+      liveProven: Boolean): Long = {
+    appendFenceTestHook()
+    val c =
+      (if (liveProven) del.withColumn("__live", lit(1))
+       else del.join(liveIds.distinct().withColumn("__live", lit(1)),
+         Seq(idColName), "left"))
       .agg(count(lit(1)).as("__n"),
         count(col(idColName)).as("__nnn"), // non-null (count skips nulls)
         count_distinct(col(idColName)).as("__nd"),
@@ -1357,9 +1374,12 @@ object IndexStore {
     * are read lazily and re-scanned during the output writes, so a
     * concurrent shard append in that window would land rows the
     * disjointness proof never saw — with the leases held, the
-    * appender raises at ITS acquire instead. `outPath` must be a
-    * fresh or sacrificial location — it is rebuilt via
-    * [[resetGenerations]] under its own lease.
+    * appender raises at ITS acquire instead. Size `ttlMs` ABOVE the
+    * expected merge duration (default 30 min): a merge outliving its
+    * TTL loses the shard leases to a stealing appender and the
+    * protection silently reverts to the fence/monotone backstops.
+    * `outPath` must be a fresh or sacrificial location — it is
+    * rebuilt via [[resetGenerations]] under its own lease.
     *
     * @return the merged index's document count
     */
@@ -1403,10 +1423,13 @@ object IndexStore {
     * different shard, is NULL, or is not integral (modulo ownership
     * needs integer ids — hash your keys to i64 first, the
     * [[graft.operators.Dedup]] fingerprint convention). Returns the
-    * input unchanged for pipeline composition:
-    * `saveTextIndex(requireShardOwnership(docs, "doc_id", k, n), ...)`.
-    * Cost: one narrow count over the batch — the precheck is paid at
-    * build time, once, by the builder.
+    * input with an INLINE row guard on the id column (same rows, same
+    * schema) for pipeline composition:
+    * `saveTextIndex(requireShardOwnership(docs, "doc_id", k, n), ...)`
+    * — a foreign/null id raises AT THE BUILD'S OWN SCAN naming the id,
+    * so the guard validates exactly the rows the build consumes (an
+    * eager pre-count would see a different row set on
+    * non-deterministic inputs) and costs zero extra actions.
     */
   def requireShardOwnership(
       docs: DataFrame, idCol: String, shard: Int, nShards: Int): DataFrame = {
@@ -1425,20 +1448,25 @@ object IndexStore {
           "integer ids; hash your keys to i64 first (the Dedup " +
           "fingerprint convention)")
     }
-    val owned = pmod(col(idCol).cast("long"), lit(nShards.toLong))
-    val bad = docs.where(col(idCol).isNull || owned =!= shard.toLong)
-    val nBad = bad.count()
-    if (nBad > 0L) {
-      val sample = bad.select(col(idCol)).limit(5).collect()
-        .map(_.get(0)).mkString(", ")
-      throw new IllegalArgumentException(
-        s"IndexStore.requireShardOwnership: $nBad id(s) do not belong " +
-          s"to shard $shard of $nShards under the modulo-ownership " +
-          s"convention (id mod $nShards == $shard; e.g. $sample — " +
-          "null ids violate it too). Route each id to its owning " +
-          "builder")
-    }
-    docs
+    // the row guard TRAVELS WITH THE RETURNED PLAN (when/raise_error on
+    // the id column) instead of running as a separate count action: an
+    // eager validate-then-return would see a DIFFERENT row set than the
+    // downstream build when the input is non-deterministic
+    // (sample/limit/shuffle-order-dependent), voiding the
+    // disjointness-by-construction guarantee — inline, the build
+    // consumes only rows that passed, and the precheck costs zero extra
+    // actions (one codegen'd expression on the build's own scan)
+    val violated = col(idCol).isNull ||
+      pmod(col(idCol).cast("long"), lit(nShards.toLong)) =!= shard.toLong
+    val guarded = when(violated, raise_error(concat(
+        lit("IndexStore.requireShardOwnership: id "),
+        coalesce(col(idCol).cast("string"), lit("NULL")),
+        lit(s" does not belong to shard $shard of $nShards under the " +
+          "modulo-ownership convention (id mod n == shard; null ids " +
+          "violate it too) — route each id to its owning builder"))))
+      .otherwise(col(idCol)).as(idCol)
+    docs.select(docs.columns
+      .map(c => if (c == idCol) guarded else col(c)).toIndexedSeq: _*)
   }
 
   /** Hold every shard's single-writer lease for the duration of a
@@ -1453,11 +1481,11 @@ object IndexStore {
     * posture.
     */
   private def withShardLeases[T](
-      spark: SparkSession, shardPaths: Seq[String], op: String)(
-      body: => T): T =
+      spark: SparkSession, shardPaths: Seq[String], op: String,
+      ttlMs: Long)(body: => T): T =
     shardPaths.sorted
       .foldRight(() => body)((p, acc) =>
-        () => withIndexLease(spark, p, op)(acc()))()
+        () => withIndexLease(spark, p, op, ttlMs)(acc()))()
 
   /** The merge ops' shared disjointness proof: one count-vs-distinct
     * aggregate over the unioned member grain; the failure path samples
@@ -1481,14 +1509,15 @@ object IndexStore {
   }
 
   def mergeTextIndexes(
-      spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
+      spark: SparkSession, shardPaths: Seq[String], outPath: String,
+      ttlMs: Long = DefaultLeaseTtlMs): Long = {
     requireShardPaths(spark, "mergeTextIndexes", shardPaths, outPath)
-    withShardLeases(spark, shardPaths, "mergeTextIndexes") {
+    withShardLeases(spark, shardPaths, "mergeTextIndexes", ttlMs) {
       val shards = shardPaths.map(p => loadTextIndex(spark, p))
       val postings = shards.map(_.postings).reduce(_.unionByName(_))
       val doclen = shards.map(_.doclen).reduce(_.unionByName(_))
       val n = requireDisjointMembers("mergeTextIndexes", doclen, "doc_id")
-      withIndexLease(spark, outPath, "mergeTextIndexes") {
+      withIndexLease(spark, outPath, "mergeTextIndexes", ttlMs) {
         resetGenerations(spark, outPath)
         postings.repartition(col("term"))
           .write.mode("overwrite").parquet(s"$outPath/postings")
@@ -1514,9 +1543,10 @@ object IndexStore {
     * @return the merged index's member count
     */
   def mergeMediaIndexes(
-      spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
+      spark: SparkSession, shardPaths: Seq[String], outPath: String,
+      ttlMs: Long = DefaultLeaseTtlMs): Long = {
     requireShardPaths(spark, "mergeMediaIndexes", shardPaths, outPath)
-    withShardLeases(spark, shardPaths, "mergeMediaIndexes") {
+    withShardLeases(spark, shardPaths, "mergeMediaIndexes", ttlMs) {
       shardPaths.foreach(p => metaOf(spark, p, "media"))
       val members = shardPaths.map { p =>
         val dir = tableDirs(spark, p)
@@ -1526,7 +1556,7 @@ object IndexStore {
       }.reduce(_.unionByName(_))
       val n = requireDisjointMembers("mergeMediaIndexes", members,
         "member_id")
-      withIndexLease(spark, outPath, "mergeMediaIndexes") {
+      withIndexLease(spark, outPath, "mergeMediaIndexes", ttlMs) {
         resetGenerations(spark, outPath)
         members.repartition(col("dh"))
           .write.mode("overwrite").parquet(s"$outPath/members")
@@ -1556,9 +1586,10 @@ object IndexStore {
     * @return the merged index's member count
     */
   def mergeVectorIndexes(
-      spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
+      spark: SparkSession, shardPaths: Seq[String], outPath: String,
+      ttlMs: Long = DefaultLeaseTtlMs): Long = {
     requireShardPaths(spark, "mergeVectorIndexes", shardPaths, outPath)
-    withShardLeases(spark, shardPaths, "mergeVectorIndexes") {
+    withShardLeases(spark, shardPaths, "mergeVectorIndexes", ttlMs) {
       val metas = shardPaths.map(p => metaOf(spark, p, "vector"))
       val geomKeys = Seq("dim", "num_blocks", "planes_per_block", "seed")
       require(metas.map(m => geomKeys.map(m)).distinct.size == 1,
@@ -1582,7 +1613,7 @@ object IndexStore {
       val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
         groups, m("dim").toInt, m("num_blocks").toInt,
         m("planes_per_block").toInt, m("seed").toLong)
-      withIndexLease(spark, outPath, "mergeVectorIndexes") {
+      withIndexLease(spark, outPath, "mergeVectorIndexes", ttlMs) {
         resetGenerations(spark, outPath)
         blocks.repartition(col("band_hash"))
           .write.mode("overwrite").parquet(s"$outPath/blocks")
@@ -1614,9 +1645,10 @@ object IndexStore {
     * @return the merged index's member count
     */
   def mergeCorpusIndexes(
-      spark: SparkSession, shardPaths: Seq[String], outPath: String): Long = {
+      spark: SparkSession, shardPaths: Seq[String], outPath: String,
+      ttlMs: Long = DefaultLeaseTtlMs): Long = {
     requireShardPaths(spark, "mergeCorpusIndexes", shardPaths, outPath)
-    withShardLeases(spark, shardPaths, "mergeCorpusIndexes") {
+    withShardLeases(spark, shardPaths, "mergeCorpusIndexes", ttlMs) {
       val metas = shardPaths.map(p => metaOf(spark, p, "corpus"))
       val lshKeys = Seq("shingle_size", "num_hashes", "num_bands")
       require(metas.map(m => lshKeys.map(m)).distinct.size == 1,
@@ -1639,7 +1671,7 @@ object IndexStore {
       val gc = Dedup.textGroups(pairs, "member_id", "text")
       val (bands, sets, members) = Dedup.corpusTablesFromGroups(gc,
         m("shingle_size").toInt, m("num_hashes").toInt, m("num_bands").toInt)
-      withIndexLease(spark, outPath, "mergeCorpusIndexes") {
+      withIndexLease(spark, outPath, "mergeCorpusIndexes", ttlMs) {
         resetGenerations(spark, outPath)
         bands.repartition(col("band_hash"))
           .write.mode("overwrite").parquet(s"$outPath/bands")
@@ -2263,15 +2295,18 @@ object IndexStore {
       val out = fs.create(p, true)
       try out.write("probe\n".getBytes("UTF-8")) finally out.close()
     }
-    put(a); put(b)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      a.toUri, fs.getConf)
-    val atomic =
+    try {
+      put(a); put(b)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        a.toUri, fs.getConf)
       try { fc.rename(b, a); false } // overwrote a live destination
       catch { case _: java.io.IOException => true }
-    fs.delete(a, false): Unit
-    fs.delete(b, false): Unit
-    atomic
+    } finally {
+      // exception-safe cleanup; a crash-left probe file is additionally
+      // covered by compactIndex's lease-debris reaper (__probe_ prefix)
+      try fs.delete(a, false) catch { case _: java.io.IOException => () }
+      try fs.delete(b, false) catch { case _: java.io.IOException => () }
+    }
   }
 
   def acquireIndexLease(
@@ -2283,9 +2318,14 @@ object IndexStore {
     val fs = fsOf(spark, path)
     // once per filesystem per JVM: warn LOUDLY when the store cannot
     // give the lease its exclusivity primitive (see the probe's doc)
+    // an inconclusive probe (fs error, no FileContext for the scheme)
+    // must not fail the acquire — it is a warn-only diagnostic; treat
+    // as atomic-unknown and stay silent (the lease's own operations
+    // will fail loudly if the store is actually broken)
     if (leaseCapabilityProbed.putIfAbsent(
         fs.getUri.toString, java.lang.Boolean.TRUE) == null &&
-        !leaseProbeOverride.getOrElse(probeRenameNoOverwrite(fs, path)))
+        !leaseProbeOverride.getOrElse(
+          scala.util.Try(probeRenameNoOverwrite(fs, path)).getOrElse(true)))
       leaseWarnSink(
         s"IndexStore.$op: the filesystem at ${fs.getUri} does NOT fail " +
           "rename-onto-existing — the single-writer lease DEGRADES TO " +
@@ -3142,14 +3182,16 @@ object IndexStore {
       reapRetired(fs, path, t, next, retainGenerations, retainAge)
       fs.delete(new Path(s"$path/${t}__compacting"), true): Unit
     }
-    // lease debris from CRASHED acquires/releases: a tmp/claim file
-    // older than the default TTL belongs to no live protocol step —
-    // reap it on the maintenance cadence (one root listing)
+    // lease debris from CRASHED acquires/releases/probes: a
+    // tmp/claim/probe file older than the default TTL belongs to no
+    // live protocol step — reap it on the maintenance cadence (one
+    // root listing)
     fs.listStatus(new Path(path)).foreach { s =>
       val n = s.getPath.getName
       if (s.isFile &&
           (n.startsWith(s"${LeaseFile}__tmp_") ||
-            n.startsWith(s"${LeaseFile}__claim_")) &&
+            n.startsWith(s"${LeaseFile}__claim_") ||
+            n.startsWith(s"${LeaseFile}__probe_")) &&
           s.getModificationTime <
             System.currentTimeMillis() - DefaultLeaseTtlMs)
         fs.delete(s.getPath, false): Unit
@@ -3372,12 +3414,24 @@ object IndexStore {
     val newTag = newIds
       .join(everIds.distinct().withColumn("__seen", lit(1)),
         Seq(idColName), "left")
-      .agg(count(lit(1)).as("__n"), count(col("__seen")).as("__nseen"))
+      .agg(count(lit(1)).as("__n"),
+        count(col(idColName)).as("__nnn"), // non-null (count skips nulls)
+        count(col("__seen")).as("__nseen"))
       .head()
-    val (nNew, nNewPresent) = (newTag.getLong(0), newTag.getLong(1))
+    val (nNew, nNewPresent) = (newTag.getLong(0), newTag.getLong(2))
     require(nNew > 0L,
       s"IndexStore.$op: empty replacement batch — to erase without " +
         s"replacing, use $deleteOp")
+    // NULL replacement ids pass the freshness join vacuously (null keys
+    // match nothing) and would erase the old docs then append rows the
+    // delete side can never take down — the delete-side NULL guard's
+    // exact mirror, BEFORE anything mutates
+    require(newTag.getLong(1) == nNew,
+      s"IndexStore.$op: replacement batch carries " +
+        s"${nNew - newTag.getLong(1)} NULL id(s) — typically a failed " +
+        "cast from an incompatible id type (the live column is " +
+        s"${allIds.schema.head.dataType.sql}) or a join that missed; " +
+        "fix the id derivation and re-run (nothing was tombstoned)")
     if (nNewPresent > 0L) {
       val sample = newIds.join(everIds, Seq(idColName), "left_semi")
         .limit(5).collect().map(_.get(0)).mkString(", ")
@@ -3390,9 +3444,14 @@ object IndexStore {
           "then re-run")
     }
     if (nOldLive == nOld) {
-      // fresh run: tombstone (full fused validation), then append
-      val nDel = tombstoneDelete(spark, path, op, idColName, old,
-        liveIds, dir, resolved)
+      // fresh run: tombstone, then append. `old` is already cast and
+      // checkpointed, and the classification aggregate above already
+      // proved every id LIVE — skip the delete core's second pass over
+      // the live id relation (null/duplicate checks still run; a
+      // duplicated live id classifies as all-live here and raises in
+      // the core's duplicate check)
+      val nDel = tombstoneDeletePrepared(spark, path, op, idColName,
+        old, liveIds, dir, resolved, liveProven = true)
       append()
       (nDel, nNew)
     } else if (nOldDead == nOld) {

@@ -1665,19 +1665,28 @@ class IndexStoreSpec extends SparkSuite {
     // shard 4 of 10 owns ids ≡ 4 (mod 10): pass-through, same rows
     assert(IndexStore.requireShardOwnership(owned, "doc_id", 4, 10)
       .collect().toSeq == owned.collect().toSeq)
-    val eForeign = intercept[IllegalArgumentException] {
+    // the guard travels WITH the plan (raise_error at the consuming
+    // scan — validates exactly the rows the build sees), so the raise
+    // surfaces at action time wrapped in Spark's task failure
+    def deepMessage(t: Throwable): String = {
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    }
+    val eForeign = intercept[Exception] {
       IndexStore.requireShardOwnership(
         Seq((4L, "a"), (15L, "b")).toDF("doc_id", "text"),
         "doc_id", 4, 10).collect()
     }
-    assert(eForeign.getMessage.contains("15") &&
-      eForeign.getMessage.contains("mod"), eForeign.getMessage)
-    val eNull = intercept[IllegalArgumentException] {
+    assert(deepMessage(eForeign).contains("15") &&
+      deepMessage(eForeign).contains("does not belong"),
+      deepMessage(eForeign))
+    val eNull = intercept[Exception] {
       IndexStore.requireShardOwnership(
         Seq(Some(4L), None).map(v => (v, "x")).toDF("doc_id", "text"),
         "doc_id", 4, 10).collect()
     }
-    assert(eNull.getMessage.contains("do not belong"), eNull.getMessage)
+    assert(deepMessage(eNull).contains("does not belong"),
+      deepMessage(eNull))
     val eStr = intercept[IllegalArgumentException] {
       IndexStore.requireShardOwnership(
         Seq(("k4", "a")).toDF("doc_id", "text"), "doc_id", 4, 10)
@@ -1769,15 +1778,15 @@ class IndexStoreSpec extends SparkSuite {
     }
     assert(eMiss.getMessage.contains("999") &&
       eMiss.getMessage.contains("LIVE"), eMiss.getMessage)
-    // an id that fails the cast to the live column's type lands as
-    // NULL — a dedicated raise (before the duplicate/liveness checks)
-    // names the real problem instead of reporting phantom duplicates
+    // a NULL id (a join that missed upstream; under non-ANSI sessions
+    // also a failed cast) gets a dedicated raise BEFORE the
+    // duplicate/liveness checks — count_distinct ignores nulls, so
+    // without it the raise would report phantom duplicates
     val eNull = intercept[IllegalArgumentException] {
       IndexStore.deleteFromTextIndex(spark, path,
-        Seq("7", "not_an_id").toDF("doc_id"))
+        Seq(Some(7L), None).map(v => Tuple1(v)).toDF("doc_id"))
     }
-    assert(eNull.getMessage.contains("NULL") &&
-      eNull.getMessage.contains("cast"), eNull.getMessage)
+    assert(eNull.getMessage.contains("NULL id(s)"), eNull.getMessage)
     // nothing was tombstoned by the failed calls
     IndexStore.deleteFromTextIndex(spark, path, Seq(3L).toDF("doc_id"))
     // an already-deleted id is no longer live — a repeat raises too
@@ -1852,6 +1861,22 @@ class IndexStoreSpec extends SparkSuite {
         "doc_id", "text", path, Seq(11L).toDF("doc_id"))
     }
     assert(eNew.getMessage.contains("empty replacement"), eNew.getMessage)
+    // a NULL replacement id would pass the freshness join vacuously
+    // (null keys match nothing), erase the old docs, and append rows
+    // no takedown could ever name: the dedicated raise fires BEFORE
+    // anything mutates (mirror of the delete-side NULL guard)
+    val eNullNew = intercept[IllegalArgumentException] {
+      IndexStore.replaceTextDocs(
+        Seq((Option.empty[Long], sentence(25))).toDF("doc_id", "text"),
+        "doc_id", "text", path, Seq(11L).toDF("doc_id"))
+    }
+    assert(eNullNew.getMessage.contains("NULL") &&
+      eNullNew.getMessage.contains("nothing was tombstoned"),
+      eNullNew.getMessage)
+    assert(spark.read.parquet(
+        IndexStore.tableDir(spark, path, "doclen"))
+      .where(col("doc_id") === 11L).count() == 1L,
+      "the refused replace must leave doc 11 live")
     // the whole composition runs under ONE lease — a held lease
     // refuses it at acquire
     val lease = IndexStore.acquireIndexLease(spark, path, "spec")
