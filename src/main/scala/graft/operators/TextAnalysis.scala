@@ -152,6 +152,14 @@ object TextAnalysis {
                       maxScorePrune: Boolean = false): DataFrame = {
     require(queries.nonEmpty, "bm25TopKIndexed: need at least one query")
     val qt = queryTerms(index, queries)
+    // NOTE (measured round 14): materializing the matched-postings
+    // relation once (localCheckpoint) and substituting it for the
+    // postings table collapses the pruned plan's 13 parquet scans to 0
+    // — and is WALL-NEUTRAL at the 2M-doc/40M-posting probe (17.1 s vs
+    // 16.4–18.9 s): Spark's ReusedExchange already absorbs the scan
+    // redundancy, while the checkpoint adds executor-storage cost that
+    // scales with matched postings. Deliberately NOT done — the lazy
+    // plan keeps the pruned form declarative and storage-elastic.
     val scored =
       if (!maxScorePrune) bm25ScoredIndexed(index, qt, k1, b)
       else bm25ScoredIndexed(index, qt, k1, b,
