@@ -1977,6 +1977,31 @@ object IndexStore {
         s"IndexStore.deleteFromIndex: unknown index kind '$k'")
     }
 
+  /** Kind-dispatching RECTIFICATION — [[deleteFromIndex]]'s replace
+    * twin, for compliance tooling that holds only a path: routes to
+    * the kind's replace* op ([[replaceTextDocs]] contract). `newRows`
+    * carries the replacement content under the kind's value column —
+    * text for text/corpus, the 64-bit hash for media, the embedding
+    * array for vector/ivf.
+    */
+  def replaceInIndex(
+      spark: SparkSession, path: String, newRows: DataFrame,
+      idCol: String, valueCol: String, oldIds: DataFrame): (Long, Long) =
+    readMeta(spark, path).getOrElse("kind",
+      throw new IllegalArgumentException(
+        s"IndexStore.replaceInIndex: $path/meta carries no index kind")
+    ) match {
+      case "text" => replaceTextDocs(newRows, idCol, valueCol, path, oldIds)
+      case "media" =>
+        replaceMediaAssets(newRows, idCol, valueCol, path, oldIds)
+      case "vector" =>
+        replaceVectorMembers(newRows, idCol, valueCol, path, oldIds)
+      case "corpus" => replaceCorpusDocs(newRows, idCol, valueCol, path, oldIds)
+      case "ivf" => replaceIvfMembers(newRows, idCol, valueCol, path, oldIds)
+      case k => throw new IllegalArgumentException(
+        s"IndexStore.replaceInIndex: unknown index kind '$k'")
+    }
+
   /** Kind-dispatching vacuum — [[deleteFromIndex]]'s fold twin, for
     * the maintenance cadence that sweeps a directory of indexes.
     */

@@ -2197,8 +2197,20 @@ class IndexStoreSpec extends SparkSuite {
     assert(IndexStore.deleteFromIndex(spark, t,
       Seq(3L, 4L).toDF("doc_id")) == 2L)
     assert(IndexStore.vacuumIndex(spark, t) == 2L)
+    // the replace twin dispatches the same way (media path here — the
+    // per-kind semantics are the replace* specs' job)
+    assert(IndexStore.replaceInIndex(spark, path,
+      Seq((50L, 0xCCL)).toDF("id", "dh"), "id", "dh",
+      Seq(2L).toDF("id")) == ((1L, 1L)))
+    assert(IndexStore.loadMediaIndex(spark, path).members
+      .select("member_id").as[Long].collect().toSet == Set(50L))
     intercept[Exception] {
       IndexStore.deleteFromIndex(spark, tmp(), Seq(1L).toDF("id"))
+    }
+    intercept[Exception] {
+      IndexStore.replaceInIndex(spark, tmp(),
+        Seq((60L, 0xDDL)).toDF("id", "dh"), "id", "dh",
+        Seq(50L).toDF("id"))
     }
   }
 
