@@ -436,7 +436,8 @@ object StreamOps {
       watermarkDelay: String = "10 minutes",
       k1: Double = 1.2,
       b: Double = 0.75,
-      statsPath: Option[String] = None): DataFrame = {
+      statsPath: Option[String] = None,
+      maxDfPpm: Option[Long] = None): DataFrame = {
     import graft.operators.TextAnalysis
     val toks = array_distinct(filter(
       split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0))
@@ -458,8 +459,26 @@ object StreamOps {
       case None =>
         (statsLazy.localCheckpoint(true), dfLazy.localCheckpoint(true))
     }
-    qt.join(tf, Seq("term")) // stream-static, the postings fan-out
-      .join(dfAll, Seq("term")) // vocabulary-sized: never broadcast
+    // `maxDfPpm` (off by default — classic scores otherwise): the
+    // batch family's high-df term prune, ported to the gate where it
+    // matters MOST — a stopword-class term multiplies its ENTIRE
+    // postings list into the windowed aggregation's STATE per prompt.
+    // Same integer rule (df·1e6 > ppm·N dropped), applied to the
+    // FROZEN df relation at plan time; the lossless MaxScore candidate
+    // prune deliberately has no streaming form — its essential-prefix
+    // analysis is a per-query-batch window function, unsupported
+    // before a streaming aggregation (and the thresholds would need
+    // the very scores the stream has not aggregated yet).
+    val dfKept = maxDfPpm.fold(dfAll) { ppm =>
+      dfAll.crossJoin(broadcast(stats.select(col("__n"))))
+        .where(col("df") * lit(1000000L) <= lit(ppm) * col("__n"))
+        .drop("__n")
+    }
+    // df join FIRST: a pruned term's stream rows drop BEFORE the
+    // postings fan-out multiplies them (inner joins on term — the
+    // reorder cannot change results)
+    qt.join(dfKept, Seq("term")) // vocabulary-sized: never broadcast
+      .join(tf, Seq("term")) // stream-static, the postings fan-out
       .join(dl, Seq("doc_id"))
       // literal-key equi-join: a true cross join is unsupported
       // stream-static, and the stats side is one broadcast row

@@ -544,6 +544,32 @@ class StreamOpsSpec extends SparkSuite {
     assert(new java.io.File(statsPath, "df").isDirectory &&
       new java.io.File(statsPath, "stats").isDirectory,
       "frozen aggregates must be persisted for executor-failure recovery")
+
+    // maxDfPpm: the high-df prune applies at the FROZEN df relation
+    // with the batch form's integer rule (df·1e6 > ppm·N dropped).
+    // Prompt "join state": join df=1 (doc 100 only), state df=2
+    // (101, 102) of N=4 — ppm 300000 keeps df ≤ 1.2, so "state" is
+    // pruned and only the join match survives; stream ≡ batch under
+    // the prune, and the prune provably fires (the unpruned screen
+    // matches three docs)
+    val input3 = MemoryStream[Doc]
+    val gated3 = StreamOps.searchGate(
+      input3.toDF().withColumnRenamed("doc_id", "query_id"), idx,
+      minScoreE6 = 1L, maxDfPpm = Some(300000L))
+    val prompts3 = Seq(Doc(1L, "join state", ts(0)))
+    val got3 = runBatches(input3, gated3, OutputMode.Append(),
+        Seq(prompts3, Seq(Doc(9L, "zzzz", ts(60)))))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val want3 = TextAnalysis.bm25ScreenIndexed(idx,
+        Seq(1L -> "join state"), minScoreE6 = 1L,
+        maxDfPpm = Some(300000L))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got3 == want3 && got3.map(_._2) == Seq(100L),
+      s"pruned stream $got3 vs pruned batch $want3")
+    assert(TextAnalysis.bm25ScreenIndexed(idx, Seq(1L -> "join state"),
+        minScoreE6 = 1L).count() == 3L,
+      "unpruned screen must match 100/101/102 — the prune provably " +
+        "dropped the state matches")
   }
 
   test("mediaIngestBatch: the living-index streaming ingest — batch-1 " +
