@@ -1480,12 +1480,55 @@ object IndexStore {
     * raise at the APPENDER's acquire — prevention, the round-13 lease
     * posture.
     */
+  /** Test seam: runs once after every shard lease is acquired, before
+    * the merge body — a spec can steal a shard lease in exactly the
+    * over-TTL window [[withShardLeases]]'s verify thunk exists for.
+    * No-op in production.
+    */
+  private[graft] var shardLeaseTestHook: () => Unit = () => ()
+
+  /** Run `body` holding EVERY shard's single-writer lease, acquired in
+    * sorted order (deterministic, deadlock-free against another
+    * multi-shard op; a held shard raises rather than blocks). `body`
+    * receives a VERIFY thunk that re-reads each shard lease and raises
+    * if any is no longer this op's — merges call it immediately before
+    * their output write, so a merge that outlived its ttlMs (lease
+    * stolen, shard possibly mutated underneath) fails LOUDLY before
+    * publishing instead of silently degrading to the fence/monotone
+    * backstops. Release-time stolen detection alone can't cover this:
+    * a stealer that acquired, appended, and released inside the window
+    * leaves no lease file behind to compare owners against.
+    */
   private def withShardLeases[T](
       spark: SparkSession, shardPaths: Seq[String], op: String,
-      ttlMs: Long)(body: => T): T =
+      ttlMs: Long)(body: (() => Unit) => T): T = {
+    val held = new java.util.concurrent.ConcurrentHashMap[String, IndexLease]()
+    def verifyHeld(): Unit = {
+      val it = held.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cur = readIndexLease(spark, e.getKey)
+        if (!cur.exists(_.owner == e.getValue.owner))
+          throw new IllegalStateException(
+            s"IndexStore.$op: the shard lease at ${e.getKey} is no " +
+              "longer held by this op (now: " +
+              cur.map(c => s"op=${c.op}, epoch=${c.epoch}")
+                .getOrElse("released or expired") +
+              ") — this merge outlived its ttlMs and the lease was " +
+              "stolen, so the shard may have moved underneath it. " +
+              "Aborting WITHOUT writing the output; re-run with a " +
+              "ttlMs sized to the merge")
+      }
+    }
     shardPaths.sorted
-      .foldRight(() => body)((p, acc) =>
-        () => withIndexLease(spark, p, op, ttlMs)(acc()))()
+      .foldRight(() => { shardLeaseTestHook(); body(() => verifyHeld()) }) {
+        (p, acc) => () =>
+          withIndexLeaseOf(spark, p, op, ttlMs) { l =>
+            held.put(p, l): Unit
+            acc()
+          }
+      }()
+  }
 
   /** The merge ops' shared disjointness proof: one count-vs-distinct
     * aggregate over the unioned member grain; the failure path samples
@@ -1512,12 +1555,15 @@ object IndexStore {
       spark: SparkSession, shardPaths: Seq[String], outPath: String,
       ttlMs: Long = DefaultLeaseTtlMs): Long = {
     requireShardPaths(spark, "mergeTextIndexes", shardPaths, outPath)
-    withShardLeases(spark, shardPaths, "mergeTextIndexes", ttlMs) {
+    withShardLeases(spark, shardPaths, "mergeTextIndexes", ttlMs) { verifyShardLeases =>
       val shards = shardPaths.map(p => loadTextIndex(spark, p))
       val postings = shards.map(_.postings).reduce(_.unionByName(_))
       val doclen = shards.map(_.doclen).reduce(_.unionByName(_))
       val n = requireDisjointMembers("mergeTextIndexes", doclen, "doc_id")
       withIndexLease(spark, outPath, "mergeTextIndexes", ttlMs) {
+        // shard leases re-verified at the last instant before the
+        // output becomes real — an over-TTL merge aborts loudly here
+        verifyShardLeases()
         resetGenerations(spark, outPath)
         postings.repartition(col("term"))
           .write.mode("overwrite").parquet(s"$outPath/postings")
@@ -1546,7 +1592,7 @@ object IndexStore {
       spark: SparkSession, shardPaths: Seq[String], outPath: String,
       ttlMs: Long = DefaultLeaseTtlMs): Long = {
     requireShardPaths(spark, "mergeMediaIndexes", shardPaths, outPath)
-    withShardLeases(spark, shardPaths, "mergeMediaIndexes", ttlMs) {
+    withShardLeases(spark, shardPaths, "mergeMediaIndexes", ttlMs) { verifyShardLeases =>
       shardPaths.foreach(p => metaOf(spark, p, "media"))
       val members = shardPaths.map { p =>
         val dir = tableDirs(spark, p)
@@ -1557,6 +1603,9 @@ object IndexStore {
       val n = requireDisjointMembers("mergeMediaIndexes", members,
         "member_id")
       withIndexLease(spark, outPath, "mergeMediaIndexes", ttlMs) {
+        // shard leases re-verified at the last instant before the
+        // output becomes real — an over-TTL merge aborts loudly here
+        verifyShardLeases()
         resetGenerations(spark, outPath)
         members.repartition(col("dh"))
           .write.mode("overwrite").parquet(s"$outPath/members")
@@ -1589,7 +1638,7 @@ object IndexStore {
       spark: SparkSession, shardPaths: Seq[String], outPath: String,
       ttlMs: Long = DefaultLeaseTtlMs): Long = {
     requireShardPaths(spark, "mergeVectorIndexes", shardPaths, outPath)
-    withShardLeases(spark, shardPaths, "mergeVectorIndexes", ttlMs) {
+    withShardLeases(spark, shardPaths, "mergeVectorIndexes", ttlMs) { verifyShardLeases =>
       val metas = shardPaths.map(p => metaOf(spark, p, "vector"))
       val geomKeys = Seq("dim", "num_blocks", "planes_per_block", "seed")
       require(metas.map(m => geomKeys.map(m)).distinct.size == 1,
@@ -1614,6 +1663,9 @@ object IndexStore {
         groups, m("dim").toInt, m("num_blocks").toInt,
         m("planes_per_block").toInt, m("seed").toLong)
       withIndexLease(spark, outPath, "mergeVectorIndexes", ttlMs) {
+        // shard leases re-verified at the last instant before the
+        // output becomes real — an over-TTL merge aborts loudly here
+        verifyShardLeases()
         resetGenerations(spark, outPath)
         blocks.repartition(col("band_hash"))
           .write.mode("overwrite").parquet(s"$outPath/blocks")
@@ -1648,7 +1700,7 @@ object IndexStore {
       spark: SparkSession, shardPaths: Seq[String], outPath: String,
       ttlMs: Long = DefaultLeaseTtlMs): Long = {
     requireShardPaths(spark, "mergeCorpusIndexes", shardPaths, outPath)
-    withShardLeases(spark, shardPaths, "mergeCorpusIndexes", ttlMs) {
+    withShardLeases(spark, shardPaths, "mergeCorpusIndexes", ttlMs) { verifyShardLeases =>
       val metas = shardPaths.map(p => metaOf(spark, p, "corpus"))
       val lshKeys = Seq("shingle_size", "num_hashes", "num_bands")
       require(metas.map(m => lshKeys.map(m)).distinct.size == 1,
@@ -1672,6 +1724,9 @@ object IndexStore {
       val (bands, sets, members) = Dedup.corpusTablesFromGroups(gc,
         m("shingle_size").toInt, m("num_hashes").toInt, m("num_bands").toInt)
       withIndexLease(spark, outPath, "mergeCorpusIndexes", ttlMs) {
+        // shard leases re-verified at the last instant before the
+        // output becomes real — an over-TTL merge aborts loudly here
+        verifyShardLeases()
         resetGenerations(spark, outPath)
         bands.repartition(col("band_hash"))
           .write.mode("overwrite").parquet(s"$outPath/bands")
@@ -2268,26 +2323,35 @@ object IndexStore {
     }
   }
 
-  /** Filesystems already capability-probed this JVM (by fs URI) —
-    * the probe runs once per store, not per acquire.
+  /** Stores already capability-probed this JVM, keyed by
+    * (fs URI, qualified store path) — the probe runs once per STORE,
+    * not per acquire, and a result is memoized only when CONCLUSIVE:
+    * an inconclusive run (transient fs error, no FileContext for the
+    * scheme) re-probes on the store's next acquire instead of
+    * permanently suppressing the degraded-store warning.
     */
   private val leaseCapabilityProbed =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** Where the degraded-lease warning goes — a seam so the spec can
-    * capture it; production default is stderr (no logger dependency,
+  /** Where IndexStore's advisory warnings go (the degraded-lease
+    * probe, the replace* crash-retry notice) — a seam so specs can
+    * capture them; production default is stderr (no logger dependency,
     * the [[graft.Bench]] convention).
     */
   private[graft] var leaseWarnSink: String => Unit = Console.err.println
 
   /** Test seam: run `body` with the capability probe's RESULT forced
     * (the local test fs can't be made to overwrite, so the degraded
-    * branch is injected) and the once-per-store memo cleared on both
-    * sides — [[withFenceHook]]'s try/finally discipline, cannot leak
-    * into same-JVM production acquires.
+    * branch is injected; `Some(None)` injects an INCONCLUSIVE probe)
+    * and the once-per-store memo cleared on both sides —
+    * [[withFenceHook]]'s try/finally discipline, cannot leak into
+    * same-JVM production acquires.
     */
-  private[graft] var leaseProbeOverride: Option[Boolean] = None
-  private[graft] def withLeaseProbe[T](result: Boolean)(body: => T): T = {
+  private[graft] var leaseProbeOverride: Option[Option[Boolean]] = None
+  private[graft] def withLeaseProbe[T](result: Boolean)(body: => T): T =
+    withLeaseProbeOutcome(Some(result))(body)
+  private[graft] def withLeaseProbeOutcome[T](
+      result: Option[Boolean])(body: => T): T = {
     leaseCapabilityProbed.clear()
     leaseProbeOverride = Some(result)
     try body finally {
@@ -2341,23 +2405,32 @@ object IndexStore {
       ttlMs: Long = DefaultLeaseTtlMs): IndexLease = {
     require(ttlMs > 0, "IndexStore.acquireIndexLease: ttlMs must be positive")
     val fs = fsOf(spark, path)
-    // once per filesystem per JVM: warn LOUDLY when the store cannot
-    // give the lease its exclusivity primitive (see the probe's doc)
-    // an inconclusive probe (fs error, no FileContext for the scheme)
-    // must not fail the acquire — it is a warn-only diagnostic; treat
-    // as atomic-unknown and stay silent (the lease's own operations
-    // will fail loudly if the store is actually broken)
-    if (leaseCapabilityProbed.putIfAbsent(
-        fs.getUri.toString, java.lang.Boolean.TRUE) == null &&
-        !leaseProbeOverride.getOrElse(
-          scala.util.Try(probeRenameNoOverwrite(fs, path)).getOrElse(true)))
-      leaseWarnSink(
-        s"IndexStore.$op: the filesystem at ${fs.getUri} does NOT fail " +
-          "rename-onto-existing — the single-writer lease DEGRADES TO " +
-          "ADVISORY on this store (two writers can both acquire it). " +
-          "The generation fence and monotone-id guards remain the " +
-          "backstop; serialize writers externally, or host indexes on " +
-          "a store with atomic rename (HDFS, local, most NFS)")
+    // once per STORE per JVM: warn LOUDLY when the store cannot give
+    // the lease its exclusivity primitive (see the probe's doc). An
+    // inconclusive probe (fs error, no FileContext for the scheme)
+    // must not fail the acquire — it is a warn-only diagnostic; stay
+    // silent, but DON'T memoize (the next acquire re-probes), so a
+    // transient first-acquire error never permanently suppresses the
+    // warning. The lease's own operations fail loudly if the store is
+    // actually broken.
+    val probeKey = fs.getUri.toString + "" +
+      fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toString
+    if (!leaseCapabilityProbed.containsKey(probeKey)) {
+      val probed: Option[Boolean] = leaseProbeOverride.getOrElse(
+        scala.util.Try(probeRenameNoOverwrite(fs, path)).toOption)
+      probed.foreach { atomic =>
+        if (leaseCapabilityProbed.putIfAbsent(
+            probeKey, java.lang.Boolean.valueOf(atomic)) == null && !atomic)
+          leaseWarnSink(
+            s"IndexStore.$op: the filesystem at ${fs.getUri} does NOT " +
+              "fail rename-onto-existing — the single-writer lease " +
+              s"DEGRADES TO ADVISORY on the store at $path (two writers " +
+              "can both acquire it). The generation fence and " +
+              "monotone-id guards remain the backstop; serialize " +
+              "writers externally, or host indexes on a store with " +
+              "atomic rename (HDFS, local, most NFS)")
+      }
+    }
     def freshLease(epoch: Long) = IndexLease(
       java.util.UUID.randomUUID().toString, epoch,
       System.currentTimeMillis() + ttlMs, op)
@@ -2461,10 +2534,18 @@ object IndexStore {
     */
   private def withIndexLease[T](
       spark: SparkSession, path: String, op: String,
-      ttlMs: Long = DefaultLeaseTtlMs)(body: => T): T = {
+      ttlMs: Long = DefaultLeaseTtlMs)(body: => T): T =
+    withIndexLeaseOf(spark, path, op, ttlMs)(_ => body)
+
+  /** [[withIndexLease]] with the acquired lease handed to `body` —
+    * for callers that need the owner id (the shard-lease verify).
+    */
+  private def withIndexLeaseOf[T](
+      spark: SparkSession, path: String, op: String,
+      ttlMs: Long)(body: IndexLease => T): T = {
     val lease = acquireIndexLease(spark, path, op, ttlMs)
     var primary: Throwable = null
-    try body
+    try body(lease)
     catch { case t: Throwable => primary = t; throw t }
     finally {
       try releaseIndexLease(spark, path, lease)
@@ -3481,7 +3562,22 @@ object IndexStore {
       (nDel, nNew)
     } else if (nOldDead == nOld) {
       // the crash-retry shape: the tombstone landed, the append did
-      // not (new ids proven absent above) — finish the append only
+      // not (new ids proven absent above) — finish the append only.
+      // This branch cannot DISTINGUISH a genuine retry from an operator
+      // error where the old ids were tombstoned earlier by an unrelated
+      // takedown (the deletes table records ids, not op names) — the
+      // append would then add docs nobody requested, so make the path
+      // AUDITABLE: warn loudly before proceeding (documented tradeoff;
+      // the alternative — refusing — would wedge every real crash
+      // retry behind a manual repair)
+      leaseWarnSink(
+        s"IndexStore.$op: all $nOld old id(s) are already tombstoned " +
+          "and every replacement id is fresh — treating this as a " +
+          s"CRASH-RETRY of a previous $op and running the append only " +
+          "(nothing tombstoned this run). If these ids were taken down " +
+          s"by an unrelated $deleteOp rather than a crashed $op, this " +
+          "append adds documents nobody requested — verify the id set " +
+          "before trusting the result")
       append()
       (0L, nNew)
     } else {

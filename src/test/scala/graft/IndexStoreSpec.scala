@@ -1473,6 +1473,35 @@ class IndexStoreSpec extends SparkSuite {
     try IndexStore.compactIndex(spark, path): Unit
     finally IndexStore.leaseWarnSink = prevSink
     assert(warnings.isEmpty, warnings.toString)
+    // an INCONCLUSIVE probe (transient fs error at first acquire) must
+    // not be memoized: the store re-probes on its next acquire, so a
+    // degraded store still gets its warning instead of being
+    // permanently marked probed-and-silent
+    warnings.clear()
+    IndexStore.leaseWarnSink = warnings += _
+    try IndexStore.withLeaseProbeOutcome(None) {
+      IndexStore.appendMediaIndex(Seq((11L, 0xAL)).toDF("id", "dh"),
+        "id", "dh", path)
+      assert(warnings.isEmpty, "inconclusive must stay silent")
+      // same JVM-lifetime memo, same store: had the inconclusive run
+      // been recorded, this degraded re-probe would be suppressed
+      IndexStore.leaseProbeOverride = Some(Some(false))
+      IndexStore.appendMediaIndex(Seq((12L, 0xBL)).toDF("id", "dh"),
+        "id", "dh", path)
+      assert(warnings.size == 1 &&
+        warnings.head.contains("ADVISORY"), warnings.toString)
+    } finally IndexStore.leaseWarnSink = prevSink
+    // the memo is per STORE, not per filesystem: a second store on the
+    // SAME local fs warns again (withLeaseProbe clears the memo on
+    // entry, so the two stores below probe fresh)
+    warnings.clear()
+    IndexStore.leaseWarnSink = warnings += _
+    try IndexStore.withLeaseProbe(false) {
+      val p2 = tmp(); val p3 = tmp()
+      IndexStore.saveMediaIndex(sigs, "id", "dh", p2)
+      IndexStore.saveMediaIndex(sigs, "id", "dh", p3)
+      assert(warnings.size == 2, warnings.toString)
+    } finally IndexStore.leaseWarnSink = prevSink
   }
 
   test("generation manifest: a corrupt line raises a diagnosable error " +
@@ -1658,6 +1687,43 @@ class IndexStoreSpec extends SparkSuite {
       "a completed merge must release every lease it held")
   }
 
+  test("withShardLeases: a shard lease stolen in the over-TTL window " +
+      "raises BEFORE the output write (loud abort, not a silent " +
+      "degradation to the fence backstops)") {
+    val shardA = tmp(); val shardB = tmp(); val out = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", shardA)
+    IndexStore.saveTextIndex(newDocs, "doc_id", "text", shardB)
+    // simulate the documented interleaving: the merge outlives its TTL,
+    // the shard lease expires and a second writer claims it (came-and-
+    // went steals are equally caught — the verify compares OWNERS, and
+    // a vanished file has none)
+    IndexStore.shardLeaseTestHook = () => {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(s"file://$shardA"),
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(shardA,
+        IndexStore.LeaseFile), false): Unit
+      IndexStore.acquireIndexLease(spark, shardA, "stealer"): Unit
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        IndexStore.mergeTextIndexes(spark, Seq(shardA, shardB), out)
+      }
+      assert(e.getMessage.contains("stolen") &&
+        e.getMessage.contains(shardA), e.getMessage)
+    } finally IndexStore.shardLeaseTestHook = () => ()
+    // the abort happened before ANY output table landed
+    assert(!new java.io.File(out, "postings").exists() &&
+      !new java.io.File(out, "meta").exists(),
+      "a stolen-lease merge must not publish output tables")
+    // the failing merge released its own leases (the stealer's lease
+    // on shard A survives — it is not ours to delete)
+    assert(IndexStore.readIndexLease(spark, shardB).isEmpty &&
+      IndexStore.readIndexLease(spark, out).isEmpty)
+    assert(IndexStore.readIndexLease(spark, shardA)
+      .exists(_.op == "stealer"))
+  }
+
   test("requireShardOwnership: disjointness by construction — owned " +
       "batches pass through, foreign/null/non-integral ids raise " +
       "naming samples, bad plans raise at the parameters") {
@@ -1825,11 +1891,20 @@ class IndexStoreSpec extends SparkSuite {
     }
     assert(eDead.getMessage.contains("FRESH"), eDead.getMessage)
     // crash window: the tombstone landed but the append never ran —
-    // the retry classifies old ids as all-dead/new absent and finishes
+    // the retry classifies old ids as all-dead/new absent and finishes,
+    // and the append-only path WARNS (it cannot distinguish a genuine
+    // retry from an append onto an unrelated takedown's tombstones —
+    // the audit trail is the warning)
     IndexStore.deleteFromTextIndex(spark, path, Seq(9L).toDF("doc_id"))
     val repl2 = Seq((210L, sentence(25))).toDF("doc_id", "text")
-    assert(IndexStore.replaceTextDocs(repl2, "doc_id", "text", path,
+    val retryWarnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prevSink = IndexStore.leaseWarnSink
+    IndexStore.leaseWarnSink = retryWarnings += _
+    try assert(IndexStore.replaceTextDocs(repl2, "doc_id", "text", path,
       Seq(9L).toDF("doc_id")) == ((0L, 1L)))
+    finally IndexStore.leaseWarnSink = prevSink
+    assert(retryWarnings.size == 1 &&
+      retryWarnings.head.contains("CRASH-RETRY"), retryWarnings.toString)
     assert(spark.read.parquet(
         IndexStore.tableDir(spark, path, "doclen"))
       .where(col("doc_id") === 210L).count() == 1L)
