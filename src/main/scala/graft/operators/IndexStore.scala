@@ -2081,6 +2081,43 @@ object IndexStore {
         s"IndexStore.vacuumIndex: unknown index kind '$k'")
     }
 
+  /** Kind-dispatching merge — completes the path-only compliance/
+    * maintenance tooling symmetry ([[deleteFromIndex]] /
+    * [[replaceInIndex]] / [[vacuumIndex]]): a fleet driver that knows
+    * only shard directories merges them without hardcoding the kind.
+    * The kind is read from the FIRST shard's meta; the kind-specific
+    * merge then validates every shard's meta itself (kind and, for
+    * vector/corpus, geometry/LSH parameter equality), so a mixed-kind
+    * shard list still raises with the mismatch named. IVF is REFUSED
+    * with the documented pointer: separately trained quantizers are
+    * incomparable, [[rebuildIvf]] over the concatenated corpus IS the
+    * merge (Standing DECISIONS, SURVEY §9).
+    *
+    * @return the merged index's member count
+    */
+  def mergeIndexes(
+      spark: SparkSession, shardPaths: Seq[String], outPath: String,
+      ttlMs: Long = DefaultLeaseTtlMs): Long = {
+    require(shardPaths.nonEmpty, "IndexStore.mergeIndexes: no shards")
+    readMeta(spark, shardPaths.head).getOrElse("kind",
+      throw new IllegalArgumentException(
+        s"IndexStore.mergeIndexes: ${shardPaths.head}/meta carries no " +
+          "index kind")
+    ) match {
+      case "text" => mergeTextIndexes(spark, shardPaths, outPath, ttlMs)
+      case "media" => mergeMediaIndexes(spark, shardPaths, outPath, ttlMs)
+      case "vector" => mergeVectorIndexes(spark, shardPaths, outPath, ttlMs)
+      case "corpus" => mergeCorpusIndexes(spark, shardPaths, outPath, ttlMs)
+      case "ivf" => throw new IllegalArgumentException(
+        "IndexStore.mergeIndexes: IVF indexes have NO merge by design — " +
+          "separately trained quantizers assign the same vector to " +
+          "incomparable lists. Run rebuildIvf over the concatenated " +
+          "corpus instead (one retrain + one reassign; that IS the merge)")
+      case k => throw new IllegalArgumentException(
+        s"IndexStore.mergeIndexes: unknown index kind '$k'")
+    }
+  }
+
   // ---------------------------------------------------------------
   // Table generations + maintenance (compaction, reap)
   // ---------------------------------------------------------------

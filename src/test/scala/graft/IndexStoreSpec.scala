@@ -2289,6 +2289,44 @@ class IndexStoreSpec extends SparkSuite {
     }
   }
 
+  test("mergeIndexes dispatches on the first shard's kind; a mixed " +
+      "shard list raises at the kind-specific validation; IVF is " +
+      "refused with the rebuildIvf pointer") {
+    // media routing: dispatcher result ≡ the kind-specific merge
+    val a = tmp(); val b = tmp(); val out = tmp(); val outDirect = tmp()
+    IndexStore.saveMediaIndex(
+      Seq((1L, 0xAAL), (2L, 0xBBL)).toDF("id", "dh"), "id", "dh", a)
+    IndexStore.saveMediaIndex(
+      Seq((3L, 0xCCL)).toDF("id", "dh"), "id", "dh", b)
+    assert(IndexStore.mergeIndexes(spark, Seq(a, b), out) == 3L)
+    IndexStore.mergeMediaIndexes(spark, Seq(a, b), outDirect): Unit
+    assert(canonIndex(out, Seq("members", "bands")) ==
+      canonIndex(outDirect, Seq("members", "bands")))
+    // text routing rides the same meta
+    val t1 = tmp(); val t2 = tmp()
+    IndexStore.saveTextIndex(oldDocs, "doc_id", "text", t1)
+    IndexStore.saveTextIndex(newDocs, "doc_id", "text", t2)
+    assert(IndexStore.mergeIndexes(spark, Seq(t1, t2), tmp()) ==
+      oldDocs.count() + newDocs.count())
+    // mixed kinds: dispatched by the FIRST shard, the second raises in
+    // the kind-specific merge's own meta validation
+    intercept[Exception] {
+      IndexStore.mergeIndexes(spark, Seq(a, t1), tmp())
+    }
+    // IVF: refused by design, pointing at the documented path
+    val iv = tmp()
+    IndexStore.saveIvf(IvfIndex.build(oldVecs, "vec_id", "embedding",
+      nLists = 2, trainFraction = 1.0), iv)
+    val eIvf = intercept[IllegalArgumentException] {
+      IndexStore.mergeIndexes(spark, Seq(iv, iv), tmp())
+    }
+    assert(eIvf.getMessage.contains("rebuildIvf"), eIvf.getMessage)
+    // kindless path raises naming the meta
+    intercept[Exception] {
+      IndexStore.mergeIndexes(spark, Seq(tmp(), a), tmp())
+    }
+  }
+
   test("mergeMediaIndexes: merge ≡ single build table for table — band " +
       "rows deduped across shards, a torn shard's members-without-bands " +
       "healed by the re-derivation; overlapping shard ids raise") {
