@@ -1,0 +1,369 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-PROTOTYPES — MIXED categorical + numeric
+  * clustering (Huang 1998, "Extensions to the k-Means Algorithm for
+  * Clustering Large Data Sets with Categorical Values" — the same
+  * paper the reference's k-modes comes from, which defines
+  * k-prototypes alongside it): records carry both categorical
+  * attributes (Hamming / simple-matching distance, mode updates — the
+  * [[KModes]] rules) and numeric attributes (squared-L2 on
+  * e6-quantized integers, floor-mean updates — the [[KMeansQ]] rules),
+  * combined as
+  *
+  *   d(x, c) = Σ_num (q − c)²  +  γ · Σ_cat [x ≠ c]
+  *
+  * with γ (`gammaE12`, Huang's mixing weight) expressed in the SAME
+  * integer units as the squared-e6 numeric terms, so the whole
+  * distance is one exact 64-bit integer and an external engine
+  * replays every step digit-for-digit (the q14/q204 full-Lloyd-replay
+  * contract). Every rule is total-ordered:
+  *
+  *  - init: the k records with the smallest `md5(seed ␁ id)` (ties →
+  *    id ASC) seed clusters 0..k−1 — [[KMeansQ]]'s portable recipe, so
+  *    γ = 0 degenerates to the SAME clustering KMeansQ produces on the
+  *    numeric part (spec-pinned);
+  *  - assign: argmin d, ties → lowest cluster id;
+  *  - update: numeric components by floor-mean over members, each
+  *    categorical position by mode with (count DESC, value ASC)
+  *    tie-break (the [[ModeArrayAgg]] rule); an EMPTY cluster keeps
+  *    its stale center on BOTH sides (the q14 oracle rule — reseeding
+  *    would be scan-order-dependent).
+  *
+  * Null policy: a NULL categorical value is its own category (the
+  * KModes sentinel); rows with a NULL numeric attribute are dropped
+  * up front (a squared distance to nothing has no honest value —
+  * callers impute first if they want those rows).
+  *
+  * Shape per iteration (all relational, no driver loops): numeric and
+  * categorical components live in LONG format ((id, pos, qv) /
+  * (id, cpos, cv)); assignment is one k-fan join per side + one
+  * map-side-combined aggregation each, stitched by a full outer join
+  * on (id, cluster) (either side may be absent when a record has no
+  * numeric or no categorical attributes — coalesce 0); updates are one
+  * (cid, pos) floor-mean and one (cid, cpos, value) count + top-1
+  * window. Centroid tables are k·(dims) rows, localCheckpointed per
+  * pass to cut lineage. Int64 bound: per-component |qv| ≤ ~2·10⁹ keeps
+  * one squared term in range, but SUMS need headroom — keep numeric
+  * magnitudes ≤ ~10⁶ after quantization (pre-scale large currencies/
+  * counts; the spec and q276 scale price/size into e6 ≤ 5·10⁴).
+  *
+  * @return (id, cluster, dist) — dist is the exact integer mixed
+  *         distance to the final centroid
+  */
+object KPrototypes {
+
+  val NullSentinel: String = ArrayModeAggregator.NullSentinel
+
+  def fit(
+      df: DataFrame,
+      idCol: String,
+      catCols: Seq[String],
+      numCols: Seq[String],
+      k: Int,
+      gammaE12: Long,
+      maxIter: Int,
+      seed: Long): DataFrame =
+    core(df, idCol, catCols, numCols, k, gammaE12, maxIter, seed)._1
+
+  /** The Lloyd loop, returning the final assignment plus the final
+    * centroid relations ((cid, pos, cv) numeric / (cid, cpos, cw)
+    * categorical; null when that attribute kind is absent) — the
+    * [[KPrototypesEstimator]] collects the k·dims centroid rows into
+    * its model, the plain [[fit]] keeps only the assignment.
+    */
+  private[operators] def core(
+      df: DataFrame,
+      idCol: String,
+      catCols: Seq[String],
+      numCols: Seq[String],
+      k: Int,
+      gammaE12: Long,
+      maxIter: Int,
+      seed: Long): (DataFrame, DataFrame, DataFrame) = {
+    require(k >= 2 && k <= 1024, "k in [2, 1024]")
+    require(maxIter >= 1 && maxIter <= 64, "maxIter in [1, 64]")
+    require(gammaE12 >= 0L, "gammaE12 must be non-negative")
+    require(catCols.nonEmpty || numCols.nonEmpty,
+      "KPrototypes.fit: need at least one categorical or numeric column")
+    val base0 = df.select(col(idCol).cast("long").as("id") +:
+      (catCols.map(c => coalesce(col(c).cast("string"), lit(NullSentinel))
+        .as(s"__c_$c")) ++
+       numCols.map(c => col(c).cast("double").as(s"__q_$c"))): _*)
+    val base = numCols.foldLeft(base0)((b, c) =>
+      b.where(col(s"__q_$c").isNotNull))
+    // long-format components, checkpointed once (the iteration re-reads
+    // them every pass)
+    val qn =
+      if (numCols.isEmpty) null
+      else base.select(col("id"),
+        posexplode(array(numCols.map(c =>
+          floor(col(s"__q_$c") * lit(1000000.0)).cast("long")): _*))
+          .as(Seq("pos", "qv")))
+        .localCheckpoint(true)
+    val qc =
+      if (catCols.isEmpty) null
+      else base.select(col("id"),
+        posexplode(array(catCols.map(c => col(s"__c_$c")): _*))
+          .as(Seq("cpos", "cv")))
+        .localCheckpoint(true)
+
+    // seeded portable init on ids — the KMeansQ recipe, so the γ = 0
+    // degenerate case lands on the SAME seeds
+    val seedRank = Window.orderBy(
+      graft.functions.PortableHash.hash60(col("id"), seed.toString).asc,
+      col("id").asc)
+    val ids = base.select(col("id")).distinct()
+    val seeds = ids.withColumn("__r", row_number().over(seedRank))
+      .where(col("__r") <= k)
+      .select(col("id"), (col("__r") - 1).cast("long").as("cid"))
+    var cn = if (qn == null) null
+      else qn.join(seeds, Seq("id"))
+        .select(col("cid"), col("pos"), col("qv").as("cv"))
+        .localCheckpoint(true)
+    var cc = if (qc == null) null
+      else qc.join(seeds, Seq("id"))
+        .select(col("cid"), col("cpos"), col("cv").as("cw"))
+        .localCheckpoint(true)
+
+    val byId = Window.partitionBy(col("id"))
+      .orderBy(col("__d").asc, col("cid").asc)
+    def assign(cnC: DataFrame, ccC: DataFrame): DataFrame = {
+      val nd = if (qn == null) null
+        else qn.join(cnC, Seq("pos"))
+          .groupBy(col("id"), col("cid"))
+          .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+            .as("__nd"))
+      val cd = if (qc == null) null
+        else qc.join(ccC, Seq("cpos"))
+          .groupBy(col("id"), col("cid"))
+          .agg(sum(when(col("cv") =!= col("cw"), 1L).otherwise(0L))
+            .as("__cd"))
+      val both =
+        if (nd == null) cd.withColumn("__nd", lit(0L))
+        else if (cd == null) nd.withColumn("__cd", lit(0L))
+        // full outer is defensive only: every (id, cid) pair exists on
+        // both sides when both attribute kinds are present
+        else nd.join(cd, Seq("id", "cid"), "full_outer")
+      both.select(col("id"), col("cid"),
+          (coalesce(col("__nd"), lit(0L)) +
+            lit(gammaE12) * coalesce(col("__cd"), lit(0L))).as("__d"))
+        .withColumn("__rn", row_number().over(byId))
+        .where(col("__rn") === 1)
+        .select(col("id"), col("cid"), col("__d").as("dist"))
+    }
+
+    var i = 0
+    while (i < maxIter) {
+      val asg = assign(cn, cc).select(col("id"), col("cid"))
+      if (qn != null) {
+        val updated = qn.join(asg, Seq("id"))
+          .groupBy(col("cid"), col("pos"))
+          .agg(floor(sum(col("qv")).cast("double") /
+            count(lit(1)).cast("double")).cast("long").as("__new"))
+        // stale-center rule (empty cluster keeps its coordinates)
+        cn = cn.join(updated, Seq("cid", "pos"), "left")
+          .select(col("cid"), col("pos"),
+            coalesce(col("__new"), col("cv")).as("cv"))
+          .localCheckpoint(true)
+      }
+      if (qc != null) {
+        val byMode = Window.partitionBy(col("cid"), col("cpos"))
+          .orderBy(col("__n").desc, col("cv").asc)
+        val mode = qc.join(asg, Seq("id"))
+          .groupBy(col("cid"), col("cpos"), col("cv"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__rn", row_number().over(byMode))
+          .where(col("__rn") === 1)
+          .select(col("cid"), col("cpos"), col("cv").as("__new"))
+        cc = cc.join(mode, Seq("cid", "cpos"), "left")
+          .select(col("cid"), col("cpos"),
+            coalesce(col("__new"), col("cw")).as("cw"))
+          .localCheckpoint(true)
+      }
+      i += 1
+    }
+    (assign(cn, cc).withColumnRenamed("cid", "cluster"), cn, cc)
+  }
+}
+
+/** `spark.ml`-shaped k-prototypes (the [[KModes]] estimator idiom on
+  * the mixed distance): `fit` runs [[KPrototypes.core]] and collects
+  * the k·dims centroid rows (bounded — the KModes driver-collect
+  * rule); the model's `transform` assigns NEW rows against the frozen
+  * prototypes with one narrow, all-built-in expression (centers folded
+  * in as a literal — the degenerate broadcast join), identical in
+  * distance/tie semantics to the fit's own assignment (spec-pinned:
+  * transform over the training rows reproduces `fit`'s assignment
+  * exactly). Rows with a NULL numeric attribute get a NULL prediction
+  * at transform time (fit DROPS them; a squared distance to nothing
+  * has no honest value either way).
+  */
+trait KPrototypesParams extends org.apache.spark.ml.param.Params {
+  import org.apache.spark.ml.param._
+  final val k = new IntParam(this, "k", "number of clusters",
+    ParamValidators.inRange(2, 1024))
+  final val maxIter = new IntParam(this, "maxIter", "Lloyd iterations",
+    ParamValidators.inRange(1, 64))
+  final val seed = new LongParam(this, "seed", "random seed")
+  final val gammaE12 = new LongParam(this, "gammaE12",
+    "categorical mismatch weight in squared-e6 units",
+    ParamValidators.gtEq(0))
+  final val idCol = new Param[String](this, "idCol",
+    "record id column (portable md5 init ranks on it)")
+  final val catCols = new StringArrayParam(this, "catCols",
+    "categorical attribute columns")
+  final val numCols = new StringArrayParam(this, "numCols",
+    "numeric attribute columns")
+  final val predictionCol = new Param[String](this, "predictionCol",
+    "prediction output column")
+  setDefault(k -> 8, maxIter -> 20, seed -> 42L, gammaE12 -> 0L,
+    idCol -> "id", catCols -> Array.empty[String],
+    numCols -> Array.empty[String], predictionCol -> "prediction")
+
+  protected def validateSchema(
+      schema: org.apache.spark.sql.types.StructType,
+      needId: Boolean): org.apache.spark.sql.types.StructType = {
+    require($(catCols).nonEmpty || $(numCols).nonEmpty,
+      "KPrototypes: need at least one categorical or numeric column")
+    val needed = ($(catCols) ++ $(numCols)).toSeq ++
+      (if (needId) Seq($(idCol)) else Nil)
+    val missing = needed.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"KPrototypes: missing columns $missing")
+    if (schema.fieldNames.contains($(predictionCol))) schema
+    else org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField($(predictionCol),
+        org.apache.spark.sql.types.IntegerType, true))
+  }
+}
+
+class KPrototypesEstimator(override val uid: String)
+  extends org.apache.spark.ml.Estimator[KPrototypesModel]
+  with KPrototypesParams {
+  def this() = this(
+    org.apache.spark.ml.util.Identifiable.randomUID("kprototypes"))
+
+  def setK(v: Int): this.type = set(k, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+  def setGammaE12(v: Long): this.type = set(gammaE12, v)
+  def setIdCol(v: String): this.type = set(idCol, v)
+  def setCatCols(v: Seq[String]): this.type = set(catCols, v.toArray)
+  def setNumCols(v: Seq[String]): this.type = set(numCols, v.toArray)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  override def transformSchema(
+      schema: org.apache.spark.sql.types.StructType)
+    : org.apache.spark.sql.types.StructType =
+    validateSchema(schema, needId = true)
+  override def copy(extra: org.apache.spark.ml.param.ParamMap)
+    : KPrototypesEstimator = defaultCopy(extra)
+
+  override def fit(
+      dataset: org.apache.spark.sql.Dataset[_]): KPrototypesModel = {
+    transformSchema(dataset.schema)
+    val (asg, cn, cc) = KPrototypes.core(dataset.toDF(), $(idCol),
+      $(catCols).toSeq, $(numCols).toSeq, $(k), $(gammaE12), $(maxIter),
+      $(seed))
+    // k·dims rows + one 2-column aggregate: the bounded driver collects
+    val numCenters: Array[Array[Long]] =
+      if (cn == null) Array.fill($(k))(Array.empty[Long])
+      else {
+        val m = cn.collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rs) =>
+            cid -> rs.sortBy(_.getInt(1)).map(_.getLong(2)) }
+        Array.tabulate($(k))(i => m.getOrElse(i.toLong, Array.empty[Long]))
+      }
+    val catCenters: Array[Array[String]] =
+      if (cc == null) Array.fill($(k))(Array.empty[String])
+      else {
+        val m = cc.collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rs) =>
+            cid -> rs.sortBy(_.getInt(1)).map(_.getString(2)) }
+        Array.tabulate($(k))(i =>
+          m.getOrElse(i.toLong, Array.empty[String]))
+      }
+    val agg = asg.agg(count(lit(1)), sum(col("dist"))).head()
+    val cost =
+      if (agg.getLong(0) == 0L) 0.0
+      else agg.getLong(1).toDouble / agg.getLong(0).toDouble
+    val model = new KPrototypesModel(uid, numCenters, catCenters, cost)
+    copyValues(model.setParent(this))
+  }
+}
+
+/** Fitted prototypes: per-cluster quantized numeric centroids +
+  * categorical modes; `cost` is the mean exact mixed distance of the
+  * training rows to their final prototype.
+  */
+class KPrototypesModel(
+    override val uid: String,
+    val numCenters: Array[Array[Long]],
+    val catCenters: Array[Array[String]],
+    val cost: Double)
+  extends org.apache.spark.ml.Model[KPrototypesModel]
+  with KPrototypesParams {
+
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  override def transformSchema(
+      schema: org.apache.spark.sql.types.StructType)
+    : org.apache.spark.sql.types.StructType =
+    validateSchema(schema, needId = false)
+  override def copy(extra: org.apache.spark.ml.param.ParamMap)
+    : KPrototypesModel = {
+    val m = new KPrototypesModel(uid, numCenters, catCenters, cost)
+    copyValues(m, extra).setParent(parent)
+  }
+
+  /** Mixed distances to every prototype as one literal-folded array
+    * expression (no join, no shuffle).
+    */
+  private def distArray: org.apache.spark.sql.Column = {
+    val centers = numCenters.zip(catCenters)
+      .map { case (n, c) => (n.toSeq, c.toSeq) }.toSeq
+    val cLit = org.apache.spark.sql.functions.typedlit(centers)
+    val numArr = array($(numCols).toSeq.map(c =>
+      floor(col(c).cast("double") * lit(1000000.0)).cast("long")): _*)
+    val catArr = array($(catCols).toSeq.map(c =>
+      coalesce(col(c).cast("string"),
+        lit(KPrototypes.NullSentinel))): _*)
+    // functions.transform, shadowed here by Model.transform
+    org.apache.spark.sql.functions.transform(cLit, c => {
+      val nd =
+        if ($(numCols).isEmpty) lit(0L)
+        else aggregate(zip_with(numArr, c.getField("_1"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      val cd =
+        if ($(catCols).isEmpty) lit(0L)
+        else aggregate(zip_with(catArr, c.getField("_2"),
+          (a, b) => when(a =!= b, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x)
+      nd + lit($(gammaE12)) * cd
+    })
+  }
+
+  private def numsPresent: org.apache.spark.sql.Column =
+    $(numCols).toSeq.map(c => col(c).isNotNull)
+      .foldLeft(lit(true))(_ && _)
+
+  override def transform(
+      dataset: org.apache.spark.sql.Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    dataset.withColumn($(predictionCol),
+      when(numsPresent, graft.functions.Distances.argminIndex(distArray))
+        .otherwise(lit(null)))
+  }
+
+  /** Mean exact mixed distance of `dataset` to its assigned
+    * prototype (numeric-null rows excluded, as in fit).
+    */
+  def computeCost(dataset: org.apache.spark.sql.Dataset[_]): Double =
+    dataset.where(numsPresent)
+      .select(avg(array_min(distArray))).head.getDouble(0)
+}

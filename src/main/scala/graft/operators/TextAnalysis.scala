@@ -164,11 +164,67 @@ object TextAnalysis {
       if (!maxScorePrune) bm25ScoredIndexed(index, qt, k1, b)
       else bm25ScoredIndexed(index, qt, k1, b,
         candidateDocs = Some(topKCandidateDocs(index, qt, k, k1, b)))
+    rankTopK(scored, k)
+  }
+
+  /** The ranked forms' shared tail: per-query bounded top-k over the
+    * scored pairs via [[TopKAgg]] — O(queries × k) pairs through the
+    * shuffle, never a full sort of every scored doc under a window.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(TopKAgg.topK(col("score_e6").cast("double"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("p.id").as("doc_id"), col("p.val").cast("long").as("score_e6"))
+
+  /** [[bm25TopKIndexed]] over a DATA-SIZED query RELATION — the
+    * retrieval shape at corpus scale, where "queries" are not a search
+    * request batch but a table in their own right: millions of eval
+    * prompts decontamination-ranked against the corpus, hard-negative
+    * mining at training-set grain, every-doc-as-its-own-query corpus
+    * QA. Scoring, ranking, and the lossless `maxScorePrune` are the
+    * driver-literal form's OWN machinery (the scoring core and the
+    * seed/θ two-pass already operate on a (query_id, term) DataFrame)
+    * — the only differences are the query side's derivation (column
+    * expressions over `queries`: lowercase whitespace tokens,
+    * per-query distinct — exactly the tokenization every BM25 form
+    * shares) and the hint discipline: NO broadcast hints anywhere on
+    * query-derived relations (the [[graft.operators.IndexStore.ingestText]]
+    * posture — a forced broadcast of an unbounded query vocabulary
+    * would OOM the build side; AQE broadcasts what it measures small
+    * and shuffle-joins the rest). Ranking ties and e6 integer scores
+    * are identical to [[bm25TopKIndexed]] — the two forms agree
+    * bit-for-bit on the same query set (TextAnalysisSpec).
+    *
+    * When to set `maxScorePrune` here (measured, round 15): the prune
+    * pays when the query relation leaves most of the corpus
+    * UN-SEEDED — a 100-query relation against a 2M-doc
+    * stopword-dominated corpus runs the pruned path in 37 s where the
+    * raw multiply would be 2·10⁹ pairs. It HURTS when the query
+    * relation covers nearly every term family: at 100k queries
+    * spanning all 20k families of a selective corpus every doc is some
+    * query's seed doc, the candidate set degrades to the whole matched
+    * corpus, and the two extra passes just re-scan the same volume
+    * (12.6 s unpruned → 35.8 s pruned at the probe). Exhaustive-
+    * coverage retrieval (every doc as its own query, all-pairs
+    * mining) should keep the default `maxScorePrune = false`.
+    */
+  def bm25TopKJoin(index: TextIndex, queries: DataFrame,
+                   queryIdCol: String, queryTextCol: String, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   maxScorePrune: Boolean = false): DataFrame = {
+    val qt = queries.where(col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        explode(array_distinct(TextFunctions.tokens(col(queryTextCol))))
+          .as("term"))
+    val scored =
+      if (!maxScorePrune)
+        bm25ScoredIndexed(index, qt, k1, b, broadcastQueries = false)
+      else bm25ScoredIndexed(index, qt, k1, b, broadcastQueries = false,
+        candidateDocs = Some(topKCandidateDocs(index, qt, k, k1, b,
+          broadcastQueries = false)))
+    rankTopK(scored, k)
   }
 
   /** BM25 THRESHOLD screen against a prebuilt index — every
@@ -308,24 +364,32 @@ object TextAnalysis {
     */
   private[graft] def topKCandidateDocs(
       index: TextIndex, qt: DataFrame, k: Int,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double,
+      broadcastQueries: Boolean = true): DataFrame = {
+    // the driver-literal form hints its query-derived relations
+    // broadcast; the data-sized join form ([[bm25TopKJoin]]) leaves
+    // every one of them to AQE — the matched vocabulary, seed-term
+    // set, and threshold relation all scale with the query RELATION
+    val hint: DataFrame => DataFrame =
+      if (broadcastQueries) broadcast else identity
     val stats = index.doclen
       .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
     val tfQ0 = index.postings
-      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .join(hint(qt.select("term").distinct()), Seq("term"))
     val df = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wSeed = Window.partitionBy(col("query_id"))
       .orderBy(col("__ub").desc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val seedTerms = qt
-      .join(broadcast(maxScoreUb(df, stats, k1).join(df, Seq("term"))),
+      .join(hint(maxScoreUb(df, stats, k1).join(df, Seq("term"))),
         Seq("term"))
       .withColumn("__cum", sum(col("df")).over(wSeed))
       .where(col("__cum") - col("df") < k)
       .select(col("term")).distinct()
-    val seedDocs = tfQ0.join(broadcast(seedTerms), Seq("term"))
+    val seedDocs = tfQ0.join(hint(seedTerms), Seq("term"))
       .select(col("doc_id")).distinct()
     val thrs = bm25ScoredIndexed(index, qt, k1, b,
+        broadcastQueries = broadcastQueries,
         candidateDocs = Some(seedDocs))
       .groupBy(col("query_id"))
       .agg(TopKAgg.topK(
@@ -334,7 +398,7 @@ object TextAnalysis {
         when(size(col("__top")) >= k,
           element_at(col("__top"), k).getField("val").cast("long"))
           .otherwise(lit(0L)).as("__thr"))
-    maxScoreCandidateDocsPerQuery(tfQ0, qt, df, stats, k1, thrs, broadcast)
+    maxScoreCandidateDocsPerQuery(tfQ0, qt, df, stats, k1, thrs, hint)
   }
 
   /** [[maxScoreCandidateDocs]] from a raw index + query-term table —

