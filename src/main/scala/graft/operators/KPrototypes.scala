@@ -111,14 +111,19 @@ object KPrototypes {
           .as(Seq("cpos", "cv")))
         .localCheckpoint(true)
 
-    // seeded portable init on ids — the KMeansQ recipe, so the γ = 0
-    // degenerate case lands on the SAME seeds
-    val seedRank = Window.orderBy(
-      graft.functions.PortableHash.hash60(col("id"), seed.toString).asc,
-      col("id").asc)
+    // seeded portable init on ids — the KMeansQ recipe (same hash,
+    // same ties), so the γ = 0 degenerate case lands on the SAME
+    // seeds. Plan note: orderBy+limit compiles to a DISTRIBUTED
+    // top-k (TakeOrderedAndProject); the rank window then runs over
+    // the k survivors only — never a single-partition sort of the
+    // full id set (the probe showed that window at 2M ids).
     val ids = base.select(col("id")).distinct()
-    val seeds = ids.withColumn("__r", row_number().over(seedRank))
-      .where(col("__r") <= k)
+      .select(col("id"),
+        graft.functions.PortableHash.hash60(col("id"), seed.toString)
+          .as("__h"))
+    val seedRank = Window.orderBy(col("__h").asc, col("id").asc)
+    val seeds = ids.orderBy(col("__h").asc, col("id").asc).limit(k)
+      .withColumn("__r", row_number().over(seedRank))
       .select(col("id"), (col("__r") - 1).cast("long").as("cid"))
     var cn = if (qn == null) null
       else qn.join(seeds, Seq("id"))
@@ -129,31 +134,36 @@ object KPrototypes {
         .select(col("cid"), col("cpos"), col("cv").as("cw"))
         .localCheckpoint(true)
 
-    val byId = Window.partitionBy(col("id"))
-      .orderBy(col("__d").asc, col("cid").asc)
+    // Assignment plan (probe-tuned at 2M records): the numeric and
+    // categorical per-(id, cid) TERMS are unioned BEFORE one map-side-
+    // combined sum (the γ weight folds into each mismatch term, so the
+    // mixed distance is a plain Σ), and the argmin is a min_by
+    // aggregate ordered by struct(__d, cid) — lexicographic struct
+    // comparison gives exactly the (dist ASC, cid ASC) tie rule with
+    // hash aggregation instead of a sort+window over id×k rows. Same
+    // totals, same ties as the windowed form (q276's hash oracle and
+    // the γ=0 ≡ KMeansQ spec pin both).
     def assign(cnC: DataFrame, ccC: DataFrame): DataFrame = {
-      val nd = if (qn == null) null
+      val ndRows = if (qn == null) null
         else qn.join(cnC, Seq("pos"))
-          .groupBy(col("id"), col("cid"))
-          .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
-            .as("__nd"))
-      val cd = if (qc == null) null
+          .select(col("id"), col("cid"),
+            ((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("__t"))
+      val cdRows = if (qc == null) null
         else qc.join(ccC, Seq("cpos"))
-          .groupBy(col("id"), col("cid"))
-          .agg(sum(when(col("cv") =!= col("cw"), 1L).otherwise(0L))
-            .as("__cd"))
-      val both =
-        if (nd == null) cd.withColumn("__nd", lit(0L))
-        else if (cd == null) nd.withColumn("__cd", lit(0L))
-        // full outer is defensive only: every (id, cid) pair exists on
-        // both sides when both attribute kinds are present
-        else nd.join(cd, Seq("id", "cid"), "full_outer")
-      both.select(col("id"), col("cid"),
-          (coalesce(col("__nd"), lit(0L)) +
-            lit(gammaE12) * coalesce(col("__cd"), lit(0L))).as("__d"))
-        .withColumn("__rn", row_number().over(byId))
-        .where(col("__rn") === 1)
-        .select(col("id"), col("cid"), col("__d").as("dist"))
+          .select(col("id"), col("cid"),
+            when(col("cv") =!= col("cw"), lit(gammaE12))
+              .otherwise(lit(0L)).as("__t"))
+      val terms =
+        if (ndRows == null) cdRows
+        else if (cdRows == null) ndRows
+        else ndRows.unionByName(cdRows)
+      terms.groupBy(col("id"), col("cid"))
+        .agg(sum(col("__t")).as("__d"))
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("cid"), col("__d")),
+          struct(col("__d"), col("cid"))).as("__best"))
+        .select(col("id"), col("__best.cid").as("cid"),
+          col("__best.__d").as("dist"))
     }
 
     var i = 0

@@ -250,6 +250,39 @@ object TextAnalysis {
       .where(col("score_e6") >= minScoreE6)
   }
 
+  /** [[bm25ScreenIndexed]] over a DATA-SIZED query RELATION — the
+    * threshold-screen sibling of [[bm25TopKJoin]], closing the last
+    * driver-literal asymmetry in the indexed-screen family
+    * ([[Dedup.hammingJoinIndexed]] and [[Similarity.cosineJoinIndexed]]
+    * already take DataFrames; the lexical member did not). The use
+    * case at corpus scale: decontamination at EVAL-SET grain — every
+    * (prompt, corpus doc) pair at score_e6 ≥ `minScoreE6` where the
+    * prompts are a table of thousands, un-ranked (top-k would truncate
+    * exactly the tail a contamination audit exists to surface).
+    * Scoring, `maxDfPpm`, and the lossless threshold MaxScore prune
+    * are [[bm25ScoredIndexed]]'s own machinery; the query side is
+    * derived with the shared tokenization and carries NO broadcast
+    * hints (the [[bm25TopKJoin]] posture — AQE decides). Screens with
+    * the prune ON pass one per-query literal threshold, so the prune
+    * stays lossless at relation grain (TextAnalysisSpec pins join ≡
+    * literal, pruned and unpruned).
+    */
+  def bm25ScreenJoin(index: TextIndex, queries: DataFrame,
+                     queryIdCol: String, queryTextCol: String,
+                     minScoreE6: Long,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     maxDfPpm: Option[Long] = None,
+                     maxScorePrune: Boolean = false): DataFrame = {
+    val qt = queries.where(col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        explode(array_distinct(TextFunctions.tokens(col(queryTextCol))))
+          .as("term"))
+    bm25ScoredIndexed(index, qt, k1, b, broadcastQueries = false,
+        maxDfPpm = maxDfPpm,
+        pruneThresholdE6 = if (maxScorePrune) Some(minScoreE6) else None)
+      .where(col("score_e6") >= minScoreE6)
+  }
+
   /** Driver-literal query batch → (query_id, term) rows (lowercased
     * whitespace tokens, per-query distinct) — the query-side
     * tokenization every BM25 form shares; the streaming gate replays

@@ -748,6 +748,39 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
        |  doc_id, score_e6
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** q277: the BM25 THRESHOLD screen over a DATA-SIZED query RELATION
+    * ([[TextAnalysis.bm25ScreenJoin]]) — decontamination at eval-set
+    * grain: the q275 documents-derived query table (doc_id ≡ 3 mod 7,
+    * first six tokens) screened un-ranked at score_e6 ≥ 2,000,000 (6-token queries over a shared-vocabulary corpus score low — the threshold keeps ~3.6k pairs across 59 queries, a non-vacuous tail)
+    * through the PRUNED path. Oracle: the same derived-qt prelude with
+    * the threshold filter — the q249 tail at relation grain, and the
+    * prune's losslessness proof (pairs ≥ thr are scored exactly).
+    */
+  def bm25ScreenJoined(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = scratchDir("text_screen_join")
+    IndexStore.saveTextIndex(docs, "doc_id", "text", path)
+    val queries = docs
+      .where(pmod(col("doc_id"), lit(7)) === 3 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextFunctions.tokens(col("text")), 1, 6), " ")
+          .as("qtext"))
+    TextAnalysis.bm25ScreenJoin(IndexStore.loadTextIndex(s, path),
+        queries, "query_id", "qtext", minScoreE6 = 2000000L,
+        maxScorePrune = true)
+      .orderBy("query_id", "doc_id")
+  }
+
+  val bm25ScreenJoinedSql: String =
+    s"""${bm25AggSqlQt(
+      s"""qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks6) AS term
+         |  FROM (SELECT doc_id, ($duckToks)[1:6] AS toks6
+         |        FROM documents
+         |        WHERE text IS NOT NULL AND doc_id % 7 = 3))""".stripMargin)}
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e6
+       |FROM agg WHERE score_e6 >= 2000000
+       |ORDER BY query_id, doc_id""".stripMargin
+
   /** q114: market-basket association rules ([[Basket.pairRules]]) —
     * supplier pairs that co-occur in ≥5 orders, with floor-ppm support,
     * both-direction confidence, and two-stage-floor lift. All-integer

@@ -112,6 +112,26 @@ class TextAnalysisSpec extends SparkSuite {
       k1 = 1.2, b = 0.75, broadcastQueries = false).count() == 40L)
   }
 
+  test("bm25ScreenJoin: the data-sized threshold screen agrees with " +
+      "the driver-literal screen, pruned, unpruned, and with maxDfPpm") {
+    val idx = TextAnalysis.textIndex(famDocs, "doc_id", "text")
+    val queries = Seq(
+      1L -> famDocs.where(col("doc_id") === 0L)
+        .select("text").as[String].head(),
+      2L -> "the of and",
+      3L -> "zzz_unseen_term")
+    val qDf = queries.toDF("qid", "qtext")
+    for (prune <- Seq(false, true); ppm <- Seq(None, Some(200000L))) {
+      val literal = canon(TextAnalysis.bm25ScreenIndexed(idx, queries,
+        minScoreE6 = 1000000L, maxDfPpm = ppm, maxScorePrune = prune))
+      val joined = canon(TextAnalysis.bm25ScreenJoin(idx, qDf,
+        "qid", "qtext", minScoreE6 = 1000000L, maxDfPpm = ppm,
+        maxScorePrune = prune))
+      assert(joined == literal,
+        s"screen join ≡ literal must hold at prune=$prune ppm=$ppm")
+    }
+  }
+
   test("bm25TopKIndexed maxScorePrune edges: θ=0 (fewer than k " +
       "matches), all-stopword query, and unmatched query stay exact") {
     val idx = TextAnalysis.textIndex(famDocs, "doc_id", "text")
