@@ -51,29 +51,36 @@ object KMeansQ {
           x => floor(x * lit(1000000.0)).cast("long")))
           .as(Seq("pos", "qv")))
       .localCheckpoint(true)
-    val seedRank = Window.orderBy(
-      graft.functions.PortableHash.hash60(col("id"), seed.toString).asc,
-      col("id").asc)
-    // seed ranking is a window over the ID SET (one row per vector) —
-    // k·dim centroid rows come out; the single-partition sort is over
-    // ids only and bounded by the same rule every q14-style init uses
+    // seed ranking: orderBy+limit compiles to a DISTRIBUTED top-k
+    // (TakeOrderedAndProject), so the rank window only ever sorts the
+    // k survivors — never a single-partition pass over the full id set
+    // (round-15 fix, same recipe as KPrototypes; ordering unchanged)
     val ids = q.select(col("id")).distinct()
-    val seeds = ids.withColumn("__r", row_number().over(seedRank))
-      .where(col("__r") <= k)
+      .select(col("id"),
+        graft.functions.PortableHash.hash60(col("id"), seed.toString)
+          .as("__h"))
+    val seedRank = Window.orderBy(col("__h").asc, col("id").asc)
+    val seeds = ids.orderBy(col("__h").asc, col("id").asc).limit(k)
+      .withColumn("__r", row_number().over(seedRank))
       .select(col("id"), (col("__r") - 1).cast("long").as("cid"))
     var centroids = q.join(seeds, Seq("id"))
       .select(col("cid"), col("pos"), col("qv").as("cv"))
       .localCheckpoint(true)
-    val byId = Window.partitionBy(col("id"))
-      .orderBy(col("__d").asc, col("cid").asc)
+    // argmin as a min_by aggregate ordered by struct(__d, cid) —
+    // lexicographic struct comparison is exactly the (dist ASC, cid
+    // ASC) tie rule, with map-side-combinable hash aggregation instead
+    // of a sort+window over id×k rows (round-15 fix, semantics pinned
+    // by q204's full-replay hash oracle)
     def assign(c: DataFrame): DataFrame = q
       .join(c, Seq("pos"))
       .groupBy(col("id"), col("cid"))
       .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
         .as("__d"))
-      .withColumn("__rn", row_number().over(byId))
-      .where(col("__rn") === 1)
-      .select(col("id"), col("cid"), col("__d").as("dist"))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cid"), col("__d")),
+        struct(col("__d"), col("cid"))).as("__best"))
+      .select(col("id"), col("__best.cid").as("cid"),
+        col("__best.__d").as("dist"))
     var i = 0
     while (i < maxIter) {
       val asg = assign(centroids)

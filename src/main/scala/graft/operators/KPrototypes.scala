@@ -40,13 +40,15 @@ import org.apache.spark.sql.functions._
   *
   * Shape per iteration (all relational, no driver loops): numeric and
   * categorical components live in LONG format ((id, pos, qv) /
-  * (id, cpos, cv)); assignment is one k-fan join per side + one
-  * map-side-combined aggregation each, stitched by a full outer join
-  * on (id, cluster) (either side may be absent when a record has no
-  * numeric or no categorical attributes — coalesce 0); updates are one
-  * (cid, pos) floor-mean and one (cid, cpos, value) count + top-1
-  * window. Centroid tables are k·(dims) rows, localCheckpointed per
-  * pass to cut lineage. Int64 bound: per-component |qv| ≤ ~2·10⁹ keeps
+  * (id, cpos, cv)); assignment is one k-fan join per side whose
+  * per-(id, cluster) TERMS union into ONE map-side-combined sum (γ
+  * folds into each mismatch term), then a min_by aggregate picks the
+  * argmin — hash aggregation end to end, no sort+window, no outer
+  * join; updates are one (cid, pos) floor-mean and one
+  * (cid, cpos, value) count + top-1 window. The seeded init is a
+  * distributed sort-limit (TakeOrderedAndProject), never a
+  * single-partition sort of the id set. Centroid tables are k·(dims)
+  * rows, localCheckpointed per pass to cut lineage. Int64 bound: per-component |qv| ≤ ~2·10⁹ keeps
   * one squared term in range, but SUMS need headroom — keep numeric
   * magnitudes ≤ ~10⁶ after quantization (pre-scale large currencies/
   * counts; the spec and q276 scale price/size into e6 ≤ 5·10⁴).
@@ -57,6 +59,14 @@ import org.apache.spark.sql.functions._
 object KPrototypes {
 
   val NullSentinel: String = ArrayModeAggregator.NullSentinel
+
+  /** k-threshold under which assignment runs as ONE groupBy(id) with k
+    * conditional sums (above it, k aggregate expressions stop being
+    * codegen-friendly and the two-level min_by plan takes over). A var
+    * only as a test seam: the spec forces the fallback and pins the
+    * two plans equal.
+    */
+  private[graft] var condSumMaxK: Int = 64
 
   def fit(
       df: DataFrame,
@@ -136,13 +146,18 @@ object KPrototypes {
 
     // Assignment plan (probe-tuned at 2M records): the numeric and
     // categorical per-(id, cid) TERMS are unioned BEFORE one map-side-
-    // combined sum (the γ weight folds into each mismatch term, so the
-    // mixed distance is a plain Σ), and the argmin is a min_by
-    // aggregate ordered by struct(__d, cid) — lexicographic struct
-    // comparison gives exactly the (dist ASC, cid ASC) tie rule with
-    // hash aggregation instead of a sort+window over id×k rows. Same
-    // totals, same ties as the windowed form (q276's hash oracle and
-    // the γ=0 ≡ KMeansQ spec pin both).
+    // combined aggregation (the γ weight folds into each mismatch
+    // term, so the mixed distance is a plain Σ). For k ≤
+    // [[KPrototypes.CondSumMaxK]] (the common case, and every oracled
+    // fit) the whole assignment is ONE groupBy(id) with k conditional
+    // sums — 2M groups instead of a 16M-row (id, cid) intermediate
+    // plus a second aggregate — and the argmin is array-expression
+    // arithmetic over the k sums ([[graft.functions.Distances
+    // .argminIndex]]: first-position min = ties to the lowest cid).
+    // Larger k falls back to the two-level plan whose argmin is a
+    // min_by ordered by struct(__d, cid) (the same (dist ASC, cid ASC)
+    // rule — the spec forces this path and pins it equal). Same
+    // totals, same ties either way (q276's hash oracle; γ=0 ≡ KMeansQ).
     def assign(cnC: DataFrame, ccC: DataFrame): DataFrame = {
       val ndRows = if (qn == null) null
         else qn.join(cnC, Seq("pos"))
@@ -157,18 +172,36 @@ object KPrototypes {
         if (ndRows == null) cdRows
         else if (cdRows == null) ndRows
         else ndRows.unionByName(cdRows)
-      terms.groupBy(col("id"), col("cid"))
-        .agg(sum(col("__t")).as("__d"))
-        .groupBy(col("id"))
-        .agg(min_by(struct(col("cid"), col("__d")),
-          struct(col("__d"), col("cid"))).as("__best"))
-        .select(col("id"), col("__best.cid").as("cid"),
-          col("__best.__d").as("dist"))
+      if (k <= condSumMaxK) {
+        val sums = (0 until k).map(i =>
+          sum(when(col("cid") === i.toLong, col("__t"))
+            .otherwise(lit(0L))).as(s"__d$i"))
+        val dArr = array((0 until k).map(i => col(s"__d$i")): _*)
+        terms.groupBy(col("id"))
+          .agg(sums.head, sums.tail: _*)
+          .select(col("id"),
+            graft.functions.Distances.argminIndex(dArr)
+              .cast("long").as("cid"),
+            array_min(dArr).as("dist"))
+      } else {
+        terms.groupBy(col("id"), col("cid"))
+          .agg(sum(col("__t")).as("__d"))
+          .groupBy(col("id"))
+          .agg(min_by(struct(col("cid"), col("__d")),
+            struct(col("__d"), col("cid"))).as("__best"))
+          .select(col("id"), col("__best.cid").as("cid"),
+            col("__best.__d").as("dist"))
+      }
     }
 
     var i = 0
     while (i < maxIter) {
+      // materialize the assignment ONCE per pass (2 id-grain columns):
+      // without this, the numeric and categorical update checkpoints
+      // would each recompute the full id×k aggregation — the probe
+      // measured that as ~2× the whole fit
       val asg = assign(cn, cc).select(col("id"), col("cid"))
+        .localCheckpoint(true)
       if (qn != null) {
         val updated = qn.join(asg, Seq("id"))
           .groupBy(col("cid"), col("pos"))
@@ -317,7 +350,11 @@ class KPrototypesModel(
     val catCenters: Array[Array[String]],
     val cost: Double)
   extends org.apache.spark.ml.Model[KPrototypesModel]
-  with KPrototypesParams {
+  with KPrototypesParams
+  with org.apache.spark.ml.util.MLWritable {
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new KPrototypesModel.Writer(this)
 
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
 
@@ -376,4 +413,59 @@ class KPrototypesModel(
   def computeCost(dataset: org.apache.spark.sql.Dataset[_]): Double =
     dataset.where(numsPresent)
       .select(avg(array_min(distArray))).head.getDouble(0)
+}
+
+object KPrototypesModel
+  extends org.apache.spark.ml.util.MLReadable[KPrototypesModel] {
+  /** Persistence (the [[KModesModel]] recipe): one parquet at
+    * `<path>/data`, a row per cluster carrying both center parts and
+    * the scalars replicated — dependency-free of the private[ml]
+    * DefaultParamsWriter machinery.
+    */
+  private[operators] class Writer(instance: KPrototypesModel)
+      extends org.apache.spark.ml.util.MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      instance.numCenters.zip(instance.catCenters).zipWithIndex
+        .map { case ((nc, cc), i) =>
+          (i, nc.toSeq, cc.toSeq, instance.cost, instance.uid,
+            instance.getOrDefault(instance.gammaE12),
+            instance.getOrDefault(instance.catCols).toSeq,
+            instance.getOrDefault(instance.numCols).toSeq,
+            instance.getOrDefault(instance.predictionCol))
+        }.toSeq
+        .toDF("center_id", "num_center", "cat_center", "cost", "uid",
+          "gamma_e12", "cat_cols", "num_cols", "prediction_col")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/data")
+    }
+  }
+
+  private class Reader
+      extends org.apache.spark.ml.util.MLReader[KPrototypesModel] {
+    override def load(path: String): KPrototypesModel = {
+      val rows = sparkSession.read.parquet(s"$path/data")
+        .collect().sortBy(_.getAs[Int]("center_id"))
+      require(rows.nonEmpty, s"no centers at $path/data")
+      val head = rows.head
+      val model = new KPrototypesModel(
+        head.getAs[String]("uid"),
+        rows.map(_.getAs[Seq[Long]]("num_center").toArray),
+        rows.map(_.getAs[Seq[String]]("cat_center").toArray),
+        head.getAs[Double]("cost"))
+      model.set(model.k, rows.length)
+      model.set(model.gammaE12, head.getAs[Long]("gamma_e12"))
+      model.set(model.catCols,
+        head.getAs[Seq[String]]("cat_cols").toArray)
+      model.set(model.numCols,
+        head.getAs[Seq[String]]("num_cols").toArray)
+      model.set(model.predictionCol,
+        head.getAs[String]("prediction_col"))
+      model
+    }
+  }
+
+  override def read: org.apache.spark.ml.util.MLReader[KPrototypesModel] =
+    new Reader
 }

@@ -110,6 +110,21 @@ class KPrototypesSpec extends SparkSuite {
         else Some(r.getInt(1)))).toMap
     assert(preds(99L).exists(c => c >= 0 && c < 3))
     assert(preds(98L).isEmpty, "null numeric must yield null prediction")
+    // persistence round-trip: same centers, same cost, same transform
+    val dir = java.nio.file.Files
+      .createTempDirectory("kproto_model").toString + "/m"
+    model.write.overwrite().save(dir)
+    val loaded = graft.operators.KPrototypesModel.load(dir)
+    assert(loaded.numCenters.map(_.toSeq).toSeq ==
+      model.numCenters.map(_.toSeq).toSeq)
+    assert(loaded.catCenters.map(_.toSeq).toSeq ==
+      model.catCenters.map(_.toSeq).toSeq)
+    assert(loaded.cost == model.cost)
+    assert(loaded.transform(rows)
+        .select($"id", $"prediction".cast("long"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      viaTransform.toSeq,
+      "a loaded model must transform identically")
   }
 
   test("cost is non-increasing over Lloyd iterations (the property " +
@@ -142,6 +157,16 @@ class KPrototypesSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(a == b, "partitioning changed the k-prototypes fit")
     assert(a.map(_._1) == (1L to 40L), "null c2 rows must stay (own category)")
+    // the large-k fallback plan (two-level min_by) must be EQUAL to the
+    // default conditional-sum plan — force it through the seam
+    val prevMaxK = KPrototypes.condSumMaxK
+    KPrototypes.condSumMaxK = 0
+    try {
+      val fb = KPrototypes.fit(rows, "id", Seq("c1", "c2"), Seq("n1", "n2"),
+          k = 3, gammaE12 = 500000000000L, maxIter = 4, seed = 42L)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(fb == a, "fallback assignment plan diverged from default")
+    } finally KPrototypes.condSumMaxK = prevMaxK
     // numeric null drops the row up front
     val withNullNum = rows.unionByName(
       Seq((99L, "g0", Some("h0"), Option.empty[Double], Some(1.0)))
