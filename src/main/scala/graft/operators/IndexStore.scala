@@ -2450,7 +2450,9 @@ object IndexStore {
     // transient first-acquire error never permanently suppresses the
     // warning. The lease's own operations fail loudly if the store is
     // actually broken.
-    val probeKey = fs.getUri.toString + "" +
+    // the qualified path embeds scheme + authority, so it IS the
+    // (filesystem, store) pair on its own
+    val probeKey =
       fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toString
     if (!leaseCapabilityProbed.containsKey(probeKey)) {
       val probed: Option[Boolean] = leaseProbeOverride.getOrElse(
@@ -3752,9 +3754,11 @@ object IndexStore {
       .where(col("doc_id") < col("__batch_min")).drop("__batch_min")
     val pre = TextAnalysis.TextIndex(
       preBatch(idx.postings), preBatch(idx.doclen))
+    // the shared relation-side query tokenization (batch docs are
+    // already null-filtered upstream; the helper's own filter is a
+    // no-op here)
     def queryTermsOf(docs: DataFrame): DataFrame =
-      docs.select(col("doc_id").as("query_id"),
-        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+      TextAnalysis.queryTermsOf(docs, "doc_id", "text")
     // intra-batch collapse (the q258 composition, integrated): index
     // the batch in memory, screen it against itself, smaller-id
     // partners only — family heads go on to the index screen

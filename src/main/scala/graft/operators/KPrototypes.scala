@@ -135,6 +135,17 @@ object KPrototypes {
     val seeds = ids.orderBy(col("__h").asc, col("id").asc).limit(k)
       .withColumn("__r", row_number().over(seedRank))
       .select(col("id"), (col("__r") - 1).cast("long").as("cid"))
+      .localCheckpoint(true)
+    // k clusters need k distinct records: with fewer, the conditional-
+    // sum assignment would manufacture PHANTOM zero-distance clusters
+    // for the unseeded cids (sum of nothing = 0 beats every real
+    // distance) — raise instead of silently mis-clustering. One
+    // bounded action (the seed relation is ≤ k rows, and the
+    // checkpoint is reused by the centroid joins below).
+    val nSeeds = seeds.count()
+    require(nSeeds == k.toLong,
+      s"KPrototypes.fit: k=$k clusters need at least k distinct " +
+        s"non-null-numeric records, got $nSeeds")
     var cn = if (qn == null) null
       else qn.join(seeds, Seq("id"))
         .select(col("cid"), col("pos"), col("qv").as("cv"))
@@ -408,11 +419,14 @@ class KPrototypesModel(
   }
 
   /** Mean exact mixed distance of `dataset` to its assigned
-    * prototype (numeric-null rows excluded, as in fit).
+    * prototype (numeric-null rows excluded, as in fit); 0.0 when no
+    * row is scorable (every row null-numeric, or empty input).
     */
-  def computeCost(dataset: org.apache.spark.sql.Dataset[_]): Double =
-    dataset.where(numsPresent)
-      .select(avg(array_min(distArray))).head.getDouble(0)
+  def computeCost(dataset: org.apache.spark.sql.Dataset[_]): Double = {
+    val r = dataset.where(numsPresent)
+      .select(avg(array_min(distArray))).head
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
 }
 
 object KPrototypesModel

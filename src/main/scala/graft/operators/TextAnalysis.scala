@@ -210,14 +210,24 @@ object TextAnalysis {
     * coverage retrieval (every doc as its own query, all-pairs
     * mining) should keep the default `maxScorePrune = false`.
     */
+  /** A query RELATION → (query_id, term) rows — the relation-side twin
+    * of [[queryTerms]] (same tokenization: lowercase whitespace split,
+    * per-query distinct; null texts emit nothing), shared by
+    * [[bm25TopKJoin]], [[bm25ScreenJoin]] and (at `doc_id` grain)
+    * [[graft.operators.IndexStore.ingestText]].
+    */
+  private[graft] def queryTermsOf(queries: DataFrame, queryIdCol: String,
+                                  queryTextCol: String): DataFrame =
+    queries.where(col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        explode(array_distinct(TextFunctions.tokens(col(queryTextCol))))
+          .as("term"))
+
   def bm25TopKJoin(index: TextIndex, queries: DataFrame,
                    queryIdCol: String, queryTextCol: String, k: Int,
                    k1: Double = 1.2, b: Double = 0.75,
                    maxScorePrune: Boolean = false): DataFrame = {
-    val qt = queries.where(col(queryTextCol).isNotNull)
-      .select(col(queryIdCol).cast("long").as("query_id"),
-        explode(array_distinct(TextFunctions.tokens(col(queryTextCol))))
-          .as("term"))
+    val qt = queryTermsOf(queries, queryIdCol, queryTextCol)
     val scored =
       if (!maxScorePrune)
         bm25ScoredIndexed(index, qt, k1, b, broadcastQueries = false)
@@ -273,10 +283,7 @@ object TextAnalysis {
                      k1: Double = 1.2, b: Double = 0.75,
                      maxDfPpm: Option[Long] = None,
                      maxScorePrune: Boolean = false): DataFrame = {
-    val qt = queries.where(col(queryTextCol).isNotNull)
-      .select(col(queryIdCol).cast("long").as("query_id"),
-        explode(array_distinct(TextFunctions.tokens(col(queryTextCol))))
-          .as("term"))
+    val qt = queryTermsOf(queries, queryIdCol, queryTextCol)
     bm25ScoredIndexed(index, qt, k1, b, broadcastQueries = false,
         maxDfPpm = maxDfPpm,
         pruneThresholdE6 = if (maxScorePrune) Some(minScoreE6) else None)

@@ -720,26 +720,35 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
     * over the SAME derived query table — the q272 losslessness-by-hash
     * proof with the query side now a data-sized relation.
     */
+  /** The q275/q277 shared DATA-SIZED query relation — every doc_id ≡ 3
+    * (mod 7), query text = the doc's first six tokens — and its DuckDB
+    * qt CTE, defined ONCE so the ranked and threshold forms cannot
+    * drift apart (their scaladocs both claim "the same derived qt").
+    */
+  private def docDerivedQueries(docs: DataFrame): DataFrame = docs
+    .where(pmod(col("doc_id"), lit(7)) === 3 && col("text").isNotNull)
+    .select(col("doc_id").as("query_id"),
+      array_join(slice(TextFunctions.tokens(col("text")), 1, 6), " ")
+        .as("qtext"))
+
+  private val docDerivedQtCte: String =
+    s"""qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks6) AS term
+       |  FROM (SELECT doc_id, ($duckToks)[1:6] AS toks6
+       |        FROM documents
+       |        WHERE text IS NOT NULL AND doc_id % 7 = 3))""".stripMargin
+
   def bm25TopKJoined(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val path = scratchDir("text_topk_join")
     IndexStore.saveTextIndex(docs, "doc_id", "text", path)
-    val queries = docs
-      .where(pmod(col("doc_id"), lit(7)) === 3 && col("text").isNotNull)
-      .select(col("doc_id").as("query_id"),
-        array_join(slice(TextFunctions.tokens(col("text")), 1, 6), " ")
-          .as("qtext"))
     TextAnalysis.bm25TopKJoin(IndexStore.loadTextIndex(s, path),
-        queries, "query_id", "qtext", 5, maxScorePrune = true)
+        docDerivedQueries(docs), "query_id", "qtext", 5,
+        maxScorePrune = true)
       .orderBy("query_id", "rnk")
   }
 
   val bm25TopKJoinedSql: String =
-    s"""${bm25AggSqlQt(
-      s"""qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks6) AS term
-         |  FROM (SELECT doc_id, ($duckToks)[1:6] AS toks6
-         |        FROM documents
-         |        WHERE text IS NOT NULL AND doc_id % 7 = 3))""".stripMargin)},
+    s"""${bm25AggSqlQt(docDerivedQtCte)},
        |ranked AS (SELECT query_id, doc_id, score_e6,
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY score_e6 DESC, doc_id ASC) AS rnk
@@ -760,23 +769,14 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
     val docs = t(s, dir, "documents")
     val path = scratchDir("text_screen_join")
     IndexStore.saveTextIndex(docs, "doc_id", "text", path)
-    val queries = docs
-      .where(pmod(col("doc_id"), lit(7)) === 3 && col("text").isNotNull)
-      .select(col("doc_id").as("query_id"),
-        array_join(slice(TextFunctions.tokens(col("text")), 1, 6), " ")
-          .as("qtext"))
     TextAnalysis.bm25ScreenJoin(IndexStore.loadTextIndex(s, path),
-        queries, "query_id", "qtext", minScoreE6 = 2000000L,
-        maxScorePrune = true)
+        docDerivedQueries(docs), "query_id", "qtext",
+        minScoreE6 = 2000000L, maxScorePrune = true)
       .orderBy("query_id", "doc_id")
   }
 
   val bm25ScreenJoinedSql: String =
-    s"""${bm25AggSqlQt(
-      s"""qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks6) AS term
-         |  FROM (SELECT doc_id, ($duckToks)[1:6] AS toks6
-         |        FROM documents
-         |        WHERE text IS NOT NULL AND doc_id % 7 = 3))""".stripMargin)}
+    s"""${bm25AggSqlQt(docDerivedQtCte)}
        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e6
        |FROM agg WHERE score_e6 >= 2000000
        |ORDER BY query_id, doc_id""".stripMargin

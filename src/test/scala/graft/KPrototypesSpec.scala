@@ -185,5 +185,14 @@ class KPrototypesSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       KPrototypes.fit(rows, "id", Seq("c1"), Seq("n1"), 2, -1L, 3, 1L)
     }
+    // fewer distinct ids than k RAISES: the conditional-sum assignment
+    // would otherwise manufacture phantom zero-distance clusters for
+    // the unseeded cids (review finding, round 15)
+    val tiny = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "c1", "n1")
+    val eFew = intercept[IllegalArgumentException] {
+      KPrototypes.fit(tiny, "id", Seq("c1"), Seq("n1"), 8, 1L, 2, 1L)
+    }
+    assert(eFew.getMessage.contains("distinct"), eFew.getMessage)
   }
 }
