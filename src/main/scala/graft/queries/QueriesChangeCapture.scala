@@ -713,7 +713,7 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
     * at 100 TB means a query TABLE (millions of eval prompts,
     * hard-negative mining at corpus grain). Queries here are a
     * RELATION derived from the documents table itself — every doc_id
-    * ≡ 3 (mod 7), query text = the doc's first six tokens (the
+    * ≡ 3 (mod 21), query text = the doc's first six tokens (the
     * eval-prompt shape) — run through the PRUNED two-pass path with
     * NO broadcast hints on any query-derived relation (the ingestText
     * posture: AQE decides). Oracle: the UNPRUNED brute-force ranking
@@ -721,12 +721,12 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
     * proof with the query side now a data-sized relation.
     */
   /** The q275/q277 shared DATA-SIZED query relation — every doc_id ≡ 3
-    * (mod 7), query text = the doc's first six tokens — and its DuckDB
+    * (mod 21), query text = the doc's first six tokens — and its DuckDB
     * qt CTE, defined ONCE so the ranked and threshold forms cannot
     * drift apart (their scaladocs both claim "the same derived qt").
     */
   private def docDerivedQueries(docs: DataFrame): DataFrame = docs
-    .where(pmod(col("doc_id"), lit(7)) === 3 && col("text").isNotNull)
+    .where(pmod(col("doc_id"), lit(21)) === 3 && col("text").isNotNull)
     .select(col("doc_id").as("query_id"),
       array_join(slice(TextFunctions.tokens(col("text")), 1, 6), " ")
         .as("qtext"))
@@ -735,7 +735,7 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
     s"""qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks6) AS term
        |  FROM (SELECT doc_id, ($duckToks)[1:6] AS toks6
        |        FROM documents
-       |        WHERE text IS NOT NULL AND doc_id % 7 = 3))""".stripMargin
+       |        WHERE text IS NOT NULL AND doc_id % 21 = 3))""".stripMargin
 
   def bm25TopKJoined(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -759,7 +759,7 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
 
   /** q277: the BM25 THRESHOLD screen over a DATA-SIZED query RELATION
     * ([[TextAnalysis.bm25ScreenJoin]]) — decontamination at eval-set
-    * grain: the q275 documents-derived query table (doc_id ≡ 3 mod 7,
+    * grain: the q275 documents-derived query table (doc_id ≡ 3 mod 21,
     * first six tokens) screened un-ranked at score_e6 ≥ 2,000,000 (6-token queries over a shared-vocabulary corpus score low — the threshold keeps ~3.6k pairs across 59 queries, a non-vacuous tail)
     * through the PRUNED path. Oracle: the same derived-qt prelude with
     * the threshold filter — the q249 tail at relation grain, and the
