@@ -52,6 +52,43 @@ class PlanSpec extends SparkSuite {
       s"tfidf plan carries a forced join hint:\n$analyzed")
   }
 
+  test("q275/q277: the data-sized BM25 query forms carry NO forced " +
+      "join hint anywhere (AQE owns every join against the relation)") {
+    // the query relation is unbounded at 100 TB (millions of eval
+    // prompts) — a mandatory broadcast hint on any query-derived
+    // relation would OOM the build side; the plan must leave the
+    // choice to AQE (the q36 posture, now for the pruned two-pass
+    // ranked form too). The stats fold (one-row aggregates) and the
+    // index save are exempt — this asserts the SEARCH plans only.
+    val idx = graft.operators.TextAnalysis.textIndex(
+      Tables.table(spark, sf, "documents"), "doc_id", "text")
+    val queries = Tables.table(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id") % 21 === 3)
+      .selectExpr("doc_id AS query_id", "text AS qtext")
+    for ((name, df) <- Seq(
+      "bm25TopKJoin-pruned" -> graft.operators.TextAnalysis.bm25TopKJoin(
+        idx, queries, "query_id", "qtext", 5, maxScorePrune = true),
+      "bm25ScreenJoin-pruned" -> graft.operators.TextAnalysis
+        .bm25ScreenJoin(idx, queries, "query_id", "qtext",
+          minScoreE6 = 2000000L, maxScorePrune = true))) {
+      // the one legitimate hint shape: the broadcast of the ONE-ROW
+      // corpus stats fold (crossJoin(broadcast(stats)) — a grouping-
+      // free Aggregate); anything else is a forced hint on a
+      // potentially query-sized relation
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      hints.foreach { h =>
+        val oneRowAgg = h.child.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.isEmpty => a
+        }
+        assert(oneRowAgg.isDefined,
+          s"$name carries a forced hint on a non-stats relation:\n$h")
+      }
+    }
+  }
+
   test("q40: sessionize groupBy reuses the window's user partitioning") {
     // expected exchanges: ONE hash exchange feeding the window (the
     // (user, sid) aggregation is satisfied by user-hash partitioning,
