@@ -21,6 +21,36 @@ class EmptyInputSpec extends SparkSuite {
     StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(DoubleType)))))
 
+  test("round-15 family: empty query relations stay empty; empty " +
+      "corpus stays empty; KPrototypes raises its k-guard, never " +
+      "phantom clusters") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.textIndex(docs, "doc_id", "text")
+    val emptyQ = emptyDocs.selectExpr("doc_id AS qid", "text AS qtext")
+    assert(TextAnalysis.bm25TopKJoin(idx, emptyQ, "qid", "qtext", 5)
+      .count() == 0)
+    assert(TextAnalysis.bm25TopKJoin(idx, emptyQ, "qid", "qtext", 5,
+      maxScorePrune = true).count() == 0)
+    assert(TextAnalysis.bm25ScreenJoin(idx, emptyQ, "qid", "qtext",
+      minScoreE6 = 1L, maxScorePrune = true).count() == 0)
+    // empty CORPUS, live queries: no matches, no crash (pruned too)
+    val emptyIdx = TextAnalysis.textIndex(emptyDocs, "doc_id", "text")
+    val liveQ = Seq((1L, "alpha")).toDF("qid", "qtext")
+    assert(TextAnalysis.bm25TopKJoin(emptyIdx, liveQ, "qid", "qtext", 5,
+      maxScorePrune = true).count() == 0)
+    // KPrototypes on an empty relation: the distinct-ids-vs-k guard
+    // raises with its own message (an empty fit has no honest answer)
+    val e = intercept[IllegalArgumentException] {
+      KPrototypes.fit(
+        emptyDocs.selectExpr("doc_id AS id", "text AS c1",
+          "CAST(doc_id AS DOUBLE) AS n1"),
+        "id", Seq("c1"), Seq("n1"), k = 2, gammaE12 = 1L,
+        maxIter = 2, seed = 1L)
+    }
+    assert(e.getMessage.contains("distinct"), e.getMessage)
+  }
+
   test("dedup family returns empty on empty input") {
     assert(Dedup.minhashLSH(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").count() == 0)
