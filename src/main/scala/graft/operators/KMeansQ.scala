@@ -63,24 +63,51 @@ object KMeansQ {
     val seeds = ids.orderBy(col("__h").asc, col("id").asc).limit(k)
       .withColumn("__r", row_number().over(seedRank))
       .select(col("id"), (col("__r") - 1).cast("long").as("cid"))
+      .localCheckpoint(true)
+    // k clusters need k distinct vectors — with fewer, the
+    // conditional-sum assignment below would manufacture phantom
+    // zero-distance clusters for the unseeded cids (the KPrototypes
+    // guard; one bounded ≤k-row action on the reused checkpoint)
+    val nSeeds = seeds.count()
+    require(nSeeds == k.toLong,
+      s"KMeansQ.fit: k=$k clusters need at least k distinct vectors, " +
+        s"got $nSeeds")
     var centroids = q.join(seeds, Seq("id"))
       .select(col("cid"), col("pos"), col("qv").as("cv"))
       .localCheckpoint(true)
-    // argmin as a min_by aggregate ordered by struct(__d, cid) —
-    // lexicographic struct comparison is exactly the (dist ASC, cid
-    // ASC) tie rule, with map-side-combinable hash aggregation instead
-    // of a sort+window over id×k rows (round-15 fix, semantics pinned
-    // by q204's full-replay hash oracle)
-    def assign(c: DataFrame): DataFrame = q
-      .join(c, Seq("pos"))
-      .groupBy(col("id"), col("cid"))
-      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
-        .as("__d"))
-      .groupBy(col("id"))
-      .agg(min_by(struct(col("cid"), col("__d")),
-        struct(col("__d"), col("cid"))).as("__best"))
-      .select(col("id"), col("__best.cid").as("cid"),
-        col("__best.__d").as("dist"))
+    // Assignment plan (the probe-tuned KPrototypes recipe, same
+    // semantics by q204's full-replay hash oracle): for k ≤
+    // [[KPrototypes.condSumMaxK]] the whole assignment is ONE
+    // groupBy(id) with k conditional sums and an array-arithmetic
+    // argmin (first-position min = ties to the lowest cid) — no
+    // (id × k) intermediate; larger k falls back to the two-level
+    // min_by plan ordered by struct(__d, cid), the same (dist ASC,
+    // cid ASC) rule.
+    def assign(c: DataFrame): DataFrame = {
+      val terms = q.join(c, Seq("pos"))
+        .select(col("id"), col("cid"),
+          ((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("__t"))
+      if (k <= KPrototypes.condSumMaxK) {
+        val sums = (0 until k).map(i =>
+          sum(when(col("cid") === i.toLong, col("__t"))
+            .otherwise(lit(0L))).as(s"__d$i"))
+        val dArr = array((0 until k).map(i => col(s"__d$i")): _*)
+        terms.groupBy(col("id"))
+          .agg(sums.head, sums.tail: _*)
+          .select(col("id"),
+            graft.functions.Distances.argminIndex(dArr)
+              .cast("long").as("cid"),
+            array_min(dArr).as("dist"))
+      } else {
+        terms.groupBy(col("id"), col("cid"))
+          .agg(sum(col("__t")).as("__d"))
+          .groupBy(col("id"))
+          .agg(min_by(struct(col("cid"), col("__d")),
+            struct(col("__d"), col("cid"))).as("__best"))
+          .select(col("id"), col("__best.cid").as("cid"),
+            col("__best.__d").as("dist"))
+      }
+    }
     var i = 0
     while (i < maxIter) {
       val asg = assign(centroids)

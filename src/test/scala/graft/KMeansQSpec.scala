@@ -36,6 +36,15 @@ class KMeansQSpec extends SparkSuite {
     val b = KMeansQ.fit(rows.repartition(7), "vec_id", "embedding", 3, 4, 42L)
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(a == b, "partitioning changed the k-means fit")
+    // the large-k fallback plan (two-level min_by) must EQUAL the
+    // default conditional-sum plan — force it through the shared seam
+    val prevMaxK = graft.operators.KPrototypes.condSumMaxK
+    graft.operators.KPrototypes.condSumMaxK = 0
+    try {
+      val fb = KMeansQ.fit(rows, "vec_id", "embedding", 3, 4, 42L)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(fb == a, "fallback assignment plan diverged from default")
+    } finally graft.operators.KPrototypes.condSumMaxK = prevMaxK
     // guards
     intercept[IllegalArgumentException] {
       KMeansQ.fit(rows, "vec_id", "embedding", 1, 3, 1L)
@@ -43,5 +52,10 @@ class KMeansQSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       KMeansQ.fit(rows, "vec_id", "embedding", 2, 0, 1L)
     }
+    // fewer distinct vectors than k raises (phantom-cluster guard)
+    val eFew = intercept[IllegalArgumentException] {
+      KMeansQ.fit(rows.limit(2), "vec_id", "embedding", 8, 2, 1L)
+    }
+    assert(eFew.getMessage.contains("distinct"), eFew.getMessage)
   }
 }
