@@ -33,7 +33,13 @@ object KMeansQ {
 
   /** Final assignment (id, cluster, dist) after `maxIter` Lloyd
     * passes; `dist` is the exact integer squared-L2 to the final
-    * centroid.
+    * centroid. With fewer than `k` distinct vectors, k CLAMPS to the
+    * vector count (a valid clustering with fewer clusters — the
+    * pre-round-15 contract; an empty input yields an empty
+    * assignment). [[KPrototypes.fit]] deliberately RAISES in the same
+    * situation instead: its estimator's model shape (k fixed-size
+    * center arrays) cannot represent a clamped fit, so the mixed
+    * operator fails loudly rather than persist phantom centers.
     */
   def fit(
       df: DataFrame,
@@ -64,14 +70,19 @@ object KMeansQ {
       .withColumn("__r", row_number().over(seedRank))
       .select(col("id"), (col("__r") - 1).cast("long").as("cid"))
       .localCheckpoint(true)
-    // k clusters need k distinct vectors — with fewer, the
-    // conditional-sum assignment below would manufacture phantom
-    // zero-distance clusters for the unseeded cids (the KPrototypes
-    // guard; one bounded ≤k-row action on the reused checkpoint)
-    val nSeeds = seeds.count()
-    require(nSeeds == k.toLong,
-      s"KMeansQ.fit: k=$k clusters need at least k distinct vectors, " +
-        s"got $nSeeds")
+    // Fewer distinct vectors than k: CLAMP k to the seed count and
+    // proceed (kEff clusters, cids 0..kEff−1) — the pre-round-15
+    // contract, restored per the round-15 ADVICE: the phantom-cluster
+    // hazard was never in the semantics, only in running the
+    // conditional-sum plan with unseeded cids (a sum over nothing is 0
+    // and would beat every real distance), and clamping the sum count
+    // removes it without breaking n < k callers. Zero vectors degrade
+    // to an empty assignment, the same as pre-15. (One bounded ≤k-row
+    // count on the reused checkpoint.)
+    val kEff = math.min(k.toLong, seeds.count()).toInt
+    if (kEff == 0)
+      return q.select(col("id"), col("pos").cast("long").as("cluster"),
+        col("qv").as("dist")).where(lit(false))
     var centroids = q.join(seeds, Seq("id"))
       .select(col("cid"), col("pos"), col("qv").as("cv"))
       .localCheckpoint(true)
@@ -87,11 +98,11 @@ object KMeansQ {
       val terms = q.join(c, Seq("pos"))
         .select(col("id"), col("cid"),
           ((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("__t"))
-      if (k <= KPrototypes.condSumMaxK) {
-        val sums = (0 until k).map(i =>
+      if (kEff <= KPrototypes.condSumMaxK) {
+        val sums = (0 until kEff).map(i =>
           sum(when(col("cid") === i.toLong, col("__t"))
             .otherwise(lit(0L))).as(s"__d$i"))
-        val dArr = array((0 until k).map(i => col(s"__d$i")): _*)
+        val dArr = array((0 until kEff).map(i => col(s"__d$i")): _*)
         terms.groupBy(col("id"))
           .agg(sums.head, sums.tail: _*)
           .select(col("id"),

@@ -53,6 +53,13 @@ import org.apache.spark.sql.functions._
   * magnitudes ≤ ~10⁶ after quantization (pre-scale large currencies/
   * counts; the spec and q276 scale price/size into e6 ≤ 5·10⁴).
   *
+  * Fewer than k distinct (non-null-numeric) records RAISES — an
+  * intentional contract difference from [[KMeansQ.fit]] (which clamps
+  * k to the vector count): the estimator persists k fixed-size center
+  * arrays, so a clamped fit would save phantom centers that
+  * `transform` then assigns real rows to. Callers wanting a clamped
+  * mixed fit should lower k.
+  *
   * @return (id, cluster, dist) — dist is the exact integer mixed
   *         distance to the final centroid
   */

@@ -197,18 +197,28 @@ object TextAnalysis {
     * are identical to [[bm25TopKIndexed]] — the two forms agree
     * bit-for-bit on the same query set (TextAnalysisSpec).
     *
-    * When to set `maxScorePrune` here (measured, round 15): the prune
-    * pays when the query relation leaves most of the corpus
-    * UN-SEEDED — a 100-query relation against a 2M-doc
+    * `maxScorePrune` semantics (round 16 — verdict-15 ask #1): `None`
+    * (the default) decides AUTOMATICALLY from one cheap pre-flight
+    * aggregate over the qt ⋈ df relation ([[topKPruneStats]] /
+    * [[autoPruneDecision]]) — the measured round-15 decision rule
+    * ("prune pays when the query relation leaves most of the corpus
+    * un-seeded; it costs ~3× when every family is seeded") is now the
+    * engine's own default instead of a scaladoc footnote a 100 TB user
+    * must read. `Some(true)` / `Some(false)` force a side (the
+    * registered q275 keeps `Some(true)` so the pruned path stays
+    * hash-proven against the unpruned oracle). The measured law behind
+    * the rule (round 15, both at 2M docs): a 100-query relation vs a
     * stopword-dominated corpus runs the pruned path in 37 s where the
-    * raw multiply would be 2·10⁹ pairs. It HURTS when the query
-    * relation covers nearly every term family: at 100k queries
-    * spanning all 20k families of a selective corpus every doc is some
-    * query's seed doc, the candidate set degrades to the whole matched
-    * corpus, and the two extra passes just re-scan the same volume
-    * (12.6 s unpruned → 35.8 s pruned at the probe). Exhaustive-
-    * coverage retrieval (every doc as its own query, all-pairs
-    * mining) should keep the default `maxScorePrune = false`.
+    * raw multiply would be 2·10⁹ pairs (prune WINS ≥5×); a 100k-query
+    * relation spanning every family of a selective corpus makes every
+    * doc some query's seed doc, the candidate set degrades to the
+    * whole matched corpus, and the two extra passes re-scan the same
+    * volume (12.6 s unpruned → 35.8 s pruned — prune LOSES ~3×). The
+    * auto mode is EAGER: it runs one scan-shaped aggregate job (the
+    * postings ⋈ query-terms scan the scoring path pays anyway, a
+    * term-grain df count, a qt-grain window, a 1-row collect) at
+    * plan-construction time — bounded work, and ~1000× cheaper than
+    * the mis-decision it prevents (SCALING §r16 probe rows).
     */
   /** A query RELATION → (query_id, term) rows — the relation-side twin
     * of [[queryTerms]] (same tokenization: lowercase whitespace split,
@@ -226,10 +236,14 @@ object TextAnalysis {
   def bm25TopKJoin(index: TextIndex, queries: DataFrame,
                    queryIdCol: String, queryTextCol: String, k: Int,
                    k1: Double = 1.2, b: Double = 0.75,
-                   maxScorePrune: Boolean = false): DataFrame = {
+                   maxScorePrune: Option[Boolean] = None): DataFrame = {
     val qt = queryTermsOf(queries, queryIdCol, queryTextCol)
+    val prune = maxScorePrune.getOrElse {
+      val (seedVol, totVol, n) = topKPruneStats(index, qt, k, k1)
+      autoPruneDecision(seedVol, totVol, n)
+    }
     val scored =
-      if (!maxScorePrune)
+      if (!prune)
         bm25ScoredIndexed(index, qt, k1, b, broadcastQueries = false)
       else bm25ScoredIndexed(index, qt, k1, b, broadcastQueries = false,
         candidateDocs = Some(topKCandidateDocs(index, qt, k, k1, b,
@@ -276,17 +290,35 @@ object TextAnalysis {
     * the prune ON pass one per-query literal threshold, so the prune
     * stays lossless at relation grain (TextAnalysisSpec pins join ≡
     * literal, pruned and unpruned).
+    *
+    * `maxScorePrune = None` (the default) AUTO-decides from the same
+    * pre-flight statistic family as [[bm25TopKJoin]]'s auto mode,
+    * with the threshold form's own focus set: the ESSENTIAL postings
+    * volume ([[screenPruneStats]] — Σ df over the (query, term) rows
+    * whose ascending-ub cumulative sum reaches `minScoreE6`). When
+    * essentially every matched term is essential (low thresholds, or
+    * the r15bm mid-df shape where the global ub cannot separate), the
+    * candidate cut is provably empty and auto keeps the direct
+    * multiply; when the essential set is a small slice (high
+    * decontamination-grade thresholds over stopword-heavy corpora)
+    * auto prunes. `Some(b)` forces a side (q277 keeps `Some(true)` —
+    * the pruned path stays hash-proven).
     */
   def bm25ScreenJoin(index: TextIndex, queries: DataFrame,
                      queryIdCol: String, queryTextCol: String,
                      minScoreE6: Long,
                      k1: Double = 1.2, b: Double = 0.75,
                      maxDfPpm: Option[Long] = None,
-                     maxScorePrune: Boolean = false): DataFrame = {
+                     maxScorePrune: Option[Boolean] = None): DataFrame = {
     val qt = queryTermsOf(queries, queryIdCol, queryTextCol)
+    val prune = maxScorePrune.getOrElse {
+      val (essVol, totVol, n) =
+        screenPruneStats(index, qt, minScoreE6, k1, maxDfPpm)
+      autoPruneDecision(essVol, totVol, n)
+    }
     bm25ScoredIndexed(index, qt, k1, b, broadcastQueries = false,
         maxDfPpm = maxDfPpm,
-        pruneThresholdE6 = if (maxScorePrune) Some(minScoreE6) else None)
+        pruneThresholdE6 = if (prune) Some(minScoreE6) else None)
       .where(col("score_e6") >= minScoreE6)
   }
 
@@ -334,6 +366,110 @@ object TextAnalysis {
     * terms removed, and deterministically (the rule is integer-exact
     * on both engines).
     */
+  /** The relation-grain auto-prune decision (verdict-15 ask #1),
+    * shared by [[bm25TopKJoin]] and [[bm25ScreenJoin]]: given the
+    * prune's FOCUS volume (seed-prefix postings for the ranked form,
+    * essential postings for the threshold form), the total matched
+    * volume Σ_{(q,t) ∈ qt⋈df} df(t), and the corpus size N, prune iff
+    *
+    *   focusVol ≤ N/2      (the focus set cannot blanket the corpus —
+    *                        when every doc is some query's seed/
+    *                        essential doc, the candidate set degrades
+    *                        to the whole matched corpus and the extra
+    *                        passes re-scan the same volume: the
+    *                        measured 12.6 → 35.8 s r15 failure mode)
+    *   totVol ≥ 4·focusVol (there is real mass to cut — the pruned
+    *                        plan pays ~3 scan-shaped passes over the
+    *                        focus/candidate volume, so a corpus whose
+    *                        matched volume is mostly focus volume has
+    *                        nothing for θ/essential cuts to remove)
+    *
+    * Margins are measured, not tuned: the round-15/16 probe shapes
+    * sit ≥ 10× from each boundary on their deciding condition
+    * (selective 100-query shape: focusVol/N ≈ 5·10⁻³,
+    * totVol/focusVol ≈ 2·10⁵ → prune; exhaustive 100k-query shape:
+    * focusVol/N ≈ 5 → direct; SCALING §r16). Degenerate inputs
+    * (empty queries, empty index, nothing matched) decide `false` —
+    * the prune can't help when there is nothing to cut.
+    */
+  private[graft] def autoPruneDecision(
+      focusVol: Long, totVol: Long, n: Long): Boolean =
+    totVol > 0L && n > 0L &&
+      focusVol.toDouble * 2.0 <= n.toDouble &&
+      totVol.toDouble >= 4.0 * focusVol.toDouble
+
+  /** [[autoPruneDecision]]'s inputs for the RANKED form:
+    * (seedVol, totVol, N) from one aggregate over qt ⋈ df — seedVol is
+    * Σ df over each query's seed prefix (ub DESCENDING, exclusive
+    * cumulative df < k: exactly [[topKCandidateDocs]]'s seed rule, so
+    * the statistic measures the very prefix the prune would score).
+    * Cost: the postings ⋈ query-terms scan (which the scoring path
+    * pays anyway), one term-grain count, one qt-grain window, a 1-row
+    * collect. Hint-free throughout (the join forms' posture).
+    */
+  private[graft] def topKPruneStats(
+      index: TextIndex, qt: DataFrame, k: Int,
+      k1: Double): (Long, Long, Long) = {
+    val stats = index.doclen
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+    val tfQ0 = index.postings
+      .join(qt.select("term").distinct(), Seq("term"))
+    val df = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wSeed = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ub").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = qt
+      .join(maxScoreUb(df, stats, k1).join(df, Seq("term")), Seq("term"))
+      .withColumn("__cum", sum(col("df")).over(wSeed))
+      .crossJoin(broadcast(stats.select(col("__n"))))
+      .agg(
+        sum(when(col("__cum") - col("df") < k, col("df"))
+          .otherwise(lit(0L))).as("__seedVol"),
+        sum(col("df")).as("__totVol"),
+        max(col("__n")).as("__nn"))
+      .head()
+    if (r.isNullAt(1)) (0L, 0L, 0L)
+    else (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** [[autoPruneDecision]]'s inputs for the THRESHOLD form:
+    * (essVol, totVol, N) — essVol is Σ df over the ESSENTIAL
+    * (query, term) rows (ascending-ub cumulative sum ≥ `thr`: exactly
+    * [[maxScoreCandidateDocsPerQuery]]'s essential rule at a fixed
+    * per-query threshold), after the same `maxDfPpm` term cut the
+    * screen itself would apply. Same single-aggregate cost shape as
+    * [[topKPruneStats]].
+    */
+  private[graft] def screenPruneStats(
+      index: TextIndex, qt: DataFrame, thr: Long, k1: Double,
+      maxDfPpm: Option[Long]): (Long, Long, Long) = {
+    val stats = index.doclen
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+    val tfQ0 = index.postings
+      .join(qt.select("term").distinct(), Seq("term"))
+    val dfAll = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = maxDfPpm.fold(dfAll) { ppm =>
+      dfAll.crossJoin(broadcast(stats.select(col("__n"))))
+        .where(col("df") * lit(1000000L) <= lit(ppm) * col("__n"))
+        .drop("__n")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ub").asc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = qt
+      .join(maxScoreUb(df, stats, k1).join(df, Seq("term")), Seq("term"))
+      .withColumn("__cum", sum(col("__ub")).over(w))
+      .crossJoin(broadcast(stats.select(col("__n"))))
+      .agg(
+        sum(when(col("__cum") >= lit(thr), col("df"))
+          .otherwise(lit(0L))).as("__essVol"),
+        sum(col("df")).as("__totVol"),
+        max(col("__n")).as("__nn"))
+      .head()
+    if (r.isNullAt(1)) (0L, 0L, 0L)
+    else (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** The MaxScore prune's candidate set: docs carrying at least one
     * ESSENTIAL term for some query (see [[bm25ScoredIndexed]]'s prune
     * scaladoc for the ub/prefix argument). Split out so

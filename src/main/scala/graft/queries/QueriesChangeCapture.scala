@@ -741,9 +741,13 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
     val docs = t(s, dir, "documents")
     val path = scratchDir("text_topk_join")
     IndexStore.saveTextIndex(docs, "doc_id", "text", path)
+    // forced Some(true), not auto: this query IS the pruned path's
+    // losslessness proof against the unpruned brute-force oracle —
+    // auto (which would pick the direct plan at this shape) would
+    // silently un-prove it
     TextAnalysis.bm25TopKJoin(IndexStore.loadTextIndex(s, path),
         docDerivedQueries(docs), "query_id", "qtext", 5,
-        maxScorePrune = true)
+        maxScorePrune = Some(true))
       .orderBy("query_id", "rnk")
   }
 
@@ -771,7 +775,7 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
     IndexStore.saveTextIndex(docs, "doc_id", "text", path)
     TextAnalysis.bm25ScreenJoin(IndexStore.loadTextIndex(s, path),
         docDerivedQueries(docs), "query_id", "qtext",
-        minScoreE6 = 2000000L, maxScorePrune = true)
+        minScoreE6 = 2000000L, maxScorePrune = Some(true))
       .orderBy("query_id", "doc_id")
   }
 

@@ -28,17 +28,23 @@ class EmptyInputSpec extends SparkSuite {
       .toDF("doc_id", "text")
     val idx = TextAnalysis.textIndex(docs, "doc_id", "text")
     val emptyQ = emptyDocs.selectExpr("doc_id AS qid", "text AS qtext")
+    // default = AUTO: the eager pre-flight statistic must decide
+    // cleanly (no prune — nothing matched) on an empty query relation
     assert(TextAnalysis.bm25TopKJoin(idx, emptyQ, "qid", "qtext", 5)
       .count() == 0)
     assert(TextAnalysis.bm25TopKJoin(idx, emptyQ, "qid", "qtext", 5,
-      maxScorePrune = true).count() == 0)
+      maxScorePrune = Some(true)).count() == 0)
     assert(TextAnalysis.bm25ScreenJoin(idx, emptyQ, "qid", "qtext",
-      minScoreE6 = 1L, maxScorePrune = true).count() == 0)
-    // empty CORPUS, live queries: no matches, no crash (pruned too)
+      minScoreE6 = 1L, maxScorePrune = Some(true)).count() == 0)
+    assert(TextAnalysis.bm25ScreenJoin(idx, emptyQ, "qid", "qtext",
+      minScoreE6 = 1L).count() == 0)
+    // empty CORPUS, live queries: no matches, no crash (pruned + auto)
     val emptyIdx = TextAnalysis.textIndex(emptyDocs, "doc_id", "text")
     val liveQ = Seq((1L, "alpha")).toDF("qid", "qtext")
     assert(TextAnalysis.bm25TopKJoin(emptyIdx, liveQ, "qid", "qtext", 5,
-      maxScorePrune = true).count() == 0)
+      maxScorePrune = Some(true)).count() == 0)
+    assert(TextAnalysis.bm25TopKJoin(emptyIdx, liveQ, "qid", "qtext", 5)
+      .count() == 0)
     // KPrototypes on an empty relation: the distinct-ids-vs-k guard
     // raises with its own message (an empty fit has no honest answer)
     val e = intercept[IllegalArgumentException] {

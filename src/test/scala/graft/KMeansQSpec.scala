@@ -52,10 +52,19 @@ class KMeansQSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       KMeansQ.fit(rows, "vec_id", "embedding", 2, 0, 1L)
     }
-    // fewer distinct vectors than k raises (phantom-cluster guard)
-    val eFew = intercept[IllegalArgumentException] {
-      KMeansQ.fit(rows.limit(2), "vec_id", "embedding", 8, 2, 1L)
-    }
-    assert(eFew.getMessage.contains("distinct"), eFew.getMessage)
+    // fewer distinct vectors than k CLAMPS to the vector count (the
+    // pre-round-15 contract, restored per round-15 ADVICE): every
+    // vector gets a real cluster in 0..n−1, no phantom zero-distance
+    // clusters, and a vector that IS its centroid sits at dist 0
+    val few = KMeansQ.fit(rows.limit(2), "vec_id", "embedding", 8, 2, 1L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(few.map(_._1) == Seq(1L, 2L), few.toString)
+    assert(few.map(_._2).toSet == Set(0L, 1L),
+      s"2 vectors at k=8 must form exactly 2 singleton clusters: $few")
+    assert(few.forall(_._3 == 0L),
+      s"singleton clusters sit on their own centroid: $few")
+    // empty input degrades to an empty assignment, not a raise
+    assert(KMeansQ.fit(rows.limit(0), "vec_id", "embedding", 8, 2, 1L)
+      .count() == 0L)
   }
 }

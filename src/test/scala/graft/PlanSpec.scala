@@ -67,24 +67,24 @@ class PlanSpec extends SparkSuite {
       .selectExpr("doc_id AS query_id", "text AS qtext")
     for ((name, df) <- Seq(
       "bm25TopKJoin-pruned" -> graft.operators.TextAnalysis.bm25TopKJoin(
-        idx, queries, "query_id", "qtext", 5, maxScorePrune = true),
+        idx, queries, "query_id", "qtext", 5,
+        maxScorePrune = Some(true)),
       "bm25ScreenJoin-pruned" -> graft.operators.TextAnalysis
         .bm25ScreenJoin(idx, queries, "query_id", "qtext",
-          minScoreE6 = 2000000L, maxScorePrune = true))) {
+          minScoreE6 = 2000000L, maxScorePrune = Some(true)))) {
       // the one legitimate hint shape: the broadcast of the ONE-ROW
-      // corpus stats fold (crossJoin(broadcast(stats)) — a grouping-
-      // free Aggregate); anything else is a forced hint on a
-      // potentially query-sized relation
+      // corpus stats fold (crossJoin(broadcast(stats))). Tightened
+      // (round-16 ADVICE): the hinted subtree's max output must be
+      // PROVABLY one row — a collectFirst for a grouping-free
+      // Aggregate anywhere below would also pass a forced broadcast
+      // of a query-sized relation that merely CONTAINS the stats fold
       val hints = df.queryExecution.analyzed.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
       }
       hints.foreach { h =>
-        val oneRowAgg = h.child.collectFirst {
-          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
-            if a.groupingExpressions.isEmpty => a
-        }
-        assert(oneRowAgg.isDefined,
-          s"$name carries a forced hint on a non-stats relation:\n$h")
+        assert(h.child.maxRows.contains(1L),
+          s"$name carries a forced hint on a relation not provably " +
+            s"one row:\n$h")
       }
     }
   }

@@ -100,7 +100,7 @@ class TextAnalysisSpec extends SparkSuite {
       val literal = canon(TextAnalysis.bm25TopKIndexed(idx, queries, k,
         maxScorePrune = prune))
       val joined = canon(TextAnalysis.bm25TopKJoin(idx, qDf,
-        "qid", "qtext", k, maxScorePrune = prune))
+        "qid", "qtext", k, maxScorePrune = Some(prune)))
       assert(joined == literal,
         s"join form must equal literal form at k=$k prune=$prune")
     }
@@ -126,9 +126,74 @@ class TextAnalysisSpec extends SparkSuite {
         minScoreE6 = 1000000L, maxDfPpm = ppm, maxScorePrune = prune))
       val joined = canon(TextAnalysis.bm25ScreenJoin(idx, qDf,
         "qid", "qtext", minScoreE6 = 1000000L, maxDfPpm = ppm,
-        maxScorePrune = prune))
+        maxScorePrune = Some(prune)))
       assert(joined == literal,
         s"screen join ≡ literal must hold at prune=$prune ppm=$ppm")
+    }
+  }
+
+  test("auto maxScorePrune (ranked): the pre-flight statistic picks " +
+      "PRUNE on a selective query relation and DIRECT on an " +
+      "exhaustive one; auto output is bit-identical to both forced " +
+      "sides either way") {
+    val idx = TextAnalysis.textIndex(famDocs, "doc_id", "text")
+    // selective: 2 family queries against 10 families — seeds cover
+    // 40 of 200 docs, the stopword mass (10 × df=200 per query)
+    // dominates totVol → prune
+    val selQ = famDocs.where(col("doc_id").isin(0L, 55L))
+      .selectExpr("doc_id AS qid", "text AS qtext")
+    val selQt = TextAnalysis.queryTermsOf(selQ, "qid", "qtext")
+    val (sv1, tv1, n1) = TextAnalysis.topKPruneStats(idx, selQt, 5, 1.2)
+    assert(n1 == 200L && sv1 == 40L && tv1 == 4120L, s"($sv1, $tv1, $n1)")
+    assert(TextAnalysis.autoPruneDecision(sv1, tv1, n1),
+      "selective relation must decide PRUNE")
+    // exhaustive: EVERY doc as its own query — seed volume alone
+    // (20/query × 200 queries = 4000) dwarfs the 200-doc corpus, the
+    // r15 failure shape → direct
+    val allQ = famDocs.selectExpr("doc_id AS qid", "text AS qtext")
+    val allQt = TextAnalysis.queryTermsOf(allQ, "qid", "qtext")
+    val (sv2, tv2, n2) = TextAnalysis.topKPruneStats(idx, allQt, 5, 1.2)
+    assert(sv2 == 4000L && n2 == 200L, s"($sv2, $tv2, $n2)")
+    assert(!TextAnalysis.autoPruneDecision(sv2, tv2, n2),
+      "exhaustive relation must decide DIRECT")
+    // losslessness means auto ≡ forced(TRUE) ≡ forced(FALSE) at BOTH
+    // shapes — whichever side auto picks, the rows cannot differ
+    for (q <- Seq(selQ, allQ)) {
+      val auto = canon(TextAnalysis.bm25TopKJoin(idx, q,
+        "qid", "qtext", 5))
+      assert(auto == canon(TextAnalysis.bm25TopKJoin(idx, q,
+        "qid", "qtext", 5, maxScorePrune = Some(false))))
+      assert(auto == canon(TextAnalysis.bm25TopKJoin(idx, q,
+        "qid", "qtext", 5, maxScorePrune = Some(true))))
+    }
+  }
+
+  test("auto maxScorePrune (threshold): essential-volume statistic " +
+      "prunes at decontamination-grade thresholds, keeps the direct " +
+      "multiply when everything is essential; auto ≡ forced") {
+    val idx = TextAnalysis.textIndex(famDocs, "doc_id", "text")
+    val selQ = famDocs.where(col("doc_id") === 0L)
+      .selectExpr("doc_id AS qid", "text AS qtext")
+    val qt = TextAnalysis.queryTermsOf(selQ, "qid", "qtext")
+    // thr = 2e6: the stopword ascending-ub prefix (cum ≈ 55k) is
+    // non-essential, essVol = the 3 family terms' 60 postings
+    val (ev1, tv1, n1) =
+      TextAnalysis.screenPruneStats(idx, qt, 2000000L, 1.2, None)
+    assert(ev1 == 60L && tv1 == 2060L && n1 == 200L, s"($ev1, $tv1, $n1)")
+    assert(TextAnalysis.autoPruneDecision(ev1, tv1, n1))
+    // thr = 1: every matched term is essential (cum ≥ 1 from the first
+    // ub) — the prune provably cuts nothing → direct
+    val (ev2, tv2, _) =
+      TextAnalysis.screenPruneStats(idx, qt, 1L, 1.2, None)
+    assert(ev2 == tv2, s"($ev2, $tv2)")
+    assert(!TextAnalysis.autoPruneDecision(ev2, tv2, n1))
+    for (thr <- Seq(1L, 2000000L)) {
+      val auto = canon(TextAnalysis.bm25ScreenJoin(idx, selQ,
+        "qid", "qtext", minScoreE6 = thr))
+      assert(auto == canon(TextAnalysis.bm25ScreenJoin(idx, selQ,
+        "qid", "qtext", minScoreE6 = thr, maxScorePrune = Some(false))))
+      assert(auto == canon(TextAnalysis.bm25ScreenJoin(idx, selQ,
+        "qid", "qtext", minScoreE6 = thr, maxScorePrune = Some(true))))
     }
   }
 
