@@ -3617,6 +3617,23 @@ object IndexStore {
           s"by an unrelated $deleteOp rather than a crashed $op, this " +
           "append adds documents nobody requested — verify the id set " +
           "before trusting the result")
+      // DURABLE audit twin of the warning (round-16 ADVICE): the
+      // warning is the only trail for the indistinguishable
+      // unrelated-takedown case, and sinks that drop stderr (the
+      // default in batch jobs) lose it with the process — so the
+      // classification also lands as one row in an append-only
+      // `crash_retries` parquet log beside the deletes table, BEFORE
+      // the append runs (a crash inside the append must not erase the
+      // record that the ambiguous branch was taken). Plain
+      // non-generation dir by design: an audit log is never
+      // compacted, swapped, or reset by a rebuild.
+      locally {
+        import spark.implicits._
+        Seq((System.currentTimeMillis(), op, idColName, nOld, nNew))
+          .toDF("ts_millis", "op", "id_col", "n_old", "n_new")
+          .coalesce(1).write.mode("append")
+          .parquet(s"$path/crash_retries")
+      }
       append()
       (0L, nNew)
     } else {

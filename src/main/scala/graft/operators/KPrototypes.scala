@@ -86,6 +86,47 @@ object KPrototypes {
       seed: Long): DataFrame =
     core(df, idCol, catCols, numCols, k, gammaE12, maxIter, seed)._1
 
+  /** Huang 1998's γ heuristic (§4 of the paper: γ ≈ 0.5·σ̄ of the
+    * numeric attributes, stated for UNIT-VARIANCE data where per-
+    * attribute squared distances are O(1)) translated to this
+    * engine's integer units, where one categorical mismatch weighs
+    * against SQUARED e6-quantized numeric terms:
+    *
+    *   γ_e12 = ⌊0.5 · mean_j(σ_q,j²)⌋   (σ_q,j = population stddev of
+    *                                      attribute j on the ·10⁶
+    *                                      quantized scale)
+    *
+    * Mean-of-VARIANCES, not squared mean-of-stddevs, on purpose: the
+    * expected per-attribute squared term between two random rows is
+    * 2·mean(σ²), so this γ pins the mismatch-to-numeric ratio at
+    * Huang's unit-variance value (0.5/2 = 0.25) for EVERY dataset —
+    * the property that makes the suggestion scale-free. On the q276
+    * part fixture it lands ≈ 5·10⁷ — gentler than the hand-picked
+    * γ = 10⁹ (which was pinned to the LARGEST single squared size
+    * term, the aggressive end), and inside the two-orders window
+    * where neither attribute kind collapses (KPrototypesSpec pins
+    * it). One stddev aggregate, no shuffle beyond it; NULL numerics
+    * are ignored per-column (the aggregate's own null rule — fit
+    * drops such rows entirely, a difference only mixed-null inputs
+    * see). A degenerate input (no rows, all-constant columns)
+    * suggests 0 — γ = 0 is the documented "numeric-only"
+    * degeneration, not an error. The suggestion is a starting point,
+    * not a fit parameter: callers with domain knowledge should still
+    * override ([[KPrototypesParams.gammaE12]] stays raw).
+    */
+  def suggestGammaE12(df: DataFrame, numCols: Seq[String]): Long = {
+    require(numCols.nonEmpty,
+      "suggestGammaE12: need at least one numeric column")
+    val r = df.select(numCols.map(c =>
+      stddev_pop(floor(col(c).cast("double") * lit(1000000.0))
+        .cast("long")).as(s"__s_$c")): _*).head()
+    val meanVar = numCols.indices
+      .map(i => if (r.isNullAt(i)) 0.0
+        else { val s = r.getDouble(i); s * s })
+      .sum / numCols.size
+    math.floor(0.5 * meanVar).toLong
+  }
+
   /** The Lloyd loop, returning the final assignment plus the final
     * centroid relations ((cid, pos, cv) numeric / (cid, cpos, cw)
     * categorical; null when that attribute kind is absent) — the

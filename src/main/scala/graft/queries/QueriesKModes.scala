@@ -356,7 +356,15 @@ private[graft] trait QueriesKModes { this: Queries.type =>
       .orderBy("cluster")
   }
 
-  val kprototypesPartsSql: String = {
+  /** The q276/q278 shared mixed-Lloyd replay prelude (`WITH base …
+    * cn3/cc3`): quantized base rows (optionally slice-filtered —
+    * q278 trains on the even-key half), long-format qn/qc, md5 seed
+    * ranking, and three unrolled assign/update iterations whose final
+    * centers are cn3 (numeric) and cc3 (categorical). Defined ONCE so
+    * the fit oracle and the estimator-persistence oracle replay the
+    * same algorithm by construction.
+    */
+  private def kprototypesLloydPrelude(baseWhere: String): String = {
     def iter(i: Int) =
       s"""nd$i AS (SELECT qn.id, c.cid,
          |    SUM((qn.qv - c.cv) * (qn.qv - c.cv)) AS nd
@@ -395,7 +403,7 @@ private[graft] trait QueriesKModes { this: Queries.type =>
        |    CAST(FLOOR((p_retailprice / 100000.0) * 1000000.0) AS BIGINT)
        |      AS q1
        |  FROM part
-       |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL),
+       |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL$baseWhere),
        |qn AS MATERIALIZED (SELECT id, 0 AS pos, q0 AS qv FROM base
        |  UNION ALL SELECT id, 1, q1 FROM base),
        |qc AS MATERIALIZED (SELECT id, 0 AS cpos, c0 AS cv FROM base
@@ -411,7 +419,11 @@ private[graft] trait QueriesKModes { this: Queries.type =>
        |  FROM sd JOIN qc ON qc.id = sd.id WHERE sd.r <= 4),
        |${iter(1)},
        |${iter(2)},
-       |${iter(3)},
+       |${iter(3)}""".stripMargin
+  }
+
+  val kprototypesPartsSql: String =
+    s"""${kprototypesLloydPrelude("")},
        |ndf AS (SELECT qn.id, c.cid,
        |    SUM((qn.qv - c.cv) * (qn.qv - c.cv)) AS nd
        |  FROM qn JOIN cn3 c ON c.pos = qn.pos GROUP BY 1, 2),
@@ -426,5 +438,69 @@ private[graft] trait QueriesKModes { this: Queries.type =>
        |SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
        |  CAST(SUM(d) AS BIGINT) AS inertia
        |FROM afin GROUP BY cid ORDER BY cluster""".stripMargin
+
+  /** q278: the [[KPrototypesEstimator]] PERSISTENCE + TRANSFORM path
+    * (verdict-15 ask #3 — the one new-code path q276 left spec-only):
+    * fit the estimator on the EVEN-keyed half of the part table (same
+    * columns/γ/seed as q276), `write.overwrite().save` the fitted
+    * model, `KPrototypesModel.load` it back, and assign the held-out
+    * ODD-keyed half with the loaded model's `transform` — the
+    * literal-folded all-built-in mixed-distance expression
+    * (KPrototypes.scala `distArray` / the Writer–Reader parquet
+    * roundtrip). Output: held-out cluster sizes. Oracle: the q276
+    * Lloyd prelude restricted to the training slice (shared SQL — the
+    * two oracles cannot drift), then the held-out rows assigned
+    * against the final cn3/cc3 centers by the same (d ASC, cid ASC)
+    * argmin — so a persistence bug (reordered centers, lost γ,
+    * dropped quantization) breaks the hash.
+    */
+  def kprototypesTransform(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"),
+      col("p_brand"), col("p_type"),
+      (col("p_size") / lit(1000.0)).as("sz"),
+      (col("p_retailprice") / lit(100000.0)).as("pr"))
+      .where(col("sz").isNotNull && col("pr").isNotNull)
+    val train = p.where(pmod(col("p_partkey"), lit(2)) === 0)
+    val holdout = p.where(pmod(col("p_partkey"), lit(2)) === 1)
+    val fitted = new KPrototypesEstimator()
+      .setK(4).setGammaE12(1000000000L).setMaxIter(3).setSeed(42L)
+      .setIdCol("p_partkey")
+      .setCatCols(Seq("p_brand", "p_type")).setNumCols(Seq("sz", "pr"))
+      .fit(train)
+    val path = s"${scratchDir("kprototypes_model")}/m"
+    fitted.write.overwrite().save(path)
+    KPrototypesModel.load(path).transform(holdout)
+      .groupBy(col("prediction").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cluster")
   }
+
+  val kprototypesTransformSql: String =
+    s"""${kprototypesLloydPrelude(" AND p_partkey % 2 = 0")},
+       |hold AS MATERIALIZED (SELECT p_partkey AS id,
+       |    COALESCE(CAST(p_brand AS VARCHAR), '∅') AS c0,
+       |    COALESCE(CAST(p_type AS VARCHAR), '∅') AS c1,
+       |    CAST(FLOOR((p_size / 1000.0) * 1000000.0) AS BIGINT) AS q0,
+       |    CAST(FLOOR((p_retailprice / 100000.0) * 1000000.0) AS BIGINT)
+       |      AS q1
+       |  FROM part
+       |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+       |    AND p_partkey % 2 = 1),
+       |hn AS (SELECT id, 0 AS pos, q0 AS qv FROM hold
+       |  UNION ALL SELECT id, 1, q1 FROM hold),
+       |hc AS (SELECT id, 0 AS cpos, c0 AS cv FROM hold
+       |  UNION ALL SELECT id, 1, c1 FROM hold),
+       |ndh AS (SELECT hn.id, c.cid,
+       |    SUM((hn.qv - c.cv) * (hn.qv - c.cv)) AS nd
+       |  FROM hn JOIN cn3 c ON c.pos = hn.pos GROUP BY 1, 2),
+       |cdh AS (SELECT hc.id, c.cid,
+       |    SUM(CASE WHEN hc.cv <> c.cw THEN 1 ELSE 0 END) AS cd
+       |  FROM hc JOIN cc3 c ON c.cpos = hc.cpos GROUP BY 1, 2),
+       |dh AS (SELECT nd.id, nd.cid, nd.nd + 1000000000 * cd.cd AS d
+       |  FROM ndh nd JOIN cdh cd USING (id, cid)),
+       |ah AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d ASC, cid ASC)
+       |      AS rn FROM dh) WHERE rn = 1)
+       |SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM ah GROUP BY cid ORDER BY cluster""".stripMargin
 }

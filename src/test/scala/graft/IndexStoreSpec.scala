@@ -1905,6 +1905,15 @@ class IndexStoreSpec extends SparkSuite {
     finally IndexStore.leaseWarnSink = prevSink
     assert(retryWarnings.size == 1 &&
       retryWarnings.head.contains("CRASH-RETRY"), retryWarnings.toString)
+    // ...and the classification is also DURABLE (round-16 ADVICE): one
+    // audit row beside the deletes table survives the process even when
+    // the warn sink drops stderr; fresh-run replaces write none (the
+    // first replace above is the control)
+    val audit = spark.read.parquet(s"$path/crash_retries").collect()
+    assert(audit.length == 1, audit.mkString(","))
+    assert(audit.head.getAs[String]("op") == "replaceTextDocs" &&
+      audit.head.getAs[Long]("n_old") == 1L &&
+      audit.head.getAs[Long]("n_new") == 1L, audit.head.toString)
     assert(spark.read.parquet(
         IndexStore.tableDir(spark, path, "doclen"))
       .where(col("doc_id") === 210L).count() == 1L)

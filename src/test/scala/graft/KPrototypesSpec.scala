@@ -127,6 +127,36 @@ class KPrototypesSpec extends SparkSuite {
       "a loaded model must transform identically")
   }
 
+  test("suggestGammaE12: exact on a known-σ column, balanced on the " +
+      "q276 fixture, degenerate inputs suggest 0") {
+    // two-point column {0, 2}: quantized σ²_pop = 1e12 → γ = 0.5e12
+    val twoPt = Seq((1L, 0.0), (2L, 2.0)).toDF("id", "n1")
+    assert(KPrototypes.suggestGammaE12(twoPt, Seq("n1"))
+      == 500000000000L)
+    // mean-of-variances rule: adding a CONSTANT column (σ² = 0)
+    // halves the mean variance → half γ
+    val withConst = twoPt.withColumn("n2",
+      org.apache.spark.sql.functions.lit(5.0))
+    assert(KPrototypes.suggestGammaE12(withConst, Seq("n1", "n2"))
+      == 250000000000L)
+    // the q276 part fixture (same scaling): the suggestion must land
+    // inside the balanced window around the hand-picked γ = 1e9 —
+    // within two orders of magnitude, where neither attribute kind
+    // collapses (the hand-picked value sat at the aggressive end:
+    // the LARGEST single squared size term)
+    val part = spark.read
+      .parquet("/root/testdata/sf0.001/part.parquet")
+      .selectExpr("p_size / 1000.0 AS sz", "p_retailprice / 100000.0 AS pr")
+    val g = KPrototypes.suggestGammaE12(part, Seq("sz", "pr"))
+    assert(g >= 10000000L && g <= 100000000000L,
+      s"q276-fixture suggestion $g outside the balanced window of 1e9")
+    // degenerate: empty input and all-null columns suggest 0 (γ = 0 is
+    // the documented numeric-only degeneration, not an error)
+    assert(KPrototypes.suggestGammaE12(twoPt.limit(0), Seq("n1")) == 0L)
+    assert(KPrototypes.suggestGammaE12(
+      Seq((1L, Option.empty[Double])).toDF("id", "n1"), Seq("n1")) == 0L)
+  }
+
   test("cost is non-increasing over Lloyd iterations (the property " +
       "updates must preserve: mode minimizes Hamming, floor-mean " +
       "tracks the squared-L2 argmin)") {
