@@ -43,6 +43,47 @@ object Bench {
           xxhash64(col("text")))
         .collect()
     }
+    // DRIFT SENTINELS (round-15 verdict ask #6): two fixed synthetic
+    // workloads timed on every bench run and recorded in the JSON, so
+    // cross-round comparisons can NORMALIZE by the box's speed that
+    // day instead of re-litigating per-query outliers (the bench box
+    // drifts 10-15% intra-day; r14/r15 both needed manual A/B
+    // archaeology, and the r16 q267/q268 adjudication found 1.25-1.8×
+    // uniform drift on untouched code). `sentinel_cpu_sec` is pure
+    // codegen arithmetic (no I/O, no data shuffle — 2e9-row range
+    // aggregate); `sentinel_io_sec` writes + reads a fixed ~50 MB
+    // parquet in a temp dir (the index-lifecycle queries are
+    // disk-bound, and disk and CPU drift independently — the r16
+    // adjudication saw 1.25× CPU-ish vs 1.8× disk-ish inflation).
+    // Best-of-N, like queries_min: load can only ADD time. How to
+    // read: if round B's sentinel is 1.15× round A's, expect ~15%
+    // uniform inflation on B's walls before calling any single query
+    // a regression (SURVEY §9).
+    def sentinelTime(reps: Int)(body: => Unit): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); body
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val sentinelCpu = sentinelTime(3) {
+      spark.range(2000000000L)
+        .selectExpr("sum(id * 3 + (id % 7))").collect(): Unit
+    }
+    val sentinelIo = sentinelTime(2) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_bench_sentinel").toFile
+      try {
+        spark.range(5000000L)
+          .selectExpr("id", "id * 7 AS a", "CAST(id % 97 AS STRING) AS s")
+          .write.mode("overwrite").parquet(d.toString)
+        spark.read.parquet(d.toString)
+          .selectExpr("sum(a)", "count(s)").collect(): Unit
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(d)
+      }
+    }
     // netlib BLAS fallback warnings arrive via java.util.logging, not
     // log4j, and would otherwise land in the output tail the driver
     // parses — silence JUL below SEVERE for the whole run.
@@ -140,14 +181,14 @@ object Bench {
     // mid-line). Stdout gets a SHORT summary line (<1 KB) instead, with
     // a pointer to the side file carrying the maps.
     val fullJson =
-      s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","queries":$qs,"queries_min":$mins,"runs_per_query":$ns,"noisy":$noisy,"failed":$failed,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","sentinel_cpu_sec":$sentinelCpu,"sentinel_io_sec":$sentinelIo,"queries":$qs,"queries_min":$mins,"runs_per_query":$ns,"noisy":$noisy,"failed":$failed,"sf":${jstr(sfDir)}}"""
       // (fullJson keeps the failed name LIST — it has no size budget)
     // stdout stays bounded no matter how many queries fail: a failure
     // COUNT, not the name list (~6 KB at 240 names — that would blow
     // the 2000-char driver tail exactly when the signal matters most);
     // the full names ride the side file.
     val shortJson =
-      s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._4 == 0)},"n_noisy":${results.count { case (_, med, min, n) => n > 1 && min > 0 && med / min > 1.5 }},"sf":${jstr(sfDir)},"detail":${jstr(sideFile)}}"""
+      s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","sentinel_cpu_sec":$sentinelCpu,"sentinel_io_sec":$sentinelIo,"n_queries":${results.size},"n_failed":${results.count(_._4 == 0)},"n_noisy":${results.count { case (_, med, min, n) => n > 1 && min > 0 && med / min > 1.5 }},"sf":${jstr(sfDir)},"detail":${jstr(sideFile)}}"""
     // side file FIRST so the stdout pointer never dangles on a crash
     // between the two writes; a failed side-file write is reported on
     // stderr and must not eat the primary channel. Both happen BEFORE

@@ -319,6 +319,8 @@ object Behavior {
     val byT = rows.groupBy(col("t"))
       .agg(sum(col("e")).as("d"), (count(lit(1)) - sum(col("e"))).as("c"))
     val total = rows.agg(count(lit(1)).as("__n"))
+    // time-grain global window: input is the per-t aggregate (distinct
+    // event times), the Kaplan-Meier product's own grain
     val wPrior = Window.orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     // at-risk = total minus everyone who exited strictly earlier;

@@ -219,6 +219,9 @@ object Profile {
     require(topPct >= 1 && topPct <= 99, "topPct in [1, 99]")
     val keyAgg = df.groupBy(col(keyCol).as("k"))
       .agg(sum(col(valueCol).cast("long")).as("v"))
+    // key-grain global windows over the per-key AGGREGATE (one row per
+    // key, not per event): Gini/top-share is a total order over key
+    // sums by definition — the report's contract, not an event pass
     val wAsc = Window.orderBy(col("v").asc, col("k").asc)
     val wDesc = Window.orderBy(col("v").desc, col("k").asc)
     val ranked = keyAgg

@@ -267,6 +267,9 @@ object Sampling {
     val m = if (draws > 0) draws else 2 * k
     require(m >= k, "draws must be >= k")
     import org.apache.spark.sql.expressions.Window
+    // item-DICTIONARY-grain global window: its input is the distinct
+    // pool catalog (the labelDictionary bound), never the
+    // interaction/event table the anchors come from
     val idx = pool.select(col(poolIdCol).as("__item"))
       .where(col("__item").isNotNull).distinct()
       .withColumn("__pos",

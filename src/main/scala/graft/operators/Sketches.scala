@@ -247,6 +247,8 @@ object Sketches {
     val labels = qs.map(q => s"p${math.round(q * 100)}")
     require(labels.distinct.size == labels.size,
       s"quantile labels collide after rounding to whole percents: $labels")
+    // bucket-grain (cap-bounded sketch state) — a global window here
+    // ranks at most `cap` kept buckets per group, never raw rows
     val wOrder =
       if (groupCols.isEmpty) Window.orderBy(col("bucket"))
       else Window.partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
@@ -347,6 +349,8 @@ object Sketches {
       rows: DataFrame, cap: Int, groupCols: Seq[String]): DataFrame = {
     val counts = rows.groupBy((groupCols :+ "lmax").map(col): _*)
       .agg(count(lit(1)).as("__c"))
+    // level-grain: one row per (group, lmax) — bounded by the ~60
+    // possible halving levels, not by data volume
     val w =
       if (groupCols.isEmpty) Window.orderBy(col("lmax").desc)
       else Window.partitionBy(groupCols.map(col): _*)
@@ -466,6 +470,8 @@ object Sketches {
     require(qPpms.nonEmpty && qPpms.forall(q => q >= 0 && q <= 1000000L),
       "quantile targets are ppm in [0, 1e6]")
     val g = state.groupCols
+    // kept-item grain: the state is compaction-capped (≤ cap rows per
+    // group), so the readout's global rank never sees raw rows
     val wOrd =
       if (g.isEmpty) Window.orderBy(col("v").asc, col("h").asc)
       else Window.partitionBy(g.map(col): _*)

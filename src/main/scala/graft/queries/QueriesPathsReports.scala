@@ -132,6 +132,8 @@ private[graft] trait QueriesPathsReports { this: Queries.type =>
         abs(col("y_milli") - floor(col("slope") * col("x").cast("double")
           + col("icept")).cast("long")))
     val cal = scored.where(col("split") === 2)
+    // calibration-split grain: the conformal rank runs over the CAL
+    // slice only (a fixed fraction of the fit fixture, report-sized)
     val w = Window.orderBy(col("__res").asc, col("x").asc,
       col("y_milli").asc)
     val qhat = cal.withColumn("__r", row_number().over(w))
@@ -284,6 +286,8 @@ private[graft] trait QueriesPathsReports { this: Queries.type =>
       // untestable strata (label never varies → null p) cannot enter a
       // multiple-testing correction; drop them before ranking
       .where(col("p_ppm").isNotNull)
+    // strata-grain global window: one row per tested stratum (the BH
+    // correction is a total order over the k hypotheses by definition)
     val w = Window.orderBy(col("p_ppm").asc, col("o_orderpriority").asc)
     val ranked = tests
       .withColumn("rank", row_number().over(w))
@@ -427,6 +431,8 @@ private[graft] trait QueriesPathsReports { this: Queries.type =>
     val byValue = daily.groupBy(col("rev"))
       .agg(sum(when(col("we"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("we"), 1L).otherwise(0L)).as("cb"))
+    // distinct-value grain: input is the per-rev-value aggregate (the
+    // KS statistic's own grain), day-bounded here
     val w = Window.orderBy(col("rev").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val tot = byValue.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
@@ -486,6 +492,8 @@ private[graft] trait QueriesPathsReports { this: Queries.type =>
           .as("pos"),
         sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L))
           .as("neg"))
+    // distinct-threshold grain: one row per candidate qty cut (the
+    // stump sweep's aggregate input, ~50 distinct quantities)
     val w = Window.orderBy(col("qty").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val tot = byQty.agg(sum(col("pos")).as("tp"), sum(col("neg")).as("tn"))
@@ -496,6 +504,7 @@ private[graft] trait QueriesPathsReports { this: Queries.type =>
       .withColumn("errors",
         least(col("pl"), col("nl")) +
           least(col("tp") - col("pl"), col("tn") - col("nl")))
+    // same distinct-threshold grain as the sweep above (argmin pick)
     val best = Window.orderBy(col("errors").asc, col("qty").asc)
     scored.withColumn("__rn", row_number().over(best))
       .where(col("__rn") === 1)
@@ -544,6 +553,7 @@ private[graft] trait QueriesPathsReports { this: Queries.type =>
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev"))
     val chg = daily
+      // day-grain global window (calendar-bounded aggregate input)
       .withColumn("__prev", lag(col("rev"), 1).over(Window.orderBy("day")))
       .where(col("__prev").isNotNull)
       .withColumn("pnl", col("rev") - col("__prev"))

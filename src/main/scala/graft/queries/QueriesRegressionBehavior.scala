@@ -806,6 +806,7 @@ private[graft] trait QueriesRegressionBehavior { this: Queries.type =>
       .agg(expr("sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) " +
           "div count(1)").as("best_price"),
         sum(floor(col("l_quantity")).cast("long")).as("best_qty"))
+    // part-grain global window (input is the per-partkey aggregate)
     val w = Window.orderBy(col("best_price").asc, col("best_qty").desc,
         col("l_partkey").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

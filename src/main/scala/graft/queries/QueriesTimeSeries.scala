@@ -57,6 +57,7 @@ private[graft] trait QueriesTimeSeries { this: Queries.type =>
     val daily = t(s, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    // day-grain global window (calendar-bounded aggregate input)
     val w = Window.orderBy(col("ord")).rangeBetween(-6, 0)
     daily
       .withColumn("ord", datediff(col("day"), to_date(lit("1970-01-01"))))

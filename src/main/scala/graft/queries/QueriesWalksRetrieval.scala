@@ -220,6 +220,7 @@ private[graft] trait QueriesWalksRetrieval { this: Queries.type =>
     val daily = t(s, dir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    // day-grain global window (calendar-bounded aggregate input)
     val w = Window.orderBy(col("day").asc)
     def growth(prev: Column) = when(prev.isNotNull && prev > 0,
       floor((col("rev_cents") - prev).cast("double") / prev.cast("double") *
