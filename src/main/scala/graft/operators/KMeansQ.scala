@@ -47,7 +47,21 @@ object KMeansQ {
       embCol: String,
       k: Int,
       maxIter: Int,
-      seed: Long): DataFrame = {
+      seed: Long): DataFrame =
+    core(df, idCol, embCol, k, maxIter, seed)._1
+
+  /** The Lloyd loop, returning the final assignment plus the final
+    * (cid, pos, cv) centroid relation — [[KMeansQEstimator]] collects
+    * the k·dim centroid rows into its model; the plain [[fit]] keeps
+    * only the assignment (the [[KPrototypes.core]] split).
+    */
+  private[operators] def core(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      maxIter: Int,
+      seed: Long): (DataFrame, DataFrame) = {
     require(k >= 2 && k <= 1024, "k in [2, 1024]")
     require(maxIter >= 1 && maxIter <= 64, "maxIter in [1, 64]")
     import org.apache.spark.sql.expressions.Window
@@ -81,8 +95,10 @@ object KMeansQ {
     // count on the reused checkpoint.)
     val kEff = math.min(k.toLong, seeds.count()).toInt
     if (kEff == 0)
-      return q.select(col("id"), col("pos").cast("long").as("cluster"),
-        col("qv").as("dist")).where(lit(false))
+      return (q.select(col("id"), col("pos").cast("long").as("cluster"),
+        col("qv").as("dist")).where(lit(false)),
+        q.select(col("pos").cast("long").as("cid"), col("pos"),
+          col("qv").as("cv")).where(lit(false)))
     var centroids = q.join(seeds, Seq("id"))
       .select(col("cid"), col("pos"), col("qv").as("cv"))
       .localCheckpoint(true)
@@ -134,6 +150,210 @@ object KMeansQ {
         .localCheckpoint(true)
       i += 1
     }
-    assign(centroids).withColumnRenamed("cid", "cluster")
+    (assign(centroids).withColumnRenamed("cid", "cluster"), centroids)
   }
+}
+
+/** `spark.ml`-shaped KMeansQ (the [[KPrototypesEstimator]] idiom on
+  * the pure-numeric distance, closing the API asymmetry the round-15
+  * operator pair left: mixed clustering had a persistable model, the
+  * embedding-array flagship did not): `fit` runs [[KMeansQ.core]] and
+  * collects the k·dim centroid rows (bounded — the KModes
+  * driver-collect rule); the model's `transform` assigns NEW rows
+  * against the frozen centroids with one narrow literal-folded
+  * all-built-in expression (no join, no shuffle — the
+  * [[KPrototypesModel]] `distArray` shape on an ARRAY column), with
+  * fit-identical distance and (dist ASC, cid ASC) tie semantics
+  * (spec-pinned). Rows with a NULL embedding get a NULL prediction
+  * (fit drops them); a row whose embedding length differs from the
+  * centroids' is a caller error (zip_with pads with NULLs and the
+  * distance goes NULL — guarded to a NULL prediction, never a wrong
+  * cluster). With fewer than k distinct training vectors the fit
+  * CLAMPS (the [[KMeansQ.fit]] contract) and the model carries the
+  * effective cluster count; an effective count below 2 raises — a
+  * 1-cluster model answers nothing.
+  */
+trait KMeansQParams extends org.apache.spark.ml.param.Params {
+  import org.apache.spark.ml.param._
+  final val k = new IntParam(this, "k", "number of clusters",
+    ParamValidators.inRange(2, 1024))
+  final val maxIter = new IntParam(this, "maxIter", "Lloyd iterations",
+    ParamValidators.inRange(1, 64))
+  final val seed = new LongParam(this, "seed", "random seed")
+  final val idCol = new Param[String](this, "idCol",
+    "record id column (portable md5 init ranks on it)")
+  final val embCol = new Param[String](this, "embCol",
+    "embedding array column")
+  final val predictionCol = new Param[String](this, "predictionCol",
+    "prediction output column")
+  setDefault(k -> 8, maxIter -> 20, seed -> 42L, idCol -> "id",
+    embCol -> "embedding", predictionCol -> "prediction")
+
+  protected def validateSchema(
+      schema: org.apache.spark.sql.types.StructType,
+      needId: Boolean): org.apache.spark.sql.types.StructType = {
+    val needed = Seq($(embCol)) ++ (if (needId) Seq($(idCol)) else Nil)
+    val missing = needed.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"KMeansQ: missing columns $missing")
+    if (schema.fieldNames.contains($(predictionCol))) schema
+    else org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField($(predictionCol),
+        org.apache.spark.sql.types.IntegerType, true))
+  }
+}
+
+class KMeansQEstimator(override val uid: String)
+  extends org.apache.spark.ml.Estimator[KMeansQModel]
+  with KMeansQParams {
+  def this() = this(
+    org.apache.spark.ml.util.Identifiable.randomUID("kmeansq"))
+
+  def setK(v: Int): this.type = set(k, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+  def setIdCol(v: String): this.type = set(idCol, v)
+  def setEmbCol(v: String): this.type = set(embCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  override def transformSchema(
+      schema: org.apache.spark.sql.types.StructType)
+    : org.apache.spark.sql.types.StructType =
+    validateSchema(schema, needId = true)
+  override def copy(extra: org.apache.spark.ml.param.ParamMap)
+    : KMeansQEstimator = defaultCopy(extra)
+
+  override def fit(
+      dataset: org.apache.spark.sql.Dataset[_]): KMeansQModel = {
+    transformSchema(dataset.schema)
+    val (asg, cn) = KMeansQ.core(dataset.toDF(), $(idCol), $(embCol),
+      $(k), $(maxIter), $(seed))
+    // k·dim rows + one 2-column aggregate: the bounded driver collects
+    val byCid = cn.collect().groupBy(_.getLong(0))
+    val kEff = byCid.size
+    require(kEff >= 2,
+      s"KMeansQEstimator.fit: the clamped fit produced $kEff " +
+        "cluster(s) — a model needs at least 2 distinct training " +
+        "vectors (KMeansQ.fit alone handles the degenerate cases)")
+    val centers: Array[Array[Long]] = Array.tabulate(kEff)(i =>
+      byCid(i.toLong).sortBy(_.getInt(1)).map(_.getLong(2)))
+    val agg = asg.agg(count(lit(1)), sum(col("dist"))).head()
+    val cost =
+      if (agg.getLong(0) == 0L) 0.0
+      else agg.getLong(1).toDouble / agg.getLong(0).toDouble
+    val model = new KMeansQModel(uid, centers, cost)
+    copyValues(model.setParent(this))
+    // the model's k is the EFFECTIVE count (clamp survives persistence)
+    model.set(model.k, kEff)
+    model
+  }
+}
+
+/** Fitted integer centroids; `cost` is the mean exact squared-L2 of
+  * the training vectors to their final centroid.
+  */
+class KMeansQModel(
+    override val uid: String,
+    val centers: Array[Array[Long]],
+    val cost: Double)
+  extends org.apache.spark.ml.Model[KMeansQModel]
+  with KMeansQParams
+  with org.apache.spark.ml.util.MLWritable {
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new KMeansQModel.Writer(this)
+
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  override def transformSchema(
+      schema: org.apache.spark.sql.types.StructType)
+    : org.apache.spark.sql.types.StructType =
+    validateSchema(schema, needId = false)
+  override def copy(extra: org.apache.spark.ml.param.ParamMap)
+    : KMeansQModel = {
+    val m = new KMeansQModel(uid, centers, cost)
+    copyValues(m, extra).setParent(parent)
+  }
+
+  /** Squared-L2 to every centroid as one literal-folded array
+    * expression (no join, no shuffle).
+    */
+  private def distArray: org.apache.spark.sql.Column = {
+    val cLit = org.apache.spark.sql.functions
+      .typedlit(centers.map(_.toSeq).toSeq)
+    val qArr = org.apache.spark.sql.functions.transform(
+      col($(embCol)).cast("array<double>"),
+      x => floor(x * lit(1000000.0)).cast("long"))
+    org.apache.spark.sql.functions.transform(cLit, c =>
+      aggregate(zip_with(qArr, c, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+  }
+
+  override def transform(
+      dataset: org.apache.spark.sql.Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    // array_min is null on a dim-mismatch (zip_with pads with nulls →
+    // null distances): surface NULL, never a wrong argmin
+    dataset.withColumn($(predictionCol),
+      when(col($(embCol)).isNotNull &&
+          array_min(distArray).isNotNull,
+        graft.functions.Distances.argminIndex(distArray))
+        .otherwise(lit(null)))
+  }
+
+  /** Mean exact squared-L2 of `dataset` to its assigned centroid
+    * (null-embedding rows excluded, as in fit); 0.0 when no row is
+    * scorable.
+    */
+  def computeCost(dataset: org.apache.spark.sql.Dataset[_]): Double = {
+    val r = dataset.where(col($(embCol)).isNotNull)
+      .select(avg(array_min(distArray))).head
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+}
+
+object KMeansQModel
+  extends org.apache.spark.ml.util.MLReadable[KMeansQModel] {
+  /** Persistence (the [[KPrototypesModel]] recipe): one parquet at
+    * `<path>/data`, a row per cluster, scalars replicated —
+    * dependency-free of the private[ml] DefaultParamsWriter machinery.
+    */
+  private[operators] class Writer(instance: KMeansQModel)
+      extends org.apache.spark.ml.util.MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      instance.centers.zipWithIndex
+        .map { case (c, i) =>
+          (i, c.toSeq, instance.cost, instance.uid,
+            instance.getOrDefault(instance.embCol),
+            instance.getOrDefault(instance.predictionCol))
+        }.toSeq
+        .toDF("center_id", "center", "cost", "uid", "emb_col",
+          "prediction_col")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/data")
+    }
+  }
+
+  private class Reader
+      extends org.apache.spark.ml.util.MLReader[KMeansQModel] {
+    override def load(path: String): KMeansQModel = {
+      val rows = sparkSession.read.parquet(s"$path/data")
+        .collect().sortBy(_.getAs[Int]("center_id"))
+      require(rows.nonEmpty, s"no centers at $path/data")
+      val head = rows.head
+      val model = new KMeansQModel(
+        head.getAs[String]("uid"),
+        rows.map(_.getAs[Seq[Long]]("center").toArray),
+        head.getAs[Double]("cost"))
+      model.set(model.k, rows.length)
+      model.set(model.embCol, head.getAs[String]("emb_col"))
+      model.set(model.predictionCol,
+        head.getAs[String]("prediction_col"))
+      model
+    }
+  }
+
+  override def read: org.apache.spark.ml.util.MLReader[KMeansQModel] =
+    new Reader
 }

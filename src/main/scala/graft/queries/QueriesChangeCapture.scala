@@ -785,6 +785,71 @@ private[graft] trait QueriesChangeCapture { this: Queries.type =>
        |FROM agg WHERE score_e6 >= 2000000
        |ORDER BY query_id, doc_id""".stripMargin
 
+  /** q279: the AUTO maxScorePrune DECISION STATISTIC itself, oracled
+    * (round 16 — the statistic that now steers the flagship retrieval
+    * plan must face the same gate as the plans it chooses between):
+    * [[TextAnalysis.topKPruneStats]] (seed-prefix volume at the q275
+    * shape, k = 5) and [[TextAnalysis.screenPruneStats]] (essential
+    * volume at the q277 threshold, 2e6) over the q275/q277 shared
+    * documents-derived query relation, plus both
+    * [[TextAnalysis.autoPruneDecision]] booleans. The oracle replays
+    * ub = ⌊idf·(k1+1)·1e6⌋, the ub-DESC seed prefix (exclusive
+    * cumulative df < k), the ub-ASC essential rule (inclusive
+    * cumulative ub ≥ thr), and the two-condition decision — so a
+    * drifted window order, a flipped inclusivity, or a changed margin
+    * breaks the hash, not just a spec.
+    */
+  def bm25PruneStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = TextAnalysis.textIndex(docs, "doc_id", "text")
+    val qt = TextAnalysis.queryTermsOf(docDerivedQueries(docs),
+      "query_id", "qtext")
+    val (sv, tv, n) = TextAnalysis.topKPruneStats(idx, qt, 5, 1.2)
+    val (ev, tv2, n2) = TextAnalysis.screenPruneStats(
+      idx, qt, 2000000L, 1.2, None)
+    require(tv == tv2 && n == n2,
+      "ranked and threshold pre-flights disagree on the shared volumes")
+    import s.implicits._
+    Seq((sv, ev, tv, n,
+        TextAnalysis.autoPruneDecision(sv, tv, n),
+        TextAnalysis.autoPruneDecision(ev, tv, n)))
+      .toDF("seed_vol", "ess_vol", "tot_vol", "n_docs",
+        "prune_topk", "prune_screen")
+  }
+
+  val bm25PruneStatsSql: String =
+    s"""${bm25AggSqlQt(docDerivedQtCte)},
+       |ub AS (SELECT df.term, df.df,
+       |    CAST(FLOOR(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+       |      * 2200000.0) AS BIGINT) AS ub
+       |  FROM df CROSS JOIN stats s),
+       |m AS (SELECT qt.query_id, qt.term, ub.df, ub.ub
+       |  FROM qt JOIN ub USING (term)),
+       |seedcum AS (SELECT query_id, df,
+       |    SUM(df) OVER (PARTITION BY query_id
+       |      ORDER BY ub DESC, term ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM m),
+       |esscum AS (SELECT query_id, df, ub,
+       |    SUM(ub) OVER (PARTITION BY query_id
+       |      ORDER BY ub ASC, term ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM m),
+       |vols AS (SELECT
+       |    (SELECT CAST(COALESCE(SUM(CASE WHEN cum - df < 5 THEN df
+       |        ELSE 0 END), 0) AS BIGINT) FROM seedcum) AS seed_vol,
+       |    (SELECT CAST(COALESCE(SUM(CASE WHEN cum >= 2000000 THEN df
+       |        ELSE 0 END), 0) AS BIGINT) FROM esscum) AS ess_vol,
+       |    (SELECT CAST(COALESCE(SUM(df), 0) AS BIGINT) FROM m)
+       |      AS tot_vol,
+       |    (SELECT CAST(n AS BIGINT) FROM stats) AS n_docs)
+       |SELECT seed_vol, ess_vol, tot_vol, n_docs,
+       |  (tot_vol > 0 AND n_docs > 0 AND seed_vol * 2.0 <= n_docs
+       |    AND tot_vol >= 4.0 * seed_vol) AS prune_topk,
+       |  (tot_vol > 0 AND n_docs > 0 AND ess_vol * 2.0 <= n_docs
+       |    AND tot_vol >= 4.0 * ess_vol) AS prune_screen
+       |FROM vols""".stripMargin
+
   /** q114: market-basket association rules ([[Basket.pairRules]]) —
     * supplier pairs that co-occur in ≥5 orders, with floor-ppm support,
     * both-direction confidence, and two-stage-floor lift. All-integer

@@ -310,7 +310,14 @@ private[graft] trait QueriesRegressionBehavior { this: Queries.type =>
       .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
       .orderBy("cluster")
 
-  val kmeansEmbeddingsSql: String = {
+  /** The q204/q280 shared numeric-Lloyd replay prelude (`WITH q …
+    * c3`): e6-quantized long-format components (optionally
+    * slice-filtered — q280 trains on even vec_ids), md5 seed ranking,
+    * and three unrolled assign/update iterations ending at the c3
+    * centroid relation. Defined once so the fit oracle and the
+    * estimator-persistence oracle replay the same algorithm.
+    */
+  private def kmeansLloydPrelude(baseWhere: String): String = {
     def iter(i: Int) =
       s"""d$i AS MATERIALIZED (SELECT q.id, c.cid,
          |    SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
@@ -329,7 +336,8 @@ private[graft] trait QueriesRegressionBehavior { this: Queries.type =>
     s"""WITH q AS MATERIALIZED (SELECT vec_id AS id, i.i AS pos,
        |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0)
        |      AS BIGINT) AS qv
-       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+       |  $baseWhere),
        |ids AS (SELECT DISTINCT id FROM q),
        |sd AS (SELECT id, row_number() OVER (ORDER BY
        |    ${duckHash60("42", "id")} ASC, id ASC) AS r FROM ids),
@@ -338,7 +346,11 @@ private[graft] trait QueriesRegressionBehavior { this: Queries.type =>
        |  FROM sd JOIN q ON q.id = sd.id WHERE sd.r <= 4),
        |${iter(1)},
        |${iter(2)},
-       |${iter(3)},
+       |${iter(3)}""".stripMargin
+  }
+
+  val kmeansEmbeddingsSql: String =
+    s"""${kmeansLloydPrelude("")},
        |df AS (SELECT q.id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
        |  FROM q JOIN c3 c ON c.pos = q.pos GROUP BY 1, 2),
        |af AS (SELECT id, cid, d FROM (SELECT id, cid, d,
@@ -347,7 +359,45 @@ private[graft] trait QueriesRegressionBehavior { this: Queries.type =>
        |SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
        |  CAST(SUM(d) AS BIGINT) AS inertia
        |FROM af GROUP BY cid ORDER BY cluster""".stripMargin
+
+  /** q280: the [[KMeansQEstimator]] PERSISTENCE + TRANSFORM path (the
+    * q278 lifecycle for the embedding-array flagship): fit on the
+    * EVEN vec_ids (k = 4, 3 passes, the q204 recipe), save the model,
+    * load it back, assign the held-out ODD vec_ids with the loaded
+    * model's literal-folded `distArray` expression. Oracle: the q204
+    * Lloyd prelude restricted to the training slice, held-out rows
+    * assigned against the replayed c3 centers by the same
+    * (d ASC, cid ASC) argmin — a persistence bug (reordered centers,
+    * lost quantization) breaks the hash.
+    */
+  def kmeansTransform(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val fitted = new KMeansQEstimator()
+      .setK(4).setMaxIter(3).setSeed(42L)
+      .setIdCol("vec_id").setEmbCol("embedding")
+      .fit(e.where(col("vec_id") % 2 === 0))
+    val path = s"${scratchDir("kmeansq_model")}/m"
+    fitted.write.overwrite().save(path)
+    KMeansQModel.load(path).transform(e.where(col("vec_id") % 2 === 1))
+      .groupBy(col("prediction").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cluster")
   }
+
+  val kmeansTransformSql: String =
+    s"""${kmeansLloydPrelude("WHERE vec_id % 2 = 0")},
+       |h AS (SELECT vec_id AS id, i.i AS pos,
+       |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS qv
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+       |  WHERE vec_id % 2 = 1),
+       |dh AS (SELECT h.id, c.cid, SUM((h.qv - c.cv) * (h.qv - c.cv)) AS d
+       |  FROM h JOIN c3 c ON c.pos = h.pos GROUP BY 1, 2),
+       |ah AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d ASC, cid ASC)
+       |      AS rn FROM dh) WHERE rn = 1)
+       |SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM ah GROUP BY cid ORDER BY cluster""".stripMargin
 
   /** q205: degree assortativity ([[Graph.assortativity]]) of the q107
     * part co-purchase graph — do popular parts co-occur with popular

@@ -67,4 +67,64 @@ class KMeansQSpec extends SparkSuite {
     assert(KMeansQ.fit(rows.limit(0), "vec_id", "embedding", 8, 2, 1L)
       .count() == 0L)
   }
+
+  test("estimator: fit ≡ object fit; transform reproduces the fit's " +
+      "assignment and assigns held-out rows; null/dim-mismatch rows " +
+      "get null predictions; persistence round-trips") {
+    val rows = (1L to 40L)
+      .map(i => (i, vec((i % 7).toDouble, (i % 5).toDouble, 0.3 * i)))
+      .toDF("vec_id", "embedding")
+    val model = new graft.operators.KMeansQEstimator()
+      .setK(3).setMaxIter(4).setSeed(42L)
+      .setIdCol("vec_id").setEmbCol("embedding")
+      .fit(rows)
+    val direct = KMeansQ.fit(rows, "vec_id", "embedding", 3, 4, 42L)
+      .select("id", "cluster").as[(Long, Long)].collect().sortBy(_._1)
+    val viaTransform = model.transform(rows)
+      .select($"vec_id", $"prediction".cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(viaTransform.toSeq == direct.toSeq,
+      "transform over training rows must BE the fit assignment")
+    val dists = KMeansQ.fit(rows, "vec_id", "embedding", 3, 4, 42L)
+      .select("dist").as[Long].collect()
+    assert(model.cost == dists.sum.toDouble / dists.length)
+    assert(model.computeCost(rows) == model.cost)
+    // null embedding and dim-mismatched embedding: null prediction
+    val odd = Seq(
+      (98L, Option.empty[Seq[Float]]),
+      (99L, Some(Seq(1.0f, 2.0f)))) // model is 3-dim
+      .toDF("vec_id", "embedding")
+    val preds = model.transform(odd).select("vec_id", "prediction")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(preds(98L) && preds(99L),
+      "null and dim-mismatch must both yield NULL, never a wrong cluster")
+    // clamp survives into the model: 2 distinct vectors at k=8 → a
+    // 2-center model; 1 vector raises (a 1-cluster model answers
+    // nothing)
+    val clamped = new graft.operators.KMeansQEstimator()
+      .setK(8).setMaxIter(2).setSeed(1L)
+      .setIdCol("vec_id").setEmbCol("embedding")
+      .fit(rows.limit(2))
+    assert(clamped.centers.length == 2)
+    val eOne = intercept[IllegalArgumentException] {
+      new graft.operators.KMeansQEstimator()
+        .setK(8).setMaxIter(2).setSeed(1L)
+        .setIdCol("vec_id").setEmbCol("embedding")
+        .fit(rows.limit(1))
+    }
+    assert(eOne.getMessage.contains("at least 2"), eOne.getMessage)
+    // persistence round-trip: same centers, cost, and transform
+    val dir = java.nio.file.Files
+      .createTempDirectory("kmeansq_model").toString + "/m"
+    model.write.overwrite().save(dir)
+    val loaded = graft.operators.KMeansQModel.load(dir)
+    assert(loaded.centers.map(_.toSeq).toSeq ==
+      model.centers.map(_.toSeq).toSeq)
+    assert(loaded.cost == model.cost)
+    assert(loaded.transform(rows.withColumnRenamed("vec_id", "vid"))
+        .select($"vid", $"prediction".cast("long"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      viaTransform.toSeq.map { case (id, c) => (id, c) },
+      "a loaded model must transform identically (id col not needed)")
+  }
 }
