@@ -165,13 +165,17 @@ object KMeansQ {
   * [[KPrototypesModel]] `distArray` shape on an ARRAY column), with
   * fit-identical distance and (dist ASC, cid ASC) tie semantics
   * (spec-pinned). Rows with a NULL embedding get a NULL prediction
-  * (fit drops them); a row whose embedding length differs from the
-  * centroids' is a caller error (zip_with pads with NULLs and the
-  * distance goes NULL — guarded to a NULL prediction, never a wrong
-  * cluster). With fewer than k distinct training vectors the fit
-  * CLAMPS (the [[KMeansQ.fit]] contract) and the model carries the
-  * effective cluster count; an effective count below 2 raises — a
-  * 1-cluster model answers nothing.
+  * (fit drops them); a row with NULL ELEMENTS or a length differing
+  * from the centroids' scores on the overlapping non-null positions —
+  * EXACTLY what the fit's own assignment does (its long-format sum
+  * skips null terms and its pos-join skips absent positions), so the
+  * "transform over training rows ≡ fit assignment" pin holds on
+  * degenerate rows too (round-16 review finding; the null-filtered
+  * aggregate in `distArray` is that alignment). With fewer than k
+  * distinct training vectors the fit CLAMPS (the [[KMeansQ.fit]]
+  * contract) and the model carries the effective cluster count; an
+  * effective count below 2 raises — a 1-cluster model answers
+  * nothing.
   */
 trait KMeansQParams extends org.apache.spark.ml.param.Params {
   import org.apache.spark.ml.param._
@@ -275,7 +279,11 @@ class KMeansQModel(
   }
 
   /** Squared-L2 to every centroid as one literal-folded array
-    * expression (no join, no shuffle).
+    * expression (no join, no shuffle). Null terms (a NULL element, or
+    * a position only one side has after zip_with's padding) are
+    * FILTERED before the sum — the exact twin of the fit's long-format
+    * assignment, whose `sum` skips null squared terms and whose
+    * pos-equi-join never produces the absent positions at all.
     */
   private def distArray: org.apache.spark.sql.Column = {
     val cLit = org.apache.spark.sql.functions
@@ -284,18 +292,17 @@ class KMeansQModel(
       col($(embCol)).cast("array<double>"),
       x => floor(x * lit(1000000.0)).cast("long"))
     org.apache.spark.sql.functions.transform(cLit, c =>
-      aggregate(zip_with(qArr, c, (a, b) => (a - b) * (a - b)),
+      aggregate(
+        filter(zip_with(qArr, c, (a, b) => (a - b) * (a - b)),
+          x => x.isNotNull),
         lit(0L), (acc, x) => acc + x))
   }
 
   override def transform(
       dataset: org.apache.spark.sql.Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
-    // array_min is null on a dim-mismatch (zip_with pads with nulls →
-    // null distances): surface NULL, never a wrong argmin
     dataset.withColumn($(predictionCol),
-      when(col($(embCol)).isNotNull &&
-          array_min(distArray).isNotNull,
+      when(col($(embCol)).isNotNull,
         graft.functions.Distances.argminIndex(distArray))
         .otherwise(lit(null)))
   }
@@ -340,7 +347,13 @@ object KMeansQModel
     override def load(path: String): KMeansQModel = {
       val rows = sparkSession.read.parquet(s"$path/data")
         .collect().sortBy(_.getAs[Int]("center_id"))
-      require(rows.nonEmpty, s"no centers at $path/data")
+      // < 2 centers cannot have been written by the estimator (fit
+      // enforces the same floor) — name the path and the corruption
+      // instead of letting the k validator throw opaquely
+      require(rows.length >= 2,
+        s"KMeansQModel.load: $path/data holds ${rows.length} center " +
+          "row(s); a saved model always has >= 2 — the file is " +
+          "truncated or hand-edited")
       val head = rows.head
       val model = new KMeansQModel(
         head.getAs[String]("uid"),

@@ -509,7 +509,13 @@ object KPrototypesModel
     override def load(path: String): KPrototypesModel = {
       val rows = sparkSession.read.parquet(s"$path/data")
         .collect().sortBy(_.getAs[Int]("center_id"))
-      require(rows.nonEmpty, s"no centers at $path/data")
+      // < 2 centers cannot have been written by the estimator (k ≥ 2
+      // by param validation) — name the path and the corruption
+      // instead of letting the k validator throw opaquely
+      require(rows.length >= 2,
+        s"KPrototypesModel.load: $path/data holds ${rows.length} " +
+          "center row(s); a saved model always has >= 2 — the file " +
+          "is truncated or hand-edited")
       val head = rows.head
       val model = new KPrototypesModel(
         head.getAs[String]("uid"),

@@ -214,11 +214,18 @@ object TextAnalysis {
     * doc some query's seed doc, the candidate set degrades to the
     * whole matched corpus, and the two extra passes re-scan the same
     * volume (12.6 s unpruned → 35.8 s pruned — prune LOSES ~3×). The
-    * auto mode is EAGER: it runs one scan-shaped aggregate job (the
-    * postings ⋈ query-terms scan the scoring path pays anyway, a
-    * term-grain df count, a qt-grain window, a 1-row collect) at
-    * plan-construction time — bounded work, and ~1000× cheaper than
-    * the mis-decision it prevents (SCALING §r16 probe rows).
+    * auto mode is EAGER: it runs one scan-shaped aggregate job (a
+    * postings ⋈ query-terms scan, a term-grain df count, a qt-grain
+    * window, a 1-row collect) at plan-construction time. That scan IS
+    * re-paid by the chosen plan (separate Spark jobs cannot share a
+    * ReusedExchange), deliberately: the r14 scan-collapse experiment
+    * measured checkpoint-threading of exactly these relations as
+    * wall-neutral at the 2M-doc probe while adding executor-storage
+    * cost, and the r16 probe measured the whole pre-flight at ≈ noise
+    * on both decision shapes (47.4 s auto-pruned vs 37.4 s
+    * forced-pruned on a 1.27× hotter box; 20.3 s auto-direct vs
+    * 12.6 s forced-direct on a 1.6× hotter box) — ~1000× cheaper
+    * than the mis-decision it prevents (SCALING §r16 probe rows).
     */
   /** A query RELATION → (query_id, term) rows — the relation-side twin
     * of [[queryTerms]] (same tokenization: lowercase whitespace split,
@@ -398,6 +405,34 @@ object TextAnalysis {
       focusVol.toDouble * 2.0 <= n.toDouble &&
       totVol.toDouble >= 4.0 * focusVol.toDouble
 
+  /** The (stats, tfQ0, df) relation trio every prune-side consumer
+    * derives — the one-row corpus stats, postings ⋈ distinct query
+    * terms (the scan-side kill), and term-grain df with the optional
+    * `maxDfPpm` cut applied BEFORE anything multiplies. ONE
+    * construction (round-16 review consolidation) shared by the
+    * scoring core, the guardrail candidates, and both pre-flight
+    * statistics, so the statistic can never silently measure a
+    * different volume than the screen it decides for. `hint` is the
+    * caller's broadcast discipline (literal forms broadcast, relation
+    * forms leave every join to AQE).
+    */
+  private def qtRelations(
+      index: TextIndex, qt: DataFrame, maxDfPpm: Option[Long],
+      hint: DataFrame => DataFrame)
+    : (DataFrame, DataFrame, DataFrame) = {
+    val stats = index.doclen
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+    val tfQ0 = index.postings
+      .join(hint(qt.select("term").distinct()), Seq("term"))
+    val dfAll = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = maxDfPpm.fold(dfAll) { ppm =>
+      dfAll.crossJoin(broadcast(stats.select(col("__n"))))
+        .where(col("df") * lit(1000000L) <= lit(ppm) * col("__n"))
+        .drop("__n")
+    }
+    (stats, tfQ0, df)
+  }
+
   /** [[autoPruneDecision]]'s inputs for the RANKED form:
     * (seedVol, totVol, N) from one aggregate over qt ⋈ df — seedVol is
     * Σ df over each query's seed prefix (ub DESCENDING, exclusive
@@ -410,11 +445,7 @@ object TextAnalysis {
   private[graft] def topKPruneStats(
       index: TextIndex, qt: DataFrame, k: Int,
       k1: Double): (Long, Long, Long) = {
-    val stats = index.doclen
-      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
-    val tfQ0 = index.postings
-      .join(qt.select("term").distinct(), Seq("term"))
-    val df = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (stats, _, df) = qtRelations(index, qt, None, identity)
     val wSeed = Window.partitionBy(col("query_id"))
       .orderBy(col("__ub").desc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -443,16 +474,7 @@ object TextAnalysis {
   private[graft] def screenPruneStats(
       index: TextIndex, qt: DataFrame, thr: Long, k1: Double,
       maxDfPpm: Option[Long]): (Long, Long, Long) = {
-    val stats = index.doclen
-      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
-    val tfQ0 = index.postings
-      .join(qt.select("term").distinct(), Seq("term"))
-    val dfAll = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val df = maxDfPpm.fold(dfAll) { ppm =>
-      dfAll.crossJoin(broadcast(stats.select(col("__n"))))
-        .where(col("df") * lit(1000000L) <= lit(ppm) * col("__n"))
-        .drop("__n")
-    }
+    val (stats, _, df) = qtRelations(index, qt, maxDfPpm, identity)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__ub").asc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -548,11 +570,7 @@ object TextAnalysis {
     // set, and threshold relation all scale with the query RELATION
     val hint: DataFrame => DataFrame =
       if (broadcastQueries) broadcast else identity
-    val stats = index.doclen
-      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
-    val tfQ0 = index.postings
-      .join(hint(qt.select("term").distinct()), Seq("term"))
-    val df = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (stats, tfQ0, df) = qtRelations(index, qt, None, hint)
     val wSeed = Window.partitionBy(col("query_id"))
       .orderBy(col("__ub").desc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -588,16 +606,7 @@ object TextAnalysis {
       broadcastQueries: Boolean): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (broadcastQueries) broadcast else identity
-    val stats = index.doclen
-      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
-    val tfQ0 = index.postings.join(hint(qt.select("term").distinct()),
-      Seq("term"))
-    val dfAll = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val df = maxDfPpm.fold(dfAll) { ppm =>
-      dfAll.crossJoin(broadcast(stats.select(col("__n"))))
-        .where(col("df") * lit(1000000L) <= lit(ppm) * col("__n"))
-        .drop("__n")
-    }
+    val (stats, tfQ0, df) = qtRelations(index, qt, maxDfPpm, hint)
     maxScoreCandidateDocs(tfQ0, qt, df, stats, k1, thr, hint)
   }
 
@@ -610,18 +619,9 @@ object TextAnalysis {
                                       ): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (broadcastQueries) broadcast else identity
-    val qTerms = qt.select("term").distinct()
-    val tf = index.postings
     val dl = index.doclen
-    // one-row corpus stats; lazy agg, not a driver count()
-    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
-    val tfQ0 = tf.join(hint(qTerms), Seq("term"))
-    val dfAll = tfQ0.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val df = maxDfPpm.fold(dfAll) { ppm =>
-      dfAll.crossJoin(broadcast(stats.select(col("__n"))))
-        .where(col("df") * lit(1000000L) <= lit(ppm) * col("__n"))
-        .drop("__n")
-    }
+    // stats is a one-row lazy agg, never a driver count()
+    val (stats, tfQ0, df) = qtRelations(index, qt, maxDfPpm, hint)
     // LOSSLESS MaxScore-style candidate prune (threshold screens only —
     // `pruneThresholdE6` is the screen's own minScoreE6): every
     // per-term contribution is bounded by ub_t = ⌊idf_t·(k1+1)·1e6⌋

@@ -89,15 +89,26 @@ class KMeansQSpec extends SparkSuite {
       .select("dist").as[Long].collect()
     assert(model.cost == dists.sum.toDouble / dists.length)
     assert(model.computeCost(rows) == model.cost)
-    // null embedding and dim-mismatched embedding: null prediction
+    // null embedding → NULL prediction (fit drops the row); a
+    // dim-mismatched embedding scores on the overlapping positions —
+    // the fit's own null-skipping/pos-join semantics (round-16 review
+    // alignment), so the prediction is REAL and must equal the argmin
+    // over hand-computed prefix distances
     val odd = Seq(
       (98L, Option.empty[Seq[Float]]),
       (99L, Some(Seq(1.0f, 2.0f)))) // model is 3-dim
       .toDF("vec_id", "embedding")
     val preds = model.transform(odd).select("vec_id", "prediction")
-      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
-    assert(preds(98L) && preds(99L),
-      "null and dim-mismatch must both yield NULL, never a wrong cluster")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getInt(1)))).toMap
+    assert(preds(98L).isEmpty, "null embedding must yield NULL")
+    val q99 = Seq(1000000L, 2000000L)
+    val expected99 = model.centers.zipWithIndex.map { case (c, i) =>
+      (q99.zip(c.take(2).toSeq).map { case (a, b) =>
+        (a - b) * (a - b) }.sum, i)
+    }.min._2
+    assert(preds(99L).contains(expected99),
+      s"dim-mismatch must score on the overlap like fit: $preds")
     // clamp survives into the model: 2 distinct vectors at k=8 → a
     // 2-center model; 1 vector raises (a 1-cluster model answers
     // nothing)
