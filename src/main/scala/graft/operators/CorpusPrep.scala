@@ -143,6 +143,74 @@ object CorpusPrep {
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp") +: carried: _*)
   }
 
+  /** BOILERPLATE LINE REMOVAL — the cross-document line-level dedup a
+    * web-scale pipeline runs between raw extraction and document
+    * dedup (the CCNet / RefinedWeb move): a LINE whose trimmed form
+    * appears in at least `minDocs` DISTINCT documents is boilerplate
+    * (navigation, cookie banners, copyright footers, "subscribe"
+    * calls) and is removed from EVERY document; everything else keeps
+    * its original bytes and original order. Document-level dedup
+    * cannot see these — the surrounding prose differs — and n-gram
+    * dedup pays quadratic candidates for what is an exact-match
+    * problem at line grain.
+    *
+    * Rules (all deterministic, replayed by the q281 oracle):
+    *  - lines = `split(text, "\n", -1)` — trailing empty lines are
+    *    real lines (formatting survives);
+    *  - the match key is `trim(line)`; keys that trim to "" are
+    *    formatting, NEVER counted toward df and NEVER removed;
+    *  - df counts DISTINCT documents (a line repeated inside one doc
+    *    counts once);
+    *  - removal: trimmed key non-empty AND df ≥ minDocs;
+    *  - reassembly: surviving ORIGINAL (untrimmed) lines joined by
+    *    "\n" in original position order; a fully-boilerplate document
+    *    stays in the output with text "" (the caller decides whether
+    *    an empty doc survives — dropping rows silently would break
+    *    id-stable pipelines);
+    *  - NULL texts are dropped up front (the corpus-op convention).
+    *
+    * Output: (id, text, n_kept, n_removed).
+    *
+    * 100 TB shape: one posexplode (line grain, bounded per doc), one
+    * map-side-combinable two-level distinct count at line-vocab
+    * grain, one equi-join of lines against the boilerplate key set —
+    * NO broadcast hint (a web corpus's boilerplate vocabulary is
+    * unbounded; AQE broadcasts it when it measures small and
+    * shuffle-joins otherwise, with skew-join covering the mega-common
+    * keys), and one per-document regroup whose frame is bounded by
+    * the document's own line count (the same bound every per-doc text
+    * op carries). Nothing quadratic, no collects.
+    */
+  def stripBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2,
+      "stripBoilerplateLines: minDocs >= 2 (1 would remove every line)")
+    val lines = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("__k", trim(col("line")))
+    val boiler = lines.where(col("__k") =!= "")
+      .groupBy(col("__k"))
+      .agg(countDistinct(col("id")).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("__k"), lit(1).as("__b"))
+    lines.join(boiler, Seq("__k"), "left")
+      .withColumn("__keep", col("__k") === "" || col("__b").isNull)
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** SEQUENCE PACKING — the concat-and-cut step that turns a document
     * stream into fixed-length training examples: per stratum, documents
     * are laid end-to-end in `orderCol` order and the token stream is

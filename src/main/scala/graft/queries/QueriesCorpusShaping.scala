@@ -37,6 +37,67 @@ private[graft] trait QueriesCorpusShaping { this: Queries.type =>
        |  md5(array_to_string(chunk, ' ')) AS chunk_fp
        |FROM sl ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q281: cross-document BOILERPLATE LINE removal
+    * ([[CorpusPrep.stripBoilerplateLines]] — the CCNet/RefinedWeb
+    * line-dedup move). The corpus text carries no newlines, so the
+    * query CONSTRUCTS the lined shape a web extraction produces:
+    * every doc = a universal copyright header + two/three lines of
+    * its own tokens + (on doc_id ≡ 0 mod 3) a "subscribe" footer —
+    * then strips lines whose trimmed form appears in ≥ 50 distinct
+    * docs. The header (df = all docs) and footer (df ≈ N/3) vanish
+    * everywhere; token lines (near-dup families ≤ ~20 docs) survive
+    * byte-for-byte in order. Oracle: the line construction replayed
+    * as string concatenation over the same token slices, then the
+    * full strip algorithm (positions, trimmed keys, distinct-doc df,
+    * ordered reassembly, empty-line formatting rule) in SQL.
+    */
+  def boilerplateLines(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val lined = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), concat_ws("\n",
+        lit("copyright corp all rights reserved"),
+        array_join(slice(toks, 1, 8), " "),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("subscribe to our newsletter"))
+          .otherwise(array_join(slice(toks, 9, 8), " ")),
+        array_join(slice(toks, 17, 8), " ")).as("text"))
+    CorpusPrep.stripBoilerplateLines(lined, "doc_id", "text", minDocs = 50)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val boilerplateLinesSql: String =
+    s"""WITH tok AS (SELECT doc_id, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |lined AS (SELECT doc_id,
+       |    'copyright corp all rights reserved' || chr(10) ||
+       |    COALESCE(array_to_string(toks[1:8], ' '), '') || chr(10) ||
+       |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+       |         ELSE COALESCE(array_to_string(toks[9:16], ' '), '') END
+       |      || chr(10) ||
+       |    COALESCE(array_to_string(toks[17:24], ' '), '') AS text
+       |  FROM tok),
+       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined),
+       |ln AS (SELECT doc_id, pos, l[pos] AS line, trim(l[pos]) AS k
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos
+       |        FROM ls)),
+       |boiler AS (SELECT k FROM ln WHERE k <> ''
+       |  GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 50),
+       |flagged AS (SELECT ln.doc_id, ln.pos, ln.line,
+       |    (ln.k = '' OR b.k IS NULL) AS keep
+       |  FROM ln LEFT JOIN boiler b ON b.k = ln.k),
+       |txt AS (SELECT doc_id,
+       |    array_to_string(list(line ORDER BY pos), chr(10)) AS text
+       |  FROM flagged WHERE keep GROUP BY doc_id),
+       |cnt AS (SELECT doc_id,
+       |    CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       |    CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+       |  FROM flagged GROUP BY doc_id)
+       |SELECT c.doc_id, COALESCE(t.text, '') AS text, c.n_kept,
+       |  c.n_removed
+       |FROM cnt c LEFT JOIN txt t USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Benchmark decontamination ([[Dedup.ngramContamination]]): corpus
     * docs (id >= 100) sharing any complete 8-token n-gram with the
     * "benchmark" slice (id < 100) — exact distinct-gram equi-join, the

@@ -10,6 +10,48 @@ import org.apache.spark.sql.functions._
 class CorpusPrepSpec extends SparkSuite {
   import spark.implicits._
 
+  test("stripBoilerplateLines: cross-doc lines at df >= minDocs drop, " +
+      "order and bytes survive, empty lines are formatting, " +
+      "all-boilerplate docs stay with empty text") {
+    val docs = Seq(
+      (1L, "COPYRIGHT CORP\nalpha beta\n\n  copyright corp  \ntail one"),
+      (2L, "copyright corp\ngamma delta\ntail two"),
+      (3L, "copyright corp\ncopyright corp\nunique line"),
+      (4L, "copyright corp"),
+      (5L, ""),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // df("copyright corp") counts DISTINCT docs: 2,3,4 = 3 (doc 3's
+    // repeat counts once; doc 1's variants differ by case/whitespace —
+    // trim matches, case does NOT: "COPYRIGHT CORP" is a different key)
+    val got = CorpusPrep
+      .stripBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L),
+      "null text drops; every other doc stays")
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 1: "  copyright corp  " trims to the boilerplate key and
+    // drops despite its original padding; the empty line survives;
+    // untrimmed bytes of kept lines survive
+    assert(byId(1L) == ((1L, "COPYRIGHT CORP\nalpha beta\n\ntail one", 4L, 1L)),
+      byId(1L).toString)
+    assert(byId(2L) == ((2L, "gamma delta\ntail two", 2L, 1L)))
+    assert(byId(3L) == ((3L, "unique line", 1L, 2L)))
+    // all-boilerplate doc: stays, text "", full accounting
+    assert(byId(4L) == ((4L, "", 0L, 1L)))
+    // empty text = one empty line = formatting, kept verbatim
+    assert(byId(5L) == ((5L, "", 1L, 0L)))
+    // partition invariance (the df count and regroup are shuffles)
+    val re = CorpusPrep
+      .stripBoilerplateLines(docs.repartition(5), "doc_id", "text", 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re == got, "partitioning changed the strip")
+    // guards
+    intercept[IllegalArgumentException] {
+      CorpusPrep.stripBoilerplateLines(docs, "doc_id", "text", 1)
+    }
+  }
+
   test("hashSample: deterministic, partition-invariant, rate-plausible") {
     val df = spark.range(10000).toDF("id")
     val a = Sampling.hashSample(df, "id", 20).select("id").as[Long].collect().toSet
