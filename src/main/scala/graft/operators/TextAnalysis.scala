@@ -703,6 +703,95 @@ object TextAnalysis {
     * @return (term_a, term_b, n_a, n_b, n_ab, pmi_e6), term_a < term_b,
     *         restricted to pairs co-occurring in ≥ minDf docs
     */
+  /** The Gopher quality RULES (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", §A1.1 table of repetition-free quality
+    * filters — the published heuristic battery most web-corpus
+    * pipelines start from), each as an EXACT integer/ratio test so an
+    * external engine replays every flag digit-for-digit:
+    *
+    *  1. word count ∈ [50, 100,000]                       (flag_word_count)
+    *  2. mean word length ∈ [3, 10] chars                 (flag_word_len)
+    *     — integer-div milli: 3000 ≤ ⌊1000·chars/words⌋ ≤ 10000
+    *  3. hash/ellipsis symbols ≤ 0.1 per word             (flag_symbol_ratio)
+    *     — 10·(#'#' + #'...' + #'…') ≤ words
+    *  4. ≥ 80% of words carry an alphabetic char          (flag_alpha)
+    *     — 5·alpha_words ≥ 4·words
+    *  5. ≤ 90% of lines start with a bullet (-, *, •)     (flag_bullets)
+    *     — 10·bullet_lines ≤ 9·lines
+    *  6. ≤ 30% of lines end with an ellipsis              (flag_ellipsis)
+    *     — 10·ellipsis_lines ≤ 3·lines
+    *  7. ≥ 2 distinct of the paper's required stopwords   (flag_stopwords)
+    *     (the, be, to, of, and, that, have, with)
+    *
+    * `pass` is the conjunction. The raw counts ship alongside the
+    * flags (a pipeline tunes thresholds per corpus; the counts are
+    * the reusable part). Tokenization is the engine's shared
+    * lowercased-whitespace [[graft.functions.TextFunctions.tokens]];
+    * lines split on \n with trailing empties kept (the
+    * [[CorpusPrep.stripBoilerplateLines]] rule). NULL texts drop.
+    *
+    * 100 TB shape: ONE narrow pass — every rule is a column
+    * expression over the row's own text (token/line arrays bounded by
+    * the document, like every per-doc text op); no shuffle at all
+    * until a caller aggregates. Compose upstream of
+    * [[graft.operators.CorpusPrep.clean]]'s gate or q103-style
+    * quality reports.
+    */
+  def gopherQuality(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val reqStopwords =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__t"))
+      .withColumn("__words", TextFunctions.tokens(col("__t")))
+      .withColumn("__lines", split(col("__t"), "\n", -1))
+      .withColumn("n_words", size(col("__words")).cast("long"))
+      .withColumn("n_chars",
+        aggregate(org.apache.spark.sql.functions.transform(col("__words"),
+          w => length(w).cast("long")), lit(0L), (a, x) => a + x))
+      .withColumn("mean_word_len_milli",
+        when(col("n_words") > 0,
+          expr("(n_chars * 1000) DIV n_words")))
+      .withColumn("n_symbols",
+        (regexp_count(col("__t"), lit("#")) +
+          regexp_count(col("__t"), lit("\\.\\.\\.")) +
+          regexp_count(col("__t"), lit("…"))).cast("long"))
+      .withColumn("n_alpha_words",
+        size(org.apache.spark.sql.functions.filter(col("__words"),
+          w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_bullet_lines",
+        size(org.apache.spark.sql.functions.filter(col("__lines"),
+          l => trim(l).rlike("^[-*•]"))).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(org.apache.spark.sql.functions.filter(col("__lines"),
+          l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long"))
+      .withColumn("n_req_stopwords",
+        size(array_intersect(array_distinct(col("__words")),
+          array(reqStopwords.map(lit): _*))).cast("long"))
+      .withColumn("flag_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("flag_word_len",
+        coalesce(col("mean_word_len_milli") >= 3000L &&
+          col("mean_word_len_milli") <= 10000L, lit(false)))
+      .withColumn("flag_symbol_ratio",
+        col("n_symbols") * 10L <= col("n_words"))
+      .withColumn("flag_alpha",
+        col("n_alpha_words") * 5L >= col("n_words") * 4L)
+      .withColumn("flag_bullets",
+        col("n_bullet_lines") * 10L <= col("n_lines") * 9L)
+      .withColumn("flag_ellipsis",
+        col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L)
+      .withColumn("flag_stopwords", col("n_req_stopwords") >= 2L)
+      .withColumn("pass",
+        col("flag_word_count") && col("flag_word_len") &&
+          col("flag_symbol_ratio") && col("flag_alpha") &&
+          col("flag_bullets") && col("flag_ellipsis") &&
+          col("flag_stopwords"))
+      .drop("__t", "__words", "__lines")
+  }
+
   def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
                minDf: Int = 5, maxTermsPerDoc: Int = 1000): DataFrame = {
     require(minDf >= 1 && maxTermsPerDoc >= 2)

@@ -23,6 +23,99 @@ private[graft] trait QueriesText { this: Queries.type =>
         TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** q282: the Gopher quality RULES ([[TextAnalysis.gopherQuality]] —
+    * Rae et al. 2021's published heuristic battery) over a lined
+    * fixture that exercises every rule: 40 corpus tokens + a bullet
+    * line (doc_id ≡ 0 mod 4) + an ellipsis line (mod 5) + a
+    * symbol-heavy line (mod 7), so word-count sits astride the 50
+    * floor, bullets/ellipses/symbols flip their flags, and the
+    * required-stopword count varies with the text. The oracle replays
+    * the construction and EVERY rule (integer-div mean word length,
+    * non-overlapping symbol counts, trimmed bullet/ellipsis regexes,
+    * distinct-stopword intersect, all seven threshold compares and
+    * the conjunction) — hash over counts AND booleans.
+    */
+  def gopherQualityReport(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val lined = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), concat_ws("\n",
+        array_join(slice(toks, 1, 40), " "),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("- bullet item"))
+          .otherwise(lit("plain second line")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("to be continued ..."))
+          .otherwise(lit("of that have with the end")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("## ## ## ## ## ## ##"))
+          .otherwise(lit("clean tail"))).as("text"))
+    TextAnalysis.gopherQuality(lined, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val gopherQualitySql: String = {
+    val req = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH tok0 AS (SELECT doc_id, $duckToks AS toks
+       |             FROM documents WHERE text IS NOT NULL),
+       |lined AS (SELECT doc_id,
+       |    COALESCE(array_to_string(toks[1:40], ' '), '') || chr(10) ||
+       |    CASE WHEN doc_id % 4 = 0 THEN '- bullet item'
+       |         ELSE 'plain second line' END || chr(10) ||
+       |    CASE WHEN doc_id % 5 = 0 THEN 'to be continued ...'
+       |         ELSE 'of that have with the end' END || chr(10) ||
+       |    CASE WHEN doc_id % 7 = 0 THEN '## ## ## ## ## ## ##'
+       |         ELSE 'clean tail' END AS text
+       |  FROM tok0),
+       |m AS (SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> len(x) > 0) AS w,
+       |    string_split(text, chr(10)) AS l
+       |  FROM lined),
+       |c AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0)
+       |      AS BIGINT) AS n_chars,
+       |    CAST(len(regexp_extract_all(text, '#'))
+       |      + len(regexp_extract_all(text, '\\.\\.\\.'))
+       |      + len(regexp_extract_all(text, '…')) AS BIGINT) AS n_symbols,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+       |      AS BIGINT) AS n_alpha_words,
+       |    CAST(len(l) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(l, x ->
+       |      regexp_matches(trim(x), '^[-*•]'))) AS BIGINT)
+       |      AS n_bullet_lines,
+       |    CAST(len(list_filter(l, x ->
+       |      regexp_matches(trim(x), '(\\.\\.\\.|…)$$'))) AS BIGINT)
+       |      AS n_ellipsis_lines,
+       |    CAST(len(list_intersect(list_distinct(w), $req)) AS BIGINT)
+       |      AS n_req_stopwords
+       |  FROM m),
+       |f AS (SELECT *,
+       |    CASE WHEN n_words > 0 THEN (n_chars * 1000) // n_words END
+       |      AS mean_word_len_milli,
+       |    (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+       |    (n_symbols * 10 <= n_words) AS flag_symbol_ratio,
+       |    (n_alpha_words * 5 >= n_words * 4) AS flag_alpha,
+       |    (n_bullet_lines * 10 <= n_lines * 9) AS flag_bullets,
+       |    (n_ellipsis_lines * 10 <= n_lines * 3) AS flag_ellipsis,
+       |    (n_req_stopwords >= 2) AS flag_stopwords
+       |  FROM c)
+       |SELECT doc_id, n_words, n_chars, mean_word_len_milli, n_symbols,
+       |  n_alpha_words, n_lines, n_bullet_lines, n_ellipsis_lines,
+       |  n_req_stopwords, flag_word_count,
+       |  COALESCE(mean_word_len_milli >= 3000
+       |    AND mean_word_len_milli <= 10000, FALSE) AS flag_word_len,
+       |  flag_symbol_ratio, flag_alpha, flag_bullets, flag_ellipsis,
+       |  flag_stopwords,
+       |  (flag_word_count
+       |    AND COALESCE(mean_word_len_milli >= 3000
+       |      AND mean_word_len_milli <= 10000, FALSE)
+       |    AND flag_symbol_ratio AND flag_alpha AND flag_bullets
+       |    AND flag_ellipsis AND flag_stopwords) AS pass
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** punct/stopword ratio expressions over (text, toks) and the quality
     * formula over them — shared by the q21 oracle and the corpus-prep
     * pipeline replay (q58) so the two can never desynchronize from

@@ -214,6 +214,47 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("gopherQuality: each rule flips on its own crafted doc; a " +
+      "clean long doc passes; null text drops") {
+    import org.apache.spark.sql.Row
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      // 1: 50 in-range words + 2 required stopwords -> pass
+      (1L, fifty + " the of"),
+      // 2: word count below 50 -> flag_word_count false
+      (2L, "the of tiny doc"),
+      // 3: symbol-heavy (#'s > words/10) -> flag_symbol_ratio false
+      (3L, fifty + " the of # # # # # # # #"),
+      // 4: 10 lines, 10 bullets -> flag_bullets false
+      (4L, (1 to 10).map(i => s"- item $i the of").mkString("\n") +
+        " " + fifty),
+      // 5: every line ellipsis-ended -> flag_ellipsis false
+      (5L, fifty + " the of ...\nsecond line ...\nthird ..."),
+      // 6: numeric words (no alpha) beyond 20% -> flag_alpha false
+      (6L, fifty.split(" ").take(30).mkString(" ") +
+        " the of " + (1 to 20).map(_.toString * 2).mkString(" ")),
+      // 7: no required stopwords -> flag_stopwords false
+      (7L, fifty),
+      (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(!got.contains(8L), "null text must drop")
+    def flag(id: Long, f: String): Boolean = got(id).getAs[Boolean](f)
+    assert(flag(1L, "pass"), got(1L).toString)
+    assert(!flag(2L, "flag_word_count") && !flag(2L, "pass"))
+    assert(!flag(3L, "flag_symbol_ratio") && !flag(3L, "pass"))
+    assert(flag(1L, "flag_symbol_ratio"))
+    assert(!flag(4L, "flag_bullets") && !flag(4L, "pass"))
+    assert(!flag(5L, "flag_ellipsis") && !flag(5L, "pass"))
+    assert(!flag(6L, "flag_alpha") && !flag(6L, "pass"))
+    assert(!flag(7L, "flag_stopwords") && !flag(7L, "pass"))
+    // the counts behind doc 1's pass, exactly
+    assert(got(1L).getAs[Long]("n_words") == 52L)
+    assert(got(1L).getAs[Long]("n_req_stopwords") == 2L)
+    assert(got(1L).getAs[Long]("n_lines") == 1L)
+  }
+
   test("vocabDiff: null text drops from counts and doc totals") {
     val olds = Seq((1L, "x y"), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
