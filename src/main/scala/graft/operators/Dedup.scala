@@ -846,6 +846,68 @@ object Dedup {
       .where(col("hits") >= minHits)
   }
 
+  /** [[ngramContamination]] at SPAN grain — the audit form: not just
+    * WHICH corpus docs share an n-gram with the eval suite, but WHERE
+    * inside each document and against WHICH eval doc, so a
+    * decontamination reviewer can read the actual overlapping passage
+    * instead of re-deriving it. One row per (corpus doc, eval doc)
+    * pair with ≥ `minHits` matched token WINDOWS:
+    *
+    *   (id, eval_id, hits, first_pos, last_pos)
+    *
+    * `hits` counts matched window POSITIONS (not distinct grams — a
+    * gram recurring in the corpus doc is several real overlaps an
+    * auditor reads); positions are 1-based token indices, `last_pos`
+    * the END token of the last matched window, so
+    * tokens[first_pos..last_pos] is the minimal slice containing
+    * every overlap. Both sides keep only docs with ≥ `shingleSize`
+    * tokens (full windows — no partial-gram rule needed at span
+    * grain; [[ngramContamination]]'s asymmetric gate exists to skip a
+    * second corpus tokenization, which the position explode here pays
+    * anyway).
+    *
+    * 100 TB shape: the corpus side explodes one row per token window
+    * (bounded by token count — the same volume every shingle op
+    * carries, distinctness just doesn't collapse repeats), the eval
+    * side is benchmark-sized distinct grams per eval doc; the join is
+    * the same unhinted gram equi-join as [[ngramContamination]] (AQE
+    * broadcasts the eval side at runtime size); the aggregate is
+    * map-side-combinable min/max/count at pair grain. Run it on
+    * [[ngramContamination]]'s survivors when the corpus is huge — the
+    * screen is cheaper, the spans are the audit.
+    */
+  def ngramContaminationSpans(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    require(shingleSize >= 2, "shingleSize >= 2")
+    require(minHits >= 1, "minHits >= 1")
+    val n = shingleSize
+    val corpusWindows = corpus.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (n - 1)))
+          .as("pos"))
+      .select(col("id"), col("pos"),
+        array_join(slice(col("__toks"), col("pos"), lit(n)), " ").as("g"))
+    val evalGrams = eval.where(col(textCol).isNotNull &&
+        graft.functions.TextFunctions.tokenCount(col(textCol)) >= n)
+      .select(col(idCol).as("eval_id"),
+        explode(graft.functions.TextFunctions
+          .shingles(col(textCol), n)).as("g")) // distinct per doc
+    corpusWindows.join(evalGrams, Seq("g"))
+      .groupBy(col("id"), col("eval_id"))
+      .agg(count(lit(1)).as("hits"),
+        min(col("pos")).cast("long").as("first_pos"),
+        (max(col("pos")) + (n - 1)).cast("long").as("last_pos"))
+      .where(col("hits") >= minHits)
+  }
+
   /** SORTED-NEIGHBORHOOD near-dup blocking (Hernández–Stolfo) — the
     * third blocking family next to [[minhashLSH]] (hash buckets) and
     * [[graft.operators.FuzzyJoin]] (deletion neighborhoods): sort the

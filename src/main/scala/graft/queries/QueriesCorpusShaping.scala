@@ -124,6 +124,41 @@ private[graft] trait QueriesCorpusShaping { this: Queries.type =>
     s"list_distinct([array_to_string(toks[i:i+${n - 1}], ' ') " +
       s"for i in range(1, greatest(len(toks) - ${n - 1}, 1) + 1)])"
 
+  /** q283: contamination at SPAN grain
+    * ([[Dedup.ngramContaminationSpans]]) — the q68 screen upgraded to
+    * the audit question: against WHICH eval doc, HOW MANY overlapping
+    * 8-token windows, and the minimal corpus token slice
+    * [first_pos, last_pos] containing them. Oracle: positional window
+    * generation + the per-eval distinct-gram join + min/max/count
+    * replayed exactly.
+    */
+  def decontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.ngramContaminationSpans(
+        docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+        "doc_id", "text", shingleSize = 8, minHits = 1)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "eval_id")
+  }
+
+  val decontaminateSpansSql: String =
+    s"""WITH tok AS (SELECT doc_id, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |t2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 8),
+       |cw AS (SELECT doc_id, pos,
+       |    array_to_string(toks[pos:pos + 7], ' ') AS g
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, len(toks) - 7 + 1)) AS pos
+       |        FROM t2 WHERE doc_id >= 100)),
+       |ev AS (SELECT doc_id AS eval_id, unnest(${duckGrams(8)}) AS g
+       |  FROM t2 WHERE doc_id < 100)
+       |SELECT c.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS hits,
+       |  CAST(MIN(c.pos) AS BIGINT) AS first_pos,
+       |  CAST(MAX(c.pos) + 7 AS BIGINT) AS last_pos
+       |FROM cw c JOIN ev e USING (g)
+       |GROUP BY c.doc_id, e.eval_id HAVING COUNT(*) >= 1
+       |ORDER BY c.doc_id, e.eval_id""".stripMargin
+
   val decontaminateSql: String =
     s"""WITH tok AS (SELECT doc_id, $duckToks AS toks
        |            FROM documents WHERE text IS NOT NULL),

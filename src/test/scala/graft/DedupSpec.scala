@@ -199,6 +199,44 @@ class DedupSpec extends SparkSuite {
     assert(got == Set((100L, 1L)), s"got $got")
   }
 
+  test("ngramContaminationSpans: per-(corpus, eval) hit counts at " +
+      "WINDOW grain with the minimal covering token span") {
+    val eval = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // eval-1's 8-gram at positions 2 and 11 — TWO window hits at
+      // span grain (distinctness must not collapse them), covering
+      // tokens [2, 18]
+      (100L, "x alpha beta gamma delta epsilon zeta eta theta y " +
+        "alpha beta gamma delta epsilon zeta eta theta"),
+      // both eval docs hit doc 101: eval-1's gram at pos 1, eval-2's
+      // at pos 9 → two PAIR rows with their own spans
+      (101L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "one two three four five six seven eight"),
+      // a 7-token overlap is no hit
+      (102L, "alpha beta gamma delta epsilon zeta eta DIFFERENT x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContaminationSpans(corpus, eval, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (100L, 1L, 2L, 2L, 18L),
+      (101L, 1L, 1L, 1L, 8L),
+      (101L, 2L, 1L, 9L, 16L)), s"got $got")
+    // eval-1 sliding inside doc 101? eval docs are 8 tokens = one gram
+    // each, so hits == windows matched; a 9-token eval doc contributes
+    // TWO grams and a corpus doc carrying it hits both windows
+    val eval2 = Seq((3L, "alpha beta gamma delta epsilon zeta eta " +
+      "theta one")).toDF("doc_id", "text")
+    val got2 = Dedup.ngramContaminationSpans(
+        Seq((200L, "alpha beta gamma delta epsilon zeta eta theta " +
+          "one two")).toDF("doc_id", "text"),
+        eval2, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got2 == Set((200L, 3L, 2L, 1L, 9L)), s"got $got2")
+  }
+
   test("sortedNeighborhoodPairs: near-dups land adjacent and verify") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
