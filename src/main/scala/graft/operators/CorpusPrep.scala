@@ -211,6 +211,50 @@ object CorpusPrep {
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** WITHIN-document repeated-line removal — the intra-doc twin of
+    * [[stripBoilerplateLines]] (scraped pages repeat their own nav
+    * blocks, chat/forum dumps repeat quoted headers, degenerate
+    * generations loop): a line whose trimmed form already appeared
+    * EARLIER in the same document is removed; the FIRST occurrence
+    * stays, in place. Same line rules as the cross-doc form (split on
+    * \n keeping trailing empties; trim(line) is the match key; keys
+    * that trim to "" are formatting and always survive; kept lines
+    * keep their original bytes and order; NULL texts drop). Output:
+    * (id, text, n_kept, n_removed).
+    *
+    * 100 TB shape: strictly narrower than the cross-doc form — the
+    * occurrence rank is a (doc, key) window whose partitions are
+    * bounded by one document's lines, so the whole operator is ONE
+    * shuffle on the doc id (the regroup); no corpus-wide state at
+    * all. Compose: run this FIRST (it shrinks within-doc weight),
+    * then [[stripBoilerplateLines]] (whose distinct-doc df is
+    * unaffected by within-doc repeats by construction).
+    */
+  def dedupLinesWithinDoc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id"), col("__k"))
+      .orderBy(col("pos").asc)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("__k", trim(col("line")))
+      .withColumn("__keep",
+        col("__k") === "" || row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** SEQUENCE PACKING — the concat-and-cut step that turns a document
     * stream into fixed-length training examples: per stratum, documents
     * are laid end-to-end in `orderCol` order and the token stream is

@@ -98,6 +98,65 @@ private[graft] trait QueriesCorpusShaping { this: Queries.type =>
        |FROM cnt c LEFT JOIN txt t USING (doc_id)
        |ORDER BY c.doc_id""".stripMargin
 
+  /** q284: WITHIN-document repeated-line removal
+    * ([[CorpusPrep.dedupLinesWithinDoc]] — the intra-doc twin of
+    * q281): docs constructed so every doc_id ≡ 0 mod 2 repeats its
+    * first token line verbatim and every doc_id ≡ 0 mod 3 repeats a
+    * padded variant (trim-equal — must also drop) with an empty
+    * formatting line between. Oracle: the construction + the
+    * first-occurrence-by-position rule (row_number over (doc, trimmed
+    * key) ordered by pos) + ordered byte-exact reassembly.
+    */
+  def dedupLinesQuery(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val l1 = array_join(slice(toks, 1, 8), " ")
+    val lined = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), concat_ws("\n",
+        l1,
+        when(pmod(col("doc_id"), lit(2)) === 0, l1)
+          .otherwise(array_join(slice(toks, 9, 8), " ")),
+        lit(""),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(lit("  "), l1))
+          .otherwise(array_join(slice(toks, 17, 8), " "))).as("text"))
+    CorpusPrep.dedupLinesWithinDoc(lined, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dedupLinesSql: String =
+    s"""WITH tok AS (SELECT doc_id, $duckToks AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |lined AS (SELECT doc_id,
+       |    COALESCE(array_to_string(toks[1:8], ' '), '') || chr(10) ||
+       |    CASE WHEN doc_id % 2 = 0
+       |         THEN COALESCE(array_to_string(toks[1:8], ' '), '')
+       |         ELSE COALESCE(array_to_string(toks[9:16], ' '), '') END
+       |      || chr(10) || chr(10) ||
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN '  ' || COALESCE(array_to_string(toks[1:8], ' '), '')
+       |         ELSE COALESCE(array_to_string(toks[17:24], ' '), '') END
+       |      AS text
+       |  FROM tok),
+       |ln AS (SELECT doc_id, pos, l[pos] AS line, trim(l[pos]) AS k
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos
+       |        FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+       |              FROM lined))),
+       |flagged AS (SELECT doc_id, pos, line,
+       |    (k = '' OR row_number() OVER (PARTITION BY doc_id, k
+       |       ORDER BY pos) = 1) AS keep
+       |  FROM ln),
+       |txt AS (SELECT doc_id,
+       |    array_to_string(list(line ORDER BY pos), chr(10)) AS text
+       |  FROM flagged WHERE keep GROUP BY doc_id),
+       |cnt AS (SELECT doc_id,
+       |    CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       |    CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+       |  FROM flagged GROUP BY doc_id)
+       |SELECT c.doc_id, COALESCE(t.text, '') AS text, c.n_kept,
+       |  c.n_removed
+       |FROM cnt c LEFT JOIN txt t USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Benchmark decontamination ([[Dedup.ngramContamination]]): corpus
     * docs (id >= 100) sharing any complete 8-token n-gram with the
     * "benchmark" slice (id < 100) — exact distinct-gram equi-join, the

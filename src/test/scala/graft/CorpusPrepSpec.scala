@@ -52,6 +52,28 @@ class CorpusPrepSpec extends SparkSuite {
     }
   }
 
+  test("dedupLinesWithinDoc: first occurrence survives in place, " +
+      "trim-equal variants drop, formatting/empty lines always stay, " +
+      "cross-doc repeats are untouched") {
+    val docs = Seq(
+      (1L, "nav bar\nreal content\n  nav bar  \n\nnav bar\ntail"),
+      (2L, "nav bar\nother doc same line is fine"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = CorpusPrep.dedupLinesWithinDoc(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got.head == ((1L, "nav bar\nreal content\n\ntail", 4L, 2L)),
+      got.head.toString)
+    // doc 2 keeps its own first "nav bar" — within-doc only
+    assert(got(1) == ((2L, "nav bar\nother doc same line is fine", 2L, 0L)))
+    // partition invariance
+    val re = CorpusPrep
+      .dedupLinesWithinDoc(docs.repartition(3), "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+  }
+
   test("hashSample: deterministic, partition-invariant, rate-plausible") {
     val df = spark.range(10000).toDF("id")
     val a = Sampling.hashSample(df, "id", 20).select("id").as[Long].collect().toSet
