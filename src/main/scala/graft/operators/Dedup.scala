@@ -521,50 +521,55 @@ object Dedup {
       if (maxIter > 0) maxIter
       else {
         val n = math.max(labels.count(), 2L)
-        (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 4
+        // +6 slack, not +4: the fused pass below jumps on the PASS-START
+        // labels (not on this pass's neighbor-min output), which costs
+        // at most ~2 extra passes on a worst-case path while halving the
+        // per-pass action count — the reach still doubles per pass
+        // (label-of-label on a snapshot is exact doubling), so the
+        // ⌈log₂ n⌉ law is unchanged (DedupSpec's 10k-path case pins it)
+        (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 6
       }
     var iter = 0
     var converged = false
     while (iter < effectiveMax && !converged) {
+      // ONE fused min per pass (round-16 optimization — guide §2.4,
+      // fewer actions/passes): label'(v) = min(label(v), label-of-label
+      // (the pointer jump — label values are vertex ids, so one
+      // self-join halves every label chain: O(log diameter) passes, not
+      // O(diameter)), min over neighbors). All three read the PREVIOUS
+      // pass's checkpointed labels, so the pass materializes exactly
+      // once (one localCheckpoint job) instead of the former two
+      // (propagated + jumped), and the convergence check rides the
+      // carried __old column instead of a join back onto labels —
+      // measured: the CC loop behind q172's 15.5 s ran 250 ~40 ms jobs,
+      // most of them these per-pass materializations. Monotone (labels
+      // only decrease within the component), so the fixpoint — the
+      // component minimum — is unchanged, which the q35 recursive-CTE
+      // oracle verifies end to end.
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("group_id", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
-      // checkpoint BEFORE the self-join: `propagated` feeds both sides
-      // of the pointer jump below, and lazy it would execute the
-      // neighbor-min join twice per pass. The label table is narrow
-      // (two longs per vertex), so the materialization is cheap.
-      val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
-        .localCheckpoint(true)
-      // pointer jumping (shortcut): also adopt the label OF my label —
-      // label values are themselves vertex ids, so one extra self-join
-      // halves every label chain. Plain neighbor-min alone needs
-      // O(diameter) passes (a boundary-similarity chain A~B~C~… can
-      // have diameter in the thousands on a web corpus); with the jump
-      // the distance-to-root shrinks geometrically ⇒ O(log diameter)
-      // passes. Monotone (labels only decrease within the component),
-      // so the fixpoint — the component minimum — is unchanged, which
-      // the q35 recursive-CTE oracle verifies end to end.
-      val jumped = propagated.as("a")
-        .join(propagated.select(col("id").as("gid"), col("group_id").as("gg")),
-          col("a.group_id") === col("gid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.group_id"), coalesce(col("gg"), col("a.group_id"))).as("group_id"))
-      // checkpoint again (the jumped table is consumed by both the
-      // convergence check and the next pass), truncating the lineage —
-      // through [[Graph.cpFlatStats]], because localCheckpoint alone
-      // PRESERVES the estimated stats and the self-join above squares
-      // them every pass: on a deep (high-diameter) component the
+      val lol = labels
+        .select(col("id").as("__gid"), col("group_id").as("__gg"))
+      // checkpoint through [[Graph.cpFlatStats]], because localCheckpoint
+      // alone PRESERVES the estimated stats and the self-join above
+      // squares them every pass: on a deep (high-diameter) component the
       // estimate's digit count doubles per pass until Catalyst grinds
       // driver-side BigInteger math (the round-8 SCC probe finding;
       // early convergence on shallow dup graphs merely masked it here)
-      val updated = Graph.cpFlatStats(jumped)
-      val changed = updated.join(labels.withColumnRenamed("group_id", "old"), Seq("id"))
-        .where(col("group_id") =!= col("old")).limit(1).count()
-      labels = updated
+      val updated = Graph.cpFlatStats(
+        labels.join(neighborMin, Seq("id"), "left")
+          .join(lol, col("group_id") === col("__gid"), "left")
+          .select(col("id"),
+            least(col("group_id"),
+              coalesce(col("nmin"), col("group_id")),
+              coalesce(col("__gg"), col("group_id"))).as("group_id"),
+            col("group_id").as("__old")))
+      val changed = updated.where(col("group_id") =!= col("__old"))
+        .limit(1).count()
+      labels = updated.drop("__old")
       converged = changed == 0
       iter += 1
     }

@@ -531,9 +531,24 @@ object Graph {
     val und0 = edges
       .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
       .where(col("a") < col("b")).distinct()
-    // both directions: degree = COUNT per src over the mirrored table
+    // both directions: degree = COUNT per src over the mirrored table.
+    // Hash-partitioned by src ONCE, up front (round-16 optimization,
+    // guide §2.3 "shuffle fewer bytes"): with every src confined to one
+    // partition, each round's degree groupBy emits exactly ONE partial
+    // row per node into its exchange (node-grain) instead of up-to-one
+    // per (partition, node) (≈ parallelism × node-grain) — the peel's
+    // per-round shuffle drops from edge-combine-residue to node count.
+    // (localCheckpoint under AQE does not preserve the partitioning
+    // metadata, so the exchange NODE stays in each round's plan — the
+    // bytes through it are what shrink.) The survivor semi-join side is
+    // node-sized and AQE broadcasts it when it measures small, leaving
+    // the edge table itself un-shuffled by the joins. The explicit
+    // partition count is the session's own shuffle-partition setting —
+    // the cluster-tuned knob, not a local constant.
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
     var e = und0.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und0.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(nPart, col("src"))
       .localCheckpoint(true)
     var done = false
     var round = 0

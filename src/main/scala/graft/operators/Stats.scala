@@ -1306,7 +1306,20 @@ object Stats {
             .cast("long")))
       .withColumn("obs_mean_milli", expr("(1000L * __s) div n"))
       .drop("__nd", "__mn", "__mx", "__s")
+    // repartition at the session's parallelism BEFORE the ×B explode
+    // (round-16 optimization, guide §2.5): the input is group-grain and
+    // byte-light, so AQE's size-based coalescing packs it into one or
+    // two partitions — and the ×B explode, the B·n md5 draws and the
+    // pick join then SERIALIZE onto those tasks (measured: q188's 7.6 s
+    // single-task stage, 17 tasks for the whole query). Repartitioning
+    // the pre-explode rows by (group, idx) is a trivially small
+    // exchange that hands the fan-out and the hash work the session's
+    // full parallelism; the explicit count pins the exchange against
+    // coalescing and is the cluster's own shuffle-partition setting,
+    // not a local constant.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val grid = nullSafeGroupJoin(rows, base, groupCols)
+      .repartition(nPart, (groupCols.map(col) :+ col("__idx")): _*)
       .withColumn("__b",
         explode(typedlit((1 to nResamples).toSeq.map(_.toLong))))
     val key = concat_ws("\u0002",
@@ -1389,7 +1402,13 @@ object Stats {
         when(col("n_a") > 0 && col("n_b") > 0,
           expr("(1000L * __sa) div n_a - (1000L * __sb) div n_b")))
       .drop("__sa", "__sb")
+    // pre-explode repartition at session parallelism — the
+    // [[bootstrapMeanCI]] serialization fix (round 16, guide §2.5):
+    // group-grain input coalesces small, and the ×B fan-out plus B·n
+    // md5 ranks would otherwise run on one or two tasks
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val grid = nullSafeGroupJoin(rows, base, groupCols)
+      .repartition(nPart, (groupCols.map(col) :+ col("__id")): _*)
       .withColumn("__b",
         explode(typedlit((1 to nPerms).toSeq.map(_.toLong))))
     val key = concat_ws("\u0002",
