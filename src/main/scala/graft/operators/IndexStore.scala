@@ -70,10 +70,76 @@ object IndexStore {
   /** The persisted build parameters of the index at `path` (public:
     * callers of the *Indexed probe operators need them to derive
     * matching query-side keys).
+    *
+    * Read DIRECTLY with parquet-mr on the driver, not through a Spark
+    * scan: meta is a handful of rows consulted up to ~14 times per
+    * lifecycle op (every metaOf/kind dispatch), and the Spark path
+    * costs TWO scheduler round-trips per consult (schema-inference
+    * footer job + collect job) — measured at scale-irrelevant data but
+    * real per-job latency (round-16 profile: the delete/merge
+    * lifecycles ran ~190 tiny jobs, meta reads ~28 of them). The same
+    * parquet files and bytes are read either way; at 100 TB this is
+    * also the right posture — metadata lookups should never occupy the
+    * cluster scheduler.
     */
-  def readMeta(spark: SparkSession, path: String): Map[String, String] =
-    spark.read.parquet(s"$path/meta").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+  def readMeta(spark: SparkSession, path: String): Map[String, String] = {
+    val dir = new org.apache.hadoop.fs.Path(path, "meta")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      throw new java.io.FileNotFoundException(
+        s"IndexStore: no meta table at $dir — not an index here (or a " +
+          "rebuild's reset is in flight; meta is the commit record)")
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+    if (parts.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"IndexStore: meta table at $dir holds no data files — a torn " +
+          "write; rebuild the index (meta is written last)")
+    parts.toSeq.flatMap { p =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+        .withConf(fs.getConf).build()
+      try Iterator.continually(reader.read()).takeWhile(_ != null)
+        .map(g => g.getString("key", 0) -> g.getString("value", 0))
+        .toList
+      finally reader.close()
+    }.toMap
+  }
+
+  /** `ddl_<table> -> schema DDL` meta entries, recorded by every save*
+    * builder (round-16 optimization): with the write-time schema in
+    * meta, every internal table read can pass an explicit schema and
+    * skip the per-read footer-inference Spark job — ~1 scheduler
+    * round-trip per read, ~20 reads per lifecycle op (the delete/merge
+    * lifecycle queries measured ~190 tiny jobs each). Appends never
+    * change a table's schema (pure parquet appends of the same
+    * derivations), and compaction/vacuum rewrite what they read, so
+    * the save-time DDL stays valid for the index's whole life; a
+    * rebuild rewrites meta with it.
+    */
+  private def ddlEntries(tables: (String, DataFrame)*): Seq[(String, String)] =
+    tables.map { case (t, df) => s"ddl_$t" -> df.schema.toDDL }
+
+  /** Read an index raw table through the generation-resolved `dir`,
+    * with the save-time recorded schema when meta carries one (see
+    * [[ddlEntries]]) — falls back to normal schema inference for
+    * tables without a recording (pre-recording indexes, `deletes`,
+    * graveyards, merged-index metas that predate their tables).
+    */
+  private def readTable(
+      spark: SparkSession, path: String, dir: String => String,
+      t: String): DataFrame = {
+    val ddl =
+      try readMeta(spark, path).get(s"ddl_$t")
+      catch { case _: java.io.FileNotFoundException => None }
+    ddl match {
+      case Some(d) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+        .parquet(dir(t))
+      case None => spark.read.parquet(dir(t))
+    }
+  }
 
   private def metaOf(
       spark: SparkSession, path: String, kind: String): Map[String, String] = {
@@ -299,7 +365,8 @@ object IndexStore {
       // meta LAST — the rebuild's commit record (see [[resetGenerations]])
       writeMeta(spark, path, Seq(
         "kind" -> "corpus", "shingle_size" -> shingleSize.toString,
-        "num_hashes" -> numHashes.toString, "num_bands" -> numBands.toString))
+        "num_hashes" -> numHashes.toString, "num_bands" -> numBands.toString)
+        ++ ddlEntries("bands" -> bands, "sets" -> sets, "members" -> members))
     }
   }
 
@@ -321,13 +388,13 @@ object IndexStore {
       check: Boolean = true): Dedup.CorpusIndex = {
     metaOf(spark, path, "corpus")
     val dir = tableDirs(spark, path)
-    val sets = spark.read.parquet(dir("sets"))
-    val members = spark.read.parquet(dir("members"))
+    val sets = readTable(spark, path, dir, "sets")
+    val members = readTable(spark, path, dir, "members")
     // coverage on the RAW members (see [[loadVectorIndex]]: a
     // fully-deleted group is a tombstone state, not a torn append)
     if (check) requireMemberCoverage(members, sets, "corpus_id", "sets", path)
     Dedup.capCorpusTables(
-      spark.read.parquet(dir("bands")), sets,
+      readTable(spark, path, dir, "bands"), sets,
       applyDeletes(members, readDeletes(spark, path, dir), "member_id"),
       maxBucketSize)
   }
@@ -381,8 +448,8 @@ object IndexStore {
       // a violation to a loud raise instead of silent row loss)
       val (resolved, dir) = resolvedDirs(spark, path)
       appendFenceTestHook()
-      val oldSets = spark.read.parquet(dir("sets"))
-      val oldMembers = spark.read.parquet(dir("members"))
+      val oldSets = readTable(spark, path, dir, "sets")
+      val oldMembers = readTable(spark, path, dir, "members")
       val gn = Dedup.textGroups(newDocs, idCol, textCol)
       requireIdsAfter(graveyardUnion(spark, path, dir,
           oldMembers.select(col("member_id"))),
@@ -417,7 +484,7 @@ object IndexStore {
       // filter is defense against external/legacy table writers.) On an
       // identity mismatch the anti-join is materialized BEFORE the
       // directory-mutating writes (same race rationale as `novel`).
-      val oldBands = spark.read.parquet(dir("bands"))
+      val oldBands = readTable(spark, path, dir, "bands")
       val bandedSets = oldSets.where(size(col("sh")) > 0)
       val covered = oldBands.agg(count(lit(1)).as("__b"))
         .crossJoin(broadcast(bandedSets.agg(count(lit(1)).as("__s"))))
@@ -552,10 +619,12 @@ object IndexStore {
         .localCheckpoint(true)
       members.repartition(col("dh"))
         .write.mode("overwrite").parquet(s"$path/members")
-      Dedup.hashBandRows(members, "dh").repartition(col("band_hash"))
+      val bandRows = Dedup.hashBandRows(members, "dh")
+      bandRows.repartition(col("band_hash"))
         .write.mode("overwrite").parquet(s"$path/bands")
       // meta LAST — the rebuild's commit record (see [[resetGenerations]])
-      writeMeta(spark, path, Seq("kind" -> "media"))
+      writeMeta(spark, path, Seq("kind" -> "media")
+        ++ ddlEntries("members" -> members, "bands" -> bandRows))
     }
   }
 
@@ -579,8 +648,8 @@ object IndexStore {
     // empty) are harmless candidates and reclaimed by
     // [[vacuumMediaIndex]]
     Dedup.MediaIndex(
-      Dedup.capBands(spark.read.parquet(dir("bands")), maxBucketSize),
-      applyDeletes(spark.read.parquet(dir("members")),
+      Dedup.capBands(readTable(spark, path, dir, "bands"), maxBucketSize),
+      applyDeletes(readTable(spark, path, dir, "members"),
         readDeletes(spark, path, dir), "member_id"))
   }
 
@@ -627,7 +696,7 @@ object IndexStore {
         .localCheckpoint(true)
       val (resolved, dir) = resolvedDirs(spark, path)
       appendFenceTestHook()
-      val oldMembers = spark.read.parquet(dir("members"))
+      val oldMembers = readTable(spark, path, dir, "members")
       requireIdsAfter(graveyardUnion(spark, path, dir,
           oldMembers.select(col("member_id"))),
         incoming.select(col("member_id")), op)
@@ -641,7 +710,7 @@ object IndexStore {
       val novel = incoming.select(col("dh"))
         .unionByName(oldMembers.select(col("dh")))
         .distinct()
-        .join(spark.read.parquet(dir("bands")).select(col("dh")).distinct(),
+        .join(readTable(spark, path, dir, "bands").select(col("dh")).distinct(),
           Seq("dh"), "left_anti")
         .localCheckpoint(true)
       incoming.repartition(col("dh"))
@@ -763,7 +832,9 @@ object IndexStore {
       writeMeta(spark, path, Seq(
         "kind" -> "vector", "dim" -> dim.toString,
         "num_blocks" -> numBlocks.toString,
-        "planes_per_block" -> planesPerBlock.toString, "seed" -> seed.toString))
+        "planes_per_block" -> planesPerBlock.toString, "seed" -> seed.toString)
+        ++ ddlEntries("blocks" -> blocks, "reps" -> reps,
+          "members" -> members))
     }
   }
 
@@ -783,14 +854,14 @@ object IndexStore {
       check: Boolean = true): Similarity.VectorIndex = {
     metaOf(spark, path, "vector")
     val dir = tableDirs(spark, path)
-    val reps = spark.read.parquet(dir("reps"))
-    val members = spark.read.parquet(dir("members"))
+    val reps = readTable(spark, path, dir, "reps")
+    val members = readTable(spark, path, dir, "members")
     // torn-state coverage runs on the RAW members: a fully-deleted rep
     // group legitimately has a reps row and zero LIVE members — that is
     // a tombstone state, not a torn append (vacuum prunes the group)
     if (check) requireMemberCoverage(members, reps, "rep_id", "reps", path)
     Similarity.capVectorTables(
-      spark.read.parquet(dir("blocks")), reps,
+      readTable(spark, path, dir, "blocks"), reps,
       applyDeletes(members, readDeletes(spark, path, dir), "member_id"),
       maxBucketSize)
   }
@@ -827,8 +898,8 @@ object IndexStore {
       val m = metaOf(spark, path, "vector")
       val (resolved, dir) = resolvedDirs(spark, path)
       appendFenceTestHook()
-      val oldReps = spark.read.parquet(dir("reps"))
-      val oldMembers = spark.read.parquet(dir("members"))
+      val oldReps = readTable(spark, path, dir, "reps")
+      val oldMembers = readTable(spark, path, dir, "members")
       val gn = vecGroups(newVecs, idCol, vecCol)
       requireIdsAfter(graveyardUnion(spark, path, dir,
           oldMembers.select(col("member_id"))),
@@ -843,7 +914,7 @@ object IndexStore {
       // rows, so the count identity proves coverage without the
       // anti-join shuffle; on mismatch the anti-join is materialized
       // BEFORE the directory-mutating writes below.
-      val oldBlocks = spark.read.parquet(dir("blocks"))
+      val oldBlocks = readTable(spark, path, dir, "blocks")
       val covered = oldBlocks.agg(count(lit(1)).as("__b"))
         .crossJoin(broadcast(oldReps.agg(count(lit(1)).as("__r"))))
         .head()
@@ -957,15 +1028,18 @@ object IndexStore {
     withIndexLease(spark, path, "saveIvf") {
       import spark.implicits._
       resetGenerations(spark, path)
-      model.centroids.zipWithIndex
+      val centroidRows = model.centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("list_id", "centroid").coalesce(1)
+        .toDF("list_id", "centroid")
+      centroidRows.coalesce(1)
         .write.mode("overwrite").parquet(s"$path/centroids")
       model.assignments.repartition(col("list_id"))
         .write.mode("overwrite").parquet(s"$path/assign")
       // meta LAST — the rebuild's commit record (see [[resetGenerations]])
       writeMeta(spark, path, Seq(
-        "kind" -> "ivf", "n_lists" -> model.centroids.length.toString))
+        "kind" -> "ivf", "n_lists" -> model.centroids.length.toString)
+        ++ ddlEntries("centroids" -> centroidRows,
+          "assign" -> model.assignments))
     }
   }
 
@@ -975,14 +1049,14 @@ object IndexStore {
   def loadIvf(spark: SparkSession, path: String): IvfIndex.Model = {
     metaOf(spark, path, "ivf")
     val dir = tableDirs(spark, path)
-    val centroids = spark.read.parquet(dir("centroids"))
+    val centroids = readTable(spark, path, dir, "centroids")
       .orderBy("list_id").collect()
       .map(_.getAs[Seq[Double]]("centroid").toArray)
     // tombstones ([[deleteFromIvf]]): a deleted id leaves the inverted
     // lists at load, so no probe can select it — searches hydrate
     // vectors from the caller's corpus BY these assignments
     IvfIndex.Model(centroids,
-      applyDeletes(spark.read.parquet(dir("assign")),
+      applyDeletes(readTable(spark, path, dir, "assign"),
         readDeletes(spark, path, dir), "id"))
   }
 
@@ -1022,10 +1096,10 @@ object IndexStore {
       // the two reads would mix generations)
       val (resolved, dir) = resolvedDirs(spark, path)
       appendFenceTestHook()
-      val centroids = spark.read.parquet(dir("centroids"))
+      val centroids = readTable(spark, path, dir, "centroids")
         .orderBy("list_id").collect()
         .map(_.getAs[Seq[Double]]("centroid").toArray)
-      val assignments = spark.read.parquet(dir("assign"))
+      val assignments = readTable(spark, path, dir, "assign")
       val assign = IvfIndex.assign(newVecs, idCol, vecCol, centroids)
       // overlap guard over live ids ∪ the tombstone graveyard: a
       // vacuumed delete's rows leave assign/, but re-admitting its id
@@ -1066,7 +1140,8 @@ object IndexStore {
       idx.doclen.repartition(col("doc_id"))
         .write.mode("overwrite").parquet(s"$path/doclen")
       // meta LAST — the rebuild's commit record (see [[resetGenerations]])
-      writeMeta(spark, path, Seq("kind" -> "text"))
+      writeMeta(spark, path, Seq("kind" -> "text")
+        ++ ddlEntries("postings" -> idx.postings, "doclen" -> idx.doclen))
     }
   }
 
@@ -1105,9 +1180,9 @@ object IndexStore {
     val dir = tableDirs(spark, path)
     val del = readDeletes(spark, path, dir)
     val postings = applyDeletes(
-      spark.read.parquet(dir("postings")), del, "doc_id")
+      readTable(spark, path, dir, "postings"), del, "doc_id")
     val doclen = applyDeletes(
-      spark.read.parquet(dir("doclen")), del, "doc_id")
+      readTable(spark, path, dir, "doclen"), del, "doc_id")
     if (check) {
       val sums = doclen.agg(sum(col("dl")).as("__dl"))
         .crossJoin(broadcast(postings.agg(sum(col("tf")).as("__tf"))))
@@ -1294,7 +1369,7 @@ object IndexStore {
       metaOf(spark, path, "text")
       val (resolved, dir) = resolvedDirs(spark, path)
       val liveIds = applyDeletes(
-        spark.read.parquet(dir("doclen")).select(col("doc_id")),
+        readTable(spark, path, dir, "doclen").select(col("doc_id")),
         readDeletes(spark, path, dir), "doc_id")
       tombstoneDelete(spark, path, "deleteFromTextIndex", "doc_id",
         ids, liveIds, dir, resolved)
@@ -1330,8 +1405,8 @@ object IndexStore {
         case None => 0L
         case Some(del0) =>
           val del = del0.localCheckpoint(true)
-          val doclen = spark.read.parquet(dir("doclen"))
-          val postings = spark.read.parquet(dir("postings"))
+          val doclen = readTable(spark, path, dir, "doclen")
+          val postings = readTable(spark, path, dir, "postings")
           val unfolded = doclen.join(del, Seq("doc_id"), "left_semi").count()
           if (unfolded == 0L) 0L
           else {
@@ -1596,7 +1671,7 @@ object IndexStore {
       shardPaths.foreach(p => metaOf(spark, p, "media"))
       val members = shardPaths.map { p =>
         val dir = tableDirs(spark, p)
-        applyDeletes(spark.read.parquet(dir("members")),
+        applyDeletes(readTable(spark, p, dir, "members"),
           readDeletes(spark, p, dir), "member_id")
           .select(col("dh"), col("member_id"))
       }.reduce(_.unionByName(_))
@@ -1649,8 +1724,8 @@ object IndexStore {
       val m = metas.head
       val pairs = shardPaths.map { p =>
         val dir = tableDirs(spark, p)
-        val reps = spark.read.parquet(dir("reps"))
-        val rawMembers = spark.read.parquet(dir("members"))
+        val reps = readTable(spark, p, dir, "reps")
+        val rawMembers = readTable(spark, p, dir, "members")
         requireMemberCoverage(rawMembers, reps, "rep_id", "reps", p)
         applyDeletes(rawMembers, readDeletes(spark, p, dir), "member_id")
           .join(reps, Seq("rep_id"))
@@ -1711,8 +1786,8 @@ object IndexStore {
       val m = metas.head
       val pairs = shardPaths.map { p =>
         val dir = tableDirs(spark, p)
-        val sets = spark.read.parquet(dir("sets"))
-        val rawMembers = spark.read.parquet(dir("members"))
+        val sets = readTable(spark, p, dir, "sets")
+        val rawMembers = readTable(spark, p, dir, "members")
         requireMemberCoverage(rawMembers, sets, "corpus_id", "sets", p)
         applyDeletes(rawMembers, readDeletes(spark, p, dir), "member_id")
           .join(sets.select(col("corpus_id"), col("text")), Seq("corpus_id"))
@@ -1765,7 +1840,7 @@ object IndexStore {
       metaOf(spark, path, "media")
       val (resolved, dir) = resolvedDirs(spark, path)
       val live = applyDeletes(
-        spark.read.parquet(dir("members")).select(col("member_id")),
+        readTable(spark, path, dir, "members").select(col("member_id")),
         readDeletes(spark, path, dir), "member_id")
       tombstoneDelete(spark, path, "deleteFromMediaIndex", "member_id",
         ids, live, dir, resolved)
@@ -1803,14 +1878,14 @@ object IndexStore {
         case None => 0L
         case Some(del0) =>
           val del = del0.toDF("member_id").localCheckpoint(true)
-          val members = spark.read.parquet(dir("members"))
+          val members = readTable(spark, path, dir, "members")
           val unfolded =
             members.join(del, Seq("member_id"), "left_semi").count()
           if (unfolded == 0L) 0L
           else {
             val live = members.join(del, Seq("member_id"), "left_anti")
               .select(members.columns.map(col).toIndexedSeq: _*)
-            val bands = spark.read.parquet(dir("bands"))
+            val bands = readTable(spark, path, dir, "bands")
             swapGenerations(spark, path, retainGenerations, retainAge)(Seq(
               "members" -> (d => live.repartition(col("dh"))
                 .write.mode("overwrite").parquet(d)),
@@ -1842,7 +1917,7 @@ object IndexStore {
       metaOf(spark, path, "vector")
       val (resolved, dir) = resolvedDirs(spark, path)
       val live = applyDeletes(
-        spark.read.parquet(dir("members")).select(col("member_id")),
+        readTable(spark, path, dir, "members").select(col("member_id")),
         readDeletes(spark, path, dir), "member_id")
       tombstoneDelete(spark, path, "deleteFromVectorIndex", "member_id",
         ids, live, dir, resolved)
@@ -1867,7 +1942,7 @@ object IndexStore {
         case None => 0L
         case Some(del0) =>
           val del = del0.toDF("member_id").localCheckpoint(true)
-          val members = spark.read.parquet(dir("members"))
+          val members = readTable(spark, path, dir, "members")
           val unfolded =
             members.join(del, Seq("member_id"), "left_semi").count()
           if (unfolded == 0L) 0L
@@ -1875,8 +1950,8 @@ object IndexStore {
             val live = members.join(del, Seq("member_id"), "left_anti")
               .select(members.columns.map(col).toIndexedSeq: _*)
             val liveGroups = live.select(col("rep_id")).distinct()
-            val reps = spark.read.parquet(dir("reps"))
-            val blocks = spark.read.parquet(dir("blocks"))
+            val reps = readTable(spark, path, dir, "reps")
+            val blocks = readTable(spark, path, dir, "blocks")
             swapGenerations(spark, path, retainGenerations, retainAge)(Seq(
               "members" -> (d => live.repartition(col("rep_id"))
                 .write.mode("overwrite").parquet(d)),
@@ -1910,7 +1985,7 @@ object IndexStore {
       metaOf(spark, path, "corpus")
       val (resolved, dir) = resolvedDirs(spark, path)
       val live = applyDeletes(
-        spark.read.parquet(dir("members")).select(col("member_id")),
+        readTable(spark, path, dir, "members").select(col("member_id")),
         readDeletes(spark, path, dir), "member_id")
       tombstoneDelete(spark, path, "deleteFromCorpusIndex", "member_id",
         ids, live, dir, resolved)
@@ -1932,7 +2007,7 @@ object IndexStore {
         case None => 0L
         case Some(del0) =>
           val del = del0.toDF("member_id").localCheckpoint(true)
-          val members = spark.read.parquet(dir("members"))
+          val members = readTable(spark, path, dir, "members")
           val unfolded =
             members.join(del, Seq("member_id"), "left_semi").count()
           if (unfolded == 0L) 0L
@@ -1940,8 +2015,8 @@ object IndexStore {
             val live = members.join(del, Seq("member_id"), "left_anti")
               .select(members.columns.map(col).toIndexedSeq: _*)
             val liveGroups = live.select(col("corpus_id")).distinct()
-            val sets = spark.read.parquet(dir("sets"))
-            val bands = spark.read.parquet(dir("bands"))
+            val sets = readTable(spark, path, dir, "sets")
+            val bands = readTable(spark, path, dir, "bands")
             swapGenerations(spark, path, retainGenerations, retainAge)(Seq(
               "members" -> (d => live.repartition(col("corpus_id"))
                 .write.mode("overwrite").parquet(d)),
@@ -1973,7 +2048,7 @@ object IndexStore {
       metaOf(spark, path, "ivf")
       val (resolved, dir) = resolvedDirs(spark, path)
       val live = applyDeletes(
-        spark.read.parquet(dir("assign")).select(col("id")),
+        readTable(spark, path, dir, "assign").select(col("id")),
         readDeletes(spark, path, dir), "id")
       tombstoneDelete(spark, path, "deleteFromIvf", "id",
         ids, live, dir, resolved)
@@ -1997,7 +2072,7 @@ object IndexStore {
         case None => 0L
         case Some(del0) =>
           val del = del0.toDF("id").localCheckpoint(true)
-          val assign = spark.read.parquet(dir("assign"))
+          val assign = readTable(spark, path, dir, "assign")
           val unfolded = assign.join(del, Seq("id"), "left_semi").count()
           if (unfolded == 0L) 0L
           else {
@@ -2857,9 +2932,9 @@ object IndexStore {
         .count()
     kind match {
       case "corpus" =>
-        val sets = spark.read.parquet(dir("sets"))
-        val members = spark.read.parquet(dir("members"))
-        val bands = spark.read.parquet(dir("bands"))
+        val sets = readTable(spark, path, dir, "sets")
+        val members = readTable(spark, path, dir, "members")
+        val bands = readTable(spark, path, dir, "bands")
         val lost = orphanCount(members, "corpus_id", sets)
         val unbanded = orphanCount(
           sets.where(size(col("sh")) > 0), "corpus_id",
@@ -2872,9 +2947,9 @@ object IndexStore {
             "healable", s"$unbanded set(s) lack band rows — " +
               "the next appendCorpusIndex heals them")) else None).flatten
       case "vector" =>
-        val reps = spark.read.parquet(dir("reps"))
-        val members = spark.read.parquet(dir("members"))
-        val blocks = spark.read.parquet(dir("blocks"))
+        val reps = readTable(spark, path, dir, "reps")
+        val members = readTable(spark, path, dir, "members")
+        val blocks = readTable(spark, path, dir, "blocks")
         val lost = orphanCount(members, "rep_id", reps)
         val unblocked = orphanCount(reps, "rep_id",
           blocks.select(col("rep_id")).distinct())
@@ -2886,8 +2961,8 @@ object IndexStore {
             "healable", s"$unblocked rep(s) lack block rows — " +
               "the next appendVectorIndex heals them")) else None).flatten
       case "media" =>
-        val members = spark.read.parquet(dir("members"))
-        val bands = spark.read.parquet(dir("bands"))
+        val members = readTable(spark, path, dir, "members")
+        val bands = readTable(spark, path, dir, "bands")
         val unbanded = members.select(col("dh")).distinct()
           .join(bands.select(col("dh")).distinct(), Seq("dh"), "left_anti")
           .count()
@@ -2896,8 +2971,8 @@ object IndexStore {
             "the next appendMediaIndex heals them"))
         else Seq.empty
       case "text" =>
-        val doclen = spark.read.parquet(dir("doclen"))
-        val postings = spark.read.parquet(dir("postings"))
+        val doclen = readTable(spark, path, dir, "doclen")
+        val postings = readTable(spark, path, dir, "postings")
         // one full-outer join at doc grain surfaces all three torn
         // shapes (the same rule repairTextIndex prunes by)
         val perDoc = doclen.select(col("doc_id"), col("dl"))
@@ -2930,8 +3005,8 @@ object IndexStore {
               "repairTextIndex"))
           else None).flatten
       case "ivf" =>
-        val assign = spark.read.parquet(dir("assign"))
-        val centroids = spark.read.parquet(dir("centroids"))
+        val assign = readTable(spark, path, dir, "assign")
+        val centroids = readTable(spark, path, dir, "centroids")
         val dups = assign.groupBy(col("id")).agg(count(lit(1)).as("__n"))
           .where(col("__n") > 1).count()
         // referential integrity: an assignment pointing at a list with
@@ -3082,8 +3157,8 @@ object IndexStore {
     withIndexLease(spark, path, "repairTextIndex") {
       metaOf(spark, path, "text")
       val dir = tableDirs(spark, path)
-      val doclen = spark.read.parquet(dir("doclen"))
-      val postings = spark.read.parquet(dir("postings"))
+      val doclen = readTable(spark, path, dir, "doclen")
+      val postings = readTable(spark, path, dir, "postings")
       // the unified per-doc consistency rule: dl is BY CONSTRUCTION the
       // sum of the doc's tf ([[TextAnalysis.textIndex]]), so a doc is
       // healthy iff dl == Σtf with both sides present. One full-outer
@@ -3383,8 +3458,8 @@ object IndexStore {
     // union, deleting and vacuuming the max-id docs would re-open
     // their range to the next append
     val existingIds = (Seq(
-        spark.read.parquet(dir("doclen")).select(col("doc_id")),
-        spark.read.parquet(dir("postings")).select(col("doc_id"))) ++
+        readTable(spark, path, dir, "doclen").select(col("doc_id")),
+        readTable(spark, path, dir, "postings").select(col("doc_id"))) ++
         readDeletes(spark, path, dir))
       .reduce(_.unionByName(_))
     val idx = TextAnalysis.textIndex(newDocs, idCol, textCol)
@@ -3434,7 +3509,7 @@ object IndexStore {
       val (resolved, dir) = resolvedDirs(spark, path)
       replaceCore(spark, path, "replaceTextDocs", "deleteFromTextIndex",
         "doc_id", oldIds, newDocs.select(col(idCol)),
-        spark.read.parquet(dir("doclen")).select(col("doc_id")),
+        readTable(spark, path, dir, "doclen").select(col("doc_id")),
         dir, resolved)(
         () => appendTextIndexBody(spark, newDocs, idCol, textCol, path,
           "replaceTextDocs"))
@@ -3455,7 +3530,7 @@ object IndexStore {
       replaceCore(spark, path, "replaceMediaAssets",
         "deleteFromMediaIndex", "member_id", oldIds,
         newHashes.select(col(idCol)),
-        spark.read.parquet(dir("members")).select(col("member_id")),
+        readTable(spark, path, dir, "members").select(col("member_id")),
         dir, resolved)(
         () => appendMediaIndexBody(spark, newHashes, idCol, hashCol,
           path, "replaceMediaAssets"))
@@ -3473,7 +3548,7 @@ object IndexStore {
       replaceCore(spark, path, "replaceVectorMembers",
         "deleteFromVectorIndex", "member_id", oldIds,
         newVecs.select(col(idCol)),
-        spark.read.parquet(dir("members")).select(col("member_id")),
+        readTable(spark, path, dir, "members").select(col("member_id")),
         dir, resolved)(
         () => appendVectorIndexBody(spark, newVecs, idCol, vecCol,
           path, "replaceVectorMembers"))
@@ -3491,7 +3566,7 @@ object IndexStore {
       replaceCore(spark, path, "replaceCorpusDocs",
         "deleteFromCorpusIndex", "member_id", oldIds,
         newDocs.select(col(idCol)),
-        spark.read.parquet(dir("members")).select(col("member_id")),
+        readTable(spark, path, dir, "members").select(col("member_id")),
         dir, resolved)(
         () => appendCorpusIndexBody(spark, newDocs, idCol, textCol,
           path, "replaceCorpusDocs"))
@@ -3510,7 +3585,7 @@ object IndexStore {
       val (resolved, dir) = resolvedDirs(spark, path)
       replaceCore(spark, path, "replaceIvfMembers", "deleteFromIvf",
         "id", oldIds, newVecs.select(col(idCol)),
-        spark.read.parquet(dir("assign")).select(col("id")),
+        readTable(spark, path, dir, "assign").select(col("id")),
         dir, resolved)(
         () => appendIvfBody(spark, newVecs, idCol, vecCol, path,
           "replaceIvfMembers"))
