@@ -198,13 +198,18 @@ object Graph {
     * node-sized broadcast score table, one map-side-combined inflow
     * aggregation, and a ONE-ROW total folded back by broadcast — the
     * pageRank iteration shape exactly; localCheckpoint bounds lineage
-    * every `checkpointInterval` rounds.
+    * every `checkpointInterval` rounds. Unlike pageRank (one table per
+    * iteration), each HITS iteration chains TWO dependent half-steps,
+    * so the lazy plan doubles per round and the per-stage task binary
+    * with it — the default is every-round checkpointing (round-16 A/B:
+    * interval 1 beat 2 at the q185 shape, ~1 MB task binaries shrank),
+    * where pageRank's measured default stays 4.
     */
   def hits(
       edges: DataFrame,
       iterations: Int = 4,
       scale: Long = 1000000L,
-      checkpointInterval: Int = 2,
+      checkpointInterval: Int = 1,
       broadcastScores: Boolean = true): DataFrame = {
     require(iterations >= 1 && iterations <= 32, "iterations in [1, 32]")
     require(scale >= 100L, "scale under 100 floors every score to 0")
@@ -611,10 +616,19 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(true)
+    // deg and the sorted-neighbor index are consumed by EVERY step's
+    // joins; left lazy they are recomputed per step — 16 steps re-ran
+    // the edge-grain row_number window 16× (round-16 profile: q157's
+    // task time was ~95 s, ~3× the materialized cost). Edge-grain like
+    // `e` itself (already checkpointed), so the one-time
+    // materialization is the same storage class the operator already
+    // pays.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
     val idx = e.withColumn("__nidx",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")).orderBy(col("dst"))).cast("long") - 1)
+      .localCheckpoint(true)
     var cur = e.select(col("src").as("start")).distinct()
       .withColumn("w", explode(array((0 until walksPerNode).map(lit): _*)))
       .select(col("start"), col("w").cast("long").as("w"),
