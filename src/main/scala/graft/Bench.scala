@@ -155,7 +155,16 @@ object Bench {
     // driver-vs-quiet totals diverged by 15 s with identical code);
     // compare THIS across runs, `value` only within one.
     val totalMin = results.map(_._3).filter(_ >= 0).sum
-    val sideFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // side-file default is PER-RUN UNIQUE (cpus + sf in the name): the
+    // round-16 driver ran the bench twice (32-core main + 8-core
+    // scaling companion) and both wrote the old fixed default
+    // BENCH_LOCAL.json — the second clobbered the first, so the round's
+    // per-query ground truth (PERF per_query, the scaling block) was
+    // LOST. The stdout pointer below always names the actual file, so
+    // consumers never guess.
+    val sfTag = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9._-]", "_")
+    val sideFile = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", s"BENCH_LOCAL_c${cpus}_$sfTag.json")
     // Paths are JSON-escaped in BOTH outputs — env-supplied
     // SPARK_GRAFT_SF_DIR / SPARK_GRAFT_BENCH_OUT may contain
     // quotes/backslashes/control bytes.

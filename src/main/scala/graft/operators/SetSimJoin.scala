@@ -136,11 +136,16 @@ object SetSimJoin {
            |END""".stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    // hydrate each side's full sorted token array once, verify exactly
+    // hydrate each side's full sorted token array once, verify exactly.
+    // The BOUNDED merge-walk (round-17): the keep predicate below is
+    // exactly `inter·1e6 ≥ t_ppm·uni`, so the kernel's positional abort
+    // returns −1 for provably-failing candidates (most of them, at a
+    // near-dup threshold) after ~(1−t)·n comparisons instead of n —
+    // surviving pairs still get the exact count the output emits.
     val sets = tok.groupBy(col("id"))
       .agg(sort_array(collect_list(col("term"))).as("toks"))
-    val inter = SetExpressions.sortedIntersectCount(
-      col("ta"), col("tb")).cast("long")
+    val inter = SetExpressions.sortedIntersectCountBounded(
+      col("ta"), col("tb"), thresholdPpm).cast("long")
     cand
       .join(sets.select(col("id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("toks").as("tb")), Seq("id_b"))

@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainQ {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: ExplainQ <sfDir> <outDir> <tag> <substr>[,<substr>...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, tag, pat) = args.take(4)
     val pats = pat.split(',')
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

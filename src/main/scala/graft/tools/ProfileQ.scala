@@ -47,6 +47,11 @@ object ProfileQ {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: ProfileQ <sfDir> <nameSubstr>[,<substr>...] [reps]")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val pats = args(1).split(',')
     val reps = if (args.length > 2) args(2).toInt else 2
