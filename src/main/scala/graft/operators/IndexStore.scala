@@ -195,18 +195,39 @@ object IndexStore {
     * cross of them — no driver-side comparison of unknown types. An
     * empty `existing` (first append into a fresh index) passes.
     */
-  private def requireIdsAfter(
-      existing: DataFrame, incoming: DataFrame, op: String): Unit = {
-    val mx = existing.agg(max(col(existing.columns.head)).as("__mx"))
-    val mn = incoming.agg(min(col(incoming.columns.head)).as("__mn"))
-    val violated = mx.crossJoin(mn)
-      .where(col("__mn") <= col("__mx")).limit(1).count() > 0
+  /** 1-row (__ids_violated boolean) monotone-contract aggregate as ONE
+    * union-tagged aggregation (round-17, guide §2.4 — fewer
+    * jobs/action): the former two 1-row aggregates + broadcast +
+    * cross-of-one-row cost ~4 tiny AQE stage-jobs per append; tagging
+    * the rows and folding both extrema in one aggregation halves that.
+    * Comparison stays in SQL (type-generic, never driver-side) and
+    * null semantics match the old crossJoin/where exactly: either side
+    * empty → null extremum → NULL comparison → not violated. Kept a
+    * DataFrame so append bodies can cross it with their heal-coverage
+    * identity and pay ONE driver action for both guards.
+    */
+  private def idsAfterAgg(
+      existing: DataFrame, incoming: DataFrame): DataFrame =
+    existing
+      .select(col(existing.columns.head).as("__id"), lit(0).as("__t"))
+      .unionByName(incoming
+        .select(col(incoming.columns.head).as("__id"), lit(1).as("__t")))
+      .agg(max(when(col("__t") === 0, col("__id"))).as("__mx"),
+        min(when(col("__t") === 1, col("__id"))).as("__mn"))
+      .select(coalesce(col("__mn") <= col("__mx"), lit(false))
+        .as("__ids_violated"))
+
+  private def requireIdsAfterChecked(violated: Boolean, op: String): Unit =
     require(!violated,
       s"IndexStore.$op: appended ids must sort strictly after every id " +
         "already in the index (monotone-ingest contract — it is what " +
         "keeps duplicate-group representatives stable so append equals " +
         "rebuild); re-id the batch or rebuild the index")
-  }
+
+  private def requireIdsAfter(
+      existing: DataFrame, incoming: DataFrame, op: String): Unit =
+    requireIdsAfterChecked(
+      idsAfterAgg(existing, incoming).head().getBoolean(0), op)
 
   /** Restrict screen matches to PRE-BATCH corpus ids. Under the
     * monotone-id contract every legitimately indexed id sorts strictly
@@ -274,13 +295,21 @@ object IndexStore {
       idCol: String,
       existingIds: DataFrame,
       op: String)(append: DataFrame => Unit): Unit = {
-    val adm = admitted.agg(count(lit(1)).as("__n"),
-      min(col(idCol)).as("__amn"), max(col(idCol)).as("__amx"))
-    val emx = existingIds
-      .agg(max(col(existingIds.columns.head)).as("__emx"))
-    val r = adm.crossJoin(broadcast(emx)).select(col("__n"),
-      (col("__emx").isNull || col("__amn") > col("__emx")).as("__fresh"),
-      (col("__emx").isNotNull && col("__amx") <= col("__emx")).as("__replay"))
+    // ONE union-tagged aggregate for all four extrema (round-17, the
+    // requireIdsAfter fusion): admitted count/min/max and the index max
+    // fold in a single action instead of two aggregates + a broadcast
+    // cross. Null/empty semantics unchanged (count of when() skips the
+    // existing-side rows; empty sides yield null extrema).
+    val r = admitted.select(col(idCol).as("__id"), lit(1).as("__t"))
+      .unionByName(existingIds
+        .select(col(existingIds.columns.head).as("__id"), lit(0).as("__t")))
+      .agg(count(when(col("__t") === 1, lit(1))).as("__n"),
+        min(when(col("__t") === 1, col("__id"))).as("__amn"),
+        max(when(col("__t") === 1, col("__id"))).as("__amx"),
+        max(when(col("__t") === 0, col("__id"))).as("__emx"))
+      .select(col("__n"),
+        (col("__emx").isNull || col("__amn") > col("__emx")).as("__fresh"),
+        (col("__emx").isNotNull && col("__amx") <= col("__emx")).as("__replay"))
       .head()
     val n = r.getLong(0)
     if (n == 0L) ()
@@ -296,6 +325,8 @@ object IndexStore {
       // bounded non-membership is the documented cap-flip tolerance,
       // but a large count on a round that was NOT a retry is the
       // operator's one observable signal of id reuse.
+      val emx = existingIds
+        .agg(max(col(existingIds.columns.head)).as("__emx"))
       val withEmx = admitted.crossJoin(broadcast(emx))
       val atOrBelow = withEmx.where(col(idCol) <= col("__emx"))
         .select(col(idCol).as("__aid"))
@@ -350,14 +381,17 @@ object IndexStore {
   private def requireMemberCoverage(
       members: DataFrame, groups: DataFrame, keyCol: String,
       groupTable: String, path: String): Unit = {
-    // fast path: one action over two partial aggregates. Group-key rows
-    // are unique per group and always written AFTER their member rows
-    // (members-first crash posture), so the group-table row count
+    // fast path: ONE union-tagged aggregate (round-17 — was two partial
+    // aggregates + a broadcast cross, ~2 extra AQE stage-jobs). Group-key
+    // rows are unique per group and always written AFTER their member
+    // rows (members-first crash posture), so the group-table row count
     // equals the members' distinct group count IFF no member group is
     // orphaned — the anti-join runs only on the failure path, to count
     // the orphans for the message.
-    val chk = members.agg(count_distinct(col(keyCol)).as("__mg"))
-      .crossJoin(broadcast(groups.agg(count(lit(1)).as("__gs"))))
+    val chk = members.select(col(keyCol).as("__k"), lit(0).as("__t"))
+      .unionByName(groups.select(col(keyCol).as("__k"), lit(1).as("__t")))
+      .agg(count_distinct(when(col("__t") === 0, col("__k"))).as("__mg"),
+        count(when(col("__t") === 1, lit(1))).as("__gs"))
       .head()
     if (chk.getLong(0) != chk.getLong(1)) {
       val orphans = members.select(col(keyCol)).distinct()
@@ -490,9 +524,9 @@ object IndexStore {
       val oldSets = readTable(spark, path, dir, "sets")
       val oldMembers = readTable(spark, path, dir, "members")
       val gn = Dedup.textGroups(newDocs, idCol, textCol)
-      requireIdsAfter(graveyardUnion(spark, path, dir,
+      val idsGuard = idsAfterAgg(graveyardUnion(spark, path, dir,
           oldMembers.select(col("member_id"))),
-        gn.select(explode(col("members")).as("member_id")), op)
+        gn.select(explode(col("members")).as("member_id")))
       // exact-text merge: members of matched groups file under the
       // EXISTING rep (no new band/set rows — identical text means the
       // stored ones already cover it)
@@ -525,15 +559,24 @@ object IndexStore {
       // directory-mutating writes (same race rationale as `novel`).
       val oldBands = readTable(spark, path, dir, "bands")
       val bandedSets = oldSets.where(size(col("sh")) > 0)
-      val covered = oldBands.agg(count(lit(1)).as("__b"))
-        .crossJoin(broadcast(bandedSets.agg(count(lit(1)).as("__s"))))
+      // ONE driver action carries BOTH pre-write guards (round-17,
+      // guide §2.4): the monotone-id aggregate and the band-coverage
+      // count identity evaluate in a single head(); the id guard is
+      // checked first, exactly as the sequential form raised it first —
+      // both still fire before anything mutates.
+      val covered = idsGuard
+        .crossJoin(oldBands.select(lit(0).as("__t"))
+          .unionByName(bandedSets.select(lit(1).as("__t")))
+          .agg(count(when(col("__t") === 0, lit(1))).as("__b"),
+            count(when(col("__t") === 1, lit(1))).as("__s")))
         .head()
+      requireIdsAfterChecked(covered.getBoolean(0), op)
       val orphanedSets0 = bandedSets
         .select(col("corpus_id").as("id"), col("text").as("__text"))
         .join(oldBands.select(col("corpus_id").as("id")).distinct(),
           Seq("id"), "left_anti")
       val orphanedSets =
-        if (covered.getLong(0) == numBands.toLong * covered.getLong(1))
+        if (covered.getLong(1) == numBands.toLong * covered.getLong(2))
           orphanedSets0.where(lit(false))
         else orphanedSets0.localCheckpoint(true)
       val (bands, sets, members) =
@@ -940,9 +983,6 @@ object IndexStore {
       val oldReps = readTable(spark, path, dir, "reps")
       val oldMembers = readTable(spark, path, dir, "members")
       val gn = vecGroups(newVecs, idCol, vecCol)
-      requireIdsAfter(graveyardUnion(spark, path, dir,
-          oldMembers.select(col("member_id"))),
-        gn.select(explode(col("members")).as("member_id")), op)
       val matched = gn.join(oldReps.withColumnRenamed("rep_id", "__rep"), Seq("v"))
         .select(col("__rep").as("rep_id"), explode(col("members")).as("member_id"))
       val novel = gn.join(oldReps.select(col("v")), Seq("v"), "left_anti")
@@ -952,16 +992,25 @@ object IndexStore {
       // [[appendCorpusIndex]] — every rep has exactly numBlocks block
       // rows, so the count identity proves coverage without the
       // anti-join shuffle; on mismatch the anti-join is materialized
-      // BEFORE the directory-mutating writes below.
+      // BEFORE the directory-mutating writes below. ONE driver action
+      // carries BOTH pre-write guards (round-17, the
+      // [[appendCorpusIndexBody]] fusion): monotone-id aggregate ×
+      // coverage identity, id guard checked first.
       val oldBlocks = readTable(spark, path, dir, "blocks")
-      val covered = oldBlocks.agg(count(lit(1)).as("__b"))
-        .crossJoin(broadcast(oldReps.agg(count(lit(1)).as("__r"))))
+      val covered = idsAfterAgg(graveyardUnion(spark, path, dir,
+          oldMembers.select(col("member_id"))),
+        gn.select(explode(col("members")).as("member_id")))
+        .crossJoin(oldBlocks.select(lit(0).as("__t"))
+          .unionByName(oldReps.select(lit(1).as("__t")))
+          .agg(count(when(col("__t") === 0, lit(1))).as("__b"),
+            count(when(col("__t") === 1, lit(1))).as("__r")))
         .head()
+      requireIdsAfterChecked(covered.getBoolean(0), op)
       val orphanedReps0 = oldReps.select(col("rep_id").as("id"), col("v"))
         .join(oldBlocks.select(col("rep_id").as("id")).distinct(),
           Seq("id"), "left_anti")
       val orphanedReps =
-        if (covered.getLong(0) == m("num_blocks").toLong * covered.getLong(1))
+        if (covered.getLong(1) == m("num_blocks").toLong * covered.getLong(2))
           orphanedReps0.where(lit(false))
         else orphanedReps0.localCheckpoint(true)
       val (blocks, reps, members) = Similarity.vectorTablesFromGroups(
@@ -1223,35 +1272,60 @@ object IndexStore {
     val doclen = applyDeletes(
       readTable(spark, path, dir, "doclen"), del, "doc_id")
     if (check) {
-      val sums = doclen.agg(sum(col("dl")).as("__dl"))
-        .crossJoin(broadcast(postings.agg(sum(col("tf")).as("__tf"))))
-        .head()
-      if (sums.isNullAt(0) != sums.isNullAt(1) ||
-          (!sums.isNullAt(0) && sums.getLong(0) != sums.getLong(1))) {
-        // failure path only: per-doc triage of the three torn shapes
-        // (the same rule repairTextIndex prunes by)
-        val t = doclen.select(col("doc_id"), col("dl"))
-          .join(postings.groupBy(col("doc_id"))
-            .agg(sum(col("tf")).as("__tf")), Seq("doc_id"), "full_outer")
-          .agg(sum(when(col("__tf").isNull, 1L).otherwise(0L)),
-            sum(when(col("dl").isNull, 1L).otherwise(0L)),
-            sum(when(col("dl") =!= col("__tf"), 1L).otherwise(0L)))
-          .head()
-        throw new IllegalArgumentException(
-          s"IndexStore: text index at $path is torn — ${t.getLong(0)} " +
-            s"doc(s) with doclen rows but no postings (a crash between " +
-            s"the doclen and postings appends — stranded rows skew " +
-            s"every score's idf/avgdl), ${t.getLong(1)} with postings " +
-            s"but no doclen row (external/legacy half-index), " +
-            s"${t.getLong(2)} with dl ≠ Σtf on both sides (partial " +
-            s"postings; Σdl=${sums.get(0)} vs Σtf=${sums.get(1)}); run " +
-            "IndexStore.repairTextIndex to prune every inconsistent doc " +
-            "(restoring exact idf/avgdl — their index entries are " +
-            "incomplete either way) or rebuild the index over the full " +
-            "corpus")
-      }
+      val sums = textTornSums(postings, doclen).head()
+      if (textTornBad(sums.isNullAt(0), sums.isNullAt(1),
+          if (sums.isNullAt(0)) 0L else sums.getLong(0),
+          if (sums.isNullAt(1)) 0L else sums.getLong(1)))
+        raiseTextTorn(postings, doclen, path, sums.get(0), sums.get(1))
     }
     TextAnalysis.TextIndex(postings, doclen)
+  }
+
+  /** The text torn-state identity's 1-row (Σdl, Σtf) as ONE
+    * union-tagged aggregate (round-17 — one action/stage chain, not two
+    * aggregates + a broadcast cross). dl is BY CONSTRUCTION the per-doc
+    * Σtf ([[TextAnalysis.textIndex]]), so Σdl == Σtf iff no doc lost
+    * one side. Kept a DataFrame so [[ingestText]] can fold it into the
+    * guardrail-estimate action it already pays.
+    */
+  private def textTornSums(postings: DataFrame, doclen: DataFrame): DataFrame =
+    doclen.select(col("dl").as("__v"), lit(0).as("__t"))
+      .unionByName(postings.select(col("tf").as("__v"), lit(1).as("__t")))
+      .agg(sum(when(col("__t") === 0, col("__v"))).as("__dl"),
+        sum(when(col("__t") === 1, col("__v"))).as("__tf"))
+
+  private def textTornBad(
+      dlNull: Boolean, tfNull: Boolean, dl: Long, tf: Long): Boolean =
+    dlNull != tfNull || (!dlNull && dl != tf)
+
+  /** The torn-text raise path: per-doc triage (failure path only) +
+    * the operator-facing message. Shared by [[loadTextIndex]] and the
+    * [[ingestText]] fused guard action.
+    */
+  private def raiseTextTorn(
+      postings: DataFrame, doclen: DataFrame, path: String,
+      dlSum: Any, tfSum: Any): Nothing = {
+    // failure path only: per-doc triage of the three torn shapes
+    // (the same rule repairTextIndex prunes by)
+    val t = doclen.select(col("doc_id"), col("dl"))
+      .join(postings.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("__tf")), Seq("doc_id"), "full_outer")
+      .agg(sum(when(col("__tf").isNull, 1L).otherwise(0L)),
+        sum(when(col("dl").isNull, 1L).otherwise(0L)),
+        sum(when(col("dl") =!= col("__tf"), 1L).otherwise(0L)))
+      .head()
+    throw new IllegalArgumentException(
+      s"IndexStore: text index at $path is torn — ${t.getLong(0)} " +
+        s"doc(s) with doclen rows but no postings (a crash between " +
+        s"the doclen and postings appends — stranded rows skew " +
+        s"every score's idf/avgdl), ${t.getLong(1)} with postings " +
+        s"but no doclen row (external/legacy half-index), " +
+        s"${t.getLong(2)} with dl ≠ Σtf on both sides (partial " +
+        s"postings; Σdl=$dlSum vs Σtf=$tfSum); run " +
+        "IndexStore.repairTextIndex to prune every inconsistent doc " +
+        "(restoring exact idf/avgdl — their index entries are " +
+        "incomplete either way) or rebuild the index over the full " +
+        "corpus")
   }
 
   /** An index's OPTIONAL tombstone table — one id column (named for
@@ -3877,9 +3951,12 @@ object IndexStore {
       .where(col("text").isNotNull &&
         size(TextFunctions.tokens(col("text"))) > 0)
       .localCheckpoint(true)
-    // loadTextIndex (not raw reads): its torn-state check is the gate
-    // that keeps the replay-skip path honest — see the scaladoc
-    val idx = loadTextIndex(spark, path)
+    // check = false here, NOT unchecked: the torn-state identity rides
+    // the guardrail-estimate action below instead (round-17 fusion —
+    // same sums, same raise, one driver action fewer per round); it
+    // still gates the replay-skip path, because it is verified before
+    // any screen result is materialized or the append runs
+    val idx = loadTextIndex(spark, path, check = false)
     val mn = batch.agg(min(col("doc_id")).as("__batch_min"))
     def preBatch(t: DataFrame): DataFrame = t.crossJoin(broadcast(mn))
       .where(col("doc_id") < col("__batch_min")).drop("__batch_min")
@@ -3935,11 +4012,23 @@ object IndexStore {
         .localCheckpoint(true))
     val estPostings = candDocs.fold(pre.postings)(c =>
       pre.postings.join(c, Seq("doc_id"), "left_semi"))
-    val estTotal = screenPairEstimate(estPostings, qt, maxDfPpm,
+    // ONE action carries BOTH the volume estimate and the torn-state
+    // identity (the loadTextIndex check deferred above): a cross of two
+    // 1-row aggregates evaluated in a single head(). Torn wins — it is
+    // checked first, exactly as the pre-fusion load-then-estimate order
+    // raised it first.
+    val guard = screenPairEstimate(estPostings, qt, maxDfPpm,
         pre.doclen)
       .agg(coalesce(sum(pairsDec),
         lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("t"))
-      .head().getDecimal(0)
+      .crossJoin(textTornSums(idx.postings, idx.doclen))
+      .head()
+    if (textTornBad(guard.isNullAt(1), guard.isNullAt(2),
+        if (guard.isNullAt(1)) 0L else guard.getLong(1),
+        if (guard.isNullAt(2)) 0L else guard.getLong(2)))
+      raiseTextTorn(idx.postings, idx.doclen, path,
+        guard.get(1), guard.get(2))
+    val estTotal = guard.getDecimal(0)
     if (estTotal.compareTo(
         java.math.BigDecimal.valueOf(maxScreenPairs)) > 0) {
       val dense = screenPairEstimate(estPostings, qt, maxDfPpm,

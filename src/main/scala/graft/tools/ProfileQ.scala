@@ -27,9 +27,26 @@ object ProfileQ {
     private def siteOf(details: String): String =
       details.split('\n').find(l => l.contains("graft."))
         .orElse(details.split('\n').headOption).getOrElse("?").trim
-    override def onJobStart(e: SparkListenerJobStart): Unit =
+    // ACTION attribution: SQLExecutionStart's description is the
+    // call-site of the driver action (head/count/checkpoint/write); a
+    // job carries its execution id in its properties — so jobs roll up
+    // to the action that submitted them, seeing through the AQE
+    // stage-job thread pool the stage-site attribution cannot.
+    val execs = scala.collection.mutable.Map.empty[Long, String]
+    val jobExec = scala.collection.mutable.Map.empty[Int, String]
+    override def onOtherEvent(
+        e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+      case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+        execs(s.executionId) = s.description.split('\n').head.take(130)
+      case _ => ()
+    }
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
       jobs(e.jobId) = Job(e.jobId, e.time, e.time,
         Option(e.properties.getProperty("spark.job.description")).getOrElse(""))
+      jobExec(e.jobId) = Option(
+          e.properties.getProperty("spark.sql.execution.id"))
+        .map(_.toLong).flatMap(execs.get).getOrElse("(no sql execution)")
+    }
     override def onJobEnd(e: SparkListenerJobEnd): Unit =
       jobs.get(e.jobId).foreach(_.end = e.time)
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -111,6 +128,15 @@ object ProfileQ {
         case (site, (c, t, w)) =>
           println(f"   site n=$c%3d stageWall=${w / 1e3}%6.2fs taskTime=${t / 1e3}%6.2fs  ${site.take(120)}")
       }
+      // per-ACTION rollup: jobs grouped by the SQL execution (driver
+      // action) that submitted them
+      bestRec.jobs.values.toSeq
+        .groupBy(j => bestRec.jobExec.getOrElse(j.id, "?"))
+        .map { case (k, js) =>
+          (k, js.size, js.map(j => j.end - j.start).sum / 1e3)
+        }.toSeq.sortBy(-_._3).take(25).foreach { case (k, n, w) =>
+          println(f"   exec jobs=$n%3d wall=$w%6.2fs  $k")
+        }
     }
     spark.stop()
   }
