@@ -146,6 +146,35 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("intersectCountBounded: exact for passing pairs, filter-equivalent for all") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(17)
+    val thresholds = Seq(500000L, 700000L, 800000L, 900000L, 1000000L)
+    (1 to 200).foreach { _ =>
+      def randSet = Seq.fill(1 + rnd.nextInt(30))(s"w${rnd.nextInt(40)}")
+        .distinct.sorted
+      val (a, b) = (randSet, randSet)
+      val t = thresholds(rnd.nextInt(thresholds.size))
+      val ad = new GenericArrayData(a.map(UTF8String.fromString).toArray[Any])
+      val bd = new GenericArrayData(b.map(UTF8String.fromString).toArray[Any])
+      val inter = a.toSet.intersect(b.toSet).size.toLong
+      val uni = a.size + b.size - inter
+      val passes = inter * 1000000L >= uni * t
+      val got = graft.functions.SetKernels.intersectCountBounded(ad, bd, t)
+      if (passes) {
+        // a pair that can meet the predicate must get its exact count
+        assert(got == inter, s"a=$a b=$b t=$t")
+      } else {
+        // a failing pair may abort (-1) or finish — either way the
+        // caller's filter must still reject it
+        assert(got == inter || got == -1, s"a=$a b=$b t=$t got=$got")
+        val gotUni = a.size + b.size - got
+        assert(got * 1000000L < gotUni * t, s"a=$a b=$b t=$t got=$got")
+      }
+    }
+  }
+
   test("cosine of zero vector is 0.0, not NaN") {
     val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
     assert(df.select(VectorFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0) == 0.0)

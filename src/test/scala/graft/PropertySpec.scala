@@ -38,6 +38,33 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("connectedComponents on STRING ids equals driver union-find (generic pre-pass path)") {
+    val rnd = new Random(303)
+    (1 to 3).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      def key(i: Int) = f"n$i%04d" // ASCII, so Java order == UTF8 binary order
+      val edges = Seq.fill(20 + rnd.nextInt(60))(
+        (rnd.nextInt(n), rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = vertices.map(v => key(v) -> key(find(v))).toMap
+        val got = Dedup.connectedComponents(
+            edges.map { case (a, b) => (key(a), key(b)) }.toDF("id_a", "id_b"))
+          .as[(String, String)].collect().toMap
+        assert(got == want, s"trial $trial: $edges")
+      }
+    }
+  }
+
   test("sessions partition the events and respect the gap on random inputs") {
     val rnd = new Random(202)
     val gap = 100L
