@@ -606,32 +606,31 @@ object Dedup {
             }
             spark.createDataFrame(localRdd, sch)
         }
-        // one row per (vertex, partition it appears in): vmin = the
-        // vertex's smallest local label, __ls = all of them — the
-        // stitch edges (vmin ↔ each other label) are exactly the
-        // cross-partition connectivity the contraction must keep
-        val vmin = local
-          .groupBy(col("id"))
-          .agg(min(col("lmin")).as("vmin"), collect_set(col("lmin")).as("__ls"))
-          .localCheckpoint(true)
-        val stitch = vmin
-          .select(col("vmin").as("id_a"), explode(col("__ls")).as("id_b"))
-          .where(col("id_a") =!= col("id_b"))
-        val sEdges = stitch
-          .select(col("id_a").as("src"), col("id_b").as("dst"))
-          .union(stitch.select(col("id_b").as("src"), col("id_a").as("dst")))
+        // the (vertex ↔ its local label) rows ARE the contracted edge
+        // list: every vertex hangs one hop off its partition-local
+        // root, roots chain across partitions through shared vertices,
+        // and labels are vertices of the same component — so running
+        // the global loop directly on these star edges preserves
+        // components and the min-id fixpoint EXACTLY, covers every
+        // vertex (each has ≥1 local row; self-loops are harmless
+        // no-ops under the least()), and needs no per-vertex label-set
+        // aggregation or join-back. (A first cut aggregated
+        // collect_set(label) per vertex to build explicit stitch
+        // edges — at the 100×-scale probe that ObjectHashAggregate
+        // spilled 5.8 GB; this formulation is all narrow
+        // HashAggregate/distinct shapes.) Star graphs are pointer
+        // jumping's best case: the q172-shape converged in 2 passes vs
+        // the direct loop's ~15.
+        // materialized ONCE: the bidirectional union below consumes the
+        // rows twice, and each consumption would otherwise re-run the
+        // per-partition union-find over the full edge table (measured
+        // at the 100×-scale probe: ~8% of the whole dedupGroups row)
+        val localM = local.localCheckpoint(true)
+        val sEdges = localM.select(col("id").as("src"), col("lmin").as("dst"))
+          .union(localM.select(col("lmin").as("src"), col("id").as("dst")))
           .distinct()
           .localCheckpoint(true)
-        val g = ccFixpoint(sEdges, 0)
-        // label(v) = global label of v's min local label; contracted
-        // vertices untouched by any stitch edge keep their local min.
-        // Checkpointed: callers consume the labels repeatedly (the
-        // pre-fusion contract — the returned frame was materialized).
-        vmin
-          .join(g.withColumnRenamed("id", "vmin")
-            .withColumnRenamed("group_id", "__g"), Seq("vmin"), "left")
-          .select(col("id"), coalesce(col("__g"), col("vmin")).as("group_id"))
-          .localCheckpoint(true)
+        ccFixpoint(sEdges, 0)
       case _ => ccFixpoint(edges, maxIter)
     }
   }
